@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Fixture-table loader (TESTDATA.md layout: `<dir>/<name>.parquet`).
+  *
+  * The reference located tables by Hive warehouse path concatenation
+  * (`root/db/table`, TransTablePartition.java:116-118); here a table is any
+  * parquet path — Spark's file source does partition discovery, schema
+  * inference and predicate/column pushdown for free.
+  */
+object Tables {
+  val star = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val all: Seq[String] = star ++ Seq("events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // TIMESTAMP(NANOS) columns arrive as long via nanosAsLong (SparkEnv);
+    // restore TimestampType at microsecond precision (the fixture values
+    // carry only µs anyway, so this is lossless vs the DuckDB oracle).
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+}

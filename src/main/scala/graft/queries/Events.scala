@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-analytics tier over the `events` fixture — the batch equivalents of
+  * the streaming operators in [[graft.streaming.EventStreams]] (tumbling
+  * windows, sessionization). Batch and stream share the same groupBy/window
+  * expressions, so the oracle checks here also pin the streaming semantics.
+  */
+object Events {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // tumbling 1-hour window aggregation (batch form of readStream+window)
+    QueryDef.checked(
+      "q24_events_hourly",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n_events, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    },
+
+    // 30-minute-gap sessionization (batch form of session_window /
+    // flatMapGroupsWithState): lag + cumulative session counter.
+    QueryDef.checked(
+      "q25_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events, sum(value) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (col("ts").cast("double") - col("prev_ts").cast("double")) > 1800.0, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    }
+  )
+}
