@@ -13,7 +13,8 @@ object SparkEntry {
   val allQueries: Seq[QueryDef] =
     q.Relational.entries ++
       q.Warehouse.entries ++
-      q.Events.entries
+      q.Events.entries ++
+      q.Ops.entries
 
   {
     val dup = allQueries.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }

@@ -20,6 +20,9 @@ object SparkEnv {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // partition dir values like par_key=19960301 must stay strings, not
+    // get inferred back as ints, for manifests to line up across sides
+    .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     .config("spark.sql.parquet.compression.codec", "snappy")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.ui.explainMode", "formatted")

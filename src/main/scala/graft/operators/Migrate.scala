@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-granular table migration — `TransTablePartition` /
+  * `TransWholeTablePartition` rebuilt on Spark.
+  *
+  * The reference copied each partition sequentially through the driver and
+  * a local-disk staging hop (TransTablePartition.java:115-140). Here the
+  * whole range is one distributed job: executors read source splits and
+  * write destination partitions directly; there is no staging hop and no
+  * driver-side data path. Cross-cluster migration is the same code with
+  * fully-qualified `hdfs://src/...` / `hdfs://dst/...` URIs.
+  *
+  * Idempotence (the reference's skip-if-exists + email,
+  * TransTablePartition.java:126-131) comes from
+  * `partitionOverwriteMode=dynamic`: re-running overwrites exactly the
+  * partitions in range with identical content, touching nothing else.
+  * `skipExisting=true` reproduces the reference's skip semantics exactly:
+  * existing destination partitions are left untouched and reported.
+  */
+object Migrate {
+
+  final case class Result(partitionsWritten: Long, partitionsSkipped: Long, rowsWritten: Long)
+
+  /** Migrate the [start, end] (inclusive, `yyyy-MM-dd`) date range of
+    * `srcPath` to `destPath`, laid out as `par_key=<dayKey>` Hive-style
+    * partitions (the reference's `pn=value` dirs, CommonUtils.java:160).
+    *
+    * @param dateCol   timestamp/date column playing the reference's
+    *                  partition-date role
+    * @param pattern   partition-value pattern (reference `-pp`)
+    * @param alerter   receives one message per skipped partition (the
+    *                  SendEmail role)
+    */
+  def migrateRange(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      dateCol: String,
+      start: String,
+      end: String,
+      pattern: String = "yyyyMMdd",
+      skipExisting: Boolean = false,
+      alerter: Alerter = Alerter.Log): Result = {
+
+    val src = spark.read.parquet(srcPath)
+      // end is inclusive at day granularity: < end + 1 day
+      .filter(col(dateCol) >= to_timestamp(lit(start)) &&
+        col(dateCol) < to_timestamp(date_add(to_date(lit(end)), 1)))
+      .withColumn("par_key", date_format(col(dateCol), pattern))
+
+    migrate(spark, src, destPath, skipExisting, alerter)
+  }
+
+  /** Migrate the whole table (TransWholeTablePartition): no date filter. */
+  def migrateAll(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      dateCol: String,
+      pattern: String = "yyyyMMdd",
+      skipExisting: Boolean = false,
+      alerter: Alerter = Alerter.Log): Result = {
+    val src = spark.read.parquet(srcPath)
+      .withColumn("par_key", date_format(col(dateCol), pattern))
+    migrate(spark, src, destPath, skipExisting, alerter)
+  }
+
+  private def migrate(
+      spark: SparkSession,
+      srcWithKey: DataFrame,
+      destPath: String,
+      skipExisting: Boolean,
+      alerter: Alerter): Result = {
+
+    val toWrite =
+      if (!skipExisting) srcWithKey
+      else existingPartitions(spark, destPath) match {
+        case None => srcWithKey
+        case Some(existing) =>
+          // partition-level anti-join against the existing destination
+          // (the reference's per-partition fs.exists check; here one
+          // distributed job over partition *values*, never rows).
+          val skipped = srcWithKey.select(col("par_key")).distinct()
+            .join(existing, Seq("par_key"), "left_semi")
+            .collect().map(_.getString(0)).sorted // bounded: one row per partition
+          skipped.foreach(p => alerter.alert("migrate.skip",
+            s"destination partition already exists: par_key=$p"))
+          srcWithKey.join(existing, Seq("par_key"), "left_anti")
+      }
+
+    // Single distributed write; shuffle by partition key so each task owns
+    // whole partitions (avoids the many-small-files write pattern).
+    val keyed = toWrite.repartition(col("par_key"))
+    keyed.write
+      .partitionBy("par_key")
+      .mode("overwrite") // dynamic mode: only overwrites partitions present in keyed
+      .parquet(destPath)
+
+    val nAll = srcWithKey.select("par_key").distinct().count()
+    val nWritten = toWrite.select("par_key").distinct().count()
+    Result(
+      partitionsWritten = nWritten,
+      partitionsSkipped = nAll - nWritten,
+      rowsWritten = toWrite.count())
+  }
+
+  /** Distinct par_key values already present at destPath (empty DF if the
+    * destination does not exist yet).
+    */
+  def existingPartitions(spark: SparkSession, destPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(destPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(destPath)
+        .select(col("par_key").cast("string").as("par_key")).distinct())
+    else None
+  }
+}

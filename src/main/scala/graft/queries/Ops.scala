@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Compact, Migrate, Reconcile}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end operator queries: each runs a real migrate/compact/reconcile
+  * against a scratch directory, reads the *destination* back, and returns a
+  * manifest that the DuckDB oracle recomputes from the *source* — so a hash
+  * match proves the operator moved/rewrote data losslessly (the row-level
+  * form of the reference's post-copy check, CommonUtils.java:99-124).
+  */
+object Ops {
+
+  private def scratch(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ops/$name"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // TransTablePartition end-to-end: migrate one month of lineitem by day,
+    // manifest the DESTINATION; oracle manifests the SOURCE.
+    QueryDef.checked(
+      "q26_migrate_roundtrip",
+      """SELECT strftime(l_shipdate, '%Y%m%d') AS par_key,
+        |  count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dest = scratch(s"migrate_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      Migrate.migrateRange(s, s"$dir/lineitem.parquet", dest,
+        dateCol = "l_shipdate", start = "1996-03-01", end = "1996-03-31")
+      s.read.parquet(dest)
+        .groupBy(col("par_key").cast("string").as("par_key"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // HDFSMerge end-to-end: compact one year of orders into day partitions,
+    // manifest the DESTINATION; oracle manifests the SOURCE month-by-month.
+    QueryDef.checked(
+      "q27_compact_roundtrip",
+      """SELECT strftime(o_orderdate, '%Y%m') AS par_key,
+        |  count(*) AS n_rows, sum(o_totalprice) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dest = scratch(s"compact_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      Compact.rewritePartitioned(s, s"$dir/orders.parquet", dest,
+        partKeyCol = "o_orderdate", pattern = "yyyyMM")
+      s.read.parquet(dest)
+        .groupBy(col("par_key").cast("string").as("par_key"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // checkFile end-to-end: reconcile source month vs the q26 destination;
+    // every partition must come back "ok".
+    QueryDef.checked(
+      "q28_reconcile_clean",
+      """SELECT strftime(l_shipdate, '%Y%m%d') AS par_key, 'ok' AS status
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dest = scratch(s"reconcile_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      Migrate.migrateRange(s, s"$dir/lineitem.parquet", dest,
+        dateCol = "l_shipdate", start = "1996-03-01", end = "1996-03-31")
+      val srcCols = Tables.load(s, dir, "lineitem").columns
+      val src = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      // manifest over identical column sets/orders on both sides (reading a
+      // partitionBy layout appends par_key; select restores source order)
+      val dst = s.read.parquet(dest).select(srcCols.map(col).toIndexedSeq: _*)
+      val sm = Reconcile.manifest(src, date_format(col("l_shipdate"), "yyyyMMdd"))
+      val dm = Reconcile.manifest(dst, date_format(col("l_shipdate"), "yyyyMMdd"))
+      Reconcile.diff(sm, dm).select(col("par_key"), col("status"))
+    }
+  )
+}
