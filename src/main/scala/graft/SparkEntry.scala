@@ -14,7 +14,10 @@ object SparkEntry {
     q.Relational.entries ++
       q.Warehouse.entries ++
       q.Events.entries ++
-      q.Ops.entries
+      q.Ops.entries ++
+      q.Text.entries ++
+      q.Dedup.entries ++
+      q.Vectors.entries
 
   {
     val dup = allQueries.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-pipeline tier (SURVEY.md
+  * §2.6 extension table). All are compositions of codegen'd built-ins —
+  * no UDFs — so they inline into whole-stage codegen and push work to
+  * executors; every one has an exact DuckDB-SQL mirror used by the oracle.
+  */
+object TextFunctions {
+
+  /** Public stopword lists driving the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "que", "los", "las", "una", "y"))
+
+  /** Whitespace-token count (`\S+` runs). */
+  def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+")).cast("long")
+
+  /** lowercase + trim + collapse internal whitespace. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Deterministic document fingerprint: md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.!?,;:]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** Stopword hits for one language (word-boundary regex count). */
+  def stopwordHits(c: Column, lang: String): Column =
+    regexp_count(lower(c), lit("\\b(" + stopwords(lang).mkString("|") + ")\\b")).cast("long")
+
+  /** English stopword density per token. */
+  def stopwordRatio(c: Column): Column =
+    stopwordHits(c, "en").cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: length share + punctuation sanity +
+    * stopword density (a standard cheap text-quality proxy).
+    */
+  def qualityScore(c: Column): Column =
+    lit(0.5) * least(lit(1.0), tokenCount(c).cast("double") / lit(50.0)) +
+      lit(0.25) * (lit(1.0) - punctRatio(c)) +
+      lit(0.25) * least(lit(1.0), lit(5.0) * stopwordRatio(c))
+
+  /** Stopword-based language ID over the supported set; `und` when no list
+    * matches. Deterministic tie-break order: en, de, fr, es.
+    */
+  def langId(c: Column): Column = {
+    val he = stopwordHits(c, "en")
+    val hd = stopwordHits(c, "de")
+    val hf = stopwordHits(c, "fr")
+    val hs = stopwordHits(c, "es")
+    when(he === 0 && hd === 0 && hf === 0 && hs === 0, lit("und"))
+      .when(he >= hd && he >= hf && he >= hs, lit("en"))
+      .when(hd >= hf && hd >= hs, lit("de"))
+      .when(hf >= hs, lit("fr"))
+      .otherwise(lit("es"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{MinHashDedup, SimHashDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication tier over `documents` (SURVEY.md §2.6 extension table):
+  * exact (hash group), word-set jaccard (blocked inverted index), MinHash
+  * LSH (verified candidates — oracle-checkable because the fixture's
+  * near-dup pairs separate cleanly from the background at j = 0.5), and
+  * SimHash (rows-only; the oracle cannot reproduce xxhash64).
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // exact dedup: identical text → one keeper (first doc_id), copy count
+    QueryDef.checked(
+      "q32_dedup_exact",
+      """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // word-SET jaccard pairs, blocked by (lang, source) — the inverted-
+    // index join shape that scales with true collisions, not |docs|².
+    QueryDef.checked(
+      "q33_jaccard_pairs",
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM dw a JOIN dw b ON a.w = b.w AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+        |FROM pairs JOIN sz sa ON sa.doc_id = doc_a
+        |           JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin) { (s, dir) =>
+      val dw = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val sz = dw.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = dw.as("a").join(dw.as("b"),
+          col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
+        .filter(col("jac") >= 0.8)
+    },
+
+    // MinHash-LSH near-dup with exact verification — matches the exact
+    // shingle-jaccard oracle because band recall at j≥0.5 is ~0.9999
+    // (64 hashes, 32 bands × 2 rows) and the fixture has no pairs in
+    // (0.3, 0.5) to sit on the boundary.
+    QueryDef.checked(
+      "q34_minhash_pairs",
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1),
+        |                        i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS shingle
+        |  FROM docs),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+        |FROM pairs JOIN sz sa ON sa.doc_id = doc_a
+        |           JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""".stripMargin) { (s, dir) =>
+      MinHashDedup.verifiedPairs(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // SimHash near-dup (rows-only: xxhash64 has no DuckDB equivalent;
+    // cross-checked against MinHash in DedupSpec instead).
+    QueryDef.rowsOnly("q35_simhash_pairs") { (s, dir) =>
+      SimHashDedup.pairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 8)
+    }
+  )
+}

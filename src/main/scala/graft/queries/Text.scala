@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis tier over the `documents` fixture (SURVEY.md §2.6
+  * extension table): corpus stats, token counting, quality scoring,
+  * language ID, fingerprinting. Every query is a pure composition of
+  * codegen'd built-ins with an exact DuckDB mirror.
+  */
+object Text {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  // shared DuckDB fragments, kept in one place so Spark and SQL stay in sync
+  private val duckTokens = """len(regexp_extract_all(text, '\S+'))"""
+  private val duckPunct =
+    """CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"""
+  private def duckHits(langKey: String): String = {
+    val words = stopwords(langKey).mkString("|")
+    s"""len(regexp_extract_all(lower(text), '\\b($words)\\b'))"""
+  }
+  private val duckLangCase =
+    s"""CASE WHEN he = 0 AND hd = 0 AND hf = 0 AND hs = 0 THEN 'und'
+       |     WHEN he >= hd AND he >= hf AND he >= hs THEN 'en'
+       |     WHEN hd >= hf AND hd >= hs THEN 'de'
+       |     WHEN hf >= hs THEN 'fr' ELSE 'es' END""".stripMargin
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef.checked(
+      "q29_text_stats",
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  avg(n_chars) AS avg_chars,
+         |  avg($duckTokens) AS avg_tokens
+         |FROM documents GROUP BY lang, source""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          avg(col("n_chars")).as("avg_chars"),
+          avg(tokenCount(col("text"))).as("avg_tokens"))
+    },
+
+    QueryDef.checked(
+      "q30_token_quality",
+      s"""SELECT doc_id,
+         |  CAST($duckTokens AS BIGINT) AS n_tokens,
+         |  $duckPunct AS punct_ratio,
+         |  0.5 * least(1.0, $duckTokens / 50.0)
+         |    + 0.25 * (1.0 - $duckPunct)
+         |    + 0.25 * least(1.0, 5.0 * (CAST(${duckHits("en")} AS DOUBLE)
+         |        / greatest($duckTokens, 1))) AS quality,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |FROM documents""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        punctRatio(col("text")).as("punct_ratio"),
+        qualityScore(col("text")).as("quality"),
+        fingerprint(col("text")).as("fp"))
+    },
+
+    QueryDef.checked(
+      "q31_lang_id",
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    ${duckHits("en")} AS he, ${duckHits("de")} AS hd,
+         |    ${duckHits("fr")} AS hf, ${duckHits("es")} AS hs
+         |  FROM documents)
+         |SELECT doc_id, $duckLangCase AS pred_lang,
+         |  ($duckLangCase) = lang AS agrees
+         |FROM h""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        langId(col("text")).as("pred_lang"),
+        (langId(col("text")) === col("lang")).as("agrees"))
+    }
+  )
+}

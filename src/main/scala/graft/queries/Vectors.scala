@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search tier over `embeddings` (SURVEY.md §2.6 extension
+  * table). The oracle-checked queries output neighbor IDs and ranks, not
+  * cosine values: DuckDB's `list_cosine_similarity` computes in float32
+  * (~1e-7 error vs our double math), while adjacent-rank margins in the
+  * fixture are ≥ 1.9e-5 — so ranks agree exactly but the raw scores would
+  * be flaky to hash. The near-dup threshold 0.46 sits in a ≥ 4e-3 wide
+  * gap of the pair-cosine distribution at both sf0.001 and sf0.01.
+  */
+object Vectors {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // exact cosine top-5 for the first 100 vectors (queries broadcast,
+    // corpus streamed — scales with |corpus|)
+    QueryDef.checked(
+      "q36_ann_topk",
+      """WITH p AS (
+        |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding, c.embedding) AS cos
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 100 AND c.vec_id != q.vec_id),
+        |r AS (
+        |  SELECT vec_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT vec_id, neighbor_id, rn FROM r WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 100), k = 5)
+        .select(col("vec_id"), col("neighbor_id"), col("rn"))
+    },
+
+    // exact all-pairs cosine near-dup at a distribution-gap-safe threshold
+    QueryDef.checked(
+      "q37_cosine_neardup",
+      """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.46""".stripMargin) { (s, dir) =>
+      Similarity.neardupPairs(t(s, dir, "embeddings"), threshold = 0.46)
+    },
+
+    // hyperplane-LSH approximate top-k — the 100 TB path; recall vs the
+    // exact result is pinned in SimilaritySpec, not by the oracle.
+    QueryDef.rowsOnly("q38_ann_lsh") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 100), k = 5)
+    }
+  )
+}

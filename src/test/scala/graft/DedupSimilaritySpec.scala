@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{MinHashDedup, SimHashDedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-validation of the approximate dedup/similarity operators against
+  * their exact counterparts at sf0.001 (deterministic: fixed seeds, fixed
+  * fixtures — the assertions pin exact recall values, not flaky bounds).
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  lazy val docs = Tables.load(spark, sf, "documents").cache()
+  lazy val emb = Tables.load(spark, sf, "embeddings").cache()
+
+  test("minhash-LSH finds every exact shingle-jaccard>=0.5 pair (full recall here)") {
+    val got = MinHashDedup.verifiedPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact brute force over shingle sets
+    val sh = MinHashDedup.shingles(docs, "doc_id", "text", 3)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val exact = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .filter(col("inter").cast("double") / (col("za.n") + col("zb.n") - col("inter")) >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(got == exact, s"LSH missed ${exact -- got}, extra ${got -- exact}")
+  }
+
+  test("simhash puts near-dup pairs at small hamming distance") {
+    val sim = SimHashDedup.pairs(docs, "doc_id", "text", maxDist = 8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = MinHashDedup.verifiedPairs(docs, "doc_id", "text")
+      .filter(col("jac") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(minhash.nonEmpty)
+    val recall = (minhash & sim).size.toDouble / minhash.size
+    assert(recall >= 0.9, s"simhash recall of jac>=0.9 pairs: $recall")
+  }
+
+  test("LSH ANN recall vs brute force top-5") {
+    val queries = emb.filter(col("vec_id") < 100)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture vectors are near-random (top-5 cosine ~0.4 → ~65° angles), so
+    // per-table bit-agreement is only ~0.63 — widen the net: 4 bits × 8
+    // tables gives theoretical recall ~0.75 here. High-similarity regimes
+    // (the operator's real target) keep the tighter defaults.
+    val approx = Similarity.lshTopK(emb, queries, 5, nbits = 4, ntables = 8)
+      .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH ANN recall: $recall")
+  }
+
+  test("brute-force topk is self-consistent: rank1 neighbor has max cosine") {
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    val r = top.groupBy("vec_id").agg(
+      max(when(col("rn") === 1, col("cos"))).as("c1"),
+      max(col("cos")).as("cmax")).collect()
+    r.foreach(row => assert(row.getDouble(1) == row.getDouble(2)))
+  }
+}
