@@ -17,7 +17,8 @@ object SparkEntry {
       q.Ops.entries ++
       q.Text.entries ++
       q.Dedup.entries ++
-      q.Vectors.entries
+      q.Vectors.entries ++
+      q.Misc.entries
 
   {
     val dup = allQueries.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Remaining §2.6 surface: exact + approximate distinct, the typed UDAF
+  * extension point, and the multimodal pipeline end-to-end.
+  */
+object Misc {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Typed UDAF example — the `Aggregator[IN, BUF, OUT]` surface. Weighted
+    * mean keeps a (weighted sum, weight) buffer; merge is associative so
+    * partial aggregation works map-side like any built-in.
+    */
+  object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Double)): Double = if (r._2 == 0) 0.0 else r._1 / r._2
+    def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // exact distinct counting (shuffle-dedup under the hood)
+    QueryDef.checked(
+      "q39_count_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    },
+
+    // HLL++ approximate distinct — no cross-engine oracle (sketches differ);
+    // MiscSpec pins the relative error against the exact count instead.
+    QueryDef.rowsOnly("q40_approx_distinct") { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    },
+
+    // typed-Aggregator UDAF: quantity-weighted mean price per flag
+    QueryDef.checked(
+      "q41_udaf_weighted_mean",
+      """SELECT l_returnflag,
+        |  sum(l_extendedprice * l_quantity) / sum(l_quantity) AS w_avg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val wm = udaf(WeightedMean)
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(wm(col("l_extendedprice"), col("l_quantity")).as("w_avg_price"))
+    },
+
+    // multimodal pipeline end-to-end (synthesize → decode → aggregate);
+    // decode is a stub (no codecs in-container), the distributed shape is real
+    QueryDef.rowsOnly("q42_multimodal_meta") { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val media = Multimodal.synthesize(t(s, dir, "documents"))
+      Multimodal.decode(media).groupBy(col("format"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          avg(col("width")).as("avg_width"),
+          avg(col("n_frames")).as("avg_frames"),
+          sum(col("n_bytes")).as("total_bytes"))
+    },
+
+    // frame sampling fan-out over the synthetic video corpus
+    QueryDef.rowsOnly("q43_multimodal_frames") { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val media = Multimodal.synthesize(t(s, dir, "documents"))
+      Multimodal.frameSample(Multimodal.decode(media))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
+    }
+  )
+}

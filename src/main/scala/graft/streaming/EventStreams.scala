@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming tier over the `events` fixture (SURVEY.md §2.6:
+  * streaming ingest extension). Batch and stream share the same
+  * expressions — the batch forms (q24/q25) are oracle-checked, and
+  * StreamingSpec pins stream-equals-batch parity, so the streaming
+  * semantics inherit the oracle.
+  *
+  * Everything is executor-side incremental state: watermarks bound state
+  * size (late data beyond the watermark is dropped), so these run
+  * indefinitely at any input rate — no driver accumulation.
+  */
+object EventStreams {
+
+  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) stored as
+    * int64; read as long and restored to µs timestamps like Tables.load).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events parquet path (file or glob). */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** Tumbling 1-hour counts with a 2-hour watermark (q24's stream form). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour/15-minute windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** 30-minute-gap sessions per user (q25's stream form) via the native
+    * session_window state store.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful exactly-once dedup on event_id within the watermark horizon
+    * — the streaming form of the reference's skip-if-exists idempotence
+    * (TransTablePartition.java:126-131).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      // key includes the watermark column so per-key state expires with the
+      // watermark (bounded state at unbounded runtime); first occurrence is
+      // emitted immediately
+      .dropDuplicates("event_id", "ts")
+
+  /** High-value alerting via foreachBatch — the SendEmail role
+    * (SendEmail.java:23-49) as a streaming hook; batches arrive already
+    * filtered, the alerter only sees aggregates.
+    */
+  def alertHighValue(events: DataFrame, threshold: Double,
+      alerter: graft.operators.Alerter): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.filter(col("value") > threshold)
+      .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+        val n = batch.count()
+        if (n > 0) alerter.alert("events.high_value", s"batch $id: $n events above $threshold")
+        (): Unit
+      }
+}

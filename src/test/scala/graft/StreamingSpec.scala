@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Stream-equals-batch parity: the streaming operators must produce the
+  * same results as their oracle-checked batch forms when fed the whole
+  * fixture as one file-source stream (memory sink, processAllAvailable).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  // the file stream source requires a directory — stage the fixture file
+  private lazy val eventsPath: String = {
+    val dir = Files.createTempDirectory("graft-stream-events")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def runToTable(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("streaming hourly counts equal the oracle-checked batch q24") {
+    runToTable(EventStreams.hourlyCounts(EventStreams.readEvents(spark, eventsPath)),
+      "hourly", mode = "complete")
+    val stream = spark.table("hourly").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), math.round(r.getDouble(3) * 1e6)))
+      .toSet
+    val batch = SparkEntry.queries("q24_events_hourly")(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), math.round(r.getDouble(3) * 1e6)))
+      .toSet
+    assert(stream == batch)
+  }
+
+  test("streaming session counts match batch sessionization totals") {
+    runToTable(EventStreams.sessionCounts(EventStreams.readEvents(spark, eventsPath)),
+      "sessions", mode = "complete")
+    val stream = spark.table("sessions")
+    val batch = SparkEntry.queries("q25_sessionize")(spark, sf)
+    // same number of sessions and same total events per user
+    assert(stream.count() == batch.count())
+    val s = stream.groupBy("user_id").agg(sum("n_events").as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = batch.groupBy("user_id").agg(sum("n_events").as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s == b)
+  }
+
+  test("stateful dedup drops re-delivered events") {
+    // simulate at-least-once delivery: the same file arrives twice
+    val dir = Files.createTempDirectory("graft-stream-dup")
+    val srcFile = Paths.get(s"$sf/events.parquet")
+    Files.copy(srcFile, dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(srcFile, dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    runToTable(EventStreams.dedupEvents(EventStreams.readEvents(spark, dir.toString)), "deduped")
+    val n = spark.table("deduped").count()
+    val distinct = Tables.load(spark, sf, "events").count()
+    assert(n == distinct, s"expected $distinct deduped events, got $n")
+  }
+
+  test("foreachBatch alerting fires on high-value events") {
+    val alerts = new graft.operators.Alerter.Collecting
+    val q = EventStreams.alertHighValue(EventStreams.readEvents(spark, eventsPath), 0.0, alerts).start()
+    q.processAllAvailable(); q.stop()
+    assert(alerts.all.nonEmpty && alerts.all.head._1 == "events.high_value")
+  }
+}
