@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Plan-shape audit: dumps `explain("formatted")` for representative
+  * queries so scan pushdown, join strategies, and codegen spans can be
+  * reviewed (and regressions spotted by diffing the output).
+  * Usage: runMain graft.Plans <sfDir> <outFile>
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("/tmp/plans.txt")
+    val spark = SparkEnv.session("graft-plans", 8)
+    val interesting = Seq(
+      "q01_pricing_summary", // agg pushdown + partial agg
+      "q02_filter_project",  // PushedFilters into parquet scan
+      "q03_segment_revenue", // join strategy selection
+      "q06_outer_join_agg",  // outer join + agg
+      "q07_window_topk",     // window exec
+      "q33_jaccard_pairs",   // explode + self-join + agg chain
+      "q36_ann_topk",        // broadcast + native VectorDot codegen
+      "q37_cosine_neardup")  // pair join with native dot
+    val sb = new StringBuilder
+    interesting.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      sb.append(s"\n===== $name =====\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"plans written to $out")
+    spark.stop()
+  }
+}

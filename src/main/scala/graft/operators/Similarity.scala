@@ -20,8 +20,8 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   private def withNorm(df: DataFrame, idCol: String, vecCol: String, p: String): DataFrame =
-    df.select(col(idCol).as(p + "id"), asDouble(col(vecCol)).as(p + "vec"))
-      .withColumn(p + "norm", norm(col(p + "vec")))
+    df.select(col(idCol).as(p + "id"), col(vecCol).as(p + "vec"))
+      .withColumn(p + "norm", fnorm(col(p + "vec")))
 
   /** Exact top-k neighbors (cosine) of each query among the corpus.
     * Output: (vec_id, neighbor_id, cos, rn).
@@ -35,7 +35,7 @@ object Similarity {
 
   private def rank(pairs: DataFrame, k: Int): DataFrame =
     pairs
-      .withColumn("cos", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("cos", fdot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))).cast("long"))
       .filter(col("rn") <= k)
@@ -47,7 +47,7 @@ object Similarity {
     val a = withNorm(corpus, idCol, vecCol, "a_")
     val b = withNorm(corpus, idCol, vecCol, "b_")
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+      .withColumn("cos", fdot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
       .filter(col("cos") >= threshold)
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
   }
@@ -61,7 +61,7 @@ object Similarity {
   /** Sign-bit bucket key of a vector under a set of hyperplanes. */
   private def bucketKey(vec: Column, ps: Array[Array[Double]]): Column =
     ps.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedlit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(fdot(vec, typedlit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Approximate top-k via multi-table hyperplane LSH. Candidates are the
