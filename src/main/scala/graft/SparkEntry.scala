@@ -18,7 +18,8 @@ object SparkEntry {
       q.Text.entries ++
       q.Dedup.entries ++
       q.Vectors.entries ++
-      q.Misc.entries
+      q.Misc.entries ++
+      q.Extras.entries
 
   {
     val dup = allQueries.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }

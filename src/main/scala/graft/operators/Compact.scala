@@ -33,18 +33,19 @@ object Compact {
       destPath: String,
       partKeyCol: String,
       pattern: String = "yyyyMMdd",
-      targetBytes: Long = 128L * 1024 * 1024): Stats = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      partName: String = "par_key"): Stats = {
 
     val (nFiles, nBytes) = pathStats(spark, srcPath)
     val df = spark.read.parquet(srcPath)
-      .withColumn("par_key", date_format(col(partKeyCol), pattern))
+      .withColumn(partName, date_format(col(partKeyCol), pattern))
 
     // Size-targeted parallelism: at least one task per partition; with
     // maxRecordsPerFile unset, files-per-partition ≈ input_bytes/target.
     val filesTotal = math.max(1L, nBytes / targetBytes)
-    df.repartition(filesTotal.toInt.max(1), col("par_key"))
+    df.repartition(filesTotal.toInt.max(1), col(partName))
       .write
-      .partitionBy("par_key")
+      .partitionBy(partName)
       .mode("overwrite")
       .parquet(destPath)
 

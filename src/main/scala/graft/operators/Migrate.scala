@@ -43,15 +43,16 @@ object Migrate {
       end: String,
       pattern: String = "yyyyMMdd",
       skipExisting: Boolean = false,
-      alerter: Alerter = Alerter.Log): Result = {
+      alerter: Alerter = Alerter.Log,
+      partName: String = "par_key"): Result = {
 
     val src = spark.read.parquet(srcPath)
       // end is inclusive at day granularity: < end + 1 day
       .filter(col(dateCol) >= to_timestamp(lit(start)) &&
         col(dateCol) < to_timestamp(date_add(to_date(lit(end)), 1)))
-      .withColumn("par_key", date_format(col(dateCol), pattern))
+      .withColumn(partName, date_format(col(dateCol), pattern))
 
-    migrate(spark, src, destPath, skipExisting, alerter)
+    migrate(spark, src, destPath, skipExisting, alerter, partName)
   }
 
   /** Migrate the whole table (TransWholeTablePartition): no date filter. */
@@ -62,10 +63,11 @@ object Migrate {
       dateCol: String,
       pattern: String = "yyyyMMdd",
       skipExisting: Boolean = false,
-      alerter: Alerter = Alerter.Log): Result = {
+      alerter: Alerter = Alerter.Log,
+      partName: String = "par_key"): Result = {
     val src = spark.read.parquet(srcPath)
-      .withColumn("par_key", date_format(col(dateCol), pattern))
-    migrate(spark, src, destPath, skipExisting, alerter)
+      .withColumn(partName, date_format(col(dateCol), pattern))
+    migrate(spark, src, destPath, skipExisting, alerter, partName)
   }
 
   private def migrate(
@@ -73,34 +75,35 @@ object Migrate {
       srcWithKey: DataFrame,
       destPath: String,
       skipExisting: Boolean,
-      alerter: Alerter): Result = {
+      alerter: Alerter,
+      partName: String): Result = {
 
     val toWrite =
       if (!skipExisting) srcWithKey
-      else existingPartitions(spark, destPath) match {
+      else existingPartitions(spark, destPath, partName) match {
         case None => srcWithKey
         case Some(existing) =>
           // partition-level anti-join against the existing destination
           // (the reference's per-partition fs.exists check; here one
           // distributed job over partition *values*, never rows).
-          val skipped = srcWithKey.select(col("par_key")).distinct()
-            .join(existing, Seq("par_key"), "left_semi")
+          val skipped = srcWithKey.select(col(partName)).distinct()
+            .join(existing, Seq(partName), "left_semi")
             .collect().map(_.getString(0)).sorted // bounded: one row per partition
           skipped.foreach(p => alerter.alert("migrate.skip",
-            s"destination partition already exists: par_key=$p"))
-          srcWithKey.join(existing, Seq("par_key"), "left_anti")
+            s"destination partition already exists: $partName=$p"))
+          srcWithKey.join(existing, Seq(partName), "left_anti")
       }
 
     // Single distributed write; shuffle by partition key so each task owns
     // whole partitions (avoids the many-small-files write pattern).
-    val keyed = toWrite.repartition(col("par_key"))
+    val keyed = toWrite.repartition(col(partName))
     keyed.write
-      .partitionBy("par_key")
+      .partitionBy(partName)
       .mode("overwrite") // dynamic mode: only overwrites partitions present in keyed
       .parquet(destPath)
 
-    val nAll = srcWithKey.select("par_key").distinct().count()
-    val nWritten = toWrite.select("par_key").distinct().count()
+    val nAll = srcWithKey.select(partName).distinct().count()
+    val nWritten = toWrite.select(partName).distinct().count()
     Result(
       partitionsWritten = nWritten,
       partitionsSkipped = nAll - nWritten,
@@ -110,12 +113,13 @@ object Migrate {
   /** Distinct par_key values already present at destPath (empty DF if the
     * destination does not exist yet).
     */
-  def existingPartitions(spark: SparkSession, destPath: String): Option[DataFrame] = {
+  def existingPartitions(spark: SparkSession, destPath: String,
+      partName: String = "par_key"): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(destPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
       Some(spark.read.parquet(destPath)
-        .select(col("par_key").cast("string").as("par_key")).distinct())
+        .select(col(partName).cast("string").as(partName)).distinct())
     else None
   }
 }

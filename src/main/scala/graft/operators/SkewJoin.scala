@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for extreme key skew — the manual fallback when AQE's
+  * skew-join splitting (enabled engine-wide in SparkEnv) isn't enough,
+  * e.g. one key holding >10% of a 100 TB fact table.
+  *
+  * The build side replicates each row `salt` times with salt ids 0..n-1;
+  * the probe side tags each row with a deterministic salt from a hash of
+  * its other columns — so each hot key's rows spread over `salt` reducers
+  * instead of one. Join key becomes (key, salt). Result rows are identical
+  * to the unsalted join (each probe row meets exactly one build replica).
+  */
+object SkewJoin {
+
+  /** left ⋈ right on `key`, left treated as the (large, skewed) probe side,
+    * right as the (smaller) build side that gets replicated `salt` times.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt > 0)
+    val saltedRight = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    val saltedLeft = left
+      // deterministic pseudo-random salt per probe row: hash over all cols
+      .withColumn("__salt", pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(salt)).cast("int"))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}
