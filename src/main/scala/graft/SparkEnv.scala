@@ -40,9 +40,19 @@ object SparkEnv {
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName(appName)
+        .withExtensions(new GraftExtensions)
         .config("spark.sql.shuffle.partitions", cores.toString)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerFunctions(s)
     s
+  }
+
+  /** Idempotently register native functions on an already-built session
+    * (covers getOrCreate reuse where extensions didn't apply).
+    */
+  def registerFunctions(s: SparkSession): Unit = {
+    val (id, info, builder) = GraftExtensions.vectorDot
+    s.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

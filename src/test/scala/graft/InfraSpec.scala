@@ -35,6 +35,14 @@ class InfraSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("vector_dot is callable from SQL") {
+    SparkEnv.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("salted left join preserves unmatched probe rows") {
     val li = Tables.load(spark, sf, "lineitem").limit(100)
     val none = Tables.load(spark, sf, "orders")
