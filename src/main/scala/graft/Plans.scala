@@ -21,7 +21,8 @@ object Plans {
       "q07_window_topk",     // window exec
       "q33_jaccard_pairs",   // explode + self-join + agg chain
       "q36_ann_topk",        // broadcast + native VectorDot codegen
-      "q37_cosine_neardup")  // pair join with native dot
+      "q37_cosine_neardup",  // pair join with native dot
+      "q48_partition_pruned") // partition pruning on engine-written layout
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -19,7 +19,8 @@ object SparkEntry {
       q.Dedup.entries ++
       q.Vectors.entries ++
       q.Misc.entries ++
-      q.Extras.entries
+      q.Extras.entries ++
+      q.Extras2.entries
 
   {
     val dup = allQueries.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }

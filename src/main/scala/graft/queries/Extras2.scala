@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Migrate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second extras batch: partition-pruned reads on engine-written layouts,
+  * the JSON→map surface, and IDF term statistics (the tf-idf building
+  * block as a pure aggregation, oracle-checkable cross-engine).
+  */
+object Extras2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  private def scratch(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ops/$name"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // read back an engine-written Hive-layout table with a partition-value
+    // predicate — Catalyst prunes to 7 of 30 partition dirs (see Plans);
+    // the oracle recomputes from the raw source rows.
+    QueryDef.checked(
+      "q48_partition_pruned",
+      """SELECT strftime(l_shipdate, '%Y%m%d') AS par_key,
+        |  count(*) AS n_rows, sum(l_extendedprice) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-10 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-03-17 00:00:00'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dest = scratch(s"pruned_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      Migrate.migrateRange(s, s"$dir/lineitem.parquet", dest,
+        dateCol = "l_shipdate", start = "1996-03-01", end = "1996-03-31")
+      s.read.parquet(dest)
+        .filter(col("par_key") >= "19960310" && col("par_key") < "19960317")
+        .groupBy(col("par_key").cast("string").as("par_key"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // JSON → map surface: parse props, explode the key set
+    QueryDef.checked(
+      "q49_json_map_keys",
+      """SELECT k, count(*) AS n
+        |FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+        |GROUP BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(explode(map_keys(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    },
+
+    // document frequency + IDF per term — the tf-idf weight table as one
+    // distinct + two aggregations (no ml pipeline needed at this shape)
+    QueryDef.checked(
+      "q50_term_idf",
+      """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS total FROM dw)
+        |SELECT term, count(*) AS df,
+        |  ln((SELECT total FROM n) / count(*)) AS idf
+        |FROM dw GROUP BY term""".stripMargin) { (s, dir) =>
+      val dw = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      val total = dw.select(countDistinct(col("doc_id")).as("total"))
+      dw.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .crossJoin(total)
+        .select(col("term"), col("df"),
+          log(col("total") / col("df")).as("idf"))
+    }
+  )
+}
