@@ -153,14 +153,21 @@ object Relational {
         |    ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
         |  lag(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_price,
+        |  rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
         |FROM orders""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wp = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders").select(
         col("o_custkey"), col("o_orderkey"),
         sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("running_total"),
-        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        rank().over(wp).cast("long").as("price_rank"))
     },
 
     // ---- global sort + limit (TreeSet ordering generalization)

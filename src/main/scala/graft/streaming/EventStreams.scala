@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming tier over the `events` fixture (SURVEY.md §2.6:
@@ -71,6 +72,42 @@ object EventStreams {
       // watermark (bounded state at unbounded runtime); first occurrence is
       // emitted immediately
       .dropDuplicates("event_id", "ts")
+
+  /** Per-user running totals via `flatMapGroupsWithState` — the fully
+    * custom-state surface (SURVEY §2.6 streaming row). Emits an updated
+    * (user_id, n_events, sum_value) row whenever a user's batch arrives;
+    * state is one small tuple per user, expired after 1h of processing-time
+    * inactivity so it stays bounded on unbounded key spaces.
+    */
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  def runningUserTotals(events: DataFrame,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      (implicit spark: SparkSession): Dataset[UserTotals] = {
+    import spark.implicits._
+    val withTimeout = timeout != GroupStateTimeout.NoTimeout
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotals]) => {
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(last)
+          } else {
+            val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0))
+            var n = prev.n_events; var s = prev.sum_value
+            rows.foreach { case (_, v) => n += 1; s += v }
+            val next = UserTotals(userId, n, s)
+            state.update(next)
+            // NOTE: the timeout keeps per-user state bounded in production;
+            // it also schedules periodic timeout-evaluation batches, which
+            // makes processAllAvailable never settle — tests use NoTimeout.
+            if (withTimeout) state.setTimeoutDuration("1 hour")
+            Iterator.single(next)
+          }
+        })
+  }
 
   /** High-value alerting via foreachBatch — the SendEmail role
     * (SendEmail.java:23-49) as a streaming hook; batches arrive already

@@ -64,6 +64,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinct, s"expected $distinct deduped events, got $n")
   }
 
+  test("flatMapGroupsWithState running totals equal batch totals") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    runToTable(EventStreams.runningUserTotals(
+      EventStreams.readEvents(spark, eventsPath),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout).toDF(), "usertotals")
+    // single input batch → one emitted row per user holding full totals
+    val stream = spark.table("usertotals").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    assert(stream == batch)
+  }
+
   test("foreachBatch alerting fires on high-value events") {
     val alerts = new graft.operators.Alerter.Collecting
     val q = EventStreams.alertHighValue(EventStreams.readEvents(spark, eventsPath), 0.0, alerts).start()
