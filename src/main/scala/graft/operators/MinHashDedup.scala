@@ -64,6 +64,10 @@ object MinHashDedup {
     */
   def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       p: Params = Params()): DataFrame = {
+    // NOTE: the shingle relation feeds four branches; do NOT .cache() it —
+    // measured 3× slower at sf0.1. Catalyst's ReuseExchange already
+    // deduplicates the identical shuffle subtrees, and explicit caching
+    // forces an eager materialization barrier that blocks AQE.
     val sh = shingles(docs, idCol, textCol, p.shingleSize)
     val cand = candidatePairs(signatures(sh, p.numHashes), p.numHashes, p.bands)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
