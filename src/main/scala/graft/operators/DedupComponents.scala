@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pair edges — turns pairwise
+  * dedup output (q33/q34 shapes) into cluster-level keep/drop decisions
+  * (keeper = min doc_id per component, the exact-dedup convention).
+  *
+  * Iterative min-label propagation: each round every node adopts the
+  * smallest label among itself and its neighbors; converges in ≤ diameter
+  * rounds (large-scale dup graphs are overwhelmingly tiny cliques, so
+  * 2-3 rounds in practice). Each round is one join + one groupBy — all
+  * distributed — and labels are `localCheckpoint`ed per round: iterative
+  * plans are the one place caching is mandatory, otherwise lineage (and
+  * recomputation) doubles every round.
+  */
+object DedupComponents {
+
+  /** @param pairs DataFrame with long columns (doc_a, doc_b), one row per
+    *              undirected dup edge
+    * @return (doc_id, component, comp_size) for every node that appears in
+    *         a pair; component = min doc_id reachable, comp_size = nodes in
+    *         the component
+    */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // smallest neighbor label per node
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("a"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node").as("doc_id"), col("label").as("component"), col("comp_size"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{MinHashDedup, SimHashDedup}
+import graft.operators.{DedupComponents, MinHashDedup, SimHashDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,28 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** (lang, source)-blocked word-set jaccard pairs ≥ 0.8 — shared by q33
+    * (pair output) and q51 (component input).
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val dw = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val sz = dw.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = dw.as("a").join(dw.as("b"),
+        col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
+      .filter(col("jac") >= 0.8)
+  }
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -48,22 +70,7 @@ object Dedup {
         |FROM pairs JOIN sz sa ON sa.doc_id = doc_a
         |           JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin) { (s, dir) =>
-      val dw = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(split(col("text"), " ")).as("w"))
-        .distinct()
-      val sz = dw.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = dw.as("a").join(dw.as("b"),
-          col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
-            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
-        .filter(col("jac") >= 0.8)
+      jaccardPairs(s, dir)
     },
 
     // MinHash-LSH near-dup with exact verification — matches the exact
@@ -96,6 +103,35 @@ object Dedup {
     // cross-checked against MinHash in DedupSpec instead).
     QueryDef.rowsOnly("q35_simhash_pairs") { (s, dir) =>
       SimHashDedup.pairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 8)
+    },
+
+    // connected components over the q33 dup-pair graph: cluster-level
+    // dedup (keeper = min doc_id per component). Oracle: transitive
+    // closure via recursive CTE.
+    QueryDef.checked(
+      "q51_dedup_components",
+      """WITH RECURSIVE pairs AS (
+        |  WITH dw AS (SELECT DISTINCT doc_id, lang, source,
+        |      unnest(string_split(text, ' ')) AS w FROM documents),
+        |  sz AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
+        |  p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |    FROM dw a JOIN dw b ON a.w = b.w AND a.lang = b.lang
+        |      AND a.source = b.source AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  SELECT doc_a, doc_b
+        |  FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+        |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component,
+        |  count(DISTINCT r) AS comp_size
+        |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
+      DedupComponents.components(jaccardPairs(s, dir))
     }
   )
 }

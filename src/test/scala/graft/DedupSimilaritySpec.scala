@@ -57,6 +57,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH ANN recall: $recall")
   }
 
+  test("connected components: known graph resolves to min-id labels") {
+    import spark.implicits._
+    // components: {1,2,3,7}, {4,5}, {9,10}
+    val pairs = Seq((1L,2L),(2L,3L),(3L,7L),(4L,5L),(9L,10L)).toDF("doc_a","doc_b")
+    val got = graft.operators.DedupComponents.components(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set((1L,1L,4L),(2L,1L,4L),(3L,1L,4L),(7L,1L,4L),
+      (4L,4L,2L),(5L,4L,2L),(9L,9L,2L),(10L,9L,2L))
+    assert(got == want)
+  }
+
   test("brute-force topk is self-consistent: rank1 neighbor has max cosine") {
     val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
     val r = top.groupBy("vec_id").agg(
