@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest neighbor — the centroid-
+  * partitioned scale path for similarity search (SURVEY §2.6 extension:
+  * "IVF or LSH-bucketed variant").
+  *
+  * Train: deterministic mini-kmeans (hash-sampled init, fixed Lloyd
+  * rounds, all DataFrame ops — the only driver state is the k×dim
+  * centroid table, which is tiny by construction). Search: assign the
+  * corpus once to its nearest centroid (one narrow column), then answer
+  * each query by scanning only the `nprobe` nearest centroid cells —
+  * cost k·dim per row for assignment and |corpus|·nprobe/k per query,
+  * vs |corpus| for brute force.
+  */
+object IvfAnn {
+
+  /** (cid, unit-norm centroid vector) — k rows, safe to collect/broadcast. */
+  final case class Model(centroids: Array[(Int, Seq[Double])]) {
+    def k: Int = centroids.length
+  }
+
+  /** Nearest-centroid id for a vector column under the model (argmax of
+    * dot with unit centroids).
+    */
+  private def nearestCid(vec: Column, m: Model, n: Int): Column = {
+    val dots = m.centroids.take(n).map { case (cid, c) =>
+      struct(fdot(vec, typedlit(c)).as("d"), lit(cid).as("cid"))
+    }
+    // array_max on struct(d, cid): lexicographic → max dot, ties → max cid
+    array_max(array(dots.toIndexedSeq: _*)).getField("cid")
+  }
+
+  /** `nprobe` nearest centroid ids for a query vector (sorted by -dot). */
+  private def probeCids(vec: Column, m: Model, nprobe: Int): Column = {
+    val dots = m.centroids.map { case (cid, c) =>
+      struct((-fdot(vec, typedlit(c))).as("nd"), lit(cid).as("cid"))
+    }
+    slice(transform(array_sort(array(dots.toIndexedSeq: _*)), s => s.getField("cid")), 1, nprobe)
+  }
+
+  /** Deterministic mini-kmeans: init = k hash-ranked rows, `iters` Lloyd
+    * rounds, centroids re-normalized each round (spherical kmeans, which
+    * is what cosine search wants).
+    */
+  def train(corpus: DataFrame, k: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("v", transform(col("v"), x => x / norm(col("v"))))
+
+    def collectModel(df: DataFrame): Model = Model(
+      df.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1))
+
+    // init: k deterministic pseudo-random rows, renumbered 0..k-1
+    var model = collectModel(
+      vecs.withColumn("h", xxhash64(col("id")))
+        .orderBy(col("h")).limit(k)
+        .withColumn("cid", (row_number().over(Window.orderBy(col("h"))) - 1).cast("int"))
+        .select(col("cid"), col("v")))
+
+    (0 until iters).foreach { _ =>
+      val assigned = vecs.withColumn("cid", nearestCid(col("v"), model, model.k))
+      // elementwise mean per cluster, renormalized
+      val updated = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .withColumn("c", transform(col("c"), x => x / norm(col("c"))))
+        .select(col("cid"), col("c"))
+      model = collectModel(updated)
+    }
+    model
+  }
+
+  /** Approximate top-k: exact cosine, restricted to the query's `nprobe`
+    * nearest centroid cells. Output: (vec_id, neighbor_id, cos, rn).
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, m: Model, k: Int = 5,
+      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", fnorm(col("c_vec")))
+      .withColumn("cid", nearestCid(asDouble(col("c_vec")), m, m.k))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", fnorm(col("q_vec")))
+      .withColumn("cid", explode(probeCids(asDouble(col("q_vec")), m, nprobe)))
+    c.join(broadcast(q), Seq("cid"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", fdot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id").as("vec_id"), col("c_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+}

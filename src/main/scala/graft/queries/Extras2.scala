@@ -68,6 +68,40 @@ object Extras2 {
         .crossJoin(total)
         .select(col("term"), col("df"),
           log(col("total") / col("df")).as("idf"))
+    },
+
+    // full-outer join with per-side aggregates (completes the join
+    // inventory: inner/left/semi/anti/full/cross are all oracle-checked)
+    QueryDef.checked(
+      "q52_full_outer",
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("nk") === col("snk"), "full_outer")
+        .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+
+    // pivot (wide conditional aggregation)
+    QueryDef.checked(
+      "q53_pivot",
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
     }
   )
 }

@@ -53,6 +53,15 @@ object Vectors {
     QueryDef.rowsOnly("q38_ann_lsh") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 100), k = 5)
+    },
+
+    // IVF (centroid-partitioned) approximate top-k — the other scale path;
+    // recall vs brute force pinned in DedupSimilaritySpec.
+    QueryDef.rowsOnly("q54_ann_ivf") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.IvfAnn.train(emb, k = 16, iters = 2)
+      graft.operators.IvfAnn.topK(emb, emb.filter(col("vec_id") < 100), model,
+        k = 5, nprobe = 4)
     }
   )
 }

@@ -68,6 +68,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("IVF ANN recall vs brute force top-5") {
+    val queries = emb.filter(col("vec_id") < 100)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = graft.operators.IvfAnn.train(emb, k = 16, iters = 2)
+    val approx = graft.operators.IvfAnn.topK(emb, queries, model, k = 5, nprobe = 4)
+      .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF recall at nprobe=4/16: $recall")
+    assert(recall >= 0.3, s"IVF ANN recall: $recall")
+    // full probe must be exhaustive -> exact
+    val full = graft.operators.IvfAnn.topK(emb, queries, model, k = 5, nprobe = 16)
+      .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nprobe=k must reduce to brute force")
+  }
+
   test("brute-force topk is self-consistent: rank1 neighbor has max cosine") {
     val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
     val r = top.groupBy("vec_id").agg(
