@@ -40,10 +40,15 @@ object Compact {
     val df = spark.read.parquet(srcPath)
       .withColumn(partName, date_format(col(partKeyCol), pattern))
 
-    // Size-targeted parallelism: at least one task per partition; with
-    // maxRecordsPerFile unset, files-per-partition ≈ input_bytes/target.
+    // Hash-partitioning on the key gives exactly one file per partition
+    // dir regardless of task count (same key → same task), so task count
+    // only sets write parallelism: never below the cluster default, and
+    // at least input_bytes/target tasks when single partitions outgrow
+    // the target (splitting an oversized day would additionally need a
+    // salt — tracked in STATUS).
     val filesTotal = math.max(1L, nBytes / targetBytes)
-    df.repartition(filesTotal.toInt.max(1), col(partName))
+      .max(spark.sparkContext.defaultParallelism.toLong)
+    df.repartition(filesTotal.toInt, col(partName))
       .write
       .partitionBy(partName)
       .mode("overwrite")

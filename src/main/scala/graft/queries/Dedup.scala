@@ -132,6 +132,41 @@ object Dedup {
         |  count(DISTINCT r) AS comp_size
         |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
       DedupComponents.components(jaccardPairs(s, dir))
+    },
+
+    // the dedup pipeline end-to-end: drop every non-keeper (component
+    // member that isn't the min id), return the surviving corpus profile.
+    QueryDef.checked(
+      "q55_dedup_corpus",
+      """WITH RECURSIVE pairs AS (
+        |  WITH dw AS (SELECT DISTINCT doc_id, lang, source,
+        |      unnest(string_split(text, ' ')) AS w FROM documents),
+        |  sz AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
+        |  p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |    FROM dw a JOIN dw b ON a.w = b.w AND a.lang = b.lang
+        |      AND a.source = b.source AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  SELECT doc_a, doc_b
+        |  FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+        |drops AS (SELECT node AS doc_id FROM reach GROUP BY node
+        |          HAVING min(r) <> node)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val comp = DedupComponents.components(jaccardPairs(s, dir))
+      val drops = comp.filter(col("component") =!= col("doc_id")).select(col("doc_id"))
+      t(s, dir, "documents")
+        .join(drops, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
     }
   )
 }
