@@ -21,11 +21,13 @@ object Compact {
 
   final case class Stats(filesBefore: Long, bytesBefore: Long, filesAfter: Long)
 
-  /** Rewrite `srcPath` at `destPath` partitioned by `partKey` (an
-    * expression over the data, e.g. `date_format(col("ts"),"yyyyMMdd")`),
-    * targeting `targetBytes` per output file (estimated from input bytes,
-    * min 1 file per partition — the reference's one-file-per-day with a
-    * size guard for 100 TB days).
+  /** Rewrite `srcPath` at `destPath` partitioned by `partKeyCol` formatted
+    * through `pattern` — one output file per partition directory (the
+    * reference's one-file-per-day, HDFSMerge.java:142). `targetBytes`
+    * sizes write *parallelism* (≈ input_bytes/target tasks, floored at the
+    * cluster default); a single partition larger than targetBytes still
+    * produces one file — splitting oversized days needs a salt column
+    * (tracked in STATUS.md).
     */
   def rewritePartitioned(
       spark: SparkSession,
@@ -48,6 +50,7 @@ object Compact {
     // salt — tracked in STATUS).
     val filesTotal = math.max(1L, nBytes / targetBytes)
       .max(spark.sparkContext.defaultParallelism.toLong)
+      .min(Int.MaxValue.toLong) // a tiny targetBytes must clamp, not wrap negative
     df.repartition(filesTotal.toInt, col(partName))
       .write
       .partitionBy(partName)

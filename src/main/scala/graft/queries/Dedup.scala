@@ -38,6 +38,36 @@ object Dedup {
       .filter(col("jac") >= 0.8)
   }
 
+  /** Shared oracle-SQL fragments — the jaccard-pair and reachability CTEs
+    * appear in three oracles (q33, q51, q55); single source so the
+    * threshold/blocking can never drift between them.
+    */
+  private val pairsCteSql =
+    """dw AS (SELECT DISTINCT doc_id, lang, source,
+      |    unnest(string_split(text, ' ')) AS w FROM documents),
+      |sz AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM dw a JOIN dw b ON a.w = b.w AND a.lang = b.lang
+      |    AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def pairsSelectSql(cols: String) =
+    s"""SELECT $cols
+       |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+
+  private val reachCteSql =
+    s"""pairs AS (
+       |  WITH $pairsCteSql
+       |  ${pairsSelectSql("doc_a, doc_b")}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
 
     // exact dedup: identical text → one keeper (first doc_id), copy count
@@ -55,21 +85,9 @@ object Dedup {
     // index join shape that scales with true collisions, not |docs|².
     QueryDef.checked(
       "q33_jaccard_pairs",
-      """WITH dw AS (
-        |  SELECT DISTINCT doc_id, lang, source,
-        |    unnest(string_split(text, ' ')) AS w
-        |  FROM documents),
-        |sz AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM dw a JOIN dw b ON a.w = b.w AND a.lang = b.lang
-        |    AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
-        |FROM pairs JOIN sz sa ON sa.doc_id = doc_a
-        |           JOIN sz sb ON sb.doc_id = doc_b
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin) { (s, dir) =>
+      s"""WITH $pairsCteSql
+         |${pairsSelectSql(
+        "doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac")}""".stripMargin) { (s, dir) =>
       jaccardPairs(s, dir)
     },
 
@@ -110,27 +128,10 @@ object Dedup {
     // closure via recursive CTE.
     QueryDef.checked(
       "q51_dedup_components",
-      """WITH RECURSIVE pairs AS (
-        |  WITH dw AS (SELECT DISTINCT doc_id, lang, source,
-        |      unnest(string_split(text, ' ')) AS w FROM documents),
-        |  sz AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
-        |  p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |    FROM dw a JOIN dw b ON a.w = b.w AND a.lang = b.lang
-        |      AND a.source = b.source AND a.doc_id < b.doc_id
-        |    GROUP BY 1, 2)
-        |  SELECT doc_a, doc_b
-        |  FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |          UNION SELECT doc_b, doc_a FROM pairs),
-        |nodes AS (SELECT DISTINCT a AS node FROM edges),
-        |reach(node, r) AS (
-        |  SELECT node, node FROM nodes
-        |  UNION
-        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
-        |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component,
-        |  count(DISTINCT r) AS comp_size
-        |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
+      s"""WITH RECURSIVE $reachCteSql
+         |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component,
+         |  count(DISTINCT r) AS comp_size
+         |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
       DedupComponents.components(jaccardPairs(s, dir))
     },
 
@@ -138,29 +139,12 @@ object Dedup {
     // member that isn't the min id), return the surviving corpus profile.
     QueryDef.checked(
       "q55_dedup_corpus",
-      """WITH RECURSIVE pairs AS (
-        |  WITH dw AS (SELECT DISTINCT doc_id, lang, source,
-        |      unnest(string_split(text, ' ')) AS w FROM documents),
-        |  sz AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
-        |  p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |    FROM dw a JOIN dw b ON a.w = b.w AND a.lang = b.lang
-        |      AND a.source = b.source AND a.doc_id < b.doc_id
-        |    GROUP BY 1, 2)
-        |  SELECT doc_a, doc_b
-        |  FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |          UNION SELECT doc_b, doc_a FROM pairs),
-        |nodes AS (SELECT DISTINCT a AS node FROM edges),
-        |reach(node, r) AS (
-        |  SELECT node, node FROM nodes
-        |  UNION
-        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
-        |drops AS (SELECT node AS doc_id FROM reach GROUP BY node
-        |          HAVING min(r) <> node)
-        |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
-        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
-        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      s"""WITH RECURSIVE $reachCteSql,
+         |drops AS (SELECT node AS doc_id FROM reach GROUP BY node
+         |          HAVING min(r) <> node)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |GROUP BY lang""".stripMargin) { (s, dir) =>
       val comp = DedupComponents.components(jaccardPairs(s, dir))
       val drops = comp.filter(col("component") =!= col("doc_id")).select(col("doc_id"))
       t(s, dir, "documents")
