@@ -18,10 +18,11 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // TIMESTAMP(NANOS) columns arrive as long via nanosAsLong (SparkEnv);
-    // restore TimestampType at microsecond precision (the fixture values
-    // carry only µs anyway, so this is lossless vs the DuckDB oracle).
+    // restore TimestampType at microsecond precision. Integer `div`, NOT
+    // `/`: Divide promotes to double, and epoch-nanos (~1.7e18) exceed the
+    // 53-bit mantissa — the rounding puts ~half of all timestamps 1µs low.
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }

@@ -61,14 +61,15 @@ object Main {
 
     cmd match {
       case "trans-partition" =>
+        val (start, end) = (req(m, "s"), req(m, "e"))
         val r = Migrate.migrateRange(spark, src, dst, dateCol,
-          req(m, "s"), req(m, "e"), pp, skip, alerter, pn)
+          start, end, pp, skip, alerter, pn)
         println(s"migrated partitions=${r.partitionsWritten} skipped=${r.partitionsSkipped} rows=${r.rowsWritten}")
-        verify(spark, src, dst, dateCol, pp, alerter)
+        verify(spark, src, dst, dateCol, pp, alerter, Some((start, end)))
       case "trans-whole-table" =>
         val r = Migrate.migrateAll(spark, src, dst, dateCol, pp, skip, alerter, pn)
         println(s"migrated partitions=${r.partitionsWritten} skipped=${r.partitionsSkipped} rows=${r.rowsWritten}")
-        verify(spark, src, dst, dateCol, pp, alerter)
+        verify(spark, src, dst, dateCol, pp, alerter, None)
       case "merge" =>
         val st = Compact.rewritePartitioned(spark, src, dst, dateCol, pp,
           m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024), pn)
@@ -83,16 +84,23 @@ object Main {
     * partition (README.md:43); we reconcile the whole range in one job.
     */
   private def verify(spark: org.apache.spark.sql.SparkSession, src: String,
-      dst: String, dateCol: String, pp: String, alerter: Alerter): Unit = {
-    val s = spark.read.parquet(src)
-    val cols = s.columns.map(col).toIndexedSeq
+      dst: String, dateCol: String, pp: String, alerter: Alerter,
+      range: Option[(String, String)]): Unit = {
+    // The expected set is the SOURCE restricted to the migrated range (the
+    // reference checked each migrated partition, README.md:43) — bounding
+    // by destination keys instead would make a partition that never arrived
+    // look "ok" (missing_in_dest must stay reachable).
+    val sAll = spark.read.parquet(src)
+    val s = range match {
+      case Some((start, end)) => sAll.filter(
+        col(dateCol) >= to_timestamp(lit(start)) &&
+          col(dateCol) < to_timestamp(date_add(to_date(lit(end)), 1)))
+      case None => sAll
+    }
+    val cols = sAll.columns.map(col).toIndexedSeq
     val d = spark.read.parquet(dst).select(cols: _*)
-    val dstManifest = Reconcile.manifest(d, date_format(col(dateCol), pp))
-    // verify exactly the partitions that exist at the destination (the
-    // reference checked each migrated partition, README.md:43) — source
-    // partitions outside the migrated range are not "missing"
     val srcManifest = Reconcile.manifest(s, date_format(col(dateCol), pp))
-      .join(dstManifest.select("par_key"), Seq("par_key"), "left_semi")
+    val dstManifest = Reconcile.manifest(d, date_format(col(dateCol), pp))
     val bad = Reconcile.diff(srcManifest, dstManifest)
       .filter(col("status") =!= "ok")
       .collect()

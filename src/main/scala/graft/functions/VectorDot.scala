@@ -42,10 +42,16 @@ case class VectorDot(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // length mismatch → null (the zip_with+aggregate reference semantics);
+    // silently truncating would score corrupt/mixed-dimension embeddings
+    // with a plausible partial dot product and mask the data problem
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lt = elemType(left); val rt = elemType(right)
     var acc = 0.0
     var i = 0
@@ -66,12 +72,16 @@ case class VectorDot(left: Expression, right: Expression)
       val xv = CodeGenerator.getValue(x, elemType(left), i)
       val yv = CodeGenerator.getValue(y, elemType(right), i)
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $xv) * ((double) $yv);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $xv) * ((double) $yv);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -36,6 +36,7 @@ object DedupComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      // (non-convergence after the loop throws — see below)
       // smallest neighbor label per node
       val neighborMin = edges
         .join(labels, edges("b") === labels("node"))
@@ -51,6 +52,11 @@ object DedupComponents {
       labels = next
       iter += 1
     }
+    // silent truncation would under-merge (duplicates survive) and diverge
+    // from any exact-closure oracle — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIters rounds — component " +
+        s"diameter exceeds $maxIters; raise maxIters")
 
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
     labels.join(sizes, Seq("label"))

@@ -96,18 +96,32 @@ object Migrate {
 
     // Single distributed write; shuffle by partition key so each task owns
     // whole partitions (avoids the many-small-files write pattern).
-    val keyed = toWrite.repartition(col(partName))
+    // rowsWritten rides along via observe — no second full scan.
+    val obs = new org.apache.spark.sql.Observation()
+    val keyed = toWrite.observe(obs, count(lit(1)).as("rows"))
+      .repartition(col(partName))
     keyed.write
       .partitionBy(partName)
-      .mode("overwrite") // dynamic mode: only overwrites partitions present in keyed
+      .mode("overwrite")
+      // per-write dynamic overwrite: only partitions present in `keyed` are
+      // replaced, REGARDLESS of the session's partitionOverwriteMode — on a
+      // session left at the 'static' default, mode("overwrite") alone would
+      // truncate the whole destination (including partitions skipExisting
+      // just promised to keep).
+      .option("partitionOverwriteMode", "dynamic")
       .parquet(destPath)
+    val rowsWritten = obs.get("rows").asInstanceOf[Long]
 
-    val nAll = srcWithKey.select(partName).distinct().count()
+    // partition counts: one column-pruned pass over the key only (at scale
+    // this reads a single column, not the table)
     val nWritten = toWrite.select(partName).distinct().count()
+    val nAll =
+      if (!skipExisting) nWritten
+      else srcWithKey.select(partName).distinct().count()
     Result(
       partitionsWritten = nWritten,
       partitionsSkipped = nAll - nWritten,
-      rowsWritten = toWrite.count())
+      rowsWritten = rowsWritten)
   }
 
   /** Distinct par_key values already present at destPath (empty DF if the

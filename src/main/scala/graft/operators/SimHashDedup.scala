@@ -28,15 +28,23 @@ object SimHashDedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** Pairs within `maxDist` Hamming distance, found via 4×16-bit band
-    * bucketing (any pair with ≤3 differing bands shares a band — full
-    * recall for maxDist ≤ 16 in the worst spread; verification is exact
-    * `bit_count(xor)`).
+  /** Pairs within `maxDist` Hamming distance via banded bucketing.
+    * Pigeonhole: d differing bits touch at most d bands, so any pair with
+    * d < `bands` shares at least one intact band — full candidate recall
+    * is GUARANTEED for maxDist ≤ bands-1 (verification is exact
+    * `bit_count(xor)` regardless). Default 8×8-bit bands: recall
+    * guaranteed to d=7, random-pair collision ≈ 8/256 = 3%.
     */
-  def pairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 8): DataFrame = {
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 7, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxDist < bands,
+      s"recall is only guaranteed for maxDist < bands (got $maxDist ≥ $bands)")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
     val s = simhash(docs, idCol, textCol)
     val b = s.select(col("doc_id"), col("simhash"), posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 16) & 65535)")))
+        s"transform(sequence(0, ${bands - 1}), b -> shiftrightunsigned(simhash, b * $width) & $mask)")))
       .toDF("doc_id", "simhash", "band", "key")
     b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&

@@ -18,9 +18,17 @@ object SkewJoin {
   /** left ⋈ right on `key`, left treated as the (large, skewed) probe side,
     * right as the (smaller) build side that gets replicated `salt` times.
     */
+  private val soundJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0)
+    // right/full outer are unsound under salting: an unmatched build-side
+    // row was replicated `salt` times and every replica would survive the
+    // outer join, multiplying it `salt`-fold vs the plain join.
+    require(soundJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports $soundJoinTypes, not $joinType")
     val saltedRight = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     val saltedLeft = left

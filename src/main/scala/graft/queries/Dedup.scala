@@ -120,7 +120,7 @@ object Dedup {
     // SimHash near-dup (rows-only: xxhash64 has no DuckDB equivalent;
     // cross-checked against MinHash in DedupSpec instead).
     QueryDef.rowsOnly("q35_simhash_pairs") { (s, dir) =>
-      SimHashDedup.pairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 8)
+      SimHashDedup.pairs(t(s, dir, "documents"), "doc_id", "text")
     },
 
     // connected components over the q33 dup-pair graph: cluster-level

@@ -52,8 +52,11 @@ object Events {
         .select(col("user_id"), col("event_id"), col("value"), col("ts"))
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("new_sess",
+          // exact µs arithmetic — a double-seconds difference has ~2.4e-7s
+          // rounding at epoch magnitude, enough to flip a gap of exactly
+          // 1800s against the oracle's exact interval compare
           when(col("prev_ts").isNull ||
-            (col("ts").cast("double") - col("prev_ts").cast("double")) > 1800.0, 1L)
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800000000L, 1L)
             .otherwise(0L))
         .withColumn("session_id",
           sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -31,7 +31,8 @@ object EventStreams {
   /** Streaming read of an events parquet path (file or glob). */
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer div — see Tables.load for why `/ 1000` would corrupt µs
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 1-hour counts with a 2-hour watermark (q24's stream form). */
   def hourlyCounts(events: DataFrame): DataFrame =
@@ -68,10 +69,10 @@ object EventStreams {
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      // key includes the watermark column so per-key state expires with the
-      // watermark (bounded state at unbounded runtime); first occurrence is
-      // emitted immediately
-      .dropDuplicates("event_id", "ts")
+      // dedup on event_id ALONE (a retry may re-emit the same id with a
+      // fresh timestamp); per-key state expires with the watermark, first
+      // occurrence is emitted immediately
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Per-user running totals via `flatMapGroupsWithState` — the fully
     * custom-state surface (SURVEY §2.6 streaming row). Emits an updated

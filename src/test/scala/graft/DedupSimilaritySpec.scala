@@ -33,7 +33,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("simhash puts near-dup pairs at small hamming distance") {
-    val sim = SimHashDedup.pairs(docs, "doc_id", "text", maxDist = 8)
+    val sim = SimHashDedup.pairs(docs, "doc_id", "text")
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val minhash = MinHashDedup.verifiedPairs(docs, "doc_id", "text")
       .filter(col("jac") >= 0.9)
