@@ -48,7 +48,11 @@ object Misc {
     // MiscSpec pins the relative error against the exact count instead.
     QueryDef.rowsOnly("q40_approx_distinct") { (s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          // KLL/GK quantile sketch — same rows-only treatment, error bound
+          // pinned in MiscSpec against the exact percentile
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"))
     },
 
     // typed-Aggregator UDAF: quantity-weighted mean price per flag

@@ -110,6 +110,14 @@ object EventStreams {
         })
   }
 
+  /** Stream-static join: enrich the event stream with a static dimension
+    * (e.g. a user profile table). The static side is re-planned per
+    * micro-batch by Spark, so a broadcast-sized dimension costs one
+    * broadcast per batch and no state.
+    */
+  def enriched(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** High-value alerting via foreachBatch — the SendEmail role
     * (SendEmail.java:23-49) as a streaming hook; batches arrive already
     * filtered, the alerter only sees aggregates.

@@ -20,6 +20,16 @@ class MiscSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentile within sketch error of exact") {
+    val approx = SparkEntry.queries("q40_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = SparkEntry.queries("q44_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    approx.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)) / exact(k) < 0.02, s"$k: approx p50 $a vs ${exact(k)}")
+    }
+  }
+
   test("multimodal decode roundtrips the synthesized corpus") {
     implicit val sp: SparkSession = spark
     val docs = Tables.load(spark, sf, "documents")

@@ -78,6 +78,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    val dim = Tables.load(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("user_total_events"))
+    runToTable(EventStreams.enriched(
+      EventStreams.readEvents(spark, eventsPath), dim), "enriched")
+    val out = spark.table("enriched")
+    assert(out.count() == Tables.load(spark, sf, "events").count())
+    assert(out.filter(col("user_total_events").isNull).count() == 0)
+  }
+
   test("foreachBatch alerting fires on high-value events") {
     val alerts = new graft.operators.Alerter.Collecting
     val q = EventStreams.alertHighValue(EventStreams.readEvents(spark, eventsPath), 0.0, alerts).start()
