@@ -17,12 +17,19 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "des", "un"),
     "es" -> Seq("el", "que", "los", "las", "una", "y"))
 
-  /** Whitespace-token count (`\S+` runs). */
-  def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+")).cast("long")
+  /** Explicit whitespace class: Java regex `\s` counts vertical tab as
+    * whitespace, RE2 (DuckDB) does not — spelling the class out keeps both
+    * engines identical on any input.
+    */
+  val WS = "[ \\t\\n\\x0B\\f\\r]"
+  val NonWS = "[^ \\t\\n\\x0B\\f\\r]"
+
+  /** Whitespace-token count (non-whitespace runs). */
+  def tokenCount(c: Column): Column = regexp_count(c, lit(NonWS + "+")).cast("long")
 
   /** lowercase + trim + collapse internal whitespace. */
   def normalize(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    regexp_replace(lower(trim(c)), WS + "+", " ")
 
   /** Deterministic document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c))

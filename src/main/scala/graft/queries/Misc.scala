@@ -59,7 +59,8 @@ object Misc {
     QueryDef.checked(
       "q41_udaf_weighted_mean",
       """SELECT l_returnflag,
-        |  sum(l_extendedprice * l_quantity) / sum(l_quantity) AS w_avg_price
+        |  coalesce(sum(l_extendedprice * l_quantity) / sum(l_quantity), 0.0)
+        |    AS w_avg_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       val wm = udaf(WeightedMean)
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))

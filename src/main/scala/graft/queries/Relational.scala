@@ -268,7 +268,7 @@ object Relational {
         |  CAST(length(p_name) AS BIGINT) AS name_len,
         |  contains(p_name, 'an') AS has_an,
         |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
-        |  concat(p_brand, '#', p_type) AS brand_type,
+        |  concat_ws('#', p_brand, p_type) AS brand_type,
         |  replace(p_brand, '#', '_') AS brand_clean
         |FROM part""".stripMargin) { (s, dir) =>
       t(s, dir, "part").select(
@@ -278,7 +278,9 @@ object Relational {
         length(col("p_name")).cast("long").as("name_len"),
         col("p_name").contains("an").as("has_an"),
         regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
-        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        // concat_ws on BOTH sides: plain concat disagrees across engines on
+        // NULL args (DuckDB skips them, Spark nulls the result)
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
         regexp_replace(col("p_brand"), "#", "_").as("brand_clean"))
     },
 
@@ -287,10 +289,12 @@ object Relational {
       "q18_json_events",
       """SELECT event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+        |  sum(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS sum_k,
+        |  avg(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS avg_k
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
-      val k = get_json_object(col("props"), "$.k").cast("long")
+      // try_cast to double on BOTH sides: a hard CAST diverges on malformed
+      // values (DuckDB errors / rounds decimal strings, ANSI Spark throws)
+      val k = get_json_object(col("props"), "$.k").try_cast("double")
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(k).as("sum_k"), avg(k).as("avg_k"))

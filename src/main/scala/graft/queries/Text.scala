@@ -15,7 +15,11 @@ object Text {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
   // shared DuckDB fragments, kept in one place so Spark and SQL stay in sync
-  private val duckTokens = """len(regexp_extract_all(text, '\S+'))"""
+  // (explicit whitespace class — see TextFunctions.WS for why not \s/\S:
+  // Java counts vertical tab as whitespace, RE2 does not)
+  private val duckWs = """[ \t\n\x0B\f\r]"""
+  private val duckNonWs = """[^ \t\n\x0B\f\r]"""
+  private val duckTokens = s"len(regexp_extract_all(text, '$duckNonWs+'))"
   private val duckPunct =
     """CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"""
   private def duckHits(langKey: String): String = {
@@ -55,7 +59,7 @@ object Text {
          |    + 0.25 * (1.0 - $duckPunct)
          |    + 0.25 * least(1.0, 5.0 * (CAST(${duckHits("en")} AS DOUBLE)
          |        / greatest($duckTokens, 1))) AS quality,
-         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  md5(regexp_replace(lower(trim(text)), '$duckWs+', ' ', 'g')) AS fp
          |FROM documents""".stripMargin) { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
