@@ -110,7 +110,9 @@ object Migrate {
       // just promised to keep).
       .option("partitionOverwriteMode", "dynamic")
       .parquet(destPath)
-    val rowsWritten = obs.get("rows").asInstanceOf[Long]
+    // an empty write registers no observation metrics at all — treat the
+    // missing key as zero rows rather than throwing
+    val rowsWritten = obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
 
     // partition counts: one column-pruned pass over the key only (at scale
     // this reads a single column, not the table)

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.{DedupComponents, Migrate, MinHashDedup, Reconcile, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Empty-input robustness: operators must return empty results, not crash,
+  * when a filter/range matches nothing — the "no partitions in range" path
+  * the reference guarded with per-partition exists checks.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  import SparkTestEnv._
+  import spark.implicits._
+
+  test("migrate of an empty date range writes nothing and reports zeros") {
+    val dest = Files.createTempDirectory("graft-empty").toString + "/dest"
+    val r = Migrate.migrateRange(spark, s"$sf/lineitem.parquet", dest,
+      "l_shipdate", "2030-01-01", "2030-01-31")
+    assert(r.partitionsWritten == 0 && r.rowsWritten == 0)
+  }
+
+  test("reconcile of two empty frames is clean") {
+    val e = Tables.load(spark, sf, "orders").filter(lit(false))
+    val key = date_format(col("o_orderdate"), "yyyyMM")
+    assert(Reconcile.isClean(Reconcile.manifest(e, key), Reconcile.manifest(e, key)))
+  }
+
+  test("components of an empty pair set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupComponents.components(empty).count() == 0)
+  }
+
+  test("minhash over an empty corpus is empty") {
+    val docs = Tables.load(spark, sf, "documents").filter(lit(false))
+    assert(MinHashDedup.verifiedPairs(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("topk with an empty query set is empty") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    assert(Similarity.bruteForceTopK(emb, emb.filter(lit(false)), 5).count() == 0)
+  }
+}
