@@ -9,15 +9,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // materialize to the noop sink: every column is computed and serialized
+    // (under .count() Catalyst prunes unused projections, so pure projection
+    // queries would go partially unmeasured)
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // warm-up: JVM/codegen/parquet-footer costs land here, not on the first
     // timed query (measured ~3.5s on a cold session)
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -5,11 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+    if (args.length < 2 || args.length > 3) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [q1,q2,...]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1)
+    // optional comma-separated name filter for fast local iteration; the
+    // driver always runs the full set
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkEnv.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +27,7 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = SparkEntry.queries.toSeq.filter(p => selected(p._1)).map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

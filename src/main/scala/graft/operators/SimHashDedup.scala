@@ -28,23 +28,35 @@ object SimHashDedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** Pairs within `maxDist` Hamming distance via banded bucketing.
-    * Pigeonhole: d differing bits touch at most d bands, so any pair with
-    * d < `bands` shares at least one intact band — full candidate recall
-    * is GUARANTEED for maxDist ≤ bands-1 (verification is exact
-    * `bit_count(xor)` regardless). Default 8×8-bit bands: recall
-    * guaranteed to d=7, random-pair collision ≈ 8/256 = 3%.
+  private val Blocks = 8
+  private val BlockWidth = 8
+  private val blockPairs: Seq[(Int, Int)] =
+    for { i <- 0 until Blocks; j <- i + 1 until Blocks } yield (i, j)
+
+  /** Candidate pairs from block-combination bucketing (the design of
+    * Manku et al., WWW'07, "Detecting Near-Duplicates for Web Crawling"):
+    * the 64-bit fingerprint splits into 8 blocks of 8 bits, and every
+    * PAIR of blocks forms one 16-bit key — C(8,2) = 28 tables.
+    *
+    * Recall guarantee (block-level pigeonhole): d differing bits touch at
+    * most d blocks, so a pair within Hamming distance 6 leaves ≥ 2 blocks
+    * intact — and every 2-block combination IS a table, so candidate
+    * recall is GUARANTEED for maxDist ≤ 6. Exact `bit_count(xor)`
+    * verification runs on every candidate regardless.
+    *
+    * Scale: 16-bit keys give 65536 bucket values per table, so collision
+    * volume is driven by true near-duplicates, not by a bucket-count
+    * floor. (Naive contiguous 8×8-bit banding has only 256 buckets per
+    * band — a 3% random-collision floor that is quadratic in corpus size
+    * and dies around 10⁶ docs; 4×16 contiguous banding fixes the floor
+    * but can only guarantee recall to d = 3.)
     */
-  def pairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 7, bands: Int = 8): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    require(maxDist < bands,
-      s"recall is only guaranteed for maxDist < bands (got $maxDist ≥ $bands)")
-    val width = 64 / bands
-    val mask = (1L << width) - 1
+  def candidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = simhash(docs, idCol, textCol)
-    val b = s.select(col("doc_id"), col("simhash"), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> shiftrightunsigned(simhash, b * $width) & $mask)")))
+    def block(i: Int) =
+      shiftrightunsigned(col("simhash"), i * BlockWidth).bitwiseAND(lit(0xFFL))
+    val keys = blockPairs.map { case (i, j) => block(i) * lit(256L) + block(j) }
+    val b = s.select(col("doc_id"), col("simhash"), posexplode(array(keys: _*)))
       .toDF("doc_id", "simhash", "band", "key")
     b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -52,6 +64,17 @@ object SimHashDedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .distinct()
+  }
+
+  /** Pairs within `maxDist` Hamming distance: block-combination candidates
+    * + exact `bit_count(xor)` verification. Recall is total (not merely
+    * probable) for maxDist ≤ 6 — see [[candidates]].
+    */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 6): DataFrame = {
+    require(maxDist <= Blocks - 2,
+      s"recall is only guaranteed for maxDist <= ${Blocks - 2} (got $maxDist)")
+    candidates(docs, idCol, textCol)
       .filter(col("hamming") <= maxDist)
   }
 }

@@ -21,8 +21,16 @@ object SkewJoin {
   private val soundJoinTypes =
     Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
 
+  /** @param saltCols probe-side columns hashed (together with `key`) into
+    *                  the salt. The salt only needs to be deterministic and
+    *                  roughly uniform WITHIN a hot key, so one narrow
+    *                  discriminator column (a line number, a sub-id) is
+    *                  enough — hashing every probe column costs a wide
+    *                  struct hash per row for no extra correctness. Empty
+    *                  (the default) falls back to hashing all columns.
+    */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner", saltCols: Seq[String] = Nil): DataFrame = {
     require(salt > 0)
     // right/full outer are unsound under salting: an unmatched build-side
     // row was replicated `salt` times and every replica would survive the
@@ -31,9 +39,10 @@ object SkewJoin {
       s"saltedJoin supports $soundJoinTypes, not $joinType")
     val saltedRight = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    val hashed = if (saltCols.nonEmpty) key +: saltCols else left.columns.toSeq
     val saltedLeft = left
-      // deterministic pseudo-random salt per probe row: hash over all cols
-      .withColumn("__salt", pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(salt)).cast("int"))
+      // deterministic pseudo-random salt per probe row
+      .withColumn("__salt", pmod(xxhash64(hashed.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
     saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType).drop("__salt")
   }
 }

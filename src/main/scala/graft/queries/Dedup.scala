@@ -16,26 +16,58 @@ object Dedup {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
-  /** (lang, source)-blocked word-set jaccard pairs ≥ 0.8 — shared by q33
-    * (pair output) and q51 (component input).
+  /** (lang, source)-blocked word-set jaccard pairs ≥ `threshold` — shared
+    * by q33 (pair output) and q51/q55 (component input).
+    *
+    * Candidate generation uses PREFIX FILTERING (the AllPairs/PPJoin
+    * principle, Bayardo et al. WWW'07): order each doc's tokens rarest-
+    * first by block document frequency; if jac(x, y) ≥ t, the first
+    * |x| - ⌈t·|x|⌉ + 1 tokens of x and of y must share at least one token,
+    * so indexing ONLY that prefix (~20% of tokens at t = 0.8, and the
+    * rarest 20% at that) keeps full recall GUARANTEED while removing
+    * high-df tokens from the inverted index entirely — a raw token index
+    * explodes |block|²-style on stopword-frequency tokens at corpus scale.
+    * Verification computes exact jaccard from the full token sets, so the
+    * output is identical to the naive all-token join.
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private def jaccardPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dw = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         explode(split(col("text"), " ")).as("w"))
       .distinct()
+    val tokDf = dw.groupBy("lang", "source", "w").agg(count(lit(1)).as("df"))
+    // rarest-first global order within each block; (df, w) is a total,
+    // deterministic order shared by all docs of the block
+    val ranked = dw.join(tokDf, Seq("lang", "source", "w"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("w"))))
     val sz = dw.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = dw.as("a").join(dw.as("b"),
+    // the 1e-9 guard keeps fp noise (0.8*5 = 4.000…001 → ceil 5) from
+    // rounding ⌈t·n⌉ UP at exact-integer boundaries — that would shorten
+    // the prefix and silently break the recall guarantee; erring the other
+    // way only lengthens the prefix by one token
+    val prefix = ranked.join(sz, Seq("doc_id"))
+      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select("doc_id", "lang", "source", "w")
+    val cands = prefix.as("a").join(prefix.as("b"),
         col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
           col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification over full token sets (sets are distinct by
+    // construction, so array_intersect size IS the intersection count)
+    val toks = dw.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
+    cands
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
-      .filter(col("jac") >= 0.8)
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        size(col("ta")).cast("long").as("na"), size(col("tb")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
   }
 
   /** Shared oracle-SQL fragments — the jaccard-pair and reachability CTEs

@@ -69,7 +69,10 @@ object Extras {
         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
-      SkewJoin.saltedJoin(li, o, "l_orderkey", salt = 8)
+      // salt from key + one narrow discriminator: a hot orderkey's rows
+      // differ in l_linenumber, so they still spread across reducers, but
+      // the per-row hash is 2 narrow columns instead of all 16
+      SkewJoin.saltedJoin(li, o, "l_orderkey", salt = 8, saltCols = Seq("l_linenumber"))
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_items"),

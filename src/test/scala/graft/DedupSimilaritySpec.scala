@@ -32,6 +32,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == exact, s"LSH missed ${exact -- got}, extra ${got -- exact}")
   }
 
+  test("simhash block-combination banding finds EVERY pair within hamming 6") {
+    val banded = SimHashDedup.pairs(docs, "doc_id", "text", maxDist = 6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs hamming over the fingerprints — the recall guarantee
+    // (d <= 6 leaves >= 2 intact blocks, every block pair is a table) says
+    // banded output must EQUAL this, not approximate it
+    val s = SimHashDedup.simhash(docs, "doc_id", "text")
+    val exact = s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 6)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(banded == exact, s"missed ${exact -- banded}, extra ${banded -- exact}")
+  }
+
   test("simhash puts near-dup pairs at small hamming distance") {
     val sim = SimHashDedup.pairs(docs, "doc_id", "text")
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -39,8 +54,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .filter(col("jac") >= 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(minhash.nonEmpty)
+    // one fixture pair (jac 0.9) sits at hamming 7 — outside the operator's
+    // d<=6 radius by design — so pinned recall here is 26/27 ≈ 0.96
     val recall = (minhash & sim).size.toDouble / minhash.size
     assert(recall >= 0.9, s"simhash recall of jac>=0.9 pairs: $recall")
+  }
+
+  test("bucketed embedding near-dup matches exact all-pairs, with no cartesian join in the plan") {
+    val exact = Similarity.neardupPairs(emb, threshold = 0.46)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.neardupPairsBucketed(emb, threshold = 0.46)
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(got == exact, s"bucketed missed ${exact -- got}, extra ${got -- exact}")
+    // the scale property itself: candidates come from an equi-join on
+    // (band, key) — the plan must not contain any all-pairs join node
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "plan contains CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "plan contains BroadcastNestedLoopJoin")
   }
 
   test("LSH ANN recall vs brute force top-5") {
