@@ -1,7 +1,7 @@
 package graft.cli
 
 import graft.SparkEnv
-import graft.operators.{Alerter, Compact, Migrate, Reconcile}
+import graft.operators.{Alerter, Compact, FileMigrate, Migrate, Reconcile}
 import org.apache.spark.sql.functions._
 
 /** CLI with the reference's entry-point surface (README.md:15-21), so a
@@ -43,36 +43,66 @@ object Main {
       System.err.println(
         """usage: graft.cli.Main <trans-partition|trans-whole-table|merge> [options]
           |  common: -srcDB <dir> -table <name> -dateCol <col> -pn <name> -pp <pattern>
+          |          [-sp true] [-spCol <col>] [-spp <pattern>] [-pn2 <name>]
+          |            second partition level (reference -sp): value is
+          |            date_format(spCol|dateCol, spp) or the raw spCol when
+          |            -spp is 'raw'; dirs become pn=/pn2=/
           |  trans-partition:   -distDB <dir> -s <yyyy-MM-dd> -e <yyyy-MM-dd> [-email a@b] [-skipExisting true]
           |  trans-whole-table: -distDB <dir> [-email a@b] [-skipExisting true]
-          |  merge:             -distDB <dir> [-target <bytes>]""".stripMargin)
+          |  merge:             -distDB <dir> [-target <bytes>]
+          |  trans-files:       -distDB <dir>   (opaque byte copy of any
+          |                     format, preserving relative paths; verified
+          |                     by name+length manifest diff)""".stripMargin)
       sys.exit(2)
     }
     val cmd = args.head
     val m = parseFlags(args.tail)
     val spark = SparkEnv.session("graft-cli")
-    val alerter: Alerter = Alerter.Log
+    // env-configured transport (webhook/SMTP), log sink by default
+    val alerter: Alerter = Alerter.fromEnv()
     val src = tablePath(req(m, "srcDB"), req(m, "table"))
     val dst = s"${req(m, "distDB")}/${req(m, "table")}"
+
+    // trans-files is format-agnostic: no dateCol / partition semantics
+    if (cmd == "trans-files") {
+      val r = FileMigrate.copyTree(spark, src, dst)
+      println(s"copied files=${r.filesCopied} bytes=${r.bytesCopied}")
+      if (FileMigrate.verified(spark, src, dst)) println("verify: OK")
+      else alerter.alert("trans-files.verify", s"manifest mismatch between $src and $dst")
+      spark.stop()
+      return
+    }
+
     val pn = m.getOrElse("pn", "par_key")
     val pp = m.getOrElse("pp", "yyyyMMdd")
     val dateCol = req(m, "dateCol")
     val skip = m.get("skipExisting").exists(_.toBoolean)
+    // reference -sp true: second partition level. Derived from -spCol (or
+    // dateCol) through -spp, or taken raw when -spp is 'raw'.
+    val subPart: Option[Migrate.SubPart] =
+      if (!m.get("sp").exists(_.toBoolean)) None
+      else {
+        val spp = m.getOrElse("spp", "HH")
+        Some(Migrate.SubPart(
+          srcCol = m.getOrElse("spCol", dateCol),
+          pattern = if (spp == "raw") None else Some(spp),
+          name = m.getOrElse("pn2", "par_sub")))
+      }
 
     cmd match {
       case "trans-partition" =>
         val (start, end) = (req(m, "s"), req(m, "e"))
         val r = Migrate.migrateRange(spark, src, dst, dateCol,
-          start, end, pp, skip, alerter, pn)
+          start, end, pp, skip, alerter, pn, subPart)
         println(s"migrated partitions=${r.partitionsWritten} skipped=${r.partitionsSkipped} rows=${r.rowsWritten}")
-        verify(spark, src, dst, dateCol, pp, alerter, Some((start, end)))
+        verify(spark, src, dst, dateCol, pp, alerter, Some((start, end)), subPart)
       case "trans-whole-table" =>
-        val r = Migrate.migrateAll(spark, src, dst, dateCol, pp, skip, alerter, pn)
+        val r = Migrate.migrateAll(spark, src, dst, dateCol, pp, skip, alerter, pn, subPart)
         println(s"migrated partitions=${r.partitionsWritten} skipped=${r.partitionsSkipped} rows=${r.rowsWritten}")
-        verify(spark, src, dst, dateCol, pp, alerter, None)
+        verify(spark, src, dst, dateCol, pp, alerter, None, subPart)
       case "merge" =>
         val st = Compact.rewritePartitioned(spark, src, dst, dateCol, pp,
-          m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024), pn)
+          m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024), pn, subPart)
         println(s"compacted files ${st.filesBefore} -> ${st.filesAfter} (${st.bytesBefore} bytes)")
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
@@ -85,7 +115,8 @@ object Main {
     */
   private def verify(spark: org.apache.spark.sql.SparkSession, src: String,
       dst: String, dateCol: String, pp: String, alerter: Alerter,
-      range: Option[(String, String)]): Unit = {
+      range: Option[(String, String)],
+      subPart: Option[Migrate.SubPart] = None): Unit = {
     // The expected set is the SOURCE restricted to the migrated range (the
     // reference checked each migrated partition, README.md:43) — bounding
     // by destination keys instead would make a partition that never arrived
@@ -99,8 +130,14 @@ object Main {
     }
     val cols = sAll.columns.map(col).toIndexedSeq
     val d = spark.read.parquet(dst).select(cols: _*)
-    val srcManifest = Reconcile.manifest(s, date_format(col(dateCol), pp))
-    val dstManifest = Reconcile.manifest(d, date_format(col(dateCol), pp))
+    // two-level layouts reconcile at (key, sub) grain: the composite key
+    // keeps a misplaced sub-partition (right day, wrong hour) detectable
+    val key = subPart match {
+      case Some(sp) => concat_ws("/", date_format(col(dateCol), pp), sp.value)
+      case None => date_format(col(dateCol), pp)
+    }
+    val srcManifest = Reconcile.manifest(s, key)
+    val dstManifest = Reconcile.manifest(d, key)
     val bad = Reconcile.diff(srcManifest, dstManifest)
       .filter(col("status") =!= "ok")
       .collect()

@@ -7,65 +7,167 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed per-partition in
   * batches — the JVM analogue of arrow-batched pandas UDFs.
   *
-  * The decode step is a clearly-marked STUB: this container has no
-  * image/audio codecs, so `decode` parses a deterministic synthetic header
-  * instead of calling a real library. Everything around it — schema,
-  * encoders, batch iteration, partitioning, the explode of frames — is the
-  * real distributed shape a production decoder would drop into (swap
-  * `parseHeader` for the codec call).
+  * Decode is REAL for two formats: PNG (via `javax.imageio`, pure JDK)
+  * and WAV (RIFF chunk parse). Only video remains a clearly-marked STUB
+  * with a synthetic header — no pure-JVM video codec exists in this
+  * container. The synthesized corpus encodes geometry as deterministic
+  * functions of doc_id, so decoded metadata is independently computable
+  * by the SQL oracle (q42): a real encoder wrote the bytes, a real
+  * decoder read them back, and a third party checks the agreement.
   */
 object Multimodal {
 
   /** One media object: id + opaque payload. */
   final case class MediaRow(doc_id: Long, media: Array[Byte])
 
-  /** Typed metadata extracted by the decoder. */
+  /** Typed metadata extracted by the decoder. For audio, `n_frames` is the
+    * PCM sample-frame count.
+    */
   final case class DecodedRow(doc_id: Long, format: String, width: Int,
       height: Int, n_frames: Int, n_bytes: Long)
 
   /** One sampled frame. */
   final case class FrameRow(doc_id: Long, frame_idx: Int, frame_hash: Long)
 
-  private val Formats = Array("img", "audio", "video")
-  private val Magic = 0x47524654 // "GRFT"
+  private val Magic = 0x47524654 // "GRFT" — the video stub header
+
+  // Deterministic synthetic geometry — kept SQL-reproducible (q42's oracle
+  // recomputes these from doc_id alone). PNG dims stay small: encode cost
+  // is per-pixel.
+  private[multimodal] def pngW(id: Long): Int = (8 + id * 31 % 64).toInt
+  private[multimodal] def pngH(id: Long): Int = (8 + id * 17 % 64).toInt
+  private[multimodal] def wavSamples(id: Long): Int = (800 + id * 13 % 1600).toInt
+  private[multimodal] def videoW(id: Long): Int = (64 + id * 31 % 960).toInt
+  private[multimodal] def videoH(id: Long): Int = (64 + id * 17 % 540).toInt
+  private[multimodal] def videoFrames(id: Long): Int = (1 + id % 120).toInt
 
   /** Deterministic synthetic payload per document — the stand-in corpus.
-    * Header: magic(4) | fmt(1) | width(2) | height(2) | n_frames(2), then
-    * a pseudo-payload derived from the doc id.
+    * doc_id % 3: 0 → a real PNG, 1 → a real PCM WAV, 2 → the video stub
+    * header (magic(4) | fmt(1) | width(2) | height(2) | n_frames(2) |
+    * pseudo-payload).
     */
   def synthesize(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
-      val fmt = (id % 3).toInt
-      val w = (64 + (id * 31 % 960)).toInt
-      val h = (64 + (id * 17 % 540)).toInt
-      val frames = if (fmt == 2) (1 + id % 120).toInt else 1
-      val payloadLen = (32 + id % 224).toInt
-      val bb = java.nio.ByteBuffer.allocate(11 + payloadLen)
-      bb.putInt(Magic).put(fmt.toByte)
-        .putShort(w.toShort).putShort(h.toShort).putShort(frames.toShort)
-      var i = 0; var x = id * 2654435761L
-      while (i < payloadLen) { x = x * 6364136223846793005L + 1442695040888963407L; bb.put((x >>> 56).toByte); i += 1 }
-      MediaRow(id, bb.array())
+      val payload = (id % 3) match {
+        case 0 => pngBytes(id)
+        case 1 => wavBytes(id)
+        case _ => videoBytes(id)
+      }
+      MediaRow(id, payload)
     }
   }
 
-  /** STUB decode — parses the synthetic header. A real deployment replaces
-    * the body of this function with the codec call; the mapPartitions batch
-    * shape (one iterator per partition, no driver involvement) stays.
+  private def pngBytes(id: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no tmp files
+    val (w, h) = (pngW(id), pngH(id))
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(((id * 0x9E3779B9L) & 0xFFFFFFL).toInt))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val dataLen = n * 2 // mono, 16-bit PCM
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(8000 * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    var x = id * 2654435761L
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      bb.putShort((x >>> 48).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  private def videoBytes(id: Long): Array[Byte] = {
+    val payloadLen = (32 + id % 224).toInt
+    val bb = java.nio.ByteBuffer.allocate(11 + payloadLen)
+    bb.putInt(Magic).put(2.toByte)
+      .putShort(videoW(id).toShort).putShort(videoH(id).toShort)
+      .putShort(videoFrames(id).toShort)
+    var i = 0
+    var x = id * 2654435761L
+    while (i < payloadLen) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      bb.put((x >>> 56).toByte)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Decode by content sniffing: PNG and WAV are parsed by real decoders;
+    * only the video stub header is synthetic. The mapPartitions batch shape
+    * (one iterator per partition, no driver involvement) is what a
+    * production codec drops into.
     */
   def decode(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[DecodedRow] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
-        val bb = java.nio.ByteBuffer.wrap(m.media)
-        require(bb.getInt() == Magic, s"bad media payload for doc ${m.doc_id}")
-        val fmt = Formats(bb.get().toInt)
-        DecodedRow(m.doc_id, fmt, bb.getShort().toInt, bb.getShort().toInt,
-          bb.getShort().toInt, m.media.length.toLong)
-      }
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(m => decodeOne(m.doc_id, m.media))
     }
   }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private[multimodal] def decodeOne(id: Long, bytes: Array[Byte]): DecodedRow =
+    if (isPng(bytes)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"unreadable PNG for doc $id")
+      DecodedRow(id, "img", img.getWidth, img.getHeight, 1, bytes.length.toLong)
+    } else if (isWav(bytes)) {
+      // RIFF chunk walk: fmt_ gives the frame size, data gives the length
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(12)
+      var channels = 0; var bits = 0; var dataLen = -1
+      while (bb.remaining() >= 8) {
+        val cid = new String(Array(bb.get(), bb.get(), bb.get(), bb.get()).map(_.toChar))
+        val sz = bb.getInt()
+        if (cid == "fmt ") {
+          val p = bb.position()
+          bb.getShort() // audio format tag
+          channels = bb.getShort().toInt
+          bb.getInt() // sample rate
+          bb.getInt() // byte rate
+          bb.getShort() // block align
+          bits = bb.getShort().toInt
+          bb.position(p)
+        }
+        if (cid == "data") dataLen = sz
+        bb.position(bb.position() + sz + (sz & 1)) // chunks are 2-byte aligned
+      }
+      require(channels > 0 && bits > 0 && dataLen >= 0, s"malformed WAV for doc $id")
+      val frames = dataLen / (channels * bits / 8)
+      DecodedRow(id, "audio", 0, 0, frames, bytes.length.toLong)
+    } else {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      require(bb.getInt() == Magic, s"unknown media payload for doc $id")
+      bb.get() // format tag (always video in the stub)
+      DecodedRow(id, "video", bb.getShort().toInt, bb.getShort().toInt,
+        bb.getShort().toInt, bytes.length.toLong)
+    }
 
   /** Sample every `everyN`-th frame of video media as its own row (the
     * frame-level fan-out a vision pipeline feeds to feature extraction).

@@ -28,6 +28,10 @@ object Compact {
     * cluster default); a single partition larger than targetBytes still
     * produces one file — splitting oversized days needs a salt column
     * (tracked in STATUS.md).
+    *
+    * `subPart` adds the reference's second partition level (`-sp true`,
+    * HDFSMerge.java:90-112): output dirs become `par_key=/par_sub=/` and
+    * compaction merges within each (key, sub) leaf.
     */
   def rewritePartitioned(
       spark: SparkSession,
@@ -36,11 +40,14 @@ object Compact {
       partKeyCol: String,
       pattern: String = "yyyyMMdd",
       targetBytes: Long = 128L * 1024 * 1024,
-      partName: String = "par_key"): Stats = {
+      partName: String = "par_key",
+      subPart: Option[Migrate.SubPart] = None): Stats = {
 
     val (nFiles, nBytes) = pathStats(spark, srcPath)
-    val df = spark.read.parquet(srcPath)
+    val df0 = spark.read.parquet(srcPath)
       .withColumn(partName, date_format(col(partKeyCol), pattern))
+    val df = subPart.fold(df0)(sp => df0.withColumn(sp.name, sp.value))
+    val partNames = partName +: subPart.map(_.name).toSeq
 
     // Hash-partitioning on the key gives exactly one file per partition
     // dir regardless of task count (same key → same task), so task count
@@ -51,9 +58,9 @@ object Compact {
     val filesTotal = math.max(1L, nBytes / targetBytes)
       .max(spark.sparkContext.defaultParallelism.toLong)
       .min(Int.MaxValue.toLong) // a tiny targetBytes must clamp, not wrap negative
-    df.repartition(filesTotal.toInt, col(partName))
+    df.repartition(filesTotal.toInt, partNames.map(col): _*)
       .write
-      .partitionBy(partName)
+      .partitionBy(partNames: _*)
       .mode("overwrite")
       .parquet(destPath)
 

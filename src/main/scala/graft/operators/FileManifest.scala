@@ -22,6 +22,28 @@ object FileManifest {
         col("length"))
       .filter(!col("name").startsWith("_") && !col("name").startsWith("."))
 
+  /** (relative path, length) per data file under `path` — for tree-shaped
+    * manifests where duplicate basenames across partition dirs (every
+    * `part-00000`) must not collide. The relative path lands in the same
+    * `name` column, so [[diff]] applies unchanged.
+    */
+  def listTree(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val root = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .select(
+        // strip "<qualified root>/" — substring is 1-based
+        substring(col("path"), root.length + 2, Int.MaxValue).as("name"),
+        col("length"))
+      .filter {
+        val base = regexp_extract(col("name"), "([^/]+)$", 1)
+        !base.startsWith("_") && !base.startsWith(".")
+      }
+  }
+
   /** Full-outer name→length compare of two trees; the row-level statuses
     * mirror the reference's count/missing/length alerts.
     */

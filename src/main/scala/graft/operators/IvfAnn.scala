@@ -57,11 +57,13 @@ object IvfAnn {
       df.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1))
 
     // init: k deterministic pseudo-random rows, renumbered 0..k-1
-    var model = collectModel(
+    // driver-side (k rows — a global row_number window here would emit
+    // Spark's single-partition warning for nothing)
+    var model = Model(
       vecs.withColumn("h", xxhash64(col("id")))
         .orderBy(col("h")).limit(k)
-        .withColumn("cid", (row_number().over(Window.orderBy(col("h"))) - 1).cast("int"))
-        .select(col("cid"), col("v")))
+        .select(col("v")).collect()
+        .map(_.getSeq[Double](0)).zipWithIndex.map { case (v, i) => (i, v) })
 
     (0 until iters).foreach { _ =>
       val assigned = vecs.withColumn("cid", nearestCid(col("v"), model, model.k))
@@ -77,6 +79,35 @@ object IvfAnn {
       model = collectModel(updated)
     }
     model
+  }
+
+  /** Persist a model as a tiny (k rows × dim) parquet artifact. */
+  def save(spark: org.apache.spark.sql.SparkSession, m: Model, path: String): Unit = {
+    import spark.implicits._
+    m.centroids.toSeq.toDF("cid", "c").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted model. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = Model(
+    spark.read.parquet(path).collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1))
+
+  /** Train-once semantics: reuse the persisted model if present, else train
+    * and persist. At scale, training is its own (infrequent) job and the
+    * model is an artifact; the QUERY path must only assign + probe — k
+    * Lloyd passes over the corpus per query invocation would re-read the
+    * whole table every time.
+    */
+  def trainOrLoad(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+      path: String, k: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) load(spark, path)
+    else {
+      val m = train(corpus, k, iters, idCol, vecCol)
+      save(spark, m, path)
+      m
+    }
   }
 
   /** Approximate top-k: exact cosine, restricted to the query's `nprobe`

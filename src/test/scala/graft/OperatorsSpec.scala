@@ -74,6 +74,107 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6)
   }
 
+  test("two-level (-sp) migrate + compact: physical layout, clean reconcile") {
+    val migrated = tmp() + "/m"
+    val compacted = tmp() + "/c"
+    val src = s"$sf/lineitem.parquet"
+    val sub = Migrate.SubPart("l_returnflag", pattern = None, name = "par_sub")
+    val r = Migrate.migrateRange(spark, src, migrated, "l_shipdate",
+      "1996-03-01", "1996-03-31", subPart = Some(sub))
+    assert(r.partitionsWritten > 0)
+    // the physical tree is par_key=<day>/par_sub=<flag>/ — the reference's
+    // part1/part2 layout (HDFSMerge.java:90-112)
+    val days = new java.io.File(migrated).listFiles().filter(_.getName.startsWith("par_key="))
+    assert(days.nonEmpty)
+    assert(days.forall(_.listFiles().exists(_.getName.startsWith("par_sub="))))
+
+    Compact.rewritePartitioned(spark, migrated, compacted, "l_shipdate", subPart = Some(sub))
+    // one data file per (day, flag) leaf after compaction
+    val leaves = new java.io.File(compacted).listFiles().filter(_.getName.startsWith("par_key="))
+      .flatMap(_.listFiles().filter(_.getName.startsWith("par_sub=")))
+    assert(leaves.nonEmpty)
+    assert(leaves.forall(_.listFiles().count(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")) == 1))
+
+    // reconcile source vs compacted at composite (day, flag) grain
+    val srcDf = spark.read.parquet(src)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val dst = spark.read.parquet(compacted)
+      .select(srcDf.columns.map(col).toIndexedSeq: _*)
+    val key = concat_ws("/", date_format(col("l_shipdate"), "yyyyMMdd"), col("l_returnflag"))
+    assert(Reconcile.isClean(
+      Reconcile.manifest(srcDf, key), Reconcile.manifest(dst, key)))
+  }
+
+  test("webhook alerter POSTs JSON to a local endpoint; failure never throws") {
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", { ex =>
+      received.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val hook = new Alerter.Webhook(s"http://127.0.0.1:${server.getAddress.getPort}/hook")
+      hook.alert("migrate.skip", "partition \"par_key=20170101\" exists\nline2")
+      val body = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(body != null)
+      assert(body.contains("\"subject\":\"migrate.skip\""))
+      assert(body.contains("\\\"par_key=20170101\\\"") && body.contains("\\nline2"))
+    } finally server.stop(0)
+    // unreachable endpoint: logs, does not throw (alerts must never abort a job)
+    new Alerter.Webhook("http://127.0.0.1:1/hook").alert("s", "m")
+  }
+
+  test("smtp alerter speaks RFC 5321 against a local server; env selects transports") {
+    val srv = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      val s = srv.accept()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream))
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      def reply(l: String): Unit = { out.print(l + "\r\n"); out.flush() }
+      reply("220 local test ready")
+      var line = in.readLine()
+      val sb = new StringBuilder
+      var inData = false
+      while (line != null) {
+        sb.append(line).append('\n')
+        if (inData && line == ".") { reply("250 queued"); inData = false }
+        else if (!inData) line.takeWhile(_ != ' ') match {
+          case "HELO" | "MAIL" | "RCPT" => reply("250 ok")
+          case "DATA" => reply("354 go"); inData = true
+          case "QUIT" => reply("221 bye"); got.add(sb.toString); line = null
+          case _ => reply("500 ?")
+        }
+        if (line != null) line = in.readLine()
+      }
+      s.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    try {
+      val smtp = new Alerter.Smtp("127.0.0.1", srv.getLocalPort, "graft@x", Seq("ops@x"))
+      smtp.alert("migrate.verify", "count_mismatch on 20170101\n.leading dot line")
+      val transcript = got.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(transcript != null)
+      assert(transcript.contains("MAIL FROM:<graft@x>"))
+      assert(transcript.contains("RCPT TO:<ops@x>"))
+      assert(transcript.contains("Subject: migrate.verify"))
+      assert(transcript.contains("..leading dot line")) // dot-stuffed
+    } finally srv.close()
+    // env wiring picks the right transport, defaulting to Log
+    assert(Alerter.fromEnv(Map.empty) eq Alerter.Log)
+    assert(Alerter.fromEnv(Map("GRAFT_ALERT_WEBHOOK" -> "http://x/")).isInstanceOf[Alerter.Webhook])
+    assert(Alerter.fromEnv(Map("GRAFT_SMTP_HOST" -> "relay", "GRAFT_SMTP_TO" -> "a@x,b@x"))
+      .isInstanceOf[Alerter.Smtp])
+    // unreachable relay: logs, does not throw
+    new Alerter.Smtp("127.0.0.1", 1, "a@x", Seq("b@x")).alert("s", "m")
+  }
+
   test("partition enumeration matches the reference's dedup semantics") {
     val monthly = Partitions.enumerate(spark, "2017-11-01", "2018-01-15", "yyyyMM")
       .orderBy("partition_value").collect().map(_.getString(0)).toSeq
