@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (point-in-interval) join at scale. Spark plans a raw range
+  * condition — `p.ts >= i.start AND p.ts < i.end` — as a nested-loop join
+  * (a per-key cross product when an equi-key exists, a full cartesian
+  * product when not). This operator makes the join an EQUI-join instead:
+  * every interval explodes into the fixed-width time buckets it overlaps,
+  * each point maps to exactly one bucket, candidates come from a hash
+  * join on (key, bucket), and the exact range predicate filters the
+  * candidates. Cost scales with |points| + Σ interval_width/bucket — not
+  * |points| × |intervals| — and each qualifying (point, interval) pair
+  * appears exactly once because a point lives in exactly one bucket.
+  *
+  * `bucketSeconds` trades replication for candidate precision: pick it
+  * near the typical interval width so each interval lands in a handful of
+  * buckets.
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to `intervals` on equal `keyCol`s and
+    * `start <= point < end`. Column names must not collide across inputs
+    * (rename before calling); output carries both sides' columns.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointKey: String, intervalKey: String,
+      pointCol: String, startCol: String, endCol: String,
+      bucketSeconds: Long = 7L * 24 * 3600): DataFrame = {
+    require(bucketSeconds > 0)
+    def bucket(c: Column): Column = floor(unix_timestamp(c) / bucketSeconds)
+
+    val p = points.withColumn("__b", bucket(col(pointCol)))
+    val i = intervals
+      // empty/inverted intervals produce no buckets (sequence would
+      // otherwise descend and fabricate candidates)
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__b", explode(sequence(
+        bucket(col(startCol)),
+        // end is exclusive: the bucket of (end - 1s)
+        floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds))))
+
+    p.join(i, p("__b") === i("__b") && col(pointKey) === col(intervalKey))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__b")
+  }
+}

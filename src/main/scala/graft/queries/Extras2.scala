@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.Migrate
+import graft.operators.{AsOfJoin, Migrate, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -103,6 +103,54 @@ object Extras2 {
         .agg(sum(col("l_quantity")))
         .withColumnRenamed("F", "qty_f")
         .withColumnRenamed("O", "qty_o")
+    },
+
+    // as-of (point-in-time) join: enrich every event with the customer's
+    // most recent order as of the event time. Spark has no built-in as-of
+    // join; AsOfJoin is the union+window sort-merge shape (one shuffle, no
+    // per-key cross product). Oracle: DuckDB's native ASOF JOIN. Output
+    // carries the matched DATE, not an order id — equal-date ties would
+    // otherwise make the matched row engine-dependent.
+    QueryDef.checked(
+      "q57_asof_join",
+      """SELECT e.event_id, strftime(o.o_orderdate, '%Y%m%d') AS last_order_day,
+        |  date_diff('day', o.o_orderdate, e.ts) AS days_since
+        |FROM events e ASOF JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin) { (s, dir) =>
+      AsOfJoin.asofJoin(
+        t(s, dir, "events"), t(s, dir, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payloadCols = Seq("o_orderdate"))
+        .select(col("event_id"),
+          date_format(col("asof_o_orderdate"), "yyyyMMdd").as("last_order_day"),
+          datediff(col("ts"), col("asof_o_orderdate")).cast("long").as("days_since"))
+    },
+
+    // range (point-in-interval) join: per event, the same user's activity
+    // inside the following hour (self-range-join — the funnel/attribution
+    // shape). RangeJoin buckets the intervals so the plan is a hash
+    // equi-join on (key, bucket) + exact filter — a raw range condition
+    // would plan as a per-key nested loop. The anchor event matches its
+    // own window (b.ts >= a.ts), so every event returns with n_follow >= 1.
+    QueryDef.checked(
+      "q58_range_join",
+      """SELECT a.event_id, count(*) AS n_follow
+        |FROM events a JOIN events b
+        |  ON b.user_id = a.user_id
+        |  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val points = t(s, dir, "events")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val intervals = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 1 HOUR"))
+      RangeJoin.pointInInterval(points, intervals,
+        pointKey = "p_user", intervalKey = "user_id",
+        pointCol = "p_ts", startCol = "w_start", endCol = "w_end",
+        bucketSeconds = 3600L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_follow"))
     }
   )
 }

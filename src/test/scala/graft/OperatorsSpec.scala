@@ -175,6 +175,57 @@ class OperatorsSpec extends AnyFunSuite {
     new Alerter.Smtp("127.0.0.1", 1, "a@x", Seq("b@x")).alert("s", "m")
   }
 
+  test("as-of join picks the latest right row at-or-before each left time") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 5L, "e2"), (2L, 10L, "e3"), (3L, 10L, "e4"))
+      .toDF("k", "t", "name")
+      .withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((1L, 5L, "a"), (1L, 8L, "b"), (1L, 12L, "c"), (2L, 11L, "d"))
+      .toDF("k", "rt", "v")
+      .withColumn("rt", col("rt").cast("timestamp"))
+
+    val inner = AsOfJoin.asofJoin(left, right, "k", "k", "t", "rt", Seq("v"))
+      .select("name", "asof_v").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // e1: latest of {a@5, b@8} <= 10 is b; e2: a@5 == 5 (inclusive);
+    // e3: only right row is at 11 > 10 -> dropped; e4: no right key -> dropped
+    assert(inner == Set(("e1", "b"), ("e2", "a")))
+
+    val leftJoin = AsOfJoin.asofJoin(left, right, "k", "k", "t", "rt", Seq("v"),
+      joinType = "left")
+      .select("name", "asof_v").collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(leftJoin == Set(("e1", Some("b")), ("e2", Some("a")), ("e3", None), ("e4", None)))
+  }
+
+  test("range join: inclusive start, exclusive end, bucket-crossing intervals, equi-join plan") {
+    import spark.implicits._
+    // epoch-second timestamps; bucket width 10s so interval i2 crosses a
+    // bucket boundary and must explode into two buckets
+    val points = Seq((1L, 10L, "p10"), (1L, 15L, "p15"), (1L, 20L, "p20"),
+      (2L, 15L, "q15"), (1L, 9L, "p9"))
+      .toDF("pk", "pt", "pname").withColumn("pt", col("pt").cast("timestamp"))
+    val intervals = Seq((1L, 10L, 20L, "i1"), (1L, 15L, 25L, "i2"),
+      (2L, 0L, 10L, "i3"), (1L, 30L, 30L, "i_empty"))
+      .toDF("ik", "s", "e", "iname")
+      .withColumn("s", col("s").cast("timestamp"))
+      .withColumn("e", col("e").cast("timestamp"))
+
+    val joined = graft.operators.RangeJoin.pointInInterval(
+      points, intervals, "pk", "ik", "pt", "s", "e", bucketSeconds = 10L)
+    val got = joined.select("pname", "iname").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // p10 in i1 (start inclusive); p15 in i1 and i2; p20 NOT in i1 (end
+    // exclusive) but in i2; q15 not in i3 (wrong time) and not in i1/i2
+    // (wrong key); p9 in nothing; i_empty matches nothing
+    assert(got == Set(("p10", "i1"), ("p15", "i1"), ("p15", "i2"), ("p20", "i2")))
+    // each qualifying pair appears exactly once (points live in one bucket)
+    assert(joined.count() == 4)
+    // the scale property: candidates come from a hash equi-join, never a
+    // nested loop / cartesian product
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "plan contains CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "plan contains BroadcastNestedLoopJoin")
+  }
+
   test("partition enumeration matches the reference's dedup semantics") {
     val monthly = Partitions.enumerate(spark, "2017-11-01", "2018-01-15", "yyyyMM")
       .orderBy("partition_value").collect().map(_.getString(0)).toSeq
