@@ -79,14 +79,22 @@ object Alerter {
             while (line != null && line.length > 3 && line.charAt(3) == '-') line = in.readLine()
             require(line != null && line.startsWith(code), s"SMTP expected $code, got: $line")
           }
+          // header values must never carry CR/LF: a subject derived from a
+          // path or exception text would otherwise inject arbitrary
+          // headers/commands into the SMTP stream (header injection)
+          def hdr(s: String): String = s.replaceAll("[\r\n]+", " ")
           expect("220"); send("HELO graft"); expect("250")
-          send(s"MAIL FROM:<$from>"); expect("250")
-          to.foreach { r => send(s"RCPT TO:<$r>"); expect("250") }
+          send(s"MAIL FROM:<${hdr(from)}>"); expect("250")
+          to.foreach { r => send(s"RCPT TO:<${hdr(r)}>"); expect("250") }
           send("DATA"); expect("354")
-          // dot-stuffing per RFC 5321 §4.5.2
-          val stuffed = message.linesIterator
+          // dot-stuffing per RFC 5321 §4.5.2 over the FULL payload
+          // (headers + body — a body-only pass would leave a leading-dot
+          // header line able to terminate DATA early)
+          val payload =
+            s"Subject: ${hdr(subject)}\r\nFrom: ${hdr(from)}\r\nTo: ${to.map(hdr).mkString(", ")}\r\n\r\n$message"
+          val stuffed = payload.linesIterator
             .map(l => if (l.startsWith(".")) "." + l else l).mkString("\r\n")
-          send(s"Subject: $subject\r\nFrom: $from\r\nTo: ${to.mkString(", ")}\r\n\r\n$stuffed\r\n.")
+          send(s"$stuffed\r\n.")
           expect("250"); send("QUIT")
         } finally sock.close()
       } catch {

@@ -22,12 +22,21 @@ object Compact {
   final case class Stats(filesBefore: Long, bytesBefore: Long, filesAfter: Long)
 
   /** Rewrite `srcPath` at `destPath` partitioned by `partKeyCol` formatted
-    * through `pattern` — one output file per partition directory (the
-    * reference's one-file-per-day, HDFSMerge.java:142). `targetBytes`
-    * sizes write *parallelism* (≈ input_bytes/target tasks, floored at the
-    * cluster default); a single partition larger than targetBytes still
-    * produces one file — splitting oversized days needs a salt column
-    * (tracked in STATUS.md).
+    * through `pattern` — one output file per partition directory UNLESS
+    * the directory's data exceeds `targetBytes`, in which case it splits
+    * into ⌈bytes/target⌉ files (the reference hardcoded one file per day,
+    * HDFSMerge.java:142 — fine at its scale, but a hot day at 100 TB would
+    * funnel the whole partition through a single reducer and produce one
+    * multi-TB file).
+    *
+    * Splitting works by salting the repartition key inside oversized
+    * leaves: leaf sizes are estimated from one column-pruned count pass
+    * (rows × input bytes/row), each row gets a DETERMINISTIC salt
+    * `xxhash64(all columns) mod splits(leaf)` (deterministic so a shuffle-
+    * retry re-producing a map task lands every row in the same bucket —
+    * `rand()`-salting can duplicate or drop rows under retry), and the
+    * write still `partitionBy`s only the real partition columns, so the
+    * layout is unchanged — the leaf just holds `splits` files.
     *
     * `subPart` adds the reference's second partition level (`-sp true`,
     * HDFSMerge.java:90-112): output dirs become `par_key=/par_sub=/` and
@@ -48,18 +57,40 @@ object Compact {
       .withColumn(partName, date_format(col(partKeyCol), pattern))
     val df = subPart.fold(df0)(sp => df0.withColumn(sp.name, sp.value))
     val partNames = partName +: subPart.map(_.name).toSeq
+    val partCols = partNames.map(col)
 
-    // Hash-partitioning on the key gives exactly one file per partition
-    // dir regardless of task count (same key → same task), so task count
-    // only sets write parallelism: never below the cluster default, and
-    // at least input_bytes/target tasks when single partitions outgrow
-    // the target (splitting an oversized day would additionally need a
-    // salt — tracked in STATUS).
+    // per-leaf split counts from ONE column-pruned count pass, collected —
+    // the result is bounded by the partition count (the reference's own
+    // driver granularity), so it rides into the plan as a literal map
+    // rather than a join that would recompute the counting subtree
+    // \u0001 separator + \u0000 null marker keep multi-level keys from
+    // colliding (("ab","c") vs ("a","bc")) and null values distinct
+    def leafKey(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      concat_ws("\u0001", cs.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
+    val leafRows: Array[(String, Long)] =
+      df.groupBy(partCols: _*).agg(count(lit(1)).as("__rows"))
+        .select(leafKey(partCols).as("k"), col("__rows"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totalRows = math.max(1L, leafRows.map(_._2).sum)
+    val bytesPerRow = nBytes.toDouble / totalRows
+    val splitsMap: Map[String, Long] = leafRows.map { case (k, n) =>
+      k -> math.max(1L, math.ceil(n * bytesPerRow / targetBytes).toLong)
+    }.toMap
+
+    // same key → same task: one file per (leaf, salt); task count only
+    // sets write parallelism beyond that
     val filesTotal = math.max(1L, nBytes / targetBytes)
       .max(spark.sparkContext.defaultParallelism.toLong)
       .min(Int.MaxValue.toLong) // a tiny targetBytes must clamp, not wrap negative
-    df.repartition(filesTotal.toInt, partNames.map(col): _*)
-      .write
+    val dataCols = df.columns.map(col)
+    val keyed =
+      if (!splitsMap.values.exists(_ > 1)) df.repartition(filesTotal.toInt, partCols: _*)
+      else df.withColumn("__salt",
+          pmod(xxhash64(dataCols.toIndexedSeq: _*),
+            coalesce(element_at(typedlit(splitsMap), leafKey(partCols)), lit(1L))))
+        .repartition(filesTotal.toInt, (partCols :+ col("__salt")): _*)
+        .select(dataCols.toIndexedSeq: _*)
+    keyed.write
       .partitionBy(partNames: _*)
       .mode("overwrite")
       .parquet(destPath)

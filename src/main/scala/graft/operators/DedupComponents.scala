@@ -41,14 +41,18 @@ object DedupComponents {
       val neighborMin = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      // the changed-label count rides the SAME job that materializes the
+      // new labels (observe + the checkpoint action) — a separate
+      // convergence action would double the jobs per round
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels
         .join(neighborMin, labels("node") === neighborMin("a"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .observe(obs, count(when(col("label") =!= col("old"), lit(1))).as("changed"))
+        .select(col("node"), col("label"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      converged = obs.get.getOrElse("changed", 0L).asInstanceOf[Long] == 0L
       labels = next
       iter += 1
     }

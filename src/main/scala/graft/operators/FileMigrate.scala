@@ -59,7 +59,10 @@ object FileMigrate {
         var nFiles = 0L
         var nBytes = 0L
         it.foreach { case (uri, len) =>
-          val src = new Path(new java.net.URI(uri))
+          // binaryFile's `path` is Hadoop Path.toString output (decoded,
+          // not URI-encoded) — new URI(...) would throw on a filename with
+          // a space; Path(String) does its own tolerant parsing
+          val src = new Path(uri)
           val qualified = src.getFileSystem(conf).makeQualified(src).toString
           require(qualified.startsWith(srcRoot),
             s"listed file $qualified escapes source root $srcRoot")

@@ -150,14 +150,41 @@ object Migrate {
 
   /** Distinct partition-key tuples already present at destPath (None if the
     * destination does not exist yet).
+    *
+    * Values are read from the `name=value` DIRECTORY NAMES, not through a
+    * Spark partition-discovery read: partition-column type inference
+    * parses zero-padded values like `par_sub=00` (the default hour
+    * sub-partition) as integer 0, whose string form "0" then never matches
+    * the source side's `date_format` "00" — silently re-migrating every
+    * early-morning partition on each skipExisting run. Directory names are
+    * the layout's ground truth and come back verbatim. Driver-side but
+    * bounded by partition count (the reference's own granularity,
+    * TransTablePartition.java:126-131).
     */
   def existingPartitions(spark: SparkSession, destPath: String,
       partNames: Seq[String] = Seq("par_key")): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(destPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      Some(spark.read.parquet(destPath)
-        .select(partNames.map(n => col(n).cast("string").as(n)): _*).distinct())
-    else None
+    import org.apache.hadoop.fs.Path
+    val root = new Path(destPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    // Hive-style layouts percent-escape special characters in value dirs;
+    // unescape so values compare equal to the column values that wrote them
+    def unescape(v: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+    def valueDirs(dir: Path, name: String): Seq[(String, Path)] =
+      fs.listStatus(dir).toSeq
+        .filter(_.isDirectory)
+        .flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(name + "=")) Some(unescape(n.drop(name.length + 1)) -> st.getPath)
+          else None
+        }
+    val tuples = partNames.foldLeft(Seq(Seq.empty[String] -> root)) { (acc, name) =>
+      acc.flatMap { case (vals, dir) => valueDirs(dir, name).map { case (v, d) => (vals :+ v, d) } }
+    }.map(_._1)
+    val schema = org.apache.spark.sql.types.StructType(
+      partNames.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+    val rows = tuples.map(vs => org.apache.spark.sql.Row.fromSeq(vs))
+    Some(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
   }
 }

@@ -29,17 +29,23 @@ object RangeJoin {
       pointCol: String, startCol: String, endCol: String,
       bucketSeconds: Long = 7L * 24 * 3600): DataFrame = {
     require(bucketSeconds > 0)
-    def bucket(c: Column): Column = floor(unix_timestamp(c) / bucketSeconds)
+    // buckets at the timestamp's NATIVE (microsecond) precision — integer
+    // math throughout. unix_timestamp would truncate to whole seconds,
+    // silently dropping matches near bucket edges for sub-second data
+    // (e.g. end 11:00:00.5 exclusive never generates the 11:00:00 bucket
+    // that a point at 11:00:00.2 hashes to).
+    val bucketMicros = bucketSeconds * 1000000L
+    def bucket(c: Column): Column = floor(unix_micros(c) / bucketMicros)
 
     val p = points.withColumn("__b", bucket(col(pointCol)))
     val i = intervals
-      // empty/inverted intervals produce no buckets (sequence would
-      // otherwise descend and fabricate candidates)
+      // empty/inverted intervals produce no buckets; with end > start the
+      // last bucket (of end − 1 µs, end being exclusive) is always ≥ the
+      // first, so sequence() can never descend
       .filter(col(endCol) > col(startCol))
       .withColumn("__b", explode(sequence(
         bucket(col(startCol)),
-        // end is exclusive: the bucket of (end - 1s)
-        floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds))))
+        floor((unix_micros(col(endCol)) - 1) / bucketMicros))))
 
     p.join(i, p("__b") === i("__b") && col(pointKey) === col(intervalKey))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))

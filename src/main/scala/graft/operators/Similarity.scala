@@ -75,10 +75,16 @@ object Similarity {
     */
   def neardupPairsBucketed(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bands: Int = 160, rowsPerBand: Int = 7, seed: Long = 42L): DataFrame = {
+      bands: Int = 160, rowsPerBand: Int = 7, seed: Long = 42L,
+      dim: Int = -1): DataFrame = {
     import graft.functions.HyperplaneBands
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val ps = planes(dim, bands * rowsPerBand, seed)
+    val d = dimOrProbe(corpus, vecCol, dim) match {
+      case Some(x) => x
+      // empty corpus: the exact path returns an empty pair set; the probe
+      // path must too, not throw on head() of nothing
+      case None => return corpus.select(col(idCol).as("doc_a"), col(idCol).as("doc_b")).limit(0)
+    }
+    val ps = planes(d, bands * rowsPerBand, seed)
     // (id, band, key) only — vectors are NOT carried through the explode
     // or the candidate join, so the shuffled band index stays narrow
     val keyed = corpus
@@ -104,29 +110,48 @@ object Similarity {
     Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket key of a vector under a set of hyperplanes. */
-  private def bucketKey(vec: Column, ps: Array[Array[Double]]): Column =
-    ps.zipWithIndex.map { case (p, i) =>
-      when(fdot(vec, typedlit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** `dim` if the caller supplied it, else one bounded driver probe
+    * (None on an empty corpus). Callers that know the dimension (or query
+    * repeatedly over one corpus) should pass it and skip the probe job.
+    */
+  private def dimOrProbe(df: DataFrame, vecCol: String, dim: Int): Option[Int] =
+    if (dim > 0) Some(dim)
+    else df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0))
 
   /** Approximate top-k via multi-table hyperplane LSH. Candidates are the
     * union over tables of same-bucket (query, corpus) pairs; exact cosine
     * ranks the candidates. Output: (vec_id, neighbor_id, cos, rn).
+    *
+    * Each table's bucket is one element of the codegen'd
+    * [[graft.functions.HyperplaneBands]] signature (table t = band t,
+    * planes seeded 42+t — bit-identical buckets to the historical per-bit
+    * `when` chains): the corpus is scanned ONCE and `posexplode` fans each
+    * row out to its `ntables` (table, bucket) keys, instead of `ntables`
+    * separate scans each dragging 8 VectorDot calls per row through the
+    * plan.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nbits: Int = 8, ntables: Int = 6,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = -1): DataFrame = {
+    import graft.functions.HyperplaneBands
+    val d = dimOrProbe(corpus, vecCol, dim) match {
+      case Some(x) => x
+      case None => return corpus.select(col(idCol).as("vec_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cos"), lit(0L).as("rn")).limit(0)
+    }
+    val ps: Array[Array[Double]] =
+      (0 until ntables).toArray.flatMap(t => planes(d, nbits, seed = 42L + t))
+    def keyed(df: DataFrame, p: String): DataFrame =
+      df.select(col(p + "id"),
+          posexplode(HyperplaneBands.bandKeys(col(p + "vec"), ps, ntables, nbits)))
+        .toDF(p + "id", "table", "bucket")
     val c = withNorm(corpus, idCol, vecCol, "c_")
     val q = withNorm(queries, idCol, vecCol, "q_")
-    val cands = (0 until ntables).map { t =>
-      val ps = planes(dim, nbits, seed = 42L + t)
-      c.withColumn("bucket", bucketKey(col("c_vec"), ps))
-        .join(broadcast(q.withColumn("bucket", bucketKey(col("q_vec"), ps))), Seq("bucket"))
-        .filter(col("q_id") =!= col("c_id"))
-        .select(col("q_id"), col("c_id"))
-    }.reduce(_ union _).distinct()
+    val cands = keyed(c, "c_").join(broadcast(keyed(q, "q_")), Seq("table", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+      .distinct()
     val scored = cands
       .join(c, Seq("c_id")).join(broadcast(q), Seq("q_id"))
     rank(scored, k)

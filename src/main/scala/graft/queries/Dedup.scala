@@ -16,6 +16,25 @@ object Dedup {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
+  /** One materialized pair graph per (session, dir, threshold): q33 emits
+    * the pairs, q51 runs components over the SAME graph, q55 drops
+    * non-keepers from the SAME graph — without this, each of the three
+    * recomputes the whole explode→index→join→verify pipeline from the raw
+    * corpus (3× the most expensive relation in the engine). The cached
+    * frame is `localCheckpoint`ed, so reuse costs a block read, not a
+    * recompute; keying on applicationId keeps a frame from a stopped
+    * session from leaking into a new one (test suites cycle sessions).
+    * At cluster scale the same role is played by writing the pair graph to
+    * a scratch table once per corpus version.
+    */
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def jaccardPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    pairsCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$dir|$threshold",
+      _ => computeJaccardPairs(s, dir, threshold))
+
   /** (lang, source)-blocked word-set jaccard pairs ≥ `threshold` — shared
     * by q33 (pair output) and q51/q55 (component input).
     *
@@ -29,26 +48,37 @@ object Dedup {
     * explodes |block|²-style on stopword-frequency tokens at corpus scale.
     * Verification computes exact jaccard from the full token sets, so the
     * output is identical to the naive all-token join.
+    *
+    * Plan shape: the token relation `dw` (explode + distinct — the
+    * dominant cost) is materialized ONCE via `localCheckpoint` and feeds
+    * every downstream subtree; the doc-size count rides the same
+    * window pass as the prefix rank (no separate groupBy+join); the
+    * prefix self-join and the two verification joins then reuse their
+    * identical child exchanges. Without the checkpoint the four subtrees
+    * shuffle `dw` on four different keys and Catalyst recomputes the
+    * explode+distinct for each.
     */
-  private def jaccardPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame = {
+  private def computeJaccardPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dw = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         explode(split(col("text"), " ")).as("w"))
       .distinct()
+      .localCheckpoint()
     val tokDf = dw.groupBy("lang", "source", "w").agg(count(lit(1)).as("df"))
     // rarest-first global order within each block; (df, w) is a total,
-    // deterministic order shared by all docs of the block
+    // deterministic order shared by all docs of the block. The doc size n
+    // shares the same doc_id partitioning (one shuffle, one sort).
+    val wdoc = Window.partitionBy("doc_id")
     val ranked = dw.join(tokDf, Seq("lang", "source", "w"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("w"))))
-    val sz = dw.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(wdoc.orderBy(col("df"), col("w"))))
+      .withColumn("n", count(lit(1)).over(wdoc))
     // the 1e-9 guard keeps fp noise (0.8*5 = 4.000…001 → ceil 5) from
     // rounding ⌈t·n⌉ UP at exact-integer boundaries — that would shorten
     // the prefix and silently break the recall guarantee; erring the other
     // way only lengthens the prefix by one token
-    val prefix = ranked.join(sz, Seq("doc_id"))
+    val prefix = ranked
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
       .select("doc_id", "lang", "source", "w")
     val cands = prefix.as("a").join(prefix.as("b"),
@@ -68,6 +98,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
+      .localCheckpoint()
   }
 
   /** Shared oracle-SQL fragments — the jaccard-pair and reachability CTEs

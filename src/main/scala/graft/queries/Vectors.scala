@@ -17,6 +17,17 @@ object Vectors {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
+  /** Embedding dimension of a fixture dir, probed once per session+dir and
+    * passed to every LSH/near-dup call — the operators accept `dim` so the
+    * probe job doesn't run inside each query plan.
+    */
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def embDim(s: SparkSession, dir: String): Int =
+    dimCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$dir",
+      _ => Integer.valueOf(
+        t(s, dir, "embeddings").select(size(col("embedding"))).head().getInt(0))).intValue()
+
   val entries: Seq[QueryDef] = Seq(
 
     // exact cosine top-5 for the first 100 vectors (queries broadcast,
@@ -49,14 +60,15 @@ object Vectors {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.46""".stripMargin) { (s, dir) =>
-      Similarity.neardupPairsBucketed(t(s, dir, "embeddings"), threshold = 0.46)
+      Similarity.neardupPairsBucketed(t(s, dir, "embeddings"), threshold = 0.46,
+        dim = embDim(s, dir))
     },
 
     // hyperplane-LSH approximate top-k — the 100 TB path; recall vs the
     // exact result is pinned in SimilaritySpec, not by the oracle.
     QueryDef.rowsOnly("q38_ann_lsh") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 100), k = 5)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 100), k = 5, dim = embDim(s, dir))
     },
 
     // IVF (centroid-partitioned) approximate top-k — the other scale path;

@@ -40,4 +40,13 @@ class EmptyInputSpec extends AnyFunSuite {
     val emb = Tables.load(spark, sf, "embeddings")
     assert(Similarity.bruteForceTopK(emb, emb.filter(lit(false)), 5).count() == 0)
   }
+
+  test("LSH paths over an EMPTY CORPUS return empty, like the exact paths") {
+    val none = Tables.load(spark, sf, "embeddings").filter(lit(false))
+    // the dim probe must not throw NoSuchElementException on head() of nothing
+    assert(Similarity.neardupPairsBucketed(none, threshold = 0.5).count() == 0)
+    val lsh = Similarity.lshTopK(none, none, k = 5)
+    assert(lsh.count() == 0)
+    assert(lsh.columns.toSeq == Seq("vec_id", "neighbor_id", "cos", "rn"))
+  }
 }

@@ -36,12 +36,17 @@ class InfraSpec extends AnyFunSuite {
     java.nio.file.Files.write(src.resolve("dt=20170101/part-00000.csv"), "a,b\n1,2\n".getBytes)
     java.nio.file.Files.write(src.resolve("dt=20170102/part-00000.csv"), "a,b\n3,4\n5,6\n".getBytes)
     java.nio.file.Files.write(src.resolve("dt=20170102/blob.bin"), Array.tabulate(1000)(_.toByte))
+    // URI-reserved characters in a data filename (binaryFile's path column
+    // is a decoded Path string — URI re-parsing would throw on the space)
+    java.nio.file.Files.write(src.resolve("dt=20170102/with space.csv"), "x\n".getBytes)
     java.nio.file.Files.write(src.resolve("_SUCCESS"), Array.emptyByteArray)
     val dst = root.resolve("dst").toString
 
     val r = FileMigrate.copyTree(spark, src.toString, dst)
-    assert(r.filesCopied == 3)
-    assert(r.bytesCopied == 8 + 12 + 1000)
+    assert(r.filesCopied == 4)
+    assert(r.bytesCopied == 8 + 12 + 1000 + 2)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dst, "dt=20170102/with space.csv")))
     assert(FileMigrate.verified(spark, src.toString, dst))
     // byte-for-byte on the binary payload
     val got = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dst, "dt=20170102/blob.bin"))

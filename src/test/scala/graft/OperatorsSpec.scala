@@ -226,6 +226,91 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "plan contains BroadcastNestedLoopJoin")
   }
 
+  test("range join honors sub-second boundaries (native-precision buckets)") {
+    import spark.implicits._
+    // interval [10.8s, 11.5s) and point 11.2s: second-truncated buckets
+    // would cap the interval at bucket(10) and silently drop the match
+    val points = Seq((1L, 11200000L, "p11.2"), (1L, 11500000L, "p11.5"), (1L, 10799999L, "pA"))
+      .toDF("pk", "us", "pname")
+      .withColumn("pt", timestamp_micros(col("us"))).drop("us")
+    val intervals = Seq((1L, 10800000L, 11500000L, "i1"))
+      .toDF("ik", "su", "eu", "iname")
+      .withColumn("s", timestamp_micros(col("su")))
+      .withColumn("e", timestamp_micros(col("eu"))).drop("su", "eu")
+    val got = graft.operators.RangeJoin.pointInInterval(
+        points, intervals, "pk", "ik", "pt", "s", "e", bucketSeconds = 1L)
+      .select("pname").collect().map(_.getString(0)).toSet
+    // p11.2 qualifies; p11.5 == end (exclusive) does not; pA is 1µs early
+    assert(got == Set("p11.2"))
+  }
+
+  test("skipExisting with zero-padded sub-partitions skips everything on re-run") {
+    val dest = tmp() + "/dest"
+    // stage events with a real TimestampType ts (the raw fixture stores
+    // TIMESTAMP(NANOS) as long)
+    val src = tmp() + "/events_src"
+    Tables.load(spark, sf, "events").write.parquet(src)
+    // par_sub=HH writes zero-padded hour dirs (00..09) that partition-
+    // column type inference would read back as integers ("0" != "00")
+    val sub = Migrate.SubPart("ts", pattern = Some("HH"))
+    val r1 = Migrate.migrateRange(spark, src, dest, "ts",
+      "2024-01-01", "2024-01-03", subPart = Some(sub))
+    assert(r1.partitionsWritten > 0)
+    val hourDirs = new java.io.File(dest).listFiles().filter(_.getName.startsWith("par_key="))
+      .flatMap(_.listFiles().map(_.getName)).filter(_.startsWith("par_sub=")).toSet
+    assert(hourDirs.exists(d => d.stripPrefix("par_sub=").startsWith("0")),
+      s"fixture produced no zero-padded hours: $hourDirs")
+    val alerts = new Alerter.Collecting
+    val r2 = Migrate.migrateRange(spark, src, dest, "ts",
+      "2024-01-01", "2024-01-03", subPart = Some(sub),
+      skipExisting = true, alerter = alerts)
+    assert(r2.partitionsWritten == 0,
+      s"re-run rewrote ${r2.partitionsWritten} partitions (zero-pad mismatch?)")
+    assert(r2.partitionsSkipped == r1.partitionsWritten)
+  }
+
+  test("smtp header values are CRLF-sanitized (no header injection)") {
+    val srv = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      val s = srv.accept()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream))
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      def reply(l: String): Unit = { out.print(l + "\r\n"); out.flush() }
+      reply("220 local test ready")
+      var line = in.readLine()
+      val sb = new StringBuilder
+      var inData = false
+      while (line != null) {
+        sb.append(line).append('\n')
+        if (inData && line == ".") { reply("250 queued"); inData = false }
+        else if (!inData) line.takeWhile(_ != ' ') match {
+          case "HELO" | "MAIL" | "RCPT" => reply("250 ok")
+          case "DATA" => reply("354 go"); inData = true
+          case "QUIT" => reply("221 bye"); got.add(sb.toString); line = null
+          case _ => reply("500 ?")
+        }
+        if (line != null) line = in.readLine()
+      }
+      s.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    try {
+      val smtp = new Alerter.Smtp("127.0.0.1", srv.getLocalPort, "graft@x", Seq("ops@x"))
+      // a subject derived from hostile path/exception text must not be able
+      // to inject headers or terminate DATA early
+      smtp.alert("bad\r\nX-Injected: 1", "body\r\n.\r\nsmuggled")
+      val transcript = got.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(transcript != null)
+      assert(transcript.contains("Subject: bad X-Injected: 1"))
+      assert(!transcript.linesIterator.exists(_.startsWith("X-Injected")))
+      // the body's bare "." line arrived dot-stuffed, not as end-of-DATA
+      assert(transcript.contains("\n..\n"))
+      assert(transcript.contains("smuggled"))
+    } finally srv.close()
+  }
+
   test("partition enumeration matches the reference's dedup semantics") {
     val monthly = Partitions.enumerate(spark, "2017-11-01", "2018-01-15", "yyyyMM")
       .orderBy("partition_value").collect().map(_.getString(0)).toSeq

@@ -3,6 +3,7 @@ package graft
 import graft.operators.{Compact, Partitions, Reconcile}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
 import java.nio.file.Files
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
@@ -50,4 +51,42 @@ object PropertySpec extends Properties("graft") {
           Reconcile.manifest(dst, date_format(col("o_orderdate"), "yyyyMM")))
         .filter(col("status") =!= "ok").count() == 0
     }
+
+  private def leafFileCounts(dest: String, partName: String): Seq[Int] = {
+    val root = new java.io.File(dest)
+    root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(partName + "="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+  }
+
+  // a partition whose bytes exceed targetBytes must NOT funnel through a
+  // single reducer into one file (the 100 TB hot-day scale-killer): the
+  // in-leaf salt splits it into multiple files while the layout and the
+  // row multiset stay intact
+  property("oversized partitions split into >1 file, multiset preserved") = Prop.secure {
+    val frag = Files.createTempDirectory("graft-prop-split").toString
+    val dest = frag + "-out"
+    ordersSrc.write.mode("overwrite").parquet(frag)
+    // year-grain leaves with a 2 KB target: every leaf is oversized
+    Compact.rewritePartitioned(spark, frag, dest,
+      partKeyCol = "o_orderdate", pattern = "yyyy", targetBytes = 2 * 1024)
+    val counts = leafFileCounts(dest, "par_key")
+    val dst = spark.read.parquet(dest)
+      .select(ordersSrc.columns.map(col).toIndexedSeq: _*)
+    val clean = Reconcile.diff(ordersManifest,
+        Reconcile.manifest(dst, date_format(col("o_orderdate"), "yyyyMM")))
+      .filter(col("status") =!= "ok").count() == 0
+    (counts.nonEmpty && counts.forall(_ > 1) :| s"leaf file counts: $counts") && clean
+  }
+
+  // …and right-sized partitions keep the reference's one-file-per-leaf
+  property("right-sized partitions still produce exactly one file each") = Prop.secure {
+    val frag = Files.createTempDirectory("graft-prop-one").toString
+    val dest = frag + "-out"
+    ordersSrc.write.mode("overwrite").parquet(frag)
+    Compact.rewritePartitioned(spark, frag, dest,
+      partKeyCol = "o_orderdate", pattern = "yyyy")
+    val counts = leafFileCounts(dest, "par_key")
+    (counts.nonEmpty && counts.forall(_ == 1)) :| s"leaf file counts: $counts"
+  }
 }
