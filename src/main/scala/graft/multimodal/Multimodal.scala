@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed per-partition in
   * batches — the JVM analogue of arrow-batched pandas UDFs.
   *
-  * Decode is REAL for two formats: PNG (via `javax.imageio`, pure JDK)
-  * and WAV (RIFF chunk parse). Only video remains a clearly-marked STUB
-  * with a synthetic header — no pure-JVM video codec exists in this
-  * container. The synthesized corpus encodes geometry as deterministic
-  * functions of doc_id, so decoded metadata is independently computable
-  * by the SQL oracle (q42): a real encoder wrote the bytes, a real
-  * decoder read them back, and a third party checks the agreement.
+  * Decode is REAL for all three formats, pure JVM: PNG (`javax.imageio`),
+  * WAV (RIFF chunk parse), and MJPEG-in-AVI video ([[Avi]]: hand-framed
+  * RIFF container, per-frame JPEG via `javax.imageio`, frame access
+  * through the idx1 index). The synthesized corpus encodes geometry as
+  * deterministic functions of doc_id, so decoded metadata is
+  * independently computable by the SQL oracle (q42): a real encoder wrote
+  * the bytes, a real decoder read them back, and a third party checks the
+  * agreement.
   */
 object Multimodal {
 
@@ -26,25 +27,22 @@ object Multimodal {
   final case class DecodedRow(doc_id: Long, format: String, width: Int,
       height: Int, n_frames: Int, n_bytes: Long)
 
-  /** One sampled frame. */
+  /** One sampled frame; `frame_hash` hashes the DECODED pixel data. */
   final case class FrameRow(doc_id: Long, frame_idx: Int, frame_hash: Long)
 
-  private val Magic = 0x47524654 // "GRFT" — the video stub header
-
   // Deterministic synthetic geometry — kept SQL-reproducible (q42's oracle
-  // recomputes these from doc_id alone). PNG dims stay small: encode cost
-  // is per-pixel.
+  // recomputes these from doc_id alone). Dims stay small: encode cost is
+  // per-pixel (video additionally per-frame).
   private[multimodal] def pngW(id: Long): Int = (8 + id * 31 % 64).toInt
   private[multimodal] def pngH(id: Long): Int = (8 + id * 17 % 64).toInt
   private[multimodal] def wavSamples(id: Long): Int = (800 + id * 13 % 1600).toInt
-  private[multimodal] def videoW(id: Long): Int = (64 + id * 31 % 960).toInt
-  private[multimodal] def videoH(id: Long): Int = (64 + id * 17 % 540).toInt
-  private[multimodal] def videoFrames(id: Long): Int = (1 + id % 120).toInt
+  private[multimodal] def videoW(id: Long): Int = (16 + id * 31 % 48).toInt
+  private[multimodal] def videoH(id: Long): Int = (16 + id * 17 % 48).toInt
+  private[multimodal] def videoFrames(id: Long): Int = (1 + id % 24).toInt
 
   /** Deterministic synthetic payload per document — the stand-in corpus.
-    * doc_id % 3: 0 → a real PNG, 1 → a real PCM WAV, 2 → the video stub
-    * header (magic(4) | fmt(1) | width(2) | height(2) | n_frames(2) |
-    * pseudo-payload).
+    * doc_id % 3: 0 → a real PNG, 1 → a real PCM WAV, 2 → a real
+    * MJPEG-in-AVI video ([[Avi.encode]]).
     */
   def synthesize(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
@@ -96,26 +94,12 @@ object Multimodal {
     bb.array()
   }
 
-  private def videoBytes(id: Long): Array[Byte] = {
-    val payloadLen = (32 + id % 224).toInt
-    val bb = java.nio.ByteBuffer.allocate(11 + payloadLen)
-    bb.putInt(Magic).put(2.toByte)
-      .putShort(videoW(id).toShort).putShort(videoH(id).toShort)
-      .putShort(videoFrames(id).toShort)
-    var i = 0
-    var x = id * 2654435761L
-    while (i < payloadLen) {
-      x = x * 6364136223846793005L + 1442695040888963407L
-      bb.put((x >>> 56).toByte)
-      i += 1
-    }
-    bb.array()
-  }
+  private def videoBytes(id: Long): Array[Byte] =
+    Avi.encode(id, videoW(id), videoH(id), videoFrames(id))
 
-  /** Decode by content sniffing: PNG and WAV are parsed by real decoders;
-    * only the video stub header is synthetic. The mapPartitions batch shape
-    * (one iterator per partition, no driver involvement) is what a
-    * production codec drops into.
+  /** Decode by content sniffing: PNG, WAV, and AVI are all parsed by real
+    * decoders. The mapPartitions batch shape (one iterator per partition,
+    * no driver involvement) is what a production codec drops into.
     */
   def decode(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[DecodedRow] = {
     import spark.implicits._
@@ -161,27 +145,48 @@ object Multimodal {
       require(channels > 0 && bits > 0 && dataLen >= 0, s"malformed WAV for doc $id")
       val frames = dataLen / (channels * bits / 8)
       DecodedRow(id, "audio", 0, 0, frames, bytes.length.toLong)
+    } else if (Avi.isAvi(bytes)) {
+      val m = Avi.meta(bytes) // verifies idx1 agrees with the avih header
+      DecodedRow(id, "video", m.width, m.height, m.nFrames, bytes.length.toLong)
     } else {
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      require(bb.getInt() == Magic, s"unknown media payload for doc $id")
-      bb.get() // format tag (always video in the stub)
-      DecodedRow(id, "video", bb.getShort().toInt, bb.getShort().toInt,
-        bb.getShort().toInt, bytes.length.toLong)
+      throw new IllegalArgumentException(s"unknown media payload for doc $id")
     }
 
-  /** Sample every `everyN`-th frame of video media as its own row (the
-    * frame-level fan-out a vision pipeline feeds to feature extraction).
-    * frame_hash stands in for decoded frame bytes.
+  /** FNV-1a over the decoded frame's RGB pixels — a content hash of the
+    * DECODED image, deterministic for a given JPEG decoder.
     */
-  def frameSample(decoded: Dataset[DecodedRow], everyN: Int = 10)
+  private[multimodal] def pixelHash(img: java.awt.image.BufferedImage): Long = {
+    var h = 0xcbf29ce484222325L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        h = (h ^ (img.getRGB(x, y) & 0xFFFFFF)) * 0x100000001b3L
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Sample every `everyN`-th frame of each video as its own row (the
+    * frame-level fan-out a vision pipeline feeds to feature extraction).
+    * Frames are REALLY decoded: the idx1 index locates the chunk (no
+    * rescan of the container), `javax.imageio` decodes the JPEG, and
+    * frame_hash digests the decoded pixels.
+    */
+  def frameSample(media: Dataset[MediaRow], everyN: Int = 10)
       (implicit spark: SparkSession): Dataset[FrameRow] = {
     import spark.implicits._
-    decoded.filter(col("format") === "video")
-      .flatMap { d =>
-        (0 until d.n_frames by everyN).map { i =>
-          FrameRow(d.doc_id, i, scala.util.hashing.MurmurHash3.productHash((d.doc_id, i)).toLong)
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.filter(m => Avi.isAvi(m.media)).flatMap { m =>
+        val idx = Avi.frameIndex(m.media)
+        (0 until idx.length by everyN).iterator.map { i =>
+          FrameRow(m.doc_id, i, pixelHash(Avi.readFrame(m.media, idx(i))))
         }
       }
+    }
   }
 
   /** STUB feature extraction: media bytes → fixed-dim float vector

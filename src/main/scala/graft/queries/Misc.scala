@@ -68,22 +68,22 @@ object Misc {
     },
 
     // multimodal pipeline end-to-end: synthesize REAL payloads (PNG via
-    // javax.imageio, PCM WAV; video stays a marked stub), decode them with
-    // real parsers, aggregate the metadata. The oracle recomputes the
-    // encoded geometry from doc_id alone — a three-way agreement between
-    // encoder, decoder, and an independent SQL derivation. (Byte sizes are
+    // javax.imageio, PCM WAV, MJPEG-in-AVI video), decode them with real
+    // parsers, aggregate the metadata. The oracle recomputes the encoded
+    // geometry from doc_id alone — a three-way agreement between encoder,
+    // decoder, and an independent SQL derivation. (Byte sizes are
     // codec-dependent and deliberately not part of the checked output.)
     QueryDef.checked(
       "q42_multimodal_meta",
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
         |  count(*) AS n_media,
         |  avg(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id * 31 % 64
-        |      WHEN 1 THEN 0 ELSE 64 + doc_id * 31 % 960 END) AS avg_width,
+        |      WHEN 1 THEN 0 ELSE 16 + doc_id * 31 % 48 END) AS avg_width,
         |  avg(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id * 17 % 64
-        |      WHEN 1 THEN 0 ELSE 64 + doc_id * 17 % 540 END) AS avg_height,
+        |      WHEN 1 THEN 0 ELSE 16 + doc_id * 17 % 48 END) AS avg_height,
         |  CAST(sum(CASE doc_id % 3 WHEN 0 THEN 1
         |      WHEN 1 THEN 800 + doc_id * 13 % 1600
-        |      ELSE 1 + doc_id % 120 END) AS BIGINT) AS sum_frames
+        |      ELSE 1 + doc_id % 24 END) AS BIGINT) AS sum_frames
         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
       implicit val sp: SparkSession = s
       val media = Multimodal.synthesize(t(s, dir, "documents"))
@@ -95,11 +95,17 @@ object Misc {
           sum(col("n_frames")).as("sum_frames"))
     },
 
-    // frame sampling fan-out over the synthetic video corpus
-    QueryDef.rowsOnly("q43_multimodal_frames") { (s, dir) =>
+    // frame sampling fan-out over the synthetic video corpus — every
+    // sampled frame is REALLY decoded (idx1 walk + JPEG decode) and the
+    // per-doc counts derive from the decoded index, so this is now
+    // SQL-oracle-checkable: ceil(n_frames / 10) sampled frames per video
+    QueryDef.checked(
+      "q43_multimodal_frames",
+      """SELECT doc_id, CAST(ceil((1 + doc_id % 24) / 10.0) AS BIGINT) AS n_sampled
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin) { (s, dir) =>
       implicit val sp: SparkSession = s
       val media = Multimodal.synthesize(t(s, dir, "documents"))
-      Multimodal.frameSample(Multimodal.decode(media))
+      Multimodal.frameSample(media)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
     }
   )

@@ -57,7 +57,46 @@ class MiscSpec extends AnyFunSuite {
       assert(r.getInt(1) == (800 + r.getLong(0) * 13 % 1600).toInt,
         s"wav frames for doc ${r.getLong(0)}")
     }
-    assert(decoded.filter(col("format") === "video" && col("n_frames") < 1).count() == 0)
+    // AVI: real container parse recovers the encoded geometry
+    val vid = decoded.filter(col("format") === "video")
+      .select("doc_id", "width", "height", "n_frames").collect()
+    assert(vid.nonEmpty)
+    vid.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (16 + id * 31 % 48).toInt, s"video width for doc $id")
+      assert(r.getInt(2) == (16 + id * 17 % 48).toInt, s"video height for doc $id")
+      assert(r.getInt(3) == (1 + id % 24).toInt, s"video frames for doc $id")
+    }
+  }
+
+  test("MJPEG-in-AVI roundtrip: idx1-indexed frames decode to the encoded colors") {
+    import graft.multimodal.Avi
+    val (id, w, h, n) = (101L, 33, 21, 13)
+    val bytes = Avi.encode(id, w, h, n)
+    assert(Avi.isAvi(bytes))
+    assert(Avi.meta(bytes) == Avi.Meta(w, h, n))
+    val idx = Avi.frameIndex(bytes)
+    assert(idx.length == n)
+    idx.zipWithIndex.foreach { case (ref, i) =>
+      val img = Avi.readFrame(bytes, ref)
+      assert(img.getWidth == w && img.getHeight == h)
+      // JPEG is lossy but a solid fill survives within a small tolerance
+      val want = Avi.frameColor(id, i)
+      val got = img.getRGB(w / 2, h / 2) & 0xFFFFFF
+      def ch(c: Int, s: Int) = (c >> s) & 0xFF
+      Seq(16, 8, 0).foreach { s =>
+        assert(math.abs(ch(got, s) - ch(want, s)) <= 24,
+          s"frame $i channel>>$s: got ${ch(got, s)}, want ${ch(want, s)}")
+      }
+    }
+    // frame sampling over the synthesized corpus: one row per sampled
+    // frame, hashes deterministic across two runs (decode is stable)
+    implicit val sp: SparkSession = spark
+    val media = Multimodal.synthesize(
+      Tables.load(spark, sf, "documents").limit(60))
+    val s1 = Multimodal.frameSample(media).collect().map(f => (f.doc_id, f.frame_idx, f.frame_hash)).toSet
+    val s2 = Multimodal.frameSample(media).collect().map(f => (f.doc_id, f.frame_idx, f.frame_hash)).toSet
+    assert(s1.nonEmpty && s1 == s2)
   }
 
   test("multimodal feature extraction yields fixed-dim vectors") {

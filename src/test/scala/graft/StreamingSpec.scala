@@ -114,6 +114,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("user_total_events").isNull).count() == 0)
   }
 
+  test("checkpoint restart recovers state: stop mid-stream, append, resume, equal batch") {
+    // the streaming analogue of the reference's idempotent re-run
+    // semantics (TransTablePartition.java:126-131): a query killed and
+    // restarted from its checkpoint must neither lose nor double-count —
+    // the resumed query restores aggregation state and processes ONLY the
+    // files that arrived after the stop
+    val root = Files.createTempDirectory("graft-stream-ckpt")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    // split the fixture into two arrivals, preserving the raw long-nanos ts
+    // (staged as single part files moved flat into the watched dir — the
+    // file source does not recurse into subdirectories)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    def arrive(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val st = root.resolve("stage-" + name)
+      raw.filter(cond).coalesce(1).write.parquet(st.toString)
+      val part = new java.io.File(st.toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      Files.move(part.toPath, in.resolve(name + ".parquet"))
+    }
+    arrive(col("event_id") % 2 === 0, "a")
+
+    def start() = EventStreams.hourlyCounts(EventStreams.readEvents(spark, in.toString))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(out)
+        (): Unit
+      }
+      .start()
+
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val afterHalf = spark.read.parquet(out).agg(sum("n_events")).collect()(0).getLong(0)
+    // second half arrives while the query is DOWN
+    arrive(col("event_id") % 2 === 1, "b")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val stream = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), math.round(r.getDouble(3) * 1e6)))
+      .toSet
+    val batch = SparkEntry.queries("q24_events_hourly")(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), math.round(r.getDouble(3) * 1e6)))
+      .toSet
+    assert(afterHalf < raw.count(), "first run already saw everything — split failed")
+    assert(stream == batch)
+  }
+
   test("foreachBatch alerting fires on high-value events") {
     val alerts = new graft.operators.Alerter.Collecting
     val q = EventStreams.alertHighValue(EventStreams.readEvents(spark, eventsPath), 0.0, alerts).start()
