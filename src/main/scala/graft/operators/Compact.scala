@@ -67,15 +67,21 @@ object Compact {
     // colliding (("ab","c") vs ("a","bc")) and null values distinct
     def leafKey(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
       concat_ws("\u0001", cs.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
-    val leafRows: Array[(String, Long)] =
-      df.groupBy(partCols: _*).agg(count(lit(1)).as("__rows"))
-        .select(leafKey(partCols).as("k"), col("__rows"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-    val totalRows = math.max(1L, leafRows.map(_._2).sum)
-    val bytesPerRow = nBytes.toDouble / totalRows
-    val splitsMap: Map[String, Long] = leafRows.map { case (k, n) =>
-      k -> math.max(1L, math.ceil(n * bytesPerRow / targetBytes).toLong)
-    }.toMap
+    // if the WHOLE input fits the target, no leaf can be oversized — skip
+    // the counting pass entirely (the common small-compaction fast path)
+    val splitsMap: Map[String, Long] =
+      if (nBytes <= targetBytes) Map.empty
+      else {
+        val leafRows: Array[(String, Long)] =
+          df.groupBy(partCols: _*).agg(count(lit(1)).as("__rows"))
+            .select(leafKey(partCols).as("k"), col("__rows"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+        val totalRows = math.max(1L, leafRows.map(_._2).sum)
+        val bytesPerRow = nBytes.toDouble / totalRows
+        leafRows.map { case (k, n) =>
+          k -> math.max(1L, math.ceil(n * bytesPerRow / targetBytes).toLong)
+        }.toMap
+      }
 
     // same key → same task: one file per (leaf, salt); task count only
     // sets write parallelism beyond that

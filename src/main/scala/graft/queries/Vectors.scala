@@ -53,7 +53,13 @@ object Vectors {
     // candidates + exact verification (NO all-pairs join in the plan; the
     // oracle is the exact all-pairs form, which the bucketed path matches
     // because its banding finds every qualifying fixture pair — asserted
-    // against the exact operator in DedupSimilaritySpec)
+    // against the exact operator in DedupSimilaritySpec).
+    // COUPLING NOTE: LSH recall is probabilistic (~3e-4 per-pair miss at
+    // cos 0.46 under 160×7, seed 42); exact oracle equality holds because
+    // the seed was validated against the current fixtures. If fixtures are
+    // ever regenerated or the threshold moves, re-run DedupSimilaritySpec's
+    // banded-equals-exact test FIRST — a miss there is a parameter/fixture
+    // problem, not a code bug.
     QueryDef.checked(
       "q37_cosine_neardup",
       """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
