@@ -118,9 +118,13 @@ object Migrate {
 
     // Single distributed write; shuffle by partition key so each task owns
     // whole partitions (avoids the many-small-files write pattern).
-    // rowsWritten rides along via observe — no second full scan.
+    // rowsWritten AND the distinct-partition count ride along via observe
+    // (partition keys are bounded — the reference's own driver granularity
+    // — so a collect_set metric is safe) — no second scan of the source.
     val obs = new org.apache.spark.sql.Observation()
-    val keyed = toWrite.observe(obs, count(lit(1)).as("rows"))
+    val keyed = toWrite.observe(obs,
+        count(lit(1)).as("rows"),
+        size(collect_set(struct(partCols: _*))).as("nparts"))
       .repartition(partCols: _*)
     keyed.write
       .partitionBy(partNames: _*)
@@ -133,12 +137,9 @@ object Migrate {
       .option("partitionOverwriteMode", "dynamic")
       .parquet(destPath)
     // an empty write registers no observation metrics at all — treat the
-    // missing key as zero rows rather than throwing
+    // missing keys as zeros rather than throwing
     val rowsWritten = obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
-
-    // partition counts: one column-pruned pass over the keys only (at scale
-    // this reads the key columns, not the table)
-    val nWritten = toWrite.select(partCols: _*).distinct().count()
+    val nWritten = obs.get.get("nparts").fold(0L)(_.asInstanceOf[Int].toLong)
     val nAll =
       if (!skipExisting) nWritten
       else srcWithKey.select(partCols: _*).distinct().count()
