@@ -32,11 +32,13 @@ object Compact {
     * Splitting works by salting the repartition key inside oversized
     * leaves: leaf sizes are estimated from one column-pruned count pass
     * (rows × input bytes/row), each row gets a DETERMINISTIC salt
-    * `xxhash64(all columns) mod splits(leaf)` (deterministic so a shuffle-
-    * retry re-producing a map task lands every row in the same bucket —
-    * `rand()`-salting can duplicate or drop rows under retry), and the
-    * write still `partitionBy`s only the real partition columns, so the
-    * layout is unchanged — the leaf just holds `splits` files.
+    * `xxhash64(_metadata.file_path, _metadata.row_index) mod splits(leaf)`
+    * — deterministic so a shuffle-retry re-producing a map task lands
+    * every row in the same bucket (`rand()` could duplicate or drop rows
+    * under retry), and position-based so duplicate rows still spread
+    * across buckets — and the write still `partitionBy`s only the real
+    * partition columns, so the layout is unchanged; the leaf just holds
+    * `splits` files.
     *
     * `subPart` adds the reference's second partition level (`-sp true`,
     * HDFSMerge.java:90-112): output dirs become `par_key=/par_sub=/` and
@@ -59,43 +61,57 @@ object Compact {
     val partNames = partName +: subPart.map(_.name).toSeq
     val partCols = partNames.map(col)
 
-    // per-leaf split counts from ONE column-pruned count pass, collected —
+    // per-leaf split counts from ONE column-pruned count pass, collected -
     // the result is bounded by the partition count (the reference's own
-    // driver granularity), so it rides into the plan as a literal map
-    // rather than a join that would recompute the counting subtree
-    // \u0001 separator + \u0000 null marker keep multi-level keys from
-    // colliding (("ab","c") vs ("a","bc")) and null values distinct
-    def leafKey(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
-      concat_ws("\u0001", cs.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
-    // if the WHOLE input fits the target, no leaf can be oversized — skip
-    // the counting pass entirely (the common small-compaction fast path)
-    val splitsMap: Map[String, Long] =
-      if (nBytes <= targetBytes) Map.empty
+    // driver granularity). If the WHOLE input fits the target, no leaf can
+    // be oversized - skip the pass entirely (the common small-compaction
+    // fast path). Partition values are strings by construction
+    // (date_format / SubPart.value), so they join back losslessly.
+    val splitRows: Array[org.apache.spark.sql.Row] =
+      if (nBytes <= targetBytes) Array.empty
       else {
-        val leafRows: Array[(String, Long)] =
-          df.groupBy(partCols: _*).agg(count(lit(1)).as("__rows"))
-            .select(leafKey(partCols).as("k"), col("__rows"))
-            .collect().map(r => (r.getString(0), r.getLong(1)))
-        val totalRows = math.max(1L, leafRows.map(_._2).sum)
+        val leafRows = df.groupBy(partCols: _*).agg(count(lit(1)).as("__rows")).collect()
+        val totalRows = math.max(1L, leafRows.map(_.getLong(partNames.length)).sum)
         val bytesPerRow = nBytes.toDouble / totalRows
-        leafRows.map { case (k, n) =>
-          k -> math.max(1L, math.ceil(n * bytesPerRow / targetBytes).toLong)
-        }.toMap
+        leafRows.map { r =>
+          val splits = math.max(1L,
+            math.ceil(r.getLong(partNames.length) * bytesPerRow / targetBytes).toLong)
+          org.apache.spark.sql.Row.fromSeq(partNames.indices.map(r.get) :+ splits)
+        }
       }
 
-    // same key → same task: one file per (leaf, salt); task count only
+    // same key -> same task: one file per (leaf, salt); task count only
     // sets write parallelism beyond that
     val filesTotal = math.max(1L, nBytes / targetBytes)
       .max(spark.sparkContext.defaultParallelism.toLong)
       .min(Int.MaxValue.toLong) // a tiny targetBytes must clamp, not wrap negative
     val dataCols = df.columns.map(col)
     val keyed =
-      if (!splitsMap.values.exists(_ > 1)) df.repartition(filesTotal.toInt, partCols: _*)
-      else df.withColumn("__salt",
-          pmod(xxhash64(dataCols.toIndexedSeq: _*),
-            coalesce(element_at(typedlit(splitsMap), leafKey(partCols)), lit(1L))))
-        .repartition(filesTotal.toInt, (partCols :+ col("__salt")): _*)
-        .select(dataCols.toIndexedSeq: _*)
+      if (!splitRows.exists(_.getLong(partNames.length) > 1))
+        df.repartition(filesTotal.toInt, partCols: _*)
+      else {
+        // splits reach the rows via a BROADCAST join of the (bounded,
+        // driver-built) per-leaf table - a hash lookup per row, not a
+        // linear scan of a map literal. The salt hashes the row's source
+        // POSITION (_metadata file path + row index), which is (a) stable
+        // across task retries - rand() could duplicate/drop rows when a
+        // map task re-runs - and (b) distinct for duplicate rows, so a
+        // leaf full of identical rows (the dedup-tier norm) still spreads
+        // across its salt buckets; hashing data columns would send every
+        // duplicate to one reducer and also break on MapType columns.
+        val schema = org.apache.spark.sql.types.StructType(
+          df.select(partCols: _*).schema.fields :+
+            org.apache.spark.sql.types.StructField("__splits",
+              org.apache.spark.sql.types.LongType, nullable = false))
+        val splitsDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(splitRows.toIndexedSeq, 1), schema)
+        df.withColumn("__fp", col("_metadata.file_path"))
+          .withColumn("__ri", col("_metadata.row_index"))
+          .join(broadcast(splitsDf), partNames)
+          .withColumn("__salt", pmod(xxhash64(col("__fp"), col("__ri")), col("__splits")))
+          .repartition(filesTotal.toInt, (partCols :+ col("__salt")): _*)
+          .select(dataCols.toIndexedSeq: _*)
+      }
     keyed.write
       .partitionBy(partNames: _*)
       .mode("overwrite")

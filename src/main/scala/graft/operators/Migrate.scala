@@ -180,9 +180,17 @@ object Migrate {
           if (n.startsWith(name + "=")) Some(unescape(n.drop(name.length + 1)) -> st.getPath)
           else None
         }
+    // a leaf only counts as migrated if it holds at least one DATA file:
+    // a crashed/partial previous run can leave an empty value directory,
+    // and skipExisting must re-migrate it, not skip it forever
+    def hasDataFile(dir: Path): Boolean =
+      fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
     val tuples = partNames.foldLeft(Seq(Seq.empty[String] -> root)) { (acc, name) =>
       acc.flatMap { case (vals, dir) => valueDirs(dir, name).map { case (v, d) => (vals :+ v, d) } }
-    }.map(_._1)
+    }.collect { case (vals, leafDir) if hasDataFile(leafDir) => vals }
     val schema = org.apache.spark.sql.types.StructType(
       partNames.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
     val rows = tuples.map(vs => org.apache.spark.sql.Row.fromSeq(vs))

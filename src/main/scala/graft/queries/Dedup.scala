@@ -22,18 +22,16 @@ object Dedup {
     * recomputes the whole explode→index→join→verify pipeline from the raw
     * corpus (3× the most expensive relation in the engine). The cached
     * frame is `localCheckpoint`ed, so reuse costs a block read, not a
-    * recompute; keying on applicationId keeps a frame from a stopped
-    * session from leaking into a new one (test suites cycle sessions).
-    * At cluster scale the same role is played by writing the pair graph to
-    * a scratch table once per corpus version.
+    * recompute; [[graft.SessionCache]] scopes entries to the live
+    * application (test suites cycle sessions). At cluster scale the same
+    * role is played by writing the pair graph to a scratch table once per
+    * corpus version.
     */
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val pairsCache = new graft.SessionCache[DataFrame]
 
   private def jaccardPairs(s: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame =
-    pairsCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$dir|$threshold",
-      _ => computeJaccardPairs(s, dir, threshold))
+    pairsCache.getOrCompute(s, s"$dir|$threshold")(computeJaccardPairs(s, dir, threshold))
 
   /** (lang, source)-blocked word-set jaccard pairs ≥ `threshold` — shared
     * by q33 (pair output) and q51/q55 (component input).

@@ -21,12 +21,10 @@ object Vectors {
     * passed to every LSH/near-dup call — the operators accept `dim` so the
     * probe job doesn't run inside each query plan.
     */
-  private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val dimCache = new graft.SessionCache[Int]
   private def embDim(s: SparkSession, dir: String): Int =
-    dimCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$dir",
-      _ => Integer.valueOf(
-        t(s, dir, "embeddings").select(size(col("embedding"))).head().getInt(0))).intValue()
+    dimCache.getOrCompute(s, dir)(
+      t(s, dir, "embeddings").select(size(col("embedding"))).head().getInt(0))
 
   val entries: Seq[QueryDef] = Seq(
 

@@ -269,6 +269,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2.partitionsSkipped == r1.partitionsWritten)
   }
 
+  test("skipExisting re-migrates a DATALESS partition directory") {
+    val dest = tmp() + "/dest"
+    val src = s"$sf/lineitem.parquet"
+    Migrate.migrateRange(spark, src, dest, "l_shipdate", "1996-03-01", "1996-03-05")
+    // simulate a crashed previous run: the value directory exists but
+    // holds no data files — it must NOT count as migrated
+    val victim = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith("par_key=")).head
+    victim.listFiles().foreach(_.delete())
+    val r = Migrate.migrateRange(spark, src, dest, "l_shipdate",
+      "1996-03-01", "1996-03-05", skipExisting = true)
+    assert(r.partitionsWritten == 1, s"expected exactly the dataless partition rewritten, got $r")
+    assert(victim.listFiles().exists(_.getName.endsWith(".parquet")),
+      "dataless partition was not re-migrated")
+  }
+
   test("smtp header values are CRLF-sanitized (no header injection)") {
     val srv = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
     val got = new java.util.concurrent.LinkedBlockingQueue[String]()

@@ -79,6 +79,28 @@ object PropertySpec extends Properties("graft") {
     (counts.nonEmpty && counts.forall(_ > 1) :| s"leaf file counts: $counts") && clean
   }
 
+  // a leaf of IDENTICAL rows must still split: the salt hashes source
+  // position (_metadata), not data columns — a data-column hash would send
+  // every duplicate to one reducer, which is exactly the dedup-tier corpus
+  property("oversized leaf of duplicate rows still splits") = Prop.secure {
+    import org.apache.spark.sql.functions.lit
+    val frag = Files.createTempDirectory("graft-prop-dup").toString
+    val dest = frag + "-out"
+    spark.range(20000)
+      .select(
+        lit("1996-01-15 00:00:00").cast("timestamp").as("d"),
+        lit("identical-payload-row").as("v"))
+      .repartition(4).write.mode("overwrite").parquet(frag)
+    // duplicates RLE-compress hard — a 1 KB target keeps the (tiny)
+    // fixture above the fast-path threshold so the salt path engages
+    Compact.rewritePartitioned(spark, frag, dest,
+      partKeyCol = "d", pattern = "yyyy", targetBytes = 1024)
+    val counts = leafFileCounts(dest, "par_key")
+    val rows = spark.read.parquet(dest).count()
+    (counts.nonEmpty && counts.forall(_ > 1) :| s"leaf file counts: $counts") &&
+      ((rows == 20000L) :| s"row count: $rows")
+  }
+
   // …and right-sized partitions keep the reference's one-file-per-leaf
   property("right-sized partitions still produce exactly one file each") = Prop.secure {
     val frag = Files.createTempDirectory("graft-prop-one").toString
