@@ -25,4 +25,12 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Register every warehouse table under `dir` as a temp view, so plain
+    * ANSI SQL runs directly: `registerAll(spark, dir); spark.sql("...")`.
+    * The paste-SQL entry point beside the DataFrame DSL (SqlParitySpec
+    * pins that both produce identical answers).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

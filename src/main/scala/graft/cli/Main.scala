@@ -43,6 +43,7 @@ object Main {
       System.err.println(
         """usage: graft.cli.Main <trans-partition|trans-whole-table|merge> [options]
           |  common: -srcDB <dir> -table <name> -dateCol <col> -pn <name> -pp <pattern>
+          |          [-format parquet|csv|json|orc]  structured source format
           |          [-sp true] [-spCol <col>] [-spp <pattern>] [-pn2 <name>]
           |            second partition level (reference -sp): value is
           |            date_format(spCol|dateCol, spp) or the raw spCol when
@@ -77,6 +78,13 @@ object Main {
     val pp = m.getOrElse("pp", "yyyyMMdd")
     val dateCol = req(m, "dateCol")
     val skip = m.get("skipExisting").exists(_.toBoolean)
+    // -format csv|json|orc|parquet: structured non-parquet sources land as
+    // parquet partitions (csv/json get the standard header/inference opts)
+    val srcFormat = m.getOrElse("format", "parquet")
+    val srcOptions: Map[String, String] = srcFormat match {
+      case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+      case _ => Map.empty
+    }
     // reference -sp true: second partition level. Derived from -spCol (or
     // dateCol) through -spp, or taken raw when -spp is 'raw'.
     val subPart: Option[Migrate.SubPart] =
@@ -93,13 +101,15 @@ object Main {
       case "trans-partition" =>
         val (start, end) = (req(m, "s"), req(m, "e"))
         val r = Migrate.migrateRange(spark, src, dst, dateCol,
-          start, end, pp, skip, alerter, pn, subPart)
+          start, end, pp, skip, alerter, pn, subPart, srcFormat, srcOptions)
         println(s"migrated partitions=${r.partitionsWritten} skipped=${r.partitionsSkipped} rows=${r.rowsWritten}")
-        verify(spark, src, dst, dateCol, pp, alerter, Some((start, end)), subPart)
+        verify(spark, src, dst, dateCol, pp, alerter, Some((start, end)), subPart,
+          srcFormat, srcOptions)
       case "trans-whole-table" =>
-        val r = Migrate.migrateAll(spark, src, dst, dateCol, pp, skip, alerter, pn, subPart)
+        val r = Migrate.migrateAll(spark, src, dst, dateCol, pp, skip, alerter, pn,
+          subPart, srcFormat, srcOptions)
         println(s"migrated partitions=${r.partitionsWritten} skipped=${r.partitionsSkipped} rows=${r.rowsWritten}")
-        verify(spark, src, dst, dateCol, pp, alerter, None, subPart)
+        verify(spark, src, dst, dateCol, pp, alerter, None, subPart, srcFormat, srcOptions)
       case "merge" =>
         val st = Compact.rewritePartitioned(spark, src, dst, dateCol, pp,
           m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024), pn, subPart)
@@ -116,12 +126,14 @@ object Main {
   private def verify(spark: org.apache.spark.sql.SparkSession, src: String,
       dst: String, dateCol: String, pp: String, alerter: Alerter,
       range: Option[(String, String)],
-      subPart: Option[Migrate.SubPart] = None): Unit = {
+      subPart: Option[Migrate.SubPart] = None,
+      srcFormat: String = "parquet",
+      srcOptions: Map[String, String] = Map.empty): Unit = {
     // The expected set is the SOURCE restricted to the migrated range (the
     // reference checked each migrated partition, README.md:43) — bounding
     // by destination keys instead would make a partition that never arrived
     // look "ok" (missing_in_dest must stay reachable).
-    val sAll = spark.read.parquet(src)
+    val sAll = spark.read.format(srcFormat).options(srcOptions).load(src)
     val s = range match {
       case Some((start, end)) => sAll.filter(
         col(dateCol) >= to_timestamp(lit(start)) &&

@@ -57,9 +57,11 @@ object Migrate {
       skipExisting: Boolean = false,
       alerter: Alerter = Alerter.Log,
       partName: String = "par_key",
-      subPart: Option[SubPart] = None): Result = {
+      subPart: Option[SubPart] = None,
+      srcFormat: String = "parquet",
+      srcOptions: Map[String, String] = Map.empty): Result = {
 
-    val src = spark.read.parquet(srcPath)
+    val src = read(spark, srcPath, srcFormat, srcOptions)
       // end is inclusive at day granularity: < end + 1 day
       .filter(col(dateCol) >= to_timestamp(lit(start)) &&
         col(dateCol) < to_timestamp(date_add(to_date(lit(end)), 1)))
@@ -79,12 +81,23 @@ object Migrate {
       skipExisting: Boolean = false,
       alerter: Alerter = Alerter.Log,
       partName: String = "par_key",
-      subPart: Option[SubPart] = None): Result = {
-    val src = spark.read.parquet(srcPath)
+      subPart: Option[SubPart] = None,
+      srcFormat: String = "parquet",
+      srcOptions: Map[String, String] = Map.empty): Result = {
+    val src = read(spark, srcPath, srcFormat, srcOptions)
       .withColumn(partName, date_format(col(dateCol), pattern))
     migrate(spark, withSub(src, subPart), destPath, skipExisting, alerter,
       partName +: subPart.map(_.name).toSeq)
   }
+
+  /** Structured source in any Spark-readable format (parquet/csv/json/orc
+    * — the reference moved Hive tables of arbitrary serde as opaque bytes;
+    * here non-parquet sources are READ structurally and land as parquet
+    * partitions). For literal byte-preserving moves use [[FileMigrate]].
+    */
+  private def read(spark: SparkSession, path: String, format: String,
+      options: Map[String, String]): DataFrame =
+    spark.read.format(format).options(options).load(path)
 
   private def withSub(df: DataFrame, subPart: Option[SubPart]): DataFrame =
     subPart.fold(df)(sp => df.withColumn(sp.name, sp.value))

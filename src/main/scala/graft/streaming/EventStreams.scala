@@ -110,6 +110,30 @@ object EventStreams {
         })
   }
 
+  /** Watermarked STREAM-STREAM inner join: pair each left event with the
+    * same user's right events landing within [0, maxDelay] after it —
+    * the click→conversion attribution shape. Both sides carry watermarks
+    * and the join condition bounds event time on both sides, so Spark can
+    * evict buffered state once the watermark passes the join window:
+    * state stays bounded at any input rate (without the time bound a
+    * stream-stream join must buffer both sides forever).
+    */
+  def correlated(left: DataFrame, right: DataFrame,
+      maxDelay: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_ts"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("l_id") =!= col("r_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+      .drop("r_user")
+  }
+
   /** Stream-static join: enrich the event stream with a static dimension
     * (e.g. a user profile table). The static side is re-planned per
     * micro-batch by Spark, so a broadcast-sized dimension costs one

@@ -269,6 +269,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2.partitionsSkipped == r1.partitionsWritten)
   }
 
+  test("migrate reads non-parquet structured sources (csv) into parquet partitions") {
+    val csvSrc = tmp() + "/csv"
+    val dest = tmp() + "/dest"
+    val month = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    month.select(col("l_orderkey"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("l_shipdate"))
+      .write.option("header", "true").csv(csvSrc)
+    val r = Migrate.migrateRange(spark, csvSrc, dest, "l_shipdate",
+      "1996-03-01", "1996-03-31",
+      srcFormat = "csv",
+      srcOptions = Map("header" -> "true", "inferSchema" -> "true"))
+    assert(r.rowsWritten == month.count())
+    val back = spark.read.parquet(dest)
+    assert(back.count() == month.count())
+    assert(back.schema("par_key").dataType.typeName == "string" ||
+      back.select(col("par_key").cast("string")).distinct().count() == 31)
+  }
+
   test("skipExisting re-migrates a DATALESS partition directory") {
     val dest = tmp() + "/dest"
     val src = s"$sf/lineitem.parquet"

@@ -39,7 +39,7 @@ class SqlParitySpec extends AnyFunSuite {
   }
 
   test("oracle SQL strings run verbatim through spark.sql and match the DSL") {
-    Tables.all.foreach(n => Tables.load(spark, sf, n).createOrReplaceTempView(n))
+    Tables.registerAll(spark, sf)
     portable.foreach { name =>
       val sqlResult = spark.sql(SparkEntry.oracleSql(name))
       val dslResult = SparkEntry.queries(name)(spark, sf)

@@ -114,6 +114,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("user_total_events").isNull).count() == 0)
   }
 
+  test("stream-stream time-bounded join equals the batch self-join") {
+    runToTable(EventStreams.correlated(
+      EventStreams.readEvents(spark, eventsPath),
+      EventStreams.readEvents(spark, eventsPath)), "correlated")
+    val got = spark.table("correlated").select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.load(spark, sf, "events")
+    val l = ev.select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+    val r = ev.select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+    val want = l.join(r,
+        col("user_id") === col("r_user") && col("l_id") =!= col("r_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 30 minutes"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("checkpoint restart recovers state: stop mid-stream, append, resume, equal batch") {
     // the streaming analogue of the reference's idempotent re-run
     // semantics (TransTablePartition.java:126-131): a query killed and
