@@ -41,7 +41,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        """usage: graft.cli.Main <trans-partition|trans-whole-table|merge> [options]
+        """usage: graft.cli.Main <trans-partition|trans-whole-table|merge|trans-files> [options]
           |  common: -srcDB <dir> -table <name> -dateCol <col> -pn <name> -pp <pattern>
           |          [-format parquet|csv|json|orc]  structured source format
           |          [-sp true] [-spCol <col>] [-spp <pattern>] [-pn2 <name>]
@@ -112,7 +112,8 @@ object Main {
         verify(spark, src, dst, dateCol, pp, alerter, None, subPart, srcFormat, srcOptions)
       case "merge" =>
         val st = Compact.rewritePartitioned(spark, src, dst, dateCol, pp,
-          m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024), pn, subPart)
+          m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024), pn, subPart,
+          srcFormat, srcOptions)
         println(s"compacted files ${st.filesBefore} -> ${st.filesAfter} (${st.bytesBefore} bytes)")
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
@@ -133,7 +134,7 @@ object Main {
     // reference checked each migrated partition, README.md:43) — bounding
     // by destination keys instead would make a partition that never arrived
     // look "ok" (missing_in_dest must stay reachable).
-    val sAll = spark.read.format(srcFormat).options(srcOptions).load(src)
+    val sAll = Migrate.read(spark, src, srcFormat, srcOptions)
     val s = range match {
       case Some((start, end)) => sAll.filter(
         col(dateCol) >= to_timestamp(lit(start)) &&

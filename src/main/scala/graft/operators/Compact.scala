@@ -52,10 +52,12 @@ object Compact {
       pattern: String = "yyyyMMdd",
       targetBytes: Long = 128L * 1024 * 1024,
       partName: String = "par_key",
-      subPart: Option[Migrate.SubPart] = None): Stats = {
+      subPart: Option[Migrate.SubPart] = None,
+      srcFormat: String = "parquet",
+      srcOptions: Map[String, String] = Map.empty): Stats = {
 
     val (nFiles, nBytes) = pathStats(spark, srcPath)
-    val df0 = spark.read.parquet(srcPath)
+    val df0 = spark.read.format(srcFormat).options(srcOptions).load(srcPath)
       .withColumn(partName, date_format(col(partKeyCol), pattern))
     val df = subPart.fold(df0)(sp => df0.withColumn(sp.name, sp.value))
     val partNames = partName +: subPart.map(_.name).toSeq
@@ -99,15 +101,29 @@ object Compact {
         // leaf full of identical rows (the dedup-tier norm) still spreads
         // across its salt buckets; hashing data columns would send every
         // duplicate to one reducer and also break on MapType columns.
+        // renamed join keys + NULL-SAFE equality: a NULL partition value
+        // (written as __HIVE_DEFAULT_PARTITION__) must keep its rows — a
+        // plain inner equi-join would silently drop every NULL-key row
+        val keyed = partNames.indices.map(i => s"__k$i")
         val schema = org.apache.spark.sql.types.StructType(
-          df.select(partCols: _*).schema.fields :+
+          df.select(partCols: _*).schema.fields.zip(keyed).map { case (f, n) => f.copy(name = n) } :+
             org.apache.spark.sql.types.StructField("__splits",
               org.apache.spark.sql.types.LongType, nullable = false))
         val splitsDf = spark.createDataFrame(
           spark.sparkContext.parallelize(splitRows.toIndexedSeq, 1), schema)
+        val cond = partNames.zip(keyed)
+          .map { case (p, k) => col(p) <=> col(k) }.reduce(_ && _)
+        // row_index is parquet-only; other file sources fall back to block
+        // granularity (file_block_start) — each input block is at most
+        // maxPartitionBytes, i.e. already target-file-sized, so block-level
+        // salting still bounds output file size
+        val rowPos =
+          if (scala.util.Try(df.select(col("_metadata.row_index"))).isSuccess)
+            col("_metadata.row_index")
+          else col("_metadata.file_block_start")
         df.withColumn("__fp", col("_metadata.file_path"))
-          .withColumn("__ri", col("_metadata.row_index"))
-          .join(broadcast(splitsDf), partNames)
+          .withColumn("__ri", rowPos)
+          .join(broadcast(splitsDf), cond)
           .withColumn("__salt", pmod(xxhash64(col("__fp"), col("__ri")), col("__splits")))
           .repartition(filesTotal.toInt, (partCols :+ col("__salt")): _*)
           .select(dataCols.toIndexedSeq: _*)

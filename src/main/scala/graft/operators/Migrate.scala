@@ -94,8 +94,10 @@ object Migrate {
     * — the reference moved Hive tables of arbitrary serde as opaque bytes;
     * here non-parquet sources are READ structurally and land as parquet
     * partitions). For literal byte-preserving moves use [[FileMigrate]].
+    * Shared by the CLI's post-copy verify so both paths parse the source
+    * identically.
     */
-  private def read(spark: SparkSession, path: String, format: String,
+  private[graft] def read(spark: SparkSession, path: String, format: String,
       options: Map[String, String]): DataFrame =
     spark.read.format(format).options(options).load(path)
 

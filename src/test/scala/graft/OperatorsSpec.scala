@@ -74,6 +74,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6)
   }
 
+  test("compact split path preserves NULL-partition rows (null-safe join)") {
+    val frag = tmp() + "/frag"
+    val dest = tmp() + "/dest"
+    spark.range(5000).select(
+        when(col("id") % 10 === 0, lit(null))
+          .otherwise(lit("1996-01-15 00:00:00")).cast("timestamp").as("d"),
+        col("id").as("v"))
+      .write.parquet(frag)
+    // tiny target forces the salted/split path; a plain inner equi-join on
+    // the partition key would silently drop the 500 NULL-key rows
+    Compact.rewritePartitioned(spark, frag, dest,
+      partKeyCol = "d", pattern = "yyyy", targetBytes = 1024)
+    val back = spark.read.parquet(dest)
+    assert(back.count() == 5000)
+    assert(back.filter(col("par_key").isNull).count() == 500)
+  }
+
   test("two-level (-sp) migrate + compact: physical layout, clean reconcile") {
     val migrated = tmp() + "/m"
     val compacted = tmp() + "/c"
