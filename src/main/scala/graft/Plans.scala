@@ -22,7 +22,11 @@ object Plans {
       "q33_jaccard_pairs",   // explode + self-join + agg chain
       "q36_ann_topk",        // broadcast + native VectorDot codegen
       "q37_cosine_neardup",  // pair join with native dot
-      "q48_partition_pruned") // partition pruning on engine-written layout
+      "q38_ann_lsh",         // single-scan banded signature + posexplode
+      "q47_salted_join",     // salted skew join shape
+      "q48_partition_pruned", // partition pruning on engine-written layout
+      "q57_asof_join",       // union + single key shuffle + running last
+      "q58_range_join")      // interval->bucket explode + hash equi-join
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
