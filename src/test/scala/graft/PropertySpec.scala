@@ -101,6 +101,95 @@ object PropertySpec extends Properties("graft") {
       ((rows == 20000L) :| s"row count: $rows")
   }
 
+  // ---- randomized cross-checks of the newer operators against
+  //      straightforward driver-side / brute-force models ----
+
+  private def unionFind(n: Int, edges: Seq[(Int, Int)]): Map[Int, Int] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i -> find(find(i))).toMap
+  }
+
+  private val genEdges = for {
+    n <- Gen.choose(2, 40)
+    m <- Gen.choose(1, 60)
+    es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+  } yield (n, es.filter(e => e._1 != e._2))
+
+  property("connected components == driver union-find on random graphs") =
+    Prop.forAll(genEdges) { case (n, edges) =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val pairs = edges.map { case (a, b) =>
+          (math.min(a, b).toLong, math.max(a, b).toLong)
+        }.distinct.toDF("doc_a", "doc_b")
+        val got = graft.operators.DedupComponents.components(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val uf = unionFind(n, edges)
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        touched.forall(i => got(i.toLong) == uf(i).toLong)
+      }
+    }
+
+  private val genRangeCase = for {
+    nPts <- Gen.choose(1, 40)
+    nIvs <- Gen.choose(1, 15)
+    pts <- Gen.listOfN(nPts, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 2000000L)))
+    ivs <- Gen.listOfN(nIvs, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 2000000L), Gen.choose(0L, 900000L)))
+  } yield (pts, ivs)
+
+  property("range join == brute-force filter on random sub-second data") =
+    Prop.forAll(genRangeCase) { case (pts, ivs) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, timestamp_micros}
+      val p = pts.zipWithIndex.map { case ((k, us), i) => (i.toLong, k, us) }
+        .toDF("pid", "pk", "pus").withColumn("pt", timestamp_micros(col("pus")))
+      val iv = ivs.zipWithIndex.map { case ((k, s, w), i) => (i.toLong, k, s, s + w) }
+        .toDF("iid", "ik", "sus", "eus")
+        .withColumn("s", timestamp_micros(col("sus")))
+        .withColumn("e", timestamp_micros(col("eus")))
+      val got = graft.operators.RangeJoin.pointInInterval(
+          p, iv, "pk", "ik", "pt", "s", "e", bucketSeconds = 1L)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        ((pk, pus), pi) <- pts.zipWithIndex
+        ((ik, s, w), ii) <- ivs.zipWithIndex
+        if pk == ik && pus >= s && pus < s + w
+      } yield (pi.toLong, ii.toLong)).toSet
+      (got == want) :| s"got ${got.size} pairs, want ${want.size}"
+    }
+
+  private val genAsof = for {
+    nl <- Gen.choose(1, 30)
+    nr <- Gen.choose(0, 20)
+    ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 1000L)))
+    rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 1000L)))
+  } yield (ls, rs.distinct) // distinct (key, rt): keeps the model unambiguous
+
+  property("as-of join == brute-force latest-at-or-before") =
+    Prop.forAll(genAsof) { case (ls, rs) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "ts")
+        .withColumn("t", col("ts").cast("timestamp")).drop("ts")
+      val r = rs.map { case (k, rt) => (k, rt, s"v${k}_$rt") }
+        .toDF("k", "rts", "v")
+        .withColumn("rt", col("rts").cast("timestamp")).drop("rts")
+      val got = graft.operators.AsOfJoin
+        .asofJoin(l, r, "k", "k", "t", "rt", Seq("v"), joinType = "left")
+        .select("lid", "asof_v").collect()
+        .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val best = rs.filter(e => e._1 == k && e._2 <= t).sortBy(_._2).lastOption
+        i.toLong -> best.map(e => s"v${e._1}_${e._2}")
+      }.toMap
+      (got == want) :| s"mismatch: got $got want $want"
+    }
+
   // …and right-sized partitions keep the reference's one-file-per-leaf
   property("right-sized partitions still produce exactly one file each") = Prop.secure {
     val frag = Files.createTempDirectory("graft-prop-one").toString
