@@ -27,6 +27,21 @@ object TextFunctions {
   /** Whitespace-token count (non-whitespace runs). */
   def tokenCount(c: Column): Column = regexp_count(c, lit(NonWS + "+")).cast("long")
 
+  /** BPE-style pre-token classes (the GPT-2 pretokenizer shape:
+    * contractions, optional-leading-space letter runs, digit runs,
+    * punctuation runs). Both Java regex and RE2 support `\p{L}`/`\p{N}`
+    * identically, and the whitespace class is spelled out (see [[WS]]),
+    * so the count mirrors exactly in DuckDB.
+    */
+  val BpePattern =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"""
+
+  /** BPE-ish pre-token count — approximates LLM token counts far better
+    * than whitespace splitting on punctuation-heavy text (whitespace
+    * counts "end." as one token; a BPE pretokenizer sees two).
+    */
+  def subwordCount(c: Column): Column = regexp_count(c, lit(BpePattern)).cast("long")
+
   /** lowercase + trim + collapse internal whitespace. */
   def normalize(c: Column): Column =
     regexp_replace(lower(trim(c)), WS + "+", " ")

@@ -189,6 +189,35 @@ object Multimodal {
     }
   }
 
+  /** Resize image media to exactly (w, h): real `javax.imageio` decode,
+    * bilinear `Graphics2D` scale, PNG re-encode. Non-image payloads pass
+    * through untouched (a production pipeline forks per modality before
+    * transforms). Same mapPartitions batch shape as [[decode]].
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int)
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        if (!isPng(m.media)) m
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+          require(img != null, s"unreadable PNG for doc ${m.doc_id}")
+          val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaRow(m.doc_id, bos.toByteArray)
+        }
+      }
+    }
+  }
+
   /** STUB feature extraction: media bytes → fixed-dim float vector
     * (deterministic hash features; a real pipeline swaps in a model).
     */

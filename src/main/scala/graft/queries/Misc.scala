@@ -95,6 +95,28 @@ object Misc {
           sum(col("n_frames")).as("sum_frames"))
     },
 
+    // resize stage under the oracle: synthesize → resize(24×18) → decode.
+    // Images land at exactly the target box (re-encoded through the real
+    // PNG codec); audio/video pass through with their original geometry —
+    // all three independently derivable from doc_id by the SQL side.
+    QueryDef.checked(
+      "q60_multimodal_resize",
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+        |  count(*) AS n_media,
+        |  avg(CASE doc_id % 3 WHEN 0 THEN 24
+        |      WHEN 1 THEN 0 ELSE 16 + doc_id * 31 % 48 END) AS avg_width,
+        |  avg(CASE doc_id % 3 WHEN 0 THEN 18
+        |      WHEN 1 THEN 0 ELSE 16 + doc_id * 17 % 48 END) AS avg_height
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val media = Multimodal.synthesize(t(s, dir, "documents"))
+      Multimodal.decode(Multimodal.resize(media, 24, 18)).groupBy(col("format"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          avg(col("width")).as("avg_width"),
+          avg(col("height")).as("avg_height"))
+    },
+
     // frame sampling fan-out over the synthetic video corpus — every
     // sampled frame is REALLY decoded (idx1 walk + JPEG decode) and the
     // per-doc counts derive from the decoded index, so this is now

@@ -32,7 +32,27 @@ object Text {
        |     WHEN hd >= hf AND hd >= hs THEN 'de'
        |     WHEN hf >= hs THEN 'fr' ELSE 'es' END""".stripMargin
 
+  private val duckSubwords =
+    s"len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}'))"
+
   val entries: Seq[QueryDef] = Seq(
+
+    // BPE-style pre-token counting beside the whitespace count — the
+    // token-budget estimator an LLM-data pipeline actually needs
+    // (whitespace counts "end." as one token; a BPE pretokenizer sees two)
+    QueryDef.checked(
+      "q59_subword_count",
+      s"""SELECT lang,
+         |  CAST(sum($duckSubwords) AS BIGINT) AS total_subwords,
+         |  avg($duckSubwords) AS avg_subwords,
+         |  CAST(sum($duckTokens) AS BIGINT) AS total_ws_tokens
+         |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(
+          sum(subwordCount(col("text"))).as("total_subwords"),
+          avg(subwordCount(col("text"))).as("avg_subwords"),
+          sum(tokenCount(col("text"))).as("total_ws_tokens"))
+    },
 
     QueryDef.checked(
       "q29_text_stats",
