@@ -42,6 +42,27 @@ object TextFunctions {
     */
   def subwordCount(c: Column): Column = regexp_count(c, lit(BpePattern)).cast("long")
 
+  /** Hashes of every k-character gram of `textCol` (one per position; a
+    * short document yields its single truncated gram). The hash is the
+    * first 8 md5 hex chars — chosen over a Karp–Rabin rolling hash
+    * because it mirrors EXACTLY in DuckDB; the O(1)-update "rolling"
+    * trick only matters in an imperative scan, and vectorized evaluation
+    * computes all positions in parallel anyway. Feed to [[winnow]].
+    */
+  def kgramHashes(textCol: String, k: Int = 8): Column =
+    expr(s"""transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
+            |  i -> substring(md5(substring($textCol, i, $k)), 1, 8))""".stripMargin)
+
+  /** Winnowed document fingerprints (Schleimer et al., SIGMOD'03): the
+    * minimum gram hash of each sliding window of `w` positions, distinct.
+    * Guarantees any shared run of w+k-1 chars between two documents
+    * shares a fingerprint, at expected density 2/(w+1) — the standard
+    * local-fingerprinting scheme for plagiarism/near-dup detection.
+    */
+  def winnow(kgCol: String, w: Int = 4): Column =
+    expr(s"""array_distinct(transform(sequence(1, greatest(size($kgCol) - ${w - 1}, 1)),
+            |  j -> array_min(slice($kgCol, j, $w))))""".stripMargin)
+
   /** lowercase + trim + collapse internal whitespace. */
   def normalize(c: Column): Column =
     regexp_replace(lower(trim(c)), WS + "+", " ")

@@ -54,6 +54,22 @@ object Text {
           sum(tokenCount(col("text"))).as("total_ws_tokens"))
     },
 
+    // winnowed k-gram fingerprinting (the brief's "document fingerprinting
+    // (rolling hash)" done as the standard winnowing scheme) — per-doc
+    // distinct fingerprint counts, SQL-mirrored gram-for-gram
+    QueryDef.checked(
+      "q61_winnow_fingerprints",
+      """SELECT doc_id, len(list_distinct(list_transform(
+        |    range(1, greatest(len(kg) - 3, 1) + 1), j -> list_min(kg[j:j+3])))) AS n_fp
+        |FROM (SELECT doc_id,
+        |        list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |          i -> substring(md5(substring(text, i, 8)), 1, 8)) AS kg
+        |      FROM documents)""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("kg", kgramHashes("text", k = 8))
+        .select(col("doc_id"), size(winnow("kg", w = 4)).cast("long").as("n_fp"))
+    },
+
     QueryDef.checked(
       "q29_text_stats",
       s"""SELECT lang, source, count(*) AS n_docs,

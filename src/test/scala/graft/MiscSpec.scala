@@ -99,6 +99,26 @@ class MiscSpec extends AnyFunSuite {
     assert(s1.nonEmpty && s1 == s2)
   }
 
+  test("winnowing guarantee: docs sharing a w+k-1 char run share a fingerprint") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{kgramHashes, winnow}
+    val (k, w) = (8, 4)
+    val shared = "the quick brown fox jumps over" // 30 chars >= w+k-1 = 11
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBB interpolated junk text one"),
+      (2L, s"completely different prefix $shared different suffix"),
+      (3L, "no overlap with the others at all, entirely distinct content"))
+      .toDF("doc_id", "text")
+    val fps = docs.withColumn("kg", kgramHashes("text", k))
+      .select(col("doc_id"), explode(winnow("kg", w)).as("fp"))
+    val byDoc = fps.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "docs sharing a 30-char run must share a winnowed fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty,
+      "unrelated docs should not collide on 8-char gram fingerprints here")
+  }
+
   test("multimodal feature extraction yields fixed-dim vectors") {
     implicit val sp: SparkSession = spark
     val feats = Multimodal.features(
