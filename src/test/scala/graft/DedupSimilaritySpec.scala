@@ -99,6 +99,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connected components: a 300-link chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a transitive near-dup CHAIN (the pathological diameter case common
+    // in web corpora): plain one-hop min propagation needs 300 rounds and
+    // trips maxIters=20; pointer jumping must finish well inside it
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.operators.DedupComponents.components(chain)
+    assert(got.count() == 301)
+    assert(got.filter(org.apache.spark.sql.functions.col("component") =!= 0L).count() == 0,
+      "every chain node must resolve to component 0")
+  }
+
   test("IVF ANN recall vs brute force top-5") {
     val queries = emb.filter(col("vec_id") < 100)
     val exact = Similarity.bruteForceTopK(emb, queries, 5)
