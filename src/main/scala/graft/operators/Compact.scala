@@ -57,7 +57,7 @@ object Compact {
       srcOptions: Map[String, String] = Map.empty): Stats = {
 
     val (nFiles, nBytes) = pathStats(spark, srcPath)
-    val df0 = spark.read.format(srcFormat).options(srcOptions).load(srcPath)
+    val df0 = Migrate.read(spark, srcPath, srcFormat, srcOptions)
       .withColumn(partName, date_format(col(partKeyCol), pattern))
     val df = subPart.fold(df0)(sp => df0.withColumn(sp.name, sp.value))
     val partNames = partName +: subPart.map(_.name).toSeq
@@ -113,14 +113,17 @@ object Compact {
           spark.sparkContext.parallelize(splitRows.toIndexedSeq, 1), schema)
         val cond = partNames.zip(keyed)
           .map { case (p, k) => col(p) <=> col(k) }.reduce(_ && _)
-        // row_index is parquet-only; other file sources fall back to block
-        // granularity (file_block_start) — each input block is at most
-        // maxPartitionBytes, i.e. already target-file-sized, so block-level
-        // salting still bounds output file size
+        // row_index is parquet-only; other file sources fall back to
+        // monotonically_increasing_id — row-unique, and stable here
+        // because a DIRECT file scan plans its partitions (sorted file
+        // list, fixed split sizes) deterministically, so a retried task
+        // regenerates identical ids. (file_block_start would give every
+        // row of a ~128 MB scan block the same salt, breaking sub-block
+        // splitting for csv/json sources.)
         val rowPos =
           if (scala.util.Try(df.select(col("_metadata.row_index"))).isSuccess)
             col("_metadata.row_index")
-          else col("_metadata.file_block_start")
+          else monotonically_increasing_id()
         df.withColumn("__fp", col("_metadata.file_path"))
           .withColumn("__ri", rowPos)
           .join(broadcast(splitsDf), cond)

@@ -62,11 +62,15 @@ object Text {
       """SELECT doc_id, len(list_distinct(list_transform(
         |    range(1, greatest(len(kg) - 3, 1) + 1), j -> list_min(kg[j:j+3])))) AS n_fp
         |FROM (SELECT doc_id,
-        |        list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-        |          i -> substring(md5(substring(text, i, 8)), 1, 8)) AS kg
-        |      FROM documents)""".stripMargin) { (s, dir) =>
+        |        list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+        |          i -> substring(md5(substring(t, i, 8)), 1, 8)) AS kg
+        |      FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents))""".stripMargin) { (s, dir) =>
+      // coalesce: on NULL text Spark's array_distinct would keep a null
+      // fingerprint while DuckDB's list_distinct drops it — pin both
+      // engines to the empty-string gram instead
       t(s, dir, "documents")
-        .withColumn("kg", kgramHashes("text", k = 8))
+        .withColumn("t", coalesce(col("text"), lit("")))
+        .withColumn("kg", kgramHashes("t", k = 8))
         .select(col("doc_id"), size(winnow("kg", w = 4)).cast("long").as("n_fp"))
     },
 
