@@ -30,4 +30,33 @@ object VectorFunctions {
   def fdot(a: Column, b: Column): Column = VectorDot.dot(a, b)
   def fnorm(a: Column): Column = sqrt(fdot(a, a))
   def fcosine(a: Column, b: Column): Column = fdot(a, b) / (fnorm(a) * fnorm(b))
+
+  // ---- int8 quantization: 4× smaller embeddings on disk and through
+  // every shuffle — at 100 TB the embedding table's byte volume, not its
+  // FLOPs, is the bottleneck. Symmetric max-abs scheme: one float scale
+  // per vector, values in [-127, 127].
+
+  /** Per-vector quantization scale: max|x| / 127 (0-vectors → scale 1 so
+    * dequantization stays exact).
+    */
+  def q8Scale(a: Column): Column =
+    greatest(array_max(transform(a, x => abs(x))) / lit(127.0d), lit(1e-30d))
+
+  /** Quantize to array<tinyint> under [[q8Scale]]. */
+  def quantize8(a: Column, scale: Column): Column =
+    transform(a, x => round(x.cast("double") / scale).cast("tinyint"))
+
+  /** Dequantize back to array<float>. */
+  def dequantize8(q: Column, scale: Column): Column =
+    transform(q, x => (x.cast("double") * scale).cast("float"))
+
+  /** Cosine of two quantized vectors, computed from the int8 form alone:
+    * the per-vector scales cancel (cos(s·q) is scale-invariant), so only
+    * the tinyint arrays travel through the join — the scale column is
+    * needed for dot/L2 reconstruction, never for cosine ranking.
+    */
+  def q8Cosine(qa: Column, qb: Column): Column = {
+    def f(q: Column): Column = transform(q, x => x.cast("float"))
+    fdot(f(qa), f(qb)) / (fnorm(f(qa)) * fnorm(f(qb)))
+  }
 }

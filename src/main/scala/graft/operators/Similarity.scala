@@ -104,6 +104,31 @@ object Similarity {
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
   }
 
+  /** Top-k over INT8-QUANTIZED embeddings: corpus and queries are
+    * max-abs-quantized to `array<tinyint>` (4× fewer bytes through scan,
+    * broadcast, and shuffle — at 100 TB the embedding table's byte volume
+    * is the bottleneck, not its FLOPs) and ranked by quantized cosine
+    * (per-vector scales cancel in cosine). Same output shape as
+    * [[bruteForceTopK]]; recall vs full precision is pinned in
+    * DedupSimilaritySpec.
+    */
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.{q8Cosine, q8Scale, quantize8}
+    def prep(df: DataFrame, p: String): DataFrame =
+      df.select(col(idCol).as(p + "id"), col(vecCol).as("v"))
+        .withColumn("s", q8Scale(col("v")))
+        .select(col(p + "id"), quantize8(col("v"), col("s")).as(p + "q"))
+    val c = prep(corpus, "c_")
+    val q = prep(queries, "q_")
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", q8Cosine(col("q_q"), col("c_q")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id").as("vec_id"), col("c_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** Deterministic gaussian hyperplanes (fixed seed per table). */
   private[operators] def planes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

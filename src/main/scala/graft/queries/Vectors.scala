@@ -75,6 +75,15 @@ object Vectors {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 100), k = 5, dim = embDim(s, dir))
     },
 
+    // int8-quantized top-k — the storage/bandwidth scale lever (4× fewer
+    // bytes end-to-end); recall vs full precision pinned in
+    // DedupSimilaritySpec, not by the oracle (quantization is
+    // engine-specific by nature).
+    QueryDef.rowsOnly("q62_ann_quantized") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKQuantized(emb, emb.filter(col("vec_id") < 100), k = 5)
+    },
+
     // IVF (centroid-partitioned) approximate top-k — the other scale path;
     // recall vs brute force pinned in DedupSimilaritySpec. The model is a
     // persisted train-once artifact: the query path only assigns + probes

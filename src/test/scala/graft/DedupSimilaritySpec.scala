@@ -132,6 +132,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full == exact, "nprobe=k must reduce to brute force")
   }
 
+  test("int8-quantized topk: high recall vs full precision, bounded roundtrip error") {
+    import graft.functions.VectorFunctions.{dequantize8, q8Scale, quantize8}
+    val queries = emb.filter(col("vec_id") < 100)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteForceTopKQuantized(emb, queries, 5)
+      .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    info(s"quantized top-5 recall: $recall")
+    assert(recall >= 0.85, s"int8 recall too low: $recall")
+    // symmetric max-abs scheme: per-element roundtrip error ≤ scale/2
+    val bad = emb
+      .withColumn("s", q8Scale(col("embedding")))
+      .withColumn("rq", dequantize8(quantize8(col("embedding"), col("s")), col("s")))
+      .withColumn("maxerr", array_max(org.apache.spark.sql.functions.zip_with(
+        col("embedding"), col("rq"), (a, b) => abs(a - b))))
+      .filter(col("maxerr") > col("s") * 0.5 * 1.001 + 1e-6)
+      .count()
+    assert(bad == 0, s"$bad vectors exceed the scale/2 dequantization bound")
+  }
+
   test("brute-force topk is self-consistent: rank1 neighbor has max cosine") {
     val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
     val r = top.groupBy("vec_id").agg(
