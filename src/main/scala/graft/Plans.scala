@@ -26,7 +26,8 @@ object Plans {
       "q47_salted_join",     // salted skew join shape
       "q48_partition_pruned", // partition pruning on engine-written layout
       "q57_asof_join",       // union + single key shuffle + running last
-      "q58_range_join")      // interval->bucket explode + hash equi-join
+      "q58_range_join",      // interval->bucket explode + hash equi-join
+      "q62_ann_quantized")   // int8 arrays through the broadcast (declared NLJ baseline)
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
-/** Native codegen'd dot product of two numeric arrays (float or double
-  * elements), accumulating in double in array order.
+/** Native codegen'd dot product of two numeric arrays (float, double, or
+  * any integral element — tinyint arrays are the int8-quantized embedding
+  * form), accumulating in double in array order.
   *
   * Why a custom Expression: Spark's higher-order functions (`zip_with` +
   * `aggregate`) evaluate interpreted — per element they allocate lambda
@@ -28,12 +29,13 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case ArrayType(_: DecimalType, _) => false // no primitive accessor
+      case ArrayType(_: NumericType, _) => true
       case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vector_dot requires array<float|double> inputs, got " +
+      s"vector_dot requires numeric array inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -52,13 +54,20 @@ case class VectorDot(left: Expression, right: Expression)
     // with a plausible partial dot product and mask the data problem
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    def read(d: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => d.getFloat(i).toDouble
+      case DoubleType => d.getDouble(i)
+      case ByteType => d.getByte(i).toDouble
+      case ShortType => d.getShort(i).toDouble
+      case IntegerType => d.getInt(i).toDouble
+      case LongType => d.getLong(i).toDouble
+      case other => throw new IllegalStateException(s"unsupported element type $other")
+    }
     val lt = elemType(left); val rt = elemType(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += read(x, lt, i) * read(y, rt, i)
       i += 1
     }
     acc

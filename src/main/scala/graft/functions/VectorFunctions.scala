@@ -36,8 +36,11 @@ object VectorFunctions {
   // FLOPs, is the bottleneck. Symmetric max-abs scheme: one float scale
   // per vector, values in [-127, 127].
 
-  /** Per-vector quantization scale: max|x| / 127 (0-vectors → scale 1 so
-    * dequantization stays exact).
+  /** Per-vector quantization scale: max|x| / 127, clamped to a tiny
+    * positive floor so division is always defined. An all-zero vector
+    * quantizes to zeros and yields NaN cosine — exactly like the
+    * full-precision path divides by a zero norm; filter degenerate
+    * vectors upstream of either path.
     */
   def q8Scale(a: Column): Column =
     greatest(array_max(transform(a, x => abs(x))) / lit(127.0d), lit(1e-30d))
@@ -54,9 +57,8 @@ object VectorFunctions {
     * the per-vector scales cancel (cos(s·q) is scale-invariant), so only
     * the tinyint arrays travel through the join — the scale column is
     * needed for dot/L2 reconstruction, never for cosine ranking.
+    * [[VectorDot]] reads integral arrays natively (no per-pair casts).
     */
-  def q8Cosine(qa: Column, qb: Column): Column = {
-    def f(q: Column): Column = transform(q, x => x.cast("float"))
-    fdot(f(qa), f(qb)) / (fnorm(f(qa)) * fnorm(f(qb)))
-  }
+  def q8Cosine(qa: Column, qb: Column): Column =
+    fdot(qa, qb) / (fnorm(qa) * fnorm(qb))
 }

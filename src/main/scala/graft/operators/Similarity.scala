@@ -114,19 +114,18 @@ object Similarity {
     */
   def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorFunctions.{q8Cosine, q8Scale, quantize8}
+    // per-ROW prep: quantize and take the norm once (the norm of the int8
+    // array — scales cancel in cosine); only (id, tinyint array, norm)
+    // travels through the broadcast, and rank() reuses the same fdot-based
+    // scoring as the exact path (VectorDot reads integral arrays natively)
     def prep(df: DataFrame, p: String): DataFrame =
       df.select(col(idCol).as(p + "id"), col(vecCol).as("v"))
-        .withColumn("s", q8Scale(col("v")))
-        .select(col(p + "id"), quantize8(col("v"), col("s")).as(p + "q"))
+        .withColumn(p + "vec", quantize8(col("v"), q8Scale(col("v"))))
+        .drop("v")
+        .withColumn(p + "norm", fnorm(col(p + "vec")))
     val c = prep(corpus, "c_")
     val q = prep(queries, "q_")
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("cos", q8Cosine(col("q_q"), col("c_q")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("q_id").as("vec_id"), col("c_id").as("neighbor_id"), col("cos"), col("rn"))
+    rank(c.join(broadcast(q), col("q_id") =!= col("c_id")), k)
   }
 
   /** Deterministic gaussian hyperplanes (fixed seed per table). */
