@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every `SparkEntry.queries` entry `k` times against
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line.
+  *
+  * Robustness contract (a bench artifact that can lie is worse than none):
+  *   - a query that THROWS is recorded in `"failures"` with its error —
+  *     never as a fast success — and the process exits non-zero;
+  *   - each query's recorded time is the MIN of `k` runs (default 3,
+  *     `SPARK_GRAFT_BENCH_K`): min is the standard noise-floor estimator —
+  *     a single run can absorb a GC/JIT spike and distort a whole round
+  *     (an earlier artifact recorded 13.2 s for a query that measures
+  *     1.18 s fresh);
+  *   - `"queries_runs"` keeps every raw timing so variance stays visible.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt
     val spark = SparkEnv.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -20,15 +35,28 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(300)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val outcomes = (1 to k).map { _ =>
+        val t0 = System.nanoTime()
+        try { materialize(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      }
+      (name, outcomes.collect { case Right(t) => t }, outcomes.collectFirst { case Left(m) => m })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failures = results.collect { case (name, _, Some(err)) =>
+      s"""{"query":"$name","error":"${esc(err)}"}"""
+    }
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (n, ts, _) => s"\"$n\":${ts.min}" }.mkString("{", ",", "}")
+    val runs = ok.map { case (n, ts, _) => s"\"$n\":[${ts.mkString(",")}]" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","k":$k,""" +
+      s""""queries":$qs,"queries_runs":$runs,""" +
+      s""""failures":[${failures.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

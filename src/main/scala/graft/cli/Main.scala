@@ -98,16 +98,20 @@ object Main {
       }
 
     cmd match {
+      // -target bounds the bytes a destination leaf funnels through one
+      // writer (oversized leaves split — same flag as merge)
       case "trans-partition" =>
         val (start, end) = (req(m, "s"), req(m, "e"))
         val r = Migrate.migrateRange(spark, src, dst, dateCol,
-          start, end, pp, skip, alerter, pn, subPart, srcFormat, srcOptions)
+          start, end, pp, skip, alerter, pn, subPart, srcFormat, srcOptions,
+          m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024))
         println(s"migrated partitions=${r.partitionsWritten} skipped=${r.partitionsSkipped} rows=${r.rowsWritten}")
         verify(spark, src, dst, dateCol, pp, alerter, Some((start, end)), subPart,
           srcFormat, srcOptions)
       case "trans-whole-table" =>
         val r = Migrate.migrateAll(spark, src, dst, dateCol, pp, skip, alerter, pn,
-          subPart, srcFormat, srcOptions)
+          subPart, srcFormat, srcOptions,
+          m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024))
         println(s"migrated partitions=${r.partitionsWritten} skipped=${r.partitionsSkipped} rows=${r.rowsWritten}")
         verify(spark, src, dst, dateCol, pp, alerter, None, subPart, srcFormat, srcOptions)
       case "merge" =>

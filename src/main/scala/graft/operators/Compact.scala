@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   * compaction is "read partition, rewrite with a size-targeted file
   * count": executors do all I/O in parallel, output is snappy parquet
   * (the codec is a property, not an operator — HDFSMerge.java:196-197),
-  * and the multiset of rows is preserved by construction. Already-compact
-  * partitions can be skipped via `minFiles` — the reference's
-  * skip-`.snappy` filter (HDFSMerge.java:166).
+  * and the multiset of rows is preserved by construction. Destination
+  * leaves that are ALREADY compact — file count ≤ ⌈leaf bytes/target⌉ —
+  * are skipped (`skipCompacted`), the row-level analogue of the
+  * reference's skip-`.snappy` filter (HDFSMerge.java:166): re-compacting
+  * an already-compact destination rewrites nothing.
   */
 object Compact {
 
-  final case class Stats(filesBefore: Long, bytesBefore: Long, filesAfter: Long)
+  final case class Stats(filesBefore: Long, bytesBefore: Long, filesAfter: Long,
+      leavesSkipped: Long = 0)
 
   /** Rewrite `srcPath` at `destPath` partitioned by `partKeyCol` formatted
     * through `pattern` — one output file per partition directory UNLESS
@@ -43,6 +46,17 @@ object Compact {
     * `subPart` adds the reference's second partition level (`-sp true`,
     * HDFSMerge.java:90-112): output dirs become `par_key=/par_sub=/` and
     * compaction merges within each (key, sub) leaf.
+    *
+    * `skipCompacted` (the reference's skip-`.snappy` semantics): a
+    * destination leaf whose file count is already ≤ ⌈its bytes/target⌉ is
+    * left untouched — its source rows are excluded from the rewrite and
+    * the write switches to dynamic partition overwrite so the skipped
+    * files (and their mtimes) survive. Skipping assumes the destination
+    * leaf IS a prior compaction of the same source (exactly as the
+    * reference assumed a `.snappy` file was its own prior output); pass
+    * `skipCompacted = false` to force a full rewrite after the source
+    * changed in place. Note dynamic overwrite also keeps destination
+    * leaves absent from the source; the full-rewrite path truncates them.
     */
   def rewritePartitioned(
       spark: SparkSession,
@@ -54,32 +68,46 @@ object Compact {
       partName: String = "par_key",
       subPart: Option[Migrate.SubPart] = None,
       srcFormat: String = "parquet",
-      srcOptions: Map[String, String] = Map.empty): Stats = {
+      srcOptions: Map[String, String] = Map.empty,
+      skipCompacted: Boolean = true): Stats = {
 
     val (nFiles, nBytes) = pathStats(spark, srcPath)
-    val df0 = Migrate.read(spark, srcPath, srcFormat, srcOptions)
+    val dfAll0 = Migrate.read(spark, srcPath, srcFormat, srcOptions)
       .withColumn(partName, date_format(col(partKeyCol), pattern))
-    val df = subPart.fold(df0)(sp => df0.withColumn(sp.name, sp.value))
+    val dfAll = subPart.fold(dfAll0)(sp => dfAll0.withColumn(sp.name, sp.value))
     val partNames = partName +: subPart.map(_.name).toSeq
     val partCols = partNames.map(col)
 
-    // per-leaf split counts from ONE column-pruned count pass, collected -
-    // the result is bounded by the partition count (the reference's own
-    // driver granularity). If the WHOLE input fits the target, no leaf can
-    // be oversized - skip the pass entirely (the common small-compaction
-    // fast path). Partition values are strings by construction
-    // (date_format / SubPart.value), so they join back losslessly.
-    val splitRows: Array[org.apache.spark.sql.Row] =
-      if (nBytes <= targetBytes) Array.empty
+    // already-compact destination leaves: driver-side walk, bounded by the
+    // partition count (the same granularity as existingPartitions)
+    val skipLeaves: Seq[Seq[String]] =
+      if (!skipCompacted) Seq.empty
+      else Migrate.leafDirs(spark, destPath, partNames).map { case (fs, leaves) =>
+        leaves.filter { case (_, dir) =>
+          val files = fs.listStatus(dir).filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          val bytes = files.map(_.getLen).sum
+          files.nonEmpty &&
+            files.length <= math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+        }.map(_._1)
+      }.getOrElse(Seq.empty)
+    val df =
+      if (skipLeaves.isEmpty) dfAll
       else {
-        val leafRows = df.groupBy(partCols: _*).agg(count(lit(1)).as("__rows")).collect()
-        val totalRows = math.max(1L, leafRows.map(_.getLong(partNames.length)).sum)
-        val bytesPerRow = nBytes.toDouble / totalRows
-        leafRows.map { r =>
-          val splits = math.max(1L,
-            math.ceil(r.getLong(partNames.length) * bytesPerRow / targetBytes).toLong)
-          org.apache.spark.sql.Row.fromSeq(partNames.indices.map(r.get) :+ splits)
-        }
+        // anti-join on the (bounded, driver-built) skip list — null-safe,
+        // __HIVE_DEFAULT_PARTITION__ comes back as null from leafDirs
+        val keyed = partNames.indices.map(i => s"__s$i")
+        val schema = org.apache.spark.sql.types.StructType(
+          keyed.map(n => org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType)))
+        val skipDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            skipLeaves.map(vs => org.apache.spark.sql.Row.fromSeq(vs)), 1), schema)
+        val cond = partNames.zip(keyed)
+          .map { case (p, k) => col(p) <=> col(k) }.reduce(_ && _)
+        dfAll.join(broadcast(skipDf), cond, "left_anti")
       }
 
     // same key -> same task: one file per (leaf, salt); task count only
@@ -88,56 +116,115 @@ object Compact {
       .max(spark.sparkContext.defaultParallelism.toLong)
       .min(Int.MaxValue.toLong) // a tiny targetBytes must clamp, not wrap negative
     val dataCols = df.columns.map(col)
-    val keyed =
-      if (!splitRows.exists(_.getLong(partNames.length) > 1))
-        df.repartition(filesTotal.toInt, partCols: _*)
-      else {
-        // splits reach the rows via a BROADCAST join of the (bounded,
-        // driver-built) per-leaf table - a hash lookup per row, not a
-        // linear scan of a map literal. The salt hashes the row's source
-        // POSITION (_metadata file path + row index), which is (a) stable
-        // across task retries - rand() could duplicate/drop rows when a
-        // map task re-runs - and (b) distinct for duplicate rows, so a
-        // leaf full of identical rows (the dedup-tier norm) still spreads
-        // across its salt buckets; hashing data columns would send every
-        // duplicate to one reducer and also break on MapType columns.
-        // renamed join keys + NULL-SAFE equality: a NULL partition value
-        // (written as __HIVE_DEFAULT_PARTITION__) must keep its rows — a
-        // plain inner equi-join would silently drop every NULL-key row
-        val keyed = partNames.indices.map(i => s"__k$i")
-        val schema = org.apache.spark.sql.types.StructType(
-          df.select(partCols: _*).schema.fields.zip(keyed).map { case (f, n) => f.copy(name = n) } :+
-            org.apache.spark.sql.types.StructField("__splits",
-              org.apache.spark.sql.types.LongType, nullable = false))
-        val splitsDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(splitRows.toIndexedSeq, 1), schema)
-        val cond = partNames.zip(keyed)
-          .map { case (p, k) => col(p) <=> col(k) }.reduce(_ && _)
-        // row_index is parquet-only; other file sources fall back to
-        // monotonically_increasing_id — row-unique, and stable here
-        // because a DIRECT file scan plans its partitions (sorted file
-        // list, fixed split sizes) deterministically, so a retried task
-        // regenerates identical ids. (file_block_start would give every
-        // row of a ~128 MB scan block the same salt, breaking sub-block
-        // splitting for csv/json sources.)
-        val rowPos =
-          if (scala.util.Try(df.select(col("_metadata.row_index"))).isSuccess)
-            col("_metadata.row_index")
-          else monotonically_increasing_id()
-        df.withColumn("__fp", col("_metadata.file_path"))
-          .withColumn("__ri", rowPos)
-          .join(broadcast(splitsDf), cond)
-          .withColumn("__salt", pmod(xxhash64(col("__fp"), col("__ri")), col("__splits")))
-          .repartition(filesTotal.toInt, (partCols :+ col("__salt")): _*)
+    val salted =
+      if (nBytes <= targetBytes) None // whole input fits: no leaf can be oversized
+      else leafSalted(spark, df, partNames, targetBytes,
+        totalRows => nBytes.toDouble / totalRows)
+    val keyed = salted match {
+      case None => df.repartition(filesTotal.toInt, partCols: _*)
+      case Some((s, _)) =>
+        s.repartition(filesTotal.toInt, (partCols :+ col("__salt")): _*)
           .select(dataCols.toIndexedSeq: _*)
-      }
+    }
+    // with skips in play, dynamic overwrite replaces ONLY the rewritten
+    // leaves — a static overwrite would truncate the skipped (already
+    // compact) ones the skip just promised to keep
     keyed.write
       .partitionBy(partNames: _*)
       .mode("overwrite")
+      .option("partitionOverwriteMode", if (skipLeaves.nonEmpty) "dynamic" else "static")
       .parquet(destPath)
 
     val (outFiles, _) = pathStats(spark, destPath)
-    Stats(nFiles, nBytes, outFiles)
+    Stats(nFiles, nBytes, outFiles, skipLeaves.length.toLong)
+  }
+
+  /** Per-leaf size-split salt — shared by [[rewritePartitioned]] and
+    * [[Migrate]]'s write path (the same one-reducer-per-hot-partition
+    * hazard exists in both: `repartition(partCols)` funnels a hot
+    * partition value through a single writer task and lands it as one
+    * multi-TB file at 100 TB).
+    *
+    * Leaf sizes are estimated from ONE column-pruned count pass, collected
+    * — the result is bounded by the partition count (the reference's own
+    * driver granularity). `bytesPerRow` maps the observed total row count
+    * to a per-row byte estimate (Compact derives it from the source
+    * directory's byte total; Migrate from source stats computed upstream).
+    * Partition values are strings by construction (date_format /
+    * SubPart.value), so they join back losslessly.
+    *
+    * Returns `Some((df + "__salt", Σ splits))` when at least one leaf
+    * exceeds `targetBytes` — each row of an oversized leaf gets a
+    * deterministic salt in [0, splits(leaf)); callers repartition on
+    * (partCols :+ __salt) with an EXPLICIT partition count (at least the
+    * returned split total — an unpinned repartition lets AQE coalesce the
+    * salt buckets back into one task per leaf, undoing the split) and
+    * drop the column — or `None` when every leaf already fits (callers
+    * keep their unsalted plan).
+    */
+  private[operators] def leafSalted(
+      spark: SparkSession,
+      df: DataFrame,
+      partNames: Seq[String],
+      targetBytes: Long,
+      bytesPerRow: Long => Double): Option[(DataFrame, Long)] = {
+    val partCols = partNames.map(col)
+    val leafRows = df.groupBy(partCols: _*).agg(count(lit(1)).as("__rows")).collect()
+    val totalRows = math.max(1L, leafRows.map(_.getLong(partNames.length)).sum)
+    val bpr = bytesPerRow(totalRows)
+    val splitRows: Array[org.apache.spark.sql.Row] = leafRows.map { r =>
+      val splits = math.max(1L,
+        math.ceil(r.getLong(partNames.length) * bpr / targetBytes).toLong)
+      org.apache.spark.sql.Row.fromSeq(partNames.indices.map(r.get) :+ splits)
+    }
+    if (!splitRows.exists(_.getLong(partNames.length) > 1)) None
+    else {
+      // splits reach the rows via a BROADCAST join of the (bounded,
+      // driver-built) per-leaf table - a hash lookup per row, not a
+      // linear scan of a map literal. The salt hashes the row's source
+      // POSITION (_metadata file path + row index), which is (a) stable
+      // across task retries - rand() could duplicate/drop rows when a
+      // map task re-runs - and (b) distinct for duplicate rows, so a
+      // leaf full of identical rows (the dedup-tier norm) still spreads
+      // across its salt buckets; hashing data columns would send every
+      // duplicate to one reducer and also break on MapType columns.
+      // renamed join keys + NULL-SAFE equality: a NULL partition value
+      // (written as __HIVE_DEFAULT_PARTITION__) must keep its rows — a
+      // plain inner equi-join would silently drop every NULL-key row
+      val keyed = partNames.indices.map(i => s"__k$i")
+      val schema = org.apache.spark.sql.types.StructType(
+        df.select(partCols: _*).schema.fields.zip(keyed).map { case (f, n) => f.copy(name = n) } :+
+          org.apache.spark.sql.types.StructField("__splits",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      val splitsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(splitRows.toIndexedSeq, 1), schema)
+      val cond = partNames.zip(keyed)
+        .map { case (p, k) => col(p) <=> col(k) }.reduce(_ && _)
+      // row_index is parquet-only, and _metadata does not survive every
+      // plan shape (e.g. a non-file child); both probe-fail paths fall
+      // back to monotonically_increasing_id — row-unique, and stable in
+      // PRACTICE because a direct file scan plans its partitions (sorted
+      // file list, fixed split sizes) deterministically; if listing order
+      // or split confs changed between a task and its retry the ids could
+      // differ, re-bucketing rows — under dynamic overwrite that is
+      // file-size skew within the leaf, never loss or duplication.
+      // (file_block_start would give every row of a ~128 MB scan block
+      // the same salt, breaking sub-block splitting for csv/json sources.)
+      val rowPos =
+        if (scala.util.Try(df.select(col("_metadata.row_index"))).isSuccess)
+          col("_metadata.row_index")
+        else monotonically_increasing_id()
+      val filePath =
+        if (scala.util.Try(df.select(col("_metadata.file_path"))).isSuccess)
+          col("_metadata.file_path")
+        else lit("")
+      val salted = df.withColumn("__fp", filePath)
+        .withColumn("__ri", rowPos)
+        .join(broadcast(splitsDf), cond)
+        .withColumn("__salt", pmod(xxhash64(col("__fp"), col("__ri")), col("__splits")))
+        .drop("__fp", "__ri")
+      Some((salted, splitRows.map(_.getLong(partNames.length)).sum))
+    }
   }
 
   /** Unpartitioned variant: coalesce a directory to ~targetBytes files. */

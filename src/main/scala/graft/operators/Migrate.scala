@@ -45,6 +45,11 @@ object Migrate {
     * @param pattern   partition-value pattern (reference `-pp`)
     * @param alerter   receives one message per skipped partition (the
     *                  SendEmail role)
+    * @param targetBytes max bytes a destination leaf may hold in ONE file:
+    *                  a hot partition value fans out over
+    *                  ⌈bytes/target⌉ writer tasks/files instead of
+    *                  funnelling through a single reducer (the same
+    *                  oversized-leaf salt as [[Compact]])
     */
   def migrateRange(
       spark: SparkSession,
@@ -59,7 +64,8 @@ object Migrate {
       partName: String = "par_key",
       subPart: Option[SubPart] = None,
       srcFormat: String = "parquet",
-      srcOptions: Map[String, String] = Map.empty): Result = {
+      srcOptions: Map[String, String] = Map.empty,
+      targetBytes: Long = 128L * 1024 * 1024): Result = {
 
     val src = read(spark, srcPath, srcFormat, srcOptions)
       // end is inclusive at day granularity: < end + 1 day
@@ -68,7 +74,8 @@ object Migrate {
       .withColumn(partName, date_format(col(dateCol), pattern))
 
     migrate(spark, withSub(src, subPart), destPath, skipExisting, alerter,
-      partName +: subPart.map(_.name).toSeq)
+      partName +: subPart.map(_.name).toSeq,
+      targetBytes, srcBytesPerRow(spark, srcPath, srcFormat, srcOptions, targetBytes))
   }
 
   /** Migrate the whole table (TransWholeTablePartition): no date filter. */
@@ -83,11 +90,31 @@ object Migrate {
       partName: String = "par_key",
       subPart: Option[SubPart] = None,
       srcFormat: String = "parquet",
-      srcOptions: Map[String, String] = Map.empty): Result = {
+      srcOptions: Map[String, String] = Map.empty,
+      targetBytes: Long = 128L * 1024 * 1024): Result = {
     val src = read(spark, srcPath, srcFormat, srcOptions)
       .withColumn(partName, date_format(col(dateCol), pattern))
     migrate(spark, withSub(src, subPart), destPath, skipExisting, alerter,
-      partName +: subPart.map(_.name).toSeq)
+      partName +: subPart.map(_.name).toSeq,
+      targetBytes, srcBytesPerRow(spark, srcPath, srcFormat, srcOptions, targetBytes))
+  }
+
+  /** Bytes-per-row estimate of the source, or None when the whole source
+    * fits `targetBytes` (then no destination leaf can be oversized and the
+    * row-count job is skipped — the common case). The directory walk is
+    * cheap; the count is metadata-only for parquet and one scan for
+    * csv/json — paid only when the source is big enough to need splitting,
+    * and the migration reads it all anyway.
+    */
+  private def srcBytesPerRow(spark: SparkSession, srcPath: String,
+      srcFormat: String, srcOptions: Map[String, String],
+      targetBytes: Long): () => Option[Double] = () => {
+    val (_, srcBytes) = Compact.pathStats(spark, srcPath)
+    if (srcBytes <= targetBytes) None
+    else {
+      val rows = read(spark, srcPath, srcFormat, srcOptions).count()
+      Some(srcBytes.toDouble / math.max(1L, rows))
+    }
   }
 
   /** Structured source in any Spark-readable format (parquet/csv/json/orc
@@ -110,7 +137,9 @@ object Migrate {
       destPath: String,
       skipExisting: Boolean,
       alerter: Alerter,
-      partNames: Seq[String]): Result = {
+      partNames: Seq[String],
+      targetBytes: Long = Long.MaxValue,
+      bytesPerRow: () => Option[Double] = () => None): Result = {
 
     val partCols = partNames.map(col)
     val toWrite =
@@ -121,26 +150,53 @@ object Migrate {
           // partition-level anti-join against the existing destination
           // (the reference's per-partition fs.exists check; here one
           // distributed job over partition *values*, never rows).
+          // Renamed keys + NULL-SAFE equality: existingPartitions maps
+          // __HIVE_DEFAULT_PARTITION__ dirs back to null, and a plain
+          // equi-join would never match them — re-migrating every
+          // NULL-key partition on each skipExisting run.
+          val exNames = partNames.indices.map(i => s"__e$i")
+          val ex = existing.toDF(exNames: _*)
+          val cond = partNames.zip(exNames)
+            .map { case (p, e) => col(p) <=> col(e) }.reduce(_ && _)
           val skipped = srcWithKey.select(partCols: _*).distinct()
-            .join(existing, partNames, "left_semi")
+            .join(ex, cond, "left_semi")
             .collect() // bounded: one row per partition
-            .map(r => partNames.indices.map(i => s"${partNames(i)}=${r.getString(i)}").mkString("/"))
+            .map(r => partNames.indices.map(i =>
+              s"${partNames(i)}=${Option(r.getString(i)).getOrElse("__HIVE_DEFAULT_PARTITION__")}")
+              .mkString("/"))
             .sorted
           skipped.foreach(p => alerter.alert("migrate.skip",
             s"destination partition already exists: $p"))
-          srcWithKey.join(existing, partNames, "left_anti")
+          srcWithKey.join(ex, cond, "left_anti")
       }
 
     // Single distributed write; shuffle by partition key so each task owns
-    // whole partitions (avoids the many-small-files write pattern).
+    // whole partitions (avoids the many-small-files write pattern) —
+    // UNLESS a leaf exceeds targetBytes, in which case its rows are
+    // salted over ⌈bytes/target⌉ buckets ([[Compact.leafSalted]]) so a
+    // hot partition value fans out across writer tasks instead of
+    // funnelling one multi-TB file through a single reducer.
+    val repartitioned =
+      bytesPerRow().flatMap(bpr =>
+          Compact.leafSalted(spark, toWrite, partNames, targetBytes, _ => bpr)) match {
+        case None => toWrite.repartition(partCols: _*)
+        case Some((s, totalSplits)) =>
+          // EXPLICIT partition count ≥ the split total: an unpinned
+          // repartition lets AQE coalesce the salt buckets back into one
+          // task per leaf, silently undoing the split
+          val n = totalSplits
+            .max(spark.sparkContext.defaultParallelism.toLong)
+            .min(Int.MaxValue.toLong).toInt
+          s.repartition(n, (partCols :+ col("__salt")): _*)
+            .select(srcWithKey.columns.map(col).toIndexedSeq: _*)
+      }
     // rowsWritten AND the distinct-partition count ride along via observe
     // (partition keys are bounded — the reference's own driver granularity
     // — so a collect_set metric is safe) — no second scan of the source.
     val obs = new org.apache.spark.sql.Observation()
-    val keyed = toWrite.observe(obs,
+    val keyed = repartitioned.observe(obs,
         count(lit(1)).as("rows"),
         size(collect_set(struct(partCols: _*))).as("nparts"))
-      .repartition(partCols: _*)
     keyed.write
       .partitionBy(partNames: _*)
       .mode("overwrite")
@@ -178,15 +234,42 @@ object Migrate {
     * TransTablePartition.java:126-131).
     */
   def existingPartitions(spark: SparkSession, destPath: String,
-      partNames: Seq[String] = Seq("par_key")): Option[DataFrame] = {
+      partNames: Seq[String] = Seq("par_key")): Option[DataFrame] =
+    leafDirs(spark, destPath, partNames).map { case (fs, leaves) =>
+      // a leaf only counts as migrated if it holds at least one DATA file:
+      // a crashed/partial previous run can leave an empty value directory,
+      // and skipExisting must re-migrate it, not skip it forever
+      val tuples = leaves.collect {
+        case (vals, leafDir) if fs.listStatus(leafDir).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        } => vals
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        partNames.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+      val rows = tuples.map(vs => org.apache.spark.sql.Row.fromSeq(vs))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
+
+  /** Walk destPath's `name=value` directory tree down `partNames` levels:
+    * (filesystem, Seq of (partition values, leaf dir)) — None when the
+    * root does not exist. Values are read from the DIRECTORY NAMES (see
+    * [[existingPartitions]] for why partition-discovery reads are wrong
+    * here), percent-unescaped, with `__HIVE_DEFAULT_PARTITION__` mapped
+    * back to null (callers join null-safely with <=>). Shared with
+    * [[Compact]]'s already-compact skip.
+    */
+  private[operators] def leafDirs(spark: SparkSession, destPath: String,
+      partNames: Seq[String])
+      : Option[(org.apache.hadoop.fs.FileSystem, Seq[(Seq[String], org.apache.hadoop.fs.Path)])] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(destPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
-    // Hive-style layouts percent-escape special characters in value dirs;
-    // unescape so values compare equal to the column values that wrote them
-    def unescape(v: String): String =
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+    def unescape(v: String): String = {
+      val u = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+      if (u == "__HIVE_DEFAULT_PARTITION__") null else u
+    }
     def valueDirs(dir: Path, name: String): Seq[(String, Path)] =
       fs.listStatus(dir).toSeq
         .filter(_.isDirectory)
@@ -195,20 +278,8 @@ object Migrate {
           if (n.startsWith(name + "=")) Some(unescape(n.drop(name.length + 1)) -> st.getPath)
           else None
         }
-    // a leaf only counts as migrated if it holds at least one DATA file:
-    // a crashed/partial previous run can leave an empty value directory,
-    // and skipExisting must re-migrate it, not skip it forever
-    def hasDataFile(dir: Path): Boolean =
-      fs.listStatus(dir).exists { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-    val tuples = partNames.foldLeft(Seq(Seq.empty[String] -> root)) { (acc, name) =>
+    Some((fs, partNames.foldLeft(Seq(Seq.empty[String] -> root)) { (acc, name) =>
       acc.flatMap { case (vals, dir) => valueDirs(dir, name).map { case (v, d) => (vals :+ v, d) } }
-    }.collect { case (vals, leafDir) if hasDataFile(leafDir) => vals }
-    val schema = org.apache.spark.sql.types.StructType(
-      partNames.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
-    val rows = tuples.map(vs => org.apache.spark.sql.Row.fromSeq(vs))
-    Some(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    }))
   }
 }

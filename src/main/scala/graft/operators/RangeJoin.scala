@@ -35,17 +35,22 @@ object RangeJoin {
     // (e.g. end 11:00:00.5 exclusive never generates the 11:00:00 bucket
     // that a point at 11:00:00.2 hashes to).
     val bucketMicros = bucketSeconds * 1000000L
-    def bucket(c: Column): Column = floor(unix_micros(c) / bucketMicros)
+    // to_timestamp keeps the historical call surface: date/string point or
+    // interval columns coerce to timestamps (as they did under
+    // unix_timestamp) instead of failing unix_micros analysis; on a
+    // TimestampType input it is a no-op.
+    def ts(c: Column): Column = to_timestamp(c)
+    def bucket(c: Column): Column = floor(unix_micros(ts(c)) / bucketMicros)
 
     val p = points.withColumn("__b", bucket(col(pointCol)))
     val i = intervals
       // empty/inverted intervals produce no buckets; with end > start the
       // last bucket (of end − 1 µs, end being exclusive) is always ≥ the
       // first, so sequence() can never descend
-      .filter(col(endCol) > col(startCol))
+      .filter(ts(col(endCol)) > ts(col(startCol)))
       .withColumn("__b", explode(sequence(
         bucket(col(startCol)),
-        floor((unix_micros(col(endCol)) - 1) / bucketMicros))))
+        floor((unix_micros(ts(col(endCol))) - 1) / bucketMicros))))
 
     p.join(i, p("__b") === i("__b") && col(pointKey) === col(intervalKey))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))

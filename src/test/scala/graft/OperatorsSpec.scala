@@ -91,6 +91,78 @@ class OperatorsSpec extends AnyFunSuite {
     assert(back.filter(col("par_key").isNull).count() == 500)
   }
 
+  test("skipExisting skips NULL-key partitions on re-run (null-safe join)") {
+    val frag = tmp() + "/src"
+    val dest = tmp() + "/dest"
+    spark.range(100).select(
+        when(col("id") % 2 === 0, lit(null))
+          .otherwise(lit("1996-01-15 00:00:00")).cast("timestamp").as("d"),
+        col("id").as("v"))
+      .write.parquet(frag)
+    Migrate.migrateAll(spark, frag, dest, "d", pattern = "yyyy")
+    // the NULL partition landed as __HIVE_DEFAULT_PARTITION__; the re-run
+    // must skip it like any other existing partition — a plain equi-join
+    // never matches null and would re-migrate it on every run
+    val alerts = new Alerter.Collecting
+    val r = Migrate.migrateAll(spark, frag, dest, "d", pattern = "yyyy",
+      skipExisting = true, alerter = alerts)
+    assert(r.partitionsWritten == 0 && r.partitionsSkipped == 2)
+    assert(alerts.all.exists(_._2.contains("__HIVE_DEFAULT_PARTITION__")))
+  }
+
+  test("re-compacting an already-compact destination rewrites nothing") {
+    val frag = tmp() + "/frag"
+    val dest = tmp() + "/dest"
+    Tables.load(spark, sf, "orders").repartition(8).write.parquet(frag)
+    val s1 = Compact.rewritePartitioned(spark, frag, dest, "o_orderdate", pattern = "yyyy")
+    assert(s1.leavesSkipped == 0)
+    def leafFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(dest).listFiles().filter(_.getName.startsWith("par_key="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = leafFiles()
+    assert(before.nonEmpty)
+    // second run: every leaf is already ≤ ⌈bytes/target⌉ files → per-leaf
+    // no-op (the reference's skip-.snappy semantics) — same file names,
+    // counts, AND mtimes afterwards
+    val s2 = Compact.rewritePartitioned(spark, frag, dest, "o_orderdate", pattern = "yyyy")
+    assert(s2.leavesSkipped == before.size.toLong)
+    assert(leafFiles() == before)
+    // skipCompacted = false forces the full rewrite (source changed in place)
+    val s3 = Compact.rewritePartitioned(spark, frag, dest, "o_orderdate", pattern = "yyyy",
+      skipCompacted = false)
+    assert(s3.leavesSkipped == 0)
+    assert(leafFiles().keySet == before.keySet)
+  }
+
+  test("compact skips only the compact leaves; fragmented ones are rewritten") {
+    val frag = tmp() + "/frag"
+    val dest = tmp() + "/dest"
+    val orders = Tables.load(spark, sf, "orders")
+    orders.write.parquet(frag)
+    Compact.rewritePartitioned(spark, frag, dest, "o_orderdate", pattern = "yyyy")
+    // fragment ONE destination leaf in place (many tiny files)
+    val leaf = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith("par_key=")).minBy(_.getName)
+    val year = leaf.getName.stripPrefix("par_key=")
+    // localCheckpoint materializes the rows BEFORE the overwrite deletes
+    // the files being read
+    spark.read.parquet(leaf.getPath).localCheckpoint().repartition(7)
+      .write.mode("overwrite").parquet(leaf.getPath)
+    val s = Compact.rewritePartitioned(spark, frag, dest, "o_orderdate", pattern = "yyyy")
+    assert(s.leavesSkipped > 0 && s.leavesSkipped == before(dest).size - 1)
+    // the fragmented leaf is compact again and content survived intact
+    assert(new java.io.File(leaf.getPath).listFiles()
+      .count(f => f.getName.endsWith(".parquet")) == 1)
+    val want = orders.filter(date_format(col("o_orderdate"), "yyyy") === year).count()
+    assert(spark.read.parquet(leaf.getPath).count() == want)
+  }
+
+  private def before(dest: String): Seq[String] =
+    new java.io.File(dest).listFiles().toSeq
+      .filter(_.getName.startsWith("par_key=")).map(_.getName)
+
   test("two-level (-sp) migrate + compact: physical layout, clean reconcile") {
     val migrated = tmp() + "/m"
     val compacted = tmp() + "/c"

@@ -101,6 +101,25 @@ object PropertySpec extends Properties("graft") {
       ((rows == 20000L) :| s"row count: $rows")
   }
 
+  // Migrate's write path has the same hot-day hazard as Compact: a day
+  // whose bytes exceed targetBytes must fan out over multiple writer
+  // tasks/files (shared [[Compact.leafSalted]] salt), with the Hive
+  // layout and the row multiset intact
+  property("migrate splits an oversized day into >1 file, multiset preserved") = Prop.secure {
+    val frag = Files.createTempDirectory("graft-prop-mig-split").toString
+    val dest = frag + "-out"
+    ordersSrc.write.mode("overwrite").parquet(frag)
+    graft.operators.Migrate.migrateAll(spark, frag, dest,
+      dateCol = "o_orderdate", pattern = "yyyy", targetBytes = 2 * 1024)
+    val counts = leafFileCounts(dest, "par_key")
+    val dst = spark.read.parquet(dest)
+      .select(ordersSrc.columns.map(col).toIndexedSeq: _*)
+    val clean = Reconcile.diff(ordersManifest,
+        Reconcile.manifest(dst, date_format(col("o_orderdate"), "yyyyMM")))
+      .filter(col("status") =!= "ok").count() == 0
+    (counts.nonEmpty && counts.forall(_ > 1) :| s"leaf file counts: $counts") && clean
+  }
+
   // ---- randomized cross-checks of the newer operators against
   //      straightforward driver-side / brute-force models ----
 
