@@ -91,21 +91,60 @@ object IvfAnn {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = Model(
     spark.read.parquet(path).collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1))
 
-  /** Train-once semantics: reuse the persisted model if present, else train
-    * and persist. At scale, training is its own (infrequent) job and the
-    * model is an artifact; the QUERY path must only assign + probe — k
-    * Lloyd passes over the corpus per query invocation would re-read the
-    * whole table every time.
+  /** Cheap corpus identity: (row count, XOR of per-row xxhash64(id, vec)).
+    * XOR is order-independent (the corpus has no canonical row order) and
+    * cannot overflow under ANSI arithmetic; one column-pruned pass.
+    */
+  private[operators] def fingerprint(corpus: DataFrame,
+      idCol: String, vecCol: String): (Long, Long) = {
+    val r = corpus.agg(count(lit(1)), bit_xor(xxhash64(col(idCol), col(vecCol)))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def fpPath(path: String) = new org.apache.hadoop.fs.Path(path, "_fingerprint")
+
+  private def writeFingerprint(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      fp: (Long, Long)): Unit = {
+    val out = fs.create(fpPath(path), true)
+    try out.write(s"${fp._1},${fp._2}".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[(Long, Long)] =
+    if (!fs.exists(fpPath(path))) None
+    else {
+      val in = fs.open(fpPath(path))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      s.split(",") match {
+        case Array(a, b) => scala.util.Try((a.toLong, b.toLong)).toOption
+        case _ => None
+      }
+    }
+
+  /** Train-once semantics: reuse the persisted model while it matches the
+    * corpus, else train and persist. At scale, training is its own
+    * (infrequent) job and the model is an artifact; the QUERY path must
+    * only assign + probe — k Lloyd passes over the corpus per query
+    * invocation would re-read the whole table every time.
+    *
+    * Staleness: the artifact carries a corpus FINGERPRINT (count + XOR of
+    * row hashes — `_fingerprint`, an underscore file so parquet reads
+    * ignore it). A corpus rewritten IN PLACE under the same path retrains
+    * instead of silently reusing stale centroids; the fingerprint pass is
+    * one column-pruned scan, far cheaper than the `iters` training scans
+    * it guards.
     */
   def trainOrLoad(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       path: String, k: Int = 16, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) load(spark, path)
+    val fp = fingerprint(corpus, idCol, vecCol)
+    if (fs.exists(p) && readFingerprint(fs, path).contains(fp)) load(spark, path)
     else {
       val m = train(corpus, k, iters, idCol, vecCol)
       save(spark, m, path)
+      writeFingerprint(fs, path, fp)
       m
     }
   }

@@ -153,12 +153,23 @@ object Similarity {
     * row out to its `ntables` (table, bucket) keys, instead of `ntables`
     * separate scans each dragging 8 VectorDot calls per row through the
     * plan.
+    *
+    * MULTI-PROBE (`probes` > 1): each QUERY additionally probes the
+    * buckets reached by flipping its `probes - 1` weakest sign bits per
+    * table — the bits whose hyperplane dot is nearest zero, i.e. the
+    * likeliest to disagree with a true neighbor's (Lv et al., VLDB'07).
+    * Near-miss neighbors differing in exactly one low-margin bit become
+    * candidates without adding tables, so recall rises at ≤ `probes`×
+    * candidate volume (structural bound: ≤ `probes` buckets per (query,
+    * table)) and ZERO extra corpus-side cost — the corpus index is
+    * untouched, only the bounded broadcast side fans out.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nbits: Int = 8, ntables: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1, probes: Int = 2): DataFrame = {
     import graft.functions.HyperplaneBands
+    require(probes >= 1 && probes <= nbits + 1, "probes: 1 + at most nbits flips")
     val d = dimOrProbe(corpus, vecCol, dim) match {
       case Some(x) => x
       case None => return corpus.select(col(idCol).as("vec_id"),
@@ -172,7 +183,34 @@ object Similarity {
         .toDF(p + "id", "table", "bucket")
     val c = withNorm(corpus, idCol, vecCol, "c_")
     val q = withNorm(queries, idCol, vecCol, "q_")
-    val cands = keyed(c, "c_").join(broadcast(keyed(q, "q_")), Seq("table", "bucket"))
+    // query-side probe fan-out: per table, the exact bucket plus single-bit
+    // flips of the weakest bits. Per-bit dots are recomputed as Column
+    // expressions ONLY here — the query side is bounded and broadcast; the
+    // corpus side keeps the single codegen'd signature scan.
+    val qKeyed =
+      if (probes == 1) keyed(q, "q_")
+      else {
+        val qd = asDouble(col("q_vec"))
+        val perTable = (0 until ntables).flatMap { t =>
+          val dots = (0 until nbits).map(i => fdot(qd, typedlit(ps(t * nbits + i).toSeq)))
+          val bucket = dots.zipWithIndex
+            .map { case (dt, i) => when(dt > 0, lit(1L << i)).otherwise(lit(0L)) }
+            .reduce(_ + _)
+          // masks ride the sort as precomputed literals: sort by |dot|
+          // (ties broken by mask — deterministic), flip the j-th weakest
+          val byMargin = array_sort(array(dots.zipWithIndex.map { case (dt, i) =>
+            struct(abs(dt).as("a"), lit(1L << i).as("m"))
+          }: _*))
+          (0 until probes).map { j =>
+            val b = if (j == 0) bucket
+              else bucket.bitwiseXOR(element_at(byMargin, j).getField("m"))
+            struct(lit(t).as("table"), b.as("bucket"))
+          }
+        }
+        q.select(col("q_id"), explode(array(perTable: _*)).as("tb"))
+          .select(col("q_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      }
+    val cands = keyed(c, "c_").join(broadcast(qKeyed), Seq("table", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))
       .distinct()

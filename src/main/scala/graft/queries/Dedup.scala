@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{DedupComponents, MinHashDedup, SimHashDedup}
+import graft.operators.{MinHashDedup, SimHashDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,88 +16,31 @@ object Dedup {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
-  /** One materialized pair graph per (session, dir, threshold): q33 emits
-    * the pairs, q51 runs components over the SAME graph, q55 drops
-    * non-keepers from the SAME graph — without this, each of the three
-    * recomputes the whole explode→index→join→verify pipeline from the raw
-    * corpus (3× the most expensive relation in the engine). The cached
-    * frame is `localCheckpoint`ed, so reuse costs a block read, not a
-    * recompute; [[graft.SessionCache]] scopes entries to the live
-    * application (test suites cycle sessions). At cluster scale the same
-    * role is played by writing the pair graph to a scratch table once per
-    * corpus version.
+  /** One materialized pair graph per CORPUS VERSION: q33 emits the pairs,
+    * q51 reads components of the SAME graph, q55 drops non-keepers from
+    * the SAME graph — without sharing, each of the three recomputes the
+    * whole explode→index→join→verify pipeline from the raw corpus (3× the
+    * most expensive relation in the engine). The graph lives as a
+    * [[graft.operators.DedupPipeline]] scratch artifact (pairs +
+    * components parquet, fingerprint-stamped), so it survives the session
+    * and is shared across JVMs — the cluster-scale shape, where the graph
+    * is a scratch table written once per corpus version. Consumers pay
+    * one fingerprint scan of `documents`; a corpus rewritten in place
+    * rebuilds instead of reusing a stale graph.
     */
-  private val pairsCache = new graft.SessionCache[DataFrame]
+  private def scratch(dir: String, threshold: Double): String =
+    s"${sys.props("java.io.tmpdir")}/graft-scratch/dedup_" +
+      s"${dir.replaceAll("[^a-zA-Z0-9.]", "_")}_$threshold"
 
   private def jaccardPairs(s: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame =
-    pairsCache.getOrCompute(s, s"$dir|$threshold")(computeJaccardPairs(s, dir, threshold))
+    graft.operators.DedupPipeline.pairs(s, t(s, dir, "documents"),
+      scratch(dir, threshold), threshold)
 
-  /** (lang, source)-blocked word-set jaccard pairs ≥ `threshold` — shared
-    * by q33 (pair output) and q51/q55 (component input).
-    *
-    * Candidate generation uses PREFIX FILTERING (the AllPairs/PPJoin
-    * principle, Bayardo et al. WWW'07): order each doc's tokens rarest-
-    * first by block document frequency; if jac(x, y) ≥ t, the first
-    * |x| - ⌈t·|x|⌉ + 1 tokens of x and of y must share at least one token,
-    * so indexing ONLY that prefix (~20% of tokens at t = 0.8, and the
-    * rarest 20% at that) keeps full recall GUARANTEED while removing
-    * high-df tokens from the inverted index entirely — a raw token index
-    * explodes |block|²-style on stopword-frequency tokens at corpus scale.
-    * Verification computes exact jaccard from the full token sets, so the
-    * output is identical to the naive all-token join.
-    *
-    * Plan shape: the token relation `dw` (explode + distinct — the
-    * dominant cost) is materialized ONCE via `localCheckpoint` and feeds
-    * every downstream subtree; the doc-size count rides the same
-    * window pass as the prefix rank (no separate groupBy+join); the
-    * prefix self-join and the two verification joins then reuse their
-    * identical child exchanges. Without the checkpoint the four subtrees
-    * shuffle `dw` on four different keys and Catalyst recomputes the
-    * explode+distinct for each.
-    */
-  private def computeJaccardPairs(s: SparkSession, dir: String,
-      threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dw = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(split(col("text"), " ")).as("w"))
-      .distinct()
-      .localCheckpoint()
-    val tokDf = dw.groupBy("lang", "source", "w").agg(count(lit(1)).as("df"))
-    // rarest-first global order within each block; (df, w) is a total,
-    // deterministic order shared by all docs of the block. The doc size n
-    // shares the same doc_id partitioning (one shuffle, one sort).
-    val wdoc = Window.partitionBy("doc_id")
-    val ranked = dw.join(tokDf, Seq("lang", "source", "w"))
-      .withColumn("rank", row_number().over(wdoc.orderBy(col("df"), col("w"))))
-      .withColumn("n", count(lit(1)).over(wdoc))
-    // the 1e-9 guard keeps fp noise (0.8*5 = 4.000…001 → ceil 5) from
-    // rounding ⌈t·n⌉ UP at exact-integer boundaries — that would shorten
-    // the prefix and silently break the recall guarantee; erring the other
-    // way only lengthens the prefix by one token
-    val prefix = ranked
-      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
-      .select("doc_id", "lang", "source", "w")
-    val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // exact verification over full token sets (sets are distinct by
-    // construction, so array_intersect size IS the intersection count)
-    val toks = dw.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
-    cands
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
-        size(col("ta")).cast("long").as("na"), size(col("tb")).cast("long").as("nb"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .filter(col("jac") >= threshold)
-      .localCheckpoint()
-  }
+  private def dupComponents(s: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    graft.operators.DedupPipeline.components(s, t(s, dir, "documents"),
+      scratch(dir, threshold), threshold)
 
   /** Shared oracle-SQL fragments — the jaccard-pair and reachability CTEs
     * appear in three oracles (q33, q51, q55); single source so the
@@ -193,7 +136,7 @@ object Dedup {
          |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component,
          |  count(DISTINCT r) AS comp_size
          |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
-      DedupComponents.components(jaccardPairs(s, dir))
+      dupComponents(s, dir)
     },
 
     // the dedup pipeline end-to-end: drop every non-keeper (component
@@ -206,7 +149,7 @@ object Dedup {
          |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
          |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
          |GROUP BY lang""".stripMargin) { (s, dir) =>
-      val comp = DedupComponents.components(jaccardPairs(s, dir))
+      val comp = dupComponents(s, dir)
       val drops = comp.filter(col("component") =!= col("doc_id")).select(col("doc_id"))
       t(s, dir, "documents")
         .join(drops, Seq("doc_id"), "left_anti")

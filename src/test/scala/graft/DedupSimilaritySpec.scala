@@ -88,6 +88,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH ANN recall: $recall")
   }
 
+  test("multi-probe LSH: recall up at ≤2× candidates; probes substitute for tables") {
+    val queries = emb.filter(col("vec_id") < 100)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(p: Int, nb: Int, nt: Int): Double = {
+      val a = Similarity.lshTopK(emb, queries, 5, nbits = nb, ntables = nt, probes = p)
+        .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & a).size.toDouble / exact.size
+    }
+    // q38's operating point (4×8 at the weak-similarity fixture regime):
+    // single-probe measures 0.668, one extra probe lifts it to 0.868 at a
+    // structurally-bounded ≤2× candidate volume (≤ probes buckets per
+    // (query, table); the corpus index is untouched)
+    val r1 = recallAt(1, 4, 8)
+    val r2 = recallAt(2, 4, 8)
+    info(s"4x8 recall: probes=1 $r1, probes=2 $r2")
+    assert(r2 >= 0.75, s"multi-probe recall floor: $r2")
+    assert(r2 >= r1 + 0.1, s"probe lift: $r1 -> $r2")
+    // probes substitute for TABLES: half the corpus index (4 tables) with
+    // 3 probes beats the full 8-table index single-probe — the memory/
+    // recall lever multi-probe exists for (measures 0.778 vs 0.668)
+    val rHalf = recallAt(3, 4, 4)
+    info(s"4x4 probes=3 recall: $rHalf")
+    assert(rHalf >= r1, s"4 tables × 3 probes ($rHalf) must reach 8 tables × 1 ($r1)")
+  }
+
   test("connected components: known graph resolves to min-id labels") {
     import spark.implicits._
     // components: {1,2,3,7}, {4,5}, {9,10}
@@ -130,6 +156,66 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val full = graft.operators.IvfAnn.topK(emb, queries, model, k = 5, nprobe = 16)
       .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == exact, "nprobe=k must reduce to brute force")
+  }
+
+  test("DedupPipeline artifact: reused across sessions, rebuilt on corpus change") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-art").toString
+    val docsPath = s"$base/docs"
+    val scratch = s"$base/scratch"
+    Seq(
+      (0L, "en", "web", "aaa bbb ccc ddd eee"),
+      (1L, "en", "web", "aaa bbb ccc ddd eee"), // dup of 0
+      (2L, "en", "web", "zzz yyy xxx www vvv"))
+      .toDF("doc_id", "lang", "source", "text").write.parquet(docsPath)
+    val p1 = graft.operators.DedupPipeline
+      .pairs(spark, spark.read.parquet(docsPath), scratch)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((0L, 1L)))
+    val part = new java.io.File(s"$scratch/pairs").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    // a sibling session (the session-restart case) READS the artifact —
+    // the original part file survives, proving no rebuild happened
+    val s2 = spark.newSession()
+    val p2 = graft.operators.DedupPipeline
+      .pairs(s2, s2.read.parquet(docsPath), scratch)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == p1 && part.exists())
+    // components come from the SAME materialized graph
+    val comp = graft.operators.DedupPipeline
+      .components(spark, spark.read.parquet(docsPath), scratch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(0L -> 0L, 1L -> 0L) && part.exists())
+    // corpus rewritten in place (two docs appended) → fingerprint mismatch
+    // → the graph is REBUILT, not reused stale
+    Seq((3L, "en", "web", "qqq rrr sss ttt uuu"),
+        (4L, "en", "web", "qqq rrr sss ttt uuu"))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("append").parquet(docsPath)
+    val p3 = graft.operators.DedupPipeline
+      .pairs(spark, spark.read.parquet(docsPath), scratch)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p3 == Set((0L, 1L), (3L, 4L)))
+  }
+
+  test("IVF trainOrLoad retrains when the corpus changes in place, loads when it doesn't") {
+    import spark.implicits._
+    // the model path stays FIXED while the corpus under it changes — the
+    // artifact must be keyed on corpus content, not path
+    def corpus(shift: Double) = (0L until 60L).map(i =>
+      (i, (0 until 8).map(d => (math.sin(i * 13 + d) + shift).toFloat))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-fp").toString + "/model"
+    val m1 = graft.operators.IvfAnn.trainOrLoad(spark, corpus(0.0), path, k = 4, iters = 2)
+    val m2 = graft.operators.IvfAnn.trainOrLoad(spark, corpus(5.0), path, k = 4, iters = 2)
+    assert(m1.centroids.map(_._2).toSeq != m2.centroids.map(_._2).toSeq,
+      "rewritten corpus must retrain, not reuse stale centroids")
+    // unchanged corpus → the persisted artifact is loaded, not rewritten:
+    // the original part file (rewrites generate fresh UUID names) survives
+    val part = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val m3 = graft.operators.IvfAnn.trainOrLoad(spark, corpus(5.0), path, k = 4, iters = 2)
+    assert(m3.centroids.toSeq == m2.centroids.toSeq)
+    assert(part.exists(), "unchanged corpus must load the artifact, not retrain")
   }
 
   test("int8-quantized topk: high recall vs full precision, bounded roundtrip error") {

@@ -131,6 +131,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("stream-stream join drops events beyond the watermark on both sides") {
+    // pins the state-eviction claim on `correlated`: with both sides
+    // watermarked and the join time-bounded, an event arriving AFTER the
+    // watermark passed its timestamp is dropped — its would-be pair never
+    // appears, even though the batch self-join over the same data has it
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-stream-late")
+    val baseNs = 1704067200L * 1000000000L // 2024-01-01T00:00Z
+    def file(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val st = Files.createTempDirectory("graft-stream-late-stage").resolve("out")
+      rows.map { case (id, min, user, typ) =>
+        (id, baseNs + min * 60L * 1000000000L, user, typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(st.toString)
+      val part = new java.io.File(st.toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      Files.move(part.toPath, in.resolve(name + ".parquet"))
+    }
+    // batch A: an on-time pair for user 1 (5 min apart, within the 30-min
+    // join bound) plus a lone event at +10 h that pushes the watermark to
+    // +8 h (10 h − 2 h delay) once the batch commits
+    file("a", Seq((1L, 0L, 1L, "click"), (2L, 5L, 1L, "view"), (3L, 600L, 99L, "click")))
+    val q = EventStreams.correlated(
+        EventStreams.readEvents(spark, in.toString),
+        EventStreams.readEvents(spark, in.toString))
+      .writeStream.outputMode("append").format("memory").queryName("late_join").start()
+    q.processAllAvailable() // watermark now at +8 h
+    // batch B: a user-2 pair timestamped near +1 min — hours BEHIND the
+    // watermark on both sides; state for that region is evicted, the rows
+    // are dropped, the pair must never materialize
+    file("b", Seq((4L, 1L, 2L, "click"), (5L, 2L, 2L, "view")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("late_join").select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"late pair must be dropped, got $got")
+    // the same data through the BATCH self-join contains the late pair —
+    // proving the absence above is watermark eviction, not join semantics
+    val ev = spark.read.schema(EventStreams.rawSchema).parquet(in.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val l = ev.select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+    val r = ev.select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+    val batch = l.join(r,
+        col("user_id") === col("r_user") && col("l_id") =!= col("r_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 30 minutes"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(batch == Set((1L, 2L), (4L, 5L)))
+  }
+
   test("checkpoint restart recovers state: stop mid-stream, append, resume, equal batch") {
     // the streaming analogue of the reference's idempotent re-run
     // semantics (TransTablePartition.java:126-131): a query killed and
