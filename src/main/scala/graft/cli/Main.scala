@@ -1,7 +1,7 @@
 package graft.cli
 
 import graft.SparkEnv
-import graft.operators.{Alerter, Compact, FileMigrate, Migrate, Reconcile}
+import graft.operators.{Alerter, Catalog, Compact, FileMigrate, Migrate, Reconcile}
 import org.apache.spark.sql.functions._
 
 /** CLI with the reference's entry-point surface (README.md:15-21), so a
@@ -43,6 +43,11 @@ object Main {
       System.err.println(
         """usage: graft.cli.Main <trans-partition|trans-whole-table|merge|trans-files> [options]
           |  common: -srcDB <dir> -table <name> -dateCol <col> -pn <name> -pp <pattern>
+          |          [-catalog true]  -srcDB/-distDB are DATABASE names in the
+          |            session catalog: source location resolves via the
+          |            catalog, the destination registers as an external
+          |            partitioned table (partitions discovered) under the
+          |            destination database's directory
           |          [-format parquet|csv|json|orc]  structured source format
           |          [-sp true] [-spCol <col>] [-spp <pattern>] [-pn2 <name>]
           |            second partition level (reference -sp): value is
@@ -53,16 +58,31 @@ object Main {
           |  merge:             -distDB <dir> [-target <bytes>]
           |  trans-files:       -distDB <dir>   (opaque byte copy of any
           |                     format, preserving relative paths; verified
-          |                     by name+length manifest diff)""".stripMargin)
+          |                     by name+length manifest diff; path-only)""".stripMargin)
       sys.exit(2)
     }
-    val cmd = args.head
-    val m = parseFlags(args.tail)
     val spark = SparkEnv.session("graft-cli")
     // env-configured transport (webhook/SMTP), log sink by default
-    val alerter: Alerter = Alerter.fromEnv()
-    val src = tablePath(req(m, "srcDB"), req(m, "table"))
-    val dst = s"${req(m, "distDB")}/${req(m, "table")}"
+    try run(args.head, parseFlags(args.tail), spark, Alerter.fromEnv())
+    finally spark.stop()
+  }
+
+  /** Command dispatch, separated from session lifecycle so specs can
+    * drive the full CLI surface in-process against the shared session.
+    */
+  private[graft] def run(cmd: String, m: Map[String, String],
+      spark: org.apache.spark.sql.SparkSession, alerter: Alerter): Unit = {
+    val table = req(m, "table")
+    // -catalog true: src/dist are database NAMES; locations resolve
+    // through the session catalog (the reference's warehouse convention,
+    // KeyConstant.java:26, as metadata instead of string concatenation)
+    val catalogMode = m.get("catalog").exists(_.toBoolean)
+    val src =
+      if (catalogMode) Catalog.location(spark, s"${req(m, "srcDB")}.$table")
+      else tablePath(req(m, "srcDB"), table)
+    val dst =
+      if (catalogMode) Catalog.tableLocation(spark, req(m, "distDB"), table)
+      else s"${req(m, "distDB")}/$table"
 
     // trans-files is format-agnostic: no dateCol / partition semantics
     if (cmd == "trans-files") {
@@ -70,7 +90,6 @@ object Main {
       println(s"copied files=${r.filesCopied} bytes=${r.bytesCopied}")
       if (FileMigrate.verified(spark, src, dst)) println("verify: OK")
       else alerter.alert("trans-files.verify", s"manifest mismatch between $src and $dst")
-      spark.stop()
       return
     }
 
@@ -97,6 +116,12 @@ object Main {
           name = m.getOrElse("pn2", "par_sub")))
       }
 
+    // catalog mode: after a successful write, the destination becomes (or
+    // refreshes) a registered external partitioned table
+    def registerDest(): Unit = if (catalogMode)
+      Catalog.register(spark, req(m, "distDB"), table, dst,
+        pn +: subPart.map(_.name).toSeq)
+
     cmd match {
       // -target bounds the bytes a destination leaf funnels through one
       // writer (oversized leaves split — same flag as merge)
@@ -106,6 +131,7 @@ object Main {
           start, end, pp, skip, alerter, pn, subPart, srcFormat, srcOptions,
           m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024))
         println(s"migrated partitions=${r.partitionsWritten} skipped=${r.partitionsSkipped} rows=${r.rowsWritten}")
+        registerDest()
         verify(spark, src, dst, dateCol, pp, alerter, Some((start, end)), subPart,
           srcFormat, srcOptions)
       case "trans-whole-table" =>
@@ -113,16 +139,17 @@ object Main {
           subPart, srcFormat, srcOptions,
           m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024))
         println(s"migrated partitions=${r.partitionsWritten} skipped=${r.partitionsSkipped} rows=${r.rowsWritten}")
+        registerDest()
         verify(spark, src, dst, dateCol, pp, alerter, None, subPart, srcFormat, srcOptions)
       case "merge" =>
         val st = Compact.rewritePartitioned(spark, src, dst, dateCol, pp,
           m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024), pn, subPart,
           srcFormat, srcOptions)
         println(s"compacted files ${st.filesBefore} -> ${st.filesAfter} (${st.bytesBefore} bytes)")
+        registerDest()
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
     }
-    spark.stop()
   }
 
   /** Post-copy verification — the reference ran checkFile after every
