@@ -111,9 +111,22 @@ object DedupPipeline {
     * pairs, so both artifacts share one lineage; the fingerprint is
     * written last as the commit marker.
     */
+  // concurrent consumers (q33/q51/q55 run 4-way parallel under Verify)
+  // must not both decide to build and overwrite the same artifact
+  // mid-read — one JVM-level lock per scratch dir serializes them; the
+  // first builder wins, the rest see its fingerprint and read
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def materialize(spark: SparkSession, docs: DataFrame, scratchDir: String,
       threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+      idCol: String = "doc_id", textCol: String = "text"): Boolean =
+    buildLocks.computeIfAbsent(scratchDir, _ => new Object).synchronized {
+      materializeLocked(spark, docs, scratchDir, threshold, idCol, textCol)
+    }
+
+  private def materializeLocked(spark: SparkSession, docs: DataFrame, scratchDir: String,
+      threshold: Double,
+      idCol: String, textCol: String): Boolean = {
     val root = new Path(scratchDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fpFile = new Path(root, "_fingerprint")

@@ -115,6 +115,31 @@ object Ops {
           substring_index(col("par_key"), "/", -1).as("par_sub"),
           col("dst_rows").as("n_rows"),
           col("status"))
+    },
+
+    // the WAREHOUSE convention end-to-end (KeyConstant.java:26 as catalog
+    // metadata): register the source as a db.table, migrate BY NAME, and
+    // read the result back through the registered, partition-discovered
+    // destination table — a hash match proves the whole catalog path
+    // (location resolution → migrate → register → SHOW PARTITIONS-backed
+    // read) moved the data losslessly.
+    QueryDef.checked(
+      "q63_catalog_roundtrip",
+      """SELECT strftime(o_orderdate, '%Y%m') AS par_key,
+        |  count(*) AS n_rows, sum(o_totalprice) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val safe = dir.replaceAll("[^a-z0-9]", "_")
+      val root = scratch(s"catalog_$safe")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS gcat_src_$safe LOCATION '$root/src.db'")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS gcat_dst_$safe LOCATION '$root/dst.db'")
+      graft.operators.Catalog.register(s, s"gcat_src_$safe", "orders",
+        s"$dir/orders.parquet")
+      graft.operators.Catalog.migrateAllTable(s,
+        s"gcat_src_$safe.orders", s"gcat_dst_$safe.orders",
+        dateCol = "o_orderdate", pattern = "yyyyMM")
+      s.table(s"gcat_dst_$safe.orders")
+        .groupBy(col("par_key").cast("string").as("par_key"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_totalprice")).as("sum_price"))
     }
   )
 }
