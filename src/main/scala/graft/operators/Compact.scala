@@ -118,8 +118,21 @@ object Compact {
     val dataCols = df.columns.map(col)
     val salted =
       if (nBytes <= targetBytes) None // whole input fits: no leaf can be oversized
-      else leafSalted(spark, df, partNames, targetBytes,
-        totalRows => nBytes.toDouble / totalRows)
+      else {
+        // bytes/row must be nBytes over the FULL source row count: with
+        // skips in play `df` is a subset, and nBytes/subsetRows would
+        // overestimate row width by the skip ratio — over-splitting the
+        // rewritten leaves into exactly the small files Compact exists to
+        // remove. The extra count is metadata-only for parquet and paid
+        // only on the skip + oversized-input path.
+        val bytesPerRow: Long => Double =
+          if (skipLeaves.isEmpty) totalRows => nBytes.toDouble / totalRows
+          else {
+            val fullRows = math.max(1L, dfAll.count())
+            _ => nBytes.toDouble / fullRows
+          }
+        leafSalted(spark, df, partNames, targetBytes, bytesPerRow)
+      }
     val keyed = salted match {
       case None => df.repartition(filesTotal.toInt, partCols: _*)
       case Some((s, _)) =>

@@ -154,8 +154,11 @@ object Migrate {
           // __HIVE_DEFAULT_PARTITION__ dirs back to null, and a plain
           // equi-join would never match them — re-migrating every
           // NULL-key partition on each skipExisting run.
+          // broadcast: the frame is bounded by the partition count and
+          // driver-built (no stats) — without the hint a stats-less plan
+          // can fall back to sort-merge against the full source
           val exNames = partNames.indices.map(i => s"__e$i")
-          val ex = existing.toDF(exNames: _*)
+          val ex = broadcast(existing.toDF(exNames: _*))
           val cond = partNames.zip(exNames)
             .map { case (p, e) => col(p) <=> col(e) }.reduce(_ && _)
           val skipped = srcWithKey.select(partCols: _*).distinct()

@@ -163,6 +163,34 @@ class OperatorsSpec extends AnyFunSuite {
     new java.io.File(dest).listFiles().toSeq
       .filter(_.getName.startsWith("par_key=")).map(_.getName)
 
+  test("skip + split together: a rewritten leaf is not over-split by the skip ratio") {
+    val frag = tmp() + "/frag"
+    val dest = tmp() + "/dest"
+    val orders = Tables.load(spark, sf, "orders")
+    orders.write.parquet(frag)
+    // small target so the salt path engages alongside the skip path
+    val target = 4L * 1024
+    Compact.rewritePartitioned(spark, frag, dest, "o_orderdate", pattern = "yyyy",
+      targetBytes = target)
+    val leaf = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith("par_key=")).minBy(_.getName)
+    def leafDataFiles() = leaf.listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val leafBytes = leafDataFiles().map(_.length()).sum
+    // fragment ONE leaf so only it is rewritten; the others are skipped —
+    // bytes/row must stay a FULL-source estimate, or the lone rewritten
+    // leaf splits by the skip ratio into a pile of small files
+    spark.read.parquet(leaf.getPath).localCheckpoint().repartition(24)
+      .write.mode("overwrite").parquet(leaf.getPath)
+    val s = Compact.rewritePartitioned(spark, frag, dest, "o_orderdate", pattern = "yyyy",
+      targetBytes = target)
+    assert(s.leavesSkipped > 0)
+    val want = math.max(1L, math.ceil(leafBytes.toDouble / target).toLong)
+    val got = leafDataFiles().length.toLong
+    assert(got <= want + 1, s"leaf over-split: $got files for ~$leafBytes bytes (target $target)")
+    assert(got > 1, s"oversized leaf must still split: $got file(s)")
+  }
+
   test("two-level (-sp) migrate + compact: physical layout, clean reconcile") {
     val migrated = tmp() + "/m"
     val compacted = tmp() + "/c"
