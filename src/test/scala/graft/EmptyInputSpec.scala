@@ -49,4 +49,18 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(lsh.count() == 0)
     assert(lsh.columns.toSeq == Seq("vec_id", "neighbor_id", "cos", "rn"))
   }
+
+  test("multi-probe LSH with an empty QUERY set (non-empty corpus) is empty") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    assert(Similarity.lshTopK(emb, emb.filter(lit(false)), k = 5, probes = 3).count() == 0)
+  }
+
+  test("dedup pipeline over an empty corpus materializes empty artifacts") {
+    val docs = Tables.load(spark, sf, "documents").filter(lit(false))
+    val scratch = Files.createTempDirectory("graft-empty-dedup").toString + "/scratch"
+    val pairs = graft.operators.DedupPipeline.pairs(spark, docs, scratch)
+    assert(pairs.count() == 0)
+    assert(pairs.columns.toSeq == Seq("doc_a", "doc_b", "jac"))
+    assert(graft.operators.DedupPipeline.components(spark, docs, scratch).count() == 0)
+  }
 }
