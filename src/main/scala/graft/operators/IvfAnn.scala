@@ -24,8 +24,22 @@ object IvfAnn {
     def k: Int = centroids.length
   }
 
+  /** Above this k, centroid math switches from inline literal expressions
+    * to a broadcast centroid TABLE: k literals per row compile into one
+    * enormous expression tree (codegen method-size limits, plan explosion)
+    * — fine at k=16, impossible at the k≈√n a 100 TB corpus wants. The
+    * join form computes the same n×k dots distributed, then reduces to
+    * one row per input via partial aggregation before the narrow shuffle.
+    */
+  private val maxExprK = 64
+
+  private def centroidDf(spark: org.apache.spark.sql.SparkSession, m: Model): DataFrame = {
+    import spark.implicits._
+    m.centroids.toSeq.toDF("__cid", "__c")
+  }
+
   /** Nearest-centroid id for a vector column under the model (argmax of
-    * dot with unit centroids).
+    * dot with unit centroids) — the small-k expression form.
     */
   private def nearestCid(vec: Column, m: Model, n: Int): Column = {
     val dots = m.centroids.take(n).map { case (cid, c) =>
@@ -35,13 +49,56 @@ object IvfAnn {
     array_max(array(dots.toIndexedSeq: _*)).getField("cid")
   }
 
-  /** `nprobe` nearest centroid ids for a query vector (sorted by -dot). */
+  /** df + `cid` column (nearest centroid of `vecCol`, which must already
+    * be array<double>): expression form at small k, broadcast-join +
+    * max-struct aggregation + join-back at large k. `keyCol` must be a
+    * row identity (used to reduce the n×k fan-out back to n rows).
+    */
+  private[graft] def withNearestCid(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, m: Model, keyCol: String, vecCol: String,
+      exprK: Int = maxExprK): DataFrame =
+    if (m.k <= exprK) df.withColumn("cid", nearestCid(col(vecCol), m, m.k))
+    else {
+      // same (d, cid) lexicographic max as the expression form, computed
+      // as: broadcast cross with the k-row centroid table → partial
+      // max-aggregation (map-side — the n×k fan-out never shuffles) →
+      // one narrow join back on the row key
+      val best = df.select(col(keyCol), col(vecCol))
+        .crossJoin(broadcast(centroidDf(spark, m)))
+        .withColumn("__d", fdot(col(vecCol), col("__c")))
+        .groupBy(keyCol)
+        .agg(max(struct(col("__d"), col("__cid"))).getField("__cid").as("cid"))
+      df.join(best, keyCol)
+    }
+
+  /** `nprobe` nearest centroid ids for a query vector (sorted by -dot) —
+    * the small-k expression form.
+    */
   private def probeCids(vec: Column, m: Model, nprobe: Int): Column = {
     val dots = m.centroids.map { case (cid, c) =>
       struct((-fdot(vec, typedlit(c))).as("nd"), lit(cid).as("cid"))
     }
     slice(transform(array_sort(array(dots.toIndexedSeq: _*)), s => s.getField("cid")), 1, nprobe)
   }
+
+  /** df fanned out to one row per (row, probed cid): expression form at
+    * small k; at large k a broadcast cross + per-key rank (queries are the
+    * BOUNDED side, so the window over `keyCol` stays cheap). Tie order
+    * matches [[probeCids]] (dot desc, then cid asc).
+    */
+  private[graft] def withProbeCids(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, m: Model, nprobe: Int, keyCol: String, vecCol: String,
+      exprK: Int = maxExprK): DataFrame =
+    if (m.k <= exprK)
+      df.withColumn("cid", explode(probeCids(col(vecCol), m, nprobe)))
+    else df
+      .crossJoin(broadcast(centroidDf(spark, m)))
+      .withColumn("__d", fdot(col(vecCol), col("__c")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCol).orderBy(col("__d").desc, col("__cid"))))
+      .filter(col("__rn") <= nprobe)
+      .withColumn("cid", col("__cid"))
+      .drop("__d", "__rn", "__c", "__cid")
 
   /** Deterministic mini-kmeans: init = k hash-ranked rows, `iters` Lloyd
     * rounds, centroids re-normalized each round (spherical kmeans, which
@@ -66,7 +123,7 @@ object IvfAnn {
         .map(_.getSeq[Double](0)).zipWithIndex.map { case (v, i) => (i, v) })
 
     (0 until iters).foreach { _ =>
-      val assigned = vecs.withColumn("cid", nearestCid(col("v"), model, model.k))
+      val assigned = withNearestCid(corpus.sparkSession, vecs, model, "id", "v")
       // elementwise mean per cluster, renormalized
       val updated = assigned
         .select(col("cid"), posexplode(col("v")))
@@ -154,12 +211,19 @@ object IvfAnn {
     */
   def topK(corpus: DataFrame, queries: DataFrame, m: Model, k: Int = 5,
       nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_norm", fnorm(col("c_vec")))
-      .withColumn("cid", nearestCid(asDouble(col("c_vec")), m, m.k))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", fnorm(col("q_vec")))
-      .withColumn("cid", explode(probeCids(asDouble(col("q_vec")), m, nprobe)))
+    val spark = corpus.sparkSession
+    val c = withNearestCid(spark,
+        corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+          .withColumn("c_norm", fnorm(col("c_vec")))
+          .withColumn("__vd", asDouble(col("c_vec"))),
+        m, "c_id", "__vd")
+      .drop("__vd")
+    val q = withProbeCids(spark,
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+          .withColumn("q_norm", fnorm(col("q_vec")))
+          .withColumn("__vd", asDouble(col("q_vec"))),
+        m, nprobe, "q_id", "__vd")
+      .drop("__vd")
     c.join(broadcast(q), Seq("cid"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", fdot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))

@@ -158,6 +158,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full == exact, "nprobe=k must reduce to brute force")
   }
 
+  test("IVF large-k (broadcast-join) centroid paths equal the expression paths") {
+    import graft.functions.VectorFunctions.asDouble
+    // at k beyond ~64 the k-literal expression tree is not viable (codegen
+    // size); the join form must produce IDENTICAL assignments and probes —
+    // forced here via exprK = 0 at a small k so both paths are comparable
+    val m = graft.operators.IvfAnn.train(emb, k = 8, iters = 1)
+    val df = emb.select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
+    def assigns(exprK: Int) = graft.operators.IvfAnn
+      .withNearestCid(spark, df, m, "id", "v", exprK)
+      .select("id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigns(64) == assigns(0))
+    def probes(exprK: Int) = graft.operators.IvfAnn
+      .withProbeCids(spark, df.limit(50), m, 3, "id", "v", exprK)
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(probes(64) == probes(0))
+  }
+
   test("DedupPipeline artifact: reused across sessions, rebuilt on corpus change") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-dedup-art").toString
