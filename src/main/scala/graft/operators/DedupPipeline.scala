@@ -110,6 +110,13 @@ object DedupPipeline {
     * true when it (re)built. Components are derived FROM the written
     * pairs, so both artifacts share one lineage; the fingerprint is
     * written last as the commit marker.
+    *
+    * `version`: the artifact stamp. `None` (default) derives it from
+    * corpus CONTENT — right for un-versioned corpora, but the hash reads
+    * every text byte, i.e. one full corpus scan per staleness check. A
+    * 100 TB pipeline versions its corpora explicitly (snapshot/partition
+    * ids); passing `Some(id)` stamps with that id and costs ZERO scans —
+    * the caller owns the promise that a given id never changes content.
     */
   // concurrent consumers (q33/q51/q55 run 4-way parallel under Verify)
   // must not both decide to build and overwrite the same artifact
@@ -119,18 +126,20 @@ object DedupPipeline {
 
   def materialize(spark: SparkSession, docs: DataFrame, scratchDir: String,
       threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): Boolean =
+      idCol: String = "doc_id", textCol: String = "text",
+      version: Option[String] = None): Boolean =
     buildLocks.computeIfAbsent(scratchDir, _ => new Object).synchronized {
-      materializeLocked(spark, docs, scratchDir, threshold, idCol, textCol)
+      materializeLocked(spark, docs, scratchDir, threshold, idCol, textCol, version)
     }
 
   private def materializeLocked(spark: SparkSession, docs: DataFrame, scratchDir: String,
       threshold: Double,
-      idCol: String, textCol: String): Boolean = {
+      idCol: String, textCol: String, version: Option[String]): Boolean = {
     val root = new Path(scratchDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fpFile = new Path(root, "_fingerprint")
-    val stamp = fpStamp(fingerprint(docs, idCol, textCol), threshold)
+    val stamp = version.map(v => s"v:$v,$threshold")
+      .getOrElse(fpStamp(fingerprint(docs, idCol, textCol), threshold))
     val current =
       if (!fs.exists(fpFile)) None
       else {
@@ -155,8 +164,9 @@ object DedupPipeline {
     */
   def pairs(spark: SparkSession, docs: DataFrame, scratchDir: String,
       threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    materialize(spark, docs, scratchDir, threshold, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      version: Option[String] = None): DataFrame = {
+    materialize(spark, docs, scratchDir, threshold, idCol, textCol, version)
     spark.read.parquet(s"$scratchDir/pairs")
   }
 
@@ -165,8 +175,9 @@ object DedupPipeline {
     */
   def components(spark: SparkSession, docs: DataFrame, scratchDir: String,
       threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    materialize(spark, docs, scratchDir, threshold, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      version: Option[String] = None): DataFrame = {
+    materialize(spark, docs, scratchDir, threshold, idCol, textCol, version)
     spark.read.parquet(s"$scratchDir/components")
   }
 }

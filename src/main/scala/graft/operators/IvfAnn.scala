@@ -160,22 +160,18 @@ object IvfAnn {
 
   private def fpPath(path: String) = new org.apache.hadoop.fs.Path(path, "_fingerprint")
 
-  private def writeFingerprint(fs: org.apache.hadoop.fs.FileSystem, path: String,
-      fp: (Long, Long)): Unit = {
+  private def writeStamp(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      stamp: String): Unit = {
     val out = fs.create(fpPath(path), true)
-    try out.write(s"${fp._1},${fp._2}".getBytes("UTF-8")) finally out.close()
+    try out.write(stamp.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readFingerprint(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Option[(Long, Long)] =
+  private def readStamp(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[String] =
     if (!fs.exists(fpPath(path))) None
     else {
       val in = fs.open(fpPath(path))
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      s.split(",") match {
-        case Array(a, b) => scala.util.Try((a.toLong, b.toLong)).toOption
-        case _ => None
-      }
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString) finally in.close()
     }
 
   /** Train-once semantics: reuse the persisted model while it matches the
@@ -189,19 +185,25 @@ object IvfAnn {
     * ignore it). A corpus rewritten IN PLACE under the same path retrains
     * instead of silently reusing stale centroids; the fingerprint pass is
     * one column-pruned scan, far cheaper than the `iters` training scans
-    * it guards.
+    * it guards. Explicitly-versioned corpora (the 100 TB norm — snapshot
+    * ids, immutable partitions) can pass `version` instead and pay ZERO
+    * staleness scans; the caller owns the promise that a version id never
+    * changes content.
     */
   def trainOrLoad(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       path: String, k: Int = 16, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      version: Option[String] = None): Model = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fp = fingerprint(corpus, idCol, vecCol)
-    if (fs.exists(p) && readFingerprint(fs, path).contains(fp)) load(spark, path)
+    val stamp = version.map(v => s"v:$v").getOrElse {
+      val fp = fingerprint(corpus, idCol, vecCol); s"${fp._1},${fp._2}"
+    }
+    if (fs.exists(p) && readStamp(fs, path).contains(stamp)) load(spark, path)
     else {
       val m = train(corpus, k, iters, idCol, vecCol)
       save(spark, m, path)
-      writeFingerprint(fs, path, fp)
+      writeStamp(fs, path, stamp)
       m
     }
   }

@@ -215,6 +215,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p3 == Set((0L, 1L), (3L, 4L)))
   }
 
+  test("explicit corpus versions pin artifacts with zero content scans") {
+    import spark.implicits._
+    // a 100 TB pipeline versions corpora explicitly: the stamp is the id,
+    // not a content hash — same id reuses (even if the frame differs;
+    // the caller owns that promise), new id rebuilds
+    val base = java.nio.file.Files.createTempDirectory("graft-ver").toString
+    def d(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t) }
+        .toDF("doc_id", "lang", "source", "text")
+    val docs1 = d(Seq((0L, "x y z a b"), (1L, "x y z a b")))
+    val docs2 = d(Seq((5L, "p q r s t"), (6L, "p q r s t")))
+    def pairsOf(docs: org.apache.spark.sql.DataFrame, v: String) =
+      graft.operators.DedupPipeline.pairs(spark, docs, s"$base/scratch", version = Some(v))
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(docs1, "snap-1") == Set((0L, 1L)))
+    assert(pairsOf(docs2, "snap-1") == Set((0L, 1L)), "same version must reuse")
+    assert(pairsOf(docs2, "snap-2") == Set((5L, 6L)), "new version must rebuild")
+    // IVF: same scheme
+    def corpus(shift: Double) = (0L until 40L).map(i =>
+      (i, (0 until 8).map(x => (math.sin(i * 7 + x) + shift).toFloat))).toDF("vec_id", "embedding")
+    val mp = s"$base/model"
+    val m1 = graft.operators.IvfAnn.trainOrLoad(spark, corpus(0.0), mp, k = 4, iters = 1,
+      version = Some("v1"))
+    val m2 = graft.operators.IvfAnn.trainOrLoad(spark, corpus(9.0), mp, k = 4, iters = 1,
+      version = Some("v1"))
+    assert(m2.centroids.map(_._2).toSeq == m1.centroids.map(_._2).toSeq,
+      "same version must load, content ignored")
+    val m3 = graft.operators.IvfAnn.trainOrLoad(spark, corpus(9.0), mp, k = 4, iters = 1,
+      version = Some("v2"))
+    assert(m3.centroids.map(_._2).toSeq != m1.centroids.map(_._2).toSeq,
+      "new version must retrain")
+  }
+
   test("IVF trainOrLoad retrains when the corpus changes in place, loads when it doesn't") {
     import spark.implicits._
     // the model path stays FIXED while the corpus under it changes — the
