@@ -218,19 +218,82 @@ object Multimodal {
     }
   }
 
-  /** STUB feature extraction: media bytes → fixed-dim float vector
-    * (deterministic hash features; a real pipeline swaps in a model).
+  /** Content feature extraction: media bytes → fixed-dim float vector
+    * computed from the DECODED content (not the container bytes) —
+    * images: L1-normalized luminance histogram of the decoded pixels;
+    * audio: per-window RMS envelope of the PCM samples; video:
+    * luminance histogram of the decoded FIRST frame. Deterministic for a
+    * given decoder, so downstream similarity search over these vectors is
+    * reproducible. A learned-model embedding would slot into the same
+    * mapPartitions batch shape; these classical features are real,
+    * dependency-free stand-ins (the container ships no model runtime).
     */
   def features(media: Dataset[MediaRow], dim: Int = 16)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
-        val v = new Array[Float](dim)
-        var i = 0
-        while (i < m.media.length) { v(i % dim) += (m.media(i) & 0xff) / 255.0f; i += 1 }
-        (m.doc_id, v)
-      }
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(m => (m.doc_id, featuresOne(m.doc_id, m.media, dim)))
     }.toDF("doc_id", "embedding")
   }
+
+  private def lumaHistogram(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        // integer BT.601 luma in [0, 255]
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        v(math.min(dim - 1, luma * dim / 256)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (img.getWidth * img.getHeight).toFloat
+    v.map(_ / n)
+  }
+
+  private[multimodal] def featuresOne(id: Long, bytes: Array[Byte], dim: Int): Array[Float] =
+    if (isPng(bytes)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"unreadable PNG for doc $id")
+      lumaHistogram(img, dim)
+    } else if (isWav(bytes)) {
+      // 16-bit little-endian PCM mono (the synthesize() format): RMS per
+      // `dim` equal windows over the data chunk — a coarse loudness
+      // envelope, in [0, 1] per bin
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(12)
+      var dataOff = -1; var dataLen = 0
+      while (bb.remaining() >= 8) {
+        val cid = new String(Array(bb.get(), bb.get(), bb.get(), bb.get()).map(_.toChar))
+        val sz = bb.getInt()
+        if (cid == "data") { dataOff = bb.position(); dataLen = sz }
+        bb.position(bb.position() + sz + (sz & 1))
+      }
+      require(dataOff >= 0, s"malformed WAV for doc $id")
+      val nSamples = dataLen / 2
+      val v = new Array[Float](dim)
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < nSamples) {
+        val s = (bytes(dataOff + 2 * i) & 0xff) | (bytes(dataOff + 2 * i + 1) << 8)
+        val bin = math.min(dim - 1, i * dim / math.max(1, nSamples))
+        val x = s / 32768f
+        v(bin) += x * x
+        counts(bin) += 1
+        i += 1
+      }
+      Array.tabulate(dim)(b => if (counts(b) == 0) 0f
+        else math.sqrt(v(b) / counts(b)).toFloat)
+    } else if (Avi.isAvi(bytes)) {
+      val idx = Avi.frameIndex(bytes)
+      require(idx.nonEmpty, s"AVI with no frames for doc $id")
+      lumaHistogram(Avi.readFrame(bytes, idx(0)), dim)
+    } else {
+      throw new IllegalArgumentException(s"unknown media payload for doc $id")
+    }
 }

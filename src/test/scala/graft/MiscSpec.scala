@@ -119,11 +119,28 @@ class MiscSpec extends AnyFunSuite {
       "unrelated docs should not collide on 8-char gram fingerprints here")
   }
 
-  test("multimodal feature extraction yields fixed-dim vectors") {
+  test("multimodal features come from DECODED content: fixed dim, real invariants") {
     implicit val sp: SparkSession = spark
     val feats = Multimodal.features(
       Multimodal.synthesize(Tables.load(spark, sf, "documents")), dim = 16)
     assert(feats.filter(size(col("embedding")) =!= 16).count() == 0)
     assert(feats.count() == 500)
+    // image (doc_id%3==0) and video (%3==2) features are L1-normalized
+    // LUMINANCE histograms of real decoded pixels: bins sum to 1
+    val sums = feats.filter(col("doc_id") % 3 =!= 1)
+      .select(aggregate(col("embedding"), lit(0.0f), (a, x) => a + x))
+      .collect().map(_.getFloat(0))
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-3),
+      s"histograms must sum to 1, got ${sums.take(3).mkString(",")}")
+    // audio features are an RMS envelope of the PCM samples: in [0, 1],
+    // and a real signal is not silent
+    val audio = feats.filter(col("doc_id") % 3 === 1)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    assert(audio.nonEmpty && audio.forall(v => v.forall(x => x >= 0f && x <= 1f)))
+    assert(audio.forall(_.exists(_ > 0f)), "PCM RMS of a synthesized tone must be non-zero")
+    // determinism: re-extracting yields identical vectors
+    val again = Multimodal.features(
+      Multimodal.synthesize(Tables.load(spark, sf, "documents")), dim = 16)
+    assert(feats.exceptAll(again).count() == 0)
   }
 }
