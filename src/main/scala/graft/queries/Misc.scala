@@ -129,6 +129,21 @@ object Misc {
       val media = Multimodal.synthesize(t(s, dir, "documents"))
       Multimodal.frameSample(media)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
+    },
+
+    // the multimodal → similarity composition: decoded-content features
+    // (luminance histograms of real pixels) feed the SAME top-k machinery
+    // as text embeddings — media near-dup search with zero new operators.
+    // Rows-only: no SQL engine can decode the media; the feature
+    // invariants (normalization, determinism) are spec-pinned instead.
+    QueryDef.rowsOnly("q64_media_similarity") { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val imgs = Multimodal
+        .features(Multimodal.synthesize(t(s, dir, "documents")), dim = 16)
+        .filter(col("doc_id") % 3 === 0)
+      graft.operators.Similarity.bruteForceTopK(
+        imgs, imgs.filter(col("doc_id") < 90), k = 3,
+        idCol = "doc_id", vecCol = "embedding")
     }
   )
 }
