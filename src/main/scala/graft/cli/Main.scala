@@ -55,7 +55,9 @@ object Main {
           |            -spp is 'raw'; dirs become pn=/pn2=/
           |  trans-partition:   -distDB <dir> -s <yyyy-MM-dd> -e <yyyy-MM-dd> [-email a@b] [-skipExisting true]
           |  trans-whole-table: -distDB <dir> [-email a@b] [-skipExisting true]
-          |  merge:             -distDB <dir> [-target <bytes>]
+          |  merge:             [-distDB <dir>] [-target <bytes>]  (no
+          |                     -distDB: compact IN PLACE, staged tmp + swap
+          |                     — the reference HDFSMerge shape)
           |  trans-files:       -distDB <dir>   (opaque byte copy of any
           |                     format, preserving relative paths; verified
           |                     by name+length manifest diff; path-only)""".stripMargin)
@@ -80,7 +82,9 @@ object Main {
     val src =
       if (catalogMode) Catalog.location(spark, s"${req(m, "srcDB")}.$table")
       else tablePath(req(m, "srcDB"), table)
-    val dst =
+    // lazy: merge without -distDB compacts IN PLACE (the reference's
+    // HDFSMerge shape) and must not demand a destination
+    lazy val dst =
       if (catalogMode) Catalog.tableLocation(spark, req(m, "distDB"), table)
       else s"${req(m, "distDB")}/$table"
 
@@ -142,11 +146,16 @@ object Main {
         registerDest()
         verify(spark, src, dst, dateCol, pp, alerter, None, subPart, srcFormat, srcOptions)
       case "merge" =>
-        val st = Compact.rewritePartitioned(spark, src, dst, dateCol, pp,
-          m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024), pn, subPart,
-          srcFormat, srcOptions)
+        val target = m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024)
+        // no -distDB → in place, like the reference's HDFSMerge
+        val inPlace = !catalogMode && !m.contains("distDB")
+        val st =
+          if (inPlace) Compact.rewriteInPlacePartitioned(spark, src, dateCol, pp,
+            target, pn, subPart, srcFormat, srcOptions)
+          else Compact.rewritePartitioned(spark, src, dst, dateCol, pp,
+            target, pn, subPart, srcFormat, srcOptions)
         println(s"compacted files ${st.filesBefore} -> ${st.filesAfter} (${st.bytesBefore} bytes)")
-        registerDest()
+        if (!inPlace) registerDest()
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
     }

@@ -240,6 +240,47 @@ object Compact {
     }
   }
 
+  /** In-place compaction — the reference's actual `HDFSMerge` shape (it
+    * rewrote partitions inside the table directory, no `-distDB`,
+    * README.md:20). Spark cannot overwrite a path it is reading, so the
+    * rewrite stages to `<path>.graft-compact-tmp` and then swaps via two
+    * renames (src → `.graft-compact-bak` → delete). The swap is NOT
+    * atomic: a crash between the renames leaves the original intact
+    * under `.graft-compact-bak` — recovery is `rename(bak, path)`, never
+    * data loss. Readers racing the swap see the old or the new listing,
+    * the same exposure the reference's delete-then-merge loop had
+    * (HDFSMerge.java:174-189).
+    */
+  def rewriteInPlacePartitioned(
+      spark: SparkSession,
+      path: String,
+      partKeyCol: String,
+      pattern: String = "yyyyMMdd",
+      targetBytes: Long = 128L * 1024 * 1024,
+      partName: String = "par_key",
+      subPart: Option[Migrate.SubPart] = None,
+      srcFormat: String = "parquet",
+      srcOptions: Map[String, String] = Map.empty): Stats = {
+    val tmp = path + ".graft-compact-tmp"
+    val bak = path + ".graft-compact-bak"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(bak)),
+      s"$bak exists — a previous in-place compaction crashed mid-swap; " +
+        s"restore it (rename back to $path) or delete it first")
+    fs.delete(new Path(tmp), true) // stale tmp from a pre-swap crash: discard
+    val st = rewritePartitioned(spark, path, tmp, partKeyCol, pattern,
+      targetBytes, partName, subPart, srcFormat, srcOptions,
+      skipCompacted = false)
+    if (!fs.rename(new Path(path), new Path(bak)))
+      throw new java.io.IOException(s"rename $path -> $bak failed")
+    if (!fs.rename(new Path(tmp), new Path(path))) {
+      fs.rename(new Path(bak), new Path(path)) // roll back
+      throw new java.io.IOException(s"rename $tmp -> $path failed; original restored")
+    }
+    fs.delete(new Path(bak), true)
+    st
+  }
+
   /** Unpartitioned variant: coalesce a directory to ~targetBytes files. */
   def rewrite(
       spark: SparkSession,

@@ -191,6 +191,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got > 1, s"oversized leaf must still split: $got file(s)")
   }
 
+  test("in-place compaction: staged swap, multiset preserved, no tmp/bak residue") {
+    val dir = tmp() + "/table"
+    val orders = Tables.load(spark, sf, "orders")
+    orders.repartition(20).write.parquet(dir)
+    val before = orders.agg(count(lit(1)), sum("o_totalprice")).collect()(0)
+    val st = Compact.rewriteInPlacePartitioned(spark, dir, "o_orderdate", pattern = "yyyy")
+    assert(st.filesBefore == 20 && st.filesAfter < st.filesBefore)
+    // same directory now holds the partitioned, compacted layout
+    val back = spark.read.parquet(dir)
+    assert(back.columns.contains("par_key"))
+    val after = back.agg(count(lit(1)), sum("o_totalprice")).collect()(0)
+    assert(before.getLong(0) == after.getLong(0))
+    assert(math.abs(before.getDouble(1) - after.getDouble(1)) < 1e-6)
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(f => f.getName.endsWith(".graft-compact-tmp") ||
+      f.getName.endsWith(".graft-compact-bak")), "staging residue left behind")
+    // a leftover .bak (crashed mid-swap) must refuse, not destroy
+    val bak = new java.io.File(dir + ".graft-compact-bak")
+    assert(bak.mkdir())
+    intercept[IllegalArgumentException] {
+      Compact.rewriteInPlacePartitioned(spark, dir, "o_orderdate", pattern = "yyyy")
+    }
+    assert(bak.delete())
+  }
+
   test("two-level (-sp) migrate + compact: physical layout, clean reconcile") {
     val migrated = tmp() + "/m"
     val compacted = tmp() + "/c"
