@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Migrate {
 
-  final case class Result(partitionsWritten: Long, partitionsSkipped: Long, rowsWritten: Long)
+  final case class Result(partitionsWritten: Long, partitionsSkipped: Long,
+      rowsWritten: Long, violations: Map[String, Long] = Map.empty)
 
   /** Secondary partition level — the reference's `-sp true` two-level
     * `part1/part2/` layout (HDFSMerge.java:64,90-112; README.md:37). The
@@ -65,7 +66,8 @@ object Migrate {
       subPart: Option[SubPart] = None,
       srcFormat: String = "parquet",
       srcOptions: Map[String, String] = Map.empty,
-      targetBytes: Long = 128L * 1024 * 1024): Result = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      checks: Seq[Quality.Check] = Nil): Result = {
 
     val src = read(spark, srcPath, srcFormat, srcOptions)
       // end is inclusive at day granularity: < end + 1 day
@@ -75,7 +77,8 @@ object Migrate {
 
     migrate(spark, withSub(src, subPart), destPath, skipExisting, alerter,
       partName +: subPart.map(_.name).toSeq,
-      targetBytes, srcBytesPerRow(spark, srcPath, srcFormat, srcOptions, targetBytes))
+      targetBytes, srcBytesPerRow(spark, srcPath, srcFormat, srcOptions, targetBytes),
+      checks)
   }
 
   /** Migrate the whole table (TransWholeTablePartition): no date filter. */
@@ -91,12 +94,14 @@ object Migrate {
       subPart: Option[SubPart] = None,
       srcFormat: String = "parquet",
       srcOptions: Map[String, String] = Map.empty,
-      targetBytes: Long = 128L * 1024 * 1024): Result = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      checks: Seq[Quality.Check] = Nil): Result = {
     val src = read(spark, srcPath, srcFormat, srcOptions)
       .withColumn(partName, date_format(col(dateCol), pattern))
     migrate(spark, withSub(src, subPart), destPath, skipExisting, alerter,
       partName +: subPart.map(_.name).toSeq,
-      targetBytes, srcBytesPerRow(spark, srcPath, srcFormat, srcOptions, targetBytes))
+      targetBytes, srcBytesPerRow(spark, srcPath, srcFormat, srcOptions, targetBytes),
+      checks)
   }
 
   /** Bytes-per-row estimate of the source, or None when the whole source
@@ -139,7 +144,8 @@ object Migrate {
       alerter: Alerter,
       partNames: Seq[String],
       targetBytes: Long = Long.MaxValue,
-      bytesPerRow: () => Option[Double] = () => None): Result = {
+      bytesPerRow: () => Option[Double] = () => None,
+      checks: Seq[Quality.Check] = Nil): Result = {
 
     val partCols = partNames.map(col)
     val toWrite =
@@ -193,13 +199,15 @@ object Migrate {
           s.repartition(n, (partCols :+ col("__salt")): _*)
             .select(srcWithKey.columns.map(col).toIndexedSeq: _*)
       }
-    // rowsWritten AND the distinct-partition count ride along via observe
-    // (partition keys are bounded — the reference's own driver granularity
-    // — so a collect_set metric is safe) — no second scan of the source.
+    // rowsWritten, the distinct-partition count, AND any quality-check
+    // violation counts ride along via ONE observe node (partition keys are
+    // bounded — the reference's own driver granularity — so a collect_set
+    // metric is safe) — no second scan of the source.
     val obs = new org.apache.spark.sql.Observation()
     val keyed = repartitioned.observe(obs,
         count(lit(1)).as("rows"),
-        size(collect_set(struct(partCols: _*))).as("nparts"))
+        (size(collect_set(struct(partCols: _*))).as("nparts") +:
+          Quality.metrics(checks)): _*)
     keyed.write
       .partitionBy(partNames: _*)
       .mode("overwrite")
@@ -220,7 +228,8 @@ object Migrate {
     Result(
       partitionsWritten = nWritten,
       partitionsSkipped = nAll - nWritten,
-      rowsWritten = rowsWritten)
+      rowsWritten = rowsWritten,
+      violations = Quality.report(Quality.violations(obs, checks), alerter))
   }
 
   /** Distinct partition-key tuples already present at destPath (None if the

@@ -191,6 +191,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got > 1, s"oversized leaf must still split: $got file(s)")
   }
 
+  test("quality checks ride the migrate job: exact violation counts, alerts, no blocking") {
+    val frag = tmp() + "/src"
+    val dest = tmp() + "/dest"
+    // 1000 rows, 100 null values, 50 out-of-range
+    spark.range(1000).select(
+        lit("1996-01-15 00:00:00").cast("timestamp").as("d"),
+        when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("v"),
+        when(col("id") < 50, lit(-5.0)).otherwise(lit(1.0)).as("score"))
+      .write.parquet(frag)
+    val alerts = new Alerter.Collecting
+    val r = Migrate.migrateAll(spark, frag, dest, "d", pattern = "yyyy",
+      alerter = alerts,
+      checks = Seq(
+        Quality.Check.notNull(col("v"), "v_not_null"),
+        Quality.Check.inRange(col("score"), 0.0, 10.0, "score_range")))
+    // violations counted in-flight (same observe as rows/partitions — no
+    // second scan), data still lands in full (alert, don't block)
+    assert(r.violations == Map("v_not_null" -> 100L, "score_range" -> 50L))
+    assert(r.rowsWritten == 1000 && spark.read.parquet(dest).count() == 1000)
+    val msgs = alerts.all.filter(_._1 == "quality.violation").map(_._2)
+    assert(msgs.exists(m => m.contains("v_not_null") && m.contains("100")))
+    assert(msgs.exists(m => m.contains("score_range") && m.contains("50")))
+    // clean data → zero counts, zero alerts
+    val quiet = new Alerter.Collecting
+    val r2 = Migrate.migrateAll(spark, frag, dest, "d", pattern = "yyyy",
+      alerter = quiet, checks = Seq(Quality.Check.notNull(col("d"), "d_not_null")))
+    assert(r2.violations == Map("d_not_null" -> 0L) && quiet.all.isEmpty)
+  }
+
   test("in-place compaction: staged swap, multiset preserved, no tmp/bak residue") {
     val dir = tmp() + "/table"
     val orders = Tables.load(spark, sf, "orders")
