@@ -54,6 +54,22 @@ object Quality {
     report(violations(obs, checks), alerter)
   }
 
+  /** Standalone profile as DATA: one row per check — (check_name,
+    * violations, n_rows). One aggregation pass over the frame; use
+    * [[checked]] / the Migrate `checks` param instead when a job is
+    * already scanning the data (this form pays its own scan).
+    */
+  def profile(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    val wide = df.agg(count(lit(1)).as("n_rows"),
+      checks.map(c => count(when(c.violated, 1)).as(s"qc_${c.name}")): _*)
+    // unpivot the single wide row to (check_name, violations, n_rows)
+    val stacked = checks.map(c =>
+      struct(lit(c.name).as("check_name"), col(s"qc_${c.name}").as("violations")))
+    wide.select(explode(array(stacked: _*)).as("c"), col("n_rows"))
+      .select(col("c.check_name"), col("c.violations"), col("n_rows"))
+  }
+
   private[operators] def report(counts: Map[String, Long],
       alerter: Alerter): Map[String, Long] = {
     counts.toSeq.sortBy(_._1).foreach { case (name, n) =>

@@ -122,6 +122,33 @@ object Text {
         col("doc_id"),
         langId(col("text")).as("pred_lang"),
         (langId(col("text")) === col("lang")).as("agrees"))
+    },
+
+    // data-quality profile as DATA (the Quality operator's standalone
+    // form): one row per named check with its violation count — the
+    // corpus-intake health report a training pipeline runs before
+    // admitting a crawl batch. The oracle recomputes each predicate in
+    // SQL, so the check semantics (null handling included) are pinned
+    // cross-engine.
+    QueryDef.checked(
+      "q65_quality_profile",
+      """SELECT 'lang_code' AS check_name,
+        |  count(*) FILTER (WHERE lang IS NULL
+        |    OR NOT regexp_matches(lang, '^[a-z][a-z]$')) AS violations,
+        |  count(*) AS n_rows FROM documents
+        |UNION ALL
+        |SELECT 'text_min_len',
+        |  count(*) FILTER (WHERE length(text) IS NULL OR length(text) < 100
+        |    OR length(text) > 1000000), count(*) FROM documents
+        |UNION ALL
+        |SELECT 'text_not_null',
+        |  count(*) FILTER (WHERE text IS NULL), count(*) FROM documents""".stripMargin) { (s, dir) =>
+      import graft.operators.Quality
+      Quality.profile(t(s, dir, "documents"), Seq(
+        Quality.Check("lang_code",
+          col("lang").isNull || !col("lang").rlike("^[a-z][a-z]$")),
+        Quality.Check.inRange(length(col("text")), 100, 1000000, "text_min_len"),
+        Quality.Check.notNull(col("text"), "text_not_null")))
     }
   )
 }
