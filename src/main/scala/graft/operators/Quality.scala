@@ -70,6 +70,27 @@ object Quality {
       .select(col("c.check_name"), col("c.violations"), col("n_rows"))
   }
 
+  /** Streaming form: attach checks as a NAMED observe node — violation
+    * counts surface per micro-batch in `StreamingQueryProgress
+    * .observedMetrics` (read them with [[fromProgress]]), so a long-lived
+    * ingest job reports data health continuously with zero extra state
+    * and zero extra scans.
+    */
+  def observedStream(df: DataFrame, checks: Seq[Check],
+      name: String = "quality"): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    df.observe(name, count(lit(1)).as("rows"), metrics(checks): _*)
+  }
+
+  /** Violation counts from one micro-batch's progress, or None if the
+    * batch carried no observation (e.g. an empty trigger).
+    */
+  def fromProgress(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+      checks: Seq[Check], name: String = "quality"): Option[Map[String, Long]] =
+    Option(p.observedMetrics.get(name)).map { row =>
+      checks.map(c => c.name -> row.getAs[Long](s"qc_${c.name}")).toMap
+    }
+
   private[operators] def report(counts: Map[String, Long],
       alerter: Alerter): Map[String, Long] = {
     counts.toSeq.sortBy(_._1).foreach { case (name, n) =>

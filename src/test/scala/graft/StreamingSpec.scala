@@ -180,6 +180,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, 2L), (4L, 5L)))
   }
 
+  test("quality metrics ride a streaming ingest per micro-batch") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val in = Files.createTempDirectory("graft-stream-quality").resolve("in")
+    Files.createDirectories(in)
+    (0L until 200L).map(i => (i, if (i % 4 == 0) null else s"v$i"))
+      .toDF("id", "payload").coalesce(1).write.mode("append").parquet(in.toString)
+    val checks = Seq(Quality.Check.notNull(col("payload"), "payload_not_null"))
+    val stream = spark.readStream
+      .schema("id LONG, payload STRING").parquet(in.toString)
+    val q = Quality.observedStream(stream, checks)
+      .writeStream.format("memory").queryName("quality_stream").start()
+    q.processAllAvailable()
+    // 50 of 200 rows violate; the count surfaces in observedMetrics
+    // without any extra scan or state
+    val counts = q.recentProgress.toSeq
+      .flatMap(p => Quality.fromProgress(p, checks))
+    q.stop()
+    assert(counts.map(_("payload_not_null")).sum == 50, counts.mkString(","))
+    assert(spark.table("quality_stream").count() == 200)
+  }
+
   test("checkpoint restart recovers state: stop mid-stream, append, resume, equal batch") {
     // the streaming analogue of the reference's idempotent re-run
     // semantics (TransTablePartition.java:126-131): a query killed and
