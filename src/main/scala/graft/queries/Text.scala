@@ -149,6 +149,29 @@ object Text {
           col("lang").isNull || !col("lang").rlike("^[a-z][a-z]$")),
         Quality.Check.inRange(length(col("text")), 100, 1000000, "text_min_len"),
         Quality.Check.notNull(col("text"), "text_not_null")))
+    },
+
+    // training-mix assembly: admit documents per language, in doc_id
+    // order, until each language's 5000-token budget is exhausted
+    // (CorpusMix.takeUntilBudget — one window pass, reproducible mix).
+    // The oracle replays the running-sum admission in SQL, so the cutoff
+    // semantics (whole documents only, first-over-budget dropped) are
+    // pinned cross-engine.
+    QueryDef.checked(
+      "q66_token_budget_mix",
+      s"""WITH d AS (SELECT lang, doc_id, $duckTokens AS toks FROM documents),
+         |c AS (SELECT lang, toks,
+         |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(toks) AS BIGINT) AS kept_tokens
+         |FROM c WHERE cum <= 5000 GROUP BY lang""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), tokenCount(col("text")).as("toks"))
+      graft.operators.CorpusMix
+        .takeUntilBudget(d, Seq(col("lang")), col("doc_id"), col("toks"), 5000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("toks").as("kept_tokens"))
     }
   )
 }

@@ -119,6 +119,22 @@ class MiscSpec extends AnyFunSuite {
       "unrelated docs should not collide on 8-char gram fingerprints here")
   }
 
+  test("corpus mix: running-sum budget and quota prefixes match a driver model") {
+    import spark.implicits._
+    import graft.operators.CorpusMix
+    val df = Seq(
+      ("a", 1L, 3L), ("a", 2L, 4L), ("a", 3L, 5L), // cum 3,7,12 → keep 1,2 at budget 8
+      ("b", 1L, 10L), ("b", 2L, 1L),               // first row over budget → keep none
+      ("c", 1L, 8L)                                 // exactly at budget → kept
+    ).toDF("g", "ord", "w")
+    val kept = CorpusMix.takeUntilBudget(df, Seq(col("g")), col("ord"), col("w"), 8L)
+      .select("g", "ord").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept == Set(("a", 1L), ("a", 2L), ("c", 1L)))
+    val quota = CorpusMix.takeQuota(df, Seq(col("g")), col("ord"), 1L)
+      .select("g", "ord").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(quota == Set(("a", 1L), ("b", 1L), ("c", 1L)))
+  }
+
   test("multimodal features come from DECODED content: fixed dim, real invariants") {
     implicit val sp: SparkSession = spark
     val feats = Multimodal.features(
