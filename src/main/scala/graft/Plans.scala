@@ -27,7 +27,9 @@ object Plans {
       "q48_partition_pruned", // partition pruning on engine-written layout
       "q57_asof_join",       // union + single key shuffle + running last
       "q58_range_join",      // interval->bucket explode + hash equi-join
-      "q62_ann_quantized")   // int8 arrays through the broadcast (declared NLJ baseline)
+      "q62_ann_quantized",   // int8 arrays through the broadcast (declared NLJ baseline)
+      "q65_quality_profile", // all checks in ONE aggregation pass
+      "q66_token_budget_mix") // one window pass per mix cell
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

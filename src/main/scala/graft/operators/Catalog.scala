@@ -41,7 +41,10 @@ object Catalog {
     * schema from the files; `partNames` become catalog partition columns
     * and existing `name=value` directories are discovered immediately
     * (the MSCK REPAIR step). Re-registering after new partitions landed
-    * just re-runs discovery.
+    * just re-runs discovery; re-registering after the DATA's schema
+    * evolved (a migrate that added a column) drops and recreates the
+    * catalog entry — metadata only, the external files are untouched —
+    * so the table never serves a stale column list.
     */
   def register(spark: SparkSession, db: String, table: String, path: String,
       partNames: Seq[String] = Nil, format: String = "parquet"): Unit = {
@@ -52,6 +55,12 @@ object Catalog {
     val fields = inferred.fields.filterNot(f => partNames.contains(f.name)) ++
       partNames.map(n => inferred.fields.find(_.name == n)
         .getOrElse(StructField(n, StringType)))
+    if (spark.catalog.tableExists(s"$db.$table")) {
+      val current = spark.table(s"$db.$table").schema.fields
+        .map(f => (f.name, f.dataType)).toSet
+      if (current != fields.map(f => (f.name, f.dataType)).toSet)
+        spark.sql(s"DROP TABLE $db.$table") // external: metadata only
+    }
     val colsDdl = fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     val partDdl =
       if (partNames.isEmpty) ""

@@ -45,6 +45,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(one > 0 && one < got)
   }
 
+  test("re-register refreshes an evolved schema (metadata only, files untouched)") {
+    val root = Files.createTempDirectory("graft-catalog-evolve").toString
+    spark.sql("DROP DATABASE IF EXISTS gevo CASCADE")
+    spark.sql(s"CREATE DATABASE gevo LOCATION '$root/gevo.db'")
+    val path = s"$root/gevo.db/t"
+    spark.range(10).select(col("id")).write.parquet(path)
+    Catalog.register(spark, "gevo", "t", path)
+    assert(spark.table("gevo.t").columns.toSeq == Seq("id"))
+    // the data gains a column; a stale catalog entry would keep serving
+    // only `id`
+    spark.range(10).select(col("id"), (col("id") * 2).as("extra"))
+      .write.mode("overwrite").parquet(path)
+    Catalog.register(spark, "gevo", "t", path)
+    assert(spark.table("gevo.t").columns.toSet == Set("id", "extra"))
+    assert(spark.table("gevo.t").count() == 10)
+  }
+
   test("CLI -catalog mode: database names in, verified migrate + registered table out") {
     val root = Files.createTempDirectory("graft-catalog-cli").toString
     spark.sql("DROP DATABASE IF EXISTS csrc CASCADE")
