@@ -155,21 +155,27 @@ object Similarity {
     * plan.
     *
     * MULTI-PROBE (`probes` > 1): each QUERY additionally probes the
-    * buckets reached by flipping its `probes - 1` weakest sign bits per
-    * table — the bits whose hyperplane dot is nearest zero, i.e. the
-    * likeliest to disagree with a true neighbor's (Lv et al., VLDB'07).
-    * Near-miss neighbors differing in exactly one low-margin bit become
-    * candidates without adding tables, so recall rises at ≤ `probes`×
-    * candidate volume (structural bound: ≤ `probes` buckets per (query,
-    * table)) and ZERO extra corpus-side cost — the corpus index is
-    * untouched, only the bounded broadcast side fans out.
+    * buckets reached by perturbing its weakest sign bits per table — the
+    * bits whose hyperplane dot is nearest zero, i.e. the likeliest to
+    * disagree with a true neighbor's (Lv et al., VLDB'07). The probing
+    * SEQUENCE is all single-bit flips plus the 2-bit flips of the four
+    * weakest bits, ordered by total flipped margin |dot_i| (+ |dot_j|) —
+    * so probe j is always the j-th most plausible alternative bucket.
+    * Near-miss neighbors become candidates without adding tables: recall
+    * rises at ≤ `probes`× candidate volume (structural bound: ≤ `probes`
+    * buckets per (query, table)) and ZERO extra corpus-side cost — the
+    * corpus index is untouched, only the bounded broadcast side fans out.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nbits: Int = 8, ntables: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = -1, probes: Int = 2): DataFrame = {
     import graft.functions.HyperplaneBands
-    require(probes >= 1 && probes <= nbits + 1, "probes: 1 + at most nbits flips")
+    val pairFlips = {
+      val w = math.min(nbits, 4); w * (w - 1) / 2
+    }
+    require(probes >= 1 && probes <= nbits + pairFlips + 1,
+      s"probes: 1 + at most nbits single flips + $pairFlips two-bit flips")
     val d = dimOrProbe(corpus, vecCol, dim) match {
       case Some(x) => x
       case None => return corpus.select(col(idCol).as("vec_id"),
@@ -197,13 +203,23 @@ object Similarity {
             .map { case (dt, i) => when(dt > 0, lit(1L << i)).otherwise(lit(0L)) }
             .reduce(_ + _)
           // masks ride the sort as precomputed literals: sort by |dot|
-          // (ties broken by mask — deterministic), flip the j-th weakest
+          // (ties broken by mask — deterministic). The probing sequence
+          // concatenates the single-bit flips with the 2-bit flips of the
+          // four weakest bits (score = summed margin) and re-sorts, so
+          // element j is the j-th most plausible perturbation overall.
           val byMargin = array_sort(array(dots.zipWithIndex.map { case (dt, i) =>
             struct(abs(dt).as("a"), lit(1L << i).as("m"))
           }: _*))
+          val w = math.min(nbits, 4)
+          val pairs = for { i <- 1 to w; j <- i + 1 to w } yield {
+            val (si, sj) = (element_at(byMargin, i), element_at(byMargin, j))
+            struct((si.getField("a") + sj.getField("a")).as("a"),
+              si.getField("m").bitwiseXOR(sj.getField("m")).as("m"))
+          }
+          val sequence = array_sort(concat(byMargin, array(pairs: _*)))
           (0 until probes).map { j =>
             val b = if (j == 0) bucket
-              else bucket.bitwiseXOR(element_at(byMargin, j).getField("m"))
+              else bucket.bitwiseXOR(element_at(sequence, j).getField("m"))
             struct(lit(t).as("table"), b.as("bucket"))
           }
         }
