@@ -216,7 +216,11 @@ object Similarity {
             struct((si.getField("a") + sj.getField("a")).as("a"),
               si.getField("m").bitwiseXOR(sj.getField("m")).as("m"))
           }
-          val sequence = array_sort(concat(byMargin, array(pairs: _*)))
+          // nbits == 1 has no 2-bit flips: an empty array() literal would
+          // be array<null> and fail the concat's type check
+          val sequence =
+            if (pairs.isEmpty) byMargin
+            else array_sort(concat(byMargin, array(pairs: _*)))
           (0 until probes).map { j =>
             val b = if (j == 0) bucket
               else bucket.bitwiseXOR(element_at(sequence, j).getField("m"))
