@@ -191,6 +191,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got > 1, s"oversized leaf must still split: $got file(s)")
   }
 
+  test("footer manifest: metadata-only triage agrees with data, catches truncation") {
+    val dest = tmp() + "/dest"
+    val dest2 = tmp() + "/dest2"
+    val src = s"$sf/lineitem.parquet"
+    Migrate.migrateRange(spark, src, dest, "l_shipdate", "1996-03-01", "1996-03-10")
+    Migrate.migrateRange(spark, src, dest2, "l_shipdate", "1996-03-01", "1996-03-10")
+    // footer row counts equal the data's actual per-partition counts —
+    // without reading a single data page
+    val fm = Reconcile.footerManifest(spark, dest).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val actual = spark.read.parquet(dest).groupBy("par_key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fm == actual && fm.nonEmpty)
+    // identical trees triage clean through the standard diff
+    assert(Reconcile.isClean(
+      Reconcile.footerManifest(spark, dest), Reconcile.footerManifest(spark, dest2)))
+    // truncation (a lost data file) is caught at metadata cost
+    val leaf = new java.io.File(dest2).listFiles().filter(_.getName.startsWith("par_key=")).head
+    val part = leaf.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(part.delete())
+    val bad = Reconcile.diff(
+        Reconcile.footerManifest(spark, dest), Reconcile.footerManifest(spark, dest2))
+      .filter(col("status") =!= "ok").collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[String]("par_key") == leaf.getName.stripPrefix("par_key="))
+  }
+
   test("quality checks ride the migrate job: exact violation counts, alerts, no blocking") {
     val frag = tmp() + "/src"
     val dest = tmp() + "/dest"
