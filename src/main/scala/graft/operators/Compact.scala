@@ -119,19 +119,24 @@ object Compact {
     val salted =
       if (nBytes <= targetBytes) None // whole input fits: no leaf can be oversized
       else {
-        // bytes/row must be nBytes over the FULL source row count: with
-        // skips in play `df` is a subset, and nBytes/subsetRows would
-        // overestimate row width by the skip ratio — over-splitting the
-        // rewritten leaves into exactly the small files Compact exists to
-        // remove. The extra count is metadata-only for parquet and paid
-        // only on the skip + oversized-input path.
+        // fallback estimate only (file sources take the exact per-leaf
+        // path inside leafSalted): bytes/row must be nBytes over the FULL
+        // source row count — with skips in play `df` is a subset, and
+        // nBytes/subsetRows would overestimate row width by the skip
+        // ratio, over-splitting the rewritten leaves into exactly the
+        // small files Compact exists to remove. The fallback count is
+        // lazy: paid only if the _metadata probe fails.
         val bytesPerRow: Long => Double =
           if (skipLeaves.isEmpty) totalRows => nBytes.toDouble / totalRows
           else {
-            val fullRows = math.max(1L, dfAll.count())
+            lazy val fullRows = math.max(1L, dfAll.count())
             _ => nBytes.toDouble / fullRows
           }
-        leafSalted(spark, df, partNames, targetBytes, bytesPerRow)
+        // fullDf: per-file row totals must include rows of SKIPPED leaves,
+        // else a file straddling a skip boundary over-apportions its bytes
+        // to the surviving leaves
+        leafSalted(spark, df, partNames, targetBytes, bytesPerRow,
+          fullDf = if (skipLeaves.isEmpty) None else Some(dfAll))
       }
     val keyed = salted match {
       case None => df.repartition(filesTotal.toInt, partCols: _*)
@@ -158,13 +163,22 @@ object Compact {
     * partition value through a single writer task and lands it as one
     * multi-TB file at 100 TB).
     *
-    * Leaf sizes are estimated from ONE column-pruned count pass, collected
-    * — the result is bounded by the partition count (the reference's own
-    * driver granularity). `bytesPerRow` maps the observed total row count
-    * to a per-row byte estimate (Compact derives it from the source
-    * directory's byte total; Migrate from source stats computed upstream).
-    * Partition values are strings by construction (date_format /
-    * SubPart.value), so they join back losslessly.
+    * Leaf sizes come from ONE metadata-augmented pass, collected — the
+    * result is bounded by the partition count (the reference's own driver
+    * granularity). When the plan exposes `_metadata` (any file source),
+    * each source file's on-disk bytes are apportioned to leaves by the
+    * file's row share — EXACT per-leaf bytes under within-file row-width
+    * uniformity, so a leaf of atypically wide rows (sitting in its own
+    * files, the incremental-write norm) splits correctly where a global
+    * bytes/row figure would under-split it. `fullDf`, when given, supplies
+    * the per-file row totals (Compact passes the pre-skip frame so a file
+    * straddling skipped leaves isn't over-apportioned to the survivors).
+    * `bytesPerRow` is the fallback for non-file children: it maps the
+    * observed total row count to a global per-row byte estimate (Compact
+    * derives it from the source directory's byte total; Migrate from
+    * source stats computed upstream). Partition values are strings by
+    * construction (date_format / SubPart.value), so they join back
+    * losslessly.
     *
     * Returns `Some((df + "__salt", Σ splits))` when at least one leaf
     * exceeds `targetBytes` — each row of an oversized leaf gets a
@@ -180,15 +194,39 @@ object Compact {
       df: DataFrame,
       partNames: Seq[String],
       targetBytes: Long,
-      bytesPerRow: Long => Double): Option[(DataFrame, Long)] = {
+      bytesPerRow: Long => Double,
+      fullDf: Option[DataFrame] = None): Option[(DataFrame, Long)] = {
     val partCols = partNames.map(col)
-    val leafRows = df.groupBy(partCols: _*).agg(count(lit(1)).as("__rows")).collect()
-    val totalRows = math.max(1L, leafRows.map(_.getLong(partNames.length)).sum)
-    val bpr = bytesPerRow(totalRows)
-    val splitRows: Array[org.apache.spark.sql.Row] = leafRows.map { r =>
-      val splits = math.max(1L,
-        math.ceil(r.getLong(partNames.length) * bpr / targetBytes).toLong)
-      org.apache.spark.sql.Row.fromSeq(partNames.indices.map(r.get) :+ splits)
+    val hasMeta = scala.util.Try(
+      df.select(col("_metadata.file_path"), col("_metadata.file_size"))).isSuccess
+    // (leaf values, estimated leaf bytes)
+    val leafBytes: Array[(Seq[Any], Double)] =
+      if (hasMeta) {
+        // exact file bytes, apportioned per leaf by row share within each
+        // file: groupBy (file, leaf) then reduce — both aggregates are
+        // metadata+key columns only, and the collect is leaf-bounded
+        val perFileLeaf = df
+          .groupBy((col("_metadata.file_path").as("__f") +: partCols): _*)
+          .agg(count(lit(1)).as("__rows"), max(col("_metadata.file_size")).as("__fb"))
+        val fileTotals = fullDf.getOrElse(df)
+          .groupBy(col("_metadata.file_path").as("__f"))
+          .agg(count(lit(1)).as("__frows"))
+        perFileLeaf.join(fileTotals, "__f")
+          .groupBy(partCols: _*)
+          .agg(sum(col("__rows").cast("double") * col("__fb") / col("__frows"))
+            .as("__bytes"))
+          .collect()
+          .map(r => (partNames.indices.map(r.get), r.getDouble(partNames.length)))
+      } else {
+        val leafRows = df.groupBy(partCols: _*).agg(count(lit(1)).as("__rows")).collect()
+        val totalRows = math.max(1L, leafRows.map(_.getLong(partNames.length)).sum)
+        val bpr = bytesPerRow(totalRows)
+        leafRows.map(r =>
+          (partNames.indices.map(r.get), r.getLong(partNames.length) * bpr))
+      }
+    val splitRows: Array[org.apache.spark.sql.Row] = leafBytes.map { case (vals, bytes) =>
+      val splits = math.max(1L, math.ceil(bytes / targetBytes).toLong)
+      org.apache.spark.sql.Row.fromSeq(vals :+ splits)
     }
     if (!splitRows.exists(_.getLong(partNames.length) > 1)) None
     else {

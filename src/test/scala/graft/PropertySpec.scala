@@ -101,6 +101,38 @@ object PropertySpec extends Properties("graft") {
       ((rows == 20000L) :| s"row count: $rows")
   }
 
+  // per-leaf sizing is EXACT (file bytes apportioned by row share), not a
+  // global bytes/row estimate: a leaf of atypically wide rows in its own
+  // files must split even though the corpus-wide average says it fits —
+  // here the wide leaf holds ~0.5% of the rows but ~90% of the bytes, so
+  // the global estimate would leave it as one multi-target file
+  property("a wide-row leaf splits where the global bytes/row average says it fits") =
+    Prop.secure {
+      val frag = Files.createTempDirectory("graft-prop-wide").toString
+      val dest = frag + "-out"
+      // 1996 leaf: 150 rows × ~8 KB of non-compressible hex (256 chained md5s)
+      val wideCols = (0 until 256).map(j => md5(concat(col("id"), lit(j))))
+      spark.range(150)
+        .select(lit("1996-06-01 00:00:00").cast("timestamp").as("d"),
+          concat_ws("", wideCols: _*).as("v"))
+        .repartition(2).write.mode("overwrite").parquet(frag)
+      // 1997 leaf: 30k narrow rows, separate (append) files
+      spark.range(30000)
+        .select(lit("1997-06-01 00:00:00").cast("timestamp").as("d"),
+          concat(lit("n"), col("id")).cast("string").as("v"))
+        .repartition(2).write.mode("append").parquet(frag)
+      Compact.rewritePartitioned(spark, frag, dest,
+        partKeyCol = "d", pattern = "yyyy", targetBytes = 256 * 1024)
+      val byLeaf = new java.io.File(dest).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("par_key="))
+        .map(f => f.getName -> f.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+      val rows = spark.read.parquet(dest).count()
+      ((byLeaf("par_key=1996") > 1) :| s"wide leaf files: $byLeaf") &&
+        ((byLeaf("par_key=1997") >= 1) :| s"narrow leaf files: $byLeaf") &&
+        ((rows == 30150L) :| s"rows: $rows")
+    }
+
   // Migrate's write path has the same hot-day hazard as Compact: a day
   // whose bytes exceed targetBytes must fan out over multiple writer
   // tasks/files (shared [[Compact.leafSalted]] salt), with the Hive
