@@ -68,6 +68,50 @@ object Reconcile {
   def footerManifest(spark: org.apache.spark.sql.SparkSession, root: String,
       partNames: Seq[String] = Seq("par_key")): DataFrame = {
     import spark.implicits._
+    val perFile = footerScan(spark, root, partNames, Seq.empty)
+      .map { case (key, rows, _, _) => (key, rows) }.toDF("par_key", "rows")
+    perFile.groupBy("par_key")
+      .agg(count(lit(1)).as("n_files"), sum("rows").as("n_rows"))
+      .select(col("par_key"), col("n_files"), col("n_rows"),
+        col("n_rows").cast("decimal(38,0)").as("checksum"))
+  }
+
+  /** STATISTICS manifest: per partition directory, (file count, footer row
+    * count, per-column min/max) from parquet footer column statistics —
+    * still metadata-only, extending the [[footerManifest]] triage from
+    * bulk loss to VALUE-RANGE drift (a corrupted/shifted column surfaces
+    * as a min/max excursion without scanning a single data page; footer
+    * min/max over the written values is exactly SQL `min`/`max`, so the
+    * result is oracle-comparable). `statCols` must be numeric or
+    * timestamp columns (footer stats for those are exact, never
+    * truncated; binary/string stats can be truncated by writers and are
+    * rejected). Output: par_key, n_files, n_rows, then `<col>_min`,
+    * `<col>_max` doubles per requested column (null when every value in
+    * the partition is null).
+    */
+  def statsManifest(spark: org.apache.spark.sql.SparkSession, root: String,
+      statCols: Seq[String], partNames: Seq[String] = Seq("par_key")): DataFrame = {
+    import spark.implicits._
+    val perFile = footerScan(spark, root, partNames, statCols)
+      .toDF("par_key", "rows", "mins", "maxs")
+    val statAggs = statCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(element_at(col("mins"), i + 1)).as(s"${c}_min"),
+        max(element_at(col("maxs"), i + 1)).as(s"${c}_max"))
+    }
+    perFile.groupBy("par_key")
+      .agg(count(lit(1)).as("n_files"),
+        (sum(col("rows")).as("n_rows") +: statAggs): _*)
+  }
+
+  /** Distributed footer read under `root`: one (par_key, rows, mins, maxs)
+    * tuple per data file, with per-column min/max for `statCols` pulled
+    * from the column-chunk statistics (reduced across row groups; None
+    * when the file holds no non-null value for the column).
+    */
+  private def footerScan(spark: org.apache.spark.sql.SparkSession, root: String,
+      partNames: Seq[String], statCols: Seq[String])
+      : org.apache.spark.sql.Dataset[(String, Long, Seq[Option[Double]], Seq[Option[Double]])] = {
+    import spark.implicits._
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(rootPath).toString
@@ -81,7 +125,7 @@ object Reconcile {
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
-    val perFile = spark.createDataset(files.toSeq)
+    spark.createDataset(files.toSeq)
       .repartition(math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
       .mapPartitions { paths =>
         val conf = confBc.value.value
@@ -89,7 +133,33 @@ object Reconcile {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(p), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val rows = try r.getRecordCount finally r.close()
+          val (rows, mins, maxs) = try {
+            val blocks = scala.jdk.CollectionConverters.ListHasAsScala(
+              r.getFooter.getBlocks).asScala.toSeq
+            val perCol = statCols.map { c =>
+              val chunkStats = blocks.flatMap { b =>
+                scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns).asScala
+                  .find(_.getPath.toDotString == c)
+                  .map(_.getStatistics)
+              }
+              require(chunkStats.nonEmpty || blocks.isEmpty,
+                s"column $c not found in parquet footer of $p")
+              val present = chunkStats.filter(s => s != null && s.hasNonNullValue)
+              def num(v: Any): Double = v match {
+                case i: java.lang.Integer => i.toDouble
+                case l: java.lang.Long => l.toDouble
+                case f: java.lang.Float => f.toDouble
+                case d: java.lang.Double => d
+                case o => throw new IllegalArgumentException(
+                  s"statsManifest supports numeric/timestamp columns; " +
+                    s"$c has ${o.getClass.getSimpleName} statistics")
+              }
+              if (present.isEmpty) (None, None)
+              else (Some(present.map(s => num(s.genericGetMin)).min),
+                Some(present.map(s => num(s.genericGetMax)).max))
+            }
+            (r.getRecordCount, perCol.map(_._1), perCol.map(_._2))
+          } finally r.close()
           // partition key from the name=value dirs between root and file
           val rel = p.stripPrefix(rootUri).stripPrefix("/")
           val key = rel.split('/').dropRight(1)
@@ -97,12 +167,8 @@ object Reconcile {
             .map(seg => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .unescapePathName(seg.substring(seg.indexOf('=') + 1)))
             .mkString("/")
-          (key, rows)
+          (key, rows, mins, maxs)
         }
-      }.toDF("par_key", "rows")
-    perFile.groupBy("par_key")
-      .agg(count(lit(1)).as("n_files"), sum("rows").as("n_rows"))
-      .select(col("par_key"), col("n_files"), col("n_rows"),
-        col("n_rows").cast("decimal(38,0)").as("checksum"))
+      }
   }
 }

@@ -140,6 +140,24 @@ object Ops {
       s.table(s"gcat_dst_$safe.orders")
         .groupBy(col("par_key").cast("string").as("par_key"))
         .agg(count(lit(1)).as("n_rows"), sum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // statistics triage end-to-end: lay events out by day, then read per-day
+    // row counts AND value min/max from parquet FOOTERS ONLY (no data page
+    // touched); the oracle recomputes the same numbers from the data — a
+    // hash match proves footer statistics are the exact SQL min/max, i.e.
+    // the metadata tier is trustworthy for value-range drift triage.
+    QueryDef.checked(
+      "q67_stats_triage",
+      """SELECT strftime(ts, '%Y%m%d') AS par_key, count(*) AS n_rows,
+        |  min(value) AS value_min, max(value) AS value_max
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dest = scratch(s"stats_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      Tables.load(s, dir, "events")
+        .withColumn("par_key", date_format(col("ts"), "yyyyMMdd"))
+        .write.partitionBy("par_key").mode("overwrite").parquet(dest)
+      Reconcile.statsManifest(s, dest, Seq("value"))
+        .select(col("par_key"), col("n_rows"), col("value_min"), col("value_max"))
     }
   )
 }

@@ -218,6 +218,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bad.head.getAs[String]("par_key") == leaf.getName.stripPrefix("par_key="))
   }
 
+  test("stats manifest: footer min/max equal SQL min/max, flag value drift, nulls safe") {
+    val dest = tmp() + "/dest"
+    spark.range(1000).select(
+        lit("1996-01-15 00:00:00").cast("timestamp").as("d"),
+        // one all-null partition column exercise comes via par 1997 below
+        (col("id").cast("double") * 1.5 - 100).as("value"),
+        col("id").as("k"))
+      .withColumn("par_key", date_format(col("d"), "yyyy"))
+      .write.partitionBy("par_key").mode("overwrite").parquet(dest)
+    // a second partition whose value column is entirely NULL
+    spark.range(10).select(
+        lit(null).cast("double").as("value"), col("id").as("k"),
+        lit("1997").as("par_key"))
+      .write.partitionBy("par_key").mode("append").parquet(dest)
+    val sm = Reconcile.statsManifest(spark, dest, Seq("value", "k")).collect()
+      .map(r => r.getAs[String]("par_key") -> r).toMap
+    val expected = spark.read.parquet(dest).groupBy("par_key")
+      .agg(count(lit(1)), min("value"), max("value"), min("k"), max("k"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(sm.keySet == Set("1996", "1997"))
+    for (p <- sm.keySet) {
+      assert(sm(p).getAs[Long]("n_rows") == expected(p).getLong(1))
+      assert(Option(sm(p).getAs[java.lang.Double]("value_min")).map(_.toDouble) ==
+        Option(expected(p).getAs[java.lang.Double](2)).map(_.toDouble))
+      assert(Option(sm(p).getAs[java.lang.Double]("value_max")).map(_.toDouble) ==
+        Option(expected(p).getAs[java.lang.Double](3)).map(_.toDouble))
+      assert(sm(p).getAs[Double]("k_min") == expected(p).getLong(4).toDouble)
+      assert(sm(p).getAs[Double]("k_max") == expected(p).getLong(5).toDouble)
+    }
+    // value drift: rewrite the 1996 leaf with one shifted extreme — the
+    // triage sees the excursion at footer cost
+    spark.read.parquet(dest).filter(col("par_key") === "1996")
+      .withColumn("value", when(col("k") === 0, lit(1e9)).otherwise(col("value")))
+      .write.partitionBy("par_key").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(dest)
+    val drifted = Reconcile.statsManifest(spark, dest, Seq("value")).collect()
+      .map(r => r.getAs[String]("par_key") -> r.getAs[java.lang.Double]("value_max")).toMap
+    assert(drifted("1996") == 1e9)
+  }
+
   test("quality checks ride the migrate job: exact violation counts, alerts, no blocking") {
     val frag = tmp() + "/src"
     val dest = tmp() + "/dest"
