@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vectorDot)
+    e.injectFunction(GraftExtensions.pqAdc)
   }
 }
 
@@ -27,5 +28,27 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "vector_dot takes exactly 2 arguments")
       VectorDot(children.head, children(1))
+    })
+
+  val pqAdc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_adc"),
+    new ExpressionInfo(classOf[graft.functions.PqAdc].getName, null, "pq_adc",
+      "pq_adc(codes, lut, k) - product-quantization ADC score: sum over blocks b " +
+        "of lut[b*k + codes[b]]; k must be a literal.",
+      "", "", "", "", "", "", "scala_udf"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "pq_adc takes exactly 3 arguments")
+      val k = children(2) match {
+        case e if e.foldable && (e.dataType match {
+              case org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType => true
+              case _ => false
+            }) =>
+          e.eval().toString.toInt
+        case _ => throw new IllegalArgumentException("pq_adc: k must be an integer literal")
+      }
+      graft.functions.PqAdc(children.head, children(1), k)
     })
 }

@@ -158,15 +158,15 @@ object IvfAnn {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
-  private def fpPath(path: String) = new org.apache.hadoop.fs.Path(path, "_fingerprint")
+  private[operators] def fpPath(path: String) = new org.apache.hadoop.fs.Path(path, "_fingerprint")
 
-  private def writeStamp(fs: org.apache.hadoop.fs.FileSystem, path: String,
+  private[operators] def writeStamp(fs: org.apache.hadoop.fs.FileSystem, path: String,
       stamp: String): Unit = {
     val out = fs.create(fpPath(path), true)
     try out.write(stamp.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readStamp(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def readStamp(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Option[String] =
     if (!fs.exists(fpPath(path))) None
     else {

@@ -100,6 +100,21 @@ object Vectors {
       val model = graft.operators.IvfAnn.trainOrLoad(s, emb, modelPath, k = 16, iters = 2)
       graft.operators.IvfAnn.topK(emb, emb.filter(col("vec_id") < 100), model,
         k = 5, nprobe = 4)
+    },
+
+    // product-quantized top-k with exact re-rank — the MEMORY scale path
+    // (m=16 smallint codes ≈ 8× fewer bytes than float32 at d=64; ADC
+    // scans only codes, full vectors load for k·refine rows per query).
+    // Raw-ADC and refined recall floors pinned in DedupSimilaritySpec;
+    // the model+codes artifact is train-once, content-fingerprint-keyed.
+    QueryDef.rowsOnly("q68_ann_pq") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val modelPath =
+        s"${sys.props("java.io.tmpdir")}/graft-models/pq_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      val (model, encoded) = graft.operators.PqAnn.buildOrLoad(s, emb, modelPath,
+        m = 16, k = 32, iters = 4)
+      graft.operators.PqAnn.topKRefined(encoded, emb, emb.filter(col("vec_id") < 100),
+        model, k = 5, refine = 10)
     }
   )
 }

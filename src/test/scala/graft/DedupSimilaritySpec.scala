@@ -184,6 +184,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(probes(64) == probes(0))
   }
 
+  test("PQ ANN: ADC recall, exact re-rank lift, artifact roundtrip + staleness") {
+    import graft.operators.PqAnn
+    val queries = emb.filter(col("vec_id") < 100)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val path = s"$base/model"
+    val (mo, enc) = PqAnn.buildOrLoad(spark, emb, path, m = 16, k = 32, iters = 4)
+    // compactness is structural: 16 smallint codes + a double norm per row
+    val row = enc.head()
+    assert(row.getSeq[Short](row.fieldIndex("codes")).length == 16)
+    // raw ADC recall on the near-random fixture (measured 0.48; floor with margin)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = ids(PqAnn.topK(enc, queries, mo, 5))
+    val rawRecall = (exact & raw).size.toDouble / exact.size
+    info(s"PQ raw ADC recall@5 (m=16,k=32): $rawRecall")
+    assert(rawRecall >= 0.35, s"raw ADC recall: $rawRecall")
+    // ADC shortlist + exact re-rank: the full-precision table is touched
+    // only for k*refine rows per query (measured 0.976; floor with margin)
+    val refined = ids(PqAnn.topKRefined(enc, emb, queries, mo, k = 5, refine = 10))
+    val refRecall = (exact & refined).size.toDouble / exact.size
+    info(s"PQ refined recall@5 (refine=10): $refRecall")
+    assert(refRecall >= 0.9, s"refined recall: $refRecall")
+    assert(refRecall >= rawRecall, "re-ranking must not lose recall")
+    // artifact: a second buildOrLoad call LOADS (the codes part file
+    // survives untouched) and the loaded model scores identically
+    val part = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val (mo2, enc2) = PqAnn.buildOrLoad(spark, emb, path, m = 16, k = 32, iters = 4)
+    assert(part.exists())
+    assert(mo2.codebooks.toSeq == mo.codebooks.toSeq)
+    assert(ids(PqAnn.topK(enc2, queries, mo2, 5)) == raw)
+    // staleness: corpus rewritten in place under the same path → rebuild
+    val docsPath = s"$base/corpus"
+    emb.limit(50).write.parquet(docsPath)
+    val small = spark.read.parquet(docsPath)
+    val p2 = s"$base/model2"
+    PqAnn.buildOrLoad(spark, small, p2, m = 16, k = 8, iters = 1)
+    val n1 = spark.read.parquet(s"$p2/codes").count()
+    emb.limit(80).write.mode("overwrite").parquet(docsPath)
+    PqAnn.buildOrLoad(spark, spark.read.parquet(docsPath), p2, m = 16, k = 8, iters = 1)
+    val n2 = spark.read.parquet(s"$p2/codes").count()
+    assert(n1 == 50 && n2 == 80, s"stale artifact not rebuilt: $n1 -> $n2")
+    // SQL surface: pq_adc is registered and agrees with the operator
+    import spark.implicits._
+    val sqlScore = Seq((Seq(0.toShort, 1.toShort), Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("codes", "lut")
+      .selectExpr("pq_adc(codes, lut, 2) AS s").head().getDouble(0)
+    assert(sqlScore == 1.0 + 4.0)
+  }
+
   test("DedupPipeline artifact: reused across sessions, rebuilt on corpus change") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-dedup-art").toString
