@@ -172,6 +172,36 @@ object Text {
         .takeUntilBudget(d, Seq(col("lang")), col("doc_id"), col("toks"), 5000)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), sum("toks").as("kept_tokens"))
+    },
+
+    // deterministic content-keyed sampling + split assignment
+    // (Sampling.stratifiedSample / assignSplit): admission is a pure
+    // function of md5(doc_id) compared against fixed-width hex
+    // thresholds, so the oracle replays the EXACT same decisions in SQL —
+    // stable across cluster sizes and repartitioning, unlike df.sample().
+    // en is kept at 50%, other languages at 20%; the kept set splits
+    // 80/10/10 under an independently salted hash.
+    QueryDef.checked(
+      "q69_stratified_sample",
+      """WITH h AS (
+        |  SELECT lang,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS ha,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8) AS hs
+        |  FROM documents),
+        |a AS (SELECT lang, hs FROM h
+        |      WHERE ha < CASE WHEN lang = 'en' THEN '80000000' ELSE '33333333' END)
+        |SELECT lang,
+        |  CASE WHEN hs < 'cccccccc' THEN 'train'
+        |       WHEN hs < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM a GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val sampled = graft.operators.Sampling.stratifiedSample(
+        t(s, dir, "documents"), col("lang"), col("doc_id"),
+        Map("en" -> 0.5), default = 0.2)
+      graft.operators.Sampling
+        .assignSplit(sampled, col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
     }
   )
 }

@@ -159,4 +159,52 @@ class MiscSpec extends AnyFunSuite {
       Multimodal.synthesize(Tables.load(spark, sf, "documents")), dim = 16)
     assert(feats.exceptAll(again).count() == 0)
   }
+
+  test("hash sampling: partition-stable, rate-accurate, splits disjoint+exhaustive") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the kept set is a pure function of the key: repartitioning (the
+    // thing that breaks df.sample determinism) must not change it
+    val s1 = kept(Sampling.sample(docs, col("doc_id"), 0.3))
+    val s2 = kept(Sampling.sample(docs.repartition(7), col("doc_id"), 0.3))
+    assert(s1 == s2 && s1.nonEmpty)
+    // rate accuracy: md5 is uniform; 3σ tolerance at the fixture size
+    val tol = 3 * math.sqrt(0.3 * 0.7 / n)
+    assert(math.abs(s1.size.toDouble / n - 0.3) < tol,
+      s"rate ${s1.size.toDouble / n} vs 0.3 ± $tol")
+    // fraction edges: 0 keeps nothing, 1 keeps everything
+    assert(Sampling.sample(docs, col("doc_id"), 0.0).isEmpty)
+    assert(Sampling.sample(docs, col("doc_id"), 1.0).count() == n)
+    // splits: every row gets exactly one label, weights land near 80/10/10
+    val split = Sampling.assignSplit(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n && counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 3 * math.sqrt(0.8 * 0.2 / n))
+    // sampling and splitting are independently salted: the kept 30% split
+    // ~80/10/10 too (a shared hash would put every kept row in one split)
+    val sub = Sampling.assignSplit(Sampling.sample(docs, col("doc_id"), 0.3),
+      col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frac = sub("train").toDouble / sub.values.sum
+    assert(math.abs(frac - 0.8) < 3 * math.sqrt(0.8 * 0.2 / sub.values.sum),
+      s"subsampled train fraction: $frac")
+    // stratified rates really differ per stratum
+    val strat = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.5), default = 0.1)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = keptLang("en").toDouble / byLang("en")
+    assert(math.abs(enRate - 0.5) < 3 * math.sqrt(0.5 * 0.5 / byLang("en")), s"en rate $enRate")
+    val restKept = keptLang.filterNot(_._1 == "en").values.sum.toDouble
+    val restAll = byLang.filterNot(_._1 == "en").values.sum.toDouble
+    assert(math.abs(restKept / restAll - 0.1) < 3 * math.sqrt(0.1 * 0.9 / restAll),
+      s"non-en rate ${restKept / restAll}")
+  }
 }
