@@ -138,8 +138,17 @@ object Misc {
     // invariants (normalization, determinism) are spec-pinned instead.
     QueryDef.rowsOnly("q64_media_similarity") { (s, dir) =>
       implicit val sp: SparkSession = s
-      val imgs = Multimodal
-        .features(Multimodal.synthesize(t(s, dir, "documents")), dim = 16)
+      val docs = t(s, dir, "documents")
+      // features are codec-bound → MATERIALIZED once per corpus version
+      // (MediaFeatures artifact). The media bytes are a pure function of
+      // doc_id, so the id-set fingerprint is an exact, column-pruned
+      // staleness key — no re-encode just to check freshness.
+      val fp = docs.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft-scratch/media_" +
+        dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val imgs = graft.multimodal.MediaFeatures
+        .features(s, Multimodal.synthesize(docs), scratch, dim = 16,
+          version = Some(s"${fp.getLong(0)},${fp.getLong(1)}"))
         .filter(col("doc_id") % 3 === 0)
       graft.operators.Similarity.bruteForceTopK(
         imgs, imgs.filter(col("doc_id") < 90), k = 3,

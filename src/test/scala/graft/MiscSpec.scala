@@ -160,6 +160,32 @@ class MiscSpec extends AnyFunSuite {
     assert(feats.exceptAll(again).count() == 0)
   }
 
+  test("media feature artifact: equals direct computation, reused, rebuilt on change") {
+    import graft.multimodal.MediaFeatures
+    implicit val sp: SparkSession = spark
+    val base = java.nio.file.Files.createTempDirectory("graft-media-art").toString
+    val scratch = s"$base/feat"
+    val docs = Tables.load(spark, sf, "documents").limit(60)
+    val media = Multimodal.synthesize(docs)
+    val direct = Multimodal.features(media, dim = 16)
+    val art = MediaFeatures.features(spark, media, scratch, dim = 16)
+    assert(art.exceptAll(direct).count() == 0 && direct.exceptAll(art).count() == 0)
+    // second call reads the artifact: the part file survives untouched
+    val part = new java.io.File(s"$scratch/features").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(!MediaFeatures.materialize(spark, media, scratch, dim = 16))
+    assert(part.exists())
+    // content change (one more doc) → fingerprint mismatch → rebuild
+    val media2 = Multimodal.synthesize(Tables.load(spark, sf, "documents").limit(61))
+    assert(MediaFeatures.materialize(spark, media2, scratch, dim = 16))
+    assert(spark.read.parquet(s"$scratch/features").count() == 61)
+    // explicit version: same id reuses, new id rebuilds
+    val vScratch = s"$base/feat-v"
+    assert(MediaFeatures.materialize(spark, media, vScratch, dim = 16, version = Some("v1")))
+    assert(!MediaFeatures.materialize(spark, media2, vScratch, dim = 16, version = Some("v1")))
+    assert(MediaFeatures.materialize(spark, media2, vScratch, dim = 16, version = Some("v2")))
+  }
+
   test("hash sampling: partition-stable, rate-accurate, splits disjoint+exhaustive") {
     import graft.operators.Sampling
     val docs = Tables.load(spark, sf, "documents")
