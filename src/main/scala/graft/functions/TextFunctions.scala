@@ -70,6 +70,16 @@ object TextFunctions {
   /** Deterministic document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** Fraction of word occurrences that are repeats of an earlier word —
+    * the cheap per-row repetition signal (Gopher-style quality filters
+    * gate on it): 0 for all-distinct text, → 1 for degenerate loops.
+    */
+  def dupWordFraction(c: Column): Column = {
+    val words = split(trim(c), WS + "+")
+    lit(1.0) - size(array_distinct(words)).cast("double") /
+      greatest(size(words), lit(1)).cast("double")
+  }
+
   /** Fraction of characters that are sentence punctuation. */
   def punctRatio(c: Column): Column =
     length(regexp_replace(c, "[^.!?,;:]", "")).cast("double") /

@@ -202,6 +202,35 @@ object Text {
       graft.operators.Sampling
         .assignSplit(sampled, col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
+    },
+
+    // repetition quality gates (the Gopher/C4 junk filters): duplicate-word
+    // fraction per row + the share of bigrams claimed by the most frequent
+    // bigram (Repetition.profile — explode + lead window + two-level agg,
+    // linear in corpus tokens). The oracle recomputes both signals and the
+    // keep decision, pinning the filter semantics cross-engine.
+    QueryDef.checked(
+      "q70_repetition_filter",
+      s"""WITH w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '$duckWs+') AS ws FROM documents),
+         |d AS (SELECT doc_id,
+         |    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / greatest(len(ws), 1)
+         |      AS dup_word_frac FROM w),
+         |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |      FROM w WHERE len(ws) >= 2),
+         |g AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS ng FROM p),
+         |c AS (SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |m AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_grams
+         |      FROM c GROUP BY 1)
+         |SELECT d.doc_id, d.dup_word_frac,
+         |  COALESCE(CAST(m.top_cnt AS DOUBLE) / m.n_grams, 0.0) AS top_bigram_frac,
+         |  d.dup_word_frac <= 0.3
+         |    AND COALESCE(CAST(m.top_cnt AS DOUBLE) / m.n_grams, 0.0) <= 0.2 AS kept
+         |FROM d LEFT JOIN m USING (doc_id)""".stripMargin) { (s, dir) =>
+      graft.operators.Repetition.profile(t(s, dir, "documents"), n = 2)
+        .select(col("doc_id"), col("dup_word_frac"),
+          col("top_ngram_frac").as("top_bigram_frac"),
+          (col("dup_word_frac") <= 0.3 && col("top_ngram_frac") <= 0.2).as("kept"))
     }
   )
 }

@@ -160,6 +160,27 @@ class MiscSpec extends AnyFunSuite {
     assert(feats.exceptAll(again).count() == 0)
   }
 
+  test("repetition profile matches hand-computed values") {
+    import spark.implicits._
+    import graft.operators.Repetition
+    val docs = Seq(
+      (1L, "a b c d"),  // all distinct; 3 distinct bigrams → top 1/3
+      (2L, "x x x x"),  // dup 3/4; bigram "x x" ×3 of 3 → top 1.0
+      (3L, "one"),      // too short for bigrams → 0.0
+      (4L, "p q p q p") // 5 words 2 distinct → dup 0.6; "p q"×2 of 4 → 0.5
+    ).toDF("doc_id", "text")
+    val got = Repetition.profile(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((0.0, 1.0 / 3)))
+    assert(got(2L) == ((0.75, 1.0)))
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L) == ((1 - 2.0 / 5, 0.5)))
+    // trigram path: "a b a b a b" → trigrams "a b a"×2, "b a b"×2 → top 0.5
+    val tri = Repetition.profile(Seq((9L, "a b a b a b")).toDF("doc_id", "text"), n = 3)
+      .head()
+    assert(tri.getDouble(2) == 0.5)
+  }
+
   test("media feature artifact: equals direct computation, reused, rebuilt on change") {
     import graft.multimodal.MediaFeatures
     implicit val sp: SparkSession = spark
