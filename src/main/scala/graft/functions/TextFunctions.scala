@@ -63,6 +63,41 @@ object TextFunctions {
     expr(s"""array_distinct(transform(sequence(1, greatest(size($kgCol) - ${w - 1}, 1)),
             |  j -> array_min(slice($kgCol, j, $w))))""".stripMargin)
 
+  // ---- PII scrubbing (the C4-style pre-training redaction pass).
+  // Patterns are RE2-safe (no backrefs/lookarounds) and unambiguous under
+  // both leftmost-first (Java) and leftmost-longest (RE2) matching, so
+  // redaction mirrors exactly in the DuckDB oracle.
+
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Pattern = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  /** International-format numbers only (`+` then 7-15 digits): fixed-shape
+    * on purpose — free-form phone regexes backtrack ambiguously across
+    * engines and eat unrelated digit runs.
+    */
+  val PhonePattern = """\+\d{7,15}"""
+
+  /** Redact emails → [EMAIL], IPv4s → [IP], +phones → [PHONE], in that
+    * order (emails first, so an address with an IP-shaped domain redacts
+    * as one email, not an email wrapping an [IP]).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "[EMAIL]"),
+        Ipv4Pattern, "[IP]"),
+      PhonePattern, "[PHONE]")
+
+  /** Redacted-span count, tallied stepwise on the progressively redacted
+    * text (so an email is never double-counted by the IP pass).
+    */
+  def piiCount(c: Column): Column = {
+    val t1 = regexp_replace(c, EmailPattern, "[EMAIL]")
+    val t2 = regexp_replace(t1, Ipv4Pattern, "[IP]")
+    (regexp_count(c, lit(EmailPattern)) +
+      regexp_count(t1, lit(Ipv4Pattern)) +
+      regexp_count(t2, lit(PhonePattern))).cast("long")
+  }
+
   /** lowercase + trim + collapse internal whitespace. */
   def normalize(c: Column): Column =
     regexp_replace(lower(trim(c)), WS + "+", " ")

@@ -35,6 +35,11 @@ object Text {
   private val duckSubwords =
     s"len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}'))"
 
+  // PII patterns, shared verbatim with TextFunctions (RE2-safe by design)
+  private val duckEmail = EmailPattern
+  private val duckIp = Ipv4Pattern
+  private val duckPhone = PhonePattern
+
   val entries: Seq[QueryDef] = Seq(
 
     // BPE-style pre-token counting beside the whitespace count — the
@@ -231,6 +236,38 @@ object Text {
         .select(col("doc_id"), col("dup_word_frac"),
           col("top_ngram_frac").as("top_bigram_frac"),
           (col("dup_word_frac") <= 0.3 && col("top_ngram_frac") <= 0.2).as("kept"))
+    },
+
+    // PII redaction (the C4-style scrubbing pass): emails/IPv4s/+phones →
+    // typed mask tokens. The fixture text carries no PII, so each doc gets
+    // a deterministic synthetic contact line appended IN BOTH ENGINES; the
+    // oracle replays the same stepwise redaction and hashes the clean
+    // text — a hash match pins pattern semantics, replacement order, and
+    // span counting cross-engine.
+    QueryDef.checked(
+      "q71_pii_redaction",
+      s"""WITH a AS (SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com or +4930' || doc_id
+         |         || ' at 10.0.' || (doc_id % 200) || '.1' AS t
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, t,
+         |    len(regexp_extract_all(t, '$duckEmail')) AS ne,
+         |    regexp_replace(t, '$duckEmail', '[EMAIL]', 'g') AS t1 FROM a),
+         |r2 AS (SELECT doc_id, ne, t1,
+         |    len(regexp_extract_all(t1, '$duckIp')) AS ni,
+         |    regexp_replace(t1, '$duckIp', '[IP]', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id, ne, ni,
+         |    len(regexp_extract_all(t2, '$duckPhone')) AS np,
+         |    regexp_replace(t2, '$duckPhone', '[PHONE]', 'g') AS t3 FROM r2)
+         |SELECT doc_id, CAST(ne + ni + np AS BIGINT) AS n_pii, md5(t3) AS clean_hash
+         |FROM r3""".stripMargin) { (s, dir) =>
+      val aug = t(s, dir, "documents").withColumn("t",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +4930"), col("doc_id"),
+          lit(" at 10.0."), pmod(col("doc_id"), lit(200)), lit(".1")))
+      aug.select(col("doc_id"),
+        piiCount(col("t")).as("n_pii"),
+        md5(redactPii(col("t"))).as("clean_hash"))
     }
   )
 }

@@ -160,6 +160,28 @@ class MiscSpec extends AnyFunSuite {
     assert(feats.exceptAll(again).count() == 0)
   }
 
+  test("PII redaction: typed masks, ordering, and counts on hand-built cases") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{piiCount, redactPii}
+    val cases = Seq(
+      ("mail bob.smith+x@corp.example.org now", "mail [EMAIL] now", 1L),
+      ("host 192.168.0.1 and 10.0.3.250 up", "host [IP] and [IP] up", 2L),
+      ("call +4915123456789 today", "call [PHONE] today", 1L),
+      // an IP-shaped domain has no alphabetic TLD → not an email; the IP
+      // inside still redacts (local part is not PII by itself)
+      ("root@10.0.3.1 logged in", "root@[IP] logged in", 1L),
+      // non-international digits are NOT a phone; short runs untouched
+      ("order 123456789 qty 42", "order 123456789 qty 42", 0L),
+      ("a@b.co +1234567 1.2.3.4", "[EMAIL] [PHONE] [IP]", 3L))
+      .toDF("t", "want", "n")
+    val got = cases.select(redactPii(col("t")).as("got"), col("want"),
+      piiCount(col("t")).as("cnt"), col("n")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"redaction mismatch: ${r.getString(0)}")
+      assert(r.getLong(2) == r.getLong(3), s"count mismatch for ${r.getString(1)}")
+    }
+  }
+
   test("repetition profile matches hand-computed values") {
     import spark.implicits._
     import graft.operators.Repetition
