@@ -69,7 +69,7 @@ object Reconcile {
       partNames: Seq[String] = Seq("par_key")): DataFrame = {
     import spark.implicits._
     val perFile = footerScan(spark, root, partNames, Seq.empty)
-      .map { case (key, rows, _, _) => (key, rows) }.toDF("par_key", "rows")
+      .map { case (key, rows, _, _, _) => (key, rows) }.toDF("par_key", "rows")
     perFile.groupBy("par_key")
       .agg(count(lit(1)).as("n_files"), sum("rows").as("n_rows"))
       .select(col("par_key"), col("n_files"), col("n_rows"),
@@ -86,31 +86,34 @@ object Reconcile {
     * timestamp columns (footer stats for those are exact, never
     * truncated; binary/string stats can be truncated by writers and are
     * rejected). Output: par_key, n_files, n_rows, then `<col>_min`,
-    * `<col>_max` doubles per requested column (null when every value in
-    * the partition is null).
+    * `<col>_max` doubles (null when every value in the partition is null)
+    * and `<col>_nulls` (the footer null count — exactly SQL
+    * `count(*) - count(col)`) per requested column.
     */
   def statsManifest(spark: org.apache.spark.sql.SparkSession, root: String,
       statCols: Seq[String], partNames: Seq[String] = Seq("par_key")): DataFrame = {
     import spark.implicits._
     val perFile = footerScan(spark, root, partNames, statCols)
-      .toDF("par_key", "rows", "mins", "maxs")
+      .toDF("par_key", "rows", "mins", "maxs", "nulls")
     val statAggs = statCols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(element_at(col("mins"), i + 1)).as(s"${c}_min"),
-        max(element_at(col("maxs"), i + 1)).as(s"${c}_max"))
+        max(element_at(col("maxs"), i + 1)).as(s"${c}_max"),
+        sum(element_at(col("nulls"), i + 1)).as(s"${c}_nulls"))
     }
     perFile.groupBy("par_key")
       .agg(count(lit(1)).as("n_files"),
         (sum(col("rows")).as("n_rows") +: statAggs): _*)
   }
 
-  /** Distributed footer read under `root`: one (par_key, rows, mins, maxs)
-    * tuple per data file, with per-column min/max for `statCols` pulled
-    * from the column-chunk statistics (reduced across row groups; None
-    * when the file holds no non-null value for the column).
+  /** Distributed footer read under `root`: one (par_key, rows, mins,
+    * maxs, nulls) tuple per data file, with per-column min/max/null-count
+    * for `statCols` pulled from the column-chunk statistics (reduced
+    * across row groups; min/max are None when the file holds no non-null
+    * value for the column, nulls is None when any chunk lacks the count).
     */
   private def footerScan(spark: org.apache.spark.sql.SparkSession, root: String,
       partNames: Seq[String], statCols: Seq[String])
-      : org.apache.spark.sql.Dataset[(String, Long, Seq[Option[Double]], Seq[Option[Double]])] = {
+      : org.apache.spark.sql.Dataset[(String, Long, Seq[Option[Double]], Seq[Option[Double]], Seq[Option[Long]])] = {
     import spark.implicits._
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -133,7 +136,7 @@ object Reconcile {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(p), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val (rows, mins, maxs) = try {
+          val (rows, mins, maxs, nulls) = try {
             val blocks = scala.jdk.CollectionConverters.ListHasAsScala(
               r.getFooter.getBlocks).asScala.toSeq
             val perCol = statCols.map { c =>
@@ -154,11 +157,14 @@ object Reconcile {
                   s"statsManifest supports numeric/timestamp columns; " +
                     s"$c has ${o.getClass.getSimpleName} statistics")
               }
-              if (present.isEmpty) (None, None)
+              val nulls =
+                if (chunkStats.exists(s => s == null || !s.isNumNullsSet)) None
+                else Some(chunkStats.map(_.getNumNulls).sum)
+              if (present.isEmpty) (None, None, nulls)
               else (Some(present.map(s => num(s.genericGetMin)).min),
-                Some(present.map(s => num(s.genericGetMax)).max))
+                Some(present.map(s => num(s.genericGetMax)).max), nulls)
             }
-            (r.getRecordCount, perCol.map(_._1), perCol.map(_._2))
+            (r.getRecordCount, perCol.map(_._1), perCol.map(_._2), perCol.map(_._3))
           } finally r.close()
           // partition key from the name=value dirs between root and file
           val rel = p.stripPrefix(rootUri).stripPrefix("/")
@@ -167,7 +173,7 @@ object Reconcile {
             .map(seg => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .unescapePathName(seg.substring(seg.indexOf('=') + 1)))
             .mkString("/")
-          (key, rows, mins, maxs)
+          (key, rows, mins, maxs, nulls)
         }
       }
   }

@@ -150,14 +150,16 @@ object Ops {
     QueryDef.checked(
       "q67_stats_triage",
       """SELECT strftime(ts, '%Y%m%d') AS par_key, count(*) AS n_rows,
-        |  min(value) AS value_min, max(value) AS value_max
+        |  min(value) AS value_min, max(value) AS value_max,
+        |  count(*) - count(value) AS value_nulls
         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       val dest = scratch(s"stats_${dir.replaceAll("[^a-z0-9.]", "_")}")
       Tables.load(s, dir, "events")
         .withColumn("par_key", date_format(col("ts"), "yyyyMMdd"))
         .write.partitionBy("par_key").mode("overwrite").parquet(dest)
       Reconcile.statsManifest(s, dest, Seq("value"))
-        .select(col("par_key"), col("n_rows"), col("value_min"), col("value_max"))
+        .select(col("par_key"), col("n_rows"), col("value_min"), col("value_max"),
+          col("value_nulls"))
     }
   )
 }

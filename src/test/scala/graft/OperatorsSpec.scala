@@ -247,6 +247,10 @@ class OperatorsSpec extends AnyFunSuite {
       assert(sm(p).getAs[Double]("k_min") == expected(p).getLong(4).toDouble)
       assert(sm(p).getAs[Double]("k_max") == expected(p).getLong(5).toDouble)
     }
+    // footer null counts are exact: the all-null partition reports all its
+    // rows, the mixed one zero — count(*) - count(col) at metadata cost
+    assert(sm("1997").getAs[Long]("value_nulls") == 10L)
+    assert(sm("1996").getAs[Long]("value_nulls") == 0L)
     // value drift: rewrite the 1996 leaf with one shifted extreme — the
     // triage sees the excursion at footer cost
     spark.read.parquet(dest).filter(col("par_key") === "1996")
