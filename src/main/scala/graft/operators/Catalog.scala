@@ -55,11 +55,16 @@ object Catalog {
     val fields = inferred.fields.filterNot(f => partNames.contains(f.name)) ++
       partNames.map(n => inferred.fields.find(_.name == n)
         .getOrElse(StructField(n, StringType)))
+    var keepProps = Map.empty[String, String]
     if (spark.catalog.tableExists(s"$db.$table")) {
       val current = spark.table(s"$db.$table").schema.fields
         .map(f => (f.name, f.dataType)).toSet
-      if (current != fields.map(f => (f.name, f.dataType)).toSet)
+      if (current != fields.map(f => (f.name, f.dataType)).toSet) {
+        // USER properties ride the recreate (the drop is an internal
+        // schema refresh, not a user intent to clear metadata)
+        keepProps = tableProperties(spark, s"$db.$table").filterNot(p => isInternalProp(p._1))
         spark.sql(s"DROP TABLE $db.$table") // external: metadata only
+      }
     }
     val colsDdl = fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     val partDdl =
@@ -68,6 +73,7 @@ object Catalog {
     spark.sql(s"CREATE TABLE IF NOT EXISTS $db.$table ($colsDdl) USING $format " +
       s"$partDdl LOCATION '$path'")
     if (partNames.nonEmpty) spark.catalog.recoverPartitions(s"$db.$table")
+    setTableProperties(spark, s"$db.$table", keepProps)
   }
 
   /** `SHOW PARTITIONS` as data — the reference's per-partition directory
@@ -75,6 +81,77 @@ object Catalog {
     */
   def partitions(spark: SparkSession, dbTable: String): Seq[String] =
     spark.sql(s"SHOW PARTITIONS $dbTable").collect().map(_.getString(0)).toSeq.sorted
+
+  /** ALTER TABLE … DROP PARTITION. Metadata-only by default (the table is
+    * EXTERNAL — the files stay and a later `recoverPartitions` would
+    * re-adopt them); `purge = true` also deletes the partition directory,
+    * the catalog form of the reference's delete-before-merge sweep
+    * (HDFSMerge.java:174-189). Values are escaped like the write path
+    * escapes directory names, so any partition `SHOW PARTITIONS` lists
+    * can be dropped back.
+    */
+  def dropPartition(spark: SparkSession, dbTable: String,
+      spec: Seq[(String, String)], purge: Boolean = false): Unit = {
+    require(spec.nonEmpty, "empty partition spec")
+    val specDdl = spec.map { case (k, v) => s"`$k`='${v.replace("'", "\\'")}'" }
+      .mkString("PARTITION (", ", ", ")")
+    val dir =
+      if (!purge) None
+      else {
+        // resolve the leaf location BEFORE the metadata drop
+        val base = location(spark, dbTable)
+        val rel = spec.map { case (k, v) =>
+          s"$k=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(v)
+        }.mkString("/")
+        Some(new org.apache.hadoop.fs.Path(s"$base/$rel"))
+      }
+    spark.sql(s"ALTER TABLE $dbTable DROP IF EXISTS $specDdl")
+    dir.foreach { d =>
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(d, true)
+    }
+  }
+
+  /** Retention sweep: drop every partition whose FIRST partition value is
+    * lexicographically below `cutoff` — exact date semantics for the
+    * fixed-width patterns the engine writes (yyyyMMdd / yyyyMM / yyyy).
+    * Returns the dropped partition values. The listing is catalog
+    * metadata, bounded by the partition count.
+    */
+  def dropPartitionsOlderThan(spark: SparkSession, dbTable: String,
+      cutoff: String, partName: String = "par_key",
+      purge: Boolean = false): Seq[String] = {
+    val victims = partitions(spark, dbTable)
+      .map(_.split('/').head)
+      .filter(_.startsWith(partName + "="))
+      .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(s.substring(partName.length + 1)))
+      .distinct
+      .filter(_ < cutoff)
+    victims.foreach(v => dropPartition(spark, dbTable, Seq(partName -> v), purge))
+    victims
+  }
+
+  /** User table properties (SHOW TBLPROPERTIES as a map). */
+  def tableProperties(spark: SparkSession, dbTable: String): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES $dbTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** ALTER TABLE … SET TBLPROPERTIES. */
+  def setTableProperties(spark: SparkSession, dbTable: String,
+      props: Map[String, String]): Unit =
+    if (props.nonEmpty) {
+      val ddl = props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'${k.replace("'", "\\'")}'='${v.replace("'", "\\'")}'" }
+        .mkString(", ")
+      spark.sql(s"ALTER TABLE $dbTable SET TBLPROPERTIES ($ddl)")
+    }
+
+  /** Engine-managed keys that must not be copied through a drop/recreate. */
+  private def isInternalProp(k: String): Boolean =
+    k.startsWith("transient_") || k.startsWith("spark.sql.") ||
+      k == "external" || k == "numFiles" || k == "totalSize"
 
   /** [[Migrate.migrateRange]] addressed by catalog names: resolves the
     * source location, writes under the destination DATABASE's directory,

@@ -62,6 +62,51 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("gevo.t").count() == 10)
   }
 
+  test("drop partition, retention sweep, and properties round-trip") {
+    val root = Files.createTempDirectory("graft-catalog-drop").toString
+    spark.sql("DROP DATABASE IF EXISTS gret CASCADE")
+    spark.sql(s"CREATE DATABASE gret LOCATION '$root/gret.db'")
+    val path = s"$root/gret.db/ev"
+    spark.range(100).select(
+        (col("id") % 5).cast("string").as("par_key"), col("id").as("v"))
+      .write.partitionBy("par_key").parquet(path)
+    Catalog.register(spark, "gret", "ev", path, Seq("par_key"))
+    assert(Catalog.partitions(spark, "gret.ev").size == 5)
+
+    // properties: set → read back; survive a schema-evolving re-register
+    Catalog.setTableProperties(spark, "gret.ev",
+      Map("graft.owner" -> "pipeline", "graft.retention" -> "30d"))
+    assert(Catalog.tableProperties(spark, "gret.ev")("graft.owner") == "pipeline")
+    spark.read.parquet(path).withColumn("extra", lit(1))
+      .write.partitionBy("par_key").mode("overwrite").parquet(path)
+    Catalog.register(spark, "gret", "ev", path, Seq("par_key"))
+    assert(spark.table("gret.ev").columns.contains("extra"))
+    val props = Catalog.tableProperties(spark, "gret.ev")
+    assert(props("graft.owner") == "pipeline" && props("graft.retention") == "30d")
+
+    // metadata-only drop: catalog forgets the partition, reads exclude it,
+    // the directory SURVIVES (external semantics)
+    Catalog.dropPartition(spark, "gret.ev", Seq("par_key" -> "3"))
+    assert(Catalog.partitions(spark, "gret.ev").size == 4)
+    assert(spark.table("gret.ev").filter(col("par_key") === "3").count() == 0)
+    assert(new java.io.File(s"$path/par_key=3").exists())
+    // recover re-adopts the orphaned directory
+    spark.catalog.recoverPartitions("gret.ev")
+    assert(Catalog.partitions(spark, "gret.ev").size == 5)
+
+    // purge drop also removes the files
+    Catalog.dropPartition(spark, "gret.ev", Seq("par_key" -> "3"), purge = true)
+    assert(!new java.io.File(s"$path/par_key=3").exists())
+
+    // retention sweep: everything below the cutoff goes, in one call
+    val dropped = Catalog.dropPartitionsOlderThan(spark, "gret.ev", cutoff = "2",
+      purge = true)
+    assert(dropped.sorted == Seq("0", "1"))
+    assert(Catalog.partitions(spark, "gret.ev") == Seq("par_key=2", "par_key=4"))
+    assert(spark.table("gret.ev").select("par_key").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("2", "4"))
+  }
+
   test("CLI -catalog mode: database names in, verified migrate + registered table out") {
     val root = Files.createTempDirectory("graft-catalog-cli").toString
     spark.sql("DROP DATABASE IF EXISTS csrc CASCADE")
