@@ -29,7 +29,12 @@ object Plans {
       "q58_range_join",      // interval->bucket explode + hash equi-join
       "q62_ann_quantized",   // int8 arrays through the broadcast (declared NLJ baseline)
       "q65_quality_profile", // all checks in ONE aggregation pass
-      "q66_token_budget_mix") // one window pass per mix cell
+      "q66_token_budget_mix", // one window pass per mix cell
+      "q68_ann_pq",          // DECLARED broadcast-NLJ over COMPRESSED codes (the ADC
+                             // scan — 8× fewer bytes than the q36 baseline's floats);
+                             // the re-rank stage is bounded equi-joins
+      "q69_stratified_sample", // pure codegen'd filter, no shuffle before the agg
+      "q70_repetition_filter") // explode + lead window + two-level agg
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

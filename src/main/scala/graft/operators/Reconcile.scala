@@ -119,11 +119,15 @@ object Reconcile {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(rootPath).toString
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(rootPath, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) files += f.getPath.toString
+    // a missing root is an empty manifest (diff then reports every source
+    // partition missing_in_dest), not a listing crash
+    if (fs.exists(rootPath)) {
+      val it = fs.listFiles(rootPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) files += f.getPath.toString
+      }
     }
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(

@@ -63,4 +63,40 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(pairs.columns.toSeq == Seq("doc_a", "doc_b", "jac"))
     assert(graft.operators.DedupPipeline.components(spark, docs, scratch).count() == 0)
   }
+
+  test("footer/stats manifests of a missing root are empty, and diff flags the loss") {
+    val gone = Files.createTempDirectory("graft-empty-fm").toString + "/never-written"
+    assert(graft.operators.Reconcile.footerManifest(spark, gone).count() == 0)
+    assert(graft.operators.Reconcile.statsManifest(spark, gone, Seq("v")).count() == 0)
+    // a real source vs the missing dest: every partition missing_in_dest
+    val src = graft.operators.Reconcile.manifest(
+      Tables.load(spark, sf, "region"), lit("all"))
+    val bad = graft.operators.Reconcile
+      .diff(src, graft.operators.Reconcile.footerManifest(spark, gone))
+      .collect()
+    assert(bad.nonEmpty && bad.forall(_.getAs[String]("status") == "missing_in_dest"))
+  }
+
+  test("repetition profile and sampling over an empty corpus are empty") {
+    val docs = Tables.load(spark, sf, "documents").filter(lit(false))
+    val prof = graft.operators.Repetition.profile(docs)
+    assert(prof.count() == 0)
+    assert(prof.columns.toSeq == Seq("doc_id", "dup_word_frac", "top_ngram_frac"))
+    assert(graft.operators.Sampling.sample(docs, col("doc_id"), 0.5).count() == 0)
+    assert(graft.operators.Sampling.assignSplit(docs, col("doc_id"),
+      Seq("a" -> 0.5, "b" -> 0.5)).count() == 0)
+  }
+
+  test("PQ: empty queries are empty; training on an empty corpus fails loudly") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val none = emb.filter(lit(false))
+    val mo = graft.operators.PqAnn.train(emb.limit(64), m = 16, k = 4, iters = 1)
+    val enc = graft.operators.PqAnn.encode(emb.limit(64), mo)
+    assert(graft.operators.PqAnn.topK(enc, none, mo, 5).count() == 0)
+    assert(graft.operators.PqAnn.topKRefined(enc, emb.limit(64), none, mo, 5).count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.PqAnn.train(none, m = 16, k = 4, iters = 1)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
 }
