@@ -53,6 +53,20 @@ object TextFunctions {
     expr(s"""transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
             |  i -> substring(md5(substring($textCol, i, $k)), 1, 8))""".stripMargin)
 
+  /** Engine-only fast variant of [[kgramHashes]]: xxhash64 of each k-gram
+    * (bigint fingerprints). ~2× cheaper than the md5+substring form on the
+    * fingerprinting scan and shuffles 8 bytes instead of an 8-char string
+    * per gram — but it has no DuckDB mirror, so use it when the consumer
+    * is this engine end-to-end and keep [[kgramHashes]] where an external
+    * oracle must replay the selection. [[winnow]] accepts either (its
+    * array_min orders bigints numerically, fixed-width hex strings
+    * lexicographically — both uniform over grams, so selection density
+    * and the shared-run guarantee are identical).
+    */
+  def kgramHashesFast(textCol: String, k: Int = 8): Column =
+    expr(s"""transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
+            |  i -> xxhash64(substring($textCol, i, $k)))""".stripMargin)
+
   /** Winnowed document fingerprints (Schleimer et al., SIGMOD'03): the
     * minimum gram hash of each sliding window of `w` positions, distinct.
     * Guarantees any shared run of w+k-1 chars between two documents

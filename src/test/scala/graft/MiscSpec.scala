@@ -117,6 +117,23 @@ class MiscSpec extends AnyFunSuite {
       "docs sharing a 30-char run must share a winnowed fingerprint")
     assert((byDoc(1L) intersect byDoc(3L)).isEmpty,
       "unrelated docs should not collide on 8-char gram fingerprints here")
+    // the engine-only xxhash64 fast path upholds the same guarantee (the
+    // selection differs — different hash order — but any shared w+k-1 run
+    // still yields a shared fingerprint, and density stays ~2/(w+1))
+    import graft.functions.TextFunctions.kgramHashesFast
+    val fast = docs.withColumn("kg", kgramHashesFast("text", k))
+      .select(col("doc_id"), explode(winnow("kg", w)).as("fp"))
+    val fastByDoc = fast.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fastByDoc(1L) intersect fastByDoc(2L)).nonEmpty)
+    assert((fastByDoc(1L) intersect fastByDoc(3L)).isEmpty)
+    val docsBig = Tables.load(spark, sf, "documents")
+    val md5N = docsBig.withColumn("kg", kgramHashes("text", k))
+      .select(explode(winnow("kg", w))).count()
+    val fastN = docsBig.withColumn("kg", kgramHashesFast("text", k))
+      .select(explode(winnow("kg", w))).count()
+    // same expected density 2/(w+1): totals within 5% of each other
+    assert(math.abs(md5N - fastN).toDouble / md5N < 0.05, s"density drift: $md5N vs $fastN")
   }
 
   test("corpus mix: running-sum budget and quota prefixes match a driver model") {
