@@ -140,7 +140,7 @@ object PqAnn {
     * centroid c of block b) against the broadcast codebook — queries are
     * the bounded side, so the collect_list window stays cheap.
     */
-  private def withLut(spark: SparkSession, queries: DataFrame, mo: Model,
+  private[operators] def withLut(spark: SparkSession, queries: DataFrame, mo: Model,
       idCol: String, vecCol: String): DataFrame = {
     val lut = subvectors(queries, idCol, vecCol, mo.m, mo.dsub)
       .join(broadcast(cbDf(spark, mo)), col("block") === col("__block"))

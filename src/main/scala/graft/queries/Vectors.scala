@@ -115,6 +115,20 @@ object Vectors {
         m = 16, k = 32, iters = 4)
       graft.operators.PqAnn.topKRefined(encoded, emb, emb.filter(col("vec_id") < 100),
         model, k = 5, refine = 10)
+    },
+
+    // IVF×PQ (IVFADC) — both scale levers composed: nprobe/k of the corpus
+    // scanned, at ~8× fewer bytes per scanned row, through an EQUI-join on
+    // the cell id; exact re-rank recovers fine-quantization loss (recall
+    // tracks IVF-only at equal nprobe — spec-pinned, with full-probe ≡
+    // flat PQ as the degeneracy check).
+    QueryDef.rowsOnly("q72_ann_ivfpq") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val modelPath =
+        s"${sys.props("java.io.tmpdir")}/graft-models/ivfpq_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      val (model, encoded) = graft.operators.IvfPq.buildOrLoad(s, emb, modelPath)
+      graft.operators.IvfPq.topK(encoded, emb, emb.filter(col("vec_id") < 100),
+        model, k = 5, nprobe = 4)
     }
   )
 }

@@ -236,6 +236,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sqlScore == 1.0 + 4.0)
   }
 
+  test("IVFxPQ: coarse recall bound, full probe equals flat PQ, artifact reuse") {
+    import graft.operators.{IvfAnn, IvfPq, PqAnn}
+    val queries = emb.filter(col("vec_id") < 100)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val (mo, enc) = IvfPq.buildOrLoad(spark, emb, s"$base/model")
+    // composition costs ≈ nothing beyond the coarse level: at nprobe=4 the
+    // re-rank recovers the PQ loss, so recall tracks IVF-only (measured
+    // 0.598 vs 0.600) — floor with margin, and never > the probed ceiling
+    val got4 = ids(IvfPq.topK(enc, emb, queries, mo, k = 5, nprobe = 4))
+    val r4 = (exact & got4).size.toDouble / exact.size
+    val ivfOnly = ids(IvfAnn.topK(emb, queries, mo.ivf, k = 5, nprobe = 4))
+    val rIvf = (exact & ivfOnly).size.toDouble / exact.size
+    info(s"IVFxPQ nprobe=4 recall: $r4 (IVF-only: $rIvf)")
+    assert(r4 >= 0.5, s"IVFxPQ recall: $r4")
+    assert(r4 >= rIvf - 0.05, "fine level must not cost recall after re-rank")
+    // recall grows with nprobe; probing EVERY cell degenerates to flat
+    // PQ+re-rank EXACTLY (same ADC scores, same tie order)
+    val got16 = ids(IvfPq.topK(enc, emb, queries, mo, k = 5, nprobe = mo.ivf.k))
+    val flat = ids(PqAnn.topKRefined(
+      spark.read.parquet(s"$base/model/codes").select("vec_id", "codes", "vnorm"),
+      emb, queries, mo.pq, k = 5, refine = 10))
+    assert(got16 == flat, "full-probe IVFxPQ must equal flat PQ+re-rank")
+    val r8 = (exact & ids(IvfPq.topK(enc, emb, queries, mo, k = 5, nprobe = 8))).size
+      .toDouble / exact.size
+    assert(r4 <= r8 && r8 <= (exact & got16).size.toDouble / exact.size + 1e-9,
+      s"recall must grow with nprobe: $r4, $r8")
+    // artifact: second call loads (codes part untouched), scores identical
+    val part = new java.io.File(s"$base/model/codes").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val (mo2, enc2) = IvfPq.buildOrLoad(spark, emb, s"$base/model")
+    assert(part.exists())
+    assert(mo2.ivf.centroids.toSeq == mo.ivf.centroids.toSeq &&
+      mo2.pq.codebooks.toSeq == mo.pq.codebooks.toSeq)
+    assert(ids(IvfPq.topK(enc2, emb, queries, mo2, k = 5, nprobe = 4)) == got4)
+  }
+
   test("DedupPipeline artifact: reused across sessions, rebuilt on corpus change") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-dedup-art").toString
