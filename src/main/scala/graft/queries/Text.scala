@@ -268,6 +268,39 @@ object Text {
       aug.select(col("doc_id"),
         piiCount(col("t")).as("n_pii"),
         md5(redactPii(col("t"))).as("clean_hash"))
+    },
+
+    // tokenizer-style vocabulary: deterministic top-500 by (count desc,
+    // token asc) with 1-based ids — the reproducible-retrain contract.
+    // Plan shape is distributed TopK (orderBy+limit), with only the
+    // bounded vocabulary passing the id window.
+    QueryDef.checked(
+      "q73_vocabulary",
+      s"""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '$duckWs+')) AS tok
+         |           FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt FROM w GROUP BY tok),
+         |v AS (SELECT tok, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, tok) AS id FROM c)
+         |SELECT id, tok, cnt FROM v WHERE id <= 500""".stripMargin) { (s, dir) =>
+      graft.operators.Vocabulary.build(t(s, dir, "documents"), size = 500)
+    },
+
+    // unigram surprisal quality gate: each doc's average -ln p(word) under
+    // the corpus' own unigram distribution (the cheap perplexity proxy;
+    // both tails are junk). Rounded to 6 decimals in BOTH engines — the
+    // one transcendental in the oracle suite, pinned by rounding.
+    QueryDef.checked(
+      "q74_unigram_surprisal",
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '$duckWs+')) AS tok
+         |  FROM documents),
+         |f AS (SELECT tok, count(*) AS cnt FROM w GROUP BY tok),
+         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM f)
+         |SELECT w.doc_id, count(*) AS n_toks,
+         |  round(avg(-ln(f.cnt / t.n)), 6) AS avg_surprisal
+         |FROM w JOIN f USING (tok), t
+         |GROUP BY w.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Vocabulary.surprisal(t(s, dir, "documents"))
     }
   )
 }

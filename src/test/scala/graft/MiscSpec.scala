@@ -199,6 +199,26 @@ class MiscSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabulary tie order and unigram surprisal match hand math") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    val docs = Seq((1L, "b a a"), (2L, "c b a")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1 → ids by (cnt desc, tok asc)
+    val v = Vocabulary.build(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(v == Seq((1L, "a", 3L), (2L, "b", 2L), (3L, "c", 1L)))
+    // vocab larger than `size` truncates deterministically
+    assert(Vocabulary.build(docs, size = 2).collect().map(_.getString(1)).toSeq
+      == Seq("a", "b"))
+    val sup = Vocabulary.surprisal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = r6((-math.log(1.0 / 6) - math.log(2.0 / 6) - math.log(3.0 / 6)) / 3)
+    assert(sup(2L) == ((3L, exp2)))
+    val exp1 = r6((-math.log(2.0 / 6) - 2 * math.log(3.0 / 6)) / 3)
+    assert(sup(1L) == ((3L, exp1)))
+  }
+
   test("repetition profile matches hand-computed values") {
     import spark.implicits._
     import graft.operators.Repetition
