@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The corpus-dedup pipeline as a MATERIALIZED artifact: the verified
@@ -53,10 +53,56 @@ object DedupPipeline {
   def jaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    val (dw, prefix) = tokensAndPrefix(docs, threshold, idCol, textCol, blockCols, None)
+    val candConds = ((col("a.w") === col("b.w")) +:
+      blockCols.map(c => col(s"a.$c") === col(s"b.$c"))) :+
+      (col("a.doc_id") < col("b.doc_id"))
+    val cands = prefix.as("a").join(prefix.as("b"), candConds.reduce(_ && _))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cands, dw, threshold)
+  }
+
+  /** Incremental form: verified pairs INVOLVING at least one row matching
+    * `isFresh` (a predicate over `docs`' columns, e.g. an ingest-date or
+    * id-watermark test) — the daily-ingest shape. The prefix index join
+    * puts the WHOLE corpus on one side but only fresh prefixes on the
+    * other, so candidate volume is |all|×|fresh| per token bucket instead
+    * of |all|², and the already-verified old×old pair graph is never
+    * recomputed (union the result with the existing artifact downstream).
+    * Token document frequencies come from the full (old ∪ fresh) corpus —
+    * one linear pass, which exact prefix filtering needs anyway — so
+    * output pairs are EXACTLY the full recompute's fresh-involving subset.
+    */
+  def incrementalPairs(docs: DataFrame, isFresh: Column, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    val (dw, prefix) =
+      tokensAndPrefix(docs, threshold, idCol, textCol, blockCols, Some(isFresh))
+    val candConds = ((col("a.w") === col("b.w")) +:
+      blockCols.map(c => col(s"a.$c") === col(s"b.$c"))) :+
+      (col("a.doc_id") =!= col("b.doc_id"))
+    val cands = prefix.as("a")
+      .join(prefix.filter(col("__fresh")).as("b"), candConds.reduce(_ && _))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyPairs(cands, dw, threshold)
+  }
+
+  /** Shared front of the pipeline: the distinct token relation `dw`
+    * (localCheckpointed — four downstream subtrees) and the prefix-
+    * filtered index, optionally carrying a `__fresh` flag evaluated
+    * against the ORIGINAL doc row.
+    */
+  private def tokensAndPrefix(docs: DataFrame, threshold: Double,
+      idCol: String, textCol: String, blockCols: Seq[String],
+      fresh: Option[Column]): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val bc = blockCols.map(col)
+    val freshCols = fresh.map(_.as("__fresh")).toSeq
     val dw = docs
-      .select((col(idCol).as("doc_id") +: bc) :+
+      .select((col(idCol).as("doc_id") +: bc) ++ freshCols :+
         explode(split(col(textCol), " ")).as("w"): _*)
       .distinct()
       .localCheckpoint()
@@ -74,15 +120,15 @@ object DedupPipeline {
     // way only lengthens the prefix by one token
     val prefix = ranked
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
-      .select(col("doc_id") +: bc :+ col("w"): _*)
-    val candConds = ((col("a.w") === col("b.w")) +:
-      blockCols.map(c => col(s"a.$c") === col(s"b.$c"))) :+
-      (col("a.doc_id") < col("b.doc_id"))
-    val cands = prefix.as("a").join(prefix.as("b"), candConds.reduce(_ && _))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // exact verification over full token sets (sets are distinct by
-    // construction, so array_intersect size IS the intersection count)
+      .select((col("doc_id") +: bc) ++ fresh.map(_ => col("__fresh")).toSeq :+ col("w"): _*)
+    (dw, prefix)
+  }
+
+  /** Exact verification over full token sets (sets are distinct by
+    * construction, so array_intersect size IS the intersection count).
+    */
+  private def verifyPairs(cands: DataFrame, dw: DataFrame,
+      threshold: Double): DataFrame = {
     val toks = dw.groupBy("doc_id").agg(collect_set(col("w")).as("toks"))
     cands
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))

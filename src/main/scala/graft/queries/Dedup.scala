@@ -95,6 +95,27 @@ object Dedup {
       jaccardPairs(s, dir)
     },
 
+    // INCREMENTAL dedup — the daily-ingest shape: only pairs involving a
+    // "fresh" doc (id above a watermark at 80% of the corpus) are
+    // computed/verified; the old×old pair graph is never recomputed. The
+    // oracle is the FULL pair join restricted to fresh-involving pairs,
+    // so a hash match proves the incremental path returns exactly the
+    // full recompute's subset (df counts from the union corpus keep the
+    // prefix-filter recall guarantee exact).
+    QueryDef.checked(
+      "q75_incremental_dedup",
+      s"""WITH cut AS (SELECT CAST(floor(max(doc_id) * 4.0 / 5) AS BIGINT) AS s
+         |            FROM documents),
+         |$pairsCteSql
+         |${pairsSelectSql(
+        "doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac")}
+         |  AND (doc_a >= (SELECT s FROM cut) OR doc_b >= (SELECT s FROM cut))""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val cut = docs.agg(max("doc_id")).head().getLong(0) * 4 / 5
+        graft.operators.DedupPipeline.incrementalPairs(docs, col("doc_id") >= cut, 0.8)
+    },
+
     // MinHash-LSH near-dup with exact verification — matches the exact
     // shingle-jaccard oracle because band recall at j≥0.5 is ~0.9999
     // (64 hashes, 32 bands × 2 rows) and the fixture has no pairs in

@@ -236,6 +236,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sqlScore == 1.0 + 4.0)
   }
 
+  test("incremental dedup = the fresh-involving subset of the full pair graph") {
+    import graft.operators.DedupPipeline
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(DedupPipeline.jaccardPairs(docs, 0.8))
+    val cut = docs.agg(max("doc_id")).head().getLong(0) * 4 / 5
+    val inc = pairs(DedupPipeline.incrementalPairs(docs, col("doc_id") >= cut, 0.8))
+    val want = full.filter { case (a, b) => a >= cut || b >= cut }
+    assert(inc == want, s"missing ${want -- inc}, extra ${inc -- want}")
+    // the point of the incremental path: old×old pairs exist and are NOT
+    // recomputed (the subset is proper on this fixture)
+    assert(want.nonEmpty && want != full)
+    assert(inc.forall { case (a, b) => a < b })
+  }
+
   test("IVFxPQ: coarse recall bound, full probe equals flat PQ, artifact reuse") {
     import graft.operators.{IvfAnn, IvfPq, PqAnn}
     val queries = emb.filter(col("vec_id") < 100)
