@@ -89,12 +89,17 @@ object PqAnn {
     val sub = subvectors(base, idCol, vecCol, m, dsub).localCheckpoint()
 
     // init: subvectors of the k deterministic hash-ranked rows; cid =
-    // hash rank. k×m values — driver-bounded by construction.
+    // hash rank. k×m values — driver-bounded by construction. A corpus
+    // (or sample) smaller than k caps the codebook at its row count —
+    // Model.k must equal the REAL centroid count, or every downstream
+    // LUT is m·k_claimed long while codes address m·k_actual and PqAdc's
+    // shape check nulls every score.
     val initIds = base.select(col(idCol).as("id"))
       .withColumn("h", xxhash64(col("id"))).orderBy(col("h"), col("id")).limit(k)
       .select("id").collect().map(_.get(0))
+    val kActual = initIds.length
     val rank = initIds.zipWithIndex.toMap
-    var mo = Model(m, k, dsub,
+    var mo = Model(m, kActual, dsub,
       sub.filter(col("id").isInCollection(initIds))
         .collect()
         .map(r => (r.getInt(1), rank(r.get(0)), r.getSeq[Double](2)))

@@ -98,5 +98,13 @@ class EmptyInputSpec extends AnyFunSuite {
       graft.operators.PqAnn.train(none, m = 16, k = 4, iters = 1)
     }
     assert(e.getMessage.contains("empty corpus"))
+    // a corpus SMALLER than k caps the codebook at the row count — Model.k
+    // must be the real centroid count or every ADC score nulls out
+    val tiny = emb.limit(3)
+    val small = graft.operators.PqAnn.train(tiny, m = 16, k = 8, iters = 1)
+    assert(small.k == 3)
+    val encTiny = graft.operators.PqAnn.encode(tiny, small)
+    val scored = graft.operators.PqAnn.topK(encTiny, tiny, small, k = 2)
+    assert(scored.count() > 0 && scored.filter(col("cos").isNull).count() == 0)
   }
 }
