@@ -55,7 +55,7 @@ object Main {
           |            -spp is 'raw'; dirs become pn=/pn2=/
           |  trans-partition:   -distDB <dir> -s <yyyy-MM-dd> -e <yyyy-MM-dd> [-email a@b] [-skipExisting true]
           |  trans-whole-table: -distDB <dir> [-email a@b] [-skipExisting true]
-          |  merge:             [-distDB <dir>] [-target <bytes>]  (no
+          |  merge:             [-distDB <dir>] [-target <bytes>] [-cluster c1,c2]  (no
           |                     -distDB: compact IN PLACE, staged tmp + swap
           |                     — the reference HDFSMerge shape)
           |  trans-files:       -distDB <dir>   (opaque byte copy of any
@@ -147,13 +147,16 @@ object Main {
         verify(spark, src, dst, dateCol, pp, alerter, None, subPart, srcFormat, srcOptions)
       case "merge" =>
         val target = m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024)
+        // -cluster a,b: sort inside each writer task so row-group stats
+        // become tight ranges (data skipping); paid once, while rewriting
+        val clusterBy = m.get("cluster").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
         // no -distDB → in place, like the reference's HDFSMerge
         val inPlace = !catalogMode && !m.contains("distDB")
         val st =
           if (inPlace) Compact.rewriteInPlacePartitioned(spark, src, dateCol, pp,
             target, pn, subPart, srcFormat, srcOptions)
           else Compact.rewritePartitioned(spark, src, dst, dateCol, pp,
-            target, pn, subPart, srcFormat, srcOptions)
+            target, pn, subPart, srcFormat, srcOptions, clusterBy = clusterBy)
         println(s"compacted files ${st.filesBefore} -> ${st.filesAfter} (${st.bytesBefore} bytes)")
         if (!inPlace) registerDest()
       case other =>

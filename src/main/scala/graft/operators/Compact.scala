@@ -69,7 +69,8 @@ object Compact {
       subPart: Option[Migrate.SubPart] = None,
       srcFormat: String = "parquet",
       srcOptions: Map[String, String] = Map.empty,
-      skipCompacted: Boolean = true): Stats = {
+      skipCompacted: Boolean = true,
+      clusterBy: Seq[String] = Nil): Stats = {
 
     val (nFiles, nBytes) = pathStats(spark, srcPath)
     val dfAll0 = Migrate.read(spark, srcPath, srcFormat, srcOptions)
@@ -144,10 +145,23 @@ object Compact {
         s.repartition(filesTotal.toInt, (partCols :+ col("__salt")): _*)
           .select(dataCols.toIndexedSeq: _*)
     }
+    // clusterBy: sort INSIDE each writer task (no extra shuffle — the
+    // repartition above fixed task ownership), so every output file is
+    // ordered by the cluster columns and its parquet row-group min/max
+    // stats become tight, disjoint ranges — selective scans skip row
+    // groups instead of reading the leaf (the data-skipping layout the
+    // statsManifest triage reads back). Compaction is exactly the moment
+    // a 100 TB pipeline pays this sort: once, while rewriting anyway.
+    // The sort MUST lead with the partition columns: the dynamic-
+    // partition writer requires that prefix and would otherwise insert
+    // its own (non-stable) par_key-only sort, destroying the clustering.
+    val clustered =
+      if (clusterBy.isEmpty) keyed
+      else keyed.sortWithinPartitions((partCols ++ clusterBy.map(col)): _*)
     // with skips in play, dynamic overwrite replaces ONLY the rewritten
     // leaves — a static overwrite would truncate the skipped (already
     // compact) ones the skip just promised to keep
-    keyed.write
+    clustered.write
       .partitionBy(partNames: _*)
       .mode("overwrite")
       .option("partitionOverwriteMode", if (skipLeaves.nonEmpty) "dynamic" else "static")

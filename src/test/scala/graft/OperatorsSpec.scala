@@ -262,6 +262,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(drifted("1996") == 1e9)
   }
 
+  test("clusterBy compaction: files internally sorted, row-group ranges tight") {
+    val frag = tmp() + "/src"
+    val dest = tmp() + "/dest"
+    val destU = tmp() + "/dest-unclustered"
+    // one hot day, 200k rows in hash-random key order — big enough that a
+    // 64 KB row-group target yields MANY groups per file
+    spark.range(200000).select(
+        lit("1996-01-15 00:00:00").cast("timestamp").as("d"),
+        pmod(xxhash64(col("id")), lit(100000)).as("k"),
+        concat(lit("payload-"), col("id")).as("v"))
+      .repartition(4).write.mode("overwrite").parquet(frag)
+    // small row groups so files hold SEVERAL groups and skipping is visible
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try {
+      Compact.rewritePartitioned(spark, frag, dest, "d", "yyyy",
+        clusterBy = Seq("k"))
+      Compact.rewritePartitioned(spark, frag, destU, "d", "yyyy")
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", oldBlock)
+    }
+    // rows unchanged (clustering is layout-only)
+    assert(spark.read.parquet(dest).count() == spark.read.parquet(destU).count())
+    // every clustered file is internally sorted by the cluster column
+    val sortedness = spark.read.parquet(dest)
+      .select(col("_metadata.file_path").as("f"), col("k"),
+        col("_metadata.row_index").as("ri"))
+      .collect().groupBy(_.getString(0))
+    sortedness.values.foreach { rows =>
+      val keys = rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+      assert(keys == keys.sorted, "clustered file must be ordered by k")
+    }
+    // row-group min/max spans: tight & disjoint when clustered, wide when not
+    def spans(dir: String): Seq[(Long, Long)] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet"))
+      files.toSeq.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), hc)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          scala.jdk.CollectionConverters.ListHasAsScala(r.getFooter.getBlocks).asScala
+            .toSeq.map { b =>
+              val st = scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns).asScala
+                .find(_.getPath.toDotString == "k").get.getStatistics
+              (st.genericGetMin.toString.toLong, st.genericGetMax.toString.toLong)
+            }
+        } finally r.close()
+      }
+    }
+    val cSpans = spans(dest)
+    val uSpans = spans(destU)
+    // need multiple groups for the claim to mean anything
+    assert(cSpans.size > 2 && uSpans.size > 2, s"groups: ${cSpans.size}/${uSpans.size}")
+    def avgSpan(s: Seq[(Long, Long)]) = s.map(p => p._2 - p._1).sum.toDouble / s.size
+    assert(avgSpan(cSpans) < avgSpan(uSpans) / 4,
+      s"clustered avg span ${avgSpan(cSpans)} vs unclustered ${avgSpan(uSpans)}")
+  }
+
   test("quality checks ride the migrate job: exact violation counts, alerts, no blocking") {
     val frag = tmp() + "/src"
     val dest = tmp() + "/dest"
