@@ -160,6 +160,27 @@ object Ops {
       Reconcile.statsManifest(s, dest, Seq("value"))
         .select(col("par_key"), col("n_rows"), col("value_min"), col("value_max"),
           col("value_nulls"))
+    },
+
+    // clustered compaction end-to-end: rewrite events by day with
+    // clusterBy(user_id) — the data-skipping layout — and manifest the
+    // DESTINATION; the oracle manifests the source. A hash match proves
+    // clustering is purely physical (row multiset intact); the row-group
+    // tightness itself is pinned structurally in OperatorsSpec.
+    QueryDef.checked(
+      "q76_clustered_compact",
+      """SELECT strftime(ts, '%Y%m%d') AS par_key, count(*) AS n_rows,
+        |  sum(user_id) AS sum_user, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val src = scratch(s"cluster_src_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      val dest = scratch(s"cluster_dst_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      Tables.load(s, dir, "events").write.mode("overwrite").parquet(src)
+      Compact.rewritePartitioned(s, src, dest, partKeyCol = "ts",
+        clusterBy = Seq("user_id"))
+      s.read.parquet(dest)
+        .groupBy(col("par_key").cast("string").as("par_key"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("user_id")).as("sum_user"),
+          countDistinct(col("user_id")).as("n_users"))
     }
   )
 }
