@@ -71,6 +71,9 @@ object Sampling {
       case (((name, _), bound), acc) =>
         when(h < lit(hexThreshold(bound)), lit(name)).otherwise(acc)
     }
-    df.withColumn(outCol, expr)
+    // a NULL key must be a NULL split, not a silent member of the LAST
+    // split (every `when` on a null hash falls through to the tail —
+    // that would bias "test" with all the key-less rows)
+    df.withColumn(outCol, when(key.isNull, lit(null).cast("string")).otherwise(expr))
   }
 }

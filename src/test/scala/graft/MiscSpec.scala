@@ -299,6 +299,15 @@ class MiscSpec extends AnyFunSuite {
     val frac = sub("train").toDouble / sub.values.sum
     assert(math.abs(frac - 0.8) < 3 * math.sqrt(0.8 * 0.2 / sub.values.sum),
       s"subsampled train fraction: $frac")
+    // NULL keys: never sampled (no hash, no admission) and a NULL split —
+    // not a silent member of the last split
+    import spark.implicits._
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    assert(Sampling.sample(withNull, col("doc_id"), 1.0).count() == 2)
+    val nullSplit = Sampling.assignSplit(withNull, col("doc_id"),
+      Seq("train" -> 0.5, "test" -> 0.5)).collect()
+      .map(r => Option(r.get(0)).map(_.toString) -> r.getString(1)).toMap
+    assert(nullSplit(None) == null && nullSplit(Some("1")) != null)
     // stratified rates really differ per stratum
     val strat = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"),
       Map("en" -> 0.5), default = 0.1)
