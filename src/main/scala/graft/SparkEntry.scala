@@ -20,7 +20,8 @@ object SparkEntry {
       q.Vectors.entries ++
       q.Misc.entries ++
       q.Extras.entries ++
-      q.Extras2.entries
+      q.Extras2.entries ++
+      q.Curation.entries
 
   {
     val dup = allQueries.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation tier: benchmark decontamination, line-level
+  * boilerplate removal, BM25 retrieval, and sequence packing — the late
+  * pipeline stages between "deduplicated corpus" and "training shards".
+  * Every query has an exact DuckDB mirror.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  private val duckWs = """[ \t\n\x0B\f\r]"""
+  private val duckNonWs = """[^ \t\n\x0B\f\r]"""
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // benchmark decontamination: docs with doc_id % 10 = 0 stand in for
+    // an eval set; any remaining (train) doc sharing >5% of its distinct
+    // word 8-grams with the eval set is flagged. The oracle replays the
+    // gram construction, the distinct, and the overlap join, so the
+    // contamination decision is pinned cross-engine. The fixture's
+    // near-duplicate docs make the flag land on real leaks.
+    QueryDef.checked(
+      "q77_decontaminate",
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '$duckWs+') AS l FROM documents),
+         |p AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i
+         |      FROM t WHERE len(l) >= 8),
+         |g AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS g FROM p),
+         |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+         |tg AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+         |o AS (SELECT tg.doc_id, count(*) AS n_grams, count(eg.g) AS n_overlap
+         |      FROM tg LEFT JOIN eg ON tg.g = eg.g GROUP BY tg.doc_id)
+         |SELECT doc_id, n_grams, n_overlap,
+         |  CAST(n_overlap AS DOUBLE) / n_grams AS overlap_frac,
+         |  CAST(n_overlap AS DOUBLE) / n_grams > 0.05 AS contaminated
+         |FROM o""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.overlap(
+        train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        eval = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        n = 8, threshold = 0.05)
+    },
+
+    // line-level boilerplate removal (CCNet-style): the fixture text is
+    // single-line, so each doc gets the same deterministic 3-line layout
+    // in BOTH engines — body, a shared footer (boilerplate in every doc),
+    // and a per-doc unique line. The cleaned text is hashed; a hash match
+    // pins line splitting, the >=2-docs removal rule, and order-preserving
+    // reassembly cross-engine.
+    QueryDef.checked(
+      "q78_line_dedup",
+      """WITH a AS (SELECT doc_id,
+        |    text || chr(10) || 'shared footer line' || chr(10) || 'doc ' || doc_id AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id, split(t, chr(10)) AS ls FROM a),
+        |p AS (SELECT doc_id, ls[i] AS line, i AS pos FROM
+        |      (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM s)),
+        |c AS (SELECT line, count(DISTINCT doc_id) AS nd FROM p GROUP BY line),
+        |k AS (SELECT p.doc_id, p.pos, p.line, c.nd FROM p JOIN c USING (line)),
+        |agg AS (SELECT doc_id,
+        |    count(*) AS n_lines,
+        |    count(*) FILTER (WHERE nd >= 2) AS n_removed,
+        |    string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE nd < 2) AS cleaned
+        |  FROM k GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_removed, md5(COALESCE(cleaned, '')) AS clean_hash
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\nshared footer line\ndoc "), col("doc_id")).as("text"))
+      graft.operators.LineDedup.clean(aug, minDocs = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("cleaned")).as("clean_hash"))
+    },
+
+    // BM25 top-20 for a fixed query over corpus vocabulary. Scores are
+    // rounded to 6 decimals BEFORE ranking in both engines (the q74
+    // transcendental-oracle discipline), ties break by doc_id.
+    QueryDef.checked(
+      "q79_bm25",
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '$duckWs+')) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+         |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |q AS (SELECT unnest(['spark', 'merge', 'vector']) AS term),
+         |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM w
+         |       JOIN q ON w.tok = q.term GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    sum(ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |        * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl))) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), g GROUP BY tf.doc_id),
+         |r AS (SELECT doc_id, round(s, 6) AS score FROM sc)
+         |SELECT doc_id, score, rank FROM
+         |  (SELECT doc_id, score,
+         |     row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM r)
+         |WHERE rank <= 20""".stripMargin) { (s, dir) =>
+      graft.operators.Bm25.topDocs(t(s, dir, "documents"),
+        terms = Seq("spark", "merge", "vector"), topK = 20)
+    },
+
+    // concat-and-chunk sequence packing: every doc's global token offset
+    // (exclusive prefix sum in doc_id order) and its span of 512-token
+    // training chunks. The oracle computes the prefix sum with a plain
+    // global window; the engine uses the distributed scan
+    // (Packing.exclusivePrefixSum) — same numbers, no one-reducer stage.
+    QueryDef.checked(
+      "q80_pack_chunks",
+      s"""WITH d AS (SELECT doc_id,
+         |    len(regexp_extract_all(text, '$duckNonWs+')) AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    COALESCE(sum(toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM d WHERE toks > 0)
+         |SELECT doc_id, CAST(toks AS BIGINT) AS toks, CAST(off AS BIGINT) AS offset,
+         |  CAST(off // 512 AS BIGINT) AS first_chunk,
+         |  CAST((off + toks - 1) // 512 AS BIGINT) AS last_chunk,
+         |  CAST((off + toks - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_chunks
+         |FROM c""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("toks"))
+        .filter(col("toks") > 0)
+      graft.operators.Packing.chunkSpans(d, ctxLen = 512,
+        orderCol = col("doc_id"), tokensCol = col("toks"))
+    }
+  )
+}

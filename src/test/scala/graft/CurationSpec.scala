@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{Bm25, Decontaminate, LineDedup, Packing}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed pins for the curation tier (q77-q80): decontamination,
+  * line-level dedup, BM25, and sequence packing. The DuckDB oracle proves
+  * engine parity on the fixture; these pin the SEMANTICS on inputs where
+  * the right answer is known by hand.
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  private lazy val sqlc = spark
+  import sqlc.implicits._
+
+  test("decontaminate: flags the doc sharing an 8-gram with eval, skips short docs") {
+    val eval = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix a b c d e f g h suffix"), // contains the eval 8-gram
+      (2L, "q r s t u v w x y z"), // disjoint
+      (3L, "too short")) // < 8 words: no gram evidence
+      .toDF("doc_id", "text")
+    val out = Decontaminate.overlap(train, eval, n = 8, threshold = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // doc 1: 10 words -> 3 distinct 8-grams, 1 overlapping
+    assert(out(1L) == ((3L, 1L, true)))
+    assert(out(2L) == ((3L, 0L, false)))
+  }
+
+  test("decontaminate: grams are distinct per doc and count len-n+1") {
+    val d = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val g = Decontaminate.grams(d, n = 2).collect().map(_.getString(1)).sorted
+    assert(g.toSeq == Seq("a b", "b a")) // 5 positional grams, 2 distinct
+  }
+
+  test("line dedup: removes cross-doc lines, keeps within-doc repeats, preserves order") {
+    val docs = Seq(
+      (1L, "unique one\nshared\nunique two"),
+      (2L, "shared\nonly d2"),
+      (3L, "shared"),
+      (4L, "dup\ndup\nx"))
+      .toDF("doc_id", "text")
+    val out = LineDedup.clean(docs, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "unique one\nunique two")))
+    assert(out(2L) == ((2L, 1L, "only d2")))
+    assert(out(3L) == ((1L, 1L, ""))) // all boilerplate -> empty doc survives as row
+    // "dup" repeats only WITHIN doc 4: distinct-doc count is 1, so it stays
+    assert(out(4L) == ((3L, 0L, "dup\ndup\nx")))
+  }
+
+  test("bm25: matches the closed-form score on a two-doc corpus") {
+    val docs = Seq((1L, "x x y y"), (2L, "z z")).toDF("doc_id", "text")
+    val out = Bm25.topDocs(docs, terms = Seq("x"), topK = 10).collect()
+    assert(out.length == 1) // doc 2 matches no term
+    val (k1, b) = (1.2, 0.75)
+    val n = 2.0; val df = 1.0; val tf = 2.0; val dl = 4.0; val avgdl = 3.0
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    val expected = BigDecimal(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getLong(0) == 1L)
+    assert(out.head.getDouble(1) == expected)
+    assert(out.head.getLong(2) == 1L)
+  }
+
+  test("packing: hand-computed chunk spans at ctx=5") {
+    val d = Seq((1L, 3L), (2L, 4L), (3L, 2L)).toDF("doc_id", "toks")
+    val out = Packing.chunkSpans(d, ctxLen = 5, orderCol = col("doc_id"),
+        tokensCol = col("toks"), buckets = 2)
+      .select("doc_id", "offset", "first_chunk", "last_chunk", "n_chunks")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((0L, 0L, 0L, 1L)))
+    assert(out(2L) == ((3L, 0L, 1L, 2L))) // tokens 3..6 straddle the ctx boundary
+    assert(out(3L) == ((7L, 1L, 1L, 1L)))
+  }
+
+  test("packing: distributed scan equals the single-reducer window on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i => (rnd.nextInt(1000000).toLong * 1000 + i, rnd.nextInt(900).toLong))
+    val df = rows.toDF("id", "v").repartition(13)
+    val got = Packing.exclusivePrefixSum(df, col("id"), col("v"), buckets = 8)
+      .select("id", "offset").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .sliding(2).map { case Seq((_, acc), (id, _)) => id -> acc }.toMap
+    assert(got == want)
+  }
+
+  test("packing: empty input yields empty output, single bucket tolerated") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(Packing.exclusivePrefixSum(empty, col("id"), col("v")).count() == 0)
+    val one = Seq((5L, 9L)).toDF("id", "v")
+    val r = Packing.exclusivePrefixSum(one, col("id"), col("v"), buckets = 1).collect()
+    assert(r.head.getLong(2) == 0L)
+  }
+}
