@@ -34,7 +34,11 @@ object Plans {
                              // scan — 8× fewer bytes than the q36 baseline's floats);
                              // the re-rank stage is bounded equi-joins
       "q69_stratified_sample", // pure codegen'd filter, no shuffle before the agg
-      "q70_repetition_filter") // explode + lead window + two-level agg
+      "q70_repetition_filter", // explode + lead window + two-level agg
+      "q77_decontaminate",   // gram explode + equi-join vs broadcast eval-gram set
+      "q78_line_dedup",      // posexplode + line-count join + in-array reassembly
+      "q79_bm25",            // postings filter before shuffle + distributed TopK
+      "q80_pack_chunks")     // distributed scan: bucketed window, no global order
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
