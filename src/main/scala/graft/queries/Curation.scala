@@ -126,6 +126,48 @@ object Curation {
         .filter(col("toks") > 0)
       graft.operators.Packing.chunkSpans(d, ctxLen = 512,
         orderCol = col("doc_id"), tokensCol = col("toks"))
+    },
+
+    // the composite filter-decision table (FilterPipeline.decide): every
+    // quality signal as a column plus keep/drop with the FIRST failing
+    // gate as the reason code — the "attribute store" a pipeline
+    // materializes so threshold changes replay without recomputing
+    // signals. The oracle rebuilds every signal and the gate cascade, so
+    // signal semantics AND gate order are pinned cross-engine.
+    QueryDef.checked(
+      "q81_filter_decisions",
+      s"""WITH base AS (SELECT doc_id, text,
+         |    ${DuckSql.tokens} AS n_tokens, round(${DuckSql.quality}, 6) AS quality,
+         |    ${DuckSql.hits("en")} AS he, ${DuckSql.hits("de")} AS hd,
+         |    ${DuckSql.hits("fr")} AS hf, ${DuckSql.hits("es")} AS hs
+         |  FROM documents),
+         |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '${DuckSql.ws}+') AS wsa
+         |      FROM documents),
+         |d AS (SELECT doc_id, 1.0 - CAST(len(list_distinct(wsa)) AS DOUBLE)
+         |        / greatest(len(wsa), 1) AS dup_word_frac FROM w),
+         |p AS (SELECT doc_id, wsa, unnest(generate_series(1, len(wsa) - 1)) AS i
+         |      FROM w WHERE len(wsa) >= 2),
+         |g AS (SELECT doc_id, wsa[i] || ' ' || wsa[i + 1] AS ng FROM p),
+         |c AS (SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |m AS (SELECT doc_id, max(cnt) AS tc, sum(cnt) AS ngr FROM c GROUP BY 1),
+         |attrs AS (SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |    ${DuckSql.langCase} AS pred_lang, b.quality,
+         |    d.dup_word_frac,
+         |    COALESCE(CAST(m.tc AS DOUBLE) / m.ngr, 0.0) AS top_bigram_frac
+         |  FROM base b JOIN d USING (doc_id) LEFT JOIN m USING (doc_id)),
+         |r AS (SELECT *,
+         |    CASE WHEN n_tokens < 20 THEN 'too_short'
+         |         WHEN n_tokens > 5000 THEN 'too_long'
+         |         WHEN pred_lang = 'und' THEN 'no_lang'
+         |         WHEN dup_word_frac > 0.55 THEN 'repetitive_words'
+         |         WHEN top_bigram_frac > 0.1 THEN 'repetitive_ngrams'
+         |         WHEN quality < 0.55 THEN 'low_quality'
+         |         ELSE 'kept' END AS reason
+         |  FROM attrs)
+         |SELECT doc_id, n_tokens, pred_lang, quality, dup_word_frac,
+         |  top_bigram_frac, reason, reason = 'kept' AS kept
+         |FROM r""".stripMargin) { (s, dir) =>
+      graft.operators.FilterPipeline.decide(t(s, dir, "documents"))
     }
   )
 }

@@ -14,31 +14,18 @@ object Text {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
-  // shared DuckDB fragments, kept in one place so Spark and SQL stay in sync
-  // (explicit whitespace class — see TextFunctions.WS for why not \s/\S:
-  // Java counts vertical tab as whitespace, RE2 does not)
-  private val duckWs = """[ \t\n\x0B\f\r]"""
-  private val duckNonWs = """[^ \t\n\x0B\f\r]"""
-  private val duckTokens = s"len(regexp_extract_all(text, '$duckNonWs+'))"
-  private val duckPunct =
-    """CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"""
-  private def duckHits(langKey: String): String = {
-    val words = stopwords(langKey).mkString("|")
-    s"""len(regexp_extract_all(lower(text), '\\b($words)\\b'))"""
-  }
-  private val duckLangCase =
-    s"""CASE WHEN he = 0 AND hd = 0 AND hf = 0 AND hs = 0 THEN 'und'
-       |     WHEN he >= hd AND he >= hf AND he >= hs THEN 'en'
-       |     WHEN hd >= hf AND hd >= hs THEN 'de'
-       |     WHEN hf >= hs THEN 'fr' ELSE 'es' END""".stripMargin
-
-  private val duckSubwords =
-    s"len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}'))"
-
-  // PII patterns, shared verbatim with TextFunctions (RE2-safe by design)
-  private val duckEmail = EmailPattern
-  private val duckIp = Ipv4Pattern
-  private val duckPhone = PhonePattern
+  // shared DuckDB fragments live in DuckSql (one place, so Spark and SQL
+  // can't drift); local aliases keep the query bodies readable
+  private val duckWs = DuckSql.ws
+  private val duckNonWs = DuckSql.nonWs
+  private val duckTokens = DuckSql.tokens
+  private val duckPunct = DuckSql.punct
+  private def duckHits(langKey: String): String = DuckSql.hits(langKey)
+  private val duckLangCase = DuckSql.langCase
+  private val duckSubwords = DuckSql.subwords
+  private val duckEmail = DuckSql.email
+  private val duckIp = DuckSql.ip
+  private val duckPhone = DuckSql.phone
 
   val entries: Seq[QueryDef] = Seq(
 

@@ -91,6 +91,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("filter pipeline: each gate fires on its hand-built doc, in cascade order") {
+    import graft.operators.FilterPipeline
+    val uniques = (1 to 30).map(i => s"w$i")
+    val sw = Seq("the", "and", "of", "to", "in", "is", "a")
+    val docs = Seq(
+      (1L, "tiny doc"), // 2 tokens
+      (2L, ("the " * 5001).trim), // gate ORDER: too_long beats repetitive_words
+      (3L, (1 to 25).map(i => s"zz$i").mkString(" ")), // no stopwords at all
+      (4L, "the " * 15 + "cat " * 15), // en but 30 tokens, 2 distinct
+      (5L, "a b " + (1 to 18).map(i => s"x$i").mkString(" ") + " a b a b"), // dominant bigram
+      (6L, "the " + (1 to 20).map(i => s"qq$i").mkString(" ")), // sparse signal: low quality
+      (7L, uniques.zip(Iterator.continually(sw).flatten.take(30).toSeq)
+        .map { case (u, s) => s"$s $u" }.mkString(" "))) // clean English-like
+      .toDF("doc_id", "text")
+    val out = FilterPipeline.decide(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("reason"))).toMap
+    assert(out == Map(1L -> "too_short", 2L -> "too_long", 3L -> "no_lang",
+      4L -> "repetitive_words", 5L -> "repetitive_ngrams",
+      6L -> "low_quality", 7L -> "kept"))
+  }
+
   test("packing: empty input yields empty output, single bucket tolerated") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "v")
     assert(Packing.exclusivePrefixSum(empty, col("id"), col("v")).count() == 0)
