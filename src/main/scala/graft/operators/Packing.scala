@@ -26,23 +26,32 @@ object Packing {
     * this one in ascending `orderCol` order. `orderCol` must be unique
     * (a total order) — with duplicates the "before" set is ambiguous.
     * Values are summed as longs.
+    *
+    * `bucketOn` is the numeric range-bucketing proxy — any expression
+    * that is MONOTONE in `orderCol` (boundaries only place rows in
+    * buckets; the in-bucket window still orders by `orderCol` itself).
+    * It defaults to `orderCol` cast to double; pass an explicit proxy
+    * when the order key isn't numeric (e.g. the first hex digits of an
+    * md5 shuffle key, decoded to a long).
     */
   def exclusivePrefixSum(df: DataFrame, orderCol: Column, valueCol: Column,
-      buckets: Int = 64, out: String = "offset"): DataFrame = {
+      buckets: Int = 64, out: String = "offset",
+      bucketOn: Option[Column] = None): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = df.sparkSession
     import spark.implicits._
 
+    val proxy = bucketOn.getOrElse(orderCol.cast("double"))
     val tagged = df.withColumn("__v", valueCol.cast("long"))
     // Explicit, driver-held range boundaries: bucket assignment becomes a
-    // pure function of orderCol (deterministic across jobs/retries, unlike
-    // spark_partition_id after a sampled repartitionByRange).
+    // pure function of the proxy (deterministic across jobs/retries,
+    // unlike spark_partition_id after a sampled repartitionByRange).
     val bounds: Array[Double] =
       if (buckets == 1) Array.empty
-      else tagged.select(orderCol.cast("double").as("__o"))
+      else tagged.select(proxy.cast("double").as("__o"))
         .stat.approxQuantile("__o", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
     val bucketExpr = bounds.distinct.sorted.foldLeft(lit(0)) { (acc, bd) =>
-      acc + when(orderCol.cast("double") > lit(bd), 1).otherwise(0)
+      acc + when(proxy.cast("double") > lit(bd), 1).otherwise(0)
     }
     val bucketed = tagged.withColumn("__b", bucketExpr)
 
@@ -69,9 +78,10 @@ object Packing {
     * any corpus measured in tokens today.
     */
   def chunkSpans(docs: DataFrame, ctxLen: Int,
-      orderCol: Column, tokensCol: Column, buckets: Int = 64): DataFrame = {
+      orderCol: Column, tokensCol: Column, buckets: Int = 64,
+      bucketOn: Option[Column] = None): DataFrame = {
     require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
-    val withOff = exclusivePrefixSum(docs, orderCol, tokensCol, buckets)
+    val withOff = exclusivePrefixSum(docs, orderCol, tokensCol, buckets, bucketOn = bucketOn)
     val first = floor(col("offset") / ctxLen).cast("long")
     val last = floor((col("offset") + tokensCol - 1) / ctxLen).cast("long")
     withOff

@@ -40,6 +40,33 @@ object Vocabulary {
         Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
       .select(col("id"), col("tok"), col("cnt"))
 
+  /** Order-preserving tokenization under a built vocabulary: every token
+    * mapped to its vocabulary id (0 = out-of-vocabulary), reassembled in
+    * position order — the "apply the tokenizer at corpus scale" step.
+    * Returns (idCol, n_tokens, n_oov, oov_rate, ids) with `ids` the
+    * space-joined id sequence. The vocabulary is BOUNDED by construction
+    * ([[build]]'s `size`), so the token→id map is a broadcast join; the
+    * reassembly is the same in-array sort used for line dedup — one
+    * shuffle by document, no global order.
+    */
+  def encode(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(trim(col(textCol)), TextFunctions.WS + "+")))
+      .toDF(idCol, "pos", "tok")
+      .join(broadcast(vocab.select(col("tok"), col("id").as("__tid"))), Seq("tok"), "left")
+      .withColumn("__tid", coalesce(col("__tid"), lit(0L)))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__tid") === 0, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("__tid")))),
+            s => s.getField("__tid").cast("string"))).as("ids"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"), col("ids"))
+
   /** Per-document average unigram surprisal under the corpus' own
     * distribution: (idCol, n_toks, avg_surprisal). `scale` rounds the
     * result (surprisal is a transcendental of a ratio — rounding keeps it

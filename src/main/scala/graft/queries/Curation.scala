@@ -168,6 +168,67 @@ object Curation {
          |  top_bigram_frac, reason, reason = 'kept' AS kept
          |FROM r""".stripMargin) { (s, dir) =>
       graft.operators.FilterPipeline.decide(t(s, dir, "documents"))
+    },
+
+    // tokenizer application at corpus scale: encode every doc under the
+    // deterministic top-500 vocabulary (q73's), 0 = OOV, ids reassembled
+    // in position order and hashed. A hash match pins the vocabulary tie
+    // order, the token→id map, OOV handling, AND order preservation.
+    QueryDef.checked(
+      "q82_vocab_encode",
+      s"""WITH wc AS (SELECT unnest(regexp_split_to_array(trim(text), '${DuckSql.ws}+')) AS tok
+         |            FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt FROM wc GROUP BY tok),
+         |v AS (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS id FROM c),
+         |vv AS (SELECT tok, id FROM v WHERE id <= 500),
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '${DuckSql.ws}+') AS l
+         |      FROM documents),
+         |p AS (SELECT doc_id, l[i] AS tok, i AS pos FROM
+         |      (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM t)),
+         |j AS (SELECT p.doc_id, p.pos, COALESCE(vv.id, 0) AS tid
+         |      FROM p LEFT JOIN vv USING (tok)),
+         |agg AS (SELECT doc_id, count(*) AS n_tokens,
+         |    count(*) FILTER (WHERE tid = 0) AS n_oov,
+         |    string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
+         |  FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate, md5(ids) AS ids_hash
+         |FROM agg""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Vocabulary
+        .encode(docs, graft.operators.Vocabulary.build(docs, size = 500))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"),
+          md5(col("ids")).as("ids_hash"))
+    },
+
+    // shuffle-then-pack: the training-order step — docs are globally
+    // shuffled by a DETERMINISTIC key (md5 of the id, reproducible across
+    // runs and cluster sizes, unlike orderBy(rand())) and packed into 512-
+    // token chunks in that order. Same distributed scan as q80; the range
+    // buckets come from a numeric proxy of the hex key (first 8 digits
+    // decoded), since quantile boundaries need a number while the in-
+    // bucket window orders by the full key.
+    QueryDef.checked(
+      "q83_shuffled_pack",
+      s"""WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey,
+         |    len(regexp_extract_all(text, '${DuckSql.nonWs}+')) AS toks FROM documents),
+         |c AS (SELECT doc_id, skey, toks,
+         |    COALESCE(sum(toks) OVER (ORDER BY skey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM d WHERE toks > 0)
+         |SELECT doc_id, CAST(toks AS BIGINT) AS toks, CAST(off AS BIGINT) AS offset,
+         |  CAST(off // 512 AS BIGINT) AS first_chunk,
+         |  CAST((off + toks - 1) // 512 AS BIGINT) AS last_chunk,
+         |  CAST((off + toks - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_chunks
+         |FROM c""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("skey"),
+          TextFunctions.tokenCount(col("text")).as("toks"))
+        .filter(col("toks") > 0)
+      graft.operators.Packing.chunkSpans(d, ctxLen = 512,
+          orderCol = col("skey"), tokensCol = col("toks"),
+          bucketOn = Some(conv(substring(col("skey"), 1, 8), 16, 10).cast("long")))
+        .drop("skey")
     }
   )
 }

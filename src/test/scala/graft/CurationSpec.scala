@@ -112,6 +112,33 @@ class CurationSpec extends AnyFunSuite {
       6L -> "low_quality", 7L -> "kept"))
   }
 
+  test("vocab encode: ids in position order, OOV as zero, bounded vocab broadcast") {
+    import graft.operators.Vocabulary
+    val docs = Seq((1L, "b a b"), (2L, "a z")).toDF("doc_id", "text")
+    // counts: a=2, b=2, z=1 -> tie order (cnt desc, tok asc): a=1, b=2, z=3
+    val vocab = Vocabulary.build(docs, size = 2) // keeps a, b only
+    val out = Vocabulary.encode(docs, vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) == ((3L, 0L, "2 1 2")))
+    assert(out(2L) == ((2L, 1L, "1 0"))) // z fell outside the vocab
+  }
+
+  test("packing: string order key with numeric bucket proxy equals the sorted fold") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map(i => (i.toLong, rnd.nextInt(500).toLong))
+    val df = rows.toDF("id", "v").repartition(7)
+      .withColumn("skey", md5(col("id").cast("string")))
+    val got = Packing.exclusivePrefixSum(df, col("skey"), col("v"), buckets = 8,
+        bucketOn = Some(conv(substring(col("skey"), 1, 8), 16, 10).cast("long")))
+      .select("id", "offset").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m5(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = rows.map { case (id, v) => (m5(id.toString), id, v) }.sortBy(_._1)
+      .scanLeft(("", 0L, 0L)) { case ((_, _, acc), (k, id, v)) => (k, id, acc + v) }
+      .sliding(2).map { case Seq((_, _, acc), (_, id, _)) => id -> acc }.toMap
+    assert(got == want)
+  }
+
   test("packing: empty input yields empty output, single bucket tolerated") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "v")
     assert(Packing.exclusivePrefixSum(empty, col("id"), col("v")).count() == 0)
