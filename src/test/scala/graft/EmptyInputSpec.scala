@@ -107,4 +107,21 @@ class EmptyInputSpec extends AnyFunSuite {
     val scored = graft.operators.PqAnn.topK(encTiny, tiny, small, k = 2)
     assert(scored.count() > 0 && scored.filter(col("cos").isNull).count() == 0)
   }
+
+  test("curation tier handles empty corpora") {
+    val docs = Tables.load(spark, sf, "documents")
+    val none = docs.filter(lit(false))
+    assert(graft.operators.Decontaminate.overlap(none, docs).count() == 0)
+    // empty EVAL side: nothing is contaminated, but the profile survives
+    val clean = graft.operators.Decontaminate.overlap(docs.limit(5), none)
+    assert(clean.count() == 5 && clean.filter(col("contaminated")).count() == 0)
+    assert(graft.operators.LineDedup.clean(none).count() == 0)
+    assert(graft.operators.Bm25.topDocs(none, Seq("spark")).count() == 0)
+    assert(graft.operators.FilterPipeline.decide(none).count() == 0)
+    val vocab = graft.operators.Vocabulary.build(none)
+    assert(vocab.count() == 0)
+    // encoding under an EMPTY vocabulary: every token is OOV, nothing crashes
+    val enc = graft.operators.Vocabulary.encode(docs.limit(3), vocab)
+    assert(enc.count() == 3 && enc.filter(col("oov_rate") =!= 1.0).count() == 0)
+  }
 }
