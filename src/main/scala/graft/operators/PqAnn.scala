@@ -189,6 +189,15 @@ object PqAnn {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val short = topK(encoded, queries, mo, k * refine)
       .select(col("vec_id").as("q_id"), col("neighbor_id").as("c_id"))
+    rerankExact(short, corpus, queries, k, idCol, vecCol)
+  }
+
+  /** Exact re-rank of a bounded (q_id, c_id) shortlist against the
+    * full-precision corpus — shared by the PQ and OPQ "+R" stages.
+    */
+  private[operators] def rerankExact(short: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", fnorm(col("c_vec")))
     val qq = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))

@@ -129,6 +129,21 @@ object Vectors {
       val (model, encoded) = graft.operators.IvfPq.buildOrLoad(s, emb, modelPath)
       graft.operators.IvfPq.topK(encoded, emb, emb.filter(col("vec_id") < 100),
         model, k = 5, nprobe = 4)
+    },
+
+    // OPQ — PQ behind a learned orthogonal rotation (Ge et al. 2013):
+    // same bytes per vector, lower quantization error when embedding dims
+    // are correlated across block boundaries. Rotation trains on a driver
+    // sample (Procrustes/SVD), applies as ONE codegen'd MatVec pass; the
+    // anisotropic-fixture spec pins OPQ > plain PQ raw-ADC recall.
+    QueryDef.rowsOnly("q84_ann_opq") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val modelPath =
+        s"${sys.props("java.io.tmpdir")}/graft-models/opq_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      val (model, encoded) = graft.operators.OpqAnn.buildOrLoad(s, emb, modelPath,
+        m = 16, k = 32)
+      graft.operators.OpqAnn.topKRefined(encoded, emb, emb.filter(col("vec_id") < 100),
+        model, k = 5, refine = 10)
     }
   )
 }

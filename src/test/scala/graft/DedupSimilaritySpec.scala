@@ -412,4 +412,74 @@ class DedupSimilaritySpec extends AnyFunSuite {
       max(col("cos")).as("cmax")).collect()
     r.foreach(row => assert(row.getDouble(1) == row.getDouble(2)))
   }
+
+  test("MatVec: literal-matrix product matches hand math, null on dim mismatch") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val m = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
+    val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(9.0, 9.0, 9.0))).toDF("id", "v")
+      .withColumn("r", graft.functions.MatVec(col("v"), m))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) null else r.getSeq[Double](2))).toMap
+    assert(rows(1L) == Seq(1.0, 2.0, 3.0))
+    assert(rows(2L) == null) // 3-dim vector into a 2-dim matrix
+  }
+
+  test("OPQ: learned rotation beats axis-aligned PQ on anisotropic data; R orthogonal") {
+    import graft.operators.{OpqAnn, PqAnn}
+    val sqlc = spark
+    import sqlc.implicits._
+    // anisotropic corpus: a decaying spectrum MIXED across PQ block
+    // boundaries by a fixed rotation (x = mix · diag(scales) · g) — the
+    // regime where axis-aligned blocks quantize worst and OPQ exists
+    val rnd = new scala.util.Random(3)
+    val d = 16
+    def orthonormalize(a: Array[Array[Double]]): Array[Array[Double]] = {
+      val q = a.map(_.clone())
+      for (i <- q.indices) {
+        for (j <- 0 until i) {
+          val dot = (0 until d).map(t => q(i)(t) * q(j)(t)).sum
+          (0 until d).foreach(t => q(i)(t) -= dot * q(j)(t))
+        }
+        val n = math.sqrt((0 until d).map(t => q(i)(t) * q(i)(t)).sum)
+        (0 until d).foreach(t => q(i)(t) /= n)
+      }
+      q
+    }
+    val mix = orthonormalize(Array.fill(d, d)(rnd.nextGaussian()))
+    val scales = Array.tabulate(d)(i => math.pow(10.0, -2.0 * i / d))
+    val vecs = (0L until 300L).map { i =>
+      val g = Array.fill(d)(rnd.nextGaussian() * 1.0).zip(scales).map { case (v, s) => v * s }
+      (i, mix.map(row => row.zip(g).map { case (a, b) => a * b }.sum).toSeq)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding").cache()
+    val queries = corpus.filter(col("vec_id") < 60)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ids(Similarity.bruteForceTopK(corpus, queries, 5))
+
+    val pq = PqAnn.train(corpus, m = 4, k = 16, iters = 6)
+    val pqRecall = (exact & ids(PqAnn.topK(PqAnn.encode(corpus, pq), queries, pq, 5)))
+      .size.toDouble / exact.size
+    val opq = OpqAnn.train(corpus, m = 4, k = 16, lloydIters = 6, opqIters = 6,
+      sampleSize = 300)
+    val opqRecall = (exact & ids(OpqAnn.topK(OpqAnn.encode(corpus, opq), queries, opq, 5)))
+      .size.toDouble / exact.size
+    info(s"raw ADC recall@5 — PQ: $pqRecall, OPQ: $opqRecall")
+    assert(opqRecall > pqRecall, s"OPQ ($opqRecall) must beat PQ ($pqRecall) here")
+
+    // R stays orthogonal (the Procrustes solve returns U·Vt exactly)
+    val r = opq.rotation
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(t => r(t)(i) * r(t)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RtR[$i][$j] = $dot")
+    }
+
+    // refined search recovers near-exact results from ORIGINAL vectors
+    val refined = (exact & ids(OpqAnn.topKRefined(
+      OpqAnn.encode(corpus, opq), corpus, queries, opq, k = 5, refine = 10)))
+      .size.toDouble / exact.size
+    info(s"OPQ refined recall@5: $refined")
+    assert(refined >= 0.9 && refined >= opqRecall)
+  }
 }
