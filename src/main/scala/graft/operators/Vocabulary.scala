@@ -40,6 +40,33 @@ object Vocabulary {
         Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
       .select(col("id"), col("tok"), col("cnt"))
 
+  /** Per-document average bigram-conditional surprisal −ln P(wᵢ | wᵢ₋₁)
+    * under the corpus' own bigram counts (P = c(w₁w₂)/Σ_w c(w₁w)) — one
+    * Markov order past [[surprisal]], separating locally-incoherent text
+    * (word salad scores high) from merely rare vocabulary. Shapes: one
+    * `lead` window per doc (the [[Repetition]] trick), two
+    * map-side-combined gram counts, two equi-joins on gram keys — linear
+    * in corpus tokens. Documents with fewer than 2 tokens are absent.
+    */
+  def bigramSurprisal(docs: DataFrame, scale: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = docs.select(col(idCol),
+        posexplode(split(trim(col(textCol)), TextFunctions.WS + "+")))
+      .toDF(idCol, "pos", "w1")
+    val pairs = w
+      .withColumn("w2", lead(col("w1"), 1).over(
+        Window.partitionBy(idCol).orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("w1"), col("w2"))
+    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val pf = bg.groupBy("w1").agg(sum("c2").as("c1"))
+    pairs.join(bg, Seq("w1", "w2")).join(pf, Seq("w1"))
+      .withColumn("sup", -log(col("c2").cast("double") / col("c1")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("sup")), scale).as("avg_surprisal"))
+  }
+
   /** Order-preserving tokenization under a built vocabulary: every token
     * mapped to its vocabulary id (0 = out-of-vocabulary), reassembled in
     * position order — the "apply the tokenizer at corpus scale" step.

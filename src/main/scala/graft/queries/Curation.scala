@@ -229,6 +229,26 @@ object Curation {
           orderCol = col("skey"), tokensCol = col("toks"),
           bucketOn = Some(conv(substring(col("skey"), 1, 8), 16, 10).cast("long")))
         .drop("skey")
+    },
+
+    // bigram-conditional surprisal -ln P(w_i | w_{i-1}) under the corpus'
+    // own bigram counts — one Markov order past q74's unigram gate (word
+    // salad scores high even when every word is common). Rounded to 6
+    // decimals in both engines, the transcendental-oracle discipline.
+    QueryDef.checked(
+      "q85_bigram_surprisal",
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '${DuckSql.ws}+') AS l FROM documents),
+         |p AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM
+         |      (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+         |       FROM t WHERE len(l) >= 2)),
+         |bg AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY 1, 2),
+         |pf AS (SELECT w1, sum(c2) AS c1 FROM bg GROUP BY 1)
+         |SELECT p.doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln(CAST(bg.c2 AS DOUBLE) / pf.c1)), 6) AS avg_surprisal
+         |FROM p JOIN bg USING (w1, w2) JOIN pf USING (w1)
+         |GROUP BY p.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Vocabulary.bigramSurprisal(t(s, dir, "documents"))
     }
   )
 }

@@ -139,6 +139,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bigram surprisal: matches hand-computed conditional probabilities") {
+    import graft.operators.Vocabulary
+    val docs = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    // corpus bigrams: (a,b)x2, (b,a)x1, (a,c)x1 ; prefix counts: a=3, b=1
+    val out = Vocabulary.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = (math.log(3.0 / 2) + 0.0 + math.log(3.0)) / 3 // -ln(2/3), -ln(1/1), -ln(1/3)
+    assert(out(1L) == ((3L, r6(d1))))
+    assert(out(2L) == ((1L, r6(math.log(3.0 / 2)))))
+  }
+
   test("packing: empty input yields empty output, single bucket tolerated") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "v")
     assert(Packing.exclusivePrefixSum(empty, col("id"), col("v")).count() == 0)
