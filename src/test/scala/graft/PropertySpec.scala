@@ -251,4 +251,30 @@ object PropertySpec extends Properties("graft") {
     val counts = leafFileCounts(dest, "par_key")
     (counts.nonEmpty && counts.forall(_ == 1)) :| s"leaf file counts: $counts"
   }
+
+  // chunk packing invariants for arbitrary token-count sequences: offsets
+  // are the exact exclusive prefix sums in id order (under the DISTRIBUTED
+  // scan), spans tile the token stream, and chunk ids never go backwards
+  property("chunk spans tile the packed token stream for arbitrary corpora") =
+    Prop.forAll(Gen.choose(1, 200), Gen.choose(1, 64)) { (n: Int, ctx: Int) =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(n * 31 + ctx)
+      val toks = (0 until n).map(i => (i.toLong, 1L + rnd.nextInt(3 * ctx)))
+      val out = graft.operators.Packing.chunkSpans(
+          toks.toDF("doc_id", "toks").repartition(5), ctx,
+          orderCol = col("doc_id"), tokensCol = col("toks"), buckets = 4)
+        .select("doc_id", "offset", "first_chunk", "last_chunk", "n_chunks")
+        .collect().sortBy(_.getLong(0))
+      val offsets = toks.scanLeft(0L)(_ + _._2).dropRight(1)
+      val offsetsOk = out.map(_.getLong(1)).toSeq == offsets
+      val spansOk = out.zip(toks).forall { case (r, (_, t)) =>
+        val (off, first, last, nc) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        first == off / ctx && last == (off + t - 1) / ctx && nc == last - first + 1
+      }
+      val total = toks.map(_._2).sum
+      val lastChunkOk = out.last.getLong(3) == (total - 1) / ctx
+      (offsetsOk :| "offsets are exact exclusive prefix sums") &&
+        (spansOk :| "per-doc spans derive from offset and length") &&
+        (lastChunkOk :| "final doc ends in the last chunk of the stream")
+    }
 }

@@ -202,6 +202,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("quality_stream").count() == 200)
   }
 
+  test("curation gates run per micro-batch and equal the batch decisions") {
+    import graft.operators.FilterPipeline
+    // every FilterPipeline signal is document-local, so the decisions are
+    // batch-split-invariant: stream the corpus in two files, decide per
+    // micro-batch, and the union must equal one batch pass
+    val docs = Tables.load(spark, sf, "documents")
+    val in = Files.createTempDirectory("graft-stream-curation").resolve("in")
+    Files.createDirectories(in)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(in.toString)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in.toString)
+    val got = scala.collection.mutable.Map[Long, String]()
+    var batches = 0
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        FilterPipeline.decide(b).collect().foreach(r =>
+          got(r.getLong(0)) = r.getString(r.fieldIndex("reason")))
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected at least 2 micro-batches, saw $batches")
+    val want = FilterPipeline.decide(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("reason"))).toMap
+    assert(got.toMap == want)
+  }
+
   test("checkpoint restart recovers state: stop mid-stream, append, resume, equal batch") {
     // the streaming analogue of the reference's idempotent re-run
     // semantics (TransTablePartition.java:126-131): a query killed and
