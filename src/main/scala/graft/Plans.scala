@@ -37,8 +37,11 @@ object Plans {
       "q70_repetition_filter", // explode + lead window + two-level agg
       "q77_decontaminate",   // gram explode + equi-join vs broadcast eval-gram set
       "q78_line_dedup",      // posexplode + line-count join + in-array reassembly
-      "q79_bm25",            // postings filter before shuffle + distributed TopK
-      "q80_pack_chunks")     // distributed scan: bucketed window, no global order
+      "q79_bm25",            // one wide agg (no postings join) + distributed TopK
+      "q80_pack_chunks",     // distributed scan: bucketed window, no global order
+      "q81_filter_decisions", // all per-row signals one pass + ngram agg join
+      "q82_vocab_encode",    // bounded-vocab broadcast join + in-array reassembly
+      "q85_bigram_surprisal") // lead window + two gram counts + equi-joins
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

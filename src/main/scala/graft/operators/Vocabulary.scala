@@ -58,13 +58,19 @@ object Vocabulary {
         Window.partitionBy(idCol).orderBy("pos")))
       .filter(col("w2").isNotNull)
       .select(col(idCol), col("w1"), col("w2"))
-    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // per-doc gram counts materialize ONCE (the Dedup token-relation
+    // pattern): bg, pf and the final join all derive from `pd`, so the
+    // explode + lead window runs a single time instead of three
+    val pd = pairs.groupBy(idCol, "w1", "w2")
+      .agg(count(lit(1)).as("cd")).localCheckpoint()
+    val bg = pd.groupBy("w1", "w2").agg(sum("cd").as("c2"))
     val pf = bg.groupBy("w1").agg(sum("c2").as("c1"))
-    pairs.join(bg, Seq("w1", "w2")).join(pf, Seq("w1"))
+    val sup = bg.join(pf, Seq("w1"))
       .withColumn("sup", -log(col("c2").cast("double") / col("c1")))
+    pd.join(sup, Seq("w1", "w2"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("sup")), scale).as("avg_surprisal"))
+      .agg(sum("cd").as("n_bigrams"),
+        round(sum(col("cd") * col("sup")) / sum(col("cd")), scale).as("avg_surprisal"))
   }
 
   /** Order-preserving tokenization under a built vocabulary: every token
