@@ -249,6 +249,81 @@ object Curation {
          |FROM p JOIN bg USING (w1, w2) JOIN pf USING (w1)
          |GROUP BY p.doc_id""".stripMargin) { (s, dir) =>
       graft.operators.Vocabulary.bigramSurprisal(t(s, dir, "documents"))
+    },
+
+    // DSIR importance weights: every doc scored by how much more likely
+    // its hashed-bigram buckets (3 hex chars of md5 → 4096 buckets) are
+    // under the target subset (doc_id % 10 = 0 — q77's eval convention)
+    // than under the raw corpus, add-one smoothed. The oracle replays the
+    // bucketing, both smoothed distributions, and the weighted per-doc
+    // mean — selection decisions are pinned cross-engine.
+    QueryDef.checked(
+      "q86_dsir_weights",
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '${DuckSql.ws}+') AS l FROM documents),
+         |p AS (SELECT doc_id, substring(md5(l[i] || ' ' || l[i+1]), 1, 3) AS bucket FROM
+         |      (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+         |       FROM t WHERE len(l) >= 2)),
+         |pd AS (SELECT doc_id, bucket, count(*) AS cd FROM p GROUP BY 1, 2),
+         |rb AS (SELECT bucket, sum(cd) AS cr FROM pd GROUP BY 1),
+         |tb AS (SELECT bucket, sum(cd) AS ct FROM pd WHERE doc_id % 10 = 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(cr) FROM rb) AS nr, (SELECT sum(ct) FROM tb) AS nt),
+         |r AS (SELECT rb.bucket,
+         |    ln((COALESCE(tb.ct, 0) + 1.0) / (tot.nt + 4096))
+         |      - ln((rb.cr + 1.0) / (tot.nr + 4096)) AS lr
+         |  FROM rb LEFT JOIN tb USING (bucket), tot)
+         |SELECT pd.doc_id, CAST(sum(pd.cd) AS BIGINT) AS n_grams,
+         |  round(sum(pd.cd * r.lr) / sum(pd.cd), 6) AS avg_log_ratio
+         |FROM pd JOIN r USING (bucket)
+         |GROUP BY pd.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Dsir.importanceWeights(
+        raw = docs, target = docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+    },
+
+    // the Gopher word/line-shape quality rules as one oracle-checked
+    // decision table: per-word stats (mean length, alpha fraction, symbol
+    // ratio), line stats (bullet starts, ellipsis ends), required-stopword
+    // hits, and the first-failing-gate reason under the published
+    // thresholds. Every signal is a codegen'd column expression mirrored
+    // exactly in SQL.
+    QueryDef.checked(
+      "q87_gopher_quality",
+      s"""WITH e AS (SELECT doc_id, text,
+         |    regexp_replace(text, '\\.\\.\\.', '\u2026', 'g') AS canon,
+         |    regexp_split_to_array(trim(text), '${DuckSql.ws}+') AS ws,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |    round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+         |      / greatest(len(ws), 1), 6) AS mean_word_len,
+         |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |      / greatest(len(ws), 1), 6) AS alpha_word_frac,
+         |    round(CAST(length(text) - length(replace(text, '#', ''))
+         |        + length(canon) - length(replace(canon, '\u2026', '')) AS DOUBLE)
+         |      / greatest(len(ws), 1), 6) AS symbol_word_ratio,
+         |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS DOUBLE)
+         |      / greatest(len(ls), 1), 6) AS bullet_line_frac,
+         |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)[ \\t]*$$'))) AS DOUBLE)
+         |      / greatest(len(ls), 1), 6) AS ellipsis_line_frac,
+         |    CAST(${graft.operators.Gopher.RequiredStopwords.map(sw =>
+              s"(CASE WHEN regexp_matches(lower(text), '\\b$sw\\b') THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS BIGINT) AS stopword_hits
+         |  FROM e),
+         |r AS (SELECT *,
+         |    CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_len'
+         |         WHEN alpha_word_frac < 0.8 THEN 'non_alpha'
+         |         WHEN symbol_word_ratio > 0.1 THEN 'symbols'
+         |         WHEN bullet_line_frac > 0.9 THEN 'bullets'
+         |         WHEN ellipsis_line_frac > 0.3 THEN 'ellipses'
+         |         WHEN stopword_hits < 2 THEN 'few_stopwords'
+         |         ELSE 'kept' END AS reason
+         |  FROM s)
+         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+         |  symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+         |  stopword_hits, reason, reason = 'kept' AS kept
+         |FROM r""".stripMargin) { (s, dir) =>
+      graft.operators.Gopher.decide(t(s, dir, "documents"))
     }
   )
 }

@@ -159,4 +159,77 @@ class CurationSpec extends AnyFunSuite {
     val r = Packing.exclusivePrefixSum(one, col("id"), col("v"), buckets = 1).collect()
     assert(r.head.getLong(2) == 0L)
   }
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("dsir: matches hand-computed smoothed log ratios on disjoint grams") {
+    import graft.operators.Dsir
+    // one bigram per doc; buckets must differ for the hand math to hold
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String) =
+      md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(3)
+    assert(bucket("a b") != bucket("c d"))
+    val raw = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val target = Seq((10L, "a b")).toDF("doc_id", "text")
+    val out = Dsir.importanceWeights(raw, target).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // cr(ab)=1 cr(cd)=1 nr=2; ct(ab)=1 nt=1; B=4096
+    val lrAb = math.log(2.0 / 4097) - math.log(2.0 / 4098)
+    val lrCd = math.log(1.0 / 4097) - math.log(2.0 / 4098)
+    assert(out(1L) == ((1L, r6(lrAb))))
+    assert(out(2L) == ((1L, r6(lrCd))))
+    // the target-matching doc scores strictly higher
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("dsir: target == raw makes every weight exactly zero") {
+    import graft.operators.Dsir
+    val docs = Seq((1L, "a b c"), (2L, "x y"), (3L, "a b")).toDF("doc_id", "text")
+    val out = Dsir.importanceWeights(docs, docs).collect()
+    assert(out.nonEmpty && out.forall(_.getDouble(2) == 0.0))
+  }
+
+  test("gopher: each gate fires in order on a hand-built doc") {
+    import graft.operators.Gopher
+    val docs = Seq(
+      (1L, "the wonderful engine compiles quickly and that people have fun with spark today"),
+      (2L, "aa bb cc"), // mean word len 2 -> word_len
+      (3L, "12345 67890 11111 22222 33333"), // no letters -> non_alpha
+      (4L, "the tags ## and markers have with that stuff here"), // 2 '#'/10 words
+      (5L, "-firstly the wonderful items appear\n-secondly and others have arrived\n-thirdly with that excellent outcome"),
+      (6L, "the first line continues onward with many interesting words tonight...\nand the second line also carries plenty of thoughtful content forward"),
+      (7L, "giraffe elephant zebra rhino hippo monkey")) // no stopwords
+      .toDF("doc_id", "text")
+    val out = Gopher.decide(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("reason") == "kept" && out(1L).getAs[Boolean]("kept"))
+    assert(out(1L).getAs[Long]("n_words") == 13L)
+    assert(out(1L).getAs[Double]("mean_word_len") == r6(67.0 / 13))
+    assert(out(1L).getAs[Long]("stopword_hits") == 5L) // the and that have with
+    assert(out(2L).getAs[String]("reason") == "word_len")
+    assert(out(3L).getAs[String]("reason") == "non_alpha")
+    assert(out(4L).getAs[String]("reason") == "symbols")
+    assert(out(4L).getAs[Double]("symbol_word_ratio") == 0.2)
+    assert(out(5L).getAs[String]("reason") == "bullets")
+    assert(out(5L).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(out(6L).getAs[String]("reason") == "ellipses")
+    assert(out(6L).getAs[Double]("ellipsis_line_frac") == 0.5)
+    assert(out(7L).getAs[String]("reason") == "few_stopwords")
+    assert(!out(7L).getAs[Boolean]("kept"))
+  }
+
+  test("gopher: '...' canonicalizes to one ellipsis and unicode '…' counts too") {
+    import graft.operators.Gopher
+    val docs = Seq((1L, "a... b… c")).toDF("doc_id", "text")
+    val s = Gopher.signals(docs).collect().head
+    // 2 ellipses over 3 words
+    assert(s.getAs[Double]("symbol_word_ratio") == r6(2.0 / 3))
+  }
+
+  test("dsir and gopher survive empty corpora") {
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dsir.importanceWeights(none, none).count() == 0)
+    assert(graft.operators.Gopher.decide(none).count() == 0)
+  }
 }
