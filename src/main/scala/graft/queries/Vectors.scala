@@ -136,6 +136,20 @@ object Vectors {
     // are correlated across block boundaries. Rotation trains on a driver
     // sample (Procrustes/SVD), applies as ONE codegen'd MatVec pass; the
     // anisotropic-fixture spec pins OPQ > plain PQ raw-ADC recall.
+    // SemDeDup — semantic dedup by embedding: k-means cells (the q54 IVF
+    // artifact, shared) block the pair search, in-cell cosine ≥ 0.46 (the
+    // q37 gap-safe threshold) marks duplicates, higher id drops. Pair
+    // subset/recall vs the exact all-pairs operator and the k=1 degeneracy
+    // (≡ neardupPairs) are pinned in DedupSimilaritySpec; the decision
+    // table itself has no SQL-expressible oracle (k-means cells).
+    QueryDef.rowsOnly("q88_semantic_dedup") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val modelPath =
+        s"${sys.props("java.io.tmpdir")}/graft-models/ivf_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      val model = graft.operators.IvfAnn.trainOrLoad(s, emb, modelPath, k = 16, iters = 2)
+      graft.operators.SemDedup.decisions(emb, model, threshold = 0.46)
+    },
+
     QueryDef.rowsOnly("q84_ann_opq") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val modelPath =

@@ -167,6 +167,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full == exact, "nprobe=k must reduce to brute force")
   }
 
+  test("SemDeDup: k=1 equals exact all-pairs; clustered pairs are a verified subset") {
+    import graft.operators.{IvfAnn, SemDedup}
+    val exact = Similarity.neardupPairs(emb, threshold = 0.46)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // degeneracy: one cluster = no blocking = the exact operator
+    val k1 = IvfAnn.train(emb, k = 1, iters = 1)
+    val allInOne = SemDedup.pairs(emb, k1, threshold = 0.46)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(allInOne == exact, s"k=1 missed ${exact -- allInOne}, extra ${allInOne -- exact}")
+    // clustered: every reported pair is a true pair (cosine is verified
+    // in-cell, so clustering can only LOSE cross-cell pairs, never invent)
+    val k16 = IvfAnn.train(emb, k = 16, iters = 2)
+    val clustered = SemDedup.pairs(emb, k16, threshold = 0.46)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clustered.subsetOf(exact), s"invented pairs: ${clustered -- exact}")
+    info(s"SemDeDup in-cell recall at k=16: ${clustered.size}/${exact.size}")
+    // decisions are consistent with pairs: dropped = the distinct higher ids
+    val d = SemDedup.decisions(emb, k16, threshold = 0.46)
+    val dropped = d.filter(!col("kept")).collect().map(_.getLong(0)).toSet
+    assert(dropped == clustered.map(_._2))
+    assert(d.count() == emb.count())
+  }
+
   test("IVF large-k (broadcast-join) centroid paths equal the expression paths") {
     import graft.functions.VectorFunctions.asDouble
     // at k beyond ~64 the k-literal expression tree is not viable (codegen
