@@ -251,6 +251,16 @@ object Curation {
       graft.operators.Vocabulary.bigramSurprisal(t(s, dir, "documents"))
     },
 
+    // BPE tokenizer training: the merge table learned from the corpus'
+    // word histogram (distributed scan + TopK; the bounded merge loop is
+    // driver compute, the IVF-centroid pattern). Iterative greedy argmax
+    // has no SQL mirror — the merge semantics are pinned by CurationSpec's
+    // hand-computed Sennrich-style fixture instead.
+    QueryDef.rowsOnly("q89_bpe_merges") { (s, dir) =>
+      graft.operators.Bpe.trainDf(s, t(s, dir, "documents"),
+        numMerges = 40, maxWords = 20000)
+    },
+
     // DSIR importance weights: every doc scored by how much more likely
     // its hashed-bigram buckets (3 hex chars of md5 → 4096 buckets) are
     // under the target subset (doc_id % 10 = 0 — q77's eval convention)

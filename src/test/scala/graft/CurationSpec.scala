@@ -227,6 +227,36 @@ class CurationSpec extends AnyFunSuite {
     assert(s.getAs[Double]("symbol_word_ratio") == r6(2.0 / 3))
   }
 
+  test("bpe: hand-computed merges on the Sennrich-style corpus, ties by pair order") {
+    import graft.operators.Bpe
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 5)
+    // round 1: (e,s) and (s,t) both weigh 9 -> pair-ascending tie-break
+    assert(merges.map(m => (m.left, m.right, m.count)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L), ("e", "w", 6L)))
+    // application: a word unseen in training segments under the merges
+    assert(Bpe.applyMerges("lowest", merges) == Seq("low", "est"))
+    assert(Bpe.applyMerges("newest", merges) == Seq("n", "ew", "est"))
+    // the DataFrame surface carries rank and the merged symbol
+    val df = Bpe.trainDf(spark, docs, numMerges = 2).collect()
+    assert(df.map(r => (r.getLong(0), r.getString(3))).toSeq == Seq((1L, "es"), (2L, "est")))
+  }
+
+  test("bpe: merge loop stops when no pairs remain; histogram cap binds") {
+    import graft.operators.Bpe
+    val docs = Seq((1L, "a b c a b a")).toDF("doc_id", "text")
+    // single-char words only -> zero mergeable pairs
+    assert(Bpe.train(docs, numMerges = 10).isEmpty)
+    val hist = Bpe.wordHistogram(docs, maxWords = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hist == Seq(("a", 3L), ("b", 2L))) // count desc, word asc
+    // empty corpus trains an empty merge table, not a crash
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.train(none, numMerges = 3).isEmpty)
+  }
+
   test("dsir and gopher survive empty corpora") {
     val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.operators.Dsir.importanceWeights(none, none).count() == 0)
