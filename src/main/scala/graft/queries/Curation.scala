@@ -251,6 +251,25 @@ object Curation {
       graft.operators.Vocabulary.bigramSurprisal(t(s, dir, "documents"))
     },
 
+    // training-shard assignment: shard id = global rank / shardSize under
+    // a total order — EXACT shard sizes via the q80 distributed scan
+    // (weight 1), where repartitionByRange would give sampled cuts. The
+    // oracle replays rank and the per-shard manifest; the on-disk layout
+    // (sorted, range-disjoint shard=N files) is pinned in CurationSpec.
+    QueryDef.checked(
+      "q90_shard_manifest",
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rank FROM documents)
+        |SELECT rank // 64 AS shard, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      val a = graft.operators.Shards.assign(
+        t(s, dir, "documents").select("doc_id"), col("doc_id"), shardSize = 64)
+      graft.operators.Shards.manifest(a, col("doc_id"))
+        .select(col("shard"), col("n_rows").as("n_docs"),
+          col("min_key").as("min_id"), col("max_key").as("max_id"))
+    },
+
     // BPE tokenizer training: the merge table learned from the corpus'
     // word histogram (distributed scan + TopK; the bounded merge loop is
     // driver compute, the IVF-centroid pattern). Iterative greedy argmax

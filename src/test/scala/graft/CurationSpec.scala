@@ -262,4 +262,36 @@ class CurationSpec extends AnyFunSuite {
     assert(graft.operators.Dsir.importanceWeights(none, none).count() == 0)
     assert(graft.operators.Gopher.decide(none).count() == 0)
   }
+
+  test("shards: exact sizes, disjoint sorted ranges on disk, empty no-op") {
+    import graft.operators.Shards
+    val docs = Tables.load(spark, SparkTestEnv.sf, "documents").select("doc_id", "text")
+    val total = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
+    val n = Shards.write(docs, dir, col("doc_id"), shardSize = 150)
+    assert(n == (total + 149) / 150)
+    // partition-type inference is off engine-wide (the par_sub=00 fix), so
+    // the shard directory value reads back as string
+    val back = spark.read.parquet(dir).withColumn("shard", col("shard").cast("long"))
+    assert(back.count() == total)
+    assert(back.select("doc_id").except(docs.select("doc_id")).count() == 0)
+    // exact sizes: every shard full except the last; key ranges disjoint
+    val m = back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(m.map(_._1).toSeq == (0L until n))
+    assert(m.init.forall(_._2 == 150L) && m.last._2 == total - 150 * (n - 1))
+    m.sliding(2).foreach { case Array(a, b) => assert(a._4 < b._3); case _ => }
+    // rows are sorted WITHIN each physical file
+    val files = back.select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0))
+    files.foreach { f =>
+      val ids = spark.read.parquet(f).select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"unsorted shard file $f")
+    }
+    // empty input: zero shards, nothing written
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Shards.write(none, dir + "-none", col("doc_id"), 10) == 0)
+  }
 }
