@@ -336,6 +336,98 @@ object Relational {
         .withColumn("brand_avg",
           avg(col("p_retailprice")).over(Window.partitionBy(col("p_brand"))))
         .filter(col("p_retailprice") > col("brand_avg"))
+    },
+
+    // ---- correlated SCALAR subquery (the TPC-H Q17 shape). The oracle
+    // keeps the correlated form; the engine runs the decorrelation
+    // Catalyst itself would produce — a per-key aggregate joined back —
+    // pinning that the rewrite preserves semantics. Small-quantity
+    // outliers: items below 35% of their part's average quantity.
+    QueryDef.checked(
+      "q91_correlated_scalar",
+      """SELECT l.l_partkey, count(*) AS n_below, sum(l.l_extendedprice) AS below_revenue
+        |FROM lineitem l
+        |WHERE l.l_quantity < (
+        |  SELECT 0.35 * avg(l2.l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l.l_partkey""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val partAvg = li.groupBy(col("l_partkey"))
+        .agg((lit(0.35) * avg(col("l_quantity"))).as("threshold"))
+      li.join(partAvg, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("threshold"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_below"), sum(col("l_extendedprice")).as("below_revenue"))
+    },
+
+    // ---- correlated EXISTS with a non-key predicate (the TPC-H Q4
+    // shape): orders having at least one line shipped more than 90 days
+    // after the order date, counted by priority. The engine form is a
+    // left-semi join whose condition carries the correlation.
+    QueryDef.checked(
+      "q92_exists_late_ship",
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // ---- time-interval RANGE window frame: each event's one-hour
+    // trailing sum/count within its user — the frame is bounded by TIME,
+    // not row position (Spark: rangeBetween over unix microseconds;
+    // DuckDB: RANGE with an INTERVAL bound — same inclusive semantics).
+    QueryDef.checked(
+      "q93_trailing_hour_window",
+      """SELECT event_id, user_id,
+        |  sum(value) OVER w AS hour_sum,
+        |  CAST(count(*) OVER w AS BIGINT) AS hour_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000 * 1000, 0)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        sum(col("value")).over(w).as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"))
+    },
+
+    // ---- gap filling over a generated calendar (the reference's date-
+    // range enumeration, CommonUtils.java:151-163, applied as an
+    // operator): every (day, event_type) cell of the observed range,
+    // zero-filled where no events landed — sequence() + cross + left
+    // join, never a per-day driver loop.
+    QueryDef.checked(
+      "q94_calendar_gap_fill",
+      """WITH b AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+        |           FROM events),
+        |d AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |      FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT d.day, ty.event_type,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events, c.n IS NULL AS filled
+        |FROM d CROSS JOIN ty LEFT JOIN c ON c.day = d.day AND c.event_type = ty.event_type""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val days = ev.agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      days.crossJoin(types)
+        .join(counts, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n_events"), col("n").isNull.as("filled"))
     }
   )
 }
