@@ -41,7 +41,13 @@ object Plans {
       "q80_pack_chunks",     // distributed scan: bucketed window, no global order
       "q81_filter_decisions", // all per-row signals one pass + ngram agg join
       "q82_vocab_encode",    // bounded-vocab broadcast join + in-array reassembly
-      "q85_bigram_surprisal") // lead window + two gram counts + equi-joins
+      "q85_bigram_surprisal", // lead window + two gram counts + equi-joins
+      "q86_dsir_weights",    // bounded bucket table broadcast to the gram join
+      "q88_semantic_dedup",  // cell-blocked pair search: equi-join on cid, no cartesian
+      "q90_shard_manifest",  // rank via distributed scan (no global window)
+      "q91_correlated_scalar", // decorrelated per-key aggregate join
+      "q93_trailing_hour_window", // time-RANGE frame inside one window exec
+      "q94_calendar_gap_fill") // sequence-generated calendar; declared tiny crossJoin
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -176,6 +176,38 @@ object Dedup {
         .join(drops, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    },
+
+    // representative SELECTION POLICY over the same dup graph: instead of
+    // q55's keep-min-id, keep the highest-QUALITY member of each duplicate
+    // cluster (ties by doc_id — duplicates often share a quality score).
+    // Reads the materialized component artifact; one bounded window over
+    // cluster members. The oracle recomputes components via the recursive
+    // CTE and replays the argmax, pinning the policy cross-engine.
+    QueryDef.checked(
+      "q95_dedup_keep_best",
+      s"""WITH RECURSIVE $reachCteSql,
+         |comp AS (SELECT node AS doc_id, min(r) AS component,
+         |         count(DISTINCT r) AS comp_size FROM reach GROUP BY node),
+         |q AS (SELECT doc_id, round(${DuckSql.quality}, 6) AS quality FROM documents),
+         |j AS (SELECT comp.component, comp.comp_size, comp.doc_id, q.quality
+         |      FROM comp JOIN q USING (doc_id)),
+         |r AS (SELECT component, comp_size, doc_id, quality,
+         |      row_number() OVER (PARTITION BY component
+         |        ORDER BY quality DESC, doc_id) AS rn FROM j)
+         |SELECT CAST(component AS BIGINT) AS component, doc_id AS keep_id,
+         |  CAST(comp_size AS BIGINT) AS n_members, quality AS best_quality
+         |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val comp = dupComponents(s, dir)
+      val q = t(s, dir, "documents").select(col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+      comp.join(q, Seq("doc_id"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("component"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("keep_id"),
+          col("comp_size").as("n_members"), col("quality").as("best_quality"))
     }
   )
 }

@@ -288,6 +288,42 @@ object Text {
          |FROM w JOIN f USING (tok), t
          |GROUP BY w.doc_id""".stripMargin) { (s, dir) =>
       graft.operators.Vocabulary.surprisal(t(s, dir, "documents"))
+    },
+
+    // character-class (script) profile — the multilingual-curation
+    // counterpart of langId: per-doc fractions of latin letters, digits,
+    // whitespace, sentence punctuation, and everything else, counted by
+    // replace-delta (one codegen'd regexp per class, no explode). The
+    // five fractions partition the text exactly; `mostly_latin` is the
+    // script-routing flag.
+    QueryDef.checked(
+      "q96_script_profile", {
+        def cnt(cls: String) =
+          s"length(text) - length(regexp_replace(text, '$cls', '', 'g'))"
+        s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |  round(CAST(${cnt("[A-Za-z]")} AS DOUBLE) / greatest(length(text), 1), 6) AS latin_frac,
+           |  round(CAST(${cnt("[0-9]")} AS DOUBLE) / greatest(length(text), 1), 6) AS digit_frac,
+           |  round(CAST(${cnt(DuckSql.ws)} AS DOUBLE) / greatest(length(text), 1), 6) AS space_frac,
+           |  round(CAST(${cnt("[.!?,;:]")} AS DOUBLE) / greatest(length(text), 1), 6) AS punct_frac,
+           |  round(CAST(${cnt("""[^A-Za-z0-9.!?,;: \t\n\x0B\f\r]""")} AS DOUBLE)
+           |    / greatest(length(text), 1), 6) AS other_frac,
+           |  CAST(${cnt("[A-Za-z]")} AS DOUBLE) / greatest(length(text), 1) > 0.5 AS mostly_latin
+           |FROM documents""".stripMargin
+      }) { (s, dir) =>
+      val len = greatest(length(col("text")), lit(1)).cast("double")
+      def frac(cls: String) =
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), cls, ""))).cast("double") / len, 6)
+      t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        frac("[A-Za-z]").as("latin_frac"),
+        frac("[0-9]").as("digit_frac"),
+        frac(WS).as("space_frac"),
+        frac("[.!?,;:]").as("punct_frac"),
+        frac("[^A-Za-z0-9.!?,;: \t\n\f\r]").as("other_frac"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double") / len > 0.5)
+          .as("mostly_latin"))
     }
   )
 }
