@@ -25,7 +25,12 @@ class SqlParitySpec extends AnyFunSuite {
     "q19_conditional_agg",
     "q20_having_frequent",
     "q13_intersect_custkeys",
-    "q21_above_brand_avg")
+    "q21_above_brand_avg",
+    // correlated subqueries run in their CORRELATED form here — Spark's
+    // own decorrelation must agree with the engine's hand-decorrelated
+    // DSL plans
+    "q91_correlated_scalar",
+    "q92_exists_late_ship")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toIndexedSeq
