@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{MinHashDedup, SimHashDedup}
+import graft.operators.{MinHashDedup, SimHashDedup, SpanDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -208,6 +208,37 @@ object Dedup {
         .filter(col("rn") === 1)
         .select(col("component"), col("doc_id").as("keep_id"),
           col("comp_size").as("n_members"), col("quality").as("best_quality"))
+    },
+
+    // exact duplicated-SPAN detection (the ExactSubstr shape, Lee et al.
+    // 2022): maximal verbatim runs of ≥40 chars shared between distinct
+    // docs, found as consecutive matching 16-grams on one diagonal. The
+    // oracle replays the dense gram join + island grouping verbatim —
+    // exactness (not similarity) is what's being checked.
+    QueryDef.checked(
+      "q97_dup_spans",
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, greatest(length(text)-15, 1))) AS pos
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, pos, substr(text, pos, 16) AS gram FROM g
+        |  WHERE length(substr(text, pos, 16)) = 16
+        |), m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+        |         a.pos - b.pos AS diag
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |), runs AS (
+        |  SELECT doc_a, doc_b, diag, pa, pb,
+        |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+        |                                 ORDER BY pa) AS island
+        |  FROM m
+        |)
+        |SELECT doc_a, doc_b, diag, min(pa) AS a_start, min(pb) AS b_start,
+        |       max(pa) - min(pa) + 16 AS span_chars
+        |FROM runs GROUP BY doc_a, doc_b, diag, island
+        |HAVING max(pa) - min(pa) + 16 >= 40""".stripMargin) { (s, dir) =>
+      SpanDedup.spans(t(s, dir, "documents"), k = 16, minLen = 40)
     }
   )
 }

@@ -506,4 +506,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(s"OPQ refined recall@5: $refined")
     assert(refined >= 0.9 && refined >= opqRecall)
   }
+
+  // ---- SpanDedup: exact duplicated-span detection ----
+
+  // Boundary characters around each planted span are chosen distinct so
+  // the maximal run is exactly the planted string — fencepost-exact.
+  private val sharedA = "the quick brown fox jumps over the lazy dog 01234" // 49 chars
+  private val sharedB = "GRAND CENTRAL TERMINAL HOLDS FORTY-FOUR PLATFORMS" // 49 chars
+
+  test("SpanDedup finds a planted span with exact positions and length") {
+    import spark.implicits._
+    val docA = "a1" + sharedA + "q1"
+    val docB = "b234567" + sharedA + "w2"
+    val df = Seq((1L, docA), (2L, docB), (3L, "tiny")).toDF("doc_id", "text")
+    val got = graft.operators.SpanDedup.spans(df, k = 16, minLen = 40).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("a_start") == docA.indexOf(sharedA) + 1)
+    assert(r.getAs[Long]("b_start") == docB.indexOf(sharedA) + 1)
+    assert(r.getAs[Long]("span_chars") == sharedA.length)
+  }
+
+  test("SpanDedup reports one row per maximal run: two passages, two diagonals") {
+    import spark.implicits._
+    val docC = "c1" + sharedA + "x1x2x3" + sharedB + "y1"
+    val docD = "d123456789" + sharedB + "z1z2" + sharedA + "v1"
+    val df = Seq((1L, docC), (2L, docD)).toDF("doc_id", "text")
+    val got = graft.operators.SpanDedup.spans(df, k = 16, minLen = 40)
+      .collect().map(r => (r.getAs[Long]("a_start"), r.getAs[Long]("b_start"),
+        r.getAs[Long]("span_chars"))).toSet
+    assert(got == Set(
+      (docC.indexOf(sharedA) + 1L, docD.indexOf(sharedA) + 1L, sharedA.length.toLong),
+      (docC.indexOf(sharedB) + 1L, docD.indexOf(sharedB) + 1L, sharedB.length.toLong)))
+  }
+
+  test("SpanDedup minLen gates; spansAmong equals spans restricted to candidate pairs") {
+    import spark.implicits._
+    val short = sharedA.take(30)
+    val df = Seq(
+      (1L, "e1" + short + "q9"), (2L, "f234" + short + "w8"), // 30-char span only
+      (3L, "g1" + sharedA + "r7"), (4L, "h23" + sharedA + "t6")).toDF("doc_id", "text")
+    val all = graft.operators.SpanDedup.spans(df, k = 16, minLen = 40).collect()
+    assert(all.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet ==
+      Set((3L, 4L)), "30-char span must be filtered at minLen=40")
+
+    val pairs = Seq((3L, 4L)).toDF("doc_a", "doc_b")
+    val among = graft.operators.SpanDedup.spansAmong(df, pairs, k = 16, minLen = 16)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("span_chars"))).toSet
+    assert(among == Set((3L, 4L, sharedA.length.toLong)),
+      "spansAmong must exclude the (1,2) pair not in the candidate set")
+  }
 }
