@@ -239,6 +239,34 @@ object Dedup {
         |FROM runs GROUP BY doc_a, doc_b, diag, island
         |HAVING max(pa) - min(pa) + 16 >= 40""".stripMargin) { (s, dir) =>
       SpanDedup.spans(t(s, dir, "documents"), k = 16, minLen = 40)
+    },
+
+    // edit-distance VERIFICATION of the near-dup pair graph: word-set
+    // jaccard ignores ordering, so a pair can be set-identical yet
+    // sequence-divergent — levenshtein over the (output-sized) pair list
+    // quantifies that. Reads the materialized artifact; cost is per PAIR,
+    // never per doc². Both engines implement classic unit-cost
+    // levenshtein, so the oracle hash-matches the distances themselves.
+    QueryDef.checked(
+      "q100_edit_verified_pairs",
+      s"""WITH $pairsCteSql,
+         |pairs AS (
+         |  ${pairsSelectSql("doc_a, doc_b")})
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |  round(1.0 - levenshtein(da.text, db.text)
+         |        / greatest(length(da.text), length(db.text)), 9) AS edit_sim
+         |FROM pairs JOIN documents da ON da.doc_id = doc_a
+         |           JOIN documents db ON db.doc_id = doc_b""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      jaccardPairs(s, dir).select("doc_a", "doc_b")
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb"))).cast("double"), 9)
+            .as("edit_sim"))
     }
   )
 }

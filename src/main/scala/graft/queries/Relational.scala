@@ -428,6 +428,56 @@ object Relational {
         .join(counts, Seq("day", "event_type"), "left")
         .select(col("day"), col("event_type"),
           coalesce(col("n"), lit(0L)).as("n_events"), col("n").isNull.as("filled"))
+    },
+
+    // ---- distribution window functions (completes the window-function
+    // inventory beyond rank/row_number/lag/lead): quartile bucketing,
+    // relative rank, cumulative distribution, and an absolute-frame
+    // nth_value — ties broken by key so every function is deterministic.
+    QueryDef.checked(
+      "q98_window_distribution",
+      """SELECT c_custkey, c_nationkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 9) AS pct_rank,
+        |  round(cume_dist() OVER w, 9) AS cume,
+        |  nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "customer").select(
+          col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cume"),
+          nth_value(col("c_custkey"), 2).over(full).as("second_poorest"))
+    },
+
+    // ---- unpivot (melt): the wide→long reshape dual of q53's pivot.
+    // Spark's native unpivot; the oracle is the portable UNION ALL form.
+    QueryDef.checked(
+      "q99_unpivot",
+      """WITH wide AS (
+        |  SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |         sum(l_extendedprice) AS sum_price, sum(l_discount) AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM wide""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_extendedprice")).as("sum_price"),
+            sum(col("l_discount")).as("sum_disc"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+            "measure", "value")
     }
   )
 }
