@@ -70,7 +70,12 @@ object Compact {
       srcFormat: String = "parquet",
       srcOptions: Map[String, String] = Map.empty,
       skipCompacted: Boolean = true,
-      clusterBy: Seq[String] = Nil): Stats = {
+      clusterBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Stats = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are alternative layouts — pass one")
+    require(zorderBy.isEmpty || zorderBy.size >= 2,
+      "zorderBy needs >= 2 columns (use clusterBy for a single column)")
 
     val (nFiles, nBytes) = pathStats(spark, srcPath)
     val dfAll0 = Migrate.read(spark, srcPath, srcFormat, srcOptions)
@@ -117,6 +122,27 @@ object Compact {
       .max(spark.sparkContext.defaultParallelism.toLong)
       .min(Int.MaxValue.toLong) // a tiny targetBytes must clamp, not wrap negative
     val dataCols = df.columns.map(col)
+
+    if (zorderBy.nonEmpty) {
+      // Z-ORDER layout: RANGE-partition on (partCols, zvalue) instead of
+      // hash+salt — the range partitioner splits a hot leaf across tasks
+      // by CONTIGUOUS z-range (the hash salt would deal each file a
+      // random sample of the leaf, giving every file near-global min/max
+      // and no skipping), then sort within each task so row groups are
+      // tight too. Boundaries sample the pre-skip frame: one driver-held
+      // quantile table per column, never a per-row join.
+      val zExpr = ZOrder.curve(dfAll, zorderBy)
+      df.repartitionByRange(filesTotal.toInt, (partCols :+ zExpr): _*)
+        .sortWithinPartitions((partCols :+ zExpr): _*)
+        .write
+        .partitionBy(partNames: _*)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", if (skipLeaves.nonEmpty) "dynamic" else "static")
+        .parquet(destPath)
+      val (outFiles, _) = pathStats(spark, destPath)
+      return Stats(nFiles, nBytes, outFiles, skipLeaves.length.toLong)
+    }
+
     val salted =
       if (nBytes <= targetBytes) None // whole input fits: no leaf can be oversized
       else {

@@ -181,6 +181,25 @@ object Ops {
         .groupBy(col("par_key").cast("string").as("par_key"))
         .agg(count(lit(1)).as("n_rows"), sum(col("user_id")).as("sum_user"),
           countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // Z-ORDER compaction roundtrip: rewrite lineitem range-partitioned on
+    // the Morton curve of (l_partkey, l_suppkey) — per-file min/max tight
+    // in BOTH dimensions (skipping layout pinned in OperatorsSpec); the
+    // oracle proves the curve rewrite preserved the data exactly.
+    QueryDef.checked(
+      "q101_zorder_roundtrip",
+      """SELECT strftime(l_shipdate, '%Y') AS par_key, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty, sum(l_partkey * 31 + l_suppkey) AS key_sig
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dest = scratch(s"zorder_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      Compact.rewritePartitioned(s, s"$dir/lineitem.parquet", dest,
+        partKeyCol = "l_shipdate", pattern = "yyyy",
+        zorderBy = Seq("l_partkey", "l_suppkey"))
+      s.read.parquet(dest)
+        .groupBy(col("par_key").cast("string").as("par_key"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_partkey") * 31 + col("l_suppkey")).as("key_sig"))
     }
   )
 }

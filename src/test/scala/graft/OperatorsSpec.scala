@@ -660,4 +660,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dm.count() == 4)
     assert(dm.filter(col("partition_value") === "201801").count() == 2)
   }
+
+  test("zorder compaction: multiset preserved; per-file ranges tight on BOTH columns") {
+    val src = s"$sf/lineitem.parquet"
+    val zDest = tmp() + "/zorder"
+    val cDest = tmp() + "/cluster"
+    // small target -> several files PER LEAF, so per-file range stats are
+    // meaningful (one file per leaf would trivially span the leaf domain)
+    Compact.rewritePartitioned(spark, src, zDest, partKeyCol = "l_shipdate",
+      pattern = "yyyy", targetBytes = 4 * 1024,
+      zorderBy = Seq("l_partkey", "l_suppkey"))
+    Compact.rewritePartitioned(spark, src, cDest, partKeyCol = "l_shipdate",
+      pattern = "yyyy", targetBytes = 4 * 1024,
+      clusterBy = Seq("l_partkey"))
+
+    // multiset preservation (the CommonUtils.checkFile analogue)
+    def sig(p: String) = spark.read.parquet(p)
+      .agg(count(lit(1)), sum("l_quantity"), sum(pmod(xxhash64(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey")), lit(1000000007L))).as("h")).collect().head
+    assert(sig(zDest) == sig(src))
+
+    // average per-file normalized range width for a column: 1.0 = every
+    // file spans the whole domain (no skipping), small = tight files
+    def avgWidth(p: String, c: String): Double = {
+      val g = spark.read.parquet(p)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+      val dom = spark.read.parquet(src)
+        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).collect().head
+      val (dLo, dHi) = (dom.getDouble(0), dom.getDouble(1))
+      val rows = g.collect()
+      rows.map(r => (r.getAs[Long]("hi") - r.getAs[Long]("lo")).toDouble / (dHi - dLo))
+        .sum / rows.length
+    }
+    val zW1 = avgWidth(zDest, "l_partkey"); val zW2 = avgWidth(zDest, "l_suppkey")
+    val cW1 = avgWidth(cDest, "l_partkey"); val cW2 = avgWidth(cDest, "l_suppkey")
+    info(f"zorder widths: l_partkey=$zW1%.3f l_suppkey=$zW2%.3f; " +
+      f"salted clusterBy: l_partkey=$cW1%.3f l_suppkey=$cW2%.3f")
+    // the hash-salted layout (clusterBy at the same file count) deals each
+    // file a random sample of its leaf: near-global min/max on BOTH
+    // columns — within-file row groups are sorted, but footer-level
+    // skipping is impossible
+    assert(cW1 > 0.8 && cW2 > 0.8, s"salted layout should be near-global: $cW1, $cW2")
+    // zorder: range-partitioned on the curve, so files are tight
+    // rectangles — materially tighter than the salted layout in BOTH
+    // dimensions at the same file count
+    assert(zW1 < 0.75 && zW2 < 0.75, s"zorder widths too wide: $zW1, $zW2")
+    assert(zW1 < cW1 - 0.15 && zW2 < cW2 - 0.15,
+      s"zorder must beat the salted layout on both columns: $zW1/$cW1, $zW2/$cW2")
+  }
 }
