@@ -53,6 +53,34 @@ object Reconcile {
   def isClean(src: DataFrame, dst: DataFrame): Boolean =
     diff(src, dst).filter(col("status") =!= "ok").isEmpty
 
+  /** ROW-level change-data-capture diff between two versions of a keyed
+    * table: one row per inserted / deleted / updated key, unchanged rows
+    * dropped. Where [[diff]] answers "which PARTITIONS drifted" at
+    * manifest cost, this answers "which ROWS, and how" — the snapshot
+    * diff a downstream incremental consumer (or an audit) replays.
+    *
+    * One key-shuffle full-outer join; the value columns travel as single
+    * structs so the change classification is one null/inequality test
+    * per row regardless of column count. Keys must be non-null and
+    * unique per side (primary-key semantics — the same contract the
+    * reference's filename-keyed manifest compare assumed,
+    * CommonUtils.java:107-121).
+    */
+  def cdcDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys.map(col) :+
+      struct(compareCols.map(col): _*).as("__old")): _*)
+    val n = newDf.select((keys.map(col) :+
+      struct(compareCols.map(col): _*).as("__new")): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__old").isNull, lit("insert"))
+          .when(col("__new").isNull, lit("delete"))
+          .when(col("__old") =!= col("__new"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select((keys.map(col) :+ col("change")): _*)
+  }
+
   /** METADATA-ONLY manifest: per partition directory, (file count, row
     * count from parquet FOOTERS). No data page is ever read — footers are
     * a few KB at the file tail — so this is the cheap triage tier for

@@ -62,6 +62,47 @@ object Events {
           sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    },
+
+    // SCD-2 dimension history: collapse each user's CONSECUTIVE runs of
+    // one event_type into a validity interval [valid_from, valid_to)
+    // (open-ended for the current state) — the slowly-changing-dimension
+    // build: change detection (lag), run grouping (the cumulative-flag
+    // islands trick), and interval chaining (lead), all in two window
+    // passes over one key shuffle.
+    QueryDef.checked(
+      "q102_scd2_intervals",
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |c AS (SELECT *, sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |                    THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        | FROM o),
+        |runs AS (SELECT user_id, event_type, grp, min(ts) AS valid_from,
+        |         count(*) AS n_events
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        |    AS valid_to,
+        |  n_events
+        |FROM runs""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val runs = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .withColumn("grp",
+          sum(when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      runs.select(col("user_id"), col("event_type"), col("valid_from"),
+        lead(col("valid_from"), 1)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("valid_from")))
+          .as("valid_to"),
+        col("n_events"))
     }
   )
 }

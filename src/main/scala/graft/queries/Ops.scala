@@ -200,6 +200,41 @@ object Ops {
         .groupBy(col("par_key").cast("string").as("par_key"))
         .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
           sum(col("l_partkey") * 31 + col("l_suppkey")).as("key_sig"))
+    },
+
+    // ROW-level CDC diff between two table versions (the row analogue of
+    // q28's partition-manifest reconcile): old = orders minus keys
+    // divisible by 13; new = orders minus keys divisible by 7, with
+    // totalprice bumped on keys divisible by 11 — so the diff contains
+    // all three change kinds, derived identically in both engines.
+    QueryDef.checked(
+      "q103_cdc_diff",
+      """WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |             FROM orders WHERE o_orderkey % 13 <> 0),
+        |new AS (SELECT o_orderkey, o_orderstatus,
+        |          CASE WHEN o_orderkey % 11 = 0
+        |               THEN round(o_totalprice * 1.1, 2)
+        |               ELSE o_totalprice END AS o_totalprice
+        |        FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+        |  CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+        |       WHEN new.o_orderkey IS NULL THEN 'delete'
+        |       WHEN old.o_orderstatus <> new.o_orderstatus
+        |         OR old.o_totalprice <> new.o_totalprice THEN 'update'
+        |       END AS change
+        |FROM old FULL OUTER JOIN new USING (o_orderkey)
+        |WHERE NOT (old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+        |           AND old.o_orderstatus = new.o_orderstatus
+        |           AND old.o_totalprice = new.o_totalprice)""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val oldV = orders.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val newV = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 11 === 0, round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      Reconcile.cdcDiff(oldV, newV, keys = Seq("o_orderkey"),
+        compareCols = Seq("o_orderstatus", "o_totalprice"))
     }
   )
 }
