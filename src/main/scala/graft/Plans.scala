@@ -47,7 +47,11 @@ object Plans {
       "q90_shard_manifest",  // rank via distributed scan (no global window)
       "q91_correlated_scalar", // decorrelated per-key aggregate join
       "q93_trailing_hour_window", // time-RANGE frame inside one window exec
-      "q94_calendar_gap_fill") // sequence-generated calendar; declared tiny crossJoin
+      "q94_calendar_gap_fill", // sequence-generated calendar; declared tiny crossJoin
+      "q97_dup_spans",       // dense gram self-join (equi, AQE skew) + island window
+      "q100_edit_verified_pairs", // per-PAIR levenshtein over the artifact graph
+      "q102_scd2_intervals", // two window passes over ONE key shuffle
+      "q103_cdc_diff")       // single full-outer key join, struct-packed compare
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

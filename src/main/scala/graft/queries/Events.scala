@@ -103,6 +103,27 @@ object Events {
           .over(Window.partitionBy(col("user_id")).orderBy(col("valid_from")))
           .as("valid_to"),
         col("n_events"))
+    },
+
+    // SLIDING (hopping) 1-hour windows every 30 minutes, batch form —
+    // each event lands in exactly window/slide = 2 windows; the oracle
+    // materializes both bucket starts per event, pinning the overlap
+    // semantics the streaming sliding-window test relies on.
+    QueryDef.checked(
+      "q106_events_sliding",
+      """SELECT ws AS window_start, event_type, count(*) AS n_events,
+        |  sum(value) AS sum_value
+        |FROM (SELECT event_type, value,
+        |        unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                time_bucket(INTERVAL 30 MINUTE, ts)
+        |                  - INTERVAL 30 MINUTE]) AS ws
+        |      FROM events)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
     }
   )
 }

@@ -153,6 +153,53 @@ object Misc {
       graft.operators.Similarity.bruteForceTopK(
         imgs, imgs.filter(col("doc_id") < 90), k = 3,
         idCol = "doc_id", vecCol = "embedding")
+    },
+
+    // equal-width value histogram — the distribution-profiling tier above
+    // statsManifest's min/max: bucket counts + per-bucket ranges in one
+    // aggregation after a 1-row bounds broadcast.
+    QueryDef.checked(
+      "q104_histogram",
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |           FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - lo) / (hi - lo) * 16), 15)
+        |            AS BIGINT) AS bucket,
+        |  count(*) AS n, round(min(l_extendedprice), 2) AS bucket_min,
+        |  round(max(l_extendedprice), 2) AS bucket_max
+        |FROM lineitem, b GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val b = li.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      li.crossJoin(b)
+        .select(least(floor((col("l_extendedprice") - col("lo")) /
+            (col("hi") - col("lo")) * 16), lit(15.0)).cast("long").as("bucket"),
+          col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("bucket_min"),
+          round(max(col("l_extendedprice")), 2).as("bucket_max"))
+    },
+
+    // per-group z-score outliers — the cheap anomaly gate over any
+    // numeric column: one group aggregate broadcast back, pure filter.
+    QueryDef.checked(
+      "q105_zscore_outliers",
+      """WITH s AS (SELECT c_nationkey, avg(c_acctbal) AS mu,
+        |           stddev_samp(c_acctbal) AS sd, count(*) AS n
+        |           FROM customer GROUP BY 1)
+        |SELECT c_custkey, c.c_nationkey, round((c_acctbal - mu) / sd, 6) AS z
+        |FROM customer c JOIN s ON c.c_nationkey = s.c_nationkey
+        |WHERE n >= 3 AND sd > 0 AND abs((c_acctbal - mu) / sd) > 1.5""".stripMargin) {
+      (s, dir) =>
+        val cust = t(s, dir, "customer")
+        val stats = cust.groupBy(col("c_nationkey"))
+          .agg(avg(col("c_acctbal")).as("mu"), stddev_samp(col("c_acctbal")).as("sd"),
+            count(lit(1)).as("n"))
+        cust.join(stats, Seq("c_nationkey"))
+          .filter(col("n") >= 3 && col("sd") > 0 &&
+            abs((col("c_acctbal") - col("mu")) / col("sd")) > 1.5)
+          .select(col("c_custkey"), col("c_nationkey"),
+            round((col("c_acctbal") - col("mu")) / col("sd"), 6).as("z"))
     }
   )
 }
