@@ -56,4 +56,38 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__b")
   }
+
+  /** Interval-OVERLAP join: both sides are half-open intervals, matched
+    * when they share an equal key and any instant
+    * (`lStart < rEnd && rStart < lEnd`). Both sides explode to their
+    * covering buckets and candidates come from the same (key, bucket)
+    * hash join as [[pointInInterval]]. A pair overlapping several buckets
+    * would match once per shared bucket, so the join keeps only the
+    * bucket containing `greatest(lStart, rStart)` — the first instant of
+    * the overlap, which lies inside BOTH intervals (starts are inclusive
+    * and `max(start) < min(end)`), so exactly one shared bucket survives
+    * per qualifying pair. Cost stays Σ width/bucket per side, never
+    * |left| × |right|.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketSeconds: Long = 7L * 24 * 3600): DataFrame = {
+    require(bucketSeconds > 0)
+    val bucketMicros = bucketSeconds * 1000000L
+    def ts(c: Column): Column = to_timestamp(c)
+    def bucket(c: Column): Column = floor(unix_micros(ts(c)) / bucketMicros)
+    def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(ts(col(e)) > ts(col(s)))
+      .withColumn("__b", explode(sequence(
+        bucket(col(s)),
+        floor((unix_micros(ts(col(e))) - 1) / bucketMicros))))
+
+    val l = explodeBuckets(left, lStart, lEnd)
+    val r = explodeBuckets(right, rStart, rEnd)
+    l.join(r, l("__b") === r("__b") && col(leftKey) === col(rightKey))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(l("__b") === bucket(greatest(ts(col(lStart)), ts(col(rStart)))))
+      .drop("__b")
+  }
 }

@@ -76,4 +76,26 @@ object Sampling {
     // that would bias "test" with all the key-less rows)
     df.withColumn(outCol, when(key.isNull, lit(null).cast("string")).otherwise(expr))
   }
+
+  /** Weighted Bernoulli admission: keep each row with probability `prob`
+    * (a per-row Column in [0, 1], e.g. `length / maxLength` for
+    * length-proportional corpus downsampling), decided deterministically
+    * by the row's key. The uniform draw is the first 13 hex chars of
+    * `md5(key + salt)` read as a 52-bit integer; the acceptance bound is
+    * `floor(prob * 2^52)` — both sides of the comparison are integers and
+    * the only floating-point step is one IEEE multiply+floor, so the
+    * decision replays bit-identically in any engine (no transcendental
+    * ranking, unlike an Efraimidis–Spirakis top-k, whose pow/log ulps
+    * differ across libm implementations). 52 bits keeps the bound inside
+    * double's exact-integer range. Same layout/cluster-size stability
+    * argument as [[sample]]; no shuffle, pure codegen'd filter.
+    */
+  def weightedSample(df: DataFrame, key: Column, prob: Column,
+      salt: String = "wsample"): DataFrame = {
+    val u = conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 13), 16, 10)
+      .cast("long")
+    val bound = floor(least(greatest(prob, lit(0.0)), lit(1.0)) *
+      lit(4503599627370496.0)).cast("long") // 2^52
+    df.filter(u < bound)
+  }
 }

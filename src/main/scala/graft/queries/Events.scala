@@ -124,6 +124,71 @@ object Events {
         .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n_events"), col("sum_value"))
+    },
+
+    // ORDERED funnel (view → click → purchase): a user reaches stage 2
+    // only with a click AT OR AFTER their first view, stage 3 only with a
+    // purchase at or after that earliest qualifying click. Each stage is
+    // one filtered aggregate equi-joined to the previous stage's per-user
+    // row — three shuffles on the SAME key (user_id), so after the first
+    // exchange the later joins are co-partitioned; no per-user event-list
+    // collection, no window over the whole event stream. Counts are
+    // exact "reached exactly stage k" users.
+    QueryDef.checked(
+      "q107_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS funnel_stage,
+        |  count(*) AS n_users
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") >= col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts") >= col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(when(col("p_ts").isNotNull, 3)
+          .when(col("c_ts").isNotNull, 2).otherwise(1).as("funnel_stage"))
+        .groupBy(col("funnel_stage")).agg(count(lit(1)).as("n_users"))
+    },
+
+    // cohort retention: cohort = the day of a user's FIRST event; cell
+    // (cohort_day, week_offset) counts distinct users active that many
+    // whole weeks later. First-touch table joins back on user_id — the
+    // same one-key-shuffle discipline as the funnel; the distinct rides
+    // the group-by (partial map-side dedup), no second pass.
+    QueryDef.checked(
+      "q108_cohort_retention",
+      """WITH f AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+        |             AS cohort_day
+        |           FROM events GROUP BY 1)
+        |SELECT f.cohort_day,
+        |  CAST(floor(date_diff('day', CAST(f.cohort_day AS DATE), CAST(e.ts AS DATE))
+        |             / 7) AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_day"),
+          floor(datediff(col("ts").cast("date"), col("cohort_day").cast("date")) / 7)
+            .cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
     }
   )
 }

@@ -151,6 +151,34 @@ object Extras2 {
         bucketSeconds = 3600L)
         .groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_follow"))
+    },
+
+    // interval-OVERLAP join (both sides intervals, not point-in-interval):
+    // each event opens a 30-minute window; count, per event, how many
+    // OTHER windows of the same user intersect it. The operator dedups
+    // multi-bucket pairs by keeping only the bucket holding
+    // greatest(start_a, start_b), so a raw quadratic overlap predicate
+    // becomes one hash equi-join on (user, bucket) + exact filter.
+    QueryDef.checked(
+      "q110_interval_overlap",
+      """SELECT a.event_id, count(*) AS n_overlap
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        |  AND a.ts < b.ts + INTERVAL 30 MINUTE
+        |  AND b.ts < a.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      def side(p: String): DataFrame = t(s, dir, "events")
+        .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+          col("ts").as(s"${p}_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTE")).as(s"${p}_end"))
+      RangeJoin.intervalOverlap(side("a"), side("b"),
+        leftKey = "a_user", rightKey = "b_user",
+        lStart = "a_start", lEnd = "a_end", rStart = "b_start", rEnd = "b_end",
+        bucketSeconds = 1800L)
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("a_id").as("event_id"), col("n_overlap"))
     }
   )
 }

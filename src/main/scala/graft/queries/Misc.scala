@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Remaining §2.6 surface: exact + approximate distinct, the typed UDAF
@@ -200,6 +200,96 @@ object Misc {
             abs((col("c_acctbal") - col("mu")) / col("sd")) > 1.5)
           .select(col("c_custkey"), col("c_nationkey"),
             round((col("c_acctbal") - col("mu")) / col("sd"), 6).as("z"))
+    },
+
+    // distribution drift between two populations (the KS-statistic shape):
+    // shared equal-width bins over BOTH groups' range, per-bin counts in
+    // one conditional aggregate, then the two empirical CDFs and their
+    // per-bin gap — max(gap) IS the (binned) two-sample KS statistic. The
+    // only unpartitioned window runs over the 20 POST-AGGREGATION bucket
+    // rows, never the events. This is the monitoring tier above q104's
+    // single-population histogram: "did src A's value distribution move
+    // away from src B's between snapshots".
+    QueryDef.checked(
+      "q109_distribution_drift",
+      """WITH x AS (SELECT event_type, value FROM events
+        |           WHERE event_type IN ('view', 'click')),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM x),
+        |h AS (SELECT CAST(least(floor((value - lo) / (hi - lo) * 20), 19) AS BIGINT)
+        |        AS bucket,
+        |      count(*) FILTER (WHERE event_type = 'view') AS nv,
+        |      count(*) FILTER (WHERE event_type = 'click') AS nc
+        |      FROM x, b GROUP BY 1)
+        |SELECT bucket,
+        |  round(sum(nv) OVER w / (SELECT CAST(sum(nv) AS DOUBLE) FROM h), 6)
+        |    AS cdf_view,
+        |  round(sum(nc) OVER w / (SELECT CAST(sum(nc) AS DOUBLE) FROM h), 6)
+        |    AS cdf_click,
+        |  round(abs(sum(nv) OVER w / (SELECT CAST(sum(nv) AS DOUBLE) FROM h)
+        |          - sum(nc) OVER w / (SELECT CAST(sum(nc) AS DOUBLE) FROM h)), 6)
+        |    AS gap
+        |FROM h
+        |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+        |             AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val x = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_type"), col("value"))
+      val b = x.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val h = x.crossJoin(b)
+        .select(least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20),
+          lit(19.0)).cast("long").as("bucket"), col("event_type"))
+        .groupBy(col("bucket"))
+        .agg(count(when(col("event_type") === "view", 1)).as("nv"),
+          count(when(col("event_type") === "click", 1)).as("nc"))
+      val tot = h.agg(sum(col("nv")).cast("double").as("tv"),
+        sum(col("nc")).cast("double").as("tc"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cv = sum(col("nv")).over(w) / col("tv")
+      val cc = sum(col("nc")).over(w) / col("tc")
+      h.crossJoin(tot)
+        .select(col("bucket"), round(cv, 6).as("cdf_view"),
+          round(cc, 6).as("cdf_click"), round(abs(cv - cc), 6).as("gap"))
+    },
+
+    // RE-AGGREGATABLE distinct sketches — the cube-of-sketches pattern
+    // that makes 100 TB dashboards possible: per-(day, type) HLL sketches
+    // of user_id are built ONCE (in practice: materialized beside the
+    // daily partition), and any coarser slice — here per-type over the
+    // whole month — is answered by UNIONING sketch bytes, never
+    // re-scanning events. countDistinct can't do this (distincts don't
+    // add); sketch columns make uniqueness additive. No cross-engine
+    // oracle (sketch bytes are engine-specific); MiscSpec pins every
+    // estimate against the exact distinct count.
+    QueryDef.rowsOnly("q112_sketch_reagg") { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // sketch SET ALGEBRA (theta sketches): distinct-user overlap and
+    // difference between event types without any join over raw events —
+    // |viewers ∩ purchasers| and |viewers \ purchasers| from two
+    // fixed-size sketches. The exact form is a COUNT(DISTINCT) over a
+    // self-join; the sketch form ships kilobytes. Rows-only for the same
+    // reason as q112; MiscSpec pins both estimates against exact set ops.
+    QueryDef.rowsOnly("q113_sketch_set_ops") { (s, dir) =>
+      val byType = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(theta_sketch_agg(col("user_id")).as("sk"))
+      val v = byType.filter(col("event_type") === "view")
+        .select(col("sk").as("sk_view"))
+      val p = byType.filter(col("event_type") === "purchase")
+        .select(col("sk").as("sk_buy"))
+      v.crossJoin(p).select(
+        theta_sketch_estimate(theta_intersection(col("sk_view"), col("sk_buy")))
+          .as("est_view_and_buy"),
+        theta_sketch_estimate(theta_difference(col("sk_view"), col("sk_buy")))
+          .as("est_view_only"))
     }
   )
 }

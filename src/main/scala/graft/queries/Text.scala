@@ -196,6 +196,30 @@ object Text {
         .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
     },
 
+    // WEIGHTED deterministic sampling (Sampling.weightedSample): each doc
+    // is kept with probability n_chars/4000 (capped at 1) — the
+    // length-proportional downsampling used to bias a quick-look corpus
+    // toward substantive documents. The uniform draw is a 52-bit md5
+    // integer and the acceptance bound floor(p·2^52), so the per-row
+    // decision is an integer compare the oracle replays EXACTLY (no
+    // transcendental ranking — an Efraimidis-Spirakis top-k would hinge
+    // on pow/log ulps that differ across libm implementations).
+    QueryDef.checked(
+      "q111_weighted_sample",
+      """SELECT lang, count(*) AS n_kept, sum(n_chars) AS kept_chars
+        |FROM documents
+        |WHERE CAST(concat('0x',
+        |        substring(md5(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 13))
+        |      AS BIGINT)
+        |    < CAST(floor(least(n_chars / 4000.0, 1.0) * 4503599627370496.0)
+        |      AS BIGINT)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents"), col("doc_id"), col("n_chars") / 4000.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    },
+
     // repetition quality gates (the Gopher/C4 junk filters): duplicate-word
     // fraction per row + the share of bigrams claimed by the most frequent
     // bigram (Repetition.profile — explode + lead window + two-level agg,

@@ -322,4 +322,58 @@ class MiscSpec extends AnyFunSuite {
     assert(math.abs(restKept / restAll - 0.1) < 3 * math.sqrt(0.1 * 0.9 / restAll),
       s"non-en rate ${restKept / restAll}")
   }
+
+  test("weighted sampling: rate tracks mean prob, monotone in weight, layout-stable") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count().toDouble
+    // acceptance rate ≈ E[min(n_chars/4000, 1)] within 3σ of the
+    // per-row-independent Bernoulli bound
+    val p = col("n_chars") / 4000.0
+    val expRate = docs.select(avg(least(p, lit(1.0)))).head.getDouble(0)
+    val kept = Sampling.weightedSample(docs, col("doc_id"), p)
+    val rate = kept.count() / n
+    assert(math.abs(rate - expRate) < 3 * math.sqrt(expRate * (1 - expRate) / n),
+      s"weighted rate $rate vs expected $expRate")
+    // degenerate probs: 0 keeps nothing, ≥1 keeps everything
+    assert(Sampling.weightedSample(docs, col("doc_id"), lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(docs, col("doc_id"), lit(1.0)).count() == n)
+    // monotone per row: the same key's uniform draw is fixed, so doubling
+    // every prob can only ADD rows (kept(p) ⊆ kept(2p))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept2 = Sampling.weightedSample(docs, col("doc_id"), p * 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(kept2), "weighted admission not monotone in prob")
+    // decision is a pure function of the key — repartitioning the input
+    // must not change the kept set (the df.sample failure mode)
+    val keptRepart = Sampling.weightedSample(docs.repartition(7), col("doc_id"), p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptRepart == keptIds, "weighted sample changed under repartition")
+  }
+
+  test("sketch re-aggregation and set algebra track exact distinct counts") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    // q112: per-type union-of-daily-HLL-sketches vs exact countDistinct.
+    // HLL at the default lgConfigK=12 has ~1.6% rsd; the fixture's
+    // cardinalities are far below 2^12 so the estimate runs in sparse
+    // mode — allow 5% to keep the bound scale-independent.
+    val est = SparkEntry.queries("q112_sketch_reagg")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_users")).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(est(k) - e).toDouble / e <= 0.05, s"$k: est ${est(k)} vs exact $e")
+    }
+    // q113: theta intersection/difference vs exact set ops over user sets
+    val users = (t: String) => events.filter(col("event_type") === t)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val v = users("view"); val b = users("purchase")
+    val row = SparkEntry.queries("q113_sketch_set_ops")(spark, sf).head
+    val estBoth = row.getLong(0).toDouble; val estOnly = row.getLong(1).toDouble
+    assert(math.abs(estBoth - (v & b).size) / math.max((v & b).size, 1) <= 0.05,
+      s"view∩purchase: est $estBoth vs exact ${(v & b).size}")
+    assert(math.abs(estOnly - (v -- b).size) / math.max((v -- b).size, 1) <= 0.05,
+      s"view∖purchase: est $estOnly vs exact ${(v -- b).size}")
+  }
 }

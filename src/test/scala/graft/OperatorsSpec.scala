@@ -547,6 +547,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set("p11.2"))
   }
 
+  test("interval-overlap join: exactly-once across buckets, half-open edges, equi-join plan") {
+    import spark.implicits._
+    def side(p: String, rows: Seq[(Long, Long, Long, String)]) =
+      rows.toDF("k", "su", "eu", "name")
+        .select(col("k").as(s"${p}_k"), timestamp_micros(col("su")).as(s"${p}_s"),
+          timestamp_micros(col("eu")).as(s"${p}_e"), col("name").as(s"${p}_name"))
+    val M = 1000000L
+    // left interval [0s, 10s) spans 10 one-second buckets; right [2s, 9s)
+    // shares 7 of them — without the bucket-of-overlap-start dedup this
+    // pair would emit 7 times
+    val l = side("a", Seq(
+      (1L, 0L, 10L * M, "wide"),
+      (1L, 20L * M, 21L * M, "late"),
+      (2L, 0L, 5L * M, "otherkey")))
+    val r = side("b", Seq(
+      (1L, 2L * M, 9L * M, "inside"),
+      (1L, 10L * M, 12L * M, "touches_end"), // b.start == a.end: half-open, no overlap
+      (1L, 19L * M, 20500000L, "hits_late")))
+    val joined = graft.operators.RangeJoin.intervalOverlap(
+      l, r, "a_k", "b_k", "a_s", "a_e", "b_s", "b_e", bucketSeconds = 1L)
+    val got = joined.select("a_name", "b_name").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    // wide×inside exactly ONCE despite 7 shared buckets; touches_end
+    // excluded (end exclusive); otherkey never matches key 1
+    assert(got.sorted.toSeq == Seq(("late", "hits_late"), ("wide", "inside")),
+      s"got ${got.toSeq}")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "plan contains CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "plan contains BroadcastNestedLoopJoin")
+  }
+
   test("skipExisting with zero-padded sub-partitions skips everything on re-run") {
     val dest = tmp() + "/dest"
     // stage events with a real TimestampType ts (the raw fixture stores
