@@ -104,6 +104,53 @@ object Migrate {
       checks)
   }
 
+  /** CONTINUOUS incremental migration — the reference's cron-driven
+    * re-run loop (run trans-partition for yesterday, every day;
+    * TransTablePartition.java's whole purpose) collapsed into one
+    * Structured Streaming job. The file source's checkpointed listing
+    * replaces the skipExisting probe: a source file is read exactly once
+    * across restarts, new files are picked up on the next trigger, and
+    * the parquet sink's transactional commit log (`_spark_metadata`)
+    * makes the write side exactly-once — a crashed batch re-runs without
+    * duplicating rows, which the batch path can only approximate at
+    * partition granularity (dynamic overwrite).
+    *
+    * `Trigger.AvailableNow` drains everything currently present and
+    * stops — the scheduled-batch shape (run it from cron exactly like
+    * the reference, keeping incremental state in `checkpoint`). Pass
+    * `drainAndStop = false` for a resident query that follows the source
+    * indefinitely. `sourceOptions` reaches the file source (e.g.
+    * `maxFilesPerTrigger` to rate-limit a huge backfill into bounded
+    * micro-batches).
+    */
+  def streamIncremental(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      dateCol: String,
+      checkpoint: String,
+      pattern: String = "yyyyMMdd",
+      partName: String = "par_key",
+      subPart: Option[SubPart] = None,
+      sourceOptions: Map[String, String] = Map.empty,
+      drainAndStop: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    // streaming file sources need an explicit schema: one driver-side
+    // footer read of the existing data, no scan
+    val schema = spark.read.parquet(srcPath).schema
+    val src = spark.readStream.options(sourceOptions).schema(schema).parquet(srcPath)
+      .withColumn(partName, date_format(col(dateCol), pattern))
+    val trigger =
+      if (drainAndStop) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      else org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 minute")
+    withSub(src, subPart).writeStream
+      .format("parquet")
+      .option("path", destPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partName +: subPart.map(_.name).toSeq: _*)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Bytes-per-row estimate of the source, or None when the whole source
     * fits `targetBytes` (then no destination leaf can be oversized and the
     * row-count job is skipped — the common case). The directory walk is

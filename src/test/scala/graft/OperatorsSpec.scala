@@ -578,6 +578,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "plan contains BroadcastNestedLoopJoin")
   }
 
+  test("migrate carries an EVOLVED source schema: union columns, null-filled history") {
+    // a live table grows a column mid-history (the classic hive
+    // schema-evolution case the reference's whole-table copies hit):
+    // early files lack `channel`, late files have it. mergeSchema on the
+    // source read makes the migration land the UNION schema with nulls
+    // for pre-evolution rows — no rewrite of old files, no reader fork.
+    val base = tmp(); val src = s"$base/src"; val dest = s"$base/dest"
+    val ev = Tables.load(spark, sf, "events")
+    ev.filter(col("event_id") % 2 === 0)
+      .select("event_id", "ts", "user_id", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("event_type").as("channel"))
+      .coalesce(1).write.mode("append").parquet(src)
+    Migrate.migrateAll(spark, src, dest, "ts",
+      srcOptions = Map("mergeSchema" -> "true"))
+    val out = spark.read.parquet(dest)
+    assert(out.columns.contains("channel"), s"evolved column lost: ${out.columns.toSeq}")
+    assert(out.count() == ev.count())
+    // pre-evolution rows surface as NULL channel; post-evolution keep values
+    assert(out.filter(col("event_id") % 2 === 0).filter(col("channel").isNotNull).count() == 0)
+    assert(out.filter(col("event_id") % 2 === 1).filter(col("channel").isNull).count() == 0)
+  }
+
   test("skipExisting with zero-padded sub-partitions skips everything on re-run") {
     val dest = tmp() + "/dest"
     // stage events with a real TimestampType ts (the raw fixture stores

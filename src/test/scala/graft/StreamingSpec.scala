@@ -285,4 +285,38 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(alerts.all.nonEmpty && alerts.all.head._1 == "events.high_value")
   }
+
+  test("streamIncremental: drains to the batch layout, picks up only NEW files on re-run") {
+    import graft.operators.Migrate
+    val base = Files.createTempDirectory("graft-stream-migrate").toString
+    val src = s"$base/src"; val dest = s"$base/dest"; val ckpt = s"$base/ckpt"
+    val raw = Tables.load(spark, sf, "events")
+    // first arrival: half the events as one file batch
+    raw.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    val q1 = Migrate.streamIncremental(spark, src, dest, "ts", ckpt)
+    q1.awaitTermination(); // AvailableNow stops by itself after draining
+    val half = spark.read.parquet(dest)
+    val halfCount = half.count()
+    assert(halfCount == raw.filter(col("event_id") % 2 === 0).count())
+    assert(half.columns.contains("par_key"), "destination missing the hive partition key")
+
+    // second arrival while no query runs; re-running with the SAME
+    // checkpoint must read only the new files (the cron re-run shape) and
+    // never duplicate the first batch
+    raw.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+    val q2 = Migrate.streamIncremental(spark, src, dest, "ts", ckpt)
+    q2.awaitTermination()
+    val all = spark.read.parquet(dest)
+    assert(all.count() == raw.count(), s"got ${all.count()} of ${raw.count()} rows")
+    assert(all.select("event_id").distinct().count() == raw.count(),
+      "duplicate event_ids: the checkpoint failed to dedup source files")
+    // layout equals the batch path's: same per-day partition values
+    val streamed = all.groupBy("par_key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchDest = s"$base/batch"
+    Migrate.migrateAll(spark, src, batchDest, "ts")
+    val batch = spark.read.parquet(batchDest).groupBy("par_key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "streaming layout diverged from batch migrate")
+  }
 }
