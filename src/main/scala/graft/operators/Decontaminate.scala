@@ -57,4 +57,39 @@ object Decontaminate {
       .select(col(idCol), col("n_grams"), col("n_overlap"),
         frac.as("overlap_frac"), (frac > threshold).as("contaminated"))
   }
+
+  /** Pairwise SOURCE-overlap matrix at sketch cost: one theta sketch of
+    * word n-grams per source, then every pair's estimated shared-gram
+    * count, union size and Jaccard from sketch algebra alone —
+    * `(src_a, src_b, est_common, est_union, est_jaccard)` for a < b.
+    *
+    * The exact form is a gram-relation self-join PER PAIR (k² passes over
+    * the corpus, each a heavy shuffle); this form scans grams once,
+    * reduces to k kilobyte-sized sketch rows, and crosses those. Gram
+    * rows go into the sketch WITHOUT a distinct() — theta sketches are
+    * set-semantic by construction (duplicate hashes land in the same
+    * slot), so the dedup shuffle that [[grams]] needs for exact counting
+    * would be pure waste here; the corpus is exploded and aggregated in
+    * one partial-agg pass.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 8,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val l = col("__l")
+    val rawGrams = docs
+      .select(col(sourceCol), split(trim(col(textCol)), TextFunctions.WS + "+").as("__l"))
+      .filter(size(l) >= n)
+      .select(col(sourceCol),
+        explode(transform(sequence(lit(1), size(l) - (n - 1)),
+          i => concat_ws(" ", slice(l, i, lit(n))))).as("g"))
+    val sk = rawGrams.groupBy(col(sourceCol)).agg(theta_sketch_agg(col("g")).as("sk"))
+    val a = sk.select(col(sourceCol).as("src_a"), col("sk").as("sk_a"))
+    val b = sk.select(col(sourceCol).as("src_b"), col("sk").as("sk_b"))
+    val common = theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+    val union = theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b")))
+    a.join(b, col("src_a") < col("src_b")) // k² sketch rows, kilobytes each
+      .select(col("src_a"), col("src_b"), common.as("est_common"),
+        union.as("est_union"),
+        round(common.cast("double") / greatest(union, lit(1L)), 6).as("est_jaccard"))
+  }
 }

@@ -353,6 +353,19 @@ object Curation {
          |  stopword_hits, reason, reason = 'kept' AS kept
          |FROM r""".stripMargin) { (s, dir) =>
       graft.operators.Gopher.decide(t(s, dir, "documents"))
+    },
+
+    // pairwise source-overlap matrix at sketch cost: per-source theta
+    // sketches of word trigrams, every source pair's shared/union gram
+    // estimates from sketch algebra — the "how redundant are my corpus
+    // sources" question answered in one gram scan + a k²-sketch cross,
+    // instead of k² gram self-joins. No cross-engine oracle (sketch
+    // bytes); CurationSpec pins the estimates against exact gram-set
+    // Jaccard per pair.
+    QueryDef.rowsOnly("q114_source_overlap") { (s, dir) =>
+      graft.operators.Decontaminate.sourceOverlap(
+        t(s, dir, "documents"), n = 3)
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 }

@@ -290,6 +290,25 @@ object Misc {
           .as("est_view_and_buy"),
         theta_sketch_estimate(theta_difference(col("sk_view"), col("sk_buy")))
           .as("est_view_only"))
+    },
+
+    // re-aggregatable QUANTILES (KLL sketches) — q112's pattern for
+    // percentiles: daily value sketches merge into whole-corpus
+    // quantiles without re-touching events, where exact percentiles
+    // would need a global sort per slice and percentile_approx sketches
+    // can't be stored/merged across queries. Rows-only (sketch bytes);
+    // MiscSpec brackets each merged quantile between exact percentiles
+    // at ±5 rank points.
+    QueryDef.rowsOnly("q115_kll_reagg") { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(kll_sketch_agg_double(col("value")).as("sk"))
+      daily.agg(count(lit(1)).as("n_days"),
+          kll_merge_agg_double(col("sk")).as("msk"))
+        .select(col("n_days"),
+          kll_sketch_get_quantile_double(col("msk"), lit(0.5)).as("p50"),
+          kll_sketch_get_quantile_double(col("msk"), lit(0.95)).as("p95"),
+          kll_sketch_get_quantile_double(col("msk"), lit(0.99)).as("p99"))
     }
   )
 }

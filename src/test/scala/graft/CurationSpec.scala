@@ -294,4 +294,28 @@ class CurationSpec extends AnyFunSuite {
     val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Shards.write(none, dir + "-none", col("doc_id"), 10) == 0)
   }
+
+  test("source-overlap sketch matrix tracks exact gram-set Jaccard per pair") {
+    import graft.operators.Decontaminate
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // exact per-source trigram sets (small fixture — driver-side is fine)
+    val exact = Decontaminate.grams(docs, 3, idCol = "source")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val est = SparkEntry.queries("q114_source_overlap")(spark, sf).collect()
+    assert(est.nonEmpty)
+    val sources = exact.keySet.toSeq.sorted
+    assert(est.length == sources.size * (sources.size - 1) / 2,
+      s"expected all unordered pairs, got ${est.length}")
+    est.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (exact(a), exact(b))
+      val exactJ = (sa & sb).size.toDouble / math.max((sa | sb).size, 1)
+      val estJ = r.getAs[Double]("est_jaccard")
+      // theta sketches stay in exact mode below 4096 retained hashes and
+      // ~2.5% rsd above; the fixture sits near the boundary — 0.05
+      // absolute headroom on a [0,1] quantity
+      assert(math.abs(estJ - exactJ) <= 0.05, s"$a×$b: est $estJ vs exact $exactJ")
+    }
+  }
 }

@@ -376,4 +376,20 @@ class MiscSpec extends AnyFunSuite {
     assert(math.abs(estOnly - (v -- b).size) / math.max((v -- b).size, 1) <= 0.05,
       s"view∖purchase: est $estOnly vs exact ${(v -- b).size}")
   }
+
+  test("merged KLL quantiles land within ±5 rank points of exact percentiles") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val row = SparkEntry.queries("q115_kll_reagg")(spark, sf).head
+    // KLL's guarantee is on RANK error (~1.65% at the default k=200), so
+    // bracket each merged VALUE between the exact values ±5 rank points
+    // away instead of comparing values directly
+    Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99").foreach { case (q, name) =>
+      val got = row.getAs[Double](name)
+      val lohi = events.agg(
+        expr(s"percentile(value, ${math.max(q - 0.05, 0.0)})"),
+        expr(s"percentile(value, ${math.min(q + 0.05, 1.0)})")).head
+      val (lo, hi) = (lohi.getDouble(0), lohi.getDouble(1))
+      assert(got >= lo && got <= hi, s"$name=$got outside exact-rank bracket [$lo, $hi]")
+    }
+  }
 }
