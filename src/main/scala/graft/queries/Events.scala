@@ -189,6 +189,37 @@ object Events {
           floor(datediff(col("ts").cast("date"), col("cohort_day").cast("date")) / 7)
             .cast("long").as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // event-SEQUENCE pattern matching (the MATCH_RECOGNIZE shape): each
+    // user's history collapses to an ordered initial string (v/c/p/s/e),
+    // and patterns become regexes over it — here adjacent view→click→
+    // purchase runs and the "error then eventually recovers with a
+    // purchase" shape. One shuffle per user; the in-array sort bounds
+    // work by the user's own history length (per-entity, never global),
+    // the same discipline as LineDedup's reassembly. Both engines count
+    // non-overlapping matches left-to-right, so n_* agree exactly.
+    QueryDef.checked(
+      "q116_sequence_pattern",
+      """WITH s AS (SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |      AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, seq,
+        |  CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT) AS n_vcp,
+        |  CAST(len(regexp_extract_all(seq, 'e[^e]*p')) AS BIGINT) AS n_recover
+        |FROM s""".stripMargin) { (s, dir) =>
+      val seqCol = concat_ws("",
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("c")))),
+          x => x("c")))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c"))
+        .groupBy(col("user_id")).agg(seqCol.as("seq"))
+        .select(col("user_id"), col("seq"),
+          regexp_count(col("seq"), lit("vcp")).cast("long").as("n_vcp"),
+          regexp_count(col("seq"), lit("e[^e]*p")).cast("long").as("n_recover"))
     }
   )
 }
