@@ -267,6 +267,21 @@ object Dedup {
           round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
             greatest(length(col("ta")), length(col("tb"))).cast("double"), 9)
             .as("edit_sim"))
+    },
+
+    // centrality over the dup-pair graph (PageRank): which member of each
+    // duplicate cluster is the HUB the others orbit — the
+    // popularity-weighted counterpart to q95's quality argmax. Reads the
+    // same materialized pair-graph artifact as q33/q51/q55; ten rounds of
+    // join+aggregate, rank mass conserved at Σ=1 (undirected ⇒ no
+    // dangling nodes). Rows-only: an iterative fixpoint needs
+    // aggregation inside a recursive CTE, which the oracle engine
+    // disallows; DedupSimilaritySpec replays the exact iteration
+    // driver-side and pins every rank to 1e-9.
+    QueryDef.rowsOnly("q117_dup_pagerank") { (s, dir) =>
+      graft.operators.PageRank.run(jaccardPairs(s, dir).select("doc_a", "doc_b"))
+        .select(col("doc_id"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("doc_id"))
     }
   )
 }

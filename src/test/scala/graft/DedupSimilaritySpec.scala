@@ -558,4 +558,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(among == Set((3L, 4L, sharedA.length.toLong)),
       "spansAmong must exclude the (1,2) pair not in the candidate set")
   }
+
+  test("pagerank: star hub dominates, mass conserved, matches driver replay to 1e-9") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    // star + a detached triangle: hub 1 must outrank its leaves, the
+    // symmetric triangle splits its mass evenly
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val got = PageRank.run(edges, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"rank mass ${got.values.sum}")
+    assert(got(1L) > got(2L) * 2, s"hub ${got(1L)} vs leaf ${got(2L)}")
+    assert(Seq(2L, 3L, 4L, 5L).map(got).distinct.size == 1, "leaves must tie")
+    assert(Seq(10L, 11L, 12L).map(got).distinct.size == 1, "triangle must tie")
+    // exact driver replay of the same fixed-iteration update rule
+    val sym = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val n = deg.size
+    var r = deg.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10)
+      r = deg.keys.map { v =>
+        val in = sym.filter(_._2 == v).map(_._1)
+        v -> (0.15 / n + 0.85 * in.map(u => r(u) / deg(u)).sum)
+      }.toMap
+    r.foreach { case (v, exp) =>
+      assert(math.abs(got(v) - exp) < 1e-9, s"node $v: ${got(v)} vs replay $exp")
+    }
+  }
 }
