@@ -62,4 +62,30 @@ object Shards {
         .write.mode("overwrite").partitionBy("shard").parquet(path)
     nShards
   }
+
+  /** Write `df` as JSON-Lines shards — the training-data interchange
+    * format most tokenizer/trainer stacks read directly: `shard=N`
+    * directories of text files, one JSON object per line, rows sorted by
+    * `orderCol` inside each file. Same exact-size rank sharding as
+    * [[write]]; every column lands in the object (`to_json(struct(*))`
+    * — codegen'd, newline/quote escaping per RFC 8259, so embedded
+    * newlines in text can never break the line framing). Returns the
+    * shard count.
+    */
+  def writeJsonl(df: DataFrame, path: String, orderCol: Column, shardSize: Long,
+      buckets: Int = 64, bucketOn: Option[Column] = None): Long = {
+    val assigned = assign(df, orderCol, shardSize, buckets, bucketOn)
+    val nShards = assigned.agg(max(col("shard"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1
+    }
+    if (nShards > 0)
+      assigned
+        .repartition(nShards.toInt, col("shard"))
+        .sortWithinPartitions(col("shard"), orderCol)
+        .select(col("shard"),
+          to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+        .write.mode("overwrite").partitionBy("shard").text(path)
+    nShards
+  }
 }

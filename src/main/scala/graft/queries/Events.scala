@@ -220,6 +220,30 @@ object Events {
         .select(col("user_id"), col("seq"),
           regexp_count(col("seq"), lit("vcp")).cast("long").as("n_vcp"),
           regexp_count(col("seq"), lit("e[^e]*p")).cast("long").as("n_recover"))
+    },
+
+    // forward-fill (last-observation-carried-forward): every event carries
+    // the value of the user's most recent PURCHASE at or before it — the
+    // sparse-to-dense propagation behind point-in-time features and
+    // gap-filled dimension columns. One window pass; `last(..., ignoreNulls)`
+    // over an unbounded-preceding frame is the canonical LOCF form in both
+    // engines, so the oracle pins the IGNORE NULLS semantics exactly
+    // (events before any purchase stay NULL).
+    QueryDef.checked(
+      "q118_forward_fill",
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |             IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_value
+        |FROM events""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+            .over(w).as("last_purchase_value"))
     }
   )
 }

@@ -295,6 +295,28 @@ class CurationSpec extends AnyFunSuite {
     assert(Shards.write(none, dir + "-none", col("doc_id"), 10) == 0)
   }
 
+  test("jsonl shards: lossless roundtrip, line framing survives embedded newlines") {
+    import graft.operators.Shards
+    val docs = Tables.load(spark, SparkTestEnv.sf, "documents")
+      .select("doc_id", "text", "lang")
+      // force the failure mode the escaping exists for
+      .withColumn("text", concat(col("text"), lit("\nline2\t\"quoted\"")))
+    val total = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/out"
+    val n = Shards.writeJsonl(docs, dir, col("doc_id"), shardSize = 150)
+    assert(n == (total + 149) / 150)
+    // every line parses back; content is byte-identical after the roundtrip
+    val back = spark.read.schema("doc_id LONG, text STRING, lang STRING").json(dir)
+    assert(back.count() == total, "a raw newline broke JSONL line framing")
+    assert(back.select("doc_id", "text", "lang")
+      .except(docs.select("doc_id", "text", "lang")).count() == 0)
+    assert(docs.select("doc_id", "text", "lang")
+      .except(back.select("doc_id", "text", "lang")).count() == 0)
+    // shard dirs exist with exact sizes (same rank sharding as write)
+    val sizes = spark.read.text(dir).count()
+    assert(sizes == total)
+  }
+
   test("source-overlap sketch matrix tracks exact gram-set Jaccard per pair") {
     import graft.operators.Decontaminate
     val docs = spark.read.parquet(s"$sf/documents.parquet")
