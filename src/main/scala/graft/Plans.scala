@@ -51,7 +51,16 @@ object Plans {
       "q97_dup_spans",       // dense gram self-join (equi, AQE skew) + island window
       "q100_edit_verified_pairs", // per-PAIR levenshtein over the artifact graph
       "q102_scd2_intervals", // two window passes over ONE key shuffle
-      "q103_cdc_diff")       // single full-outer key join, struct-packed compare
+      "q103_cdc_diff",       // single full-outer key join, struct-packed compare
+      "q107_funnel",         // stage aggregates co-partitioned on user_id
+      "q109_distribution_drift", // conditional agg; window only over 20 bucket rows
+      "q110_interval_overlap", // both-sides bucket explode + hash equi-join
+      "q111_weighted_sample", // integer-exact admission: codegen'd filter, no shuffle
+      "q112_sketch_reagg",   // partial-agg HLL sketches, union re-agg
+      "q114_source_overlap", // gram scan -> k sketch rows -> k² cross
+      "q116_sequence_pattern", // one user shuffle; in-array sort per history
+      "q117_dup_pagerank",   // iterative join+agg over checkpointed edges
+      "q118_forward_fill")   // single window pass, LOCF frame
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -128,12 +128,15 @@ object Events {
 
     // ORDERED funnel (view → click → purchase): a user reaches stage 2
     // only with a click AT OR AFTER their first view, stage 3 only with a
-    // purchase at or after that earliest qualifying click. Each stage is
-    // one filtered aggregate equi-joined to the previous stage's per-user
-    // row — three shuffles on the SAME key (user_id), so after the first
-    // exchange the later joins are co-partitioned; no per-user event-list
-    // collection, no window over the whole event stream. Counts are
-    // exact "reached exactly stage k" users.
+    // purchase at or after that earliest qualifying click. ONE scan and
+    // ONE user_id shuffle: the aggregate keeps min(view ts) plus the
+    // user's click/purchase timestamp arrays (conditional collect_list —
+    // bounded by that user's own event count, the per-entity array
+    // discipline of LineDedup/q116), and the stage chain is pure array
+    // arithmetic on the aggregated row. The naive per-stage join form
+    // re-scans events once per stage AND duplicates each prior stage's
+    // subtree into the next join — 12 scans in the physical plan here.
+    // Counts are exact "reached exactly stage k" users.
     QueryDef.checked(
       "q107_funnel",
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
@@ -150,16 +153,21 @@ object Events {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id").where(col("ts") >= col("v_ts"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, "user_id").where(col("ts") >= col("c_ts"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      val staged = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("v_ts"),
+          // collect_list drops the nulls the `when` leaves on other types
+          collect_list(when(col("event_type") === "click", col("ts"))).as("clicks"),
+          collect_list(when(col("event_type") === "purchase", col("ts"))).as("buys"))
+        .filter(col("v_ts").isNotNull)
+        // earliest click at/after the first view; `t >= null` is null, so
+        // a missing prior stage yields an empty filter and a null min —
+        // stage k is structurally impossible without stage k-1
+        .withColumn("c_ts", array_min(filter(col("clicks"), _ >= col("v_ts"))))
+        .withColumn("p_ts", array_min(filter(col("buys"), _ >= col("c_ts"))))
+      staged
         .select(when(col("p_ts").isNotNull, 3)
           .when(col("c_ts").isNotNull, 2).otherwise(1).as("funnel_stage"))
         .groupBy(col("funnel_stage")).agg(count(lit(1)).as("n_users"))
