@@ -37,7 +37,12 @@ object Bench {
     }
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(300)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q101_x,q102_y restricts the run (single-query
+    // iteration); the recorded artifact notes the filter via "sf" + names
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val outcomes = (1 to k).map { _ =>
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }

@@ -60,7 +60,11 @@ object Main {
           |                     — the reference HDFSMerge shape)
           |  trans-files:       -distDB <dir>   (opaque byte copy of any
           |                     format, preserving relative paths; verified
-          |                     by name+length manifest diff; path-only)""".stripMargin)
+          |                     by name+length manifest diff; path-only)
+          |  trans-stream:      -distDB <dir> -ckpt <dir>  (incremental
+          |                     migration: checkpointed file-source stream,
+          |                     drains new files and stops — run from cron;
+          |                     exactly-once per source file; path-only)""".stripMargin)
       sys.exit(2)
     }
     val spark = SparkEnv.session("graft-cli")
@@ -94,6 +98,16 @@ object Main {
       println(s"copied files=${r.filesCopied} bytes=${r.bytesCopied}")
       if (FileMigrate.verified(spark, src, dst)) println("verify: OK")
       else alerter.alert("trans-files.verify", s"manifest mismatch between $src and $dst")
+      return
+    }
+
+    // trans-stream: the cron-driven incremental re-run as a checkpointed
+    // drain-and-stop streaming job (exactly-once per source file)
+    if (cmd == "trans-stream") {
+      val q = Migrate.streamIncremental(spark, src, dst, req(m, "dateCol"),
+        req(m, "ckpt"), m.getOrElse("pp", "yyyyMMdd"), m.getOrElse("pn", "par_key"))
+      q.awaitTermination()
+      println(s"stream drained to $dst")
       return
     }
 

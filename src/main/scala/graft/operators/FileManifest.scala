@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-level manifests as DataFrames — the recursive `listFile`
@@ -55,4 +55,51 @@ object FileManifest {
           .when(col("src_len").isNull, lit("missing_in_src"))
           .when(col("src_len") =!= col("dst_len"), lit("length_mismatch"))
           .otherwise(lit("ok")))
+
+  /** Orphan data files in a STREAMING sink directory: files present on
+    * disk but absent from the sink's `_spark_metadata` commit log. A
+    * micro-batch that crashed between writing its part files and
+    * committing leaves such files behind; readers that honor the log
+    * (any Spark read of the sink root) never see them, but they hold
+    * bytes forever and a log-oblivious consumer (plain `ls`, a non-Spark
+    * reader pointed at a subdirectory) silently double-counts — so the
+    * maintenance sweep is: list orphans, delete after a grace period.
+    * Returns (name, length) relative to `sinkPath`. The commit log is
+    * JSON-lines-per-batch (v1 `SinkFileStatus`); reading it is
+    * driver-light metadata, the disk listing is the distributed
+    * [[listTree]].
+    */
+  def streamingSinkOrphans(spark: SparkSession, sinkPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(p).toString
+    val logDir = new org.apache.hadoop.fs.Path(p, "_spark_metadata")
+    require(fs.exists(logDir), s"$sinkPath has no _spark_metadata — not a streaming sink")
+    // each log file is a "v1" version header followed by one JSON object
+    // per committed file (so spark.read.json can't infer — read as text,
+    // keep the object lines, extract the qualified "path"); compaction
+    // files (N.compact) repeat earlier batches — distinct() absorbs that.
+    // The log may qualify paths differently than makeQualified
+    // (file:/x vs file:///x) — normalize both sides to the bare URI path
+    // before stripping the root prefix.
+    val rootUriPath = fs.makeQualified(p).toUri.getPath
+    def relName(path: Column): Column = substring(
+      regexp_replace(path, "^[a-zA-Z0-9+.-]+:/+", "/"),
+      rootUriPath.length + 2, Int.MaxValue)
+    val committed = spark.read.text(logDir.toString)
+      .filter(col("value").startsWith("{"))
+      .select(get_json_object(col("value"), "$.path").as("path"))
+      .filter(col("path").isNotNull)
+      .select(relName(col("path")).as("name"))
+      .distinct()
+    val onDisk = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(sinkPath)
+      .select(relName(col("path")).as("name"), col("length"))
+      .filter {
+        val base = regexp_extract(col("name"), "([^/]+)$", 1)
+        !base.startsWith("_") && !base.startsWith(".")
+      }
+    onDisk.join(committed, Seq("name"), "left_anti")
+  }
 }

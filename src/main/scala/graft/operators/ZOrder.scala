@@ -39,13 +39,15 @@ object ZOrder {
 
   /** Bucket rank of `c` against sorted `bnds`: the count of boundaries
     * ≤ value, in [0, 2^bits − 1]. NULLs rank 0 (lowest bucket).
+    *
+    * Codegen'd O(log n) binary search ([[graft.functions.BucketRank]]) —
+    * the `size(filter(typedLit(bnds), _ <= x))` form walks every boundary
+    * through an INTERPRETED lambda per row and broke whole-stage codegen;
+    * evaluated twice per row inside a compaction rewrite (partitioner
+    * sampling + write sort) it dominated the whole rewrite.
     */
-  def bucket(c: Column, bnds: Array[Double]): Column = {
-    val x = c.cast("double")
-    coalesce(
-      size(filter(typedLit(bnds), b => b <= x)),
-      lit(0))
-  }
+  def bucket(c: Column, bnds: Array[Double]): Column =
+    coalesce(graft.functions.BucketRank.rank(c, bnds), lit(0))
 
   /** Morton interleave of `bits`-wide bucket ranks: bit i of column j
     * lands at position `i * m + (m − 1 − j)` — column 0 owns the most

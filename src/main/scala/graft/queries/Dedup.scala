@@ -260,6 +260,12 @@ object Dedup {
          |           JOIN documents db ON db.doc_id = doc_b""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
       jaccardPairs(s, dir).select("doc_a", "doc_b")
+        // the pair artifact is a handful of small files → a handful of
+        // input splits; after the two BROADCAST joins the per-pair
+        // levenshtein (O(len²) each) would run on those few tasks and
+        // serialize the whole quadratic payload. One cheap shuffle of the
+        // (doc_a, doc_b) ids spreads it across every core.
+        .repartition(s.sparkContext.defaultParallelism)
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),

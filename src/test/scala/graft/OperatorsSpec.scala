@@ -717,6 +717,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dm.filter(col("partition_value") === "201801").count() == 2)
   }
 
+  test("BucketRank equals the interpreted filter+size form on random data") {
+    import spark.implicits._
+    import graft.functions.BucketRank
+    val rnd = new scala.util.Random(7)
+    // duplicate boundaries included: upper bound must count ALL dups ≤ x
+    val bnds = (Seq.fill(40)(rnd.nextDouble() * 100) ++ Seq(25.0, 25.0, 25.0))
+      .sorted.toArray
+    val vals = Seq.tabulate(500)(i => i.toDouble / 5) ++
+      bnds.toSeq ++ Seq(25.0, -1.0, 1000.0) // exact boundary hits + extremes
+    val df = vals.map(Tuple1(_)).toDF("x")
+    val got = df.select(BucketRank.rank(col("x"), bnds).as("r"))
+      .collect().map(_.getInt(0)).toSeq
+    val ref = df.select(
+      size(filter(typedLit(bnds), b => b <= col("x"))).as("r"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == ref, "binary search diverged from the reference HOF form")
+    // NULL in → NULL out (callers coalesce to the lowest bucket)
+    val withNull = Seq(Some(1.0), None).toDF("x")
+      .select(BucketRank.rank(col("x"), bnds)).collect()
+    assert(!withNull(0).isNullAt(0) && withNull(1).isNullAt(0))
+  }
+
   test("zorder compaction: multiset preserved; per-file ranges tight on BOTH columns") {
     val src = s"$sf/lineitem.parquet"
     val zDest = tmp() + "/zorder"

@@ -4,6 +4,7 @@ import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 /** Stream-equals-batch parity: the streaming operators must produce the
   * same results as their oracle-checked batch forms when fed the whole
@@ -318,5 +319,26 @@ class StreamingSpec extends AnyFunSuite {
     val batch = spark.read.parquet(batchDest).groupBy("par_key").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch, "streaming layout diverged from batch migrate")
+
+    // ORPHAN SWEEP: a data file on disk but missing from _spark_metadata
+    // (a crashed micro-batch's leftovers) is invisible to log-honoring
+    // readers but holds bytes — the sweep must find exactly it
+    import graft.operators.FileManifest
+    assert(FileManifest.streamingSinkOrphans(spark, dest).count() == 0,
+      "clean sink reported orphans")
+    val leaf = Files.walk(Paths.get(dest)).iterator().asScala
+      .find { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }.get
+    val planted = leaf.getParent.resolve("part-99999-deadbeef.c000.snappy.parquet")
+    Files.copy(leaf, planted, StandardCopyOption.REPLACE_EXISTING)
+    val orphans = FileManifest.streamingSinkOrphans(spark, dest).collect()
+    assert(orphans.length == 1 &&
+      orphans.head.getString(0).endsWith("part-99999-deadbeef.c000.snappy.parquet"),
+      s"orphans: ${orphans.map(_.getString(0)).toSeq}")
+    // and the committed row count is unchanged: Spark reads honor the log
+    assert(spark.read.parquet(dest).count() == raw.count(),
+      "planted orphan leaked into a log-honoring read")
   }
 }
