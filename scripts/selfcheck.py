@@ -11,10 +11,80 @@ UTC timestamps), and diff.
 """
 import json, math, sys, glob, os
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def coarse_duck(t):
+    """Coarse type class of a DuckDB result column. The driver's hash is
+    representation-sensitive, so an oracle column whose DuckDB type differs
+    in class from the Spark parquet column WILL hash-mismatch even when the
+    values are numerically equal (the r4 q76/q101/q111 bug: sum(BIGINT) is
+    HUGEINT in DuckDB, and Python's fetchall() masks it via int conversion)."""
+    t = str(t).upper()
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"   # never acceptable: Spark has no int128
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "VARCHAR":
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t.endswith("[]") or t.startswith(("LIST", "STRUCT", "MAP", "ARRAY")):
+        return "nested"
+    return t.lower()
+
+
+def coarse_arrow(t):
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_struct(t) or pa.types.is_map(t)):
+        return "nested"
+    return str(t)
+
+
+def type_mismatches(spark_schema, duck_cols, duck_types):
+    """Column-name-aligned coarse-type diff; returns a list of problems."""
+    duck = {c.lower(): coarse_duck(t) for c, t in zip(duck_cols, duck_types)}
+    problems = []
+    for field in spark_schema:
+        d = duck.get(field.name.lower())
+        s = coarse_arrow(field.type)
+        if d == "hugeint":
+            problems.append(f"{field.name}: DuckDB HUGEINT (wrap the oracle "
+                            f"aggregate in CAST(... AS BIGINT))")
+        elif d is not None and d != s:
+            problems.append(f"{field.name}: spark={s} duck={d}")
+    spark_names = {f.name.lower() for f in spark_schema}
+    for c, t in zip(duck_cols, duck_types):
+        if coarse_duck(t) == "hugeint" and c.lower() not in spark_names:
+            problems.append(f"{c}: DuckDB HUGEINT")
+    return problems
 
 
 def canon_value(v):
@@ -77,11 +147,22 @@ def main(sf_dir, out_dir):
                 n_fail += 1
             continue
         try:
-            res = con.execute(oracle[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracle[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # type seam guard: the driver's hash is representation-sensitive, so
+        # a class-level type drift (esp. HUGEINT) is a fail even if values
+        # compare equal after Python's int conversion
+        spark_schema = pq.read_schema(
+            glob.glob(f"{out_dir}/{name}/*.parquet")[0])
+        tprob = type_mismatches(spark_schema, ocols, otypes)
+        if tprob:
+            print(f"FAIL {name}: oracle/result type drift: {'; '.join(tprob)}")
             n_fail += 1
             continue
         sc, sr = canon_table(scols, srows)

@@ -75,10 +75,16 @@ object FileManifest {
     val root = fs.makeQualified(p).toString
     val logDir = new org.apache.hadoop.fs.Path(p, "_spark_metadata")
     require(fs.exists(logDir), s"$sinkPath has no _spark_metadata — not a streaming sink")
-    // each log file is a "v1" version header followed by one JSON object
-    // per committed file (so spark.read.json can't infer — read as text,
-    // keep the object lines, extract the qualified "path"); compaction
-    // files (N.compact) repeat earlier batches — distinct() absorbs that.
+    // Each log file is a "v1" version header followed by one JSON object
+    // per committed file; compaction files (N.compact) repeat earlier
+    // batches — distinct() absorbs that. The log CANNOT be read with
+    // spark.read.text: Spark's file index filters out files living under a
+    // '_'-prefixed directory even when that directory is the explicit load
+    // path, so the scan returns zero rows and every committed file would
+    // be misreported as an orphan. Read it driver-side via the Hadoop FS —
+    // the commit log is bounded driver-sized metadata by construction (one
+    // JSON line per committed file, periodically compacted) — then hand
+    // the parsed lines to Spark as a local relation for the anti-join.
     // The log may qualify paths differently than makeQualified
     // (file:/x vs file:///x) — normalize both sides to the bare URI path
     // before stripping the root prefix.
@@ -86,19 +92,46 @@ object FileManifest {
     def relName(path: Column): Column = substring(
       regexp_replace(path, "^[a-zA-Z0-9+.-]+:/+", "/"),
       rootUriPath.length + 2, Int.MaxValue)
-    val committed = spark.read.text(logDir.toString)
-      .filter(col("value").startsWith("{"))
+    val logLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(logDir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .foreach { st =>
+        val rdr = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(st.getPath), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var line = rdr.readLine()
+          while (line != null) {
+            if (line.startsWith("{")) logLines += line
+            line = rdr.readLine()
+          }
+        } finally rdr.close()
+      }
+    import spark.implicits._
+    val committed = logLines.toSeq.toDF("value")
       .select(get_json_object(col("value"), "$.path").as("path"))
       .filter(col("path").isNotNull)
       .select(relName(col("path")).as("name"))
       .distinct()
-    val onDisk = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(sinkPath)
-      .select(relName(col("path")).as("name"), col("length"))
-      .filter {
-        val base = regexp_extract(col("name"), "([^/]+)$", 1)
-        !base.startsWith("_") && !base.startsWith(".")
+    // The disk side must list what is ACTUALLY on disk — but any Spark read
+    // of a directory containing _spark_metadata (binaryFile included) swaps
+    // in the log-honoring MetadataLogFileIndex and would hide exactly the
+    // orphans we're sweeping for. The ignoreMetadata flag must be in force
+    // when .load() builds the file index, so set/restore it around that.
+    val ignoreKey = "spark.sql.streaming.fileStreamSink.ignoreMetadata"
+    val prevIgnore = spark.conf.getOption(ignoreKey)
+    spark.conf.set(ignoreKey, "true")
+    val onDisk =
+      try spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(sinkPath)
+        .select(relName(col("path")).as("name"), col("length"))
+        .filter {
+          val base = regexp_extract(col("name"), "([^/]+)$", 1)
+          !base.startsWith("_") && !base.startsWith(".")
+        }
+      finally prevIgnore match {
+        case Some(v) => spark.conf.set(ignoreKey, v)
+        case None    => spark.conf.unset(ignoreKey)
       }
     onDisk.join(committed, Seq("name"), "left_anti")
   }

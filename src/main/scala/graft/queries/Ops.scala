@@ -170,7 +170,7 @@ object Ops {
     QueryDef.checked(
       "q76_clustered_compact",
       """SELECT strftime(ts, '%Y%m%d') AS par_key, count(*) AS n_rows,
-        |  sum(user_id) AS sum_user, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       val src = scratch(s"cluster_src_${dir.replaceAll("[^a-z0-9.]", "_")}")
       val dest = scratch(s"cluster_dst_${dir.replaceAll("[^a-z0-9.]", "_")}")
@@ -190,7 +190,7 @@ object Ops {
     QueryDef.checked(
       "q101_zorder_roundtrip",
       """SELECT strftime(l_shipdate, '%Y') AS par_key, count(*) AS n_rows,
-        |  sum(l_quantity) AS sum_qty, sum(l_partkey * 31 + l_suppkey) AS key_sig
+        |  sum(l_quantity) AS sum_qty, CAST(sum(l_partkey * 31 + l_suppkey) AS BIGINT) AS key_sig
         |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
       val dest = scratch(s"zorder_${dir.replaceAll("[^a-z0-9.]", "_")}")
       Compact.rewritePartitioned(s, s"$dir/lineitem.parquet", dest,

@@ -206,7 +206,7 @@ object Text {
     // on pow/log ulps that differ across libm implementations).
     QueryDef.checked(
       "q111_weighted_sample",
-      """SELECT lang, count(*) AS n_kept, sum(n_chars) AS kept_chars
+      """SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
         |FROM documents
         |WHERE CAST(concat('0x',
         |        substring(md5(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 13))
