@@ -72,29 +72,48 @@ object SpanDedup {
   }
 
   /** The verify tier for a candidate-pair prefilter: spans only among
-    * the given (doc_a, doc_b) pairs — gram relations are built for just
-    * the docs present in `pairs`, so cost is sized by the candidates,
-    * not the corpus.
+    * the given (doc_a, doc_b) pairs (doc_a < doc_b; other rows are
+    * ignored). Every join is keyed per PAIR — expand each pair by the
+    * left doc's grams, then match the right doc's grams on
+    * (doc_b, gram) — so cost is Σ_pairs |grams(doc_a)| plus true
+    * matches, sized by the candidate volume, never a corpus-wide gram
+    * self-join (the dense [[spans]] form; that one's hot gram keys grow
+    * quadratically with corpus size).
     */
   def spansAmong(docs: DataFrame, pairs: DataFrame, k: Int = 16, minLen: Int = 40,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
-    val aIds = pairs.select(col("doc_a").as(idCol)).distinct()
-    val bIds = pairs.select(col("doc_b").as(idCol)).distinct()
+    val pr = pairs.select("doc_a", "doc_b")
+      .filter(col("doc_a") < col("doc_b")).distinct()
+    val aIds = pr.select(col("doc_a").as(idCol)).distinct()
+    val bIds = pr.select(col("doc_b").as(idCol)).distinct()
     val ga = grams(docs.join(aIds, idCol), k, idCol, textCol)
+      .toDF("doc_a", "pa", "gram")
     val gb = grams(docs.join(bIds, idCol), k, idCol, textCol)
-    spanRuns(ga, gb, k, minLen)
-      .join(pairs.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_semi")
+      .toDF("doc_b", "pb", "gram")
+    val m = pr.join(ga, Seq("doc_a"))
+      .join(gb, Seq("doc_b", "gram"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    islands(m, k, minLen)
   }
 
   private def spanRuns(ga: DataFrame, gb: DataFrame, k: Int, minLen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = ga.toDF("doc_a", "pa", "gram")
     val b = gb.toDF("doc_b", "pb", "gram")
     val m = a.join(b, Seq("gram"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("diag"))
+    islands(m, k, minLen)
+  }
+
+  /** Maximal-run grouping of a gram-match relation
+    * (doc_a, doc_b, pa, pb, diag): consecutive positions on one diagonal
+    * collapse to one span row via the pos − row_number() island trick.
+    */
+  private def islands(m: DataFrame, k: Int, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     m.withColumn("island", col("pa") - row_number().over(w))
       .groupBy("doc_a", "doc_b", "diag", "island")

@@ -55,6 +55,33 @@ object Dedup {
       |    AND a.source = b.source AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** The dense diagonal-run span SQL, shared by q97 (subset) and q119
+    * (full corpus vs the winnow-prefiltered engine path) — single source
+    * so k/minLen can never drift between the exhaustive and scale forms.
+    */
+  private def denseSpanSql(docFilter: String): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, text,
+       |         unnest(generate_series(1, greatest(length(text)-15, 1))) AS pos
+       |  FROM documents $docFilter
+       |), grams AS (
+       |  SELECT doc_id, pos, substr(text, pos, 16) AS gram FROM g
+       |  WHERE length(substr(text, pos, 16)) = 16
+       |), m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+       |         a.pos - b.pos AS diag
+       |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |), runs AS (
+       |  SELECT doc_a, doc_b, diag, pa, pb,
+       |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+       |                                 ORDER BY pa) AS island
+       |  FROM m
+       |)
+       |SELECT doc_a, doc_b, diag, min(pa) AS a_start, min(pb) AS b_start,
+       |       max(pa) - min(pa) + 16 AS span_chars
+       |FROM runs GROUP BY doc_a, doc_b, diag, island
+       |HAVING max(pa) - min(pa) + 16 >= 40""".stripMargin
+
   private def pairsSelectSql(cols: String) =
     s"""SELECT $cols
        |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
@@ -214,31 +241,46 @@ object Dedup {
     // 2022): maximal verbatim runs of ≥40 chars shared between distinct
     // docs, found as consecutive matching 16-grams on one diagonal. The
     // oracle replays the dense gram join + island grouping verbatim —
-    // exactness (not similarity) is what's being checked.
+    // exactness (not similarity) is what's being checked. The dense
+    // self-join is the VERIFY tier, not the scale tier (its gram join
+    // grows quadratically in boilerplate hot keys), so this query pins it
+    // on a corpus SUBSET (doc_id % 3 = 0); q119 runs the scale path over
+    // the FULL corpus against the same dense SQL.
     QueryDef.checked(
       "q97_dup_spans",
-      """WITH g AS (
-        |  SELECT doc_id, text,
-        |         unnest(generate_series(1, greatest(length(text)-15, 1))) AS pos
-        |  FROM documents
-        |), grams AS (
-        |  SELECT doc_id, pos, substr(text, pos, 16) AS gram FROM g
-        |  WHERE length(substr(text, pos, 16)) = 16
-        |), m AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
-        |         a.pos - b.pos AS diag
-        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |), runs AS (
-        |  SELECT doc_a, doc_b, diag, pa, pb,
-        |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
-        |                                 ORDER BY pa) AS island
-        |  FROM m
-        |)
-        |SELECT doc_a, doc_b, diag, min(pa) AS a_start, min(pb) AS b_start,
-        |       max(pa) - min(pa) + 16 AS span_chars
-        |FROM runs GROUP BY doc_a, doc_b, diag, island
-        |HAVING max(pa) - min(pa) + 16 >= 40""".stripMargin) { (s, dir) =>
-      SpanDedup.spans(t(s, dir, "documents"), k = 16, minLen = 40)
+      denseSpanSql("WHERE doc_id % 3 = 0")) { (s, dir) =>
+      SpanDedup.spans(t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        k = 16, minLen = 40)
+    },
+
+    // the 100 TB span-dedup path (winnow prefilter → restricted verify):
+    // winnowed fingerprints (gram k=24, window w=17, one O(n) native
+    // pass — functions/Winnow.scala) give candidate pairs, and the
+    // diagonal-run verify runs only among those pairs
+    // (SpanDedup.spansAmong, pair-keyed joins). The winnowing guarantee —
+    // any shared run of ≥ w+k−1 = 40 chars shares a fingerprint — makes
+    // the candidate set lossless for spans ≥ 40, so with minLen = 40 the
+    // output EQUALS the dense self-join and the oracle is the dense SQL
+    // itself: a hash match here proves the scale path drops nothing.
+    // k=24 (not the q61 default of 8) because selectivity is the whole
+    // game: on this template-heavy fixture 8-char grams yield 1.8k
+    // distinct fps over 72k rows and a 16.9M-row pre-distinct pair
+    // blowup; 24-char grams yield 138k distinct fps and 4.2k candidate
+    // pairs. Cost is fingerprint density (2/(w+1) of positions) for
+    // candidates plus candidate-pair grams for the verify, never the
+    // corpus-wide gram self-join.
+    QueryDef.checked(
+      "q119_dup_spans_scaled",
+      denseSpanSql("")) { (s, dir) =>
+      import graft.functions.WinnowFingerprints
+      val docs = t(s, dir, "documents")
+      val fps = docs.select(col("doc_id"),
+        explode(WinnowFingerprints.of(coalesce(col("text"), lit("")), k = 24, w = 17)).as("fp"))
+      val pairs = fps.toDF("doc_a", "fp")
+        .join(fps.toDF("doc_b", "fp2"),
+          col("fp") === col("fp2") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      SpanDedup.spansAmong(docs, pairs, k = 16, minLen = 40)
     },
 
     // edit-distance VERIFICATION of the near-dup pair graph: word-set

@@ -277,4 +277,42 @@ object PropertySpec extends Properties("graft") {
         (spansOk :| "per-doc spans derive from offset and length") &&
         (lastChunkOk :| "final doc ends in the last chunk of the stream")
     }
+
+  // WinnowFingerprints (the O(n) rolling-hash + deque form) against a
+  // naive O(n·w·k) reimplementation built from its own single-gram hash:
+  // pins the Karp–Rabin roll (h(j) from h(j−1)) and the monotonic deque
+  // against direct hashing + per-window scan, over small alphabets where
+  // repeats and ties are dense. No Spark involved — pure JVM.
+  private val genSmallText = for {
+    n <- Gen.choose(0, 120)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  property("winnow fingerprints == naive window-min over direct gram hashes") =
+    Prop.forAll(genSmallText, Gen.choose(1, 6), Gen.choose(1, 9)) {
+      (s: String, k: Int, w: Int) =>
+        import graft.functions.WinnowFingerprints.fingerprints
+        val n = s.length
+        val nG = math.max(n - k + 1, 1)
+        // hash of gram i via the expression itself with a 1-gram window
+        val gh = (0 until nG).map(i =>
+          fingerprints(s.substring(i, math.min(i + k, n)), k, 1)(0))
+        val nW = math.max(nG - w + 1, 1)
+        val expect = (0 until nW).map(j => gh.slice(j, math.min(j + w, nG)).min).distinct
+        fingerprints(s, k, w).toSeq == expect
+    }
+
+  // the winnowing GUARANTEE q119 rests on: two strings sharing a run of
+  // w+k−1 characters share at least one fingerprint, wherever the run
+  // sits in either string
+  property("winnow guarantee: a shared w+k-1 run always shares a fingerprint") =
+    Prop.forAll(genSmallText, genSmallText, Gen.choose(1, 6), Gen.choose(1, 9)) {
+      (pre: String, suf: String, k: Int, w: Int) =>
+        import graft.functions.WinnowFingerprints.fingerprints
+        val rnd = new scala.util.Random(pre.length * 31 + suf.length * 7 + k * 3 + w)
+        val shared = Array.fill(w + k - 1)("abc".charAt(rnd.nextInt(3))).mkString
+        val a = pre + shared + suf
+        val b = suf + shared + pre
+        fingerprints(a, k, w).toSet.intersect(fingerprints(b, k, w).toSet).nonEmpty
+    }
 }
