@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every `SparkEntry.queries` entry `k` times against
+/** Benchmark main: runs every `SparkEntry.queries` entry against
   * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line.
   *
   * Robustness contract (a bench artifact that can lie is worse than none):
@@ -12,7 +12,16 @@ import org.apache.spark.sql.SparkSession
   *     a single run can absorb a GC/JIT spike and distort a whole round
   *     (an earlier artifact recorded 13.2 s for a query that measures
   *     1.18 s fresh);
-  *   - `"queries_runs"` keeps every raw timing so variance stays visible.
+  *   - `"queries_runs"` keeps every raw timing so variance stays visible;
+  *   - before the timed runs, ONE artifact-COLD pass runs from a wiped
+  *     scratch/model root and is recorded as `"queries_cold"` /
+  *     `"total_cold"`: several queries reuse materialized per-corpus
+  *     artifacts (dedup pair graph, ANN centroids/codebooks, media
+  *     features), so warm min-of-k alone would hide the build cost a
+  *     fresh production run pays;
+  *   - `SPARK_GRAFT_ONLY` must name real queries: unknown or empty names
+  *     fail loudly (a typo would otherwise produce an empty artifact with
+  *     rc 0), and any filtered artifact carries `"filtered":true`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,11 +47,37 @@ object Bench {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(300)
     // SPARK_GRAFT_ONLY=q101_x,q102_y restricts the run (single-query
-    // iteration); the recorded artifact notes the filter via "sf" + names
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // iteration) — validated against the real query names, because a
+    // silently-ignored typo yields an empty artifact indistinguishable
+    // from a full run except by reading the recorded names
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map { v =>
+      val names = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      require(names.nonEmpty,
+        "SPARK_GRAFT_ONLY is set but names no queries (empty after trimming)")
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+      names
+    }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+
+    // artifact-cold pass: wipe the per-corpus artifact roots (NOT the
+    // per-query scratch under graft-ops — that is plain query output) so
+    // the first toucher of each artifact pays its build, exactly like a
+    // fresh production run; later timed runs then measure the warm shape
+    val tmp = sys.props("java.io.tmpdir")
+    Seq(s"$tmp/graft-scratch", s"$tmp/graft-models").foreach { root =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+    val cold = selected.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { materialize(fn(spark, sfDir)); name -> Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        name -> Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+    }
+
+    val results = selected.map { case (name, fn) =>
       val outcomes = (1 to k).map { _ =>
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
@@ -50,16 +85,20 @@ object Bench {
       }
       (name, outcomes.collect { case Right(t) => t }, outcomes.collectFirst { case Left(m) => m })
     }
-    val failures = results.collect { case (name, _, Some(err)) =>
-      s"""{"query":"$name","error":"${esc(err)}"}"""
-    }
+    val failures = (results.collect { case (name, _, Some(err)) => name -> err } ++
+        cold.collect { case (name, Left(err)) => name -> err })
+      .distinct.map { case (name, err) => s"""{"query":"$name","error":"${esc(err)}"}""" }
     val ok = results.filter(_._3.isEmpty)
     val qs = ok.map { case (n, ts, _) => s"\"$n\":${ts.min}" }.mkString("{", ",", "}")
     val runs = ok.map { case (n, ts, _) => s"\"$n\":[${ts.mkString(",")}]" }
       .mkString("{", ",", "}")
+    val okCold = cold.collect { case (n, Right(t)) => (n, t) }
+    val qsCold = okCold.map { case (n, t) => s"\"$n\":$t" }.mkString("{", ",", "}")
     val total = ok.map(_._2.min).sum
+    val totalCold = okCold.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","k":$k,""" +
-      s""""queries":$qs,"queries_runs":$runs,""" +
+      s""""total_cold":$totalCold,"filtered":${only.nonEmpty},""" +
+      s""""queries":$qs,"queries_runs":$runs,"queries_cold":$qsCold,""" +
       s""""failures":[${failures.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

@@ -122,6 +122,14 @@ object Migrate {
     * indefinitely. `sourceOptions` reaches the file source (e.g.
     * `maxFilesPerTrigger` to rate-limit a huge backfill into bounded
     * micro-batches).
+    *
+    * `maxFileAge` defaults here to effectively-infinite (overridable via
+    * `sourceOptions`): the file source's own default of 7 days silently
+    * drops a newly ARRIVED file whose modification time is older than 7
+    * days behind the newest seen — e.g. a backfill copied with preserved
+    * mtimes (`distcp -p`) — violating the exactly-once pickup guarantee
+    * documented above. The cost is checkpoint file-log size, which the
+    * source compacts; correctness beats a smaller log.
     */
   def streamIncremental(
       spark: SparkSession,
@@ -137,7 +145,8 @@ object Migrate {
     // streaming file sources need an explicit schema: one driver-side
     // footer read of the existing data, no scan
     val schema = spark.read.parquet(srcPath).schema
-    val src = spark.readStream.options(sourceOptions).schema(schema).parquet(srcPath)
+    val opts = Map("maxFileAge" -> "36500d") ++ sourceOptions
+    val src = spark.readStream.options(opts).schema(schema).parquet(srcPath)
       .withColumn(partName, date_format(col(dateCol), pattern))
     val trigger =
       if (drainAndStop) org.apache.spark.sql.streaming.Trigger.AvailableNow()

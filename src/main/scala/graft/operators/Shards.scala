@@ -69,8 +69,10 @@ object Shards {
     * `orderCol` inside each file. Same exact-size rank sharding as
     * [[write]]; every column lands in the object (`to_json(struct(*))`
     * — codegen'd, newline/quote escaping per RFC 8259, so embedded
-    * newlines in text can never break the line framing). Returns the
-    * shard count.
+    * newlines in text can never break the line framing). NULL cells are
+    * emitted as explicit JSON nulls — to_json's default drops null
+    * fields, which would make key-presence-sensitive JSONL consumers see
+    * a ragged schema. Returns the shard count.
     */
   def writeJsonl(df: DataFrame, path: String, orderCol: Column, shardSize: Long,
       buckets: Int = 64, bucketOn: Option[Column] = None): Long = {
@@ -84,7 +86,8 @@ object Shards {
         .repartition(nShards.toInt, col("shard"))
         .sortWithinPartitions(col("shard"), orderCol)
         .select(col("shard"),
-          to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+          to_json(struct(df.columns.map(col).toIndexedSeq: _*),
+            Map("ignoreNullFields" -> "false")).as("value"))
         .write.mode("overwrite").partitionBy("shard").text(path)
     nShards
   }

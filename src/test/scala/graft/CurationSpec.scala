@@ -315,6 +315,14 @@ class CurationSpec extends AnyFunSuite {
     // shard dirs exist with exact sizes (same rank sharding as write)
     val sizes = spark.read.text(dir).count()
     assert(sizes == total)
+    // NULL cells must appear as explicit JSON nulls, not dropped keys —
+    // key-presence-sensitive consumers would otherwise see a ragged schema
+    val withNull = docs.limit(3).withColumn("lang", lit(null).cast("string"))
+    val nullDir = java.nio.file.Files.createTempDirectory("graft-jsonl-null").toString + "/out"
+    Shards.writeJsonl(withNull, nullDir, col("doc_id"), shardSize = 150)
+    val lines = spark.read.text(nullDir).collect().map(_.getString(0))
+    assert(lines.nonEmpty && lines.forall(_.contains("\"lang\":null")),
+      s"null field dropped from JSONL object: ${lines.headOption.getOrElse("")}")
   }
 
   test("source-overlap sketch matrix tracks exact gram-set Jaccard per pair") {

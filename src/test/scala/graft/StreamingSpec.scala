@@ -340,5 +340,28 @@ class StreamingSpec extends AnyFunSuite {
     // and the committed row count is unchanged: Spark reads honor the log
     assert(spark.read.parquet(dest).count() == raw.count(),
       "planted orphan leaked into a log-honoring read")
+
+    // LATE-ARRIVING OLD-MTIME backfill (distcp -p preserves source
+    // mtimes): the file source's default maxFileAge=7d silently skips a
+    // new file whose mtime is >7d behind the newest seen —
+    // streamIncremental must pin maxFileAge to effectively-infinite so
+    // the documented "new files are picked up on the next trigger"
+    // guarantee holds for backfills too
+    val backfill = s"$base/backfill"
+    raw.limit(5).withColumn("event_id", -col("event_id") - 1)
+      .coalesce(1).write.mode("overwrite").parquet(backfill)
+    val backFile = Files.walk(Paths.get(backfill)).iterator().asScala
+      .find { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }.get
+    val landed = Paths.get(src).resolve("backfill-" + backFile.getFileName.toString)
+    Files.move(backFile, landed)
+    Files.setLastModifiedTime(landed, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 30L * 24 * 3600 * 1000))
+    val q3 = Migrate.streamIncremental(spark, src, dest, "ts", ckpt)
+    q3.awaitTermination()
+    assert(spark.read.parquet(dest).count() == raw.count() + 5,
+      "old-mtime backfill file was silently skipped (maxFileAge default)")
   }
 }
