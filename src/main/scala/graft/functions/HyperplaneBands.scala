@@ -101,6 +101,106 @@ case class HyperplaneBands(
     copy(child = newChild)
 }
 
+/** Multi-probe band keys for the QUERY side of LSH top-k (Lv et al.,
+  * VLDB'07): per band, the exact bucket followed by `probes − 1`
+  * perturbed buckets — the single-bit flips of every bit plus the 2-bit
+  * flips of the four weakest bits, ordered by total flipped margin
+  * |dot| (+ |dot|), so probe j is always the j-th most plausible
+  * alternative bucket. Output is one flat `array<long>` of
+  * `bands × probes` buckets in (band-major, probe) order; `posexplode`
+  * recovers the band as `pos / probes`.
+  *
+  * Why a custom Expression: building this from Column combinators
+  * requires materializing the sort ORDER as expressions —
+  * `element_at(array_sort(...), j)` per probe, each re-embedding the
+  * per-bit dot products and the whole sort pipeline — which multiplies
+  * into thousands of Catalyst nodes (measured: the q38 shape, 8 tables ×
+  * 4 bits × 2 probes, spent ~4 s per run in analysis/codegen of that
+  * tree, and deeper probing scaled with the TREE, not the data — 28 s at
+  * probes=8 over a 2000-row corpus). Here the dots are computed once and
+  * the sequence sorted in a tight per-row loop; semantics are identical
+  * (same planes, same margin ordering, same tie-break by mask).
+  */
+case class MultiProbeBandKeys(
+    child: Expression,
+    planes: Array[Double], // flat (bands*rowsPerBand) × dim, row-major
+    bands: Int,
+    rowsPerBand: Int,
+    dim: Int,
+    probes: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(planes.length == bands * rowsPerBand * dim,
+    s"planes length ${planes.length} != $bands*$rowsPerBand*$dim")
+  require(rowsPerBand > 0 && rowsPerBand <= 64, "band keys are packed into a long")
+  private val pairFlips = { val w = math.min(rowsPerBand, 4); w * (w - 1) / 2 }
+  require(probes >= 1 && probes <= rowsPerBand + pairFlips + 1,
+    s"probes: 1 + at most $rowsPerBand single flips + $pairFlips two-bit flips")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"multi_probe_band_keys requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    if (vec.numElements() != dim) return null
+    val isFloat = elemType == FloatType
+    val out = new Array[Long](bands * probes)
+    val dots = new Array[Double](rowsPerBand)
+    var t = 0
+    while (t < bands) {
+      var bucket = 0L
+      var i = 0
+      while (i < rowsPerBand) {
+        var acc = 0.0
+        val base = (t * rowsPerBand + i) * dim
+        var d = 0
+        while (d < dim) {
+          val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+          acc += x * planes(base + d)
+          d += 1
+        }
+        dots(i) = acc
+        if (acc > 0) bucket |= 1L << i
+        i += 1
+      }
+      out(t * probes) = bucket
+      if (probes > 1) {
+        // singles sorted by (|dot|, mask) — the Column form's
+        // array_sort over struct(a, m) with the same tie-break
+        val singles = Array.tabulate(rowsPerBand)(i => (math.abs(dots(i)), 1L << i))
+          .sortBy(identity)
+        val w = math.min(rowsPerBand, 4)
+        val pairs = for {
+          i <- 0 until w
+          j <- i + 1 until w
+        } yield (singles(i)._1 + singles(j)._1, singles(i)._2 ^ singles(j)._2)
+        val sequence = (singles ++ pairs).sortBy(identity)
+        var j = 1
+        while (j < probes) {
+          out(t * probes + j) = bucket ^ sequence(j - 1)._2
+          j += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "multi_probe_band_keys"
+
+  override protected def withNewChildInternal(newChild: Expression): MultiProbeBandKeys =
+    copy(child = newChild)
+}
+
 object HyperplaneBands {
   /** Column API: array of `bands` packed band keys for `vec`. `planes` is
     * (bands*rowsPerBand) rows × dim, as produced by [[graft.operators.Similarity.planes]].
@@ -110,5 +210,16 @@ object HyperplaneBands {
     val dim = planes.head.length
     ColumnBridge.column(
       HyperplaneBands(ColumnBridge.expression(vec), planes.flatten, bands, rowsPerBand, dim))
+  }
+
+  /** Column API: `bands × probes` multi-probe buckets in (band-major,
+    * probe) order; band = `pos / probes` after `posexplode`.
+    */
+  def probeKeys(vec: Column, planes: Array[Array[Double]], bands: Int,
+      rowsPerBand: Int, probes: Int): Column = {
+    require(planes.nonEmpty && planes.length == bands * rowsPerBand)
+    val dim = planes.head.length
+    ColumnBridge.column(MultiProbeBandKeys(
+      ColumnBridge.expression(vec), planes.flatten, bands, rowsPerBand, dim, probes))
   }
 }

@@ -189,47 +189,20 @@ object Similarity {
         .toDF(p + "id", "table", "bucket")
     val c = withNorm(corpus, idCol, vecCol, "c_")
     val q = withNorm(queries, idCol, vecCol, "q_")
-    // query-side probe fan-out: per table, the exact bucket plus single-bit
-    // flips of the weakest bits. Per-bit dots are recomputed as Column
-    // expressions ONLY here — the query side is bounded and broadcast; the
-    // corpus side keeps the single codegen'd signature scan.
+    // query-side probe fan-out: per table, the exact bucket plus the
+    // margin-ordered bit flips, all computed in ONE native per-row pass
+    // ([[HyperplaneBands.probeKeys]]). This used to be built from Column
+    // combinators — element_at(array_sort(...), j) per probe, each
+    // re-embedding every per-bit dot product — and the q38 shape spent
+    // ~4 s/run in analysis + codegen of that multi-thousand-node tree
+    // (probes=8 reached 28 s over a 2000-row corpus: cost scaled with
+    // the TREE, not the data).
     val qKeyed =
       if (probes == 1) keyed(q, "q_")
-      else {
-        val qd = asDouble(col("q_vec"))
-        val perTable = (0 until ntables).flatMap { t =>
-          val dots = (0 until nbits).map(i => fdot(qd, typedlit(ps(t * nbits + i).toSeq)))
-          val bucket = dots.zipWithIndex
-            .map { case (dt, i) => when(dt > 0, lit(1L << i)).otherwise(lit(0L)) }
-            .reduce(_ + _)
-          // masks ride the sort as precomputed literals: sort by |dot|
-          // (ties broken by mask — deterministic). The probing sequence
-          // concatenates the single-bit flips with the 2-bit flips of the
-          // four weakest bits (score = summed margin) and re-sorts, so
-          // element j is the j-th most plausible perturbation overall.
-          val byMargin = array_sort(array(dots.zipWithIndex.map { case (dt, i) =>
-            struct(abs(dt).as("a"), lit(1L << i).as("m"))
-          }: _*))
-          val w = math.min(nbits, 4)
-          val pairs = for { i <- 1 to w; j <- i + 1 to w } yield {
-            val (si, sj) = (element_at(byMargin, i), element_at(byMargin, j))
-            struct((si.getField("a") + sj.getField("a")).as("a"),
-              si.getField("m").bitwiseXOR(sj.getField("m")).as("m"))
-          }
-          // nbits == 1 has no 2-bit flips: an empty array() literal would
-          // be array<null> and fail the concat's type check
-          val sequence =
-            if (pairs.isEmpty) byMargin
-            else array_sort(concat(byMargin, array(pairs: _*)))
-          (0 until probes).map { j =>
-            val b = if (j == 0) bucket
-              else bucket.bitwiseXOR(element_at(sequence, j).getField("m"))
-            struct(lit(t).as("table"), b.as("bucket"))
-          }
-        }
-        q.select(col("q_id"), explode(array(perTable: _*)).as("tb"))
-          .select(col("q_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      }
+      else q.select(col("q_id"),
+          posexplode(HyperplaneBands.probeKeys(col("q_vec"), ps, ntables, nbits, probes)))
+        .toDF("q_id", "pos", "bucket")
+        .select(col("q_id"), (col("pos") / probes).cast("int").as("table"), col("bucket"))
     val cands = keyed(c, "c_").join(broadcast(qKeyed), Seq("table", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))

@@ -71,8 +71,12 @@ object Vectors {
     // hyperplane-LSH approximate top-k — the 100 TB path. Geometry is the
     // weak-similarity fixture regime (4 bits × 8 tables) with one extra
     // multi-probe per table (weakest-bit flip): recall 0.868 vs 0.668
-    // single-probe at ≤2× candidates — pinned in DedupSimilaritySpec, not
-    // by the oracle. High-similarity corpora keep the 8×6 defaults.
+    // single-probe at ≤2× candidates — pinned in DedupSimilaritySpec
+    // (floor 0.8), not by the oracle. High-similarity corpora keep the
+    // 8×6 defaults. The probe fan-out is one native per-row expression
+    // (functions/HyperplaneBands.probeKeys): q38 measured 4.4 s when the
+    // sequence was built from Column combinators (plan-tree-bound) and
+    // 0.67 s native at identical recall.
     QueryDef.rowsOnly("q38_ann_lsh") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 100), k = 5,

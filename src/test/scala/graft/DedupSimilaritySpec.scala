@@ -104,7 +104,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val r1 = recallAt(1, 4, 8)
     val r2 = recallAt(2, 4, 8)
     info(s"4x8 recall: probes=1 $r1, probes=2 $r2")
-    assert(r2 >= 0.75, s"multi-probe recall floor: $r2")
+    assert(r2 >= 0.8, s"multi-probe recall floor: $r2")
     assert(r2 >= r1 + 0.1, s"probe lift: $r1 -> $r2")
     // probes substitute for TABLES: half the corpus index (4 tables) with
     // 3 probes beats the full 8-table index single-probe — the memory/
