@@ -259,15 +259,24 @@ object Misc {
     // whole month — is answered by UNIONING sketch bytes, never
     // re-scanning events. countDistinct can't do this (distincts don't
     // add); sketch columns make uniqueness additive. No cross-engine
-    // oracle (sketch bytes are engine-specific); MiscSpec pins every
-    // estimate against the exact distinct count.
+    // oracle (sketch bytes are engine-specific), so the row is
+    // SELF-EVIDENCING: the exact distinct count (one extra agg at sf
+    // scale — never needed in production) and the relative error ride in
+    // the same row; MiscSpec additionally pins the error bound.
     QueryDef.rowsOnly("q112_sketch_reagg") { (s, dir) =>
       val daily = t(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val exact = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
       daily.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_days"),
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("est_users"), col("exact_users"),
+          round(abs(col("est_users") - col("exact_users")) / col("exact_users"), 6)
+            .as("rel_err"))
         .orderBy(col("event_type"))
     },
 
@@ -276,7 +285,9 @@ object Misc {
     // |viewers ∩ purchasers| and |viewers \ purchasers| from two
     // fixed-size sketches. The exact form is a COUNT(DISTINCT) over a
     // self-join; the sketch form ships kilobytes. Rows-only for the same
-    // reason as q112; MiscSpec pins both estimates against exact set ops.
+    // reason as q112, so the row is SELF-EVIDENCING: exact set sizes
+    // (one per-user flag scan) ride beside the estimates; MiscSpec
+    // additionally pins the error bounds.
     QueryDef.rowsOnly("q113_sketch_set_ops") { (s, dir) =>
       val byType = t(s, dir, "events")
         .groupBy(col("event_type"))
@@ -285,30 +296,48 @@ object Misc {
         .select(col("sk").as("sk_view"))
       val p = byType.filter(col("event_type") === "purchase")
         .select(col("sk").as("sk_buy"))
-      v.crossJoin(p).select(
+      val exact = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+        .agg(sum(col("v") * col("p")).as("exact_view_and_buy"),
+          sum(col("v") * (lit(1L) - col("p"))).as("exact_view_only"))
+      v.crossJoin(p).crossJoin(exact).select(
         theta_sketch_estimate(theta_intersection(col("sk_view"), col("sk_buy")))
           .as("est_view_and_buy"),
+        col("exact_view_and_buy"),
         theta_sketch_estimate(theta_difference(col("sk_view"), col("sk_buy")))
-          .as("est_view_only"))
+          .as("est_view_only"),
+        col("exact_view_only"))
     },
 
     // re-aggregatable QUANTILES (KLL sketches) — q112's pattern for
     // percentiles: daily value sketches merge into whole-corpus
     // quantiles without re-touching events, where exact percentiles
     // would need a global sort per slice and percentile_approx sketches
-    // can't be stored/merged across queries. Rows-only (sketch bytes);
-    // MiscSpec brackets each merged quantile between exact percentiles
-    // at ±5 rank points.
+    // can't be stored/merged across queries. Rows-only (sketch bytes),
+    // so the row is SELF-EVIDENCING: the exact percentiles (a global
+    // sort-based agg — affordable at bench scale, exactly what the
+    // sketch EXISTS to avoid at 100 TB) ride beside the estimates;
+    // MiscSpec additionally brackets each quantile at ±5 rank points.
     QueryDef.rowsOnly("q115_kll_reagg") { (s, dir) =>
       val daily = t(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"))
         .agg(kll_sketch_agg_double(col("value")).as("sk"))
+      val exact = t(s, dir, "events").agg(
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        expr("percentile(value, 0.95)").as("exact_p95"),
+        expr("percentile(value, 0.99)").as("exact_p99"))
       daily.agg(count(lit(1)).as("n_days"),
           kll_merge_agg_double(col("sk")).as("msk"))
+        .crossJoin(exact)
         .select(col("n_days"),
           kll_sketch_get_quantile_double(col("msk"), lit(0.5)).as("p50"),
+          col("exact_p50"),
           kll_sketch_get_quantile_double(col("msk"), lit(0.95)).as("p95"),
-          kll_sketch_get_quantile_double(col("msk"), lit(0.99)).as("p99"))
+          col("exact_p95"),
+          kll_sketch_get_quantile_double(col("msk"), lit(0.99)).as("p99"),
+          col("exact_p99"))
     }
   )
 }

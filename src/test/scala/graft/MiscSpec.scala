@@ -370,7 +370,8 @@ class MiscSpec extends AnyFunSuite {
       .select("user_id").collect().map(_.getLong(0)).toSet
     val v = users("view"); val b = users("purchase")
     val row = SparkEntry.queries("q113_sketch_set_ops")(spark, sf).head
-    val estBoth = row.getLong(0).toDouble; val estOnly = row.getLong(1).toDouble
+    val estBoth = row.getAs[Long]("est_view_and_buy").toDouble
+    val estOnly = row.getAs[Long]("est_view_only").toDouble
     assert(math.abs(estBoth - (v & b).size) / math.max((v & b).size, 1) <= 0.05,
       s"view∩purchase: est $estBoth vs exact ${(v & b).size}")
     assert(math.abs(estOnly - (v -- b).size) / math.max((v -- b).size, 1) <= 0.05,
