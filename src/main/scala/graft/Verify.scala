@@ -21,9 +21,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // moderate cross-query parallelism: queries are independent (each has
-    // its own output dir and scratch paths) and Spark's scheduler
-    // interleaves concurrent jobs — cuts verify wall time ~2×
+    // moderate cross-query parallelism: queries are independent and
+    // Spark's scheduler interleaves concurrent jobs — cuts verify wall
+    // time ~2×. DISCIPLINE this relies on: any query that WRITES scratch
+    // must key its path by a query-unique name (the graft-ops/<name> and
+    // graft-scratch/<kind>_<fingerprint> conventions — e.g. q76's
+    // cluster_src vs q101's zorder); two queries sharing a mutable
+    // scratch dir would race under this pool
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
