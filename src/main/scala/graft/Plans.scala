@@ -60,7 +60,8 @@ object Plans {
       "q114_source_overlap", // gram scan -> k sketch rows -> k² cross
       "q116_sequence_pattern", // one user shuffle; in-array sort per history
       "q117_dup_pagerank",   // iterative join+agg over checkpointed edges
-      "q118_forward_fill")   // single window pass, LOCF frame
+      "q118_forward_fill",   // single window pass, LOCF frame
+      "q119_dup_spans_scaled") // winnow fp equi-join -> pair-keyed verify joins
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -60,6 +60,28 @@ object Extras {
       s.table("q46_out")
     },
 
+    // streaming EXACT corpus dedup under the batch oracle: the q32 shape
+    // as a continuous operator (crawler-drop ingest dedups against all
+    // prior state, never re-scanning the corpus). The stream emits only
+    // content-determined columns (hash + length), so the output is
+    // deterministic regardless of which duplicate arrives first and the
+    // oracle replays it as a plain DISTINCT.
+    QueryDef.checked(
+      "q120_stream_dedup",
+      """SELECT DISTINCT md5(text) AS content_hash,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE text IS NOT NULL""".stripMargin) { (s, dir) =>
+      import graft.streaming.DocStreams
+      val staged = Files.createTempDirectory("graft-q120")
+      Files.copy(Paths.get(s"$dir/documents.parquet"), staged.resolve("documents.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val schema = s.read.parquet(staged.toString).schema
+      val q = DocStreams.contentDedup(DocStreams.readDocuments(s, staged.toString, schema))
+        .writeStream.outputMode("append").format("memory").queryName("q120_out").start()
+      q.processAllAvailable(); q.stop()
+      s.table("q120_out")
+    },
+
     // salted skew join == plain join, checked against the plain-SQL oracle
     QueryDef.checked(
       "q47_salted_join",

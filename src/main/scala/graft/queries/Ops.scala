@@ -202,6 +202,58 @@ object Ops {
           sum(col("l_partkey") * 31 + col("l_suppkey")).as("key_sig"))
     },
 
+    // partition-granular MERGE (upsert + delete): build a partitioned
+    // orders warehouse, apply a delta derived deterministically from
+    // orders itself (price bump on %11 keys, inserts above the key
+    // space on %17, tombstones on %13), and aggregate the merged table
+    // per month. Only delta-touched partitions are read or rewritten
+    // (per-partition rename swap; OperatorsSpec pins untouched-partition
+    // preservation and emptied-partition removal); the oracle replays
+    // the MERGE relationally over the same delta derivation.
+    QueryDef.checked(
+      "q121_merge_upsert",
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 13 <> 0
+        |), ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |         1.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 17 = 0
+        |), surv AS (
+        |  SELECT o.* FROM orders o
+        |  WHERE o.o_orderkey % 11 <> 0 AND o.o_orderkey % 13 <> 0
+        |    AND NOT EXISTS (SELECT 1 FROM ins i WHERE i.o_orderkey = o.o_orderkey)
+        |), merged AS (
+        |  SELECT * FROM surv UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+        |)
+        |SELECT strftime(o_orderdate, '%Y%m') AS par_key, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sig, sum(o_totalprice) AS sum_price
+        |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Upsert
+      val dest = scratch(s"merge_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      val withKey = Tables.load(s, dir, "orders")
+        .withColumn("par_key", date_format(col("o_orderdate"), "yyyyMM"))
+      withKey.write.partitionBy("par_key").mode("overwrite").parquet(dest)
+      val upd = withKey
+        .filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("deleted", lit(false))
+      val ins = withKey.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_totalprice", lit(1.0))
+        .withColumn("deleted", lit(false))
+      val del = withKey.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("deleted", lit(true))
+      Upsert.mergeByKey(s, dest, upd.unionByName(ins).unionByName(del),
+        keyCols = Seq("o_orderkey"), partNames = Seq("par_key"),
+        tombstoneCol = Some("deleted"))
+      s.read.parquet(dest)
+        .groupBy(col("par_key").cast("string").as("par_key"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sig"),
+          sum(col("o_totalprice")).as("sum_price"))
+    },
+
     // ROW-level CDC diff between two table versions (the row analogue of
     // q28's partition-manifest reconcile): old = orders minus keys
     // divisible by 13; new = orders minus keys divisible by 7, with

@@ -348,6 +348,38 @@ object Text {
         ((length(col("text")) -
           length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double") / len > 0.5)
           .as("mostly_latin"))
+    },
+
+    // model-based quality scoring (QualityModel): the linear
+    // hashed-bag-of-words scorer — mean model weight over word
+    // occurrences, md5-hex feature buckets, OOV mass via a default
+    // weight. The "model" here is a deterministic synthetic weight
+    // table over the full 4096-bucket space (weights normally arrive
+    // from offline training as data); both engines derive it from the
+    // same closed form, so the oracle replays the entire scoring
+    // decision including the keep flag at score > 0.
+    QueryDef.checked(
+      "q122_quality_model",
+      s"""WITH wts AS (
+         |  SELECT printf('%03x', i) AS bucket, (i % 197) / 197.0 - 0.5 AS weight
+         |  FROM generate_series(0, 4095) t(i)
+         |), occ AS (
+         |  SELECT doc_id, substring(md5(w), 1, 3) AS bucket
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_split_to_array(trim(text), '${DuckSql.ws}+')) AS w
+         |        FROM documents)
+         |  WHERE length(w) > 0
+         |)
+         |SELECT doc_id, count(*) AS n_words,
+         |  round(avg(coalesce(weight, 0.0)), 6) AS score,
+         |  round(avg(coalesce(weight, 0.0)), 6) > 0 AS keep
+         |FROM occ LEFT JOIN wts USING (bucket)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val weights = s.range(4096).select(
+        format_string("%03x", col("id")).as("bucket"),
+        (col("id") % 197) / 197.0 - 0.5).toDF("bucket", "weight")
+      graft.operators.QualityModel.score(t(s, dir, "documents"), weights)
+        .withColumn("keep", col("score") > 0)
     }
   )
 }

@@ -325,6 +325,21 @@ class CurationSpec extends AnyFunSuite {
       s"null field dropped from JSONL object: ${lines.headOption.getOrElse("")}")
   }
 
+  test("quality model: linear hashed-BoW scoring, OOV default, empty docs absent") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    def bkt(w: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(3)
+    assume(bkt("aa") != bkt("bb"), "3-hex bucket collision in fixture words")
+    val docs = Seq((1L, "aa bb aa"), (2L, "zz"), (3L, "   "),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val wts = Seq((bkt("aa"), 1.0), (bkt("bb"), -0.5)).toDF("bucket", "weight")
+    val got = QualityModel.score(docs, wts, defaultWeight = -1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 1: (1.0 - 0.5 + 1.0) / 3; doc 2: pure OOV -> default; 3/4 absent
+    assert(got == Map(1L -> ((3L, 0.5)), 2L -> ((1L, -1.0))), s"got $got")
+  }
+
   test("source-overlap sketch matrix tracks exact gram-set Jaccard per pair") {
     import graft.operators.Decontaminate
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -14,6 +14,53 @@ class OperatorsSpec extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("graft-spec").toString
 
+  test("mergeByKey touches only delta partitions; emptied partitions are removed") {
+    val dest = tmp() + "/dest"
+    val orders = Tables.load(spark, sf, "orders")
+      .withColumn("par_key", date_format(col("o_orderdate"), "yyyyMM"))
+    orders.write.partitionBy("par_key").mode("overwrite").parquet(dest)
+    val months = orders.select("par_key").distinct()
+      .orderBy("par_key").collect().map(_.getString(0))
+    assert(months.length >= 3, "fixture needs >= 3 months")
+    val (mUpd, mDel, mQuiet) = (months(0), months(1), months(2))
+    def leafStatus(m: String): Seq[(String, Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(dest)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/par_key=$m"))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime)).toSeq.sortBy(_._1)
+    }
+    val quietBefore = leafStatus(mQuiet)
+    val updKeys = orders.filter(col("par_key") === mUpd)
+      .select("o_orderkey").limit(3).collect().map(_.getLong(0)).toSet
+    // delta: bump 3 keys in mUpd, tombstone EVERY row of mDel
+    val upd = orders.filter(col("o_orderkey").isin(updKeys.toSeq: _*))
+      .withColumn("o_totalprice", lit(42.0)).withColumn("deleted", lit(false))
+    val del = orders.filter(col("par_key") === mDel).withColumn("deleted", lit(true))
+    val st = Upsert.mergeByKey(spark, dest, upd.unionByName(del),
+      keyCols = Seq("o_orderkey"), partNames = Seq("par_key"),
+      tombstoneCol = Some("deleted"))
+    assert(st.partsTouched == 2 && st.partsRemoved == 1, s"stats: $st")
+    // untouched partition: byte-identical file list (names, lengths, mtimes)
+    assert(leafStatus(mQuiet) == quietBefore, "quiet partition was rewritten")
+    val after = spark.read.parquet(dest)
+      .withColumn("par_key", col("par_key").cast("string"))
+    // tombstoned month is GONE (dir removed, rows absent)
+    assert(after.filter(col("par_key") === mDel).count() == 0)
+    assert(!new java.io.File(s"$dest/par_key=$mDel").exists(), "emptied dir not removed")
+    // updates applied in place; everything else in mUpd preserved
+    val bumped = after.filter(col("o_orderkey").isin(updKeys.toSeq: _*))
+    assert(bumped.count() == updKeys.size &&
+      bumped.collect().forall(_.getAs[Double]("o_totalprice") == 42.0))
+    assert(after.filter(col("par_key") === mUpd).count() ==
+      orders.filter(col("par_key") === mUpd).count())
+    // bootstrap: merging into a missing path is a plain load
+    val fresh = tmp() + "/fresh"
+    val st2 = Upsert.mergeByKey(spark, fresh, upd,
+      Seq("o_orderkey"), Seq("par_key"), Some("deleted"))
+    assert(st2.rowsWritten == updKeys.size &&
+      spark.read.parquet(fresh).count() == updKeys.size)
+  }
+
   test("migrateRange is idempotent: second run leaves an identical manifest") {
     val dest = tmp() + "/dest"
     val src = s"$sf/lineitem.parquet"

@@ -53,6 +53,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(s == b)
   }
 
+  test("streaming content dedup: state survives a checkpointed restart across arrivals") {
+    import graft.streaming.DocStreams
+    val base = Files.createTempDirectory("graft-stream-dedup").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .filter(col("text").isNotNull)
+    // first arrival: half the corpus
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def drain(): Unit = {
+      val q = DocStreams.contentDedup(DocStreams.readDocuments(spark, src, schema))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val firstHashes = spark.read.parquet(out).count()
+    // second arrival OVERLAPS the first (odd docs plus a re-send of the
+    // even docs): the checkpointed seen-hash state must drop every
+    // re-sent duplicate across the restart, not just within a batch
+    docs.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val result = spark.read.parquet(out)
+    val expected = docs.select(md5(col("text")).as("h")).distinct().count()
+    assert(firstHashes > 0 && firstHashes < expected, "fixture lacks cross-arrival overlap")
+    assert(result.count() == expected,
+      s"streamed dedup kept ${result.count()} hashes, expected $expected")
+    assert(result.select("content_hash").distinct().count() == expected,
+      "duplicate hash escaped the cross-restart state")
+  }
+
   test("rate source drives the windowed-agg path: no rows lost or duplicated") {
     // non-file source coverage: the same windowed-aggregation machinery fed
     // by Spark's rate source. The source emits values 0..N-1 exactly once,
