@@ -57,6 +57,103 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** The ORACLE-MIRRORED winnow — [[TextFunctions.winnow]] ∘
+  * [[TextFunctions.kgramHashes]] (8-hex-char md5 gram hashes,
+  * lexicographic window minima) computed natively in one pass, BIT-FOR-
+  * BIT identical to the HOF composition, so queries whose DuckDB oracle
+  * replays the md5 selection (q61) can use it without any oracle
+  * change. The HOF form evaluates interpreted with a w-element `slice`
+  * allocation per window (q61 measured ~3 s of the sf0.1 bench); here
+  * the md5 per gram is the only real work. Code-point-aware substrings
+  * (Spark's `substring` counts code points, not UTF-16 units), md5 over
+  * the gram's UTF-8 bytes, min by lexicographic compare of the
+  * fixed-width lowercase hex — exactly the Column semantics.
+  */
+case class Md5WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"gram size k must be >= 1, got $k")
+  require(w >= 1, s"window w must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_winnow_fingerprints requires a string input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      Md5WinnowFingerprints.fingerprints(v.asInstanceOf[UTF8String].toString, k, w)
+        .map(UTF8String.fromString))
+
+  override def prettyName: String = "md5_winnow_fingerprints"
+
+  override protected def withNewChildInternal(newChild: Expression): Md5WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object Md5WinnowFingerprints {
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Distinct window-minimum md5 fingerprints in first-seen order —
+    * the exact value sequence of
+    * `array_distinct(transform(..., j -> array_min(slice(kg, j, w))))`
+    * over `kg = transform(..., i -> substring(md5(substring(t, i, k)), 1, 8))`.
+    */
+  def fingerprints(s: String, k: Int, w: Int): Array[String] = {
+    // code-point offsets: Spark substring counts characters (code
+    // points); a surrogate pair is ONE position
+    val cpStarts = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < s.length) { b += i; i += Character.charCount(s.codePointAt(i)) }
+      b += s.length
+      b.toArray
+    }
+    val n = cpStarts.length - 1
+    val nG = math.max(n - k + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = new Array[String](nG)
+    var g = 0
+    while (g < nG) {
+      val from = cpStarts(g)
+      val until = cpStarts(math.min(g + k, n))
+      val bytes = md.digest(s.substring(from, until).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      // first 8 hex chars = first 4 digest bytes
+      val cs = new Array[Char](8)
+      var b = 0
+      while (b < 4) {
+        cs(2 * b) = HexDigits((bytes(b) >> 4) & 0xf)
+        cs(2 * b + 1) = HexDigits(bytes(b) & 0xf)
+        b += 1
+      }
+      h(g) = new String(cs)
+      g += 1
+    }
+    // monotonic deque sliding min, lexicographic over the hex strings
+    val deque = new Array[Int](nG)
+    var head = 0
+    var tail = 0
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j < nG) {
+      while (tail > head && h(deque(tail - 1)).compareTo(h(j)) >= 0) tail -= 1
+      deque(tail) = j; tail += 1
+      while (deque(head) < j - w + 1) head += 1
+      if (j >= w - 1 || j == nG - 1) seen.add(h(deque(head)))
+      j += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** Column API: oracle-mirrored md5 winnow fingerprints. */
+  def of(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(Md5WinnowFingerprints(ColumnBridge.expression(c), k, w))
+}
+
 object WinnowFingerprints {
 
   /** FNV-ish odd multiplier for the rolling polynomial. */

@@ -59,11 +59,15 @@ object Text {
         |      FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents))""".stripMargin) { (s, dir) =>
       // coalesce: on NULL text Spark's array_distinct would keep a null
       // fingerprint while DuckDB's list_distinct drops it — pin both
-      // engines to the empty-string gram instead
+      // engines to the empty-string gram instead. The native expression
+      // is bit-identical to winnow(kgramHashes(...)) (parity spec +
+      // ScalaCheck) but one allocation-free pass instead of interpreted
+      // HOFs (~3 s of the sf0.1 bench was per-window slice() garbage).
       t(s, dir, "documents")
         .withColumn("t", coalesce(col("text"), lit("")))
-        .withColumn("kg", kgramHashes("t", k = 8))
-        .select(col("doc_id"), size(winnow("kg", w = 4)).cast("long").as("n_fp"))
+        .select(col("doc_id"),
+          size(graft.functions.Md5WinnowFingerprints.of(col("t"), k = 8, w = 4))
+            .cast("long").as("n_fp"))
     },
 
     QueryDef.checked(

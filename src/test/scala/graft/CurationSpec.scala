@@ -325,6 +325,20 @@ class CurationSpec extends AnyFunSuite {
       s"null field dropped from JSONL object: ${lines.headOption.getOrElse("")}")
   }
 
+  test("native md5 winnow is bit-identical to the HOF composition over the corpus") {
+    import graft.functions.{Md5WinnowFingerprints, TextFunctions}
+    val docs = Tables.load(spark, SparkTestEnv.sf, "documents")
+      .withColumn("t", coalesce(col("text"), lit("")))
+    val hof = docs
+      .withColumn("kg", TextFunctions.kgramHashes("t", k = 8))
+      .select(col("doc_id"), TextFunctions.winnow("kg", w = 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val nat = docs
+      .select(col("doc_id"), Md5WinnowFingerprints.of(col("t"), 8, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(nat == hof, "native md5 winnow diverged from the HOF form")
+  }
+
   test("quality model: linear hashed-BoW scoring, OOV default, empty docs absent") {
     import spark.implicits._
     import graft.operators.QualityModel

@@ -302,6 +302,24 @@ object PropertySpec extends Properties("graft") {
         fingerprints(s, k, w).toSeq == expect
     }
 
+  // the md5 (oracle-mirrored) winnow variant against its own naive
+  // replay: grams hashed directly (md5 hex prefix), per-window min by
+  // string compare, first-seen distinct — pins the deque + code-point
+  // bookkeeping against the trivially-correct form
+  property("md5 winnow == naive window-min over direct md5 gram hashes") =
+    Prop.forAll(genSmallText, Gen.choose(1, 6), Gen.choose(1, 9)) {
+      (s: String, k: Int, w: Int) =>
+        import graft.functions.Md5WinnowFingerprints.fingerprints
+        def md5hex8(g: String): String = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val n = s.length
+        val nG = math.max(n - k + 1, 1)
+        val gh = (0 until nG).map(i => md5hex8(s.substring(i, math.min(i + k, n))))
+        val nW = math.max(nG - w + 1, 1)
+        val expect = (0 until nW).map(j => gh.slice(j, math.min(j + w, nG)).min).distinct
+        fingerprints(s, k, w).toSeq == expect
+    }
+
   // the winnowing GUARANTEE q119 rests on: two strings sharing a run of
   // w+k−1 characters share at least one fingerprint, wherever the run
   // sits in either string
