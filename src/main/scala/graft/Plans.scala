@@ -9,11 +9,11 @@ import java.nio.file.{Files, Paths}
   * Usage: runMain graft.Plans <sfDir> <outFile>
   */
 object Plans {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.lift(1).getOrElse("/tmp/plans.txt")
-    val spark = SparkEnv.session("graft-plans", 8)
-    val interesting = Seq(
+  /** The audited set — also walked by PlanAuditSpec, which asserts no
+    * UNDECLARED cartesian/nested-loop join appears in any of these
+    * plans (the structural "no accidental O(n²)" guarantee).
+    */
+  val interesting: Seq[String] = Seq(
       "q01_pricing_summary", // agg pushdown + partial agg
       "q02_filter_project",  // PushedFilters into parquet scan
       "q03_segment_revenue", // join strategy selection
@@ -61,7 +61,14 @@ object Plans {
       "q116_sequence_pattern", // one user shuffle; in-array sort per history
       "q117_dup_pagerank",   // iterative join+agg over checkpointed edges
       "q118_forward_fill",   // single window pass, LOCF frame
-      "q119_dup_spans_scaled") // winnow fp equi-join -> pair-keyed verify joins
+      "q119_dup_spans_scaled", // winnow fp equi-join -> pair-keyed verify joins
+      "q121_merge_upsert",   // pruned read + survivors anti-join, partition swap
+      "q122_quality_model")  // explode -> broadcast weight join -> agg
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("/tmp/plans.txt")
+    val spark = SparkEnv.session("graft-plans", 8)
     val sb = new StringBuilder
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
