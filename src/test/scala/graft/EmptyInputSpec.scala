@@ -124,4 +124,32 @@ class EmptyInputSpec extends AnyFunSuite {
     val enc = graft.operators.Vocabulary.encode(docs.limit(3), vocab)
     assert(enc.count() == 3 && enc.filter(col("oov_rate") =!= 1.0).count() == 0)
   }
+
+  test("round-5 operators handle empty inputs") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val none = docs.filter(lit(false))
+    // spansAmong with no candidate pairs: empty, no job explosion
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.SpanDedup.spansAmong(docs.limit(10), noPairs).count() == 0)
+    // quality model: empty corpus and empty model both behave
+    val wts = Seq(("abc", 1.0)).toDF("bucket", "weight")
+    assert(graft.operators.QualityModel.score(none, wts).count() == 0)
+    val noWts = Seq.empty[(String, Double)].toDF("bucket", "weight")
+    val oov = graft.operators.QualityModel.score(docs.limit(3), noWts, defaultWeight = -1.0)
+    assert(oov.count() == 3 && oov.filter(col("score") =!= -1.0).count() == 0)
+    // merge with an empty delta: untouched destination, zero stats
+    val dest = java.nio.file.Files.createTempDirectory("graft-empty-merge") + "/d"
+    val orders = Tables.load(spark, sf, "orders").limit(20)
+      .withColumn("par_key", date_format(col("o_orderdate"), "yyyyMM"))
+    orders.write.partitionBy("par_key").mode("overwrite").parquet(dest)
+    val emptyDelta = orders.filter(lit(false)).withColumn("deleted", lit(false))
+    val st = graft.operators.Upsert.mergeByKey(spark, dest, emptyDelta,
+      Seq("o_orderkey"), Seq("par_key"), Some("deleted"))
+    assert(st == graft.operators.Upsert.Stats(0L, 0L, 0L))
+    assert(spark.read.parquet(dest).count() == 20)
+    // winnow expressions on empty / sub-gram strings
+    assert(graft.functions.WinnowFingerprints.fingerprints("", 8, 4).length == 1)
+    assert(graft.functions.Md5WinnowFingerprints.fingerprints("ab", 8, 4).length == 1)
+  }
 }
