@@ -228,8 +228,13 @@ object Ops {
         |  SELECT * FROM surv UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
         |)
         |SELECT strftime(o_orderdate, '%Y%m') AS par_key, count(*) AS n_rows,
-        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sig, sum(o_totalprice) AS sum_price
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      // sum_cents, not sum(double): every price is cent-exact (base data,
+      // +1000 bumps, 1.0 inserts), and at sf0.1 the double sum lands on a
+      // rounding-granularity boundary (…809.45) where engine-vs-oracle
+      // summation-order ulps flip the last compared digit
       import graft.operators.Upsert
       val dest = scratch(s"merge_${dir.replaceAll("[^a-z0-9.]", "_")}")
       val withKey = Tables.load(s, dir, "orders")
@@ -251,7 +256,7 @@ object Ops {
       s.read.parquet(dest)
         .groupBy(col("par_key").cast("string").as("par_key"))
         .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sig"),
-          sum(col("o_totalprice")).as("sum_price"))
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
     },
 
     // ROW-level CDC diff between two table versions (the row analogue of
