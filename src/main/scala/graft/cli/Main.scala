@@ -1,7 +1,7 @@
 package graft.cli
 
 import graft.SparkEnv
-import graft.operators.{Alerter, Catalog, Compact, FileMigrate, Migrate, Reconcile}
+import graft.operators.{Alerter, Catalog, Compact, FileMigrate, Migrate, Reconcile, Upsert}
 import org.apache.spark.sql.functions._
 
 /** CLI with the reference's entry-point surface (README.md:15-21), so a
@@ -41,7 +41,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        """usage: graft.cli.Main <trans-partition|trans-whole-table|merge|trans-files> [options]
+        """usage: graft.cli.Main <trans-partition|trans-whole-table|merge|trans-files|trans-stream|upsert> [options]
           |  common: -srcDB <dir> -table <name> -dateCol <col> -pn <name> -pp <pattern>
           |          [-catalog true]  -srcDB/-distDB are DATABASE names in the
           |            session catalog: source location resolves via the
@@ -64,7 +64,12 @@ object Main {
           |  trans-stream:      -distDB <dir> -ckpt <dir>  (incremental
           |                     migration: checkpointed file-source stream,
           |                     drains new files and stops — run from cron;
-          |                     exactly-once per source file; path-only)""".stripMargin)
+          |                     exactly-once per source file; path-only)
+          |  upsert:            -delta <dir> -keys k1,k2 [-tombstone <boolCol>]
+          |                     (partition-granular MERGE of the delta into
+          |                     srcDB/table: touched partitions only; the
+          |                     delta derives -pn from -dateCol/-pp when
+          |                     missing; tombstoned keys delete)""".stripMargin)
       sys.exit(2)
     }
     val spark = SparkEnv.session("graft-cli")
@@ -159,6 +164,25 @@ object Main {
         println(s"migrated partitions=${r.partitionsWritten} skipped=${r.partitionsSkipped} rows=${r.rowsWritten}")
         registerDest()
         verify(spark, src, dst, dateCol, pp, alerter, None, subPart, srcFormat, srcOptions)
+      // upsert: partition-granular MERGE of a keyed delta into the table
+      // at srcDB/table — only delta-touched partitions are read or
+      // rewritten; -tombstone <boolCol> rows delete (an emptied
+      // partition's directory is removed). The delta derives the
+      // partition key from -dateCol/-pp when it doesn't carry it.
+      case "upsert" =>
+        val keys = req(m, "keys").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val raw = Migrate.read(spark, req(m, "delta"), srcFormat, srcOptions)
+        val withPn =
+          if (raw.columns.contains(pn)) raw
+          else raw.withColumn(pn, date_format(col(dateCol), pp))
+        val delta = subPart match {
+          case Some(sp) if !withPn.columns.contains(sp.name) =>
+            withPn.withColumn(sp.name, sp.value)
+          case _ => withPn
+        }
+        val st = Upsert.mergeByKey(spark, src, delta, keys,
+          pn +: subPart.map(_.name).toSeq, m.get("tombstone"))
+        println(s"merged partitions=${st.partsTouched} removed=${st.partsRemoved} rows=${st.rowsWritten}")
       case "merge" =>
         val target = m.get("target").map(_.toLong).getOrElse(128L * 1024 * 1024)
         // -cluster a,b: sort inside each writer task so row-group stats

@@ -61,6 +61,34 @@ class OperatorsSpec extends AnyFunSuite {
       spark.read.parquet(fresh).count() == updKeys.size)
   }
 
+  test("CLI upsert verb merges a delta end-to-end (derived partition key)") {
+    val base = tmp()
+    val srcDB = s"$base/db"; new java.io.File(s"$srcDB").mkdirs()
+    // table lives at db/orders (partitioned layout, the CLI's path mode)
+    val orders = Tables.load(spark, sf, "orders").limit(200)
+      .withColumn("par_key", date_format(col("o_orderdate"), "yyyyMM"))
+    orders.write.partitionBy("par_key").mode("overwrite").parquet(s"$srcDB/orders")
+    // delta WITHOUT par_key: one update + one tombstone; the CLI derives
+    // the partition key from -dateCol/-pp
+    val rows = orders.orderBy("o_orderkey").limit(2).drop("par_key").collect()
+    val delta = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), orders.drop("par_key").schema)
+      .withColumn("deleted", col("o_orderkey") === rows(1).getLong(0))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") === rows(0).getLong(0), 999.0).otherwise(col("o_totalprice")))
+    delta.write.mode("overwrite").parquet(s"$base/delta")
+    graft.cli.Main.run("upsert", Map(
+        "srcDB" -> srcDB, "table" -> "orders", "delta" -> s"$base/delta",
+        "keys" -> "o_orderkey", "tombstone" -> "deleted",
+        "dateCol" -> "o_orderdate", "pp" -> "yyyyMM"),
+      spark, new Alerter.Collecting)
+    val after = spark.read.parquet(s"$srcDB/orders")
+    assert(after.filter(col("o_orderkey") === rows(0).getLong(0))
+      .head.getAs[Double]("o_totalprice") == 999.0)
+    assert(after.filter(col("o_orderkey") === rows(1).getLong(0)).count() == 0)
+    assert(after.count() == 199)
+  }
+
   test("migrateRange is idempotent: second run leaves an identical manifest") {
     val dest = tmp() + "/dest"
     val src = s"$sf/lineitem.parquet"
