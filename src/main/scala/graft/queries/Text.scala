@@ -384,6 +384,30 @@ object Text {
         (col("id") % 197) / 197.0 - 0.5).toDF("bucket", "weight")
       graft.operators.QualityModel.score(t(s, dir, "documents"), weights)
         .withColumn("keep", col("score") > 0)
+    },
+
+    // overlapping-window chunking (Chunker): long docs split into
+    // 64-token windows every 48 tokens (16 tokens of shared context),
+    // tail emitted once, never redundantly. Fully map-side — no shuffle
+    // at all — and the oracle hash-matches the chunk TEXT itself (md5),
+    // pinning tokenization, window starts, slicing, and rejoining.
+    QueryDef.checked(
+      "q123_chunk_windows",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '${DuckSql.ws}+') AS l
+         |  FROM documents WHERE length(trim(text)) > 0
+         |), s AS (
+         |  SELECT doc_id, l, len(l) AS n,
+         |    unnest(generate_series(1, greatest(least(len(l), len(l) - 64 + 48), 1), 48)) AS st
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_idx,
+         |  CAST(len(l[st:least(st + 63, n)]) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(l[st:least(st + 63, n)], ' ')) AS chunk_md5
+         |FROM s""".stripMargin) { (s, dir) =>
+      graft.operators.Chunker.slidingChunks(t(s, dir, "documents"), size = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
     }
   )
 }

@@ -325,6 +325,28 @@ class CurationSpec extends AnyFunSuite {
       s"null field dropped from JSONL object: ${lines.headOption.getOrElse("")}")
   }
 
+  test("chunker: window starts, tail non-redundancy, boundary sizes") {
+    import spark.implicits._
+    import graft.operators.Chunker
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> words(4),   // == size: exactly one chunk
+      2L -> words(5),   // size+1: two chunks, second is the 3-token tail
+      3L -> words(10),  // starts 1,4,7: last window [7..10]
+      4L -> "",         // no tokens: absent
+      5L -> "  ",       // whitespace-only: absent
+      6L -> null.asInstanceOf[String]).toDF("doc_id", "text")
+    val got = Chunker.slidingChunks(docs, size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    val expect = Seq(
+      (1L, 0L, 4L, "w1 w2 w3 w4"),
+      (2L, 0L, 4L, "w1 w2 w3 w4"), (2L, 1L, 2L, "w4 w5"),
+      (3L, 0L, 4L, "w1 w2 w3 w4"), (3L, 1L, 4L, "w4 w5 w6 w7"),
+      (3L, 2L, 4L, "w7 w8 w9 w10"))
+    assert(got.toSeq == expect, s"got ${got.toSeq}")
+  }
+
   test("native md5 winnow is bit-identical to the HOF composition over the corpus") {
     import graft.functions.{Md5WinnowFingerprints, TextFunctions}
     val docs = Tables.load(spark, SparkTestEnv.sf, "documents")
