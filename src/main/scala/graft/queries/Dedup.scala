@@ -317,6 +317,76 @@ object Dedup {
             .as("edit_sim"))
     },
 
+    // SPLIT-LEAKAGE audit: near-duplicate pairs that straddle a
+    // train/val/test boundary leak evaluation content into training —
+    // the QA gate every split pipeline needs before shipping. Reads the
+    // materialized pair-graph artifact and the deterministic md5 split
+    // assignment (the q69 discipline), so the oracle replays BOTH the
+    // pair derivation and every split decision; output is the cross-
+    // split pair census a release would have to drive to zero (by
+    // re-splitting on dedup COMPONENT instead of doc).
+    QueryDef.checked(
+      "q124_split_leakage",
+      s"""WITH $pairsCteSql,
+         |pairs AS (
+         |  ${pairsSelectSql("doc_a, doc_b")}),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)
+         |         < 'cccccccc' THEN 'train'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)
+         |         < 'e6666666' THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT sa.split AS split_a, sb.split AS split_b,
+         |  count(*) AS n_leaked_pairs
+         |FROM pairs JOIN sp sa ON sa.doc_id = doc_a
+         |           JOIN sp sb ON sb.doc_id = doc_b
+         |WHERE sa.split <> sb.split
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val sp = graft.operators.Sampling.assignSplit(
+        t(s, dir, "documents").select("doc_id"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      jaccardPairs(s, dir).select("doc_a", "doc_b")
+        .join(sp.toDF("doc_a", "split_a"), Seq("doc_a"))
+        .join(sp.toDF("doc_b", "split_b"), Seq("doc_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_leaked_pairs"))
+    },
+
+    // the FIX for q124: split on the dedup COMPONENT, not the document —
+    // every member of a duplicate cluster lands in the same split BY
+    // CONSTRUCTION (the split key is the cluster's min-id label;
+    // singletons key on their own id), so cross-split leakage is
+    // structurally zero (spec-asserted against the pair graph). The
+    // oracle recomputes components via the recursive CTE and replays the
+    // same md5 split decisions on the component key.
+    QueryDef.checked(
+      "q125_component_split",
+      s"""WITH RECURSIVE $reachCteSql,
+         |comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+         |k AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS gid
+         |      FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+         |sp AS (SELECT doc_id, gid,
+         |  CASE WHEN substring(md5(CAST(gid AS VARCHAR) || 'split'), 1, 8)
+         |         < 'cccccccc' THEN 'train'
+         |       WHEN substring(md5(CAST(gid AS VARCHAR) || 'split'), 1, 8)
+         |         < 'e6666666' THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM k)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(count(DISTINCT gid) AS BIGINT) AS n_groups
+         |FROM sp GROUP BY 1""".stripMargin) { (s, dir) =>
+      val comp = dupComponents(s, dir).select(col("doc_id"), col("component"))
+      val keyed = t(s, dir, "documents").select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("gid", coalesce(col("component"), col("doc_id")))
+      graft.operators.Sampling
+        .assignSplit(keyed, col("gid"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("gid")).as("n_groups"))
+    },
+
     // centrality over the dup-pair graph (PageRank): which member of each
     // duplicate cluster is the HUB the others orbit — the
     // popularity-weighted counterpart to q95's quality argmax. Reads the

@@ -559,6 +559,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "spansAmong must exclude the (1,2) pair not in the candidate set")
   }
 
+  test("component-keyed splits leak ZERO near-dup pairs across split boundaries") {
+    val docs = Tables.load(spark, SparkTestEnv.sf, "documents")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-leak").toString
+    val pairs = graft.operators.DedupPipeline.pairs(spark, docs, scratch, 0.8)
+      .select("doc_a", "doc_b")
+    assert(pairs.count() > 0, "fixture has no near-dup pairs to leak")
+    val comp = graft.operators.DedupPipeline.components(spark, docs, scratch, 0.8)
+      .select("doc_id", "component")
+    val keyed = docs.select("doc_id").join(comp, Seq("doc_id"), "left")
+      .withColumn("gid", coalesce(col("component"), col("doc_id")))
+    val sp = graft.operators.Sampling.assignSplit(keyed, col("gid"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+    def leaked(assign: org.apache.spark.sql.DataFrame): Long =
+      pairs.join(assign.toDF("doc_a", "split_a"), Seq("doc_a"))
+        .join(assign.toDF("doc_b", "split_b"), Seq("doc_b"))
+        .filter(col("split_a") =!= col("split_b")).count()
+    assert(leaked(sp) == 0, "component-keyed split leaked a near-dup pair")
+    // and the doc-keyed baseline DOES leak on this fixture — the audit
+    // (q124) is measuring something real
+    val byDoc = graft.operators.Sampling.assignSplit(docs.select("doc_id"),
+      col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+    assert(leaked(byDoc) > 0, "doc-keyed split unexpectedly leak-free")
+  }
+
   test("pagerank: star hub dominates, mass conserved, matches driver replay to 1e-9") {
     import spark.implicits._
     import graft.operators.PageRank
