@@ -239,7 +239,10 @@ object Ops {
       val dest = scratch(s"merge_${dir.replaceAll("[^a-z0-9.]", "_")}")
       val withKey = Tables.load(s, dir, "orders")
         .withColumn("par_key", date_format(col("o_orderdate"), "yyyyMM"))
-      withKey.write.partitionBy("par_key").mode("overwrite").parquet(dest)
+      // shuffle by key before partitionBy: without it every input split
+      // writes a sliver into every month (32×80 files for the fixture)
+      withKey.repartition(col("par_key"))
+        .write.partitionBy("par_key").mode("overwrite").parquet(dest)
       val upd = withKey
         .filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 13 =!= 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
