@@ -158,8 +158,12 @@ def main(sf_dir, out_dir):
         # type seam guard: the driver's hash is representation-sensitive, so
         # a class-level type drift (esp. HUGEINT) is a fail even if values
         # compare equal after Python's int conversion
-        spark_schema = pq.read_schema(
-            glob.glob(f"{out_dir}/{name}/*.parquet")[0])
+        parts = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not parts:
+            print(f"FAIL {name}: no parquet part files in {out_dir}/{name}")
+            n_fail += 1
+            continue
+        spark_schema = pq.read_schema(parts[0])
         tprob = type_mismatches(spark_schema, ocols, otypes)
         if tprob:
             print(f"FAIL {name}: oracle/result type drift: {'; '.join(tprob)}")

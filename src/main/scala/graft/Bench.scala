@@ -85,17 +85,26 @@ object Bench {
       }
       (name, outcomes.collect { case Right(t) => t }, outcomes.collectFirst { case Left(m) => m })
     }
-    val failures = (results.collect { case (name, _, Some(err)) => name -> err } ++
-        cold.collect { case (name, Left(err)) => name -> err })
-      .distinct.map { case (name, err) => s"""{"query":"$name","error":"${esc(err)}"}""" }
-    val ok = results.filter(_._3.isEmpty)
+    val failurePairs = (results.collect { case (name, _, Some(err)) => name -> err } ++
+        cold.collect { case (name, Left(err)) => name -> err }).distinct
+    val failures = failurePairs
+      .map { case (name, err) => s"""{"query":"$name","error":"${esc(err)}"}""" }
+    // a query that failed in EITHER pass is excluded from BOTH totals, so
+    // total and total_cold always cover the same query set (its cold slot
+    // records an explicit null) — otherwise a cold-only failure leaves its
+    // warm timings looking authoritative while total_cold silently sums
+    // fewer queries than total
+    val failedNames = failurePairs.map(_._1).toSet
+    val ok = results.filter { case (n, _, err) => err.isEmpty && !failedNames(n) }
     val qs = ok.map { case (n, ts, _) => s"\"$n\":${ts.min}" }.mkString("{", ",", "}")
     val runs = ok.map { case (n, ts, _) => s"\"$n\":[${ts.mkString(",")}]" }
       .mkString("{", ",", "}")
-    val okCold = cold.collect { case (n, Right(t)) => (n, t) }
-    val qsCold = okCold.map { case (n, t) => s"\"$n\":$t" }.mkString("{", ",", "}")
+    val qsCold = cold.map {
+      case (n, Right(t)) if !failedNames(n) => s"\"$n\":$t"
+      case (n, _)                           => s"\"$n\":null"
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2.min).sum
-    val totalCold = okCold.map(_._2).sum
+    val totalCold = cold.collect { case (n, Right(t)) if !failedNames(n) => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","k":$k,""" +
       s""""total_cold":$totalCold,"filtered":${only.nonEmpty},""" +
       s""""queries":$qs,"queries_runs":$runs,"queries_cold":$qsCold,""" +

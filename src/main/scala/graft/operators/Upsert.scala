@@ -57,6 +57,18 @@ object Upsert {
     require(partNames.nonEmpty, "mergeByKey is partition-granular: pass partNames")
     val fs = new Path(destPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // MERGE precondition: at most one delta row per key. An update row and
+    // a tombstone row for the same key would otherwise resolve silently to
+    // "update wins" (survivors drop the key; unionByName keeps every
+    // non-tombstone delta row, duplicating keys with 2+ update rows) —
+    // the classic ambiguous-source MERGE error, so fail loudly instead.
+    val dupKey = delta.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKey.isEmpty,
+      s"delta carries multiple rows for key (${keyCols.mkString(",")}) = " +
+        s"(${dupKey.headOption.fold("")(r => keyCols.indices.map(i => String.valueOf(r.get(i))).mkString(","))}) — " +
+        "MERGE source keys must be unique (dedupe or pre-resolve the delta)")
+
     val upserts = tombstoneCol.fold(delta)(tc =>
       delta.filter(!coalesce(col(tc), lit(false))).drop(tc))
     val dataCols = upserts.columns.toSeq
@@ -117,9 +129,17 @@ object Upsert {
           throw new java.io.IOException(s"rename $staged -> $live failed; original restored")
         }
       } else if (hadOld) removed += 1 // every row tombstoned: partition gone
-      fs.delete(bak, true)
+      // a stale bak permanently blocks every future merge touching this
+      // partition (the pre-flight require refuses to start), so a failed
+      // delete must surface HERE, on the merge that caused it
+      if (fs.exists(bak) && !fs.delete(bak, true))
+        throw new java.io.IOException(
+          s"swap for $live succeeded but deleting $bak failed — remove it " +
+            "manually or every future merge touching this partition will refuse to start")
     }
-    fs.delete(new Path(tmp), true)
+    val tmpPath = new Path(tmp)
+    if (fs.exists(tmpPath) && !fs.delete(tmpPath, true))
+      throw new java.io.IOException(s"merge succeeded but deleting stage dir $tmp failed")
     Stats(touched.length.toLong, removed, rows)
   }
 }

@@ -275,7 +275,8 @@ object Misc {
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
         .join(exact, Seq("event_type"))
         .select(col("event_type"), col("n_days"), col("est_users"), col("exact_users"),
-          round(abs(col("est_users") - col("exact_users")) / col("exact_users"), 6)
+          round(abs(col("est_users") - col("exact_users"))
+              / greatest(col("exact_users"), lit(1)), 6)
             .as("rel_err"))
         .orderBy(col("event_type"))
     },

@@ -61,6 +61,22 @@ class OperatorsSpec extends AnyFunSuite {
       spark.read.parquet(fresh).count() == updKeys.size)
   }
 
+  test("mergeByKey refuses an ambiguous delta (update + tombstone for one key)") {
+    val dest = tmp() + "/dest"
+    val orders = Tables.load(spark, sf, "orders").limit(50)
+      .withColumn("par_key", date_format(col("o_orderdate"), "yyyyMM"))
+    orders.write.partitionBy("par_key").mode("overwrite").parquet(dest)
+    val one = orders.orderBy("o_orderkey").limit(1)
+    val ambiguous = one.withColumn("deleted", lit(false))
+      .unionByName(one.withColumn("deleted", lit(true)))
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeByKey(spark, dest, ambiguous,
+        Seq("o_orderkey"), Seq("par_key"), Some("deleted"))
+    }
+    assert(e.getMessage.contains("multiple rows"))
+    assert(spark.read.parquet(dest).count() == 50, "failed merge must not mutate dest")
+  }
+
   test("CLI upsert verb merges a delta end-to-end (derived partition key)") {
     val base = tmp()
     val srcDB = s"$base/db"; new java.io.File(s"$srcDB").mkdirs()
