@@ -63,7 +63,9 @@ object Plans {
       "q118_forward_fill",   // single window pass, LOCF frame
       "q119_dup_spans_scaled", // winnow fp equi-join -> pair-keyed verify joins
       "q121_merge_upsert",   // pruned read + survivors anti-join, partition swap
-      "q122_quality_model")  // explode -> broadcast weight join -> agg
+      "q122_quality_model",  // explode -> broadcast weight join -> agg
+      "q126_bloom_semi",     // bloom probe INSIDE the scan stage, pre-shuffle
+      "q127_bloom_anti")     // bloom-negative bypass + exact anti on suspects
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -21,6 +21,7 @@ object SparkEntry {
       q.Misc.entries ++
       q.Extras.entries ++
       q.Extras2.entries ++
+      q.Extras3.entries ++
       q.Curation.entries
 
   {

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 tier: runtime-filter joins (Bloom-pruned semi/anti) and
+  * further curation/profile operators. Every query here is either
+  * DuckDB-oracle-checked or rows-only with a pinning spec, same
+  * discipline as the earlier tiers.
+  */
+object Extras3 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Bloom-pruned SEMI join: revenue restricted to high-value orders.
+    // The bloom summary of the (selective) build side filters lineitem at
+    // the scan, before its shuffle; the exact semi join removes the false
+    // positives, so the oracle (the plain IN form) must hash-match — that
+    // equality IS the correctness claim of the runtime-filter pattern.
+    QueryDef.checked(
+      "q126_bloom_semi",
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      BloomPrune.semiJoin(t(s, dir, "lineitem"), big,
+          probeKey = "l_orderkey", buildKey = "o_orderkey",
+          expectedKeys = 1 << 20)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
+
+    // Bloom-pruned ANTI join: lineitems whose order is NOT urgent.
+    // Bloom-negative rows are definite non-members (no false negatives)
+    // and bypass the join entirely; only the bloom-positive minority
+    // reaches the exact anti join. Build keys are non-null, so the
+    // NOT IN oracle is equivalent.
+    QueryDef.checked(
+      "q127_bloom_anti",
+      """SELECT l_linestatus, count(*) AS n_items,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      BloomPrune.antiJoin(t(s, dir, "lineitem"), urgent,
+          probeKey = "l_orderkey", buildKey = "o_orderkey",
+          expectedKeys = 1 << 20)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_linenumber")).cast("long").as("sum_lines"))
+    }
+  )
+}

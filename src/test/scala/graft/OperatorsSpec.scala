@@ -77,6 +77,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dest).count() == 50, "failed merge must not mutate dest")
   }
 
+  test("bloom-pruned semi/anti joins equal the exact joins, incl. NULL probe keys") {
+    import spark.implicits._
+    // probe with NULL keys and keys absent from the build side; string keys
+    // exercise the UTF-8 probe path
+    val probe = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (3L, "c"), (null, "nullkey"), (100L, "x"), (2L, "b2"))
+      .toDF("k", "tag")
+    val build = Seq(1L, 2L, 7L).toDF("bk")
+    val semi = BloomPrune.semiJoin(probe, build, "k", "bk", expectedKeys = 100)
+    val anti = BloomPrune.antiJoin(probe, build, "k", "bk", expectedKeys = 100)
+    val semiExact = probe.join(build, col("k") === col("bk"), "left_semi")
+    val antiExact = probe.join(build, col("k") === col("bk"), "left_anti")
+    assert(semi.collect().map(_.toString).sorted.toSeq ==
+      semiExact.collect().map(_.toString).sorted.toSeq)
+    assert(anti.collect().map(_.toString).sorted.toSeq ==
+      antiExact.collect().map(_.toString).sorted.toSeq)
+    // NULL key must survive the anti (never equi-matches) and miss the semi
+    assert(anti.filter(col("tag") === "nullkey").count() == 1)
+    assert(semi.filter(col("tag") === "nullkey").count() == 0)
+    // string-key path: build a filter over strings and probe it
+    val sBuild = Seq("a", "b").toDF("sk")
+    val sSemi = BloomPrune.semiJoin(probe.filter(col("tag").isNotNull), sBuild,
+      "tag", "sk", expectedKeys = 100)
+    assert(sSemi.select("tag").as[String].collect().sorted.toSeq == Seq("a", "b"))
+    // a 1-bit-tight filter still yields exact results (false positives are
+    // removed by the exact join) — fpp close to 1 forces collisions
+    val tight = BloomPrune.semiJoin(probe, build, "k", "bk",
+      expectedKeys = 2, fpp = 0.5)
+    assert(tight.collect().map(_.toString).sorted.toSeq ==
+      semiExact.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("CLI upsert verb merges a delta end-to-end (derived partition key)") {
     val base = tmp()
     val srcDB = s"$base/db"; new java.io.File(s"$srcDB").mkdirs()
