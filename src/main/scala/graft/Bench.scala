@@ -21,7 +21,13 @@ import org.apache.spark.sql.SparkSession
   *     fresh production run pays;
   *   - `SPARK_GRAFT_ONLY` must name real queries: unknown or empty names
   *     fail loudly (a typo would otherwise produce an empty artifact with
-  *     rc 0), and any filtered artifact carries `"filtered":true`.
+  *     rc 0), and any filtered artifact carries `"filtered":true`;
+  *   - stdout gets a COMPACT line (short query keys, 2-decimal seconds,
+  *     slowest-first, hard 1700-byte budget with an explicit
+  *     `queries_omitted` count) because the recording harness keeps only
+  *     the last 2000 bytes of output; the full-fidelity artifact (full
+  *     names, per-run timings, cold pass) is written to
+  *     `BENCH_DETAIL.json` and its path carried in the compact line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -105,10 +111,40 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(_._2.min).sum
     val totalCold = cold.collect { case (n, Right(t)) if !failedNames(n) => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","k":$k,""" +
+
+    // Full-fidelity artifact → sidecar file. The harness that records the
+    // bench keeps only the LAST 2000 bytes of stdout: with 125+ queries the
+    // one-line JSON is ~10 KB, so rounds 4 and 5 were recorded with
+    // "parsed": null — the detailed numbers existed only in a truncated
+    // tail. Detail goes to BENCH_DETAIL.json; stdout gets a compact line
+    // guaranteed to fit the tail window.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","k":$k,""" +
       s""""total_cold":$totalCold,"filtered":${only.nonEmpty},""" +
       s""""queries":$qs,"queries_runs":$runs,"queries_cold":$qsCold,""" +
-      s""""failures":[${failures.mkString(",")}],"sf":"$sfDir"}""")
+      s""""failures":[${failures.mkString(",")}],"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
+    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+
+    // Compact stdout line: qNNN keys (unique by construction — names are
+    // qN_*), 2-decimal seconds, slowest-first, and a hard byte budget with
+    // an explicit omitted-count so truncation is visible, never silent.
+    def short(n: String): String = "^q\\d+".r.findFirstIn(n).getOrElse(n)
+    def r2(t: Double): String = f"$t%.2f"
+    val entriesCompact = ok.map { case (n, ts, _) => short(n) -> ts.min }
+      .sortBy(-_._2).map { case (n, t) => s"\"$n\":${r2(t)}" }
+    val budget = 1700 // tail window 2000 minus sbt's trailing lines
+    val head = s"""{"metric":"total","value":${r2(total)},"unit":"sec","k":$k,""" +
+      s""""total_cold":${r2(totalCold)},"filtered":${only.nonEmpty},""" +
+      s""""detail":"$detailPath","failures":[${failures.mkString(",")}],""" +
+      s""""sf":"$sfDir","queries":"""
+    val fixedOverhead = head.length + 60 // closing brace + omitted marker slack
+    var used = 0
+    val kept = entriesCompact.takeWhile { e =>
+      used += e.length + 1; used + fixedOverhead < budget
+    }
+    val omitted = entriesCompact.size - kept.size
+    println(head + kept.mkString("{", ",", "}") +
+      s""","queries_omitted":$omitted}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

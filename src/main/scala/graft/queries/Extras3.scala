@@ -58,6 +58,41 @@ object Extras3 {
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_linenumber")).cast("long").as("sum_lines"))
+    },
+
+    // Versioned snapshots end-to-end: publish v1 (orders before 1996),
+    // append-publish the remainder as v2, roll back to v1 as v3, then read
+    // every version THROUGH the manifest layer. The oracle recomputes each
+    // version's expected contents from the source table, so a hash match
+    // proves time travel returns exactly the published bytes — including
+    // that v2 shares (not re-copies) v1's files and that rollback is a
+    // pure manifest operation. File-level mechanics (sharing, vacuum,
+    // crash debris) are pinned by SnapshotsSpec.
+    QueryDef.checked(
+      "q128_snapshot_travel",
+      """SELECT 1 AS version, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft-ops/snapshots_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun
+      val orders = t(s, dir, "orders")
+      Snapshots.publish(s, root, orders.filter(col("o_orderdate") < lit("1996-01-01")))
+      Snapshots.publish(s, root, orders.filter(col("o_orderdate") >= lit("1996-01-01")),
+        append = true)
+      Snapshots.rollback(s, root, toVersion = 1)
+      Seq(1, 2, 3).map { v =>
+        Snapshots.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
+      }.reduce(_.unionByName(_))
     }
   )
 }
