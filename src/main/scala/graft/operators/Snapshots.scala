@@ -135,6 +135,21 @@ object Snapshots {
     spark.read.parquet(paths: _*)
   }
 
+  /** Rows contained in files ADDED between `from` and `to` — the
+    * incremental-consumption path ("process only what version N added",
+    * e.g. train on documents new since the last run). Correct because
+    * data files are immutable: a file present in `to` but not `from`
+    * holds exactly rows that `from` could not see. Returns an empty
+    * frame with the `to` schema when nothing was added (a rollback or
+    * pure-removal version). At 100 TB the scan covers only the delta
+    * files — incremental cost is O(new data), never O(table).
+    */
+  def readAdded(spark: SparkSession, root: String, from: Int, to: Int): DataFrame = {
+    val added = (files(spark, root, to).toSet -- files(spark, root, from).toSet).toSeq.sorted
+    if (added.isEmpty) read(spark, root, Some(to)).limit(0)
+    else spark.read.parquet(added.map(rel => s"$root/$rel"): _*)
+  }
+
   /** Files added and removed between two versions, as a DataFrame
     * (`file`, `change` ∈ added|removed) — the audit surface for "what
     * did version 18 actually change?".

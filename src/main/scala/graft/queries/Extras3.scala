@@ -93,6 +93,82 @@ object Extras3 {
             sum(col("o_orderkey")).cast("long").as("sum_key"))
           .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
       }.reduce(_.unionByName(_))
+    },
+
+    // Incremental snapshot consumption: publish v1, append-publish v2,
+    // then process ONLY the rows v2 added (readAdded scans just the delta
+    // files — O(new data), never O(table)). The oracle recomputes the
+    // delta from the source table, so a hash match proves the file-level
+    // delta equals the row-level delta — the immutability property the
+    // whole incremental pattern rests on.
+    QueryDef.checked(
+      "q129_snapshot_incremental",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft-ops/snap_incr_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun
+      val orders = t(s, dir, "orders")
+      Snapshots.publish(s, root, orders.filter(col("o_orderdate") < lit("1996-01-01")))
+      Snapshots.publish(s, root, orders.filter(col("o_orderdate") >= lit("1996-01-01")),
+        append = true)
+      Snapshots.readAdded(s, root, from = 1, to = 2)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).cast("long").as("sum_key"))
+    },
+
+    // One-pass data-quality expectation report over lineitem: six checks
+    // (null, uniqueness, two ranges, a value set, a predicate) in a
+    // single scan + single aggregate. The fixture's (l_orderkey,
+    // l_linenumber) is deliberately NOT unique, so the report carries a
+    // real failure — proving the report reports rather than asserts.
+    QueryDef.checked(
+      "q130_expectations",
+      """SELECT 'not_null:l_returnflag' AS check_name,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'unique:l_orderkey,l_linenumber',
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range:l_discount',
+        |  CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1
+        |           THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1
+        |      THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range:l_quantity',
+        |  CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+        |           THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'in_set:l_returnflag',
+        |  CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT),
+        |  sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'satisfies:positive_price',
+        |  CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT),
+        |  sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) = 0
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import Expectations._
+      report(t(s, dir, "lineitem"), Seq(
+        NotNull("l_returnflag"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        InRange("l_discount", lit(0.0), lit(0.1)),
+        InRange("l_quantity", lit(1), lit(50)),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        Satisfies("positive_price", col("l_extendedprice") > 0)))
     }
   )
 }

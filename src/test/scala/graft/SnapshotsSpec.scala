@@ -113,6 +113,22 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.publish(spark, root, orders.limit(3)) == 2)
   }
 
+  test("readAdded returns exactly the delta rows; empty for rollbacks") {
+    val root = freshRoot("added")
+    val early = orders.filter(col("o_orderdate") < lit("1996-01-01"))
+    val late = orders.filter(col("o_orderdate") >= lit("1996-01-01"))
+    Snapshots.publish(spark, root, early)
+    Snapshots.publish(spark, root, late, append = true)
+    assert(Snapshots.readAdded(spark, root, 1, 2).count() == late.count())
+    // a rollback adds no files → empty delta, schema preserved
+    Snapshots.rollback(spark, root, toVersion = 1)
+    val delta = Snapshots.readAdded(spark, root, 2, 3)
+    assert(delta.isEmpty)
+    assert(delta.columns.sameElements(orders.columns))
+    // across the whole history: v1 -> v3 adds nothing (v3 IS v1)
+    assert(Snapshots.readAdded(spark, root, 1, 3).isEmpty)
+  }
+
   test("read of a missing version and empty roots fail loudly") {
     val root = freshRoot("empty")
     assert(Snapshots.versions(spark, root).isEmpty)
