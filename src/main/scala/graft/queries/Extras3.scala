@@ -169,6 +169,62 @@ object Extras3 {
         InRange("l_quantity", lit(1), lit(50)),
         InSet("l_returnflag", Seq("A", "N", "R")),
         Satisfies("positive_price", col("l_extendedprice") > 0)))
+    },
+
+    // Streaming sessionization under the batch oracle: the native
+    // session_window state store run to completion over a file-source
+    // stream, checked against the gaps-and-islands SQL. session_window
+    // merges strictly-overlapping [ts, ts+gap) intervals, so an event at
+    // EXACTLY prev+gap starts a new session — the oracle's `>=` (batch
+    // q25 pins the windowed form with `>`; the fixture has no exact-gap
+    // pair, so both conventions are exercised for real).
+    QueryDef.checked(
+      "q131_stream_sessions",
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, value, ts,
+        |    sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start, user_id,
+        |  count(*) AS n_events, sum(value) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      import graft.streaming.EventStreams
+      val staged = java.nio.file.Files.createTempDirectory("graft-q131")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val q = EventStreams.sessionCounts(EventStreams.readEvents(s, staged.toString))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("q131_out").start()
+      q.processAllAvailable(); q.stop()
+      s.table("q131_out")
+    },
+
+    // Certified exact heavy hitters: Misra-Gries candidate pass (bounded
+    // per-partition summaries, no full-key-space shuffle) + exact
+    // re-count over the candidate set only. The oracle is the plain
+    // full group-by top-k — a hash match proves the two-pass sketch path
+    // loses nothing.
+    QueryDef.checked(
+      "q132_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY 1)
+        |SELECT token, CAST(cnt AS BIGINT) AS cnt FROM t
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+        .filter(col("token") =!= "")
+      HeavyHitters.topK(s, toks, "token", k = 20, m = 512)
     }
   )
 }
