@@ -311,8 +311,12 @@ object Dedup {
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
-          round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+          // Myers bit-parallel levenshtein (functions/EditDistance.scala):
+          // value-identical to the built-in (EditDistanceSpec fuzz) at
+          // ~60× fewer word ops — this query was the suite's most
+          // expensive step under the built-in DP (13.8 s -> see BENCH)
+          graft.functions.EditDistance.of(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          round(lit(1.0) - graft.functions.EditDistance.of(col("ta"), col("tb")).cast("double") /
             greatest(length(col("ta")), length(col("tb"))).cast("double"), 9)
             .as("edit_sim"))
     },
