@@ -22,10 +22,12 @@ object FileManifest {
         col("length"))
       .filter(!col("name").startsWith("_") && !col("name").startsWith("."))
 
-  /** (relative path, length) per data file under `path` — for tree-shaped
-    * manifests where duplicate basenames across partition dirs (every
-    * `part-00000`) must not collide. The relative path lands in the same
-    * `name` column, so [[diff]] applies unchanged.
+  /** (relative path, length, mtime) per data file under `path` — for
+    * tree-shaped manifests where duplicate basenames across partition
+    * dirs (every `part-00000`) must not collide. The relative path lands
+    * in the same `name` column, so [[diff]] applies unchanged; `mtime`
+    * feeds age-gated sweeps ([[graft.operators.Snapshots.vacuum]]'s
+    * grace period).
     */
   def listTree(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -37,7 +39,8 @@ object FileManifest {
       .select(
         // strip "<qualified root>/" — substring is 1-based
         substring(col("path"), root.length + 2, Int.MaxValue).as("name"),
-        col("length"))
+        col("length"),
+        col("modificationTime").as("mtime"))
       .filter {
         val base = regexp_extract(col("name"), "([^/]+)$", 1)
         !base.startsWith("_") && !base.startsWith(".")

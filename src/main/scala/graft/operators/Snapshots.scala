@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import java.nio.charset.StandardCharsets
 
@@ -21,34 +22,52 @@ import java.nio.charset.StandardCharsets
   *
   *   - each publish writes data files into a fresh `data/<uuid>/` dir —
   *     existing files are IMMUTABLE, never rewritten or renamed;
-  *   - a manifest `_snapshots/v<N>` lists every data file (relative
-  *     path) visible in that version, one per line; append-mode
-  *     manifests start from the previous version's list, so unchanged
-  *     files are SHARED across versions, not copied;
+  *   - a manifest `_snapshots/v<N>` records the version's SCHEMA (a
+  *     `#schema=` header line, Spark DataType JSON) followed by every
+  *     data file (relative path) visible in that version, one per line;
+  *     append-mode manifests start from the previous version's list, so
+  *     unchanged files are SHARED across versions, not copied;
   *   - the manifest is written to a temp name and RENAMED into place —
   *     the atomic-commit primitive of every Hadoop-compatible FS — so a
   *     version exists entirely or not at all; a crash mid-publish leaves
-  *     only an invisible data dir + temp manifest for vacuum to sweep;
-  *   - readers resolve a manifest (bounded metadata: file paths only)
-  *     and hand the file list to the parquet scan — no flag files, no
-  *     directory-mtime races with concurrent publishes;
+  *     only an invisible data dir + temp manifest, both swept by
+  *     [[vacuum]] after its grace period;
+  *   - readers resolve a manifest (bounded metadata: schema + file
+  *     paths) and hand the file list to the parquet scan UNDER THE
+  *     RECORDED SCHEMA — so schema evolution (appending columns) is
+  *     first-class: files written before a column existed read back with
+  *     that column null-filled, exactly like [[Migrate]]'s
+  *     schema-evolution semantics, and a v1-only manifest keeps reading
+  *     with v1's schema after the table evolved;
   *   - rollback is roll-FORWARD: version N+1 re-publishes version V's
-  *     file list, preserving history (an operator who rolls back still
-  *     wants to audit what was rolled back FROM);
+  *     file list AND schema, preserving history;
   *   - vacuum deletes data files referenced by NO manifest (crashed
-  *     publishes, vacuumed-away history after `expire`); the listing is
-  *     a distributed scan and the deletes run on executors, so a
-  *     million-orphan sweep never serializes through the driver.
+  *     publishes, vacuumed-away history after `expire`) — but only
+  *     files older than a GRACE PERIOD, so a janitor vacuum running
+  *     concurrently with a publish cannot delete the about-to-be-
+  *     committed files of that publish (the Delta/Iceberg RETAIN
+  *     pattern). The listing is a distributed scan and the deletes run
+  *     on executors, so a million-orphan sweep never serializes through
+  *     the driver.
   *
-  * At 100 TB: manifests hold paths, not data — a 100k-file version is a
-  * few MB of text; publishes of disjoint tables never conflict; within
-  * one table, last-rename-wins (single-writer per table is the
-  * documented contract, same as Delta's on non-atomic-rename stores).
+  * At 100 TB: manifests hold schema + paths, not data — a 100k-file
+  * version is a few MB of text; publishes of disjoint tables never
+  * conflict; within one table, last-rename-wins (single-writer per
+  * table is the documented contract, same as Delta's on
+  * non-atomic-rename stores).
   */
 object Snapshots {
 
   private val SNAP_DIR = "_snapshots"
   private val TMP_SUFFIX = ".tmp"
+  private val SCHEMA_HEADER = "#schema="
+
+  /** Default vacuum grace: files younger than this are never deleted,
+    * so an in-flight publish (write files, then commit manifest) cannot
+    * lose its not-yet-referenced files to a concurrent janitor. Size it
+    * above the longest publish you run.
+    */
+  val DefaultGraceMs: Long = 60L * 60 * 1000
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -68,8 +87,7 @@ object Snapshots {
       .sorted
   }
 
-  /** The file list (relative paths) a version resolves to. */
-  def files(spark: SparkSession, root: String, version: Int): Seq[String] = {
+  private def manifestLines(spark: SparkSession, root: String, version: Int): List[String] = {
     val f = fs(spark, root)
     val p = manifestPath(root, version)
     require(f.exists(p), s"snapshot v$version does not exist under $root")
@@ -78,15 +96,70 @@ object Snapshots {
     finally in.close()
   }
 
+  /** The file list (relative paths) a version resolves to. */
+  def files(spark: SparkSession, root: String, version: Int): Seq[String] =
+    manifestLines(spark, root, version).filterNot(_.startsWith("#"))
+
+  /** The schema recorded at publish time for a version (None for
+    * manifests written before schema recording existed — readers fall
+    * back to parquet `mergeSchema` for those).
+    */
+  def schemaOf(spark: SparkSession, root: String, version: Int): Option[StructType] =
+    manifestLines(spark, root, version)
+      .find(_.startsWith(SCHEMA_HEADER))
+      .map(l => DataType.fromJson(l.drop(SCHEMA_HEADER.length)).asInstanceOf[StructType])
+
+  /** Union-merge for append publishes and merges: `base`'s columns keep
+    * their order; columns new in `next` append. Matching names must
+    * match types — snapshot evolution supports ADDING columns, not
+    * retyping them (a retype would make old files unreadable under the
+    * new schema, which is exactly the silent corruption this layer
+    * exists to prevent).
+    */
+  private[graft] def unionMerge(base: StructType, next: StructType): StructType = {
+    val baseNames = base.fieldNames.toSet
+    val kept = base.fields.map { f =>
+      next.fields.find(_.name == f.name) match {
+        case Some(g) =>
+          require(g.dataType == f.dataType,
+            s"snapshot schema evolution supports adding columns, not retyping: " +
+              s"'${f.name}' ${f.dataType.simpleString} -> ${g.dataType.simpleString}")
+          f.copy(nullable = f.nullable || g.nullable)
+        case None => f.copy(nullable = true) // absent from new data: null-filled
+      }
+    }
+    val added = next.fields.filterNot(f => baseNames(f.name)).map(_.copy(nullable = true))
+    StructType(kept ++ added)
+  }
+
   /** Publish `df` as the next version. `append = true` keeps the previous
-    * version's files visible alongside the new ones (incremental load);
-    * `append = false` makes the new files the whole table (full refresh —
-    * prior versions stay readable until `expire` + `vacuum`).
+    * version's files visible alongside the new ones (incremental load)
+    * and union-merges the schema, so appending a frame that grew a column
+    * evolves the table; `append = false` makes the new files (and
+    * exactly `df`'s schema) the whole table — prior versions stay
+    * readable, under THEIR recorded schemas, until `expire` + `vacuum`.
     * Returns the new version number.
     */
   def publish(spark: SparkSession, root: String, df: DataFrame,
       append: Boolean = false): Int = {
     val f = fs(spark, root)
+    val (dataDir, newFiles) = writeData(f, root, df)
+    val prev = versions(spark, root)
+    val base: Seq[String] =
+      if (append && prev.nonEmpty) files(spark, root, prev.last) else Seq.empty
+    val schema: StructType =
+      if (append && prev.nonEmpty)
+        schemaOf(spark, root, prev.last).map(unionMerge(_, df.schema)).getOrElse(df.schema)
+      else df.schema
+    commit(f, root, prev.lastOption.getOrElse(0) + 1, base ++ newFiles, Some(schema))
+  }
+
+  /** Write `df` into a fresh immutable `data/<uuid>/` dir; returns the
+    * relative dir and its file list. An empty frame may produce zero
+    * part files — legal, because the manifest's schema header lets
+    * [[read]] reconstruct an empty frame without any file to sample.
+    */
+  private def writeData(f: FileSystem, root: String, df: DataFrame): (String, Seq[String]) = {
     val dataDir = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$root/$dataDir")
     val newFiles = f.listStatus(new Path(s"$root/$dataDir")).toSeq
@@ -94,27 +167,28 @@ object Snapshots {
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
       .sorted
       .map(n => s"$dataDir/$n")
-    val prev = versions(spark, root)
-    val base: Seq[String] =
-      if (append && prev.nonEmpty) files(spark, root, prev.last) else Seq.empty
-    commit(f, root, prev.lastOption.getOrElse(0) + 1, base ++ newFiles)
+    (dataDir, newFiles)
   }
 
   /** Roll back by rolling FORWARD: the next version re-lists exactly the
-    * files of `toVersion`. No data moves; history is preserved.
+    * files — and re-records the schema — of `toVersion`. No data moves;
+    * history is preserved.
     */
   def rollback(spark: SparkSession, root: String, toVersion: Int): Int = {
     val f = fs(spark, root)
     val next = versions(spark, root).lastOption.getOrElse(0) + 1
-    commit(f, root, next, files(spark, root, toVersion))
+    commit(f, root, next, files(spark, root, toVersion),
+      schemaOf(spark, root, toVersion))
   }
 
-  private def commit(f: FileSystem, root: String, v: Int, list: Seq[String]): Int = {
+  private def commit(f: FileSystem, root: String, v: Int, list: Seq[String],
+      schema: Option[StructType]): Int = {
     val target = manifestPath(root, v)
     val tmp = new Path(target.toString + TMP_SUFFIX)
     f.mkdirs(target.getParent)
+    val header = schema.map(s => SCHEMA_HEADER + s.json + "\n").getOrElse("")
     val out = f.create(tmp, true)
-    try out.write((list.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    try out.write((header + list.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, target))
       throw new java.io.IOException(
@@ -123,31 +197,55 @@ object Snapshots {
     v
   }
 
-  /** Read a version (default: latest). The manifest's file list goes
-    * straight to the parquet source, so the scan is exactly the version's
-    * files — immune to concurrent publishes and leftover crash debris.
+  /** Read a version (default: latest) UNDER ITS RECORDED SCHEMA. The
+    * manifest's file list goes straight to the parquet source, so the
+    * scan is exactly the version's files — immune to concurrent
+    * publishes and leftover crash debris — and files predating a column
+    * read back with it null-filled. An empty version (a published empty
+    * frame) returns an empty frame with the recorded schema instead of
+    * failing schema inference.
     */
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
     val v = version.getOrElse(vs.last)
-    val paths = files(spark, root, v).map(rel => s"$root/$rel")
-    spark.read.parquet(paths: _*)
+    readFiles(spark, root, files(spark, root, v), schemaOf(spark, root, v), s"v$v")
+  }
+
+  private def readFiles(spark: SparkSession, root: String, rel: Seq[String],
+      schema: Option[StructType], what: String): DataFrame = {
+    val paths = rel.map(r => s"$root/$r")
+    (schema, paths) match {
+      case (Some(s), Nil) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      case (None, Nil) =>
+        throw new IllegalArgumentException(
+          s"snapshot $what under $root lists no files and records no schema " +
+            "(pre-schema-header manifest of an empty publish) — cannot construct a frame")
+      case (Some(s), ps) => spark.read.schema(s).parquet(ps: _*)
+      // legacy manifest without a schema header: merge footers so a
+      // mixed-version file list doesn't depend on which file is sampled
+      case (None, ps) => spark.read.option("mergeSchema", "true").parquet(ps: _*)
+    }
   }
 
   /** Rows contained in files ADDED between `from` and `to` — the
     * incremental-consumption path ("process only what version N added",
     * e.g. train on documents new since the last run). Correct because
     * data files are immutable: a file present in `to` but not `from`
-    * holds exactly rows that `from` could not see. Returns an empty
+    * holds exactly rows that `from` could not see. The delta reads under
+    * `to`'s schema, so a column added at `to` is present (null-filled in
+    * any pre-evolution file, visible where the new data carries it) —
+    * the delta never silently drops evolved columns. Returns an empty
     * frame with the `to` schema when nothing was added (a rollback or
     * pure-removal version). At 100 TB the scan covers only the delta
     * files — incremental cost is O(new data), never O(table).
     */
   def readAdded(spark: SparkSession, root: String, from: Int, to: Int): DataFrame = {
     val added = (files(spark, root, to).toSet -- files(spark, root, from).toSet).toSeq.sorted
-    if (added.isEmpty) read(spark, root, Some(to)).limit(0)
-    else spark.read.parquet(added.map(rel => s"$root/$rel"): _*)
+    val schema = schemaOf(spark, root, to)
+    if (added.isEmpty && schema.isEmpty) read(spark, root, Some(to)).limit(0)
+    else readFiles(spark, root, added, schema, s"delta v$from..v$to")
   }
 
   /** Files added and removed between two versions, as a DataFrame
@@ -175,19 +273,42 @@ object Snapshots {
   }
 
   /** Delete every file under `data/` referenced by NO live manifest —
-    * crashed publishes and expired history. The on-disk listing is a
-    * distributed scan ([[FileManifest.listTree]]) and the deletes run on
+    * crashed publishes and expired history — PROVIDED it is older than
+    * `graceMs` (default 1 h). The grace period is what makes vacuum safe
+    * to run as a janitor job beside live publishers: a publish writes
+    * its data files BEFORE committing the manifest that references them,
+    * so a zero-grace sweep racing that window would delete the files and
+    * let the commit publish a manifest pointing at nothing. Files
+    * younger than the grace are left alone unconditionally.
+    *
+    * Also sweeps crash debris the data scan can't see: stale `.tmp`
+    * manifests (a publisher that died between writing and renaming) and
+    * data subdirectories left empty by the file deletes — both
+    * grace-guarded the same way.
+    *
+    * The on-disk listing is a distributed scan and the deletes run on
     * EXECUTORS via foreachPartition, so the sweep scales with cluster
-    * width, not driver memory. Returns the number of files deleted.
+    * width, not driver memory. Returns the number of data files deleted.
     */
-  def vacuum(spark: SparkSession, root: String): Long = {
+  def vacuum(spark: SparkSession, root: String,
+      graceMs: Long = DefaultGraceMs): Long = {
     import spark.implicits._
     val f = fs(spark, root)
+    val cutoff = System.currentTimeMillis() - graceMs
+    // stale temp manifests: bounded driver metadata (one dir listing)
+    val snapDir = new Path(s"$root/$SNAP_DIR")
+    if (f.exists(snapDir)) {
+      f.listStatus(snapDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(TMP_SUFFIX)
+          && st.getModificationTime < cutoff)
+        .foreach(st => f.delete(st.getPath, false))
+    }
     if (!f.exists(new Path(s"$root/data"))) return 0L
     val referenced = versions(spark, root)
       .flatMap(v => files(spark, root, v)).toSet
     val refDf = referenced.toSeq.toDF("name")
     val onDisk = FileManifest.listTree(spark, s"$root/data")
+      .filter(col("mtime") < lit(new java.sql.Timestamp(cutoff)))
       .select(concat(lit("data/"), col("name")).as("name"))
     val orphans = onDisk.join(refDf, Seq("name"), "left_anti")
     val qualifiedRoot = f.makeQualified(new Path(root)).toString
@@ -200,6 +321,123 @@ object Snapshots {
         if (pfs.delete(new Path(s"$qualifiedRoot/$rel"), false)) deleted.add(1L)
       }
     }
+    // publish dirs drained by the sweep: one listing per historical
+    // publish — bounded by publish count, not data size. A dir is
+    // removable when nothing but AGED hidden markers (_SUCCESS, .crc)
+    // remains; judging by children (not the dir's own mtime, which our
+    // deletes just refreshed) keeps a freshly-created in-flight publish
+    // dir safe while letting this very sweep finish the job.
+    f.listStatus(new Path(s"$root/data")).toSeq
+      .filter(_.isDirectory)
+      .filter { st =>
+        val children = f.listStatus(st.getPath)
+        if (children.isEmpty) st.getModificationTime < cutoff
+        else children.forall { c =>
+          val n = c.getPath.getName
+          c.isFile && (n.startsWith("_") || n.startsWith(".")) &&
+            c.getModificationTime < cutoff
+        }
+      }
+      .foreach(st => f.delete(st.getPath, true))
     deleted.value
+  }
+
+  /** Compact the CURRENT version into ~`targetBytes` files and publish
+    * the result as a new version. Old versions keep reading the
+    * pre-compaction bytes (immutability); `expire` + `vacuum` reclaims
+    * the small files once no manifest references them — the reference's
+    * merge-then-DELETE (`HDFSMerge.java:144-148`) with the delete
+    * deferred behind the version history instead of immediate.
+    */
+  def compact(spark: SparkSession, root: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root — nothing to compact")
+    val v = vs.last
+    val f = fs(spark, root)
+    // manifest-driven sizing: one metadata call per listed file — bounded
+    // by the version's file count (the same metadata a read plans over)
+    val totalBytes = files(spark, root, v)
+      .map(r => f.getFileStatus(new Path(s"$root/$r")).getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    publish(spark, root, read(spark, root, Some(v)).repartition(nFiles))
+  }
+
+  /** MERGE a delta into the snapshot table and publish the result as a
+    * NEW VERSION — history intact, time travel unbroken (contrast
+    * [[Upsert.mergeByKey]], which swaps partition directories in place
+    * and therefore REFUSES to run under a snapshot root). Per-key
+    * semantics are identical to [[Upsert.mergeByKey]]:
+    *
+    *   - WHEN MATCHED AND tombstone  THEN DELETE
+    *   - WHEN MATCHED                THEN UPDATE (the delta row wins whole)
+    *   - WHEN NOT MATCHED, no tombstone THEN INSERT
+    *
+    * Mechanics (the Delta/Iceberg copy-on-write MERGE shape): one
+    * semi-join over the current version finds the files that contain at
+    * least one delta key; ONLY those files' survivor rows rewrite,
+    * together with the delta's upserts, into a fresh immutable data dir;
+    * the new manifest lists (untouched files ++ new files) under the
+    * union-merged schema. Cost is O(touched files + delta), never
+    * O(table); a delta whose keys cluster in few files rewrites few
+    * files. Old manifests still reference the pre-merge bytes, so every
+    * prior version reads back byte-identically.
+    *
+    * Contracts: delta keys unique (enforced), key columns non-null, and
+    * single-writer per table (the snapshot layer's standing contract).
+    * Returns the new version number.
+    */
+  def mergeByKey(
+      spark: SparkSession,
+      root: String,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      tombstoneCol: Option[String] = None): Int = {
+    require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
+    val dupKey = delta.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKey.isEmpty,
+      s"delta carries multiple rows for key (${keyCols.mkString(",")}) = " +
+        s"(${dupKey.headOption.fold("")(r => keyCols.indices.map(i => String.valueOf(r.get(i))).mkString(","))}) — " +
+        "MERGE source keys must be unique (dedupe or pre-resolve the delta)")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty,
+      s"no snapshots published under $root — publish the initial version, then merge")
+    val v = vs.last
+    val f = fs(spark, root)
+    val rel = files(spark, root, v)
+    val schema = schemaOf(spark, root, v)
+    // an empty delta is a no-op merge: publish the same file list rather
+    // than writing a (possibly zero-file) data dir nobody references
+    if (delta.isEmpty) return commit(f, root, v + 1, rel, schema)
+    val upserts = tombstoneCol.fold(delta)(tc =>
+      delta.filter(!coalesce(col(tc), lit(false))).drop(tc))
+
+    // which files hold a delta key? bounded output: one row per touched
+    // file (the same driver granularity as Upsert's touched-partition set)
+    val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
+    val base = readFiles(spark, root, rel, schema, s"v$v")
+    val touched: Set[String] =
+      if (rel.isEmpty) Set.empty
+      // no forced broadcast: a small delta broadcasts via AQE; a huge one
+      // is allowed its shuffle (the touched-file set stays file-bounded)
+      else base.withColumn("__file", input_file_name())
+        .join(deltaKeys, keyCols, "left_semi")
+        // normalize reader URIs (file:///x vs file:/x) to the manifest's
+        // relative form: data files always live at data/<uuid>/<name>
+        .select(regexp_extract(col("__file"), "data/[^/]+/[^/]+$", 0).as("__file"))
+        .distinct().collect().map(_.getString(0)).toSet
+    require(touched.forall(_.nonEmpty),
+      s"could not relativize a scanned file path under $root/data — layout violation")
+
+    val survivors =
+      if (touched.isEmpty) upserts.limit(0)
+      else readFiles(spark, root, touched.toSeq.sorted, schema, s"v$v touched")
+        .join(deltaKeys, keyCols, "left_anti")
+    val merged = survivors.unionByName(upserts, allowMissingColumns = true)
+    val (_, newFiles) = writeData(f, root, merged)
+    val mergedSchema = schema.map(unionMerge(_, upserts.schema)).getOrElse(
+      StructType(merged.schema.fields))
+    commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, Some(mergedSchema))
   }
 }

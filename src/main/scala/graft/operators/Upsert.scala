@@ -56,6 +56,14 @@ object Upsert {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
     require(partNames.nonEmpty, "mergeByKey is partition-granular: pass partNames")
     val fs = new Path(destPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a snapshot table's manifests reference the CURRENT files by path;
+    // swapping partition directories in place would leave every existing
+    // manifest pointing at swapped-away bytes — time travel silently
+    // broken. The snapshot-preserving MERGE is Snapshots.mergeByKey.
+    require(!fs.exists(new Path(destPath, "_snapshots")),
+      s"$destPath is a versioned snapshot table (contains _snapshots) — " +
+        "in-place partition swap would corrupt time travel; use " +
+        "Snapshots.mergeByKey, which publishes the merge as a new version")
 
     // MERGE precondition: at most one delta row per key. An update row and
     // a tombstone row for the same key would otherwise resolve silently to

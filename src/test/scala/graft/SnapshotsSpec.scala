@@ -80,7 +80,7 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.publish(spark, root, late, append = true) // v2 shares v1's files
     assert(Snapshots.expire(spark, root, keepLast = 1) == Seq(1))
     // v1's files are still referenced by v2 — vacuum must delete NOTHING
-    assert(Snapshots.vacuum(spark, root) == 0L)
+    assert(Snapshots.vacuum(spark, root, graceMs = 0L) == 0L)
     assert(Snapshots.read(spark, root).count() == orders.count())
   }
 
@@ -90,7 +90,7 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.publish(spark, root, orders.limit(20)) // full refresh, v1 orphaned
     val v1Files = Snapshots.files(spark, root, 1)
     Snapshots.expire(spark, root, keepLast = 1)
-    assert(Snapshots.vacuum(spark, root) == v1Files.size.toLong)
+    assert(Snapshots.vacuum(spark, root, graceMs = 0L) == v1Files.size.toLong)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     v1Files.foreach(f => assert(!fs.exists(new Path(s"$root/$f")), s"$f not deleted"))
     assert(Snapshots.read(spark, root).count() == 20)
@@ -106,7 +106,18 @@ class SnapshotsSpec extends AnyFunSuite {
     tmp.write("data/crashed00000/whatever\n".getBytes("UTF-8")); tmp.close()
     assert(Snapshots.versions(spark, root) == Seq(1), "temp manifest must be invisible")
     assert(Snapshots.read(spark, root).count() == 10)
-    assert(Snapshots.vacuum(spark, root) >= 1L, "crashed data files must be swept")
+    // a janitor with the DEFAULT grace must NOT touch the fresh debris —
+    // it is indistinguishable from an in-flight publish
+    assert(Snapshots.vacuum(spark, root) == 0L,
+      "default-grace vacuum must spare fresh (possibly in-flight) files")
+    assert(fs.exists(new Path(s"$root/_snapshots/v2.tmp")))
+    // aged debris is swept, tmp manifest included
+    assert(Snapshots.vacuum(spark, root, graceMs = 0L) >= 1L,
+      "crashed data files must be swept once past the grace period")
+    assert(!fs.exists(new Path(s"$root/_snapshots/v2.tmp")),
+      "stale temp manifest must be swept")
+    assert(!fs.exists(new Path(s"$root/data/crashed00000")),
+      "emptied crash dir must be removed")
     // the committed version is untouched
     assert(Snapshots.read(spark, root).count() == 10)
     // and a LATER publish still gets the next number after the debris
@@ -127,6 +138,158 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(delta.columns.sameElements(orders.columns))
     // across the whole history: v1 -> v3 adds nothing (v3 IS v1)
     assert(Snapshots.readAdded(spark, root, 1, 3).isEmpty)
+  }
+
+  test("vacuum grace period spares an in-flight publish's files") {
+    val root = freshRoot("grace")
+    Snapshots.publish(spark, root, orders.limit(10))
+    // simulate the window INSIDE a publish: data written, manifest not yet
+    // committed — exactly what a janitor vacuum must not destroy
+    orders.limit(5).write.parquet(s"$root/data/inflight00000")
+    assert(Snapshots.vacuum(spark, root) == 0L,
+      "default-grace vacuum deleted files a commit is about to reference")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(s"$root/data/inflight00000"))
+      .exists(_.getPath.getName.endsWith(".parquet")))
+    // once aged past the grace, the same files are sweepable debris
+    assert(Snapshots.vacuum(spark, root, graceMs = 0L) >= 1L)
+    assert(!fs.exists(new Path(s"$root/data/inflight00000")))
+  }
+
+  test("schema evolution: appended column null-fills old files; v1 keeps v1 schema") {
+    val root = freshRoot("evolve")
+    val v1df = orders.select(col("o_orderkey"), col("o_custkey"))
+    Snapshots.publish(spark, root, v1df)
+    val evolved = orders.select(col("o_orderkey"), col("o_custkey"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_flag", lit(7L))
+    Snapshots.publish(spark, root, evolved, append = true)
+    // v2 reads under the union schema; pre-evolution files null-fill o_flag
+    val v2 = Snapshots.read(spark, root, Some(2))
+    assert(v2.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_flag"))
+    assert(v2.filter(col("o_flag").isNull).count() == v1df.count())
+    assert(v2.filter(col("o_flag") === 7L).count() == evolved.count())
+    // a v1-only manifest is untouched by the evolution: no phantom column
+    assert(Snapshots.read(spark, root, Some(1)).columns.toSeq ==
+      Seq("o_orderkey", "o_custkey"))
+    // the delta carries the evolved column, fully populated
+    val delta = Snapshots.readAdded(spark, root, 1, 2)
+    assert(delta.columns.contains("o_flag"))
+    assert(delta.filter(col("o_flag").isNull).count() == 0)
+    // retyping a column is refused loudly, not silently mis-read
+    intercept[IllegalArgumentException] {
+      Snapshots.publish(spark, root,
+        evolved.withColumn("o_custkey", col("o_custkey").cast("string")),
+        append = true)
+    }
+  }
+
+  test("publishing an empty frame reads back as an empty frame with schema") {
+    val root = freshRoot("emptypub")
+    Snapshots.publish(spark, root, orders.filter(lit(false)))
+    val back = Snapshots.read(spark, root)
+    assert(back.isEmpty)
+    assert(back.columns.sameElements(orders.columns))
+  }
+
+  test("compact rewrites the current version; history reads pre-compaction bytes") {
+    val root = freshRoot("compactsnap")
+    val ten = orders.limit(1000)
+    Snapshots.publish(spark, root, ten.repartition(8))
+    val v1Files = Snapshots.files(spark, root, 1)
+    assert(v1Files.size == 8)
+    val before = Snapshots.read(spark, root, Some(1))
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+    val v2 = Snapshots.compact(spark, root, targetBytes = Long.MaxValue)
+    assert(v2 == 2)
+    assert(Snapshots.files(spark, root, 2).size == 1)
+    // same contents through the compaction
+    assert(Snapshots.read(spark, root, Some(2))
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head() == before)
+    // time travel to the pre-compaction version still reads the old bytes
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    v1Files.foreach(f => assert(fs.exists(new Path(s"$root/$f"))))
+    assert(Snapshots.read(spark, root, Some(1))
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head() == before)
+    // expire + vacuum reclaims the 8 small files
+    Snapshots.expire(spark, root, keepLast = 1)
+    assert(Snapshots.vacuum(spark, root, graceMs = 0L) == 8L)
+    v1Files.foreach(f => assert(!fs.exists(new Path(s"$root/$f"))))
+  }
+
+  test("mergeByKey publishes a new version; old manifests resolve byte-identically") {
+    val root = freshRoot("mergesnap")
+    // deterministic base slice — limit() could pick different rows on the
+    // re-evaluations below, silently decoupling delta keys from the table
+    val base = orders.filter(col("o_orderkey") < 4000)
+    val nBase = base.count()
+    Snapshots.publish(spark, root, base.repartition(4))
+    val preAgg = Snapshots.read(spark, root, Some(1))
+      .agg(count(lit(1)), sum(col("o_orderkey")), sum(length(col("o_orderstatus")))).head()
+    val v1Files = Snapshots.files(spark, root, 1)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1Lens = v1Files.map(f => f -> fs.getFileStatus(new Path(s"$root/$f")).getLen).toMap
+
+    val keys = base.select(col("o_orderkey"))
+    val nDel = base.filter(col("o_orderkey") % 10 === 1).count()
+    val upd = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("MERGED")).withColumn("__del", lit(false))
+    val del = base.filter(col("o_orderkey") % 10 === 1).withColumn("__del", lit(true))
+    val ins = base.filter(col("o_orderkey") % 10 === 2)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+      .withColumn("o_orderstatus", lit("INSERTED")).withColumn("__del", lit(false))
+    val nIns = base.filter(col("o_orderkey") % 10 === 2).count()
+    val v2 = Snapshots.mergeByKey(spark, root,
+      upd.unionByName(del).unionByName(ins), Seq("o_orderkey"), Some("__del"))
+    assert(v2 == 2)
+
+    val merged = Snapshots.read(spark, root, Some(2))
+    assert(merged.count() == nBase - nDel + nIns)
+    assert(merged.filter(col("o_orderstatus") === "MERGED").count() ==
+      base.filter(col("o_orderkey") % 10 === 0).count())
+    assert(merged.filter(col("o_orderstatus") === "INSERTED").count() == nIns)
+    // deleted keys are gone; non-delta keys untouched
+    assert(merged.join(keys.filter(col("o_orderkey") % 10 === 1),
+      Seq("o_orderkey"), "left_semi").count() == 0)
+    // v1 still reads back byte-identically: same files, same lengths, same rows
+    assert(Snapshots.files(spark, root, 1) == v1Files)
+    v1Files.foreach { f =>
+      assert(fs.getFileStatus(new Path(s"$root/$f")).getLen == v1Lens(f), s"$f changed")
+    }
+    assert(Snapshots.read(spark, root, Some(1))
+      .agg(count(lit(1)), sum(col("o_orderkey")), sum(length(col("o_orderstatus")))).head()
+      == preAgg)
+    // copy-on-write is file-granular: every delta key appears in every
+    // base file here (keys mod 10 spread across 4 hash partitions), so
+    // all 4 rewrite — but a no-op delta must rewrite NOTHING
+    val v3 = Snapshots.mergeByKey(spark, root,
+      upd.filter(lit(false)), Seq("o_orderkey"), Some("__del"))
+    assert(Snapshots.files(spark, root, v3) == Snapshots.files(spark, root, 2))
+  }
+
+  test("mergeByKey evolves schema when the delta carries a new column") {
+    val root = freshRoot("mergeevolve")
+    val base = orders.filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"), col("o_custkey"))
+    Snapshots.publish(spark, root, base)
+    val delta = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_note", lit("patched"))
+    Snapshots.mergeByKey(spark, root, delta, Seq("o_orderkey"))
+    val merged = Snapshots.read(spark, root, Some(2))
+    assert(merged.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_note"))
+    assert(merged.filter(col("o_note") === "patched").count() == delta.count())
+    assert(merged.count() == base.count())
+  }
+
+  test("Upsert.mergeByKey refuses to swap partitions under a snapshot root") {
+    val root = freshRoot("upsertguard")
+    Snapshots.publish(spark, root, orders.limit(10))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Upsert.mergeByKey(spark, root,
+        orders.limit(1).withColumn("day", lit("20240101")),
+        keyCols = Seq("o_orderkey"), partNames = Seq("day"))
+    }
+    assert(e.getMessage.contains("_snapshots"))
   }
 
   test("read of a missing version and empty roots fail loudly") {
