@@ -22,6 +22,7 @@ object SparkEntry {
       q.Extras.entries ++
       q.Extras2.entries ++
       q.Extras3.entries ++
+      q.Extras4.entries ++
       q.Curation.entries
 
   {

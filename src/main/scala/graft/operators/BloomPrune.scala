@@ -56,9 +56,12 @@ object BloomPrune {
       fpp: Double = 0.01): DataFrame = {
     val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
     val might = coalesce(BloomMightContain(col(probeKey), bf), lit(false))
+    // alias the build key so same-named probe/build keys (the common
+    // case) don't both resolve against the join output (AMBIGUOUS_REFERENCE)
+    val bk = "__graft_bloom_build_key"
     probe.filter(might)
-      .join(build.select(col(buildKey)),
-        col(probeKey) === col(buildKey), "left_semi")
+      .join(build.select(col(buildKey).as(bk)),
+        col(probeKey) === col(bk), "left_semi")
   }
 
   /** `probe LEFT ANTI JOIN build ON probe(probeKey) = build(buildKey)`:
@@ -75,9 +78,10 @@ object BloomPrune {
     val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
     val might = coalesce(BloomMightContain(col(probeKey), bf), lit(false))
     val definiteOut = probe.filter(!might)
+    val bk = "__graft_bloom_build_key"
     val suspects = probe.filter(might)
-      .join(build.select(col(buildKey)),
-        col(probeKey) === col(buildKey), "left_anti")
+      .join(build.select(col(buildKey).as(bk)),
+        col(probeKey) === col(bk), "left_anti")
     definiteOut.unionByName(suspects)
   }
 

@@ -34,6 +34,14 @@ import scala.collection.mutable
   * guarantee is vacuous) — a silent best-effort top-k is how skew
   * decisions go wrong. The candidate pass carries counts as data rows
   * (not accumulators), so task retries can't distort the certificate.
+  *
+  * CONTRACT: the input must be DETERMINISTIC across the two passes —
+  * the candidate pass and the exact re-count each scan `tokens` once,
+  * and the certificate relates pass-1's n/candidates to pass-2's
+  * counts. A nondeterministic source (sampling without a fixed seed,
+  * rand-derived columns, a table mutating mid-job) can yield a
+  * certificate that claims exactness for counts it never saw —
+  * `.cache()` the projection first if the source can't promise this.
   */
 object HeavyHitters {
 
@@ -81,11 +89,7 @@ object HeavyHitters {
     if (candidates.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         new org.apache.spark.sql.types.StructType().add(tokenCol, "string").add("cnt", "long"))
-    // exact re-count restricted to candidates: isin over a driver-bounded
-    // set reaches the scan as a pushed filter; the group-by shuffles only
-    // candidate keys
-    val exact = toks.filter(col(tokenCol).isInCollection(candidates))
-      .groupBy(col(tokenCol)).agg(count(lit(1)).as("cnt"))
+    val exact = recount(spark, toks, tokenCol, candidates)
       .orderBy(desc("cnt"), asc(tokenCol))
       .limit(k)
       .collect()
@@ -103,5 +107,22 @@ object HeavyHitters {
       spark.sparkContext.parallelize(exact.toIndexedSeq, 1),
       new org.apache.spark.sql.types.StructType()
         .add(tokenCol, "string").add("cnt", "long"))
+  }
+
+  /** Exact counts restricted to the candidate set, as a BROADCAST
+    * left-semi join — never an `isInCollection` literal list. Candidates
+    * are bounded by m × numPartitions; at the design point (m=4096 over
+    * a 100 TB scan's ~1e5 tasks) that is millions of entries — as an
+    * In/InSet the list would be rebuilt into every task's plan binary,
+    * a cost that grows with CLUSTER WIDTH; as a broadcast hash relation
+    * it ships once per executor. The group-by after the semi join still
+    * shuffles only candidate keys.
+    */
+  private[graft] def recount(spark: SparkSession, toks: DataFrame,
+      tokenCol: String, candidates: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val candDf = candidates.toDF(tokenCol)
+    toks.join(broadcast(candDf), Seq(tokenCol), "left_semi")
+      .groupBy(col(tokenCol)).agg(count(lit(1)).as("cnt"))
   }
 }

@@ -195,12 +195,10 @@ object Extras3 {
         |  count(*) AS n_events, sum(value) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
       import graft.streaming.EventStreams
-      val staged = java.nio.file.Files.createTempDirectory("graft-q131")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val q = EventStreams.sessionCounts(EventStreams.readEvents(s, staged.toString))
+      // glob read of the source dir — no driver-side staging copy; the
+      // file-stream source takes the glob's parent as basePath
+      val q = EventStreams.sessionCounts(
+          EventStreams.readEvents(s, s"$dir/events*.parquet"))
         .writeStream.outputMode("complete").format("memory")
         .queryName("q131_out").start()
       q.processAllAvailable(); q.stop()

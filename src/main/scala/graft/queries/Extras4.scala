@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 tier: snapshot schema evolution, snapshot-preserving MERGE,
+  * and the stream-stream join — each under the DuckDB oracle.
+  */
+object Extras4 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  private def freshRoot(s: SparkSession, name: String, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-ops/${name}_${dir.replaceAll("[^a-z0-9.]", "_")}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun
+    root
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Snapshot schema evolution end-to-end: v1 publishes two columns,
+    // v2 append-publishes the 1996+ slice with a NEW computed column
+    // (o_year). The oracle recomputes every read from the source table,
+    // so a hash match proves: (a) v2 reads under the union schema with
+    // the pre-evolution files null-filled, (b) a v1-only manifest keeps
+    // v1's schema — no phantom column, and (c) the incremental delta
+    // carries the evolved column fully populated (it reads under v2's
+    // schema, never a sampled old footer). This is the first schema
+    // change a real user hits after adopting snapshots — the case the
+    // reference's whole-tree copies (TransWholeTablePartition.java:95-120)
+    // were immune to by construction and the manifest layer must not
+    // regress.
+    QueryDef.checked(
+      "q133_snapshot_evolution",
+      """SELECT 'v1' AS part, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(NULL AS BIGINT) AS n_year_null, CAST(NULL AS BIGINT) AS sum_year
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |UNION ALL
+        |SELECT 'v2', count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |           THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |           THEN year(o_orderdate) END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'delta', count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(sum(year(o_orderdate)) AS BIGINT)
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "snap_evolve", dir)
+      val orders = t(s, dir, "orders")
+      Snapshots.publish(s, root,
+        orders.filter(col("o_orderdate") < lit("1996-01-01"))
+          .select(col("o_orderkey"), col("o_custkey")))
+      Snapshots.publish(s, root,
+        orders.filter(col("o_orderdate") >= lit("1996-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year")),
+        append = true)
+      def profile(df: DataFrame, part: String): DataFrame = {
+        val hasYear = df.columns.contains("o_year")
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("long").as("sum_key"),
+          (if (hasYear) sum(when(col("o_year").isNull, 1).otherwise(0)).cast("long")
+           else lit(null).cast("long")).as("n_year_null"),
+          (if (hasYear) sum(col("o_year")).cast("long")
+           else lit(null).cast("long")).as("sum_year"))
+          .select(lit(part).as("part"), col("n_rows"), col("sum_key"),
+            col("n_year_null"), col("sum_year"))
+      }
+      profile(Snapshots.read(s, root, Some(1)), "v1")
+        .unionByName(profile(Snapshots.read(s, root, Some(2)), "v2"))
+        .unionByName(profile(Snapshots.readAdded(s, root, 1, 2), "delta"))
+    },
+
+    // Snapshot-preserving MERGE + time travel: publish orders as v1,
+    // merge a delta (updates, deletes, inserts — keyed off o_orderkey
+    // mod 97 so it's deterministic and SQL-expressible), then aggregate
+    // BOTH versions through the manifest layer. The oracle recomputes v1
+    // from the untouched source — so the v1 row passing AFTER the merge
+    // is the proof that copy-on-write MERGE left history intact (the
+    // corruption path an in-place swap would open, which Upsert now
+    // refuses under snapshot roots). The v2 row proves full MERGE
+    // semantics: update wins whole-row, tombstones remove, inserts land.
+    QueryDef.checked(
+      "q134_snapshot_merge",
+      """SELECT 1 AS version, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(0 AS BIGINT) AS n_special
+        |FROM orders
+        |UNION ALL
+        |SELECT 2,
+        |  count(*) FILTER (WHERE o_orderkey % 97 <> 1)
+        |    + count(*) FILTER (WHERE o_orderkey % 97 = 2),
+        |  CAST(coalesce(sum(o_orderkey) FILTER (WHERE o_orderkey % 97 <> 1), 0)
+        |    + coalesce(sum(o_orderkey + 100000000) FILTER (WHERE o_orderkey % 97 = 2), 0)
+        |    AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE o_orderkey % 97 = 0)
+        |    + count(*) FILTER (WHERE o_orderkey % 97 = 2) AS BIGINT)
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "snap_merge", dir)
+      val orders = t(s, dir, "orders")
+      Snapshots.publish(s, root, orders)
+      val kmod = col("o_orderkey") % 97
+      val upd = orders.filter(kmod === 0)
+        .withColumn("o_orderpriority", lit("9-MERGED"))
+        .withColumn("__del", lit(false))
+      val del = orders.filter(kmod === 1).withColumn("__del", lit(true))
+      val ins = orders.filter(kmod === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_orderpriority", lit("9-INSERTED"))
+        .withColumn("__del", lit(false))
+      Snapshots.mergeByKey(s, root, upd.unionByName(del).unionByName(ins),
+        keyCols = Seq("o_orderkey"), tombstoneCol = Some("__del"))
+      Seq(1, 2).map { v =>
+        Snapshots.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"),
+            sum(when(col("o_orderpriority").startsWith("9-"), 1).otherwise(0))
+              .cast("long").as("n_special"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_key"), col("n_special"))
+      }.reduce(_.unionByName(_))
+    },
+
+    // Watermarked STREAM-STREAM join under the batch oracle: view →
+    // purchase attribution within 1 hour per user, run to completion
+    // over the file source and checked against the batch interval-join
+    // SQL — the last Structured Streaming surface without a CORRECTNESS
+    // entry (tumbling/sliding/session/dedup/foreachBatch all have one).
+    // Both sides carry watermarks and the join condition bounds event
+    // time, so buffered state evicts as the watermark advances
+    // (StreamingSpec pins the eviction); completeness at run end is what
+    // the oracle hash proves.
+    QueryDef.checked(
+      "q135_stream_attribution",
+      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+        |  p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      import graft.streaming.EventStreams
+      // glob form: the file-stream source requires a directory or glob
+      // basePath — a bare file path is rejected (matches only events.parquet)
+      val events = EventStreams.readEvents(s, s"$dir/events*.parquet")
+      val joined = EventStreams.correlated(
+        events.filter(col("event_type") === "view"),
+        events.filter(col("event_type") === "purchase"),
+        maxDelay = "1 hour")
+      val q = joined
+        .select(col("user_id"), col("l_id").as("view_id"), col("r_id").as("purchase_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("q135_out").start()
+      q.processAllAvailable(); q.stop()
+      s.table("q135_out")
+    }
+  )
+}

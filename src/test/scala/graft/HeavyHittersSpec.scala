@@ -58,6 +58,22 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(r.isEmpty && r.columns.sameElements(Array("token", "cnt")))
   }
 
+  test("recount plan is a broadcast semi join, never an In/InSet literal list") {
+    import spark.implicits._
+    val toks = Seq("a", "a", "b", "c").toDF("token")
+    val cands = (0 until 600).map(i => s"c$i") :+ "a" // large enough that no In-set shortcut fires
+    val plan = HeavyHitters.recount(spark, toks, "token", cands)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join in:\n$plan")
+    assert(!plan.contains("InSet") && !plan.contains(" IN ("),
+      s"candidate list must not appear as a literal In/InSet:\n$plan")
+    // and the counts are right
+    val got = HeavyHitters.recount(spark, toks, "token", cands).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 2L))
+  }
+
   test("ties at the k-th position break by token ascending on both paths") {
     import spark.implicits._
     val df = Seq("z", "z", "y", "y", "x", "x", "w").toDF("token")

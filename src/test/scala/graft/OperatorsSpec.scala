@@ -107,6 +107,13 @@ class OperatorsSpec extends AnyFunSuite {
       expectedKeys = 2, fpp = 0.5)
     assert(tight.collect().map(_.toString).sorted.toSeq ==
       semiExact.collect().map(_.toString).sorted.toSeq)
+    // SAME-NAMED keys on both sides (the common join shape) must not hit
+    // AMBIGUOUS_REFERENCE — the operator aliases the build key internally
+    val sameName = Seq(1L, 2L, 7L).toDF("k")
+    assert(BloomPrune.semiJoin(probe, sameName, "k", "k", expectedKeys = 100)
+      .select("tag").as[String].collect().sorted.toSeq == Seq("a", "b", "b2"))
+    assert(BloomPrune.antiJoin(probe, sameName, "k", "k", expectedKeys = 100)
+      .select("tag").as[String].collect().sorted.toSeq == Seq("c", "nullkey", "x"))
   }
 
   test("CLI upsert verb merges a delta end-to-end (derived partition key)") {
