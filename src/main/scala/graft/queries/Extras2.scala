@@ -13,8 +13,8 @@ object Extras2 {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
-  private def scratch(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-ops/$name"
+  private def scratch(owner: String, kind: String, dir: String): String =
+    graft.Scratch.dir(owner, kind, dir)
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -29,7 +29,7 @@ object Extras2 {
         |WHERE l_shipdate >= TIMESTAMP '1996-03-10 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-03-17 00:00:00'
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val dest = scratch(s"pruned_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      val dest = scratch("q48_partition_pruned", "pruned", dir)
       Migrate.migrateRange(s, s"$dir/lineitem.parquet", dest,
         dateCol = "l_shipdate", start = "1996-03-01", end = "1996-03-31")
       s.read.parquet(dest)

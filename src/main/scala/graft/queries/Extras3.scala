@@ -78,7 +78,7 @@ object Extras3 {
         |UNION ALL
         |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin) { (s, dir) =>
-      val root = s"${sys.props("java.io.tmpdir")}/graft-ops/snapshots_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      val root = graft.Scratch.dir("q128_snapshot_travel", "snapshots", dir)
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun
@@ -107,7 +107,7 @@ object Extras3 {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val root = s"${sys.props("java.io.tmpdir")}/graft-ops/snap_incr_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      val root = graft.Scratch.dir("q129_snapshot_incremental", "snap_incr", dir)
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun

@@ -12,8 +12,8 @@ object Extras4 {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
-  private def freshRoot(s: SparkSession, name: String, dir: String): String = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft-ops/${name}_${dir.replaceAll("[^a-z0-9.]", "_")}"
+  private def freshRoot(s: SparkSession, owner: String, name: String, dir: String): String = {
+    val root = graft.Scratch.dir(owner, name, dir)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun
@@ -51,7 +51,7 @@ object Extras4 {
         |SELECT 'delta', count(*), CAST(sum(o_orderkey) AS BIGINT),
         |  CAST(0 AS BIGINT), CAST(sum(year(o_orderdate)) AS BIGINT)
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin) { (s, dir) =>
-      val root = freshRoot(s, "snap_evolve", dir)
+      val root = freshRoot(s, "q133_snapshot_evolution", "snap_evolve", dir)
       val orders = t(s, dir, "orders")
       Snapshots.publish(s, root,
         orders.filter(col("o_orderdate") < lit("1996-01-01"))
@@ -103,7 +103,7 @@ object Extras4 {
         |  CAST(count(*) FILTER (WHERE o_orderkey % 97 = 0)
         |    + count(*) FILTER (WHERE o_orderkey % 97 = 2) AS BIGINT)
         |FROM orders""".stripMargin) { (s, dir) =>
-      val root = freshRoot(s, "snap_merge", dir)
+      val root = freshRoot(s, "q134_snapshot_merge", "snap_merge", dir)
       val orders = t(s, dir, "orders")
       Snapshots.publish(s, root, orders)
       val kmod = col("o_orderkey") % 97

@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
-  private def scratch(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-ops/$name"
+  private def scratch(owner: String, kind: String, dir: String): String =
+    graft.Scratch.dir(owner, kind, dir)
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -29,7 +29,7 @@ object Ops {
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val dest = scratch(s"migrate_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      val dest = scratch("q26_migrate_roundtrip", "migrate", dir)
       Migrate.migrateRange(s, s"$dir/lineitem.parquet", dest,
         dateCol = "l_shipdate", start = "1996-03-01", end = "1996-03-31")
       s.read.parquet(dest)
@@ -47,7 +47,7 @@ object Ops {
       """SELECT strftime(o_orderdate, '%Y%m') AS par_key,
         |  count(*) AS n_rows, sum(o_totalprice) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
-      val dest = scratch(s"compact_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      val dest = scratch("q27_compact_roundtrip", "compact", dir)
       Compact.rewritePartitioned(s, s"$dir/orders.parquet", dest,
         partKeyCol = "o_orderdate", pattern = "yyyyMM")
       s.read.parquet(dest)
@@ -64,7 +64,7 @@ object Ops {
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val dest = scratch(s"reconcile_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      val dest = scratch("q28_reconcile_clean", "reconcile", dir)
       Migrate.migrateRange(s, s"$dir/lineitem.parquet", dest,
         dateCol = "l_shipdate", start = "1996-03-01", end = "1996-03-31")
       val srcCols = Tables.load(s, dir, "lineitem").columns
@@ -95,9 +95,8 @@ object Ops {
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       val sub = Migrate.SubPart("l_returnflag", pattern = None, name = "par_sub")
-      val safe = dir.replaceAll("[^a-z0-9.]", "_")
-      val migrated = scratch(s"twolevel_m_$safe")
-      val compacted = scratch(s"twolevel_c_$safe")
+      val migrated = scratch("q56_two_level_roundtrip", "twolevel_m", dir)
+      val compacted = scratch("q56_two_level_roundtrip", "twolevel_c", dir)
       Migrate.migrateRange(s, s"$dir/lineitem.parquet", migrated,
         dateCol = "l_shipdate", start = "1996-03-01", end = "1996-03-31",
         subPart = Some(sub))
@@ -129,7 +128,7 @@ object Ops {
         |  count(*) AS n_rows, sum(o_totalprice) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
       val safe = dir.replaceAll("[^a-z0-9]", "_")
-      val root = scratch(s"catalog_$safe")
+      val root = scratch("q63_catalog_roundtrip", "catalog", dir)
       s.sql(s"CREATE DATABASE IF NOT EXISTS gcat_src_$safe LOCATION '$root/src.db'")
       s.sql(s"CREATE DATABASE IF NOT EXISTS gcat_dst_$safe LOCATION '$root/dst.db'")
       graft.operators.Catalog.register(s, s"gcat_src_$safe", "orders",
@@ -153,7 +152,7 @@ object Ops {
         |  min(value) AS value_min, max(value) AS value_max,
         |  count(*) - count(value) AS value_nulls
         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
-      val dest = scratch(s"stats_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      val dest = scratch("q67_stats_triage", "stats", dir)
       Tables.load(s, dir, "events")
         .withColumn("par_key", date_format(col("ts"), "yyyyMMdd"))
         .write.partitionBy("par_key").mode("overwrite").parquet(dest)
@@ -172,8 +171,8 @@ object Ops {
       """SELECT strftime(ts, '%Y%m%d') AS par_key, count(*) AS n_rows,
         |  CAST(sum(user_id) AS BIGINT) AS sum_user, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
-      val src = scratch(s"cluster_src_${dir.replaceAll("[^a-z0-9.]", "_")}")
-      val dest = scratch(s"cluster_dst_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      val src = scratch("q76_clustered_compact", "cluster_src", dir)
+      val dest = scratch("q76_clustered_compact", "cluster_dst", dir)
       Tables.load(s, dir, "events").write.mode("overwrite").parquet(src)
       Compact.rewritePartitioned(s, src, dest, partKeyCol = "ts",
         clusterBy = Seq("user_id"))
@@ -192,7 +191,7 @@ object Ops {
       """SELECT strftime(l_shipdate, '%Y') AS par_key, count(*) AS n_rows,
         |  sum(l_quantity) AS sum_qty, CAST(sum(l_partkey * 31 + l_suppkey) AS BIGINT) AS key_sig
         |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
-      val dest = scratch(s"zorder_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      val dest = scratch("q101_zorder_roundtrip", "zorder", dir)
       Compact.rewritePartitioned(s, s"$dir/lineitem.parquet", dest,
         partKeyCol = "l_shipdate", pattern = "yyyy",
         zorderBy = Seq("l_partkey", "l_suppkey"))
@@ -236,7 +235,7 @@ object Ops {
       // rounding-granularity boundary (…809.45) where engine-vs-oracle
       // summation-order ulps flip the last compared digit
       import graft.operators.Upsert
-      val dest = scratch(s"merge_${dir.replaceAll("[^a-z0-9.]", "_")}")
+      val dest = scratch("q121_merge_upsert", "merge", dir)
       val withKey = Tables.load(s, dir, "orders")
         .withColumn("par_key", date_format(col("o_orderdate"), "yyyyMM"))
       // shuffle by key before partitionBy: without it every input split

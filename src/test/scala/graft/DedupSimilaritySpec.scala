@@ -74,6 +74,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "plan contains BroadcastNestedLoopJoin")
   }
 
+  test("ANN queries emit a self-evidencing recall column at or above the spec floors") {
+    // the artifact-level form of the floors pinned operator-by-operator
+    // below: each rows-only ANN query carries per-query recall vs the
+    // exact top-5, so the emitted rows themselves evidence accuracy
+    val floors = Seq(
+      "q38_ann_lsh" -> 0.8, "q54_ann_ivf" -> 0.3, "q62_ann_quantized" -> 0.85,
+      "q68_ann_pq" -> 0.9, "q72_ann_ivfpq" -> 0.5, "q84_ann_opq" -> 0.85)
+    floors.foreach { case (q, floor) =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(df.columns.contains("recall"), s"$q must emit a recall column")
+      val mean = df.agg(avg(col("recall"))).head().getDouble(0)
+      assert(mean >= floor, s"$q mean emitted recall $mean below floor $floor")
+    }
+  }
+
   test("LSH ANN recall vs brute force top-5") {
     val queries = emb.filter(col("vec_id") < 100)
     val exact = Similarity.bruteForceTopK(emb, queries, 5)
