@@ -248,6 +248,57 @@ object Snapshots {
     else readFiles(spark, root, added, schema, s"delta v$from..v$to")
   }
 
+  /** Row-level CHANGE DATA FEED between two versions, derived purely
+    * from the manifests plus a key: scan only the files `to` added and
+    * the files it dropped, full-outer join them on `keyCols`, and
+    * classify —
+    *
+    *   - key only in added files           → `insert` (new image)
+    *   - key in both, non-key columns differ → `update` (new image)
+    *   - key in both, row identical        → NOT a change (a rewrite:
+    *     compaction/merge survivors cancel out — CDC over a pure
+    *     compaction is empty)
+    *   - key only in removed files         → `delete` (last image)
+    *
+    * Cost is O(changed files), never O(table): shared files appear in
+    * neither side. Old files read under `from`'s schema aligned up to
+    * `to`'s (evolution-added columns null-fill), so a row whose only
+    * change is a newly-populated column classifies as `update`.
+    * Contract: `keyCols` unique per version (the [[mergeByKey]]
+    * precondition); rows violating it produce join fan-out, not wrong
+    * classes. Returns `change` + the key + the image columns.
+    */
+  def changes(spark: SparkSession, root: String, from: Int, to: Int,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "changes needs key columns to classify rows")
+    val fFrom = files(spark, root, from).toSet
+    val fTo = files(spark, root, to).toSet
+    val newRows = readFiles(spark, root, (fTo -- fFrom).toSeq.sorted,
+      schemaOf(spark, root, to), s"v$to added")
+    val oldRaw = readFiles(spark, root, (fFrom -- fTo).toSeq.sorted,
+      schemaOf(spark, root, from), s"v$from removed")
+    val cols = newRows.columns.toSeq
+    keyCols.foreach(k => require(cols.contains(k), s"key column $k not in v$to schema"))
+    // align removed-file rows up to the `to` schema (null-fill evolution)
+    val oldRows = oldRaw.select(cols.map(c =>
+      if (oldRaw.columns.contains(c)) col(c)
+      else lit(null).cast(newRows.schema(c).dataType).as(c)): _*)
+    val nonKey = cols.filterNot(keyCols.contains)
+    // all-key tables still need a non-empty struct to carry presence
+    val packFields = if (nonKey.isEmpty) Seq(lit(1).as("__present")) else nonKey.map(col)
+    def packed(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+ struct(packFields: _*).as(as): _*)
+    packed(newRows, "__new").join(packed(oldRows, "__old"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__old").isNull, lit("insert"))
+          .when(col("__new").isNull, lit("delete"))
+          .when(col("__new") <=> col("__old"), lit(null)) // pure rewrite
+          .otherwise(lit("update")))
+      .filter(col("change").isNotNull)
+      .withColumn("__img", coalesce(col("__new"), col("__old")))
+      .select(col("change") +: keyCols.map(col) ++: nonKey.map(c => col(s"__img.$c")): _*)
+  }
+
   /** Files added and removed between two versions, as a DataFrame
     * (`file`, `change` ∈ added|removed) — the audit surface for "what
     * did version 18 actually change?".

@@ -127,6 +127,82 @@ object Extras4 {
       }.reduce(_.unionByName(_))
     },
 
+    // Row-level change data feed derived from the file-level manifests:
+    // replay q134's merge, then ask "what changed between v1 and v2" —
+    // scanning ONLY the files the merge touched. The oracle recomputes
+    // the three change classes from the source delta definition, so a
+    // hash match proves: inserts/updates/deletes classify exactly, and
+    // the merge's REWRITTEN survivor rows cancel out (file-level churn
+    // is not row-level change — the property that makes a CDC consumer
+    // downstream of compaction/merge see only real mutations).
+    QueryDef.checked(
+      "q136_snapshot_changes",
+      """SELECT 'delete' AS change, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey % 97 = 1
+        |UNION ALL
+        |SELECT 'insert', count(*), CAST(sum(o_orderkey + 100000000) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 97 = 2
+        |UNION ALL
+        |SELECT 'update', count(*), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q136_snapshot_changes", "snap_cdc", dir)
+      val orders = t(s, dir, "orders")
+      Snapshots.publish(s, root, orders)
+      val kmod = col("o_orderkey") % 97
+      val delta = orders.filter(kmod === 0)
+        .withColumn("o_orderpriority", lit("9-MERGED")).withColumn("__del", lit(false))
+        .unionByName(orders.filter(kmod === 1).withColumn("__del", lit(true)))
+        .unionByName(orders.filter(kmod === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_orderpriority", lit("9-INSERTED"))
+          .withColumn("__del", lit(false)))
+      Snapshots.mergeByKey(s, root, delta, Seq("o_orderkey"), Some("__del"))
+      Snapshots.changes(s, root, from = 1, to = 2, keyCols = Seq("o_orderkey"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("long").as("sum_key"))
+    },
+
+    // Compaction under snapshots: publish a many-file version, compact
+    // it (rewrite-then-publish — HDFSMerge's merge-then-delete,
+    // HDFSMerge.java:144-148, with the delete deferred behind history),
+    // then read BOTH versions and emit the row-level CDC between them.
+    // The oracle recomputes both reads from the source and pins the CDC
+    // at zero rows: time travel to the pre-compaction version still
+    // works, and a compaction is row-level silent — the two invariants
+    // that make compaction safe to run behind consumers.
+    QueryDef.checked(
+      "q137_snapshot_compact",
+      """SELECT 'pre' AS part, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS checksum
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1994-01-01 00:00:00'
+        |UNION ALL
+        |SELECT 'post', count(*), CAST(sum(l_orderkey * l_linenumber) AS BIGINT)
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1994-01-01 00:00:00'
+        |UNION ALL
+        |SELECT 'cdc_rows', 0, CAST(0 AS BIGINT)""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q137_snapshot_compact", "snap_compact", dir)
+      val slice = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1994-01-01"))
+      Snapshots.publish(s, root, slice.repartition(16))
+      Snapshots.compact(s, root, targetBytes = 512L << 20)
+      def profile(part: String, v: Int): DataFrame =
+        Snapshots.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey") * col("l_linenumber")).cast("long").as("checksum"))
+          .select(lit(part).as("part"), col("n_rows"), col("checksum"))
+      // key on the FULL row: the fixture's (l_orderkey, l_linenumber) is
+      // deliberately non-unique (q130), and for a pure-rewrite CDC the
+      // identity of interest is the row itself
+      val cdc = Snapshots.changes(s, root, 1, 2,
+          keyCols = slice.columns.toSeq)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("cdc_rows").as("part"), col("n_rows"),
+          lit(0L).as("checksum"))
+      profile("pre", 1).unionByName(profile("post", 2)).unionByName(cdc)
+    },
+
     // Watermarked STREAM-STREAM join under the batch oracle: view →
     // purchase attribution within 1 hour per user, run to completion
     // over the file source and checked against the batch interval-join

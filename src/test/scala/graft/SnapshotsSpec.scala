@@ -281,6 +281,34 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(merged.count() == base.count())
   }
 
+  test("changes: insert/update/delete images, rewrites cancel, evolution-aware") {
+    import org.apache.spark.sql.functions.{col => c}
+    val sqlc = spark
+    import sqlc.implicits._
+    val root = freshRoot("cdc")
+    Snapshots.publish(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").repartition(1))
+    // merge: update k=1, delete k=2, insert k=4 with an EVOLVED column
+    val delta = Seq((1L, "a2", Some("x"), false), (2L, "b", None, true),
+        (4L, "d", Some("y"), false))
+      .toDF("k", "v", "note", "__del")
+    Snapshots.mergeByKey(spark, root, delta, Seq("k"), Some("__del"))
+    val ch = Snapshots.changes(spark, root, 1, 2, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(ch == Set(
+      ("update", 1L, "a2", "x"),   // new image, evolved column populated
+      ("delete", 2L, "b", null),   // last image; old files null-fill note
+      ("insert", 4L, "d", "y")))
+    // k=3 was rewritten unchanged (same file as k=1/k=2) — it must NOT
+    // appear: file-level churn is not row-level change. And CDC over a
+    // pure compaction is empty by the same rule.
+    Snapshots.compact(spark, root)
+    assert(Snapshots.changes(spark, root, 2, 3, Seq("k")).isEmpty)
+    // fabricating changes needs real key columns
+    intercept[IllegalArgumentException](
+      Snapshots.changes(spark, root, 1, 2, Seq("nope")))
+  }
+
   test("Upsert.mergeByKey refuses to swap partitions under a snapshot root") {
     val root = freshRoot("upsertguard")
     Snapshots.publish(spark, root, orders.limit(10))
