@@ -100,6 +100,10 @@ object Snapshots {
   def files(spark: SparkSession, root: String, version: Int): Seq[String] =
     manifestLines(spark, root, version).filterNot(_.startsWith("#"))
 
+  /** A version's raw per-file stats header lines (see [[SnapshotStats]]). */
+  private def statsLinesOf(spark: SparkSession, root: String, version: Int): Seq[String] =
+    manifestLines(spark, root, version).filter(_.startsWith("#stats="))
+
   /** The schema recorded at publish time for a version (None for
     * manifests written before schema recording existed — readers fall
     * back to parquet `mergeSchema` for those).
@@ -141,18 +145,52 @@ object Snapshots {
     * Returns the new version number.
     */
   def publish(spark: SparkSession, root: String, df: DataFrame,
-      append: Boolean = false): Int = {
+      append: Boolean = false, extraHeader: Seq[String] = Nil): Int = {
     val f = fs(spark, root)
     val (dataDir, newFiles) = writeData(f, root, df)
     val prev = versions(spark, root)
     val base: Seq[String] =
       if (append && prev.nonEmpty) files(spark, root, prev.last) else Seq.empty
+    val baseStats: Seq[String] =
+      if (append && prev.nonEmpty) statsLinesOf(spark, root, prev.last) else Seq.empty
     val schema: StructType =
       if (append && prev.nonEmpty)
         schemaOf(spark, root, prev.last).map(unionMerge(_, df.schema)).getOrElse(df.schema)
       else df.schema
-    commit(f, root, prev.lastOption.getOrElse(0) + 1, base ++ newFiles, Some(schema))
+    commit(f, root, prev.lastOption.getOrElse(0) + 1, base ++ newFiles, Some(schema),
+      extraHeader ++ baseStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
+
+  private val BATCH_HEADER = "#batch="
+
+  /** The most recent streaming batch id committed under `root` (scans
+    * manifests newest-first; bounded by version count, not data).
+    */
+  def lastBatchId(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).reverseIterator
+      .flatMap(v => manifestLines(spark, root, v)
+        .find(_.startsWith(BATCH_HEADER)).map(_.drop(BATCH_HEADER.length).toLong))
+      .nextOption()
+
+  /** EXACTLY-ONCE streaming ingest: append-publish one micro-batch as a
+    * new snapshot version, recording the batch id in the manifest header.
+    * A replayed batch (id ≤ the last committed one — Structured
+    * Streaming re-delivers the in-flight batch after a restart) is
+    * SKIPPED, so `foreachBatch { (b, id) => publishStreamBatch(..., id) }`
+    * upgrades the sink's at-least-once contract to exactly-once: the
+    * atomic manifest rename is the transaction, and the id check is the
+    * dedup — the txnVersion/txnAppId idiom, manifest-native. Readers get
+    * a consistent versioned view of the growing table and `readAdded`
+    * gives downstream consumers the per-batch delta. Returns the version
+    * published, or None for a replay. Single-writer per root (the
+    * snapshot layer's standing contract; concurrent batch writers would
+    * race the id check).
+    */
+  def publishStreamBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Option[Int] =
+    if (lastBatchId(spark, root).exists(_ >= batchId)) None
+    else Some(publish(spark, root, batch, append = true,
+      extraHeader = Seq(s"$BATCH_HEADER$batchId")))
 
   /** Write `df` into a fresh immutable `data/<uuid>/` dir; returns the
     * relative dir and its file list. An empty frame may produce zero
@@ -161,7 +199,16 @@ object Snapshots {
     */
   private def writeData(f: FileSystem, root: String, df: DataFrame): (String, Seq[String]) = {
     val dataDir = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
-    df.write.parquet(s"$root/$dataDir")
+    // INT64-micros timestamps, NOT Spark's legacy INT96 default: INT96
+    // columns carry no parquet footer statistics, which would blind
+    // [[SnapshotStats]] file skipping on every timestamp column. Applied
+    // via a cloned session so concurrent queries on the caller's session
+    // never see the override (results written elsewhere must keep the
+    // session default — the driver's compare is representation-sensitive).
+    org.apache.spark.sql.graftbridge.SessionBridge.withIsolatedConf(df,
+      Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")) {
+      _.write.parquet(s"$root/$dataDir")
+    }
     val newFiles = f.listStatus(new Path(s"$root/$dataDir")).toSeq
       .map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
@@ -178,15 +225,16 @@ object Snapshots {
     val f = fs(spark, root)
     val next = versions(spark, root).lastOption.getOrElse(0) + 1
     commit(f, root, next, files(spark, root, toVersion),
-      schemaOf(spark, root, toVersion))
+      schemaOf(spark, root, toVersion), statsLinesOf(spark, root, toVersion))
   }
 
   private def commit(f: FileSystem, root: String, v: Int, list: Seq[String],
-      schema: Option[StructType]): Int = {
+      schema: Option[StructType], statsLines: Seq[String] = Nil): Int = {
     val target = manifestPath(root, v)
     val tmp = new Path(target.toString + TMP_SUFFIX)
     f.mkdirs(target.getParent)
-    val header = schema.map(s => SCHEMA_HEADER + s.json + "\n").getOrElse("")
+    val header = schema.map(s => SCHEMA_HEADER + s.json + "\n").getOrElse("") +
+      statsLines.map(_ + "\n").mkString
     val out = f.create(tmp, true)
     try out.write((header + list.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -269,7 +317,7 @@ object Snapshots {
     * classes. Returns `change` + the key + the image columns.
     */
   def changes(spark: SparkSession, root: String, from: Int, to: Int,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], preImages: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "changes needs key columns to classify rows")
     val fFrom = files(spark, root, from).toSet
     val fTo = files(spark, root, to).toSet
@@ -288,15 +336,27 @@ object Snapshots {
     val packFields = if (nonKey.isEmpty) Seq(lit(1).as("__present")) else nonKey.map(col)
     def packed(df: DataFrame, as: String): DataFrame =
       df.select(keyCols.map(col) :+ struct(packFields: _*).as(as): _*)
+    // an update is one row (new image) by default; with `preImages` it
+    // splits into update_preimage (old) + update_postimage (new) — the
+    // retract/apply pair incremental view maintenance needs
+    val updateRows =
+      if (preImages)
+        array(struct(lit("update_preimage").as("change"), col("__old").as("img")),
+          struct(lit("update_postimage").as("change"), col("__new").as("img")))
+      else array(struct(lit("update").as("change"), col("__new").as("img")))
     packed(newRows, "__new").join(packed(oldRows, "__old"), keyCols, "full_outer")
-      .withColumn("change",
-        when(col("__old").isNull, lit("insert"))
-          .when(col("__new").isNull, lit("delete"))
-          .when(col("__new") <=> col("__old"), lit(null)) // pure rewrite
-          .otherwise(lit("update")))
-      .filter(col("change").isNotNull)
-      .withColumn("__img", coalesce(col("__new"), col("__old")))
-      .select(col("change") +: keyCols.map(col) ++: nonKey.map(c => col(s"__img.$c")): _*)
+      .withColumn("__rows",
+        when(col("__old").isNull,
+          array(struct(lit("insert").as("change"), col("__new").as("img"))))
+          .when(col("__new").isNull,
+            array(struct(lit("delete").as("change"), col("__old").as("img"))))
+          // pure rewrite: no change — explode() of the null array emits
+          // zero rows, so rewrites vanish without a separate filter
+          .when(col("__new") <=> col("__old"), lit(null))
+          .otherwise(updateRows))
+      .select(keyCols.map(col) :+ explode(col("__rows")).as("__r"): _*)
+      .select(col("__r.change").as("change") +: keyCols.map(col)
+        ++: nonKey.map(c => col(s"__r.img.$c")): _*)
   }
 
   /** Files added and removed between two versions, as a DataFrame
@@ -460,7 +520,8 @@ object Snapshots {
     val schema = schemaOf(spark, root, v)
     // an empty delta is a no-op merge: publish the same file list rather
     // than writing a (possibly zero-file) data dir nobody references
-    if (delta.isEmpty) return commit(f, root, v + 1, rel, schema)
+    if (delta.isEmpty)
+      return commit(f, root, v + 1, rel, schema, statsLinesOf(spark, root, v))
     val upserts = tombstoneCol.fold(delta)(tc =>
       delta.filter(!coalesce(col(tc), lit(false))).drop(tc))
 
@@ -489,6 +550,49 @@ object Snapshots {
     val (_, newFiles) = writeData(f, root, merged)
     val mergedSchema = schema.map(unionMerge(_, upserts.schema)).getOrElse(
       StructType(merged.schema.fields))
-    commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, Some(mergedSchema))
+    // untouched files keep their stats lines; rewritten files get fresh ones
+    val keptStats = statsLinesOf(spark, root, v).filter { l =>
+      val file = l.stripPrefix("#stats=").takeWhile(_ != '\t')
+      !touched(file)
+    }
+    commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, Some(mergedSchema),
+      keptStats ++ SnapshotStats.collect(spark, root, newFiles))
+  }
+
+  /** The subset of a version's files whose footer stats ADMIT rows with
+    * `column` in `[lo, hi]` — files without usable stats for the column
+    * are kept (pruning is advisory; correctness never depends on it).
+    */
+  def filesBetween(spark: SparkSession, root: String, version: Int,
+      column: String, lo: Any, hi: Any): Seq[String] = {
+    val stats = SnapshotStats.parse(statsLinesOf(spark, root, version))
+    files(spark, root, version).filter { fl =>
+      stats.get(fl).flatMap(_.get(column)) match {
+        case Some(cs) => SnapshotStats.overlaps(cs, lo, hi)
+        case None => true
+      }
+    }
+  }
+
+  /** Range read with MANIFEST-LEVEL file skipping: plan the scan over only
+    * the files whose per-file min/max (collected from parquet footers at
+    * publish time, [[SnapshotStats]]) intersect `[lo, hi]`, then apply the
+    * row-level filter. Semantically identical to
+    * `read(...).filter(col(column).between(lo, hi))` — the footer interval
+    * is a superset guarantee — but the plan never sees the pruned files,
+    * so a narrow time-range query over a range-clustered 100 TB table
+    * costs O(matching files), with no scan tasks scheduled for the rest.
+    * This is the reference's date-range directory selection
+    * (`CommonUtils.java:151-163`) generalized to any stats-bearing column
+    * at file granularity.
+    */
+  def readBetween(spark: SparkSession, root: String, column: String,
+      lo: Any, hi: Any, version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = version.getOrElse(vs.last)
+    readFiles(spark, root, filesBetween(spark, root, v, column, lo, hi),
+      schemaOf(spark, root, v), s"v$v")
+      .filter(col(column).between(lit(lo), lit(hi)))
   }
 }

@@ -234,6 +234,112 @@ object Extras4 {
         .queryName("q135_out").start()
       q.processAllAvailable(); q.stop()
       s.table("q135_out")
+    },
+
+    // Manifest-level FILE SKIPPING: publish lineitem range-clustered on
+    // l_shipdate (so each parquet file covers a narrow shipdate band),
+    // then answer a 3-month range query through readBetween — the scan
+    // plans over ONLY the files whose footer min/max intersect the range.
+    // The oracle recomputes from the full source table, so the hash match
+    // proves pruning is lossless; the in-row `pruned` flag (computed from
+    // the actual kept-vs-all file counts) self-evidences that skipping
+    // really happened — a 16-file range-clustered year span can never
+    // need every file for a 3-month window. At 100 TB this is the
+    // difference between scanning a day and scanning seven years.
+    QueryDef.checked(
+      "q138_snapshot_skipping",
+      """SELECT count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_price,
+        |  CAST(1 AS BOOLEAN) AS pruned
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00'
+        |                     AND TIMESTAMP '1995-08-31 23:59:59'""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q138_snapshot_skipping", "snap_skip", dir)
+      val (lo, hi) = ("1995-06-01 00:00:00", "1995-08-31 23:59:59")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity", "l_extendedprice")
+      Snapshots.publish(s, root, li.repartitionByRange(16, col("l_shipdate")))
+      val v = Snapshots.versions(s, root).last
+      val all = Snapshots.files(s, root, v)
+      val kept = Snapshots.filesBetween(s, root, v, "l_shipdate", lo, hi)
+      Snapshots.readBetween(s, root, "l_shipdate", lo, hi)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_price"))
+        .select(col("n_rows"), col("sum_qty"), col("sum_price"),
+          lit(kept.size < all.size).as("pruned"))
+    },
+
+    // Incremental materialized-view maintenance over the change feed:
+    // build the grouped count/sum view at v1, MERGE the q134 delta into
+    // the base table, then refresh the view by applying ONLY the CDF
+    // (preimage retractions + postimage/insert applications) — O(changes)
+    // instead of O(table). The oracle recomputes the view from the fully
+    // merged final state, so the hash match proves the delta algebra
+    // lands bit-identically where a full rescan would.
+    QueryDef.checked(
+      "q139_incremental_view",
+      """WITH final AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '9-MERGED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_orderkey
+        |  FROM orders WHERE o_orderkey % 97 <> 1
+        |  UNION ALL
+        |  SELECT '9-INSERTED', o_orderkey + 100000000
+        |  FROM orders WHERE o_orderkey % 97 = 2
+        |)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_o_orderkey
+        |FROM final GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q139_incremental_view", "snap_ivm", dir)
+      val orders = t(s, dir, "orders")
+      Snapshots.publish(s, root, orders)
+      val mv1 = IncrementalView.countSum(
+        Snapshots.read(s, root, Some(1)), Seq("o_orderpriority"), Seq("o_orderkey"))
+      val kmod = col("o_orderkey") % 97
+      val delta = orders.filter(kmod === 0)
+        .withColumn("o_orderpriority", lit("9-MERGED")).withColumn("__del", lit(false))
+        .unionByName(orders.filter(kmod === 1).withColumn("__del", lit(true)))
+        .unionByName(orders.filter(kmod === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_orderpriority", lit("9-INSERTED"))
+          .withColumn("__del", lit(false)))
+      Snapshots.mergeByKey(s, root, delta, Seq("o_orderkey"), Some("__del"))
+      val cdf = Snapshots.changes(s, root, 1, 2, Seq("o_orderkey"), preImages = true)
+      IncrementalView.applyCountSum(mv1, cdf, Seq("o_orderpriority"), Seq("o_orderkey"))
+        .select(col("o_orderpriority"), col("n_rows"),
+          col("sum_o_orderkey").cast("long").as("sum_o_orderkey"))
+    },
+
+    // EXACTLY-ONCE streaming ingest into the snapshot layer: the purchase
+    // stream lands via foreachBatch → publishStreamBatch, which records
+    // the micro-batch id in the manifest it atomically commits — a
+    // replayed batch after restart is skipped, so the sink is
+    // exactly-once (SnapshotsSpec pins the replay). The oracle recomputes
+    // the hourly rollup from the source table, so the hash match proves
+    // the versioned ingest lost and duplicated nothing.
+    QueryDef.checked(
+      "q140_stream_snapshot_ingest",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  count(*) AS n_purchases, sum(value) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.streaming.EventStreams
+      val root = freshRoot(s, "q140_stream_snapshot_ingest", "snap_ingest", dir)
+      val purchases = EventStreams.readEvents(s, s"$dir/events*.parquet")
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value")
+      val q = purchases.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Snapshots.publishStreamBatch(batch.sparkSession, root, batch, id)
+          (): Unit
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      Snapshots.read(s, root)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("value")).as("sum_value"))
     }
   )
 }

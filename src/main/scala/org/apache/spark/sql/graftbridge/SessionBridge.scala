@@ -1,0 +1,33 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bridge to `private[sql]` session plumbing (same pattern as
+  * [[ColumnBridge]] — no Spark internals modified).
+  *
+  * `withIsolatedConf` evaluates `body` against a CLONE of the session
+  * (shared SparkContext + shared state, copied session conf) with the
+  * given conf overrides applied to the clone only. This is how an
+  * operator can need a write-path conf (e.g. the snapshot layer's
+  * TIMESTAMP_MICROS parquet output, which INT96 would strip of footer
+  * stats) without mutating the caller's session — concurrent queries on
+  * the original session never observe the override.
+  */
+object SessionBridge {
+
+  /** Rebind a frame's logical plan to another session of the same
+    * SparkContext.
+    */
+  def rebind(df: DataFrame, target: SparkSession): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      target.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.logical)
+
+  def withIsolatedConf[A](df: DataFrame, confs: Map[String, String])
+      (body: DataFrame => A): A = {
+    val cloned = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+    confs.foreach { case (k, v) => cloned.conf.set(k, v) }
+    body(rebind(df, cloned))
+  }
+}

@@ -327,4 +327,110 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.publish(spark, root, orders.limit(1))
     intercept[IllegalArgumentException](Snapshots.files(spark, root, 99))
   }
+
+  test("file skipping: footer stats prune range reads losslessly") {
+    val root = freshRoot("skip")
+    // range-cluster on o_orderkey so files cover disjoint key bands
+    Snapshots.publish(spark, root,
+      orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey")))
+    val v = Snapshots.versions(spark, root).last
+    val all = Snapshots.files(spark, root, v)
+    val kept = Snapshots.filesBetween(spark, root, v, "o_orderkey", 100L, 300L)
+    assert(kept.size < all.size, s"expected pruning: kept ${kept.size} of ${all.size}")
+    assert(kept.nonEmpty)
+    // lossless: pruned read == full read + filter, on multiple column types
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Snapshots.readBetween(spark, root, "o_orderkey", 100L, 300L)) ==
+      rows(Snapshots.read(spark, root).filter(col("o_orderkey").between(100L, 300L))))
+    // timestamp bounds are lossless too (writeData forces INT64-micros
+    // output so the footer carries ts stats; clustering is by key here,
+    // so date pruning may keep everything — losslessness is the claim)
+    assert(rows(Snapshots.readBetween(spark, root, "o_orderdate",
+      "1995-01-01 00:00:00", "1995-03-31 23:59:59")) ==
+      rows(Snapshots.read(spark, root).filter(
+        col("o_orderdate").between(lit("1995-01-01 00:00:00"), lit("1995-03-31 23:59:59")))))
+    // string column pruning is lossless too
+    assert(rows(Snapshots.readBetween(spark, root, "o_orderpriority", "1-URGENT", "2-HIGH")) ==
+      rows(Snapshots.read(spark, root).filter(
+        col("o_orderpriority").between("1-URGENT", "2-HIGH"))))
+  }
+
+  test("file skipping: stats survive rollback and merge; statless files are kept") {
+    val root = freshRoot("skipcarry")
+    Snapshots.publish(spark, root,
+      orders.select("o_orderkey", "o_custkey").repartitionByRange(4, col("o_orderkey")))
+    val before = Snapshots.filesBetween(spark, root, 1, "o_orderkey", 1L, 100L)
+    assert(before.size < Snapshots.files(spark, root, 1).size)
+    // merge a small delta: untouched files keep their stats
+    import spark.implicits._
+    val maxKey = orders.agg(max("o_orderkey")).as[Long].head()
+    Snapshots.mergeByKey(spark, root,
+      Seq((maxKey + 1, 7L)).toDF("o_orderkey", "o_custkey"), Seq("o_orderkey"))
+    val afterMerge = Snapshots.filesBetween(spark, root, 2, "o_orderkey", 1L, 100L)
+    assert(afterMerge.size < Snapshots.files(spark, root, 2).size,
+      "untouched files lost their stats lines across mergeByKey")
+    // rollback carries the stats of the target version forward
+    val v3 = Snapshots.rollback(spark, root, 1)
+    assert(Snapshots.filesBetween(spark, root, v3, "o_orderkey", 1L, 100L).size == before.size)
+    // a version with no stats lines (hand-stripped manifest) keeps all files
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new Path(s"$root/_snapshots/v$v3")
+    val lines = scala.io.Source.fromInputStream(f.open(mPath), "UTF-8").getLines().toList
+    val stripped = lines.filterNot(_.startsWith("#stats="))
+    val out = f.create(mPath, true)
+    out.write((stripped.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
+    assert(Snapshots.filesBetween(spark, root, v3, "o_orderkey", 1L, 100L).size ==
+      Snapshots.files(spark, root, v3).size)
+  }
+
+  test("changes with preImages emits retract/apply pairs; IVM matches recompute") {
+    import spark.implicits._
+    val root = freshRoot("ivm")
+    Snapshots.publish(spark, root,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("k", "g", "x"))
+    // update k=2 (a→40), delete k=3 (group b vanishes), insert k=4 (new group c)
+    Snapshots.mergeByKey(spark, root,
+      Seq((2L, "a", 40L, false), (3L, "b", 0L, true), (4L, "c", 5L, false))
+        .toDF("k", "g", "x", "del"),
+      Seq("k"), Some("del"))
+    val cdf = Snapshots.changes(spark, root, 1, 2, Seq("k"), preImages = true)
+    val got = cdf.select("change", "k", "g", "x").as[(String, Long, String, Long)]
+      .collect().toSet
+    assert(got == Set(
+      ("update_preimage", 2L, "a", 20L), ("update_postimage", 2L, "a", 40L),
+      ("delete", 3L, "b", 30L), ("insert", 4L, "c", 5L)))
+    // incremental refresh == full recompute (group b vanished, c appeared)
+    val mv1 = graft.operators.IncrementalView.countSum(
+      Snapshots.read(spark, root, Some(1)), Seq("g"), Seq("x"))
+    val mv2 = graft.operators.IncrementalView.applyCountSum(mv1, cdf, Seq("g"), Seq("x"))
+    val full = graft.operators.IncrementalView.countSum(
+      Snapshots.read(spark, root, Some(2)), Seq("g"), Seq("x"))
+    assert(mv2.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+    // a preimage-less feed is rejected instead of double-counting
+    val plain = Snapshots.changes(spark, root, 1, 2, Seq("k"))
+    intercept[IllegalArgumentException](
+      graft.operators.IncrementalView.applyCountSum(mv1, plain, Seq("g"), Seq("x")))
+  }
+
+  test("publishStreamBatch: replayed batch ids are skipped (exactly-once)") {
+    import spark.implicits._
+    val root = freshRoot("stream")
+    val b0 = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b1 = Seq((3L, "z")).toDF("id", "v")
+    assert(Snapshots.publishStreamBatch(spark, root, b0, 0L) == Some(1))
+    // restart replays the in-flight batch: same id must NOT publish again
+    assert(Snapshots.publishStreamBatch(spark, root, b0, 0L) == None)
+    assert(Snapshots.publishStreamBatch(spark, root, b1, 1L) == Some(2))
+    assert(Snapshots.lastBatchId(spark, root) == Some(1L))
+    assert(Snapshots.read(spark, root).count() == 3)
+    // the per-batch delta is exactly batch 1's rows
+    assert(Snapshots.readAdded(spark, root, 1, 2).as[(Long, String)].collect().toSet ==
+      Set((3L, "z")))
+    // a non-stream publish in between doesn't break replay detection
+    Snapshots.publish(spark, root, Seq((9L, "w")).toDF("id", "v"), append = true)
+    assert(Snapshots.publishStreamBatch(spark, root, b1, 1L) == None)
+    assert(Snapshots.publishStreamBatch(spark, root, b1, 2L) == Some(4))
+  }
 }
