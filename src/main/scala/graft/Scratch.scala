@@ -23,6 +23,21 @@ object Scratch {
     claim(owner,
       s"${sys.props("java.io.tmpdir")}/graft-ops/${kind}_${sfDir.replaceAll("[^a-z0-9.]", "_")}")
 
+  /** A THROWAWAY dir for one streaming run's checkpoint, on tmpfs when the
+    * host has one (a short local streaming run's fixed cost is dominated
+    * by WAL/state-store fsyncs, which tmpfs absorbs). Unique per call —
+    * a reused checkpoint would make a re-run resume already-committed
+    * offsets and process nothing. Caller deletes it after the run. On a
+    * real cluster checkpoints are durable HDFS paths chosen by the
+    * operator; this helper is only for harness-local runs-to-completion.
+    */
+  def ephemeralCheckpoint(owner: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) shm.getPath else sys.props("java.io.tmpdir")
+    val parent = claim(owner, s"$base/graft-stream-ck/$owner")
+    s"$parent/${java.util.UUID.randomUUID().toString.take(12)}"
+  }
+
   /** Register `path` as owned by `owner`; loud on cross-owner collision. */
   def claim(owner: String, path: String): String = {
     val prev = owners.putIfAbsent(path, owner)

@@ -221,19 +221,32 @@ object Extras4 {
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'""".stripMargin) { (s, dir) =>
       import graft.streaming.EventStreams
+      // stream-stream join state partitioning scales with STATE VOLUME,
+      // not driver cores: every shuffle partition costs 4 state stores ×
+      // per-batch commit, so defaulting to local[32]'s 32 partitions pays
+      // 128 store commits per batch for ~40k buffered rows. Pin a small
+      // count on a cloned session (callers' sessions untouched); a real
+      // deployment sizes this by expected in-flight state.
+      val sess = org.apache.spark.sql.graftbridge.SessionBridge.cloneWithConf(s,
+        Map("spark.sql.shuffle.partitions" ->
+          math.min(8, s.conf.get("spark.sql.shuffle.partitions").toInt).toString))
       // glob form: the file-stream source requires a directory or glob
       // basePath — a bare file path is rejected (matches only events.parquet)
-      val events = EventStreams.readEvents(s, s"$dir/events*.parquet")
+      val events = EventStreams.readEvents(sess, s"$dir/events*.parquet")
       val joined = EventStreams.correlated(
         events.filter(col("event_type") === "view"),
         events.filter(col("event_type") === "purchase"),
-        maxDelay = "1 hour")
+        maxDelay = "1 hour",
+        distinctIds = false) // views and purchases are disjoint id sets
+      val ck = graft.Scratch.ephemeralCheckpoint("q135_stream_attribution")
       val q = joined
         .select(col("user_id"), col("l_id").as("view_id"), col("r_id").as("purchase_id"))
         .writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", ck)
         .queryName("q135_out").start()
-      q.processAllAvailable(); q.stop()
-      s.table("q135_out")
+      try { q.processAllAvailable(); q.stop() }
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      sess.table("q135_out")
     },
 
     // Manifest-level FILE SKIPPING: publish lineitem range-clustered on

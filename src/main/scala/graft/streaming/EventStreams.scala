@@ -119,16 +119,21 @@ object EventStreams {
     * stream-stream join must buffer both sides forever).
     */
   def correlated(left: DataFrame, right: DataFrame,
-      maxDelay: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
+      maxDelay: String = "30 minutes", watermark: String = "2 hours",
+      distinctIds: Boolean = true): DataFrame = {
     val l = left.select(col("event_id").as("l_id"), col("user_id"),
         col("ts").as("l_ts"), col("event_type").as("l_type"))
       .withWatermark("l_ts", watermark)
     val r = right.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
         col("ts").as("r_ts"), col("event_type").as("r_type"))
       .withWatermark("r_ts", watermark)
+    // `distinctIds` guards a TRUE self-join (same stream both sides)
+    // against pairing an event with itself; callers joining disjoint
+    // slices (view→purchase) can drop the comparison from the hot path
+    val idGuard = if (distinctIds) col("l_id") =!= col("r_id") else lit(true)
     l.join(r,
         col("user_id") === col("r_user") &&
-          col("l_id") =!= col("r_id") &&
+          idGuard &&
           col("r_ts") >= col("l_ts") &&
           col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
       .drop("r_user")

@@ -23,11 +23,16 @@ object SessionBridge {
       target.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       df.queryExecution.logical)
 
-  def withIsolatedConf[A](df: DataFrame, confs: Map[String, String])
-      (body: DataFrame => A): A = {
-    val cloned = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .cloneSession()
+  /** A clone of `spark` (shared context, copied session state) with the
+    * given conf overrides applied to the clone only.
+    */
+  def cloneWithConf(spark: SparkSession, confs: Map[String, String]): SparkSession = {
+    val cloned = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
     confs.foreach { case (k, v) => cloned.conf.set(k, v) }
-    body(rebind(df, cloned))
+    cloned
   }
+
+  def withIsolatedConf[A](df: DataFrame, confs: Map[String, String])
+      (body: DataFrame => A): A =
+    body(rebind(df, cloneWithConf(df.sparkSession, confs)))
 }
