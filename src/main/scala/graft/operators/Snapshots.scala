@@ -461,17 +461,37 @@ object Snapshots {
     * deferred behind the version history instead of immediate.
     */
   def compact(spark: SparkSession, root: String,
-      targetBytes: Long = 128L << 20): Int = {
+      targetBytes: Long = 128L << 20, zorderBy: Seq[String] = Nil,
+      minFiles: Int = 1): Int = {
+    require(zorderBy.isEmpty || zorderBy.size >= 2,
+      "zorderBy needs >= 2 columns (a 1-column layout is a plain range sort)")
+    require(minFiles >= 1, "minFiles must be >= 1")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root — nothing to compact")
     val v = vs.last
     val f = fs(spark, root)
     // manifest-driven sizing: one metadata call per listed file — bounded
-    // by the version's file count (the same metadata a read plans over)
+    // by the version's file count (the same metadata a read plans over).
+    // `minFiles` floors the count for LAYOUT-driven rewrites: a z-order
+    // whose data fits one target file would otherwise collapse to a
+    // single all-spanning file and skip nothing.
     val totalBytes = files(spark, root, v)
       .map(r => f.getFileStatus(new Path(s"$root/$r")).getLen).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    publish(spark, root, read(spark, root, Some(v)).repartition(nFiles))
+    val nFiles = math.max(minFiles,
+      math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val base = read(spark, root, Some(v))
+    val rewritten =
+      if (zorderBy.isEmpty) base.repartition(nFiles)
+      else {
+        // Z-ORDER rewrite (same layout reasoning as Compact.merge's
+        // zorderBy): range-partition by CONTIGUOUS z-range then sort
+        // within tasks, so every file's footer min/max is tight on every
+        // clustered column — the input [[SnapshotStats]] needs for
+        // multi-dimensional [[readWhere]] skipping.
+        val zExpr = ZOrder.curve(base, zorderBy)
+        base.repartitionByRange(nFiles, zExpr).sortWithinPartitions(zExpr)
+      }
+    publish(spark, root, rewritten)
   }
 
   /** MERGE a delta into the snapshot table and publish the result as a
@@ -559,19 +579,47 @@ object Snapshots {
       keptStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
 
-  /** The subset of a version's files whose footer stats ADMIT rows with
-    * `column` in `[lo, hi]` — files without usable stats for the column
-    * are kept (pruning is advisory; correctness never depends on it).
+  /** The subset of a version's files whose footer stats ADMIT rows
+    * satisfying EVERY `column BETWEEN lo AND hi` range — files without
+    * usable stats for a column pass that column's test (pruning is
+    * advisory; correctness never depends on it).
     */
-  def filesBetween(spark: SparkSession, root: String, version: Int,
-      column: String, lo: Any, hi: Any): Seq[String] = {
+  def filesWhere(spark: SparkSession, root: String, version: Int,
+      ranges: Map[String, (Any, Any)]): Seq[String] = {
+    require(ranges.nonEmpty, "filesWhere needs at least one column range")
     val stats = SnapshotStats.parse(statsLinesOf(spark, root, version))
     files(spark, root, version).filter { fl =>
-      stats.get(fl).flatMap(_.get(column)) match {
-        case Some(cs) => SnapshotStats.overlaps(cs, lo, hi)
-        case None => true
+      ranges.forall { case (column, (lo, hi)) =>
+        stats.get(fl).flatMap(_.get(column)) match {
+          case Some(cs) => SnapshotStats.overlaps(cs, lo, hi)
+          case None => true
+        }
       }
     }
+  }
+
+  /** Single-column [[filesWhere]]. */
+  def filesBetween(spark: SparkSession, root: String, version: Int,
+      column: String, lo: Any, hi: Any): Seq[String] =
+    filesWhere(spark, root, version, Map(column -> (lo, hi)))
+
+  /** Multi-range read with manifest-level file skipping: the conjunction
+    * of every `column BETWEEN lo AND hi` drives the pruning AND the
+    * row-level filter. With a Z-ordered layout ([[compact]]'s `zorderBy`)
+    * this is the multi-dimensional scan-avoidance pair: the curve makes
+    * per-file min/max tight on EVERY clustered column at once, so a 2-D
+    * selection prunes in both dimensions where a sort could only serve
+    * its leading column.
+    */
+  def readWhere(spark: SparkSession, root: String,
+      ranges: Map[String, (Any, Any)], version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = version.getOrElse(vs.last)
+    val pred = ranges.map { case (c, (lo, hi)) => col(c).between(lit(lo), lit(hi)) }
+      .reduce(_ && _)
+    readFiles(spark, root, filesWhere(spark, root, v, ranges),
+      schemaOf(spark, root, v), s"v$v").filter(pred)
   }
 
   /** Range read with MANIFEST-LEVEL file skipping: plan the scan over only
@@ -587,12 +635,24 @@ object Snapshots {
     * at file granularity.
     */
   def readBetween(spark: SparkSession, root: String, column: String,
-      lo: Any, hi: Any, version: Option[Int] = None): DataFrame = {
+      lo: Any, hi: Any, version: Option[Int] = None): DataFrame =
+    readWhere(spark, root, Map(column -> (lo, hi)), version)
+
+  /** Resolve the version visible AT a wall-clock instant (by manifest
+    * commit mtime) — "read the table as of last Tuesday" without knowing
+    * version numbers. Commit mtimes are monotone under the single-writer
+    * contract.
+    */
+  def versionAt(spark: SparkSession, root: String, asOfMs: Long): Int = {
+    val f = fs(spark, root)
     val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no snapshots published under $root")
-    val v = version.getOrElse(vs.last)
-    readFiles(spark, root, filesBetween(spark, root, v, column, lo, hi),
-      schemaOf(spark, root, v), s"v$v")
-      .filter(col(column).between(lit(lo), lit(hi)))
+      .filter(v => f.getFileStatus(manifestPath(root, v)).getModificationTime <= asOfMs)
+    require(vs.nonEmpty,
+      s"no snapshot under $root existed at ${new java.sql.Timestamp(asOfMs)}")
+    vs.last
   }
+
+  /** Time travel by timestamp: [[read]] of [[versionAt]]. */
+  def readAsOf(spark: SparkSession, root: String, asOfMs: Long): DataFrame =
+    read(spark, root, Some(versionAt(spark, root, asOfMs)))
 }

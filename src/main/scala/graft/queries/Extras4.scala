@@ -353,6 +353,39 @@ object Extras4 {
       Snapshots.read(s, root)
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
         .agg(count(lit(1)).as("n_purchases"), sum(col("value")).as("sum_value"))
+    },
+
+    // Z-ORDER + multi-dimensional file skipping: rewrite the events table
+    // on the (user_id, ts) Morton curve via snapshot-native compaction,
+    // then answer a 2-D selection (a user band within a 3-day window)
+    // through readWhere — the conjunction prunes files in BOTH dimensions
+    // at once, which a plain sort can only do for its leading column. The
+    // oracle recomputes from the source, proving the curve rewrite +
+    // pruning lost nothing; the in-row `pruned` flag (actual kept-vs-all
+    // counts) self-evidences that skipping happened. History stays
+    // intact: v1's unclustered files remain readable (SnapshotsSpec).
+    QueryDef.checked(
+      "q141_zorder_skipping",
+      """SELECT count(*) AS n_rows, sum(value) AS sum_value,
+        |  CAST(1 AS BOOLEAN) AS pruned
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 7
+        |  AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |             AND TIMESTAMP '2024-01-12 23:59:59'""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q141_zorder_skipping", "snap_zskip", dir)
+      val events = t(s, dir, "events").select("event_id", "ts", "user_id", "value")
+      Snapshots.publish(s, root, events.repartition(8))
+      Snapshots.compact(s, root, zorderBy = Seq("user_id", "ts"), minFiles = 16)
+      val v = Snapshots.versions(s, root).last
+      val ranges = Map[String, (Any, Any)](
+        "user_id" -> (3L, 7L),
+        "ts" -> ("2024-01-10 00:00:00", "2024-01-12 23:59:59"))
+      val kept = Snapshots.filesWhere(s, root, v, ranges)
+      val all = Snapshots.files(s, root, v)
+      Snapshots.readWhere(s, root, ranges)
+        .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
+        .select(col("n_rows"), col("sum_value"),
+          lit(kept.size < all.size).as("pruned"))
     }
   )
 }

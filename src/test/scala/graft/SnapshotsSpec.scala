@@ -414,6 +414,44 @@ class SnapshotsSpec extends AnyFunSuite {
       graft.operators.IncrementalView.applyCountSum(mv1, plain, Seq("g"), Seq("x")))
   }
 
+  test("zorder compact: 2-D skipping prunes both dimensions, history intact") {
+    val root = freshRoot("zskip")
+    val events = Tables.load(spark, sf, "events").select("event_id", "ts", "user_id", "value")
+    Snapshots.publish(spark, root, events.repartition(8))
+    val preCount = Snapshots.read(spark, root, Some(1)).count()
+    Snapshots.compact(spark, root, zorderBy = Seq("user_id", "ts"), minFiles = 16)
+    val v2 = Snapshots.versions(spark, root).last
+    val all = Snapshots.files(spark, root, v2)
+    val ranges = Map[String, (Any, Any)](
+      "user_id" -> (3L, 7L),
+      "ts" -> ("2024-01-10 00:00:00", "2024-01-12 23:59:59"))
+    val kept = Snapshots.filesWhere(spark, root, v2, ranges)
+    assert(kept.size < all.size, s"2-D pruning kept ${kept.size} of ${all.size}")
+    // the conjunction prunes harder than either dimension alone admits
+    assert(kept.size <= Snapshots.filesBetween(spark, root, v2, "user_id", 3L, 7L).size)
+    // lossless vs the full-scan filter
+    val expected = Snapshots.read(spark, root, Some(v2))
+      .filter(col("user_id").between(3L, 7L) &&
+        col("ts").between(lit("2024-01-10 00:00:00"), lit("2024-01-12 23:59:59")))
+      .collect().map(_.toSeq).toSet
+    assert(Snapshots.readWhere(spark, root, ranges).collect().map(_.toSeq).toSet == expected)
+    // v1 still reads its pre-compaction bytes
+    assert(Snapshots.read(spark, root, Some(1)).count() == preCount)
+  }
+
+  test("versionAt/readAsOf resolve time travel by wall clock") {
+    val root = freshRoot("asof")
+    Snapshots.publish(spark, root, orders.limit(10))
+    val fs_ = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t1 = fs_.getFileStatus(new Path(s"$root/_snapshots/v1")).getModificationTime
+    Thread.sleep(20)
+    Snapshots.publish(spark, root, orders.limit(25))
+    assert(Snapshots.versionAt(spark, root, t1) == 1)
+    assert(Snapshots.readAsOf(spark, root, t1).count() == 10)
+    assert(Snapshots.readAsOf(spark, root, System.currentTimeMillis()).count() == 25)
+    intercept[IllegalArgumentException](Snapshots.versionAt(spark, root, t1 - 60000))
+  }
+
   test("publishStreamBatch: replayed batch ids are skipped (exactly-once)") {
     import spark.implicits._
     val root = freshRoot("stream")
