@@ -43,9 +43,13 @@ object SnapshotStats {
   final case class ColStats(tag: String, nulls: Long, min: String, max: String)
 
   private val Prefix = "#stats="
+  private val RowsPrefix = "#rows="
 
   private[operators] def encode(file: String, colName: String, s: ColStats): String =
     s"$Prefix$file\t$colName\t${s.tag}\t${s.nulls}\t${s.min}\t${s.max}"
+
+  private[operators] def encodeRows(file: String, n: Long): String =
+    s"$RowsPrefix$file\t$n"
 
   /** Parse a manifest's stats lines → file → column → stats. */
   def parse(lines: Seq[String]): Map[String, Map[String, ColStats]] =
@@ -59,6 +63,16 @@ object SnapshotStats {
       }
       .groupBy(_._1)
       .map { case (f, xs) => f -> xs.map(x => x._2 -> x._3).toMap }
+
+  /** Parse a manifest's per-file row-count lines → file → rows. */
+  def parseRows(lines: Seq[String]): Map[String, Long] =
+    lines.filter(_.startsWith(RowsPrefix))
+      .flatMap { l =>
+        l.drop(RowsPrefix.length).split("\t", -1) match {
+          case Array(f, n) => Some(f -> n.toLong)
+          case _ => None
+        }
+      }.toMap
 
   /** Collect stats lines for `relFiles` under `root`. Footer reads only;
     * distributed when the file count justifies a job, driver-side for the
@@ -120,7 +134,8 @@ object SnapshotStats {
           }
         }
       }
-      acc.toSeq.sortBy(_._1).map {
+      val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      encodeRows(rel, rows) +: acc.toSeq.sortBy(_._1).map {
         case (name, a) if a.nonNulls == 0 =>
           encode(rel, name, ColStats("allnull", a.nulls, "", ""))
         case (name, a) =>
@@ -183,6 +198,41 @@ object SnapshotStats {
       i += 1
     }
     a.length - b.length
+  }
+
+  /** Decode a stored min/max back to a JVM value of the column's external
+    * type (the inverse of [[render]]): Long, Double, String,
+    * java.sql.Date, or java.sql.Timestamp.
+    */
+  def decode(tag: String, s: String): Any = tag match {
+    case "long" => s.toLong
+    case "double" => s.toDouble
+    case "string" => new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+    case "date" => java.sql.Date.valueOf(LocalDate.ofEpochDay(s.toLong))
+    case "ts" =>
+      val micros = s.toLong
+      val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      t
+    case other => sys.error(s"cannot decode stats tag '$other'")
+  }
+
+  /** Order two decoded values in their tag's domain (strings by UTF-8
+    * unsigned bytes — the order [[footerStats]] aggregated under).
+    */
+  def decodedMin(tag: String, a: Any, b: Any): Any = if (decodedCmp(tag, a, b) <= 0) a else b
+  def decodedMax(tag: String, a: Any, b: Any): Any = if (decodedCmp(tag, a, b) >= 0) a else b
+
+  private def decodedCmp(tag: String, a: Any, b: Any): Int = tag match {
+    case "double" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "string" => byteCompare(
+      a.asInstanceOf[String].getBytes(StandardCharsets.UTF_8),
+      b.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))
+    case "long" => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "date" => a.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay
+      .compareTo(b.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
+    case "ts" => a.asInstanceOf[java.sql.Timestamp].compareTo(b.asInstanceOf[java.sql.Timestamp])
+    case other => sys.error(s"cannot compare stats tag '$other'")
   }
 
   /** Can any row of a file with stats `cs` satisfy `column BETWEEN lo AND

@@ -100,9 +100,15 @@ object Snapshots {
   def files(spark: SparkSession, root: String, version: Int): Seq[String] =
     manifestLines(spark, root, version).filterNot(_.startsWith("#"))
 
-  /** A version's raw per-file stats header lines (see [[SnapshotStats]]). */
+  /** A version's raw per-file stats header lines — column stats AND row
+    * counts (see [[SnapshotStats]]); they travel with their files.
+    */
   private def statsLinesOf(spark: SparkSession, root: String, version: Int): Seq[String] =
-    manifestLines(spark, root, version).filter(_.startsWith("#stats="))
+    manifestLines(spark, root, version)
+      .filter(l => l.startsWith("#stats=") || l.startsWith("#rows="))
+
+  private def statsLineFile(l: String): String =
+    l.stripPrefix("#stats=").stripPrefix("#rows=").takeWhile(_ != '\t')
 
   /** The schema recorded at publish time for a version (None for
     * manifests written before schema recording existed — readers fall
@@ -571,10 +577,7 @@ object Snapshots {
     val mergedSchema = schema.map(unionMerge(_, upserts.schema)).getOrElse(
       StructType(merged.schema.fields))
     // untouched files keep their stats lines; rewritten files get fresh ones
-    val keptStats = statsLinesOf(spark, root, v).filter { l =>
-      val file = l.stripPrefix("#stats=").takeWhile(_ != '\t')
-      !touched(file)
-    }
+    val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
     commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, Some(mergedSchema),
       keptStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
@@ -637,6 +640,54 @@ object Snapshots {
   def readBetween(spark: SparkSession, root: String, column: String,
       lo: Any, hi: Any, version: Option[Int] = None): DataFrame =
     readWhere(spark, root, Map(column -> (lo, hi)), version)
+
+  /** Exact row count of a version from manifest metadata ALONE — no file
+    * is opened. Some(n) when every listed file carries a `#rows=` line
+    * (all publishes since stats recording); None otherwise (never a
+    * guess). `SELECT count(*)` over 100 TB in one manifest read.
+    */
+  def countRows(spark: SparkSession, root: String, version: Option[Int] = None): Option[Long] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = version.getOrElse(vs.last)
+    val fl = files(spark, root, v)
+    val rows = SnapshotStats.parseRows(statsLinesOf(spark, root, v))
+    if (fl.forall(rows.contains)) Some(fl.map(rows).sum) else None
+  }
+
+  final case class ColRange(min: Any, max: Any, nulls: Long)
+
+  /** Exact (min, max, null count) of a column from manifest metadata
+    * ALONE. Some only when EVERY file carries usable stats for the column
+    * (footer min/max are exact bounds, so their fold is the exact
+    * aggregate); all-null files contribute nulls. None = not provable
+    * from metadata — caller falls back to a scan, never gets a guess.
+    */
+  def columnStats(spark: SparkSession, root: String, column: String,
+      version: Option[Int] = None): Option[ColRange] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = version.getOrElse(vs.last)
+    val fl = files(spark, root, v)
+    val stats = SnapshotStats.parse(statsLinesOf(spark, root, v))
+    val per = fl.map(f => stats.get(f).flatMap(_.get(column)))
+    if (per.exists(_.isEmpty)) return None
+    val cs = per.flatten
+    val valued = cs.filter(_.tag != "allnull")
+    if (valued.map(_.tag).distinct.size > 1) return None // mixed tags: unprovable
+    val nulls = cs.map(_.nulls).sum
+    valued.headOption match {
+      case None => Some(ColRange(null, null, nulls)) // every file all-null
+      case Some(h) =>
+        val tag = h.tag
+        val decoded = valued.map(c =>
+          (SnapshotStats.decode(tag, c.min), SnapshotStats.decode(tag, c.max)))
+        Some(ColRange(
+          decoded.map(_._1).reduce(SnapshotStats.decodedMin(tag, _, _)),
+          decoded.map(_._2).reduce(SnapshotStats.decodedMax(tag, _, _)),
+          nulls))
+    }
+  }
 
   /** Resolve the version visible AT a wall-clock instant (by manifest
     * commit mtime) — "read the table as of last Tuesday" without knowing

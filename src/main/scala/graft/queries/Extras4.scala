@@ -386,6 +386,41 @@ object Extras4 {
         .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
         .select(col("n_rows"), col("sum_value"),
           lit(kept.size < all.size).as("pruned"))
+    },
+
+    // METADATA-ONLY aggregates: count(*) / min / max answered from the
+    // manifest's per-file footer stats without opening a single data
+    // file — the plan under the result is a LocalRelation, not a scan.
+    // Works because footer min/max are exact bounds and row counts are
+    // exact, so their fold IS the aggregate; any file lacking stats
+    // makes the API return None (fall back to a scan) rather than guess.
+    // The oracle recomputes by scanning, so the hash match proves the
+    // metadata path exact across long, timestamp and string columns.
+    // At 100 TB: `SELECT count(*), min(ts), max(ts)` in one manifest
+    // read — the difference between milliseconds and a cluster-hour.
+    QueryDef.checked(
+      "q142_stats_only_agg",
+      """SELECT count(*) AS n_rows,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_key,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q142_stats_only_agg", "snap_statsagg", dir)
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+      Snapshots.publish(s, root, li.repartition(8))
+      def need[A](o: Option[A], what: String): A =
+        o.getOrElse(sys.error(s"metadata aggregate unavailable for $what — stats missing"))
+      val n = need(Snapshots.countRows(s, root), "count")
+      val key = need(Snapshots.columnStats(s, root, "l_orderkey"), "l_orderkey")
+      val ship = need(Snapshots.columnStats(s, root, "l_shipdate"), "l_shipdate")
+      val flag = need(Snapshots.columnStats(s, root, "l_returnflag"), "l_returnflag")
+      import s.implicits._
+      Seq((n, key.min.asInstanceOf[Long], key.max.asInstanceOf[Long],
+        ship.min.asInstanceOf[java.sql.Timestamp], ship.max.asInstanceOf[java.sql.Timestamp],
+        flag.min.asInstanceOf[String], flag.max.asInstanceOf[String]))
+        .toDF("n_rows", "min_key", "max_key", "min_ship", "max_ship",
+          "min_flag", "max_flag")
     }
   )
 }

@@ -439,6 +439,44 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root, Some(1)).count() == preCount)
   }
 
+  test("metadata-only aggregates match the scan; absent stats yield None") {
+    val root = freshRoot("statsagg")
+    Snapshots.publish(spark, root,
+      orders.select("o_orderkey", "o_orderdate", "o_orderpriority").repartition(4))
+    // fold of footer stats == scanned aggregate, across three types
+    val scan = Snapshots.read(spark, root)
+      .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"),
+        min("o_orderdate"), max("o_orderdate"),
+        min("o_orderpriority"), max("o_orderpriority")).head
+    assert(Snapshots.countRows(spark, root) == Some(scan.getLong(0)))
+    val key = Snapshots.columnStats(spark, root, "o_orderkey").get
+    assert((key.min, key.max) == (scan.getLong(1), scan.getLong(2)))
+    // fixture timestamps are NTZ (naive parquet), collected as
+    // LocalDateTime; stats decode to java.sql.Timestamp on the UTC wall
+    // clock — compare in LocalDateTime space
+    val dt = Snapshots.columnStats(spark, root, "o_orderdate").get
+    assert((dt.min.asInstanceOf[java.sql.Timestamp].toLocalDateTime,
+      dt.max.asInstanceOf[java.sql.Timestamp].toLocalDateTime) ==
+      (scan.get(3), scan.get(4)))
+    val pri = Snapshots.columnStats(spark, root, "o_orderpriority").get
+    assert((pri.min, pri.max) == (scan.getString(5), scan.getString(6)))
+    assert(Snapshots.columnStats(spark, root, "no_such_column").isEmpty)
+    // rows lines survive a merge, so counts stay metadata-answerable
+    import spark.implicits._
+    Snapshots.mergeByKey(spark, root,
+      Seq((-1L, java.time.LocalDateTime.of(1970, 1, 1, 0, 0), "zz")).toDF(
+        "o_orderkey", "o_orderdate", "o_orderpriority"), Seq("o_orderkey"))
+    assert(Snapshots.countRows(spark, root) == Some(scan.getLong(0) + 1))
+    // a hand-stripped manifest (no stats) yields None, never a guess
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new Path(s"$root/_snapshots/v2")
+    val lines = scala.io.Source.fromInputStream(f.open(mPath), "UTF-8").getLines().toList
+    val out = f.create(mPath, true)
+    out.write((lines.filterNot(_.startsWith("#rows=")).mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    assert(Snapshots.countRows(spark, root).isEmpty)
+  }
+
   test("versionAt/readAsOf resolve time travel by wall clock") {
     val root = freshRoot("asof")
     Snapshots.publish(spark, root, orders.limit(10))
