@@ -151,9 +151,10 @@ object Snapshots {
     * Returns the new version number.
     */
   def publish(spark: SparkSession, root: String, df: DataFrame,
-      append: Boolean = false, extraHeader: Seq[String] = Nil): Int = {
+      append: Boolean = false, extraHeader: Seq[String] = Nil,
+      bloomOn: Seq[String] = Nil): Int = {
     val f = fs(spark, root)
-    val (dataDir, newFiles) = writeData(f, root, df)
+    val (dataDir, newFiles) = writeData(f, root, df, bloomOn)
     val prev = versions(spark, root)
     val base: Seq[String] =
       if (append && prev.nonEmpty) files(spark, root, prev.last) else Seq.empty
@@ -203,7 +204,8 @@ object Snapshots {
     * part files — legal, because the manifest's schema header lets
     * [[read]] reconstruct an empty frame without any file to sample.
     */
-  private def writeData(f: FileSystem, root: String, df: DataFrame): (String, Seq[String]) = {
+  private def writeData(f: FileSystem, root: String, df: DataFrame,
+      bloomOn: Seq[String] = Nil): (String, Seq[String]) = {
     val dataDir = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     // INT64-micros timestamps, NOT Spark's legacy INT96 default: INT96
     // columns carry no parquet footer statistics, which would blind
@@ -212,8 +214,11 @@ object Snapshots {
     // never see the override (results written elsewhere must keep the
     // session default — the driver's compare is representation-sensitive).
     org.apache.spark.sql.graftbridge.SessionBridge.withIsolatedConf(df,
-      Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")) {
-      _.write.parquet(s"$root/$dataDir")
+      Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")) { d =>
+      // per-column parquet bloom filters for [[SnapshotBloom]] point skipping
+      bloomOn.foldLeft(d.write)((w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+        .parquet(s"$root/$dataDir")
     }
     val newFiles = f.listStatus(new Path(s"$root/$dataDir")).toSeq
       .map(_.getPath.getName)
@@ -640,6 +645,39 @@ object Snapshots {
   def readBetween(spark: SparkSession, root: String, column: String,
       lo: Any, hi: Any, version: Option[Int] = None): DataFrame =
     readWhere(spark, root, Map(column -> (lo, hi)), version)
+
+  /** Needle-in-haystack read: `column IN (values)` planned over only the
+    * files that might hold a probe value — min/max stats prune first
+    * (cheap, manifest-resident), then [[SnapshotBloom]] probes the
+    * survivors' parquet bloom filters (one footer read each; written at
+    * publish via `bloomOn`). On an unclustered high-cardinality key the
+    * range test keeps everything and the bloom is what collapses a
+    * 100 TB scan to a handful of files. Lossless: kept files still go
+    * through the row-level IN filter.
+    */
+  def readPoint(spark: SparkSession, root: String, column: String,
+      values: Seq[Any], version: Option[Int] = None): DataFrame = {
+    require(values.nonEmpty, "readPoint needs at least one probe value")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = version.getOrElse(vs.last)
+    val kept = pointFiles(spark, root, v, column, values)
+    readFiles(spark, root, kept, schemaOf(spark, root, v), s"v$v")
+      .filter(col(column).isin(values: _*))
+  }
+
+  /** The file subset [[readPoint]] plans over (exposed for audits). */
+  def pointFiles(spark: SparkSession, root: String, version: Int,
+      column: String, values: Seq[Any]): Seq[String] = {
+    val stats = SnapshotStats.parse(statsLinesOf(spark, root, version))
+    val rangeKept = files(spark, root, version).filter { fl =>
+      stats.get(fl).flatMap(_.get(column)) match {
+        case Some(cs) => values.exists(x => SnapshotStats.overlaps(cs, x, x))
+        case None => true
+      }
+    }
+    SnapshotBloom.filesMightContain(spark, root, rangeKept, column, values)
+  }
 
   /** Exact row count of a version from manifest metadata ALONE — no file
     * is opened. Some(n) when every listed file carries a `#rows=` line

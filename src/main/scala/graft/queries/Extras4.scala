@@ -421,6 +421,32 @@ object Extras4 {
         flag.min.asInstanceOf[String], flag.max.asInstanceOf[String]))
         .toDF("n_rows", "min_key", "max_key", "min_ship", "max_ship",
           "min_flag", "max_flag")
+    },
+
+    // BLOOM-FILTER point lookup: publish orders UNCLUSTERED (hash layout,
+    // so every file spans the whole key range and min/max stats prune
+    // NOTHING) with parquet bloom filters on the key; a 3-needle IN
+    // lookup through readPoint then plans over only the files whose
+    // blooms might hold a needle. The oracle recomputes the lookup by
+    // scanning, proving losslessness; the in-row `pruned` flag
+    // self-evidences that the bloom — not the ranges — did the work.
+    // The 100 TB shape: "fetch these 50 document ids" costs k footer
+    // probes + a few file scans instead of a full-table scan.
+    QueryDef.checked(
+      "q143_bloom_pointlookup",
+      """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  o_orderpriority, CAST(1 AS BOOLEAN) AS pruned
+        |FROM orders WHERE o_orderkey IN (10, 500, 1000)""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q143_bloom_pointlookup", "snap_bloom", dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+      Snapshots.publish(s, root, orders.repartition(16), bloomOn = Seq("o_orderkey"))
+      val needles: Seq[Any] = Seq(10L, 500L, 1000L)
+      val v = Snapshots.versions(s, root).last
+      val kept = Snapshots.pointFiles(s, root, v, "o_orderkey", needles)
+      val all = Snapshots.files(s, root, v)
+      Snapshots.readPoint(s, root, "o_orderkey", needles)
+        .select(col("o_orderkey"), col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderpriority"), lit(kept.size < all.size).as("pruned"))
     }
   )
 }

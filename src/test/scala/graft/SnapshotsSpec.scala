@@ -477,6 +477,31 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.countRows(spark, root).isEmpty)
   }
 
+  test("bloom point lookup prunes unclustered files; absence keeps them") {
+    val root = freshRoot("bloom")
+    val src = orders.select("o_orderkey", "o_custkey")
+    Snapshots.publish(spark, root, src.repartition(8), bloomOn = Seq("o_orderkey"))
+    val needles: Seq[Any] = Seq(10L, 700L)
+    val all = Snapshots.files(spark, root, 1)
+    val kept = Snapshots.pointFiles(spark, root, 1, "o_orderkey", needles)
+    // hash layout → ranges keep everything; blooms must do the pruning
+    assert(kept.size < all.size, s"bloom kept ${kept.size} of ${all.size}")
+    // lossless vs the scanning filter
+    val expected = Snapshots.read(spark, root)
+      .filter(col("o_orderkey").isin(10L, 700L)).collect().map(_.toSeq).toSet
+    assert(Snapshots.readPoint(spark, root, "o_orderkey", needles)
+      .collect().map(_.toSeq).toSet == expected)
+    assert(expected.nonEmpty)
+    // a publish WITHOUT bloomOn: no filter in the footers → nothing
+    // pruned beyond ranges, lookup still correct
+    val root2 = freshRoot("nobloom")
+    Snapshots.publish(spark, root2, src.repartition(4))
+    assert(Snapshots.pointFiles(spark, root2, 1, "o_orderkey", needles).size ==
+      Snapshots.files(spark, root2, 1).size)
+    assert(Snapshots.readPoint(spark, root2, "o_orderkey", needles)
+      .collect().map(_.toSeq).toSet == expected)
+  }
+
   test("versionAt/readAsOf resolve time travel by wall clock") {
     val root = freshRoot("asof")
     Snapshots.publish(spark, root, orders.limit(10))
