@@ -23,6 +23,7 @@ object SparkEntry {
       q.Extras2.entries ++
       q.Extras3.entries ++
       q.Extras4.entries ++
+      q.Extras5.entries ++
       q.Curation.entries
 
   {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -61,6 +61,7 @@ object Snapshots {
   private val SNAP_DIR = "_snapshots"
   private val TMP_SUFFIX = ".tmp"
   private val SCHEMA_HEADER = "#schema="
+  private val DV_HEADER = "#dv="
 
   /** Default vacuum grace: files younger than this are never deleted,
     * so an in-flight publish (write files, then commit manifest) cannot
@@ -109,6 +110,62 @@ object Snapshots {
 
   private def statsLineFile(l: String): String =
     l.stripPrefix("#stats=").stripPrefix("#rows=").takeWhile(_ != '\t')
+
+  /** A version's raw `#dv=` header lines — outstanding merge-on-read
+    * delete vectors (see [[deleteByKey]]); they travel across
+    * append-publishes and rollbacks until materialized.
+    */
+  private def dvLinesOf(spark: SparkSession, root: String, version: Int): Seq[String] =
+    manifestLines(spark, root, version).filter(_.startsWith(DV_HEADER))
+
+  /** An outstanding delete vector: its key file, the key columns it
+    * deletes on, and the version that COMMITTED it (its sequence
+    * number — a dv applies only to data files that already existed
+    * when it was committed).
+    */
+  private final case class Dv(file: String, keyCols: Seq[String], version: Int)
+
+  /** Per-file first-seen versions and resolved delete vectors of a
+    * version, computed in ONE ascending pass over the manifest log
+    * (bounded metadata: O(versions) manifest reads; [[expire]] bounds
+    * the log depth). First-seen is the sequence number that makes
+    * re-inserting a deleted key correct: a dv committed at D applies to
+    * a data file f iff firstSeen(f) <= D, so rows appended AFTER the
+    * delete are never retro-deleted.
+    */
+  private def history(spark: SparkSession, root: String,
+      version: Int): (Map[String, Int], Seq[Dv]) = {
+    val firstSeenFile = scala.collection.mutable.Map.empty[String, Int]
+    val firstSeenDv = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    versions(spark, root).filter(_ <= version).foreach { w =>
+      manifestLines(spark, root, w).foreach {
+        case l if l.startsWith(DV_HEADER) =>
+          if (!firstSeenDv.contains(l)) firstSeenDv(l) = w
+        case l if !l.startsWith("#") =>
+          if (!firstSeenFile.contains(l)) firstSeenFile(l) = w
+        case _ => ()
+      }
+    }
+    val live = dvLinesOf(spark, root, version).toSet
+    val dvs = firstSeenDv.collect { case (l, w) if live(l) =>
+      val body = l.drop(DV_HEADER.length)
+      val (path, keys) = body.span(_ != '\t')
+      Dv(path, keys.drop(1).split(",").toSeq, w)
+    }.toSeq
+    (firstSeenFile.toMap, dvs)
+  }
+
+  /** Fail unless `version` carries no outstanding delete vectors — the
+    * guard on every path that reads data files RAW (stats-pruned reads,
+    * CDC, merge, copy-on-write rewrites): silently ignoring a dv would
+    * resurrect deleted rows. Callers materialize first.
+    */
+  private def requireMaterialized(spark: SparkSession, root: String, version: Int,
+      what: String): Unit =
+    require(dvLinesOf(spark, root, version).isEmpty,
+      s"$what requires materialized state, but v$version under $root carries " +
+        "outstanding merge-on-read delete vectors — run materializeDeletes " +
+        "(targeted) or compact (full rewrite) first")
 
   /** The schema recorded at publish time for a version (None for
     * manifests written before schema recording existed — readers fall
@@ -160,12 +217,17 @@ object Snapshots {
       if (append && prev.nonEmpty) files(spark, root, prev.last) else Seq.empty
     val baseStats: Seq[String] =
       if (append && prev.nonEmpty) statsLinesOf(spark, root, prev.last) else Seq.empty
+    // outstanding delete vectors survive an append (they keep deleting
+    // from the files they were committed against — never from the files
+    // this publish adds); a full refresh rightly drops them
+    val baseDvs: Seq[String] =
+      if (append && prev.nonEmpty) dvLinesOf(spark, root, prev.last) else Seq.empty
     val schema: StructType =
       if (append && prev.nonEmpty)
         schemaOf(spark, root, prev.last).map(unionMerge(_, df.schema)).getOrElse(df.schema)
       else df.schema
     commit(f, root, prev.lastOption.getOrElse(0) + 1, base ++ newFiles, Some(schema),
-      extraHeader ++ baseStats ++ SnapshotStats.collect(spark, root, newFiles))
+      extraHeader ++ baseDvs ++ baseStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
 
   private val BATCH_HEADER = "#batch="
@@ -236,7 +298,8 @@ object Snapshots {
     val f = fs(spark, root)
     val next = versions(spark, root).lastOption.getOrElse(0) + 1
     commit(f, root, next, files(spark, root, toVersion),
-      schemaOf(spark, root, toVersion), statsLinesOf(spark, root, toVersion))
+      schemaOf(spark, root, toVersion),
+      dvLinesOf(spark, root, toVersion) ++ statsLinesOf(spark, root, toVersion))
   }
 
   private def commit(f: FileSystem, root: String, v: Int, list: Seq[String],
@@ -268,7 +331,38 @@ object Snapshots {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
     val v = version.getOrElse(vs.last)
-    readFiles(spark, root, files(spark, root, v), schemaOf(spark, root, v), s"v$v")
+    if (dvLinesOf(spark, root, v).isEmpty)
+      readFiles(spark, root, files(spark, root, v), schemaOf(spark, root, v), s"v$v")
+    else dvApplied(spark, root, v, None)
+  }
+
+  /** Read `version`'s data files with its outstanding delete vectors
+    * applied — the merge-on-read path. Files group by first-seen version
+    * (their sequence number); each group anti-joins the union of dv keys
+    * committed AT OR AFTER that sequence, so a key re-inserted after its
+    * delete stays visible. Group count is bounded by version count
+    * ([[expire]] bounds the log), and each anti-join's build side is the
+    * dv key files — O(deleted keys), broadcast-sized in the common case.
+    */
+  private def dvApplied(spark: SparkSession, root: String, v: Int,
+      subset: Option[Set[String]]): DataFrame = {
+    val schema = schemaOf(spark, root, v)
+    val fl = files(spark, root, v).filter(f => subset.forall(_.contains(f)))
+    val (firstSeen, dvs) = history(spark, root, v)
+    val groups = fl.groupBy(firstSeen).toSeq.sortBy(_._1)
+    groups.map { case (seq, fls) =>
+      val applicable = dvs.filter(_.version >= seq)
+      applicable.groupBy(_.keyCols).foldLeft(
+        readFiles(spark, root, fls.sorted, schema, s"v$v seq$seq")) {
+        case (df, (kc, ds)) =>
+          kc.foreach(k => require(df.columns.contains(k),
+            s"delete-vector key column '$k' not in v$v schema"))
+          val keys = spark.read.parquet(ds.map(d => s"$root/${d.file}"): _*)
+            .select(kc.map(col): _*).distinct()
+          df.join(keys, kc.toSeq, "left_anti")
+      }
+    }.reduceOption(_.unionByName(_))
+      .getOrElse(readFiles(spark, root, Nil, schema, s"v$v"))
   }
 
   private def readFiles(spark: SparkSession, root: String, rel: Seq[String],
@@ -304,6 +398,10 @@ object Snapshots {
     val added = (files(spark, root, to).toSet -- files(spark, root, from).toSet).toSeq.sorted
     val schema = schemaOf(spark, root, to)
     if (added.isEmpty && schema.isEmpty) read(spark, root, Some(to)).limit(0)
+    else if (dvLinesOf(spark, root, to).nonEmpty && added.nonEmpty)
+      // merge-on-read: dvs committed at or after an added file's sequence
+      // still apply to it (e.g. ingest batch N, delete some of it at N+1)
+      dvApplied(spark, root, to, Some(added.toSet))
     else readFiles(spark, root, added, schema, s"delta v$from..v$to")
   }
 
@@ -330,6 +428,8 @@ object Snapshots {
   def changes(spark: SparkSession, root: String, from: Int, to: Int,
       keyCols: Seq[String], preImages: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "changes needs key columns to classify rows")
+    requireMaterialized(spark, root, from, "changes")
+    requireMaterialized(spark, root, to, "changes")
     val fFrom = files(spark, root, from).toSet
     val fTo = files(spark, root, to).toSet
     val newRows = readFiles(spark, root, (fTo -- fFrom).toSeq.sorted,
@@ -426,8 +526,13 @@ object Snapshots {
         .foreach(st => f.delete(st.getPath, false))
     }
     if (!f.exists(new Path(s"$root/data"))) return 0L
+    // live = data files of every version PLUS outstanding delete-vector
+    // key files (they live under data/ too and are load-bearing until
+    // materialized)
     val referenced = versions(spark, root)
-      .flatMap(v => files(spark, root, v)).toSet
+      .flatMap(v => files(spark, root, v) ++
+        dvLinesOf(spark, root, v).map(l =>
+          l.drop(DV_HEADER.length).takeWhile(_ != '\t'))).toSet
     val refDf = referenced.toSeq.toDF("name")
     val onDisk = FileManifest.listTree(spark, s"$root/data")
       .filter(col("mtime") < lit(new java.sql.Timestamp(cutoff)))
@@ -546,6 +651,7 @@ object Snapshots {
     require(vs.nonEmpty,
       s"no snapshots published under $root — publish the initial version, then merge")
     val v = vs.last
+    requireMaterialized(spark, root, v, "mergeByKey")
     val f = fs(spark, root)
     val rel = files(spark, root, v)
     val schema = schemaOf(spark, root, v)
@@ -587,6 +693,202 @@ object Snapshots {
       keptStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
 
+  /** Row-level DELETE by predicate, copy-on-write: rows where `predicate`
+    * is TRUE are removed (NULL keeps the row — SQL DELETE semantics);
+    * only files CONTAINING a matching row rewrite, everything else is
+    * carried by reference into the new version. History stays intact:
+    * prior manifests keep referencing the pre-delete bytes, so "delete
+    * user X" composes with time travel (and a compliance erase is
+    * delete + `expire` + `vacuum`, which physically reclaims the
+    * rewritten-away files).
+    *
+    * `pruneRanges` (optional) pre-prunes the candidate files through the
+    * manifest's footer stats before the row-level probe — pass the
+    * bounding box the predicate implies (e.g. the date band of a
+    * retention delete) and the touched-file probe scans only
+    * stats-matching files instead of the table. Advisory, and must be a
+    * SUPERSET of the predicate (same contract as [[readWhere]]): rows
+    * matching the predicate outside the ranges would be missed, so the
+    * ranges must be implied by the predicate, not a guess.
+    *
+    * Cost: one probe scan over candidate files + a rewrite of touched
+    * files. A retention delete over a range-clustered 100 TB table
+    * probes and rewrites only the expiring band. Returns the new
+    * version.
+    */
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column,
+      pruneRanges: Map[String, (Any, Any)] = Map.empty): Int =
+    rewriteWhere(spark, root, predicate, pruneRanges) { touchedRows =>
+      touchedRows.filter(!coalesce(predicate, lit(false)))
+    }
+
+  /** Row-level UPDATE by predicate, copy-on-write: rows where `predicate`
+    * is TRUE get each `set` column replaced by its assignment expression
+    * (evaluated against the OLD row, so `set("n" -> col("n") + 1)`
+    * increments); NULL-predicate rows stay unchanged. Assignments cast
+    * to the column's existing type — an UPDATE never changes the table
+    * schema (add columns via append-publish evolution instead). Only
+    * files containing a matching row rewrite; `pruneRanges` pre-prunes
+    * candidates exactly as in [[deleteWhere]]. Returns the new version.
+    */
+  def updateWhere(spark: SparkSession, root: String, predicate: Column,
+      set: Map[String, Column], pruneRanges: Map[String, (Any, Any)] = Map.empty): Int = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    rewriteWhere(spark, root, predicate, pruneRanges) { touchedRows =>
+      set.keys.foreach(c => require(touchedRows.columns.contains(c),
+        s"updateWhere assignment targets unknown column '$c'"))
+      touchedRows.select(touchedRows.columns.map { c =>
+        set.get(c) match {
+          case Some(expr) =>
+            when(coalesce(predicate, lit(false)),
+              expr.cast(touchedRows.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+    }
+  }
+
+  /** Shared copy-on-write rewrite: find the files whose rows match
+    * `predicate` (optionally stats-pruned first), apply `rewrite` to
+    * exactly those files' rows, and publish (untouched files ++
+    * rewritten files) as a new version under the unchanged schema. A
+    * predicate matching nothing publishes a no-op version (same file
+    * list) rather than writing an empty data dir.
+    */
+  private def rewriteWhere(spark: SparkSession, root: String, predicate: Column,
+      pruneRanges: Map[String, (Any, Any)])(rewrite: DataFrame => DataFrame): Int = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root — nothing to rewrite")
+    val v = vs.last
+    requireMaterialized(spark, root, v, "deleteWhere/updateWhere")
+    val f = fs(spark, root)
+    val rel = files(spark, root, v)
+    val schema = schemaOf(spark, root, v)
+    val candidates =
+      if (pruneRanges.isEmpty) rel else filesWhere(spark, root, v, pruneRanges)
+    // which candidate files hold a matching row? bounded output: one row
+    // per touched file (same granularity as mergeByKey's key probe)
+    val touched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readFiles(spark, root, candidates, schema, s"v$v candidates")
+        .filter(coalesce(predicate, lit(false)))
+        .select(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0).as("__file"))
+        .distinct().collect().map(_.getString(0)).toSet
+    require(touched.forall(_.nonEmpty),
+      s"could not relativize a scanned file path under $root/data — layout violation")
+    if (touched.isEmpty)
+      return commit(f, root, v + 1, rel, schema, statsLinesOf(spark, root, v))
+    val rewritten = rewrite(
+      readFiles(spark, root, touched.toSeq.sorted, schema, s"v$v touched"))
+    val (_, newFiles) = writeData(f, root, rewritten)
+    val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
+    commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, schema,
+      keptStats ++ SnapshotStats.collect(spark, root, newFiles))
+  }
+
+  /** MERGE-ON-READ delete: remove every row whose key appears in `keys`
+    * WITHOUT rewriting any data file. The keys land as an immutable
+    * parquet "delete vector" under `data/`, and the new manifest records
+    * it as a `#dv=` header — commit cost is O(deleted keys), not
+    * O(touched files), which is the right shape for high-frequency
+    * deletes between compactions (the GDPR-eraser / retraction-stream
+    * case at 100 TB: deleting a user from a petabyte table commits in
+    * seconds; [[deleteWhere]]'s copy-on-write rewrite is the other end
+    * of the same read/write-amplification trade, exactly Iceberg v2's
+    * equality-delete vs data-rewrite split).
+    *
+    * Readers ([[read]]/[[readAdded]]) anti-join the dv keys at scan
+    * time, with SEQUENCE semantics: the dv applies only to data files
+    * that existed when it was committed, so re-inserting a deleted key
+    * later (append or stream batch) makes the key visible again — the
+    * delete never retro-applies to new data. Outstanding dvs survive
+    * appends and rollbacks, and are physically applied by
+    * [[materializeDeletes]] (targeted) or [[compact]] (full rewrite);
+    * paths that read files raw (stats-pruned reads, CDC, merge,
+    * copy-on-write rewrites) refuse to run until then, and metadata
+    * aggregates return None — a dv is never silently ignored.
+    *
+    * `keys` must cover its columns uniquely per row semantics (extra
+    * columns are not allowed — pass exactly the key columns). Returns
+    * the new version, or a no-op version when `keys` is empty.
+    */
+  def deleteByKey(spark: SparkSession, root: String, keys: DataFrame): Int = {
+    require(keys.columns.nonEmpty, "deleteByKey needs at least one key column")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root — nothing to delete from")
+    val v = vs.last
+    val kc = keys.columns.toSeq
+    require(kc.forall(!_.contains(",")) && kc.forall(!_.contains("\t")),
+      s"key column names must not contain ',' or tab: ${kc.mkString(",")}")
+    schemaOf(spark, root, v).foreach { s =>
+      kc.foreach(k => require(s.fieldNames.contains(k),
+        s"delete key column '$k' not in v$v schema"))
+    }
+    val f = fs(spark, root)
+    val carried = dvLinesOf(spark, root, v) ++ statsLinesOf(spark, root, v)
+    val (_, dvFiles) = writeData(f, root, keys.distinct())
+    val newDvLines = dvFiles.map(p => s"$DV_HEADER$p\t${kc.mkString(",")}")
+    commit(f, root, v + 1, files(spark, root, v), schemaOf(spark, root, v),
+      newDvLines ++ carried)
+  }
+
+  /** Physically apply a version's outstanding delete vectors: rewrite
+    * ONLY the files that contain a deleted row (semi-join probe, same
+    * granularity as [[mergeByKey]]'s touched set), drop the `#dv=`
+    * headers, and publish. Read results are unchanged — prior versions
+    * still merge-on-read their own dvs — but the new version reads raw
+    * again (stats-pruned reads, CDC and metadata aggregates come back),
+    * and the dv key files become vacuum-eligible once no manifest
+    * references them. Returns the new version (the current one when
+    * there is nothing to materialize).
+    */
+  def materializeDeletes(spark: SparkSession, root: String): Int = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = vs.last
+    if (dvLinesOf(spark, root, v).isEmpty) return v
+    val f = fs(spark, root)
+    val rel = files(spark, root, v)
+    val schema = schemaOf(spark, root, v)
+    val (firstSeen, dvs) = history(spark, root, v)
+    // per sequence group: which files hold a doomed row?
+    val groups = rel.groupBy(firstSeen).toSeq.sortBy(_._1)
+    def keysOf(ds: Seq[Dv], kc: Seq[String]) =
+      spark.read.parquet(ds.map(d => s"$root/${d.file}"): _*)
+        .select(kc.map(col): _*).distinct()
+    val touched: Set[String] = groups.flatMap { case (seq, fls) =>
+      val applicable = dvs.filter(_.version >= seq)
+      if (applicable.isEmpty) Set.empty[String]
+      else {
+        val base = readFiles(spark, root, fls.sorted, schema, s"v$v seq$seq")
+          .withColumn("__file",
+            regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0))
+        applicable.groupBy(_.keyCols).map { case (kc, ds) =>
+          base.join(keysOf(ds, kc.toSeq), kc.toSeq, "left_semi")
+            .select("__file").distinct().collect().map(_.getString(0)).toSet
+        }.reduce(_ ++ _)
+      }
+    }.toSet
+    require(touched.forall(_.nonEmpty),
+      s"could not relativize a scanned file path under $root/data — layout violation")
+    if (touched.isEmpty) // dvs deleted nothing: drop them, share every file
+      return commit(f, root, v + 1, rel, schema, statsLinesOf(spark, root, v))
+    // survivors of the touched files, dv-applied with the same sequence rule
+    val rewritten = groups.flatMap { case (seq, fls) =>
+      val mine = fls.filter(touched).sorted
+      if (mine.isEmpty) None
+      else Some(dvs.filter(_.version >= seq).groupBy(_.keyCols).foldLeft(
+        readFiles(spark, root, mine, schema, s"v$v seq$seq touched")) {
+        case (df, (kc, ds)) => df.join(keysOf(ds, kc.toSeq), kc.toSeq, "left_anti")
+      })
+    }.reduce(_.unionByName(_))
+    val (_, newFiles) = writeData(f, root, rewritten)
+    val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
+    commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, schema,
+      keptStats ++ SnapshotStats.collect(spark, root, newFiles))
+  }
+
   /** The subset of a version's files whose footer stats ADMIT rows
     * satisfying EVERY `column BETWEEN lo AND hi` range — files without
     * usable stats for a column pass that column's test (pruning is
@@ -624,6 +926,7 @@ object Snapshots {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
     val v = version.getOrElse(vs.last)
+    requireMaterialized(spark, root, v, "readWhere/readBetween")
     val pred = ranges.map { case (c, (lo, hi)) => col(c).between(lit(lo), lit(hi)) }
       .reduce(_ && _)
     readFiles(spark, root, filesWhere(spark, root, v, ranges),
@@ -661,6 +964,7 @@ object Snapshots {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
     val v = version.getOrElse(vs.last)
+    requireMaterialized(spark, root, v, "readPoint")
     val kept = pointFiles(spark, root, v, column, values)
     readFiles(spark, root, kept, schemaOf(spark, root, v), s"v$v")
       .filter(col(column).isin(values: _*))
@@ -688,6 +992,7 @@ object Snapshots {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
     val v = version.getOrElse(vs.last)
+    if (dvLinesOf(spark, root, v).nonEmpty) return None // dv rows uncounted: not provable
     val fl = files(spark, root, v)
     val rows = SnapshotStats.parseRows(statsLinesOf(spark, root, v))
     if (fl.forall(rows.contains)) Some(fl.map(rows).sum) else None
@@ -706,6 +1011,7 @@ object Snapshots {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
     val v = version.getOrElse(vs.last)
+    if (dvLinesOf(spark, root, v).nonEmpty) return None // deleted rows skew bounds
     val fl = files(spark, root, v)
     val stats = SnapshotStats.parse(statsLinesOf(spark, root, v))
     val per = fl.map(f => stats.get(f).flatMap(_.get(column)))

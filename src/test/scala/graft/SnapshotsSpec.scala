@@ -534,4 +534,137 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.publishStreamBatch(spark, root, b1, 1L) == None)
     assert(Snapshots.publishStreamBatch(spark, root, b1, 2L) == Some(4))
   }
+
+  test("deleteWhere: SQL NULL semantics, banded rewrite, history intact") {
+    import spark.implicits._
+    val root = freshRoot("delete")
+    // ids 1..40 clustered into 4 files by range; grp NULL on multiples of 5
+    val base = (1L to 40L).map(i => (i, if (i % 5 == 0) null else s"g${i % 3}"))
+      .toDF("id", "grp")
+    Snapshots.publish(spark, root, base.repartitionByRange(4, col("id")))
+    val f1 = Snapshots.files(spark, root, 1)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1Lens = f1.map(f => f -> fs.getFileStatus(new Path(s"$root/$f")).getLen).toMap
+    // delete grp='g1' but ONLY in the id<=20 band (the predicate implies
+    // the range, so pruneRanges is a valid bounding box)
+    val v2 = Snapshots.deleteWhere(spark, root,
+      col("grp") === "g1" && col("id") <= 20,
+      pruneRanges = Map("id" -> (1L, 20L)))
+    assert(v2 == 2)
+    val after = Snapshots.read(spark, root, Some(2))
+    val expectGone = base.filter(col("grp") === "g1" && col("id") <= 20).count()
+    assert(after.count() == 40 - expectGone)
+    // NULL-predicate rows (grp IS NULL → pred NULL) survive — SQL DELETE
+    assert(after.filter(col("grp").isNull).count() ==
+      base.filter(col("grp").isNull).count())
+    assert(after.filter(col("grp") === "g1" && col("id") <= 20).count() == 0)
+    assert(after.filter(col("grp") === "g1" && col("id") > 20).count() ==
+      base.filter(col("grp") === "g1" && col("id") > 20).count())
+    // copy-on-write was BANDED: the id>20 files carried by reference
+    val f2 = Snapshots.files(spark, root, 2)
+    assert((f1.toSet & f2.toSet).nonEmpty, "out-of-band files must be shared")
+    assert((f1.toSet -- f2.toSet).size < f1.size, "only the band rewrites")
+    // history intact byte-for-byte
+    assert(Snapshots.files(spark, root, 1) == f1)
+    f1.foreach(f =>
+      assert(fs.getFileStatus(new Path(s"$root/$f")).getLen == v1Lens(f), s"$f changed"))
+    assert(Snapshots.read(spark, root, Some(1)).count() == 40)
+    // a predicate matching nothing publishes a no-op version, no new files
+    val v3 = Snapshots.deleteWhere(spark, root, col("grp") === "nope")
+    assert(Snapshots.files(spark, root, v3) == f2)
+  }
+
+  test("updateWhere: old-row assignments, type-stable schema, untouched files shared") {
+    import spark.implicits._
+    val root = freshRoot("update")
+    val base = (1L to 40L).map(i => (i, i * 10, if (i % 5 == 0) null else "keep"))
+      .toDF("id", "n", "tag")
+    Snapshots.publish(spark, root, base.repartitionByRange(4, col("id")))
+    val f1 = Snapshots.files(spark, root, 1)
+    // increment n off the OLD row and restamp tag, only in the id<=10 band;
+    // the Int literal must cast to the column's LONG type (schema stable)
+    val v2 = Snapshots.updateWhere(spark, root,
+      col("tag") === "keep" && col("id") <= 10,
+      set = Map("n" -> (col("n") + 1), "tag" -> lit("touched")),
+      pruneRanges = Map("id" -> (1L, 10L)))
+    val after = Snapshots.read(spark, root, Some(v2))
+    assert(after.schema == Snapshots.read(spark, root, Some(1)).schema)
+    val touched = after.filter(col("tag") === "touched")
+    assert(touched.count() == base.filter(col("tag") === "keep" && col("id") <= 10).count())
+    // assignment evaluated against the old row: n = old n + 1
+    assert(touched.filter(col("n") =!= col("id") * 10 + 1).count() == 0)
+    // NULL-predicate rows untouched; out-of-band rows untouched
+    assert(after.filter(col("tag").isNull).count() ==
+      base.filter(col("tag").isNull).count())
+    assert(after.filter(col("tag") === "keep").count() ==
+      base.filter(col("tag") === "keep" && col("id") > 10).count())
+    // banded copy-on-write + intact history
+    val f2 = Snapshots.files(spark, root, v2)
+    assert((f1.toSet & f2.toSet).nonEmpty)
+    assert(Snapshots.read(spark, root, Some(1))
+      .agg(sum(col("n"))).head().getLong(0) == (1L to 40L).map(_ * 10).sum)
+    // unknown assignment column fails loudly
+    intercept[IllegalArgumentException](
+      Snapshots.updateWhere(spark, root, lit(true), Map("nope" -> lit(1))))
+  }
+
+  test("merge-on-read delete vectors: O(keys) commit, sequence-correct re-insert, targeted materialize") {
+    import spark.implicits._
+    val root = freshRoot("mor")
+    val base = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+    Snapshots.publish(spark, root, base.repartitionByRange(4, col("id")))
+    val f1 = Snapshots.files(spark, root, 1)
+    // delete ids 1..10 via a dv — NO data file may move
+    Snapshots.deleteByKey(spark, root, (1L to 10L).toDF("id"))
+    assert(Snapshots.files(spark, root, 2) == f1, "dv commit must not rewrite data")
+    assert(Snapshots.read(spark, root, Some(2)).count() == 30)
+    assert(Snapshots.read(spark, root, Some(2))
+      .filter(col("id") <= 10).count() == 0)
+    // v1 unaffected
+    assert(Snapshots.read(spark, root, Some(1)).count() == 40)
+    // re-insert a deleted key: sequence semantics keep it visible
+    Snapshots.publish(spark, root, Seq((3L, "reborn")).toDF("id", "v"), append = true)
+    val v3 = Snapshots.read(spark, root, Some(3))
+    assert(v3.count() == 31)
+    assert(v3.filter(col("id") === 3).select("v").as[String].collect().toSeq ==
+      Seq("reborn"), "dv must not retro-delete rows appended after it")
+    // the per-batch delta under outstanding dvs is just the appended rows
+    assert(Snapshots.readAdded(spark, root, 2, 3).count() == 1)
+    // raw-read paths refuse until materialized; metadata aggs return None
+    intercept[IllegalArgumentException](
+      Snapshots.readBetween(spark, root, "id", 1L, 5L))
+    intercept[IllegalArgumentException](
+      Snapshots.mergeByKey(spark, root, Seq((9L, "x")).toDF("id", "v"), Seq("id")))
+    intercept[IllegalArgumentException](
+      Snapshots.deleteWhere(spark, root, col("id") === 9))
+    intercept[IllegalArgumentException](
+      Snapshots.changes(spark, root, 2, 3, Seq("id")))
+    assert(Snapshots.countRows(spark, root).isEmpty)
+    assert(Snapshots.columnStats(spark, root, "id").isEmpty)
+    // targeted materialize: only files holding doomed rows rewrite
+    val v4 = Snapshots.materializeDeletes(spark, root)
+    assert(v4 == 4)
+    val f3 = Snapshots.files(spark, root, 3)
+    val f4 = Snapshots.files(spark, root, 4)
+    assert((f3.toSet & f4.toSet).nonEmpty, "untouched files carried by reference")
+    val after = Snapshots.read(spark, root, Some(4))
+    assert(after.count() == 31)
+    assert(after.filter(col("id") === 3).select("v").as[String].collect().toSeq ==
+      Seq("reborn"))
+    // materialized: raw paths and metadata aggregates come back
+    assert(Snapshots.countRows(spark, root) == Some(31L))
+    assert(Snapshots.readBetween(spark, root, "id", 1L, 5L).count() ==
+      after.filter(col("id").between(1, 5)).count())
+    // a second materialize is a no-op (returns the current version)
+    assert(Snapshots.materializeDeletes(spark, root) == 4)
+    // prior MoR versions still read correctly (their dvs intact)
+    assert(Snapshots.read(spark, root, Some(2)).count() == 30)
+    // vacuum with live dv references must NOT delete the dv key file;
+    // after expiring the dv-bearing versions it becomes sweepable
+    Snapshots.vacuum(spark, root, graceMs = 0L)
+    assert(Snapshots.read(spark, root, Some(2)).count() == 30, "dv file survived vacuum")
+    Snapshots.expire(spark, root, keepLast = 1)
+    Snapshots.vacuum(spark, root, graceMs = 0L)
+    assert(Snapshots.read(spark, root).count() == 31)
+  }
 }
