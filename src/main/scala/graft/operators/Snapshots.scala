@@ -155,6 +155,13 @@ object Snapshots {
     (firstSeenFile.toMap, dvs)
   }
 
+  /** Whether a version carries outstanding merge-on-read delete vectors
+    * (readers that cannot anti-join, e.g. the streaming source, refuse
+    * such versions rather than resurrect deleted rows).
+    */
+  def hasDeleteVectors(spark: SparkSession, root: String, version: Int): Boolean =
+    dvLinesOf(spark, root, version).nonEmpty
+
   /** Fail unless `version` carries no outstanding delete vectors — the
     * guard on every path that reads data files RAW (stats-pruned reads,
     * CDC, merge, copy-on-write rewrites): silently ignoring a dv would
