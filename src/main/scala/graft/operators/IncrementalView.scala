@@ -19,13 +19,18 @@ import org.apache.spark.sql.functions._
 object IncrementalView {
 
   /** The grouped count/sum view this module maintains: one row per group,
-    * `n_rows` plus `sum_<c>` for each of `sumCols`.
+    * `n_rows` plus `sum_<c>` and `nn_<c>` (non-null value count) for each
+    * of `sumCols`. The `nn_<c>` companion is what lets the incremental
+    * apply distinguish "sums to 0" from "no non-null values" — SQL's
+    * `sum` over an all-NULL group is NULL, and the maintained view must
+    * reproduce that bit-identically.
     */
   def countSum(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "countSum needs group columns")
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
+          count(col(c)).as(s"nn_$c"))): _*)
   }
 
   /** Apply a CDF (from [[Snapshots.changes]] with `preImages = true`) to a
@@ -44,8 +49,13 @@ object IncrementalView {
       .where(col("__sign").isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__sign")).as("__dn"),
-        // sum over nulls contributes nothing — same as the grouped sum
-        sumCols.map(c => sum(col("__sign") * col(c)).as(s"__ds_$c")): _*)
+        sumCols.flatMap(c => Seq(
+          // sum over nulls contributes nothing — same as the grouped sum
+          sum(col("__sign") * col(c)).as(s"__ds_$c"),
+          // sign-summed non-null count, so retracting the last non-null
+          // value drives nn to 0 and the applied sum back to NULL
+          sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L)))
+            .as(s"__dnn_$c"))): _*)
     // a feed without preimages cannot be applied soundly: an 'update' row
     // alone would double-count. Fail loudly instead of absorbing it.
     val hasPlainUpdate = cdf.where(col("change") === "update").limit(1).count() > 0
@@ -59,8 +69,16 @@ object IncrementalView {
       .select(
         groupCols.map(c => coalesce(m(c), d(c)).as(c)) ++
           Seq((coalesce(m("n_rows"), lit(0L)) + coalesce(d("__dn"), lit(0L))).as("n_rows")) ++
-          sumCols.map(c =>
-            (coalesce(m(s"sum_$c"), lit(0L)) + coalesce(d(s"__ds_$c"), lit(0L))).as(s"sum_$c")): _*)
+          sumCols.flatMap { c =>
+            val nn = coalesce(m(s"nn_$c"), lit(0L)) + coalesce(d(s"__dnn_$c"), lit(0L))
+            Seq(
+              // an all-NULL group sums to NULL, not 0 — exactly what the
+              // recompute would report (coalesce alone would say 0)
+              when(nn > 0,
+                coalesce(m(s"sum_$c"), lit(0L)) + coalesce(d(s"__ds_$c"), lit(0L)))
+                .as(s"sum_$c"),
+              nn.as(s"nn_$c"))
+          }: _*)
       .where(col("n_rows") > 0)
   }
 }

@@ -282,8 +282,11 @@ object SnapshotStats {
 
   /** Bound → µs since epoch, UTC (the session timezone the engine pins). */
   private def toMicros(v: Any): Long = v match {
-    case t: java.sql.Timestamp => math.multiplyExact(t.getTime / 1000, 1000000L) +
-      t.getNanos / 1000
+    // floorDiv, not /: pre-epoch getTime is negative and truncation
+    // toward zero would misplace the seconds part by one (getNanos is
+    // always the non-negative within-second part — floor matches it)
+    case t: java.sql.Timestamp =>
+      math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L) + t.getNanos / 1000
     case i: java.time.Instant => math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000
     case s: String =>
       val ldt = if (s.contains(" ") || s.contains("T"))

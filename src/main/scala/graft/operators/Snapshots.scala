@@ -62,6 +62,7 @@ object Snapshots {
   private val TMP_SUFFIX = ".tmp"
   private val SCHEMA_HEADER = "#schema="
   private val DV_HEADER = "#dv="
+  private val SEQ_HEADER = "#seq="
 
   /** Default vacuum grace: files younger than this are never deleted,
     * so an in-flight publish (write files, then commit manifest) cannot
@@ -101,15 +102,18 @@ object Snapshots {
   def files(spark: SparkSession, root: String, version: Int): Seq[String] =
     manifestLines(spark, root, version).filterNot(_.startsWith("#"))
 
-  /** A version's raw per-file stats header lines — column stats AND row
-    * counts (see [[SnapshotStats]]); they travel with their files.
+  /** A version's raw per-file header lines — column stats, row counts
+    * (see [[SnapshotStats]]) AND first-seen sequence numbers; they travel
+    * with their files across appends, rollbacks and partial rewrites.
     */
   private def statsLinesOf(spark: SparkSession, root: String, version: Int): Seq[String] =
     manifestLines(spark, root, version)
-      .filter(l => l.startsWith("#stats=") || l.startsWith("#rows="))
+      .filter(l => l.startsWith("#stats=") || l.startsWith("#rows=")
+        || l.startsWith(SEQ_HEADER))
 
   private def statsLineFile(l: String): String =
-    l.stripPrefix("#stats=").stripPrefix("#rows=").takeWhile(_ != '\t')
+    l.stripPrefix("#stats=").stripPrefix("#rows=").stripPrefix(SEQ_HEADER)
+      .takeWhile(_ != '\t')
 
   /** A version's raw `#dv=` header lines — outstanding merge-on-read
     * delete vectors (see [[deleteByKey]]); they travel across
@@ -126,17 +130,53 @@ object Snapshots {
   private final case class Dv(file: String, keyCols: Seq[String], version: Int)
 
   /** Per-file first-seen versions and resolved delete vectors of a
-    * version, computed in ONE ascending pass over the manifest log
-    * (bounded metadata: O(versions) manifest reads; [[expire]] bounds
-    * the log depth). First-seen is the sequence number that makes
-    * re-inserting a deleted key correct: a dv committed at D applies to
-    * a data file f iff firstSeen(f) <= D, so rows appended AFTER the
-    * delete are never retro-deleted.
+    * version, read from the version's OWN manifest: every listed data
+    * file carries a persisted `#seq=` line (written by [[commit]] at
+    * first listing, carried verbatim ever after) and every `#dv=` line
+    * embeds the version that committed it. First-seen is the sequence
+    * number that makes re-inserting a deleted key correct: a dv
+    * committed at D applies to a data file f iff firstSeen(f) <= D, so
+    * rows appended AFTER the delete are never retro-deleted.
+    *
+    * Persisted — NOT derived by walking the manifest log — because
+    * [[expire]] deletes old manifests: a walk over survivors would
+    * collapse every first-seen onto the oldest surviving version and
+    * retro-apply dvs to post-dv files (silently dropping re-inserted
+    * rows). Legacy manifests written before `#seq=` existed fall back
+    * to the log walk, which is correct as long as the log is unexpired.
     */
   private def history(spark: SparkSession, root: String,
       version: Int): (Map[String, Int], Seq[Dv]) = {
+    val lines = manifestLines(spark, root, version)
+    val recordedSeq: Map[String, Int] = lines.collect {
+      case l if l.startsWith(SEQ_HEADER) =>
+        val body = l.drop(SEQ_HEADER.length)
+        val (p, v) = body.span(_ != '\t')
+        p -> v.drop(1).toInt
+    }.toMap
+    val dvParsed = lines.collect {
+      case l if l.startsWith(DV_HEADER) =>
+        val parts = l.drop(DV_HEADER.length).split("\t", -1)
+        (l, parts(0), parts(1).split(",").toSeq,
+          if (parts.length >= 3) Some(parts(2).toInt) else None)
+    }
+    val fl = lines.filterNot(_.startsWith("#"))
+    lazy val (walkFiles, walkDvs) = walkHistory(spark, root, version)
+    val firstSeen = fl.map(f =>
+      f -> recordedSeq.getOrElse(f, walkFiles.getOrElse(f, version))).toMap
+    val dvs = dvParsed.map { case (l, path, kc, ver) =>
+      Dv(path, kc, ver.orElse(walkDvs.get(l)).getOrElse(version))
+    }
+    (firstSeen, dvs)
+  }
+
+  /** Legacy fallback for pre-`#seq=` manifests: first-seen versions from
+    * one ascending pass over the surviving manifest log.
+    */
+  private def walkHistory(spark: SparkSession, root: String,
+      version: Int): (Map[String, Int], Map[String, Int]) = {
     val firstSeenFile = scala.collection.mutable.Map.empty[String, Int]
-    val firstSeenDv = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val firstSeenDv = scala.collection.mutable.Map.empty[String, Int]
     versions(spark, root).filter(_ <= version).foreach { w =>
       manifestLines(spark, root, w).foreach {
         case l if l.startsWith(DV_HEADER) =>
@@ -146,13 +186,7 @@ object Snapshots {
         case _ => ()
       }
     }
-    val live = dvLinesOf(spark, root, version).toSet
-    val dvs = firstSeenDv.collect { case (l, w) if live(l) =>
-      val body = l.drop(DV_HEADER.length)
-      val (path, keys) = body.span(_ != '\t')
-      Dv(path, keys.drop(1).split(",").toSeq, w)
-    }.toSeq
-    (firstSeenFile.toMap, dvs)
+    (firstSeenFile.toMap, firstSeenDv.toMap)
   }
 
   /** Whether a version carries outstanding merge-on-read delete vectors
@@ -311,11 +345,22 @@ object Snapshots {
 
   private def commit(f: FileSystem, root: String, v: Int, list: Seq[String],
       schema: Option[StructType], statsLines: Seq[String] = Nil): Int = {
+    // Per-file sequence numbers, PERSISTED in the manifest: carried
+    // `#seq=` lines keep their version for shared files; any listed file
+    // without one is first seen HERE and stamps `v`. Persisted (not
+    // log-derived) so [[expire]] can drop old manifests without
+    // collapsing dv sequence semantics onto surviving versions.
+    val listed = list.toSet
+    val kept = statsLines.filter(l =>
+      !l.startsWith(SEQ_HEADER) || listed(statsLineFile(l)))
+    val haveSeq = statsLines.filter(_.startsWith(SEQ_HEADER))
+      .map(statsLineFile).toSet
+    val newSeq = list.filterNot(haveSeq).map(fl => s"$SEQ_HEADER$fl\t$v")
     val target = manifestPath(root, v)
     val tmp = new Path(target.toString + TMP_SUFFIX)
     f.mkdirs(target.getParent)
     val header = schema.map(s => SCHEMA_HEADER + s.json + "\n").getOrElse("") +
-      statsLines.map(_ + "\n").mkString
+      (kept ++ newSeq).map(_ + "\n").mkString
     val out = f.create(tmp, true)
     try out.write((header + list.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -835,7 +880,9 @@ object Snapshots {
     val f = fs(spark, root)
     val carried = dvLinesOf(spark, root, v) ++ statsLinesOf(spark, root, v)
     val (_, dvFiles) = writeData(f, root, keys.distinct())
-    val newDvLines = dvFiles.map(p => s"$DV_HEADER$p\t${kc.mkString(",")}")
+    // the committing version IS the dv's sequence number — embedded in
+    // the line (not derived from the log) so it survives expire()
+    val newDvLines = dvFiles.map(p => s"$DV_HEADER$p\t${kc.mkString(",")}\t${v + 1}")
     commit(f, root, v + 1, files(spark, root, v), schemaOf(spark, root, v),
       newDvLines ++ carried)
   }

@@ -389,18 +389,23 @@ class SnapshotsSpec extends AnyFunSuite {
     import spark.implicits._
     val root = freshRoot("ivm")
     Snapshots.publish(spark, root,
-      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("k", "g", "x"))
-    // update k=2 (a→40), delete k=3 (group b vanishes), insert k=4 (new group c)
+      Seq((1L, "a", Some(10L)), (2L, "a", Some(20L)), (3L, "b", Some(30L)),
+        (5L, "d", None)).toDF("k", "g", "x"))
+    // update k=2 (a→40), delete k=3 (group b vanishes), insert k=4 (new
+    // group c), insert k=6 (group d stays all-NULL in x — its sum must
+    // stay NULL through the incremental apply, not collapse to 0)
     Snapshots.mergeByKey(spark, root,
-      Seq((2L, "a", 40L, false), (3L, "b", 0L, true), (4L, "c", 5L, false))
+      Seq((2L, "a", Some(40L), false), (3L, "b", Some(0L), true),
+        (4L, "c", Some(5L), false), (6L, "d", None, false))
         .toDF("k", "g", "x", "del"),
       Seq("k"), Some("del"))
     val cdf = Snapshots.changes(spark, root, 1, 2, Seq("k"), preImages = true)
-    val got = cdf.select("change", "k", "g", "x").as[(String, Long, String, Long)]
-      .collect().toSet
+    val got = cdf.select("change", "k", "g", "x")
+      .as[(String, Long, String, Option[Long])].collect().toSet
     assert(got == Set(
-      ("update_preimage", 2L, "a", 20L), ("update_postimage", 2L, "a", 40L),
-      ("delete", 3L, "b", 30L), ("insert", 4L, "c", 5L)))
+      ("update_preimage", 2L, "a", Some(20L)), ("update_postimage", 2L, "a", Some(40L)),
+      ("delete", 3L, "b", Some(30L)), ("insert", 4L, "c", Some(5L)),
+      ("insert", 6L, "d", None)))
     // incremental refresh == full recompute (group b vanished, c appeared)
     val mv1 = graft.operators.IncrementalView.countSum(
       Snapshots.read(spark, root, Some(1)), Seq("g"), Seq("x"))
