@@ -65,7 +65,24 @@ object Plans {
       "q121_merge_upsert",   // pruned read + survivors anti-join, partition swap
       "q122_quality_model",  // explode -> broadcast weight join -> agg
       "q126_bloom_semi",     // bloom probe INSIDE the scan stage, pre-shuffle
-      "q127_bloom_anti")     // bloom-negative bypass + exact anti on suspects
+      "q127_bloom_anti",     // bloom-negative bypass + exact anti on suspects
+      // snapshot tier (the returned frame's plan; the publish/merge side
+      // effects run first — audited for shape, not timed here)
+      "q128_snapshot_travel", // manifest-listed scan, no directory listing
+      "q129_snapshot_incremental", // O(new files) delta scan
+      "q133_snapshot_evolution", // evolved-schema union read
+      "q134_snapshot_merge", // CoW MERGE result: pruned probe + anti-join
+      "q136_snapshot_changes", // CDF: added/removed file scans, key diff
+      "q137_snapshot_compact", // post-compaction scan over merged files
+      "q138_snapshot_skipping", // stats-pruned range read (in-row `pruned` pin)
+      "q139_incremental_view", // O(changes) view apply: full-outer on group keys
+      "q141_zorder_skipping", // 2-D z-order pruning (in-row `pruned` pin)
+      "q142_stats_only_agg", // metadata-only: LocalRelation, no scan at all
+      "q143_bloom_pointlookup", // footer-bloom pruned IN lookup
+      "q144_snapshot_delete", // CoW DELETE: touched-file probe + rewrite
+      "q145_snapshot_update", // CoW UPDATE: assignments over touched files
+      "q146_mor_delete",     // merge-on-read: seq-scoped dv anti-join
+      "q147_dsv2_read")      // DSv2 scan: pushed filters prune manifest files
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -24,6 +24,7 @@ object SparkEntry {
       q.Extras3.entries ++
       q.Extras4.entries ++
       q.Extras5.entries ++
+      q.Extras6.entries ++
       q.Curation.entries
 
   {

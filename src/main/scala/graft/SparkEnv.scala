@@ -29,6 +29,12 @@ object SparkEnv {
     // events.parquet stores ts as TIMESTAMP(NANOS) which Spark has no native
     // type for; read as long ns-since-epoch, converted in Tables.load.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // fixture timestamps are naive micros (isAdjustedToUTC=false); read them
+    // as session-TZ TIMESTAMP (the session pins UTC) — matching the DuckDB
+    // oracle, which treats the same bytes as plain TIMESTAMP — instead of
+    // inferring TIMESTAMP_NTZ, which unix_micros/window-range arithmetic
+    // rejects
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
 
   /** Local session sized for the harness (local[32], 32 shuffle partitions).

@@ -261,6 +261,35 @@ object SnapshotStats {
     case _ => true // unknown tag from a future writer: never prune on it
   }
 
+  /** Can any row of a file with stats `cs` satisfy `column >= v`? False
+    * only when the footer max PROVES no row can. One-sided companions to
+    * [[overlaps]] for pushed catalyst comparisons (`>`, `>=`): strict and
+    * non-strict share the non-strict test — keeping a file whose max
+    * equals a strict bound is a superset, and pruning stays advisory.
+    */
+  def admitsAtLeast(cs: ColStats, v: Any): Boolean = cs.tag match {
+    case "allnull" => false
+    case "double" => cs.max.toDouble >= toDouble(v)
+    case "string" => byteCompare(Base64.getDecoder.decode(cs.max),
+      v.toString.getBytes(StandardCharsets.UTF_8)) >= 0
+    case "date" => cs.max.toLong >= toEpochDay(v)
+    case "ts" => cs.max.toLong >= toMicros(v)
+    case "long" => cs.max.toLong >= toLongBound(v)
+    case _ => true // unknown tag from a future writer: never prune on it
+  }
+
+  /** Mirror of [[admitsAtLeast]]: can any row satisfy `column <= v`? */
+  def admitsAtMost(cs: ColStats, v: Any): Boolean = cs.tag match {
+    case "allnull" => false
+    case "double" => cs.min.toDouble <= toDouble(v)
+    case "string" => byteCompare(Base64.getDecoder.decode(cs.min),
+      v.toString.getBytes(StandardCharsets.UTF_8)) <= 0
+    case "date" => cs.min.toLong <= toEpochDay(v)
+    case "ts" => cs.min.toLong <= toMicros(v)
+    case "long" => cs.min.toLong <= toLongBound(v)
+    case _ => true // unknown tag from a future writer: never prune on it
+  }
+
   private def toDouble(v: Any): Double = v match {
     case n: Number => n.doubleValue()
     case s: String => s.toDouble

@@ -672,9 +672,12 @@ object Snapshots {
     *   - WHEN MATCHED                THEN UPDATE (the delta row wins whole)
     *   - WHEN NOT MATCHED, no tombstone THEN INSERT
     *
-    * Mechanics (the Delta/Iceberg copy-on-write MERGE shape): one
-    * semi-join over the current version finds the files that contain at
-    * least one delta key; ONLY those files' survivor rows rewrite,
+    * Mechanics (the Delta/Iceberg copy-on-write MERGE shape): the
+    * delta keys' min/max envelope stats-prunes the candidate files
+    * through the manifest's footer stats (same pruned-read path as
+    * [[deleteWhere]]'s `pruneRanges`), then one semi-join over just the
+    * candidates finds the files that contain at least one delta key;
+    * ONLY those files' survivor rows rewrite,
     * together with the delta's upserts, into a fresh immutable data dir;
     * the new manifest lists (untouched files ++ new files) under the
     * union-merged schema. Cost is O(touched files + delta), never
@@ -717,12 +720,32 @@ object Snapshots {
     // which files hold a delta key? bounded output: one row per touched
     // file (the same driver granularity as Upsert's touched-partition set)
     val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
-    val base = readFiles(spark, root, rel, schema, s"v$v")
+    // stats-prune the probe FIRST: a file whose footer min/max on every
+    // key column misses the delta's key envelope cannot hold a delta key,
+    // so the row-level semi-join probe never scans it. One extra pass
+    // over the (already materialized) delta keys buys a probe that costs
+    // O(key-overlapping files) instead of a full base scan — on a 100 TB
+    // key-clustered table a narrow MERGE probes only its band, the same
+    // shape deleteWhere/updateWhere get via pruneRanges. The envelope is
+    // a superset of the key set (min/max ignore NULLs; NULL keys never
+    // equi-match anyway), and filesWhere passes files without usable
+    // stats, so pruning is advisory and never drops a genuine match.
+    val keyBounds: Map[String, (Any, Any)] = {
+      val aggs = keyCols.flatMap(k => Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+      val row = deltaKeys.agg(aggs.head, aggs.tail: _*).collect().head
+      keyCols.zipWithIndex.flatMap { case (k, i) =>
+        val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
+        if (lo == null || hi == null) None else Some(k -> (lo, hi))
+      }.toMap
+    }
+    val candidates =
+      if (keyBounds.isEmpty) rel else filesWhere(spark, root, v, keyBounds)
     val touched: Set[String] =
-      if (rel.isEmpty) Set.empty
+      if (candidates.isEmpty) Set.empty
       // no forced broadcast: a small delta broadcasts via AQE; a huge one
       // is allowed its shuffle (the touched-file set stays file-bounded)
-      else base.withColumn("__file", input_file_name())
+      else readFiles(spark, root, candidates, schema, s"v$v candidates")
+        .withColumn("__file", input_file_name())
         .join(deltaKeys, keyCols, "left_semi")
         // normalize reader URIs (file:///x vs file:/x) to the manifest's
         // relative form: data files always live at data/<uuid>/<name>
@@ -961,6 +984,14 @@ object Snapshots {
       }
     }
   }
+
+  /** A version's parsed per-file column stats — the manifest-resident
+    * skipping metadata, exposed for external pruning drivers (the DSv2
+    * source translates pushed catalyst filters against these).
+    */
+  def statsOf(spark: SparkSession, root: String,
+      version: Int): Map[String, Map[String, SnapshotStats.ColStats]] =
+    SnapshotStats.parse(statsLinesOf(spark, root, version))
 
   /** Single-column [[filesWhere]]. */
   def filesBetween(spark: SparkSession, root: String, version: Int,

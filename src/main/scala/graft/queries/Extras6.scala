@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** Round-8 tier: the DataSource-V2 front door to the snapshot layer
+  * (`graft.sources.SnapshotSource`) — the same manifests, stats and
+  * exactly-once semantics, reached through `spark.read.format(...)` /
+  * `spark.readStream.format(...)` so Catalyst plans the scan and pushes
+  * filters/projections into it, instead of the table API choosing files
+  * imperatively.
+  */
+object Extras6 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  private def freshRoot(s: SparkSession, owner: String, name: String, dir: String): String = {
+    val root = graft.Scratch.dir(owner, name, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun
+    root
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // DSv2 batch read with filter pushdown INTO the manifest stats: the
+    // user writes a plain `.filter` on a `format("graft-snapshot")`
+    // frame; the scan plans over only the files whose footer min/max
+    // admit the range — no readBetween call, Catalyst's own pushed
+    // filters drive the skipping. The in-row `pruned` flag counts the
+    // PLANNED scan files (from the executed plan's BatchScanExec, not
+    // the manifest API), so the oracle hash proves both exact results
+    // and that the scan physically dropped files. At 100 TB this is the
+    // difference between "the user must know the skipping API" and
+    // "every ad-hoc range query skips".
+    QueryDef.checked(
+      "q147_dsv2_read",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_key,
+        |  CAST(1 AS BOOLEAN) AS pruned
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00'
+        |                     AND TIMESTAMP '1995-08-31 23:59:59'""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q147_dsv2_read", "dsv2_read", dir)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      Snapshots.publish(s, root, li.repartitionByRange(16, col("l_shipdate")))
+      val totalFiles = Snapshots.files(s, root, Snapshots.versions(s, root).last).size
+      val filtered = s.read.format("graft-snapshot").option("root", root).load()
+        .filter(col("l_shipdate").between(
+          lit("1995-06-01 00:00:00").cast("timestamp"),
+          lit("1995-08-31 23:59:59").cast("timestamp")))
+      val planned = filtered.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputPartitions.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.length
+        }.sum
+      }.sum
+      filtered.agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        min(col("l_orderkey")).cast("long").as("min_key"))
+        .select(col("n_rows"), col("sum_qty"), col("min_key"),
+          lit(planned < totalFiles).as("pruned"))
+    },
+
+    // DSv2 micro-batch stream: manifest versions ARE the offsets, each
+    // trigger delivers exactly the files the new versions appended —
+    // O(new data) per trigger, deterministic replay from the
+    // checkpointed version. Two appends flow through one query into a
+    // memory sink; the oracle recomputes the union from the source
+    // table, so the hash proves nothing was lost, duplicated, or
+    // reordered into the wrong version. This is the reference's
+    // poll-and-copy loop (`TransTablePartition.java:115-140`) as a
+    // continuous exactly-once source instead of a cron rescan.
+    QueryDef.checked(
+      "q148_dsv2_stream",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q148_dsv2_stream", "dsv2_stream", dir)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      Snapshots.publish(s, root, orders.filter(col("o_orderkey") % 2 === 0))
+      val ck = graft.Scratch.ephemeralCheckpoint("q148_dsv2_stream")
+      val q = s.readStream.format("graft-snapshot").option("root", root).load()
+        .writeStream.format("memory").queryName("q148_out")
+        .option("checkpointLocation", ck).start()
+      try {
+        q.processAllAvailable()
+        Snapshots.publish(s, root, orders.filter(col("o_orderkey") % 2 === 1),
+          append = true)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q148_out")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).cast("long").as("min_key"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+    }
+  )
+}

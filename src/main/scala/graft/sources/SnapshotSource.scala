@@ -1,0 +1,315 @@
+package graft.sources
+
+import graft.operators.{SnapshotStats, Snapshots}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.graftbridge.ParquetReadBridge
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util.{Set => JSet}
+import scala.jdk.CollectionConverters._
+
+/** DataSource-V2 front door to the snapshot layer:
+  *
+  * {{{
+  *   spark.read.format("graft-snapshot").option("root", root).load()
+  *   spark.readStream.format("graft-snapshot").option("root", root).load()
+  * }}}
+  *
+  * Batch reads plan over EXACTLY the manifest's file list (optionally at
+  * `option("version", n)` for time travel) and push catalyst filters two
+  * levels down: (1) against the manifest's per-file footer stats
+  * ([[Snapshots.statsOf]]), so statically-excluded files never become
+  * scan tasks — the `.filter(col("ts").between(...))` a user writes gets
+  * [[Snapshots.readBetween]]'s skipping without calling it; (2) into the
+  * parquet readers for row-group/page-index skipping inside surviving
+  * files. Every filter stays in the residual (Spark re-applies it above
+  * the scan), so pruning is advisory and correctness never depends on a
+  * stats line existing. Column pruning reaches the parquet reader the
+  * same way (`ReadSchema` carries only the projected columns).
+  *
+  * The streaming side is an exactly-once incremental source: offsets ARE
+  * manifest versions, and a micro-batch (start, end] delivers the rows of
+  * files first listed in that version range — O(new data) per trigger,
+  * never O(table). Restart replays deterministically from the
+  * checkpointed version because manifests and data files are immutable.
+  * Append-only delivery: a version that REMOVES files (compaction,
+  * z-order, copy-on-write DELETE/UPDATE, rollback) fails the stream
+  * loudly unless `option("ignoreRewrites", true)` declares the log's
+  * rewrites layout-only (their added files are then skipped, not
+  * re-delivered); merge-on-read delete vectors likewise fail unless
+  * `option("ignoreDeletes", true)` accepts that deletes do not retract
+  * already-delivered rows (the CDF path, [[Snapshots.changes]], is the
+  * tool when retractions matter). `option("startingVersion", "latest")`
+  * tails only future appends; a number starts at that version inclusive;
+  * default replays from the earliest retained version.
+  *
+  * Vs the reference's static partition enumeration
+  * (`CommonUtils.java:151-163`, date-range directory walk planned once
+  * per run): the manifest is the enumeration, stats make it
+  * value-selective, and the stream makes it continuous.
+  */
+class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val r = options.get("root")
+    require(r != null && r.nonEmpty, "graft-snapshot requires option 'root'")
+    r
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val root = rootOf(options)
+    val vs = Snapshots.versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = Option(options.get("version")).map(_.toInt).getOrElse(vs.last)
+    Snapshots.schemaOf(spark, root, v).getOrElse(throw new IllegalArgumentException(
+      s"v$v under $root records no schema header — pre-header manifests are " +
+        "readable via Snapshots.read (footer merge), not the DSv2 source"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new SnapshotTable(schema, properties.asScala.getOrElse("root", "<unset>"))
+}
+
+private[sources] class SnapshotTable(tableSchema: StructType, root: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-snapshot($root)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(tableSchema, options)
+}
+
+private[sources] class SnapshotScanBuilder(tableSchema: StructType,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  /** Accept every filter for ADVISORY use (stats + parquet row-group
+    * skipping) but return all of them as residual — Spark re-applies
+    * them above the scan, so a missing stats line can never change
+    * results. The exchange is the standard conservative contract.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // streaming wraps the scan in an internal offset/commit harness that
+    // can ask for zero columns; the parquet factory needs ≥1 to count rows
+    required = if (requiredSchema.isEmpty) StructType(tableSchema.take(1)) else requiredSchema
+
+  override def build(): Scan =
+    new SnapshotScan(tableSchema, required, pushed.toSeq, options)
+}
+
+private[sources] object SnapshotScan {
+  /** Does any row of a file admitted by `stats` possibly satisfy `f`?
+    * Conservative three-level translation of catalyst's pushed-filter
+    * language onto footer min/max/null-count: unknown shapes and
+    * stats-less columns admit. This is the bridge that turns a plain
+    * `.filter` into manifest-level file skipping.
+    */
+  def admits(stats: Map[String, SnapshotStats.ColStats], f: Filter): Boolean = {
+    def col(c: String)(test: SnapshotStats.ColStats => Boolean): Boolean =
+      stats.get(c).forall(test)
+    f match {
+      case EqualTo(c, v) if v != null => col(c)(SnapshotStats.overlaps(_, v, v))
+      case EqualNullSafe(c, null) => col(c)(cs => cs.nulls > 0 || cs.tag == "allnull")
+      case EqualNullSafe(c, v) => col(c)(SnapshotStats.overlaps(_, v, v))
+      case GreaterThan(c, v) if v != null => col(c)(SnapshotStats.admitsAtLeast(_, v))
+      case GreaterThanOrEqual(c, v) if v != null => col(c)(SnapshotStats.admitsAtLeast(_, v))
+      case LessThan(c, v) if v != null => col(c)(SnapshotStats.admitsAtMost(_, v))
+      case LessThanOrEqual(c, v) if v != null => col(c)(SnapshotStats.admitsAtMost(_, v))
+      case In(c, vs) if vs != null && vs.nonEmpty =>
+        vs.exists(v => v == null || col(c)(SnapshotStats.overlaps(_, v, v)))
+      case IsNull(c) => col(c)(cs => cs.nulls > 0 || cs.tag == "allnull")
+      case IsNotNull(c) => col(c)(_.tag != "allnull")
+      case And(l, r) => admits(stats, l) && admits(stats, r)
+      case Or(l, r) => admits(stats, l) || admits(stats, r)
+      case _ => true // Not / StringStartsWith / unknown: never prune on it
+    }
+  }
+
+  /** The subset of `rel` whose stats admit every pushed filter. */
+  def prune(stats: Map[String, Map[String, SnapshotStats.ColStats]],
+      rel: Seq[String], filters: Seq[Filter]): Seq[String] =
+    if (filters.isEmpty) rel
+    else rel.filter(fl => filters.forall(admits(stats.getOrElse(fl, Map.empty), _)))
+}
+
+private[sources] class SnapshotScan(tableSchema: StructType, required: StructType,
+    filters: Seq[Filter], options: CaseInsensitiveStringMap) extends Scan {
+  private val root = options.get("root")
+  private val version = Option(options.get("version")).map(_.toInt)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val v = version.map(v => s" version=$v").getOrElse("")
+    s"graft-snapshot root=$root$v filters=[${filters.mkString(", ")}]"
+  }
+
+  override def toBatch: Batch = {
+    val spark = SparkSession.active
+    val vs = Snapshots.versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = version.getOrElse(vs.last)
+    require(!Snapshots.hasDeleteVectors(spark, root, v),
+      s"v$v under $root carries outstanding merge-on-read delete vectors — a raw " +
+        "file scan would resurrect deleted rows; run materializeDeletes or compact " +
+        "first, or read through Snapshots.read (which anti-joins them)")
+    val rel = Snapshots.files(spark, root, v)
+    val kept = SnapshotScan.prune(Snapshots.statsOf(spark, root, v), rel, filters)
+    new SnapshotBatch(spark, root, tableSchema, required, filters,
+      kept.map(r => s"$root/$r"), rel.size - kept.size)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SnapshotMicroBatchStream(SparkSession.active, root, tableSchema, required,
+      filters, options)
+}
+
+private[sources] class SnapshotBatch(spark: SparkSession, root: String,
+    tableSchema: StructType, required: StructType, filters: Seq[Filter],
+    paths: Seq[String], prunedFiles: Int) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    ParquetReadBridge.filePartitions(spark, paths)
+  override def createReaderFactory(): PartitionReaderFactory =
+    ParquetReadBridge.readerFactory(spark, tableSchema, required, filters)
+
+  /** Exposed for the spec: the absolute files this batch plans over. */
+  private[graft] def plannedPaths: Seq[String] = paths
+  private[graft] def prunedFileCount: Int = prunedFiles
+}
+
+/** A manifest version as a streaming offset. Version 0 = "before the
+  * first publish" (nothing delivered yet).
+  */
+private[sources] case class VersionOffset(version: Int) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[sources] object VersionOffset {
+  private val Re = """\{\s*"version"\s*:\s*(\d+)\s*\}""".r
+  def parse(json: String): VersionOffset = json match {
+    case Re(v) => VersionOffset(v.toInt)
+    case other => throw new IllegalArgumentException(
+      s"not a graft-snapshot offset: $other")
+  }
+}
+
+private[sources] class SnapshotMicroBatchStream(spark: SparkSession, root: String,
+    tableSchema: StructType, required: StructType, filters: Seq[Filter],
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val ignoreRewrites = options.getBoolean("ignoreRewrites", false)
+  private val ignoreDeletes = options.getBoolean("ignoreDeletes", false)
+  // admission control: at most this many VERSIONS advance per trigger —
+  // version granularity (not files/rows) because a version is the atomic
+  // exactly-once unit; a huge backfill then drains as bounded micro-batches
+  // instead of one giant catch-up batch
+  private val maxVersionsPerTrigger =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
+  maxVersionsPerTrigger.foreach(n =>
+    require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"))
+  // Trigger.AvailableNow: pin the goal line at prepare time, so the run
+  // drains exactly what existed when it started, then terminates
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Snapshots.versions(spark, root).lastOption.getOrElse(0))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val newest = Snapshots.versions(spark, root).lastOption.getOrElse(0)
+    val capped = availableNowCap.fold(newest)(math.min(newest, _))
+    VersionOffset(maxVersionsPerTrigger.fold(capped)(n => math.min(capped, s + n)))
+  }
+
+  override def reportLatestOffset(): Offset =
+    VersionOffset(Snapshots.versions(spark, root).lastOption.getOrElse(0))
+
+  override def initialOffset(): Offset = {
+    val vs = Snapshots.versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    Option(options.get("startingVersion")) match {
+      case None => VersionOffset(0)
+      case Some("earliest") => VersionOffset(0)
+      case Some("latest") => VersionOffset(vs.last)
+      case Some(n) => VersionOffset(n.toInt - 1) // deliver n onward, inclusive
+    }
+  }
+
+  override def latestOffset(): Offset =
+    VersionOffset(Snapshots.versions(spark, root).lastOption.getOrElse(0))
+
+  override def deserializeOffset(json: String): Offset = VersionOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    ParquetReadBridge.filePartitions(spark, plannedPaths(start, end))
+
+  /** The absolute file paths whose rows version range (start, end]
+    * appended — the version-by-version walk over surviving manifests,
+    * with the append-only contract enforced per step.
+    */
+  private[graft] def plannedPaths(start: Offset, end: Offset): Seq[String] = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val e = end.asInstanceOf[VersionOffset].version
+    if (e <= s) return Nil
+    val vs = Snapshots.versions(spark, root)
+    require(s == 0 || vs.contains(s),
+      s"checkpointed offset v$s no longer exists under $root (expired?) — " +
+        "the stream cannot re-establish its baseline; reset the checkpoint " +
+        "or retain more versions (expire keepLast)")
+    val walk = vs.filter(v => v > s && v <= e)
+    var prev: Set[String] = if (s == 0) Set.empty else Snapshots.files(spark, root, s).toSet
+    val out = Seq.newBuilder[String]
+    walk.foreach { w =>
+      if (!ignoreDeletes && Snapshots.hasDeleteVectors(spark, root, w))
+        throw new IllegalStateException(
+          s"v$w under $root carries merge-on-read delete vectors; an append-only " +
+            "stream cannot retract delivered rows — use Snapshots.changes for CDF, " +
+            "or option(\"ignoreDeletes\", true) to stream inserts only")
+      val cur = Snapshots.files(spark, root, w).toSet
+      val removed = prev -- cur
+      val added = (cur -- prev).toSeq.sorted
+      if (removed.nonEmpty && !ignoreRewrites)
+        throw new IllegalStateException(
+          s"v$w under $root removed ${removed.size} file(s) (compaction/rewrite/" +
+            "rollback); re-delivering rewritten files would duplicate rows — " +
+            "option(\"ignoreRewrites\", true) declares such versions layout-only " +
+            "(their files are skipped), or use Snapshots.changes for row-level diffs")
+      if (removed.isEmpty) {
+        // stats-prune the step's additions exactly like the batch path:
+        // a tailing stream with a pushed predicate plans only admitted files
+        val kept = SnapshotScan.prune(Snapshots.statsOf(spark, root, w), added, filters)
+        out ++= kept.map(r => s"$root/$r")
+      }
+      prev = cur
+    }
+    out.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ParquetReadBridge.readerFactory(spark, tableSchema, required, filters)
+
+  override def commit(end: Offset): Unit = () // manifests are immutable
+  override def stop(): Unit = ()
+}

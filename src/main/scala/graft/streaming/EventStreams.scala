@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) stored as
-    * int64; read as long and restored to µs timestamps like Tables.load).
+  /** events physical schema when ts is TIMESTAMP(NANOS) stored as int64
+    * (the pre-r8 fixture layout; read as long and restored to µs
+    * timestamps like Tables.load).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -28,11 +29,27 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of an events parquet path (file or glob). */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(path)
-      // integer div — see Tables.load for why `/ 1000` would corrupt µs
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events physical schema when ts is a plain timestamp (µs). */
+  val tsSchema: StructType = StructType(
+    rawSchema.map(f => if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
+  /** Streaming read of an events parquet path (file or glob), adaptive to
+    * the fixture's ts encoding: a probe batch read of whatever files
+    * exist NOW decides whether ts is TIMESTAMP(NANOS)-as-long (legacy
+    * layout — convert ns→µs) or a plain timestamp column. One driver-side
+    * footer read at stream setup; files arriving later must match, the
+    * standard streaming-schema contract.
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val nanosLayout = scala.util.Try(
+      spark.read.parquet(path).schema("ts").dataType == LongType).getOrElse(false)
+    if (nanosLayout)
+      spark.readStream.schema(rawSchema).parquet(path)
+        // integer div — see Tables.load for why `/ 1000` would corrupt µs
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream.schema(tsSchema).parquet(path)
+  }
 
   /** Tumbling 1-hour counts with a 2-hour watermark (q24's stream form). */
   def hourlyCounts(events: DataFrame): DataFrame =

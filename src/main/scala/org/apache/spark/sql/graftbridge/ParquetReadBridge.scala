@@ -1,0 +1,84 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.parquet.hadoop.ParquetInputFormat
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Bridge into Spark's DataSource-V2 parquet read machinery for custom
+  * connectors (the snapshot source, `graft.sources.SnapshotSource`): a
+  * file-list-driven scan gets the SAME vectorized/codegen parquet
+  * readers as `spark.read.parquet`, instead of a hand-rolled row reader.
+  * Lives in the `org.apache.spark.sql` namespace because the factory and
+  * its file-partition helpers are `private[sql]` — this is the supported
+  * extension seam for connectors built on the file-source engine.
+  */
+object ParquetReadBridge {
+
+  /** A serializable reader factory decoding the given `schema` from
+    * parquet files. Files missing a column (snapshot schema evolution)
+    * null-fill it, exactly like `spark.read.schema(s).parquet`.
+    * `filters` reach the parquet row-group/page index evaluators —
+    * advisory skipping; rows still re-filter above the scan.
+    */
+  def readerFactory(spark: SparkSession, dataSchema: StructType,
+      readSchema: StructType, filters: Seq[Filter] = Nil): PartitionReaderFactory = {
+    val conf = spark.sessionState.conf
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    // the conf hand-off ParquetScan.createReaderFactory performs before
+    // broadcasting: the record readers resolve their ReadSupport, the
+    // requested schema and the schema-converter flags from the TASK-side
+    // hadoop conf, not from the factory's constructor arguments
+    hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readSchema.json)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readSchema.json)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, conf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      conf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, conf.caseSensitiveAnalysis)
+    ParquetWriteSupport.setSchema(readSchema, hadoopConf)
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      conf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      conf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      conf.legacyParquetNanosAsLong)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      conf.parquetInferTimestampNTZEnabled)
+    val bc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    ParquetPartitionReaderFactory(
+      conf, bc,
+      dataSchema = dataSchema, readDataSchema = readSchema,
+      partitionSchema = new StructType(),
+      filters = filters.toArray, aggregation = None,
+      options = new ParquetOptions(Map.empty[String, String], conf))
+  }
+
+  /** Bin-pack absolute file paths into scan partitions using Spark's own
+    * sizing (`maxPartitionBytes` / `openCostInBytes`), so a thousand
+    * small snapshot files coalesce and a handful of large ones spread —
+    * the same task shape the built-in parquet source would plan.
+    */
+  def filePartitions(spark: SparkSession, paths: Seq[String]): Array[InputPartition] = {
+    if (paths.isEmpty) return Array.empty
+    val hconf = spark.sessionState.newHadoopConf()
+    val pfs = paths.map { p =>
+      val hp = new Path(p)
+      val st = hp.getFileSystem(hconf).getFileStatus(hp)
+      PartitionedFile(InternalRow.empty, SparkPath.fromPath(st.getPath), 0L,
+        st.getLen, Array.empty, st.getModificationTime, st.getLen, Map.empty)
+    }
+    val maxSplit = FilePartition.maxSplitBytes(spark, pfs.map(_.length).sum)
+    FilePartition.getFilePartitions(spark, pfs, maxSplit).toArray
+  }
+}

@@ -1,0 +1,215 @@
+package graft
+
+import graft.operators.Snapshots
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the DSv2 front door (`format("graft-snapshot")`): batch reads
+  * match `Snapshots.read` bit-for-bit, pushed filters prune FILES through
+  * the manifest stats (asserted on the planned scan, not just the rows),
+  * column pruning reaches the scan's read schema, time travel works, dv
+  * versions refuse a raw scan, and the micro-batch stream delivers each
+  * append exactly once across a checkpointed restart.
+  */
+class SnapshotSourceSpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  private def freshRoot(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-dsv2-$tag")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def orders = Tables.load(spark, sf, "orders")
+
+  private def readSource(root: String): DataFrame =
+    spark.read.format("graft-snapshot").option("root", root).load()
+
+  /** The files the frame's (single) snapshot scan plans over. */
+  private def plannedFiles(df: DataFrame): Seq[String] = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    assert(scans.size == 1, s"expected one snapshot scan, got ${scans.size}")
+    scans.head.inputPartitions.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.urlEncodedPath)
+      case other => fail(s"unexpected partition shape: $other")
+    }
+  }
+
+  test("batch read matches Snapshots.read, supports time travel") {
+    val root = freshRoot("batch")
+    val early = orders.filter(col("o_orderdate") < lit("1996-01-01"))
+    Snapshots.publish(spark, root, early)
+    Snapshots.publish(spark, root, orders)
+    assert(readSource(root).count() == orders.count())
+    val v1 = spark.read.format("graft-snapshot")
+      .option("root", root).option("version", 1).load()
+    assert(v1.count() == early.count())
+    // contents, not just counts: full-row symmetric difference is empty
+    assert(readSource(root).exceptAll(orders).isEmpty
+      && orders.exceptAll(readSource(root)).isEmpty)
+  }
+
+  test("pushed range filter prunes files via manifest stats") {
+    val root = freshRoot("prune")
+    // range-clustered publish: each file's o_orderkey min/max is tight
+    Snapshots.publish(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    val all = readSource(root)
+    val total = plannedFiles(all).size
+    assert(total >= 6, s"expected ~8 clustered files, got $total")
+    val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+    val narrow = readSource(root).filter(col("o_orderkey") === lit(lo))
+    val planned = plannedFiles(narrow)
+    assert(planned.size < total,
+      s"stats pruning must drop files: planned ${planned.size} of $total")
+    assert(narrow.count() == orders.filter(col("o_orderkey") === lit(lo)).count())
+    // one-sided comparison prunes too, and results stay exact
+    val hi = orders.agg(max("o_orderkey")).head.getLong(0)
+    val tail = readSource(root).filter(col("o_orderkey") > lit(hi - 5))
+    assert(plannedFiles(tail).size < total)
+    assert(tail.count() == orders.filter(col("o_orderkey") > lit(hi - 5)).count())
+  }
+
+  test("column pruning reaches the scan read schema") {
+    val root = freshRoot("colprune")
+    Snapshots.publish(spark, root, orders)
+    val two = readSource(root).select("o_orderkey", "o_totalprice")
+    val scan = two.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head
+    assert(scan.scan.readSchema().fieldNames.toSet ==
+      Set("o_orderkey", "o_totalprice"))
+  }
+
+  test("outstanding delete vectors refuse a raw batch scan") {
+    val root = freshRoot("dv")
+    Snapshots.publish(spark, root, orders.limit(100))
+    val doomed = orders.limit(100).select("o_orderkey").limit(5)
+    Snapshots.deleteByKey(spark, root, doomed)
+    val e = intercept[Exception] { readSource(root).count() }
+    assert(e.getMessage.contains("delete vectors"),
+      s"expected the dv refusal, got: ${e.getMessage}")
+  }
+
+  test("micro-batch stream delivers appends exactly once across restart") {
+    val root = freshRoot("stream")
+    val ck = Scratch.ephemeralCheckpoint("dsv2-stream-spec")
+    val slices = Seq(
+      orders.filter(col("o_orderkey") % 3 === 0),
+      orders.filter(col("o_orderkey") % 3 === 1),
+      orders.filter(col("o_orderkey") % 3 === 2))
+    Snapshots.publish(spark, root, slices(0))
+    // a FAULT-TOLERANT sink (parquet), so the restart genuinely recovers
+    // from the checkpointed version offset (memory sink refuses recovery)
+    val out = freshRoot("stream-sink")
+    def startQuery() =
+      spark.readStream.format("graft-snapshot").option("root", root).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).start()
+    def delivered = spark.read.parquet(out)
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      assert(delivered.count() == slices(0).count())
+      Snapshots.publish(spark, root, slices(1), append = true)
+      q1.processAllAvailable()
+      assert(delivered.count() == slices(0).count() + slices(1).count())
+    } finally q1.stop()
+    // restart from the checkpoint: only the not-yet-committed append
+    // lands — the union is every slice exactly once, no replay, no loss
+    Snapshots.publish(spark, root, slices(2), append = true)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(delivered.count() == orders.count(),
+        "restart must deliver exactly the new version — no replay, no loss")
+      assert(delivered.exceptAll(orders).isEmpty
+        && orders.exceptAll(delivered).isEmpty)
+    } finally q2.stop()
+  }
+
+  test("stream refuses a compaction version unless declared layout-only") {
+    val root = freshRoot("rewrite")
+    val ck1 = Scratch.ephemeralCheckpoint("dsv2-rewrite-spec")
+    Snapshots.publish(spark, root, orders.limit(500).repartition(4))
+    Snapshots.compact(spark, root, targetBytes = 1L << 30)
+    val fail = spark.readStream.format("graft-snapshot").option("root", root).load()
+      .writeStream.format("memory").queryName("dsv2_rw_fail")
+      .option("checkpointLocation", ck1).start()
+    val e = intercept[Exception] {
+      try fail.processAllAvailable() finally fail.stop()
+    }
+    assert(e.getMessage.contains("ignoreRewrites"),
+      s"expected the rewrite refusal, got: ${e.getMessage}")
+    // declared layout-only: the rewrite delivers nothing, appends still flow
+    val ck2 = Scratch.ephemeralCheckpoint("dsv2-rewrite-spec-ok")
+    val ok = spark.readStream.format("graft-snapshot").option("root", root)
+      .option("ignoreRewrites", true).load()
+      .writeStream.format("memory").queryName("dsv2_rw_ok")
+      .option("checkpointLocation", ck2).start()
+    try {
+      ok.processAllAvailable()
+      // v1's original files were all rewritten at v2: replaying from 0
+      // delivers v1's appends only (v2 is layout-only by declaration)
+      assert(spark.table("dsv2_rw_ok").count() == 500)
+    } finally ok.stop()
+  }
+
+  test("maxVersionsPerTrigger drains a backlog as bounded micro-batches") {
+    val root = freshRoot("throttle")
+    val ck = Scratch.ephemeralCheckpoint("dsv2-throttle-spec")
+    val slices = (0 to 2).map(i => orders.filter(col("o_orderkey") % 3 === i))
+    Snapshots.publish(spark, root, slices(0))
+    slices.tail.foreach(sl => Snapshots.publish(spark, root, sl, append = true))
+    val q = spark.readStream.format("graft-snapshot").option("root", root)
+      .option("maxVersionsPerTrigger", 1).load()
+      .writeStream.format("memory").queryName("dsv2_throttle")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dsv2_throttle").count() == orders.count(),
+        "throttling must never lose data, only spread it")
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty == 3,
+        s"3 versions at 1/trigger must land as 3 non-empty batches, got $nonEmpty")
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains to the prepare-time version and terminates") {
+    val root = freshRoot("avnow")
+    val ck = Scratch.ephemeralCheckpoint("dsv2-avnow-spec")
+    Snapshots.publish(spark, root, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.publish(spark, root,
+      orders.filter(col("o_orderkey") % 2 === 1), append = true)
+    val q = spark.readStream.format("graft-snapshot").option("root", root).load()
+      .writeStream.format("memory").queryName("dsv2_avnow")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow must terminate once the backlog is drained")
+    assert(spark.table("dsv2_avnow").count() == orders.count())
+  }
+
+  test("startingVersion=latest tails only future appends") {
+    val root = freshRoot("tail")
+    val ck = Scratch.ephemeralCheckpoint("dsv2-tail-spec")
+    Snapshots.publish(spark, root, orders.filter(col("o_orderkey") % 2 === 0))
+    val fresh = orders.filter(col("o_orderkey") % 2 === 1)
+    val q = spark.readStream.format("graft-snapshot").option("root", root)
+      .option("startingVersion", "latest").load()
+      .writeStream.format("memory").queryName("dsv2_tail")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dsv2_tail").count() == 0)
+      Snapshots.publish(spark, root, fresh, append = true)
+      q.processAllAvailable()
+      assert(spark.table("dsv2_tail").count() == fresh.count())
+    } finally q.stop()
+  }
+}

@@ -456,20 +456,18 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.countRows(spark, root) == Some(scan.getLong(0)))
     val key = Snapshots.columnStats(spark, root, "o_orderkey").get
     assert((key.min, key.max) == (scan.getLong(1), scan.getLong(2)))
-    // fixture timestamps are NTZ (naive parquet), collected as
-    // LocalDateTime; stats decode to java.sql.Timestamp on the UTC wall
-    // clock — compare in LocalDateTime space
+    // fixture timestamps read as session-TZ TIMESTAMP (SparkEnv pins
+    // inferTimestampNTZ=false + UTC), so scan values and decoded stats
+    // are both java.sql.Timestamp on the UTC wall clock
     val dt = Snapshots.columnStats(spark, root, "o_orderdate").get
-    assert((dt.min.asInstanceOf[java.sql.Timestamp].toLocalDateTime,
-      dt.max.asInstanceOf[java.sql.Timestamp].toLocalDateTime) ==
-      (scan.get(3), scan.get(4)))
+    assert((dt.min, dt.max) == (scan.get(3), scan.get(4)))
     val pri = Snapshots.columnStats(spark, root, "o_orderpriority").get
     assert((pri.min, pri.max) == (scan.getString(5), scan.getString(6)))
     assert(Snapshots.columnStats(spark, root, "no_such_column").isEmpty)
     // rows lines survive a merge, so counts stay metadata-answerable
     import spark.implicits._
     Snapshots.mergeByKey(spark, root,
-      Seq((-1L, java.time.LocalDateTime.of(1970, 1, 1, 0, 0), "zz")).toDF(
+      Seq((-1L, java.sql.Timestamp.valueOf("1970-01-01 00:00:00"), "zz")).toDF(
         "o_orderkey", "o_orderdate", "o_orderpriority"), Seq("o_orderkey"))
     assert(Snapshots.countRows(spark, root) == Some(scan.getLong(0) + 1))
     // a hand-stripped manifest (no stats) yields None, never a guess
