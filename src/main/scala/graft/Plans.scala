@@ -82,7 +82,8 @@ object Plans {
       "q144_snapshot_delete", // CoW DELETE: touched-file probe + rewrite
       "q145_snapshot_update", // CoW UPDATE: assignments over touched files
       "q146_mor_delete",     // merge-on-read: seq-scoped dv anti-join
-      "q147_dsv2_read")      // DSv2 scan: pushed filters prune manifest files
+      "q147_dsv2_read",      // DSv2 scan: pushed filters prune manifest files
+      "q149_dsv2_stats_agg") // DSv2 agg pushdown: metadata-only single-row scan
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -102,6 +102,39 @@ object Extras6 {
         .agg(count(lit(1)).as("n"),
           min(col("o_orderkey")).cast("long").as("min_key"),
           max(col("o_orderkey")).cast("long").as("max_key"))
+    },
+
+    // METADATA-ONLY aggregate pushdown through plain SQL: an unfiltered
+    // count/min/max over the DSv2 source compiles to a pre-computed
+    // single-row scan answered from the manifest's footer stats — zero
+    // data files opened, zero scan tasks (q142's metadata path, now
+    // reached by Catalyst's SupportsPushDownAggregates instead of a
+    // bespoke API). The in-row `metadata_only` flag inspects the
+    // EXECUTED plan's scan description, so the oracle hash proves both
+    // exact values and that no file scan was planned. At 100 TB:
+    // `SELECT count(*), min(ts), max(ts)` in one manifest read.
+    QueryDef.checked(
+      "q149_dsv2_stats_agg",
+      """SELECT count(*) AS n_rows,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_key,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |  CAST(1 AS BOOLEAN) AS metadata_only
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q149_dsv2_stats_agg", "dsv2_statsagg", dir)
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      Snapshots.publish(s, root, li.repartition(8))
+      val agg = s.read.format("graft-snapshot").option("root", root).load()
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).cast("long").as("min_key"),
+          max(col("l_orderkey")).cast("long").as("max_key"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+      val metadataOnly = agg.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan.description().contains("METADATA-ONLY")
+      }.forall(identity)
+      agg.select(col("n_rows"), col("min_key"), col("max_key"),
+        col("min_ship"), col("max_ship"), lit(metadataOnly).as("metadata_only"))
     }
   )
 }

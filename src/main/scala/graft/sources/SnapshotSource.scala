@@ -3,13 +3,17 @@ package graft.sources
 import graft.operators.{SnapshotStats, Snapshots}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util.{Set => JSet}
@@ -92,9 +96,11 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String)
 
 private[sources] class SnapshotScanBuilder(tableSchema: StructType,
     options: CaseInsensitiveStringMap) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var aggPush: Option[(StructType, Array[Any])] = None
 
   /** Accept every filter for ADVISORY use (stats + parquet row-group
     * skipping) but return all of them as residual — Spark re-applies
@@ -112,8 +118,114 @@ private[sources] class SnapshotScanBuilder(tableSchema: StructType,
     // can ask for zero columns; the parquet factory needs ≥1 to count rows
     required = if (requiredSchema.isEmpty) StructType(tableSchema.take(1)) else requiredSchema
 
-  override def build(): Scan =
-    new SnapshotScan(tableSchema, required, pushed.toSeq, options)
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  /** COMPLETE aggregate pushdown answered from manifest metadata alone:
+    * an unfiltered, ungrouped `count(*)` / `min(c)` / `max(c)` over the
+    * snapshot becomes ONE pre-computed row — no file is opened, no scan
+    * task scheduled (the `SELECT count(*)` over 100 TB in one manifest
+    * read, now reachable from plain SQL instead of the
+    * [[Snapshots.countRows]] API). Bounds come from the same exact
+    * footer fold as [[Snapshots.columnStats]]: Some only when EVERY
+    * file carries usable stats and no delete vectors are outstanding —
+    * otherwise the pushdown is refused and Spark plans the ordinary
+    * scan, so the fast path is never a guess.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case Some(x) => aggPush = Some(x); true
+      case None => false
+    }
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  /** The (schema, single-row values) of a fully-stats-answerable
+    * aggregation, or None when any piece is unprovable from metadata.
+    */
+  private def translateAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val spark = SparkSession.active
+    val root = options.get("root")
+    val version = Option(options.get("version")).map(_.toInt)
+    if (Snapshots.versions(spark, root).isEmpty) return None
+
+    // decoded stats bound → does it carry the type the table declares?
+    // (guards against tag/type drift — a mismatch refuses the pushdown
+    // rather than producing a miscast row)
+    def checked(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+      case (_, null) => Some(null)
+      case (LongType, x: Long) => Some(x)
+      case (IntegerType, x: Long) => Some(x.toInt)
+      case (ShortType, x: Long) => Some(x.toShort)
+      case (ByteType, x: Long) => Some(x.toByte)
+      case (DoubleType, x: Double) => Some(x)
+      case (FloatType, x: Double) => Some(x.toFloat)
+      case (StringType, x: String) => Some(CatalystTypeConverters.convertToCatalyst(x))
+      case (TimestampType, x: java.sql.Timestamp) =>
+        Some(CatalystTypeConverters.convertToCatalyst(x))
+      case (DateType, x: java.sql.Date) => Some(CatalystTypeConverters.convertToCatalyst(x))
+      case _ => None
+    }
+    def bound(f: AggregateFunc, wantMin: Boolean): Option[(StructField, Any)] = for {
+      c <- colOf(f.children()(0))
+      field <- tableSchema.find(_.name == c)
+      r <- Snapshots.columnStats(spark, root, c, version)
+      v <- checked(field.dataType, if (wantMin) r.min else r.max)
+    } yield (StructField(s"${if (wantMin) "min" else "max"}($c)", field.dataType), v)
+
+    val parts = agg.aggregateExpressions.map {
+      case _: CountStar => Snapshots.countRows(spark, root, version)
+        .map(n => (StructField("count(*)", LongType, nullable = false), n: Any))
+      case m: Min => bound(m, wantMin = true)
+      case m: Max => bound(m, wantMin = false)
+      case _ => None
+    }
+    if (parts.exists(_.isEmpty)) None
+    else Some((StructType(parts.map(_.get._1)), parts.map(_.get._2)))
+  }
+
+  override def build(): Scan = aggPush match {
+    case Some((schema, values)) =>
+      new StatsAggScan(schema, values, options.get("root"))
+    case None =>
+      new SnapshotScan(tableSchema, required, pushed.toSeq, options)
+  }
+}
+
+/** The scan a metadata-answered aggregate compiles to: one partition,
+  * one pre-computed row, zero files opened.
+  */
+private[sources] class StatsAggScan(aggSchema: StructType, values: Array[Any],
+    root: String) extends Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft-snapshot root=$root METADATA-ONLY aggregate " +
+      aggSchema.fieldNames.mkString("[", ", ", "]")
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(StatsRowPartition(values))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new StatsRowReaderFactory
+  }
+}
+
+private[sources] case class StatsRowPartition(values: Array[Any]) extends InputPartition
+
+private[sources] class StatsRowReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val vals = p.asInstanceOf[StatsRowPartition].values
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = !served && { served = true; true }
+      override def get(): InternalRow = new GenericInternalRow(vals)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] object SnapshotScan {
@@ -173,7 +285,21 @@ private[sources] class SnapshotScan(tableSchema: StructType, required: StructTyp
         "file scan would resurrect deleted rows; run materializeDeletes or compact " +
         "first, or read through Snapshots.read (which anti-joins them)")
     val rel = Snapshots.files(spark, root, v)
-    val kept = SnapshotScan.prune(Snapshots.statsOf(spark, root, v), rel, filters)
+    val statsKept = SnapshotScan.prune(Snapshots.statsOf(spark, root, v), rel, filters)
+    // point-lookup conjuncts additionally probe the survivors' parquet
+    // bloom filters (written at publish via `bloomOn`) — on an
+    // unclustered high-cardinality key the min/max stats prune nothing
+    // and the blooms do all the work (the q143 path, reached from a
+    // plain .isin/=== filter). One footer read per survivor per probe
+    // column; files without a bloom are kept.
+    val kept = filters.foldLeft(statsKept) {
+      case (fls, EqualTo(c, v0)) if v0 != null && fls.nonEmpty =>
+        graft.operators.SnapshotBloom.filesMightContain(spark, root, fls, c, Seq(v0))
+      case (fls, In(c, vs)) if vs != null && vs.nonEmpty && !vs.contains(null)
+          && fls.nonEmpty =>
+        graft.operators.SnapshotBloom.filesMightContain(spark, root, fls, c, vs.toSeq)
+      case (fls, _) => fls
+    }
     new SnapshotBatch(spark, root, tableSchema, required, filters,
       kept.map(r => s"$root/$r"), rel.size - kept.size)
   }

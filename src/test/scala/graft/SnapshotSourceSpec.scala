@@ -86,6 +86,51 @@ class SnapshotSourceSpec extends AnyFunSuite {
       Set("o_orderkey", "o_totalprice"))
   }
 
+  test("ungrouped count/min/max compiles to a metadata-only scan") {
+    val root = freshRoot("aggpush")
+    Snapshots.publish(spark, root, orders)
+    val agg = readSource(root).agg(
+      count(lit(1)).as("n"), min("o_orderkey").as("mn"),
+      max("o_orderdate").as("mx"), max("o_orderpriority").as("mp"))
+    val scans = agg.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.size == 1 && scans.head.scan.description().contains("METADATA-ONLY"),
+      s"expected the stats-answered scan, got:\n${agg.queryExecution.executedPlan}")
+    val got = agg.head
+    val want = orders.agg(count(lit(1)), min("o_orderkey"),
+      max("o_orderdate"), max("o_orderpriority")).head
+    assert(got == want)
+    // a filter blocks the metadata answer — ordinary scan, same result
+    val filtered = readSource(root)
+      .filter(col("o_orderpriority") =!= "1-URGENT").agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.exists(_.scan.description().contains("METADATA-ONLY")))
+    assert(filtered.head.getLong(0) ==
+      orders.filter(col("o_orderpriority") =!= "1-URGENT").count())
+    // sum is not metadata-answerable — must fall back, not misanswer
+    val summed = readSource(root).agg(sum("o_orderkey"))
+    assert(!summed.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.exists(_.scan.description().contains("METADATA-ONLY")))
+    assert(summed.head.getLong(0) == orders.agg(sum("o_orderkey")).head.getLong(0))
+  }
+
+  test("point-lookup filters probe parquet blooms on unclustered files") {
+    val root = freshRoot("bloomprobe")
+    // hash layout: every file spans the whole key range, stats prune nothing
+    Snapshots.publish(spark, root,
+      orders.select("o_orderkey", "o_custkey").repartition(8),
+      bloomOn = Seq("o_orderkey"))
+    val needle = orders.agg(min("o_orderkey")).head.getLong(0)
+    val hit = readSource(root).filter(col("o_orderkey") === lit(needle))
+    val total = plannedFiles(readSource(root)).size
+    assert(plannedFiles(hit).size < total,
+      s"bloom probe must drop files on a hash layout ($total planned)")
+    assert(hit.count() == orders.filter(col("o_orderkey") === lit(needle)).count())
+    val in3 = readSource(root).filter(col("o_orderkey").isin(needle, needle + 1, -1L))
+    assert(plannedFiles(in3).size < total)
+    assert(in3.count() ==
+      orders.filter(col("o_orderkey").isin(needle, needle + 1, -1L)).count())
+  }
+
   test("outstanding delete vectors refuse a raw batch scan") {
     val root = freshRoot("dv")
     Snapshots.publish(spark, root, orders.limit(100))
