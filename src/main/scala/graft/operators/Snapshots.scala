@@ -993,6 +993,13 @@ object Snapshots {
       version: Int): Map[String, Map[String, SnapshotStats.ColStats]] =
     SnapshotStats.parse(statsLinesOf(spark, root, version))
 
+  /** A version's parsed per-file exact row counts (`#rows=` lines) — the
+    * metadata behind [[countRows]] and the DSv2 source's limit pushdown.
+    */
+  def rowCountsOf(spark: SparkSession, root: String,
+      version: Int): Map[String, Long] =
+    SnapshotStats.parseRows(statsLinesOf(spark, root, version))
+
   /** Single-column [[filesWhere]]. */
   def filesBetween(spark: SparkSession, root: String, version: Int,
       column: String, lo: Any, hi: Any): Seq[String] =

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
 import org.apache.spark.sql.sources._
@@ -73,7 +73,10 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
     val root = rootOf(options)
     val vs = Snapshots.versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
-    val v = Option(options.get("version")).map(_.toInt).getOrElse(vs.last)
+    val v = Option(options.get("version")).map(_.toInt)
+      .orElse(Option(options.get("timestampAsOf")).map(t =>
+        Snapshots.versionAt(spark, root, SnapshotScan.parseAsOf(t))))
+      .getOrElse(vs.last)
     Snapshots.schemaOf(spark, root, v).getOrElse(throw new IllegalArgumentException(
       s"v$v under $root records no schema header — pre-header manifests are " +
         "readable via Snapshots.read (footer merge), not the DSv2 source"))
@@ -97,10 +100,25 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String)
 private[sources] class SnapshotScanBuilder(tableSchema: StructType,
     options: CaseInsensitiveStringMap) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
+  require(options.get("version") == null || options.get("timestampAsOf") == null,
+    "options 'version' and 'timestampAsOf' are mutually exclusive")
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggPush: Option[(StructType, Array[Any])] = None
+  private var limitN: Option[Int] = None
+
+  /** PARTIAL limit pushdown from manifest row counts: an unfiltered
+    * `LIMIT n` plans only a prefix of the file list whose exact `#rows=`
+    * sum already covers n — Spark's own Limit still executes above the
+    * scan, we just never schedule tasks for files that cannot
+    * contribute. Refused whenever a filter is pushed (a filter could
+    * eliminate rows inside the chosen prefix, and the trimmed scan
+    * would under-deliver) or any file lacks a row count.
+    */
+  override def pushLimit(n: Int): Boolean =
+    if (pushed.isEmpty && n >= 0) { limitN = Some(n); true } else false
+  override def isPartiallyPushed(): Boolean = true
 
   /** Accept every filter for ADVISORY use (stats + parquet row-group
     * skipping) but return all of them as residual — Spark re-applies
@@ -151,8 +169,10 @@ private[sources] class SnapshotScanBuilder(tableSchema: StructType,
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     val spark = SparkSession.active
     val root = options.get("root")
-    val version = Option(options.get("version")).map(_.toInt)
     if (Snapshots.versions(spark, root).isEmpty) return None
+    val version = Option(options.get("version")).map(_.toInt)
+      .orElse(Option(options.get("timestampAsOf")).map(t =>
+        Snapshots.versionAt(spark, root, SnapshotScan.parseAsOf(t))))
 
     // decoded stats bound → does it carry the type the table declares?
     // (guards against tag/type drift — a mismatch refuses the pushdown
@@ -193,7 +213,8 @@ private[sources] class SnapshotScanBuilder(tableSchema: StructType,
     case Some((schema, values)) =>
       new StatsAggScan(schema, values, options.get("root"))
     case None =>
-      new SnapshotScan(tableSchema, required, pushed.toSeq, options)
+      new SnapshotScan(tableSchema, required, pushed.toSeq, options,
+        limitN.filter(_ => pushed.isEmpty))
   }
 }
 
@@ -229,6 +250,19 @@ private[sources] class StatsRowReaderFactory extends PartitionReaderFactory {
 }
 
 private[sources] object SnapshotScan {
+  /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd[ HH:mm:ss]` or
+    * ISO-8601 local datetime — interpreted on the UTC wall clock the
+    * engine pins.
+    */
+  def parseAsOf(s: String): Long =
+    scala.util.Try(s.toLong).getOrElse {
+      val ldt =
+        if (s.contains(" ") || s.contains("T"))
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        else java.time.LocalDate.parse(s).atStartOfDay()
+      ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
   /** Does any row of a file admitted by `stats` possibly satisfy `f`?
     * Conservative three-level translation of catalyst's pushed-filter
     * language onto footer min/max/null-count: unknown shapes and
@@ -264,22 +298,27 @@ private[sources] object SnapshotScan {
 }
 
 private[sources] class SnapshotScan(tableSchema: StructType, required: StructType,
-    filters: Seq[Filter], options: CaseInsensitiveStringMap) extends Scan {
+    filters: Seq[Filter], options: CaseInsensitiveStringMap,
+    limit: Option[Int] = None) extends Scan {
   private val root = options.get("root")
   private val version = Option(options.get("version")).map(_.toInt)
+  private val timestampAsOf = Option(options.get("timestampAsOf"))
 
   override def readSchema(): StructType = required
 
   override def description(): String = {
-    val v = version.map(v => s" version=$v").getOrElse("")
-    s"graft-snapshot root=$root$v filters=[${filters.mkString(", ")}]"
+    val v = version.map(v => s" version=$v").getOrElse("") +
+      timestampAsOf.map(t => s" asOf=$t").getOrElse("")
+    s"graft-snapshot root=$root$v filters=[${filters.mkString(", ")}]" +
+      limit.map(n => s" limit=$n").getOrElse("")
   }
 
   override def toBatch: Batch = {
     val spark = SparkSession.active
     val vs = Snapshots.versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
-    val v = version.getOrElse(vs.last)
+    val v = version.orElse(timestampAsOf.map(t =>
+      Snapshots.versionAt(spark, root, SnapshotScan.parseAsOf(t)))).getOrElse(vs.last)
     require(!Snapshots.hasDeleteVectors(spark, root, v),
       s"v$v under $root carries outstanding merge-on-read delete vectors — a raw " +
         "file scan would resurrect deleted rows; run materializeDeletes or compact " +
@@ -292,13 +331,25 @@ private[sources] class SnapshotScan(tableSchema: StructType, required: StructTyp
     // and the blooms do all the work (the q143 path, reached from a
     // plain .isin/=== filter). One footer read per survivor per probe
     // column; files without a bloom are kept.
-    val kept = filters.foldLeft(statsKept) {
+    val bloomKept = filters.foldLeft(statsKept) {
       case (fls, EqualTo(c, v0)) if v0 != null && fls.nonEmpty =>
         graft.operators.SnapshotBloom.filesMightContain(spark, root, fls, c, Seq(v0))
       case (fls, In(c, vs)) if vs != null && vs.nonEmpty && !vs.contains(null)
           && fls.nonEmpty =>
         graft.operators.SnapshotBloom.filesMightContain(spark, root, fls, c, vs.toSeq)
       case (fls, _) => fls
+    }
+    // unfiltered LIMIT n: plan only the prefix whose EXACT row counts
+    // cover n (see pushLimit) — sound only when every file has a count
+    val kept = limit match {
+      case Some(n) if filters.isEmpty =>
+        val rows = Snapshots.rowCountsOf(spark, root, v)
+        if (!bloomKept.forall(rows.contains)) bloomKept
+        else {
+          var acc = 0L
+          bloomKept.takeWhile { fl => val need = acc < n; acc += rows(fl); need }
+        }
+      case _ => bloomKept
     }
     new SnapshotBatch(spark, root, tableSchema, required, filters,
       kept.map(r => s"$root/$r"), rel.size - kept.size)

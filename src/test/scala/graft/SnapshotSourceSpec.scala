@@ -141,6 +141,41 @@ class SnapshotSourceSpec extends AnyFunSuite {
       s"expected the dv refusal, got: ${e.getMessage}")
   }
 
+  test("unfiltered LIMIT plans only a row-count-covering file prefix") {
+    val root = freshRoot("limit")
+    Snapshots.publish(spark, root,
+      orders.select("o_orderkey", "o_orderpriority").repartition(8))
+    val total = plannedFiles(readSource(root)).size
+    assert(total >= 6)
+    val limited = readSource(root).limit(5)
+    assert(plannedFiles(limited).size < total,
+      "limit must trim the planned file list via #rows= counts")
+    assert(limited.count() == 5)
+    // a filter forbids the trim — the chosen prefix could under-deliver
+    val both = readSource(root).filter(col("o_orderpriority") =!= "zzz").limit(5)
+    assert(plannedFiles(both).size == total)
+    assert(both.count() == 5)
+  }
+
+  test("timestampAsOf resolves the version live at that wall clock") {
+    val root = freshRoot("asof")
+    val early = orders.filter(col("o_orderkey") % 2 === 0)
+    Snapshots.publish(spark, root, early)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    Snapshots.publish(spark, root, orders)
+    val asOf = spark.read.format("graft-snapshot").option("root", root)
+      .option("timestampAsOf", between.toString).load()
+    assert(asOf.count() == early.count())
+    assert(readSource(root).count() == orders.count())
+    intercept[Exception] {
+      spark.read.format("graft-snapshot").option("root", root)
+        .option("version", 1).option("timestampAsOf", between.toString)
+        .load().count()
+    }
+  }
+
   test("micro-batch stream delivers appends exactly once across restart") {
     val root = freshRoot("stream")
     val ck = Scratch.ephemeralCheckpoint("dsv2-stream-spec")
