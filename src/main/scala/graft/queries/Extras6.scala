@@ -135,6 +135,51 @@ object Extras6 {
       }.forall(identity)
       agg.select(col("n_rows"), col("min_key"), col("max_key"),
         col("min_ship"), col("max_ship"), lit(metadataOnly).as("metadata_only"))
+    },
+
+    // RUNTIME (dynamic) file pruning: a broadcast join against a
+    // filtered dimension hands the build side's join keys back to the
+    // DSv2 scan as IN predicates at EXECUTION time, and the re-planned
+    // fact scan drops every file whose stats exclude them — no user
+    // hint, no explicit readBetween. The probe run's physically-planned
+    // file count rides in the `pruned` flag, so the oracle hash proves
+    // both exact join results and that the fact scan really shrank.
+    // The 100 TB star-schema shape: a dimension filtered to one band
+    // prunes the fact table to that band's files.
+    QueryDef.checked(
+      "q150_dsv2_runtime_prune",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(1 AS BOOLEAN) AS pruned
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey <= (SELECT min(l_orderkey) + 20 FROM lineitem)"""
+        .stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q150_dsv2_runtime_prune", "dsv2_dpp", dir)
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      Snapshots.publish(s, root,
+        li.repartitionByRange(16, col("l_orderkey")).sortWithinPartitions("l_orderkey"))
+      val bound = li.agg(min(col("l_orderkey"))).head.getLong(0) + 20
+      val fact = s.read.format("graft-snapshot").option("root", root).load()
+      val dim = t(s, dir, "orders").filter(col("o_orderkey") <= lit(bound))
+        .select("o_orderkey")
+      val joined = fact.join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+      val totalFiles = Snapshots.files(s, root, Snapshots.versions(s, root).last).size
+      joined.count() // probe run: lets the runtime filter re-plan the scan
+      val planned = {
+        val plan = joined.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        plan.collect {
+          case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.SnapshotScan] =>
+            b.scan.asInstanceOf[graft.sources.SnapshotScan].plannedFileCount
+        }.headOption.getOrElse(-1)
+      }
+      joined.agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .select(col("n_rows"), col("sum_qty"),
+          lit(planned >= 0 && planned < totalFiles).as("pruned"))
     }
   )
 }

@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
@@ -249,7 +251,7 @@ private[sources] class StatsRowReaderFactory extends PartitionReaderFactory {
   }
 }
 
-private[sources] object SnapshotScan {
+private[graft] object SnapshotScan {
   /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd[ HH:mm:ss]` or
     * ISO-8601 local datetime — interpreted on the UTC wall clock the
     * engine pins.
@@ -295,12 +297,84 @@ private[sources] object SnapshotScan {
       rel: Seq[String], filters: Seq[Filter]): Seq[String] =
     if (filters.isEmpty) rel
     else rel.filter(fl => filters.forall(admits(stats.getOrElse(fl, Map.empty), _)))
+
+  /** Conservative V2 `Predicate` → V1 `Filter` translation for runtime
+    * filters (DPP hands back IN/EQ predicates over the join keys, as
+    * CATALYST-internal literal values — converted to external here so
+    * the stats/bloom pruners compare in their own domain). Unknown
+    * shapes drop out (None): runtime pruning is advisory, the join
+    * itself still filters rows.
+    */
+  def v2ToV1(e: org.apache.spark.sql.connector.expressions.Expression): Option[Filter] = {
+    def col(x: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      x match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+        case _ => None
+      }
+    def lit(x: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      x match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+        case _ => None
+      }
+    e match {
+      case p: Predicate => (p.name, p.children()) match {
+        case ("IN", ch) if ch.nonEmpty =>
+          for {
+            c <- col(ch.head)
+            vs <- scala.util.Try(ch.tail.map(x => lit(x).get)).toOption
+          } yield In(c, vs)
+        case ("=", Array(l, r)) =>
+          col(l).flatMap(c => lit(r).map(v => EqualTo(c, v)))
+            .orElse(col(r).flatMap(c => lit(l).map(v => EqualTo(c, v))))
+        case (">=", Array(l, r)) =>
+          col(l).flatMap(c => lit(r).map(v => GreaterThanOrEqual(c, v)))
+        case ("<=", Array(l, r)) =>
+          col(l).flatMap(c => lit(r).map(v => LessThanOrEqual(c, v)))
+        case (">", Array(l, r)) =>
+          col(l).flatMap(c => lit(r).map(v => GreaterThan(c, v)))
+        case ("<", Array(l, r)) =>
+          col(l).flatMap(c => lit(r).map(v => LessThan(c, v)))
+        case ("AND", Array(l, r)) =>
+          (v2ToV1(l), v2ToV1(r)) match {
+            case (Some(a), Some(b)) => Some(And(a, b))
+            case (a, b) => a.orElse(b) // a conjunct alone is still sound
+          }
+        case ("OR", Array(l, r)) =>
+          for { a <- v2ToV1(l); b <- v2ToV1(r) } yield Or(a, b)
+        case ("IS_NOT_NULL", Array(x)) => col(x).map(IsNotNull)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 }
 
-private[sources] class SnapshotScan(tableSchema: StructType, required: StructType,
+private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     filters: Seq[Filter], options: CaseInsensitiveStringMap,
-    limit: Option[Int] = None) extends Scan {
+    limit: Option[Int] = None) extends Scan with SupportsRuntimeV2Filtering {
   private val root = options.get("root")
+
+  /** Runtime (dynamic) file pruning: a broadcast join over this scan
+    * hands the build side's join-key values back as IN predicates at
+    * EXECUTION time (Spark's DPP machinery), and the re-planned scan
+    * drops every file whose stats/blooms exclude them — the
+    * star-schema shape at 100 TB: a dimension filtered to one region
+    * prunes the fact scan to that region's files with zero user hints.
+    */
+  @volatile private var runtimeFilters: Seq[Filter] = Nil
+  /** Planned-file count of the LAST toBatch (re-planned post-filter);
+    * exposed for specs/queries to evidence the pruning.
+    */
+  @volatile private[graft] var plannedFileCount: Int = -1
+
+  // the engine resolves these against the scan's OUTPUT, so only the
+  // projected columns qualify (the table may be wider)
+  override def filterAttributes(): Array[NamedReference] =
+    required.fieldNames.map(Expressions.column)
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    runtimeFilters = predicates.flatMap(SnapshotScan.v2ToV1).toSeq
   private val version = Option(options.get("version")).map(_.toInt)
   private val timestampAsOf = Option(options.get("timestampAsOf"))
 
@@ -324,14 +398,16 @@ private[sources] class SnapshotScan(tableSchema: StructType, required: StructTyp
         "file scan would resurrect deleted rows; run materializeDeletes or compact " +
         "first, or read through Snapshots.read (which anti-joins them)")
     val rel = Snapshots.files(spark, root, v)
-    val statsKept = SnapshotScan.prune(Snapshots.statsOf(spark, root, v), rel, filters)
+    // compile-time filters plus whatever the runtime handed back (DPP)
+    val effective = filters ++ runtimeFilters
+    val statsKept = SnapshotScan.prune(Snapshots.statsOf(spark, root, v), rel, effective)
     // point-lookup conjuncts additionally probe the survivors' parquet
     // bloom filters (written at publish via `bloomOn`) — on an
     // unclustered high-cardinality key the min/max stats prune nothing
     // and the blooms do all the work (the q143 path, reached from a
     // plain .isin/=== filter). One footer read per survivor per probe
     // column; files without a bloom are kept.
-    val bloomKept = filters.foldLeft(statsKept) {
+    val bloomKept = effective.foldLeft(statsKept) {
       case (fls, EqualTo(c, v0)) if v0 != null && fls.nonEmpty =>
         graft.operators.SnapshotBloom.filesMightContain(spark, root, fls, c, Seq(v0))
       case (fls, In(c, vs)) if vs != null && vs.nonEmpty && !vs.contains(null)
@@ -342,7 +418,7 @@ private[sources] class SnapshotScan(tableSchema: StructType, required: StructTyp
     // unfiltered LIMIT n: plan only the prefix whose EXACT row counts
     // cover n (see pushLimit) — sound only when every file has a count
     val kept = limit match {
-      case Some(n) if filters.isEmpty =>
+      case Some(n) if effective.isEmpty =>
         val rows = Snapshots.rowCountsOf(spark, root, v)
         if (!bloomKept.forall(rows.contains)) bloomKept
         else {
@@ -351,6 +427,7 @@ private[sources] class SnapshotScan(tableSchema: StructType, required: StructTyp
         }
       case _ => bloomKept
     }
+    plannedFileCount = kept.size
     new SnapshotBatch(spark, root, tableSchema, required, filters,
       kept.map(r => s"$root/$r"), rel.size - kept.size)
   }

@@ -141,6 +141,32 @@ class SnapshotSourceSpec extends AnyFunSuite {
       s"expected the dv refusal, got: ${e.getMessage}")
   }
 
+  test("broadcast join prunes the fact scan at runtime (dynamic file pruning)") {
+    val root = freshRoot("dpp")
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    Snapshots.publish(spark, root,
+      li.repartitionByRange(8, col("l_orderkey")).sortWithinPartitions("l_orderkey"))
+    val fact = readSource(root)
+    val total = plannedFiles(fact).size
+    val needle = li.agg(min("l_orderkey")).head.getLong(0)
+    val dim = orders.filter(col("o_orderkey") === lit(needle)).select("o_orderkey")
+    val joined = fact.join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+    val got = joined.count()
+    assert(got == li.filter(col("l_orderkey") === lit(needle)).count())
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.SnapshotScan] =>
+        b.scan.asInstanceOf[graft.sources.SnapshotScan]
+    }.head
+    assert(scan.plannedFileCount >= 0 && scan.plannedFileCount < total,
+      s"runtime filter must re-plan the scan to fewer files " +
+        s"(planned ${scan.plannedFileCount} of $total)")
+  }
+
   test("unfiltered LIMIT plans only a row-count-covering file prefix") {
     val root = freshRoot("limit")
     Snapshots.publish(spark, root,
