@@ -180,6 +180,34 @@ object Extras6 {
         sum(col("l_quantity")).cast("long").as("sum_qty"))
         .select(col("n_rows"), col("sum_qty"),
           lit(planned >= 0 && planned < totalFiles).as("pruned"))
+    },
+
+    // SQL catalog over snapshot tables: zero API calls — a TableCatalog
+    // (`sources/SnapshotCatalog`) resolves `graftsql.<table>` straight
+    // from plain SQL, with `VERSION AS OF` pinning a manifest version
+    // through the same resolution as option("version"). v1 publishes the
+    // even-key half, v2 appends the rest; the query reads VERSION AS OF
+    // 1, and the oracle recomputes the even-key aggregate from the
+    // source — the hash match proves SQL time travel returns exactly
+    // the v1 rows. Catalog reads inherit the whole DSv2 pushdown stack.
+    QueryDef.checked(
+      "q151_sql_catalog",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 = 0
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q151_sql_catalog", "sql_warehouse", dir)
+      s.conf.set("spark.sql.catalog.graftsql",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+      Snapshots.publish(s, s"$wh/li", li.filter(col("l_orderkey") % 2 === 0))
+      Snapshots.publish(s, s"$wh/li", li.filter(col("l_orderkey") % 2 === 1),
+        append = true)
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM graftsql.li VERSION AS OF 1
+        |GROUP BY l_returnflag""".stripMargin)
     }
   )
 }

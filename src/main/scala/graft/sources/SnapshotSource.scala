@@ -86,17 +86,26 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new SnapshotTable(schema, properties.asScala.getOrElse("root", "<unset>"))
+    new SnapshotTable(schema, properties.asScala.getOrElse("root", "<unset>"),
+      Map.empty)
 }
 
-private[sources] class SnapshotTable(tableSchema: StructType, root: String)
-    extends Table with SupportsRead {
+/** `bound` options (root, and a pinned version for catalog time travel)
+  * override whatever the reader passes — a catalog-loaded table carries
+  * its own identity; a `format(...)` load passes root per read.
+  */
+private[sources] class SnapshotTable(tableSchema: StructType, root: String,
+    bound: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot($root)"
   override def schema(): StructType = tableSchema
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(tableSchema, options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options)
+    if (root != "<unset>") merged.put("root", root)
+    bound.foreach { case (k, v) => merged.put(k, v) }
+    new SnapshotScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
+  }
 }
 
 private[sources] class SnapshotScanBuilder(tableSchema: StructType,

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Snapshots
+import graft.sources.SnapshotCatalog
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the SQL catalog over snapshot tables: plain SQL resolution,
+  * VERSION/TIMESTAMP AS OF time travel, the pushdown stack reached from
+  * SQL (metadata-only count(*)), and CREATE/DROP/RENAME management.
+  */
+class SnapshotCatalogSpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  private lazy val warehouse: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-catalog-wh")
+    p.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.snapcat", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapcat.warehouse", p.toString)
+    p.toString
+  }
+
+  private def orders = Tables.load(spark, sf, "orders")
+
+  test("SQL resolves snapshot tables; VERSION/TIMESTAMP AS OF time-travel") {
+    val early = orders.filter(col("o_orderkey") % 2 === 0)
+    Snapshots.publish(spark, s"$warehouse/t1", early)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    Snapshots.publish(spark, s"$warehouse/t1", orders)
+    assert(spark.sql("SELECT count(*) FROM snapcat.t1").head.getLong(0) ==
+      orders.count())
+    assert(spark.sql("SELECT count(*) FROM snapcat.t1 VERSION AS OF 1")
+      .head.getLong(0) == early.count())
+    val ts = new java.sql.Timestamp(between).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM snapcat.t1 TIMESTAMP AS OF '$ts'")
+      .head.getLong(0) == early.count())
+    // a table that appears later resolves without re-registering
+    Snapshots.publish(spark, s"$warehouse/t2", orders.limit(10))
+    assert(spark.sql("SELECT count(*) FROM snapcat.t2").head.getLong(0) == 10)
+  }
+
+  test("the pushdown stack works from SQL: metadata-only count, stats skipping") {
+    Snapshots.publish(spark, s"$warehouse/t3",
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    val cnt = spark.sql("SELECT count(*) FROM snapcat.t3")
+    assert(cnt.queryExecution.executedPlan.toString.contains("METADATA-ONLY"),
+      "SQL count(*) must compile to the stats-answered scan")
+    assert(cnt.head.getLong(0) == orders.count())
+    val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+    val narrow = spark.sql(s"SELECT * FROM snapcat.t3 WHERE o_orderkey = $lo")
+    val planned = narrow.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions.collect {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.length
+      }.sum
+    }.sum
+    assert(planned < 8, s"stats pruning must reach SQL reads, planned $planned")
+    assert(narrow.count() == orders.filter(col("o_orderkey") === lit(lo)).count())
+  }
+
+  test("CREATE/DROP/RENAME manage snapshot roots; SHOW TABLES lists them") {
+    spark.sql("CREATE TABLE snapcat.managed (id BIGINT, name STRING) USING `graft-snapshot`")
+    assert(spark.sql("SELECT count(*) FROM snapcat.managed").head.getLong(0) == 0)
+    // the declared schema is recorded: append through the table API
+    import spark.implicits._
+    Snapshots.publish(spark, s"$warehouse/managed",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), append = true)
+    assert(spark.sql("SELECT sum(id) FROM snapcat.managed").head.getLong(0) == 3L)
+    val names = spark.sql("SHOW TABLES IN snapcat").collect()
+      .map(_.getString(1)).toSet
+    assert(names.contains("managed") && names.contains("t1"))
+    // the RENAME TO target resolves inside the table's catalog
+    spark.sql("ALTER TABLE snapcat.managed RENAME TO managed2")
+    assert(spark.sql("SELECT count(*) FROM snapcat.managed2").head.getLong(0) == 2)
+    spark.sql("DROP TABLE snapcat.managed2")
+    intercept[Exception] { spark.sql("SELECT * FROM snapcat.managed2").collect() }
+  }
+}
