@@ -208,6 +208,55 @@ object Extras6 {
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM graftsql.li VERSION AS OF 1
         |GROUP BY l_returnflag""".stripMargin)
+    },
+
+    // CHANGE-DATA-FEED streaming through the DSv2 source: v1 publishes
+    // the even-key half, v2 MERGEs updates (%10=0 → 'UPDATED'),
+    // tombstone deletes (%10=4) and odd inserts (%10=1 → 'NEW'); the
+    // stream (`readChangeFeed` + `keyColumns`) delivers every version's
+    // ROW-LEVEL diff — initial snapshot as inserts at v1, then
+    // insert/update/delete rows at v2 — where the append-only source
+    // would refuse the rewrite. The oracle recomputes the classification
+    // relationally from the source table, so the hash proves the diff
+    // algebra row-for-row, including commit-version attribution. This is
+    // the retraction feed an incremental consumer (IVM, downstream sync)
+    // needs at 100 TB: O(changed rows) per version, never O(table).
+    QueryDef.checked(
+      "q152_dsv2_cdf",
+      """WITH v1 AS (SELECT o_orderkey AS k, o_orderpriority AS p
+        |            FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT * FROM (
+        |  SELECT 'insert' AS change, k AS o_orderkey, p AS o_orderpriority,
+        |         CAST(1 AS INT) AS _commit_version FROM v1
+        |  UNION ALL
+        |  SELECT 'update', k, 'UPDATED', CAST(2 AS INT) FROM v1 WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT 'delete', k, p, CAST(2 AS INT) FROM v1 WHERE k % 10 = 4
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey, 'NEW', CAST(2 AS INT) FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 10 = 1
+        |)""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q152_dsv2_cdf", "dsv2_cdf", dir)
+      val base = t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderpriority")
+      Snapshots.publish(s, root, base)
+      val upd = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderpriority", lit("UPDATED")).withColumn("del", lit(false))
+      val del = base.filter(col("o_orderkey") % 10 === 4).withColumn("del", lit(true))
+      val ins = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), lit("NEW").as("o_orderpriority"))
+        .withColumn("del", lit(false))
+      Snapshots.mergeByKey(s, root, upd.unionByName(del).unionByName(ins),
+        Seq("o_orderkey"), Some("del"))
+      val ck = graft.Scratch.ephemeralCheckpoint("q152_dsv2_cdf")
+      val q = s.readStream.format("graft-snapshot").option("root", root)
+        .option("readChangeFeed", true).option("keyColumns", "o_orderkey").load()
+        .writeStream.format("memory").queryName("q152_out")
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q152_out")
+        .select("change", "o_orderkey", "o_orderpriority", "_commit_version")
     }
   )
 }

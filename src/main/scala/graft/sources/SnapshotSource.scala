@@ -79,9 +79,13 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
       .orElse(Option(options.get("timestampAsOf")).map(t =>
         Snapshots.versionAt(spark, root, SnapshotScan.parseAsOf(t))))
       .getOrElse(vs.last)
-    Snapshots.schemaOf(spark, root, v).getOrElse(throw new IllegalArgumentException(
-      s"v$v under $root records no schema header — pre-header manifests are " +
-        "readable via Snapshots.read (footer merge), not the DSv2 source"))
+    val base = Snapshots.schemaOf(spark, root, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"v$v under $root records no schema header — pre-header manifests are " +
+          "readable via Snapshots.read (footer merge), not the DSv2 source"))
+    if (options.getBoolean("readChangeFeed", false))
+      SnapshotScan.cdfSchemaOf(base, SnapshotScan.keyColsOf(options))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -261,6 +265,27 @@ private[sources] class StatsRowReaderFactory extends PartitionReaderFactory {
 }
 
 private[graft] object SnapshotScan {
+  /** The change-feed row shape: change kind, key columns, non-key
+    * columns (the [[Snapshots.changes]] order), and the committing
+    * version.
+    */
+  def cdfSchemaOf(base: StructType, keyCols: Seq[String]): StructType = {
+    keyCols.foreach(k => require(base.fieldNames.contains(k),
+      s"keyColumns entry '$k' is not a table column"))
+    val keys = keyCols.map(k => base(k))
+    val nonKey = base.filterNot(f => keyCols.contains(f.name))
+    StructType(StructField("change", StringType, nullable = false) +:
+      (keys ++ nonKey) :+ StructField("_commit_version", IntegerType, nullable = false))
+  }
+
+  def keyColsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw = Option(options.get("keyColumns")).getOrElse(
+      throw new IllegalArgumentException(
+        "readChangeFeed requires option 'keyColumns' (comma-separated: the " +
+          "row identity the diff classifies by)"))
+    raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd[ HH:mm:ss]` or
     * ISO-8601 local datetime — interpreted on the UTC wall clock the
     * engine pins.
@@ -397,6 +422,9 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
   }
 
   override def toBatch: Batch = {
+    require(!options.getBoolean("readChangeFeed", false),
+      "readChangeFeed is a STREAMING option (readStream); for a batch diff " +
+        "call Snapshots.changes(root, from, to, keyCols) directly")
     val spark = SparkSession.active
     val vs = Snapshots.versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
@@ -442,8 +470,14 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SnapshotMicroBatchStream(SparkSession.active, root, tableSchema, required,
-      filters, options)
+    if (options.getBoolean("readChangeFeed", false))
+      // tableSchema IS the cdf schema here (inferSchema built it)
+      new SnapshotCdfStream(SparkSession.active, root, tableSchema, required,
+        SnapshotScan.keyColsOf(options),
+        options.getBoolean("cdfPreImages", false), options)
+    else
+      new SnapshotMicroBatchStream(SparkSession.active, root, tableSchema, required,
+        filters, options)
 }
 
 private[sources] class SnapshotBatch(spark: SparkSession, root: String,
@@ -475,13 +509,15 @@ private[sources] object VersionOffset {
   }
 }
 
-private[sources] class SnapshotMicroBatchStream(spark: SparkSession, root: String,
-    tableSchema: StructType, required: StructType, filters: Seq[Filter],
-    options: CaseInsensitiveStringMap)
+/** Shared offset/admission machinery for the two snapshot streams:
+  * offsets ARE manifest versions; subclasses decide which FILES a
+  * version range (start, end] plans (appended data files, or
+  * materialized change-feed files).
+  */
+private[sources] abstract class VersionOffsetStream(spark: SparkSession,
+    root: String, options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private val ignoreRewrites = options.getBoolean("ignoreRewrites", false)
-  private val ignoreDeletes = options.getBoolean("ignoreDeletes", false)
   // admission control: at most this many VERSIONS advance per trigger —
   // version granularity (not files/rows) because a version is the atomic
   // exactly-once unit; a huge backfill then drains as bounded micro-batches
@@ -528,11 +564,8 @@ private[sources] class SnapshotMicroBatchStream(spark: SparkSession, root: Strin
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     ParquetReadBridge.filePartitions(spark, plannedPaths(start, end))
 
-  /** The absolute file paths whose rows version range (start, end]
-    * appended — the version-by-version walk over surviving manifests,
-    * with the append-only contract enforced per step.
-    */
-  private[graft] def plannedPaths(start: Offset, end: Offset): Seq[String] = {
+  /** Surviving versions in (start, end], after the expiry guard. */
+  protected def walkOf(start: Offset, end: Offset): Seq[Int] = {
     val s = start.asInstanceOf[VersionOffset].version
     val e = end.asInstanceOf[VersionOffset].version
     if (e <= s) return Nil
@@ -541,14 +574,42 @@ private[sources] class SnapshotMicroBatchStream(spark: SparkSession, root: Strin
       s"checkpointed offset v$s no longer exists under $root (expired?) — " +
         "the stream cannot re-establish its baseline; reset the checkpoint " +
         "or retain more versions (expire keepLast)")
-    val walk = vs.filter(v => v > s && v <= e)
+    vs.filter(v => v > s && v <= e)
+  }
+
+  protected def startVersion(start: Offset): Int =
+    start.asInstanceOf[VersionOffset].version
+
+  /** The absolute file paths carrying (start, end]'s rows. */
+  private[graft] def plannedPaths(start: Offset, end: Offset): Seq[String]
+
+  override def commit(end: Offset): Unit = () // manifests are immutable
+  override def stop(): Unit = ()
+}
+
+private[sources] class SnapshotMicroBatchStream(spark: SparkSession, root: String,
+    tableSchema: StructType, required: StructType, filters: Seq[Filter],
+    options: CaseInsensitiveStringMap)
+    extends VersionOffsetStream(spark, root, options) {
+
+  private val ignoreRewrites = options.getBoolean("ignoreRewrites", false)
+  private val ignoreDeletes = options.getBoolean("ignoreDeletes", false)
+
+  /** The absolute file paths whose rows version range (start, end]
+    * appended — the version-by-version walk over surviving manifests,
+    * with the append-only contract enforced per step.
+    */
+  private[graft] def plannedPaths(start: Offset, end: Offset): Seq[String] = {
+    val walk = walkOf(start, end)
+    if (walk.isEmpty) return Nil
+    val s = startVersion(start)
     var prev: Set[String] = if (s == 0) Set.empty else Snapshots.files(spark, root, s).toSet
     val out = Seq.newBuilder[String]
     walk.foreach { w =>
       if (!ignoreDeletes && Snapshots.hasDeleteVectors(spark, root, w))
         throw new IllegalStateException(
           s"v$w under $root carries merge-on-read delete vectors; an append-only " +
-            "stream cannot retract delivered rows — use Snapshots.changes for CDF, " +
+            "stream cannot retract delivered rows — use readChangeFeed for CDF, " +
             "or option(\"ignoreDeletes\", true) to stream inserts only")
       val cur = Snapshots.files(spark, root, w).toSet
       val removed = prev -- cur
@@ -558,7 +619,8 @@ private[sources] class SnapshotMicroBatchStream(spark: SparkSession, root: Strin
           s"v$w under $root removed ${removed.size} file(s) (compaction/rewrite/" +
             "rollback); re-delivering rewritten files would duplicate rows — " +
             "option(\"ignoreRewrites\", true) declares such versions layout-only " +
-            "(their files are skipped), or use Snapshots.changes for row-level diffs")
+            "(their files are skipped), or option(\"readChangeFeed\", true) for " +
+            "row-level diffs")
       if (removed.isEmpty) {
         // stats-prune the step's additions exactly like the batch path:
         // a tailing stream with a pushed predicate plans only admitted files
@@ -572,7 +634,70 @@ private[sources] class SnapshotMicroBatchStream(spark: SparkSession, root: Strin
 
   override def createReaderFactory(): PartitionReaderFactory =
     ParquetReadBridge.readerFactory(spark, tableSchema, required, filters)
+}
 
-  override def commit(end: Offset): Unit = () // manifests are immutable
-  override def stop(): Unit = ()
+/** Change-data-feed stream: each version in (start, end] contributes its
+  * ROW-LEVEL diff against the previous surviving version —
+  * insert/update/delete rows classified by `keyColumns` (the
+  * [[Snapshots.changes]] algebra), so merges, copy-on-write
+  * DELETE/UPDATE and compactions stream as retractions/applications
+  * instead of refusals. Each version's diff is materialized ONCE under
+  * `root/_cdf/` (parquet, atomic `_SUCCESS` commit, reused on replay —
+  * determinism comes from immutable manifests, so a re-computed cache is
+  * bit-identical) and served through the same vectorized readers as data
+  * files. The first step from offset 0 synthesizes the initial snapshot
+  * as inserts.
+  */
+private[sources] class SnapshotCdfStream(spark: SparkSession, root: String,
+    cdfSchema: StructType, required: StructType, keyCols: Seq[String],
+    preImages: Boolean, options: CaseInsensitiveStringMap)
+    extends VersionOffsetStream(spark, root, options) {
+
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def cacheDir(w: Int): String =
+    s"$root/_cdf/${if (preImages) "pre_" else ""}v$w"
+
+  private def materialize(prev: Int, w: Int): String = {
+    val dir = cacheDir(w)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))) {
+      val diff =
+        if (prev == 0)
+          Snapshots.read(spark, root, Some(w))
+            .select(lit("insert").as("change") +:
+              cdfSchema.fieldNames.filter(n => n != "change" && n != "_commit_version")
+                .map(col).toSeq: _*)
+        else Snapshots.changes(spark, root, prev, w, keyCols, preImages)
+      val shaped = diff.withColumn("_commit_version", lit(w))
+        .select(cdfSchema.fieldNames.map(col).toIndexedSeq: _*)
+      // same isolated write conf as publishes: stats-friendly micros
+      org.apache.spark.sql.graftbridge.SessionBridge.withIsolatedConf(shaped,
+        Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")) {
+        _.write.mode("overwrite").parquet(dir)
+      }
+    }
+    dir
+  }
+
+  private[graft] def plannedPaths(start: Offset, end: Offset): Seq[String] = {
+    val walk = walkOf(start, end)
+    if (walk.isEmpty) return Nil
+    var prev = startVersion(start)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[String]
+    walk.foreach { w =>
+      val dir = materialize(prev, w)
+      out ++= fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted
+      prev = w
+    }
+    out.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ParquetReadBridge.readerFactory(spark, cdfSchema, required, Nil)
 }

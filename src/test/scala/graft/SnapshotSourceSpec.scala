@@ -301,6 +301,38 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(spark.table("dsv2_avnow").count() == orders.count())
   }
 
+  test("change feed streams inserts/updates/deletes; compaction cancels to nothing") {
+    import spark.implicits._
+    val root = freshRoot("cdf")
+    val ck = Scratch.ephemeralCheckpoint("dsv2-cdf-spec")
+    Snapshots.publish(spark, root,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("k", "g", "x"))
+    Snapshots.mergeByKey(spark, root,
+      Seq((2L, "a", 40L, false), (3L, "b", 0L, true), (4L, "c", 5L, false))
+        .toDF("k", "g", "x", "del"), Seq("k"), Some("del"))
+    def start() = spark.readStream.format("graft-snapshot").option("root", root)
+      .option("readChangeFeed", true).option("keyColumns", "k").load()
+      .writeStream.format("memory").queryName("dsv2_cdf")
+      .option("checkpointLocation", ck).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dsv2_cdf")
+        .select("change", "k", "g", "x", "_commit_version")
+        .as[(String, Long, String, Long, Int)].collect().toSet
+      assert(got == Set(
+        ("insert", 1L, "a", 10L, 1), ("insert", 2L, "a", 20L, 1),
+        ("insert", 3L, "b", 30L, 1),
+        ("update", 2L, "a", 40L, 2), ("delete", 3L, "b", 30L, 2),
+        ("insert", 4L, "c", 5L, 2)))
+      // a pure rewrite (compaction) must stream ZERO change rows
+      Snapshots.compact(spark, root, targetBytes = 1L << 30)
+      q.processAllAvailable()
+      assert(spark.table("dsv2_cdf").count() == got.size,
+        "compaction is layout-only — the change feed must stay silent")
+    } finally q.stop()
+  }
+
   test("startingVersion=latest tails only future appends") {
     val root = freshRoot("tail")
     val ck = Scratch.ephemeralCheckpoint("dsv2-tail-spec")
