@@ -99,16 +99,67 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
   * its own identity; a `format(...)` load passes root per read.
   */
 private[sources] class SnapshotTable(tableSchema: StructType, root: String,
-    bound: Map[String, String]) extends Table with SupportsRead {
+    bound: Map[String, String])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-snapshot($root)"
   override def schema(): StructType = tableSchema
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    // no OVERWRITE_DYNAMIC: the V1 write bridge supports append and
+    // truncate/filter overwrite only, and the table has no hive
+    // partitions for dynamic mode to preserve anyway — its absence
+    // routes INSERT OVERWRITE to the static (truncate) plan
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options)
     if (root != "<unset>") merged.put("root", root)
     bound.foreach { case (k, v) => merged.put(k, v) }
     new SnapshotScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
+  }
+
+  /** SQL DML lands as snapshot publishes: `INSERT INTO` appends a new
+    * version sharing every existing file; `INSERT OVERWRITE` publishes a
+    * replacement version — history intact either way, so both compose
+    * with time travel and CDF. The V1 write bridge hands the rows over
+    * as a DataFrame, which IS the publish API's input — distributed
+    * write, driver-side manifest commit, single-writer contract
+    * unchanged. A version-pinned (time-travel) table refuses writes.
+    * `INSERT OVERWRITE` needs `partitionOverwriteMode=static` (the
+    * analyzer plans dynamic overwrite from the session conf alone, and
+    * the V1 bridge serves only the static plan — the table has no hive
+    * partitions, so the two are the same operation here).
+    */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!bound.contains("version"),
+      "cannot write to a version-pinned (time travel) table — writes always " +
+        "target the table head")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def overwrite(filters: Array[Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        require(filters.forall(_ == AlwaysTrue),
+          "conditional INSERT OVERWRITE (replaceWhere) is not supported — " +
+            "compose Snapshots.deleteWhere + publish(append) for a banded replace")
+        truncate()
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  ignored: Boolean): Unit =
+                Snapshots.publish(data.sparkSession, root, data,
+                  append = !overwrite)
+            }
+        }
+    }
   }
 }
 

@@ -64,6 +64,27 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(narrow.count() == orders.filter(col("o_orderkey") === lit(lo)).count())
   }
 
+  test("INSERT INTO appends a version; INSERT OVERWRITE replaces; history intact") {
+    spark.sql("CREATE TABLE snapcat.w (id BIGINT, name STRING) USING `graft-snapshot`")
+    spark.sql("INSERT INTO snapcat.w VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM snapcat.w").head.getLong(0) == 2)
+    spark.sql("INSERT INTO snapcat.w VALUES (3, 'c')")
+    assert(spark.sql("SELECT sum(id) FROM snapcat.w").head.getLong(0) == 6)
+    assert(Snapshots.versions(spark, s"$warehouse/w") == Seq(1, 2, 3))
+    // snapshot tables carry no hive partitions, so dynamic vs static
+    // overwrite is the same operation — the V1 write bridge serves the
+    // static plan (the engine session defaults to dynamic for the
+    // partitioned Migrate paths)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try spark.sql("INSERT OVERWRITE snapcat.w VALUES (CAST(9 AS BIGINT), 'z')")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    assert(spark.sql("SELECT count(*) FROM snapcat.w").head.getLong(0) == 1)
+    // overwrite is a new VERSION, not destruction: v3 still reads back
+    assert(spark.sql("SELECT count(*) FROM snapcat.w VERSION AS OF 3")
+      .head.getLong(0) == 3)
+  }
+
   test("CREATE/DROP/RENAME manage snapshot roots; SHOW TABLES lists them") {
     spark.sql("CREATE TABLE snapcat.managed (id BIGINT, name STRING) USING `graft-snapshot`")
     assert(spark.sql("SELECT count(*) FROM snapcat.managed").head.getLong(0) == 0)
