@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+import org.apache.spark.sql.connector.read.{Statistics, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
@@ -437,7 +437,8 @@ private[graft] object SnapshotScan {
 
 private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     filters: Seq[Filter], options: CaseInsensitiveStringMap,
-    limit: Option[Int] = None) extends Scan with SupportsRuntimeV2Filtering {
+    limit: Option[Int] = None) extends Scan with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
   private val root = options.get("root")
 
   /** Runtime (dynamic) file pruning: a broadcast join over this scan
@@ -518,6 +519,45 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     plannedFileCount = kept.size
     new SnapshotBatch(spark, root, tableSchema, required, filters,
       kept.map(r => s"$root/$r"), rel.size - kept.size)
+  }
+
+  /** Manifest-derived statistics, AFTER stats pruning: exact row counts
+    * from `#rows=` lines, bytes from the kept files' lengths scaled by
+    * the projection ratio (the FileScan convention). This is what makes
+    * snapshot tables first-class citizens of join planning — a small or
+    * well-pruned side reports small and auto-broadcasts, where a
+    * stats-less DSv2 relation defaults to "assume huge, never
+    * broadcast". One manifest read + one driver metadata call per kept
+    * file, at optimize time only; failures degrade to "unknown".
+    */
+  private lazy val estimated: (java.util.OptionalLong, java.util.OptionalLong) =
+    try {
+      val spark = SparkSession.active
+      val vs = Snapshots.versions(spark, root)
+      val v = version.orElse(timestampAsOf.map(t =>
+        Snapshots.versionAt(spark, root, SnapshotScan.parseAsOf(t)))).getOrElse(vs.last)
+      // stats pruning only — no bloom footer probes in the optimizer loop
+      val kept = SnapshotScan.prune(Snapshots.statsOf(spark, root, v),
+        Snapshots.files(spark, root, v), filters)
+      val rows = Snapshots.rowCountsOf(spark, root, v)
+      val numRows =
+        if (kept.forall(rows.contains))
+          java.util.OptionalLong.of(kept.map(rows).sum)
+        else java.util.OptionalLong.empty()
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rawBytes = kept.map(r =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/$r")).getLen).sum
+      val ratio = math.max(1, required.size).toDouble / math.max(1, tableSchema.size)
+      (java.util.OptionalLong.of(math.max(1L, (rawBytes * ratio).toLong)), numRows)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
+    }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = estimated._1
+    override def numRows(): java.util.OptionalLong = estimated._2
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -141,6 +141,43 @@ class SnapshotSourceSpec extends AnyFunSuite {
       s"expected the dv refusal, got: ${e.getMessage}")
   }
 
+  test("manifest statistics drive join planning: small snapshot side auto-broadcasts") {
+    val root = freshRoot("stats")
+    Snapshots.publish(spark, root, orders.limit(200))
+    // no broadcast() hint: the scan's reported size must be what makes
+    // Spark choose a broadcast join (stats-less DSv2 assumes huge)
+    val joined = Tables.load(spark, sf, "lineitem")
+      .join(readSource(root), col("l_orderkey") === col("o_orderkey"))
+    joined.count()
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"small snapshot side must auto-broadcast:\n$plan")
+    // filtered stats shrink with the pruned file set
+    val scanOf: org.apache.spark.sql.DataFrame => graft.sources.SnapshotScan = df =>
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.SnapshotScan] =>
+          b.scan.asInstanceOf[graft.sources.SnapshotScan]
+      }.head
+    val root2 = freshRoot("stats2")
+    Snapshots.publish(spark, root2,
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    val all = scanOf(spark.read.format("graft-snapshot").option("root", root2).load())
+      .estimateStatistics()
+    val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+    val narrow = scanOf(spark.read.format("graft-snapshot").option("root", root2)
+      .load().filter(col("o_orderkey") === lit(lo)))
+    val nstat = narrow.estimateStatistics()
+    assert(all.numRows.getAsLong == orders.count())
+    assert(nstat.numRows.getAsLong < all.numRows.getAsLong,
+      "pruned scan must report fewer rows")
+    assert(nstat.sizeInBytes.getAsLong < all.sizeInBytes.getAsLong)
+  }
+
   test("broadcast join prunes the fact scan at runtime (dynamic file pruning)") {
     val root = freshRoot("dpp")
     val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
