@@ -618,6 +618,21 @@ object Snapshots {
         }
       }
       .foreach(st => f.delete(st.getPath, true))
+    // change-feed caches below the earliest surviving version are
+    // unreplayable (the stream's expiry guard refuses offsets before
+    // it), so they are reclaimable; newer caches stay — they are the
+    // replay determinism for live checkpoints. Aged-only, like data.
+    val cdfDir = new Path(s"$root/_cdf")
+    val earliest = versions(spark, root).headOption.getOrElse(Int.MaxValue)
+    if (f.exists(cdfDir)) {
+      f.listStatus(cdfDir).toSeq
+        .filter(st => st.isDirectory && st.getModificationTime < cutoff)
+        .filter { st =>
+          val v = st.getPath.getName.stripPrefix("pre_").stripPrefix("v")
+          scala.util.Try(v.toInt).toOption.exists(_ < earliest)
+        }
+        .foreach(st => f.delete(st.getPath, true))
+    }
     deleted.value
   }
 

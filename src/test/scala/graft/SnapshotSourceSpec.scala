@@ -370,6 +370,28 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vacuum reclaims change-feed caches below retained history") {
+    import spark.implicits._
+    val root = freshRoot("cdfvac")
+    val ck = Scratch.ephemeralCheckpoint("dsv2-cdfvac-spec")
+    Snapshots.publish(spark, root, Seq((1L, "a")).toDF("k", "g"))
+    Snapshots.publish(spark, root, Seq((2L, "b")).toDF("k", "g"), append = true)
+    Snapshots.publish(spark, root, Seq((3L, "c")).toDF("k", "g"), append = true)
+    val q = spark.readStream.format("graft-snapshot").option("root", root)
+      .option("readChangeFeed", true).option("keyColumns", "k").load()
+      .writeStream.format("memory").queryName("dsv2_cdfvac")
+      .option("checkpointLocation", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cache(v: Int) = fs.exists(new org.apache.hadoop.fs.Path(s"$root/_cdf/v$v"))
+    assert(cache(1) && cache(2) && cache(3))
+    Snapshots.expire(spark, root, keepLast = 2)
+    Snapshots.vacuum(spark, root, graceMs = 0L)
+    assert(!cache(1), "the v1 cache fell out of retained history")
+    assert(cache(2) && cache(3), "replayable caches must survive vacuum")
+  }
+
   test("startingVersion=latest tails only future appends") {
     val root = freshRoot("tail")
     val ck = Scratch.ephemeralCheckpoint("dsv2-tail-spec")
