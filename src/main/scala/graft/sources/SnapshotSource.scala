@@ -233,6 +233,9 @@ private[sources] class SnapshotScanBuilder(tableSchema: StructType,
     */
   private def translateAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    // a change-feed frame's logical rows are DIFF rows, not table rows —
+    // base-table stats would misanswer; refuse so the batch guard fires
+    if (options.getBoolean("readChangeFeed", false)) return None
     val spark = SparkSession.active
     val root = options.get("root")
     if (Snapshots.versions(spark, root).isEmpty) return None
@@ -561,11 +564,20 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    if (options.getBoolean("readChangeFeed", false))
-      // tableSchema IS the cdf schema here (inferSchema built it)
+    if (options.getBoolean("readChangeFeed", false)) {
+      // tableSchema must BE the cdf schema (the format() path builds it in
+      // inferSchema); a base-schema table (e.g. catalog-loaded) streamed
+      // with readChangeFeed would emit rows its declared schema cannot
+      // describe — refuse with the working spelling
+      require(tableSchema.fieldNames.contains("change")
+          && tableSchema.fieldNames.contains("_commit_version"),
+        "readChangeFeed needs the change-feed schema — read via " +
+          "spark.readStream.format(\"graft-snapshot\").option(\"root\", ...)" +
+          ".option(\"readChangeFeed\", true).option(\"keyColumns\", ...)")
       new SnapshotCdfStream(SparkSession.active, root, tableSchema, required,
         SnapshotScan.keyColsOf(options),
         options.getBoolean("cdfPreImages", false), options)
+    }
     else
       new SnapshotMicroBatchStream(SparkSession.active, root, tableSchema, required,
         filters, options)
