@@ -163,7 +163,7 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String,
   }
 }
 
-private[sources] class SnapshotScanBuilder(tableSchema: StructType,
+private[graft] class SnapshotScanBuilder(tableSchema: StructType,
     options: CaseInsensitiveStringMap) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -690,7 +690,7 @@ private[sources] abstract class VersionOffsetStream(spark: SparkSession,
   override def stop(): Unit = ()
 }
 
-private[sources] class SnapshotMicroBatchStream(spark: SparkSession, root: String,
+private[graft] class SnapshotMicroBatchStream(spark: SparkSession, root: String,
     tableSchema: StructType, required: StructType, filters: Seq[Filter],
     options: CaseInsensitiveStringMap)
     extends VersionOffsetStream(spark, root, options) {

@@ -370,6 +370,38 @@ class SnapshotSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a tailing stream with a pushed filter plans only admitted appended files") {
+    val root = freshRoot("streamprune")
+    def clustered(df: org.apache.spark.sql.DataFrame) =
+      df.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+    val half = orders.count() / 2
+    val mid = orders.select("o_orderkey").orderBy("o_orderkey")
+      .limit(half.toInt).agg(max("o_orderkey")).head.getLong(0)
+    Snapshots.publish(spark, root,
+      clustered(orders.filter(col("o_orderkey") <= lit(mid))))
+    Snapshots.publish(spark, root,
+      clustered(orders.filter(col("o_orderkey") > lit(mid))), append = true)
+    val schema = Snapshots.schemaOf(spark, root, 2).get
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root))
+    def planned(filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+      val b = new graft.sources.SnapshotScanBuilder(schema, opts)
+      b.pushFilters(filters)
+      val s = b.build().toMicroBatchStream("unused")
+        .asInstanceOf[graft.sources.SnapshotMicroBatchStream]
+      s.plannedPaths(s.deserializeOffset("""{"version":0}"""),
+        s.deserializeOffset("""{"version":2}"""))
+    }
+    val all = planned(Array.empty)
+    assert(all.size == 8, s"expected 8 clustered files, got ${all.size}")
+    val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+    val narrow = planned(Array(
+      org.apache.spark.sql.sources.EqualTo("o_orderkey", lo)))
+    assert(narrow.size < all.size && narrow.nonEmpty,
+      s"stream planning must stats-prune each step's additions: ${narrow.size} of ${all.size}")
+    assert(narrow.toSet.subsetOf(all.toSet))
+  }
+
   test("vacuum reclaims change-feed caches below retained history") {
     import spark.implicits._
     val root = freshRoot("cdfvac")
