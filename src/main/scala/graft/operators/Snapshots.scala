@@ -522,6 +522,52 @@ object Snapshots {
         ++: nonKey.map(c => col(s"__r.img.$c")): _*)
   }
 
+  /** The table's commit history as a DataFrame — one row per surviving
+    * version: commit wall clock (manifest mtime), file/row/byte totals
+    * (rows NULL where any file predates row-count recording), files
+    * added/removed vs the previous surviving version, outstanding
+    * delete-vector count, and a coarse operation kind inferred from the
+    * file-set delta (`append` / `overwrite` / `rewrite` / `delete-vector`
+    * / `no-op`). Driver-side manifest metadata only — O(versions·files)
+    * name-set work, one `getFileStatus` per (version, file) for bytes;
+    * no data file is opened. The `DESCRIBE HISTORY` a table user asks
+    * for first.
+    */
+  def describeHistory(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    var prev: Set[String] = Set.empty
+    var first = true
+    val rows = vs.map { v =>
+      val fl = files(spark, root, v)
+      val cur = fl.toSet
+      val added = (cur -- prev).size
+      val removed = (prev -- cur).size
+      val dvs = dvLinesOf(spark, root, v).size
+      val rowCounts = SnapshotStats.parseRows(statsLinesOf(spark, root, v))
+      val nRows: Option[Long] =
+        if (fl.forall(rowCounts.contains)) Some(fl.map(rowCounts).sum) else None
+      val bytes = fl.map(r => f.getFileStatus(new Path(s"$root/$r")).getLen).sum
+      val op =
+        if (dvs > 0 && added == 0 && removed == 0) "delete-vector"
+        else if (first) "append"
+        else if (added > 0 && removed == 0) "append"
+        else if (removed > 0 && added > 0) "rewrite"
+        else if (removed > 0) "overwrite"
+        else "no-op"
+      first = false
+      prev = cur
+      (v, new java.sql.Timestamp(
+        f.getFileStatus(manifestPath(root, v)).getModificationTime),
+        op, fl.size, added, removed, nRows, bytes, dvs)
+    }
+    rows.toDF("version", "commit_time", "operation", "n_files",
+      "files_added", "files_removed", "n_rows", "total_bytes",
+      "outstanding_dvs")
+  }
+
   /** Files added and removed between two versions, as a DataFrame
     * (`file`, `change` ∈ added|removed) — the audit surface for "what
     * did version 18 actually change?".

@@ -444,6 +444,27 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root, Some(1)).count() == preCount)
   }
 
+  test("describeHistory reports per-version operations and metadata totals") {
+    val root = freshRoot("history")
+    val early = orders.filter(col("o_orderdate") < lit("1996-01-01"))
+    val late = orders.filter(col("o_orderdate") >= lit("1996-01-01"))
+    Snapshots.publish(spark, root, early)
+    Snapshots.publish(spark, root, late, append = true)
+    Snapshots.compact(spark, root, targetBytes = 1L << 30)
+    val h = Snapshots.describeHistory(spark, root)
+      .orderBy("version").collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(h.map(_.getString(2)).toSeq == Seq("append", "append", "rewrite"))
+    // row totals are exact metadata folds
+    assert(h(0).getLong(6) == early.count())
+    assert(h(1).getLong(6) == orders.count())
+    assert(h(2).getLong(6) == orders.count())
+    // append shares: v2 added files, removed none
+    assert(h(1).getInt(4) > 0 && h(1).getInt(5) == 0)
+    // no outstanding dvs anywhere
+    assert(h.forall(_.getInt(8) == 0))
+  }
+
   test("metadata-only aggregates match the scan; absent stats yield None") {
     val root = freshRoot("statsagg")
     Snapshots.publish(spark, root,
