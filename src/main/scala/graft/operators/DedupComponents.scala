@@ -67,6 +67,10 @@ object DedupComponents {
         .select(col("node"), col("label"))
         .localCheckpoint()
       converged = obs.get.getOrElse("changed", 0L).asInstanceOf[Long] == 0L
+      // next is eagerly materialized — the round-start label blocks are
+      // dead; unpersist or every round's copy stays resident for the
+      // whole run (same retention bug as PageRank's q117 regression)
+      Checkpoints.release(labels)
       labels = next
       iter += 1
     }
@@ -76,6 +80,8 @@ object DedupComponents {
       s"label propagation did not converge in $maxIters rounds — component " +
         s"diameter exceeds $maxIters; raise maxIters")
 
+    // the final label checkpoint is all the returned plan needs
+    Checkpoints.release(edges)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
     labels.join(sizes, Seq("label"))
       .select(col("node").as("doc_id"), col("label").as("component"), col("comp_size"))

@@ -49,8 +49,15 @@ object PageRank {
         // truncate the lineage each round or the plan doubles per
         // iteration and the optimizer re-derives the whole chain
         .localCheckpoint()
+      // the checkpoint above is EAGER, so next no longer reads the old
+      // rank blocks — drop them now or every round's copy stays resident
+      // (10+ live rank tables per run; the q117 warm-run regression)
+      Checkpoints.release(ranks)
       ranks = next
     }
+    // the final ranks checkpoint is the only state the returned plan
+    // still needs; the edge relation served its last join above
+    Checkpoints.release(edges)
     ranks.select(col("id").as("doc_id"), col("rank"))
   }
 }

@@ -628,4 +628,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(math.abs(got(v) - exp) < 1e-9, s"node $v: ${got(v)} vs replay $exp")
     }
   }
+
+  test("pagerank/components: superseded per-round checkpoints are released") {
+    import spark.implicits._
+    // checkpoint blocks persist at the RDD level, so Dataset.unpersist is
+    // a no-op on them; without explicit release every round's copy stays
+    // resident for the life of the JVM (the q117 warm-run regression).
+    // Delta-count the context's persistent RDDs: only the FINAL state of
+    // each run may remain.
+    val sc = spark.sparkContext
+    val edges = (0L until 200L).map(i => (i, (i + 1) % 200L)).toDF("doc_a", "doc_b")
+    val before = sc.getPersistentRDDs.keySet
+    val ranks = graft.operators.PageRank.run(edges, iterations = 10)
+    assert(ranks.count() == 200)
+    val afterRank = sc.getPersistentRDDs.keySet
+    assert((afterRank -- before).size <= 1,
+      s"PageRank retained ${(afterRank -- before).size} checkpointed tables " +
+        "(expected only the final ranks); superseded rounds are leaking")
+    val comp = graft.operators.DedupComponents.components(edges)
+    assert(comp.count() == 200)
+    val afterComp = sc.getPersistentRDDs.keySet
+    assert((afterComp -- afterRank).size <= 1,
+      s"DedupComponents retained ${(afterComp -- afterRank).size} checkpointed " +
+        "tables (expected only the final labels); superseded rounds are leaking")
+  }
 }
