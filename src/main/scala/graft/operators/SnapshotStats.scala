@@ -44,12 +44,16 @@ object SnapshotStats {
 
   private val Prefix = "#stats="
   private val RowsPrefix = "#rows="
+  private val BytesPrefix = "#bytes="
 
   private[operators] def encode(file: String, colName: String, s: ColStats): String =
     s"$Prefix$file\t$colName\t${s.tag}\t${s.nulls}\t${s.min}\t${s.max}"
 
   private[operators] def encodeRows(file: String, n: Long): String =
     s"$RowsPrefix$file\t$n"
+
+  private[operators] def encodeBytes(file: String, n: Long): String =
+    s"$BytesPrefix$file\t$n"
 
   /** Parse a manifest's stats lines → file → column → stats. */
   def parse(lines: Seq[String]): Map[String, Map[String, ColStats]] =
@@ -69,6 +73,21 @@ object SnapshotStats {
     lines.filter(_.startsWith(RowsPrefix))
       .flatMap { l =>
         l.drop(RowsPrefix.length).split("\t", -1) match {
+          case Array(f, n) => Some(f -> n.toLong)
+          case _ => None
+        }
+      }.toMap
+
+  /** Parse a manifest's per-file byte-length lines → file → bytes. The
+    * manifest-resident answer to "how big is this file" — what lets
+    * plan-time statistics and scan-partition sizing run with ZERO
+    * per-file filesystem RPCs (at ~10⁶ files a getFileStatus-per-file
+    * plan loop is a NameNode storm per query).
+    */
+  def parseBytes(lines: Seq[String]): Map[String, Long] =
+    lines.filter(_.startsWith(BytesPrefix))
+      .flatMap { l =>
+        l.drop(BytesPrefix.length).split("\t", -1) match {
           case Array(f, n) => Some(f -> n.toLong)
           case _ => None
         }
@@ -97,8 +116,11 @@ object SnapshotStats {
     * are missing/unknown in ANY row group are omitted (conservative).
     */
   private def footerStats(qualifiedRoot: String, rel: String, conf: Configuration): Seq[String] = {
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(s"$qualifiedRoot/$rel"), conf))
+    // fromPath already stats the file, so the byte length is free here —
+    // recording it in the manifest is what spares every future reader a
+    // per-file getFileStatus at plan time
+    val inputFile = HadoopInputFile.fromPath(new Path(s"$qualifiedRoot/$rel"), conf)
+    val reader = ParquetFileReader.open(inputFile)
     try {
       // per column: tag, null count, non-null count, running min/max (null
       // until a non-null chunk lands); a column any row group makes
@@ -135,7 +157,8 @@ object SnapshotStats {
         }
       }
       val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      encodeRows(rel, rows) +: acc.toSeq.sortBy(_._1).map {
+      encodeRows(rel, rows) +: encodeBytes(rel, inputFile.getLength) +:
+        acc.toSeq.sortBy(_._1).map {
         case (name, a) if a.nonNulls == 0 =>
           encode(rel, name, ColStats("allnull", a.nulls, "", ""))
         case (name, a) =>

@@ -109,11 +109,11 @@ object Snapshots {
   private def statsLinesOf(spark: SparkSession, root: String, version: Int): Seq[String] =
     manifestLines(spark, root, version)
       .filter(l => l.startsWith("#stats=") || l.startsWith("#rows=")
-        || l.startsWith(SEQ_HEADER))
+        || l.startsWith("#bytes=") || l.startsWith(SEQ_HEADER))
 
   private def statsLineFile(l: String): String =
-    l.stripPrefix("#stats=").stripPrefix("#rows=").stripPrefix(SEQ_HEADER)
-      .takeWhile(_ != '\t')
+    l.stripPrefix("#stats=").stripPrefix("#rows=").stripPrefix("#bytes=")
+      .stripPrefix(SEQ_HEADER).takeWhile(_ != '\t')
 
   /** A version's raw `#dv=` header lines — outstanding merge-on-read
     * delete vectors (see [[deleteByKey]]); they travel across
@@ -529,9 +529,9 @@ object Snapshots {
     * delete-vector count, and a coarse operation kind inferred from the
     * file-set delta (`append` / `overwrite` / `rewrite` / `delete-vector`
     * / `no-op`). Driver-side manifest metadata only — O(versions·files)
-    * name-set work, one `getFileStatus` per (version, file) for bytes;
-    * no data file is opened. The `DESCRIBE HISTORY` a table user asks
-    * for first.
+    * name-set work; bytes come from manifest `#bytes=` lines
+    * (`getFileStatus` only for files predating them); no data file is
+    * opened. The `DESCRIBE HISTORY` a table user asks for first.
     */
   def describeHistory(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
@@ -549,7 +549,7 @@ object Snapshots {
       val rowCounts = SnapshotStats.parseRows(statsLinesOf(spark, root, v))
       val nRows: Option[Long] =
         if (fl.forall(rowCounts.contains)) Some(fl.map(rowCounts).sum) else None
-      val bytes = fl.map(r => f.getFileStatus(new Path(s"$root/$r")).getLen).sum
+      val bytes = bytesOf(spark, root, v, fl)
       val op =
         if (dvs > 0 && added == 0 && removed == 0) "delete-vector"
         else if (first) "append"
@@ -699,13 +699,13 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots published under $root — nothing to compact")
     val v = vs.last
     val f = fs(spark, root)
-    // manifest-driven sizing: one metadata call per listed file — bounded
-    // by the version's file count (the same metadata a read plans over).
+    // manifest-driven sizing: `#bytes=` lines answer driver-side, with a
+    // metadata call only for legacy unsized files (the same metadata a
+    // read plans over).
     // `minFiles` floors the count for LAYOUT-driven rewrites: a z-order
     // whose data fits one target file would otherwise collapse to a
     // single all-spanning file and skip nothing.
-    val totalBytes = files(spark, root, v)
-      .map(r => f.getFileStatus(new Path(s"$root/$r")).getLen).sum
+    val totalBytes = bytesOf(spark, root, v, files(spark, root, v))
     val nFiles = math.max(minFiles,
       math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val base = read(spark, root, Some(v))
@@ -1060,6 +1060,27 @@ object Snapshots {
   def rowCountsOf(spark: SparkSession, root: String,
       version: Int): Map[String, Long] =
     SnapshotStats.parseRows(statsLinesOf(spark, root, version))
+
+  /** A version's parsed per-file byte lengths (`#bytes=` lines) — the
+    * manifest-resident sizing metadata behind plan-time statistics and
+    * scan-partition packing. Files listed by pre-`#bytes=` manifests are
+    * absent from the map; callers fall back to one `getFileStatus` each.
+    */
+  def byteCountsOf(spark: SparkSession, root: String,
+      version: Int): Map[String, Long] =
+    SnapshotStats.parseBytes(statsLinesOf(spark, root, version))
+
+  /** Total bytes of a version's `rel` files: manifest `#bytes=` lines
+    * when present (zero per-file FS RPCs), `getFileStatus` only for
+    * files a legacy manifest never sized.
+    */
+  private def bytesOf(spark: SparkSession, root: String, version: Int,
+      rel: Seq[String]): Long = {
+    val known = byteCountsOf(spark, root, version)
+    lazy val f = fs(spark, root)
+    rel.map(r => known.getOrElse(r,
+      f.getFileStatus(new Path(s"$root/$r")).getLen)).sum
+  }
 
   /** Single-column [[filesWhere]]. */
   def filesBetween(spark: SparkSession, root: String, version: Int,

@@ -520,8 +520,11 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
       case _ => bloomKept
     }
     plannedFileCount = kept.size
+    // manifest-recorded byte lengths ride along so partition packing
+    // never stats the planned files (legacy unsized files fall back)
+    val sized = Snapshots.byteCountsOf(spark, root, v)
     new SnapshotBatch(spark, root, tableSchema, required, filters,
-      kept.map(r => s"$root/$r"), rel.size - kept.size)
+      kept.map(r => (s"$root/$r", sized.get(r))), rel.size - kept.size)
   }
 
   /** Manifest-derived statistics, AFTER stats pruning: exact row counts
@@ -530,8 +533,9 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * snapshot tables first-class citizens of join planning — a small or
     * well-pruned side reports small and auto-broadcasts, where a
     * stats-less DSv2 relation defaults to "assume huge, never
-    * broadcast". One manifest read + one driver metadata call per kept
-    * file, at optimize time only; failures degrade to "unknown".
+    * broadcast". One manifest read, no per-file RPCs (`#bytes=` lines;
+    * legacy unsized files stat once), at optimize time only; failures
+    * degrade to "unknown".
     */
   private lazy val estimated: (java.util.OptionalLong, java.util.OptionalLong) =
     try {
@@ -547,10 +551,13 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
         if (kept.forall(rows.contains))
           java.util.OptionalLong.of(kept.map(rows).sum)
         else java.util.OptionalLong.empty()
-      val fs = new org.apache.hadoop.fs.Path(root)
+      // manifest `#bytes=` lines answer driver-side with no per-file
+      // RPC; only legacy unsized files pay a getFileStatus
+      val known = Snapshots.byteCountsOf(spark, root, v)
+      lazy val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val rawBytes = kept.map(r =>
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/$r")).getLen).sum
+      val rawBytes = kept.map(r => known.getOrElse(r,
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/$r")).getLen)).sum
       val ratio = math.max(1, required.size).toDouble / math.max(1, tableSchema.size)
       (java.util.OptionalLong.of(math.max(1L, (rawBytes * ratio).toLong)), numRows)
     } catch {
@@ -585,14 +592,14 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
 
 private[sources] class SnapshotBatch(spark: SparkSession, root: String,
     tableSchema: StructType, required: StructType, filters: Seq[Filter],
-    paths: Seq[String], prunedFiles: Int) extends Batch {
+    files: Seq[(String, Option[Long])], prunedFiles: Int) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    ParquetReadBridge.filePartitions(spark, paths)
+    ParquetReadBridge.filePartitionsSized(spark, files)
   override def createReaderFactory(): PartitionReaderFactory =
     ParquetReadBridge.readerFactory(spark, tableSchema, required, filters)
 
   /** Exposed for the spec: the absolute files this batch plans over. */
-  private[graft] def plannedPaths: Seq[String] = paths
+  private[graft] def plannedPaths: Seq[String] = files.map(_._1)
   private[graft] def prunedFileCount: Int = prunedFiles
 }
 
@@ -665,7 +672,7 @@ private[sources] abstract class VersionOffsetStream(spark: SparkSession,
   override def deserializeOffset(json: String): Offset = VersionOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    ParquetReadBridge.filePartitions(spark, plannedPaths(start, end))
+    ParquetReadBridge.filePartitionsSized(spark, plannedSized(start, end))
 
   /** Surviving versions in (start, end], after the expiry guard. */
   protected def walkOf(start: Offset, end: Offset): Seq[Int] = {
@@ -686,6 +693,14 @@ private[sources] abstract class VersionOffsetStream(spark: SparkSession,
   /** The absolute file paths carrying (start, end]'s rows. */
   private[graft] def plannedPaths(start: Offset, end: Offset): Seq[String]
 
+  /** [[plannedPaths]] with manifest-known byte lengths where available,
+    * so per-trigger partition planning skips per-file FS RPCs. Default:
+    * unknown sizes (one `getFileStatus` each at plan time).
+    */
+  private[graft] def plannedSized(start: Offset,
+      end: Offset): Seq[(String, Option[Long])] =
+    plannedPaths(start, end).map(_ -> None)
+
   override def commit(end: Offset): Unit = () // manifests are immutable
   override def stop(): Unit = ()
 }
@@ -700,14 +715,17 @@ private[graft] class SnapshotMicroBatchStream(spark: SparkSession, root: String,
 
   /** The absolute file paths whose rows version range (start, end]
     * appended — the version-by-version walk over surviving manifests,
-    * with the append-only contract enforced per step.
+    * with the append-only contract enforced per step. Each kept file
+    * carries its manifest-recorded byte length (None for legacy unsized
+    * files), so per-trigger partition planning stays RPC-free.
     */
-  private[graft] def plannedPaths(start: Offset, end: Offset): Seq[String] = {
+  private[graft] override def plannedSized(start: Offset,
+      end: Offset): Seq[(String, Option[Long])] = {
     val walk = walkOf(start, end)
     if (walk.isEmpty) return Nil
     val s = startVersion(start)
     var prev: Set[String] = if (s == 0) Set.empty else Snapshots.files(spark, root, s).toSet
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Option[Long])]
     walk.foreach { w =>
       if (!ignoreDeletes && Snapshots.hasDeleteVectors(spark, root, w))
         throw new IllegalStateException(
@@ -728,12 +746,16 @@ private[graft] class SnapshotMicroBatchStream(spark: SparkSession, root: String,
         // stats-prune the step's additions exactly like the batch path:
         // a tailing stream with a pushed predicate plans only admitted files
         val kept = SnapshotScan.prune(Snapshots.statsOf(spark, root, w), added, filters)
-        out ++= kept.map(r => s"$root/$r")
+        val sized = Snapshots.byteCountsOf(spark, root, w)
+        out ++= kept.map(r => (s"$root/$r", sized.get(r)))
       }
       prev = cur
     }
     out.result()
   }
+
+  private[graft] def plannedPaths(start: Offset, end: Offset): Seq[String] =
+    plannedSized(start, end).map(_._1)
 
   override def createReaderFactory(): PartitionReaderFactory =
     ParquetReadBridge.readerFactory(spark, tableSchema, required, filters)

@@ -69,14 +69,35 @@ object ParquetReadBridge {
     * small snapshot files coalesce and a handful of large ones spread —
     * the same task shape the built-in parquet source would plan.
     */
-  def filePartitions(spark: SparkSession, paths: Seq[String]): Array[InputPartition] = {
-    if (paths.isEmpty) return Array.empty
-    val hconf = spark.sessionState.newHadoopConf()
-    val pfs = paths.map { p =>
+  def filePartitions(spark: SparkSession, paths: Seq[String]): Array[InputPartition] =
+    filePartitionsSized(spark, paths.map(_ -> None))
+
+  /** [[filePartitions]] with caller-known byte lengths: a `Some(len)`
+    * file is planned with ZERO filesystem calls — the snapshot source
+    * feeds manifest `#bytes=` metadata here, so planning a 10⁶-file
+    * table costs no per-file NameNode RPCs. `None` (legacy manifests
+    * that never recorded sizes) falls back to one `getFileStatus`.
+    * Modification time is reported as 0 for manifest-sized files; this
+    * source exposes no `_metadata.file_modification_time` column, so
+    * nothing reads it.
+    */
+  def filePartitionsSized(spark: SparkSession,
+      files: Seq[(String, Option[Long])]): Array[InputPartition] = {
+    if (files.isEmpty) return Array.empty
+    lazy val hconf = spark.sessionState.newHadoopConf()
+    val pfs = files.map { case (p, size) =>
       val hp = new Path(p)
-      val st = hp.getFileSystem(hconf).getFileStatus(hp)
-      PartitionedFile(InternalRow.empty, SparkPath.fromPath(st.getPath), 0L,
-        st.getLen, Array.empty, st.getModificationTime, st.getLen, Map.empty)
+      size match {
+        case Some(len) =>
+          // makeQualified is client-side string work, not an RPC
+          val qp = hp.getFileSystem(hconf).makeQualified(hp)
+          PartitionedFile(InternalRow.empty, SparkPath.fromPath(qp), 0L,
+            len, Array.empty, 0L, len, Map.empty)
+        case None =>
+          val st = hp.getFileSystem(hconf).getFileStatus(hp)
+          PartitionedFile(InternalRow.empty, SparkPath.fromPath(st.getPath), 0L,
+            st.getLen, Array.empty, st.getModificationTime, st.getLen, Map.empty)
+      }
     }
     val maxSplit = FilePartition.maxSplitBytes(spark, pfs.map(_.length).sum)
     FilePartition.getFilePartitions(spark, pfs, maxSplit).toArray

@@ -40,6 +40,78 @@ class SnapshotSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("plan-time file sizing is manifest-resident: zero per-file FS calls") {
+    val root = freshRoot("bytes")
+    Snapshots.publish(spark, root,
+      orders.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+    val rel = Snapshots.files(spark, root, 1)
+    val sized = Snapshots.byteCountsOf(spark, root, 1)
+    assert(rel.forall(sized.contains), "every published file must carry a #bytes= line")
+    val actual = rel.map(r => new java.io.File(s"$root/$r").length()).sum
+    assert(sized.values.sum == actual,
+      s"manifest bytes ${sized.values.sum} != filesystem bytes $actual")
+    // capture plan-time outputs while the data files still exist
+    val before = readSource(root)
+    val expectStats = before.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportStatistics]
+          .estimateStatistics()
+    }.head
+    assert(expectStats.sizeInBytes.isPresent && expectStats.sizeInBytes.getAsLong >= actual,
+      "unpruned unprojected scan must report at least the raw file bytes")
+    // THE zero-RPC proof: physically remove every data file (manifests
+    // stay) — statistics and partition planning must still succeed,
+    // because any per-file getFileStatus would now throw
+    rel.foreach(r => assert(new java.io.File(s"$root/$r").delete()))
+    val df = readSource(root)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head
+    val stats = scan.scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.sizeInBytes.isPresent
+      && stats.sizeInBytes.getAsLong == expectStats.sizeInBytes.getAsLong,
+      "statistics must come from the manifest, not the (deleted) files")
+    val parts = scan.inputPartitions
+    assert(parts.nonEmpty, "partition planning must succeed without the data files")
+    val plannedBytes = parts.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.length)
+      case other => fail(s"unexpected partition shape: $other")
+    }.sum
+    assert(plannedBytes == actual,
+      s"partition sizing must use manifest bytes: $plannedBytes != $actual")
+    // history's byte totals are manifest-resident too
+    val hist = Snapshots.describeHistory(spark, root)
+      .select("total_bytes").head.getLong(0)
+    assert(hist == actual, s"describeHistory bytes $hist != $actual")
+  }
+
+  test("legacy manifests without #bytes= still read (getFileStatus fallback)") {
+    val root = freshRoot("legacybytes")
+    Snapshots.publish(spark, root, orders.limit(1000))
+    // rewrite the manifest as a pre-#bytes= writer would have produced it
+    val mf = new java.io.File(s"$root/_snapshots/v1")
+    val stripped = scala.io.Source.fromFile(mf, "UTF-8").getLines()
+      .filterNot(_.startsWith("#bytes=")).mkString("", "\n", "\n")
+    java.nio.file.Files.write(mf.toPath, stripped.getBytes("UTF-8"))
+    // the rewrite bypassed hadoop's ChecksumFileSystem — drop the sidecar
+    new java.io.File(s"$root/_snapshots/.v1.crc").delete()
+    assert(Snapshots.byteCountsOf(spark, root, 1).isEmpty)
+    val rel = Snapshots.files(spark, root, 1)
+    val actual = rel.map(r => new java.io.File(s"$root/$r").length()).sum
+    assert(readSource(root).count() == 1000)
+    assert(Snapshots.describeHistory(spark, root)
+      .select("total_bytes").head.getLong(0) == actual)
+    val planned = readSource(root).queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.inputPartitions.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.length)
+      case other => fail(s"unexpected partition shape: $other")
+    }.sum
+    assert(planned == actual, "fallback sizing must stat the files")
+  }
+
   test("batch read matches Snapshots.read, supports time travel") {
     val root = freshRoot("batch")
     val early = orders.filter(col("o_orderdate") < lit("1996-01-01"))
