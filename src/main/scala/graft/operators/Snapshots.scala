@@ -671,11 +671,24 @@ object Snapshots {
     val cdfDir = new Path(s"$root/_cdf")
     val earliest = versions(spark, root).headOption.getOrElse(Int.MaxValue)
     if (f.exists(cdfDir)) {
+      // cache names carry their provenance: keyed `v{prev}-{w}_k{hash}`
+      // (baseline version, target version, key-column hash) or the
+      // legacy `v{w}`. A cache is unreplayable — reclaimable — when its
+      // target expired, or its non-zero baseline did (prev=0 caches are
+      // full-snapshot steps: replayable as long as the target survives).
+      val keyed = """v(\d+)-(\d+)_k[0-9a-f]+""".r
+      val legacy = """v(\d+)""".r
       f.listStatus(cdfDir).toSeq
         .filter(st => st.isDirectory && st.getModificationTime < cutoff)
         .filter { st =>
-          val v = st.getPath.getName.stripPrefix("pre_").stripPrefix("v")
-          scala.util.Try(v.toInt).toOption.exists(_ < earliest)
+          val n = st.getPath.getName.stripPrefix("pre_")
+          n match {
+            case _ if n.contains(".build-") => true // orphaned aged temp build
+            case keyed(p, w) => w.toInt < earliest ||
+              (p.toInt != 0 && p.toInt < earliest)
+            case legacy(w) => w.toInt < earliest
+            case _ => false // unrecognized (future writer): keep
+          }
         }
         .foreach(st => f.delete(st.getPath, true))
     }

@@ -202,8 +202,19 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
     // can ask for zero columns; the parquet factory needs ≥1 to count rows
     required = if (requiredSchema.isEmpty) StructType(tableSchema.take(1)) else requiredSchema
 
+  // Spark invokes supportCompletePushDown then pushAggregation with the
+  // same Aggregation; each translateAgg re-reads manifests/stats driver-
+  // side, so memoize by instance — table history makes this O(versions)
+  // of metadata work per call on slow filesystems
+  private var aggMemo: (Aggregation, Option[(StructType, Array[Any])]) = null
+
+  private def translateAggMemo(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (aggMemo == null || !(aggMemo._1 eq agg)) aggMemo = (agg, translateAgg(agg))
+    aggMemo._2
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    translateAgg(agg).isDefined
+    translateAggMemo(agg).isDefined
 
   /** COMPLETE aggregate pushdown answered from manifest metadata alone:
     * an unfiltered, ungrouped `count(*)` / `min(c)` / `max(c)` over the
@@ -217,7 +228,7 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
     * scan, so the fast path is never a guess.
     */
   override def pushAggregation(agg: Aggregation): Boolean =
-    translateAgg(agg) match {
+    translateAggMemo(agg) match {
       case Some(x) => aggPush = Some(x); true
       case None => false
     }
@@ -662,7 +673,21 @@ private[sources] abstract class VersionOffsetStream(spark: SparkSession,
       case None => VersionOffset(0)
       case Some("earliest") => VersionOffset(0)
       case Some("latest") => VersionOffset(vs.last)
-      case Some(n) => VersionOffset(n.toInt - 1) // deliver n onward, inclusive
+      case Some(n) => // deliver n onward, inclusive
+        val v = n.toInt
+        require(v >= 1, s"startingVersion must be >= 1, got $v")
+        if (v - 1 == 0 || vs.contains(v - 1)) VersionOffset(v - 1)
+        else if (v == vs.head)
+          // history below the earliest surviving version is expired:
+          // there is no manifest v-1 to diff the first step against, but
+          // every row through v is present in v's own files — start from
+          // offset 0, which makes the first step a full-snapshot delivery
+          VersionOffset(0)
+        else throw new IllegalArgumentException(
+          s"startingVersion $v under $root: baseline version ${v - 1} is " +
+            s"expired and $v is not the earliest surviving version " +
+            s"(${vs.head}) — choose 'earliest' or a version in " +
+            s"[${vs.head}, ${vs.last}]")
     }
   }
 
@@ -780,27 +805,52 @@ private[sources] class SnapshotCdfStream(spark: SparkSession, root: String,
 
   import org.apache.spark.sql.functions.{col, lit}
 
-  private def cacheDir(w: Int): String =
-    s"$root/_cdf/${if (preImages) "pre_" else ""}v$w"
+  /** A diff cache's FULL provenance lives in its name: the baseline
+    * version `prev`, the target version `w`, and a hash of the key
+    * columns the diff was classified under. Without all three, a stream
+    * restarted with different keyColumns — or a post-expire stream whose
+    * first step re-baselines at prev=0 — would silently reuse a diff
+    * computed under different semantics.
+    */
+  private def cacheDir(prev: Int, w: Int): String = {
+    val kh = (scala.util.hashing.MurmurHash3
+      .stringHash(keyCols.mkString(",")) & 0xffffffffL).toHexString
+    s"$root/_cdf/${if (preImages) "pre_" else ""}v$prev-${w}_k$kh"
+  }
 
   private def materialize(prev: Int, w: Int): String = {
-    val dir = cacheDir(w)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))) {
-      val diff =
-        if (prev == 0)
-          Snapshots.read(spark, root, Some(w))
-            .select(lit("insert").as("change") +:
-              cdfSchema.fieldNames.filter(n => n != "change" && n != "_commit_version")
-                .map(col).toSeq: _*)
-        else Snapshots.changes(spark, root, prev, w, keyCols, preImages)
-      val shaped = diff.withColumn("_commit_version", lit(w))
-        .select(cdfSchema.fieldNames.map(col).toIndexedSeq: _*)
-      // same isolated write conf as publishes: stats-friendly micros
-      org.apache.spark.sql.graftbridge.SessionBridge.withIsolatedConf(shaped,
-        Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")) {
-        _.write.mode("overwrite").parquet(dir)
+    val dir = cacheDir(prev, w)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def committed = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
+    if (committed) return dir
+    // two concurrent readers of the same root may both decide to build
+    // (reads are not single-writer-gated): a JVM-level lock serializes
+    // same-process builders, and build-to-temp + atomic rename makes the
+    // cross-process race harmless — the loser's bytes are bit-identical
+    // (immutable manifests), and it just discards its build
+    SnapshotCdfStream.buildLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      if (!committed) {
+        val diff =
+          if (prev == 0)
+            Snapshots.read(spark, root, Some(w))
+              .select(lit("insert").as("change") +:
+                cdfSchema.fieldNames.filter(n => n != "change" && n != "_commit_version")
+                  .map(col).toSeq: _*)
+          else Snapshots.changes(spark, root, prev, w, keyCols, preImages)
+        val shaped = diff.withColumn("_commit_version", lit(w))
+          .select(cdfSchema.fieldNames.map(col).toIndexedSeq: _*)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$dir.build-${java.util.UUID.randomUUID()}")
+        // same isolated write conf as publishes: stats-friendly micros
+        org.apache.spark.sql.graftbridge.SessionBridge.withIsolatedConf(shaped,
+          Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")) {
+          _.write.mode("overwrite").parquet(tmp.toString)
+        }
+        // a dir without _SUCCESS is a crashed pre-rename-era build — clear it
+        if (fs.exists(target) && !committed) fs.delete(target, true)
+        if (fs.exists(target) || !fs.rename(tmp, target))
+          fs.delete(tmp, true) // lost the cross-process race; winner's output is identical
       }
     }
     dir
@@ -825,4 +875,12 @@ private[sources] class SnapshotCdfStream(spark: SparkSession, root: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     ParquetReadBridge.readerFactory(spark, cdfSchema, required, Nil)
+}
+
+private[sources] object SnapshotCdfStream {
+  /** One lock per cache dir: same-JVM concurrent CDF readers serialize
+    * their builds instead of overwriting each other's part files mid-read.
+    */
+  private[sources] val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

@@ -40,9 +40,28 @@ object EventStreams {
     * footer read at stream setup; files arriving later must match, the
     * standard streaming-schema contract.
     */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
-    val nanosLayout = scala.util.Try(
-      spark.read.parquet(path).schema("ts").dataType == LongType).getOrElse(false)
+  def readEvents(spark: SparkSession, path: String,
+      layout: Option[String] = None): DataFrame = {
+    val nanosLayout = layout match {
+      case Some("nanos") => true
+      case Some("micros") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown events ts layout '$other' — expected 'nanos' or 'micros'")
+      case None => scala.util.Try(spark.read.parquet(path).schema) match {
+        case scala.util.Success(s) =>
+          s.find(_.name == "ts").map(_.dataType == LongType).getOrElse(
+            throw new IllegalArgumentException(
+              s"events at $path have no 'ts' column — not an events table"))
+        case scala.util.Failure(_) =>
+          // an empty glob is NOT evidence of the micros layout: guessing
+          // here would read late-arriving legacy TIMESTAMP(NANOS) files
+          // under the wrong schema (silent µs corruption). Fail fast and
+          // let the caller declare the layout it will produce.
+          throw new IllegalArgumentException(
+            s"no events parquet exists at $path yet, so the ts layout " +
+              "cannot be probed — pass layout=Some(\"nanos\"|\"micros\")")
+      }
+    }
     if (nanosLayout)
       spark.readStream.schema(rawSchema).parquet(path)
         // integer div — see Tables.load for why `/ 1000` would corrupt µs

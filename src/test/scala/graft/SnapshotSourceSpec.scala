@@ -488,12 +488,117 @@ class SnapshotSourceSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def cache(v: Int) = fs.exists(new org.apache.hadoop.fs.Path(s"$root/_cdf/v$v"))
-    assert(cache(1) && cache(2) && cache(3))
+    // cache names carry provenance (v{prev}-{w}_k{keyhash})
+    def cache(prev: Int, v: Int) = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_cdf"))
+      .exists(_.getPath.getName.matches(s"v$prev-${v}_k[0-9a-f]+"))
+    assert(cache(0, 1) && cache(1, 2) && cache(2, 3))
     Snapshots.expire(spark, root, keepLast = 2)
     Snapshots.vacuum(spark, root, graceMs = 0L)
-    assert(!cache(1), "the v1 cache fell out of retained history")
-    assert(cache(2) && cache(3), "replayable caches must survive vacuum")
+    assert(!cache(0, 1), "the v1 cache fell out of retained history")
+    // v1→2 is unreplayable too: the expiry guard refuses a checkpoint at
+    // offset 1 once v1's manifest is gone, so nothing can ever plan it
+    assert(!cache(1, 2), "a cache whose baseline expired is unreplayable")
+    assert(cache(2, 3), "caches with both ends surviving must survive vacuum")
+  }
+
+  test("two concurrent change-feed readers share caches without clobbering") {
+    import spark.implicits._
+    val root = freshRoot("cdfrace")
+    Snapshots.publish(spark, root, (1L to 2000L).map(i => (i, i * 2)).toDF("k", "x"))
+    Snapshots.publish(spark, root,
+      (2001L to 3000L).map(i => (i, i * 2)).toDF("k", "x"), append = true)
+    def start(nm: String) = spark.readStream.format("graft-snapshot")
+      .option("root", root)
+      .option("readChangeFeed", true).option("keyColumns", "k").load()
+      .writeStream.format("memory").queryName(nm)
+      .option("checkpointLocation", Scratch.ephemeralCheckpoint(s"dsv2-$nm")).start()
+    // both readers race the same un-built caches: the build lock + temp/
+    // rename publish must leave ONE committed copy each, never a dir one
+    // stream overwrites while the other's tasks read it
+    val q1 = start("cdfrace_a")
+    val q2 = start("cdfrace_b")
+    try {
+      val t1 = new Thread(() => q1.processAllAvailable())
+      val t2 = new Thread(() => q2.processAllAvailable())
+      t1.start(); t2.start(); t1.join(180000); t2.join(180000)
+      val a = spark.table("cdfrace_a").collect().map(_.toString).toSet
+      val b = spark.table("cdfrace_b").collect().map(_.toString).toSet
+      assert(a.size == 3000 && a == b, "both readers must see the identical feed")
+    } finally { q1.stop(); q2.stop() }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_cdf"))
+      .map(_.getPath.getName).toSeq
+    assert(!dirs.exists(_.contains(".build-")),
+      s"no temp build dirs may survive a clean run: $dirs")
+    dirs.foreach(d => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/_cdf/$d/_SUCCESS")),
+      s"every surviving cache must be committed: $d"))
+  }
+
+  test("change-feed caches are keyed by keyColumns: no cross-key reuse") {
+    import spark.implicits._
+    val root = freshRoot("cdfkeys")
+    Snapshots.publish(spark, root, Seq((1L, 10L), (2L, 20L)).toDF("k", "x"))
+    // overwrite: under key k this is {update k=2}; under key x it is
+    // {delete x=20, insert x=21, insert x=30} — reusing a diff cached
+    // under the other key would be silently wrong
+    Snapshots.publish(spark, root, Seq((1L, 10L), (2L, 21L), (3L, 30L)).toDF("k", "x"))
+    def feed(nm: String, key: String): Set[(String, Long, Long)] = {
+      val q = spark.readStream.format("graft-snapshot").option("root", root)
+        .option("readChangeFeed", true).option("keyColumns", key).load()
+        .writeStream.format("memory").queryName(nm)
+        .option("checkpointLocation", Scratch.ephemeralCheckpoint(s"dsv2-$nm")).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(nm).select("change", "k", "x")
+        .as[(String, Long, Long)].collect().toSet
+    }
+    val byK = feed("cdfkeys_k", "k")
+    val byX = feed("cdfkeys_x", "x")
+    assert(byK.contains(("update", 2L, 21L)) && !byK.exists(_._1 == "delete"),
+      s"key=k must classify the overwrite as an update: $byK")
+    assert(byX.contains(("delete", 2L, 20L)) && !byX.exists(_._1 == "update"),
+      s"key=x must classify the overwrite as delete+insert: $byX")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2caches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_cdf"))
+      .map(_.getPath.getName).filter(_.matches("v1-2_k[0-9a-f]+"))
+    assert(v2caches.length == 2,
+      s"each keyColumns choice needs its own v1→2 cache: ${v2caches.toSeq}")
+  }
+
+  test("startingVersion at the earliest surviving version works after expire") {
+    import spark.implicits._
+    val root = freshRoot("startexp")
+    Snapshots.publish(spark, root, (1L to 100L).map(i => (i, i)).toDF("k", "x"))
+    Snapshots.publish(spark, root,
+      (101L to 150L).map(i => (i, i)).toDF("k", "x"), append = true)
+    Snapshots.publish(spark, root,
+      (151L to 200L).map(i => (i, i)).toDF("k", "x"), append = true)
+    Snapshots.expire(spark, root, keepLast = 2) // survivors: v2, v3
+    // baseline v1 is gone, but v2's own files hold every row through v2 —
+    // the first step must degrade to a full-snapshot delivery, not refuse
+    val q = spark.readStream.format("graft-snapshot").option("root", root)
+      .option("startingVersion", 2).load()
+      .writeStream.format("memory").queryName("startexp_ok")
+      .option("checkpointLocation", Scratch.ephemeralCheckpoint("dsv2-startexp")).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("startexp_ok").count() == 200,
+      "full snapshot of v2 (150 rows) plus v3's 50 appends")
+    // a startingVersion whose baseline is expired and which is NOT the
+    // earliest survivor must fail with a clear error at stream start
+    Snapshots.expire(spark, root, keepLast = 1) // survivors: v3
+    val err = intercept[Exception] {
+      val bad = spark.readStream.format("graft-snapshot").option("root", root)
+        .option("startingVersion", 2).load()
+        .writeStream.format("memory").queryName("startexp_bad")
+        .option("checkpointLocation", Scratch.ephemeralCheckpoint("dsv2-startbad")).start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(err).exists(t => Option(t.getMessage).exists(_.contains("startingVersion"))),
+      s"error must name startingVersion: $err")
   }
 
   test("startingVersion=latest tails only future appends") {

@@ -111,6 +111,21 @@ class StreamingSpec extends AnyFunSuite {
       s"expected contiguous 0..${total - 1}, got sum $sumv")
   }
 
+  test("readEvents refuses to guess the ts layout of an empty path") {
+    val empty = Files.createTempDirectory("graft-stream-empty")
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.readEvents(spark, empty.toString)
+    }
+    assert(e.getMessage.contains("layout"),
+      s"empty-probe failure must point at the layout option: ${e.getMessage}")
+    // explicit layout skips the probe entirely — streams can start ahead
+    // of their first file without risking a mis-typed ts column
+    assert(EventStreams.readEvents(spark, empty.toString, Some("micros"))
+      .schema("ts").dataType.typeName == "timestamp")
+    assert(EventStreams.readEvents(spark, empty.toString, Some("nanos"))
+      .schema("ts").dataType.typeName == "timestamp")
+  }
+
   test("stateful dedup drops re-delivered events") {
     // simulate at-least-once delivery: the same file arrives twice
     val dir = Files.createTempDirectory("graft-stream-dup")
