@@ -257,6 +257,120 @@ object Extras6 {
       try q.processAllAvailable() finally q.stop()
       s.table("q152_out")
         .select("change", "o_orderkey", "o_orderpriority", "_commit_version")
+    },
+
+    // LIMIT pushdown into the manifest: an unfiltered `LIMIT n` plans
+    // only the file-list prefix whose exact `#rows=` counts cover n —
+    // the other files are never scheduled. The in-row `limit_pruned`
+    // flag counts the physically planned files; `rows_valid` proves the
+    // prefix rows are genuine table rows (every limited row exists in
+    // the source). At 100 TB this is "peek at a table" costing one or
+    // two file scans instead of a full sweep.
+    QueryDef.checked(
+      "q153_dsv2_limit",
+      """SELECT CAST(5000 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BOOLEAN) AS limit_pruned,
+        |  CAST(1 AS BOOLEAN) AS rows_valid""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q153_dsv2_limit", "dsv2_limit", dir)
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      Snapshots.publish(s, root, li.repartition(16))
+      val totalFiles = Snapshots.files(s, root, Snapshots.versions(s, root).last).size
+      val limited = s.read.format("graft-snapshot").option("root", root).load()
+        .limit(5000)
+      val planned = limited.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputPartitions.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.length
+        }.sum
+      }.sum
+      // pin ONE evaluation: limit is free to pick any n rows, so validity
+      // is judged on the collected set, not a re-execution
+      val got = limited.collect()
+      val gotDf = s.createDataFrame(
+        java.util.Arrays.asList(got: _*), limited.schema)
+      val invalid = gotDf.exceptAll(li).count()
+      s.range(1).select(
+        lit(got.length.toLong).as("n_rows"),
+        lit(planned > 0 && planned < totalFiles).as("limit_pruned"),
+        lit(invalid == 0L).as("rows_valid"))
+    },
+
+    // SQL INSERT INTO / INSERT OVERWRITE on a catalog snapshot table:
+    // plain `INSERT ... SELECT` appends a version through the V1 write
+    // bridge, `INSERT OVERWRITE` replaces content as a NEW version (the
+    // old one stays time-travelable). The oracle recomputes both the
+    // post-overwrite aggregate AND the pre-overwrite content read back
+    // via VERSION AS OF, with a history flag pinning the version chain —
+    // proving SQL writes are versioned publishes, not file mutation.
+    // Runs in an isolated session: INSERT OVERWRITE needs static
+    // overwrite mode, which must not leak into concurrent queries.
+    QueryDef.checked(
+      "q154_sql_insert",
+      """SELECT
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 2 = 1) AS n_after,
+        |  (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey % 2 = 1) AS sum_after,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 2 = 0) AS n_inserted,
+        |  (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey % 2 = 0) AS sum_inserted,
+        |  CAST(1 AS BOOLEAN) AS history_intact""".stripMargin) { (s0, dir) =>
+      val wh = freshRoot(s0, "q154_sql_insert", "sql_insert_wh", dir)
+      val s = s0.newSession()
+      s.conf.set("spark.sql.catalog.q154cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.q154cat.warehouse", wh)
+      // snapshot tables carry no hive partitions: the V1 write bridge
+      // serves the static overwrite plan (session-isolated — the engine
+      // default stays dynamic for the partitioned Migrate paths)
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .createOrReplaceTempView("q154_li")
+      s.sql("CREATE TABLE q154cat.t (l_orderkey BIGINT, l_quantity DOUBLE) " +
+        "USING `graft-snapshot`")
+      s.sql("INSERT INTO q154cat.t " +
+        "SELECT l_orderkey, l_quantity FROM q154_li WHERE l_orderkey % 2 = 0")
+      s.sql("INSERT OVERWRITE q154cat.t " +
+        "SELECT l_orderkey, l_quantity FROM q154_li WHERE l_orderkey % 2 = 1")
+      // CREATE=v1 (empty), INSERT INTO=v2, INSERT OVERWRITE=v3
+      val history = Snapshots.versions(s, s"$wh/t") == Seq(1, 2, 3)
+      s.sql("""SELECT
+        |  (SELECT count(*) FROM q154cat.t) AS n_after,
+        |  (SELECT CAST(sum(l_quantity) AS BIGINT) FROM q154cat.t) AS sum_after,
+        |  (SELECT count(*) FROM q154cat.t VERSION AS OF 2) AS n_inserted,
+        |  (SELECT CAST(sum(l_quantity) AS BIGINT)
+        |     FROM q154cat.t VERSION AS OF 2) AS sum_inserted""".stripMargin)
+        .withColumn("history_intact", lit(history))
+    },
+
+    // Stats-driven auto-broadcast: the DSv2 scan reports manifest-exact
+    // row/byte statistics, so a small (or well-pruned) snapshot side of
+    // a join broadcasts WITHOUT a hint — a stats-less DSv2 relation
+    // defaults to "assume huge" and would sort-merge. The flag reads the
+    // STATIC physical plan (chosen from reported stats before any
+    // runtime adaptation), so the oracle hash proves join results and
+    // that planning, not AQE's runtime sizes, picked the broadcast.
+    QueryDef.checked(
+      "q155_dsv2_broadcast",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(1 AS BOOLEAN) AS auto_broadcast
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 97 = 0""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q155_dsv2_broadcast", "dsv2_bcast", dir)
+      val dim = t(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey")
+      Snapshots.publish(s, root, dim)
+      val joined = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .join(s.read.format("graft-snapshot").option("root", root).load(),
+          col("l_orderkey") === col("o_orderkey"))
+      val autoBroadcast =
+        joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin")
+      joined.agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        countDistinct(col("o_orderkey")).cast("long").as("n_orders"))
+        .select(col("n_rows"), col("sum_qty"), col("n_orders"),
+          lit(autoBroadcast).as("auto_broadcast"))
     }
   )
 }
