@@ -44,6 +44,16 @@ object Bench {
     // queries would go partially unmeasured)
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // per-run hygiene: measure the QUERY, not the residue of everything
+    // that ran before it — cached tables and retained checkpoint blocks
+    // (each query builds its state fresh; cross-query reuse is all
+    // on-disk artifacts, so dropping block-manager state is safe)
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     // warm-up: JVM/codegen/parquet-footer costs land here, not on the first
     // timed query (measured ~3.5s on a cold session)
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -76,21 +86,29 @@ object Bench {
     Seq(s"$tmp/graft-scratch", s"$tmp/graft-models").foreach { root =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
+    val loadStart = loadAvg()
     val cold = selected.map { case (name, fn) =>
+      hygiene()
       val t0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)); name -> Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         name -> Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
     }
 
+    // the write-heavy migrate/compact roundtrips are the noisiest lines
+    // round-over-round (real FS writes); give min-of-k more samples there
+    val heavyK = Set("q56_two_level_roundtrip", "q101_zorder_roundtrip")
     val results = selected.map { case (name, fn) =>
-      val outcomes = (1 to k).map { _ =>
+      val kq = if (heavyK(name)) math.max(k, 5) else k
+      val outcomes = (1 to kq).map { _ =>
+        hygiene()
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       }
       (name, outcomes.collect { case Right(t) => t }, outcomes.collectFirst { case Left(m) => m })
     }
+    val loadEnd = loadAvg()
     val failurePairs = (results.collect { case (name, _, Some(err)) => name -> err } ++
         cold.collect { case (name, Left(err)) => name -> err }).distinct
     val failures = failurePairs
@@ -118,8 +136,13 @@ object Bench {
     // "parsed": null — the detailed numbers existed only in a truncated
     // tail. Detail goes to BENCH_DETAIL.json; stdout gets a compact line
     // guaranteed to fit the tail window.
+    // environment stamp: comparisons across rounds are only meaningful
+    // when the machine was similarly loaded — loadavg ~cpus means the
+    // bench shared the box and its numbers carry that noise
+    val env = s""""env":{"cpus":"$cpus","load_start":$loadStart,""" +
+      s""""load_end":$loadEnd,"jvm_procs":${Runtime.getRuntime.availableProcessors}}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","k":$k,""" +
-      s""""total_cold":$totalCold,"filtered":${only.nonEmpty},""" +
+      s""""total_cold":$totalCold,"filtered":${only.nonEmpty},$env,""" +
       s""""queries":$qs,"queries_runs":$runs,"queries_cold":$qsCold,""" +
       s""""failures":[${failures.mkString(",")}],"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
@@ -135,6 +158,7 @@ object Bench {
     val budget = 1700 // tail window 2000 minus sbt's trailing lines
     val head = s"""{"metric":"total","value":${r2(total)},"unit":"sec","k":$k,""" +
       s""""total_cold":${r2(totalCold)},"filtered":${only.nonEmpty},""" +
+      s""""load":${r2(loadStart)},""" +
       s""""detail":"$detailPath","failures":[${failures.mkString(",")}],""" +
       s""""sf":"$sfDir","queries":"""
     val fixedOverhead = head.length + 60 // closing brace + omitted marker slack
