@@ -77,6 +77,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dest).count() == 50, "failed merge must not mutate dest")
   }
 
+  test("mergeByKey enforces key locality: a key moved to an untouched partition fails loudly") {
+    val dest = tmp() + "/dest"
+    val orders = Tables.load(spark, sf, "orders").limit(200)
+      .withColumn("par_key", date_format(col("o_orderdate"), "yyyyMM"))
+    orders.write.partitionBy("par_key").mode("overwrite").parquet(dest)
+    val months = orders.select("par_key").distinct()
+      .orderBy("par_key").collect().map(_.getString(0))
+    assert(months.length >= 3, "fixture needs >= 3 months")
+    val (mA, mB) = (months(0), months(1))
+    val victim = orders.filter(col("par_key") === mA).limit(1)
+    val victimKey = victim.head.getAs[Long]("o_orderkey")
+    // the delta routes mA's key to mB and never touches mA: merging would
+    // strand the mA copy, so the pre-flight check must refuse
+    val moved = victim.withColumn("par_key", lit(mB)).withColumn("deleted", lit(false))
+    val e = intercept[IllegalStateException] {
+      Upsert.mergeByKey(spark, dest, moved,
+        Seq("o_orderkey"), Seq("par_key"), Some("deleted"))
+    }
+    assert(e.getMessage.contains("moved key") && e.getMessage.contains(s"par_key=$mA"),
+      s"error must carry the evidence: ${e.getMessage}")
+    assert(spark.read.parquet(dest).count() == 200, "failed merge must not mutate dest")
+    // the same key routed to its OWN partition passes the probe (envelopes
+    // of sibling months overlap on o_orderkey, so this exercises the
+    // row-level clearing path, not just the metadata prune)
+    val inPlace = victim.withColumn("o_totalprice", lit(1.0))
+      .withColumn("deleted", lit(false))
+    Upsert.mergeByKey(spark, dest, inPlace,
+      Seq("o_orderkey"), Seq("par_key"), Some("deleted"))
+    // a move BETWEEN two partitions the delta touches routes correctly:
+    // both are rewritten and the survivors anti-join drops the old copy
+    val touchBoth = moved.unionByName(
+      orders.filter(col("par_key") === mA && col("o_orderkey") =!= victimKey)
+        .limit(1).withColumn("deleted", lit(false)))
+    Upsert.mergeByKey(spark, dest, touchBoth,
+      Seq("o_orderkey"), Seq("par_key"), Some("deleted"))
+    val afterMove = spark.read.parquet(dest)
+      .filter(col("o_orderkey") === victimKey)
+      .select(col("par_key").cast("string")).collect().map(_.getString(0))
+    assert(afterMove.toSeq == Seq(mB), s"moved key must exist once, in $mB: ${afterMove.toSeq}")
+    // verifyKeyLocality=false documents the hazard the check exists for:
+    // the same move back to mA now silently strands the mB copy
+    val movedBack = spark.read.parquet(dest).filter(col("o_orderkey") === victimKey)
+      .withColumn("par_key", lit(mA)).withColumn("deleted", lit(false))
+    Upsert.mergeByKey(spark, dest, movedBack,
+      Seq("o_orderkey"), Seq("par_key"), Some("deleted"), verifyKeyLocality = false)
+    assert(spark.read.parquet(dest).filter(col("o_orderkey") === victimKey).count() == 2,
+      "with the check disabled the old copy is stranded — the documented hazard")
+  }
+
   test("bloom-pruned semi/anti joins equal the exact joins, incl. NULL probe keys") {
     import spark.implicits._
     // probe with NULL keys and keys absent from the build side; string keys

@@ -601,6 +601,42 @@ class SnapshotSourceSpec extends AnyFunSuite {
       s"error must name startingVersion: $err")
   }
 
+  test("micro-batch planning is O(new data): planned paths == appended-file set") {
+    val root = freshRoot("planident")
+    // three appends, each landing its own files
+    Snapshots.publish(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
+    Snapshots.publish(spark, root,
+      orders.filter(col("o_orderkey") % 3 === 1), append = true)
+    Snapshots.publish(spark, root,
+      orders.filter(col("o_orderkey") % 3 === 2), append = true)
+    def filesAt(v: Int): Set[String] =
+      Snapshots.files(spark, root, v).map(r => s"$root/$r").toSet
+    val schema = Snapshots.schemaOf(spark, root, 3).get
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root))
+    val s = new graft.sources.SnapshotScanBuilder(schema, opts)
+      .build().toMicroBatchStream("unused")
+      .asInstanceOf[graft.sources.SnapshotMicroBatchStream]
+    def off(v: Int) = s.deserializeOffset(s"""{"version":$v}""")
+    // the structural O(new data) guarantee: each version step plans
+    // EXACTLY the files that step appended — not the current snapshot
+    assert(s.plannedPaths(off(0), off(1)).toSet == filesAt(1))
+    assert(s.plannedPaths(off(1), off(2)).toSet == filesAt(2) -- filesAt(1))
+    assert(s.plannedPaths(off(2), off(3)).toSet == filesAt(3) -- filesAt(2))
+    // a multi-version catch-up batch is the union of its steps
+    assert(s.plannedPaths(off(0), off(3)).toSet == filesAt(3))
+    // and the partition planner packs exactly those paths, nothing else
+    def normalize(urlEncoded: String): String =
+      new java.net.URI(java.net.URLDecoder.decode(urlEncoded, "UTF-8")).getPath
+    val packed = s.planInputPartitions(off(1), off(2)).flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(f => normalize(f.urlEncodedPath))
+      case other => fail(s"unexpected partition shape: $other")
+    }.toSet
+    assert(packed == (filesAt(2) -- filesAt(1)),
+      s"planInputPartitions must pack the appended files only: $packed")
+  }
+
   test("startingVersion=latest tails only future appends") {
     val root = freshRoot("tail")
     val ck = Scratch.ephemeralCheckpoint("dsv2-tail-spec")
