@@ -297,9 +297,9 @@ object Snapshots {
     * race the id check).
     */
   def publishStreamBatch(spark: SparkSession, root: String, batch: DataFrame,
-      batchId: Long): Option[Int] =
+      batchId: Long, append: Boolean = true): Option[Int] =
     if (lastBatchId(spark, root).exists(_ >= batchId)) None
-    else Some(publish(spark, root, batch, append = true,
+    else Some(publish(spark, root, batch, append = append,
       extraHeader = Seq(s"$BATCH_HEADER$batchId")))
 
   /** Write `df` into a fresh immutable `data/<uuid>/` dir; returns the
@@ -341,6 +341,35 @@ object Snapshots {
     commit(f, root, next, files(spark, root, toVersion),
       schemaOf(spark, root, toVersion),
       dvLinesOf(spark, root, toVersion) ++ statsLinesOf(spark, root, toVersion))
+  }
+
+  /** Metadata-only schema change (SQL `ALTER TABLE ADD/DROP COLUMNS`):
+    * the next version re-lists the head's files under `newSchema`. Legal
+    * exactly when no existing file needs rewriting — every column the
+    * old and new schema share keeps its type, so an ADDED column reads
+    * back null-filled (the by-name parquet projection) and a DROPPED
+    * column is simply no longer projected. Any shared-column type change
+    * refuses: existing bytes would reinterpret. Returns the new version.
+    */
+  def evolveSchema(spark: SparkSession, root: String, newSchema: StructType): Int = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = vs.last
+    val old = schemaOf(spark, root, v).getOrElse(
+      throw new IllegalStateException(
+        s"v$v under $root records no schema header — cannot evolve"))
+    newSchema.fields.foreach { nf =>
+      old.fields.find(_.name == nf.name).foreach(of =>
+        require(of.dataType == nf.dataType,
+          s"column '${nf.name}' would change type ${of.dataType.simpleString} -> " +
+            s"${nf.dataType.simpleString}; existing files cannot reinterpret — " +
+            "rewrite via publish instead"))
+      if (!old.fieldNames.contains(nf.name))
+        require(nf.nullable,
+          s"added column '${nf.name}' must be nullable: existing rows have no value")
+    }
+    commit(fs(spark, root), root, v + 1, files(spark, root, v), Some(newSchema),
+      dvLinesOf(spark, root, v) ++ statsLinesOf(spark, root, v))
   }
 
   private def commit(f: FileSystem, root: String, v: Int, list: Seq[String],
@@ -866,8 +895,9 @@ object Snapshots {
     * version.
     */
   def deleteWhere(spark: SparkSession, root: String, predicate: Column,
-      pruneRanges: Map[String, (Any, Any)] = Map.empty): Int =
-    rewriteWhere(spark, root, predicate, pruneRanges) { touchedRows =>
+      pruneRanges: Map[String, (Any, Any)] = Map.empty,
+      candidates: Option[Seq[String]] = None): Int =
+    rewriteWhere(spark, root, predicate, pruneRanges, candidates) { touchedRows =>
       touchedRows.filter(!coalesce(predicate, lit(false)))
     }
 
@@ -906,7 +936,9 @@ object Snapshots {
     * list) rather than writing an empty data dir.
     */
   private def rewriteWhere(spark: SparkSession, root: String, predicate: Column,
-      pruneRanges: Map[String, (Any, Any)])(rewrite: DataFrame => DataFrame): Int = {
+      pruneRanges: Map[String, (Any, Any)],
+      explicitCandidates: Option[Seq[String]] = None)
+      (rewrite: DataFrame => DataFrame): Int = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root — nothing to rewrite")
     val v = vs.last
@@ -914,8 +946,15 @@ object Snapshots {
     val f = fs(spark, root)
     val rel = files(spark, root, v)
     val schema = schemaOf(spark, root, v)
-    val candidates =
-      if (pruneRanges.isEmpty) rel else filesWhere(spark, root, v, pruneRanges)
+    // an explicit candidate list (e.g. the DSv2 DELETE's stats-pruned
+    // set) must cover every file that can hold a matching row — the
+    // caller derives it from the same predicate — and is clamped to the
+    // version's own files for safety
+    val candidates = explicitCandidates match {
+      case Some(c) => val known = rel.toSet; c.filter(known)
+      case None =>
+        if (pruneRanges.isEmpty) rel else filesWhere(spark, root, v, pruneRanges)
+    }
     // which candidate files hold a matching row? bounded output: one row
     // per touched file (same granularity as mergeByKey's key probe)
     val touched: Set[String] =

@@ -371,6 +371,136 @@ object Extras6 {
         countDistinct(col("o_orderkey")).cast("long").as("n_orders"))
         .select(col("n_rows"), col("sum_qty"), col("n_orders"),
           lit(autoBroadcast).as("auto_broadcast"))
+    },
+
+    // SQL DELETE FROM on a catalog snapshot table: the predicate pushes
+    // through SupportsDelete into the stats-pruned copy-on-write
+    // Snapshots.deleteWhere — on a range-clustered table the narrow band
+    // rewrites ONE file while every other file survives by identity
+    // (`rewrite_targeted`), the deleted band is gone from the head, and
+    // VERSION AS OF still reads the pre-delete rows (`history` columns).
+    // The oracle replays the delete relationally, so the hash proves SQL
+    // DELETE is a versioned CoW publish, not file mutation. At 100 TB a
+    // retention delete rewrites the expiring band's files only.
+    QueryDef.checked(
+      "q156_sql_delete",
+      """WITH bound AS (SELECT min(l_orderkey) + 20 AS b FROM lineitem)
+        |SELECT
+        |  (SELECT count(*) FROM lineitem, bound WHERE l_orderkey > b) AS n_after,
+        |  (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem, bound
+        |     WHERE l_orderkey > b) AS sum_after,
+        |  (SELECT count(*) FROM lineitem) AS n_before,
+        |  CAST(1 AS BOOLEAN) AS history_intact,
+        |  CAST(1 AS BOOLEAN) AS rewrite_targeted""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q156_sql_delete", "sql_delete_wh", dir)
+      s.conf.set("spark.sql.catalog.q156cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.q156cat.warehouse", wh)
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      Snapshots.publish(s, s"$wh/t",
+        li.repartitionByRange(16, col("l_orderkey")).sortWithinPartitions("l_orderkey"))
+      val bound = li.agg(min(col("l_orderkey"))).head.getLong(0) + 20
+      val before = Snapshots.files(s, s"$wh/t", 1).toSet
+      s.sql(s"DELETE FROM q156cat.t WHERE l_orderkey <= $bound")
+      val after = Snapshots.files(s, s"$wh/t", 2).toSet
+      // CoW surgical rewrite: most files survive BY IDENTITY, some are
+      // replaced — never a full rewrite, never zero change
+      val targeted = (before intersect after).nonEmpty &&
+        (before -- after).nonEmpty && (before -- after).size < before.size
+      val history = Snapshots.versions(s, s"$wh/t") == Seq(1, 2)
+      s.sql("""SELECT
+        |  (SELECT count(*) FROM q156cat.t) AS n_after,
+        |  (SELECT CAST(sum(l_quantity) AS BIGINT) FROM q156cat.t) AS sum_after,
+        |  (SELECT count(*) FROM q156cat.t VERSION AS OF 1) AS n_before""".stripMargin)
+        .withColumn("history_intact", lit(history))
+        .withColumn("rewrite_targeted", lit(targeted))
+    },
+
+    // SQL ALTER TABLE schema evolution as a METADATA-ONLY publish:
+    // ADD COLUMNS commits the next version re-listing the same files
+    // under the widened schema — no data moves, existing rows read the
+    // new column null-filled, and a later INSERT fills it. VERSION AS OF
+    // keeps serving the old version UNDER ITS OWN SCHEMA (the column
+    // simply does not exist there — `old_schema_clean`). The oracle
+    // recomputes the null/filled split relationally, proving evolution
+    // semantics row-for-row. The 100 TB property: widening a petabyte
+    // table is one manifest write.
+    QueryDef.checked(
+      "q157_sql_alter",
+      """SELECT
+        |  (SELECT count(*) FROM lineitem) AS n_total,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 2 = 1) AS n_bonus,
+        |  (SELECT CAST(sum(l_quantity * 2) AS BIGINT)
+        |     FROM lineitem WHERE l_orderkey % 2 = 1) AS sum_bonus,
+        |  CAST(1 AS BOOLEAN) AS metadata_only,
+        |  CAST(1 AS BOOLEAN) AS old_schema_clean""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q157_sql_alter", "sql_alter_wh", dir)
+      s.conf.set("spark.sql.catalog.q157cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.q157cat.warehouse", wh)
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      Snapshots.publish(s, s"$wh/t", li.filter(col("l_orderkey") % 2 === 0))
+      s.sql("ALTER TABLE q157cat.t ADD COLUMNS (l_bonus DOUBLE)")
+      // metadata-only: v2 lists exactly v1's files (no data moved)
+      val metadataOnly = Snapshots.files(s, s"$wh/t", 2) == Snapshots.files(s, s"$wh/t", 1)
+      li.filter(col("l_orderkey") % 2 === 1)
+        .withColumn("l_bonus", col("l_quantity") * 2)
+        .createOrReplaceTempView("q157_delta")
+      s.sql("INSERT INTO q157cat.t SELECT * FROM q157_delta")
+      val oldClean = !s.sql("SELECT * FROM q157cat.t VERSION AS OF 1")
+        .columns.contains("l_bonus")
+      s.sql("""SELECT count(*) AS n_total, count(l_bonus) AS n_bonus,
+        |  CAST(sum(l_bonus) AS BIGINT) AS sum_bonus
+        |FROM q157cat.t""".stripMargin)
+        .withColumn("metadata_only", lit(metadataOnly))
+        .withColumn("old_schema_clean", lit(oldClean))
+    },
+
+    // STREAMING WRITE into a snapshot table: writeStream.format
+    // ("graft-snapshot") publishes one version per micro-batch with the
+    // manifest-recorded batch id as the exactly-once transaction — a
+    // snapshot-to-snapshot pipe (DSv2 stream source → snapshot sink)
+    // where a restart from the same checkpoint republishes NOTHING
+    // (`exactly_once`: the version chain is unchanged after a no-new-data
+    // restart, and re-delivered batches are skipped by id). With
+    // maxVersionsPerTrigger=1 each source version flows through as its
+    // own sink version (`versioned`). The oracle recomputes the union
+    // from the source table: the hash proves end-to-end exactly-once.
+    QueryDef.checked(
+      "q158_stream_sink",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(1 AS BOOLEAN) AS exactly_once,
+        |  CAST(1 AS BOOLEAN) AS versioned
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val src = freshRoot(s, "q158_stream_sink", "stream_sink_src", dir)
+      val dst = freshRoot(s, "q158_stream_sink", "stream_sink_dst", dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Snapshots.publish(s, src, orders.filter(col("o_orderkey") % 2 === 0))
+      Snapshots.publish(s, src, orders.filter(col("o_orderkey") % 2 === 1),
+        append = true)
+      val ck = graft.Scratch.ephemeralCheckpoint("q158_stream_sink")
+      def run(): Unit = {
+        val q = s.readStream.format("graft-snapshot").option("root", src)
+          .option("maxVersionsPerTrigger", "1").load()
+          .writeStream.format("graft-snapshot").option("root", dst)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(300000), "AvailableNow drain timed out")
+      }
+      run()
+      val versioned = Snapshots.versions(s, dst).size == 2
+      val vAfterFirst = Snapshots.versions(s, dst)
+      run() // restart, no new source data: must republish NOTHING
+      val exactlyOnce = Snapshots.versions(s, dst) == vAfterFirst
+      Snapshots.read(s, dst)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).cast("long").as("min_key"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+        .withColumn("exactly_once", lit(exactlyOnce))
+        .withColumn("versioned", lit(versioned))
     }
   )
 }

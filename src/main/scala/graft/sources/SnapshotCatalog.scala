@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import org.apache.hadoop.fs.Path
@@ -32,11 +32,13 @@ import org.apache.hadoop.fs.Path
   *
   * Management verbs: `CREATE TABLE` publishes an empty v1 with the
   * declared schema (the snapshot layer's schema header), `DROP TABLE`
-  * removes the root, `RENAME` is a filesystem move (atomic same-FS).
-  * Writes go through the table API ([[Snapshots.publish]]/`mergeByKey`/
-  * `deleteWhere`...) — ACID multi-writer SQL DML is out of scope, and
-  * `ALTER TABLE` is refused (snapshot schema evolution happens at
-  * publish time, recorded per version).
+  * removes the root, `RENAME` is a filesystem move (atomic same-FS),
+  * `ALTER TABLE ADD COLUMNS`/`DROP COLUMN` commit a metadata-only
+  * schema-evolution version. DML: `INSERT INTO`/`INSERT OVERWRITE`
+  * publish versions through the V1 write bridge, `DELETE FROM` is the
+  * stats-pruned copy-on-write [[Snapshots.deleteWhere]], `TRUNCATE`
+  * publishes an empty version — all on the single-writer contract
+  * (ACID multi-writer coordination is out of scope).
   */
 class SnapshotCatalog extends TableCatalog {
 
@@ -125,10 +127,49 @@ class SnapshotCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "snapshot schema evolves at publish time (per-version schema headers); " +
-        "ALTER TABLE is not supported")
+  /** `ALTER TABLE ADD COLUMNS` / `DROP COLUMN` as a METADATA-ONLY
+    * publish: the next version re-lists the head's files under the new
+    * schema ([[Snapshots.evolveSchema]]) — no data moves, added columns
+    * read back null-filled, dropped columns stop being projected, and
+    * time travel still serves every old version under ITS schema.
+    * RENAME COLUMN is refused: parquet projection is by-name, so a
+    * rename would silently orphan every existing value (rewrite via
+    * publish instead). Type changes refuse for the same reason.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val root = rootOf(ident)
+    val v = Snapshots.versions(spark, root).last
+    val old = Snapshots.schemaOf(spark, root, v).getOrElse(
+      throw new IllegalStateException(s"v$v under $root records no schema header"))
+    val evolved = changes.foldLeft(old) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          s"nested ADD COLUMN (${add.fieldNames.mkString(".")}) is not supported")
+        require(add.position() == null,
+          "positioned ADD COLUMN (FIRST/AFTER) is not supported — new columns append")
+        val name = add.fieldNames.head
+        require(!s.fieldNames.contains(name), s"column '$name' already exists")
+        require(add.isNullable,
+          s"added column '$name' must be nullable: existing rows have no value")
+        val f = StructField(name, add.dataType, nullable = true)
+        s.add(Option(add.comment).fold(f)(f.withComment))
+      case (s, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames.length == 1,
+          s"nested DROP COLUMN (${del.fieldNames.mkString(".")}) is not supported")
+        val name = del.fieldNames.head
+        require(s.fieldNames.contains(name), s"column '$name' does not exist")
+        require(s.fields.length > 1, "cannot drop the last column")
+        StructType(s.fields.filterNot(_.name == name))
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change ${other.getClass.getSimpleName} is not supported: " +
+            "parquet projection is by-name, so renames/type changes would " +
+            "orphan or reinterpret existing values — rewrite via publish")
+    }
+    Snapshots.evolveSchema(spark, root, evolved)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs.delete(new Path(rootOf(ident)), true)

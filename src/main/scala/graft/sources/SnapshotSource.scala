@@ -61,13 +61,44 @@ import scala.jdk.CollectionConverters._
   * per run): the manifest is the enumeration, stats make it
   * value-selective, and the stream makes it continuous.
   */
-class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
+class SnapshotSourceProvider extends TableProvider with DataSourceRegister
+    with StreamSinkProvider {
   override def shortName(): String = "graft-snapshot"
 
   private def rootOf(options: CaseInsensitiveStringMap): String = {
     val r = options.get("root")
     require(r != null && r.nonEmpty, "graft-snapshot requires option 'root'")
     r
+  }
+
+  /** `df.writeStream.format("graft-snapshot").option("root", root)` — the
+    * EXACTLY-ONCE streaming sink: every micro-batch publishes as one
+    * snapshot version through [[Snapshots.publishStreamBatch]], whose
+    * manifest-recorded batch id skips the batch Structured Streaming
+    * re-delivers after a crash (the at-least-once → exactly-once
+    * upgrade; the atomic manifest rename is the transaction). Append
+    * mode appends versions; Complete mode publishes each batch as a
+    * full replacement version (the streaming-aggregation sink shape) —
+    * history stays time-travelable either way, and a concurrent
+    * `readStream` on the same root tails the published versions, making
+    * snapshot tables a streaming transport. Single writer per root (the
+    * snapshot layer's standing contract).
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("root", parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot sink requires option 'root'")))
+    require(partitionColumns.isEmpty,
+      "snapshot tables are file-clustered (compact zorderBy), not " +
+        "hive-partitioned — partitionBy is not supported")
+    val complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    require(complete || outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot sink supports Append and Complete output modes, got $outputMode " +
+        "(Update would re-deliver mutated keys; use foreachBatch + Snapshots.mergeByKey)")
+    new SnapshotStreamSink(root, complete)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -88,10 +119,34 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
     else base
   }
 
+  /** True so `writeStream` reaches the v1 sink path even when the
+    * DESTINATION root has no snapshots yet (the first batch creates it):
+    * DataStreamWriter then hands the frame's own schema to [[getTable]]
+    * instead of inferring one from a table that does not exist. Batch
+    * reads without `.schema(...)` still infer from the manifest; a
+    * user-supplied read schema projects by-name (absent columns
+    * null-fill — the snapshot layer's standing evolution rule).
+    */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new SnapshotTable(schema, properties.asScala.getOrElse("root", "<unset>"),
       Map.empty)
+}
+
+/** The v1 streaming sink behind `writeStream.format("graft-snapshot")`:
+  * one snapshot version per micro-batch, exactly-once via the manifest
+  * batch-id check. `complete` publishes replacements instead of appends.
+  */
+private[graft] class SnapshotStreamSink(root: String, complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graftbridge.SessionBridge.rebatch(data)
+    Snapshots.publishStreamBatch(batch.sparkSession, root, batch, batchId,
+      append = !complete)
+  }
+  override def toString: String = s"SnapshotStreamSink($root)"
 }
 
 /** `bound` options (root, and a pinned version for catalog time travel)
@@ -101,8 +156,50 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
 private[sources] class SnapshotTable(tableSchema: StructType, root: String,
     bound: Map[String, String])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-snapshot($root)"
+
+  /** SQL `DELETE FROM` lands as [[Snapshots.deleteWhere]] — a
+    * copy-on-write publish: stats prune the candidate files through the
+    * manifest (the same translation the read path pushes), only files
+    * holding a matching row rewrite, history stays time-travelable.
+    * Translation is all-or-nothing: a predicate with no exact Column
+    * form refuses here and Spark reports it, so a delete is never
+    * silently partial. High-frequency key deletes between compactions
+    * belong to the merge-on-read path ([[Snapshots.deleteByKey]]).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !bound.contains("version") &&
+      filters.forall(f => SnapshotScan.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!bound.contains("version"),
+      "cannot DELETE from a version-pinned (time travel) table")
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.lit
+    val pred = filters.flatMap(SnapshotScan.filterColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val v = Snapshots.versions(spark, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no snapshots published under $root"))
+    val candidates = SnapshotScan.prune(Snapshots.statsOf(spark, root, v),
+      Snapshots.files(spark, root, v), filters.toSeq)
+    Snapshots.deleteWhere(spark, root, pred, candidates = Some(candidates))
+  }
+
+  /** SQL `TRUNCATE TABLE`: publish an empty replacement version —
+    * metadata-only (no file probe, no rewrite), history intact, so
+    * `VERSION AS OF` still reaches the pre-truncate data.
+    */
+  override def truncateTable(): Boolean = {
+    require(!bound.contains("version"),
+      "cannot TRUNCATE a version-pinned (time travel) table")
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    Snapshots.publish(spark, root, empty, append = false)
+    true
+  }
   override def schema(): StructType = tableSchema
   override def capabilities(): JSet[TableCapability] =
     // no OVERWRITE_DYNAMIC: the V1 write bridge supports append and
@@ -396,6 +493,37 @@ private[graft] object SnapshotScan {
       rel: Seq[String], filters: Seq[Filter]): Seq[String] =
     if (filters.isEmpty) rel
     else rel.filter(fl => filters.forall(admits(stats.getOrElse(fl, Map.empty), _)))
+
+  /** EXACT v1 `Filter` → `Column` translation for SQL DELETE: the
+    * returned Column reproduces the pushed filter's tri-valued logic
+    * (NULL-yielding rows are NOT matched, so they survive a DELETE —
+    * SQL semantics). `None` for shapes with no exact Column form;
+    * `canDeleteWhere` then refuses and Spark surfaces the unsupported
+    * predicate instead of a silently-partial delete.
+    */
+  def filterColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(c, v) => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case And(l, r) => for { a <- filterColumn(l); b <- filterColumn(r) } yield a && b
+      case Or(l, r) => for { a <- filterColumn(l); b <- filterColumn(r) } yield a || b
+      case Not(x) => filterColumn(x).map(!_)
+      case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+      case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+      case StringContains(c, v) => Some(col(c).contains(v))
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
 
   /** Conservative V2 `Predicate` → V1 `Filter` translation for runtime
     * filters (DPP hands back IN/EQ predicates over the join keys, as

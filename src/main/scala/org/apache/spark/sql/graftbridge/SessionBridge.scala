@@ -35,4 +35,17 @@ object SessionBridge {
   def withIsolatedConf[A](df: DataFrame, confs: Map[String, String])
       (body: DataFrame => A): A =
     body(rebind(df, cloneWithConf(df.sparkSession, confs)))
+
+  /** The frame a v1 `Sink.addBatch` receives is bound to the stream's
+    * incremental execution — handing it to ordinary batch writers would
+    * re-plan it (wrongly, and `.write` refuses streaming plans). Re-wrap
+    * the micro-batch's ALREADY-PLANNED rows as a plain batch frame: one
+    * pass over the incremental execution's RDD, no second planning.
+    * (The same move Spark's own ForeachBatchSink/console sink make.)
+    */
+  def rebatch(data: DataFrame): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = data.queryExecution.toRdd.map(_.copy())
+    spark.internalCreateDataFrame(rdd, data.schema, isStreaming = false)
+  }
 }

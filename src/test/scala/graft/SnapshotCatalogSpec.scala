@@ -85,6 +85,90 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 3)
   }
 
+  test("SQL DELETE FROM is a stats-pruned CoW publish; NULL-predicate rows survive") {
+    import spark.implicits._
+    Snapshots.publish(spark, s"$warehouse/d1",
+      Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (3L, "c"), (null, "n"))
+        .toDF("id", "name"))
+    spark.sql("DELETE FROM snapcat.d1 WHERE id >= 2")
+    // SQL tri-valued logic: the NULL-id row does not match `id >= 2`
+    assert(spark.sql("SELECT name FROM snapcat.d1 ORDER BY name").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "n"))
+    // versioned, not destructive
+    assert(spark.sql("SELECT count(*) FROM snapcat.d1 VERSION AS OF 1")
+      .head.getLong(0) == 4)
+    // surgical: a range-clustered delete rewrites only the matching band
+    Snapshots.publish(spark, s"$warehouse/d2",
+      orders.select("o_orderkey", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+    val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+    val before = Snapshots.files(spark, s"$warehouse/d2", 1).toSet
+    spark.sql(s"DELETE FROM snapcat.d2 WHERE o_orderkey <= ${lo + 5}")
+    val after = Snapshots.files(spark, s"$warehouse/d2", 2).toSet
+    assert((before -- after).size <= 2 && (before intersect after).size >= 6,
+      s"narrow delete must rewrite only the matching band: kept ${(before intersect after).size} of ${before.size}")
+    // a predicate with no exact source-filter form must refuse loudly,
+    // never delete a subset silently
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM snapcat.d2 WHERE length(o_orderpriority) > 3")
+    }
+    assert(Option(e.getMessage).exists(m =>
+      m.toLowerCase.contains("delete") || m.toLowerCase.contains("filter")),
+      s"unsupported DELETE predicate must surface: ${e.getMessage}")
+    assert(spark.sql("SELECT count(*) FROM snapcat.d2").head.getLong(0) ==
+      orders.filter(col("o_orderkey") > lit(lo + 5)).count(),
+      "the refused DELETE must not have mutated anything")
+  }
+
+  test("SQL TRUNCATE TABLE publishes an empty version; history intact") {
+    import spark.implicits._
+    Snapshots.publish(spark, s"$warehouse/tr",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    spark.sql("TRUNCATE TABLE snapcat.tr")
+    assert(spark.sql("SELECT count(*) FROM snapcat.tr").head.getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM snapcat.tr VERSION AS OF 1")
+      .head.getLong(0) == 2, "pre-truncate data must stay time-travelable")
+    // the schema survives the empty version: an append still works
+    Snapshots.publish(spark, s"$warehouse/tr",
+      Seq((9L, "z")).toDF("id", "name"), append = true)
+    assert(spark.sql("SELECT sum(id) FROM snapcat.tr").head.getLong(0) == 9L)
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMNS is metadata-only; renames/type changes refuse") {
+    import spark.implicits._
+    Snapshots.publish(spark, s"$warehouse/ev",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val filesBefore = Snapshots.files(spark, s"$warehouse/ev", 1)
+    spark.sql("ALTER TABLE snapcat.ev ADD COLUMNS (score DOUBLE)")
+    // metadata-only: the new version lists the same files
+    assert(Snapshots.files(spark, s"$warehouse/ev", 2) == filesBefore)
+    // existing rows read the new column null-filled
+    assert(spark.sql("SELECT count(score) FROM snapcat.ev").head.getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM snapcat.ev").head.getLong(0) == 2)
+    // an insert fills it; old version still serves its own schema
+    spark.sql("INSERT INTO snapcat.ev VALUES (CAST(3 AS BIGINT), 'c', CAST(1.5 AS DOUBLE))")
+    assert(spark.sql("SELECT sum(score) FROM snapcat.ev").head.getDouble(0) == 1.5)
+    assert(!spark.sql("SELECT * FROM snapcat.ev VERSION AS OF 1")
+      .columns.contains("score"))
+    // DROP COLUMN narrows the projection, data files untouched
+    spark.sql("ALTER TABLE snapcat.ev DROP COLUMN score")
+    assert(!spark.table("snapcat.ev").columns.contains("score"))
+    assert(spark.sql("SELECT count(*) FROM snapcat.ev").head.getLong(0) == 3)
+    // refusals: by-name parquet projection makes these data-orphaning
+    val r1 = intercept[Exception] {
+      spark.sql("ALTER TABLE snapcat.ev RENAME COLUMN name TO label") }
+    assert(r1.getMessage.contains("by-name"), r1.getMessage)
+    val r2 = intercept[Exception] {
+      spark.sql("ALTER TABLE snapcat.ev ALTER COLUMN id TYPE INT") }
+    assert(r2 != null) // parse/analysis either way: never applied
+    assert(spark.table("snapcat.ev").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a non-nullable ADD refuses: existing rows have no value
+    val r3 = intercept[Exception] {
+      spark.sql("ALTER TABLE snapcat.ev ADD COLUMNS (must STRING NOT NULL)") }
+    assert(r3.getMessage.contains("nullable"), r3.getMessage)
+  }
+
   test("CREATE/DROP/RENAME manage snapshot roots; SHOW TABLES lists them") {
     spark.sql("CREATE TABLE snapcat.managed (id BIGINT, name STRING) USING `graft-snapshot`")
     assert(spark.sql("SELECT count(*) FROM snapcat.managed").head.getLong(0) == 0)

@@ -601,6 +601,78 @@ class SnapshotSourceSpec extends AnyFunSuite {
       s"error must name startingVersion: $err")
   }
 
+  test("streaming sink: one version per batch, exactly-once across restart and replay") {
+    val src = freshRoot("sinksrc")
+    val dst = freshRoot("sinkdst")
+    val ck = Scratch.ephemeralCheckpoint("dsv2-sink-spec")
+    Snapshots.publish(spark, src, orders.filter(col("o_orderkey") % 2 === 0))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot").option("root", src).load()
+        .writeStream.format("graft-snapshot").option("root", dst)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow must drain and stop")
+    }
+    drain()
+    assert(Snapshots.read(spark, dst).count() ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    val v1 = Snapshots.versions(spark, dst)
+    drain() // restart with no new data: nothing republishes
+    assert(Snapshots.versions(spark, dst) == v1,
+      "a no-new-data restart must not publish")
+    Snapshots.publish(spark, src,
+      orders.filter(col("o_orderkey") % 2 === 1), append = true)
+    drain()
+    assert(Snapshots.read(spark, dst).count() == orders.count(),
+      "the append must flow through exactly once")
+    // crash-replay: re-delivering an already-committed batch id is a no-op
+    val sink = new graft.sources.SnapshotStreamSink(dst, complete = false)
+    val lastId = Snapshots.lastBatchId(spark, dst).get
+    sink.addBatch(lastId, orders.limit(5))
+    assert(Snapshots.read(spark, dst).count() == orders.count(),
+      "a replayed batch id must be skipped, not re-published")
+  }
+
+  test("streaming sink: Complete mode publishes replacement versions; Update refuses") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sink-complete-src")
+    srcDir.toFile.deleteOnExit()
+    val dst = freshRoot("sinkcomplete")
+    val ck = Scratch.ephemeralCheckpoint("dsv2-sink-complete")
+    Seq(("a", 1L), ("b", 2L)).toDF("g", "x").write.mode("append").json(srcDir.toString)
+    val stream = spark.readStream.schema("g STRING, x BIGINT")
+      .json(srcDir.toString).groupBy("g").agg(sum("x").as("total"))
+    val q = stream.writeStream.format("graft-snapshot").option("root", dst)
+      .outputMode("complete").option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(Snapshots.read(spark, dst).as[(String, Long)].collect().toSet ==
+        Set(("a", 1L), ("b", 2L)))
+      Seq(("a", 10L)).toDF("g", "x").write.mode("append").json(srcDir.toString)
+      q.processAllAvailable()
+      // each batch REPLACES: the head is the full current aggregate
+      assert(Snapshots.read(spark, dst).as[(String, Long)].collect().toSet ==
+        Set(("a", 11L), ("b", 2L)))
+      // and the previous aggregate state stays time-travelable
+      val vs = Snapshots.versions(spark, dst)
+      assert(vs.size >= 2)
+      assert(Snapshots.read(spark, dst, Some(vs.head)).as[(String, Long)]
+        .collect().toSet == Set(("a", 1L), ("b", 2L)))
+    } finally q.stop()
+    val e = intercept[Exception] {
+      spark.readStream.schema("g STRING, x BIGINT").json(srcDir.toString)
+        .groupBy("g").agg(sum("x").as("total"))
+        .writeStream.format("graft-snapshot").option("root", freshRoot("sinkupd"))
+        .outputMode("update")
+        .option("checkpointLocation", Scratch.ephemeralCheckpoint("dsv2-sink-upd"))
+        .start()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("Append and Complete"))),
+      s"Update mode must refuse with guidance: $e")
+  }
+
   test("micro-batch planning is O(new data): planned paths == appended-file set") {
     val root = freshRoot("planident")
     // three appends, each landing its own files
