@@ -343,6 +343,34 @@ object Snapshots {
       dvLinesOf(spark, root, toVersion) ++ statsLinesOf(spark, root, toVersion))
   }
 
+  /** Commit a copy-on-write file swap produced OUTSIDE the driver write
+    * path (the DSv2 row-level operation write: executors already wrote
+    * `added` under `root`): next version = head's files minus `removed`
+    * plus `added`, untouched stats lines carried, fresh footer stats
+    * collected for the additions. `expectedVersion` pins the head the
+    * caller planned against — a concurrent publish fails the commit
+    * loudly instead of silently dropping its files (single-writer
+    * contract, enforced where it would corrupt).
+    */
+  private[graft] def commitRewrite(spark: SparkSession, root: String,
+      expectedVersion: Int, removed: Set[String], added: Seq[String]): Int = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = vs.last
+    require(v == expectedVersion,
+      s"row-level operation planned against v$expectedVersion of $root but the " +
+        s"head is now v$v — a concurrent publish raced the rewrite; retry " +
+        "(snapshots are single-writer per table)")
+    requireMaterialized(spark, root, v, "row-level operation")
+    val rel = files(spark, root, v)
+    val known = rel.toSet
+    require(removed.forall(known),
+      s"rewrite removes files v$v does not list: ${removed.filterNot(known).take(3).mkString(", ")}")
+    val keptStats = statsLinesOf(spark, root, v).filterNot(l => removed(statsLineFile(l)))
+    commit(fs(spark, root), root, v + 1, rel.filterNot(removed) ++ added,
+      schemaOf(spark, root, v), keptStats ++ SnapshotStats.collect(spark, root, added))
+  }
+
   /** Metadata-only schema change (SQL `ALTER TABLE ADD/DROP COLUMNS`):
     * the next version re-lists the head's files under `newSchema`. Legal
     * exactly when no existing file needs rewriting — every column the

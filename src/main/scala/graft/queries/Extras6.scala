@@ -501,6 +501,64 @@ object Extras6 {
           max(col("o_orderkey")).cast("long").as("max_key"))
         .withColumn("exactly_once", lit(exactlyOnce))
         .withColumn("versioned", lit(versioned))
+    },
+
+    // SQL MERGE INTO on a snapshot table: the full three-clause MERGE
+    // (matched-and-condition DELETE, matched UPDATE, not-matched INSERT)
+    // through Spark's group-based row-level operation — the op's scan
+    // reads affected files whole (runtime group filtering prunes to
+    // files that may hold a matching key), executors land the
+    // replacement rows, and commit publishes head − scanned + written
+    // as ONE new version. The oracle replays the MERGE relationally
+    // (updates applied, deleted keys gone, inserts present) and
+    // `history_intact` pins that the merge is a single versioned
+    // publish over the time-travelable v1 — SQL upsert with lakehouse
+    // semantics, the canonical 100 TB warehouse mutation.
+    QueryDef.checked(
+      "q159_sql_merge",
+      """WITH t1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'UPDATED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 4
+        |  UNION ALL
+        |  SELECT o_orderkey, 'NEW' FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 10 = 1
+        |)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(1 AS BOOLEAN) AS history_intact
+        |FROM t1 GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q159_sql_merge", "sql_merge_wh", dir)
+      s.conf.set("spark.sql.catalog.q159cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.q159cat.warehouse", wh)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Snapshots.publish(s, s"$wh/t", orders.filter(col("o_orderkey") % 2 === 0))
+      orders.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderpriority", lit("UPDATED")).withColumn("del", lit(false))
+        .unionByName(orders
+          .filter(col("o_orderkey") % 10 === 4 && col("o_orderkey") % 2 === 0)
+          .withColumn("del", lit(true)))
+        .unionByName(orders
+          .filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 10 === 1)
+          .select(col("o_orderkey"), lit("NEW").as("o_orderpriority"))
+          .withColumn("del", lit(false)))
+        .createOrReplaceTempView("q159_src")
+      s.sql("""MERGE INTO q159cat.t t USING q159_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.del THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.o_orderpriority = s.o_orderpriority
+        |WHEN NOT MATCHED AND NOT s.del THEN
+        |  INSERT (o_orderkey, o_orderpriority) VALUES (s.o_orderkey, s.o_orderpriority)
+        |""".stripMargin)
+      val history = Snapshots.versions(s, s"$wh/t") == Seq(1, 2)
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM q159cat.t GROUP BY o_orderpriority""".stripMargin)
+        .withColumn("history_intact", lit(history))
     }
   )
 }

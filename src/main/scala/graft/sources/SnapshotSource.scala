@@ -157,8 +157,29 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String,
     bound: Map[String, String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-snapshot($root)"
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-translatable `DELETE` via group-
+    * based (copy-on-write) row-level operations: the operation's scan
+    * reads the affected files WHOLE (runtime group filtering prunes to
+    * files that may hold a matching row — the q150 machinery fed by the
+    * command's own condition), Spark computes the replacement rows, the
+    * write lands them as new files through the shared parquet machinery,
+    * and commit publishes `head − scanned + written` as the next version
+    * — history time-travelable, CDF-diffable, exactly like the table-API
+    * [[Snapshots.updateWhere]]/[[Snapshots.mergeByKey]] paths. Fully-
+    * translatable DELETEs never get here (Spark's metadata-delete
+    * optimization routes them to [[deleteWhere]] first).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!bound.contains("version"),
+      "cannot run DML against a version-pinned (time travel) table")
+    () => new SnapshotRowLevelOperation(tableSchema, root, bound, info.command())
+  }
 
   /** SQL `DELETE FROM` lands as [[Snapshots.deleteWhere]] — a
     * copy-on-write publish: stats prune the candidate files through the
@@ -260,8 +281,90 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String,
   }
 }
 
+/** Group-based copy-on-write row-level operation (SQL UPDATE / MERGE
+  * INTO / rewrite-path DELETE). The ONE scan built through
+  * [[newScanBuilder]] is the main ReplaceData read — its post-runtime-
+  * filter planned file set IS the replaced-group set the commit swaps
+  * out. (The group-filter subquery Spark may inject scans the PLAIN
+  * table, so it never registers here.)
+  */
+private[sources] class SnapshotRowLevelOperation(tableSchema: StructType,
+    root: String, bound: Map[String, String],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  @volatile private[sources] var scans: List[SnapshotScan] = Nil
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-snapshot CoW $cmd root=$root"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options)
+    merged.put("root", root)
+    bound.foreach { case (k, v) => merged.put(k, v) }
+    new SnapshotScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged),
+      onBuild = s => scans = s :: scans, rowLevel = true)
+  }
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new SnapshotReplaceDataWrite(root, info.schema(), SnapshotRowLevelOperation.this)
+    }
+}
+
+/** The ReplaceData write: executors land replacement rows as parquet
+  * files under `root/data/<uuid>/` ([[ParquetWriteBridge]] — the same
+  * writer machinery as `df.write.parquet`, snappy + TIMESTAMP_MICROS),
+  * and commit publishes the file swap as the next manifest version. A
+  * failed job leaves only unreferenced files (vacuumable crash debris);
+  * a concurrent publish fails the commit loudly via the expected-version
+  * check.
+  */
+private[sources] class SnapshotReplaceDataWrite(root: String,
+    writeSchema: StructType, op: SnapshotRowLevelOperation)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.graftbridge.ParquetWriteBridge
+
+  private val dataDir = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+
+  override def description(): String = s"graft-snapshot CoW rewrite root=$root"
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    ParquetWriteBridge.writerFactory(SparkSession.active, writeSchema, s"$root/$dataDir")
+
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val added = messages.collect {
+      case ParquetWriteBridge.WrittenFile(n, _) if n != null => s"$dataDir/$n"
+    }.toSeq.sorted
+    val (version, removed) = op.scans match {
+      case s :: Nil => s.lastPlanned.getOrElse(throw new IllegalStateException(
+        "row-level write committed before its scan planned any files — " +
+          "cannot determine the replaced-group set"))
+      case other => throw new IllegalStateException(
+        s"expected exactly one row-level scan for $root, saw ${other.size} — " +
+          "refusing to guess the replaced-group set")
+    }
+    Snapshots.commitRewrite(spark, root, version, removed.toSet, added)
+  }
+
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/$dataDir"), true)
+  }
+}
+
 private[graft] class SnapshotScanBuilder(tableSchema: StructType,
-    options: CaseInsensitiveStringMap) extends ScanBuilder
+    options: CaseInsensitiveStringMap,
+    onBuild: SnapshotScan => Unit = _ => (),
+    rowLevel: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   require(options.get("version") == null || options.get("timestampAsOf") == null,
@@ -280,16 +383,24 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
     * would under-deliver) or any file lacks a row count.
     */
   override def pushLimit(n: Int): Boolean =
-    if (pushed.isEmpty && n >= 0) { limitN = Some(n); true } else false
+    if (!rowLevel && pushed.isEmpty && n >= 0) { limitN = Some(n); true } else false
   override def isPartiallyPushed(): Boolean = true
 
   /** Accept every filter for ADVISORY use (stats + parquet row-group
     * skipping) but return all of them as residual — Spark re-applies
     * them above the scan, so a missing stats line can never change
     * results. The exchange is the standard conservative contract.
+    *
+    * A ROW-LEVEL-operation scan accepts nothing: its replaced-group set
+    * is whole files, so the scan must return every row of every planned
+    * file — compile-time pruning here would be on the KEEP predicate
+    * (dropping all-rewritten files from the replacement set), and even
+    * advisory parquet row-group skipping changes which rows the rewrite
+    * copies forward. Group selection comes from runtime group filtering
+    * instead (the MATCH predicate, conservative by construction).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters
+    if (!rowLevel) pushed = filters
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -340,7 +451,7 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
     * aggregation, or None when any piece is unprovable from metadata.
     */
   private def translateAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    if (rowLevel || pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     // a change-feed frame's logical rows are DIFF rows, not table rows —
     // base-table stats would misanswer; refuse so the batch guard fires
     if (options.getBoolean("readChangeFeed", false)) return None
@@ -390,8 +501,10 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
     case Some((schema, values)) =>
       new StatsAggScan(schema, values, options.get("root"))
     case None =>
-      new SnapshotScan(tableSchema, required, pushed.toSeq, options,
-        limitN.filter(_ => pushed.isEmpty))
+      val s = new SnapshotScan(tableSchema, required, pushed.toSeq, options,
+        limitN.filter(_ => pushed.isEmpty), rowLevel)
+      onBuild(s)
+      s
   }
 }
 
@@ -579,7 +692,8 @@ private[graft] object SnapshotScan {
 
 private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     filters: Seq[Filter], options: CaseInsensitiveStringMap,
-    limit: Option[Int] = None) extends Scan with SupportsRuntimeV2Filtering
+    limit: Option[Int] = None, rowLevel: Boolean = false)
+    extends Scan with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
   private val root = options.get("root")
 
@@ -595,11 +709,34 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * exposed for specs/queries to evidence the pruning.
     */
   @volatile private[graft] var plannedFileCount: Int = -1
+  /** (version, kept relative files) of the LAST toBatch — the row-level
+    * operation write reads this at commit to learn exactly which files
+    * its rewrite replaces (post-runtime-filter, the group granularity).
+    */
+  @volatile private[graft] var lastPlanned: Option[(Int, Seq[String])] = None
 
   // the engine resolves these against the scan's OUTPUT, so only the
-  // projected columns qualify (the table may be wider)
+  // projected columns qualify (the table may be wider). A ROW-LEVEL
+  // operation scan reports exactly ONE attribute: Spark's group filter
+  // builds a single IN over the struct of ALL reported attributes, and
+  // a multi-column struct-IN is untranslatable to a source filter (the
+  // filter silently no-ops into a full rewrite). One attribute is
+  // conservative-correct regardless of the command's condition — a file
+  // holding a matching row always has that row's attribute value
+  // admitted by its stats — so pick the first column that carries
+  // manifest stats (pruning power tracks the table's clustering).
   override def filterAttributes(): Array[NamedReference] =
-    required.fieldNames.map(Expressions.column)
+    if (!rowLevel) required.fieldNames.map(Expressions.column)
+    else {
+      val statsCol = try {
+        val spark = SparkSession.active
+        val vs = Snapshots.versions(spark, root)
+        val v = version.getOrElse(vs.last)
+        val stats = Snapshots.statsOf(spark, root, v)
+        required.fieldNames.find(c => stats.valuesIterator.exists(_.contains(c)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+      statsCol.toArray.map(Expressions.column)
+    }
 
   override def filter(predicates: Array[Predicate]): Unit =
     runtimeFilters = predicates.flatMap(SnapshotScan.v2ToV1).toSeq
@@ -659,6 +796,7 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
       case _ => bloomKept
     }
     plannedFileCount = kept.size
+    lastPlanned = Some((v, kept))
     // manifest-recorded byte lengths ride along so partition packing
     // never stats the planned files (legacy unsized files fall back)
     val sized = Snapshots.byteCountsOf(spark, root, v)

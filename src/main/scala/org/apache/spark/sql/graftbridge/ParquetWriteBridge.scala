@@ -1,0 +1,106 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
+import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetUtils}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Executor-side parquet writing for DSv2 `BatchWrite`s (the row-level
+  * operation write path, where Spark's V1 write fallback does not
+  * exist). Bridges to the SAME `ParquetUtils.prepareWrite` /
+  * `ParquetOutputWriter` machinery every `df.write.parquet` uses — no
+  * bespoke parquet encoding — configured exactly like the snapshot
+  * layer's driver-side writes (snappy, TIMESTAMP_MICROS so every
+  * timestamp column keeps footer statistics for the stats pruner).
+  *
+  * Files land under the caller-chosen immutable directory with
+  * task-unique names; nothing is visible to readers until the caller's
+  * commit publishes a manifest referencing them (crash debris is
+  * unreferenced and vacuumable — the snapshot layer's standing model).
+  */
+object ParquetWriteBridge {
+
+  /** One written file: `name` is the file name within the target dir. */
+  case class WrittenFile(name: String, rows: Long) extends WriterCommitMessage
+
+  /** A serializable factory writing rows of `schema` into `dirUri`. */
+  def writerFactory(spark: SparkSession, schema: StructType,
+      dirUri: String): DataWriterFactory = {
+    val sqlConf = spark.sessionState.conf.clone()
+    sqlConf.setConfString("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = ParquetUtils.prepareWrite(sqlConf, job, schema,
+      new ParquetOptions(CaseInsensitiveMap(Map("compression" -> "snappy")), sqlConf))
+    new GraftParquetWriterFactory(owf,
+      new SerializableConfiguration(job.getConfiguration), schema, dirUri)
+  }
+}
+
+private[graftbridge] class GraftParquetWriterFactory(
+    owf: OutputWriterFactory,
+    conf: SerializableConfiguration,
+    schema: StructType,
+    dirUri: String) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var fileName: String = _
+      private var rows = 0L
+      // ReplaceData rows arrive with the rewrite's `__row_operation`
+      // marker PREPENDED, and Spark's row projection only strips it for
+      // sources declaring metadata attributes (the writingTask None
+      // branch hands raw rows through) — so strip it here with a
+      // zero-copy ordinal view. Any other arity mismatch fails loudly.
+      private var adapter: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+
+      // lazily opened on the first row: an empty task leaves no file
+      private def open(): Unit = if (writer == null) {
+        val ctx = new TaskAttemptContextImpl(conf.value,
+          new TaskAttemptID(new TaskID("graft-rlo", partitionId, TaskType.MAP,
+            partitionId), taskId.toInt & Int.MaxValue))
+        fileName = f"part-$partitionId%05d-$taskId" +
+          s"-${java.util.UUID.randomUUID().toString.take(8)}${owf.getFileExtension(ctx)}"
+        writer = owf.newInstance(s"$dirUri/$fileName", schema, ctx)
+      }
+
+      override def write(record: InternalRow): Unit = {
+        open()
+        if (record.numFields == schema.length) writer.write(record)
+        else {
+          if (adapter == null) {
+            require(record.numFields == schema.length + 1,
+              s"row arity ${record.numFields} matches neither the write schema " +
+                s"(${schema.length}) nor schema+operation (${schema.length + 1})")
+            adapter = org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
+              (1 to schema.length).toIndexedSeq)
+          }
+          adapter.project(record)
+          writer.write(adapter)
+        }
+        rows += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (writer != null) writer.close()
+        ParquetWriteBridge.WrittenFile(if (writer == null) null else fileName, rows)
+      }
+
+      override def abort(): Unit = {
+        if (writer != null) {
+          writer.close()
+          new Path(s"$dirUri/$fileName")
+            .getFileSystem(conf.value).delete(new Path(s"$dirUri/$fileName"), false)
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}

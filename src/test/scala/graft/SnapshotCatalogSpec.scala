@@ -107,17 +107,14 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     val after = Snapshots.files(spark, s"$warehouse/d2", 2).toSet
     assert((before -- after).size <= 2 && (before intersect after).size >= 6,
       s"narrow delete must rewrite only the matching band: kept ${(before intersect after).size} of ${before.size}")
-    // a predicate with no exact source-filter form must refuse loudly,
-    // never delete a subset silently
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM snapcat.d2 WHERE length(o_orderpriority) > 3")
-    }
-    assert(Option(e.getMessage).exists(m =>
-      m.toLowerCase.contains("delete") || m.toLowerCase.contains("filter")),
-      s"unsupported DELETE predicate must surface: ${e.getMessage}")
-    assert(spark.sql("SELECT count(*) FROM snapcat.d2").head.getLong(0) ==
-      orders.filter(col("o_orderkey") > lit(lo + 5)).count(),
-      "the refused DELETE must not have mutated anything")
+    // a predicate with no exact source-filter form falls through the
+    // metadata path to the group-based rewrite (SnapshotDmlSpec pins the
+    // mechanics) — never a silent partial delete, never a refusal
+    spark.sql("DELETE FROM snapcat.d2 WHERE length(o_orderpriority) = 5")
+    val expect = orders.filter(col("o_orderkey") > lit(lo + 5) &&
+      length(col("o_orderpriority")) =!= 5).count()
+    assert(spark.sql("SELECT count(*) FROM snapcat.d2").head.getLong(0) == expect,
+      "the rewrite-path DELETE must apply the untranslatable predicate exactly")
   }
 
   test("SQL TRUNCATE TABLE publishes an empty version; history intact") {
