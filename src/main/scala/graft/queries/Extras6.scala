@@ -559,6 +559,50 @@ object Extras6 {
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM q159cat.t GROUP BY o_orderpriority""".stripMargin)
         .withColumn("history_intact", lit(history))
+    },
+
+    // Metadata columns through the DSv2 source: `SELECT _file, _version`
+    // serves each row's data file and the scan's resolved manifest
+    // version as per-file constant columns (the parquet factory's
+    // partition-values mechanism — no per-row cost, task packing
+    // intact). Evidence under the oracle: grouping by _file reproduces
+    // the manifest's exact `#rows=` counts (`counts_match`), a _file
+    // point filter physically plans ONE file (`point_pruned` — the
+    // lineage-debugging "read just this file" shape), and _version
+    // reports the head. At 100 TB this is row-level lineage for free.
+    QueryDef.checked(
+      "q160_metadata_columns",
+      """SELECT CAST(6 AS BIGINT) AS n_files,
+        |  (SELECT count(*) FROM orders) AS n_rows,
+        |  CAST(2 AS INT) AS version_head,
+        |  CAST(1 AS BOOLEAN) AS counts_match,
+        |  CAST(1 AS BOOLEAN) AS point_pruned""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q160_metadata_columns", "dsv2_meta", dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Snapshots.publish(s, root,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(4))
+      Snapshots.publish(s, root,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(2), append = true)
+      val src = s.read.format("graft-snapshot").option("root", root).load()
+      val perFile = src.groupBy("_file").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val manifest = Snapshots.rowCountsOf(s, root, 2)
+        .map { case (r, n) => s"$root/$r" -> n }
+      val one = manifest.keys.min
+      val narrow = src.filter(col("_file") === one)
+      val planned = narrow.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputPartitions.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.length
+        }.sum
+      }.sum
+      src.agg(
+        countDistinct(col("_file")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        max(col("_version")).as("version_head"))
+        .withColumn("counts_match", lit(perFile == manifest))
+        .withColumn("point_pruned",
+          lit(planned == 1 && narrow.count() == manifest(one)))
     }
   )
 }

@@ -158,8 +158,22 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-snapshot($root)"
+
+  /** `SELECT _file, _version FROM t` — per-row data-file path and the
+    * scan's resolved manifest version, served as per-file constant
+    * columns (same-named DATA columns shadow them). `_file` is also the
+    * row-level operations' group-filter key. BATCH-ONLY: the streaming
+    * planner resolves metadata columns without a pruneColumns
+    * round-trip, so a stream projecting them fails at execution rather
+    * than mis-binding — a stream's file attribution lives in its
+    * offsets (manifest versions).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    SnapshotScan.metaColumns(tableSchema)
 
   /** SQL `UPDATE` / `MERGE INTO` / non-translatable `DELETE` via group-
     * based (copy-on-write) row-level operations: the operation's scan
@@ -297,6 +311,16 @@ private[sources] class SnapshotRowLevelOperation(tableSchema: StructType,
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def description(): String = s"graft-snapshot CoW $cmd root=$root"
+
+  /** `_file` rides through the rewrite plan so runtime group filtering
+    * keys on the group identity itself: the matching-rows subquery
+    * yields FILE PATHS (IN-set bounded by file count at any scale) and
+    * the scan prunes by exact membership. Absent when a data column
+    * shadows `_file` (the stats-column fallback then applies).
+    */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (tableSchema.fieldNames.contains(SnapshotScan.FileCol)) Array.empty
+    else Array(Expressions.column(SnapshotScan.FileCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options)
@@ -540,6 +564,32 @@ private[sources] class StatsRowReaderFactory extends PartitionReaderFactory {
 }
 
 private[graft] object SnapshotScan {
+
+  /** Constant metadata columns every snapshot scan can serve: the data
+    * file each row came from and the manifest version the scan resolved
+    * (`SELECT _file, _version FROM t` — lineage/debugging, and the
+    * row-level operations' file-granular group filtering). Served via
+    * the parquet factory's partition-values mechanism: per-file constant
+    * column vectors, multi-file task packing intact.
+    */
+  val FileCol = "_file"
+  val VersionCol = "_version"
+  val MetaNames: Seq[String] = Seq(FileCol, VersionCol)
+
+  def metaColumns(tableSchema: StructType)
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    MetaNames.filterNot(tableSchema.fieldNames.contains).map { n =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): DataType =
+          if (n == FileCol) StringType else IntegerType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          if (n == FileCol) "absolute path of the data file holding the row"
+          else "manifest version the scan resolved"
+      }
+    }.toArray
+
   /** The change-feed row shape: change kind, key columns, non-key
     * columns (the [[Snapshots.changes]] order), and the committing
     * version.
@@ -697,6 +747,22 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     with SupportsReportStatistics {
   private val root = options.get("root")
 
+  // metadata columns requested by this scan (shadowed by same-named DATA
+  // columns: then they are ordinary columns and none of this applies).
+  // Spark appends metadata attrs after data attrs and pruning preserves
+  // order, so `required` must be (data..., meta...) — asserted, because
+  // the reader emits readDataSchema ++ partitionSchema in exactly that
+  // order and a silent permutation would misbind columns.
+  private val metaEligible =
+    SnapshotScan.MetaNames.filterNot(tableSchema.fieldNames.contains)
+  private[graft] val metaFields: Seq[StructField] =
+    required.fields.filter(f => metaEligible.contains(f.name)).toSeq
+  private val dataRequired: StructType =
+    StructType(required.fields.filterNot(f => metaEligible.contains(f.name)))
+  require(required.fieldNames.toSeq ==
+    dataRequired.fieldNames.toSeq ++ metaFields.map(_.name),
+    s"metadata columns must trail the projection: ${required.fieldNames.mkString(",")}")
+
   /** Runtime (dynamic) file pruning: a broadcast join over this scan
     * hands the build side's join-key values back as IN predicates at
     * EXECUTION time (Spark's DPP machinery), and the re-planned scan
@@ -720,13 +786,18 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
   // operation scan reports exactly ONE attribute: Spark's group filter
   // builds a single IN over the struct of ALL reported attributes, and
   // a multi-column struct-IN is untranslatable to a source filter (the
-  // filter silently no-ops into a full rewrite). One attribute is
-  // conservative-correct regardless of the command's condition — a file
-  // holding a matching row always has that row's attribute value
-  // admitted by its stats — so pick the first column that carries
-  // manifest stats (pruning power tracks the table's clustering).
+  // filter silently no-ops into a full rewrite). The attribute of
+  // choice is `_file` — the group identity itself: the IN-set is then
+  // FILE PATHS of matching rows (bounded by the file count at any
+  // scale, where a value-keyed IN-set grows with matched rows) and
+  // pruning is exact membership, not a stats estimate. When `_file` is
+  // shadowed by a data column, fall back to the first stats-covered
+  // column (conservative-correct: a file holding a matching row always
+  // has that row's value admitted by its stats).
   override def filterAttributes(): Array[NamedReference] =
     if (!rowLevel) required.fieldNames.map(Expressions.column)
+    else if (metaEligible.contains(SnapshotScan.FileCol))
+      Array(Expressions.column(SnapshotScan.FileCol))
     else {
       val statsCol = try {
         val spark = SparkSession.active
@@ -768,7 +839,22 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     val rel = Snapshots.files(spark, root, v)
     // compile-time filters plus whatever the runtime handed back (DPP)
     val effective = filters ++ runtimeFilters
-    val statsKept = SnapshotScan.prune(Snapshots.statsOf(spark, root, v), rel, effective)
+    // `_file` predicates (a user's lineage filter, or the row-level
+    // operations' file-granular runtime group filter) are exact path
+    // membership — the strongest prune, applied first. Only when the
+    // metadata column is live (not shadowed by a data column).
+    val fileKept =
+      if (!metaEligible.contains(SnapshotScan.FileCol)) rel
+      else effective.foldLeft(rel) {
+        case (fls, In(SnapshotScan.FileCol, vs)) if vs != null =>
+          val set = vs.filter(_ != null).map(_.toString).toSet
+          fls.filter(r => set(s"$root/$r"))
+        case (fls, EqualTo(SnapshotScan.FileCol, v0)) if v0 != null =>
+          fls.filter(r => v0.toString == s"$root/$r")
+        case (fls, _) => fls
+      }
+    val statsKept =
+      SnapshotScan.prune(Snapshots.statsOf(spark, root, v), fileKept, effective)
     // point-lookup conjuncts additionally probe the survivors' parquet
     // bloom filters (written at publish via `bloomOn`) — on an
     // unclustered high-cardinality key the min/max stats prune nothing
@@ -800,8 +886,18 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     // manifest-recorded byte lengths ride along so partition packing
     // never stats the planned files (legacy unsized files fall back)
     val sized = Snapshots.byteCountsOf(spark, root, v)
-    new SnapshotBatch(spark, root, tableSchema, required, filters,
-      kept.map(r => (s"$root/$r", sized.get(r))), rel.size - kept.size)
+    // requested metadata columns become per-file constant rows, appended
+    // by the parquet factory's partition-values mechanism
+    def metaOf(r: String): InternalRow =
+      if (metaFields.isEmpty) InternalRow.empty
+      else new GenericInternalRow(metaFields.map { f =>
+        if (f.name == SnapshotScan.FileCol)
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$root/$r"): Any
+        else v: Any
+      }.toArray)
+    new SnapshotBatch(spark, root, tableSchema, dataRequired,
+      StructType(metaFields), filters,
+      kept.map(r => (s"$root/$r", sized.get(r), metaOf(r))), rel.size - kept.size)
   }
 
   /** Manifest-derived statistics, AFTER stats pruning: exact row counts
@@ -835,7 +931,9 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val rawBytes = kept.map(r => known.getOrElse(r,
         fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/$r")).getLen)).sum
-      val ratio = math.max(1, required.size).toDouble / math.max(1, tableSchema.size)
+      // projection ratio over DATA columns only (metadata columns are
+      // free per-file constants, not scan bytes)
+      val ratio = math.max(1, dataRequired.size).toDouble / math.max(1, tableSchema.size)
       (java.util.OptionalLong.of(math.max(1L, (rawBytes * ratio).toLong)), numRows)
     } catch {
       case scala.util.control.NonFatal(_) =>
@@ -847,7 +945,10 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     override def numRows(): java.util.OptionalLong = estimated._2
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(metaFields.isEmpty,
+      s"metadata columns (${metaFields.map(_.name).mkString(", ")}) are batch-only — " +
+        "a stream's file attribution lives in its offsets (manifest versions)")
     if (options.getBoolean("readChangeFeed", false)) {
       // tableSchema must BE the cdf schema (the format() path builds it in
       // inferSchema); a base-schema table (e.g. catalog-loaded) streamed
@@ -865,15 +966,17 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     else
       new SnapshotMicroBatchStream(SparkSession.active, root, tableSchema, required,
         filters, options)
+  }
 }
 
 private[sources] class SnapshotBatch(spark: SparkSession, root: String,
-    tableSchema: StructType, required: StructType, filters: Seq[Filter],
-    files: Seq[(String, Option[Long])], prunedFiles: Int) extends Batch {
+    tableSchema: StructType, readSchema: StructType, metaSchema: StructType,
+    filters: Seq[Filter],
+    files: Seq[(String, Option[Long], InternalRow)], prunedFiles: Int) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    ParquetReadBridge.filePartitionsSized(spark, files)
+    ParquetReadBridge.filePartitionsMeta(spark, files)
   override def createReaderFactory(): PartitionReaderFactory =
-    ParquetReadBridge.readerFactory(spark, tableSchema, required, filters)
+    ParquetReadBridge.readerFactory(spark, tableSchema, readSchema, filters, metaSchema)
 
   /** Exposed for the spec: the absolute files this batch plans over. */
   private[graft] def plannedPaths: Seq[String] = files.map(_._1)

@@ -31,7 +31,8 @@ object ParquetReadBridge {
     * advisory skipping; rows still re-filter above the scan.
     */
   def readerFactory(spark: SparkSession, dataSchema: StructType,
-      readSchema: StructType, filters: Seq[Filter] = Nil): PartitionReaderFactory = {
+      readSchema: StructType, filters: Seq[Filter] = Nil,
+      partitionSchema: StructType = new StructType()): PartitionReaderFactory = {
     val conf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConf()
     // the conf hand-off ParquetScan.createReaderFactory performs before
@@ -59,7 +60,7 @@ object ParquetReadBridge {
     ParquetPartitionReaderFactory(
       conf, bc,
       dataSchema = dataSchema, readDataSchema = readSchema,
-      partitionSchema = new StructType(),
+      partitionSchema = partitionSchema,
       filters = filters.toArray, aggregation = None,
       options = new ParquetOptions(Map.empty[String, String], conf))
   }
@@ -82,20 +83,31 @@ object ParquetReadBridge {
     * nothing reads it.
     */
   def filePartitionsSized(spark: SparkSession,
-      files: Seq[(String, Option[Long])]): Array[InputPartition] = {
+      files: Seq[(String, Option[Long])]): Array[InputPartition] =
+    filePartitionsMeta(spark, files.map { case (p, s) => (p, s, InternalRow.empty) })
+
+  /** [[filePartitionsSized]] with per-file constant "partition" values —
+    * the vehicle for CONSTANT METADATA COLUMNS (`_file`, `_version`):
+    * the parquet factory appends each file's values to its rows exactly
+    * like hive-partition columns (constant column vectors, multi-file
+    * packing intact). The caller's `partitionSchema` on
+    * [[readerFactory]] names them.
+    */
+  def filePartitionsMeta(spark: SparkSession,
+      files: Seq[(String, Option[Long], InternalRow)]): Array[InputPartition] = {
     if (files.isEmpty) return Array.empty
     lazy val hconf = spark.sessionState.newHadoopConf()
-    val pfs = files.map { case (p, size) =>
+    val pfs = files.map { case (p, size, meta) =>
       val hp = new Path(p)
       size match {
         case Some(len) =>
           // makeQualified is client-side string work, not an RPC
           val qp = hp.getFileSystem(hconf).makeQualified(hp)
-          PartitionedFile(InternalRow.empty, SparkPath.fromPath(qp), 0L,
+          PartitionedFile(meta, SparkPath.fromPath(qp), 0L,
             len, Array.empty, 0L, len, Map.empty)
         case None =>
           val st = hp.getFileSystem(hconf).getFileStatus(hp)
-          PartitionedFile(InternalRow.empty, SparkPath.fromPath(st.getPath), 0L,
+          PartitionedFile(meta, SparkPath.fromPath(st.getPath), 0L,
             st.getLen, Array.empty, st.getModificationTime, st.getLen, Map.empty)
       }
     }

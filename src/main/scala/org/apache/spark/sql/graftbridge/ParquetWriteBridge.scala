@@ -71,6 +71,13 @@ private[graftbridge] class GraftParquetWriterFactory(
         writer = owf.newInstance(s"$dirUri/$fileName", schema, ctx)
       }
 
+      // group-based rewrites hand copied rows as (metadata, data) pairs
+      // when the operation declares metadata attributes — the data row
+      // is already projection-clean, the metadata (file lineage) is not
+      // part of the written bytes
+      override def write(metadata: InternalRow, record: InternalRow): Unit =
+        write(record)
+
       override def write(record: InternalRow): Unit = {
         open()
         if (record.numFields == schema.length) writer.write(record)

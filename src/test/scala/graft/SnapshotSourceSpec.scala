@@ -673,6 +673,52 @@ class SnapshotSourceSpec extends AnyFunSuite {
       s"Update mode must refuse with guidance: $e")
   }
 
+  test("metadata columns: _file/_version are per-row constants; _file filters prune exactly") {
+    val root = freshRoot("metacols")
+    Snapshots.publish(spark, root, orders.select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") % 2 === 0).repartition(3))
+    Snapshots.publish(spark, root, orders.select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") % 2 === 1).repartition(2), append = true)
+    val head = Snapshots.versions(spark, root).last
+    val files = Snapshots.files(spark, root, head).map(r => s"$root/$r").toSet
+    val df = readSource(root).select(col("o_orderkey"), col("_file"), col("_version"))
+    val got = df.collect()
+    assert(got.length == orders.count())
+    assert(got.map(_.getInt(2)).toSet == Set(head), "_version is the resolved head")
+    val seenFiles = got.map(_.getString(1)).toSet
+    assert(seenFiles == files, s"_file must cover exactly the planned files: $seenFiles")
+    // per-file row attribution is real: grouping by _file matches the
+    // manifest's per-file row counts
+    val perFile = readSource(root).groupBy("_file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val manifest = Snapshots.rowCountsOf(spark, root, head)
+      .map { case (r, n) => s"$root/$r" -> n }
+    assert(perFile == manifest, "group-by _file must equal manifest #rows= counts")
+    // a _file equality filter plans exactly that one file
+    val one = files.head
+    val narrow = readSource(root).filter(col("_file") === one)
+    assert(plannedFiles(narrow).size == 1, "a _file point filter plans one file")
+    assert(narrow.count() == manifest(one))
+    // metadata-only projection works (no data columns decoded)
+    assert(readSource(root).select("_file").distinct().count() == files.size)
+    // a version-pinned read reports ITS version
+    val v1 = spark.read.format("graft-snapshot").option("root", root)
+      .option("version", 1).load().select("_version").distinct().collect()
+    assert(v1.map(_.getInt(0)).toSeq == Seq(1))
+    // batch-only: metadata columns never silently mis-serve in a stream
+    // (the streaming planner resolves them from the relation without a
+    // pruneColumns round-trip, so the query fails instead of binding
+    // wrong columns — documented limitation; offsets carry the file
+    // attribution for streams)
+    intercept[Exception] {
+      val q = spark.readStream.format("graft-snapshot").option("root", root).load()
+        .select("_file").writeStream.format("memory").queryName("meta_stream")
+        .option("checkpointLocation", Scratch.ephemeralCheckpoint("dsv2-metastream"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
   test("micro-batch planning is O(new data): planned paths == appended-file set") {
     val root = freshRoot("planident")
     // three appends, each landing its own files
