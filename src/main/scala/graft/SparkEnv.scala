@@ -35,6 +35,12 @@ object SparkEnv {
     // inferring TIMESTAMP_NTZ, which unix_micros/window-range arithmetic
     // rejects
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // storage-partitioned planning for key-clustered snapshot tables: the
+    // DSv2 scan reports key-grouped partitioning and co-clustered
+    // joins/aggregations skip their shuffles; pushPartValues lets one
+    // side's missing partitions pad instead of falling back to a shuffle
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
+    .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     .config("spark.ui.enabled", "false")
 
   /** Local session sized for the harness (local[32], 32 shuffle partitions).

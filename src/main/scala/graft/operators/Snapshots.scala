@@ -63,6 +63,14 @@ object Snapshots {
   private val SCHEMA_HEADER = "#schema="
   private val DV_HEADER = "#dv="
   private val SEQ_HEADER = "#seq="
+  private val CLUSTER_HEADER = "#cluster="
+
+  /** Directory-split column name a clustered publish writes under (the
+    * values become `__cluster=<v>/` subdirectories of the publish dir;
+    * the DATA column itself stays in the files — see [[publish]]'s
+    * `clusterBy`).
+    */
+  private[graft] val ClusterDirCol = "__cluster"
 
   /** Default vacuum grace: files younger than this are never deleted,
     * so an in-flight publish (write files, then commit manifest) cannot
@@ -114,6 +122,20 @@ object Snapshots {
   private def statsLineFile(l: String): String =
     l.stripPrefix("#stats=").stripPrefix("#rows=").stripPrefix("#bytes=")
       .stripPrefix(SEQ_HEADER).takeWhile(_ != '\t')
+
+  /** The column a version's files are KEY-CLUSTERED under, if any: every
+    * listed data file holds exactly one value of this column (a clustered
+    * [[publish]] wrote one file set per value). This is the layout
+    * guarantee behind storage-partitioned planning — the DSv2 scan
+    * reports key-grouped partitioning over it, so joins and aggregations
+    * on the cluster column run with ZERO shuffle on this side. The
+    * header is per-VERSION: any publish that cannot guarantee the layout
+    * (a plain append, a compaction that re-mixes values) simply does not
+    * record it, and planning falls back to ordinary shuffles.
+    */
+  def clusterOf(spark: SparkSession, root: String, version: Int): Option[String] =
+    manifestLines(spark, root, version).find(_.startsWith(CLUSTER_HEADER))
+      .map(_.drop(CLUSTER_HEADER.length)).filter(_.nonEmpty)
 
   /** A version's raw `#dv=` header lines — outstanding merge-on-read
     * delete vectors (see [[deleteByKey]]); they travel across
@@ -247,12 +269,31 @@ object Snapshots {
     * exactly `df`'s schema) the whole table — prior versions stay
     * readable, under THEIR recorded schemas, until `expire` + `vacuum`.
     * Returns the new version number.
+    *
+    * `clusterBy = Some(col)` writes a KEY-CLUSTERED layout: rows shuffle
+    * once on the column and land one file set per distinct value
+    * (directory-split write), so every data file is single-valued for
+    * the column — recorded as a `#cluster=` manifest header. The DSv2
+    * scan then reports key-grouped partitioning and joins/aggregations
+    * on the column plan with no shuffle on this side (the
+    * storage-partitioned join). An append preserves the header only when
+    * the base version is clustered by the SAME column (anything else
+    * would break the per-file guarantee and is refused for an explicit
+    * clusterBy, or silently drops the header for a plain append).
+    * Sized for layouts where the cluster column is a bounded-cardinality
+    * routing key (day, region, tenant); a high-cardinality key belongs
+    * in `compact(zorderBy)` + stats pruning instead.
     */
   def publish(spark: SparkSession, root: String, df: DataFrame,
       append: Boolean = false, extraHeader: Seq[String] = Nil,
-      bloomOn: Seq[String] = Nil): Int = {
+      bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None): Int = {
     val f = fs(spark, root)
-    val (dataDir, newFiles) = writeData(f, root, df, bloomOn)
+    clusterBy.foreach { c =>
+      require(df.columns.contains(c), s"clusterBy column '$c' is not in the frame")
+      require(!df.columns.contains(ClusterDirCol),
+        s"frame already has a '$ClusterDirCol' column")
+    }
+    val (dataDir, newFiles) = writeData(f, root, df, bloomOn, clusterBy)
     val prev = versions(spark, root)
     val base: Seq[String] =
       if (append && prev.nonEmpty) files(spark, root, prev.last) else Seq.empty
@@ -267,8 +308,23 @@ object Snapshots {
       if (append && prev.nonEmpty)
         schemaOf(spark, root, prev.last).map(unionMerge(_, df.schema)).getOrElse(df.schema)
       else df.schema
+    // the cluster guarantee is per-version: a fresh clustered publish
+    // claims it; a clustered APPEND only if the base already holds it for
+    // the same column (else the combined file list would not be
+    // single-valued — refused loudly, the caller asked for a layout this
+    // publish cannot deliver)
+    val clusterHeader = clusterBy match {
+      case None => Nil
+      case Some(c) if !append || prev.isEmpty => Seq(s"$CLUSTER_HEADER$c")
+      case Some(c) =>
+        require(clusterOf(spark, root, prev.last).contains(c),
+          s"cannot append clusterBy=$c: base v${prev.last} is not clustered by '$c' — " +
+            "re-publish the whole table clustered (append=false), or append unclustered")
+        Seq(s"$CLUSTER_HEADER$c")
+    }
     commit(f, root, prev.lastOption.getOrElse(0) + 1, base ++ newFiles, Some(schema),
-      extraHeader ++ baseDvs ++ baseStats ++ SnapshotStats.collect(spark, root, newFiles))
+      clusterHeader ++ extraHeader ++ baseDvs ++ baseStats ++
+        SnapshotStats.collect(spark, root, newFiles))
   }
 
   private val BATCH_HEADER = "#batch="
@@ -308,26 +364,43 @@ object Snapshots {
     * [[read]] reconstruct an empty frame without any file to sample.
     */
   private def writeData(f: FileSystem, root: String, df: DataFrame,
-      bloomOn: Seq[String] = Nil): (String, Seq[String]) = {
+      bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None): (String, Seq[String]) = {
     val dataDir = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+    // clustered layout: one shuffle on the key routes every value to one
+    // task, and the directory-split write (partitionBy on a DUPLICATE of
+    // the column) emits one file per value — the data column itself stays
+    // in the files, so readers need no partition-dir reconstruction and
+    // footer stats prove min==max per file
+    val toWrite = clusterBy match {
+      case Some(c) => df.withColumn(ClusterDirCol, org.apache.spark.sql.functions.col(c))
+        .repartition(org.apache.spark.sql.functions.col(c))
+      case None => df
+    }
     // INT64-micros timestamps, NOT Spark's legacy INT96 default: INT96
     // columns carry no parquet footer statistics, which would blind
     // [[SnapshotStats]] file skipping on every timestamp column. Applied
     // via a cloned session so concurrent queries on the caller's session
     // never see the override (results written elsewhere must keep the
     // session default — the driver's compare is representation-sensitive).
-    org.apache.spark.sql.graftbridge.SessionBridge.withIsolatedConf(df,
+    org.apache.spark.sql.graftbridge.SessionBridge.withIsolatedConf(toWrite,
       Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")) { d =>
       // per-column parquet bloom filters for [[SnapshotBloom]] point skipping
-      bloomOn.foldLeft(d.write)((w, c) =>
+      val w = bloomOn.foldLeft(d.write)((w, c) =>
         w.option(s"parquet.bloom.filter.enabled#$c", "true"))
-        .parquet(s"$root/$dataDir")
+      if (clusterBy.isDefined) w.partitionBy(ClusterDirCol).parquet(s"$root/$dataDir")
+      else w.parquet(s"$root/$dataDir")
     }
-    val newFiles = f.listStatus(new Path(s"$root/$dataDir")).toSeq
-      .map(_.getPath.getName)
-      .filter(n => !n.startsWith("_") && !n.startsWith("."))
-      .sorted
-      .map(n => s"$dataDir/$n")
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    val dataPath = new Path(s"$root/$dataDir")
+    val newFiles = (clusterBy match {
+      case None => f.listStatus(dataPath).toSeq.filter(st => st.isFile)
+        .map(_.getPath.getName).filter(visible).map(n => s"$dataDir/$n")
+      case Some(_) => // one `__cluster=<v>/` subdirectory per distinct value
+        f.listStatus(dataPath).toSeq.filter(_.isDirectory)
+          .flatMap(d => f.listStatus(d.getPath).toSeq
+            .filter(st => st.isFile && visible(st.getPath.getName))
+            .map(st => s"$dataDir/${d.getPath.getName}/${st.getPath.getName}"))
+    }).sorted
     (dataDir, newFiles)
   }
 
@@ -340,7 +413,8 @@ object Snapshots {
     val next = versions(spark, root).lastOption.getOrElse(0) + 1
     commit(f, root, next, files(spark, root, toVersion),
       schemaOf(spark, root, toVersion),
-      dvLinesOf(spark, root, toVersion) ++ statsLinesOf(spark, root, toVersion))
+      clusterOf(spark, root, toVersion).map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        dvLinesOf(spark, root, toVersion) ++ statsLinesOf(spark, root, toVersion))
   }
 
   /** Commit a copy-on-write file swap produced OUTSIDE the driver write
@@ -397,7 +471,9 @@ object Snapshots {
           s"added column '${nf.name}' must be nullable: existing rows have no value")
     }
     commit(fs(spark, root), root, v + 1, files(spark, root, v), Some(newSchema),
-      dvLinesOf(spark, root, v) ++ statsLinesOf(spark, root, v))
+      clusterOf(spark, root, v).filter(newSchema.fieldNames.contains)
+        .map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        dvLinesOf(spark, root, v) ++ statsLinesOf(spark, root, v))
   }
 
   private def commit(f: FileSystem, root: String, v: Int, list: Seq[String],

@@ -10,8 +10,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Statistics, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
 import org.apache.spark.sql.sources._
@@ -486,23 +487,7 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
       .orElse(Option(options.get("timestampAsOf")).map(t =>
         Snapshots.versionAt(spark, root, SnapshotScan.parseAsOf(t))))
 
-    // decoded stats bound → does it carry the type the table declares?
-    // (guards against tag/type drift — a mismatch refuses the pushdown
-    // rather than producing a miscast row)
-    def checked(dt: DataType, v: Any): Option[Any] = (dt, v) match {
-      case (_, null) => Some(null)
-      case (LongType, x: Long) => Some(x)
-      case (IntegerType, x: Long) => Some(x.toInt)
-      case (ShortType, x: Long) => Some(x.toShort)
-      case (ByteType, x: Long) => Some(x.toByte)
-      case (DoubleType, x: Double) => Some(x)
-      case (FloatType, x: Double) => Some(x.toFloat)
-      case (StringType, x: String) => Some(CatalystTypeConverters.convertToCatalyst(x))
-      case (TimestampType, x: java.sql.Timestamp) =>
-        Some(CatalystTypeConverters.convertToCatalyst(x))
-      case (DateType, x: java.sql.Date) => Some(CatalystTypeConverters.convertToCatalyst(x))
-      case _ => None
-    }
+    def checked(dt: DataType, v: Any): Option[Any] = SnapshotScan.checkedCatalyst(dt, v)
     def bound(f: AggregateFunc, wantMin: Boolean): Option[(StructField, Any)] = for {
       c <- colOf(f.children()(0))
       field <- tableSchema.find(_.name == c)
@@ -609,6 +594,25 @@ private[graft] object SnapshotScan {
         "readChangeFeed requires option 'keyColumns' (comma-separated: the " +
           "row identity the diff classifies by)"))
     raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Decoded stats bound → the CATALYST value of the type the table
+    * declares, or None on tag/type drift (the caller then refuses the
+    * metadata answer rather than producing a miscast row).
+    */
+  def checkedCatalyst(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_, null) => Some(null)
+    case (LongType, x: Long) => Some(x)
+    case (IntegerType, x: Long) => Some(x.toInt)
+    case (ShortType, x: Long) => Some(x.toShort)
+    case (ByteType, x: Long) => Some(x.toByte)
+    case (DoubleType, x: Double) => Some(x)
+    case (FloatType, x: Double) => Some(x.toFloat)
+    case (StringType, x: String) => Some(CatalystTypeConverters.convertToCatalyst(x))
+    case (TimestampType, x: java.sql.Timestamp) =>
+      Some(CatalystTypeConverters.convertToCatalyst(x))
+    case (DateType, x: java.sql.Date) => Some(CatalystTypeConverters.convertToCatalyst(x))
+    case _ => None
   }
 
   /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd[ HH:mm:ss]` or
@@ -744,7 +748,7 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     filters: Seq[Filter], options: CaseInsensitiveStringMap,
     limit: Option[Int] = None, rowLevel: Boolean = false)
     extends Scan with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
   private val root = options.get("root")
 
   // metadata columns requested by this scan (shadowed by same-named DATA
@@ -823,29 +827,29 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
       limit.map(n => s" limit=$n").getOrElse("")
   }
 
-  override def toBatch: Batch = {
-    require(!options.getBoolean("readChangeFeed", false),
-      "readChangeFeed is a STREAMING option (readStream); for a batch diff " +
-        "call Snapshots.changes(root, from, to, keyCols) directly")
-    val spark = SparkSession.active
+  private def resolveVersion(spark: SparkSession): Int = {
     val vs = Snapshots.versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
-    val v = version.orElse(timestampAsOf.map(t =>
+    version.orElse(timestampAsOf.map(t =>
       Snapshots.versionAt(spark, root, SnapshotScan.parseAsOf(t)))).getOrElse(vs.last)
-    require(!Snapshots.hasDeleteVectors(spark, root, v),
-      s"v$v under $root carries outstanding merge-on-read delete vectors — a raw " +
-        "file scan would resurrect deleted rows; run materializeDeletes or compact " +
-        "first, or read through Snapshots.read (which anti-joins them)")
-    val rel = Snapshots.files(spark, root, v)
-    // compile-time filters plus whatever the runtime handed back (DPP)
-    val effective = filters ++ runtimeFilters
-    // `_file` predicates (a user's lineage filter, or the row-level
-    // operations' file-granular runtime group filter) are exact path
-    // membership — the strongest prune, applied first. Only when the
-    // metadata column is live (not shadowed by a data column).
+  }
+
+  /** `base` thinned by `preds`, in pruning-strength order: exact `_file`
+    * path membership (a user's lineage filter, or the row-level
+    * operations' file-granular runtime group filter — only when the
+    * metadata column is live), manifest footer stats, then parquet bloom
+    * probes for point-lookup conjuncts (written at publish via `bloomOn`;
+    * on an unclustered high-cardinality key the min/max stats prune
+    * nothing and the blooms do all the work — the q143 path). Pure
+    * filtering, so compile-time and runtime predicate sets compose by
+    * chaining.
+    */
+  private def pruneBy(spark: SparkSession, v: Int, base: Seq[String],
+      preds: Seq[Filter]): Seq[String] = {
+    if (preds.isEmpty) return base
     val fileKept =
-      if (!metaEligible.contains(SnapshotScan.FileCol)) rel
-      else effective.foldLeft(rel) {
+      if (!metaEligible.contains(SnapshotScan.FileCol)) base
+      else preds.foldLeft(base) {
         case (fls, In(SnapshotScan.FileCol, vs)) if vs != null =>
           val set = vs.filter(_ != null).map(_.toString).toSet
           fls.filter(r => set(s"$root/$r"))
@@ -854,14 +858,8 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
         case (fls, _) => fls
       }
     val statsKept =
-      SnapshotScan.prune(Snapshots.statsOf(spark, root, v), fileKept, effective)
-    // point-lookup conjuncts additionally probe the survivors' parquet
-    // bloom filters (written at publish via `bloomOn`) — on an
-    // unclustered high-cardinality key the min/max stats prune nothing
-    // and the blooms do all the work (the q143 path, reached from a
-    // plain .isin/=== filter). One footer read per survivor per probe
-    // column; files without a bloom are kept.
-    val bloomKept = effective.foldLeft(statsKept) {
+      SnapshotScan.prune(Snapshots.statsOf(spark, root, v), fileKept, preds)
+    preds.foldLeft(statsKept) {
       case (fls, EqualTo(c, v0)) if v0 != null && fls.nonEmpty =>
         graft.operators.SnapshotBloom.filesMightContain(spark, root, fls, c, Seq(v0))
       case (fls, In(c, vs)) if vs != null && vs.nonEmpty && !vs.contains(null)
@@ -869,20 +867,111 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
         graft.operators.SnapshotBloom.filesMightContain(spark, root, fls, c, vs.toSeq)
       case (fls, _) => fls
     }
+  }
+
+  /** Compile-time plan: (version, kept files BEFORE the limit prefix,
+    * kept files AFTER it, total file count). Computed once — both
+    * [[outputPartitioning]]'s key groups and [[toBatch]] derive from the
+    * same set, so the reported partitioning always matches the planned
+    * partitions; runtime (DPP) filters later thin WITHIN this set.
+    */
+  private lazy val compiledPlan: (Int, Seq[String], Seq[String], Int) = {
+    val spark = SparkSession.active
+    val v = resolveVersion(spark)
+    val rel = Snapshots.files(spark, root, v)
+    val kept0 = pruneBy(spark, v, rel, filters)
     // unfiltered LIMIT n: plan only the prefix whose EXACT row counts
     // cover n (see pushLimit) — sound only when every file has a count
     val kept = limit match {
-      case Some(n) if effective.isEmpty =>
+      case Some(n) if filters.isEmpty =>
         val rows = Snapshots.rowCountsOf(spark, root, v)
-        if (!bloomKept.forall(rows.contains)) bloomKept
+        if (!kept0.forall(rows.contains)) kept0
         else {
           var acc = 0L
-          bloomKept.takeWhile { fl => val need = acc < n; acc += rows(fl); need }
+          kept0.takeWhile { fl => val need = acc < n; acc += rows(fl); need }
         }
-      case _ => bloomKept
+      case _ => kept0
     }
-    plannedFileCount = kept.size
-    lastPlanned = Some((v, kept))
+    (v, kept0, kept, rel.size)
+  }
+
+  /** The cluster column and its per-key compile-time file groups, when
+    * storage-partitioned planning is SOUND: every compile-kept file is
+    * provably single-valued for the column (manifest stats min==max with
+    * zero nulls, or all-null), the decoded key carries the declared type,
+    * and the scan is a plain batch read (no row-level op, no limit
+    * prefix, no change feed). Activated by the version's `#cluster=`
+    * manifest header (written by a clustered publish) or forced via
+    * `option("clusterBy", col)` — the forced form fails loudly when the
+    * layout cannot support it, the automatic form degrades to ordinary
+    * planning.
+    */
+  private lazy val clusterGroups: Option[(String, Seq[(InternalRow, Seq[String])])] = {
+    if (rowLevel || limit.isDefined || options.getBoolean("readChangeFeed", false)) None
+    else {
+      val spark = SparkSession.active
+      val forced = Option(options.get("clusterBy")).filter(_.nonEmpty)
+      val (v, _, kept, _) = compiledPlan
+      val colOpt = forced.orElse(
+        try Snapshots.clusterOf(spark, root, v)
+        catch { case scala.util.control.NonFatal(_) => None })
+      colOpt.flatMap { c =>
+        def refuse(msg: String): Option[(String, Seq[(InternalRow, Seq[String])])] =
+          if (forced.isDefined) throw new IllegalArgumentException(
+            s"option clusterBy=$c on $root v$v: $msg") else None
+        tableSchema.find(_.name == c) match {
+          case None => refuse("not a table column")
+          case Some(field) =>
+            val stats = Snapshots.statsOf(spark, root, v)
+            // Some(catalyst key or null) iff the file is single-valued
+            def keyOf(fl: String): Option[Any] =
+              stats.get(fl).flatMap(_.get(c)).flatMap {
+                case cs if cs.tag == "allnull" => Some(null)
+                case cs if cs.nulls == 0 && cs.min == cs.max =>
+                  scala.util.Try(SnapshotStats.decode(cs.tag, cs.min)).toOption
+                    .flatMap(SnapshotScan.checkedCatalyst(field.dataType, _))
+                case _ => None
+              }
+            val keyed = kept.map(fl => keyOf(fl).map(k => k -> fl))
+            if (keyed.exists(_.isEmpty))
+              refuse("a planned file is not provably single-valued for the column " +
+                "(missing stats, mixed values, or nulls beside values) — publish " +
+                "with clusterBy to guarantee the layout")
+            else if (keyed.isEmpty) None // empty table: nothing to group
+            else Some((c, keyed.flatMap(x => x).groupBy(_._1).toSeq
+              .map { case (k, fs) =>
+                (new GenericInternalRow(Array(k)): InternalRow, fs.map(_._2).sorted)
+              }
+              .sortBy(_._2.head)))
+        }
+      }
+    }
+  }
+
+  /** Storage-partitioned planning: a key-clustered snapshot reports its
+    * per-key file groups as key-grouped partitioning over the cluster
+    * column, so a join or aggregation clustered by that column plans
+    * with ZERO shuffle on this side (`spark.sql.sources.v2.bucketing.
+    * enabled`) — two clustered snapshot tables join map-side at any
+    * scale, the layout-for-shuffle trade the reference's per-partition
+    * directory scheme made implicitly.
+    */
+  override def outputPartitioning(): Partitioning = clusterGroups match {
+    case Some((c, gs)) if gs.nonEmpty =>
+      new KeyGroupedPartitioning(Array(Expressions.identity(c)), gs.size)
+    case _ => new UnknownPartitioning(0)
+  }
+
+  override def toBatch: Batch = {
+    require(!options.getBoolean("readChangeFeed", false),
+      "readChangeFeed is a STREAMING option (readStream); for a batch diff " +
+        "call Snapshots.changes(root, from, to, keyCols) directly")
+    val spark = SparkSession.active
+    val (v, preLimit, postLimit, totalFiles) = compiledPlan
+    require(!Snapshots.hasDeleteVectors(spark, root, v),
+      s"v$v under $root carries outstanding merge-on-read delete vectors — a raw " +
+        "file scan would resurrect deleted rows; run materializeDeletes or compact " +
+        "first, or read through Snapshots.read (which anti-joins them)")
     // manifest-recorded byte lengths ride along so partition packing
     // never stats the planned files (legacy unsized files fall back)
     val sized = Snapshots.byteCountsOf(spark, root, v)
@@ -895,9 +984,37 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
           org.apache.spark.unsafe.types.UTF8String.fromString(s"$root/$r"): Any
         else v: Any
       }.toArray)
-    new SnapshotBatch(spark, root, tableSchema, dataRequired,
-      StructType(metaFields), filters,
-      kept.map(r => (s"$root/$r", sized.get(r), metaOf(r))), rel.size - kept.size)
+    def sizedMeta(r: String) = (s"$root/$r", sized.get(r), metaOf(r))
+    clusterGroups match {
+      case Some((_, groups)) =>
+        // runtime (DPP) filters thin files WITHIN groups but never drop a
+        // group: the reported partition-value set must survive replanning
+        // (an emptied group plans as an empty partition)
+        val runtimeKept: Set[String] =
+          if (runtimeFilters.isEmpty) groups.flatMap(_._2).toSet
+          else pruneBy(spark, v, groups.flatMap(_._2), runtimeFilters).toSet
+        val keyedGroups = groups.map { case (k, fls) =>
+          (k, fls.filter(runtimeKept).map(sizedMeta))
+        }
+        plannedFileCount = keyedGroups.map(_._2.size).sum
+        lastPlanned = Some((v, groups.flatMap(_._2).filter(runtimeKept)))
+        new SnapshotBatch(spark, root, tableSchema, dataRequired,
+          StructType(metaFields), filters,
+          keyedGroups.flatMap(_._2), totalFiles - plannedFileCount,
+          grouped = Some(keyedGroups))
+      case None =>
+        // a runtime filter voids the limit prefix (it could eliminate rows
+        // inside the chosen prefix and under-deliver) — re-plan from the
+        // pre-limit set, exactly the pushLimit soundness rule
+        val kept =
+          if (runtimeFilters.isEmpty) postLimit
+          else pruneBy(spark, v, preLimit, runtimeFilters)
+        plannedFileCount = kept.size
+        lastPlanned = Some((v, kept))
+        new SnapshotBatch(spark, root, tableSchema, dataRequired,
+          StructType(metaFields), filters,
+          kept.map(sizedMeta), totalFiles - kept.size)
+    }
   }
 
   /** Manifest-derived statistics, AFTER stats pruning: exact row counts
@@ -972,9 +1089,13 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
 private[sources] class SnapshotBatch(spark: SparkSession, root: String,
     tableSchema: StructType, readSchema: StructType, metaSchema: StructType,
     filters: Seq[Filter],
-    files: Seq[(String, Option[Long], InternalRow)], prunedFiles: Int) extends Batch {
-  override def planInputPartitions(): Array[InputPartition] =
-    ParquetReadBridge.filePartitionsMeta(spark, files)
+    files: Seq[(String, Option[Long], InternalRow)], prunedFiles: Int,
+    grouped: Option[Seq[(InternalRow, Seq[(String, Option[Long], InternalRow)])]] = None)
+    extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = grouped match {
+    case Some(gs) => ParquetReadBridge.keyedFilePartitions(spark, gs)
+    case None => ParquetReadBridge.filePartitionsMeta(spark, files)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     ParquetReadBridge.readerFactory(spark, tableSchema, readSchema, filters, metaSchema)
 

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.parquet.hadoop.ParquetInputFormat
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
@@ -114,4 +114,53 @@ object ParquetReadBridge {
     val maxSplit = FilePartition.maxSplitBytes(spark, pfs.map(_.length).sum)
     FilePartition.getFilePartitions(spark, pfs, maxSplit).toArray
   }
+
+  /** KEY-GROUPED scan partitions for storage-partitioned planning: each
+    * group of files shares one partition-key value (the scan proved every
+    * file single-valued from manifest stats), packs with Spark's own
+    * sizing, and every resulting partition carries the key via
+    * [[HasPartitionKey]] — `BatchScanExec` then groups same-key
+    * partitions into co-partitioned tasks and EnsureRequirements drops
+    * the shuffle on joins/aggregations clustered by the key. A group with
+    * ZERO files still emits one (empty) partition: runtime filtering must
+    * never change the reported partition-value set, only thin it.
+    */
+  def keyedFilePartitions(spark: SparkSession,
+      groups: Seq[(InternalRow, Seq[(String, Option[Long], InternalRow)])])
+      : Array[InputPartition] = {
+    lazy val hconf = spark.sessionState.newHadoopConf()
+    def pf(p: String, size: Option[Long], meta: InternalRow): PartitionedFile = {
+      val hp = new Path(p)
+      size match {
+        case Some(len) =>
+          val qp = hp.getFileSystem(hconf).makeQualified(hp)
+          PartitionedFile(meta, SparkPath.fromPath(qp), 0L, len, Array.empty, 0L, len,
+            Map.empty)
+        case None =>
+          val st = hp.getFileSystem(hconf).getFileStatus(hp)
+          PartitionedFile(meta, SparkPath.fromPath(st.getPath), 0L, st.getLen,
+            Array.empty, st.getModificationTime, st.getLen, Map.empty)
+      }
+    }
+    val totalBytes = groups.flatMap(_._2).map { case (_, s, _) => s.getOrElse(0L) }.sum
+    val maxSplit = FilePartition.maxSplitBytes(spark, totalBytes)
+    var idx = -1
+    groups.flatMap { case (key, files) =>
+      val packed =
+        if (files.isEmpty) Seq(Array.empty[PartitionedFile])
+        else FilePartition.getFilePartitions(spark,
+          files.map { case (p, s, m) => pf(p, s, m) }, maxSplit).map(_.files)
+      packed.map { arr => idx += 1; new KeyedFilePartition(idx, arr, key) }
+    }.toArray
+  }
+}
+
+/** A [[FilePartition]] that also carries its storage-partition key — the
+  * shape `BatchScanExec` requires (`HasPartitionKey`) to serve a scan
+  * whose `outputPartitioning` is key-grouped. Being a FilePartition, it
+  * flows through the stock parquet reader factories unchanged.
+  */
+class KeyedFilePartition(index: Int, files: Array[PartitionedFile],
+    key: InternalRow) extends FilePartition(index, files) with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }

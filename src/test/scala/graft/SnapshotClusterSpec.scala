@@ -1,0 +1,225 @@
+package graft
+
+import graft.operators.Snapshots
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Key-clustered snapshot tables and storage-partitioned planning: a
+  * clustered publish writes one file set per cluster-key value (manifest
+  * `#cluster=` header), the DSv2 scan reports key-grouped partitioning
+  * over provably single-valued files, and joins/aggregations clustered
+  * by the key run with ZERO shuffle exchanges — asserted on the executed
+  * plan, with row-level equality against the ordinary shuffled plan.
+  */
+class SnapshotClusterSpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  private def freshRoot(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-cluster-$tag")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def readSource(root: String): DataFrame =
+    spark.read.format("graft-snapshot").option("root", root).load()
+
+  /** Count shuffle exchanges in the EXECUTED (post-AQE) plan —
+    * descending into adaptive query stages, whose wrapped exchanges a
+    * plain `collect` over the tree would miss (they are fields of the
+    * stage leaf, not children).
+    */
+  private def shuffles(df: DataFrame): Int = {
+    df.collect()
+    def count(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      self + kids.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  private def noBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def orders = Tables.load(spark, sf, "orders")
+  private def customer = Tables.load(spark, sf, "customer")
+
+  test("clustered publish: one single-valued file set per key, header recorded") {
+    val root = freshRoot("pub")
+    Snapshots.publish(spark, root, orders, clusterBy = Some("o_orderpriority"))
+    assert(Snapshots.clusterOf(spark, root, 1).contains("o_orderpriority"))
+    val stats = Snapshots.statsOf(spark, root, 1)
+    val files = Snapshots.files(spark, root, 1)
+    assert(files.nonEmpty)
+    files.foreach { fl =>
+      val cs = stats(fl)("o_orderpriority")
+      assert(cs.nulls == 0 && cs.min == cs.max,
+        s"$fl is not single-valued: $cs")
+    }
+    // exactly one file per distinct value (the publish repartitions by key)
+    val distinct = orders.select("o_orderpriority").distinct().count()
+    assert(files.size == distinct, s"${files.size} files for $distinct keys")
+    // read back equals input
+    val got = readSource(root)
+    assert(got.count() == orders.count())
+    assert(got.orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq ==
+      orders.orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("storage-partitioned join: zero shuffles, rows equal the shuffled plan") {
+    val left = freshRoot("spjL")
+    val right = freshRoot("spjR")
+    Snapshots.publish(spark, left, orders, clusterBy = Some("o_orderpriority"))
+    Snapshots.publish(spark, right,
+      orders.groupBy("o_orderpriority")
+        .agg(sum("o_totalprice").as("prio_total"), count("*").as("prio_n")),
+      clusterBy = Some("o_orderpriority"))
+    noBroadcast {
+      val joined = readSource(left).join(readSource(right), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count("*").as("n"), max("prio_total").as("t"))
+      assert(shuffles(joined) == 0,
+        s"expected a shuffle-free storage-partitioned join:\n" +
+          joined.queryExecution.executedPlan)
+      // equality vs the plain (shuffled) parquet-side join
+      val expect = orders.join(
+          orders.groupBy("o_orderpriority")
+            .agg(sum("o_totalprice").as("prio_total"), count("*").as("prio_n")),
+          "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count("*").as("n"), max("prio_total").as("t"))
+      val a = joined.orderBy("o_orderpriority").collect().map(r =>
+        (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      val b = expect.orderBy("o_orderpriority").collect().map(r =>
+        (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      assert(a.toSeq == b.toSeq)
+    }
+  }
+
+  test("aggregation on the cluster key plans without a shuffle") {
+    val root = freshRoot("agg")
+    Snapshots.publish(spark, root, orders, clusterBy = Some("o_orderstatus"))
+    val agg = readSource(root).groupBy("o_orderstatus")
+      .agg(count("*").as("n"), sum("o_totalprice").as("total"))
+    assert(shuffles(agg) == 0,
+      s"expected shuffle-free aggregation:\n${agg.queryExecution.executedPlan}")
+    val got = agg.orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = orders.groupBy("o_orderstatus").agg(count("*").as("n"))
+      .orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("a filter prunes whole key groups and the join stays shuffle-free") {
+    val left = freshRoot("fltL")
+    val right = freshRoot("fltR")
+    Snapshots.publish(spark, left, orders, clusterBy = Some("o_orderpriority"))
+    Snapshots.publish(spark, right,
+      orders.select("o_orderpriority").distinct().withColumn("tag", lit(1)),
+      clusterBy = Some("o_orderpriority"))
+    noBroadcast {
+      val joined = readSource(left).filter(col("o_orderpriority").startsWith("1"))
+        .join(readSource(right).filter(col("o_orderpriority").startsWith("1")),
+          "o_orderpriority")
+      assert(shuffles(joined) == 0)
+      val n = joined.count()
+      val expect = orders.filter(col("o_orderpriority").startsWith("1")).count()
+      assert(n == expect, s"joined $n != base $expect")
+    }
+  }
+
+  test("clustered append keeps the guarantee; plain append drops the header") {
+    val root = freshRoot("app")
+    val half1 = orders.filter(col("o_orderkey") % 2 === 0)
+    val half2 = orders.filter(col("o_orderkey") % 2 =!= 0)
+    Snapshots.publish(spark, root, half1, clusterBy = Some("o_orderpriority"))
+    Snapshots.publish(spark, root, half2, append = true,
+      clusterBy = Some("o_orderpriority"))
+    assert(Snapshots.clusterOf(spark, root, 2).contains("o_orderpriority"))
+    // the appended head still plans shuffle-free and reads everything
+    val agg = readSource(root).groupBy("o_orderpriority").count()
+    assert(shuffles(agg) == 0)
+    assert(readSource(root).count() == orders.count())
+    // mismatched clustered append refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.publish(spark, root, half1, append = true,
+        clusterBy = Some("o_orderstatus"))
+    }
+    assert(e.getMessage.contains("clusterBy"))
+    // a plain append drops the header — planning degrades, rows stay right
+    Snapshots.publish(spark, root, half1.limit(10), append = true)
+    assert(Snapshots.clusterOf(spark, root, 3).isEmpty)
+    val agg2 = readSource(root).groupBy("o_orderpriority").count()
+    assert(shuffles(agg2) > 0, "unclustered head must fall back to shuffling")
+  }
+
+  test("rollback and schema evolution carry the cluster header") {
+    val root = freshRoot("roll")
+    Snapshots.publish(spark, root, orders, clusterBy = Some("o_orderstatus"))
+    Snapshots.publish(spark, root, orders.limit(50)) // unclustered v2
+    assert(Snapshots.clusterOf(spark, root, 2).isEmpty)
+    val v3 = Snapshots.rollback(spark, root, 1)
+    assert(Snapshots.clusterOf(spark, root, v3).contains("o_orderstatus"))
+    val withExtra = Snapshots.schemaOf(spark, root, v3).get
+      .add("note", org.apache.spark.sql.types.StringType, nullable = true)
+    val v4 = Snapshots.evolveSchema(spark, root, withExtra)
+    assert(Snapshots.clusterOf(spark, root, v4).contains("o_orderstatus"))
+    // dropping the cluster column itself drops the header
+    val without = org.apache.spark.sql.types.StructType(
+      withExtra.fields.filterNot(_.name == "o_orderstatus"))
+    val v5 = Snapshots.evolveSchema(spark, root, without)
+    assert(Snapshots.clusterOf(spark, root, v5).isEmpty)
+  }
+
+  test("forced clusterBy option refuses an unclustered layout loudly") {
+    val root = freshRoot("forced")
+    Snapshots.publish(spark, root,
+      orders.repartition(4)) // multiple priorities per file
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("root", root)
+        .option("clusterBy", "o_orderpriority").load()
+        .groupBy("o_orderpriority").count().collect()
+    }
+    assert(e.getMessage.contains("clusterBy"), s"got: ${e.getMessage}")
+    // and a column that does not exist refuses too
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("root", root)
+        .option("clusterBy", "nope").load().collect()
+    }
+    assert(e2.getMessage.contains("not a table column"), s"got: ${e2.getMessage}")
+  }
+
+  test("forced clusterBy on a naturally clustered layout works without a header") {
+    val root = freshRoot("nat")
+    // per-key appends: every file holds one status by construction even
+    // though no publish declared clusterBy — the option derives SPJ from
+    // the stats alone
+    val statuses = orders.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).sorted
+    statuses.zipWithIndex.foreach { case (s, i) =>
+      Snapshots.publish(spark, root,
+        orders.filter(col("o_orderstatus") === s).coalesce(1), append = i > 0)
+    }
+    assert(Snapshots.clusterOf(spark, root, statuses.length).isEmpty)
+    val agg = spark.read.format("graft-snapshot").option("root", root)
+      .option("clusterBy", "o_orderstatus").load()
+      .groupBy("o_orderstatus").count()
+    assert(shuffles(agg) == 0,
+      s"expected stats-derived SPJ:\n${agg.queryExecution.executedPlan}")
+    assert(agg.collect().map(_.getLong(1)).sum == orders.count())
+  }
+}
