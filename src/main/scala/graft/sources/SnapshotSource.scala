@@ -396,7 +396,7 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
     "options 'version' and 'timestampAsOf' are mutually exclusive")
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
-  private var aggPush: Option[(StructType, Array[Any])] = None
+  private var aggPush: Option[(StructType, Seq[Array[Any]])] = None
   private var limitN: Option[Int] = None
 
   /** PARTIAL limit pushdown from manifest row counts: an unfiltered
@@ -439,9 +439,9 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
   // same Aggregation; each translateAgg re-reads manifests/stats driver-
   // side, so memoize by instance — table history makes this O(versions)
   // of metadata work per call on slow filesystems
-  private var aggMemo: (Aggregation, Option[(StructType, Array[Any])]) = null
+  private var aggMemo: (Aggregation, Option[(StructType, Seq[Array[Any]])]) = null
 
-  private def translateAggMemo(agg: Aggregation): Option[(StructType, Array[Any])] = {
+  private def translateAggMemo(agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
     if (aggMemo == null || !(aggMemo._1 eq agg)) aggMemo = (agg, translateAgg(agg))
     aggMemo._2
   }
@@ -472,43 +472,166 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
       case _ => None
     }
 
-  /** The (schema, single-row values) of a fully-stats-answerable
-    * aggregation, or None when any piece is unprovable from metadata.
+  /** The (schema, result rows) of a fully-stats-answerable aggregation,
+    * or None when any piece is unprovable from metadata.
+    *
+    * Ungrouped: `count(*)` / `count(c)` / `min(c)` / `max(c)` fold to ONE
+    * row from the manifest's exact row counts, per-column null counts and
+    * min/max bounds. GROUPED: when every grouping column is provably
+    * SINGLE-VALUED per file (min==max with zero nulls, or all-null — the
+    * key-clustered layout, or any naturally file-partitioned one), files
+    * group by their key tuple driver-side and the same per-file algebra
+    * folds within each group — `SELECT k, count(*), max(ts) GROUP BY k`
+    * over 100 TB becomes one manifest read with zero scan tasks. Refused
+    * whenever any file lacks the proof, any aggregate is untranslatable,
+    * or delete vectors are outstanding — the fast path is never a guess.
     */
-  private def translateAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
-    if (rowLevel || pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+  private def translateAgg(agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
+    if (rowLevel || pushed.nonEmpty) return None
     // a change-feed frame's logical rows are DIFF rows, not table rows —
     // base-table stats would misanswer; refuse so the batch guard fires
     if (options.getBoolean("readChangeFeed", false)) return None
     val spark = SparkSession.active
     val root = options.get("root")
-    if (Snapshots.versions(spark, root).isEmpty) return None
+    val vs = Snapshots.versions(spark, root)
+    if (vs.isEmpty) return None
     val version = Option(options.get("version")).map(_.toInt)
       .orElse(Option(options.get("timestampAsOf")).map(t =>
         Snapshots.versionAt(spark, root, SnapshotScan.parseAsOf(t))))
 
     def checked(dt: DataType, v: Any): Option[Any] = SnapshotScan.checkedCatalyst(dt, v)
-    def bound(f: AggregateFunc, wantMin: Boolean): Option[(StructField, Any)] = for {
+
+    if (agg.groupByExpressions.isEmpty) {
+      def bound(f: AggregateFunc, wantMin: Boolean): Option[(StructField, Any)] = for {
+        c <- colOf(f.children()(0))
+        field <- tableSchema.find(_.name == c)
+        r <- Snapshots.columnStats(spark, root, c, version)
+        v <- checked(field.dataType, if (wantMin) r.min else r.max)
+      } yield (StructField(s"${if (wantMin) "min" else "max"}($c)", field.dataType), v)
+      // count(c) = rows − nulls, both manifest-exact; needs every file's
+      // row count AND a stats line for c (the null count rides on it)
+      def countCol(c: String): Option[Long] = {
+        val v = version.getOrElse(vs.last)
+        if (Snapshots.hasDeleteVectors(spark, root, v)) return None
+        val files = Snapshots.files(spark, root, v)
+        val rows = Snapshots.rowCountsOf(spark, root, v)
+        val stats = Snapshots.statsOf(spark, root, v)
+        if (!files.forall(fl => rows.contains(fl) && stats.get(fl).exists(_.contains(c))))
+          None
+        else Some(files.map(fl => rows(fl) - stats(fl)(c).nulls).sum)
+      }
+      val parts = agg.aggregateExpressions.map {
+        case _: CountStar => Snapshots.countRows(spark, root, version)
+          .map(n => (StructField("count(*)", LongType, nullable = false), n: Any))
+        case cnt: org.apache.spark.sql.connector.expressions.aggregate.Count
+            if !cnt.isDistinct =>
+          colOf(cnt.column).filter(c => tableSchema.fieldNames.contains(c))
+            .flatMap(countCol)
+            .map(n => (StructField("count", LongType, nullable = false), n: Any))
+        case m: Min => bound(m, wantMin = true)
+        case m: Max => bound(m, wantMin = false)
+        case _ => None
+      }
+      if (parts.exists(_.isEmpty)) None
+      else Some((StructType(parts.map(_.get._1)), Seq(parts.map(_.get._2))))
+    } else translateGroupedAgg(spark, root, agg, version.getOrElse(vs.last))
+  }
+
+  /** The grouped half of [[translateAgg]]: group files by their proved
+    * single-valued key tuple, fold count/min/max per group from manifest
+    * metadata alone. Output schema is grouping columns FIRST then
+    * aggregate columns — the order `V2ScanRelationPushDown` binds.
+    */
+  private def translateGroupedAgg(spark: SparkSession, root: String,
+      agg: Aggregation, v: Int): Option[(StructType, Seq[Array[Any]])] = {
+    if (Snapshots.hasDeleteVectors(spark, root, v)) return None
+    val groupFields: Seq[Option[StructField]] = agg.groupByExpressions.toSeq
+      .map(e => colOf(e).flatMap(c => tableSchema.find(_.name == c)))
+    if (groupFields.exists(_.isEmpty)) return None
+    val gFields = groupFields.flatten
+    val files = Snapshots.files(spark, root, v)
+    val stats = Snapshots.statsOf(spark, root, v)
+    val rows = Snapshots.rowCountsOf(spark, root, v)
+    if (!files.forall(rows.contains)) return None
+
+    // (tag, decoded external value or null) of a file's single value for
+    // a column — None when the file is not provably single-valued
+    def singleValue(fl: String, c: String): Option[(String, Any)] =
+      stats.get(fl).flatMap(_.get(c)).flatMap {
+        case cs if cs.tag == "allnull" => Some(("allnull", null))
+        case cs if cs.nulls == 0 && cs.min == cs.max =>
+          scala.util.Try((cs.tag, SnapshotStats.decode(cs.tag, cs.min))).toOption
+        case _ => None
+      }
+
+    val keyed: Seq[Option[(Seq[Any], String)]] = files.map { fl =>
+      val key = gFields.map(f => singleValue(fl, f.name).map(_._2))
+      if (key.exists(_.isEmpty)) None else Some((key.map(_.get), fl))
+    }
+    if (keyed.exists(_.isEmpty)) return None
+    val groups: Seq[(Seq[Any], Seq[String])] = keyed.flatMap(x => x)
+      .groupBy(_._1).toSeq.map { case (k, fs) => (k, fs.map(_._2)) }
+      .sortBy(_._2.head)
+
+    // per-group aggregate folds; each returns (field, group -> value) or None
+    def minMax(f: AggregateFunc, wantMin: Boolean)
+        : Option[(StructField, Seq[String] => Option[Any])] = for {
       c <- colOf(f.children()(0))
       field <- tableSchema.find(_.name == c)
-      r <- Snapshots.columnStats(spark, root, c, version)
-      v <- checked(field.dataType, if (wantMin) r.min else r.max)
-    } yield (StructField(s"${if (wantMin) "min" else "max"}($c)", field.dataType), v)
+      // every file must carry usable stats for c (all-null files fold as
+      // absent — parquet min/max exclude nulls)
+      if files.forall(fl => stats.get(fl).exists(_.get(c).exists(cs =>
+        cs.tag == "allnull" || cs.min.nonEmpty)))
+    } yield (StructField(s"${if (wantMin) "min" else "max"}($c)", field.dataType),
+      (fls: Seq[String]) => {
+        val vals = fls.flatMap { fl =>
+          val cs = stats(fl)(c)
+          if (cs.tag == "allnull") None
+          else scala.util.Try(
+            (cs.tag, SnapshotStats.decode(cs.tag, if (wantMin) cs.min else cs.max))).toOption
+        }
+        val folded =
+          if (vals.isEmpty) Some(null)
+          else {
+            val tag = vals.head._1
+            Some(vals.map(_._2).reduce((a, b) =>
+              if (wantMin) SnapshotStats.decodedMin(tag, a, b)
+              else SnapshotStats.decodedMax(tag, a, b)))
+          }
+        folded.flatMap(x => SnapshotScan.checkedCatalyst(field.dataType, x))
+      })
 
-    val parts = agg.aggregateExpressions.map {
-      case _: CountStar => Snapshots.countRows(spark, root, version)
-        .map(n => (StructField("count(*)", LongType, nullable = false), n: Any))
-      case m: Min => bound(m, wantMin = true)
-      case m: Max => bound(m, wantMin = false)
-      case _ => None
+    val parts: Seq[Option[(StructField, Seq[String] => Option[Any])]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some((StructField("count(*)", LongType, nullable = false),
+          (fls: Seq[String]) => Some(fls.map(rows).sum: Any)))
+        case cnt: org.apache.spark.sql.connector.expressions.aggregate.Count
+            if !cnt.isDistinct =>
+          colOf(cnt.column).filter(c => files.forall(fl =>
+            stats.get(fl).exists(_.contains(c))))
+            .map(c => (StructField("count", LongType, nullable = false),
+              (fls: Seq[String]) => Some(fls.map(fl => rows(fl) - stats(fl)(c).nulls).sum: Any)))
+        case m: Min => minMax(m, wantMin = true)
+        case m: Max => minMax(m, wantMin = false)
+        case _ => None
+      }
+    if (parts.exists(_.isEmpty)) return None
+    val aggCols = parts.flatMap(x => x)
+
+    val outRows = groups.map { case (key, fls) =>
+      val keyCat = key.zip(gFields).map { case (kv, f) =>
+        SnapshotScan.checkedCatalyst(f.dataType, kv) }
+      val aggVals = aggCols.map(_._2(fls))
+      if (keyCat.exists(_.isEmpty) || aggVals.exists(_.isEmpty)) return None
+      (keyCat.map(_.get) ++ aggVals.map(_.get)).toArray
     }
-    if (parts.exists(_.isEmpty)) None
-    else Some((StructType(parts.map(_.get._1)), parts.map(_.get._2)))
+    Some((StructType(gFields.map(f => StructField(f.name, f.dataType)) ++
+      aggCols.map(_._1)), outRows))
   }
 
   override def build(): Scan = aggPush match {
-    case Some((schema, values)) =>
-      new StatsAggScan(schema, values, options.get("root"))
+    case Some((schema, rows)) =>
+      new StatsAggScan(schema, rows, options.get("root"))
     case None =>
       val s = new SnapshotScan(tableSchema, required, pushed.toSeq, options,
         limitN.filter(_ => pushed.isEmpty), rowLevel)
@@ -518,9 +641,10 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
 }
 
 /** The scan a metadata-answered aggregate compiles to: one partition,
-  * one pre-computed row, zero files opened.
+  * pre-computed rows (one for an ungrouped aggregate, one per group for
+  * a grouped one — bounded by the file count), zero files opened.
   */
-private[sources] class StatsAggScan(aggSchema: StructType, values: Array[Any],
+private[sources] class StatsAggScan(aggSchema: StructType, rows: Seq[Array[Any]],
     root: String) extends Scan {
   override def readSchema(): StructType = aggSchema
   override def description(): String =
@@ -528,21 +652,22 @@ private[sources] class StatsAggScan(aggSchema: StructType, values: Array[Any],
       aggSchema.fieldNames.mkString("[", ", ", "]")
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Array(StatsRowPartition(values))
+      Array(StatsRowPartition(rows.toArray))
     override def createReaderFactory(): PartitionReaderFactory =
       new StatsRowReaderFactory
   }
 }
 
-private[sources] case class StatsRowPartition(values: Array[Any]) extends InputPartition
+private[sources] case class StatsRowPartition(rows: Array[Array[Any]])
+  extends InputPartition
 
 private[sources] class StatsRowReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val vals = p.asInstanceOf[StatsRowPartition].values
+    val rows = p.asInstanceOf[StatsRowPartition].rows
     new PartitionReader[InternalRow] {
-      private var served = false
-      override def next(): Boolean = !served && { served = true; true }
-      override def get(): InternalRow = new GenericInternalRow(vals)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
       override def close(): Unit = ()
     }
   }

@@ -203,6 +203,67 @@ class SnapshotClusterSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not a table column"), s"got: ${e2.getMessage}")
   }
 
+  private def metadataOnly(df: DataFrame): Boolean = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    scans.nonEmpty && scans.forall(_.scan.description().contains("METADATA-ONLY"))
+  }
+
+  test("grouped aggregate over the cluster key answers metadata-only") {
+    val root = freshRoot("gagg")
+    Snapshots.publish(spark, root, orders, clusterBy = Some("o_orderpriority"))
+    val agg = readSource(root).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+    assert(metadataOnly(agg),
+      s"expected a metadata-only grouped aggregate:\n${agg.queryExecution.executedPlan}")
+    val got = agg.orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expect = orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
+  test("count(column) discounts nulls from metadata, grouped and ungrouped") {
+    val root = freshRoot("cnulls")
+    val df = orders.withColumn("maybe",
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice")))
+    Snapshots.publish(spark, root, df, clusterBy = Some("o_orderstatus"))
+    val ungrouped = readSource(root).agg(count("maybe").as("n"))
+    assert(metadataOnly(ungrouped))
+    assert(ungrouped.head.getLong(0) == df.filter(col("maybe").isNotNull).count())
+    val grouped = readSource(root).groupBy("o_orderstatus").agg(count("maybe").as("n"))
+    assert(metadataOnly(grouped))
+    val got = grouped.orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = df.filter(col("maybe").isNotNull).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n")).orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("grouped aggregate refuses when the grouping column is not file-constant") {
+    val root = freshRoot("gref")
+    Snapshots.publish(spark, root, orders, clusterBy = Some("o_orderpriority"))
+    // group by a NON-clustered column: files mix values → ordinary scan,
+    // same answers
+    val agg = readSource(root).groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!metadataOnly(agg), "must not claim metadata for a mixed column")
+    val got = agg.orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    // and a filtered grouped aggregate refuses too (stats cannot see rows)
+    val filtered = readSource(root).filter(col("o_orderkey") > 100)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(!metadataOnly(filtered))
+  }
+
   test("forced clusterBy on a naturally clustered layout works without a header") {
     val root = freshRoot("nat")
     // per-key appends: every file holds one status by construction even
