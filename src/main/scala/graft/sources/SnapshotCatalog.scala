@@ -3,10 +3,13 @@ package graft.sources
 import graft.operators.Snapshots
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import org.apache.hadoop.fs.Path
@@ -40,7 +43,7 @@ import org.apache.hadoop.fs.Path
   * publishes an empty version — all on the single-writer contract
   * (ACID multi-writer coordination is out of scope).
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -180,4 +183,116 @@ class SnapshotCatalog extends TableCatalog {
     require(fs.rename(new Path(rootOf(oldIdent)), new Path(rootOf(newIdent))),
       s"filesystem refused to move ${rootOf(oldIdent)} -> ${rootOf(newIdent)}")
   }
+
+  // ---------------------------------------------------------------- CALL
+  // Snapshot-table maintenance from plain SQL (`ProcedureCatalog`):
+  //
+  //   CALL <catalog>.sys.rollback('events', 3)
+  //   CALL <catalog>.sys.expire('events', 5)
+  //   CALL <catalog>.sys.vacuum('events', 3600000)
+  //   CALL <catalog>.sys.compact('events', 134217728)
+  //   CALL <catalog>.sys.cluster('events', 'region')
+  //   CALL <catalog>.sys.history('events')
+  //
+  // Every procedure resolves its `table` argument through the same
+  // warehouse mapping as table reads (namespaces as dots), mutates via
+  // the table-API operators, and returns its evidence as rows — the
+  // lifecycle verbs a 100 TB table needs on a schedule (retention,
+  // reclamation, layout) without any library import.
+
+  private def tableRoot(table: String): String = {
+    val root = (warehouse +: table.split('.').toSeq).mkString("/")
+    require(Snapshots.versions(spark, root).nonEmpty,
+      s"no snapshot table '$table' under $warehouse")
+    root
+  }
+
+  /** One-scan procedure result: `rows` of `schema` as the LOCAL scan the
+    * CALL framework expects (results are bounded evidence rows, never
+    * data-sized).
+    */
+  private def resultScan(schema: StructType, rows: Seq[Array[Any]],
+      what: String): java.util.Iterator[Scan] = {
+    val out = rows.map(vs =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+        : InternalRow).toArray
+    val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = schema
+      override def description(): String = s"graft-snapshot procedure $what"
+      override def rows(): Array[InternalRow] = out
+    }
+    java.util.List.of(scan).iterator()
+  }
+
+  private def proc(procName: String, params: Seq[(String, DataType)],
+      out: StructType)(body: InternalRow => Seq[Array[Any]]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft snapshot maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft snapshot maintenance: $procName"
+        override def parameters(): Array[ProcedureParameter] =
+          params.map { case (n, dt) => ProcedureParameter.in(n, dt).build() }.toArray
+        override def isDeterministic: Boolean = false // they mutate the table
+        override def call(input: InternalRow): java.util.Iterator[Scan] =
+          resultScan(out, body(input), procName)
+      }
+    }
+
+  private def str(in: InternalRow, i: Int): String = in.getUTF8String(i).toString
+
+  private lazy val procedures: Map[String, UnboundProcedure] = Seq(
+    proc("rollback", Seq("table" -> StringType, "version" -> IntegerType),
+      StructType(Seq(StructField("version", IntegerType, nullable = false)))) { in =>
+      Seq(Array(Snapshots.rollback(spark, tableRoot(str(in, 0)), in.getInt(1)): Any))
+    },
+    proc("expire", Seq("table" -> StringType, "keep_last" -> IntegerType),
+      StructType(Seq(StructField("dropped_version", IntegerType, nullable = false)))) { in =>
+      Snapshots.expire(spark, tableRoot(str(in, 0)), in.getInt(1))
+        .map(v => Array(v: Any))
+    },
+    proc("vacuum", Seq("table" -> StringType, "grace_ms" -> LongType),
+      StructType(Seq(StructField("deleted_files", LongType, nullable = false)))) { in =>
+      Seq(Array(Snapshots.vacuum(spark, tableRoot(str(in, 0)), in.getLong(1)): Any))
+    },
+    proc("compact", Seq("table" -> StringType, "target_bytes" -> LongType),
+      StructType(Seq(StructField("version", IntegerType, nullable = false)))) { in =>
+      Seq(Array(Snapshots.compact(spark, tableRoot(str(in, 0)),
+        targetBytes = in.getLong(1)): Any))
+    },
+    // re-publish the head KEY-CLUSTERED by a column: one CALL turns an
+    // existing table into a storage-partitioned-join participant
+    proc("cluster", Seq("table" -> StringType, "column" -> StringType),
+      StructType(Seq(StructField("version", IntegerType, nullable = false)))) { in =>
+      val root = tableRoot(str(in, 0))
+      Seq(Array(Snapshots.publish(spark, root, Snapshots.read(spark, root),
+        clusterBy = Some(str(in, 1))): Any))
+    },
+    proc("history", Seq("table" -> StringType), historySchema) { in =>
+      val df = Snapshots.describeHistory(spark, tableRoot(str(in, 0)))
+      // bounded: one row per retained version
+      df.selectExpr(historySchema.fieldNames.toIndexedSeq: _*).collect().map { r =>
+        Array[Any](r.getInt(0), r.getInt(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(3)))
+      }.toSeq
+    }
+  ).map(p => p.name() -> p).toMap
+
+  private def historySchema: StructType =
+    StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("n_files", IntegerType, nullable = true),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("operation", StringType, nullable = true)))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    procedures.getOrElse(ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new UnsupportedOperationException(
+        s"procedure ${ident.name()} does not exist; available: " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    procedures.keys.toSeq.sorted.map(Identifier.of(Array("sys"), _)).toArray
 }

@@ -183,4 +183,56 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE snapcat.managed2")
     intercept[Exception] { spark.sql("SELECT * FROM snapcat.managed2").collect() }
   }
+
+  test("CALL procedures: rollback, history, expire, vacuum from plain SQL") {
+    val early = orders.filter(col("o_orderkey") % 2 === 0)
+    Snapshots.publish(spark, s"$warehouse/p1", early)
+    Snapshots.publish(spark, s"$warehouse/p1", orders)
+    assert(spark.sql("SELECT count(*) FROM snapcat.p1").head.getLong(0) ==
+      orders.count())
+    // rollback rolls FORWARD to a v3 re-listing v1's files
+    val v = spark.sql("CALL snapcat.sys.rollback('p1', 1)").head.getInt(0)
+    assert(v == 3)
+    assert(spark.sql("SELECT count(*) FROM snapcat.p1").head.getLong(0) ==
+      early.count())
+    // history: one row per version, operations classified
+    val hist = spark.sql("CALL snapcat.sys.history('p1')").collect()
+    assert(hist.length == 3)
+    assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(hist.map(r => r.getLong(2)).toSeq ==
+      Seq(early.count(), orders.count(), early.count()))
+    // expire + vacuum: keep only the head, reclaim v2's orphaned bytes
+    val dropped = spark.sql("CALL snapcat.sys.expire('p1', 1)").collect()
+      .map(_.getInt(0)).toSeq
+    assert(dropped == Seq(1, 2))
+    val deleted = spark.sql("CALL snapcat.sys.vacuum('p1', 0)").head.getLong(0)
+    assert(deleted > 0, "vacuum must reclaim the expired versions' files")
+    assert(spark.sql("SELECT count(*) FROM snapcat.p1").head.getLong(0) ==
+      early.count())
+  }
+
+  test("CALL compact and cluster reshape the table from SQL") {
+    Snapshots.publish(spark, s"$warehouse/p2", orders.repartition(9))
+    assert(Snapshots.files(spark, s"$warehouse/p2", 1).size == 9)
+    val v2 = spark.sql("CALL snapcat.sys.compact('p2', 1073741824)").head.getInt(0)
+    assert(v2 == 2)
+    assert(Snapshots.files(spark, s"$warehouse/p2", 2).size == 1)
+    // cluster: one CALL makes the table a storage-partitioned-join side
+    val v3 = spark.sql("CALL snapcat.sys.cluster('p2', 'o_orderpriority')")
+      .head.getInt(0)
+    assert(Snapshots.clusterOf(spark, s"$warehouse/p2", v3)
+      .contains("o_orderpriority"))
+    val agg = spark.sql(
+      "SELECT o_orderpriority, count(*) AS n FROM snapcat.p2 GROUP BY 1")
+    assert(agg.collect().map(_.getLong(1)).sum == orders.count())
+    // an unknown procedure fails resolution (Spark wraps the catalog's
+    // message, which names the available procedures, as the cause)
+    val e = intercept[Exception] {
+      spark.sql("CALL snapcat.sys.nope('p2')").collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("; ")
+    assert(messages.contains("FAILED_TO_LOAD_ROUTINE") || messages.contains("rollback"),
+      s"got: $messages")
+  }
 }
