@@ -25,6 +25,7 @@ object SparkEntry {
       q.Extras4.entries ++
       q.Extras5.entries ++
       q.Extras6.entries ++
+      q.Extras7.entries ++
       q.Curation.entries
 
   {

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** Round-9 tier: key-clustered snapshot tables — storage-partitioned
+  * joins (zero-shuffle co-clustered planning), metadata-only GROUP BY
+  * aggregates over file-constant columns, and SQL CALL maintenance
+  * procedures. The layout-for-shuffle trade at 100 TB: cluster once on
+  * the routing key, then every join/aggregation on it skips its
+  * exchange and every per-key rollup answers from the manifest.
+  */
+object Extras7 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  private def freshRoot(s: SparkSession, owner: String, name: String, dir: String): String = {
+    val root = graft.Scratch.dir(owner, name, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun
+    root
+  }
+
+  /** Shuffle exchanges anywhere in the physical plan, descending into
+    * adaptive query stages (whose wrapped exchanges are fields of the
+    * stage leaf, not children).
+    */
+  private def shuffleCount(df: DataFrame): Int = {
+    def count(p: SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      self + kids.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // STORAGE-PARTITIONED JOIN: both sides published key-clustered on
+    // the join column (one file set per value, #cluster= manifest
+    // header), so the DSv2 scans report key-grouped partitioning and the
+    // merge join — AND the aggregation above it, also keyed on the
+    // cluster column — plan with ZERO shuffle exchanges. The in-row
+    // `shuffle_free` flag counts exchanges in the executed plan, so the
+    // oracle hash proves both exact join results and the absent
+    // shuffles. At 100 TB this is the difference between re-shuffling
+    // both fact tables on every join and a map-side join forever after
+    // one layout decision.
+    QueryDef.checked(
+      "q161_spj_join",
+      """SELECT o.o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(min(o.o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(d.prio_n) AS BIGINT) AS prio_n,
+        |  CAST(1 AS BOOLEAN) AS shuffle_free
+        |FROM orders o
+        |JOIN (SELECT o_orderpriority, count(*) AS prio_n,
+        |        CAST(min(o_orderkey) AS BIGINT) AS prio_min
+        |      FROM orders GROUP BY o_orderpriority) d
+        |  ON o.o_orderpriority = d.o_orderpriority
+        |GROUP BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      val factRoot = freshRoot(s, "q161_spj_join", "spj_fact", dir)
+      val dimRoot = freshRoot(s, "q161_spj_join", "spj_dim", dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Snapshots.publish(s, factRoot, orders, clusterBy = Some("o_orderpriority"))
+      Snapshots.publish(s, dimRoot,
+        orders.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("prio_n"),
+            min("o_orderkey").cast("long").as("prio_min")),
+        clusterBy = Some("o_orderpriority"))
+      def read(root: String) =
+        s.read.format("graft-snapshot").option("root", root).load()
+      // the merge hint keeps the tiny dim side out of a broadcast join,
+      // so the plan exercises the co-partitioned (SPJ) path
+      val joined = read(factRoot).join(read(dimRoot).hint("merge"), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").cast("long").as("min_key"),
+          max("prio_n").cast("long").as("prio_n"))
+      val free = shuffleCount(joined) == 0
+      joined.select(col("o_orderpriority"), col("n"), col("min_key"),
+        col("prio_n"), lit(free).as("shuffle_free"))
+    },
+
+    // METADATA-ONLY GROUP BY: over a key-clustered table every file is
+    // single-valued for the cluster column, so `GROUP BY` it with
+    // count(*)/count(c)/min/max compiles to pre-computed rows folded
+    // from manifest stats — zero files opened, zero scan tasks (the
+    // grouped extension of q149). count(maybe_price) — a column null on
+    // two-thirds of the rows — proves the null algebra: rows minus
+    // per-file null counts, exact. The per-key rollup a 100 TB
+    // routing-keyed table answers in one manifest read.
+    QueryDef.checked(
+      "q162_grouped_stats_agg",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) AS n_maybe,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(1 AS BOOLEAN) AS metadata_only
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q162_grouped_stats_agg", "grouped_statsagg", dir)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("maybe_price",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice")))
+        .drop("o_totalprice")
+      Snapshots.publish(s, root, orders, clusterBy = Some("o_orderpriority"))
+      val agg = s.read.format("graft-snapshot").option("root", root).load()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), count("maybe_price").as("n_maybe"),
+          min("o_orderkey").cast("long").as("min_key"),
+          max("o_orderkey").cast("long").as("max_key"))
+      val metadataOnly = agg.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan.description().contains("METADATA-ONLY")
+      }.forall(identity)
+      agg.select(col("o_orderpriority"), col("n"), col("n_maybe"),
+        col("min_key"), col("max_key"), lit(metadataOnly).as("metadata_only"))
+    },
+
+    // SQL CALL maintenance: publish v1 (odd-key half), overwrite with v2
+    // (everything), then `CALL sys.rollback(t, 1)` — the table head is
+    // the v1 rows again, via a forward-rolling v3. The history
+    // procedure's operation classification (v2 and v3 both replace the
+    // whole file set: `rewrite`) and the rollback's returned version
+    // ride in the row, so the oracle hash proves the SQL surface drove
+    // the full lifecycle. This is the reference's manual re-run/cleanup
+    // loop as three SQL statements.
+    QueryDef.checked(
+      "q163_sql_procedures",
+      """SELECT count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(3 AS INT) AS rollback_version,
+        |  'append,rewrite,rewrite' AS ops
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q163_sql_procedures", "proc_warehouse", dir)
+      s.conf.set("spark.sql.catalog.graftproc",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftproc.warehouse", wh)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Snapshots.publish(s, s"$wh/ptab", orders.filter(col("o_orderkey") % 2 === 1))
+      Snapshots.publish(s, s"$wh/ptab", orders)
+      val v = s.sql("CALL graftproc.sys.rollback('ptab', 1)").head.getInt(0)
+      val ops = s.sql("CALL graftproc.sys.history('ptab')").collect()
+        .sortBy(_.getInt(0)).map(_.getString(3)).mkString(",")
+      s.sql("SELECT * FROM graftproc.ptab")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("long").as("key_sum"))
+        .select(col("n"), col("key_sum"), lit(v).as("rollback_version"),
+          lit(ops).as("ops"))
+    }
+  )
+}
