@@ -873,7 +873,8 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     filters: Seq[Filter], options: CaseInsensitiveStringMap,
     limit: Option[Int] = None, rowLevel: Boolean = false)
     extends Scan with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics with SupportsReportPartitioning {
+    with SupportsReportStatistics with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   private val root = options.get("root")
 
   // metadata columns requested by this scan (shadowed by same-named DATA
@@ -1032,7 +1033,13 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * planning.
     */
   private lazy val clusterGroups: Option[(String, Seq[(InternalRow, Seq[String])])] = {
-    if (rowLevel || limit.isDefined || options.getBoolean("readChangeFeed", false)) None
+    // `clusterPlanning=false` opts a read out of key-grouped planning:
+    // grouped scans run ONE task per key, which is the point for
+    // co-clustered joins but caps a plain full-table scan's parallelism
+    // at the key cardinality — a full scan of a low-cardinality-keyed
+    // table reads faster ungrouped
+    if (rowLevel || limit.isDefined || options.getBoolean("readChangeFeed", false)
+        || !options.getBoolean("clusterPlanning", true)) None
     else {
       val spark = SparkSession.active
       val forced = Option(options.get("clusterBy")).filter(_.nonEmpty)
@@ -1086,6 +1093,19 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
       new KeyGroupedPartitioning(Array(Expressions.identity(c)), gs.size)
     case _ => new UnknownPartitioning(0)
   }
+
+  /** Within a key-grouped partition the cluster column is CONSTANT, so
+    * the scan is trivially sorted by it — reporting that ordering lets a
+    * sort-merge join on the cluster key drop both local sorts on top of
+    * the dropped shuffles (the fully map-side co-clustered join).
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    clusterGroups match {
+      case Some((c, gs)) if gs.nonEmpty =>
+        Array(Expressions.sort(Expressions.identity(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
 
   override def toBatch: Batch = {
     require(!options.getBoolean("readChangeFeed", false),

@@ -264,6 +264,47 @@ class SnapshotClusterSpec extends AnyFunSuite {
     assert(!metadataOnly(filtered))
   }
 
+  test("SPJ drops the local sorts too: constant-per-group key reports ordering") {
+    val left = freshRoot("ordL")
+    val right = freshRoot("ordR")
+    Snapshots.publish(spark, left, orders, clusterBy = Some("o_orderpriority"))
+    Snapshots.publish(spark, right,
+      orders.select("o_orderpriority").distinct().withColumn("tag", lit(1)),
+      clusterBy = Some("o_orderpriority"))
+    noBroadcast {
+      val joined = readSource(left).join(readSource(right), "o_orderpriority")
+      joined.collect()
+      def sorts(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val self = p match {
+          case _: org.apache.spark.sql.execution.SortExec => 1; case _ => 0 }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self + kids.map(sorts).sum
+      }
+      assert(shuffles(joined) == 0)
+      assert(sorts(joined.queryExecution.executedPlan) == 0,
+        s"expected a sort-free merge join:\n${joined.queryExecution.executedPlan}")
+    }
+  }
+
+  test("clusterPlanning=false opts a read out of key-grouped task granularity") {
+    val root = freshRoot("opt")
+    Snapshots.publish(spark, root, orders, clusterBy = Some("o_orderstatus"))
+    // sum() keeps the aggregate out of the metadata pushdown, so both
+    // plans exercise a real scan
+    val grouped = readSource(root).groupBy("o_orderstatus")
+      .agg(sum("o_totalprice").as("t"))
+    assert(shuffles(grouped) == 0)
+    val opted = spark.read.format("graft-snapshot").option("root", root)
+      .option("clusterPlanning", "false").load()
+      .groupBy("o_orderstatus").agg(sum("o_totalprice").as("t"))
+    assert(shuffles(opted) > 0, "opt-out must fall back to ordinary planning")
+    assert(opted.count() == 3)
+  }
+
   test("forced clusterBy on a naturally clustered layout works without a header") {
     val root = freshRoot("nat")
     // per-key appends: every file holds one status by construction even
