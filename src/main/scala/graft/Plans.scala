@@ -85,7 +85,9 @@ object Plans {
       "q147_dsv2_read",      // DSv2 scan: pushed filters prune manifest files
       "q149_dsv2_stats_agg", // DSv2 agg pushdown: metadata-only single-row scan
       "q150_dsv2_runtime_prune", // DSv2 runtime filter: DPP re-plans the fact scan
-      "q151_sql_catalog")    // SQL VERSION AS OF through the TableCatalog
+      "q151_sql_catalog",    // SQL VERSION AS OF through the TableCatalog
+      "q161_spj_join",       // storage-partitioned join: zero exchanges, zero sorts
+      "q162_grouped_stats_agg") // grouped metadata-only aggregate: rows, no scan
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

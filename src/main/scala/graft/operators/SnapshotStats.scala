@@ -243,10 +243,11 @@ object SnapshotStats {
   /** Order two decoded values in their tag's domain (strings by UTF-8
     * unsigned bytes — the order [[footerStats]] aggregated under).
     */
-  def decodedMin(tag: String, a: Any, b: Any): Any = if (decodedCmp(tag, a, b) <= 0) a else b
-  def decodedMax(tag: String, a: Any, b: Any): Any = if (decodedCmp(tag, a, b) >= 0) a else b
+  def decodedMin(tag: String, a: Any, b: Any): Any = if (decodedCompare(tag, a, b) <= 0) a else b
+  def decodedMax(tag: String, a: Any, b: Any): Any = if (decodedCompare(tag, a, b) >= 0) a else b
 
-  private def decodedCmp(tag: String, a: Any, b: Any): Int = tag match {
+  /** Compare two [[decode]]d values in their tag's domain. */
+  def decodedCompare(tag: String, a: Any, b: Any): Int = tag match {
     case "double" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case "string" => byteCompare(
       a.asInstanceOf[String].getBytes(StandardCharsets.UTF_8),

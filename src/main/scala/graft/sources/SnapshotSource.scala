@@ -287,9 +287,18 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String,
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
-                  ignored: Boolean): Unit =
-                Snapshots.publish(data.sparkSession, root, data,
-                  append = !overwrite)
+                  ignored: Boolean): Unit = {
+                val spark = data.sparkSession
+                // a key-clustered table KEEPS its layout through SQL
+                // writes: the inserted rows shuffle onto the cluster key
+                // and the #cluster= guarantee (and with it SPJ planning)
+                // survives both INSERT INTO and INSERT OVERWRITE
+                val cluster = Snapshots.versions(spark, root).lastOption
+                  .flatMap(v => Snapshots.clusterOf(spark, root, v))
+                  .filter(data.columns.contains)
+                Snapshots.publish(spark, root, data,
+                  append = !overwrite, clusterBy = cluster)
+              }
             }
         }
     }
@@ -391,7 +400,8 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
     onBuild: SnapshotScan => Unit = _ => (),
     rowLevel: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   require(options.get("version") == null || options.get("timestampAsOf") == null,
     "options 'version' and 'timestampAsOf' are mutually exclusive")
   private var pushed: Array[Filter] = Array.empty
@@ -410,6 +420,40 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
   override def pushLimit(n: Int): Boolean =
     if (!rowLevel && pushed.isEmpty && n >= 0) { limitN = Some(n); true } else false
   override def isPartiallyPushed(): Boolean = true
+
+  private var topN: Option[(String, Boolean, Int)] = None
+
+  /** PARTIAL top-N pushdown from manifest stats: for an unfiltered
+    * `ORDER BY c LIMIT n`, sort files by their min (max for DESC),
+    * take the shortest prefix whose exact NON-NULL row counts cover n,
+    * and keep only files that can hold a value at-or-before the
+    * prefix's worst bound — plus every null-carrying file (either null
+    * ordering may rank them). Spark's own TopN still runs above the
+    * scan, so the pruning only has to never DROP a candidate row,
+    * which the ≥n-rows-within-bound argument guarantees. On a
+    * range/z-order-clustered 100 TB table, `ORDER BY ts DESC LIMIT
+    * 100` plans only the newest band's files. Refused under a pushed
+    * filter (the filter could eliminate the covering rows) — and a
+    * runtime (DPP) filter arriving later voids the prune the same way
+    * the limit prefix is voided.
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (rowLevel || pushed.nonEmpty || n < 0 || orders.length != 1) return false
+    val so = orders(0)
+    val c = so.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+    c.filter(tableSchema.fieldNames.contains) match {
+      case Some(name) =>
+        topN = Some((name,
+          so.direction() == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+          n))
+        true
+      case None => false
+    }
+  }
 
   /** Accept every filter for ADVISORY use (stats + parquet row-group
     * skipping) but return all of them as residual — Spark re-applies
@@ -634,7 +678,8 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
       new StatsAggScan(schema, rows, options.get("root"))
     case None =>
       val s = new SnapshotScan(tableSchema, required, pushed.toSeq, options,
-        limitN.filter(_ => pushed.isEmpty), rowLevel)
+        limitN.filter(_ => pushed.isEmpty), rowLevel,
+        topN.filter(_ => pushed.isEmpty))
       onBuild(s)
       s
   }
@@ -871,7 +916,8 @@ private[graft] object SnapshotScan {
 
 private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     filters: Seq[Filter], options: CaseInsensitiveStringMap,
-    limit: Option[Int] = None, rowLevel: Boolean = false)
+    limit: Option[Int] = None, rowLevel: Boolean = false,
+    topN: Option[(String, Boolean, Int)] = None)
     extends Scan with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -950,7 +996,9 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     val v = version.map(v => s" version=$v").getOrElse("") +
       timestampAsOf.map(t => s" asOf=$t").getOrElse("")
     s"graft-snapshot root=$root$v filters=[${filters.mkString(", ")}]" +
-      limit.map(n => s" limit=$n").getOrElse("")
+      limit.map(n => s" limit=$n").getOrElse("") +
+      topN.map { case (c, asc, n) =>
+        s" topN=$n by $c ${if (asc) "ASC" else "DESC"}" }.getOrElse("")
   }
 
   private def resolveVersion(spark: SparkSession): Int = {
@@ -1007,18 +1055,70 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     val rel = Snapshots.files(spark, root, v)
     val kept0 = pruneBy(spark, v, rel, filters)
     // unfiltered LIMIT n: plan only the prefix whose EXACT row counts
-    // cover n (see pushLimit) — sound only when every file has a count
-    val kept = limit match {
-      case Some(n) if filters.isEmpty =>
+    // cover n (see pushLimit) — sound only when every file has a count.
+    // unfiltered ORDER BY c LIMIT n: the stats-bounded top-N prune.
+    val kept = (limit, topN) match {
+      case (Some(n), _) if filters.isEmpty =>
         val rows = Snapshots.rowCountsOf(spark, root, v)
         if (!kept0.forall(rows.contains)) kept0
         else {
           var acc = 0L
           kept0.takeWhile { fl => val need = acc < n; acc += rows(fl); need }
         }
+      case (_, Some((c, asc, n))) if filters.isEmpty =>
+        topNPrune(spark, v, kept0, c, asc, n)
       case _ => kept0
     }
     (v, kept0, kept, rel.size)
+  }
+
+  /** Files that can contribute to the top `n` rows by `c` (ascending
+    * when `asc`). Sound bound: order files by their best-case value,
+    * take the shortest prefix whose exact non-null row counts reach n —
+    * every one of those ≥n rows is at-or-before the prefix's worst
+    * bound B, so no row beyond B can rank in the top n. Kept: files
+    * whose best value is at-or-before B, plus every null-carrying file
+    * (NULLS FIRST would rank them). Refused (all files kept) when any
+    * file lacks row counts or usable stats for `c`, or tags mix.
+    */
+  private def topNPrune(spark: SparkSession, v: Int, rel: Seq[String],
+      c: String, asc: Boolean, n: Int): Seq[String] = {
+    val stats = Snapshots.statsOf(spark, root, v)
+    val rows = Snapshots.rowCountsOf(spark, root, v)
+    if (!rel.forall(fl => rows.contains(fl) && stats.get(fl).exists(_.contains(c))))
+      return rel
+    final case class B(fl: String, tag: String, lo: Any, hi: Any,
+        nulls: Long, nonNull: Long)
+    val bounds =
+      try rel.map { fl =>
+        val s = stats(fl)(c)
+        if (s.tag == "allnull") B(fl, "allnull", null, null, s.nulls, 0L)
+        else B(fl, s.tag, SnapshotStats.decode(s.tag, s.min),
+          SnapshotStats.decode(s.tag, s.max), s.nulls,
+          math.max(0L, rows(fl) - s.nulls))
+      } catch { case scala.util.control.NonFatal(_) => return rel }
+    val nonNull = bounds.filter(_.tag != "allnull")
+    if (nonNull.map(_.tag).distinct.size > 1) return rel // mixed tags: refuse
+    if (nonNull.map(_.nonNull).sum < n) return rel // cannot bound: keep all
+    val tag = nonNull.headOption.map(_.tag).getOrElse(return rel)
+    def cmp(a: Any, b: Any) = SnapshotStats.decodedCompare(tag, a, b)
+    // best-case order: by min ASC, or by max DESC
+    val ordered =
+      if (asc) nonNull.sortWith((a, b) => cmp(a.lo, b.lo) < 0)
+      else nonNull.sortWith((a, b) => cmp(a.hi, b.hi) > 0)
+    var acc = 0L
+    val prefix = ordered.takeWhile { b => val need = acc < n; acc += b.nonNull; need }
+    if (prefix.isEmpty) // n == 0: only null-carrying files can matter
+      return rel.filter(fl => bounds.exists(b => b.fl == fl &&
+        (b.nulls > 0 || b.tag == "allnull")))
+    // worst value the covering prefix can contribute
+    val bound =
+      if (asc) prefix.map(_.hi).reduce((a, b) => SnapshotStats.decodedMax(tag, a, b))
+      else prefix.map(_.lo).reduce((a, b) => SnapshotStats.decodedMin(tag, a, b))
+    val keep = bounds.filter(b => b.nulls > 0 || b.tag == "allnull" ||
+      (if (asc) cmp(b.lo, bound) <= 0 else cmp(b.hi, bound) >= 0))
+      .map(_.fl).toSet
+    rel.filter(keep)
   }
 
   /** The cluster column and its per-key compile-time file groups, when
@@ -1038,7 +1138,8 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     // co-clustered joins but caps a plain full-table scan's parallelism
     // at the key cardinality — a full scan of a low-cardinality-keyed
     // table reads faster ungrouped
-    if (rowLevel || limit.isDefined || options.getBoolean("readChangeFeed", false)
+    if (rowLevel || limit.isDefined || topN.isDefined
+        || options.getBoolean("readChangeFeed", false)
         || !options.getBoolean("clusterPlanning", true)) None
     else {
       val spark = SparkSession.active

@@ -40,14 +40,18 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("no undeclared cartesian/nested-loop join in any audited plan") {
     val bad = Seq.newBuilder[String]
-    Plans.interesting.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sf)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode)
-      val n = "CartesianProduct|BroadcastNestedLoopJoin".r.findAllIn(plan).size
-      val allowed = declared.getOrElse(name, 0)
-      if (n > allowed)
-        bad += s"$name: $n nested-loop/cartesian nodes (declared $allowed)"
+    // snapshot-tier builders delete/re-publish deterministic scratch
+    // roots, so walking them must not overlap QueriesSpec's walk
+    SparkTestEnv.queryWalkLock.synchronized {
+      Plans.interesting.foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+        val n = "CartesianProduct|BroadcastNestedLoopJoin".r.findAllIn(plan).size
+        val allowed = declared.getOrElse(name, 0)
+        if (n > allowed)
+          bad += s"$name: $n nested-loop/cartesian nodes (declared $allowed)"
+      }
     }
     val violations = bad.result()
     assert(violations.isEmpty, violations.mkString("\n"))

@@ -6,6 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkTestEnv {
   lazy val spark: SparkSession = SparkEnv.session("graft-test", cores = 4)
   val sf = "/root/testdata/sf0.001"
+
+  /** Suites that WALK the full query registry (QueriesSpec,
+    * PlanAuditSpec) serialize on this: snapshot-tier builders delete and
+    * re-publish their deterministic scratch roots, so two concurrent
+    * walks of the SAME query race each other's files (sbt runs suites in
+    * parallel). Suites touching only read-only or build-locked-artifact
+    * queries need no lock.
+    */
+  val queryWalkLock = new Object
 }
 
 /** Smoke + invariant tests for every registered query at sf0.001.
@@ -16,18 +25,22 @@ class QueriesSpec extends AnyFunSuite {
   import SparkTestEnv._
 
   test("all queries run and are non-empty at sf0.001") {
-    SparkEntry.allQueries.foreach { q =>
-      val df = q.run(spark, sf)
-      val n = df.count()
-      assert(n > 0, s"${q.name} returned 0 rows")
+    SparkTestEnv.queryWalkLock.synchronized {
+      SparkEntry.allQueries.foreach { q =>
+        val df = q.run(spark, sf)
+        val n = df.count()
+        assert(n > 0, s"${q.name} returned 0 rows")
+      }
     }
   }
 
   test("every oracle-checked query has matching column names (lowercase, sorted)") {
-    SparkEntry.allQueries.filter(_.oracle.isDefined).foreach { q =>
-      val cols = q.run(spark, sf).columns.toSeq
-      assert(cols.map(_.toLowerCase).distinct.size == cols.size,
-        s"${q.name} has duplicate/ambiguous column names: $cols")
+    SparkTestEnv.queryWalkLock.synchronized {
+      SparkEntry.allQueries.filter(_.oracle.isDefined).foreach { q =>
+        val cols = q.run(spark, sf).columns.toSeq
+        assert(cols.map(_.toLowerCase).distinct.size == cols.size,
+          s"${q.name} has duplicate/ambiguous column names: $cols")
+      }
     }
   }
 

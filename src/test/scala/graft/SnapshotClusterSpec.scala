@@ -305,6 +305,41 @@ class SnapshotClusterSpec extends AnyFunSuite {
     assert(opted.count() == 3)
   }
 
+  test("SQL INSERT preserves a clustered table's layout") {
+    val wh = freshRoot("inswh")
+    spark.conf.set("spark.sql.catalog.cluscat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cluscat.warehouse", wh)
+    Snapshots.publish(spark, s"$wh/ct",
+      orders.select("o_orderkey", "o_orderpriority")
+        .filter(col("o_orderkey") % 2 === 0),
+      clusterBy = Some("o_orderpriority"))
+    spark.sql(
+      """INSERT INTO cluscat.ct
+        |SELECT o_orderkey, o_orderpriority FROM cluscat.ct LIMIT 0""".stripMargin)
+    // real append through the catalog: register the odd half as a view
+    orders.select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") % 2 === 1).createOrReplaceTempView("odd_half")
+    spark.sql("INSERT INTO cluscat.ct SELECT * FROM odd_half")
+    val head = Snapshots.versions(spark, s"$wh/ct").last
+    assert(Snapshots.clusterOf(spark, s"$wh/ct", head).contains("o_orderpriority"),
+      "INSERT INTO must keep the cluster header")
+    assert(spark.sql("SELECT count(*) FROM cluscat.ct").head.getLong(0) ==
+      orders.count())
+    // and the appended head still plans shuffle-free
+    val agg = spark.read.format("graft-snapshot").option("root", s"$wh/ct").load()
+      .groupBy("o_orderpriority").agg(sum("o_orderkey").as("s"))
+    assert(shuffles(agg) == 0)
+    // INSERT OVERWRITE keeps it too (static plan — the V1 bridge's mode)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try spark.sql("INSERT OVERWRITE cluscat.ct SELECT * FROM odd_half")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    val head2 = Snapshots.versions(spark, s"$wh/ct").last
+    assert(Snapshots.clusterOf(spark, s"$wh/ct", head2).contains("o_orderpriority"),
+      "INSERT OVERWRITE must keep the cluster header")
+  }
+
   test("forced clusterBy on a naturally clustered layout works without a header") {
     val root = freshRoot("nat")
     // per-key appends: every file holds one status by construction even

@@ -772,4 +772,52 @@ class SnapshotSourceSpec extends AnyFunSuite {
       assert(spark.table("dsv2_tail").count() == fresh.count())
     } finally q.stop()
   }
+
+  test("top-N pushdown: ORDER BY LIMIT over a range-clustered table prunes files") {
+    val root = freshRoot("topn")
+    Snapshots.publish(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+    val total = Snapshots.files(spark, root, 1).size
+    assert(total == 8)
+    def expectKeys(df: DataFrame) = df.collect().map(_.getAs[Long]("o_orderkey")).toSeq
+
+    val asc = readSource(root).orderBy(col("o_orderkey")).limit(5)
+    assert(plannedFiles(asc).size < total,
+      s"ASC top-N must prune, planned ${plannedFiles(asc).size}/$total")
+    assert(expectKeys(asc) ==
+      orders.orderBy(col("o_orderkey")).limit(5).collect()
+        .map(_.getAs[Long]("o_orderkey")).toSeq)
+
+    val desc = readSource(root).orderBy(col("o_orderkey").desc).limit(3)
+    assert(plannedFiles(desc).size < total, "DESC top-N must prune")
+    assert(expectKeys(desc) ==
+      orders.orderBy(col("o_orderkey").desc).limit(3).collect()
+        .map(_.getAs[Long]("o_orderkey")).toSeq)
+
+    // a filter voids the prune (the covering-prefix argument needs every
+    // row); results still exact
+    val filtered = readSource(root).filter(col("o_orderkey") % 2 === 0)
+      .orderBy(col("o_orderkey")).limit(5)
+    assert(expectKeys(filtered) ==
+      orders.filter(col("o_orderkey") % 2 === 0).orderBy(col("o_orderkey"))
+        .limit(5).collect().map(_.getAs[Long]("o_orderkey")).toSeq)
+  }
+
+  test("top-N pushdown keeps every null-carrying file") {
+    val root = freshRoot("topn-nulls")
+    // band 0 holds ONLY nulls for the sort key; bands 1..3 are ranged
+    val df = orders.withColumn("maybe_key",
+      when(col("o_orderkey") % 4 === 0, lit(null).cast("long"))
+        .otherwise(col("o_orderkey")))
+    Snapshots.publish(spark, root,
+      df.repartitionByRange(4, col("maybe_key")).sortWithinPartitions("maybe_key"))
+    val got = readSource(root).orderBy(col("maybe_key")).limit(7).collect()
+      .map(r => Option(r.getAs[java.lang.Long]("maybe_key")).map(_.toLong)).toSeq
+    val expect = df.orderBy(col("maybe_key")).limit(7).collect()
+      .map(r => Option(r.getAs[java.lang.Long]("maybe_key")).map(_.toLong)).toSeq
+    // default ASC = NULLS FIRST: the top rows are the null band — they
+    // must survive the prune
+    assert(got == expect)
+    assert(got.head.isEmpty, "expected nulls first")
+  }
 }
