@@ -353,10 +353,11 @@ object Snapshots {
     * race the id check).
     */
   def publishStreamBatch(spark: SparkSession, root: String, batch: DataFrame,
-      batchId: Long, append: Boolean = true): Option[Int] =
+      batchId: Long, append: Boolean = true,
+      clusterBy: Option[String] = None): Option[Int] =
     if (lastBatchId(spark, root).exists(_ >= batchId)) None
     else Some(publish(spark, root, batch, append = append,
-      extraHeader = Seq(s"$BATCH_HEADER$batchId")))
+      extraHeader = Seq(s"$BATCH_HEADER$batchId"), clusterBy = clusterBy))
 
   /** Write `df` into a fresh immutable `data/<uuid>/` dir; returns the
     * relative dir and its file list. An empty frame may produce zero

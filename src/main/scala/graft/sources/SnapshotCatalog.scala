@@ -269,6 +269,16 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       Seq(Array(Snapshots.publish(spark, root, Snapshots.read(spark, root),
         clusterBy = Some(str(in, 1))): Any))
     },
+    // multi-dimensional layout: rewrite the head z-ordered on the given
+    // columns (comma-separated) so range predicates on ANY of them skip
+    // files through the footer stats
+    proc("zorder", Seq("table" -> StringType, "columns" -> StringType,
+      "target_bytes" -> LongType),
+      StructType(Seq(StructField("version", IntegerType, nullable = false)))) { in =>
+      val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      Seq(Array(Snapshots.compact(spark, tableRoot(str(in, 0)),
+        targetBytes = in.getLong(2), zorderBy = cols): Any))
+    },
     proc("history", Seq("table" -> StringType), historySchema) { in =>
       val df = Snapshots.describeHistory(spark, tableRoot(str(in, 0)))
       // bounded: one row per retained version

@@ -144,8 +144,15 @@ private[graft] class SnapshotStreamSink(root: String, complete: Boolean)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = org.apache.spark.sql.graftbridge.SessionBridge.rebatch(data)
-    Snapshots.publishStreamBatch(batch.sparkSession, root, batch, batchId,
-      append = !complete)
+    val spark = batch.sparkSession
+    // a key-clustered destination KEEPS its layout: each micro-batch
+    // shuffles onto the cluster key, so the #cluster= guarantee (and
+    // storage-partitioned planning) survives continuous ingest
+    val cluster = Snapshots.versions(spark, root).lastOption
+      .flatMap(v => Snapshots.clusterOf(spark, root, v))
+      .filter(batch.columns.contains)
+    Snapshots.publishStreamBatch(spark, root, batch, batchId,
+      append = !complete, clusterBy = cluster)
   }
   override def toString: String = s"SnapshotStreamSink($root)"
 }

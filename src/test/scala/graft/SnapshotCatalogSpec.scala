@@ -225,6 +225,15 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     val agg = spark.sql(
       "SELECT o_orderpriority, count(*) AS n FROM snapcat.p2 GROUP BY 1")
     assert(agg.collect().map(_.getLong(1)).sum == orders.count())
+    // zorder: multi-dimensional rewrite via CALL; history still travels
+    val v4 = spark.sql(
+      "CALL snapcat.sys.zorder('p2', 'o_orderkey,o_custkey', 1048576)")
+      .head.getInt(0)
+    assert(v4 == 4)
+    assert(spark.sql("SELECT count(*) FROM snapcat.p2").head.getLong(0) ==
+      orders.count())
+    assert(spark.sql("SELECT count(*) FROM snapcat.p2 VERSION AS OF 1")
+      .head.getLong(0) == orders.count())
     // an unknown procedure fails resolution (Spark wraps the catalog's
     // message, which names the available procedures, as the cause)
     val e = intercept[Exception] {

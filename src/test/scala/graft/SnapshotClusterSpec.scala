@@ -340,6 +340,35 @@ class SnapshotClusterSpec extends AnyFunSuite {
       "INSERT OVERWRITE must keep the cluster header")
   }
 
+  test("the streaming sink preserves a clustered destination's layout") {
+    val src = freshRoot("streamsrc")
+    val dst = freshRoot("streamdst")
+    val ck = java.nio.file.Files.createTempDirectory("graft-cluster-ck").toString
+    val half1 = orders.select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") % 2 === 0)
+    val half2 = orders.select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") % 2 === 1)
+    Snapshots.publish(spark, src, half1)
+    // destination starts clustered; the stream must keep it that way
+    Snapshots.publish(spark, dst, half1, clusterBy = Some("o_orderpriority"))
+    val q = spark.readStream.format("graft-snapshot").option("root", src)
+      .option("startingVersion", "latest").load()
+      .writeStream.format("graft-snapshot").option("root", dst)
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      Snapshots.publish(spark, src, half2, append = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    val head = Snapshots.versions(spark, dst).last
+    assert(head >= 2)
+    assert(Snapshots.clusterOf(spark, dst, head).contains("o_orderpriority"),
+      "streamed appends must keep the cluster header")
+    val agg = readSource(dst).groupBy("o_orderpriority").agg(sum("o_orderkey").as("s"))
+    assert(shuffles(agg) == 0)
+    assert(readSource(dst).count() == orders.count())
+  }
+
   test("forced clusterBy on a naturally clustered layout works without a header") {
     val root = freshRoot("nat")
     // per-key appends: every file holds one status by construction even
