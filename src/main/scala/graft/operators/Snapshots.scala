@@ -97,14 +97,55 @@ object Snapshots {
       .sorted
   }
 
-  private def manifestLines(spark: SparkSession, root: String, version: Int): List[String] = {
+  /** One cached manifest: its lines plus lazily-parsed derived views, so
+    * repeated planning steps (file list, stats pruning, row/byte counts)
+    * neither re-read NOR re-parse. Immutable once built — the cache key
+    * carries the on-disk (length, mtime) stamp.
+    */
+  private final class Manifest(val lines: List[String]) {
+    lazy val stats: Map[String, Map[String, SnapshotStats.ColStats]] =
+      SnapshotStats.parse(lines)
+    lazy val rows: Map[String, Long] = SnapshotStats.parseRows(lines)
+    lazy val bytes: Map[String, Long] = SnapshotStats.parseBytes(lines)
+  }
+
+  /** Committed manifests are immutable (atomic-rename commit, never
+    * rewritten), so their parse is cacheable across queries — at 10⁶
+    * files a manifest is ~100 MB of driver text, and planning touches it
+    * several times per query (prune, stats, partition sizing). The cache
+    * validates against the file's (length, mtime) stamp with ONE
+    * getFileStatus, so a wiped-and-recreated root (tests, manual resets)
+    * can never serve stale lines. Crude size bound: a full clear beyond
+    * 256 entries — entries are per (path, stamp), correctness never
+    * depends on retention.
+    */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Manifest]()
+
+  private def manifest(spark: SparkSession, root: String, version: Int): Manifest = {
     val f = fs(spark, root)
     val p = manifestPath(root, version)
-    require(f.exists(p), s"snapshot v$version does not exist under $root")
+    val st =
+      try f.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"requirement failed: snapshot v$version does not exist under $root")
+      }
+    val key = (p.toString, st.getLen, st.getModificationTime)
+    val cached = manifestCache.get(key)
+    if (cached != null) return cached
     val in = f.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    val m = new Manifest(lines)
+    if (manifestCache.size > 256) manifestCache.clear()
+    manifestCache.put(key, m)
+    m
   }
+
+  private def manifestLines(spark: SparkSession, root: String, version: Int): List[String] =
+    manifest(spark, root, version).lines
 
   /** The file list (relative paths) a version resolves to. */
   def files(spark: SparkSession, root: String, version: Int): Seq[String] =
@@ -1192,7 +1233,7 @@ object Snapshots {
   def filesWhere(spark: SparkSession, root: String, version: Int,
       ranges: Map[String, (Any, Any)]): Seq[String] = {
     require(ranges.nonEmpty, "filesWhere needs at least one column range")
-    val stats = SnapshotStats.parse(statsLinesOf(spark, root, version))
+    val stats = statsOf(spark, root, version)
     files(spark, root, version).filter { fl =>
       ranges.forall { case (column, (lo, hi)) =>
         stats.get(fl).flatMap(_.get(column)) match {
@@ -1209,14 +1250,14 @@ object Snapshots {
     */
   def statsOf(spark: SparkSession, root: String,
       version: Int): Map[String, Map[String, SnapshotStats.ColStats]] =
-    SnapshotStats.parse(statsLinesOf(spark, root, version))
+    manifest(spark, root, version).stats
 
   /** A version's parsed per-file exact row counts (`#rows=` lines) — the
     * metadata behind [[countRows]] and the DSv2 source's limit pushdown.
     */
   def rowCountsOf(spark: SparkSession, root: String,
       version: Int): Map[String, Long] =
-    SnapshotStats.parseRows(statsLinesOf(spark, root, version))
+    manifest(spark, root, version).rows
 
   /** A version's parsed per-file byte lengths (`#bytes=` lines) — the
     * manifest-resident sizing metadata behind plan-time statistics and
@@ -1225,7 +1266,7 @@ object Snapshots {
     */
   def byteCountsOf(spark: SparkSession, root: String,
       version: Int): Map[String, Long] =
-    SnapshotStats.parseBytes(statsLinesOf(spark, root, version))
+    manifest(spark, root, version).bytes
 
   /** Total bytes of a version's `rel` files: manifest `#bytes=` lines
     * when present (zero per-file FS RPCs), `getFileStatus` only for
@@ -1304,7 +1345,7 @@ object Snapshots {
   /** The file subset [[readPoint]] plans over (exposed for audits). */
   def pointFiles(spark: SparkSession, root: String, version: Int,
       column: String, values: Seq[Any]): Seq[String] = {
-    val stats = SnapshotStats.parse(statsLinesOf(spark, root, version))
+    val stats = statsOf(spark, root, version)
     val rangeKept = files(spark, root, version).filter { fl =>
       stats.get(fl).flatMap(_.get(column)) match {
         case Some(cs) => values.exists(x => SnapshotStats.overlaps(cs, x, x))
@@ -1344,7 +1385,7 @@ object Snapshots {
     val v = version.getOrElse(vs.last)
     if (dvLinesOf(spark, root, v).nonEmpty) return None // deleted rows skew bounds
     val fl = files(spark, root, v)
-    val stats = SnapshotStats.parse(statsLinesOf(spark, root, v))
+    val stats = statsOf(spark, root, v)
     val per = fl.map(f => stats.get(f).flatMap(_.get(column)))
     if (per.exists(_.isEmpty)) return None
     val cs = per.flatten
