@@ -178,6 +178,27 @@ object Snapshots {
     manifestLines(spark, root, version).find(_.startsWith(CLUSTER_HEADER))
       .map(_.drop(CLUSTER_HEADER.length)).filter(_.nonEmpty)
 
+  /** The base version's cluster header, as manifest lines for a
+    * follow-on commit that PRESERVES the layout (same file list, or
+    * replacement files proven/constructed single-valued).
+    */
+  private def clusterHeaderOf(spark: SparkSession, root: String,
+      version: Int): Seq[String] =
+    clusterOf(spark, root, version).map(c => s"$CLUSTER_HEADER$c").toSeq
+
+  /** Does every file in `listed` prove single-valued for `c` under the
+    * given stats lines? The condition for a rewrite commit to carry the
+    * base's `#cluster=` header when the replacement files were written
+    * outside the clustered write path (the DSv2 row-level operation's
+    * executor writes).
+    */
+  private def provenClustered(c: String, listed: Seq[String],
+      statsLines: Seq[String]): Boolean = {
+    val stats = SnapshotStats.parse(statsLines)
+    listed.forall(fl => stats.get(fl).flatMap(_.get(c)).exists(cs =>
+      cs.tag == "allnull" || (cs.nulls == 0 && cs.min == cs.max)))
+  }
+
   /** A version's raw `#dv=` header lines — outstanding merge-on-read
     * delete vectors (see [[deleteByKey]]); they travel across
     * append-publishes and rollbacks until materialized.
@@ -409,13 +430,17 @@ object Snapshots {
       bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None): (String, Seq[String]) = {
     val dataDir = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     // clustered layout: one shuffle on the key routes every value to one
-    // task, and the directory-split write (partitionBy on a DUPLICATE of
-    // the column) emits one file per value — the data column itself stays
-    // in the files, so readers need no partition-dir reconstruction and
-    // footer stats prove min==max per file
+    // task, and the directory-split write (partitionBy on a hex DIGEST of
+    // the column — URI-safe for any value of any type, where raw values
+    // would URL-escape into %-names that string-path reads re-decode)
+    // emits one file set per value. The data column itself stays in the
+    // files, so readers derive the key from footer stats (min==max per
+    // file), never from the directory name.
     val toWrite = clusterBy match {
-      case Some(c) => df.withColumn(ClusterDirCol, org.apache.spark.sql.functions.col(c))
-        .repartition(org.apache.spark.sql.functions.col(c))
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{coalesce, col, lit, md5}
+        df.withColumn(ClusterDirCol, coalesce(md5(col(c).cast("string")), lit("null")))
+          .repartition(col(c))
       case None => df
     }
     // INT64-micros timestamps, NOT Spark's legacy INT96 default: INT96
@@ -483,8 +508,17 @@ object Snapshots {
     require(removed.forall(known),
       s"rewrite removes files v$v does not list: ${removed.filterNot(known).take(3).mkString(", ")}")
     val keptStats = statsLinesOf(spark, root, v).filterNot(l => removed(statsLineFile(l)))
-    commit(fs(spark, root), root, v + 1, rel.filterNot(removed) ++ added,
-      schemaOf(spark, root, v), keptStats ++ SnapshotStats.collect(spark, root, added))
+    val allStats = keptStats ++ SnapshotStats.collect(spark, root, added)
+    val listed = rel.filterNot(removed) ++ added
+    // the executors wrote `added` outside the clustered write path, so a
+    // clustered base carries its header only when the fresh footer stats
+    // PROVE every listed file still single-valued (a narrow rewrite that
+    // touched one key's file usually does; a re-mixing one drops it)
+    val cluster = clusterOf(spark, root, v)
+      .filter(c => provenClustered(c, listed, allStats))
+    commit(fs(spark, root), root, v + 1, listed,
+      schemaOf(spark, root, v),
+      cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++ allStats)
   }
 
   /** Metadata-only schema change (SQL `ALTER TABLE ADD/DROP COLUMNS`):
@@ -897,8 +931,17 @@ object Snapshots {
     val nFiles = math.max(minFiles,
       math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val base = read(spark, root, Some(v))
+    // a KEY-CLUSTERED table compacts within its layout: the rewrite goes
+    // through the clustered publish (one file set per key — exactly what
+    // a streaming-ingested clustered table needs, its per-batch file
+    // fan-out collapsing back to one file per key) and the header
+    // survives. An explicit zorderBy re-mixes and takes precedence.
+    val cluster =
+      if (zorderBy.nonEmpty) None
+      else clusterOf(spark, root, v).filter(base.columns.contains)
     val rewritten =
-      if (zorderBy.isEmpty) base.repartition(nFiles)
+      if (cluster.isDefined) base
+      else if (zorderBy.isEmpty) base.repartition(nFiles)
       else {
         // Z-ORDER rewrite (same layout reasoning as Compact.merge's
         // zorderBy): range-partition by CONTIGUOUS z-range then sort
@@ -908,7 +951,7 @@ object Snapshots {
         val zExpr = ZOrder.curve(base, zorderBy)
         base.repartitionByRange(nFiles, zExpr).sortWithinPartitions(zExpr)
       }
-    publish(spark, root, rewritten)
+    publish(spark, root, rewritten, clusterBy = cluster)
   }
 
   /** MERGE a delta into the snapshot table and publish the result as a
@@ -962,7 +1005,8 @@ object Snapshots {
     // an empty delta is a no-op merge: publish the same file list rather
     // than writing a (possibly zero-file) data dir nobody references
     if (delta.isEmpty)
-      return commit(f, root, v + 1, rel, schema, statsLinesOf(spark, root, v))
+      return commit(f, root, v + 1, rel, schema,
+        clusterHeaderOf(spark, root, v) ++ statsLinesOf(spark, root, v))
     val upserts = tombstoneCol.fold(delta)(tc =>
       delta.filter(!coalesce(col(tc), lit(false))).drop(tc))
 
@@ -998,7 +1042,7 @@ object Snapshots {
         .join(deltaKeys, keyCols, "left_semi")
         // normalize reader URIs (file:///x vs file:/x) to the manifest's
         // relative form: data files always live at data/<uuid>/<name>
-        .select(regexp_extract(col("__file"), "data/[^/]+/[^/]+$", 0).as("__file"))
+        .select(regexp_extract(col("__file"), "data/[^/]+(?:/[^/]+)?/[^/]+$", 0).as("__file"))
         .distinct().collect().map(_.getString(0)).toSet
     require(touched.forall(_.nonEmpty),
       s"could not relativize a scanned file path under $root/data — layout violation")
@@ -1008,13 +1052,18 @@ object Snapshots {
       else readFiles(spark, root, touched.toSeq.sorted, schema, s"v$v touched")
         .join(deltaKeys, keyCols, "left_anti")
     val merged = survivors.unionByName(upserts, allowMissingColumns = true)
-    val (_, newFiles) = writeData(f, root, merged)
+    // a clustered base KEEPS its layout: replacement rows write through
+    // the clustered path (single-valued files by construction), so the
+    // header — and storage-partitioned planning — survives the MERGE
+    val cluster = clusterOf(spark, root, v).filter(merged.columns.contains)
+    val (_, newFiles) = writeData(f, root, merged, clusterBy = cluster)
     val mergedSchema = schema.map(unionMerge(_, upserts.schema)).getOrElse(
       StructType(merged.schema.fields))
     // untouched files keep their stats lines; rewritten files get fresh ones
     val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
     commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, Some(mergedSchema),
-      keptStats ++ SnapshotStats.collect(spark, root, newFiles))
+      cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        keptStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
 
   /** Row-level DELETE by predicate, copy-on-write: rows where `predicate`
@@ -1107,18 +1156,22 @@ object Snapshots {
       if (candidates.isEmpty) Set.empty
       else readFiles(spark, root, candidates, schema, s"v$v candidates")
         .filter(coalesce(predicate, lit(false)))
-        .select(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0).as("__file"))
+        .select(regexp_extract(input_file_name(), "data/[^/]+(?:/[^/]+)?/[^/]+$", 0).as("__file"))
         .distinct().collect().map(_.getString(0)).toSet
     require(touched.forall(_.nonEmpty),
       s"could not relativize a scanned file path under $root/data — layout violation")
     if (touched.isEmpty)
-      return commit(f, root, v + 1, rel, schema, statsLinesOf(spark, root, v))
+      return commit(f, root, v + 1, rel, schema,
+        clusterHeaderOf(spark, root, v) ++ statsLinesOf(spark, root, v))
     val rewritten = rewrite(
       readFiles(spark, root, touched.toSeq.sorted, schema, s"v$v touched"))
-    val (_, newFiles) = writeData(f, root, rewritten)
+    // a clustered base keeps its layout: replacements re-cluster on write
+    val cluster = clusterOf(spark, root, v).filter(rewritten.columns.contains)
+    val (_, newFiles) = writeData(f, root, rewritten, clusterBy = cluster)
     val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
     commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, schema,
-      keptStats ++ SnapshotStats.collect(spark, root, newFiles))
+      cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        keptStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
 
   /** MERGE-ON-READ delete: remove every row whose key appears in `keys`
@@ -1166,7 +1219,7 @@ object Snapshots {
     // the line (not derived from the log) so it survives expire()
     val newDvLines = dvFiles.map(p => s"$DV_HEADER$p\t${kc.mkString(",")}\t${v + 1}")
     commit(f, root, v + 1, files(spark, root, v), schemaOf(spark, root, v),
-      newDvLines ++ carried)
+      clusterHeaderOf(spark, root, v) ++ newDvLines ++ carried)
   }
 
   /** Physically apply a version's outstanding delete vectors: rewrite
@@ -1199,7 +1252,7 @@ object Snapshots {
       else {
         val base = readFiles(spark, root, fls.sorted, schema, s"v$v seq$seq")
           .withColumn("__file",
-            regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0))
+            regexp_extract(input_file_name(), "data/[^/]+(?:/[^/]+)?/[^/]+$", 0))
         applicable.groupBy(_.keyCols).map { case (kc, ds) =>
           base.join(keysOf(ds, kc.toSeq), kc.toSeq, "left_semi")
             .select("__file").distinct().collect().map(_.getString(0)).toSet
@@ -1209,7 +1262,8 @@ object Snapshots {
     require(touched.forall(_.nonEmpty),
       s"could not relativize a scanned file path under $root/data — layout violation")
     if (touched.isEmpty) // dvs deleted nothing: drop them, share every file
-      return commit(f, root, v + 1, rel, schema, statsLinesOf(spark, root, v))
+      return commit(f, root, v + 1, rel, schema,
+        clusterHeaderOf(spark, root, v) ++ statsLinesOf(spark, root, v))
     // survivors of the touched files, dv-applied with the same sequence rule
     val rewritten = groups.flatMap { case (seq, fls) =>
       val mine = fls.filter(touched).sorted
@@ -1219,10 +1273,13 @@ object Snapshots {
         case (df, (kc, ds)) => df.join(keysOf(ds, kc.toSeq), kc.toSeq, "left_anti")
       })
     }.reduce(_.unionByName(_))
-    val (_, newFiles) = writeData(f, root, rewritten)
+    // a clustered base keeps its layout: dv-applied survivors re-cluster
+    val cluster = clusterOf(spark, root, v).filter(rewritten.columns.contains)
+    val (_, newFiles) = writeData(f, root, rewritten, clusterBy = cluster)
     val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
     commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, schema,
-      keptStats ++ SnapshotStats.collect(spark, root, newFiles))
+      cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        keptStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
 
   /** The subset of a version's files whose footer stats ADMIT rows

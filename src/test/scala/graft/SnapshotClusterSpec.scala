@@ -369,6 +369,79 @@ class SnapshotClusterSpec extends AnyFunSuite {
     assert(readSource(dst).count() == orders.count())
   }
 
+  test("copy-on-write operations preserve the clustered layout") {
+    val root = freshRoot("cow")
+    val base = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    Snapshots.publish(spark, root, base, clusterBy = Some("o_orderpriority"))
+    def assertClustered(v: Int): Unit = {
+      assert(Snapshots.clusterOf(spark, root, v).contains("o_orderpriority"),
+        s"v$v lost the cluster header")
+      val stats = Snapshots.statsOf(spark, root, v)
+      Snapshots.files(spark, root, v).foreach { fl =>
+        val cs = stats(fl)("o_orderpriority")
+        assert(cs.tag == "allnull" || (cs.nulls == 0 && cs.min == cs.max),
+          s"v$v file $fl is not single-valued")
+      }
+    }
+    // MERGE: update a band, delete a band, insert fresh keys
+    val kmod = col("o_orderkey") % 11
+    val delta = base.filter(kmod === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .withColumn("__del", lit(false))
+      .unionByName(base.filter(kmod === 1).withColumn("__del", lit(true)))
+    val v2 = Snapshots.mergeByKey(spark, root, delta,
+      keyCols = Seq("o_orderkey"), tombstoneCol = Some("__del"))
+    assertClustered(v2)
+    assert(Snapshots.read(spark, root).count() ==
+      base.filter(kmod =!= 1).count())
+    // DELETE by predicate
+    val v3 = Snapshots.deleteWhere(spark, root, col("o_orderkey") % 11 === 2)
+    assertClustered(v3)
+    // UPDATE by predicate
+    val v4 = Snapshots.updateWhere(spark, root, col("o_orderkey") % 11 === 3,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)))
+    assertClustered(v4)
+    // compact collapses the accumulated per-key file fan-out back to one
+    // file set per key, layout intact
+    val v5 = Snapshots.compact(spark, root)
+    assertClustered(v5)
+    val distinct = base.select("o_orderpriority").distinct().count()
+    assert(Snapshots.files(spark, root, v5).size == distinct)
+    // the whole history of mutations still plans shuffle-free
+    val agg = readSource(root).groupBy("o_orderpriority")
+      .agg(sum("o_totalprice").as("t"))
+    assert(shuffles(agg) == 0)
+    // and the rows are right: replay the mutations relationally
+    val expect = base.filter(kmod =!= 1).filter(col("o_orderkey") % 11 =!= 2)
+      .withColumn("o_totalprice",
+        when(kmod === 0, col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 11 === 3, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    val got = Snapshots.read(spark, root)
+      .agg(count(lit(1)), sum(col("o_totalprice")).cast("decimal(20,2)")).head
+    val want = expect.agg(count(lit(1)), sum(col("o_totalprice")).cast("decimal(20,2)")).head
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getDecimal(1).compareTo(want.getDecimal(1)) == 0)
+  }
+
+  test("merge-on-read deletes carry the header; materialize re-clusters") {
+    val root = freshRoot("mor")
+    val base = orders.select("o_orderkey", "o_orderpriority")
+    Snapshots.publish(spark, root, base, clusterBy = Some("o_orderpriority"))
+    import spark.implicits._
+    val doomed = base.filter(col("o_orderkey") % 7 === 0)
+      .select("o_orderkey").as[Long].collect().toSeq
+    val v2 = Snapshots.deleteByKey(spark, root, doomed.toDF("o_orderkey"))
+    assert(Snapshots.clusterOf(spark, root, v2).contains("o_orderpriority"),
+      "a dv commit shares every data file — the header must survive")
+    val v3 = Snapshots.materializeDeletes(spark, root)
+    assert(Snapshots.clusterOf(spark, root, v3).contains("o_orderpriority"))
+    assert(readSource(root).count() == base.count() - doomed.size)
+    val agg = readSource(root).groupBy("o_orderpriority").agg(sum("o_orderkey").as("s"))
+    assert(shuffles(agg) == 0)
+  }
+
   test("forced clusterBy on a naturally clustered layout works without a header") {
     val root = freshRoot("nat")
     // per-key appends: every file holds one status by construction even
