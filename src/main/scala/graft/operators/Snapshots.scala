@@ -868,8 +868,11 @@ object Snapshots {
         if (children.isEmpty) st.getModificationTime < cutoff
         else children.forall { c =>
           val n = c.getPath.getName
-          c.isFile && (n.startsWith("_") || n.startsWith(".")) &&
-            c.getModificationTime < cutoff
+          val aged = c.getModificationTime < cutoff
+          // a clustered publish nests `__cluster=<digest>/` subdirs; one
+          // the file sweep drained counts as debris like a hidden marker
+          (c.isFile && (n.startsWith("_") || n.startsWith(".")) && aged) ||
+            (c.isDirectory && aged && f.listStatus(c.getPath).isEmpty)
         }
       }
       .foreach(st => f.delete(st.getPath, true))
