@@ -366,10 +366,42 @@ private[sources] class SnapshotRowLevelOperation(tableSchema: StructType,
 private[sources] class SnapshotReplaceDataWrite(root: String,
     writeSchema: StructType, op: SnapshotRowLevelOperation)
     extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.BatchWrite {
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.graftbridge.ParquetWriteBridge
 
   private val dataDir = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+
+  /** A key-clustered base asks the rewrite for a clustered distribution
+    * and a within-task ordering on the cluster column, and the writers
+    * roll to a new file on every key change — replacement files come out
+    * single-valued BY CONSTRUCTION, so the commit's footer-stats proof
+    * succeeds and the `#cluster=` layout (with its storage-partitioned
+    * planning) survives SQL UPDATE / MERGE INTO unconditionally.
+    */
+  private val cluster: Option[String] =
+    try {
+      val spark = SparkSession.active
+      Snapshots.versions(spark, root).lastOption
+        .flatMap(v => Snapshots.clusterOf(spark, root, v))
+        .filter(c => writeSchema.fieldNames.contains(c))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    cluster match {
+      case Some(c) => org.apache.spark.sql.connector.distributions.Distributions
+        .clustered(Array(Expressions.identity(c)))
+      case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    cluster match {
+      case Some(c) => Array(Expressions.sort(Expressions.identity(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case None => Array.empty
+    }
 
   override def description(): String = s"graft-snapshot CoW rewrite root=$root"
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
@@ -377,13 +409,14 @@ private[sources] class SnapshotReplaceDataWrite(root: String,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    ParquetWriteBridge.writerFactory(SparkSession.active, writeSchema, s"$root/$dataDir")
+    ParquetWriteBridge.writerFactory(SparkSession.active, writeSchema,
+      s"$root/$dataDir", rollOn = cluster)
 
   override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val added = messages.collect {
-      case ParquetWriteBridge.WrittenFile(n, _) if n != null => s"$dataDir/$n"
-    }.toSeq.sorted
+      case ParquetWriteBridge.WrittenFiles(ns, _) => ns.map(n => s"$dataDir/$n")
+    }.flatten.toSeq.sorted
     val (version, removed) = op.scans match {
       case s :: Nil => s.lastPlanned.getOrElse(throw new IllegalStateException(
         "row-level write committed before its scan planned any files — " +

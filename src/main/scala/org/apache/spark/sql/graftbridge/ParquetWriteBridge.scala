@@ -27,19 +27,28 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object ParquetWriteBridge {
 
-  /** One written file: `name` is the file name within the target dir. */
-  case class WrittenFile(name: String, rows: Long) extends WriterCommitMessage
+  /** The files one task wrote (several when the task rolls per cluster
+    * key), with its total row count.
+    */
+  case class WrittenFiles(names: Seq[String], rows: Long) extends WriterCommitMessage
 
-  /** A serializable factory writing rows of `schema` into `dirUri`. */
+  /** A serializable factory writing rows of `schema` into `dirUri`.
+    * `rollOn = Some(col)` starts a NEW file whenever the column's value
+    * changes between consecutive rows — with a clustered distribution
+    * and an ordering on the same column (the [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+    * contract), every written file comes out single-valued for it, which
+    * is what lets a row-level rewrite preserve a key-clustered layout.
+    */
   def writerFactory(spark: SparkSession, schema: StructType,
-      dirUri: String): DataWriterFactory = {
+      dirUri: String, rollOn: Option[String] = None): DataWriterFactory = {
     val sqlConf = spark.sessionState.conf.clone()
     sqlConf.setConfString("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val owf = ParquetUtils.prepareWrite(sqlConf, job, schema,
       new ParquetOptions(CaseInsensitiveMap(Map("compression" -> "snappy")), sqlConf))
     new GraftParquetWriterFactory(owf,
-      new SerializableConfiguration(job.getConfiguration), schema, dirUri)
+      new SerializableConfiguration(job.getConfiguration), schema, dirUri,
+      rollOn.map(schema.fieldIndex))
   }
 }
 
@@ -47,13 +56,18 @@ private[graftbridge] class GraftParquetWriterFactory(
     owf: OutputWriterFactory,
     conf: SerializableConfiguration,
     schema: StructType,
-    dirUri: String) extends DataWriterFactory {
+    dirUri: String,
+    rollIdx: Option[Int] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private var fileName: String = _
+      private val names = scala.collection.mutable.ListBuffer.empty[String]
       private var rows = 0L
+      private val rollType = rollIdx.map(schema(_).dataType)
+      private var lastKey: Any = null
+      private var hasKey = false
       // ReplaceData rows arrive with the rewrite's `__row_operation`
       // marker PREPENDED, and Spark's row projection only strips it for
       // sources declaring metadata attributes (the writingTask None
@@ -79,33 +93,47 @@ private[graftbridge] class GraftParquetWriterFactory(
         write(record)
 
       override def write(record: InternalRow): Unit = {
-        open()
-        if (record.numFields == schema.length) writer.write(record)
-        else {
-          if (adapter == null) {
-            require(record.numFields == schema.length + 1,
-              s"row arity ${record.numFields} matches neither the write schema " +
-                s"(${schema.length}) nor schema+operation (${schema.length + 1})")
-            adapter = org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
-              (1 to schema.length).toIndexedSeq)
+        val out: InternalRow =
+          if (record.numFields == schema.length) record
+          else {
+            if (adapter == null) {
+              require(record.numFields == schema.length + 1,
+                s"row arity ${record.numFields} matches neither the write schema " +
+                  s"(${schema.length}) nor schema+operation (${schema.length + 1})")
+              adapter = org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
+                (1 to schema.length).toIndexedSeq)
+            }
+            adapter.project(record)
+            adapter
           }
-          adapter.project(record)
-          writer.write(adapter)
+        rollIdx.foreach { i =>
+          val k = out.get(i, rollType.get)
+          if (hasKey && !java.util.Objects.equals(k, lastKey) && writer != null) {
+            writer.close()
+            names += fileName
+            writer = null
+          }
+          // buffers behind string values are reused across rows: keep a copy
+          lastKey = k match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+            case x => x
+          }
+          hasKey = true
         }
+        open()
+        writer.write(out)
         rows += 1
       }
 
       override def commit(): WriterCommitMessage = {
-        if (writer != null) writer.close()
-        ParquetWriteBridge.WrittenFile(if (writer == null) null else fileName, rows)
+        if (writer != null) { writer.close(); names += fileName }
+        ParquetWriteBridge.WrittenFiles(names.toList, rows)
       }
 
       override def abort(): Unit = {
-        if (writer != null) {
-          writer.close()
-          new Path(s"$dirUri/$fileName")
-            .getFileSystem(conf.value).delete(new Path(s"$dirUri/$fileName"), false)
-        }
+        if (writer != null) { writer.close(); names += fileName }
+        val fs = new Path(dirUri).getFileSystem(conf.value)
+        names.foreach(n => fs.delete(new Path(s"$dirUri/$n"), false))
       }
 
       override def close(): Unit = ()

@@ -442,6 +442,54 @@ class SnapshotClusterSpec extends AnyFunSuite {
     assert(shuffles(agg) == 0)
   }
 
+  test("SQL UPDATE and MERGE INTO preserve the clustered layout") {
+    val wh = freshRoot("dmlwh")
+    spark.conf.set("spark.sql.catalog.dmlclus",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dmlclus.warehouse", wh)
+    val base = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    Snapshots.publish(spark, s"$wh/dt", base, clusterBy = Some("o_orderpriority"))
+    def assertClustered(tag: String): Unit = {
+      val v = Snapshots.versions(spark, s"$wh/dt").last
+      assert(Snapshots.clusterOf(spark, s"$wh/dt", v).contains("o_orderpriority"),
+        s"$tag lost the cluster header at v$v")
+      val stats = Snapshots.statsOf(spark, s"$wh/dt", v)
+      Snapshots.files(spark, s"$wh/dt", v).foreach { fl =>
+        val cs = stats(fl)("o_orderpriority")
+        assert(cs.nulls == 0 && cs.min == cs.max, s"$tag: $fl mixes values")
+      }
+    }
+    // a BROAD UPDATE touching every file: the rewrite re-clusters via
+    // the requested distribution + per-key file rolling
+    spark.sql("UPDATE dmlclus.dt SET o_totalprice = o_totalprice + 1 " +
+      "WHERE o_orderkey % 2 = 0")
+    assertClustered("UPDATE")
+    // MERGE INTO through the row-level operation path
+    base.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .createOrReplaceTempView("dml_delta")
+    spark.sql(
+      """MERGE INTO dmlclus.dt t USING dml_delta s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assertClustered("MERGE")
+    // rows are right and the head still plans shuffle-free
+    // the MERGE delta was built from the ORIGINAL prices, so matched rows
+    // end at base*2 regardless of the earlier UPDATE
+    val expect = base.withColumn("o_totalprice",
+      when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+        .otherwise(when(col("o_orderkey") % 2 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice"))))
+    val got = spark.sql("SELECT CAST(sum(o_totalprice) AS DECIMAL(20,2)) FROM dmlclus.dt")
+      .head.getDecimal(0)
+    val want = expect.agg(sum("o_totalprice").cast("decimal(20,2)")).head.getDecimal(0)
+    assert(got.compareTo(want) == 0, s"got $got want $want")
+    val agg = spark.read.format("graft-snapshot").option("root", s"$wh/dt").load()
+      .groupBy("o_orderpriority").agg(sum("o_totalprice").as("t"))
+    assert(shuffles(agg) == 0)
+  }
+
   test("forced clusterBy on a naturally clustered layout works without a header") {
     val root = freshRoot("nat")
     // per-key appends: every file holds one status by construction even
