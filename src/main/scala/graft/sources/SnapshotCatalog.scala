@@ -116,17 +116,35 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
 
   override def invalidateTable(ident: Identifier): Unit = () // nothing cached
 
-  /** `CREATE TABLE`: publish an empty v1 carrying the declared schema. */
+  /** `CREATE TABLE`: publish an empty v1 carrying the declared schema.
+    * `PARTITIONED BY (col)` — one identity transform — declares the
+    * table KEY-CLUSTERED on the column: the v1 header records it, every
+    * SQL INSERT / streamed batch re-shuffles onto it, and joins and
+    * aggregations on the column plan storage-partitioned (zero
+    * shuffles). Other transforms (bucket/days/...) refuse: the snapshot
+    * layer's layout verbs are clusterBy and compact(zorderBy).
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "snapshot tables are file-clustered (compact zorderBy), not hive-partitioned")
+    val cluster = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1
+          && t.references.head.fieldNames.length == 1 =>
+        val c = t.references.head.fieldNames.head
+        require(schema.fieldNames.contains(c),
+          s"PARTITIONED BY column '$c' is not a table column")
+        Some(c)
+      case other => throw new UnsupportedOperationException(
+        s"snapshot tables support PARTITIONED BY (<one column>) as the " +
+          s"key-cluster declaration; got ${other.mkString(", ")} — " +
+          "multi-dimensional layout goes through CALL sys.zorder")
+    }
     require(!tableExists(ident),
       s"table ${ident.name()} already exists under $warehouse")
     val root = rootOf(ident)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    Snapshots.publish(spark, root, empty)
+    Snapshots.publish(spark, root, empty, clusterBy = cluster)
     loadTable(ident)
   }
 

@@ -92,14 +92,17 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister
     val root = parameters.getOrElse("root", parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-snapshot sink requires option 'root'")))
-    require(partitionColumns.isEmpty,
-      "snapshot tables are file-clustered (compact zorderBy), not " +
-        "hive-partitioned — partitionBy is not supported")
+    // ONE partitionBy column declares the destination key-clustered from
+    // the first batch (a fresh root has no header to inherit yet)
+    require(partitionColumns.size <= 1,
+      "graft-snapshot sink takes at most one partitionBy column — it is the " +
+        "key-cluster declaration; multi-dimensional layout goes through " +
+        "compact(zorderBy)")
     val complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
     require(complete || outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-snapshot sink supports Append and Complete output modes, got $outputMode " +
         "(Update would re-deliver mutated keys; use foreachBatch + Snapshots.mergeByKey)")
-    new SnapshotStreamSink(root, complete)
+    new SnapshotStreamSink(root, complete, partitionColumns.headOption)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -140,16 +143,19 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister
   * one snapshot version per micro-batch, exactly-once via the manifest
   * batch-id check. `complete` publishes replacements instead of appends.
   */
-private[graft] class SnapshotStreamSink(root: String, complete: Boolean)
+private[graft] class SnapshotStreamSink(root: String, complete: Boolean,
+    declaredCluster: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = org.apache.spark.sql.graftbridge.SessionBridge.rebatch(data)
     val spark = batch.sparkSession
-    // a key-clustered destination KEEPS its layout: each micro-batch
-    // shuffles onto the cluster key, so the #cluster= guarantee (and
-    // storage-partitioned planning) survives continuous ingest
+    // a key-clustered destination KEEPS its layout (each micro-batch
+    // shuffles onto the cluster key, so the #cluster= guarantee — and
+    // storage-partitioned planning — survives continuous ingest); a
+    // `partitionBy(col)` on the writer declares it for a fresh root
     val cluster = Snapshots.versions(spark, root).lastOption
       .flatMap(v => Snapshots.clusterOf(spark, root, v))
+      .orElse(declaredCluster)
       .filter(batch.columns.contains)
     Snapshots.publishStreamBatch(spark, root, batch, batchId,
       append = !complete, clusterBy = cluster)
@@ -240,7 +246,12 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String,
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
-    Snapshots.publish(spark, root, empty, append = false)
+    // a clustered table stays DECLARED clustered through a truncate
+    // (vacuously true on zero files), so later inserts re-cluster
+    val cluster = Snapshots.versions(spark, root).lastOption
+      .flatMap(v => Snapshots.clusterOf(spark, root, v))
+      .filter(tableSchema.fieldNames.contains)
+    Snapshots.publish(spark, root, empty, append = false, clusterBy = cluster)
     true
   }
   override def schema(): StructType = tableSchema

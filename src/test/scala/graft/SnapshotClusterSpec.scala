@@ -490,6 +490,70 @@ class SnapshotClusterSpec extends AnyFunSuite {
     assert(shuffles(agg) == 0)
   }
 
+  test("CREATE TABLE PARTITIONED BY declares a clustered table; CTAS and TRUNCATE keep it") {
+    val wh = freshRoot("declwh")
+    spark.conf.set("spark.sql.catalog.declclus",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.declclus.warehouse", wh)
+    spark.sql(
+      """CREATE TABLE declclus.ct (o_orderkey BIGINT, o_orderpriority STRING)
+        |USING `graft-snapshot` PARTITIONED BY (o_orderpriority)""".stripMargin)
+    assert(Snapshots.clusterOf(spark, s"$wh/ct", 1).contains("o_orderpriority"))
+    // INSERT INTO the declared-clustered empty table clusters the data
+    orders.select("o_orderkey", "o_orderpriority")
+      .createOrReplaceTempView("decl_src")
+    spark.sql("INSERT INTO declclus.ct SELECT * FROM decl_src")
+    val v2 = Snapshots.versions(spark, s"$wh/ct").last
+    assert(Snapshots.clusterOf(spark, s"$wh/ct", v2).contains("o_orderpriority"))
+    val agg = spark.read.format("graft-snapshot").option("root", s"$wh/ct").load()
+      .groupBy("o_orderpriority").agg(sum("o_orderkey").as("s"))
+    assert(shuffles(agg) == 0)
+    // TRUNCATE keeps the declaration; a later insert re-clusters
+    spark.sql("TRUNCATE TABLE declclus.ct")
+    val v3 = Snapshots.versions(spark, s"$wh/ct").last
+    assert(Snapshots.clusterOf(spark, s"$wh/ct", v3).contains("o_orderpriority"),
+      "TRUNCATE must keep the cluster declaration")
+    spark.sql("INSERT INTO declclus.ct SELECT * FROM decl_src")
+    val v4 = Snapshots.versions(spark, s"$wh/ct").last
+    assert(Snapshots.clusterOf(spark, s"$wh/ct", v4).contains("o_orderpriority"))
+    // CTAS with the declaration
+    spark.sql(
+      """CREATE TABLE declclus.ct2 USING `graft-snapshot`
+        |PARTITIONED BY (o_orderpriority)
+        |AS SELECT * FROM decl_src""".stripMargin)
+    val ctasHead = Snapshots.versions(spark, s"$wh/ct2").last
+    assert(Snapshots.clusterOf(spark, s"$wh/ct2", ctasHead)
+      .contains("o_orderpriority"), "CTAS must come out clustered")
+    assert(spark.sql("SELECT count(*) FROM declclus.ct2").head.getLong(0) ==
+      orders.count())
+    // a multi-transform declaration refuses with guidance
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE declclus.bad (k BIGINT, b STRING)
+          |USING `graft-snapshot` PARTITIONED BY (k, b)""".stripMargin)
+    }
+    assert(e.getMessage.contains("one column"), s"got: ${e.getMessage}")
+  }
+
+  test("a writer partitionBy declares the cluster key for a fresh streamed table") {
+    val src = freshRoot("declsrc")
+    val dst = freshRoot("decldst")
+    val ck = java.nio.file.Files.createTempDirectory("graft-declck").toString
+    Snapshots.publish(spark, src,
+      orders.select("o_orderkey", "o_orderpriority"))
+    val q = spark.readStream.format("graft-snapshot").option("root", src).load()
+      .writeStream.format("graft-snapshot").option("root", dst)
+      .partitionBy("o_orderpriority")
+      .option("checkpointLocation", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    val head = Snapshots.versions(spark, dst).last
+    assert(Snapshots.clusterOf(spark, dst, head).contains("o_orderpriority"),
+      "the declared partitionBy must become the cluster key")
+    val agg = readSource(dst).groupBy("o_orderpriority").agg(sum("o_orderkey").as("s"))
+    assert(shuffles(agg) == 0)
+    assert(readSource(dst).count() == orders.count())
+  }
+
   test("forced clusterBy on a naturally clustered layout works without a header") {
     val root = freshRoot("nat")
     // per-key appends: every file holds one status by construction even
