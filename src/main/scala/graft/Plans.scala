@@ -87,7 +87,8 @@ object Plans {
       "q150_dsv2_runtime_prune", // DSv2 runtime filter: DPP re-plans the fact scan
       "q151_sql_catalog",    // SQL VERSION AS OF through the TableCatalog
       "q161_spj_join",       // storage-partitioned join: zero exchanges, zero sorts
-      "q162_grouped_stats_agg") // grouped metadata-only aggregate: rows, no scan
+      "q162_grouped_stats_agg", // grouped metadata-only aggregate: rows, no scan
+      "q164_clustered_dml")  // layout survives SQL UPDATE: still shuffle-free
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -161,6 +161,45 @@ object Extras7 {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("long").as("key_sum"))
         .select(col("n"), col("key_sum"), lit(v).as("rollback_version"),
           lit(ops).as("ops"))
+    },
+
+    // CLUSTERED LAYOUT SURVIVES SQL DML: a key-clustered table takes a
+    // broad SQL UPDATE through the row-level-operation rewrite (the
+    // write requests a clustered distribution and rolls files per key,
+    // so replacements stay single-valued), and the follow-up aggregation
+    // on the cluster key STILL plans with zero shuffles. Both the
+    // surviving `#cluster=` header and the absent exchanges ride as
+    // in-row flags under the oracle hash, beside the updated values —
+    // the "layout is an invariant, not a one-shot" guarantee a 100 TB
+    // routing-keyed table needs to keep its join plan through upserts.
+    QueryDef.checked(
+      "q164_clustered_dml",
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0
+        |                THEN o_orderkey + 1000000 ELSE o_orderkey END)
+        |    AS BIGINT) AS key_sum,
+        |  CAST(1 AS BOOLEAN) AS still_clustered,
+        |  CAST(1 AS BOOLEAN) AS shuffle_free
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q164_clustered_dml", "clusdml_warehouse", dir)
+      s.conf.set("spark.sql.catalog.graftclus",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftclus.warehouse", wh)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Snapshots.publish(s, s"$wh/cdml", orders,
+        clusterBy = Some("o_orderpriority"))
+      s.sql("UPDATE graftclus.cdml SET o_orderkey = o_orderkey + 1000000 " +
+        "WHERE o_orderkey % 3 = 0")
+      val head = Snapshots.versions(s, s"$wh/cdml").last
+      val stillClustered = Snapshots.clusterOf(s, s"$wh/cdml", head)
+        .contains("o_orderpriority")
+      val agg = s.read.format("graft-snapshot").option("root", s"$wh/cdml").load()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("long").as("key_sum"))
+      val free = shuffleCount(agg) == 0
+      agg.select(col("o_orderpriority"), col("n"), col("key_sum"),
+        lit(stillClustered).as("still_clustered"), lit(free).as("shuffle_free"))
     }
   )
 }
