@@ -103,6 +103,7 @@ object Snapshots {
     * carries the on-disk (length, mtime) stamp.
     */
   private final class Manifest(val lines: List[String]) {
+    val weight: Long = lines.iterator.map(_.length.toLong + 16).sum
     lazy val stats: Map[String, Map[String, SnapshotStats.ColStats]] =
       SnapshotStats.parse(lines)
     lazy val rows: Map[String, Long] = SnapshotStats.parseRows(lines)
@@ -114,13 +115,22 @@ object Snapshots {
     * files a manifest is ~100 MB of driver text, and planning touches it
     * several times per query (prune, stats, partition sizing). The cache
     * validates against the file's (length, mtime) stamp with ONE
-    * getFileStatus, so a wiped-and-recreated root (tests, manual resets)
-    * can never serve stale lines. Crude size bound: a full clear beyond
-    * 256 entries — entries are per (path, stamp), correctness never
-    * depends on retention.
+    * getFileStatus. Two safety properties:
+    *
+    *   - BYTE-weighted LRU (not entry-counted): big-table manifests are
+    *     the point of the cache, so the bound must track what they
+    *     actually pin on the driver heap; eviction drops the coldest
+    *     entries, never the whole cache.
+    *   - VERY RECENT manifests (mtime within 2 s of now) are served
+    *     fresh-read and not cached: a delete-and-recreate of the same
+    *     root inside one coarse-mtime tick could otherwise stamp-collide
+    *     (same path, length, mtime) and serve the dead incarnation's
+    *     lines. Correctness never depends on retention.
     */
+  private val ManifestCacheBudget: Long = 64L << 20 // chars of line text
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Manifest]()
+    new java.util.LinkedHashMap[(String, Long, Long), Manifest](64, 0.75f, true)
+  private var manifestCacheWeight: Long = 0L
 
   private def manifest(spark: SparkSession, root: String, version: Int): Manifest = {
     val f = fs(spark, root)
@@ -132,15 +142,27 @@ object Snapshots {
           s"requirement failed: snapshot v$version does not exist under $root")
       }
     val key = (p.toString, st.getLen, st.getModificationTime)
-    val cached = manifestCache.get(key)
-    if (cached != null) return cached
+    manifestCache.synchronized {
+      val cached = manifestCache.get(key)
+      if (cached != null) return cached
+    }
     val in = f.open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
       finally in.close()
     val m = new Manifest(lines)
-    if (manifestCache.size > 256) manifestCache.clear()
-    manifestCache.put(key, m)
+    val recent = st.getModificationTime > System.currentTimeMillis() - 2000L
+    if (!recent && m.weight <= ManifestCacheBudget) manifestCache.synchronized {
+      if (!manifestCache.containsKey(key)) {
+        manifestCache.put(key, m)
+        manifestCacheWeight += m.weight
+        val it = manifestCache.entrySet().iterator()
+        while (manifestCacheWeight > ManifestCacheBudget && it.hasNext) {
+          manifestCacheWeight -= it.next().getValue.weight
+          it.remove()
+        }
+      }
+    }
     m
   }
 
@@ -354,6 +376,17 @@ object Snapshots {
       require(df.columns.contains(c), s"clusterBy column '$c' is not in the frame")
       require(!df.columns.contains(ClusterDirCol),
         s"frame already has a '$ClusterDirCol' column")
+      // the whole clustered tier derives keys from parquet footer stats,
+      // so the column must be a stats-provable type — a binary/decimal/
+      // boolean header would claim a layout no scan could ever verify
+      // (and roll-on-key writers would compare binary keys by reference)
+      import org.apache.spark.sql.types._
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
+          DoubleType, StringType, DateType, TimestampType).contains(dt),
+        s"clusterBy column '$c' has type ${dt.simpleString}; key-clustering " +
+          "needs a footer-stats-provable type (integral, float, string, " +
+          "date, timestamp)")
     }
     val (dataDir, newFiles) = writeData(f, root, df, bloomOn, clusterBy)
     val prev = versions(spark, root)

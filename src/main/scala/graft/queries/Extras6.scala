@@ -130,9 +130,9 @@ object Extras6 {
           max(col("l_orderkey")).cast("long").as("max_key"),
           min(col("l_shipdate")).as("min_ship"),
           max(col("l_shipdate")).as("max_ship"))
-      val metadataOnly = agg.queryExecution.executedPlan.collect {
-        case b: BatchScanExec => b.scan.description().contains("METADATA-ONLY")
-      }.forall(identity)
+      // PlanOps requires ≥1 scan and descends AQE wrappers, so a
+      // regressed pushdown fails the flag instead of vacuously passing
+      val metadataOnly = graft.PlanOps.metadataOnly(agg)
       agg.select(col("n_rows"), col("min_key"), col("max_key"),
         col("min_ship"), col("max_ship"), lit(metadataOnly).as("metadata_only"))
     },

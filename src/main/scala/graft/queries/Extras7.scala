@@ -26,28 +26,7 @@ object Extras7 {
     root
   }
 
-  /** Shuffle exchanges anywhere in the physical plan, descending into
-    * adaptive query stages (whose wrapped exchanges are fields of the
-    * stage leaf, not children).
-    */
-  private def shuffleCount(df: DataFrame): Int = {
-    def count(p: SparkPlan): Int = {
-      val self = p match {
-        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
-        case _ => 0
-      }
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          Seq(r.child)
-        case other => other.children
-      }
-      self + kids.map(count).sum
-    }
-    count(df.queryExecution.executedPlan)
-  }
+  private def shuffleCount(df: DataFrame): Int = graft.PlanOps.shuffleCount(df)
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -125,9 +104,9 @@ object Extras7 {
         .agg(count(lit(1)).as("n"), count("maybe_price").as("n_maybe"),
           min("o_orderkey").cast("long").as("min_key"),
           max("o_orderkey").cast("long").as("max_key"))
-      val metadataOnly = agg.queryExecution.executedPlan.collect {
-        case b: BatchScanExec => b.scan.description().contains("METADATA-ONLY")
-      }.forall(identity)
+      // a regressed pushdown must FAIL the flag (PlanOps requires scans
+      // to exist and descends AQE wrappers), not vacuously pass it
+      val metadataOnly = graft.PlanOps.metadataOnly(agg)
       agg.select(col("o_orderpriority"), col("n"), col("n_maybe"),
         col("min_key"), col("max_key"), lit(metadataOnly).as("metadata_only"))
     },

@@ -151,12 +151,15 @@ private[graft] class SnapshotStreamSink(root: String, complete: Boolean,
     val spark = batch.sparkSession
     // a key-clustered destination KEEPS its layout (each micro-batch
     // shuffles onto the cluster key, so the #cluster= guarantee — and
-    // storage-partitioned planning — survives continuous ingest); a
-    // `partitionBy(col)` on the writer declares it for a fresh root
-    val cluster = Snapshots.versions(spark, root).lastOption
-      .flatMap(v => Snapshots.clusterOf(spark, root, v))
-      .orElse(declaredCluster)
-      .filter(batch.columns.contains)
+    // storage-partitioned planning — survives continuous ingest). The
+    // writer's `partitionBy(col)` declaration applies ONLY to a fresh
+    // root: an existing table keeps its own layout — appending clustered
+    // onto an unclustered base cannot hold the per-file guarantee and
+    // would crash-loop the stream on publish's refusal
+    val cluster = (Snapshots.versions(spark, root).lastOption match {
+      case Some(v) => Snapshots.clusterOf(spark, root, v)
+      case None => declaredCluster
+    }).filter(batch.columns.contains)
     Snapshots.publishStreamBatch(spark, root, batch, batchId,
       append = !complete, clusterBy = cluster)
   }
@@ -655,7 +658,8 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
       stats.get(fl).flatMap(_.get(c)).flatMap {
         case cs if cs.tag == "allnull" => Some(("allnull", null))
         case cs if cs.nulls == 0 && cs.min == cs.max =>
-          scala.util.Try((cs.tag, SnapshotStats.decode(cs.tag, cs.min))).toOption
+          scala.util.Try((cs.tag,
+            SnapshotScan.normalizeKey(SnapshotStats.decode(cs.tag, cs.min)))).toOption
         case _ => None
       }
 
@@ -815,6 +819,17 @@ private[graft] object SnapshotScan {
         "readChangeFeed requires option 'keyColumns' (comma-separated: the " +
           "row identity the diff classifies by)"))
     raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Spark SQL's grouping/join semantics treat -0.0 and 0.0 as the same
+    * key (NormalizeFloatingNumbers); keys decoded from file stats must
+    * agree, or a float-keyed metadata GROUP BY / SPJ partition split
+    * would produce two groups where SQL has one.
+    */
+  def normalizeKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case x => x
   }
 
   /** Decoded stats bound → the CATALYST value of the type the table
@@ -1213,6 +1228,7 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
                 case cs if cs.tag == "allnull" => Some(null)
                 case cs if cs.nulls == 0 && cs.min == cs.max =>
                   scala.util.Try(SnapshotStats.decode(cs.tag, cs.min)).toOption
+                    .map(SnapshotScan.normalizeKey)
                     .flatMap(SnapshotScan.checkedCatalyst(field.dataType, _))
                 case _ => None
               }

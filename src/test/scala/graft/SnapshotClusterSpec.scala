@@ -28,24 +28,10 @@ class SnapshotClusterSpec extends AnyFunSuite {
   private def readSource(root: String): DataFrame =
     spark.read.format("graft-snapshot").option("root", root).load()
 
-  /** Count shuffle exchanges in the EXECUTED (post-AQE) plan —
-    * descending into adaptive query stages, whose wrapped exchanges a
-    * plain `collect` over the tree would miss (they are fields of the
-    * stage leaf, not children).
-    */
+  /** Count shuffle exchanges in the EXECUTED (post-AQE) plan. */
   private def shuffles(df: DataFrame): Int = {
     df.collect()
-    def count(p: SparkPlan): Int = {
-      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
-        case other => other.children
-      }
-      self + kids.map(count).sum
-    }
-    count(df.queryExecution.executedPlan)
+    PlanOps.shuffleCount(df)
   }
 
   private def noBroadcast[A](body: => A): A = {
@@ -205,10 +191,7 @@ class SnapshotClusterSpec extends AnyFunSuite {
 
   private def metadataOnly(df: DataFrame): Boolean = {
     df.collect()
-    val scans = df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-    }
-    scans.nonEmpty && scans.forall(_.scan.description().contains("METADATA-ONLY"))
+    PlanOps.metadataOnly(df)
   }
 
   test("grouped aggregate over the cluster key answers metadata-only") {
@@ -274,18 +257,8 @@ class SnapshotClusterSpec extends AnyFunSuite {
     noBroadcast {
       val joined = readSource(left).join(readSource(right), "o_orderpriority")
       joined.collect()
-      def sorts(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-        val self = p match {
-          case _: org.apache.spark.sql.execution.SortExec => 1; case _ => 0 }
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        self + kids.map(sorts).sum
-      }
       assert(shuffles(joined) == 0)
-      assert(sorts(joined.queryExecution.executedPlan) == 0,
+      assert(PlanOps.sortCount(joined) == 0,
         s"expected a sort-free merge join:\n${joined.queryExecution.executedPlan}")
     }
   }
@@ -552,6 +525,33 @@ class SnapshotClusterSpec extends AnyFunSuite {
     val agg = readSource(dst).groupBy("o_orderpriority").agg(sum("o_orderkey").as("s"))
     assert(shuffles(agg) == 0)
     assert(readSource(dst).count() == orders.count())
+  }
+
+  test("float cluster keys: -0.0 and 0.0 are ONE group; binary keys refuse") {
+    val root = freshRoot("zeros")
+    import spark.implicits._
+    val df = Seq((1L, 0.0d), (2L, -0.0d), (3L, 1.5d), (4L, -0.0d))
+      .toDF("id", "k")
+    Snapshots.publish(spark, root, df, clusterBy = Some("k"))
+    // the split writes -0.0 and 0.0 to different file sets, but SQL
+    // grouping treats them as one key — whatever plan serves the answer
+    // must agree with the un-pushed one. (parquet-mr declines to write
+    // footer stats for double columns containing -0.0, so the metadata
+    // path honestly REFUSES here — the normalizeKey seam pins the
+    // semantics for stats that do exist, and the scan must never split
+    // the zero group.)
+    val agg = readSource(root).groupBy("k").agg(count(lit(1)).as("n"))
+    val got = agg.collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(got == Map(0.0d -> 3L, 1.5d -> 1L), s"got $got")
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(got == plain)
+    // a type footer stats cannot prove refuses the cluster claim
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.publish(spark, freshRoot("bin"),
+        df.withColumn("b", lit(Array[Byte](1, 2))), clusterBy = Some("b"))
+    }
+    assert(e.getMessage.contains("stats-provable"), s"got: ${e.getMessage}")
   }
 
   test("forced clusterBy on a naturally clustered layout works without a header") {
