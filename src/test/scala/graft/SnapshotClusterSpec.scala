@@ -554,6 +554,29 @@ class SnapshotClusterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stats-provable"), s"got: ${e.getMessage}")
   }
 
+  test("a timestamp cluster key (time-routed table) groups and plans shuffle-free") {
+    val root = freshRoot("bymonth")
+    val df = orders.select(col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).as("month"))
+    Snapshots.publish(spark, root, df, clusterBy = Some("month"))
+    val months = df.select("month").distinct().count()
+    assert(Snapshots.files(spark, root, 1).size == months)
+    // grouped metadata aggregate over the ts key
+    val agg = readSource(root).groupBy("month")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"))
+    assert(metadataOnly(agg))
+    val got = agg.orderBy("month").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = df.groupBy("month")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"))
+      .orderBy("month").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // and a real (non-pushable) aggregation runs storage-partitioned
+    val real = readSource(root).groupBy("month").agg(sum("o_orderkey").as("s"))
+    assert(shuffles(real) == 0)
+  }
+
   test("forced clusterBy on a naturally clustered layout works without a header") {
     val root = freshRoot("nat")
     // per-key appends: every file holds one status by construction even
