@@ -179,6 +179,44 @@ object Extras7 {
       val free = shuffleCount(agg) == 0
       agg.select(col("o_orderpriority"), col("n"), col("key_sum"),
         lit(stillClustered).as("still_clustered"), lit(free).as("shuffle_free"))
+    },
+
+    // STATS-BOUNDED TOP-N PUSHDOWN: `ORDER BY ts DESC LIMIT n` over a
+    // range-clustered snapshot plans only the files whose bounds can
+    // hold a top-n row — order files by best case, take the shortest
+    // prefix whose exact non-null row counts cover n, keep files
+    // at-or-before its worst bound (Spark's own TopN still runs above,
+    // so pruning only must never drop a candidate). The planned-file
+    // count rides in the `pruned` flag under the oracle hash beside the
+    // exact top rows — "newest 100 rows of a 100 TB time-clustered
+    // table" as one band's files, from a plain ORDER BY ... LIMIT.
+    QueryDef.checked(
+      "q165_topn_pushdown",
+      """SELECT CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(1 AS BOOLEAN) AS pruned
+        |FROM (SELECT o_orderkey FROM orders
+        |      ORDER BY o_orderkey DESC LIMIT 25)""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q165_topn_pushdown", "topn_root", dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      Snapshots.publish(s, root,
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"))
+      val totalFiles = Snapshots.files(s, root, 1).size
+      val top = s.read.format("graft-snapshot").option("root", root).load()
+        .orderBy(col("o_orderkey").desc).limit(25)
+      val planned = top.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputPartitions.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.length
+        }.sum
+      }.sum
+      top.agg(sum("o_orderkey").cast("long").as("key_sum"),
+        max("o_orderkey").cast("long").as("max_key"),
+        min("o_orderkey").cast("long").as("min_key"))
+        .select(col("key_sum"), col("max_key"), col("min_key"),
+          lit(planned > 0 && planned < totalFiles).as("pruned"))
     }
   )
 }
