@@ -200,6 +200,22 @@ object Snapshots {
     manifestLines(spark, root, version).find(_.startsWith(CLUSTER_HEADER))
       .map(_.drop(CLUSTER_HEADER.length)).filter(_.nonEmpty)
 
+  /** A cluster spec's column list — the spec string is one or more
+    * comma-separated column names (`"day"`, `"tenant,day"`): a COMPOSITE
+    * key clusters one file set per value TUPLE, and joins/aggregations
+    * on all of its columns plan storage-partitioned.
+    */
+  def clusterCols(spec: String): Seq[String] =
+    spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Does `columns` still carry every column of the cluster spec? The
+    * carry condition for mutation paths re-clustering their rewrites.
+    */
+  private[graft] def clusterApplies(spec: String, columns: Seq[String]): Boolean = {
+    val cs = clusterCols(spec)
+    cs.nonEmpty && cs.forall(columns.contains)
+  }
+
   /** The base version's cluster header, as manifest lines for a
     * follow-on commit that PRESERVES the layout (same file list, or
     * replacement files proven/constructed single-valued).
@@ -208,17 +224,19 @@ object Snapshots {
       version: Int): Seq[String] =
     clusterOf(spark, root, version).map(c => s"$CLUSTER_HEADER$c").toSeq
 
-  /** Does every file in `listed` prove single-valued for `c` under the
-    * given stats lines? The condition for a rewrite commit to carry the
-    * base's `#cluster=` header when the replacement files were written
-    * outside the clustered write path (the DSv2 row-level operation's
-    * executor writes).
+  /** Does every file in `listed` prove single-valued for EVERY column of
+    * the cluster spec under the given stats lines? The condition for a
+    * rewrite commit to carry the base's `#cluster=` header when the
+    * replacement files were written outside the clustered write path
+    * (the DSv2 row-level operation's executor writes).
     */
-  private def provenClustered(c: String, listed: Seq[String],
+  private def provenClustered(spec: String, listed: Seq[String],
       statsLines: Seq[String]): Boolean = {
     val stats = SnapshotStats.parse(statsLines)
-    listed.forall(fl => stats.get(fl).flatMap(_.get(c)).exists(cs =>
-      cs.tag == "allnull" || (cs.nulls == 0 && cs.min == cs.max)))
+    val cols = clusterCols(spec)
+    cols.nonEmpty && listed.forall(fl => cols.forall(c =>
+      stats.get(fl).flatMap(_.get(c)).exists(cs =>
+        cs.tag == "allnull" || (cs.nulls == 0 && cs.min == cs.max))))
   }
 
   /** A version's raw `#dv=` header lines — outstanding merge-on-read
@@ -372,23 +390,30 @@ object Snapshots {
       append: Boolean = false, extraHeader: Seq[String] = Nil,
       bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None): Int = {
     val f = fs(spark, root)
-    clusterBy.foreach { c =>
-      require(df.columns.contains(c), s"clusterBy column '$c' is not in the frame")
+    clusterBy.foreach { spec =>
+      val cols = clusterCols(spec)
+      require(cols.nonEmpty, "clusterBy needs at least one column")
       require(!df.columns.contains(ClusterDirCol),
         s"frame already has a '$ClusterDirCol' column")
-      // the whole clustered tier derives keys from parquet footer stats,
-      // so the column must be a stats-provable type — a binary/decimal/
-      // boolean header would claim a layout no scan could ever verify
-      // (and roll-on-key writers would compare binary keys by reference)
-      import org.apache.spark.sql.types._
-      val dt = df.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
-          DoubleType, StringType, DateType, TimestampType).contains(dt),
-        s"clusterBy column '$c' has type ${dt.simpleString}; key-clustering " +
-          "needs a footer-stats-provable type (integral, float, string, " +
-          "date, timestamp)")
+      cols.foreach { c =>
+        require(df.columns.contains(c), s"clusterBy column '$c' is not in the frame")
+        // the whole clustered tier derives keys from parquet footer stats,
+        // so the column must be a stats-provable type — a binary/decimal/
+        // boolean header would claim a layout no scan could ever verify
+        // (and roll-on-key writers would compare binary keys by reference)
+        import org.apache.spark.sql.types._
+        val dt = df.schema(c).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
+            DoubleType, StringType, DateType, TimestampType).contains(dt),
+          s"clusterBy column '$c' has type ${dt.simpleString}; key-clustering " +
+            "needs a footer-stats-provable type (integral, float, string, " +
+            "date, timestamp)")
+      }
     }
-    val (dataDir, newFiles) = writeData(f, root, df, bloomOn, clusterBy)
+    // canonical spec: trimmed, comma-joined — header equality is string
+    // equality, so spelling must not matter
+    val cluster = clusterBy.map(spec => clusterCols(spec).mkString(","))
+    val (dataDir, newFiles) = writeData(f, root, df, bloomOn, cluster)
     val prev = versions(spark, root)
     val base: Seq[String] =
       if (append && prev.nonEmpty) files(spark, root, prev.last) else Seq.empty
@@ -408,7 +433,7 @@ object Snapshots {
     // the same column (else the combined file list would not be
     // single-valued — refused loudly, the caller asked for a layout this
     // publish cannot deliver)
-    val clusterHeader = clusterBy match {
+    val clusterHeader = cluster match {
       case None => Nil
       case Some(c) if !append || prev.isEmpty => Seq(s"$CLUSTER_HEADER$c")
       case Some(c) =>
@@ -462,18 +487,20 @@ object Snapshots {
   private def writeData(f: FileSystem, root: String, df: DataFrame,
       bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None): (String, Seq[String]) = {
     val dataDir = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
-    // clustered layout: one shuffle on the key routes every value to one
-    // task, and the directory-split write (partitionBy on a hex DIGEST of
-    // the column — URI-safe for any value of any type, where raw values
-    // would URL-escape into %-names that string-path reads re-decode)
-    // emits one file set per value. The data column itself stays in the
-    // files, so readers derive the key from footer stats (min==max per
-    // file), never from the directory name.
+    // clustered layout: one shuffle on the key (tuple) routes every value
+    // to one task, and the directory-split write (partitionBy on a hex
+    // DIGEST of the key — URI-safe for any value of any type, where raw
+    // values would URL-escape into %-names that string-path reads
+    // re-decode; to_json(struct(...)) keeps composite keys unambiguous)
+    // emits one file set per value tuple. The data columns themselves
+    // stay in the files, so readers derive the key from footer stats
+    // (min==max per file), never from the directory name.
     val toWrite = clusterBy match {
-      case Some(c) =>
-        import org.apache.spark.sql.functions.{coalesce, col, lit, md5}
-        df.withColumn(ClusterDirCol, coalesce(md5(col(c).cast("string")), lit("null")))
-          .repartition(col(c))
+      case Some(spec) =>
+        import org.apache.spark.sql.functions.{col, md5, struct, to_json}
+        val cols = clusterCols(spec)
+        df.withColumn(ClusterDirCol, md5(to_json(struct(cols.map(col): _*))))
+          .repartition(cols.map(col): _*)
       case None => df
     }
     // INT64-micros timestamps, NOT Spark's legacy INT96 default: INT96
@@ -580,7 +607,7 @@ object Snapshots {
           s"added column '${nf.name}' must be nullable: existing rows have no value")
     }
     commit(fs(spark, root), root, v + 1, files(spark, root, v), Some(newSchema),
-      clusterOf(spark, root, v).filter(newSchema.fieldNames.contains)
+      clusterOf(spark, root, v).filter(clusterApplies(_, newSchema.fieldNames.toSeq))
         .map(c => s"$CLUSTER_HEADER$c").toSeq ++
         dvLinesOf(spark, root, v) ++ statsLinesOf(spark, root, v))
   }
@@ -974,7 +1001,7 @@ object Snapshots {
     // survives. An explicit zorderBy re-mixes and takes precedence.
     val cluster =
       if (zorderBy.nonEmpty) None
-      else clusterOf(spark, root, v).filter(base.columns.contains)
+      else clusterOf(spark, root, v).filter(clusterApplies(_, base.columns.toSeq))
     val rewritten =
       if (cluster.isDefined) base
       else if (zorderBy.isEmpty) base.repartition(nFiles)
@@ -1091,7 +1118,8 @@ object Snapshots {
     // a clustered base KEEPS its layout: replacement rows write through
     // the clustered path (single-valued files by construction), so the
     // header — and storage-partitioned planning — survives the MERGE
-    val cluster = clusterOf(spark, root, v).filter(merged.columns.contains)
+    val cluster = clusterOf(spark, root, v)
+      .filter(clusterApplies(_, merged.columns.toSeq))
     val (_, newFiles) = writeData(f, root, merged, clusterBy = cluster)
     val mergedSchema = schema.map(unionMerge(_, upserts.schema)).getOrElse(
       StructType(merged.schema.fields))
@@ -1202,7 +1230,8 @@ object Snapshots {
     val rewritten = rewrite(
       readFiles(spark, root, touched.toSeq.sorted, schema, s"v$v touched"))
     // a clustered base keeps its layout: replacements re-cluster on write
-    val cluster = clusterOf(spark, root, v).filter(rewritten.columns.contains)
+    val cluster = clusterOf(spark, root, v)
+      .filter(clusterApplies(_, rewritten.columns.toSeq))
     val (_, newFiles) = writeData(f, root, rewritten, clusterBy = cluster)
     val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
     commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, schema,
@@ -1310,7 +1339,8 @@ object Snapshots {
       })
     }.reduce(_.unionByName(_))
     // a clustered base keeps its layout: dv-applied survivors re-cluster
-    val cluster = clusterOf(spark, root, v).filter(rewritten.columns.contains)
+    val cluster = clusterOf(spark, root, v)
+      .filter(clusterApplies(_, rewritten.columns.toSeq))
     val (_, newFiles) = writeData(f, root, rewritten, clusterBy = cluster)
     val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
     commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, schema,

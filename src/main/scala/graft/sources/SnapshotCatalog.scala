@@ -128,16 +128,17 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val cluster = partitions.toSeq match {
       case Nil => None
-      case Seq(t) if t.name == "identity" && t.references.length == 1
-          && t.references.head.fieldNames.length == 1 =>
-        val c = t.references.head.fieldNames.head
-        require(schema.fieldNames.contains(c),
-          s"PARTITIONED BY column '$c' is not a table column")
-        Some(c)
+      case ts if ts.forall(t => t.name == "identity" && t.references.length == 1
+          && t.references.head.fieldNames.length == 1) =>
+        val cols = ts.map(_.references.head.fieldNames.head)
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"PARTITIONED BY column '$c' is not a table column"))
+        Some(cols.mkString(","))
       case other => throw new UnsupportedOperationException(
-        s"snapshot tables support PARTITIONED BY (<one column>) as the " +
-          s"key-cluster declaration; got ${other.mkString(", ")} — " +
-          "multi-dimensional layout goes through CALL sys.zorder")
+        s"snapshot tables support PARTITIONED BY (<columns>) as the " +
+          s"key-cluster declaration (identity transforms only); got " +
+          s"${other.mkString(", ")} — bucket/days/... layouts go through " +
+          "CALL sys.cluster / sys.zorder")
     }
     require(!tableExists(ident),
       s"table ${ident.name()} already exists under $warehouse")

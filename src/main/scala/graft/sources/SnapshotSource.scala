@@ -92,17 +92,15 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister
     val root = parameters.getOrElse("root", parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-snapshot sink requires option 'root'")))
-    // ONE partitionBy column declares the destination key-clustered from
-    // the first batch (a fresh root has no header to inherit yet)
-    require(partitionColumns.size <= 1,
-      "graft-snapshot sink takes at most one partitionBy column — it is the " +
-        "key-cluster declaration; multi-dimensional layout goes through " +
-        "compact(zorderBy)")
+    // the writer's partitionBy columns declare the destination
+    // key-clustered (possibly composite) from the first batch — a fresh
+    // root has no header to inherit yet
     val complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
     require(complete || outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-snapshot sink supports Append and Complete output modes, got $outputMode " +
         "(Update would re-deliver mutated keys; use foreachBatch + Snapshots.mergeByKey)")
-    new SnapshotStreamSink(root, complete, partitionColumns.headOption)
+    new SnapshotStreamSink(root, complete,
+      Some(partitionColumns.mkString(",")).filter(_.nonEmpty))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -159,7 +157,7 @@ private[graft] class SnapshotStreamSink(root: String, complete: Boolean,
     val cluster = (Snapshots.versions(spark, root).lastOption match {
       case Some(v) => Snapshots.clusterOf(spark, root, v)
       case None => declaredCluster
-    }).filter(batch.columns.contains)
+    }).filter(Snapshots.clusterApplies(_, batch.columns.toSeq))
     Snapshots.publishStreamBatch(spark, root, batch, batchId,
       append = !complete, clusterBy = cluster)
   }
@@ -253,7 +251,7 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String,
     // (vacuously true on zero files), so later inserts re-cluster
     val cluster = Snapshots.versions(spark, root).lastOption
       .flatMap(v => Snapshots.clusterOf(spark, root, v))
-      .filter(tableSchema.fieldNames.contains)
+      .filter(Snapshots.clusterApplies(_, tableSchema.fieldNames.toSeq))
     Snapshots.publish(spark, root, empty, append = false, clusterBy = cluster)
     true
   }
@@ -316,7 +314,7 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String,
                 // survives both INSERT INTO and INSERT OVERWRITE
                 val cluster = Snapshots.versions(spark, root).lastOption
                   .flatMap(v => Snapshots.clusterOf(spark, root, v))
-                  .filter(data.columns.contains)
+                  .filter(Snapshots.clusterApplies(_, data.columns.toSeq))
                 Snapshots.publish(spark, root, data,
                   append = !overwrite, clusterBy = cluster)
               }
@@ -398,13 +396,13 @@ private[sources] class SnapshotReplaceDataWrite(root: String,
       val spark = SparkSession.active
       Snapshots.versions(spark, root).lastOption
         .flatMap(v => Snapshots.clusterOf(spark, root, v))
-        .filter(c => writeSchema.fieldNames.contains(c))
+        .filter(Snapshots.clusterApplies(_, writeSchema.fieldNames.toSeq))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
     cluster match {
-      case Some(c) => org.apache.spark.sql.connector.distributions.Distributions
-        .clustered(Array(Expressions.identity(c)))
+      case Some(spec) => org.apache.spark.sql.connector.distributions.Distributions
+        .clustered(Snapshots.clusterCols(spec).map(Expressions.identity).toArray)
       case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     }
 
@@ -412,8 +410,9 @@ private[sources] class SnapshotReplaceDataWrite(root: String,
 
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     cluster match {
-      case Some(c) => Array(Expressions.sort(Expressions.identity(c),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case Some(spec) => Snapshots.clusterCols(spec).map(c =>
+        Expressions.sort(Expressions.identity(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       case None => Array.empty
     }
 
@@ -424,7 +423,7 @@ private[sources] class SnapshotReplaceDataWrite(root: String,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     ParquetWriteBridge.writerFactory(SparkSession.active, writeSchema,
-      s"$root/$dataDir", rollOn = cluster)
+      s"$root/$dataDir", rollOn = cluster.toSeq.flatMap(Snapshots.clusterCols))
 
   override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -1198,7 +1197,7 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * layout cannot support it, the automatic form degrades to ordinary
     * planning.
     */
-  private lazy val clusterGroups: Option[(String, Seq[(InternalRow, Seq[String])])] = {
+  private lazy val clusterGroups: Option[(Seq[String], Seq[(InternalRow, Seq[String])])] = {
     // `clusterPlanning=false` opts a read out of key-grouped planning:
     // grouped scans run ONE task per key, which is the point for
     // co-clustered joins but caps a plain full-table scan's parallelism
@@ -1211,38 +1210,44 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
       val spark = SparkSession.active
       val forced = Option(options.get("clusterBy")).filter(_.nonEmpty)
       val (v, _, kept, _) = compiledPlan
-      val colOpt = forced.orElse(
+      val specOpt = forced.orElse(
         try Snapshots.clusterOf(spark, root, v)
         catch { case scala.util.control.NonFatal(_) => None })
-      colOpt.flatMap { c =>
-        def refuse(msg: String): Option[(String, Seq[(InternalRow, Seq[String])])] =
+      specOpt.flatMap { spec =>
+        def refuse(msg: String): Option[(Seq[String], Seq[(InternalRow, Seq[String])])] =
           if (forced.isDefined) throw new IllegalArgumentException(
-            s"option clusterBy=$c on $root v$v: $msg") else None
-        tableSchema.find(_.name == c) match {
-          case None => refuse("not a table column")
-          case Some(field) =>
-            val stats = Snapshots.statsOf(spark, root, v)
-            // Some(catalyst key or null) iff the file is single-valued
-            def keyOf(fl: String): Option[Any] =
-              stats.get(fl).flatMap(_.get(c)).flatMap {
-                case cs if cs.tag == "allnull" => Some(null)
-                case cs if cs.nulls == 0 && cs.min == cs.max =>
-                  scala.util.Try(SnapshotStats.decode(cs.tag, cs.min)).toOption
-                    .map(SnapshotScan.normalizeKey)
-                    .flatMap(SnapshotScan.checkedCatalyst(field.dataType, _))
-                case _ => None
-              }
-            val keyed = kept.map(fl => keyOf(fl).map(k => k -> fl))
-            if (keyed.exists(_.isEmpty))
-              refuse("a planned file is not provably single-valued for the column " +
-                "(missing stats, mixed values, or nulls beside values) — publish " +
-                "with clusterBy to guarantee the layout")
-            else if (keyed.isEmpty) None // empty table: nothing to group
-            else Some((c, keyed.flatMap(x => x).groupBy(_._1).toSeq
-              .map { case (k, fs) =>
-                (new GenericInternalRow(Array(k)): InternalRow, fs.map(_._2).sorted)
-              }
-              .sortBy(_._2.head)))
+            s"option clusterBy=$spec on $root v$v: $msg") else None
+        val cols = Snapshots.clusterCols(spec)
+        val fields = cols.map(c => tableSchema.find(_.name == c))
+        if (cols.isEmpty || fields.exists(_.isEmpty)) refuse("not a table column")
+        else {
+          val stats = Snapshots.statsOf(spark, root, v)
+          // Some(catalyst key or null) iff the file is single-valued for
+          // the column
+          def colKey(fl: String, c: String, dt: DataType): Option[Any] =
+            stats.get(fl).flatMap(_.get(c)).flatMap {
+              case cs if cs.tag == "allnull" => Some(null)
+              case cs if cs.nulls == 0 && cs.min == cs.max =>
+                scala.util.Try(SnapshotStats.decode(cs.tag, cs.min)).toOption
+                  .map(SnapshotScan.normalizeKey)
+                  .flatMap(SnapshotScan.checkedCatalyst(dt, _))
+              case _ => None
+            }
+          def keyOf(fl: String): Option[Seq[Any]] = {
+            val parts = fields.flatten.map(f => colKey(fl, f.name, f.dataType))
+            if (parts.exists(_.isEmpty)) None else Some(parts.map(_.get))
+          }
+          val keyed = kept.map(fl => keyOf(fl).map(k => k -> fl))
+          if (keyed.exists(_.isEmpty))
+            refuse("a planned file is not provably single-valued for every cluster " +
+              "column (missing stats, mixed values, or nulls beside values) — " +
+              "publish with clusterBy to guarantee the layout")
+          else if (keyed.isEmpty) None // empty table: nothing to group
+          else Some((cols, keyed.flatMap(x => x).groupBy(_._1).toSeq
+            .map { case (k, fs) =>
+              (new GenericInternalRow(k.toArray): InternalRow, fs.map(_._2).sorted)
+            }
+            .sortBy(_._2.head)))
         }
       }
     }
@@ -1257,8 +1262,8 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * directory scheme made implicitly.
     */
   override def outputPartitioning(): Partitioning = clusterGroups match {
-    case Some((c, gs)) if gs.nonEmpty =>
-      new KeyGroupedPartitioning(Array(Expressions.identity(c)), gs.size)
+    case Some((cols, gs)) if gs.nonEmpty =>
+      new KeyGroupedPartitioning(cols.map(Expressions.identity).toArray, gs.size)
     case _ => new UnknownPartitioning(0)
   }
 
@@ -1269,9 +1274,9 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     clusterGroups match {
-      case Some((c, gs)) if gs.nonEmpty =>
-        Array(Expressions.sort(Expressions.identity(c),
-          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case Some((cols, gs)) if gs.nonEmpty =>
+        cols.map(c => Expressions.sort(Expressions.identity(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       case _ => Array.empty
     }
 

@@ -33,14 +33,16 @@ object ParquetWriteBridge {
   case class WrittenFiles(names: Seq[String], rows: Long) extends WriterCommitMessage
 
   /** A serializable factory writing rows of `schema` into `dirUri`.
-    * `rollOn = Some(col)` starts a NEW file whenever the column's value
-    * changes between consecutive rows — with a clustered distribution
-    * and an ordering on the same column (the [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
-    * contract), every written file comes out single-valued for it, which
-    * is what lets a row-level rewrite preserve a key-clustered layout.
+    * `rollOn = cols` starts a NEW file whenever any of the columns'
+    * values change between consecutive rows — with a clustered
+    * distribution and an ordering on the same columns (the
+    * [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+    * contract), every written file comes out single-valued for the key
+    * tuple, which is what lets a row-level rewrite preserve a
+    * key-clustered layout.
     */
   def writerFactory(spark: SparkSession, schema: StructType,
-      dirUri: String, rollOn: Option[String] = None): DataWriterFactory = {
+      dirUri: String, rollOn: Seq[String] = Nil): DataWriterFactory = {
     val sqlConf = spark.sessionState.conf.clone()
     sqlConf.setConfString("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
@@ -57,7 +59,7 @@ private[graftbridge] class GraftParquetWriterFactory(
     conf: SerializableConfiguration,
     schema: StructType,
     dirUri: String,
-    rollIdx: Option[Int] = None) extends DataWriterFactory {
+    rollIdx: Seq[Int] = Nil) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -66,8 +68,7 @@ private[graftbridge] class GraftParquetWriterFactory(
       private val names = scala.collection.mutable.ListBuffer.empty[String]
       private var rows = 0L
       private val rollType = rollIdx.map(schema(_).dataType)
-      private var lastKey: Any = null
-      private var hasKey = false
+      private var lastKey: Seq[Any] = null
       // ReplaceData rows arrive with the rewrite's `__row_operation`
       // marker PREPENDED, and Spark's row projection only strips it for
       // sources declaring metadata attributes (the writingTask None
@@ -106,19 +107,18 @@ private[graftbridge] class GraftParquetWriterFactory(
             adapter.project(record)
             adapter
           }
-        rollIdx.foreach { i =>
-          val k = out.get(i, rollType.get)
-          if (hasKey && !java.util.Objects.equals(k, lastKey) && writer != null) {
+        if (rollIdx.nonEmpty) {
+          val k = rollIdx.indices.map(j => out.get(rollIdx(j), rollType(j)))
+          if (lastKey != null && k != lastKey && writer != null) {
             writer.close()
             names += fileName
             writer = null
           }
-          // buffers behind string values are reused across rows: keep a copy
-          lastKey = k match {
+          // buffers behind string values are reused across rows: keep copies
+          lastKey = k.map {
             case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
             case x => x
           }
-          hasKey = true
         }
         open()
         writer.write(out)

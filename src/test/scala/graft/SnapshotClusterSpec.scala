@@ -499,13 +499,66 @@ class SnapshotClusterSpec extends AnyFunSuite {
       .contains("o_orderpriority"), "CTAS must come out clustered")
     assert(spark.sql("SELECT count(*) FROM declclus.ct2").head.getLong(0) ==
       orders.count())
-    // a multi-transform declaration refuses with guidance
+    // a non-identity transform refuses with guidance
     val e = intercept[Exception] {
       spark.sql(
         """CREATE TABLE declclus.bad (k BIGINT, b STRING)
-          |USING `graft-snapshot` PARTITIONED BY (k, b)""".stripMargin)
+          |USING `graft-snapshot` PARTITIONED BY (bucket(4, k))""".stripMargin)
     }
-    assert(e.getMessage.contains("one column"), s"got: ${e.getMessage}")
+    assert(e.getMessage.contains("identity"), s"got: ${e.getMessage}")
+  }
+
+  test("composite cluster keys: SPJ and grouped metadata over a two-column key") {
+    val root = freshRoot("composite")
+    val df = orders.select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_orderpriority"))
+    Snapshots.publish(spark, root, df,
+      clusterBy = Some("o_orderstatus,o_orderpriority"))
+    val tuples = df.select("o_orderstatus", "o_orderpriority").distinct().count()
+    assert(Snapshots.files(spark, root, 1).size == tuples)
+    assert(Snapshots.clusterOf(spark, root, 1)
+      .contains("o_orderstatus,o_orderpriority"))
+    // grouped metadata aggregate over BOTH key columns
+    val agg = readSource(root).groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), max("o_orderkey").as("hi"))
+    assert(metadataOnly(agg))
+    val got = agg.orderBy("o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val expect = df.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), max("o_orderkey").as("hi"))
+      .orderBy("o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // a real aggregation on the full key tuple plans shuffle-free
+    val real = readSource(root).groupBy("o_orderstatus", "o_orderpriority")
+      .agg(sum("o_orderkey").as("s"))
+    assert(shuffles(real) == 0)
+    // composite SPJ: join two co-clustered tables on the key tuple
+    val dim = freshRoot("compositeDim")
+    Snapshots.publish(spark, dim,
+      df.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cell_n")),
+      clusterBy = Some("o_orderstatus,o_orderpriority"))
+    noBroadcast {
+      val joined = readSource(root).join(readSource(dim).hint("merge"),
+        Seq("o_orderstatus", "o_orderpriority"))
+      assert(shuffles(joined) == 0,
+        s"expected composite-key SPJ:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == df.count())
+    }
+    // SQL UPDATE preserves the composite layout
+    spark.conf.set("spark.sql.catalog.compclus",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.compclus.warehouse",
+      new java.io.File(root).getParent)
+    // point the catalog at the root's parent so the table resolves by name
+    val tname = new java.io.File(root).getName
+    spark.sql(s"UPDATE compclus.`$tname` SET o_orderkey = o_orderkey + 5000000 " +
+      "WHERE o_orderkey % 4 = 0")
+    val head = Snapshots.versions(spark, root).last
+    assert(Snapshots.clusterOf(spark, root, head)
+      .contains("o_orderstatus,o_orderpriority"),
+      "composite layout must survive SQL UPDATE")
   }
 
   test("a writer partitionBy declares the cluster key for a fresh streamed table") {
