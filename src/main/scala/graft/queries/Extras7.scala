@@ -3,7 +3,6 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators.Snapshots
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 
