@@ -216,6 +216,60 @@ object Extras7 {
         min("o_orderkey").cast("long").as("min_key"))
         .select(col("key_sum"), col("max_key"), col("min_key"),
           lit(planned > 0 && planned < totalFiles).as("pruned"))
+    },
+
+    // HYBRID RETRIEVAL: reciprocal-rank fusion of a lexical BM25 top-20
+    // and a dense exact-cosine top-20 over the same id domain — the
+    // standard uncalibrated combiner (RRF) behind retrieval-augmented
+    // dataset construction. Both input lists are already oracle-pinned
+    // shapes (q79's rounded-before-rank BM25, q36's cosine ranks), and
+    // the fused scores round before ranking with id tie-breaks, so the
+    // WHOLE fusion replays exactly in DuckDB. Every join side is
+    // top-k-bounded: the fusion costs the same at 100 TB as at sf0.001.
+    QueryDef.checked(
+      "q166_hybrid_retrieval",
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '${graft.queries.DuckSql.ws}+')) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+         |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |q AS (SELECT unnest(['spark', 'merge', 'vector']) AS term),
+         |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM w
+         |       JOIN q ON w.tok = q.term GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    sum(ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |        * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl))) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), g GROUP BY tf.doc_id),
+         |sparse AS (SELECT doc_id, rank FROM
+         |    (SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id)
+         |       AS rank FROM sc)
+         |  WHERE rank <= 20),
+         |dense AS (SELECT neighbor_id AS doc_id, rank FROM
+         |    (SELECT c.vec_id AS neighbor_id,
+         |       row_number() OVER (ORDER BY
+         |         list_cosine_similarity(q0.embedding, c.embedding) DESC, c.vec_id)
+         |         AS rank
+         |     FROM embeddings q0, embeddings c
+         |     WHERE q0.vec_id = 0 AND c.vec_id != 0)
+         |  WHERE rank <= 20),
+         |f AS (SELECT COALESCE(sparse.doc_id, dense.doc_id) AS doc_id,
+         |    round(COALESCE(1.0 / (60 + sparse.rank), 0)
+         |        + COALESCE(1.0 / (60 + dense.rank), 0), 6) AS rrf
+         |  FROM sparse FULL OUTER JOIN dense USING (doc_id))
+         |SELECT doc_id, rrf, fused_rank FROM
+         |  (SELECT doc_id, rrf,
+         |     row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank FROM f)
+         |WHERE fused_rank <= 10""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val sparse = graft.operators.Bm25
+        .topDocs(docs, terms = Seq("spark", "merge", "vector"), topK = 20)
+        .select(col("doc_id"), col("rank"))
+      val dense = graft.operators.Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rn").cast("long").as("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), topK = 10)
     }
   )
 }

@@ -399,4 +399,33 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(estJ - exactJ) <= 0.05, s"$a×$b: est $estJ vs exact $exactJ")
     }
   }
+
+  test("RRF fusion: hand-computed scores, one-list-only docs, tie order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // list A ranks 1,2,3 = docs 10,20,30; list B ranks 1,2 = docs 20,40
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val fused = graft.operators.Retrieval.rrfFuse(Seq(a, b), k = 60, topK = 10)
+      .orderBy(col("fused_rank")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def rr(r: Long) = 1.0 / (60 + r)
+    def round6(x: Double) = math.round(x * 1e6) / 1e6
+    // doc 20 appears in both lists and must dominate
+    val expect = Seq(
+      20L -> round6(rr(2) + rr(1)),
+      10L -> round6(rr(1)),
+      40L -> round6(rr(2)),
+      30L -> round6(rr(3)))
+    assert(fused.map(x => (x._1, x._2)).toSeq == expect,
+      s"got ${fused.toSeq}")
+    assert(fused.map(_._3).toSeq == Seq(1L, 2L, 3L, 4L))
+    // equal contributions tie-break by ascending id: two docs with the
+    // same single-list rank
+    val c = Seq((7L, 1L)).toDF("doc_id", "rank")
+    val d = Seq((3L, 1L)).toDF("doc_id", "rank")
+    val tied = graft.operators.Retrieval.rrfFuse(Seq(c, d), topK = 5)
+      .orderBy(col("fused_rank")).collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(3L, 7L))
+  }
 }
