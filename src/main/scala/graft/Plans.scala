@@ -89,7 +89,8 @@ object Plans {
       "q161_spj_join",       // storage-partitioned join: zero exchanges, zero sorts
       "q162_grouped_stats_agg", // grouped metadata-only aggregate: rows, no scan
       "q164_clustered_dml",  // layout survives SQL UPDATE: still shuffle-free
-      "q165_topn_pushdown")  // ORDER BY DESC LIMIT plans one band's files
+      "q165_topn_pushdown",  // ORDER BY DESC LIMIT plans one band's files
+      "q167_composite_spj")  // two-column cluster key: zero-shuffle join
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

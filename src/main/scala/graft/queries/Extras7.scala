@@ -270,6 +270,48 @@ object Extras7 {
         .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
         .select(col("neighbor_id").as("doc_id"), col("rn").cast("long").as("rank"))
       graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), topK = 10)
+    },
+
+    // COMPOSITE-KEY STORAGE-PARTITIONED JOIN: both sides clustered on
+    // the (status, priority) tuple — one file set per value pair — and
+    // the join ON both columns plus the re-aggregation above it plan
+    // with ZERO shuffles (q161's guarantee extended to the composite
+    // routing keys real tables use, e.g. tenant+day). The exchange
+    // count rides under the oracle hash.
+    QueryDef.checked(
+      "q167_composite_spj",
+      """SELECT o.o_orderstatus, o.o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(min(o.o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(d.cell_n) AS BIGINT) AS cell_n,
+        |  CAST(1 AS BOOLEAN) AS shuffle_free
+        |FROM orders o
+        |JOIN (SELECT o_orderstatus, o_orderpriority, count(*) AS cell_n
+        |      FROM orders GROUP BY 1, 2) d
+        |  ON o.o_orderstatus = d.o_orderstatus
+        | AND o.o_orderpriority = d.o_orderpriority
+        |GROUP BY o.o_orderstatus, o.o_orderpriority""".stripMargin) { (s, dir) =>
+      val factRoot = freshRoot(s, "q167_composite_spj", "cspj_fact", dir)
+      val dimRoot = freshRoot(s, "q167_composite_spj", "cspj_dim", dir)
+      val spec = "o_orderstatus,o_orderpriority"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      Snapshots.publish(s, factRoot, orders, clusterBy = Some(spec))
+      Snapshots.publish(s, dimRoot,
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cell_n")),
+        clusterBy = Some(spec))
+      def read(root: String) =
+        s.read.format("graft-snapshot").option("root", root).load()
+      val joined = read(factRoot)
+        .join(read(dimRoot).hint("merge"), Seq("o_orderstatus", "o_orderpriority"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").cast("long").as("min_key"),
+          max("cell_n").cast("long").as("cell_n"))
+      val free = shuffleCount(joined) == 0
+      joined.select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+        col("min_key"), col("cell_n"), lit(free).as("shuffle_free"))
     }
   )
 }
