@@ -1,13 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate detection: 64-bit locality-sensitive fingerprint
   * per document (Charikar's scheme — similar token distributions give
-  * fingerprints at small Hamming distance), then banded bucketing for
-  * candidate pairs. Complementary to MinHash: SimHash weighs token
-  * *frequencies*, MinHash compares shingle *sets*.
+  * fingerprints at small Hamming distance), then block-combination
+  * bucketing for candidate pairs. Complementary to MinHash: SimHash weighs
+  * token *frequencies*, MinHash compares shingle *sets*.
+  *
+  * The fingerprint table `(doc_id, simhash)` is the expensive half of the
+  * operator (tokenize → 64 conditional bit sums per doc — one full corpus
+  * scan plus a wide aggregate); [[fingerprints]] materializes it ONCE per
+  * corpus version as a stamped scratch artifact (the
+  * [[DedupPipeline]] pattern), so repeated pair queries — and radius or
+  * table-design changes, which only touch the cheap banding stage — reuse
+  * the scan instead of recomputing it.
   */
 object SimHashDedup {
 
@@ -30,33 +39,50 @@ object SimHashDedup {
 
   private val Blocks = 8
   private val BlockWidth = 8
-  private val blockPairs: Seq[(Int, Int)] =
-    for { i <- 0 until Blocks; j <- i + 1 until Blocks } yield (i, j)
+
+  /** All size-`r` combinations of block indices, lexicographic. */
+  private[graft] def blockCombos(r: Int): Seq[Seq[Int]] =
+    (0 until Blocks).combinations(r).map(_.toSeq).toSeq
 
   /** Candidate pairs from block-combination bucketing (the design of
     * Manku et al., WWW'07, "Detecting Near-Duplicates for Web Crawling"):
     * the 64-bit fingerprint splits into 8 blocks of 8 bits, and every
-    * PAIR of blocks forms one 16-bit key — C(8,2) = 28 tables.
+    * combination of `r = Blocks - maxDist` blocks forms one `8·r`-bit
+    * key — C(8, r) tables.
     *
     * Recall guarantee (block-level pigeonhole): d differing bits touch at
-    * most d blocks, so a pair within Hamming distance 6 leaves ≥ 2 blocks
-    * intact — and every 2-block combination IS a table, so candidate
-    * recall is GUARANTEED for maxDist ≤ 6. Exact `bit_count(xor)`
-    * verification runs on every candidate regardless.
+    * most d blocks, so a pair within Hamming distance `maxDist` leaves
+    * ≥ `Blocks - maxDist = r` blocks intact — and every r-block
+    * combination IS a table, so candidate recall is GUARANTEED for
+    * distances ≤ maxDist. Exact `bit_count(xor)` verification runs on
+    * every candidate regardless.
     *
-    * Scale: 16-bit keys give 65536 bucket values per table, so collision
-    * volume is driven by true near-duplicates, not by a bucket-count
-    * floor. (Naive contiguous 8×8-bit banding has only 256 buckets per
-    * band — a 3% random-collision floor that is quadratic in corpus size
-    * and dies around 10⁶ docs; 4×16 contiguous banding fixes the floor
-    * but can only guarantee recall to d = 3.)
+    * Collision floor — the honest scale bound: keys are uniform-hash
+    * derived, so besides true near-duplicates each table admits
+    * ~n²/2^(8·r+1) RANDOM candidate pairs (n docs, 8·r-bit keys,
+    * n²/2 ordered pairs). Per design point:
+    *   - maxDist = 6 → r = 2: 28 tables × 16-bit keys — floor
+    *     28·n²/2¹⁷ ≈ n²/4700. Fine to ~10⁶ docs (~2×10⁸ random
+    *     candidates); HOPELESS at 10⁸⁺ docs.
+    *   - maxDist = 5 → r = 3: 56 tables × 24-bit keys — floor
+    *     56·n²/2²⁵ ≈ n²/6×10⁵. Viable to ~10⁷–10⁸ docs.
+    *   - maxDist = 3 → r = 5: 56 tables × 40-bit keys — floor
+    *     ≈ n²/2×10¹⁰; web scale (10⁹⁺ docs needs this or Manku's
+    *     sorted-permutation variant, which trades the table count for
+    *     sorted scans).
+    * The floor is quadratic in corpus size: pick maxDist (and thereby the
+    * key width) from the corpus size, not only from the desired radius.
     */
-  def candidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val s = simhash(docs, idCol, textCol)
+  def candidatesFromFingerprints(fps: DataFrame, maxDist: Int = 6): DataFrame = {
+    val r = Blocks - maxDist
+    require(r >= 2 && r <= Blocks,
+      s"maxDist must be in [0, ${Blocks - 2}] (got $maxDist): recall needs >= 2 intact blocks")
     def block(i: Int) =
       shiftrightunsigned(col("simhash"), i * BlockWidth).bitwiseAND(lit(0xFFL))
-    val keys = blockPairs.map { case (i, j) => block(i) * lit(256L) + block(j) }
-    val b = s.select(col("doc_id"), col("simhash"), posexplode(array(keys: _*)))
+    // key = the r chosen blocks packed base-256 (distinct tables can never
+    // collide cross-table because `band` (the combo index) joins too)
+    val keys = blockCombos(r).map(_.map(block).reduce((a, b) => a * lit(256L) + b))
+    val b = fps.select(col("doc_id"), col("simhash"), posexplode(array(keys: _*)))
       .toDF("doc_id", "simhash", "band", "key")
     b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -66,15 +92,77 @@ object SimHashDedup {
       .distinct()
   }
 
-  /** Pairs within `maxDist` Hamming distance: block-combination candidates
-    * + exact `bit_count(xor)` verification. Recall is total (not merely
-    * probable) for maxDist ≤ 6 — see [[candidates]].
+  /** Candidate pairs computed from the raw corpus (fingerprints inline —
+    * see [[fingerprints]] for the materialized form).
     */
+  def candidates(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 6): DataFrame =
+    candidatesFromFingerprints(simhash(docs, idCol, textCol), maxDist)
+
+  /** Pairs within `maxDist` Hamming distance over a (materialized)
+    * fingerprint table: block-combination candidates + exact
+    * `bit_count(xor)` verification. Recall is total (not merely probable)
+    * — see [[candidatesFromFingerprints]] for the guarantee and the
+    * corpus-size floor that should drive the maxDist choice.
+    */
+  def pairsFromFingerprints(fps: DataFrame, maxDist: Int = 6): DataFrame =
+    candidatesFromFingerprints(fps, maxDist).filter(col("hamming") <= maxDist)
+
+  /** Pairs within `maxDist` Hamming distance, fingerprints inline. */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 6): DataFrame = {
-    require(maxDist <= Blocks - 2,
-      s"recall is only guaranteed for maxDist <= ${Blocks - 2} (got $maxDist)")
-    candidates(docs, idCol, textCol)
-      .filter(col("hamming") <= maxDist)
+      maxDist: Int = 6): DataFrame =
+    pairsFromFingerprints(simhash(docs, idCol, textCol), maxDist)
+
+  // concurrent consumers must not both decide to build and overwrite the
+  // same artifact mid-read — one JVM-level lock per scratch dir
+  // serializes them; the first builder wins, the rest see its stamp
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Corpus identity: (row count, XOR of xxhash64(id, text)) — one
+    * column-pruned pass, order-independent, ANSI-overflow-free. Same
+    * scheme as the dedup pair graph's.
+    */
+  private def corpusStamp(docs: DataFrame, idCol: String, textCol: String): String = {
+    val r = docs.agg(count(lit(1)), bit_xor(xxhash64(col(idCol), col(textCol)))).head()
+    s"${r.getLong(0)},${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  /** The `(doc_id, simhash)` fingerprint table for this corpus version,
+    * materialized under `scratchDir` (building if absent or stale).
+    *
+    * The artifact is stamped with the corpus fingerprint (count + XOR of
+    * row hashes, written LAST as the commit marker), so an in-place
+    * corpus rewrite rebuilds instead of serving stale hashes, and a
+    * crashed mid-write build is rebuilt, not trusted. `version`: pass
+    * `Some(id)` when the corpus is explicitly versioned — stamping with
+    * the id costs ZERO scans (the content stamp reads every text byte).
+    *
+    * Banding/radius parameters deliberately do NOT enter the stamp: the
+    * artifact is the radius-independent fingerprint table, so changing
+    * `maxDist` (a re-band over 8-byte rows) never re-pays the corpus scan.
+    */
+  def fingerprints(spark: SparkSession, docs: DataFrame, scratchDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      version: Option[String] = None): DataFrame = {
+    buildLocks.computeIfAbsent(scratchDir, _ => new Object).synchronized {
+      val root = new Path(scratchDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fpFile = new Path(root, "_fingerprint")
+      val stamp = version.map(v => s"v:$v").getOrElse(corpusStamp(docs, idCol, textCol))
+      val current =
+        if (!fs.exists(fpFile)) None
+        else {
+          val in = fs.open(fpFile)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString) finally in.close()
+        }
+      if (!current.contains(stamp)) {
+        if (fs.exists(fpFile)) fs.delete(fpFile, false) // invalidate before rewrite
+        simhash(docs, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$scratchDir/simhash")
+        val out = fs.create(fpFile, true)
+        try out.write(stamp.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    spark.read.parquet(s"$scratchDir/simhash")
   }
 }

@@ -170,9 +170,16 @@ object Dedup {
     },
 
     // SimHash near-dup (rows-only: xxhash64 has no DuckDB equivalent;
-    // cross-checked against MinHash in DedupSpec instead).
+    // cross-checked against MinHash in DedupSpec instead). The expensive
+    // half — the tokenize → 64-bit-sum fingerprint scan — reads the
+    // per-corpus-version (doc_id, simhash) artifact (the q33 pair-graph
+    // discipline), so repeated invocations re-band 8-byte rows instead of
+    // re-scanning the corpus.
     QueryDef.rowsOnly("q35_simhash_pairs") { (s, dir) =>
-      SimHashDedup.pairs(t(s, dir, "documents"), "doc_id", "text")
+      val fps = SimHashDedup.fingerprints(s, t(s, dir, "documents"),
+        s"${sys.props("java.io.tmpdir")}/graft-scratch/simhash_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_"))
+      SimHashDedup.pairsFromFingerprints(fps)
     },
 
     // connected components over the q33 dup-pair graph: cluster-level

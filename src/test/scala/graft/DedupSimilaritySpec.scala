@@ -47,6 +47,68 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(banded == exact, s"missed ${exact -- banded}, extra ${banded -- exact}")
   }
 
+  test("simhash wider-key designs keep the recall guarantee at their d") {
+    // r = 8 - maxDist blocks per key: maxDist=5 → C(8,3)=56 tables of
+    // 24-bit keys (floor 56·n²/2²⁵ — the 10⁷–10⁸-doc design point),
+    // maxDist=3 → C(8,5)=56 tables of 40-bit keys (the web-scale point).
+    // Recall at each d is TOTAL: banded output must EQUAL brute force.
+    assert(SimHashDedup.blockCombos(3).size == 56)
+    assert(SimHashDedup.blockCombos(5).size == 56)
+    val s = SimHashDedup.simhash(docs, "doc_id", "text").cache()
+    for (d <- Seq(5, 3)) {
+      val banded = SimHashDedup.pairsFromFingerprints(s, maxDist = d)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= d)
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty, s"fixture has no pairs at hamming <= $d")
+      assert(banded == exact,
+        s"d=$d: missed ${exact -- banded}, extra ${banded -- exact}")
+    }
+    s.unpersist()
+  }
+
+  test("simhash fingerprint artifact: reused, rebuilt on corpus change, radius-independent") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-simhash-art").toString
+    val docsPath = s"$base/docs"
+    val scratch = s"$base/scratch"
+    Seq((0L, "aaa bbb ccc ddd eee"), (1L, "aaa bbb ccc ddd eee"),
+        (2L, "zzz yyy xxx www vvv"))
+      .toDF("doc_id", "text").write.parquet(docsPath)
+    def pairsVia(maxDist: Int) = SimHashDedup.pairsFromFingerprints(
+      SimHashDedup.fingerprints(spark, spark.read.parquet(docsPath), scratch), maxDist)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsVia(6) == Set((0L, 1L)))
+    val part = new java.io.File(s"$scratch/simhash").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    // artifact equals the inline computation; a sibling session and a
+    // DIFFERENT radius both reuse it (the stamp is radius-independent —
+    // re-banding 8-byte rows never re-pays the corpus scan)
+    assert(pairsVia(5) == Set((0L, 1L)) && part.exists(),
+      "radius change must re-band the artifact, not rebuild it")
+    val s2 = spark.newSession()
+    val viaS2 = SimHashDedup.pairsFromFingerprints(
+      SimHashDedup.fingerprints(s2, s2.read.parquet(docsPath), scratch))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaS2 == Set((0L, 1L)) && part.exists())
+    // corpus rewritten in place → stamp mismatch → rebuild, not stale reuse
+    Seq((3L, "qqq rrr sss ttt uuu"), (4L, "qqq rrr sss ttt uuu"))
+      .toDF("doc_id", "text").write.mode("append").parquet(docsPath)
+    assert(pairsVia(6) == Set((0L, 1L), (3L, 4L)))
+    // explicit version: same id reuses even over a changed frame, new id rebuilds
+    val vScratch = s"$base/vscratch"
+    def fpsOf(p: String, v: String) = SimHashDedup.fingerprints(
+      spark, spark.read.parquet(p), vScratch, version = Some(v))
+      .collect().map(_.getLong(0)).toSet
+    val small = s"$base/docs-small"
+    Seq((9L, "one two")).toDF("doc_id", "text").write.parquet(small)
+    assert(fpsOf(docsPath, "snap-1") == Set(0L, 1L, 2L, 3L, 4L))
+    assert(fpsOf(small, "snap-1") == Set(0L, 1L, 2L, 3L, 4L), "same version must reuse")
+    assert(fpsOf(small, "snap-2") == Set(9L), "new version must rebuild")
+  }
+
   test("simhash puts near-dup pairs at small hamming distance") {
     val sim = SimHashDedup.pairs(docs, "doc_id", "text")
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
