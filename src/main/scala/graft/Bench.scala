@@ -100,11 +100,25 @@ object Bench {
     val heavyK = Set("q56_two_level_roundtrip", "q101_zorder_roundtrip")
     val results = selected.map { case (name, fn) =>
       val kq = if (heavyK(name)) math.max(k, 5) else k
-      val outcomes = (1 to kq).map { _ =>
+      def run(): Either[String, Double] = {
         hygiene()
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      }
+      var outcomes = (1 to kq).map(_ => run())
+      // variance guard: a >2x max/min spread means at least one run
+      // absorbed interference (GC, a co-tenant process, a first-touch JIT)
+      // — min-of-k is then one unlucky draw away from recording the noise;
+      // take up to 3 extra samples until the spread settles, so
+      // round-over-round deltas compare plan costs, not machine weather.
+      // All raw runs stay visible in queries_runs.
+      var extra = 0
+      def spreadOver2(ts: Seq[Double]) = ts.nonEmpty && ts.max > 2 * ts.min
+      while (extra < 3 && outcomes.forall(_.isRight) &&
+          spreadOver2(outcomes.collect { case Right(t) => t })) {
+        outcomes = outcomes :+ run()
+        extra += 1
       }
       (name, outcomes.collect { case Right(t) => t }, outcomes.collectFirst { case Left(m) => m })
     }

@@ -36,6 +36,22 @@ object PlanOps {
       case s: org.apache.spark.sql.execution.SortExec => s
     }.size
 
+  /** Files planned across every DSv2 scan in the (possibly adaptive)
+    * plan — the evidence counter for file-pruning flags. A plain
+    * `executedPlan.collect` works only while the plan happens to avoid
+    * AQE wrapping (e.g. TakeOrderedAndProject with no exchange); any
+    * exchange-introducing change would silently yield 0 and flip a
+    * pinned pruning flag, so evidence queries must use this walk.
+    */
+  def plannedScanFiles(df: DataFrame): Int =
+    walk(df.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.length
+        }.sum
+    }.sum
+
   /** True iff the plan contains at least one DSv2 scan and EVERY one of
     * them is a metadata-answered (`METADATA-ONLY`) scan. False on a plan
     * with no scans at all — a regressed pushdown must fail the flag, not

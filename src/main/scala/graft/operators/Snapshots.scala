@@ -121,12 +121,23 @@ object Snapshots {
     *     the point of the cache, so the bound must track what they
     *     actually pin on the driver heap; eviction drops the coldest
     *     entries, never the whole cache.
-    *   - VERY RECENT manifests (mtime within 2 s of now) are served
+    *   - VERY RECENT manifests (mtime within 10 s of now) are served
     *     fresh-read and not cached: a delete-and-recreate of the same
     *     root inside one coarse-mtime tick could otherwise stamp-collide
     *     (same path, length, mtime) and serve the dead incarnation's
     *     lines. Correctness never depends on retention.
+    *     CLOCK-SKEW ASSUMPTION: "recent" compares the STORE's mtime
+    *     against the DRIVER's clock, so the guard holds only while
+    *     driver-vs-store skew stays under the window minus the store's
+    *     mtime granularity (10 s − 1 s here). That is well inside NTP
+    *     discipline; a deployment with a free-running store clock must
+    *     widen [[ManifestCacheRecentMs]] to its skew bound. Same-clock
+    *     rewrites (tests, local FS) are exact. This sits on top of the
+    *     single-writer contract: concurrent publishes to one root are
+    *     already outside the table's guarantees — the guard exists for
+    *     the DELETE-then-recreate shape, which single-writer permits.
     */
+  private val ManifestCacheRecentMs = 10000L
   private val ManifestCacheBudget: Long = 64L << 20 // chars of line text
   private val manifestCache =
     new java.util.LinkedHashMap[(String, Long, Long), Manifest](64, 0.75f, true)
@@ -151,7 +162,8 @@ object Snapshots {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
       finally in.close()
     val m = new Manifest(lines)
-    val recent = st.getModificationTime > System.currentTimeMillis() - 2000L
+    val recent =
+      st.getModificationTime > System.currentTimeMillis() - ManifestCacheRecentMs
     if (!recent && m.weight <= ManifestCacheBudget) manifestCache.synchronized {
       if (!manifestCache.containsKey(key)) {
         manifestCache.put(key, m)
@@ -213,7 +225,14 @@ object Snapshots {
     */
   private[graft] def clusterApplies(spec: String, columns: Seq[String]): Boolean = {
     val cs = clusterCols(spec)
-    cs.nonEmpty && cs.forall(columns.contains)
+    // match the session's column RESOLVER (spark.sql.caseSensitive,
+    // default false): a streaming partitionBy("EventDate") over a frame
+    // column `eventdate` resolves downstream, so the carry test must not
+    // silently drop the layout on a case difference
+    val sensitive = org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
+    def norm(c: String) = if (sensitive) c else c.toLowerCase(java.util.Locale.ROOT)
+    val have = columns.map(norm).toSet
+    cs.nonEmpty && cs.forall(c => have.contains(norm(c)))
   }
 
   /** The base version's cluster header, as manifest lines for a
@@ -390,29 +409,39 @@ object Snapshots {
       append: Boolean = false, extraHeader: Seq[String] = Nil,
       bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None): Int = {
     val f = fs(spark, root)
-    clusterBy.foreach { spec =>
+    // canonical spec: trimmed, comma-joined, and NORMALIZED to the frame's
+    // own column spelling under the session resolver (default
+    // case-insensitive) — header equality is string equality and every
+    // downstream proof (footer-stats lookups, roll-on-key writers,
+    // to_json split digests) keys on the REAL column name, so a
+    // case-differing clusterBy must resolve here or fail loudly, never
+    // record an unprovable header
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val cluster = clusterBy.map { spec =>
       val cols = clusterCols(spec)
       require(cols.nonEmpty, "clusterBy needs at least one column")
       require(!df.columns.contains(ClusterDirCol),
         s"frame already has a '$ClusterDirCol' column")
-      cols.foreach { c =>
-        require(df.columns.contains(c), s"clusterBy column '$c' is not in the frame")
+      cols.map { c =>
+        val matches = df.columns.filter(resolver(_, c))
+        require(matches.nonEmpty, s"clusterBy column '$c' is not in the frame")
+        require(matches.length == 1,
+          s"clusterBy column '$c' is ambiguous in the frame: ${matches.mkString(", ")}")
+        val resolved = matches.head
         // the whole clustered tier derives keys from parquet footer stats,
         // so the column must be a stats-provable type — a binary/decimal/
         // boolean header would claim a layout no scan could ever verify
         // (and roll-on-key writers would compare binary keys by reference)
         import org.apache.spark.sql.types._
-        val dt = df.schema(c).dataType
+        val dt = df.schema(resolved).dataType
         require(Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
             DoubleType, StringType, DateType, TimestampType).contains(dt),
           s"clusterBy column '$c' has type ${dt.simpleString}; key-clustering " +
             "needs a footer-stats-provable type (integral, float, string, " +
             "date, timestamp)")
-      }
+        resolved
+      }.mkString(",")
     }
-    // canonical spec: trimmed, comma-joined — header equality is string
-    // equality, so spelling must not matter
-    val cluster = clusterBy.map(spec => clusterCols(spec).mkString(","))
     val (dataDir, newFiles) = writeData(f, root, df, bloomOn, cluster)
     val prev = versions(spark, root)
     val base: Seq[String] =
@@ -523,7 +552,12 @@ object Snapshots {
       case None => f.listStatus(dataPath).toSeq.filter(st => st.isFile)
         .map(_.getPath.getName).filter(visible).map(n => s"$dataDir/$n")
       case Some(_) => // one `__cluster=<v>/` subdirectory per distinct value
-        f.listStatus(dataPath).toSeq.filter(_.isDirectory)
+        // list ONLY the split dirs this write's partitionBy produced —
+        // the dir-name analogue of the file branch's visible(): a
+        // non-default committer's leftover `_temporary/` (or any other
+        // stray subdirectory) must never commit as data
+        f.listStatus(dataPath).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$ClusterDirCol="))
           .flatMap(d => f.listStatus(d.getPath).toSeq
             .filter(st => st.isFile && visible(st.getPath.getName))
             .map(st => s"$dataDir/${d.getPath.getName}/${st.getPath.getName}"))

@@ -205,12 +205,10 @@ object Extras7 {
       val totalFiles = Snapshots.files(s, root, 1).size
       val top = s.read.format("graft-snapshot").option("root", root).load()
         .orderBy(col("o_orderkey").desc).limit(25)
-      val planned = top.queryExecution.executedPlan.collect {
-        case b: BatchScanExec => b.inputPartitions.collect {
-          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-            fp.files.length
-        }.sum
-      }.sum
+      // AQE-descending walk: the TakeOrderedAndProject plan has no
+      // exchange today, but any future exchange would wrap the scan in
+      // an AdaptiveSparkPlanExec leaf and a plain collect would read 0
+      val planned = graft.PlanOps.plannedScanFiles(top)
       top.agg(sum("o_orderkey").cast("long").as("key_sum"),
         max("o_orderkey").cast("long").as("max_key"),
         min("o_orderkey").cast("long").as("min_key"))

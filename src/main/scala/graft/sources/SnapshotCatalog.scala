@@ -60,8 +60,25 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
 
   private def spark: SparkSession = SparkSession.active
 
+  /** Identifier segments become PATH segments under the warehouse root,
+    * so every one must be a plain directory name: a quoted identifier (or
+    * a raw procedure argument) containing '/', '\', '..' or an empty
+    * segment could otherwise address — and mutate, via CALL sys.vacuum —
+    * paths OUTSIDE the warehouse.
+    */
+  private def validSegments(segments: Seq[String], what: String): Seq[String] = {
+    segments.foreach { s =>
+      require(s.nonEmpty && s != "." && s != ".." &&
+        !s.contains('/') && !s.contains('\\'),
+        s"invalid $what segment '$s': identifier segments must be non-empty " +
+          "names without path separators or dot-dirs")
+    }
+    segments
+  }
+
   private def rootOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+    validSegments(ident.namespace().toSeq :+ ident.name(), "table identifier")
+      .mkString(s"$warehouse/", "/", "")
 
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -220,7 +237,10 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   // reclamation, layout) without any library import.
 
   private def tableRoot(table: String): String = {
-    val root = (warehouse +: table.split('.').toSeq).mkString("/")
+    // same segment rules as table resolution: the argument is raw SQL text
+    val root =
+      (warehouse +: validSegments(table.split('.').toSeq, "procedure table"))
+        .mkString("/")
     require(Snapshots.versions(spark, root).nonEmpty,
       s"no snapshot table '$table' under $warehouse")
     root

@@ -154,10 +154,20 @@ private[graft] class SnapshotStreamSink(root: String, complete: Boolean,
     // root: an existing table keeps its own layout — appending clustered
     // onto an unclustered base cannot hold the per-file guarantee and
     // would crash-loop the stream on publish's refusal
-    val cluster = (Snapshots.versions(spark, root).lastOption match {
+    val cluster = Snapshots.versions(spark, root).lastOption match {
       case Some(v) => Snapshots.clusterOf(spark, root, v)
-      case None => declaredCluster
-    }).filter(Snapshots.clusterApplies(_, batch.columns.toSeq))
+        .filter(Snapshots.clusterApplies(_, batch.columns.toSeq))
+      case None =>
+        // a fresh root's DECLARED layout must resolve or fail loudly: a
+        // typo'd partitionBy would otherwise publish an unclustered table
+        // and every later batch would silently keep it that way
+        declaredCluster.foreach { spec =>
+          require(Snapshots.clusterApplies(spec, batch.columns.toSeq),
+            s"partitionBy columns [$spec] do not resolve against the stream " +
+              s"schema [${batch.columns.mkString(", ")}]")
+        }
+        declaredCluster
+    }
     Snapshots.publishStreamBatch(spark, root, batch, batchId,
       append = !complete, clusterBy = cluster)
   }

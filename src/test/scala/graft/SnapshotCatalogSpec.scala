@@ -244,4 +244,34 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(messages.contains("FAILED_TO_LOAD_ROUTINE") || messages.contains("rollback"),
       s"got: $messages")
   }
+
+  test("identifier segments cannot escape the warehouse (CALL args and quoted idents)") {
+    Snapshots.publish(spark, s"$warehouse/esc1", orders.limit(5))
+    // a sibling OUTSIDE the warehouse that a traversal could address
+    val outside = new java.io.File(new java.io.File(warehouse).getParentFile, "esc-outside")
+    Snapshots.publish(spark, outside.toString, orders.limit(5))
+    // raw procedure argument: dots become path segments, so '..' or '/'
+    // inside one must refuse BEFORE any path is built or mutated
+    for (bad <- Seq("../esc-outside", "a/b", "..", "a..b.")) {
+      val e = intercept[Exception] {
+        spark.sql(s"CALL snapcat.sys.history('$bad')").collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString("; ")
+      assert(msgs.contains("invalid") || msgs.contains("no snapshot table"),
+        s"'$bad' must refuse as invalid, got: $msgs")
+      // and specifically never resolve the outside table
+      assert(!msgs.contains("esc-outside") || msgs.contains("invalid"))
+    }
+    // quoted identifiers take the same rule on the read path
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM snapcat.`../esc-outside`").collect()
+    }
+    val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs2.contains("invalid") || msgs2.toLowerCase.contains("table or view not found")
+      || msgs2.contains("TABLE_OR_VIEW_NOT_FOUND"), s"got: $msgs2")
+    // a well-formed name still works
+    assert(spark.sql("SELECT count(*) FROM snapcat.esc1").head.getLong(0) == 5)
+  }
 }

@@ -577,6 +577,50 @@ class SnapshotClusterSpec extends AnyFunSuite {
     assert(readSource(dst).count() == orders.count())
   }
 
+  test("case-differing cluster specs resolve to the frame's spelling; typos fail loudly") {
+    // publish: the header must record the REAL column name (downstream
+    // footer-stats proofs key on it), resolved like the session resolver
+    val root = freshRoot("casewise")
+    val v = Snapshots.publish(spark, root,
+      orders.select("o_orderkey", "o_orderpriority"),
+      clusterBy = Some("O_OrderPriority"))
+    assert(Snapshots.clusterOf(spark, root, v).contains("o_orderpriority"),
+      "header must carry the frame's spelling, not the spec's")
+    val agg = readSource(root).groupBy("o_orderpriority").agg(sum("o_orderkey").as("s"))
+    assert(shuffles(agg) == 0, "resolved layout must still plan shuffle-free")
+    // streaming fresh-root declaration: same resolution...
+    val src = freshRoot("casesrc")
+    val dst = freshRoot("casedst")
+    val ck = java.nio.file.Files.createTempDirectory("graft-caseck").toString
+    Snapshots.publish(spark, src, orders.select("o_orderkey", "o_orderpriority"))
+    val q = spark.readStream.format("graft-snapshot").option("root", src).load()
+      .writeStream.format("graft-snapshot").option("root", dst)
+      .partitionBy("O_ORDERPRIORITY")
+      .option("checkpointLocation", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(Snapshots.clusterOf(spark, dst, Snapshots.versions(spark, dst).last)
+      .contains("o_orderpriority"))
+    // ...and a column that does NOT resolve fails loudly instead of
+    // silently publishing an unclustered table forever. Spark's own
+    // DataStreamWriter.normalize rejects it at start(); the sink's
+    // fresh-root require is the second line of defense for direct
+    // construction (publish() itself refuses too)
+    val dst2 = freshRoot("casedst2")
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-caseck2").toString
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.readStream.format("graft-snapshot").option("root", src).load()
+        .writeStream.format("graft-snapshot").option("root", dst2)
+        .partitionBy("o_orderpriorty") // typo
+        .option("checkpointLocation", ck2).start()
+    }
+    assert(e.getMessage.contains("o_orderpriorty"), s"got: ${e.getMessage}")
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.publish(spark, dst2,
+        orders.select("o_orderkey", "o_orderpriority"),
+        clusterBy = Some("o_orderpriorty"))
+    }.getMessage.contains("o_orderpriorty"))
+  }
+
   test("float cluster keys: -0.0 and 0.0 are ONE group; binary keys refuse") {
     val root = freshRoot("zeros")
     import spark.implicits._
