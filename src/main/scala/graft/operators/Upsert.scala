@@ -56,6 +56,16 @@ object Upsert {
 
   final case class Stats(partsTouched: Long, partsRemoved: Long, rowsWritten: Long)
 
+  /** What the key-locality check COST, as evidence: of `untouchedParts`
+    * partitions the merge never opens, `envelopeCleared` were proven
+    * key-free at parquet-footer (metadata) cost and only
+    * `candidateParts` needed a column-pruned row probe. A key-clustered
+    * layout reports candidateParts = 0 — the contract check is
+    * metadata-only at 100 TB.
+    */
+  final case class LocalityReport(untouchedParts: Long, envelopeCleared: Long,
+      candidateParts: Long)
+
   def mergeByKey(
       spark: SparkSession,
       destPath: String,
@@ -63,7 +73,8 @@ object Upsert {
       keyCols: Seq[String],
       partNames: Seq[String],
       tombstoneCol: Option[String] = None,
-      verifyKeyLocality: Boolean = true): Stats = {
+      verifyKeyLocality: Boolean = true,
+      onLocality: LocalityReport => Unit = _ => ()): Stats = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
     require(partNames.nonEmpty, "mergeByKey is partition-granular: pass partNames")
     val fs = new Path(destPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,7 +122,8 @@ object Upsert {
     val aligned = partNames.foldLeft(spark.read.parquet(destPath))((df, p) =>
       df.withColumn(p, col(p).cast(delta.schema(p).dataType)))
     if (verifyKeyLocality)
-      failOnMovedKeys(spark, destPath, delta, keyCols, partNames, touched, aligned)
+      failOnMovedKeys(spark, destPath, delta, keyCols, partNames, touched, aligned,
+        onLocality)
 
     val existing = aligned.filter(pruneCond).select(dataCols.map(col): _*)
     val survivors = existing.join(
@@ -196,7 +208,8 @@ object Upsert {
       keyCols: Seq[String],
       partNames: Seq[String],
       touched: Array[Row],
-      aligned: DataFrame): Unit = {
+      aligned: DataFrame,
+      onLocality: LocalityReport => Unit): Unit = {
     import org.apache.spark.sql.types._
 
     val touchedSet: Set[Seq[String]] = touched.map(r =>
@@ -212,7 +225,10 @@ object Upsert {
 
     val envRows: Seq[Row] =
       untouchedEnvelopes(spark, destPath, dataKeyCols, numericOk, partNames, touchedSet)
-    if (envRows.isEmpty) return // every existing partition is being rewritten
+    if (envRows.isEmpty) { // every existing partition is being rewritten
+      onLocality(LocalityReport(0L, 0L, 0L))
+      return
+    }
 
     val envSchema = StructType(
       partNames.indices.map(j => StructField(s"__env_p$j", StringType, nullable = true)) ++
@@ -242,6 +258,8 @@ object Upsert {
       .join(broadcast(envDf), contained, "inner")
       .select(partNames.indices.map(j => col(s"__env_p$j")): _*)
       .distinct().collect()
+    onLocality(LocalityReport(envRows.size.toLong,
+      (envRows.size - candidates.length).toLong, candidates.length.toLong))
     if (candidates.isEmpty) return // proven at footer cost: no key moved
 
     // row-level probe of ONLY the candidate partitions

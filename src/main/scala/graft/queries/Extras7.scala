@@ -310,6 +310,62 @@ object Extras7 {
       val free = shuffleCount(joined) == 0
       joined.select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
         col("min_key"), col("cell_n"), lit(free).as("shuffle_free"))
+    },
+
+    // MANIFEST PARSE CACHE as oracle evidence (the SURVEY row was
+    // spec-only through round 9): committed manifests are immutable, so
+    // the planner caches each under its (path, length, mtime) stamp.
+    // The claim — "a warm-cache planning pass costs ONE getFileStatus
+    // validation and ZERO manifest reads" — is about filesystem
+    // round-trips, so the table lives under the call-recording
+    // `graftcount://` scheme ([[graft.sources.CountingFileSystem]]):
+    // after one warming read, a FRESH scan is planned end-to-end
+    // (pushdown, statistics, file packing) with the recorder on, and the
+    // flags ride under the oracle hash: `cache_no_reopen` (zero opens of
+    // any `_snapshots/` manifest), `cache_validated` (>= 1 stamp
+    // getFileStatus — the cache is validating, not blindly trusting) and
+    // `files_planned` (the pass really planned the scan's files). At
+    // 100 TB this is the difference between O(files) driver manifest
+    // re-reads per planning touch and one metadata round-trip.
+    QueryDef.checked(
+      "q169_manifest_cache",
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(1 AS BOOLEAN) AS cache_no_reopen,
+        |  CAST(1 AS BOOLEAN) AS cache_validated,
+        |  CAST(1 AS BOOLEAN) AS files_planned
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.CountingFileSystem
+      s.sparkContext.hadoopConfiguration.set("fs.graftcount.impl",
+        classOf[CountingFileSystem].getName)
+      val localRoot = freshRoot(s, "q169_manifest_cache", "mcache_root", dir)
+      val root = s"graftcount://$localRoot"
+      Snapshots.publish(s, root,
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .repartition(4))
+      // age the manifest past the cache's recency window (a just-written
+      // manifest is deliberately served fresh-read — see Snapshots'
+      // delete-and-recreate stamp guard), then warm the cache with one read
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val manifest = new org.apache.hadoop.fs.Path(s"$root/_snapshots/v1")
+      fs.setTimes(manifest, System.currentTimeMillis() - 60000L, -1L)
+      def read() = s.read.format("graft-snapshot").option("root", root).load()
+      graft.PlanOps.plannedScanFiles(read()) // warming pass populates the cache
+      // measured window: a FRESH read planned end-to-end
+      CountingFileSystem.reset()
+      val df = read().filter(col("o_totalprice") > 0)
+      val planned = graft.PlanOps.plannedScanFiles(df)
+      val reopens = CountingFileSystem.count("open", "_snapshots/")
+      val validations = CountingFileSystem.count("status", "_snapshots/v1")
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .select(col("o_orderpriority"), col("n_rows"), col("sum_cents"),
+          lit(reopens == 0).as("cache_no_reopen"),
+          lit(validations >= 1).as("cache_validated"),
+          lit(planned > 0).as("files_planned"))
     }
   )
 }

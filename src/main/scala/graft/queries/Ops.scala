@@ -294,6 +294,78 @@ object Ops {
             .otherwise(col("o_totalprice")).as("o_totalprice"))
       Reconcile.cdcDiff(oldV, newV, keys = Seq("o_orderkey"),
         compareCols = Seq("o_orderstatus", "o_totalprice"))
+    },
+
+    // mergeByKey KEY-LOCALITY enforcement as oracle evidence (the SURVEY
+    // row was spec-only through round 9): a key-banded warehouse
+    // (par_key = floor(key/2048), so partition derives from the key and
+    // footer envelopes are tight) takes an in-band update — the locality
+    // check must clear EVERY untouched partition at parquet-footer cost
+    // (candidateParts = 0, the `env_cleared_all` flag) — and then a
+    // second merge that routes an existing high-band key into band 0
+    // must refuse LOUDLY before any write (`moved_refused`), leaving the
+    // table bit-identical (`dest_intact` re-aggregates and compares).
+    // The oracle replays the one applied update; the three flags ride
+    // under its hash.
+    QueryDef.checked(
+      "q168_upsert_locality",
+      """WITH w AS (SELECT CAST(ceil((max(o_orderkey) + 1) / 8.0) AS BIGINT)
+        |             AS bw FROM orders)
+        |SELECT CAST(floor(o_orderkey / bw) AS BIGINT) AS band,
+        |  count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round((o_totalprice +
+        |    CASE WHEN o_orderkey % 7 = 0 AND o_orderkey < bw
+        |         THEN 500.0 ELSE 0.0 END) * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(1 AS BOOLEAN) AS env_cleared_all,
+        |  CAST(1 AS BOOLEAN) AS moved_refused,
+        |  CAST(1 AS BOOLEAN) AS dest_intact
+        |FROM orders, w GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Upsert
+      val dest = scratch("q168_upsert_locality", "uloc", dir)
+      val orders0 = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // band width derived from the key range (8 bands at every sf) so
+      // the partition is a function of the key — the layout whose footer
+      // envelopes are tight and disjoint
+      val bw = math.ceil((orders0.agg(max("o_orderkey")).head.getLong(0) + 1) / 8.0).toLong
+      val withBand = orders0
+        .withColumn("par_key", floor(col("o_orderkey") / bw).cast("string"))
+      withBand.repartition(col("par_key"))
+        .write.partitionBy("par_key").mode("overwrite").parquet(dest)
+      // in-band update: keys %7 inside band 0 only
+      val upd = withBand
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") < bw)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      var rep: Upsert.LocalityReport = null
+      Upsert.mergeByKey(s, dest, upd,
+        keyCols = Seq("o_orderkey"), partNames = Seq("par_key"),
+        onLocality = r => rep = r)
+      val envClearedAll = rep != null &&
+        rep.untouchedParts > 0 && rep.candidateParts == 0
+      val before = s.read.parquet(dest)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      // moved key: the table's max key lives in the top band; a delta
+      // routing it to band 0 must refuse before writing anything
+      val movedDelta = withBand.orderBy(col("o_orderkey").desc).limit(1)
+        .withColumn("par_key", lit("0"))
+      val movedRefused =
+        try { Upsert.mergeByKey(s, dest, movedDelta,
+          keyCols = Seq("o_orderkey"), partNames = Seq("par_key")); false }
+        catch { case e: IllegalStateException => e.getMessage.contains("moved key") }
+      val after = s.read.parquet(dest)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      val destIntact = before == after
+      s.read.parquet(dest)
+        .groupBy(col("par_key").cast("long").as("band"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .select(col("band"), col("n_rows"), col("key_sig"), col("sum_cents"),
+          lit(envClearedAll).as("env_cleared_all"),
+          lit(movedRefused).as("moved_refused"),
+          lit(destIntact).as("dest_intact"))
     }
   )
 }
