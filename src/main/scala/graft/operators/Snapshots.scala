@@ -615,13 +615,38 @@ object Snapshots {
       cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++ allStats)
   }
 
-  /** Metadata-only schema change (SQL `ALTER TABLE ADD/DROP COLUMNS`):
-    * the next version re-lists the head's files under `newSchema`. Legal
-    * exactly when no existing file needs rewriting — every column the
-    * old and new schema share keeps its type, so an ADDED column reads
-    * back null-filled (the by-name parquet projection) and a DROPPED
-    * column is simply no longer projected. Any shared-column type change
-    * refuses: existing bytes would reinterpret. Returns the new version.
+  /** Is `from -> to` a LOSSLESS primitive widening a reader can apply to
+    * existing parquet bytes without rewriting them? Exactly the integer
+    * ladder byte→short→int→long plus float→double: every old value maps
+    * to the same logical value, Spark's vectorized parquet reader
+    * promotes the physical type at read, and the manifest's footer-stats
+    * tags are already type-FAMILY scoped ("long" for all ints, "double"
+    * for both floats), so pruning, metadata aggregates and cluster
+    * proofs carry over unchanged. Everything else (narrowing, int→float,
+    * long→double, string↔anything) either loses values or reinterprets
+    * bytes and refuses.
+    */
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intLadder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    (intLadder.indexOf(from), intLadder.indexOf(to)) match {
+      case (f, t) if f >= 0 && t >= 0 => f < t
+      case _ => from == FloatType && to == DoubleType
+    }
+  }
+
+  /** Metadata-only schema change (SQL `ALTER TABLE ADD/DROP COLUMNS`,
+    * `ALTER COLUMN ... TYPE` widening): the next version re-lists the
+    * head's files under `newSchema`. Legal exactly when no existing file
+    * needs rewriting — an ADDED column reads back null-filled (the
+    * by-name parquet projection), a DROPPED column is simply no longer
+    * projected, and a shared column may change type ONLY along a
+    * lossless [[widens]] promotion (int→long, float→double: the reader
+    * promotes old bytes at scan time; files written after the evolution
+    * use the new type, and one scan reads both generations). Any other
+    * type change refuses: existing bytes would reinterpret. Returns the
+    * new version.
     */
   def evolveSchema(spark: SparkSession, root: String, newSchema: StructType): Int = {
     val vs = versions(spark, root)
@@ -632,9 +657,10 @@ object Snapshots {
         s"v$v under $root records no schema header — cannot evolve"))
     newSchema.fields.foreach { nf =>
       old.fields.find(_.name == nf.name).foreach(of =>
-        require(of.dataType == nf.dataType,
+        require(of.dataType == nf.dataType || widens(of.dataType, nf.dataType),
           s"column '${nf.name}' would change type ${of.dataType.simpleString} -> " +
-            s"${nf.dataType.simpleString}; existing files cannot reinterpret — " +
+            s"${nf.dataType.simpleString}; only lossless widenings " +
+            "(byte->short->int->long, float->double) are metadata-safe — " +
             "rewrite via publish instead"))
       if (!old.fieldNames.contains(nf.name))
         require(nf.nullable,
@@ -1083,7 +1109,8 @@ object Snapshots {
       root: String,
       delta: DataFrame,
       keyCols: Seq[String],
-      tombstoneCol: Option[String] = None): Int = {
+      tombstoneCol: Option[String] = None,
+      extraHeader: Seq[String] = Nil): Int = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
     val dupKey = delta.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).collect()
@@ -1103,7 +1130,7 @@ object Snapshots {
     // than writing a (possibly zero-file) data dir nobody references
     if (delta.isEmpty)
       return commit(f, root, v + 1, rel, schema,
-        clusterHeaderOf(spark, root, v) ++ statsLinesOf(spark, root, v))
+        clusterHeaderOf(spark, root, v) ++ extraHeader ++ statsLinesOf(spark, root, v))
     val upserts = tombstoneCol.fold(delta)(tc =>
       delta.filter(!coalesce(col(tc), lit(false))).drop(tc))
 
@@ -1160,9 +1187,27 @@ object Snapshots {
     // untouched files keep their stats lines; rewritten files get fresh ones
     val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
     commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, Some(mergedSchema),
-      cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++
+      cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++ extraHeader ++
         keptStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
+
+  /** EXACTLY-ONCE streaming UPSERT: merge one micro-batch of keyed
+    * changes as a new snapshot version with the batch id recorded in the
+    * manifest — [[publishStreamBatch]]'s dedup contract over
+    * [[mergeByKey]]'s CoW semantics. A replayed batch (id ≤ the last
+    * committed) is SKIPPED, so a restart re-delivering its in-flight
+    * batch merges nothing twice: the CDC-ingest shape (`writeStream`
+    * in Update mode with a `keyColumns` option, or `foreachBatch`
+    * calling this directly). Cost per batch is O(touched files + delta),
+    * never O(table). Returns the version published, or None for a
+    * replay. Single-writer per root.
+    */
+  def mergeStreamBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long, keyCols: Seq[String],
+      tombstoneCol: Option[String] = None): Option[Int] =
+    if (lastBatchId(spark, root).exists(_ >= batchId)) None
+    else Some(mergeByKey(spark, root, batch, keyCols, tombstoneCol,
+      extraHeader = Seq(s"$BATCH_HEADER$batchId")))
 
   /** Row-level DELETE by predicate, copy-on-write: rows where `predicate`
     * is TRUE are removed (NULL keeps the row — SQL DELETE semantics);

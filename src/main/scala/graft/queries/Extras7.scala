@@ -366,6 +366,137 @@ object Extras7 {
           lit(reopens == 0).as("cache_no_reopen"),
           lit(validations >= 1).as("cache_validated"),
           lit(planned > 0).as("files_planned"))
+    },
+
+    // TYPE-WIDENING ALTER TABLE (int→long, float→double) as a
+    // METADATA-ONLY evolution: the table starts with INT keys and FLOAT
+    // measures, `ALTER COLUMN ... TYPE` widens both in one manifest
+    // write (`metadata_only`: the evolved versions list exactly v1's
+    // files), a post-widening INSERT lands BIGINT/DOUBLE physical files,
+    // and ONE scan serves both generations — the vectorized reader
+    // promotes the old int32/float bytes at read, footer-stats pruning
+    // and metadata aggregates carry over because stats tags are
+    // type-FAMILY scoped. Narrowing refuses (`narrowing_refused`), and
+    // VERSION AS OF still serves v1 under its own pre-widening schema
+    // (`old_schema_kept`). The oracle recomputes the merged table
+    // relationally; at 100 TB this is "widen a petabyte table without
+    // rewriting a byte".
+    QueryDef.checked(
+      "q170_widen_alter",
+      """SELECT
+        |  (SELECT count(*) FROM lineitem) AS n_total,
+        |  (SELECT CAST(sum(l_orderkey) AS BIGINT) FROM lineitem) AS key_sig,
+        |  (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |     FROM lineitem) AS qty_sum,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 2 = 0) AS n_even,
+        |  CAST(1 AS BOOLEAN) AS metadata_only,
+        |  CAST(1 AS BOOLEAN) AS narrowing_refused,
+        |  CAST(1 AS BOOLEAN) AS old_schema_kept""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.{IntegerType, FloatType}
+      val wh = freshRoot(s, "q170_widen_alter", "widen_wh", dir)
+      s.conf.set("spark.sql.catalog.q170cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.q170cat.warehouse", wh)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      // generation 1: INT32 keys, FLOAT measures (both exactly-valued:
+      // keys < 2^31, quantities integral 1..50)
+      Snapshots.publish(s, s"$wh/t",
+        li.filter(col("l_orderkey") % 2 === 0)
+          .withColumn("l_orderkey", col("l_orderkey").cast("int"))
+          .withColumn("l_quantity", col("l_quantity").cast("float")))
+      s.sql("ALTER TABLE q170cat.t ALTER COLUMN l_orderkey TYPE BIGINT")
+      s.sql("ALTER TABLE q170cat.t ALTER COLUMN l_quantity TYPE DOUBLE")
+      val metadataOnly =
+        Snapshots.files(s, s"$wh/t", 3) == Snapshots.files(s, s"$wh/t", 1)
+      // generation 2: native BIGINT/DOUBLE physical files
+      li.filter(col("l_orderkey") % 2 === 1).createOrReplaceTempView("q170_delta")
+      s.sql("INSERT INTO q170cat.t SELECT * FROM q170_delta")
+      // Spark's own analyzer refuses the non-up-castable change before
+      // the catalog's widens() check even runs (two lines of defense);
+      // the evidence is refusal + an unchanged schema, not message text
+      val narrowingRefused =
+        (try { s.sql("ALTER TABLE q170cat.t ALTER COLUMN l_orderkey TYPE INT"); false }
+         catch { case _: Exception => true }) &&
+          s.table("q170cat.t").schema("l_orderkey").dataType ==
+            org.apache.spark.sql.types.LongType
+      val oldKept = {
+        val v1 = s.sql("SELECT * FROM q170cat.t VERSION AS OF 1").schema
+        v1("l_orderkey").dataType == IntegerType && v1("l_quantity").dataType == FloatType
+      }
+      s.sql("""SELECT count(*) AS n_total,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |  count(CASE WHEN l_orderkey % 2 = 0 THEN 1 END) AS n_even
+        |FROM q170cat.t""".stripMargin)
+        .withColumn("metadata_only", lit(metadataOnly))
+        .withColumn("narrowing_refused", lit(narrowingRefused))
+        .withColumn("old_schema_kept", lit(oldKept))
+    },
+
+    // STREAMING UPSERT into a snapshot table (the CDC-ingest shape):
+    // `writeStream` in Update mode with a `keyColumns` option lands each
+    // micro-batch as a copy-on-write MERGE — first batch bootstraps the
+    // table, every later batch rewrites only key-overlapping files, and
+    // the manifest batch id makes replays no-ops. A keyed change stream
+    // (inserts → upserts → tombstone deletes, one source version per
+    // trigger) must replay to EXACTLY the equivalent batch MERGE — the
+    // oracle computes that final state relationally, and the flags pin
+    // restart exactly-once (`exactly_once`: re-running the drained
+    // stream publishes nothing), per-batch versioning (`merged_versions`)
+    // and checkpoint resume across new source data (`resumed`).
+    QueryDef.checked(
+      "q171_stream_upsert",
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |final AS (
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN p + 1000.0 ELSE p END AS p
+        |  FROM base WHERE (k % 3 = 0 OR k % 5 = 0) AND k % 15 <> 0
+        |)
+        |SELECT count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(1 AS BOOLEAN) AS exactly_once,
+        |  CAST(1 AS BOOLEAN) AS merged_versions,
+        |  CAST(1 AS BOOLEAN) AS resumed
+        |FROM final""".stripMargin) { (s, dir) =>
+      val src = freshRoot(s, "q171_stream_upsert", "upsert_src", dir)
+      val dst = freshRoot(s, "q171_stream_upsert", "upsert_dst", dir)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      // the change stream, one snapshot version per batch:
+      // v1 inserts, v2 upserts (price bump, some keys new), v3 deletes
+      Snapshots.publish(s, src, orders.filter(col("k") % 3 === 0)
+        .withColumn("deleted", lit(false)))
+      Snapshots.publish(s, src, orders.filter(col("k") % 5 === 0)
+        .withColumn("p", col("p") + 1000.0).withColumn("deleted", lit(false)),
+        append = true)
+      val ck = graft.Scratch.ephemeralCheckpoint("q171_stream_upsert")
+      def run(): Unit = {
+        val q = s.readStream.format("graft-snapshot").option("root", src)
+          .option("maxVersionsPerTrigger", "1").load()
+          .writeStream.format("graft-snapshot").option("root", dst)
+          .outputMode("update")
+          .option("keyColumns", "k").option("tombstoneColumn", "deleted")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(300000), "AvailableNow drain timed out")
+      }
+      run()
+      val mergedVersions = Snapshots.versions(s, dst).size == 2
+      val vAfterFirst = Snapshots.versions(s, dst)
+      run() // restart, no new source data: must merge NOTHING twice
+      val exactlyOnce = Snapshots.versions(s, dst) == vAfterFirst
+      // new source data after the restart: the tombstone batch
+      Snapshots.publish(s, src, orders.filter(col("k") % 15 === 0)
+        .withColumn("deleted", lit(true)), append = true)
+      run()
+      val resumed = Snapshots.versions(s, dst).size == 3
+      Snapshots.read(s, dst)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).as("key_sig"),
+          sum(round(col("p") * 100).cast("long")).as("sum_cents"))
+        .withColumn("exactly_once", lit(exactlyOnce))
+        .withColumn("merged_versions", lit(mergedVersions))
+        .withColumn("resumed", lit(resumed))
     }
   )
 }

@@ -200,11 +200,28 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
         require(s.fieldNames.contains(name), s"column '$name' does not exist")
         require(s.fields.length > 1, "cannot drop the last column")
         StructType(s.fields.filterNot(_.name == name))
+      case (s, up: TableChange.UpdateColumnType) =>
+        // ALTER COLUMN ... TYPE: metadata-only for lossless widenings
+        // (int ladder, float->double) — evolveSchema enforces the rule,
+        // validated here too so the refusal names the ALTER surface
+        require(up.fieldNames.length == 1,
+          s"nested ALTER COLUMN (${up.fieldNames.mkString(".")}) is not supported")
+        val name = up.fieldNames.head
+        val idx = s.fieldNames.indexOf(name)
+        require(idx >= 0, s"column '$name' does not exist")
+        val from = s.fields(idx).dataType
+        require(graft.operators.Snapshots.widens(from, up.newDataType),
+          s"ALTER COLUMN '$name' TYPE ${from.simpleString} -> " +
+            s"${up.newDataType.simpleString} is not a lossless widening " +
+            "(byte->short->int->long, float->double) — existing files would " +
+            "lose or reinterpret values; rewrite via publish instead")
+        StructType(s.fields.updated(idx, s.fields(idx).copy(dataType = up.newDataType)))
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change ${other.getClass.getSimpleName} is not supported: " +
-            "parquet projection is by-name, so renames/type changes would " +
-            "orphan or reinterpret existing values — rewrite via publish")
+            "parquet projection is by-name, so renames/non-widening type " +
+            "changes would orphan or reinterpret existing values — rewrite " +
+            "via publish")
     }
     Snapshots.evolveSchema(spark, root, evolved)
     loadTable(ident)

@@ -96,11 +96,29 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister
     // key-clustered (possibly composite) from the first batch — a fresh
     // root has no header to inherit yet
     val complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
-    require(complete || outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
-      s"graft-snapshot sink supports Append and Complete output modes, got $outputMode " +
-        "(Update would re-deliver mutated keys; use foreachBatch + Snapshots.mergeByKey)")
+    val update = outputMode == org.apache.spark.sql.streaming.OutputMode.Update()
+    // Update mode re-delivers mutated keys, so it is legal exactly when
+    // the writer names the key: each micro-batch then lands as a CoW
+    // MERGE on `keyColumns` (exactly-once via the manifest batch id) —
+    // the streaming-upsert / CDC-ingest shape. `tombstoneColumn`
+    // (optional, boolean) routes per-row deletes through the merge.
+    val keyCols = parameters.get("keyColumns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    require(!update || keyCols.isDefined,
+      "graft-snapshot sink in Update mode requires option 'keyColumns' " +
+        "(comma-separated MERGE key) — without a key, re-delivered rows " +
+        "would duplicate; use Append, or name the key to upsert")
+    require(keyCols.isEmpty || !complete,
+      "keyColumns is meaningless in Complete mode (each batch already " +
+        "replaces the table) — drop the option or switch to Update/Append")
+    require(complete || update ||
+        outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot sink supports Append, Update (with keyColumns) and " +
+        s"Complete output modes, got $outputMode")
     new SnapshotStreamSink(root, complete,
-      Some(partitionColumns.mkString(",")).filter(_.nonEmpty))
+      Some(partitionColumns.mkString(",")).filter(_.nonEmpty),
+      keyCols, parameters.get("tombstoneColumn"))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -139,14 +157,35 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister
 
 /** The v1 streaming sink behind `writeStream.format("graft-snapshot")`:
   * one snapshot version per micro-batch, exactly-once via the manifest
-  * batch-id check. `complete` publishes replacements instead of appends.
+  * batch-id check. `complete` publishes replacements instead of appends;
+  * `keyCols` (the Update-mode contract) merges each batch as a keyed
+  * CoW upsert instead of appending it.
   */
 private[graft] class SnapshotStreamSink(root: String, complete: Boolean,
-    declaredCluster: Option[String] = None)
+    declaredCluster: Option[String] = None,
+    keyCols: Option[Seq[String]] = None,
+    tombstoneCol: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
-    val batch = org.apache.spark.sql.graftbridge.SessionBridge.rebatch(data)
-    val spark = batch.sparkSession
+    val raw = org.apache.spark.sql.graftbridge.SessionBridge.rebatch(data)
+    val spark = raw.sparkSession
+    if (keyCols.isDefined && Snapshots.versions(spark, root).nonEmpty) {
+      // keyed upsert: per-batch CoW MERGE, replayed ids skipped. The
+      // clustered layout (if any) survives inside mergeByKey itself.
+      Snapshots.mergeStreamBatch(spark, root, raw, batchId, keyCols.get, tombstoneCol)
+      return
+    }
+    // a keyed stream's FIRST batch bootstraps the table as a plain
+    // publish (merge needs a base; keys are vacuously unique against an
+    // empty table) with tombstoned rows already resolved — so a declared
+    // partitionBy layout applies from version 1 and the tombstone column
+    // never enters the table schema
+    val batch =
+      if (keyCols.isDefined)
+        tombstoneCol.fold(raw)(tc =>
+          raw.filter(!org.apache.spark.sql.functions.coalesce(
+            raw(tc), org.apache.spark.sql.functions.lit(false))).drop(tc))
+      else raw
     // a key-clustered destination KEEPS its layout (each micro-batch
     // shuffles onto the cluster key, so the #cluster= guarantee — and
     // storage-partitioned planning — survives continuous ingest). The

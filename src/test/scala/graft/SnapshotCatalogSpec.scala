@@ -166,6 +166,42 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(r3.getMessage.contains("nullable"), r3.getMessage)
   }
 
+  test("ALTER COLUMN TYPE widening is metadata-only; one scan reads both generations") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    Snapshots.publish(spark, s"$warehouse/widen",
+      Seq((1, 1.5f), (2, 2.5f)).toDF("id", "score"))
+    val filesBefore = Snapshots.files(spark, s"$warehouse/widen", 1)
+    spark.sql("ALTER TABLE snapcat.widen ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE snapcat.widen ALTER COLUMN score TYPE DOUBLE")
+    // metadata-only: same files, new schema
+    assert(Snapshots.files(spark, s"$warehouse/widen", 3) == filesBefore)
+    assert(spark.table("snapcat.widen").schema("id").dataType == LongType)
+    assert(spark.table("snapcat.widen").schema("score").dataType == DoubleType)
+    // pre-widening int32/float bytes read promoted; post-widening rows
+    // write the new physical type — ONE scan serves both generations
+    spark.sql("INSERT INTO snapcat.widen VALUES " +
+      "(CAST(4294967296 AS BIGINT), CAST(0.5 AS DOUBLE))")
+    val rows = spark.sql("SELECT id, score FROM snapcat.widen ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 1.5), (2L, 2.5), (4294967296L, 0.5)))
+    // stats pruning still works across generations (family-scoped tags)
+    assert(spark.sql(
+      "SELECT count(*) FROM snapcat.widen WHERE id > 3000000000").head.getLong(0) == 1)
+    // metadata-only aggregates fold the widened column correctly
+    val agg = spark.sql("SELECT count(*), min(id), max(id) FROM snapcat.widen")
+    assert(agg.head() == org.apache.spark.sql.Row(3L, 1L, 4294967296L))
+    // old versions still serve their own (pre-widening) schema
+    assert(spark.sql("SELECT * FROM snapcat.widen VERSION AS OF 1")
+      .schema("id").dataType == IntegerType)
+    // narrowing and cross-family changes refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapcat.widen ALTER COLUMN id TYPE INT") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapcat.widen ALTER COLUMN id TYPE DOUBLE") }
+    assert(spark.table("snapcat.widen").schema("id").dataType == LongType)
+  }
+
   test("CREATE/DROP/RENAME manage snapshot roots; SHOW TABLES lists them") {
     spark.sql("CREATE TABLE snapcat.managed (id BIGINT, name STRING) USING `graft-snapshot`")
     assert(spark.sql("SELECT count(*) FROM snapcat.managed").head.getLong(0) == 0)

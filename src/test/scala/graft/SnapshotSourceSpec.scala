@@ -669,8 +669,52 @@ class SnapshotSourceSpec extends AnyFunSuite {
     }
     def chain(t: Throwable): Seq[Throwable] =
       Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
-    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("Append and Complete"))),
-      s"Update mode must refuse with guidance: $e")
+    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("keyColumns"))),
+      s"Update mode without keyColumns must refuse with guidance: $e")
+    // ...and keyColumns under Complete is a contradiction, refused too
+    val e2 = intercept[Exception] {
+      spark.readStream.schema("g STRING, x BIGINT").json(srcDir.toString)
+        .groupBy("g").agg(sum("x").as("total"))
+        .writeStream.format("graft-snapshot").option("root", freshRoot("sinkupdc"))
+        .outputMode("complete").option("keyColumns", "g")
+        .option("checkpointLocation", Scratch.ephemeralCheckpoint("dsv2-sink-updc"))
+        .start()
+    }
+    assert(chain(e2).exists(t => Option(t.getMessage).exists(_.contains("Complete"))))
+  }
+
+  test("streaming sink: Update mode with keyColumns upserts a streaming aggregate") {
+    import spark.implicits._
+    // the canonical Update-mode shape: a running per-group aggregate
+    // whose CHANGED groups re-deliver each trigger — with keyColumns the
+    // sink merges them, so the table holds exactly one current row per
+    // group (an Append sink would stack stale totals; Complete would
+    // rewrite every group every batch)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sink-upsert-src")
+    srcDir.toFile.deleteOnExit()
+    val dst = freshRoot("sinkupsert")
+    val ck = Scratch.ephemeralCheckpoint("dsv2-sink-upsert")
+    Seq(("a", 1L), ("b", 2L)).toDF("g", "x").write.mode("append").json(srcDir.toString)
+    val q = spark.readStream.schema("g STRING, x BIGINT").json(srcDir.toString)
+      .groupBy("g").agg(sum("x").as("total"))
+      .writeStream.format("graft-snapshot").option("root", dst)
+      .outputMode("update").option("keyColumns", "g")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(Snapshots.read(spark, dst).as[(String, Long)].collect().toSet ==
+        Set(("a", 1L), ("b", 2L)))
+      Seq(("a", 10L)).toDF("g", "x").write.mode("append").json(srcDir.toString)
+      q.processAllAvailable()
+      // only group a re-delivered; the merge replaced its row, kept b's
+      assert(Snapshots.read(spark, dst).as[(String, Long)].collect().toSet ==
+        Set(("a", 11L), ("b", 2L)))
+      // versioned: bootstrap publish + one merge, both time-travelable
+      val vs = Snapshots.versions(spark, dst)
+      assert(vs.size == 2)
+      assert(Snapshots.read(spark, dst, Some(vs.head)).as[(String, Long)]
+        .collect().toSet == Set(("a", 1L), ("b", 2L)))
+    } finally q.stop()
   }
 
   test("metadata columns: _file/_version are per-row constants; _file filters prune exactly") {
