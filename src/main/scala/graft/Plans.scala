@@ -90,7 +90,10 @@ object Plans {
       "q162_grouped_stats_agg", // grouped metadata-only aggregate: rows, no scan
       "q164_clustered_dml",  // layout survives SQL UPDATE: still shuffle-free
       "q165_topn_pushdown",  // ORDER BY DESC LIMIT plans one band's files
-      "q167_composite_spj")  // two-column cluster key: zero-shuffle join
+      "q167_composite_spj",  // two-column cluster key: zero-shuffle join
+      "q168_upsert_locality", // envelope-pruned merge + banded aggregate
+      "q170_widen_alter",    // one scan over pre- and post-widening files
+      "q171_stream_upsert")  // post-upsert-stream scan of the merged table
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

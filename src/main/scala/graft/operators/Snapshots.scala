@@ -968,6 +968,15 @@ object Snapshots {
     val qualifiedRoot = f.makeQualified(new Path(root)).toString
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // the dirs THIS sweep is about to drain (bounded: distinct parents,
+    // one per publish-or-cluster dir) — computed BEFORE the deletes. The
+    // deletes refresh each parent dir's mtime, so age alone would defer
+    // reclaiming a just-drained dir to the NEXT sweep; membership here is
+    // the proof it was emptied by us, not freshly created by an in-flight
+    // publish (whose young, referenced-to-be files are never orphans).
+    val drained: Set[String] = orphans.select("name").as[String]
+      .map(n => n.substring(0, n.lastIndexOf('/')))
+      .distinct().collect().toSet
     val deleted = spark.sparkContext.longAccumulator("snapshots.vacuumed")
     orphans.select("name").as[String].foreachPartition { it: Iterator[String] =>
       val pfs = new Path(qualifiedRoot).getFileSystem(conf.value)
@@ -977,25 +986,30 @@ object Snapshots {
     }
     // publish dirs drained by the sweep: one listing per historical
     // publish — bounded by publish count, not data size. A dir is
-    // removable when nothing but AGED hidden markers (_SUCCESS, .crc)
-    // remains; judging by children (not the dir's own mtime, which our
-    // deletes just refreshed) keeps a freshly-created in-flight publish
-    // dir safe while letting this very sweep finish the job.
+    // removable when nothing but aged hidden markers (_SUCCESS, .crc)
+    // and emptied subdirs remain; an empty subdir counts when it is aged
+    // OR this sweep drained it (a clustered publish nests
+    // `__cluster=<digest>/` subdirs whose mtimes our own deletes just
+    // refreshed). A partially-live publish dir survives, but its
+    // individually drained-empty cluster subdirs are reclaimed now.
     f.listStatus(new Path(s"$root/data")).toSeq
       .filter(_.isDirectory)
-      .filter { st =>
+      .foreach { st =>
+        val rel = s"data/${st.getPath.getName}"
         val children = f.listStatus(st.getPath)
-        if (children.isEmpty) st.getModificationTime < cutoff
-        else children.forall { c =>
-          val n = c.getPath.getName
-          val aged = c.getModificationTime < cutoff
-          // a clustered publish nests `__cluster=<digest>/` subdirs; one
-          // the file sweep drained counts as debris like a hidden marker
-          (c.isFile && (n.startsWith("_") || n.startsWith(".")) && aged) ||
-            (c.isDirectory && aged && f.listStatus(c.getPath).isEmpty)
-        }
+        def emptyDirDebris(c: org.apache.hadoop.fs.FileStatus): Boolean =
+          c.isDirectory && f.listStatus(c.getPath).isEmpty &&
+            (c.getModificationTime < cutoff || drained(s"$rel/${c.getPath.getName}"))
+        val whole =
+          if (children.isEmpty) st.getModificationTime < cutoff || drained(rel)
+          else children.forall { c =>
+            val n = c.getPath.getName
+            (c.isFile && (n.startsWith("_") || n.startsWith(".")) &&
+              c.getModificationTime < cutoff) || emptyDirDebris(c)
+          }
+        if (whole) f.delete(st.getPath, true)
+        else children.filter(emptyDirDebris).foreach(c => f.delete(c.getPath, false))
       }
-      .foreach(st => f.delete(st.getPath, true))
     // change-feed caches below the earliest surviving version are
     // unreplayable (the stream's expiry guard refuses offsets before
     // it), so they are reclaimable; newer caches stay — they are the

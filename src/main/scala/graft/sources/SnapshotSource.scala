@@ -1309,6 +1309,18 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * enabled`) — two clustered snapshot tables join map-side at any
     * scale, the layout-for-shuffle trade the reference's per-partition
     * directory scheme made implicitly.
+    *
+    * SKEW: [[toBatch]] emits each key's files as byte-sized SPLITS
+    * (multiple `HasPartitionKey` partitions per hot key —
+    * `ParquetReadBridge.keyedFilePartitions`), so under
+    * `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.
+    * enabled` a co-clustered join keeps a hot key's splits as separate
+    * tasks and replicates the other side's matching partition instead of
+    * serializing the whole key into one task (SnapshotClusterSpec pins
+    * fan-out + row equality). Off by default, matching Spark: partial
+    * clustering deliberately un-groups the join OUTPUT, so an
+    * aggregation above it re-shuffles — turn it on when the cluster key
+    * is skewed, leave it off when the exchange-free agg matters more.
     */
   override def outputPartitioning(): Partitioning = clusterGroups match {
     case Some((cols, gs)) if gs.nonEmpty =>

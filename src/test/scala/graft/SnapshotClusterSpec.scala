@@ -577,6 +577,77 @@ class SnapshotClusterSpec extends AnyFunSuite {
     assert(readSource(dst).count() == orders.count())
   }
 
+  test("partially-clustered SPJ: a hot key's splits stay separate tasks, results equal") {
+    // the SPJ skew case: a key-clustered 100 TB table with a hot tenant
+    // must not serialize the whole tenant into ONE task just because the
+    // join is exchange-free. With partiallyClusteredDistribution enabled
+    // Spark keeps the hot key's file splits as separate co-partitioned
+    // tasks and replicates the other side's matching partition — the
+    // scan already emits multiple HasPartitionKey splits per key
+    // (ParquetReadBridge.keyedFilePartitions), so the join side accepts
+    // them once the conf is on.
+    val fact = freshRoot("skewfact")
+    val dim = freshRoot("skewdim")
+    import spark.implicits._
+    def batch(lo: Long, n: Long, key: String) =
+      spark.range(lo, lo + n).select(col("id"),
+        lit(key).as("k"), (col("id") % 97).cast("double").as("x"))
+    // hot key accumulates one file per clustered append → a multi-file
+    // key whose splits CAN fan out; cold keys stay single-file
+    Snapshots.publish(spark, fact,
+      batch(0, 2000, "hot").unionAll(batch(100000, 300, "a"))
+        .unionAll(batch(200000, 300, "b")), clusterBy = Some("k"))
+    (1 to 5).foreach { i =>
+      Snapshots.publish(spark, fact, batch(i * 10000L, 2000, "hot"),
+        append = true, clusterBy = Some("k"))
+    }
+    Snapshots.publish(spark, dim,
+      Seq(("hot", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "w"),
+      clusterBy = Some("k"))
+    val prev = Seq(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes").map(k => k -> spark.conf.getOption(k))
+    try {
+      // tiny split sizing so the hot key's 6 files pack into >1 split
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      noBroadcast {
+        // the JOIN stays exchange-free (the aggregation above it rightly
+        // re-shuffles: under partial clustering a key spans tasks, so
+        // key-grouped output no longer holds upstream of the agg — that
+        // exchange is the price of de-skewing, paid above a de-skewed join)
+        val join = readSource(fact).join(readSource(dim).hint("merge"), "k")
+        val joinRows = join.count()
+        assert(PlanOps.shuffleCount(join) == 0,
+          s"partially-clustered join must stay exchange-free:\n${join.queryExecution.executedPlan}")
+        // the skew evidence: more co-partitioned tasks than distinct keys
+        // (the hot key fanned out; without partial clustering the join
+        // runs exactly one task per key)
+        val joinTasks = readSource(fact).join(readSource(dim).hint("merge"), "k")
+          .rdd.getNumPartitions
+        assert(joinTasks > 3,
+          s"hot key must span >1 task: got $joinTasks tasks for 3 keys")
+        def agg = readSource(fact).join(readSource(dim).hint("merge"), "k")
+          .groupBy("k").agg(count(lit(1)).as("n"), sum(col("x") * col("w")).as("s"))
+        val rows = agg.collect().map(r => (r.getString(0), r.getLong(1),
+          math.round(r.getDouble(2) * 100))).sortBy(_._1)
+        // row-level equality against the one-task-per-key plan
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "false")
+        val expect = agg.collect().map(r => (r.getString(0), r.getLong(1),
+          math.round(r.getDouble(2) * 100))).sortBy(_._1)
+        assert(rows.toSeq == expect.toSeq)
+        assert(joinRows == readSource(fact).count())
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("case-differing cluster specs resolve to the frame's spelling; typos fail loudly") {
     // publish: the header must record the REAL column name (downstream
     // footer-stats proofs key on it), resolved like the session resolver

@@ -691,4 +691,62 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.vacuum(spark, root, graceMs = 0L)
     assert(Snapshots.read(spark, root).count() == 31)
   }
+
+  test("vacuum at the boundary: concurrent reads are clean or refuse loudly, never partial") {
+    // the deletion-surface audit (expire at the grace boundary, data-file
+    // sweep, cluster-subdir drain) against a concurrent reader: every
+    // outcome must be a CLEAN full read or a LOUD refusal — a silently
+    // partial result is the one forbidden state. (CDF-cache reclaim and
+    // the stream-side expiry guard have their own specs in
+    // SnapshotSourceSpec.)
+    val root = freshRoot("vacrace")
+    val v1Rows = orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderpriority")
+    Snapshots.publish(spark, root, v1Rows, clusterBy = Some("o_orderpriority"))
+    val v1Count = v1Rows.count()
+    // v2 fully replaces v1, so v1's files become expire-then-vacuum bait
+    Snapshots.publish(spark, root,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderpriority"),
+      clusterBy = Some("o_orderpriority"))
+    val headCount = orders.filter(col("o_orderkey") % 2 === 1).count()
+    val v1Dirs = Snapshots.files(spark, root, 1)
+      .map(_.split('/').dropRight(1).mkString("/")).distinct
+    // a reader PLANNED against v1 before the boundary ops run
+    val planned = spark.read.format("graft-snapshot").option("root", root)
+      .option("version", "1").load()
+    val headReader = spark.read.format("graft-snapshot").option("root", root).load()
+
+    // within-grace vacuum beside live readers: deletes NOTHING referenced
+    Snapshots.expire(spark, root, keepLast = 1)
+    Snapshots.vacuum(spark, root) // default 1h grace: v1's young files survive
+    assert(headReader.count() == headCount, "head read must stay clean under vacuum")
+
+    // at the boundary (grace 0): v1's files and drained cluster subdirs go
+    Snapshots.vacuum(spark, root, graceMs = 0L)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(v1Dirs.nonEmpty && v1Dirs.forall(d => !fs.exists(new Path(s"$root/$d"))),
+      "v1's drained publish/cluster dirs must be reclaimed")
+    // the pre-planned v1 reader: complete rows or a loud error — never a subset
+    scala.util.Try(planned.collect()) match {
+      case scala.util.Success(rows) =>
+        assert(rows.length == v1Count,
+          s"pre-planned v1 read returned ${rows.length} of $v1Count rows — PARTIAL")
+      case scala.util.Failure(e) =>
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(t => String.valueOf(t.getMessage)).mkString("; ")
+        assert(msgs.contains("v1") || msgs.toLowerCase.contains("not exist") ||
+          msgs.toLowerCase.contains("no such file"), s"refusal must be loud: $msgs")
+    }
+    // a FRESH v1 request refuses loudly at plan time (manifest expired)
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("root", root)
+        .option("version", "1").load().collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("v1") ||
+      String.valueOf(e.getMessage).contains("does not exist"))
+    // and the live head still reads complete and exact after the sweep
+    assert(headReader.count() == headCount)
+    assert(Snapshots.read(spark, root).count() == headCount)
+  }
 }
