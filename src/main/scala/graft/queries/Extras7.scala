@@ -497,6 +497,53 @@ object Extras7 {
         .withColumn("exactly_once", lit(exactlyOnce))
         .withColumn("merged_versions", lit(mergedVersions))
         .withColumn("resumed", lit(resumed))
+    },
+
+    // ONE-SIDE storage-partitioned shuffle: a key-clustered fact joined
+    // with a PLAIN (unclustered) frame — under
+    // `spark.sql.sources.v2.bucketing.shuffle.enabled` only the plain
+    // side shuffles, INTO the fact's key-grouped layout
+    // (`Exchange keygroupedpartitioning`), and the clustered side scans
+    // in place. The asymmetric everyday join at 100 TB: clustered fact ⋈
+    // fresh delta without ever re-shuffling the fact. In-row flags pin
+    // exactly ONE exchange and that it targets the key-grouped layout;
+    // the oracle replays the join + aggregate relationally.
+    QueryDef.checked(
+      "q172_spj_one_side_shuffle",
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(sum(o.o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(1 AS BOOLEAN) AS one_exchange,
+        |  CAST(1 AS BOOLEAN) AS into_key_groups
+        |FROM orders o JOIN orders d ON o.o_orderpriority = d.o_orderpriority
+        |  AND d.o_orderkey % 1000 = 0
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val factRoot = freshRoot(s, "q172_spj_one_side_shuffle", "oneshuf_fact", dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Snapshots.publish(s, factRoot, orders, clusterBy = Some("o_orderpriority"))
+      val plain = orders.filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey").as("d_key"))
+      // evidence plans on an ISOLATED session: Verify runs queries
+      // concurrently on the shared session, so toggling session confs
+      // there could flip another query's pinned plan flag mid-planning
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // no broadcast escape
+      val fact2 = s2.read.format("graft-snapshot").option("root", factRoot).load()
+      val plain2 = graft.Tables.load(s2, dir, "orders")
+        .filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey").as("d_key"))
+      val joined = fact2.join(plain2.hint("merge"), "o_orderpriority")
+      joined.count() // finalize the (possibly adaptive) plan
+      val oneExchange = graft.PlanOps.shuffleCount(joined) == 1
+      val intoKeyGroups = joined.queryExecution.executedPlan.toString
+        .contains("keygroupedpartitioning")
+      val fact = s.read.format("graft-snapshot").option("root", factRoot).load()
+      fact.join(plain, Seq("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sig"))
+        .select(col("o_orderpriority"), col("n"), col("key_sig"),
+          lit(oneExchange).as("one_exchange"),
+          lit(intoKeyGroups).as("into_key_groups"))
     }
   )
 }

@@ -648,6 +648,90 @@ class SnapshotClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("one-side storage-partitioned shuffle: plain side shuffles INTO the clustered layout") {
+    // the asymmetric 100 TB join: a clustered fact table joined with a
+    // PLAIN (unclustered) delta. Without v2.bucketing.shuffle.enabled,
+    // Spark re-shuffles BOTH sides to hash partitioning — the clustered
+    // layout buys nothing; with it, only the plain side shuffles into
+    // the fact's key-grouped layout and the fact side scans in place.
+    val fact = freshRoot("oneshuf")
+    Snapshots.publish(spark, fact,
+      orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      clusterBy = Some("o_orderpriority"))
+    // a plain projection (no internal aggregate, so the ONLY exchange in
+    // the join plan is the one routing it into the fact's layout)
+    val plain = orders.select(col("o_orderpriority"), col("o_orderkey").as("side"))
+    val key = "spark.sql.sources.v2.bucketing.shuffle.enabled"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      noBroadcast {
+        val joined = readSource(fact).join(plain.hint("merge"), "o_orderpriority")
+        val got = joined.count()
+        val n = PlanOps.shuffleCount(joined)
+        assert(n == 1,
+          s"exactly the plain side must shuffle (got $n exchanges):\n" +
+            joined.queryExecution.executedPlan)
+        assert(joined.queryExecution.executedPlan.toString
+          .contains("keygroupedpartitioning"),
+          "the single exchange must target the fact's key-grouped layout")
+        // row-count equality against the both-sides-shuffled plan
+        spark.conf.set(key, "false")
+        val expect = readSource(fact).join(plain.hint("merge"), "o_orderpriority")
+        expect.count()
+        assert(PlanOps.shuffleCount(expect) >= 2, "control plan should shuffle both sides")
+        assert(got == expect.count())
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("SPJ on a join-key SUBSET of a composite cluster key") {
+    // a (status, priority)-clustered table joined on priority alone:
+    // with allowJoinKeysSubsetOfPartitionKeys the key-grouped layout
+    // still serves the join (groups merge logically by the subset key)
+    // instead of falling back to a full re-shuffle of the fact side.
+    val fact = freshRoot("subsetfact")
+    val dim = freshRoot("subsetdim")
+    Snapshots.publish(spark, fact,
+      orders.select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+      clusterBy = Some("o_orderstatus,o_orderpriority"))
+    Snapshots.publish(spark, dim,
+      orders.groupBy("o_orderpriority").agg(count(lit(1)).as("prio_n")),
+      clusterBy = Some("o_orderpriority"))
+    // subset-key SPJ needs BOTH: the subset conf, and co-partition checks
+    // relaxed from all-cluster-keys (spark.sql.requireAllClusterKeysForCoPartition,
+    // default true, otherwise demands the join keys cover the whole tuple)
+    val key = "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled"
+    val reqAll = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prev = Seq(key, reqAll).map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(key, "true")
+      spark.conf.set(reqAll, "false")
+      noBroadcast {
+        val joined = readSource(fact).join(readSource(dim).hint("merge"), "o_orderpriority")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), max("prio_n").as("pn"))
+        val rows = joined.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        // the fact side must NOT re-shuffle for the join (the agg above
+        // may: subset grouping loosens the output partitioning)
+        val joinOnly = readSource(fact).join(readSource(dim).hint("merge"), "o_orderpriority")
+        joinOnly.count()
+        assert(PlanOps.shuffleCount(joinOnly) == 0,
+          s"subset-key join must stay exchange-free:\n${joinOnly.queryExecution.executedPlan}")
+        spark.conf.set(key, "false")
+        val expect = joined.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        assert(rows.toSeq == expect.toSeq)
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("case-differing cluster specs resolve to the frame's spelling; typos fail loudly") {
     // publish: the header must record the REAL column name (downstream
     // footer-stats proofs key on it), resolved like the session resolver
