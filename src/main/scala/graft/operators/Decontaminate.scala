@@ -92,4 +92,39 @@ object Decontaminate {
         union.as("est_union"),
         round(common.cast("double") / greatest(union, lit(1L)), 6).as("est_jaccard"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram pass: a paraphrased benchmark item shares no 8-gram with its
+    * source, but its embedding still sits next to it. Every corpus
+    * vector is scored against ALL eval vectors (exact cosine) and
+    * flagged when its maximum similarity reaches `threshold`; the
+    * nearest eval id travels with the flag so a hit is auditable.
+    *
+    * Scale shape: eval sets are benchmark-sized (bounded), so the eval
+    * side broadcasts and the pass is ONE corpus-linear scan — the same
+    * corpus-streamed discipline as [[Similarity.bruteForceTopK]], never
+    * |corpus|². Cosines round to 9 places before the max/threshold;
+    * cross-engine it is the DECISIONS (argmax + flag) that replay — raw
+    * scores carry each engine's accumulation ulps (q36/q37 discipline).
+    *
+    * Output: (idCol, nearest_eval, max_cos, contaminated).
+    */
+  def semanticOverlap(corpus: DataFrame, eval: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+      .withColumn("__cnorm", fnorm(col("__cvec")))
+    val e = eval.select(col(idCol).as("__eid"), col(vecCol).as("__evec"))
+      .withColumn("__enorm", fnorm(col("__evec")))
+    c.join(broadcast(e))
+      .withColumn("__cos",
+        round(fdot(col("__cvec"), col("__evec")) / (col("__cnorm") * col("__enorm")), 9))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__cid").orderBy(col("__cos").desc, col("__eid"))))
+      .filter(col("__rn") === 1)
+      .select(col("__cid").as(idCol), col("__eid").as("nearest_eval"),
+        col("__cos").as("max_cos"),
+        (col("__cos") >= threshold).as("contaminated"))
+  }
 }

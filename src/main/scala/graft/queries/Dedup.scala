@@ -411,6 +411,39 @@ object Dedup {
       graft.operators.PageRank.run(jaccardPairs(s, dir).select("doc_a", "doc_b"))
         .select(col("doc_id"), round(col("rank"), 9).as("rank"))
         .orderBy(col("doc_id"))
+    },
+
+    // SOFT dedup (dedup-aware loss weighting): instead of dropping
+    // duplicates outright (q55) or arg-maxing a keeper (q95), keep every
+    // member but down-weight it by 1/cluster_size — each duplicate
+    // CLUSTER contributes one document's worth of training mass, the
+    // repetition-damping alternative when provenance diversity matters.
+    // Reads the same materialized component artifact; weights are
+    // integer parts-per-billion (round(1e9/size)) so the per-language
+    // effective-dataset-size sums are exact cross-engine. The oracle
+    // recomputes components via the recursive CTE and replays every
+    // weight.
+    QueryDef.checked(
+      "q174_soft_dedup_weights",
+      s"""WITH RECURSIVE $reachCteSql,
+         |comp AS (SELECT node AS doc_id, count(DISTINCT r) AS comp_size
+         |         FROM reach GROUP BY node),
+         |w AS (SELECT d.doc_id, d.lang,
+         |        coalesce(comp.comp_size, 1) AS sz
+         |      FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_downweighted,
+         |  CAST(sum(CAST(round(1e9 / sz) AS BIGINT)) AS BIGINT) AS weight_ppb
+         |FROM w GROUP BY lang""".stripMargin) { (s, dir) =>
+      val comp = dupComponents(s, dir).select(col("doc_id"), col("comp_size"))
+      t(s, dir, "documents").select("doc_id", "lang")
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("sz", coalesce(col("comp_size"), lit(1L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_downweighted"),
+          sum(round(lit(1e9) / col("sz")).cast("long")).as("weight_ppb"))
     }
   )
 }

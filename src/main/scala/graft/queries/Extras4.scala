@@ -261,9 +261,13 @@ object Extras4 {
     // difference between scanning a day and scanning seven years.
     QueryDef.checked(
       "q138_snapshot_skipping",
+      // cents, not sum(double): the June–August extendedprice sum lands
+      // within one summation-order ulp of a .05 rounding boundary at
+      // sf0.01, so the raw double sum hash-flips run-to-run
       """SELECT count(*) AS n_rows,
-        |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_price,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
         |  CAST(1 AS BOOLEAN) AS pruned
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00'
@@ -278,9 +282,9 @@ object Extras4 {
       val kept = Snapshots.filesBetween(s, root, v, "l_shipdate", lo, hi)
       Snapshots.readBetween(s, root, "l_shipdate", lo, hi)
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_price"))
-        .select(col("n_rows"), col("sum_qty"), col("sum_price"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+        .select(col("n_rows"), col("qty_cents"), col("price_cents"),
           lit(kept.size < all.size).as("pruned"))
     },
 

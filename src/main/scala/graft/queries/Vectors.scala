@@ -196,6 +196,40 @@ object Vectors {
         m = 16, k = 32)
       withRecall(s, dir, graft.operators.OpqAnn.topKRefined(encoded, emb,
         emb.filter(col("vec_id") < 100), model, k = 5, refine = 10))
+    },
+
+    // SEMANTIC decontamination: the embedding-space complement of q77's
+    // n-gram pass — a paraphrased benchmark item shares no 8-gram with
+    // its source but its embedding still sits next to it. Eval set =
+    // vec_id % 31 = 0 (benchmark-sized, broadcast); every corpus vector
+    // gets its nearest eval id and the ≥0.42 contamination flag. The
+    // oracle replays the DECISIONS, not the raw cosine (the q36/q37
+    // discipline: DuckDB computes float-list cosines, the engine double
+    // — values differ at 1e-7, decisions don't: the fixtures' argmax
+    // gaps are ≥6.7e-5 and the nearest threshold gap is ≥2.2e-4 at
+    // every sf, both orders of magnitude above the arithmetic seam).
+    // Corpus-linear: one streamed scan against a broadcast eval side —
+    // the same discipline as q36, never |corpus|².
+    QueryDef.checked(
+      "q173_semantic_decontam",
+      """WITH ev AS (SELECT * FROM embeddings WHERE vec_id % 31 = 0),
+        |co AS (SELECT * FROM embeddings WHERE vec_id % 31 <> 0),
+        |p AS (SELECT co.vec_id, ev.vec_id AS eval_id,
+        |        list_cosine_similarity(co.embedding::DOUBLE[],
+        |                               ev.embedding::DOUBLE[]) AS cos
+        |      FROM co, ev),
+        |r AS (SELECT vec_id, eval_id, cos,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY cos DESC, eval_id) AS rn
+        |      FROM p)
+        |SELECT vec_id, eval_id AS nearest_eval,
+        |  CAST(cos >= 0.42 AS BOOLEAN) AS contaminated
+        |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Decontaminate.semanticOverlap(
+        emb.filter(col("vec_id") % 31 =!= 0),
+        emb.filter(col("vec_id") % 31 === 0), threshold = 0.42)
+        .select(col("vec_id"), col("nearest_eval"), col("contaminated"))
     }
   )
 }
