@@ -648,6 +648,41 @@ class SnapshotClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("widening the cluster-key column keeps the layout and SPJ planning") {
+    // type widening is metadata-only and stats tags are family-scoped,
+    // so widening the CLUSTER column itself (int→long) must not break
+    // the single-valuedness proof: the header carries, post-widening
+    // clustered appends land long-typed files, and the co-clustered
+    // join still plans exchange-free across both file generations.
+    import spark.implicits._
+    val fact = freshRoot("widenclus")
+    val dim = freshRoot("widenclusdim")
+    def rows(lo: Int, n: Int) =
+      (lo until lo + n).map(i => (i % 7, i.toLong)).toDF("k", "v")
+    Snapshots.publish(spark, fact, rows(0, 500), clusterBy = Some("k"))
+    val widened = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    Snapshots.evolveSchema(spark, fact, widened)
+    assert(Snapshots.clusterOf(spark, fact, 2).contains("k"),
+      "the cluster header must survive widening its own column")
+    // post-widening clustered append: long-typed physical files
+    Snapshots.publish(spark, fact,
+      rows(500, 200).withColumn("k", col("k").cast("long")),
+      append = true, clusterBy = Some("k"))
+    Snapshots.publish(spark, dim,
+      (0 until 7).map(i => (i.toLong, s"g$i")).toDF("k", "name"),
+      clusterBy = Some("k"))
+    noBroadcast {
+      val joined = readSource(fact).join(readSource(dim).hint("merge"), "k")
+      assert(joined.count() == 700)
+      assert(shuffles(joined) == 0,
+        s"SPJ must survive cluster-key widening:\n${joined.queryExecution.executedPlan}")
+    }
+  }
+
   test("one-side storage-partitioned shuffle: plain side shuffles INTO the clustered layout") {
     // the asymmetric 100 TB join: a clustered fact table joined with a
     // PLAIN (unclustered) delta. Without v2.bucketing.shuffle.enabled,

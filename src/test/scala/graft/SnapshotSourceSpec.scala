@@ -714,6 +714,23 @@ class SnapshotSourceSpec extends AnyFunSuite {
       assert(vs.size == 2)
       assert(Snapshots.read(spark, dst, Some(vs.head)).as[(String, Long)]
         .collect().toSet == Set(("a", 1L), ("b", 2L)))
+      // and the CHANGE FEED replays the upsert stream's merges as
+      // row-level diffs — CDC in (Update sink), CDC out (readChangeFeed):
+      // batch 1 inserts both groups, batch 2 updates only group a
+      val cdfCk = Scratch.ephemeralCheckpoint("dsv2-sink-upsert-cdf")
+      val cdf = spark.readStream.format("graft-snapshot").option("root", dst)
+        .option("readChangeFeed", true).option("keyColumns", "g").load()
+        .writeStream.format("memory").queryName("upsert_cdf")
+        .option("checkpointLocation", cdfCk).start()
+      try {
+        cdf.processAllAvailable()
+        val diffs = spark.table("upsert_cdf")
+          .select("change", "g", "total", "_commit_version")
+          .as[(String, String, Long, Int)].collect().toSet
+        assert(diffs == Set(
+          ("insert", "a", 1L, 1), ("insert", "b", 2L, 1),
+          ("update", "a", 11L, 2)))
+      } finally cdf.stop()
     } finally q.stop()
   }
 
