@@ -630,9 +630,17 @@ object Snapshots {
       to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     val intLadder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-    (intLadder.indexOf(from), intLadder.indexOf(to)) match {
-      case (f, t) if f >= 0 && t >= 0 => f < t
-      case _ => from == FloatType && to == DoubleType
+    (from, to) match {
+      // decimal precision growth at the SAME scale: every old value is
+      // representable verbatim; the reader promotes across the physical
+      // representation change (int64-backed → binary-backed) at scan
+      // time. Scale changes rescale values and are refused.
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision > f.precision && t.scale == f.scale
+      case _ => (intLadder.indexOf(from), intLadder.indexOf(to)) match {
+        case (f, t) if f >= 0 && t >= 0 => f < t
+        case _ => from == FloatType && to == DoubleType
+      }
     }
   }
 

@@ -112,6 +112,34 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     },
 
+    // NEAR-EXACT dedup on a canonical form (the Dolma/C4 "fuzzy exact"
+    // pass): lowercase, strip common punctuation, collapse whitespace —
+    // catches re-encodes and copy-paste variants that byte-exact q32
+    // misses at hash-groupBy cost, the tier between exact and MinHash.
+    // The canonicalization is a literal character class + '\s+' (ASCII
+    // semantics in both regex engines), so the whole decision replays in
+    // DuckDB; `extra_copies` counts what canonicalization caught beyond
+    // the byte-exact pass.
+    QueryDef.checked(
+      "q175_canonical_dedup",
+      """WITH c AS (
+        |  SELECT doc_id, md5(text) AS bh,
+        |    md5(regexp_replace(regexp_replace(lower(trim(text)),
+        |          '[.,!?;:''"()]', '', 'g'), '\s+', ' ', 'g')) AS ch
+        |  FROM documents)
+        |SELECT ch AS canon_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS n_copies,
+        |  CAST(count(*) - count(DISTINCT bh) AS BIGINT) AS extra_copies
+        |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("bh"),
+          md5(regexp_replace(regexp_replace(lower(trim(col("text"))),
+            "[.,!?;:'\"()]", ""), "\\s+", " ")).as("ch"))
+        .groupBy(col("ch").as("canon_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          (count(lit(1)) - countDistinct(col("bh"))).as("extra_copies"))
+    },
+
     // word-SET jaccard pairs, blocked by (lang, source) — the inverted-
     // index join shape that scales with true collisions, not |docs|².
     QueryDef.checked(

@@ -200,6 +200,17 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("ALTER TABLE snapcat.widen ALTER COLUMN id TYPE DOUBLE") }
     assert(spark.table("snapcat.widen").schema("id").dataType == LongType)
+    // decimal precision growth (same scale) is a lossless widening too —
+    // the reader promotes across the int64-backed → binary-backed
+    // physical change; scale changes refuse (values would rescale)
+    Snapshots.publish(spark, s"$warehouse/widendec",
+      Seq("12.34", "56.78").toDF("d").select(col("d").cast("decimal(10,2)")))
+    spark.sql("ALTER TABLE snapcat.widendec ALTER COLUMN d TYPE DECIMAL(25,2)")
+    spark.sql("INSERT INTO snapcat.widendec VALUES (CAST(12345678901234567890.12 AS DECIMAL(25,2)))")
+    assert(spark.sql("SELECT CAST(sum(d) AS STRING) FROM snapcat.widendec")
+      .head.getString(0) == "12345678901234567959.24")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapcat.widendec ALTER COLUMN d TYPE DECIMAL(30,5)") }
   }
 
   test("CREATE/DROP/RENAME manage snapshot roots; SHOW TABLES lists them") {
