@@ -84,4 +84,48 @@ object MinHashDedup {
           (col("za.n") + col("zb.n") - col("inter"))).as("jac"))
       .filter(col("jac") >= p.threshold)
   }
+
+  /** Per-doc dedup STATE row `(doc_id, sig, shset)`: minhash signature +
+    * distinct shingle set — what an accumulating corpus table stores so
+    * incremental passes ([[pairsAmongPrepared]]) never re-tokenize old
+    * documents. Shingle sets are exact verification state; a deployment
+    * that can tolerate signature-estimated jaccard can drop `shset` for
+    * ~8 bytes × numHashes per doc.
+    */
+  def prepared(docs: DataFrame, idCol: String, textCol: String,
+      p: Params = Params()): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, p.shingleSize)
+    signatures(sh, p.numHashes)
+      .join(sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("shset")), "doc_id")
+  }
+
+  /** Verified pairs INVOLVING at least one `fresh` doc, over [[prepared]]
+    * state rows: LSH band keys of ALL docs equi-join band keys of FRESH
+    * docs only (candidate volume |all|×|fresh| per colliding bucket,
+    * never |all|²), then exact jaccard from the STORED shingle sets. The
+    * incremental form of [[verifiedPairs]]: old×old pairs are never
+    * recomputed, old docs are never re-tokenized — the daily-ingest /
+    * streaming-batch shape. `fresh` must be a subset of `all` (same
+    * state rows).
+    */
+  def pairsAmongPrepared(all: DataFrame, fresh: DataFrame,
+      p: Params = Params()): DataFrame = {
+    val rows = p.numHashes / p.bands
+    def bandRows(df: DataFrame) = df.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${p.bands} - 1), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
+      .toDF("doc_id", "band", "bh")
+    val cands = bandRows(all).as("l").join(bandRows(fresh).as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") =!= col("r.doc_id"))
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
+      .distinct()
+    cands
+      .join(all.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+      .join(all.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double")).as("jac"))
+      .filter(col("jac") >= p.threshold)
+  }
 }

@@ -87,6 +87,30 @@ object Dedup {
        |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin
 
+  /** The exact shingle-jaccard pair SQL shared by q34 (batch) and q176
+    * (streaming accumulation) — one source so the shingling/threshold
+    * can never drift between the two forms.
+    */
+  private def minhashOracleSql(docFilter: String = ""): String =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents $docFilter),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(range(1, len(toks) - 1),
+      |                        i -> array_to_string(toks[i:i+2], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END) AS shingle
+      |  FROM docs),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+      |FROM pairs JOIN sz sa ON sa.doc_id = doc_a
+      |           JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""".stripMargin
+
   private val reachCteSql =
     s"""pairs AS (
        |  WITH $pairsCteSql
@@ -175,26 +199,50 @@ object Dedup {
     // shingle-jaccard oracle because band recall at j≥0.5 is ~0.9999
     // (64 hashes, 32 bands × 2 rows) and the fixture has no pairs in
     // (0.3, 0.5) to sit on the boundary.
-    QueryDef.checked(
-      "q34_minhash_pairs",
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
-        |    THEN list_transform(range(1, len(toks) - 1),
-        |                        i -> array_to_string(toks[i:i+2], ' '))
-        |    ELSE [array_to_string(toks, ' ')] END) AS shingle
-        |  FROM docs),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
-        |FROM pairs JOIN sz sa ON sa.doc_id = doc_a
-        |           JOIN sz sb ON sb.doc_id = doc_b
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""".stripMargin) { (s, dir) =>
+    QueryDef.checked("q34_minhash_pairs", minhashOracleSql()) { (s, dir) =>
       MinHashDedup.verifiedPairs(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // STREAMING incremental near-dup — the continuous-ingest form of q34:
+    // documents arrive as three snapshot versions, each micro-batch
+    // compares only against the accumulated per-doc state (signatures +
+    // shingle sets — old docs never re-tokenized) and appends the pairs
+    // it completes, exactly-once via manifest batch ids. The oracle is
+    // q34's FULL-corpus SQL verbatim: a hash match proves the streamed
+    // accumulation equals the batch recompute — no pair lost across
+    // batch boundaries, none found twice.
+    // Corpus SUBSET (doc_id % 2 = 0), the q97 discipline: the streaming
+    // machinery (3 drains, 6 snapshot publishes, per-batch state joins)
+    // carries enough fixed cost that the full corpus would double the
+    // suite's slowest line for no extra evidence — the equality claim is
+    // batch-boundary coverage, which the subset proves identically.
+    QueryDef.checked("q176_stream_neardup",
+      minhashOracleSql("WHERE doc_id % 2 = 0")) { (s, dir) =>
+      import graft.streaming.DocStreams
+      val fs = new org.apache.hadoop.fs.Path("/")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def root(n: String) = {
+        val r = graft.Scratch.dir("q176_stream_neardup", n, dir)
+        fs.delete(new org.apache.hadoop.fs.Path(r), true) // idempotent rerun
+        r
+      }
+      val (src, seenRoot, pairsRoot) = (root("src"), root("seen"), root("pairs"))
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 2 === 0)
+      // two ingest batches: one cross-batch boundary is the whole claim
+      // (a pair's members in different batches must still be found)
+      graft.operators.Snapshots.publish(s, src, docs.filter(col("doc_id") % 4 === 0))
+      graft.operators.Snapshots.publish(s, src, docs.filter(col("doc_id") % 4 === 2),
+        append = true)
+      val ck = graft.Scratch.ephemeralCheckpoint("q176_stream_neardup")
+      val q = s.readStream.format("graft-snapshot").option("root", src)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.foreachBatch(DocStreams.incrementalNearDup(seenRoot, pairsRoot) _)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "AvailableNow drain timed out")
+      graft.operators.Snapshots.read(s, pairsRoot)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
     },
 
     // SimHash near-dup (rows-only: xxhash64 has no DuckDB equivalent;
