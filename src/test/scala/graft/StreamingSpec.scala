@@ -411,4 +411,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(dest).count() == raw.count() + 5,
       "old-mtime backfill file was silently skipped (maxFileAge default)")
   }
+
+  test("incremental near-dup: restart continues, replayed batches append nothing") {
+    import spark.implicits._
+    import graft.operators.{MinHashDedup, Snapshots}
+    val base = java.nio.file.Files.createTempDirectory("graft-incdup").toString
+    val (src2, seen, pairs) = (s"$base/src", s"$base/seen", s"$base/pairs")
+    def doc(id: Long, text: String) = (id, text)
+    // b1: two dups of each other; b2: a dup of a b1 doc (cross-batch) +
+    // a singleton; b3 (post-restart): another cross-batch dup
+    val b1 = Seq(doc(1, "alpha beta gamma delta epsilon"),
+      doc(2, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val b2 = Seq(doc(3, "alpha beta gamma delta zeta"),
+      doc(4, "totally unrelated content here now")).toDF("doc_id", "text")
+    val b3 = Seq(doc(5, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    Snapshots.publish(spark, src2, b1)
+    Snapshots.publish(spark, src2, b2, append = true)
+    val ck = Scratch.ephemeralCheckpoint("incdup-restart")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot").option("root", src2)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.foreachBatch(
+          graft.streaming.DocStreams.incrementalNearDup(seen, pairs) _)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(300000), "drain timed out")
+    }
+    drain()
+    def pairSet = Snapshots.read(spark, pairs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedAfter2 = MinHashDedup.verifiedPairs(b1.unionByName(b2), "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == expectedAfter2 && pairSet.contains((1L, 3L)),
+      s"cross-batch pair must be found: $pairSet")
+    val versionsAfter = (Snapshots.versions(spark, pairs), Snapshots.versions(spark, seen))
+    // restart with no new data: nothing re-appends
+    drain()
+    assert((Snapshots.versions(spark, pairs), Snapshots.versions(spark, seen))
+      == versionsAfter, "a no-new-data restart must append nothing")
+    assert(pairSet == expectedAfter2)
+    // a direct batch-id REPLAY (the crash-redelivery shape) is a no-op too
+    graft.streaming.DocStreams.incrementalNearDup(seen, pairs)(
+      Snapshots.read(spark, src2, Some(2)).limit(0), 1L)
+    assert((Snapshots.versions(spark, pairs), Snapshots.versions(spark, seen))
+      == versionsAfter, "a replayed batch id must publish nothing")
+    // new data after restart: the stream continues from the checkpoint
+    Snapshots.publish(spark, src2, b3, append = true)
+    drain()
+    val all = b1.unionByName(b2).unionByName(b3)
+    val expectedAll = MinHashDedup.verifiedPairs(all, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == expectedAll && pairSet.exists(_._2 == 5L),
+      s"post-restart cross-batch pairs must land: $pairSet vs $expectedAll")
+  }
 }
