@@ -648,6 +648,39 @@ class SnapshotClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("Update-mode streaming upsert into a clustered destination keeps the layout") {
+    // CDC ingest into a key-clustered table: the sink's per-batch CoW
+    // MERGE re-clusters its replacement rows (mergeByKey's layout
+    // invariant), so the #cluster= header — and shuffle-free planning —
+    // survives continuous keyed upserts.
+    import spark.implicits._
+    val src = freshRoot("upclussrc")
+    val dst = freshRoot("upclusdst")
+    val ck = java.nio.file.Files.createTempDirectory("graft-upclusck").toString
+    // destination pre-published clustered on the group key
+    Snapshots.publish(spark, dst,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "x"),
+      clusterBy = Some("g"))
+    Snapshots.publish(spark, src,
+      Seq((1L, "a", 11.0), (3L, "b", 30.0)).toDF("k", "g", "x"))
+    val q = spark.readStream.format("graft-snapshot").option("root", src).load()
+      .writeStream.format("graft-snapshot").option("root", dst)
+      .outputMode("update").option("keyColumns", "k")
+      .option("checkpointLocation", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    val head = Snapshots.versions(spark, dst).last
+    assert(head == 2)
+    assert(Snapshots.clusterOf(spark, dst, head).contains("g"),
+      "the clustered layout must survive the streaming upsert merge")
+    assert(readSource(dst).orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 11.0), (2L, "b", 20.0), (3L, "b", 30.0)))
+    // and the layout still plans: aggregation on g stays shuffle-free
+    val agg = readSource(dst).groupBy("g").agg(sum("x").as("s"))
+    assert(shuffles(agg) == 0,
+      s"post-upsert clustered agg must stay shuffle-free:\n${agg.queryExecution.executedPlan}")
+  }
+
   test("widening the cluster-key column keeps the layout and SPJ planning") {
     // type widening is metadata-only and stats tags are family-scoped,
     // so widening the CLUSTER column itself (int→long) must not break
