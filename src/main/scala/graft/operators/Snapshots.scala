@@ -972,7 +972,11 @@ object Snapshots {
     val onDisk = FileManifest.listTree(spark, s"$root/data")
       .filter(col("mtime") < lit(new java.sql.Timestamp(cutoff)))
       .select(concat(lit("data/"), col("name")).as("name"))
-    val orphans = onDisk.join(refDf, Seq("name"), "left_anti")
+    // persisted: BOTH the drained-dir derivation and the delete pass read
+    // this relation, and recomputing it would re-list the tree — worse,
+    // the second listing would run AFTER the deletes and see a different
+    // world than the dirs were derived from
+    val orphans = onDisk.join(refDf, Seq("name"), "left_anti").persist()
     val qualifiedRoot = f.makeQualified(new Path(root)).toString
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -992,6 +996,7 @@ object Snapshots {
         if (pfs.delete(new Path(s"$qualifiedRoot/$rel"), false)) deleted.add(1L)
       }
     }
+    orphans.unpersist(blocking = false)
     // publish dirs drained by the sweep: one listing per historical
     // publish — bounded by publish count, not data size. A dir is
     // removable when nothing but aged hidden markers (_SUCCESS, .crc)
