@@ -749,4 +749,32 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(headReader.count() == headCount)
     assert(Snapshots.read(spark, root).count() == headCount)
   }
+
+  test("widens() is a strict partial order over exactly the lossless promotions") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Snapshots.widens
+    val ladder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    // the int ladder widens strictly upward, never down or reflexively
+    for (i <- ladder.indices; j <- ladder.indices)
+      assert(widens(ladder(i), ladder(j)) == (i < j), s"${ladder(i)} -> ${ladder(j)}")
+    assert(widens(FloatType, DoubleType) && !widens(DoubleType, FloatType))
+    assert(!widens(FloatType, FloatType))
+    // decimal: precision growth at the SAME scale only
+    assert(widens(DecimalType(10, 2), DecimalType(20, 2)))
+    assert(!widens(DecimalType(20, 2), DecimalType(10, 2)))
+    assert(!widens(DecimalType(10, 2), DecimalType(20, 3)), "scale change rescales values")
+    assert(!widens(DecimalType(10, 2), DecimalType(10, 2)))
+    // cross-family never widens: reinterpretation or value loss
+    for (a <- ladder :+ (DoubleType: DataType);
+         b <- Seq[DataType](FloatType, StringType, DateType, TimestampType,
+           BooleanType, DecimalType(20, 0)))
+      assert(!widens(a, b), s"$a -> $b")
+    assert(!widens(LongType, DoubleType), "long -> double loses integers above 2^53")
+    assert(!widens(IntegerType, FloatType) && !widens(StringType, LongType))
+    // transitivity on the accepted graph: a->b and b->c implies a->c
+    val all = ladder ++ Seq(FloatType, DoubleType,
+      DecimalType(10, 2), DecimalType(20, 2), DecimalType(38, 2))
+    for (a <- all; b <- all; c <- all if widens(a, b) && widens(b, c))
+      assert(widens(a, c), s"transitivity: $a -> $b -> $c")
+  }
 }
