@@ -62,18 +62,30 @@ object Bench {
     }
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(300)
-    // SPARK_GRAFT_ONLY=q101_x,q102_y restricts the run (single-query
-    // iteration) — validated against the real query names, because a
-    // silently-ignored typo yields an empty artifact indistinguishable
-    // from a full run except by reading the recorded names
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map { v =>
-      val names = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // Query filter, from CLI args and/or SPARK_GRAFT_ONLY=q101_x,q102_y
+    // (single-query iteration) — both validated against the real query
+    // names, because a silently-ignored typo (or, as round 10 proved,
+    // silently-ignored ARGS) yields an artifact indistinguishable from a
+    // full run except by reading the recorded names. Args and env merge
+    // (union) when both are given.
+    def parseNames(what: String, v: Seq[String]): Set[String] = {
+      val names = v.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
       require(names.nonEmpty,
-        "SPARK_GRAFT_ONLY is set but names no queries (empty after trimming)")
+        s"$what is set but names no queries (empty after trimming)")
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+        s"$what names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
       names
+    }
+    val only: Option[Set[String]] = {
+      val fromArgs =
+        if (args.isEmpty) None else Some(parseNames("args", args.toSeq))
+      val fromEnv = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(v => parseNames("SPARK_GRAFT_ONLY", Seq(v)))
+      (fromArgs, fromEnv) match {
+        case (Some(a), Some(e)) => Some(a ++ e)
+        case (a, e)             => a.orElse(e)
+      }
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -112,11 +124,14 @@ object Bench {
       // — min-of-k is then one unlucky draw away from recording the noise;
       // take up to 3 extra samples until the spread settles, so
       // round-over-round deltas compare plan costs, not machine weather.
-      // All raw runs stay visible in queries_runs.
+      // The spread is evaluated over the TRAILING kq runs only — an early
+      // outlier ages out of the window, so the guard can actually
+      // converge instead of always burning all 3 extras once any spike
+      // lands. All raw runs stay visible in queries_runs.
       var extra = 0
       def spreadOver2(ts: Seq[Double]) = ts.nonEmpty && ts.max > 2 * ts.min
-      while (extra < 3 && outcomes.forall(_.isRight) &&
-          spreadOver2(outcomes.collect { case Right(t) => t })) {
+      def trailing = outcomes.takeRight(kq).collect { case Right(t) => t }
+      while (extra < 3 && outcomes.forall(_.isRight) && spreadOver2(trailing)) {
         outcomes = outcomes :+ run()
         extra += 1
       }
@@ -159,8 +174,18 @@ object Bench {
       s""""total_cold":$totalCold,"filtered":${only.nonEmpty},$env,""" +
       s""""queries":$qs,"queries_runs":$runs,"queries_cold":$qsCold,""" +
       s""""failures":[${failures.mkString(",")}],"sf":"$sfDir"}"""
-    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
+    // per-run STAMPED detail file (plus a latest-pointer copy at the
+    // legacy name): round 10's verification bench clobbered the driver's
+    // round artifact because both wrote the same BENCH_DETAIL.json — a
+    // unique path per run makes that impossible, and the compact stdout
+    // line carries the stamped path so the right detail is always findable
+    val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+    val detailPath =
+      java.nio.file.Paths.get(s"BENCH_DETAIL_$stamp.json").toAbsolutePath
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
 
     // Compact stdout line: qNNN keys (unique by construction — names are
     // qN_*), 2-decimal seconds, slowest-first, and a hard byte budget with
