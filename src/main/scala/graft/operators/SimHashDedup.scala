@@ -113,9 +113,11 @@ object SimHashDedup {
       maxDist: Int = 6): DataFrame =
     pairsFromFingerprints(simhash(docs, idCol, textCol), maxDist)
 
-  // concurrent consumers must not both decide to build and overwrite the
-  // same artifact mid-read — one JVM-level lock per scratch dir
-  // serializes them; the first builder wins, the rest see its stamp
+  // one JVM-level lock per scratch dir serializes concurrent BUILDERS;
+  // the first builder wins, the rest see its stamp. READERS are protected
+  // differently: each corpus version lands in its own stamp-derived
+  // subdir (below), so a rebuild never overwrites files a previously
+  // returned DataFrame is still lazily scanning.
   private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Corpus identity: (row count, XOR of xxhash64(id, text)) — one
@@ -140,29 +142,45 @@ object SimHashDedup {
     * Banding/radius parameters deliberately do NOT enter the stamp: the
     * artifact is the radius-independent fingerprint table, so changing
     * `maxDist` (a re-band over 8-byte rows) never re-pays the corpus scan.
+    *
+    * Each corpus version's table lives in its OWN stamp-derived subdir
+    * (`simhash-<md5(stamp)>/`), the stamp file written last as the commit
+    * marker: a corpus rewrite builds a FRESH directory and re-points the
+    * stamp, so a DataFrame returned before the rewrite keeps scanning its
+    * own (untouched) files — rebuilds invalidate the pointer, never the
+    * bytes under an old reader. Only a SAME-stamp rebuild (a crashed,
+    * never-committed build) rewrites in place, and no reader can hold
+    * uncommitted files. Superseded version dirs are left for the scratch
+    * root's owner to reclaim (the bench's cold pass wipes the root).
+    * Cross-JVM: the stamp protocol is crash-safe, but concurrent builders
+    * in SEPARATE JVMs sharing one scratch dir race the same target dir —
+    * single-builder-per-corpus-version across processes is assumed.
     */
   def fingerprints(spark: SparkSession, docs: DataFrame, scratchDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       version: Option[String] = None): DataFrame = {
-    buildLocks.computeIfAbsent(scratchDir, _ => new Object).synchronized {
+    val dir = buildLocks.computeIfAbsent(scratchDir, _ => new Object).synchronized {
       val root = new Path(scratchDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val fpFile = new Path(root, "_fingerprint")
       val stamp = version.map(v => s"v:$v").getOrElse(corpusStamp(docs, idCol, textCol))
+      val versionDir = "simhash-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val current =
         if (!fs.exists(fpFile)) None
         else {
           val in = fs.open(fpFile)
           try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString) finally in.close()
         }
-      if (!current.contains(stamp)) {
+      if (!current.contains(stamp) || !fs.exists(new Path(root, versionDir))) {
         if (fs.exists(fpFile)) fs.delete(fpFile, false) // invalidate before rewrite
         simhash(docs, idCol, textCol)
-          .write.mode("overwrite").parquet(s"$scratchDir/simhash")
+          .write.mode("overwrite").parquet(s"$scratchDir/$versionDir")
         val out = fs.create(fpFile, true)
         try out.write(stamp.getBytes("UTF-8")) finally out.close()
       }
+      versionDir
     }
-    spark.read.parquet(s"$scratchDir/simhash")
+    spark.read.parquet(s"$scratchDir/$dir")
   }
 }

@@ -81,8 +81,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       SimHashDedup.fingerprints(spark, spark.read.parquet(docsPath), scratch), maxDist)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairsVia(6) == Set((0L, 1L)))
-    val part = new java.io.File(s"$scratch/simhash").listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
+    def versionDirs = new java.io.File(scratch).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("simhash-")).sortBy(_.getName)
+    val firstDir = versionDirs.head
+    val part = firstDir.listFiles().filter(_.getName.endsWith(".parquet")).head
     // artifact equals the inline computation; a sibling session and a
     // DIFFERENT radius both reuse it (the stamp is radius-independent —
     // re-banding 8-byte rows never re-pays the corpus scan)
@@ -94,9 +96,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaS2 == Set((0L, 1L)) && part.exists())
     // corpus rewritten in place → stamp mismatch → rebuild, not stale reuse
+    // — into a FRESH stamp-derived subdir: the old version's files stay
+    // untouched, so a DataFrame returned before the rewrite keeps
+    // scanning its own bytes (the rebuild re-points, never clobbers)
     Seq((3L, "qqq rrr sss ttt uuu"), (4L, "qqq rrr sss ttt uuu"))
       .toDF("doc_id", "text").write.mode("append").parquet(docsPath)
     assert(pairsVia(6) == Set((0L, 1L), (3L, 4L)))
+    assert(versionDirs.length == 2 && part.exists(),
+      "a corpus rebuild must land in a new version dir and leave the old files intact")
     // explicit version: same id reuses even over a changed frame, new id rebuilds
     val vScratch = s"$base/vscratch"
     def fpsOf(p: String, v: String) = SimHashDedup.fingerprints(
