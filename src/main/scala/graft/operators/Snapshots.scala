@@ -339,6 +339,37 @@ object Snapshots {
   def hasDeleteVectors(spark: SparkSession, root: String, version: Int): Boolean =
     dvLinesOf(spark, root, version).nonEmpty
 
+  /** The merge-on-read READ plan of a dv-carrying version, for external
+    * dv-aware readers (the DSv2 batch scan): per-file first-seen sequence
+    * numbers, plus each outstanding dv group's key columns, committing
+    * version, and DISTINCT key rows (driver-collected — O(deleted keys),
+    * broadcast-sized by the dv contract; see [[dvApplied]] for the
+    * distributed anti-join form these rows replicate). A dv applies to
+    * data file f iff firstSeen(f) <= dv.version — rows appended after
+    * the delete are never retro-deleted. `keySchema` reads the key files
+    * under the TABLE's (possibly widened) column types, so a key written
+    * before a type widening still matches the promoted scan values.
+    */
+  private[graft] def dvReadPlan(spark: SparkSession, root: String, version: Int,
+      keySchema: Option[StructType] = None)
+      : (Map[String, Int], Seq[(Seq[String], Int, Array[Row])]) = {
+    val (firstSeen, dvs) = history(spark, root, version)
+    val groups = dvs.groupBy(d => (d.keyCols, d.version)).toSeq.map {
+      case ((kc, ver), ds) =>
+        val paths = ds.map(d => s"$root/${d.file}")
+        val proj = keySchema.flatMap { s =>
+          val fields = kc.map(c => s.fields.find(_.name == c))
+          if (fields.exists(_.isEmpty)) None
+          else Some(StructType(fields.flatten.toArray))
+        }
+        val rows = proj.fold(spark.read.parquet(paths: _*))(s =>
+            spark.read.schema(s).parquet(paths: _*))
+          .select(kc.map(col): _*).distinct().collect()
+        (kc.toSeq, ver, rows)
+    }
+    (firstSeen, groups)
+  }
+
   /** Fail unless `version` carries no outstanding delete vectors — the
     * guard on every path that reads data files RAW (stats-pruned reads,
     * CDC, merge, copy-on-write rewrites): silently ignoring a dv would

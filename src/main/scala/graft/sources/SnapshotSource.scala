@@ -179,7 +179,21 @@ private[graft] class SnapshotStreamSink(root: String, complete: Boolean,
     // publish (merge needs a base; keys are vacuously unique against an
     // empty table) with tombstoned rows already resolved — so a declared
     // partitionBy layout applies from version 1 and the tombstone column
-    // never enters the table schema
+    // never enters the table schema. The batch itself still owes MERGE's
+    // intra-delta uniqueness precondition: without this check, two rows
+    // for one key in batch 0 would land as silent duplicate keys that
+    // every later mergeByKey batch then carries forward — the same loud
+    // dupKey refusal mergeByKey applies, one bounded aggregation.
+    keyCols.foreach { kc =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val dupKey = raw.groupBy(kc.map(raw(_)): _*)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+        .filter(col("count") > 1).limit(1).collect()
+      require(dupKey.isEmpty,
+        s"bootstrap batch carries multiple rows for key (${kc.mkString(",")}) = " +
+          s"(${dupKey.headOption.fold("")(r => kc.indices.map(i => String.valueOf(r.get(i))).mkString(","))}) — " +
+          "MERGE source keys must be unique (dedupe or pre-resolve the batch)")
+    }
     val batch =
       if (keyCols.isDefined)
         tombstoneCol.fold(raw)(tc =>
@@ -1163,6 +1177,21 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * same set, so the reported partitioning always matches the planned
     * partitions; runtime (DPP) filters later thin WITHIN this set.
     */
+  /** Outstanding merge-on-read delete vectors at the resolved version:
+    * the plain batch scan then anti-probes them row-level ([[toBatch]]'s
+    * dv branch), and every metadata shortcut whose soundness rests on
+    * raw row counts or raw file contents stands down — the limit prefix
+    * and top-N prune here (counts include deleted rows, so a prefix
+    * could under-deliver), key-grouped planning (a file's rows are no
+    * longer exactly its contents), and the metadata aggregates (which
+    * already refuse dv versions in translateAgg).
+    */
+  private lazy val dvOutstanding: Boolean = {
+    val spark = SparkSession.active
+    try Snapshots.hasDeleteVectors(spark, root, resolveVersion(spark))
+    catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   private lazy val compiledPlan: (Int, Seq[String], Seq[String], Int) = {
     val spark = SparkSession.active
     val v = resolveVersion(spark)
@@ -1172,6 +1201,7 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     // cover n (see pushLimit) — sound only when every file has a count.
     // unfiltered ORDER BY c LIMIT n: the stats-bounded top-N prune.
     val kept = (limit, topN) match {
+      case _ if dvOutstanding => kept0
       case (Some(n), _) if filters.isEmpty =>
         val rows = Snapshots.rowCountsOf(spark, root, v)
         if (!kept0.forall(rows.contains)) kept0
@@ -1254,7 +1284,8 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     // table reads faster ungrouped
     if (rowLevel || limit.isDefined || topN.isDefined
         || options.getBoolean("readChangeFeed", false)
-        || !options.getBoolean("clusterPlanning", true)) None
+        || !options.getBoolean("clusterPlanning", true)
+        || dvOutstanding) None
     else {
       val spark = SparkSession.active
       val forced = Option(options.get("clusterBy")).filter(_.nonEmpty)
@@ -1347,10 +1378,15 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
         "call Snapshots.changes(root, from, to, keyCols) directly")
     val spark = SparkSession.active
     val (v, preLimit, postLimit, totalFiles) = compiledPlan
-    require(!Snapshots.hasDeleteVectors(spark, root, v),
-      s"v$v under $root carries outstanding merge-on-read delete vectors — a raw " +
-        "file scan would resurrect deleted rows; run materializeDeletes or compact " +
-        "first, or read through Snapshots.read (which anti-joins them)")
+    // a ROW-LEVEL operation scan must see raw file contents (its rewrite
+    // replaces whole files) — dv filtering there would silently drop the
+    // dv bookkeeping, so the refusal stays; plain scans take the
+    // merge-on-read branch below instead
+    require(!rowLevel || !Snapshots.hasDeleteVectors(spark, root, v),
+      s"v$v under $root carries outstanding merge-on-read delete vectors — a " +
+        "row-level operation would rewrite files without their deletes; run " +
+        "materializeDeletes or compact first")
+    if (Snapshots.hasDeleteVectors(spark, root, v)) return dvBatch(spark, v, totalFiles)
     // manifest-recorded byte lengths ride along so partition packing
     // never stats the planned files (legacy unsized files fall back)
     val sized = Snapshots.byteCountsOf(spark, root, v)
@@ -1394,6 +1430,82 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
           StructType(metaFields), filters,
           kept.map(sizedMeta), totalFiles - kept.size)
     }
+  }
+
+  /** MERGE-ON-READ batch planning for a dv-carrying version: instead of
+    * refusing, the scan anti-probes every row against the outstanding
+    * delete-vector key sets INSIDE the readers — the same semantics as
+    * [[Snapshots.read]]'s distributed anti-join, pushed to the file
+    * granularity Spark's dv designs use. Planned files group by their
+    * first-seen sequence (a dv committed at D applies to a file iff
+    * firstSeen ≤ D — re-inserted keys stay visible) and partitions never
+    * pack across groups, so each reader applies exactly its group's key
+    * sets. Key columns absent from the projection are force-read and
+    * projected away after the probe; key sets are driver-collected —
+    * O(deleted keys), broadcast-sized by the dv contract — and ship in
+    * the serialized factory. Readers run row-based while dvs are
+    * outstanding (the probe is per-row); `materializeDeletes`/`compact`
+    * restores the vectorized path. Metadata shortcuts stand down (see
+    * [[dvOutstanding]]); the refusal survives only where the probe
+    * cannot follow the rows: row-level operation scans and
+    * non-equality-safe key types.
+    */
+  private def dvBatch(spark: SparkSession, v: Int, totalFiles: Int): Batch = {
+    val (_, preLimit, _, _) = compiledPlan
+    val kept =
+      if (runtimeFilters.isEmpty) preLimit
+      else pruneBy(spark, v, preLimit, runtimeFilters)
+    val (firstSeen, dvGroups) = Snapshots.dvReadPlan(spark, root, v, Some(tableSchema))
+    def probeSafe(c: String): Boolean = tableSchema.fields.find(_.name == c).exists(
+      _.dataType match {
+        case BinaryType => false // array equality — cannot hash-probe
+        case _: NumericType => true
+        case StringType | BooleanType | DateType | TimestampType
+            | TimestampNTZType => true
+        case _ => false
+      })
+    val allKeyCols = dvGroups.flatMap(_._1).distinct
+    require(allKeyCols.forall(probeSafe),
+      s"v$v under $root carries delete vectors on non-probeable key columns " +
+        s"(${allKeyCols.filterNot(probeSafe).mkString(", ")}) — run " +
+        "materializeDeletes or compact first, or read through Snapshots.read")
+    val extraCols = allKeyCols.filterNot(dataRequired.fieldNames.contains)
+    val augData = StructType(dataRequired.fields ++ extraCols.map(c => tableSchema(c)))
+    val augTypes = (augData.fields ++ metaFields).map(_.dataType).toArray
+    val outputOrdinals = ((0 until dataRequired.size) ++
+      (augData.size until augData.size + metaFields.size)).toArray
+    // deleted-key tuples in CATALYST representation (what row.get returns)
+    val converted: Seq[(Seq[String], Int, Set[Seq[Any]])] = dvGroups.map {
+      case (kc, ver, rows) =>
+        val convs = kc.map(c =>
+          CatalystTypeConverters.createToCatalystConverter(tableSchema(c).dataType))
+        val keys = rows.iterator.map { r =>
+          kc.indices.map(i => if (r.isNullAt(i)) null else convs(i)(r.get(i))).toList: Seq[Any]
+        }.filter(!_.contains(null)).toSet
+        (kc, ver, keys)
+    }
+    val ordsOf: Map[Seq[String], Array[Int]] = converted.map(_._1).distinct
+      .map(kc => kc -> kc.map(augData.fieldIndex).toArray).toMap
+    val sized = Snapshots.byteCountsOf(spark, root, v)
+    def metaOf(r: String): InternalRow =
+      if (metaFields.isEmpty) InternalRow.empty
+      else new GenericInternalRow(metaFields.map { f =>
+        if (f.name == SnapshotScan.FileCol)
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$root/$r"): Any
+        else v: Any
+      }.toArray)
+    val seqGroups = kept.groupBy(r => firstSeen.getOrElse(r, v)).toSeq.sortBy(_._1)
+    val keyFilters: Map[Int, Seq[(Array[Int], Set[Seq[Any]])]] = seqGroups.map {
+      case (seq, _) => seq -> converted.filter(_._2 >= seq)
+        .map { case (kc, _, keys) => (ordsOf(kc), keys) }
+        .filter(_._2.nonEmpty)
+    }.toMap
+    plannedFileCount = kept.size
+    lastPlanned = Some((v, kept))
+    new DvSnapshotBatch(spark, tableSchema, augData, StructType(metaFields), filters,
+      seqGroups.map { case (s, fls) =>
+        (s, fls.map(r => (s"$root/$r", sized.get(r), metaOf(r)))) },
+      augTypes, outputOrdinals, keyFilters, totalFiles - kept.size)
   }
 
   /** Manifest-derived statistics, AFTER stats pruning: exact row counts
@@ -1480,6 +1592,28 @@ private[sources] class SnapshotBatch(spark: SparkSession, root: String,
 
   /** Exposed for the spec: the absolute files this batch plans over. */
   private[graft] def plannedPaths: Seq[String] = files.map(_._1)
+  private[graft] def prunedFileCount: Int = prunedFiles
+}
+
+/** The merge-on-read Batch behind [[SnapshotScan.dvBatch]]: sequence-
+  * tagged partitions (packing never crosses first-seen groups) over a
+  * dv-filtering wrap of the stock parquet reader factory.
+  */
+private[sources] class DvSnapshotBatch(spark: SparkSession,
+    tableSchema: StructType, augSchema: StructType, metaSchema: StructType,
+    filters: Seq[Filter],
+    tagged: Seq[(Int, Seq[(String, Option[Long], InternalRow)])],
+    augTypes: Array[DataType], outputOrdinals: Array[Int],
+    keyFilters: Map[Int, Seq[(Array[Int], Set[Seq[Any]])]],
+    prunedFiles: Int) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    org.apache.spark.sql.graftbridge.ParquetReadBridge
+      .taggedFilePartitions(spark, tagged)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new org.apache.spark.sql.graftbridge.DvFilteringReaderFactory(
+      ParquetReadBridge.readerFactory(spark, tableSchema, augSchema, filters,
+        metaSchema),
+      augTypes, outputOrdinals, keyFilters)
   private[graft] def prunedFileCount: Int = prunedFiles
 }
 

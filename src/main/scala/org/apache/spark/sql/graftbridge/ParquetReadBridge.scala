@@ -115,6 +115,41 @@ object ParquetReadBridge {
     FilePartition.getFilePartitions(spark, pfs, maxSplit).toArray
   }
 
+  /** [[filePartitionsMeta]] with a per-group integer TAG carried on every
+    * resulting partition: the dv-aware scan groups files by first-seen
+    * sequence and tags partitions with the group, so the reader applies
+    * exactly the delete vectors committed at-or-after that group's
+    * sequence. Packing never crosses groups (a packed partition must
+    * have ONE applicable dv set).
+    */
+  def taggedFilePartitions(spark: SparkSession,
+      groups: Seq[(Int, Seq[(String, Option[Long], InternalRow)])])
+      : Array[InputPartition] = {
+    lazy val hconf = spark.sessionState.newHadoopConf()
+    def pf(p: String, size: Option[Long], meta: InternalRow): PartitionedFile = {
+      val hp = new Path(p)
+      size match {
+        case Some(len) =>
+          val qp = hp.getFileSystem(hconf).makeQualified(hp)
+          PartitionedFile(meta, SparkPath.fromPath(qp), 0L, len, Array.empty, 0L, len,
+            Map.empty)
+        case None =>
+          val st = hp.getFileSystem(hconf).getFileStatus(hp)
+          PartitionedFile(meta, SparkPath.fromPath(st.getPath), 0L, st.getLen,
+            Array.empty, st.getModificationTime, st.getLen, Map.empty)
+      }
+    }
+    val totalBytes = groups.flatMap(_._2).map { case (_, s, _) => s.getOrElse(0L) }.sum
+    val maxSplit = FilePartition.maxSplitBytes(spark, totalBytes)
+    var idx = -1
+    groups.flatMap { case (tag, files) =>
+      if (files.isEmpty) Nil
+      else FilePartition.getFilePartitions(spark,
+          files.map { case (p, s, m) => pf(p, s, m) }, maxSplit)
+        .map { fp => idx += 1; new TaggedFilePartition(idx, fp.files, tag) }
+    }.toArray
+  }
+
   /** KEY-GROUPED scan partitions for storage-partitioned planning: each
     * group of files shares one partition-key value (the scan proved every
     * file single-valued from manifest stats), packs with Spark's own
@@ -163,4 +198,68 @@ object ParquetReadBridge {
 class KeyedFilePartition(index: Int, files: Array[PartitionedFile],
     key: InternalRow) extends FilePartition(index, files) with HasPartitionKey {
   override def partitionKey(): InternalRow = key
+}
+
+/** A [[FilePartition]] carrying an integer tag — the dv-aware scan's
+  * first-seen-sequence group id, which [[DvFilteringReaderFactory]] maps
+  * to the delete-vector key sets applicable to the partition's files.
+  */
+class TaggedFilePartition(index: Int, files: Array[PartitionedFile],
+    val tag: Int) extends FilePartition(index, files)
+
+/** Wraps a parquet reader factory with a MERGE-ON-READ delete-vector
+  * filter: each [[TaggedFilePartition]]'s tag selects the key sets that
+  * apply to its files; a row whose key tuple (no nulls — SQL equality
+  * semantics, a null key never matches a delete) is in any applicable
+  * set is dropped, and the AUGMENTED read schema (key columns
+  * force-included for the probe) projects back to the caller's required
+  * ordinals. Row-based only — columnar reads are declined, because the
+  * probe is per-row; the cost is paid exactly while dvs are outstanding
+  * (materializeDeletes/compact restores the vectorized path).
+  *
+  * `keyFilters`: tag → Seq of (key ordinals in the augmented row, their
+  * datatypes, the CATALYST-converted deleted-key tuples). Key sets are
+  * O(deleted keys) and ship inside the serialized factory — the
+  * broadcast-sized contract of the snapshot layer's dv design.
+  */
+class DvFilteringReaderFactory(inner: PartitionReaderFactory,
+    augTypes: Array[org.apache.spark.sql.types.DataType],
+    outputOrdinals: Array[Int],
+    keyFilters: Map[Int, Seq[(Array[Int], Set[Seq[Any]])]])
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val preds = p match {
+      case t: TaggedFilePartition => keyFilters.getOrElse(t.tag, Nil)
+      case _ => Nil
+    }
+    val innerR = inner.createReader(p)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      outputOrdinals.map(i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, augTypes(i), nullable = true)))
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (innerR.next()) {
+          val row = innerR.get()
+          val deleted = preds.exists { case (ords, keys) =>
+            var i = 0; var anyNull = false
+            val k = new Array[Any](ords.length)
+            while (i < ords.length && !anyNull) {
+              if (row.isNullAt(ords(i))) anyNull = true
+              else k(i) = row.get(ords(i), augTypes(ords(i)))
+              i += 1
+            }
+            !anyNull && keys.contains(k.toSeq)
+          }
+          if (!deleted) { current = proj(row); return true }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = innerR.close()
+    }
+  }
 }

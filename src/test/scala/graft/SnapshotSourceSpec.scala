@@ -203,14 +203,39 @@ class SnapshotSourceSpec extends AnyFunSuite {
       orders.filter(col("o_orderkey").isin(needle, needle + 1, -1L)).count())
   }
 
-  test("outstanding delete vectors refuse a raw batch scan") {
+  test("outstanding delete vectors: the batch scan anti-probes them (merge-on-read)") {
+    import spark.implicits._
     val root = freshRoot("dv")
-    Snapshots.publish(spark, root, orders.limit(100))
-    val doomed = orders.limit(100).select("o_orderkey").limit(5)
+    val base = orders.limit(100).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    Snapshots.publish(spark, root, base)
+    val doomed = base.select("o_orderkey").orderBy("o_orderkey").limit(5)
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
     Snapshots.deleteByKey(spark, root, doomed)
-    val e = intercept[Exception] { readSource(root).count() }
-    assert(e.getMessage.contains("delete vectors"),
-      s"expected the dv refusal, got: ${e.getMessage}")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey").collect().map(_.getLong(0)).toSeq.sorted
+    // SQL-path read equals the API's distributed anti-join
+    assert(keys(readSource(root)) == keys(Snapshots.read(spark, root)))
+    assert(keys(readSource(root)).toSet.intersect(doomedIds).isEmpty)
+    // a projection WITHOUT the key column still filters (the key is
+    // force-read for the probe and projected away after)
+    assert(readSource(root).select("o_orderpriority").count() == 95)
+    // filtered read composes with the probe
+    assert(readSource(root)
+      .filter(col("o_orderkey").isin(doomedIds.toSeq.map(lit): _*)).count() == 0)
+    // LIMIT must deliver (the manifest row-count prefix, which counts
+    // deleted rows, stands down under outstanding dvs)
+    assert(readSource(root).limit(97).count() == 95)
+    // count(*) does not answer from metadata (which would overcount)
+    assert(readSource(root).count() == 95)
+    // a key re-inserted AFTER its delete stays visible (sequence scoping)
+    val back = doomedIds.min
+    Snapshots.publish(spark, root,
+      Seq((back, "REINSERTED", 1.0)).toDF("o_orderkey", "o_orderpriority", "o_totalprice"),
+      append = true)
+    val re = readSource(root).filter(col("o_orderkey") === lit(back)).collect()
+    assert(re.length == 1 && re.head.getString(1) == "REINSERTED",
+      "a post-delete re-insert must stay visible exactly once")
+    assert(keys(readSource(root)) == keys(Snapshots.read(spark, root)))
   }
 
   test("manifest statistics drive join planning: small snapshot side auto-broadcasts") {
