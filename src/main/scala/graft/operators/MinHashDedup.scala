@@ -108,12 +108,25 @@ object MinHashDedup {
     * streaming-batch shape. `fresh` must be a subset of `all` (same
     * state rows).
     */
-  def pairsAmongPrepared(all: DataFrame, fresh: DataFrame,
-      p: Params = Params()): DataFrame = {
+  /** LSH band rows `(doc_id, band, bh)` over [[prepared]]/[[signatures]]
+    * state rows: one row per (doc, band), `bh` = xxhash64 of the band's
+    * signature slice — the equi-join key material of every banded probe.
+    * Narrow (projection + posexplode, no shuffle); an ACCUMULATING state
+    * table stores these rows once per doc so incremental probes never
+    * recompute them ([[graft.streaming.DocStreams.incrementalNearDup]]
+    * keeps them key-clustered on a digest bucket for the
+    * storage-partitioned probe).
+    */
+  def bandRows(state: DataFrame, p: Params = Params()): DataFrame = {
     val rows = p.numHashes / p.bands
-    def bandRows(df: DataFrame) = df.select(col("doc_id"), posexplode(expr(
+    state.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${p.bands} - 1), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
       .toDF("doc_id", "band", "bh")
+  }
+
+  def pairsAmongPrepared(all: DataFrame, fresh: DataFrame,
+      p: Params = Params()): DataFrame = {
+    def bandRows(df: DataFrame) = MinHashDedup.bandRows(df, p)
     val cands = bandRows(all).as("l").join(bandRows(fresh).as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") =!= col("r.doc_id"))

@@ -140,16 +140,18 @@ object Dedup {
     // pass): lowercase, strip common punctuation, collapse whitespace —
     // catches re-encodes and copy-paste variants that byte-exact q32
     // misses at hash-groupBy cost, the tier between exact and MinHash.
-    // The canonicalization is a literal character class + '\s+' (ASCII
-    // semantics in both regex engines), so the whole decision replays in
-    // DuckDB; `extra_copies` counts what canonicalization caught beyond
-    // the byte-exact pass.
+    // The canonicalization is literal character classes only — whitespace
+    // is '[ \t\n\r\f]+', NOT '\s+', because Java's \s includes vertical
+    // tab \x0B while RE2's does not, so a '\s+' document containing \x0B
+    // would canonicalize differently per engine — so the whole decision
+    // replays in DuckDB exactly; `extra_copies` counts what
+    // canonicalization caught beyond the byte-exact pass.
     QueryDef.checked(
       "q175_canonical_dedup",
       """WITH c AS (
         |  SELECT doc_id, md5(text) AS bh,
         |    md5(regexp_replace(regexp_replace(lower(trim(text)),
-        |          '[.,!?;:''"()]', '', 'g'), '\s+', ' ', 'g')) AS ch
+        |          '[.,!?;:''"()]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')) AS ch
         |  FROM documents)
         |SELECT ch AS canon_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  count(*) AS n_copies,
@@ -158,7 +160,7 @@ object Dedup {
       t(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("bh"),
           md5(regexp_replace(regexp_replace(lower(trim(col("text"))),
-            "[.,!?;:'\"()]", ""), "\\s+", " ")).as("ch"))
+            "[.,!?;:'\"()]", ""), "[ \\t\\n\\r\\f]+", " ")).as("ch"))
         .groupBy(col("ch").as("canon_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
           (count(lit(1)) - countDistinct(col("bh"))).as("extra_copies"))
@@ -227,6 +229,10 @@ object Dedup {
         r
       }
       val (src, seenRoot, pairsRoot) = (root("src"), root("seen"), root("pairs"))
+      // the derived band-state sibling is part of the same atomic state
+      // set — a stale one would put every batch on the catch-up path
+      fs.delete(new org.apache.hadoop.fs.Path(
+        DocStreams.bandRootOf(seenRoot)), true)
       val docs = t(s, dir, "documents").select("doc_id", "text")
         .filter(col("doc_id") % 2 === 0)
       // two ingest batches: one cross-batch boundary is the whole claim

@@ -48,6 +48,11 @@ object DocStreams {
         length(col(textCol)).cast("long").as("n_chars"))
       .dropDuplicates("content_hash")
 
+  /** The band-state sibling root of a near-dup `seenRoot` (the clustered
+    * (doc_id, band, bh, bucket) table [[incrementalNearDup]] probes).
+    */
+  def bandRootOf(seenRoot: String): String = seenRoot.stripSuffix("/") + "__bands"
+
   /** Streaming incremental NEAR-dup dedup — the continuous-ingest form of
     * the MinHash pipeline: each micro-batch is compared against
     * everything already ingested (and itself) and every verified pair it
@@ -56,17 +61,53 @@ object DocStreams {
     * is found exactly once, when its later member arrives — q176 pins
     * that equality under the q34 oracle).
     *
-    * State is two snapshot tables: `seenRoot` accumulates per-doc
-    * [[graft.operators.MinHashDedup.prepared]] rows (signature + shingle
-    * set — old docs are never re-tokenized), `pairsRoot` accumulates the
-    * verified pairs. Both publishes carry the micro-batch id, so a
-    * restart that re-delivers the in-flight batch appends NOTHING twice;
-    * the already-seen anti-join makes the computation itself
-    * replay-idempotent regardless of which of the two publishes a crash
-    * interleaved. Per-batch cost: |batch| tokenization + an LSH band
-    * equi-join of all×fresh — at 100 TB, cluster `seenRoot` on a band
-    * digest so the probe joins storage-partitioned instead of shuffling
-    * the corpus state per batch.
+    * PRECONDITION: doc ids must be UNIQUE across the stream's lifetime.
+    * The state is append-only, so a later batch re-delivering an
+    * already-seen id would band-join both the stale and fresh rows and
+    * could emit pairs against superseded text. Re-deliveries whose text
+    * still band-collides with the old row (the common update shape) are
+    * REFUSED loudly by the probe's same-id check; a fully rewritten text
+    * can evade it, so the id contract is the caller's. A keyed-update
+    * stream belongs on `Snapshots.mergeStreamBatch`, not here.
+    *
+    * State is three snapshot tables:
+    *   - `seenRoot`: per-doc [[graft.operators.MinHashDedup.prepared]]
+    *     rows (signature + shingle set — old docs are never re-tokenized),
+    *     KEY-CLUSTERED on `id_bucket = hash(doc_id) % buckets` so the
+    *     verification lookup reads only the file groups that can hold a
+    *     candidate id;
+    *   - `[[bandRootOf]](seenRoot)`: the per-doc LSH band rows
+    *     (doc_id, band, bh), KEY-CLUSTERED on
+    *     `bucket = hash(band, bh) % buckets`;
+    *   - `pairsRoot`: the verified pairs.
+    *
+    * Per-batch cost is O(batch + colliding band state), with NO shuffle
+    * of the accumulated state: the band probe reads the clustered band
+    * table through the DSv2 source, which reports key-grouped
+    * partitioning on `bucket`, so under
+    * `spark.sql.sources.v2.bucketing.shuffle.enabled` (set on a cloned
+    * session per batch — the caller's session is never mutated) only the
+    * BATCH side shuffles, into the state's key groups — the q172
+    * one-side storage-partitioned join, spec-pinned at ≤1 exchange. The
+    * state side additionally prunes at file granularity via the scan's
+    * runtime filtering when the batch's bucket set is sparse (small
+    * batches under a large `buckets`). Verification then joins the
+    * (output-sized) candidate set against shingle sets from the batch
+    * plus ONLY the seen files whose `id_bucket` stats overlap a
+    * candidate id — O(colliding file groups), never a state scan.
+    *
+    * All three publishes carry the micro-batch id (pairs, then bands,
+    * then seen — seen is the commit marker): a restart that re-delivers
+    * the in-flight batch appends NOTHING twice, and a crash between
+    * publishes replays only the missing tail (bands committed implies
+    * pairs committed, so a bands-hit replay skips the probe entirely —
+    * the band state already holds the batch, and re-probing it would
+    * collide every batch doc with itself).
+    *
+    * `buckets` bounds the cluster-key cardinality of both state tables
+    * (the snapshot layer's bounded-routing-key contract): larger → finer
+    * file pruning for small batches, but more `__cluster=` dirs per
+    * publish (compact() folds them).
     *
     * Use as the `foreachBatch` body:
     * {{{
@@ -76,24 +117,154 @@ object DocStreams {
     */
   def incrementalNearDup(seenRoot: String, pairsRoot: String,
       p: graft.operators.MinHashDedup.Params = graft.operators.MinHashDedup.Params(),
-      idCol: String = "doc_id", textCol: String = "text")(
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.{MinHashDedup, Snapshots}
-    val b = org.apache.spark.sql.graftbridge.SessionBridge.rebatch(batch)
-    val spark = b.sparkSession
+    import org.apache.spark.sql.graftbridge.SessionBridge
+    val b0 = SessionBridge.rebatch(batch)
+    // one conf-clone per batch: the probe needs v2.bucketing.shuffle so
+    // the clustered state side plans storage-partitioned; the clone keeps
+    // the caller's session untouched (the plan-isolation discipline)
+    val spark = SessionBridge.cloneWithConf(b0.sparkSession,
+      Map("spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true"))
+    val b = SessionBridge.rebind(b0, spark)
+    val bandRoot = bandRootOf(seenRoot)
+
+    // seen publishes LAST: its committed id ≥ ours means every publish of
+    // this batch landed — a crash-redelivered batch is a metadata-only no-op
+    if (Snapshots.lastBatchId(spark, seenRoot).exists(_ >= batchId)) return
+
     val prep = MinHashDedup.prepared(b, idCol, textCol, p)
-    // drop any batch doc already in seen (a crash after the seen publish
-    // re-delivers the batch; without this the union would double its rows
-    // and every verification join would emit duplicate pairs)
-    val seen =
-      if (Snapshots.versions(spark, seenRoot).isEmpty) prep.limit(0)
-      else Snapshots.read(spark, seenRoot).join(prep, Seq("doc_id"), "left_anti")
-    val all = seen.unionByName(prep)
-    val pairs = MinHashDedup.pairsAmongPrepared(all, prep, p)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
-    // pairs FIRST: replay after a crash between the two publishes skips
-    // the committed pairs version and lets seen catch up
-    Snapshots.publishStreamBatch(spark, pairsRoot, pairs, batchId)
-    Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId)
+      .withColumn("id_bucket",
+        pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int"))
+    // a state table created before the clustered layout (or with another
+    // bucket count) keeps its own layout: appending clustered onto an
+    // unclustered base would be refused by publish
+    def clusterFor(root: String, c: String): Option[String] =
+      Snapshots.versions(spark, root).lastOption match {
+        case Some(v) => Snapshots.clusterOf(spark, root, v).filter(_ == c)
+        case None    => Some(c)
+      }
+
+    // bands committed but seen not: pairs committed too (publish order),
+    // so only the seen catch-up is owed — and the probe MUST be skipped.
+    // The order guarantee is checked, not assumed: a bands root holding
+    // the batch while pairs does not means the three roots were reset
+    // inconsistently (they are ONE atomic state set — wipe all or none),
+    // and recomputing against a band state that already holds the batch
+    // would be wrong, so refuse loudly instead
+    if (Snapshots.lastBatchId(spark, bandRoot).exists(_ >= batchId)) {
+      require(Snapshots.lastBatchId(spark, pairsRoot).exists(_ >= batchId),
+        s"band state $bandRoot already holds batch $batchId but $pairsRoot does " +
+          "not — pairs/bands/seen (and the derived bandRootOf sibling) are one " +
+          "atomic state set; wipe all three or none when resetting")
+      Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
+        clusterBy = clusterFor(seenRoot, "id_bucket"))
+      return
+    }
+
+    // LEGACY upgrade: a seen state deployed before the clustered band
+    // table existed backfills bandRoot ONCE from its stored signatures —
+    // one full re-band (exactly one legacy-probe's cost), after which
+    // every probe is incremental. No batch header: the backfill is
+    // derived state, not an ingest unit (replay-safe — a crash before
+    // the batch's own publishes just re-derives it idempotently).
+    if (Snapshots.versions(spark, bandRoot).isEmpty &&
+        Snapshots.versions(spark, seenRoot).nonEmpty) {
+      val seenBands = MinHashDedup.bandRows(Snapshots.read(spark, seenRoot), p)
+        .withColumn("bucket",
+          pmod(xxhash64(col("band"), col("bh")), lit(buckets.toLong)).cast("int"))
+      Snapshots.publish(spark, bandRoot, seenBands, clusterBy = Some("bucket"))
+    }
+
+    val freshBands = MinHashDedup.bandRows(prep, p)
+      .withColumn("bucket",
+        pmod(xxhash64(col("band"), col("bh")), lit(buckets.toLong)).cast("int"))
+    val noPairs = prep.select(col("doc_id").as("da"), col("doc_id").as("db")).limit(0)
+    val crossCands =
+      if (Snapshots.versions(spark, bandRoot).isEmpty) noPairs
+      else probeJoin(spark, bandRoot, freshBands)
+    // intra-batch pairs: batch × batch band self-join (batch-sized)
+    val selfCands = freshBands.as("l").join(freshBands.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
+    val cands = crossCands.unionByName(selfCands)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+      .persist() // three consumers (dup check, bucket collect, verify join)
+    try {
+      // same-id collision between state and batch = the stream broke the
+      // unique-id precondition (probe state cannot contain this batch —
+      // the bands-hit replay path returned above)
+      val dup = cands.filter(col("doc_a") === col("doc_b")).limit(1).collect()
+      require(dup.isEmpty,
+        s"doc id ${dup.headOption.map(_.get(0)).getOrElse("")} was re-delivered " +
+          "with band-colliding text — incrementalNearDup requires ids unique " +
+          "across the stream's lifetime (use Snapshots.mergeStreamBatch for " +
+          "keyed updates)")
+
+      // verification: shingle sets from the batch plus ONLY the seen file
+      // groups whose id_bucket can hold a candidate id. The bucket set is
+      // a bounded collect (≤ `buckets` values).
+      val needBuckets: Seq[Int] = cands
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+        .select(pmod(xxhash64(col("id")), lit(buckets.toLong)).cast("int").as("ib"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val emptyShs = prep.select(col("doc_id"), col("shset")).limit(0)
+      val seenShs = Snapshots.versions(spark, seenRoot).lastOption match {
+        case None => emptyShs
+        case Some(v) =>
+          val rel =
+            if (Snapshots.clusterOf(spark, seenRoot, v).contains("id_bucket"))
+              needBuckets.flatMap(bk =>
+                Snapshots.filesBetween(spark, seenRoot, v, "id_bucket", bk, bk)).distinct
+            else Snapshots.files(spark, seenRoot, v) // legacy unclustered state
+          Snapshots.schemaOf(spark, seenRoot, v) match {
+            case _ if rel.isEmpty => emptyShs
+            case Some(s) => spark.read.schema(s)
+              .parquet(rel.map(r => s"$seenRoot/$r"): _*)
+              .select(col("doc_id"), col("shset"))
+            case None => Snapshots.read(spark, seenRoot, Some(v))
+              .select(col("doc_id"), col("shset"))
+          }
+      }
+      val lookup = prep.select(col("doc_id"), col("shset")).unionByName(seenShs)
+      val pairs = cands
+        .join(lookup.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+        .join(lookup.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))).cast("double")).as("jac"))
+        .filter(col("jac") >= p.threshold)
+
+      // pairs FIRST, seen LAST: each publish is replay-skipped by its own
+      // batch id, so a crash between any two replays only the missing tail
+      Snapshots.publishStreamBatch(spark, pairsRoot, pairs, batchId)
+      Snapshots.publishStreamBatch(spark, bandRoot, freshBands, batchId,
+        clusterBy = clusterFor(bandRoot, "bucket"))
+      Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
+        clusterBy = clusterFor(seenRoot, "id_bucket"))
+    } finally cands.unpersist(false)
+  }
+
+  /** The cross-state band probe: accumulated clustered band state ⋈ the
+    * batch's band rows on (bucket, band, bh) — under
+    * `spark.sql.sources.v2.bucketing.shuffle.enabled` the DSv2 state scan
+    * reports key-grouped partitioning on `bucket` and ONLY the fresh side
+    * shuffles, into the state's key groups (exchange-free on the state
+    * side at any accumulated size). Exposed for the plan-pinning spec.
+    * Returns raw (da = state id, db = batch id) rows; da may equal db
+    * exactly when a batch id was re-delivered (the caller's loud check).
+    */
+  private[graft] def probeJoin(spark: SparkSession, bandRoot: String,
+      freshBands: DataFrame): DataFrame = {
+    val state = spark.read.format("graft-snapshot").option("root", bandRoot).load()
+    state.as("l").join(freshBands.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.band") === col("r.band") &&
+          col("l.bh") === col("r.bh"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
   }
 }

@@ -412,6 +412,123 @@ class StreamingSpec extends AnyFunSuite {
       "old-mtime backfill file was silently skipped (maxFileAge default)")
   }
 
+  test("keyed sink bootstrap refuses a duplicate-key first batch") {
+    // the first batch of an Update-mode keyed stream bootstraps as a
+    // plain publish (no base to merge into) — but it still owes MERGE's
+    // intra-delta uniqueness: two rows for one key in batch 0 must fail
+    // loudly, never land as silent duplicate keys that every later
+    // mergeByKey batch carries forward
+    import spark.implicits._
+    import graft.operators.Snapshots
+    val base = java.nio.file.Files.createTempDirectory("graft-bootdup").toString
+    val (src, dst) = (s"$base/src", s"$base/dst")
+    Snapshots.publish(spark, src,
+      Seq((1L, 10.0), (1L, 11.0), (2L, 20.0)).toDF("k", "x"))
+    val ck = Scratch.ephemeralCheckpoint("bootdup")
+    val q = spark.readStream.format("graft-snapshot").option("root", src).load()
+      .writeStream.format("graft-snapshot").option("root", dst)
+      .outputMode("update").option("keyColumns", "k")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(300000)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("multiple rows for key"))),
+      s"bootstrap dup-key must refuse with the mergeByKey message: $e")
+    assert(Snapshots.versions(spark, dst).isEmpty,
+      "a refused bootstrap batch must publish nothing")
+  }
+
+  test("incremental near-dup probe is storage-partitioned: one exchange, batch side only") {
+    // the scale contract of the streaming near-dup state: the accumulated
+    // band table is key-clustered on the digest bucket, so the per-batch
+    // probe plans as the q172 one-side storage-partitioned join — the
+    // state side scans in place (ZERO exchanges at any accumulated size),
+    // only the batch's band rows shuffle, into the state's key groups
+    import spark.implicits._
+    import graft.operators.{MinHashDedup, Snapshots}
+    import graft.streaming.DocStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-incdup-spj").toString
+    val (seen, pairs) = (s"$base/seen", s"$base/pairs")
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    DocStreams.incrementalNearDup(seen, pairs)(
+      df(1L -> "alpha beta gamma delta epsilon",
+         2L -> "alpha beta gamma delta epsilon"), 0L)
+    DocStreams.incrementalNearDup(seen, pairs)(
+      df(3L -> "alpha beta gamma delta zeta",
+         4L -> "totally unrelated content here now"), 1L)
+    val bandRoot = DocStreams.bandRootOf(seen)
+    assert(Snapshots.clusterOf(spark, bandRoot,
+      Snapshots.versions(spark, bandRoot).last).contains("bucket"),
+      "band state must publish key-clustered on the digest bucket")
+    assert(Snapshots.clusterOf(spark, seen,
+      Snapshots.versions(spark, seen).last).contains("id_bucket"),
+      "seen state must publish key-clustered on the id bucket")
+    // a third batch's probe, pinned deterministic (no broadcast escape)
+    val s2 = org.apache.spark.sql.graftbridge.SessionBridge.cloneWithConf(spark, Map(
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"))
+    // materialize the batch's band rows first, so the plan under count
+    // isolates the PROBE (building the rows has its own prep shuffles)
+    val freshComputed = MinHashDedup.bandRows(
+        MinHashDedup.prepared(df(5L -> "alpha beta gamma delta epsilon"),
+          "doc_id", "text"))
+      .withColumn("bucket", pmod(xxhash64(col("band"), col("bh")), lit(64L)).cast("int"))
+    val fresh = org.apache.spark.sql.graftbridge.SessionBridge.rebind(
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(freshComputed.collect(): _*)),
+        freshComputed.schema), s2)
+    val probe = DocStreams.probeJoin(s2, bandRoot, fresh)
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(PlanOps.shuffleCount(probe) == 1,
+      s"probe must shuffle ONLY the batch side:\n${probe.queryExecution.executedPlan}")
+    assert(probe.queryExecution.executedPlan.toString.contains("keygroupedpartitioning"),
+      s"the single exchange must target the state's key groups:\n${probe.queryExecution.executedPlan}")
+    // row equality: the SPJ probe equals a plain re-banded recompute
+    val expected = MinHashDedup.bandRows(Snapshots.read(spark, seen)).as("l")
+      .join(MinHashDedup.bandRows(
+          MinHashDedup.prepared(df(5L -> "alpha beta gamma delta epsilon"),
+            "doc_id", "text")).as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.doc_id"), col("r.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty, s"probe rows: $got vs $expected")
+  }
+
+  test("incremental near-dup: a legacy (pre-bands) seen state backfills and still pairs") {
+    // a seen state from a deployment older than the clustered band table
+    // has no bands sibling: the first batch after the upgrade must
+    // backfill bandRoot from the stored signatures ONCE — and still find
+    // pairs against the legacy docs (silently finding none would be the
+    // worst failure mode of the layout change)
+    import spark.implicits._
+    import graft.operators.{MinHashDedup, Snapshots}
+    import graft.streaming.DocStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-incdup-legacy").toString
+    val (seen, pairs) = (s"$base/seen", s"$base/pairs")
+    // legacy layout: prepared rows published UNclustered, no bands root
+    val legacy = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally unrelated content here now")).toDF("doc_id", "text")
+    Snapshots.publish(spark, seen,
+      MinHashDedup.prepared(legacy, "doc_id", "text"))
+    Snapshots.publish(spark, pairs,
+      legacy.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("jac")).limit(0))
+    val batch = Seq((3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    DocStreams.incrementalNearDup(seen, pairs)(batch, 0L)
+    val bandRoot = DocStreams.bandRootOf(seen)
+    assert(Snapshots.versions(spark, bandRoot).nonEmpty,
+      "the upgrade batch must backfill the band state")
+    val got = Snapshots.read(spark, pairs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L)), s"legacy cross pair must be found: $got")
+    // the backfilled band table covers legacy AND batch docs
+    assert(Snapshots.read(spark, bandRoot).select("doc_id").distinct().count() == 3)
+  }
+
   test("incremental near-dup: restart continues, replayed batches append nothing") {
     import spark.implicits._
     import graft.operators.{MinHashDedup, Snapshots}
