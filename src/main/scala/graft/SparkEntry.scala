@@ -26,6 +26,7 @@ object SparkEntry {
       q.Extras5.entries ++
       q.Extras6.entries ++
       q.Extras7.entries ++
+      q.Extras8.entries ++
       q.Curation.entries
 
   {

@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 tier: merge-on-read delete vectors served through plain SQL
+  * reads, decimal precision widening across the int64→binary physical
+  * seam, and the hot-key de-skew fan-out under the oracle hash.
+  */
+object Extras8 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  private def freshRoot(s: SparkSession, owner: String, name: String, dir: String): String = {
+    val root = graft.Scratch.dir(owner, name, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun
+    root
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // DV-AWARE DSv2 BATCH READ: a table with outstanding merge-on-read
+    // delete vectors reads through PLAIN SQL (`format("graft-snapshot")`)
+    // — the scan anti-probes the dv key sets inside the readers instead
+    // of refusing, with sequence scoping (a key re-inserted AFTER its
+    // delete stays visible) and the metadata shortcuts stood down. The
+    // oracle replays delete + re-insert relationally; `dv_outstanding`
+    // pins that the read really exercised the merge-on-read path (the
+    // dvs were NOT materialized first).
+    QueryDef.checked(
+      "q177_dsv2_dv_read",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |mk AS (SELECT min(o_orderkey) AS k FROM base WHERE o_orderkey % 5 = 0),
+        |survivors AS (
+        |  SELECT * FROM base WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT k, 'REINSERTED', 123.0 FROM mk)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS dv_outstanding
+        |FROM survivors GROUP BY 1""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q177_dsv2_dv_read", "dv_read", dir)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .filter(col("o_orderkey") % 3 === 0)
+      Snapshots.publish(s, root, base)
+      val doomed = base.filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
+      Snapshots.deleteByKey(s, root, doomed)
+      val back = doomed.agg(min("o_orderkey")).head().getLong(0)
+      import s.implicits._
+      Snapshots.publish(s, root,
+        Seq((back, "REINSERTED", 123.0))
+          .toDF("o_orderkey", "o_orderpriority", "o_totalprice"),
+        append = true)
+      val dvLive =
+        Snapshots.hasDeleteVectors(s, root, Snapshots.versions(s, root).last)
+      s.read.format("graft-snapshot").option("root", root).load()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("dv_outstanding", lit(dvLive))
+    },
+
+    // DECIMAL PRECISION WIDENING end-to-end across the PHYSICAL seam:
+    // generation 1 lands DECIMAL(12,2) (int64-backed parquet), the SQL
+    // ALTER widens to DECIMAL(22,2) metadata-only (the evolved manifest
+    // lists exactly v1's files), generation 2 lands native DECIMAL(22,2)
+    // (binary-backed) files, and ONE scan serves both generations — the
+    // reader promotes the int64 bytes at read. Same-scale precision
+    // growth is the ONLY accepted decimal change: precision narrowing
+    // and scale changes both refuse (flags), and VERSION AS OF serves v1
+    // under its pre-widening schema. The oracle recomputes the merged
+    // table relationally in cents (exact on both engines).
+    QueryDef.checked(
+      "q178_widen_decimal",
+      """SELECT
+        |  (SELECT count(*) FROM orders) AS n_total,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders) AS key_sig,
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     FROM orders) AS cents,
+        |  CAST(1 AS BOOLEAN) AS metadata_only,
+        |  CAST(1 AS BOOLEAN) AS narrowing_refused,
+        |  CAST(1 AS BOOLEAN) AS scale_change_refused,
+        |  CAST(1 AS BOOLEAN) AS old_schema_kept""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val wh = freshRoot(s, "q178_widen_decimal", "widen_dec_wh", dir)
+      s.conf.set("spark.sql.catalog.q178cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.q178cat.warehouse", wh)
+      // exact-cents decimal: round(price*100) is integer-valued in the
+      // fixture, so the decimal column is exactly the double's cents on
+      // both engines (no double→decimal rounding-mode seam)
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        (round(col("o_totalprice") * 100) / 100).cast("decimal(12,2)").as("o_totalprice"))
+      Snapshots.publish(s, s"$wh/t", ord.filter(col("o_orderkey") % 2 === 0))
+      s.sql("ALTER TABLE q178cat.t ALTER COLUMN o_totalprice TYPE DECIMAL(22,2)")
+      val metadataOnly =
+        Snapshots.files(s, s"$wh/t", 2) == Snapshots.files(s, s"$wh/t", 1)
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(22,2)"))
+        .createOrReplaceTempView("q178_delta")
+      s.sql("INSERT INTO q178cat.t SELECT * FROM q178_delta")
+      def refused(ddl: String): Boolean =
+        (try { s.sql(ddl); false } catch { case _: Exception => true }) &&
+          s.table("q178cat.t").schema("o_totalprice").dataType == DecimalType(22, 2)
+      val narrowingRefused =
+        refused("ALTER TABLE q178cat.t ALTER COLUMN o_totalprice TYPE DECIMAL(12,2)")
+      val scaleChangeRefused =
+        refused("ALTER TABLE q178cat.t ALTER COLUMN o_totalprice TYPE DECIMAL(24,3)")
+      val oldKept = s.sql("SELECT * FROM q178cat.t VERSION AS OF 1")
+        .schema("o_totalprice").dataType == DecimalType(12, 2)
+      s.sql("""SELECT count(*) AS n_total,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+        |FROM q178cat.t""".stripMargin)
+        .withColumn("metadata_only", lit(metadataOnly))
+        .withColumn("narrowing_refused", lit(narrowingRefused))
+        .withColumn("scale_change_refused", lit(scaleChangeRefused))
+        .withColumn("old_schema_kept", lit(oldKept))
+    },
+
+    // HOT-KEY DE-SKEW under the oracle hash (the q172 discipline for the
+    // round-10 fan-out spec): a key-clustered fact with one hot key
+    // spread over several files joins a co-clustered dim under
+    // `partiallyClusteredDistribution` — the join stays EXCHANGE-FREE
+    // (`exchange_free`) while the hot key's splits run as MORE TASKS
+    // than there are keys (`hot_fans_out`), i.e. the de-skew fan-out,
+    // not one-task-per-key serialization. Rows replay relationally.
+    QueryDef.checked(
+      "q179_spj_hot_key_fanout",
+      """WITH f AS (SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderkey % 5 < 3 THEN 'hot'
+        |         ELSE 'c' || CAST(o_orderkey % 5 AS VARCHAR) END AS k,
+        |    o_totalprice AS x FROM orders),
+        |d AS (SELECT DISTINCT k,
+        |        CASE WHEN k = 'hot' THEN 2.0 ELSE 3.0 END AS w FROM f)
+        |SELECT f.k, count(*) AS n, CAST(sum(f.id) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(f.x * w * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS hot_fans_out,
+        |  CAST(1 AS BOOLEAN) AS exchange_free
+        |FROM f JOIN d ON f.k = d.k GROUP BY f.k""".stripMargin) { (s, dir) =>
+      val factRoot = freshRoot(s, "q179_spj_hot_key_fanout", "skew_fact", dir)
+      val dimRoot = freshRoot(s, "q179_spj_hot_key_fanout", "skew_dim", dir)
+      val f = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+        when(col("o_orderkey") % 5 < 3, lit("hot"))
+          .otherwise(concat(lit("c"), (col("o_orderkey") % 5).cast("string"))).as("k"),
+        col("o_totalprice").as("x"))
+      // the hot key accumulates one file per clustered append → a
+      // multi-file key whose splits CAN fan out
+      Snapshots.publish(s, factRoot, f.filter(col("id") % 4 === 0),
+        clusterBy = Some("k"))
+      (1 to 3).foreach { i =>
+        Snapshots.publish(s, factRoot, f.filter(col("id") % 4 === i),
+          append = true, clusterBy = Some("k"))
+      }
+      val d = f.select(col("k")).distinct()
+        .withColumn("w", when(col("k") === "hot", lit(2.0)).otherwise(lit(3.0)))
+      Snapshots.publish(s, dimRoot, d, clusterBy = Some("k"))
+      val nKeys = d.count()
+      // evidence plans on an ISOLATED session (the q172 discipline):
+      // tiny split sizing so the hot key's 4 files pack into >1 split
+      val s2 = org.apache.spark.sql.graftbridge.SessionBridge.cloneWithConf(s, Map(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+        "spark.sql.files.maxPartitionBytes" -> "8192",
+        "spark.sql.files.openCostInBytes" -> "4096",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1"))
+      def read2(root: String) =
+        s2.read.format("graft-snapshot").option("root", root).load()
+      val join2 = read2(factRoot).join(read2(dimRoot).hint("merge"), "k")
+      join2.count() // finalize the plan
+      val exchangeFree = graft.PlanOps.shuffleCount(join2) == 0
+      val hotFansOut = join2.rdd.getNumPartitions > nKeys
+      val fact = s.read.format("graft-snapshot").option("root", factRoot).load()
+      val dim = s.read.format("graft-snapshot").option("root", dimRoot).load()
+      fact.join(dim, "k").groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("id").cast("long").as("key_sig"),
+          sum(round(col("x") * col("w") * 100).cast("long")).as("cents"))
+        .withColumn("hot_fans_out", lit(hotFansOut))
+        .withColumn("exchange_free", lit(exchangeFree))
+    }
+  )
+}
