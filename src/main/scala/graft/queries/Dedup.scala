@@ -241,9 +241,14 @@ object Dedup {
       graft.operators.Snapshots.publish(s, src, docs.filter(col("doc_id") % 4 === 2),
         append = true)
       val ck = graft.Scratch.ephemeralCheckpoint("q176_stream_neardup")
+      // buckets sized to the SUBSET, not the operator's 100 TB default:
+      // each clustered state publish writes one file set per bucket, so
+      // 64 buckets on a few thousand docs is pure small-file overhead
+      // (the bucket count is a per-deployment knob by design)
       val q = s.readStream.format("graft-snapshot").option("root", src)
         .option("maxVersionsPerTrigger", "1").load()
-        .writeStream.foreachBatch(DocStreams.incrementalNearDup(seenRoot, pairsRoot) _)
+        .writeStream.foreachBatch(
+          DocStreams.incrementalNearDup(seenRoot, pairsRoot, buckets = 8) _)
         .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       require(q.awaitTermination(300000), "AvailableNow drain timed out")

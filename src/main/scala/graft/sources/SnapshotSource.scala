@@ -1079,6 +1079,12 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * exposed for specs/queries to evidence the pruning.
     */
   @volatile private[graft] var plannedFileCount: Int = -1
+  /** CLEAN-file count of the LAST dv-carrying toBatch: files whose
+    * footer-stats envelope proved every applicable deleted key absent,
+    * so they bypassed the merge-on-read probe (plain vectorized read).
+    * -1 until a dv batch plans; exposed for specs/queries.
+    */
+  @volatile private[graft] var dvCleanFileCount: Int = -1
   /** (version, kept relative files) of the LAST toBatch — the row-level
     * operation write reads this at commit to learn exactly which files
     * its rewrite replaces (post-runtime-filter, the group granularity).
@@ -1494,16 +1500,55 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
           org.apache.spark.unsafe.types.UTF8String.fromString(s"$root/$r"): Any
         else v: Any
       }.toArray)
-    val seqGroups = kept.groupBy(r => firstSeen.getOrElse(r, v)).toSeq.sortBy(_._1)
+    // CLEAN-FILE SPLIT: a file whose footer-stats envelope (manifest
+    // `#stats=` lines — zero extra I/O) proves every applicable deleted
+    // key absent never pays the probe: it reads through the plain
+    // vectorized factory over the UNaugmented schema, exactly the
+    // no-dv scan cost. A key tuple is possibly-present iff it has no
+    // null component AND every component falls inside that column's
+    // [min,max]; missing stats admit (conservative). At 100 TB a dv
+    // deletes keys clustered in a few files — the split keeps the
+    // whole rest of the table on the fast path. The exact per-tuple
+    // sweep is driver-side O(files × keys); guarded by a budget so a
+    // degenerate (huge-dv × huge-table) case skips the split rather
+    // than stall planning — correctness never depends on it.
+    val stats = Snapshots.statsOf(spark, root, v)
+    val totalKeys = dvGroups.iterator.map(_._3.length.toLong).sum
+    def admitsEq(cs: SnapshotStats.ColStats, value: Any): Boolean =
+      try SnapshotStats.overlaps(cs, value, value)
+      catch { case scala.util.control.NonFatal(_) => true }
+    def isClean(rel: String, seq: Int): Boolean = {
+      val st = stats.getOrElse(rel, Map.empty)
+      dvGroups.forall { case (kc, ver, rows) =>
+        ver < seq || rows.forall { r =>
+          val present = !kc.indices.exists(r.isNullAt) &&
+            kc.zipWithIndex.forall { case (c, i) =>
+              st.get(c).forall(admitsEq(_, r.get(i))) }
+          !present
+        }
+      }
+    }
+    val splitBudgetOk = kept.size.toLong * math.max(1L, totalKeys) <= 20L * 1000 * 1000
+    def seqOf(rel: String): Int = firstSeen.getOrElse(rel, v)
+    val (cleanFiles, dirtyFiles) =
+      if (splitBudgetOk) kept.partition(r => isClean(r, seqOf(r)))
+      else (Nil, kept)
+    val seqGroups = dirtyFiles.groupBy(seqOf).toSeq.sortBy(_._1)
     val keyFilters: Map[Int, Seq[(Array[Int], Set[Seq[Any]])]] = seqGroups.map {
       case (seq, _) => seq -> converted.filter(_._2 >= seq)
         .map { case (kc, _, keys) => (ordsOf(kc), keys) }
         .filter(_._2.nonEmpty)
     }.toMap
     plannedFileCount = kept.size
+    dvCleanFileCount = cleanFiles.size
     lastPlanned = Some((v, kept))
-    new DvSnapshotBatch(spark, tableSchema, augData, StructType(metaFields), filters,
-      seqGroups.map { case (s, fls) =>
+    val cleanGroup =
+      if (cleanFiles.isEmpty) Nil
+      else Seq((org.apache.spark.sql.graftbridge.DvFilteringReaderFactory.CleanTag,
+        cleanFiles.map(r => (s"$root/$r", sized.get(r), metaOf(r)))))
+    new DvSnapshotBatch(spark, tableSchema, dataRequired, augData,
+      StructType(metaFields), filters,
+      cleanGroup ++ seqGroups.map { case (s, fls) =>
         (s, fls.map(r => (s"$root/$r", sized.get(r), metaOf(r)))) },
       augTypes, outputOrdinals, keyFilters, totalFiles - kept.size)
   }
@@ -1596,12 +1641,16 @@ private[sources] class SnapshotBatch(spark: SparkSession, root: String,
 }
 
 /** The merge-on-read Batch behind [[SnapshotScan.dvBatch]]: sequence-
-  * tagged partitions (packing never crosses first-seen groups) over a
-  * dv-filtering wrap of the stock parquet reader factory.
+  * tagged partitions (packing never crosses first-seen groups; the
+  * stats-proven CLEAN files pack as their own group) over a
+  * dv-filtering wrap of the stock parquet reader factory. Clean
+  * partitions read through a factory over the UNaugmented required
+  * schema — the plain vectorized scan; dirty partitions read the
+  * augmented schema row-based and probe per row.
   */
 private[sources] class DvSnapshotBatch(spark: SparkSession,
-    tableSchema: StructType, augSchema: StructType, metaSchema: StructType,
-    filters: Seq[Filter],
+    tableSchema: StructType, cleanSchema: StructType, augSchema: StructType,
+    metaSchema: StructType, filters: Seq[Filter],
     tagged: Seq[(Int, Seq[(String, Option[Long], InternalRow)])],
     augTypes: Array[DataType], outputOrdinals: Array[Int],
     keyFilters: Map[Int, Seq[(Array[Int], Set[Seq[Any]])]],
@@ -1611,9 +1660,13 @@ private[sources] class DvSnapshotBatch(spark: SparkSession,
       .taggedFilePartitions(spark, tagged)
   override def createReaderFactory(): PartitionReaderFactory =
     new org.apache.spark.sql.graftbridge.DvFilteringReaderFactory(
+      ParquetReadBridge.readerFactory(spark, tableSchema, cleanSchema, filters,
+        metaSchema),
       ParquetReadBridge.readerFactory(spark, tableSchema, augSchema, filters,
         metaSchema),
-      augTypes, outputOrdinals, keyFilters)
+      augTypes, outputOrdinals, keyFilters,
+      allClean = tagged.forall(_._1 ==
+        org.apache.spark.sql.graftbridge.DvFilteringReaderFactory.CleanTag))
   private[graft] def prunedFileCount: Int = prunedFiles
 }
 

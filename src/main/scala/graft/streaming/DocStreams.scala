@@ -135,9 +135,14 @@ object DocStreams {
     // this batch landed — a crash-redelivered batch is a metadata-only no-op
     if (Snapshots.lastBatchId(spark, seenRoot).exists(_ >= batchId)) return
 
+    // persisted for the whole call: the tokenize→minhash scan is the
+    // batch's dominant compute and feeds THREE consumers (the candidate
+    // graph, the verification lookup, the seen publish) — without the
+    // persist each one re-runs it
     val prep = MinHashDedup.prepared(b, idCol, textCol, p)
       .withColumn("id_bucket",
         pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int"))
+      .persist()
     // a state table created before the clustered layout (or with another
     // bucket count) keeps its own layout: appending clustered onto an
     // unclustered base would be refused by publish
@@ -159,8 +164,9 @@ object DocStreams {
         s"band state $bandRoot already holds batch $batchId but $pairsRoot does " +
           "not — pairs/bands/seen (and the derived bandRootOf sibling) are one " +
           "atomic state set; wipe all three or none when resetting")
-      Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
+      try Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
         clusterBy = clusterFor(seenRoot, "id_bucket"))
+      finally prep.unpersist(false)
       return
     }
 
@@ -194,25 +200,32 @@ object DocStreams {
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
       .distinct()
-      .persist() // three consumers (dup check, bucket collect, verify join)
+      .persist() // two consumers (contract/bucket aggregate, verify join)
     try {
-      // same-id collision between state and batch = the stream broke the
+      // ONE bounded aggregate serves both the unique-id contract check
+      // and the verification bucket set — per-trigger driver job count
+      // is itself a scale factor for a streaming operator. A same-id
+      // collision between state and batch = the stream broke the
       // unique-id precondition (probe state cannot contain this batch —
-      // the bands-hit replay path returned above)
-      val dup = cands.filter(col("doc_a") === col("doc_b")).limit(1).collect()
-      require(dup.isEmpty,
-        s"doc id ${dup.headOption.map(_.get(0)).getOrElse("")} was re-delivered " +
-          "with band-colliding text — incrementalNearDup requires ids unique " +
-          "across the stream's lifetime (use Snapshots.mergeStreamBatch for " +
-          "keyed updates)")
-
-      // verification: shingle sets from the batch plus ONLY the seen file
-      // groups whose id_bucket can hold a candidate id. The bucket set is
-      // a bounded collect (≤ `buckets` values).
-      val needBuckets: Seq[Int] = cands
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
-        .select(pmod(xxhash64(col("id")), lit(buckets.toLong)).cast("int").as("ib"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      // the bands-hit replay path returned above).
+      val contract = cands.agg(
+        max(col("doc_a") === col("doc_b")).as("dup"),
+        collect_set(pmod(xxhash64(col("doc_a")), lit(buckets.toLong)).cast("int")),
+        collect_set(pmod(xxhash64(col("doc_b")), lit(buckets.toLong)).cast("int")))
+        .collect().head
+      if (!contract.isNullAt(0) && contract.getBoolean(0)) {
+        val dup = cands.filter(col("doc_a") === col("doc_b")).limit(1).collect()
+        throw new IllegalArgumentException(
+          s"doc id ${dup.headOption.map(_.get(0)).getOrElse("")} was re-delivered " +
+            "with band-colliding text — incrementalNearDup requires ids unique " +
+            "across the stream's lifetime (use Snapshots.mergeStreamBatch for " +
+            "keyed updates)")
+      }
+      // verification reads shingle sets from the batch plus ONLY the
+      // seen file groups whose id_bucket can hold a candidate id — the
+      // bucket set is bounded (≤ `buckets` values)
+      val needBuckets: Seq[Int] =
+        (contract.getSeq[Int](1) ++ contract.getSeq[Int](2)).distinct.sorted
       val emptyShs = prep.select(col("doc_id"), col("shset")).limit(0)
       val seenShs = Snapshots.versions(spark, seenRoot).lastOption match {
         case None => emptyShs
@@ -247,7 +260,7 @@ object DocStreams {
         clusterBy = clusterFor(bandRoot, "bucket"))
       Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
         clusterBy = clusterFor(seenRoot, "id_bucket"))
-    } finally cands.unpersist(false)
+    } finally { cands.unpersist(false); prep.unpersist(false) }
   }
 
   /** The cross-state band probe: accumulated clustered band state ⋈ the

@@ -207,34 +207,68 @@ class KeyedFilePartition(index: Int, files: Array[PartitionedFile],
 class TaggedFilePartition(index: Int, files: Array[PartitionedFile],
     val tag: Int) extends FilePartition(index, files)
 
+object DvFilteringReaderFactory {
+  /** The reserved tag of CLEAN partitions — files whose footer-stats
+    * envelope provably excludes every applicable deleted key. Never a
+    * first-seen sequence (those are version numbers ≥ 0).
+    */
+  val CleanTag: Int = Int.MinValue
+}
+
 /** Wraps a parquet reader factory with a MERGE-ON-READ delete-vector
   * filter: each [[TaggedFilePartition]]'s tag selects the key sets that
   * apply to its files; a row whose key tuple (no nulls — SQL equality
   * semantics, a null key never matches a delete) is in any applicable
   * set is dropped, and the AUGMENTED read schema (key columns
   * force-included for the probe) projects back to the caller's required
-  * ordinals. Row-based only — columnar reads are declined, because the
-  * probe is per-row; the cost is paid exactly while dvs are outstanding
+  * ordinals. Dirty partitions read row-based — the probe is per-row;
+  * the cost is paid exactly while dvs are outstanding
   * (materializeDeletes/compact restores the vectorized path).
   *
-  * `keyFilters`: tag → Seq of (key ordinals in the augmented row, their
-  * datatypes, the CATALYST-converted deleted-key tuples). Key sets are
-  * O(deleted keys) and ship inside the serialized factory — the
-  * broadcast-sized contract of the snapshot layer's dv design.
+  * Partitions tagged [[DvFilteringReaderFactory.CleanTag]] — files the
+  * scan PROVED cannot contain any applicable deleted key, from manifest
+  * footer stats — bypass the probe entirely and read through
+  * `cleanInner`, a factory over the UNaugmented required schema: no
+  * forced key columns, no per-row work. At 100 TB this is the common
+  * case — a dv deletes keys clustered in a few files, and every other
+  * file keeps near-plain-scan cost. Columnar reads are claimed only
+  * when EVERY partition is clean (`allClean` — e.g. pruning dropped all
+  * dirty files): Spark refuses a scan mixing row-based and columnar
+  * partitions, so a mixed batch runs row-based throughout, with clean
+  * partitions still skipping the probe and the key-column read.
+  *
+  * `keyFilters`: tag → Seq of (key ordinals in the augmented row, the
+  * CATALYST-converted deleted-key tuples). Key sets are O(deleted keys)
+  * and ship inside the serialized factory — the broadcast-sized
+  * contract of the snapshot layer's dv design.
   */
-class DvFilteringReaderFactory(inner: PartitionReaderFactory,
+class DvFilteringReaderFactory(cleanInner: PartitionReaderFactory,
+    dirtyInner: PartitionReaderFactory,
     augTypes: Array[org.apache.spark.sql.types.DataType],
     outputOrdinals: Array[Int],
-    keyFilters: Map[Int, Seq[(Array[Int], Set[Seq[Any]])]])
+    keyFilters: Map[Int, Seq[(Array[Int], Set[Seq[Any]])]],
+    allClean: Boolean)
     extends PartitionReaderFactory {
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  private def isClean(p: InputPartition): Boolean = p match {
+    case t: TaggedFilePartition => t.tag == DvFilteringReaderFactory.CleanTag
+    case _ => false
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    allClean && isClean(p) && cleanInner.supportColumnarReads(p)
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    require(isClean(p), "columnar read requested for a dv-dirty partition")
+    cleanInner.createColumnarReader(p)
+  }
   override def createReader(p: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    if (isClean(p)) return cleanInner.createReader(p)
     val preds = p match {
       case t: TaggedFilePartition => keyFilters.getOrElse(t.tag, Nil)
       case _ => Nil
     }
-    val innerR = inner.createReader(p)
+    val innerR = dirtyInner.createReader(p)
     val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
       outputOrdinals.map(i =>
         org.apache.spark.sql.catalyst.expressions.BoundReference(

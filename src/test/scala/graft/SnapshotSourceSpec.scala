@@ -238,6 +238,55 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(keys(readSource(root)) == keys(Snapshots.read(spark, root)))
   }
 
+  test("dv merge-on-read: stats-clean files bypass the probe (vectorized fast path)") {
+    // a dv's keys are clustered in a few files; every OTHER file's
+    // footer-stats envelope proves it cannot contain a deleted key, so
+    // it must plan as a CLEAN partition — plain vectorized read, no
+    // forced key columns, no per-row probe. Range-sorted publish gives
+    // each file a tight o_orderkey envelope; the deleted keys all come
+    // from the lowest range, so most files must classify clean.
+    val root = freshRoot("dvclean")
+    val base = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    Snapshots.publish(spark, root,
+      base.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+    val doomed = base.select("o_orderkey").orderBy("o_orderkey").limit(5)
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    Snapshots.deleteByKey(spark, root, doomed)
+    val df = readSource(root)
+    assert(df.count() == base.count() - 5)
+    val scan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.SnapshotScan] =>
+        b.scan.asInstanceOf[graft.sources.SnapshotScan]
+    }.head
+    val total = scan.plannedFileCount
+    assert(total >= 6, s"expected >=6 planned files, got $total")
+    assert(scan.dvCleanFileCount >= total - 2 && scan.dvCleanFileCount < total,
+      s"deleted keys live in at most 2 ranges — expected >=${total - 2} clean of " +
+        s"$total files, got ${scan.dvCleanFileCount}")
+    // the probe itself still filters exactly (the dirty files' rows)
+    assert(df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+      .intersect(doomedIds).isEmpty)
+    // files first seen AFTER the last dv classify clean by construction
+    import spark.implicits._
+    Snapshots.publish(spark, root,
+      Seq((-1L, "POSTDV", 1.0)).toDF("o_orderkey", "o_orderpriority", "o_totalprice"),
+      append = true)
+    val df2 = readSource(root)
+    assert(df2.count() == base.count() - 5 + 1)
+    val scan2 = (df2.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.SnapshotScan] =>
+        b.scan.asInstanceOf[graft.sources.SnapshotScan]
+    }.head
+    assert(scan2.dvCleanFileCount >= scan.dvCleanFileCount + 1,
+      "a post-dv append must join the clean set")
+  }
+
   test("manifest statistics drive join planning: small snapshot side auto-broadcasts") {
     val root = freshRoot("stats")
     Snapshots.publish(spark, root, orders.limit(200))
