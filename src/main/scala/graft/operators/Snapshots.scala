@@ -396,17 +396,23 @@ object Snapshots {
     * match types — snapshot evolution supports ADDING columns, not
     * retyping them (a retype would make old files unreadable under the
     * new schema, which is exactly the silent corruption this layer
-    * exists to prevent).
+    * exists to prevent). NULLABILITY is not a type: top-level and nested
+    * flags (array containsNull, struct fields, map values) merge to the
+    * more permissive side, because parquet round-trips and catalyst
+    * analysis legitimately flip them (a compacted table re-appended from
+    * the same pipeline must never refuse on a containsNull bit).
     */
   private[graft] def unionMerge(base: StructType, next: StructType): StructType = {
+    import org.apache.spark.sql.graftbridge.TypeBridge.asNullable
     val baseNames = base.fieldNames.toSet
     val kept = base.fields.map { f =>
       next.fields.find(_.name == f.name) match {
         case Some(g) =>
-          require(g.dataType == f.dataType,
+          require(asNullable(g.dataType) == asNullable(f.dataType),
             s"snapshot schema evolution supports adding columns, not retyping: " +
               s"'${f.name}' ${f.dataType.simpleString} -> ${g.dataType.simpleString}")
-          f.copy(nullable = f.nullable || g.nullable)
+          val dt = if (f.dataType == g.dataType) f.dataType else asNullable(f.dataType)
+          f.copy(dataType = dt, nullable = f.nullable || g.nullable)
         case None => f.copy(nullable = true) // absent from new data: null-filled
       }
     }

@@ -107,7 +107,19 @@ object DocStreams {
     * `buckets` bounds the cluster-key cardinality of both state tables
     * (the snapshot layer's bounded-routing-key contract): larger → finer
     * file pruning for small batches, but more `__cluster=` dirs per
-    * publish (compact() folds them).
+    * publish.
+    *
+    * `compactEvery` (0 = never) folds the per-batch file fan-out back to
+    * one file per bucket after every Nth batch — the small-files answer
+    * for continuous ingest: without it, T triggers leave O(T) files per
+    * bucket and the probe's scan cost creeps with trigger count rather
+    * than corpus size. Compaction publishes layout-preserving rewrite
+    * versions (no batch header), so exactly-once replay protection is
+    * untouched — [[graft.operators.Snapshots.lastBatchId]] skips
+    * headerless versions. A crash around the compaction point never
+    * loses data (the batch's seen publish is the commit marker and
+    * precedes it); at worst the fold waits for the next cycle, since a
+    * replayed batch returns before the maintenance step.
     *
     * Use as the `foreachBatch` body:
     * {{{
@@ -118,7 +130,7 @@ object DocStreams {
   def incrementalNearDup(seenRoot: String, pairsRoot: String,
       p: graft.operators.MinHashDedup.Params = graft.operators.MinHashDedup.Params(),
       idCol: String = "doc_id", textCol: String = "text",
-      buckets: Int = 64)(
+      buckets: Int = 64, compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.{MinHashDedup, Snapshots}
     import org.apache.spark.sql.graftbridge.SessionBridge
@@ -260,6 +272,16 @@ object DocStreams {
         clusterBy = clusterFor(bandRoot, "bucket"))
       Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
         clusterBy = clusterFor(seenRoot, "id_bucket"))
+      // state maintenance rides the trigger: fold each table's per-batch
+      // file fan-out back to target-sized files (one per bucket for the
+      // clustered state). Runs AFTER the seen commit marker, so a crash
+      // mid-compaction owes nothing — the batch is already durable and
+      // the next trigger's compaction re-folds.
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        Snapshots.compact(spark, seenRoot)
+        Snapshots.compact(spark, bandRoot)
+        Snapshots.compact(spark, pairsRoot)
+      }
     } finally { cands.unpersist(false); prep.unpersist(false) }
   }
 

@@ -14,3 +14,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge to `private[spark]` DataType.asNullable — the canonical
+  * "most-permissive nullability" form, used by schema union-merge to
+  * treat nested nullability flags (array containsNull, map
+  * valueContainsNull, struct field nullable) as mergeable metadata
+  * rather than a retype: parquet round-trips and catalyst analysis both
+  * legitimately flip them.
+  */
+object TypeBridge {
+  def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt.asNullable
+}

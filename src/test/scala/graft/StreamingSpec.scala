@@ -581,4 +581,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairSet == expectedAll && pairSet.exists(_._2 == 5L),
       s"post-restart cross-batch pairs must land: $pairSet vs $expectedAll")
   }
+
+  test("incremental near-dup: periodic compaction folds state files, replay protection survives") {
+    // continuous ingest leaves O(triggers) files per bucket without
+    // maintenance; compactEvery folds them back to one file per bucket
+    // WITHOUT breaking exactly-once (compaction versions carry no batch
+    // header, and lastBatchId skips headerless versions)
+    import spark.implicits._
+    import graft.operators.{MinHashDedup, Snapshots}
+    import graft.streaming.DocStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-incdup-compact").toString
+    val (seen, pairs) = (s"$base/seen", s"$base/pairs")
+    val bandRoot = DocStreams.bandRootOf(seen)
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val batches = Seq(
+      df(1L -> "alpha beta gamma delta epsilon", 2L -> "alpha beta gamma delta epsilon"),
+      df(3L -> "alpha beta gamma delta zeta"),
+      df(4L -> "totally unrelated content here now"),
+      df(5L -> "alpha beta gamma delta epsilon"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DocStreams.incrementalNearDup(seen, pairs, buckets = 4, compactEvery = 2)(b, i.toLong)
+    }
+    // four batches, compaction after batch 1 and batch 3: the head
+    // version of each state table is a fold, not a 4-high append stack
+    def headFiles(root: String) =
+      Snapshots.files(spark, root, Snapshots.versions(spark, root).last).size
+    val seenDocs = Snapshots.read(spark, seen).select("doc_id").as[Long].collect().toSet
+    assert(seenDocs == Set(1L, 2L, 3L, 4L, 5L), s"compaction must preserve state: $seenDocs")
+    assert(headFiles(seen) <= 4 && headFiles(bandRoot) <= 4,
+      s"folded clustered state must hold at most one file per bucket " +
+        s"(seen=${headFiles(seen)}, bands=${headFiles(bandRoot)})")
+    // pairs content unchanged by its compaction
+    val expected = MinHashDedup.verifiedPairs(
+        batches.reduce(_ unionByName _), "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairSet = Snapshots.read(spark, pairs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == expected, s"$pairSet vs $expected")
+    // replay protection reads THROUGH the headerless compaction versions:
+    // re-delivering the last batch (and an older one) is a no-op
+    val before = (Snapshots.versions(spark, seen), Snapshots.versions(spark, pairs),
+      Snapshots.versions(spark, bandRoot))
+    DocStreams.incrementalNearDup(seen, pairs, buckets = 4, compactEvery = 2)(
+      batches.last, 3L)
+    DocStreams.incrementalNearDup(seen, pairs, buckets = 4, compactEvery = 2)(
+      batches.head, 0L)
+    assert((Snapshots.versions(spark, seen), Snapshots.versions(spark, pairs),
+      Snapshots.versions(spark, bandRoot)) == before,
+      "replayed batch ids must publish nothing after compaction")
+    assert(pairSet == expected)
+    // the next REAL batch keeps working against folded state
+    DocStreams.incrementalNearDup(seen, pairs, buckets = 4, compactEvery = 2)(
+      df(6L -> "alpha beta gamma delta zeta"), 4L)
+    assert(pairSet.contains((3L, 6L)), s"post-compaction pairing must work: $pairSet")
+  }
 }
