@@ -185,6 +185,62 @@ object Extras8 {
           sum(round(col("x") * col("w") * 100).cast("long")).as("cents"))
         .withColumn("hot_fans_out", lit(hotFansOut))
         .withColumn("exchange_free", lit(exchangeFree))
+    },
+
+    // DV CLEAN-FILE SPLIT under the oracle hash: on a range-sorted
+    // table whose deleted keys all come from the lowest range, the
+    // merge-on-read scan must prove MOST files clean from manifest
+    // footer stats (`clean_majority` — they bypass the per-row probe
+    // and the forced key-column read entirely) while still filtering
+    // the dirty files' rows exactly. The oracle replays the delete
+    // relationally; `dv_outstanding` pins that the dvs were live.
+    QueryDef.checked(
+      "q180_dv_clean_split",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+        |cut AS (SELECT min(o_orderkey) + 150 AS c FROM base),
+        |survivors AS (
+        |  SELECT b.* FROM base b, cut
+        |  WHERE NOT (b.o_orderkey < cut.c AND b.o_orderkey % 7 = 0))
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS dv_outstanding,
+        |  CAST(1 AS BOOLEAN) AS clean_majority
+        |FROM survivors GROUP BY 1""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q180_dv_clean_split", "dv_clean", dir)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      // range-sorted layout: each file carries a tight o_orderkey
+      // envelope, so only the low range's files can contain the keys
+      Snapshots.publish(s, root,
+        base.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"))
+      val cut = base.agg(min("o_orderkey")).head().getLong(0) + 150
+      Snapshots.deleteByKey(s, root,
+        base.filter(col("o_orderkey") < cut && col("o_orderkey") % 7 === 0)
+          .select("o_orderkey"))
+      val dvLive =
+        Snapshots.hasDeleteVectors(s, root, Snapshots.versions(s, root).last)
+      val df = s.read.format("graft-snapshot").option("root", root).load()
+      df.count() // finalize the plan: the scan instance carries the split
+      val scan = (df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[graft.sources.SnapshotScan] =>
+          b.scan.asInstanceOf[graft.sources.SnapshotScan]
+      }.headOption
+      val cleanMajority = scan.exists(sc =>
+        sc.dvCleanFileCount * 2 > sc.plannedFileCount && sc.dvCleanFileCount > 0)
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("dv_outstanding", lit(dvLive))
+        .withColumn("clean_majority", lit(cleanMajority))
     }
   )
 }
