@@ -64,6 +64,7 @@ object Snapshots {
   private val DV_HEADER = "#dv="
   private val SEQ_HEADER = "#seq="
   private val CLUSTER_HEADER = "#cluster="
+  private val SORT_HEADER = "#sort="
 
   /** Directory-split column name a clustered publish writes under (the
     * values become `__cluster=<v>/` subdirectories of the publish dir;
@@ -219,6 +220,26 @@ object Snapshots {
     */
   def clusterCols(spec: String): Seq[String] =
     spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The columns a version's files are SORTED by WITHIN each cluster
+    * group, if any: a sorted clustered [[publish]] wrote every data file
+    * internally ascending by these columns (after its cluster-key
+    * prefix), recorded as a `#sort=` manifest header. The header attests
+    * the INTRA-file order — the scan proves the INTER-file order per
+    * group from footer-stat envelopes (strictly disjoint ranges on the
+    * leading sort column) and only then reports output ordering, so
+    * windows and sort-merge joins over `(clusterKeys..., sortCols...)`
+    * drop their local sorts on top of the dropped shuffles. Like
+    * `#cluster=`, the header is per-VERSION: any commit whose rewrite
+    * cannot guarantee file-internal order simply does not record it.
+    */
+  def sortOf(spark: SparkSession, root: String, version: Int): Option[String] =
+    manifestLines(spark, root, version).find(_.startsWith(SORT_HEADER))
+      .map(_.drop(SORT_HEADER.length)).filter(_.nonEmpty)
+
+  private def sortHeaderOf(spark: SparkSession, root: String,
+      version: Int): Seq[String] =
+    sortOf(spark, root, version).map(s => s"$SORT_HEADER$s").toSeq
 
   /** Does `columns` still carry every column of the cluster spec? The
     * carry condition for mutation paths re-clustering their rewrites.
@@ -441,10 +462,24 @@ object Snapshots {
     * Sized for layouts where the cluster column is a bounded-cardinality
     * routing key (day, region, tenant); a high-cardinality key belongs
     * in `compact(zorderBy)` + stats pruning instead.
+    *
+    * `sortBy = Some(cols)` (requires `clusterBy`) additionally sorts each
+    * cluster group's rows ascending by the columns before writing, so
+    * every data file is internally ordered — recorded as a `#sort=`
+    * manifest header. The DSv2 scan then reports output ordering
+    * `(clusterKeys..., sortCols...)` whenever each group's file
+    * envelopes prove the concatenated read order (trivially for the one
+    * file per group a single publish writes), and windows / sort-merge
+    * joins over those columns run with ZERO exchange AND ZERO sort — the
+    * full sorted-bucket shape at any scale. An append keeps the header
+    * only when the base holds the same sort spec; a later append whose
+    * envelopes overlap a group's existing files never breaks anything —
+    * the scan just degrades to key-only ordering for that version.
     */
   def publish(spark: SparkSession, root: String, df: DataFrame,
       append: Boolean = false, extraHeader: Seq[String] = Nil,
-      bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None): Int = {
+      bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None,
+      sortBy: Option[String] = None): Int = {
     val f = fs(spark, root)
     // canonical spec: trimmed, comma-joined, and NORMALIZED to the frame's
     // own column spelling under the session resolver (default
@@ -479,7 +514,38 @@ object Snapshots {
         resolved
       }.mkString(",")
     }
-    val (dataDir, newFiles) = writeData(f, root, df, bloomOn, cluster)
+    // sort spec: same resolution + stats-provable-type discipline as the
+    // cluster spec (the scan's inter-file order proof reads the same
+    // footer envelopes), plus disjointness from the cluster key — a sort
+    // column that IS a cluster column is constant per group, an ordering
+    // claim with no content
+    val sorted = sortBy.map { spec =>
+      require(cluster.isDefined,
+        "sortBy needs clusterBy: file-internal order is only provable — and " +
+          "only useful — within a key-clustered group")
+      val cols = clusterCols(spec)
+      require(cols.nonEmpty, "sortBy needs at least one column")
+      val ccols = clusterCols(cluster.get)
+      cols.map { c =>
+        val matches = df.columns.filter(resolver(_, c))
+        require(matches.nonEmpty, s"sortBy column '$c' is not in the frame")
+        require(matches.length == 1,
+          s"sortBy column '$c' is ambiguous in the frame: ${matches.mkString(", ")}")
+        val resolved = matches.head
+        require(!ccols.exists(resolver(_, resolved)),
+          s"sortBy column '$c' is already a cluster column")
+        import org.apache.spark.sql.types._
+        val dt = df.schema(resolved).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
+            DoubleType, StringType, DateType, TimestampType).contains(dt),
+          s"sortBy column '$c' has type ${dt.simpleString}; sorted layout " +
+            "needs a footer-stats-provable type (integral, float, string, " +
+            "date, timestamp)")
+        resolved
+      }.mkString(",")
+    }
+    val (dataDir, newFiles) = writeData(f, root, df, bloomOn, cluster,
+      sorted.map(clusterCols).getOrElse(Nil))
     val prev = versions(spark, root)
     val base: Seq[String] =
       if (append && prev.nonEmpty) files(spark, root, prev.last) else Seq.empty
@@ -508,8 +574,21 @@ object Snapshots {
             "re-publish the whole table clustered (append=false), or append unclustered")
         Seq(s"$CLUSTER_HEADER$c")
     }
+    // same per-version rule as the cluster header: a fresh sorted publish
+    // claims it, a sorted APPEND only onto a base sorted the same way
+    // (the base's files must be internally ordered too), a plain append
+    // silently drops it (the new files are unordered)
+    val sortHeader = sorted match {
+      case None => Nil
+      case Some(s) if !append || prev.isEmpty => Seq(s"$SORT_HEADER$s")
+      case Some(s) =>
+        require(sortOf(spark, root, prev.last).contains(s),
+          s"cannot append sortBy=$s: base v${prev.last} is not sorted by '$s' — " +
+            "re-publish the whole table sorted (append=false), or append unsorted")
+        Seq(s"$SORT_HEADER$s")
+    }
     commit(f, root, prev.lastOption.getOrElse(0) + 1, base ++ newFiles, Some(schema),
-      clusterHeader ++ extraHeader ++ baseDvs ++ baseStats ++
+      clusterHeader ++ sortHeader ++ extraHeader ++ baseDvs ++ baseStats ++
         SnapshotStats.collect(spark, root, newFiles))
   }
 
@@ -540,10 +619,12 @@ object Snapshots {
     */
   def publishStreamBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, append: Boolean = true,
-      clusterBy: Option[String] = None): Option[Int] =
+      clusterBy: Option[String] = None,
+      sortBy: Option[String] = None): Option[Int] =
     if (lastBatchId(spark, root).exists(_ >= batchId)) None
     else Some(publish(spark, root, batch, append = append,
-      extraHeader = Seq(s"$BATCH_HEADER$batchId"), clusterBy = clusterBy))
+      extraHeader = Seq(s"$BATCH_HEADER$batchId"), clusterBy = clusterBy,
+      sortBy = sortBy))
 
   /** Write `df` into a fresh immutable `data/<uuid>/` dir; returns the
     * relative dir and its file list. An empty frame may produce zero
@@ -551,7 +632,8 @@ object Snapshots {
     * [[read]] reconstruct an empty frame without any file to sample.
     */
   private def writeData(f: FileSystem, root: String, df: DataFrame,
-      bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None): (String, Seq[String]) = {
+      bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None,
+      sortWithin: Seq[String] = Nil): (String, Seq[String]) = {
     val dataDir = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     // clustered layout: one shuffle on the key (tuple) routes every value
     // to one task, and the directory-split write (partitionBy on a hex
@@ -565,8 +647,15 @@ object Snapshots {
       case Some(spec) =>
         import org.apache.spark.sql.functions.{col, md5, struct, to_json}
         val cols = clusterCols(spec)
-        df.withColumn(ClusterDirCol, md5(to_json(struct(cols.map(col): _*))))
+        val routed = df.withColumn(ClusterDirCol, md5(to_json(struct(cols.map(col): _*))))
           .repartition(cols.map(col): _*)
+        // sorted layout: sort each write task by (split dir, sort cols) —
+        // leading with the dir column means the plan's ordering already
+        // satisfies the dynamic-partition writer's required ordering, so
+        // it adds NO sort of its own (whose tie-breaking would not be
+        // stable and could scramble the secondary order within a dir)
+        if (sortWithin.isEmpty) routed
+        else routed.sortWithinPartitions((ClusterDirCol +: sortWithin).map(col): _*)
       case None => df
     }
     // INT64-micros timestamps, NOT Spark's legacy INT96 default: INT96
@@ -612,6 +701,7 @@ object Snapshots {
     commit(f, root, next, files(spark, root, toVersion),
       schemaOf(spark, root, toVersion),
       clusterOf(spark, root, toVersion).map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        sortHeaderOf(spark, root, toVersion) ++
         dvLinesOf(spark, root, toVersion) ++ statsLinesOf(spark, root, toVersion))
   }
 
@@ -714,6 +804,11 @@ object Snapshots {
     commit(fs(spark, root), root, v + 1, files(spark, root, v), Some(newSchema),
       clusterOf(spark, root, v).filter(clusterApplies(_, newSchema.fieldNames.toSeq))
         .map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        // file-preserving: a widening reinterprets bytes, it never reorders
+        // rows, so the sorted-layout attestation survives as long as the
+        // sort columns themselves survive the evolution
+        sortOf(spark, root, v).filter(clusterApplies(_, newSchema.fieldNames.toSeq))
+          .map(s => s"$SORT_HEADER$s").toSeq ++
         dvLinesOf(spark, root, v) ++ statsLinesOf(spark, root, v))
   }
 
@@ -1122,10 +1217,18 @@ object Snapshots {
     // through the clustered publish (one file set per key — exactly what
     // a streaming-ingested clustered table needs, its per-batch file
     // fan-out collapsing back to one file per key) and the header
-    // survives. An explicit zorderBy re-mixes and takes precedence.
+    // survives. A SORTED table compacts through the sorted publish —
+    // the append fan-out's many small per-group files, whose overlapping
+    // envelopes may have degraded the scan's order proof, collapse back
+    // to one internally-ordered file per key and the proof turns trivial
+    // again: compaction is the maintenance op that RESTORES sort-free
+    // planning. An explicit zorderBy re-mixes and takes precedence.
     val cluster =
       if (zorderBy.nonEmpty) None
       else clusterOf(spark, root, v).filter(clusterApplies(_, base.columns.toSeq))
+    val sort = sortOf(spark, root, v)
+      .filter(clusterApplies(_, base.columns.toSeq))
+      .filter(_ => cluster.isDefined)
     val rewritten =
       if (cluster.isDefined) base
       else if (zorderBy.isEmpty) base.repartition(nFiles)
@@ -1138,7 +1241,7 @@ object Snapshots {
         val zExpr = ZOrder.curve(base, zorderBy)
         base.repartitionByRange(nFiles, zExpr).sortWithinPartitions(zExpr)
       }
-    publish(spark, root, rewritten, clusterBy = cluster)
+    publish(spark, root, rewritten, clusterBy = cluster, sortBy = sort)
   }
 
   /** MERGE a delta into the snapshot table and publish the result as a
@@ -1194,7 +1297,8 @@ object Snapshots {
     // than writing a (possibly zero-file) data dir nobody references
     if (delta.isEmpty)
       return commit(f, root, v + 1, rel, schema,
-        clusterHeaderOf(spark, root, v) ++ extraHeader ++ statsLinesOf(spark, root, v))
+        clusterHeaderOf(spark, root, v) ++ sortHeaderOf(spark, root, v) ++
+          extraHeader ++ statsLinesOf(spark, root, v))
     val upserts = tombstoneCol.fold(delta)(tc =>
       delta.filter(!coalesce(col(tc), lit(false))).drop(tc))
 
@@ -1242,16 +1346,26 @@ object Snapshots {
     val merged = survivors.unionByName(upserts, allowMissingColumns = true)
     // a clustered base KEEPS its layout: replacement rows write through
     // the clustered path (single-valued files by construction), so the
-    // header — and storage-partitioned planning — survives the MERGE
+    // header — and storage-partitioned planning — survives the MERGE. A
+    // SORTED base likewise: replacement files write internally ordered,
+    // untouched files are already attested, so the `#sort=` header (and
+    // with it sort-free windows/joins) survives the upsert — a
+    // replacement whose envelope overlaps a neighbor only narrows the
+    // scan's per-group order proof, never the attestation
     val cluster = clusterOf(spark, root, v)
       .filter(clusterApplies(_, merged.columns.toSeq))
-    val (_, newFiles) = writeData(f, root, merged, clusterBy = cluster)
+    val sort = sortOf(spark, root, v)
+      .filter(clusterApplies(_, merged.columns.toSeq))
+      .filter(_ => cluster.isDefined)
+    val (_, newFiles) = writeData(f, root, merged, clusterBy = cluster,
+      sortWithin = sort.map(clusterCols).getOrElse(Nil))
     val mergedSchema = schema.map(unionMerge(_, upserts.schema)).getOrElse(
       StructType(merged.schema.fields))
     // untouched files keep their stats lines; rewritten files get fresh ones
     val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
     commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, Some(mergedSchema),
-      cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++ extraHeader ++
+      cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        sort.map(s => s"$SORT_HEADER$s").toSeq ++ extraHeader ++
         keptStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
 
@@ -1369,16 +1483,24 @@ object Snapshots {
       s"could not relativize a scanned file path under $root/data — layout violation")
     if (touched.isEmpty)
       return commit(f, root, v + 1, rel, schema,
-        clusterHeaderOf(spark, root, v) ++ statsLinesOf(spark, root, v))
+        clusterHeaderOf(spark, root, v) ++ sortHeaderOf(spark, root, v) ++
+          statsLinesOf(spark, root, v))
     val rewritten = rewrite(
       readFiles(spark, root, touched.toSeq.sorted, schema, s"v$v touched"))
-    // a clustered base keeps its layout: replacements re-cluster on write
+    // a clustered base keeps its layout: replacements re-cluster on
+    // write; a sorted base keeps its attestation the same way (ordered
+    // replacement files beside already-attested untouched ones)
     val cluster = clusterOf(spark, root, v)
       .filter(clusterApplies(_, rewritten.columns.toSeq))
-    val (_, newFiles) = writeData(f, root, rewritten, clusterBy = cluster)
+    val sort = sortOf(spark, root, v)
+      .filter(clusterApplies(_, rewritten.columns.toSeq))
+      .filter(_ => cluster.isDefined)
+    val (_, newFiles) = writeData(f, root, rewritten, clusterBy = cluster,
+      sortWithin = sort.map(clusterCols).getOrElse(Nil))
     val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
     commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, schema,
       cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        sort.map(s => s"$SORT_HEADER$s").toSeq ++
         keptStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
 
@@ -1427,7 +1549,8 @@ object Snapshots {
     // the line (not derived from the log) so it survives expire()
     val newDvLines = dvFiles.map(p => s"$DV_HEADER$p\t${kc.mkString(",")}\t${v + 1}")
     commit(f, root, v + 1, files(spark, root, v), schemaOf(spark, root, v),
-      clusterHeaderOf(spark, root, v) ++ newDvLines ++ carried)
+      clusterHeaderOf(spark, root, v) ++ sortHeaderOf(spark, root, v) ++
+        newDvLines ++ carried)
   }
 
   /** Physically apply a version's outstanding delete vectors: rewrite
@@ -1471,7 +1594,8 @@ object Snapshots {
       s"could not relativize a scanned file path under $root/data — layout violation")
     if (touched.isEmpty) // dvs deleted nothing: drop them, share every file
       return commit(f, root, v + 1, rel, schema,
-        clusterHeaderOf(spark, root, v) ++ statsLinesOf(spark, root, v))
+        clusterHeaderOf(spark, root, v) ++ sortHeaderOf(spark, root, v) ++
+          statsLinesOf(spark, root, v))
     // survivors of the touched files, dv-applied with the same sequence rule
     val rewritten = groups.flatMap { case (seq, fls) =>
       val mine = fls.filter(touched).sorted
@@ -1481,13 +1605,20 @@ object Snapshots {
         case (df, (kc, ds)) => df.join(keysOf(ds, kc.toSeq), kc.toSeq, "left_anti")
       })
     }.reduce(_.unionByName(_))
-    // a clustered base keeps its layout: dv-applied survivors re-cluster
+    // a clustered base keeps its layout: dv-applied survivors
+    // re-cluster; a sorted base keeps its attestation (ordered
+    // replacement files beside already-attested untouched ones)
     val cluster = clusterOf(spark, root, v)
       .filter(clusterApplies(_, rewritten.columns.toSeq))
-    val (_, newFiles) = writeData(f, root, rewritten, clusterBy = cluster)
+    val sort = sortOf(spark, root, v)
+      .filter(clusterApplies(_, rewritten.columns.toSeq))
+      .filter(_ => cluster.isDefined)
+    val (_, newFiles) = writeData(f, root, rewritten, clusterBy = cluster,
+      sortWithin = sort.map(clusterCols).getOrElse(Nil))
     val keptStats = statsLinesOf(spark, root, v).filterNot(l => touched(statsLineFile(l)))
     commit(f, root, v + 1, rel.filterNot(touched) ++ newFiles, schema,
       cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        sort.map(s => s"$SORT_HEADER$s").toSeq ++
         keptStats ++ SnapshotStats.collect(spark, root, newFiles))
   }
 

@@ -241,6 +241,102 @@ object Extras8 {
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
         .withColumn("dv_outstanding", lit(dvLive))
         .withColumn("clean_majority", lit(cleanMajority))
+    },
+
+    // SORTED CLUSTERED LAYOUT under the oracle hash: two sorted appends
+    // with disjoint key ranges leave every priority group holding
+    // multiple internally-ordered files (`#sort=` header), the scan
+    // proves the inter-file order from footer envelopes and plans one
+    // envelope-ordered partition per group, and the window PARTITION BY
+    // key ORDER BY sortCol runs with ZERO exchange and ZERO sort
+    // (`exchange_free` / `sort_free` pinned on the executed plan) — at
+    // 100 TB the window costs a plain scan, no corpus-wide shuffle-sort.
+    // Rows (row_number + running cents) replay relationally.
+    QueryDef.checked(
+      "q181_sorted_layout",
+      """WITH w AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER
+        |      (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+        |      (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |       ROWS UNBOUNDED PRECEDING) AS run_cents
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey,
+        |  CAST(run_cents AS BIGINT) AS run_cents,
+        |  CAST(1 AS BOOLEAN) AS exchange_free,
+        |  CAST(1 AS BOOLEAN) AS sort_free
+        |FROM w WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val root = freshRoot(s, "q181_sorted_layout", "sorted_tbl", dir)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val cut = base.agg(max("o_orderkey")).head().getLong(0) / 2
+      Snapshots.publish(s, root, base.filter(col("o_orderkey") <= cut),
+        clusterBy = Some("o_orderpriority"), sortBy = Some("o_orderkey"))
+      Snapshots.publish(s, root, base.filter(col("o_orderkey") > cut),
+        append = true, clusterBy = Some("o_orderpriority"), sortBy = Some("o_orderkey"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      val q = s.read.format("graft-snapshot").option("root", root).load()
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("run_cents", sum(round(col("o_totalprice") * 100).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rn") <= 5)
+        .select("o_orderpriority", "rn", "o_orderkey", "run_cents")
+      q.count() // finalize the (possibly adaptive) plan
+      q.withColumn("exchange_free", lit(graft.PlanOps.shuffleCount(q) == 0))
+        .withColumn("sort_free", lit(graft.PlanOps.sortCount(q) == 0))
+    },
+
+    // SORTED-BUCKET JOIN (the Hive-SMB shape, storage-partitioned): two
+    // tables clustered by the same key and sorted by the same column
+    // join on the FULL `(key, sortCol)` prefix with ZERO exchange and
+    // ZERO sort on either side — key-grouped co-partitioning on the key
+    // already co-locates every match, and the proved file order supplies
+    // both SMJ sort requirements. Needs
+    // `requireAllClusterKeysForCoPartition=false` (join keys are a
+    // superset of the partition keys), set on an isolated session; rows
+    // COME FROM the sorted plan, so the oracle hash certifies the
+    // zero-exchange zero-sort join end-to-end.
+    QueryDef.checked(
+      "q182_sorted_bucket_join",
+      """WITH l AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+        |r AS (SELECT o_orderkey, o_orderpriority, o_custkey FROM orders)
+        |SELECT l.o_orderpriority, count(*) AS n,
+        |  CAST(sum(l.o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(l.o_totalprice * 100) AS BIGINT)
+        |    * (1 + r.o_custkey % 7)) AS BIGINT) AS cross_sig,
+        |  CAST(1 AS BOOLEAN) AS exchange_free,
+        |  CAST(1 AS BOOLEAN) AS sort_free
+        |FROM l JOIN r ON l.o_orderpriority = r.o_orderpriority
+        |  AND l.o_orderkey = r.o_orderkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val leftRoot = freshRoot(s, "q182_sorted_bucket_join", "smb_left", dir)
+      val rightRoot = freshRoot(s, "q182_sorted_bucket_join", "smb_right", dir)
+      val orders = t(s, dir, "orders")
+      Snapshots.publish(s, leftRoot,
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        clusterBy = Some("o_orderpriority"), sortBy = Some("o_orderkey"))
+      Snapshots.publish(s, rightRoot,
+        orders.select("o_orderkey", "o_orderpriority", "o_custkey"),
+        clusterBy = Some("o_orderpriority"), sortBy = Some("o_orderkey"))
+      // isolated session: the relaxed co-partition rule must not leak
+      // into concurrently-planning queries on the shared session
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def read2(root: String) =
+        s2.read.format("graft-snapshot").option("root", root).load()
+      val q = read2(leftRoot)
+        .join(read2(rightRoot), Seq("o_orderpriority", "o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")
+            * (lit(1) + col("o_custkey") % 7)).cast("long").as("cross_sig"))
+      q.count() // finalize the (possibly adaptive) plan
+      q.withColumn("exchange_free", lit(graft.PlanOps.shuffleCount(q) == 0))
+        .withColumn("sort_free", lit(graft.PlanOps.sortCount(q) == 0))
     }
   )
 }

@@ -118,7 +118,8 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister
         s"Complete output modes, got $outputMode")
     new SnapshotStreamSink(root, complete,
       Some(partitionColumns.mkString(",")).filter(_.nonEmpty),
-      keyCols, parameters.get("tombstoneColumn"))
+      keyCols, parameters.get("tombstoneColumn"),
+      parameters.get("sortColumns").map(_.trim).filter(_.nonEmpty))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -164,7 +165,8 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister
 private[graft] class SnapshotStreamSink(root: String, complete: Boolean,
     declaredCluster: Option[String] = None,
     keyCols: Option[Seq[String]] = None,
-    tombstoneCol: Option[String] = None)
+    tombstoneCol: Option[String] = None,
+    declaredSort: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val raw = org.apache.spark.sql.graftbridge.SessionBridge.rebatch(data)
@@ -221,8 +223,27 @@ private[graft] class SnapshotStreamSink(root: String, complete: Boolean,
         }
         declaredCluster
     }
+    // a SORTED destination keeps its attestation through continuous
+    // ingest (each batch's files write internally ordered; publish
+    // itself validates the sorted-append contract, so a mismatched base
+    // fails loudly rather than crash-looping silently unsorted). A fresh
+    // root takes the layout from `option("sortColumns", ...)` — the
+    // writer's partitionBy syntax has no sort slot — resolved against
+    // publish's own validation on the first batch.
+    val sort = Snapshots.versions(spark, root).lastOption match {
+      case Some(v) => Snapshots.sortOf(spark, root, v)
+        .filter(Snapshots.clusterApplies(_, batch.columns.toSeq))
+        // an evolved-away cluster layout drops the sort with it (sort
+        // is only defined within a clustered group)
+        .filter(_ => cluster.isDefined)
+      case None =>
+        // deliberately NOT gated on cluster: sortColumns without
+        // partitionBy must hit publish's loud sortBy-needs-clusterBy
+        // refusal on batch 0, not publish silently unsorted forever
+        declaredSort
+    }
     Snapshots.publishStreamBatch(spark, root, batch, batchId,
-      append = !complete, clusterBy = cluster)
+      append = !complete, clusterBy = cluster, sortBy = sort)
   }
   override def toString: String = s"SnapshotStreamSink($root)"
 }
@@ -310,12 +331,17 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String,
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
-    // a clustered table stays DECLARED clustered through a truncate
-    // (vacuously true on zero files), so later inserts re-cluster
-    val cluster = Snapshots.versions(spark, root).lastOption
-      .flatMap(v => Snapshots.clusterOf(spark, root, v))
+    // a clustered (and sorted) table stays DECLARED so through a
+    // truncate (vacuously true on zero files), so later inserts
+    // re-cluster and re-sort
+    val head = Snapshots.versions(spark, root).lastOption
+    val cluster = head.flatMap(v => Snapshots.clusterOf(spark, root, v))
       .filter(Snapshots.clusterApplies(_, tableSchema.fieldNames.toSeq))
-    Snapshots.publish(spark, root, empty, append = false, clusterBy = cluster)
+    val sort = head.flatMap(v => Snapshots.sortOf(spark, root, v))
+      .filter(Snapshots.clusterApplies(_, tableSchema.fieldNames.toSeq))
+      .filter(_ => cluster.isDefined)
+    Snapshots.publish(spark, root, empty, append = false, clusterBy = cluster,
+      sortBy = sort)
     true
   }
   override def schema(): StructType = tableSchema
@@ -374,12 +400,21 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String,
                 // a key-clustered table KEEPS its layout through SQL
                 // writes: the inserted rows shuffle onto the cluster key
                 // and the #cluster= guarantee (and with it SPJ planning)
-                // survives both INSERT INTO and INSERT OVERWRITE
-                val cluster = Snapshots.versions(spark, root).lastOption
-                  .flatMap(v => Snapshots.clusterOf(spark, root, v))
+                // survives both INSERT INTO and INSERT OVERWRITE. A
+                // SORTED table likewise keeps its attestation — publish
+                // sorts the new files internally (the writer owns its
+                // distribution, so no RequiresDistributionAndOrdering
+                // hand-off is needed); an insert whose envelopes overlap
+                // the base's only narrows the scan's ordering proof for
+                // the affected groups, never the header
+                val head = Snapshots.versions(spark, root).lastOption
+                val cluster = head.flatMap(v => Snapshots.clusterOf(spark, root, v))
                   .filter(Snapshots.clusterApplies(_, data.columns.toSeq))
+                val sort = head.flatMap(v => Snapshots.sortOf(spark, root, v))
+                  .filter(Snapshots.clusterApplies(_, data.columns.toSeq))
+                  .filter(_ => cluster.isDefined)
                 Snapshots.publish(spark, root, data,
-                  append = !overwrite, clusterBy = cluster)
+                  append = !overwrite, clusterBy = cluster, sortBy = sort)
               }
             }
         }
@@ -1282,7 +1317,8 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * layout cannot support it, the automatic form degrades to ordinary
     * planning.
     */
-  private lazy val clusterGroups: Option[(Seq[String], Seq[(InternalRow, Seq[String])])] = {
+  private lazy val clusterGroups
+      : Option[(Seq[String], Seq[(InternalRow, Seq[String])], Seq[String])] = {
     // `clusterPlanning=false` opts a read out of key-grouped planning:
     // grouped scans run ONE task per key, which is the point for
     // co-clustered joins but caps a plain full-table scan's parallelism
@@ -1300,7 +1336,8 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
         try Snapshots.clusterOf(spark, root, v)
         catch { case scala.util.control.NonFatal(_) => None })
       specOpt.flatMap { spec =>
-        def refuse(msg: String): Option[(Seq[String], Seq[(InternalRow, Seq[String])])] =
+        def refuse(msg: String)
+            : Option[(Seq[String], Seq[(InternalRow, Seq[String])], Seq[String])] =
           if (forced.isDefined) throw new IllegalArgumentException(
             s"option clusterBy=$spec on $root v$v: $msg") else None
         val cols = Snapshots.clusterCols(spec)
@@ -1329,11 +1366,76 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
               "column (missing stats, mixed values, or nulls beside values) — " +
               "publish with clusterBy to guarantee the layout")
           else if (keyed.isEmpty) None // empty table: nothing to group
-          else Some((cols, keyed.flatMap(x => x).groupBy(_._1).toSeq
-            .map { case (k, fs) =>
-              (new GenericInternalRow(k.toArray): InternalRow, fs.map(_._2).sorted)
+          else {
+            val raw = keyed.flatMap(x => x).groupBy(_._1).toSeq
+              .map { case (k, fs) =>
+                (new GenericInternalRow(k.toArray): InternalRow, fs.map(_._2).sorted)
+              }
+              .sortBy(_._2.head)
+            // SORTED layout: the version's `#sort=` header attests each
+            // file internally ascending by the sort columns; the scan
+            // completes the proof INTER-file — per group, every file
+            // needs usable null-free stats on the LEADING sort column and
+            // the envelopes, ordered by min, must be STRICTLY disjoint
+            // (prev.max < next.min proves the whole lexicographic tuple
+            // order across the concatenation). Proof holds → groups read
+            // in envelope order and [[outputOrdering]] claims
+            // (clusterKeys..., sortCols...); any group failing (an
+            // overlapping append, a null, missing stats) degrades the
+            // claim to the key-only ordering — never a wrong answer,
+            // just a reappearing sort.
+            val sortCols: Seq[String] =
+              (try Snapshots.sortOf(spark, root, v)
+               catch { case scala.util.control.NonFatal(_) => None })
+                .map(Snapshots.clusterCols).getOrElse(Nil)
+                .filter(c => tableSchema.fieldNames.contains(c) && !cols.contains(c))
+            def envelopeOrder(fls: Seq[String]): Option[Seq[String]] =
+              sortCols.headOption.flatMap { s0 =>
+                if (fls.size <= 1) Some(fls)
+                else try {
+                  val bs = fls.map(fl => stats.get(fl).flatMap(_.get(s0))
+                    .filter(cs => cs.nulls == 0 && cs.tag != "allnull").map(fl -> _))
+                  if (bs.exists(_.isEmpty)) None
+                  else {
+                    val flat = bs.flatten
+                    val tag = flat.head._2.tag
+                    if (flat.exists(_._2.tag != tag)) None
+                    else {
+                      val dec = flat.map { case (fl, cs) =>
+                        (fl, SnapshotStats.decode(tag, cs.min),
+                          SnapshotStats.decode(tag, cs.max))
+                      }
+                      val ordered = dec.sortWith((a, b) =>
+                        SnapshotStats.decodedCompare(tag, a._2, b._2) < 0)
+                      val disjoint = ordered.sliding(2).forall {
+                        case scala.collection.Seq(a, b) =>
+                          SnapshotStats.decodedCompare(tag, a._3, b._2) < 0
+                        case _ => true
+                      }
+                      if (disjoint) Some(ordered.map(_._1)) else None
+                    }
+                  }
+                } catch { case scala.util.control.NonFatal(_) => None }
+              }
+            // Spark honors a reported ordering only when every key group
+            // is a SINGLE scan partition (DataSourceV2ScanExecBase
+            // .outputOrdering: a task CONCATENATES same-key partitions in
+            // unspecified order), so a proved-sorted group must plan as
+            // one envelope-ordered partition — which forfeits the
+            // hot-key fan-out partial clustering provides. When the user
+            // turned fan-out ON they chose skew-splitting over
+            // sortedness: keep the split planning and degrade the
+            // ordering claim instead of silently serializing hot keys.
+            val fanOut = spark.conf.get(
+              "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+              "false").toBoolean
+            if (sortCols.isEmpty || fanOut) Some((cols, raw, Nil))
+            else {
+              val proved = raw.map { case (k, fls) => envelopeOrder(fls).map(k -> _) }
+              if (proved.exists(_.isEmpty)) Some((cols, raw, Nil))
+              else Some((cols, proved.flatten, sortCols))
             }
-            .sortBy(_._2.head)))
+          }
         }
       }
     }
@@ -1360,7 +1462,7 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * is skewed, leave it off when the exchange-free agg matters more.
     */
   override def outputPartitioning(): Partitioning = clusterGroups match {
-    case Some((cols, gs)) if gs.nonEmpty =>
+    case Some((cols, gs, _)) if gs.nonEmpty =>
       new KeyGroupedPartitioning(cols.map(Expressions.identity).toArray, gs.size)
     case _ => new UnknownPartitioning(0)
   }
@@ -1368,12 +1470,19 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
   /** Within a key-grouped partition the cluster column is CONSTANT, so
     * the scan is trivially sorted by it — reporting that ordering lets a
     * sort-merge join on the cluster key drop both local sorts on top of
-    * the dropped shuffles (the fully map-side co-clustered join).
+    * the dropped shuffles (the fully map-side co-clustered join). A
+    * SORTED clustered layout ([[Snapshots.publish]] `sortBy`, proof
+    * completed per group in [[clusterGroups]]) extends the claim to
+    * `(clusterKeys..., sortCols...)` — a window PARTITION BY key ORDER
+    * BY sortCol, or a sort-merge join on the full prefix, then runs with
+    * zero exchange AND zero sort. ASC NULLS FIRST (Spark's default asc);
+    * the proof required zero nulls, so the null-ordering clause is
+    * vacuous but must still match the plan's required ordering.
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     clusterGroups match {
-      case Some((cols, gs)) if gs.nonEmpty =>
-        cols.map(c => Expressions.sort(Expressions.identity(c),
+      case Some((cols, gs, sortCols)) if gs.nonEmpty =>
+        (cols ++ sortCols).map(c => Expressions.sort(Expressions.identity(c),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       case _ => Array.empty
     }
@@ -1407,10 +1516,12 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
       }.toArray)
     def sizedMeta(r: String) = (s"$root/$r", sized.get(r), metaOf(r))
     clusterGroups match {
-      case Some((_, groups)) =>
+      case Some((_, groups, sortCols)) =>
         // runtime (DPP) filters thin files WITHIN groups but never drop a
         // group: the reported partition-value set must survive replanning
-        // (an emptied group plans as an empty partition)
+        // (an emptied group plans as an empty partition). A filter keeps
+        // relative order, so a proved-sorted group's envelope order
+        // survives thinning and the ordering claim stays honest.
         val runtimeKept: Set[String] =
           if (runtimeFilters.isEmpty) groups.flatMap(_._2).toSet
           else pruneBy(spark, v, groups.flatMap(_._2), runtimeFilters).toSet
@@ -1422,7 +1533,7 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
         new SnapshotBatch(spark, root, tableSchema, dataRequired,
           StructType(metaFields), filters,
           keyedGroups.flatMap(_._2), totalFiles - plannedFileCount,
-          grouped = Some(keyedGroups))
+          grouped = Some(keyedGroups), ordered = sortCols.nonEmpty)
       case None =>
         // a runtime filter voids the limit prefix (it could eliminate rows
         // inside the chosen prefix and under-deliver) — re-plan from the
@@ -1626,9 +1737,11 @@ private[sources] class SnapshotBatch(spark: SparkSession, root: String,
     tableSchema: StructType, readSchema: StructType, metaSchema: StructType,
     filters: Seq[Filter],
     files: Seq[(String, Option[Long], InternalRow)], prunedFiles: Int,
-    grouped: Option[Seq[(InternalRow, Seq[(String, Option[Long], InternalRow)])]] = None)
+    grouped: Option[Seq[(InternalRow, Seq[(String, Option[Long], InternalRow)])]] = None,
+    ordered: Boolean = false)
     extends Batch {
   override def planInputPartitions(): Array[InputPartition] = grouped match {
+    case Some(gs) if ordered => ParquetReadBridge.orderedKeyedFilePartitions(spark, gs)
     case Some(gs) => ParquetReadBridge.keyedFilePartitions(spark, gs)
     case None => ParquetReadBridge.filePartitionsMeta(spark, files)
   }

@@ -188,6 +188,42 @@ object ParquetReadBridge {
       packed.map { arr => idx += 1; new KeyedFilePartition(idx, arr, key) }
     }.toArray
   }
+
+  /** [[keyedFilePartitions]] for a PROVED-SORTED clustered layout: each
+    * group emits exactly ONE partition whose files keep the CALLER's
+    * order (the scan's footer-envelope order). Both departures from the
+    * packed form are what make a reported sort order true end-to-end:
+    * Spark's `DataSourceV2ScanExecBase.outputOrdering` keeps a scan's
+    * ordering claim only when no key group spans multiple partitions (a
+    * grouped task concatenates same-key partitions in unspecified
+    * order), and `FilePartition.getFilePartitions` bin-packs files
+    * LENGTH-sorted, which would interleave the envelope order inside a
+    * partition. One task per key is what key-grouped execution runs
+    * anyway, so the only cost vs packing is losing the hot-key fan-out
+    * option — the scan only routes here when that conf is off.
+    */
+  def orderedKeyedFilePartitions(spark: SparkSession,
+      groups: Seq[(InternalRow, Seq[(String, Option[Long], InternalRow)])])
+      : Array[InputPartition] = {
+    lazy val hconf = spark.sessionState.newHadoopConf()
+    def pf(p: String, size: Option[Long], meta: InternalRow): PartitionedFile = {
+      val hp = new Path(p)
+      size match {
+        case Some(len) =>
+          val qp = hp.getFileSystem(hconf).makeQualified(hp)
+          PartitionedFile(meta, SparkPath.fromPath(qp), 0L, len, Array.empty, 0L, len,
+            Map.empty)
+        case None =>
+          val st = hp.getFileSystem(hconf).getFileStatus(hp)
+          PartitionedFile(meta, SparkPath.fromPath(st.getPath), 0L, st.getLen,
+            Array.empty, st.getModificationTime, st.getLen, Map.empty)
+      }
+    }
+    groups.zipWithIndex.map { case ((key, files), idx) =>
+      new KeyedFilePartition(idx,
+        files.map { case (p, s, m) => pf(p, s, m) }.toArray, key)
+    }.toArray
+  }
 }
 
 /** A [[FilePartition]] that also carries its storage-partition key — the
