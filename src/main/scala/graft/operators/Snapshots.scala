@@ -241,11 +241,36 @@ object Snapshots {
       version: Int): Seq[String] =
     sortOf(spark, root, version).map(s => s"$SORT_HEADER$s").toSeq
 
+  /** Parse a `bucket(n, col)` cluster spec — HASH-BUCKET clustering for
+    * HIGH-CARDINALITY keys, where one file set per raw value is
+    * impossible (an identity-clustered publish on a 10⁹-key column
+    * would write 10⁹ files). A bucketed publish routes each row to
+    * `pmod(hash(col), n)` — Spark's own Murmur3(seed 42), the same
+    * function [[graft.sources.GraftBucketFunction]] exposes to Catalyst
+    * — and the scan reports key-grouped partitioning over the BUCKET
+    * TRANSFORM, so joins and aggregations on the raw key still plan
+    * exchange-free (Spark's clustered-distribution check collects the
+    * transform's leaf attributes). Returns (numBuckets, column).
+    */
+  private[graft] def bucketSpec(spec: String): Option[(Int, String)] = {
+    val re = "(?i)^\\s*bucket\\s*\\(\\s*(\\d+)\\s*,\\s*([^(),]+?)\\s*\\)\\s*$".r
+    spec match {
+      case re(n, c) => Some((n.toInt, c))
+      case _ => None
+    }
+  }
+
+  /** The raw data columns a cluster spec keys on — the bucket form keys
+    * on its single hashed column; the identity form on every listed one.
+    */
+  private[graft] def clusterKeyCols(spec: String): Seq[String] =
+    bucketSpec(spec).map { case (_, c) => Seq(c) }.getOrElse(clusterCols(spec))
+
   /** Does `columns` still carry every column of the cluster spec? The
     * carry condition for mutation paths re-clustering their rewrites.
     */
   private[graft] def clusterApplies(spec: String, columns: Seq[String]): Boolean = {
-    val cs = clusterCols(spec)
+    val cs = clusterKeyCols(spec)
     // match the session's column RESOLVER (spark.sql.caseSensitive,
     // default false): a streaming partitionBy("EventDate") over a frame
     // column `eventdate` resolves downstream, so the carry test must not
@@ -272,6 +297,9 @@ object Snapshots {
     */
   private def provenClustered(spec: String, listed: Seq[String],
       statsLines: Seq[String]): Boolean = {
+    // a bucket layout is attested by the write path's dir routing, not
+    // by footer stats — files written outside it can never re-prove it
+    if (bucketSpec(spec).isDefined) return false
     val stats = SnapshotStats.parse(statsLines)
     val cols = clusterCols(spec)
     cols.nonEmpty && listed.forall(fl => cols.forall(c =>
@@ -490,29 +518,53 @@ object Snapshots {
     // record an unprovable header
     val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
     val cluster = clusterBy.map { spec =>
-      val cols = clusterCols(spec)
-      require(cols.nonEmpty, "clusterBy needs at least one column")
       require(!df.columns.contains(ClusterDirCol),
         s"frame already has a '$ClusterDirCol' column")
-      cols.map { c =>
-        val matches = df.columns.filter(resolver(_, c))
-        require(matches.nonEmpty, s"clusterBy column '$c' is not in the frame")
-        require(matches.length == 1,
-          s"clusterBy column '$c' is ambiguous in the frame: ${matches.mkString(", ")}")
-        val resolved = matches.head
-        // the whole clustered tier derives keys from parquet footer stats,
-        // so the column must be a stats-provable type — a binary/decimal/
-        // boolean header would claim a layout no scan could ever verify
-        // (and roll-on-key writers would compare binary keys by reference)
-        import org.apache.spark.sql.types._
-        val dt = df.schema(resolved).dataType
-        require(Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
-            DoubleType, StringType, DateType, TimestampType).contains(dt),
-          s"clusterBy column '$c' has type ${dt.simpleString}; key-clustering " +
-            "needs a footer-stats-provable type (integral, float, string, " +
-            "date, timestamp)")
-        resolved
-      }.mkString(",")
+      bucketSpec(spec) match {
+        case Some((n, c)) =>
+          // HASH-BUCKET clustering (high-cardinality keys): a bounded
+          // group count regardless of key cardinality. Floats are
+          // excluded (±0.0 hash ambiguity has no place in a layout key),
+          // as are types footer stats cannot describe — the raw column
+          // still wants stats-prunable reads
+          require(n >= 2 && n <= 65536,
+            s"bucket count $n out of range [2, 65536]")
+          val matches = df.columns.filter(resolver(_, c))
+          require(matches.nonEmpty, s"clusterBy bucket column '$c' is not in the frame")
+          require(matches.length == 1,
+            s"clusterBy bucket column '$c' is ambiguous in the frame: ${matches.mkString(", ")}")
+          val resolved = matches.head
+          import org.apache.spark.sql.types._
+          val dt = df.schema(resolved).dataType
+          require(Seq(ByteType, ShortType, IntegerType, LongType,
+              StringType, DateType, TimestampType).contains(dt),
+            s"clusterBy bucket column '$c' has type ${dt.simpleString}; " +
+              "hash-bucketing needs an exactly-hashable type (integral, " +
+              "string, date, timestamp)")
+          s"bucket($n,$resolved)"
+        case None =>
+          val cols = clusterCols(spec)
+          require(cols.nonEmpty, "clusterBy needs at least one column")
+          cols.map { c =>
+            val matches = df.columns.filter(resolver(_, c))
+            require(matches.nonEmpty, s"clusterBy column '$c' is not in the frame")
+            require(matches.length == 1,
+              s"clusterBy column '$c' is ambiguous in the frame: ${matches.mkString(", ")}")
+            val resolved = matches.head
+            // the whole clustered tier derives keys from parquet footer stats,
+            // so the column must be a stats-provable type — a binary/decimal/
+            // boolean header would claim a layout no scan could ever verify
+            // (and roll-on-key writers would compare binary keys by reference)
+            import org.apache.spark.sql.types._
+            val dt = df.schema(resolved).dataType
+            require(Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
+                DoubleType, StringType, DateType, TimestampType).contains(dt),
+              s"clusterBy column '$c' has type ${dt.simpleString}; key-clustering " +
+                "needs a footer-stats-provable type (integral, float, string, " +
+                "date, timestamp)")
+            resolved
+          }.mkString(",")
+      }
     }
     // sort spec: same resolution + stats-provable-type discipline as the
     // cluster spec (the scan's inter-file order proof reads the same
@@ -523,6 +575,10 @@ object Snapshots {
       require(cluster.isDefined,
         "sortBy needs clusterBy: file-internal order is only provable — and " +
           "only useful — within a key-clustered group")
+      require(bucketSpec(cluster.get).isEmpty,
+        "sortBy composes with identity clustering only: a hash bucket mixes " +
+          "many raw keys per group, so a per-group sort order makes no claim " +
+          "a window or join over the key could use")
       val cols = clusterCols(spec)
       require(cols.nonEmpty, "sortBy needs at least one column")
       val ccols = clusterCols(cluster.get)
@@ -645,10 +701,20 @@ object Snapshots {
     // (min==max per file), never from the directory name.
     val toWrite = clusterBy match {
       case Some(spec) =>
-        import org.apache.spark.sql.functions.{col, md5, struct, to_json}
-        val cols = clusterCols(spec)
-        val routed = df.withColumn(ClusterDirCol, md5(to_json(struct(cols.map(col): _*))))
-          .repartition(cols.map(col): _*)
+        import org.apache.spark.sql.functions.{col, hash, lit, md5, pmod, struct, to_json}
+        val routed = bucketSpec(spec) match {
+          case Some((n, c)) =>
+            // hash-bucket routing: the dir IS the bucket id, computed with
+            // Spark's own hash (Murmur3 seed 42) — the same function the
+            // catalog's `bucket` V2 function evaluates, so the scan's
+            // reported bucket transform and these files agree by
+            // construction, at any cardinality of the raw key
+            df.withColumn(ClusterDirCol, pmod(hash(col(c)), lit(n)).cast("string"))
+              .repartition(col(ClusterDirCol))
+          case None =>
+            df.withColumn(ClusterDirCol, md5(to_json(struct(clusterCols(spec).map(col): _*))))
+              .repartition(clusterCols(spec).map(col): _*)
+        }
         // sorted layout: sort each write task by (split dir, sort cols) —
         // leading with the dir column means the plan's ordering already
         // satisfies the dynamic-partition writer's required ordering, so

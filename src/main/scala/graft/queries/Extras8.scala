@@ -337,6 +337,58 @@ object Extras8 {
       q.count() // finalize the (possibly adaptive) plan
       q.withColumn("exchange_free", lit(graft.PlanOps.shuffleCount(q) == 0))
         .withColumn("sort_free", lit(graft.PlanOps.sortCount(q) == 0))
+    },
+
+    // HASH-BUCKET CLUSTERING under the oracle hash: orders and customer
+    // publish as `bucket(16, custkey)` tables — one file set per BUCKET
+    // (pmod(murmur3, 16)), not per raw value, so the layout holds at ANY
+    // key cardinality where identity clustering would write one file per
+    // key. The scan reports key-grouped partitioning over the bucket
+    // TRANSFORM (resolved through the catalog's `bucket` V2 function)
+    // and the 10k-key fact⋈dim join plans with ZERO exchanges
+    // (`exchange_free`), both tables bounded to ≤16 files
+    // (`bounded_files`). Rows come FROM the bucketed plan; the oracle
+    // replays the join relationally.
+    QueryDef.checked(
+      "q183_bucket_cluster_join",
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(sum(o.o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS exchange_free,
+        |  CAST(1 AS BOOLEAN) AS bounded_files
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q183_bucket_cluster_join", "bucket_wh", dir)
+      Snapshots.publish(s, s"$wh/fact",
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        clusterBy = Some("bucket(16, o_custkey)"))
+      Snapshots.publish(s, s"$wh/dim",
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        clusterBy = Some("bucket(16, c_custkey)"))
+      val boundedFiles =
+        Snapshots.files(s, s"$wh/fact", 1).size <= 16 &&
+          Snapshots.files(s, s"$wh/dim", 1).size <= 16
+      // isolated session: the bucket SPJ needs the catalog (the V2
+      // `bucket` function resolves through it) and no broadcast escape;
+      // rows come from this plan, so the oracle hash certifies it
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.q183cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s2.conf.set("spark.sql.catalog.q183cat.warehouse", wh)
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s2.table("q183cat.fact")
+        .join(s2.table("q183cat.dim").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+      joined.count() // finalize the (possibly adaptive) plan
+      // evidence on the bare join: the mktsegment regroup above it owns
+      // one legitimate exchange (it clusters on a different key)
+      val exchangeFree = graft.PlanOps.shuffleCount(joined) == 0
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("exchange_free", lit(exchangeFree))
+        .withColumn("bounded_files", lit(boundedFiles))
     }
   )
 }

@@ -43,7 +43,8 @@ import org.apache.hadoop.fs.Path
   * publishes an empty version — all on the single-writer contract
   * (ACID multi-writer coordination is out of scope).
   */
-class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
+class SnapshotCatalog extends TableCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -361,4 +362,59 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procedures.keys.toSeq.sorted.map(Identifier.of(Array("sys"), _)).toArray
+
+  /** The `bucket` V2 function — what lets Catalyst RESOLVE the bucket
+    * transform a `bucket(n, col)`-clustered table's scan reports
+    * (`V2ScanPartitioningAndOrdering` drops key-grouped partitioning
+    * whose transform it cannot bind through the relation's function
+    * catalog), and what makes two bucketed tables' shuffle specs
+    * compatible (`canonicalName` equality). Catalog tables only: a
+    * `format("graft-snapshot")` load has no catalog to resolve against,
+    * so bucket SPJ runs through `spark.table("cat.t")` reads.
+    */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+}
+
+/** Murmur3(seed 42) hash-bucketing as a Spark V2 function:
+  * `bucket(n, col) = pmod(hash(col), n)` — EXACTLY the expression
+  * [[graft.operators.Snapshots.publish]]'s bucketed write routes rows
+  * with, so the transform Catalyst evaluates (e.g. to shuffle a plain
+  * join side INTO a bucketed table's layout) and the files on disk agree
+  * by construction. Null keys hash to the bare seed, matching Spark's
+  * hash expression, which skips null children.
+  */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3_hash(col), n) — the graft bucketed-layout routing"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets INT, col), got ${inputType.simpleString}")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"bucket's first argument must be INT, got ${inputType.fields(0).dataType.simpleString}")
+    val dt = inputType.fields(1).dataType
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        val h =
+          if (input.isNullAt(1)) 42
+          else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+            .hash(input.get(1, dt), dt, 42L).toInt
+        ((h % n) + n) % n
+      }
+    }
+  }
 }

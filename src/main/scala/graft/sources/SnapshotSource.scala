@@ -495,6 +495,11 @@ private[sources] class SnapshotReplaceDataWrite(root: String,
       Snapshots.versions(spark, root).lastOption
         .flatMap(v => Snapshots.clusterOf(spark, root, v))
         .filter(Snapshots.clusterApplies(_, writeSchema.fieldNames.toSeq))
+        // a bucket layout is attested by the publish path's dir routing;
+        // files this rewrite's executors emit carry no such attestation
+        // and footer stats cannot re-prove a hash membership, so the
+        // header rightly drops (compact restores the layout)
+        .filter(s => Snapshots.bucketSpec(s).isEmpty)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
@@ -1316,9 +1321,21 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * `option("clusterBy", col)` — the forced form fails loudly when the
     * layout cannot support it, the automatic form degrades to ordinary
     * planning.
+    *
+    * A `bucket(n, col)` spec groups by the write path's `__cluster=<id>`
+    * dir segment instead (the bucket id is not a stored column, so the
+    * footer-stats proof does not apply — the manifest only ever lists
+    * bucket-dir files committed by the bucketed publish itself) and the
+    * partition keys become the BUCKET TRANSFORM over the raw column,
+    * resolved against the catalog's `bucket` V2 function.
+    *
+    * Returns (partition key expressions, per-partition-constant ordered
+    * column claims, key → file groups, proved-sorted flag).
     */
-  private lazy val clusterGroups
-      : Option[(Seq[String], Seq[(InternalRow, Seq[String])], Seq[String])] = {
+  private type ClusterPlan =
+    (Array[org.apache.spark.sql.connector.expressions.Expression],
+      Seq[String], Seq[(InternalRow, Seq[String])], Boolean)
+  private lazy val clusterGroups: Option[ClusterPlan] = {
     // `clusterPlanning=false` opts a read out of key-grouped planning:
     // grouped scans run ONE task per key, which is the point for
     // co-clustered joins but caps a plain full-table scan's parallelism
@@ -1336,10 +1353,47 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
         try Snapshots.clusterOf(spark, root, v)
         catch { case scala.util.control.NonFatal(_) => None })
       specOpt.flatMap { spec =>
-        def refuse(msg: String)
-            : Option[(Seq[String], Seq[(InternalRow, Seq[String])], Seq[String])] =
+        def refuse(msg: String): Option[ClusterPlan] =
           if (forced.isDefined) throw new IllegalArgumentException(
             s"option clusterBy=$spec on $root v$v: $msg") else None
+        Snapshots.bucketSpec(spec) match {
+          case Some((n, bcol)) if !tableSchema.fieldNames.contains(bcol) =>
+            refuse("bucket column is not a table column")
+          case Some((n, bcol)) =>
+            // trust-the-writer grouping: only the bucketed publish path
+            // commits `__cluster=<integer>/` file paths into a manifest
+            // carrying this header, so the dir id IS the bucket id; a
+            // file without the segment (or out of range) was not written
+            // by it and voids the layout
+            val re = "__cluster=(\\d+)/[^/]+$".r
+            val keyed = kept.map { fl =>
+              re.findFirstMatchIn(fl).map(_.group(1).toInt).filter(_ < n).map(_ -> fl)
+            }
+            if (keyed.exists(_.isEmpty))
+              refuse("a planned file does not carry the bucketed publish's " +
+                "__cluster=<id> dir segment")
+            else if (keyed.isEmpty) None
+            else Some((
+              Array[org.apache.spark.sql.connector.expressions.Expression](
+                Expressions.bucket(n, bcol)),
+              Nil,
+              keyed.flatMap(x => x).groupBy(_._1).toSeq
+                .map { case (id, fs) =>
+                  (new GenericInternalRow(Array[Any](id)): InternalRow,
+                    fs.map(_._2).sorted)
+                }
+                .sortBy(_._2.head),
+              false))
+          case None => identityGroups(spark, spec, v, kept, refuse)
+        }
+      }
+    }
+  }
+
+  private def identityGroups(spark: SparkSession, spec: String, v: Int,
+      kept: Seq[String],
+      refuse: String => Option[ClusterPlan]): Option[ClusterPlan] = {
+    {
         val cols = Snapshots.clusterCols(spec)
         val fields = cols.map(c => tableSchema.find(_.name == c))
         if (cols.isEmpty || fields.exists(_.isEmpty)) refuse("not a table column")
@@ -1429,15 +1483,19 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
             val fanOut = spark.conf.get(
               "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
               "false").toBoolean
-            if (sortCols.isEmpty || fanOut) Some((cols, raw, Nil))
+            def plan(groups: Seq[(InternalRow, Seq[String])],
+                provedSort: Seq[String]): Option[ClusterPlan] = Some((
+              cols.map(c => Expressions.identity(c)
+                : org.apache.spark.sql.connector.expressions.Expression).toArray,
+              cols ++ provedSort, groups, provedSort.nonEmpty))
+            if (sortCols.isEmpty || fanOut) plan(raw, Nil)
             else {
               val proved = raw.map { case (k, fls) => envelopeOrder(fls).map(k -> _) }
-              if (proved.exists(_.isEmpty)) Some((cols, raw, Nil))
-              else Some((cols, proved.flatten, sortCols))
+              if (proved.exists(_.isEmpty)) plan(raw, Nil)
+              else plan(proved.flatten, sortCols)
             }
           }
         }
-      }
     }
   }
 
@@ -1462,8 +1520,8 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     * is skewed, leave it off when the exchange-free agg matters more.
     */
   override def outputPartitioning(): Partitioning = clusterGroups match {
-    case Some((cols, gs, _)) if gs.nonEmpty =>
-      new KeyGroupedPartitioning(cols.map(Expressions.identity).toArray, gs.size)
+    case Some((keys, _, gs, _)) if gs.nonEmpty =>
+      new KeyGroupedPartitioning(keys, gs.size)
     case _ => new UnknownPartitioning(0)
   }
 
@@ -1481,8 +1539,8 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     clusterGroups match {
-      case Some((cols, gs, sortCols)) if gs.nonEmpty =>
-        (cols ++ sortCols).map(c => Expressions.sort(Expressions.identity(c),
+      case Some((_, orderCols, gs, _)) if gs.nonEmpty =>
+        orderCols.map(c => Expressions.sort(Expressions.identity(c),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       case _ => Array.empty
     }
@@ -1516,7 +1574,7 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
       }.toArray)
     def sizedMeta(r: String) = (s"$root/$r", sized.get(r), metaOf(r))
     clusterGroups match {
-      case Some((_, groups, sortCols)) =>
+      case Some((_, _, groups, provedSorted)) =>
         // runtime (DPP) filters thin files WITHIN groups but never drop a
         // group: the reported partition-value set must survive replanning
         // (an emptied group plans as an empty partition). A filter keeps
@@ -1533,7 +1591,7 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
         new SnapshotBatch(spark, root, tableSchema, dataRequired,
           StructType(metaFields), filters,
           keyedGroups.flatMap(_._2), totalFiles - plannedFileCount,
-          grouped = Some(keyedGroups), ordered = sortCols.nonEmpty)
+          grouped = Some(keyedGroups), ordered = provedSorted)
       case None =>
         // a runtime filter voids the limit prefix (it could eliminate rows
         // inside the chosen prefix and under-deliver) — re-plan from the
