@@ -952,7 +952,7 @@ object Snapshots {
       .getOrElse(readFiles(spark, root, Nil, schema, s"v$v"))
   }
 
-  private def readFiles(spark: SparkSession, root: String, rel: Seq[String],
+  private[operators] def readFiles(spark: SparkSession, root: String, rel: Seq[String],
       schema: Option[StructType], what: String): DataFrame = {
     val paths = rel.map(r => s"$root/$r")
     (schema, paths) match {
@@ -1389,8 +1389,33 @@ object Snapshots {
         if (lo == null || hi == null) None else Some(k -> (lo, hi))
       }.toMap
     }
-    val candidates =
+    val statsPruned =
       if (keyBounds.isEmpty) rel else filesWhere(spark, root, v, keyBounds)
+    // bucket-layout prune: when the base is hash-bucket-clustered on a
+    // merge key column, the delta's distinct bucket set (bounded by n)
+    // names the only `__cluster=` dirs that can hold a delta key, so
+    // candidates outside them drop BEFORE the row-level probe. This is
+    // the prune that matters on high-cardinality keys (digests, ids):
+    // their min/max envelope spans every file and the stats prune above
+    // keeps everything — with the bucket layout a keyed upsert on a
+    // 100 TB table (or an [[Mv]] refresh on a billion-group view) probes
+    // O(touched buckets) files instead of the table. The hash agreement
+    // with the write path's routing (Murmur3 seed 42 via `hash`, pmod n,
+    // decimal-string dir) is the same contract the DSv2 scan's V2 bucket
+    // function already row-pins. NULL keys hash to a real bucket on both
+    // sides; files outside any cluster dir stay candidates (conservative).
+    val candidates = clusterOf(spark, root, v).flatMap(bucketSpec) match {
+      case Some((n, c)) if keyCols.exists(k =>
+          org.apache.spark.sql.internal.SQLConf.get.resolver(k, c)) =>
+        val key = keyCols.find(k =>
+          org.apache.spark.sql.internal.SQLConf.get.resolver(k, c)).get
+        val hit = deltaKeys
+          .select(pmod(hash(col(key)), lit(n)).cast("string").as("__b"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val dirRe = (java.util.regex.Pattern.quote(ClusterDirCol) + "=([^/]+)/").r
+        statsPruned.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1))))
+      case _ => statsPruned
+    }
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       // no forced broadcast: a small delta broadcasts via AQE; a huge one

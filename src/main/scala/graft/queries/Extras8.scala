@@ -389,6 +389,138 @@ object Extras8 {
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
         .withColumn("exchange_free", lit(exchangeFree))
         .withColumn("bounded_files", lit(boundedFiles))
+    },
+
+    // MANAGED MATERIALIZED VIEW, incrementally refreshed: the grouped
+    // count/sum lives as its own bucket-clustered snapshot table
+    // (Mv.create records the base version as the manifest batch id —
+    // the refresh watermark needs no side state); a CoW MERGE plus an
+    // append then land on the base, and ONE Mv.refresh applies their
+    // row-level change feed to the touched groups only, with groups
+    // whose count hits zero tombstoned away. The oracle recomputes the
+    // aggregate from a full relational replay of the mutations, so the
+    // hash certifies incremental-apply ≡ recompute; flags pin that the
+    // refresh really ran incrementally (not the full fallback), that a
+    // replayed refresh is a no-op (exactly-once), and that the merge
+    // shared pre-refresh files by name (CoW, not a view rewrite).
+    QueryDef.checked(
+      "q184_mv_refresh",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_orderkey % 1000 AS VARCHAR) AS g,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |survivors AS (SELECT * FROM base WHERE k % 1000 < 995),
+        |mutated AS (
+        |  SELECT k,
+        |    CASE WHEN k % 1000 IN (10, 11) THEN '9-MOVED' ELSE g END AS g,
+        |    CASE WHEN k % 1000 < 10 THEN cents + 11 ELSE cents END AS cents
+        |  FROM survivors
+        |  UNION ALL
+        |  SELECT k + 100000000, 'Z-NEW', cents % 1000 FROM base WHERE k % 13 = 0)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(1 AS BOOLEAN) AS refreshed_incrementally,
+        |  CAST(1 AS BOOLEAN) AS replay_noop,
+        |  CAST(1 AS BOOLEAN) AS files_shared,
+        |  CAST(1 AS BOOLEAN) AS files_replaced
+        |FROM mutated GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q184_mv_refresh", "mv", dir)
+      // ~1000 groups so the mutations below touch a small fraction of
+      // them — the file-sharing evidence needs genuinely untouched
+      // buckets at every fixture scale (dense keys: k % 1000 covers the
+      // whole group range even at sf0.001)
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        (col("o_orderkey") % 1000).cast("string").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Snapshots.publish(s, s"$root/base", base)
+      Mv.create(s, s"$root/mv", s"$root/base",
+        baseKeyCols = Seq("k"), groupCols = Seq("g"), sumCols = Seq("cents"),
+        mvBuckets = 8)
+      val beforeFiles = Snapshots.files(s, s"$root/mv", 1).toSet
+      // one CoW MERGE carrying all three row classes: in-group update
+      // (groups 0-9 bump cents), group move (groups 10/11 drain into
+      // '9-MOVED' — vanished groups), tombstone delete (995-999 vanish)
+      Snapshots.mergeByKey(s, s"$root/base",
+        base.filter(col("k") % 1000 < 10)
+          .withColumn("cents", col("cents") + 11)
+          .unionByName(base.filter(col("k") % 1000 === 10 || col("k") % 1000 === 11)
+            .withColumn("g", lit("9-MOVED")))
+          .withColumn("dead", lit(false))
+          .unionByName(base.filter(col("k") % 1000 >= 995).withColumn("dead", lit(true))),
+        Seq("k"), tombstoneCol = Some("dead"))
+      // plain append: a brand-new group arrives
+      Snapshots.publish(s, s"$root/base",
+        base.filter(col("k") % 13 === 0)
+          .withColumn("k", col("k") + 100000000L)
+          .withColumn("g", lit("Z-NEW"))
+          .withColumn("cents", col("cents") % 1000),
+        append = true)
+      val r1 = Mv.refresh(s, s"$root/mv")
+      val r2 = Mv.refresh(s, s"$root/mv")
+      val afterFiles = Snapshots.files(s, s"$root/mv",
+        Snapshots.versions(s, s"$root/mv").last).toSet
+      Mv.read(s, s"$root/mv")
+        .select(col("g"), col("n_rows"), col("sum_cents"))
+        .withColumn("refreshed_incrementally", lit(r1.mode == "incremental"))
+        .withColumn("replay_noop", lit(r2.mode == "noop"))
+        .withColumn("files_shared", lit((beforeFiles & afterFiles).nonEmpty))
+        .withColumn("files_replaced", lit((beforeFiles -- afterFiles).nonEmpty))
+    },
+
+    // THREE-WAY co-bucketed SPJ — the 100 TB star-join shape: two fact
+    // tables and a dim, all hash-bucket-clustered on the customer key
+    // with the same bucket count, join pairwise with ZERO exchanges —
+    // the first join's output keeps its key-grouped partitioning, so
+    // the second join co-locates against it too (only the final
+    // mktsegment regroup, a different key, legitimately shuffles). The
+    // oracle recomputes the whole star relationally under the hash;
+    // `exchange_free` pins the plan.
+    QueryDef.checked(
+      "q185_three_way_bucket_join",
+      """WITH f AS (SELECT o_custkey AS k, o_orderkey, o_totalprice FROM orders),
+        |u AS (SELECT o_custkey AS k, count(*) AS urgent_cnt FROM orders
+        |      WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |c AS (SELECT c_custkey AS k, c_mktsegment FROM customer)
+        |SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(sum(f.o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(u.urgent_cnt) AS BIGINT) AS urgent_sig,
+        |  CAST(sum(CAST(round(f.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS exchange_free
+        |FROM f JOIN c ON f.k = c.k JOIN u ON f.k = u.k
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q185_three_way_bucket_join", "star_wh", dir)
+      Snapshots.publish(s, s"$wh/fact",
+        t(s, dir, "orders").select(col("o_custkey").as("k"),
+          col("o_orderkey"), col("o_totalprice")),
+        clusterBy = Some("bucket(16, k)"))
+      Snapshots.publish(s, s"$wh/urgent",
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("urgent_cnt")),
+        clusterBy = Some("bucket(16, k)"))
+      Snapshots.publish(s, s"$wh/dim",
+        t(s, dir, "customer").select(col("c_custkey").as("k"), col("c_mktsegment")),
+        clusterBy = Some("bucket(16, k)"))
+      // isolated session: bucket SPJ resolves the V2 `bucket` function
+      // through the catalog; broadcast off so the evidence is the layout
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.q185cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s2.conf.set("spark.sql.catalog.q185cat.warehouse", wh)
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val star = s2.table("q185cat.fact")
+        .join(s2.table("q185cat.dim").hint("merge"), "k")
+        .join(s2.table("q185cat.urgent").hint("merge"), "k")
+      star.count() // finalize the (possibly adaptive) plan
+      val exchangeFree = graft.PlanOps.shuffleCount(star) == 0
+      star.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sig"),
+          sum("urgent_cnt").cast("long").as("urgent_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("exchange_free", lit(exchangeFree))
     }
   )
 }

@@ -247,6 +247,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   //   CALL <catalog>.sys.compact('events', 134217728)
   //   CALL <catalog>.sys.cluster('events', 'region')
   //   CALL <catalog>.sys.history('events')
+  //   CALL <catalog>.sys.create_mv('daily', 'events', 'id', 'day', 'amount', 64)
+  //   CALL <catalog>.sys.refresh_mv('daily')
   //
   // Every procedure resolves its `table` argument through the same
   // warehouse mapping as table reads (namespaces as dots), mutates via
@@ -335,6 +337,38 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       Seq(Array(Snapshots.compact(spark, tableRoot(str(in, 0)),
         targetBytes = in.getLong(2), zorderBy = cols): Any))
+    },
+    // materialized views from plain SQL: create computes the grouped
+    // count/sum over the base's current version and records the refresh
+    // watermark; refresh applies the base's change feed incrementally
+    // (see operators.Mv — O(changes + touched buckets), declared full
+    // fallback) and returns the report row as evidence. The created
+    // view IS a snapshot table under this catalog: SELECT / AS OF /
+    // history all work on it directly.
+    proc("create_mv", Seq("view" -> StringType, "base" -> StringType,
+      "key_columns" -> StringType, "group_columns" -> StringType,
+      "sum_columns" -> StringType, "buckets" -> IntegerType),
+      StructType(Seq(StructField("version", IntegerType, nullable = false)))) { in =>
+      def cols(i: Int): Seq[String] =
+        str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val viewRoot = // the view does not exist yet: segment rules only
+        (warehouse +: validSegments(str(in, 0).split('.').toSeq, "procedure view"))
+          .mkString("/")
+      Seq(Array(graft.operators.Mv.create(spark, viewRoot, tableRoot(str(in, 1)),
+        cols(2), cols(3), cols(4), mvBuckets = in.getInt(5)): Any))
+    },
+    proc("refresh_mv", Seq("view" -> StringType),
+      StructType(Seq(
+        StructField("mode", StringType, nullable = false),
+        StructField("from_version", IntegerType, nullable = false),
+        StructField("to_version", IntegerType, nullable = false),
+        StructField("groups_touched", LongType, nullable = false),
+        StructField("mv_version", IntegerType, nullable = true)))) { in =>
+      val r = graft.operators.Mv.refresh(spark, tableRoot(str(in, 0)))
+      Seq(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.mode),
+        r.fromVersion, r.toVersion, r.groupsTouched,
+        r.mvVersion.map(Int.box).orNull))
     },
     proc("history", Seq("table" -> StringType), historySchema) { in =>
       val df = Snapshots.describeHistory(spark, tableRoot(str(in, 0)))

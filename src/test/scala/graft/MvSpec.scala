@@ -1,0 +1,182 @@
+package graft
+
+import graft.operators.{IncrementalView, Mv, Snapshots}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the managed materialized-view layer: create/refresh equality
+  * against a from-scratch recompute across every CDF row class
+  * (insert / update / delete, new group, vanished group, NULL group,
+  * all-NULL sums), the exactly-once watermark contract (noop replay,
+  * crash-retry), the declared full-refresh fallbacks (expired
+  * watermark, outstanding dvs), and the bucket-layout probe bound —
+  * a one-group refresh carries every untouched bucket's files BY NAME.
+  */
+class MvSpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  private lazy val wh: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-mv")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** A small keyed base: (k PK, g group, v long measure). */
+  private def base(rows: Seq[(Long, String, java.lang.Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "g", "v")
+  }
+
+  private def recompute(root: String): Set[(String, Long, Option[Long])] =
+    collectMv(IncrementalView.countSum(Snapshots.read(spark, root), Seq("g"), Seq("v")))
+
+  private def collectMv(df: DataFrame): Set[(String, Long, Option[Long])] =
+    df.select("g", "n_rows", "sum_v").collect().map { r =>
+      (if (r.isNullAt(0)) "<null>" else r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }.toSet
+
+  test("incremental refresh equals the recompute across insert/update/delete/new/vanished groups") {
+    val b = s"$wh/b1"; val m = s"$wh/m1"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "c", 7L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 8)
+    assert(collectMv(Mv.read(spark, m)) === recompute(b))
+
+    // update (2 moves a→b), delete (4: group c vanishes), insert (5: new
+    // group d, and 6 into a) — one merge with tombstones
+    Snapshots.mergeByKey(spark, b, base(Seq(
+      (2L, "b", 21L), (5L, "d", 100L), (6L, "a", 1L)))
+      .withColumn("dead", lit(false))
+      .unionByName(base(Seq((4L, "c", 0L))).withColumn("dead", lit(true))),
+      Seq("k"), tombstoneCol = Some("dead"))
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "incremental")
+    // touched groups: a (lost 2, gained 6), b (gained 2), c (vanished), d (new)
+    assert(r.groupsTouched === 4L)
+    assert(collectMv(Mv.read(spark, m)) === recompute(b))
+    assert(!Mv.read(spark, m).columns.contains("__gk"))
+  }
+
+  test("NULL group keys and all-NULL sums maintain exactly") {
+    val b = s"$wh/b2"; val m = s"$wh/m2"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, null, 10L), (2L, null, null), (3L, "x", null))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+    assert(collectMv(Mv.read(spark, m)) === recompute(b))
+    // retract the NULL group's only non-null value → its sum returns to
+    // NULL; give x its first non-null → NULL sum becomes a number
+    Snapshots.mergeByKey(spark, b, base(Seq((3L, "x", 8L)))
+      .withColumn("dead", lit(false))
+      .unionByName(base(Seq((1L, null, 0L))).withColumn("dead", lit(true))),
+      Seq("k"), tombstoneCol = Some("dead"))
+    assert(Mv.refresh(spark, m).mode === "incremental")
+    val got = collectMv(Mv.read(spark, m))
+    assert(got === recompute(b))
+    assert(got.contains(("<null>", 1L, None))) // the all-NULL group really is NULL
+    assert(got.contains(("x", 1L, Some(8L))))
+  }
+
+  test("refresh is exactly-once: noop when current, replayed merge commits nothing twice") {
+    val b = s"$wh/b3"; val m = s"$wh/m3"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 1L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"))
+    val r0 = Mv.refresh(spark, m)
+    assert(r0.mode === "noop" && r0.mvVersion.isEmpty)
+    Snapshots.publish(spark, b, base(Seq((2L, "a", 2L))), append = true)
+    val r1 = Mv.refresh(spark, m)
+    assert(r1.mode === "incremental" && r1.mvVersion.isDefined)
+    val vAfter = Snapshots.versions(spark, m).last
+    // crash-retry: the driver re-runs refresh at the same base version —
+    // the batch-id contract publishes nothing
+    val r2 = Mv.refresh(spark, m)
+    assert(r2.mode === "noop")
+    assert(Snapshots.versions(spark, m).last === vAfter)
+    assert(collectMv(Mv.read(spark, m)) === recompute(b))
+  }
+
+  test("expired watermark and outstanding dvs fall back to a DECLARED full refresh") {
+    val b = s"$wh/b4"; val m = s"$wh/m4"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 1L), (2L, "b", 2L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+    Snapshots.publish(spark, b, base(Seq((3L, "b", 3L))), append = true)
+    Snapshots.publish(spark, b, base(Seq((4L, "c", 4L))), append = true)
+    Snapshots.expire(spark, b, keepLast = 1) // v1 (the watermark) is gone
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "full")
+    assert(collectMv(Mv.read(spark, m)) === recompute(b))
+    // the full publish re-records the watermark: next refresh noops
+    assert(Mv.refresh(spark, m).mode === "noop")
+    // a dv at the head (deleteByKey is merge-on-read) also forces full
+    import spark.implicits._
+    Snapshots.deleteByKey(spark, b, Seq(3L).toDF("k"))
+    val r2 = Mv.refresh(spark, m)
+    assert(r2.mode === "full")
+    assert(collectMv(Mv.read(spark, m)) === recompute(b))
+  }
+
+  test("a one-group refresh probes only its bucket: every other bucket's files carry by name") {
+    val b = s"$wh/b5"; val m = s"$wh/m5"
+    // 64 groups over 16 buckets so most buckets are non-empty and the
+    // touched bucket is a strict subset
+    Snapshots.publish(spark, b, base(
+      (1L to 200L).map(i => (i, s"g${i % 64}", java.lang.Long.valueOf(i)))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 16)
+    val before = Snapshots.files(spark, m, Snapshots.versions(spark, m).last)
+    // touch exactly one group
+    Snapshots.mergeByKey(spark, b, base(Seq((1L, "g1", 999L))), Seq("k"))
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "incremental" && r.groupsTouched === 1L)
+    val after = Snapshots.files(spark, m, Snapshots.versions(spark, m).last)
+    val touchedBucket = spark.range(1).select(
+      pmod(hash(md5(to_json(struct(lit("g1").as("g"))))), lit(16)).cast("string"))
+      .head.getString(0)
+    def bucketOf(f: String): Option[String] =
+      "__cluster=([^/]+)/".r.findFirstMatchIn(f).map(_.group(1))
+    // every pre-refresh file OUTSIDE the touched bucket must survive by
+    // name (it was never probed, let alone rewritten)...
+    val untouched = before.filter(f => !bucketOf(f).contains(touchedBucket))
+    assert(untouched.nonEmpty)
+    assert(untouched.forall(after.contains))
+    // ...and the touched bucket's file really was replaced
+    val replaced = before.filter(f => bucketOf(f).contains(touchedBucket))
+    assert(replaced.nonEmpty && replaced.forall(f => !after.contains(f)))
+    assert(collectMv(Mv.read(spark, m)) === recompute(b))
+  }
+
+  test("base compaction is a pure rewrite: zero touched groups, watermark still advances") {
+    val b = s"$wh/b6"; val m = s"$wh/m6"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 1L))))
+    Snapshots.publish(spark, b, base(Seq((2L, "a", 2L))), append = true)
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"))
+    // compaction only: every CDF pair cancels — zero touched groups,
+    // but the watermark must still advance past the rewrite version
+    Snapshots.compact(spark, b)
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "incremental" && r.groupsTouched === 0L)
+    assert(collectMv(Mv.read(spark, m)) === recompute(b))
+    val r1 = Mv.refresh(spark, m)
+    assert(r1.mode === "noop")
+    // real changes after the compaction still apply incrementally
+    Snapshots.publish(spark, b, base(Seq((3L, "b", 3L))), append = true)
+    val r2 = Mv.refresh(spark, m)
+    assert(r2.mode === "incremental" && r2.groupsTouched === 1L)
+    assert(collectMv(Mv.read(spark, m)) === recompute(b))
+  }
+
+  test("definition is validated: non-MV refresh refuses, double create refuses") {
+    val b = s"$wh/b7"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 1L))))
+    val e = intercept[IllegalArgumentException](Mv.refresh(spark, b))
+    assert(e.getMessage.contains("not a materialized view"))
+    val m = s"$wh/m7"
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"))
+    val e2 = intercept[IllegalArgumentException](
+      Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v")))
+    assert(e2.getMessage.contains("already a materialized view"))
+    val d = Mv.definition(spark, m)
+    assert(d.baseRoot === b && d.groupCols === Seq("g") && d.sumCols === Seq("v"))
+  }
+}

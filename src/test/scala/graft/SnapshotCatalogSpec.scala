@@ -321,4 +321,35 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     // a well-formed name still works
     assert(spark.sql("SELECT count(*) FROM snapcat.esc1").head.getLong(0) == 5)
   }
+
+  test("CALL create_mv / refresh_mv: a materialized view maintained from plain SQL") {
+    Snapshots.publish(spark, s"$warehouse/mvbase",
+      orders.select("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val v = spark.sql(
+      "CALL snapcat.sys.create_mv('agg1', 'mvbase', 'o_orderkey', 'o_orderpriority', 'o_totalprice', 8)")
+      .head.getInt(0)
+    assert(v == 1)
+    // the view IS a catalog table: SELECT works, groups match the base
+    val viaSql = spark.sql(
+      "SELECT o_orderpriority, n_rows FROM snapcat.agg1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = orders.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql === expected)
+    // mutate the base THROUGH SQL, refresh THROUGH SQL
+    spark.sql("DELETE FROM snapcat.mvbase WHERE o_orderkey % 2 = 0")
+    val rep = spark.sql("CALL snapcat.sys.refresh_mv('agg1')").head
+    assert(rep.getString(0) === "incremental")
+    assert(rep.getLong(3) > 0) // groups_touched
+    val after = spark.sql(
+      "SELECT o_orderpriority, n_rows FROM snapcat.agg1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedAfter = orders.filter(col("o_orderkey") % 2 =!= 0)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after === expectedAfter)
+    // current → noop
+    assert(spark.sql("CALL snapcat.sys.refresh_mv('agg1')")
+      .head.getString(0) === "noop")
+  }
 }
