@@ -183,6 +183,16 @@ object Mv {
     val baseVs = Snapshots.versions(spark, d.baseRoot)
     require(baseVs.nonEmpty, s"base ${d.baseRoot} has no versions")
     val cur = baseVs.last
+    // the definition must still be satisfiable: schema evolution may
+    // have dropped a grouped/summed/key column — refuse with the
+    // contract, not a raw unresolved-column error mid-plan
+    Snapshots.schemaOf(spark, d.baseRoot, cur).foreach { sch =>
+      val have = sch.fieldNames.toSet
+      val missing = (d.baseKeyCols ++ d.groupCols ++ d.sumCols).filterNot(have)
+      require(missing.isEmpty,
+        s"MV definition references column(s) ${missing.mkString(", ")} that " +
+          s"base ${d.baseRoot} v$cur no longer carries — drop and redefine the MV")
+    }
     if (cur <= w) return Refresh("noop", w, w, 0L, None)
 
     val canDiff = baseVs.contains(w) &&

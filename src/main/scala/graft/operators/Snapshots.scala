@@ -507,7 +507,7 @@ object Snapshots {
   def publish(spark: SparkSession, root: String, df: DataFrame,
       append: Boolean = false, extraHeader: Seq[String] = Nil,
       bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None,
-      sortBy: Option[String] = None): Int = {
+      sortBy: Option[String] = None, stageAs: Option[String] = None): Int = {
     val f = fs(spark, root)
     // canonical spec: trimmed, comma-joined, and NORMALIZED to the frame's
     // own column spelling under the session resolver (default
@@ -645,10 +645,128 @@ object Snapshots {
     }
     commit(f, root, prev.lastOption.getOrElse(0) + 1, base ++ newFiles, Some(schema),
       clusterHeader ++ sortHeader ++ extraHeader ++ baseDvs ++ baseStats ++
-        SnapshotStats.collect(spark, root, newFiles))
+        SnapshotStats.collect(spark, root, newFiles),
+      target = stageAs.map(stagedManifestPath(root, _)))
   }
 
   private val BATCH_HEADER = "#batch="
+  private val BASE_HEADER = "#base="
+  private val STAGED_PREFIX = "staged-"
+
+  private def stagedManifestPath(root: String, token: String): Path =
+    new Path(s"$root/$SNAP_DIR/$STAGED_PREFIX$token")
+
+  private def stagedLines(spark: SparkSession, root: String,
+      token: String): List[String] = {
+    val f = fs(spark, root)
+    val p = stagedManifestPath(root, token)
+    require(f.exists(p), s"no staged publish '$token' under $root")
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** WRITE–AUDIT–PUBLISH, stage step: run the full [[publish]] write
+    * path (same append/cluster/sort/bloom validation, same data-dir
+    * layout, same stats collection) but land the manifest as an
+    * INVISIBLE staged commit instead of a version — readers, history
+    * and time travel see nothing. Audit the candidate with
+    * [[readStaged]] (drive [[Expectations]] over it), then [[promote]]
+    * it into the next version by one atomic rename, or [[abort]] to
+    * reclaim its files. The staged manifest records the base version it
+    * was built against (`#base=`); promote refuses if the table moved —
+    * the audit's conclusions would be about a different table state.
+    *
+    * Staged data files are LIVE to [[vacuum]] (a pending audit can
+    * outlast any grace period); the explicit reclaim is [[abort]], and
+    * [[listStaged]] surfaces pending stages for ops. A base with
+    * outstanding merge-on-read delete vectors refuses an APPEND stage
+    * (the staged read would need the dv probe; materialize first) —
+    * replacement stages don't carry dvs and stage freely. Single-writer
+    * per root, like every publish surface.
+    */
+  def publishStaged(spark: SparkSession, root: String, df: DataFrame,
+      append: Boolean = false, bloomOn: Seq[String] = Nil,
+      clusterBy: Option[String] = None, sortBy: Option[String] = None): String = {
+    val base = versions(spark, root).lastOption.getOrElse(0)
+    require(!append || base == 0 || !hasDeleteVectors(spark, root, base),
+      s"cannot stage an append onto $root: base v$base carries outstanding " +
+        "delete vectors (the staged read would silently resurrect deleted " +
+        "rows) — run materializeDeletes or compact first")
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    publish(spark, root, df, append = append, bloomOn = bloomOn,
+      clusterBy = clusterBy, sortBy = sortBy,
+      extraHeader = Seq(s"$BASE_HEADER$base"), stageAs = Some(token))
+    token
+  }
+
+  /** Pending staged tokens under a root (crash-orphaned stages included
+    * — they hold files live until promoted or aborted).
+    */
+  def listStaged(spark: SparkSession, root: String): Seq[String] = {
+    val dir = new Path(s"$root/$SNAP_DIR")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(STAGED_PREFIX) && !n.endsWith(TMP_SUFFIX))
+      .map(_.drop(STAGED_PREFIX.length)).sorted
+  }
+
+  /** The staged candidate as a frame — the audit surface. Reads exactly
+    * the staged manifest's file list under its recorded schema, like
+    * [[read]] on a committed version.
+    */
+  def readStaged(spark: SparkSession, root: String, token: String): DataFrame = {
+    val lines = stagedLines(spark, root, token)
+    val schema = lines.find(_.startsWith(SCHEMA_HEADER))
+      .map(l => DataType.fromJson(l.drop(SCHEMA_HEADER.length)).asInstanceOf[StructType])
+    readFiles(spark, root, lines.filterNot(_.startsWith("#")), schema,
+      s"staged $token")
+  }
+
+  /** WRITE–AUDIT–PUBLISH, publish step: promote a staged commit to the
+    * next version by ONE atomic manifest rename — the staged bytes
+    * become the version the audit approved, no rewrite. Refuses when
+    * the table advanced past the stage's recorded base version (the
+    * audit examined a combined state that no longer exists).
+    */
+  def promote(spark: SparkSession, root: String, token: String): Int = {
+    val lines = stagedLines(spark, root, token)
+    val base = lines.find(_.startsWith(BASE_HEADER))
+      .map(_.drop(BASE_HEADER.length).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"staged '$token' records no base version — not a publishStaged artifact"))
+    val cur = versions(spark, root).lastOption.getOrElse(0)
+    require(cur == base,
+      s"cannot promote staged '$token': staged against v$base but $root is " +
+        s"now at v$cur — the audited state is stale; abort and re-stage")
+    val f = fs(spark, root)
+    val dest = manifestPath(root, base + 1)
+    if (!f.rename(stagedManifestPath(root, token), dest))
+      throw new java.io.IOException(
+        s"promote of staged '$token' failed: rename to $dest " +
+          "(concurrent publisher? snapshots are single-writer per table)")
+    base + 1
+  }
+
+  /** WRITE–AUDIT–PUBLISH, reject step: delete a staged commit's OWN data
+    * files (those no committed version references — an append stage
+    * shares its base's files, which stay) and its manifest. Returns the
+    * number of data files reclaimed.
+    */
+  def abort(spark: SparkSession, root: String, token: String): Long = {
+    val lines = stagedLines(spark, root, token)
+    val staged = lines.filterNot(_.startsWith("#")).toSet
+    val committed = versions(spark, root)
+      .flatMap(v => files(spark, root, v)).toSet
+    val f = fs(spark, root)
+    var n = 0L
+    (staged -- committed).foreach { rel =>
+      if (f.delete(new Path(s"$root/$rel"), false)) n += 1
+    }
+    f.delete(stagedManifestPath(root, token), false)
+    n
+  }
 
   /** The most recent streaming batch id committed under `root` (scans
     * manifests newest-first; bounded by version count, not data).
@@ -879,7 +997,8 @@ object Snapshots {
   }
 
   private def commit(f: FileSystem, root: String, v: Int, list: Seq[String],
-      schema: Option[StructType], statsLines: Seq[String] = Nil): Int = {
+      schema: Option[StructType], statsLines: Seq[String] = Nil,
+      target: Option[Path] = None): Int = {
     // Per-file sequence numbers, PERSISTED in the manifest: carried
     // `#seq=` lines keep their version for shared files; any listed file
     // without one is first seen HERE and stamps `v`. Persisted (not
@@ -891,17 +1010,17 @@ object Snapshots {
     val haveSeq = statsLines.filter(_.startsWith(SEQ_HEADER))
       .map(statsLineFile).toSet
     val newSeq = list.filterNot(haveSeq).map(fl => s"$SEQ_HEADER$fl\t$v")
-    val target = manifestPath(root, v)
-    val tmp = new Path(target.toString + TMP_SUFFIX)
-    f.mkdirs(target.getParent)
+    val dest = target.getOrElse(manifestPath(root, v))
+    val tmp = new Path(dest.toString + TMP_SUFFIX)
+    f.mkdirs(dest.getParent)
     val header = schema.map(s => SCHEMA_HEADER + s.json + "\n").getOrElse("") +
       (kept ++ newSeq).map(_ + "\n").mkString
     val out = f.create(tmp, true)
     try out.write((header + list.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!f.rename(tmp, target))
+    if (!f.rename(tmp, dest))
       throw new java.io.IOException(
-        s"commit of snapshot v$v failed: rename $tmp -> $target " +
+        s"commit of snapshot v$v failed: rename $tmp -> $dest " +
           "(concurrent publisher? snapshots are single-writer per table)")
     v
   }
@@ -1161,11 +1280,15 @@ object Snapshots {
     if (!f.exists(new Path(s"$root/data"))) return 0L
     // live = data files of every version PLUS outstanding delete-vector
     // key files (they live under data/ too and are load-bearing until
-    // materialized)
-    val referenced = versions(spark, root)
+    // materialized) PLUS files of pending STAGED commits — a
+    // write-audit-publish candidate can outlast any grace period, so
+    // its reclaim is the explicit [[abort]], never the sweep
+    val referenced = (versions(spark, root)
       .flatMap(v => files(spark, root, v) ++
         dvLinesOf(spark, root, v).map(l =>
-          l.drop(DV_HEADER.length).takeWhile(_ != '\t'))).toSet
+          l.drop(DV_HEADER.length).takeWhile(_ != '\t'))) ++
+      listStaged(spark, root).flatMap(t =>
+        stagedLines(spark, root, t).filterNot(_.startsWith("#")))).toSet
     val refDf = referenced.toSeq.toDF("name")
     val onDisk = FileManifest.listTree(spark, s"$root/data")
       .filter(col("mtime") < lit(new java.sql.Timestamp(cutoff)))

@@ -521,6 +521,65 @@ object Extras8 {
           sum("urgent_cnt").cast("long").as("urgent_sig"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
         .withColumn("exchange_free", lit(exchangeFree))
+    },
+
+    // WRITE–AUDIT–PUBLISH: a corrupted candidate batch stages
+    // INVISIBLY (readers and history see nothing), fails its
+    // Expectations gate, and aborts with its files reclaimed and the
+    // table bit-intact; the clean batch then stages, passes the same
+    // gate, and promotes by ONE atomic manifest rename. The oracle is
+    // the full relational result — the hash certifies that exactly the
+    // audited rows landed and none of the rejected ones; flags pin
+    // each WAP step.
+    QueryDef.checked(
+      "q186_write_audit_publish",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS staged_invisible,
+        |  CAST(1 AS BOOLEAN) AS audit_rejected,
+        |  CAST(1 AS BOOLEAN) AS abort_clean,
+        |  CAST(1 AS BOOLEAN) AS promoted_visible
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Expectations
+      val root = freshRoot(s, "q186_write_audit_publish", "wap", dir)
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val evens = ord.filter(col("o_orderkey") % 2 === 0)
+      val odds = ord.filter(col("o_orderkey") % 2 === 1)
+      Snapshots.publish(s, root, evens)
+      val baseCount = Snapshots.read(s, root).count()
+      val checks = Seq(
+        Expectations.NotNull("o_orderpriority"),
+        Expectations.Satisfies("price_positive", col("o_totalprice") > 0))
+      // candidate 1: a corrupted batch — audit must reject it
+      val badToken = Snapshots.publishStaged(s, root,
+        odds.withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice"))), append = true)
+      val stagedInvisible = Snapshots.read(s, root).count() == baseCount &&
+        Snapshots.versions(s, root) == Seq(1)
+      val auditRejected =
+        try { Expectations.gate(Snapshots.readStaged(s, root, badToken), checks); false }
+        catch { case _: IllegalStateException => true }
+      Snapshots.abort(s, root, badToken)
+      val abortClean = Snapshots.versions(s, root) == Seq(1) &&
+        Snapshots.listStaged(s, root).isEmpty &&
+        Snapshots.read(s, root).count() == baseCount
+      // candidate 2: the clean batch — audit passes, promote lands it
+      val okToken = Snapshots.publishStaged(s, root, odds, append = true)
+      Expectations.gate(Snapshots.readStaged(s, root, okToken), checks)
+      val v = Snapshots.promote(s, root, okToken)
+      val promotedVisible = Snapshots.versions(s, root) == Seq(1, v)
+      Snapshots.read(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("staged_invisible", lit(stagedInvisible))
+        .withColumn("audit_rejected", lit(auditRejected))
+        .withColumn("abort_clean", lit(abortClean))
+        .withColumn("promoted_visible", lit(promotedVisible))
     }
   )
 }

@@ -179,4 +179,15 @@ class MvSpec extends AnyFunSuite {
     val d = Mv.definition(spark, m)
     assert(d.baseRoot === b && d.groupCols === Seq("g") && d.sumCols === Seq("v"))
   }
+
+  test("base dropping a summed column refuses refresh with the contract") {
+    val b = s"$wh/b8"; val m = s"$wh/m8"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 1L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"))
+    Snapshots.evolveSchema(spark, b,
+      org.apache.spark.sql.types.StructType(
+        Snapshots.read(spark, b).schema.fields.filterNot(_.name == "v")))
+    val e = intercept[IllegalArgumentException](Mv.refresh(spark, m))
+    assert(e.getMessage.contains("no longer carries"))
+  }
 }
