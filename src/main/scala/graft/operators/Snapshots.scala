@@ -712,6 +712,17 @@ object Snapshots {
       .map(_.drop(STAGED_PREFIX.length)).sorted
   }
 
+  /** Pending stages summarized for ops: (token, base version, file
+    * count) per staged manifest — driver metadata only.
+    */
+  def stagedSummary(spark: SparkSession, root: String): Seq[(String, Int, Int)] =
+    listStaged(spark, root).map { t =>
+      val lines = stagedLines(spark, root, t)
+      val base = lines.find(_.startsWith(BASE_HEADER))
+        .map(_.drop(BASE_HEADER.length).toInt).getOrElse(-1)
+      (t, base, lines.count(!_.startsWith("#")))
+    }
+
   /** The staged candidate as a frame — the audit surface. Reads exactly
     * the staged manifest's file list under its recorded schema, like
     * [[read]] on a committed version.

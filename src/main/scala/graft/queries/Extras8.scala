@@ -580,6 +580,66 @@ object Extras8 {
         .withColumn("audit_rejected", lit(auditRejected))
         .withColumn("abort_clean", lit(abortClean))
         .withColumn("promoted_visible", lit(promotedVisible))
+    },
+
+    // SQL METADATA TABLES: `t.files` / `t.history` answer the ops
+    // questions (how many files, how big, what landed when) from
+    // manifest lines alone — the flags prove the metadata is EXACT
+    // against the data it describes: per-file `#rows=` lines sum to the
+    // real row count, every file carries a byte length, the clustered
+    // layout's split dirs surface, and history classifies the
+    // load + append operation sequence. The oracle recomputes the real
+    // aggregate the metadata must agree with.
+    QueryDef.checked(
+      "q187_metadata_tables",
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS meta_rows_exact,
+        |  CAST(1 AS BOOLEAN) AS meta_bytes_complete,
+        |  CAST(1 AS BOOLEAN) AS cluster_dirs_surfaced,
+        |  CAST(1 AS BOOLEAN) AS history_classified
+        |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q187_metadata_tables", "meta_wh", dir)
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      Snapshots.publish(s, s"$wh/t",
+        ord.filter(col("o_orderkey") % 2 === 0),
+        clusterBy = Some("o_orderpriority"))
+      Snapshots.publish(s, s"$wh/t",
+        ord.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 0),
+        append = true)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.q187cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s2.conf.set("spark.sql.catalog.q187cat.warehouse", wh)
+      val meta = s2.sql(
+        """SELECT sum(rows) AS r, count(*) AS f,
+          |  sum(CASE WHEN bytes IS NULL THEN 1 ELSE 0 END) AS unsized,
+          |  count(DISTINCT cluster_dir) AS dirs
+          |FROM q187cat.t.files""".stripMargin).head()
+      val table = s2.table("q187cat.t")
+      val realCount = table.count()
+      val metaRowsExact = !meta.isNullAt(0) && meta.getLong(0) == realCount
+      val metaBytesComplete = meta.getLong(2) == 0L
+      // v1 wrote one dir per priority; the append's files are dirless
+      val clusterDirs = meta.getLong(3) == 5L
+      val hist = s2.sql(
+        "SELECT operation FROM q187cat.t.history ORDER BY version").collect()
+        .map(_.getString(0)).toSeq
+      val historyClassified = hist.length == 2 && hist.last == "append"
+      table.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("meta_rows_exact", lit(metaRowsExact))
+        .withColumn("meta_bytes_complete", lit(metaBytesComplete))
+        .withColumn("cluster_dirs_surfaced", lit(clusterDirs))
+        .withColumn("history_classified", lit(historyClassified))
     }
   )
 }

@@ -106,13 +106,88 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
     val vs = scala.util.Try(Snapshots.versions(spark, root)).getOrElse(Nil)
-    if (vs.isEmpty) throw new NoSuchTableException(ident)
+    if (vs.isEmpty)
+      // Iceberg-style METADATA TABLES as a dotted suffix — `t.files`,
+      // `t.history`, `t.staged` — resolved only when no real table
+      // shadows the name (real tables always win)
+      return metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
     // latest is NOT pinned: each scan of the returned table re-resolves,
     // so a long-lived cached table keeps seeing new publishes
     val schema = Snapshots.schemaOf(spark, root, vs.last).getOrElse(
       throw new IllegalStateException(s"v${vs.last} under $root records no schema header"))
     new SnapshotTable(schema, root, Map.empty)
   }
+
+  /** `SELECT * FROM cat.t.files | t.history | t.staged` — bounded
+    * manifest-resident ops metadata as queryable tables: the version's
+    * file inventory (manifest `#bytes=`/`#rows=` lines, cluster split
+    * dir — zero file opens), the commit history ([[Snapshots
+    * .describeHistory]]), and pending write–audit–publish stages.
+    * Driver-materialized LocalScans: every row set is bounded by file /
+    * version / stage count, never data.
+    */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (!Set("files", "history", "staged")(kind) || ident.namespace().isEmpty)
+      return None
+    val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
+    val root = scala.util.Try(rootOf(parent)).getOrElse(return None)
+    val vs = scala.util.Try(Snapshots.versions(spark, root)).getOrElse(Nil)
+    if (vs.isEmpty) return None
+    val qual = s"${parent.name()}.$kind"
+    Some(kind match {
+      case "files" =>
+        val v = vs.last
+        val bytes = Snapshots.byteCountsOf(spark, root, v)
+        val rows = Snapshots.rowCountsOf(spark, root, v)
+        val dirRe = "__cluster=([^/]+)/".r
+        localTable(qual, StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("bytes", LongType, nullable = true),
+          StructField("rows", LongType, nullable = true),
+          StructField("cluster_dir", StringType, nullable = true))),
+          Snapshots.files(spark, root, v).map { fl =>
+            Array[Any](UTF8String.fromString(fl),
+              bytes.get(fl).map(Long.box).orNull,
+              rows.get(fl).map(Long.box).orNull,
+              dirRe.findFirstMatchIn(fl)
+                .map(m => UTF8String.fromString(m.group(1))).orNull)
+          })
+      case "history" =>
+        localTable(qual, historySchema, historyRows(root))
+      case "staged" =>
+        localTable(qual, StructType(Seq(
+          StructField("token", StringType, nullable = false),
+          StructField("base_version", IntegerType, nullable = false),
+          StructField("n_files", IntegerType, nullable = false))),
+          Snapshots.stagedSummary(spark, root).map { case (t, b, n) =>
+            Array[Any](UTF8String.fromString(t), b, n)
+          })
+    })
+  }
+
+  private def localTable(tblName: String, tblSchema: StructType,
+      rows: Seq[Array[Any]]): Table =
+    new Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+      override def name(): String = tblName
+      override def schema(): StructType = tblSchema
+      override def capabilities(): java.util.Set[
+          org.apache.spark.sql.connector.catalog.TableCapability] =
+        java.util.Set.of(
+          org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap)
+          : org.apache.spark.sql.connector.read.ScanBuilder = {
+        val out = rows.map(vs =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+            : InternalRow).toArray
+        () => new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = tblSchema
+          override def description(): String = s"graft-snapshot metadata $tblName"
+          override def rows(): Array[InternalRow] = out
+        }
+      }
+    }
 
   /** `FOR VERSION AS OF v` */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -371,15 +446,22 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         r.mvVersion.map(Int.box).orNull))
     },
     proc("history", Seq("table" -> StringType), historySchema) { in =>
-      val df = Snapshots.describeHistory(spark, tableRoot(str(in, 0)))
-      // bounded: one row per retained version
-      df.selectExpr(historySchema.fieldNames.toIndexedSeq: _*).collect().map { r =>
-        Array[Any](r.getInt(0), r.getInt(1),
-          if (r.isNullAt(2)) null else r.getLong(2),
-          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(3)))
-      }.toSeq
+      historyRows(tableRoot(str(in, 0)))
     }
   ).map(p => p.name() -> p).toMap
+
+  /** The table's history in [[historySchema]] shape — shared by the
+    * `history` procedure and the `t.history` metadata table. Bounded:
+    * one row per retained version.
+    */
+  private def historyRows(root: String): Seq[Array[Any]] = {
+    val df = Snapshots.describeHistory(spark, root)
+    df.selectExpr(historySchema.fieldNames.toIndexedSeq: _*).collect().map { r =>
+      Array[Any](r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(3)))
+    }.toSeq
+  }
 
   private def historySchema: StructType =
     StructType(Seq(

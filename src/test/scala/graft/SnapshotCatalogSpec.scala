@@ -352,4 +352,37 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(spark.sql("CALL snapcat.sys.refresh_mv('agg1')")
       .head.getString(0) === "noop")
   }
+
+  test("metadata tables: t.files / t.history / t.staged from plain SQL") {
+    Snapshots.publish(spark, s"$warehouse/meta1",
+      orders.repartition(3), clusterBy = Some("o_orderpriority"))
+    Snapshots.publish(spark, s"$warehouse/meta1", orders.limit(10), append = true)
+    // files: one row per manifest-listed file, bytes+rows from the
+    // manifest, cluster split dir surfaced
+    val files = spark.sql("SELECT * FROM snapcat.meta1.files").collect()
+    assert(files.length === Snapshots.files(spark, s"$warehouse/meta1", 2).size)
+    assert(files.forall(r => !r.isNullAt(1) && r.getLong(1) > 0)) // bytes
+    assert(files.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum ===
+      orders.count() + 10)
+    assert(files.exists(!_.isNullAt(3))) // v1's cluster dirs
+    // history: one row per version, operations classified
+    val hist = spark.sql(
+      "SELECT version, operation FROM snapcat.meta1.history ORDER BY version")
+      .collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(hist.last.getString(1) === "append")
+    // staged: pending WAP candidates visible, gone after promote
+    val token = Snapshots.publishStaged(spark, s"$warehouse/meta1",
+      orders.limit(5), append = true)
+    val staged = spark.sql("SELECT * FROM snapcat.meta1.staged").collect()
+    assert(staged.length === 1 && staged.head.getString(0) === token &&
+      staged.head.getInt(1) === 2)
+    Snapshots.promote(spark, s"$warehouse/meta1", token)
+    assert(spark.sql("SELECT * FROM snapcat.meta1.staged").collect().isEmpty)
+    // a REAL table always shadows the metadata suffix
+    Snapshots.publish(spark, s"$warehouse/meta2", orders.limit(3))
+    Snapshots.publish(spark, s"$warehouse/meta2/files", orders.limit(7))
+    assert(spark.sql("SELECT count(*) FROM snapcat.meta2.files")
+      .head.getLong(0) === 7)
+  }
 }
