@@ -80,6 +80,47 @@ object FileMigrate {
     Result(counts.map(_._1).sum, counts.map(_._2).sum)
   }
 
+  /** Copy an explicit RELATIVE file list from `srcRoot` to `destRoot`,
+    * preserving each relative path — the version-pinned sibling of
+    * [[copyTree]] (a snapshot clone copies exactly one manifest's files,
+    * not the whole multi-version data tree). Same executor-parallel
+    * bounded-buffer copy loop; missing sources fail the job loudly.
+    */
+  def copyList(spark: SparkSession, srcRoot: String, destRoot: String,
+      rel: Seq[String]): Result = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val confProps = {
+      val it = hconf.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      spark.sparkContext.broadcast(b.result())
+    }
+    val (src, dst) = (srcRoot, destRoot)
+    val counts = rel.toDS()
+      .repartition(math.max(1, math.min(rel.size,
+        spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        val conf = new Configuration(false)
+        confProps.value.foreach { case (k, v) => conf.set(k, v) }
+        var nFiles = 0L
+        var nBytes = 0L
+        it.foreach { r =>
+          val from = new Path(s"$src/$r")
+          val to = new Path(s"$dst/$r")
+          val fs = from.getFileSystem(conf)
+          val len = fs.getFileStatus(from).getLen
+          val in = fs.open(from)
+          val out = to.getFileSystem(conf).create(to, true)
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, true)
+          nFiles += 1
+          nBytes += len
+        }
+        Iterator((nFiles, nBytes))
+      }.collect() // bounded: one (count, bytes) row per task
+    Result(counts.map(_._1).sum, counts.map(_._2).sum)
+  }
+
   /** True iff src and dest trees carry identical (relative path, length)
     * manifests — the reference's post-copy checkFile pass.
     */

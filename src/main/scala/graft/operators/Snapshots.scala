@@ -712,6 +712,48 @@ object Snapshots {
       .map(_.drop(STAGED_PREFIX.length)).sorted
   }
 
+  /** Deep CLONE / export: copy ONE version's files (executor-parallel,
+    * bounded-buffer — [[FileMigrate.copyList]]) to a fresh root and
+    * commit them as its v1, with every line of manifest metadata the
+    * files justify carried verbatim — column stats, row counts, byte
+    * lengths, cluster and sort layout headers (relative paths are
+    * preserved, and the bytes are identical, so the attestations hold
+    * at the destination: a clone of an SPJ-ready table is SPJ-ready).
+    * Sequence numbers restamp at v1 and batch/base headers drop — the
+    * clone is a fresh single-version table with its own history, fully
+    * independent of the source (expire/vacuum on either side cannot
+    * touch the other). The backup / environment-promotion / migration
+    * verb; time-travel history intentionally does NOT copy (export the
+    * versions you need by cloning each).
+    *
+    * Refuses a version with outstanding merge-on-read delete vectors
+    * (the copied files would resurrect deleted rows — materialize or
+    * compact first) and a destination that already has versions.
+    * Returns (files copied, bytes copied).
+    */
+  def cloneTo(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Int] = None): (Long, Long) = {
+    val vs = versions(spark, srcRoot)
+    require(vs.nonEmpty, s"no snapshots published under $srcRoot")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v does not exist under $srcRoot")
+    requireMaterialized(spark, srcRoot, v, "cloneTo")
+    require(versions(spark, dstRoot).isEmpty,
+      s"clone destination $dstRoot already has published versions")
+    val rel = files(spark, srcRoot, v)
+    val copied = FileMigrate.copyList(spark, srcRoot, dstRoot, rel)
+    require(copied.filesCopied == rel.size,
+      s"clone copied ${copied.filesCopied} of ${rel.size} files")
+    val carried = statsLinesOf(spark, srcRoot, v)
+      .filterNot(_.startsWith(SEQ_HEADER)) // first-seen restamps at v1
+    val f = fs(spark, dstRoot)
+    commit(f, dstRoot, 1, rel, schemaOf(spark, srcRoot, v),
+      clusterOf(spark, srcRoot, v).map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        sortOf(spark, srcRoot, v).map(s => s"$SORT_HEADER$s").toSeq ++
+        carried)
+    (copied.filesCopied, copied.bytesCopied)
+  }
+
   /** Pending stages summarized for ops: (token, base version, file
     * count) per staged manifest — driver metadata only.
     */

@@ -640,6 +640,54 @@ object Extras8 {
         .withColumn("meta_bytes_complete", lit(metaBytesComplete))
         .withColumn("cluster_dirs_surfaced", lit(clusterDirs))
         .withColumn("history_classified", lit(historyClassified))
+    },
+
+    // DEEP CLONE / EXPORT: one version's files copy executor-parallel
+    // to a fresh root whose v1 carries every manifest attestation the
+    // identical bytes justify — the oracle hash certifies the cloned
+    // rows, and the flags pin that stats (exact metadata row count at
+    // the destination with zero file opens), byte inventories, and the
+    // SPJ-ready cluster layout all carried, with a fresh single-version
+    // history fully independent of the source lifecycle.
+    QueryDef.checked(
+      "q188_snapshot_clone",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS stats_carried,
+        |  CAST(1 AS BOOLEAN) AS bytes_carried,
+        |  CAST(1 AS BOOLEAN) AS layout_carried,
+        |  CAST(1 AS BOOLEAN) AS history_fresh,
+        |  CAST(1 AS BOOLEAN) AS survives_source_vacuum
+        |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q188_snapshot_clone", "clone", dir)
+      val src = s"$root/src"; val dst = s"$root/dst"
+      val evens = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .filter(col("o_orderkey") % 2 === 0)
+      Snapshots.publish(s, src, evens, clusterBy = Some("o_orderpriority"))
+      Snapshots.publish(s, src, evens.limit(0), append = false) // v2 head moves
+      Snapshots.cloneTo(s, src, dst, Some(1))
+      val realCount = Snapshots.read(s, dst).count()
+      val statsCarried = Snapshots.countRows(s, dst).contains(realCount)
+      val bytesCarried =
+        Snapshots.byteCountsOf(s, dst, 1) == Snapshots.byteCountsOf(s, src, 1)
+      val layoutCarried = Snapshots.clusterOf(s, dst, 1).contains("o_orderpriority")
+      val historyFresh = Snapshots.versions(s, dst) == Seq(1)
+      // the exported version outlives the source's entire lifecycle
+      Snapshots.expire(s, src, keepLast = 1)
+      Snapshots.vacuum(s, src, graceMs = 0L)
+      val survives = Snapshots.read(s, dst).count() == realCount
+      Snapshots.read(s, dst)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("stats_carried", lit(statsCarried))
+        .withColumn("bytes_carried", lit(bytesCarried))
+        .withColumn("layout_carried", lit(layoutCarried))
+        .withColumn("history_fresh", lit(historyFresh))
+        .withColumn("survives_source_vacuum", lit(survives))
     }
   )
 }

@@ -413,6 +413,20 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       Seq(Array(Snapshots.compact(spark, tableRoot(str(in, 0)),
         targetBytes = in.getLong(2), zorderBy = cols): Any))
     },
+    // deep clone / export: one version's files copied executor-parallel
+    // to a fresh table with stats and layout headers carried (version
+    // <= 0 means latest) — the backup / environment-promotion verb
+    proc("clone", Seq("src" -> StringType, "dst" -> StringType,
+      "version" -> IntegerType),
+      StructType(Seq(StructField("files", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false)))) { in =>
+      val dstRoot =
+        (warehouse +: validSegments(str(in, 1).split('.').toSeq, "procedure dst"))
+          .mkString("/")
+      val ver = if (in.getInt(2) <= 0) None else Some(in.getInt(2))
+      val (nf, nb) = Snapshots.cloneTo(spark, tableRoot(str(in, 0)), dstRoot, ver)
+      Seq(Array[Any](nf, nb))
+    },
     // materialized views from plain SQL: create computes the grouped
     // count/sum over the base's current version and records the refresh
     // watermark; refresh applies the base's change feed incrementally

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Snapshots
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins deep clone / export: byte-identical data at the destination,
+  * every manifest attestation carried (stats, rows, bytes, cluster and
+  * sort layout), fresh single-version history, full independence from
+  * the source lifecycle, version pinning, and the refusal matrix
+  * (dv-carrying versions, existing destinations).
+  */
+class CloneSpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  private lazy val wh: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-clone")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def orders = Tables.load(spark, sf, "orders")
+    .select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+  test("clone carries rows, stats, and layout; history is fresh; reads are equal") {
+    val src = s"$wh/src1"; val dst = s"$wh/dst1"
+    Snapshots.publish(spark, src, orders.filter(col("o_orderkey") % 2 === 0),
+      clusterBy = Some("o_orderpriority"))
+    Snapshots.publish(spark, src, orders.filter(col("o_orderkey") % 2 === 1),
+      append = true)
+    val (nf, nb) = Snapshots.cloneTo(spark, src, dst)
+    assert(nf === Snapshots.files(spark, src, 2).size.toLong && nb > 0)
+    // fresh single-version history; identical rows
+    assert(Snapshots.versions(spark, dst) === Seq(1))
+    assert(Snapshots.read(spark, dst).collect().toSet ===
+      Snapshots.read(spark, src).collect().toSet)
+    // manifest metadata carried verbatim: per-file rows and bytes answer
+    // without opening a single data file
+    assert(Snapshots.countRows(spark, dst) ===
+      Some(Snapshots.read(spark, src).count()))
+    assert(Snapshots.byteCountsOf(spark, dst, 1) ===
+      Snapshots.byteCountsOf(spark, src, 2))
+    // v1's cluster attestation does NOT carry (the append dropped it at
+    // the source head — the clone reflects the cloned version exactly)
+    assert(Snapshots.clusterOf(spark, dst, 1) ===
+      Snapshots.clusterOf(spark, src, 2))
+  }
+
+  test("cloning a clustered version keeps the layout SPJ-ready at the destination") {
+    val src = s"$wh/src2"; val dst = s"$wh/dst2"
+    Snapshots.publish(spark, src, orders, clusterBy = Some("o_orderpriority"))
+    Snapshots.cloneTo(spark, src, dst)
+    assert(Snapshots.clusterOf(spark, dst, 1).contains("o_orderpriority"))
+    // the scan proves the layout from the carried stats (no re-derive)
+    val df = spark.read.format("graft-snapshot").option("root", dst).load()
+    assert(df.groupBy("o_orderpriority").count().collect().map(_.getLong(1)).sum
+      === orders.count())
+  }
+
+  test("version pinning: the clone is the pinned version, not the head") {
+    val src = s"$wh/src3"; val dst = s"$wh/dst3"
+    Snapshots.publish(spark, src, orders.limit(100))
+    Snapshots.publish(spark, src, orders.limit(250))
+    Snapshots.cloneTo(spark, src, dst, Some(1))
+    assert(Snapshots.read(spark, dst).count() === 100)
+  }
+
+  test("independence: source expire+vacuum cannot touch the clone") {
+    val src = s"$wh/src4"; val dst = s"$wh/dst4"
+    Snapshots.publish(spark, src, orders.limit(100))
+    Snapshots.publish(spark, src, orders.limit(30)) // replacement
+    Snapshots.cloneTo(spark, src, dst, Some(1))
+    Snapshots.expire(spark, src, keepLast = 1)
+    Snapshots.vacuum(spark, src, graceMs = 0L)
+    assert(Snapshots.read(spark, dst).count() === 100)
+  }
+
+  test("refusals: dv-carrying version, existing destination") {
+    val src = s"$wh/src5"; val dst = s"$wh/dst5"
+    Snapshots.publish(spark, src, orders.limit(50))
+    import spark.implicits._
+    Snapshots.deleteByKey(spark, src,
+      orders.limit(5).select("o_orderkey"))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.cloneTo(spark, src, dst))
+    assert(e.getMessage.contains("delete vectors"))
+    // the PRE-dv version clones fine
+    Snapshots.cloneTo(spark, src, dst, Some(1))
+    assert(Snapshots.read(spark, dst).count() === 50)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.cloneTo(spark, src, dst, Some(1)))
+    assert(e2.getMessage.contains("already has published versions"))
+  }
+}
