@@ -83,6 +83,48 @@ object Expectations {
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
+  /** Per-ROW violation predicate for a check. [[Unique]] marks EVERY
+    * row of a duplicated key tuple (one window shuffle on the key —
+    * dropping all copies is what makes the surviving side actually
+    * unique; keeping "the first" would be a silent arbitrary choice).
+    */
+  private def rowViolation(c: Check): Column = c match {
+    case NotNull(col0) => col(col0).isNull
+    case Unique(cols) =>
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(cols.map(col): _*)) > 1
+    case InRange(col0, lo, hi) =>
+      col(col0).isNull || col(col0) < lo || col(col0) > hi
+    case InSet(col0, values) =>
+      !coalesce(col(col0).isin(values.map(v => v: Any): _*), lit(false))
+    case Satisfies(_, pred) => !coalesce(pred, lit(false))
+  }
+
+  /** Row-level QUARANTINE split — the dead-letter idiom: `(good, bad)`
+    * where `bad` carries a `violation` column naming the FIRST failing
+    * check in declaration order (the [[FilterPipeline]] first-failing-
+    * gate discipline; a row violating several checks is counted once,
+    * so per-violation tallies over `bad` can differ from [[report]]'s
+    * independent per-check counts). good ∪ bad ≡ the input, and
+    * [[report]] over `good` passes every check by construction —
+    * publish `good`, land `bad` in a quarantine table with its reasons,
+    * and nothing is silently dropped. One pass; plus one window shuffle
+    * per [[Unique]] check.
+    */
+  def split(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
+    require(checks.nonEmpty, "at least one check required")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_.name)}")
+    require(!df.columns.contains("violation"),
+      "input already has a 'violation' column")
+    val firstBad = checks.foldRight(lit(null).cast("string")) { (c, acc) =>
+      when(rowViolation(c), lit(c.name)).otherwise(acc)
+    }
+    val flagged = df.withColumn("violation", firstBad)
+    (flagged.filter(col("violation").isNull).drop("violation"),
+      flagged.filter(col("violation").isNotNull))
+  }
+
   /** Gate form: returns `df` untouched if every check passes, else
     * throws with the failing report rows — the "refuse to publish a bad
     * corpus drop" composition. The report aggregate is a separate

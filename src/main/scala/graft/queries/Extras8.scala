@@ -688,6 +688,69 @@ object Extras8 {
         .withColumn("layout_carried", lit(layoutCarried))
         .withColumn("history_fresh", lit(historyFresh))
         .withColumn("survives_source_vacuum", lit(survives))
+    },
+
+    // ROW-LEVEL QUARANTINE (dead-letter) split: a corrupted feed —
+    // injected NULL groups, negative prices, duplicated keys — splits
+    // into a clean side that passes EVERY expectation and a quarantine
+    // side where each row names its FIRST failing check (declaration
+    // order; both copies of a duplicated key quarantine, which is what
+    // makes the survivor side actually unique). The oracle replays the
+    // whole classification — injection, first-failing CASE, the
+    // duplicate window — relationally, so the hash certifies that not
+    // one row was silently dropped or mis-attributed.
+    QueryDef.checked(
+      "q189_quarantine_split",
+      """WITH inj AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_orderpriority END AS pri,
+        |    CASE WHEN o_orderkey % 19 = 0 THEN -o_totalprice ELSE o_totalprice END AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_orderpriority END,
+        |    CASE WHEN o_orderkey % 19 = 0 THEN -o_totalprice ELSE o_totalprice END
+        |  FROM orders WHERE o_orderkey % 23 = 0),
+        |cls AS (
+        |  SELECT pri, price, CASE
+        |    WHEN pri IS NULL THEN 'not_null:pri'
+        |    WHEN NOT (price > 0) THEN 'satisfies:price_positive'
+        |    WHEN count(*) OVER (PARTITION BY k) > 1 THEN 'unique:k'
+        |    END AS violation
+        |  FROM inj)
+        |SELECT grp, CAST(n AS BIGINT) AS n, CAST(cents AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS partition_exact,
+        |  CAST(1 AS BOOLEAN) AS survivors_pass_all
+        |FROM (
+        |  SELECT pri AS grp, count(*) AS n,
+        |    sum(CAST(round(price * 100) AS BIGINT)) AS cents
+        |  FROM cls WHERE violation IS NULL GROUP BY 1
+        |  UNION ALL
+        |  SELECT violation, count(*), 0 FROM cls
+        |  WHERE violation IS NOT NULL GROUP BY 1) u""".stripMargin) { (s, dir) =>
+      import graft.operators.Expectations
+      val inj0 = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 17 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("pri"),
+        when(col("o_orderkey") % 19 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("price"))
+      val inj = inj0.unionAll(inj0.filter(col("k") % 23 === 0))
+      val checks = Seq(
+        Expectations.NotNull("pri"),
+        Expectations.Satisfies("price_positive", col("price") > 0),
+        Expectations.Unique(Seq("k")))
+      val (good, bad) = Expectations.split(inj, checks)
+      val partitionExact = good.count() + bad.count() == inj.count()
+      val survivorsPass =
+        Expectations.report(good, checks).filter(!col("passed")).isEmpty
+      good.groupBy(col("pri").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("price") * 100).cast("long")).as("cents"))
+        .unionByName(bad.groupBy(col("violation").as("grp"))
+          .agg(count(lit(1)).as("n"), lit(0L).as("cents")))
+        .withColumn("partition_exact", lit(partitionExact))
+        .withColumn("survivors_pass_all", lit(survivorsPass))
     }
   )
 }

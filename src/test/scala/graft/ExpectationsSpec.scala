@@ -61,6 +61,35 @@ class ExpectationsSpec extends AnyFunSuite {
       Expectations.report(df, Seq(NotNull("tag"), NotNull("tag"))))
   }
 
+  test("split quarantines exactly the violating rows, first failing check named") {
+    val checks = Seq(
+      NotNull("tag"),
+      Unique(Seq("id")),
+      InRange("score", lit(0.0), lit(10.0)))
+    val (good, bad) = Expectations.split(df, checks)
+    // exact partition, nothing dropped
+    assert(good.count() + bad.count() === df.count())
+    // the surviving side passes EVERY check
+    assert(Expectations.report(good, checks).filter(!col("passed")).count() === 0)
+    // first-failing attribution: id=2/None row violates not_null AND
+    // unique — not_null (declared first) wins; its id=2 twin is only a
+    // unique violation... but quarantining one copy de-duplicates the
+    // survivor side, so BOTH copies must be in `bad`
+    val reasons = bad.select("id", "violation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(reasons === Set(
+      2L -> "not_null:tag",          // null tag (beats unique)
+      2L -> "unique:id",             // the non-null twin: dup key
+      3L -> "in_range:score"))       // NULL score violates the range
+    // id=1 (clean) survived; id=2 rows are gone from good entirely
+    assert(good.select("id").collect().map(_.getLong(0)).toSet === Set(1L))
+    // a row violating Satisfies-NULL quarantines (unknown is not a pass)
+    val (g2, b2) = Expectations.split(df,
+      Seq(Satisfies("pos_score", col("score") > 0)))
+    assert(b2.filter(col("id") === 3L).count() === 1)
+    assert(g2.count() === 2) // 5.0 and... -1 fails, NULL fails, 15 passes
+  }
+
   test("report is one scan: a single Aggregate over the source") {
     val plan = Expectations.report(df, Seq(
       NotNull("tag"), InRange("score", lit(0.0), lit(10.0)),
