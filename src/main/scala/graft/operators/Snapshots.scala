@@ -754,6 +754,60 @@ object Snapshots {
     (copied.filesCopied, copied.bytesCopied)
   }
 
+  /** Incremental REPLICATION: bring a replica root up to the source's
+    * head (or a pinned version) by copying ONLY the files the replica's
+    * manifests don't already reference — immutable files make relative
+    * paths content-stable, so presence in any replica manifest IS
+    * proof of identical bytes. A first sync degenerates to [[cloneTo]];
+    * a steady-state sync costs O(files added since the last one) in
+    * copy work plus one manifest commit listing the source head's full
+    * file set (stats/layout headers carried from the source; files the
+    * replica already knew keep their replica-side first-seen sequence
+    * numbers). A no-change sync commits nothing. Returns (files copied,
+    * bytes copied).
+    *
+    * Contract: the replica is written ONLY by sync (a read-only
+    * replica — the cross-region / DR shape). History replicates as the
+    * sequence of sync points, not the source's full version log;
+    * source expire/vacuum between syncs is invisible (sync replicates
+    * head STATE). Outstanding dvs at the source version refuse, like
+    * [[cloneTo]].
+    */
+  def syncTo(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Int] = None): (Long, Long) = {
+    val dstVs = versions(spark, dstRoot)
+    if (dstVs.isEmpty) return cloneTo(spark, srcRoot, dstRoot, version)
+    val srcVs = versions(spark, srcRoot)
+    require(srcVs.nonEmpty, s"no snapshots published under $srcRoot")
+    val v = version.getOrElse(srcVs.last)
+    require(srcVs.contains(v), s"version $v does not exist under $srcRoot")
+    requireMaterialized(spark, srcRoot, v, "syncTo")
+    val want = files(spark, srcRoot, v)
+    val have = dstVs.flatMap(w => files(spark, dstRoot, w)).toSet
+    if (want.toSet == files(spark, dstRoot, dstVs.last).toSet)
+      return (0L, 0L) // already at this state: commit nothing
+    val missing = want.filterNot(have)
+    val copied =
+      if (missing.isEmpty) FileMigrate.Result(0L, 0L)
+      else FileMigrate.copyList(spark, srcRoot, dstRoot, missing)
+    require(copied.filesCopied == missing.size,
+      s"sync copied ${copied.filesCopied} of ${missing.size} files")
+    val wantSet = want.toSet
+    // replica-side sequence continuity: files the replica already
+    // references keep their first-seen version; fresh files stamp at
+    // the new replica version (commit() fills them in)
+    val dstSeq = statsLinesOf(spark, dstRoot, dstVs.last)
+      .filter(l => l.startsWith(SEQ_HEADER) && wantSet(statsLineFile(l)))
+    val carried = statsLinesOf(spark, srcRoot, v)
+      .filterNot(_.startsWith(SEQ_HEADER))
+    val f = fs(spark, dstRoot)
+    commit(f, dstRoot, dstVs.last + 1, want, schemaOf(spark, srcRoot, v),
+      clusterOf(spark, srcRoot, v).map(c => s"$CLUSTER_HEADER$c").toSeq ++
+        sortOf(spark, srcRoot, v).map(s => s"$SORT_HEADER$s").toSeq ++
+        dstSeq ++ carried)
+    (copied.filesCopied, copied.bytesCopied)
+  }
+
   /** Pending stages summarized for ops: (token, base version, file
     * count) per staged manifest — driver metadata only.
     */

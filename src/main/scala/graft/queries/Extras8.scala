@@ -751,6 +751,55 @@ object Extras8 {
           .agg(count(lit(1)).as("n"), lit(0L).as("cents")))
         .withColumn("partition_exact", lit(partitionExact))
         .withColumn("survivors_pass_all", lit(survivorsPass))
+    },
+
+    // INCREMENTAL REPLICATION: a replica tracks the source head across
+    // an append and a CoW delete with each sync copying ONLY the files
+    // the replica doesn't already reference (immutable files make
+    // relative paths content-stable, so manifest presence IS a byte
+    // identity proof). The oracle recomputes the final source state;
+    // flags pin that the append sync moved exactly the delta, a
+    // no-change sync commits nothing, and the replica answers exact
+    // counts from its own manifest with zero file opens.
+    QueryDef.checked(
+      "q190_replication_sync",
+      """WITH survivors AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey >= (SELECT min(o_orderkey) + 10 FROM orders))
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS delta_only,
+        |  CAST(1 AS BOOLEAN) AS nochange_noop,
+        |  CAST(1 AS BOOLEAN) AS meta_exact
+        |FROM survivors GROUP BY 1""".stripMargin) { (s, dir) =>
+      val root = freshRoot(s, "q190_replication_sync", "repl", dir)
+      val src = s"$root/src"; val dst = s"$root/dst"
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      Snapshots.publish(s, src, ord.filter(col("o_orderkey") % 2 === 0))
+      Snapshots.syncTo(s, src, dst) // bootstrap = clone
+      Snapshots.publish(s, src, ord.filter(col("o_orderkey") % 2 === 1),
+        append = true)
+      val delta = (Snapshots.files(s, src, 2).toSet --
+        Snapshots.files(s, src, 1).toSet).size.toLong
+      val (nf2, _) = Snapshots.syncTo(s, src, dst)
+      val deltaOnly = nf2 == delta && delta > 0
+      val noChange = Snapshots.syncTo(s, src, dst) == ((0L, 0L)) &&
+        Snapshots.versions(s, dst) == Seq(1, 2)
+      val lo = ord.agg(min("o_orderkey")).head.getLong(0)
+      Snapshots.deleteWhere(s, src, col("o_orderkey") < lo + 10)
+      Snapshots.syncTo(s, src, dst)
+      val metaExact =
+        Snapshots.countRows(s, dst).contains(Snapshots.read(s, src).count())
+      Snapshots.read(s, dst)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("delta_only", lit(deltaOnly))
+        .withColumn("nochange_noop", lit(noChange))
+        .withColumn("meta_exact", lit(metaExact))
     }
   )
 }

@@ -427,6 +427,19 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       val (nf, nb) = Snapshots.cloneTo(spark, tableRoot(str(in, 0)), dstRoot, ver)
       Seq(Array[Any](nf, nb))
     },
+    // incremental replication: bring a (possibly fresh) replica up to
+    // the source head copying only missing files (version <= 0 = head)
+    proc("sync", Seq("src" -> StringType, "dst" -> StringType,
+      "version" -> IntegerType),
+      StructType(Seq(StructField("files", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false)))) { in =>
+      val dstRoot =
+        (warehouse +: validSegments(str(in, 1).split('.').toSeq, "procedure dst"))
+          .mkString("/")
+      val ver = if (in.getInt(2) <= 0) None else Some(in.getInt(2))
+      val (nf, nb) = Snapshots.syncTo(spark, tableRoot(str(in, 0)), dstRoot, ver)
+      Seq(Array[Any](nf, nb))
+    },
     // materialized views from plain SQL: create computes the grouped
     // count/sum over the base's current version and records the refresh
     // watermark; refresh applies the base's change feed incrementally

@@ -76,6 +76,39 @@ class CloneSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dst).count() === 100)
   }
 
+  test("syncTo replicates incrementally: only new files copy, reads track the source head") {
+    val src = s"$wh/src6"; val dst = s"$wh/dst6"
+    Snapshots.publish(spark, src, orders.filter(col("o_orderkey") % 2 === 0))
+    // first sync = clone
+    val (nf1, _) = Snapshots.syncTo(spark, src, dst)
+    assert(nf1 === Snapshots.files(spark, src, 1).size.toLong)
+    // append at the source → sync copies ONLY the appended files
+    Snapshots.publish(spark, src, orders.filter(col("o_orderkey") % 2 === 1),
+      append = true)
+    val delta = (Snapshots.files(spark, src, 2).toSet --
+      Snapshots.files(spark, src, 1).toSet).size.toLong
+    val (nf2, _) = Snapshots.syncTo(spark, src, dst)
+    assert(nf2 === delta && delta > 0)
+    assert(Snapshots.read(spark, dst).collect().toSet ===
+      Snapshots.read(spark, src).collect().toSet)
+    assert(Snapshots.versions(spark, dst) === Seq(1, 2))
+    // metadata carried: exact count from the replica's manifest alone
+    assert(Snapshots.countRows(spark, dst) ===
+      Some(Snapshots.read(spark, src).count()))
+    // no-change sync commits NOTHING
+    assert(Snapshots.syncTo(spark, src, dst) === ((0L, 0L)))
+    assert(Snapshots.versions(spark, dst) === Seq(1, 2))
+    // a CoW rewrite at the source (delete) syncs as its replacement
+    // files; shared files don't re-copy
+    val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+    Snapshots.deleteWhere(spark, src, col("o_orderkey") === lo)
+    val (nf3, _) = Snapshots.syncTo(spark, src, dst)
+    assert(nf3 > 0 && nf3 < Snapshots.files(spark, src, 3).size)
+    assert(Snapshots.read(spark, dst).count() === orders.count() - 1)
+    // replica time travel: each sync point is a version
+    assert(Snapshots.read(spark, dst, Some(2)).count() === orders.count())
+  }
+
   test("refusals: dv-carrying version, existing destination") {
     val src = s"$wh/src5"; val dst = s"$wh/dst5"
     Snapshots.publish(spark, src, orders.limit(50))
