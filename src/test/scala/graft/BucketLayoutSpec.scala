@@ -199,6 +199,28 @@ class BucketLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-count rescale via CALL sys.cluster: n->m re-layout keeps SPJ") {
+    val wh = freshWh("rescale")
+    Snapshots.publish(spark, s"$wh/f", fact, clusterBy = Some("bucket(4,k)"))
+    Snapshots.publish(spark, s"$wh/d", dim, clusterBy = Some("bucket(16,kd)"))
+    withCatalog("brs", wh) {
+      // mismatched bucket counts: the SQL rescale brings the fact to 16
+      val v = spark.sql("CALL brs.sys.cluster('f', 'bucket(16, k)')")
+        .head.getInt(0)
+      assert(Snapshots.clusterOf(spark, s"$wh/f", v).contains("bucket(16,k)"))
+      assert(Snapshots.files(spark, s"$wh/f", v).size <= 16)
+      noBroadcast {
+        val j = spark.table("brs.f")
+          .join(spark.table("brs.d"), col("k") === col("kd"))
+        val (sh, _) = planCounts(j)
+        assert(sh == 0, s"rescaled bucket SPJ should be shuffle-free, got $sh")
+        assert(j.count() === fact.join(dim, col("k") === col("kd")).count())
+      }
+      // pre-rescale history still travels
+      assert(Snapshots.read(spark, s"$wh/f", Some(1)).count() === fact.count())
+    }
+  }
+
   test("null bucket keys survive scans and never fabricate join matches") {
     val wh = freshWh("nulls")
     val withNulls = fact.withColumn("k",
