@@ -27,6 +27,7 @@ object SparkEntry {
       q.Extras6.entries ++
       q.Extras7.entries ++
       q.Extras8.entries ++
+      q.Extras9.entries ++
       q.Curation.entries
 
   {

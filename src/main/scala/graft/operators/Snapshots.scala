@@ -260,11 +260,91 @@ object Snapshots {
     }
   }
 
-  /** The raw data columns a cluster spec keys on — the bucket form keys
-    * on its single hashed column; the identity form on every listed one.
+  /** Parse a `days(col)` / `months(col)` / `years(col)` / `hours(col)`
+    * cluster spec — TIME-TRANSFORM clustering, the dominant 100 TB
+    * layout: event data keyed by a timestamp clusters one file set per
+    * calendar unit (bounded groups per retention window, unlike identity
+    * clustering on a microsecond-cardinality column), and the scan
+    * reports key-grouped partitioning over the TRANSFORM, so equi-joins
+    * whose keys include the raw column still plan exchange-free (equal
+    * timestamps imply equal days — the transform is a coarsening of the
+    * join key, exactly the Iceberg partition-transform SPJ shape).
+    *
+    * Unit semantics are the Iceberg/Spark partition-transform epochs, in
+    * the session's UTC zone: `years` = year − 1970, `months` =
+    * (year − 1970)·12 + month − 1, `days` = epoch days, `hours` =
+    * floorDiv(micros, 3600·10⁶). All INT-valued; null input → null key.
+    * Returns (unit, column).
+    */
+  private[graft] def timeSpec(spec: String): Option[(String, String)] = {
+    val re = "(?i)^\\s*(years|months|days|hours)\\s*\\(\\s*([^(),]+?)\\s*\\)\\s*$".r
+    spec match {
+      case re(u, c) => Some((u.toLowerCase(java.util.Locale.ROOT), c))
+      case _ => None
+    }
+  }
+
+  /** A time transform of an epoch-days value (UTC calendar). */
+  private[graft] def timeOfEpochDay(unit: String, epochDay: Long): Int = {
+    val ld = java.time.LocalDate.ofEpochDay(epochDay)
+    unit match {
+      case "years" => ld.getYear - 1970
+      case "months" => (ld.getYear - 1970) * 12 + ld.getMonthValue - 1
+      case "days" => epochDay.toInt
+      case other => sys.error(s"time unit '$other' undefined on dates")
+    }
+  }
+
+  /** A time transform of an epoch-micros value (UTC calendar). */
+  private[graft] def timeOfMicros(unit: String, micros: Long): Int =
+    unit match {
+      case "hours" => Math.floorDiv(micros, 3600L * 1000000L).toInt
+      case _ => timeOfEpochDay(unit, Math.floorDiv(micros, 86400L * 1000000L))
+    }
+
+  /** The time transform as a Column — the WRITE path's routing
+    * expression. Calendar functions evaluate in the session zone (pinned
+    * UTC engine-wide), so `days` is exactly floorDiv(micros, 86400·10⁶)
+    * and `hours` floorDiv(micros, 3600·10⁶) — the same values
+    * [[timeOfDecoded]] and the catalog's V2 time functions compute.
+    */
+  private[graft] def timeTransformCol(unit: String,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{datediff, hour, lit, month, to_date, year}
+    val epoch = to_date(lit("1970-01-01"))
+    unit match {
+      case "years" => year(c) - lit(1970)
+      case "months" => (year(c) - lit(1970)) * lit(12) + month(c) - lit(1)
+      case "days" => datediff(c.cast("date"), epoch)
+      case "hours" => datediff(c.cast("date"), epoch) * lit(24) + hour(c)
+      case other => sys.error(s"unknown time transform unit '$other'")
+    }
+  }
+
+  /** The time transform of a DECODED footer-stats value (the scan-side
+    * twin of the write path's routing expression — see [[writeData]]).
+    * Monotonic in its input, which is what lets footer min/max PROVE a
+    * file single-valued for the transform: same unit at both envelope
+    * ends ⇒ same unit for every row between them.
+    */
+  private[graft] def timeOfDecoded(unit: String, v: Any): Int = v match {
+    case d: java.sql.Date => timeOfEpochDay(unit, d.toLocalDate.toEpochDay)
+    case t: java.sql.Timestamp =>
+      // floor-seconds via floorDiv (truncation would misplace pre-1970
+      // values); getNanos is the non-negative sub-second part
+      timeOfMicros(unit,
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case other => sys.error(s"time transform on unsupported value ${other.getClass}")
+  }
+
+  /** The raw data columns a cluster spec keys on — the bucket and time
+    * forms key on their single transformed column; the identity form on
+    * every listed one.
     */
   private[graft] def clusterKeyCols(spec: String): Seq[String] =
-    bucketSpec(spec).map { case (_, c) => Seq(c) }.getOrElse(clusterCols(spec))
+    bucketSpec(spec).map { case (_, c) => Seq(c) }
+      .orElse(timeSpec(spec).map { case (_, c) => Seq(c) })
+      .getOrElse(clusterCols(spec))
 
   /** Does `columns` still carry every column of the cluster spec? The
     * carry condition for mutation paths re-clustering their rewrites.
@@ -301,6 +381,17 @@ object Snapshots {
     // by footer stats — files written outside it can never re-prove it
     if (bucketSpec(spec).isDefined) return false
     val stats = SnapshotStats.parse(statsLines)
+    // a TIME layout, unlike a bucket, IS re-provable from footer stats:
+    // the transform is monotonic, so transform(min) == transform(max)
+    // with zero nulls proves every row in between shares the unit
+    timeSpec(spec) match {
+      case Some((unit, c)) =>
+        return listed.forall(fl => stats.get(fl).flatMap(_.get(c)).exists(cs =>
+          cs.tag == "allnull" || (cs.nulls == 0 &&
+            scala.util.Try(timeOfDecoded(unit, SnapshotStats.decode(cs.tag, cs.min)) ==
+              timeOfDecoded(unit, SnapshotStats.decode(cs.tag, cs.max))).getOrElse(false))))
+      case None =>
+    }
     val cols = clusterCols(spec)
     cols.nonEmpty && listed.forall(fl => cols.forall(c =>
       stats.get(fl).flatMap(_.get(c)).exists(cs =>
@@ -542,7 +633,27 @@ object Snapshots {
               "hash-bucketing needs an exactly-hashable type (integral, " +
               "string, date, timestamp)")
           s"bucket($n,$resolved)"
-        case None =>
+        case None => timeSpec(spec) match {
+          case Some((unit, c)) =>
+            // TIME-TRANSFORM clustering (event/time-series tables): one
+            // file set per calendar unit of a date/timestamp column —
+            // bounded groups over any retention window where identity
+            // clustering on the raw column would write one file per
+            // distinct instant
+            val matches = df.columns.filter(resolver(_, c))
+            require(matches.nonEmpty, s"clusterBy $unit column '$c' is not in the frame")
+            require(matches.length == 1,
+              s"clusterBy $unit column '$c' is ambiguous in the frame: ${matches.mkString(", ")}")
+            val resolved = matches.head
+            import org.apache.spark.sql.types._
+            val dt = df.schema(resolved).dataType
+            require(dt == DateType || dt == TimestampType,
+              s"clusterBy $unit column '$c' has type ${dt.simpleString}; " +
+                "time-transform clustering needs a date or timestamp column")
+            require(unit != "hours" || dt == TimestampType,
+              s"hours($c) needs a timestamp column; a date has no hour")
+            s"$unit($resolved)"
+          case None =>
           val cols = clusterCols(spec)
           require(cols.nonEmpty, "clusterBy needs at least one column")
           cols.map { c =>
@@ -564,6 +675,7 @@ object Snapshots {
                 "date, timestamp)")
             resolved
           }.mkString(",")
+        }
       }
     }
     // sort spec: same resolution + stats-provable-type discipline as the
@@ -579,6 +691,10 @@ object Snapshots {
         "sortBy composes with identity clustering only: a hash bucket mixes " +
           "many raw keys per group, so a per-group sort order makes no claim " +
           "a window or join over the key could use")
+      require(timeSpec(cluster.get).isEmpty,
+        "sortBy composes with identity clustering only: a time-transform " +
+          "group spans many raw instants, so the scan's constant-key ordering " +
+          "claim (the premise of sort-free planning) does not hold over it")
       val cols = clusterCols(spec)
       require(cols.nonEmpty, "sortBy needs at least one column")
       val ccols = clusterCols(cluster.get)
@@ -926,7 +1042,7 @@ object Snapshots {
     // (min==max per file), never from the directory name.
     val toWrite = clusterBy match {
       case Some(spec) =>
-        import org.apache.spark.sql.functions.{col, hash, lit, md5, pmod, struct, to_json}
+        import org.apache.spark.sql.functions.{coalesce, col, hash, lit, md5, pmod, struct, to_json}
         val routed = bucketSpec(spec) match {
           case Some((n, c)) =>
             // hash-bucket routing: the dir IS the bucket id, computed with
@@ -936,9 +1052,21 @@ object Snapshots {
             // construction, at any cardinality of the raw key
             df.withColumn(ClusterDirCol, pmod(hash(col(c)), lit(n)).cast("string"))
               .repartition(col(ClusterDirCol))
-          case None =>
-            df.withColumn(ClusterDirCol, md5(to_json(struct(clusterCols(spec).map(col): _*))))
-              .repartition(clusterCols(spec).map(col): _*)
+          case None => timeSpec(spec) match {
+            case Some((unit, c)) =>
+              // time-transform routing: the dir is the calendar unit —
+              // calendar functions in the session's pinned-UTC zone,
+              // EXACTLY the math [[timeOfDecoded]] applies to footer
+              // stats on the scan side and the catalog's V2 time
+              // functions evaluate (null instants route to their own
+              // "null" dir, the transform's null key)
+              df.withColumn(ClusterDirCol,
+                  coalesce(timeTransformCol(unit, col(c)).cast("string"), lit("null")))
+                .repartition(col(ClusterDirCol))
+            case None =>
+              df.withColumn(ClusterDirCol, md5(to_json(struct(clusterCols(spec).map(col): _*))))
+                .repartition(clusterCols(spec).map(col): _*)
+          }
         }
         // sorted layout: sort each write task by (split dir, sort cols) —
         // leading with the dir column means the plan's ordering already

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 continuation: TIME-TRANSFORM clustered layouts — `days(ts)` /
+  * `months(date)` snapshot tables whose scan reports key-grouped
+  * partitioning over the temporal transform (the Iceberg partition-
+  * transform shape), so time-keyed joins plan exchange-free and file
+  * counts stay bounded by the calendar, not the instant cardinality.
+  */
+object Extras9 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  private def freshRoot(s: SparkSession, owner: String, name: String, dir: String): String = {
+    val root = graft.Scratch.dir(owner, name, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun
+    root
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // TIME-TRANSFORM CLUSTERING under the oracle hash: two event feeds
+    // publish as `days(ts)` tables — one file set per CALENDAR DAY
+    // (bounded by the retention window at any event cardinality, where
+    // identity clustering on a microsecond timestamp would write one
+    // file per instant). The scan PROVES day-purity from footer-stat
+    // envelopes (the transform is monotonic: days(min)==days(max) closes
+    // the file) and reports key-grouped partitioning over the DAYS
+    // transform, resolved through the catalog's `days` V2 function — the
+    // exact-timestamp join plans with ZERO exchanges (equal instants ⇒
+    // equal days, the temporal-transform SPJ shape). `bounded_groups`
+    // pins one file set per day; `day_pruned` pins that a one-week
+    // ts-range read plans only that band's files through the same
+    // footer stats. Rows come FROM the time-clustered plan; the oracle
+    // replays the join relationally.
+    QueryDef.checked(
+      "q191_time_cluster_join",
+      """WITH l AS (SELECT ts, event_id, value FROM events),
+        |r AS (SELECT ts, user_id, event_type FROM events)
+        |SELECT r.event_type, count(*) AS n,
+        |  CAST(sum(l.event_id) AS BIGINT) AS id_sig,
+        |  CAST(sum(CAST(round(l.value * 100) AS BIGINT)
+        |    * (1 + r.user_id % 7)) AS BIGINT) AS cross_sig,
+        |  CAST(1 AS BOOLEAN) AS exchange_free,
+        |  CAST(1 AS BOOLEAN) AS bounded_groups,
+        |  CAST(1 AS BOOLEAN) AS day_pruned
+        |FROM l JOIN r ON l.ts = r.ts
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q191_time_cluster_join", "days_wh", dir)
+      val ev = t(s, dir, "events")
+      Snapshots.publish(s, s"$wh/impressions",
+        ev.select("ts", "event_id", "value"), clusterBy = Some("days(ts)"))
+      Snapshots.publish(s, s"$wh/actions",
+        ev.select("ts", "user_id", "event_type"), clusterBy = Some("days(ts)"))
+      val distinctDays = ev.select(to_date(col("ts"))).distinct().count()
+      val boundedGroups =
+        Snapshots.files(s, s"$wh/impressions", 1).size <= distinctDays &&
+          Snapshots.files(s, s"$wh/actions", 1).size <= distinctDays
+      // day-range pruning: a one-week filter must plan ONLY that band's
+      // files — footer envelopes on ts, same proof the grouping uses
+      val lastWeek = s.read.format("graft-snapshot")
+        .option("root", s"$wh/impressions").load()
+        .filter(col("ts") >= lit("2024-01-24").cast("timestamp"))
+      val dayPruned = {
+        val planned = graft.PlanOps.plannedScanFiles(lastWeek)
+        planned >= 1 && planned < Snapshots.files(s, s"$wh/impressions", 1).size
+      }
+      // evidence plan on an ISOLATED session: the temporal-transform SPJ
+      // resolves the `days` V2 function through the catalog, and the
+      // broadcast escape is closed so the join must co-locate or shuffle
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.q191cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s2.conf.set("spark.sql.catalog.q191cat.warehouse", wh)
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s2.table("q191cat.impressions")
+        .join(s2.table("q191cat.actions").hint("merge"), "ts")
+      joined.count() // finalize the (possibly adaptive) plan
+      val exchangeFree = graft.PlanOps.shuffleCount(joined) == 0
+      joined.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("event_id").cast("long").as("id_sig"),
+          sum(round(col("value") * 100).cast("long")
+            * (lit(1) + col("user_id") % 7)).cast("long").as("cross_sig"))
+        .withColumn("exchange_free", lit(exchangeFree))
+        .withColumn("bounded_groups", lit(boundedGroups))
+        .withColumn("day_pruned", lit(dayPruned))
+    },
+
+    // MONTHS layout + ONE-SIDE SHUFFLE-INTO under the oracle hash:
+    // orders publishes as `months(o_orderdate)` (81 calendar-month file
+    // sets where days() would write ~2400) and a PLAIN delta joins it on
+    // the raw date — under `v2.bucketing.shuffle.enabled` only the DELTA
+    // shuffles, INTO the fact's month groups, by Catalyst EVALUATING the
+    // catalog's `months` V2 function on the plain side. The oracle hash
+    // row-pins the hash agreement: if the function's month math diverged
+    // from the write path's routing by even one row, that row would land
+    // in the wrong group and vanish from (or duplicate in) the join.
+    QueryDef.checked(
+      "q192_month_shuffle_into",
+      """WITH f AS (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders),
+        |d AS (SELECT o_orderdate, o_orderkey AS d_key FROM orders
+        |      WHERE o_orderkey % 100 = 0)
+        |SELECT CAST(date_trunc('month', f.o_orderdate) AS TIMESTAMP) AS month,
+        |  count(*) AS n,
+        |  CAST(sum(f.o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(f.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS one_exchange,
+        |  CAST(1 AS BOOLEAN) AS into_key_groups,
+        |  CAST(1 AS BOOLEAN) AS month_bounded
+        |FROM f JOIN d ON f.o_orderdate = d.o_orderdate
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q192_month_shuffle_into", "months_wh", dir)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      Snapshots.publish(s, s"$wh/fact", orders,
+        clusterBy = Some("months(o_orderdate)"))
+      val months = orders
+        .select(date_trunc("month", col("o_orderdate"))).distinct().count()
+      val monthBounded = Snapshots.files(s, s"$wh/fact", 1).size <= months
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.q192cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s2.conf.set("spark.sql.catalog.q192cat.warehouse", wh)
+      s2.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plain2 = Tables.load(s2, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderdate"), col("o_orderkey").as("d_key"))
+      val joined = s2.table("q192cat.fact")
+        .join(plain2.hint("merge"), "o_orderdate")
+      joined.count() // finalize the (possibly adaptive) plan
+      val oneExchange = graft.PlanOps.shuffleCount(joined) == 1
+      val intoKeyGroups = joined.queryExecution.executedPlan.toString
+        .contains("keygroupedpartitioning")
+      joined.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("one_exchange", lit(oneExchange))
+        .withColumn("into_key_groups", lit(intoKeyGroups))
+        .withColumn("month_bounded", lit(monthBounded))
+    }
+  )
+}

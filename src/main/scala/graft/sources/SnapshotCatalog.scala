@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Tab
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import org.apache.hadoop.fs.Path
@@ -219,6 +219,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val timeUnits = GraftTimeFunction.units.toSet
     val cluster = partitions.toSeq match {
       case Nil => None
       case ts if ts.forall(t => t.name == "identity" && t.references.length == 1
@@ -227,10 +228,20 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         cols.foreach(c => require(schema.fieldNames.contains(c),
           s"PARTITIONED BY column '$c' is not a table column"))
         Some(cols.mkString(","))
+      // PARTITIONED BY (days(ts)) — ONE temporal transform declares the
+      // table time-clustered: the v1 header records `days(ts)` and every
+      // INSERT routes through the time-transform write path
+      case scala.collection.Seq(t) if timeUnits(t.name.toLowerCase(java.util.Locale.ROOT))
+          && t.references.length == 1 && t.references.head.fieldNames.length == 1 =>
+        val c = t.references.head.fieldNames.head
+        require(schema.fieldNames.contains(c),
+          s"PARTITIONED BY ${t.name}($c): '$c' is not a table column")
+        Some(s"${t.name.toLowerCase(java.util.Locale.ROOT)}($c)")
       case other => throw new UnsupportedOperationException(
         s"snapshot tables support PARTITIONED BY (<columns>) as the " +
-          s"key-cluster declaration (identity transforms only); got " +
-          s"${other.mkString(", ")} — bucket/days/... layouts go through " +
+          s"key-cluster declaration (identity transforms, or one temporal " +
+          s"transform years/months/days/hours); got " +
+          s"${other.mkString(", ")} — bucket layouts go through " +
           "CALL sys.cluster / sys.zorder")
     }
     require(!tableExists(ident),
@@ -518,10 +529,14 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    else GraftTimeFunction.units.find(_.equalsIgnoreCase(ident.name()))
+      .map(new GraftTimeFunction(_))
+      .getOrElse(throw
+        new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "bucket"))
+    (Seq("bucket") ++ GraftTimeFunction.units)
+      .map(Identifier.of(Array.empty, _)).toArray
 }
 
 /** Murmur3(seed 42) hash-bucketing as a Spark V2 function:
@@ -560,4 +575,54 @@ object GraftBucketFunction
       }
     }
   }
+}
+
+/** The temporal partition transforms (`years`/`months`/`days`/`hours`)
+  * as Spark V2 functions — what lets Catalyst resolve the time transform
+  * a `days(ts)`-clustered table's scan reports, exactly as
+  * [[GraftBucketFunction]] does for hash buckets. Unit semantics are the
+  * Iceberg/Spark partition-transform epochs in UTC (the engine pins the
+  * session zone): `years` = year − 1970, `months` = (year − 1970)·12 +
+  * month − 1, `days` = floorDiv(micros, 86400·10⁶) (= epoch days for a
+  * date), `hours` = floorDiv(micros, 3600·10⁶) — the SAME math
+  * [[graft.operators.Snapshots]]'s write routing and footer-stats proof
+  * compute, so the transform Catalyst evaluates (e.g. to shuffle a plain
+  * join side INTO a time-clustered table's layout) and the files on disk
+  * agree by construction. Null instants map to a null key.
+  */
+final class GraftTimeFunction(unit: String)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(col): the graft time-clustered-layout routing (UTC epoch units)"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$unit takes one date/timestamp column, got ${inputType.simpleString}")
+    val dt = inputType.fields(0).dataType
+    require(dt == DateType || dt == TimestampType,
+      s"$unit needs a date or timestamp column, got ${dt.simpleString}")
+    require(unit != "hours" || dt == TimestampType,
+      "hours needs a timestamp column; a date has no hour")
+    val u = unit
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = u
+      override def canonicalName(): String = s"graft.$u"
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: InternalRow): Integer =
+        if (input.isNullAt(0)) null
+        else dt match {
+          case DateType => // internal value: epoch days (INT)
+            Int.box(graft.operators.Snapshots.timeOfEpochDay(u, input.getInt(0).toLong))
+          case _ => // TimestampType internal value: epoch micros (LONG)
+            Int.box(graft.operators.Snapshots.timeOfMicros(u, input.getLong(0)))
+        }
+    }
+  }
+}
+
+object GraftTimeFunction {
+  val units: Seq[String] = Seq("years", "months", "days", "hours")
 }

@@ -500,6 +500,13 @@ private[sources] class SnapshotReplaceDataWrite(root: String,
         // and footer stats cannot re-prove a hash membership, so the
         // header rightly drops (compact restores the layout)
         .filter(s => Snapshots.bucketSpec(s).isEmpty)
+        // a TIME layout could re-prove from stats, but this write's only
+        // distribution lever is identity clustering on the raw column —
+        // which would roll a file per distinct INSTANT. Skip the request;
+        // the commit still carries the header whenever the replacement
+        // files happen to stay unit-pure (provenClustered's time proof),
+        // and compact restores it otherwise
+        .filter(s => Snapshots.timeSpec(s).isEmpty)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
@@ -1384,8 +1391,70 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
                 }
                 .sortBy(_._2.head),
               false))
-          case None => identityGroups(spark, spec, v, kept, refuse)
+          case None => Snapshots.timeSpec(spec) match {
+            case Some((unit, tcol)) => timeGroups(spark, unit, tcol, v, kept, refuse)
+            case None => identityGroups(spark, spec, v, kept, refuse)
+          }
         }
+      }
+    }
+  }
+
+  /** Time-transform grouping: like [[identityGroups]] the proof is
+    * footer stats, but single-valuedness holds for the TRANSFORM —
+    * `unit(min) == unit(max)` with zero nulls (monotonicity closes the
+    * envelope), or all-null (the transform's null key). Works for any
+    * file generation that happens to be unit-pure (the clustered publish
+    * by construction; a CoW survivor rewrite of single-day files by
+    * inheritance), so the proof — not the dir layout — is the authority.
+    * The partition keys are the TRANSFORM over the raw column, resolved
+    * against the catalog's `days`/`months`/`years`/`hours` V2 function:
+    * an equi-join whose keys include the raw column plans exchange-free
+    * against another table clustered on the same unit (equal instants ⇒
+    * equal units — the Iceberg temporal-transform SPJ shape).
+    */
+  private def timeGroups(spark: SparkSession, unit: String, c: String, v: Int,
+      kept: Seq[String],
+      refuse: String => Option[ClusterPlan]): Option[ClusterPlan] = {
+    if (!tableSchema.fieldNames.contains(c)) refuse("not a table column")
+    else {
+      val stats = Snapshots.statsOf(spark, root, v)
+      // Some(Some(unitValue)) | Some(None) for the all-null key; None = unprovable
+      def key(fl: String): Option[Option[Int]] =
+        stats.get(fl).flatMap(_.get(c)).flatMap {
+          case cs if cs.tag == "allnull" => Some(None)
+          case cs if cs.nulls == 0 =>
+            try {
+              val lo = Snapshots.timeOfDecoded(unit, SnapshotStats.decode(cs.tag, cs.min))
+              val hi = Snapshots.timeOfDecoded(unit, SnapshotStats.decode(cs.tag, cs.max))
+              if (lo == hi) Some(Some(lo)) else None
+            } catch { case scala.util.control.NonFatal(_) => None }
+          case _ => None
+        }
+      val keyed = kept.map(fl => key(fl).map(k => k -> fl))
+      if (keyed.exists(_.isEmpty))
+        refuse(s"a planned file is not provably single-valued for $unit($c) " +
+          "(missing stats, a unit-crossing envelope, or nulls beside values) — " +
+          "publish with clusterBy, or compact, to guarantee the layout")
+      else if (keyed.isEmpty) None // empty table: nothing to group
+      else {
+        val transform: org.apache.spark.sql.connector.expressions.Expression =
+          unit match {
+            case "years" => Expressions.years(c)
+            case "months" => Expressions.months(c)
+            case "days" => Expressions.days(c)
+            case "hours" => Expressions.hours(c)
+          }
+        Some((
+          Array(transform),
+          Nil, // the raw column is NOT constant within a unit group
+          keyed.flatMap(x => x).groupBy(_._1).toSeq
+            .map { case (k, fs) =>
+              (new GenericInternalRow(Array[Any](k.map(Int.box).orNull)): InternalRow,
+                fs.map(_._2).sorted)
+            }
+            .sortBy(_._2.head),
+          false))
       }
     }
   }
