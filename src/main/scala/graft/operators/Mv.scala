@@ -134,6 +134,21 @@ object Mv {
       sumCols.intersect(Seq(GkCol, TombCol)).isEmpty,
       s"'$GkCol'/'$TombCol' are reserved MV columns")
     val baseVs = Snapshots.versions(spark, baseRoot)
+    // EXACT sum types only: the incremental algebra retract/applies per
+    // refresh, and float/double sums would drift by ulps on every cycle —
+    // silently, cumulatively, away from what a recompute (or the declared
+    // full fallback) reports. The bucket layout excludes floats for the
+    // same reason (±0.0 key ambiguity); refusal over silent drift.
+    locally {
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      val baseSchema = Snapshots.read(spark, baseRoot).schema
+      val drifty = sumCols.filter(c => baseSchema.fields.find(_.name == c)
+        .exists(f => f.dataType == FloatType || f.dataType == DoubleType))
+      require(drifty.isEmpty,
+        s"MV sum columns must be exact types (integral/decimal): ${drifty.mkString(", ")} " +
+          "are float/double, whose incremental refresh drifts by ulps per cycle — " +
+          "sum a scaled integral column (e.g. cents) instead")
+    }
     require(baseVs.nonEmpty, s"base $baseRoot has no published snapshot versions")
     val w = baseVs.last
     // a crashed create (def committed, first publish never happened)

@@ -900,7 +900,15 @@ object Snapshots {
     requireMaterialized(spark, srcRoot, v, "syncTo")
     val want = files(spark, srcRoot, v)
     val have = dstVs.flatMap(w => files(spark, dstRoot, w)).toSet
-    if (want.toSet == files(spark, dstRoot, dstVs.last).toSet)
+    // "already at this state" must mean META-exact, not just file-set
+    // equal: a metadata-only source commit (schema widening, a layout
+    // header gained or lost) re-lists the same files, and a file-only
+    // check would leave the replica serving the old schema until the
+    // next data-changing sync — the replication contract is head STATE
+    if (want.toSet == files(spark, dstRoot, dstVs.last).toSet &&
+        schemaOf(spark, srcRoot, v) == schemaOf(spark, dstRoot, dstVs.last) &&
+        clusterOf(spark, srcRoot, v) == clusterOf(spark, dstRoot, dstVs.last) &&
+        sortOf(spark, srcRoot, v) == sortOf(spark, dstRoot, dstVs.last))
       return (0L, 0L) // already at this state: commit nothing
     val missing = want.filterNot(have)
     val copied =
@@ -1017,11 +1025,27 @@ object Snapshots {
   def publishStreamBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, append: Boolean = true,
       clusterBy: Option[String] = None,
-      sortBy: Option[String] = None): Option[Int] =
+      sortBy: Option[String] = None,
+      extraHeader: Seq[String] = Nil): Option[Int] =
     if (lastBatchId(spark, root).exists(_ >= batchId)) None
     else Some(publish(spark, root, batch, append = append,
-      extraHeader = Seq(s"$BATCH_HEADER$batchId"), clusterBy = clusterBy,
+      extraHeader = s"$BATCH_HEADER$batchId" +: extraHeader, clusterBy = clusterBy,
       sortBy = sortBy))
+
+  /** The newest committed value of a custom `#<name>=` manifest header —
+    * operators persist small state CONTRACTS this way (e.g. the
+    * incremental near-dup bucket count, whose mismatch across calls
+    * would silently drop cross-batch collisions). Walks versions
+    * newest-first because maintenance commits (compact's rewrite
+    * versions) do not re-attach custom headers; cost is O(1) manifest
+    * parses in steady state (the header rides every ingest version).
+    */
+  private[graft] def headerValue(spark: SparkSession, root: String,
+      prefix: String): Option[String] =
+    versions(spark, root).reverseIterator
+      .flatMap(v => manifestLines(spark, root, v)
+        .find(_.startsWith(prefix)).map(_.drop(prefix.length)))
+      .nextOption()
 
   /** Write `df` into a fresh immutable `data/<uuid>/` dir; returns the
     * relative dir and its file list. An empty frame may produce zero
@@ -1043,7 +1067,7 @@ object Snapshots {
     val toWrite = clusterBy match {
       case Some(spec) =>
         import org.apache.spark.sql.functions.{coalesce, col, hash, lit, md5, pmod, struct, to_json}
-        val routed = bucketSpec(spec) match {
+        val keyed = bucketSpec(spec) match {
           case Some((n, c)) =>
             // hash-bucket routing: the dir IS the bucket id, computed with
             // Spark's own hash (Murmur3 seed 42) — the same function the
@@ -1051,7 +1075,6 @@ object Snapshots {
             // reported bucket transform and these files agree by
             // construction, at any cardinality of the raw key
             df.withColumn(ClusterDirCol, pmod(hash(col(c)), lit(n)).cast("string"))
-              .repartition(col(ClusterDirCol))
           case None => timeSpec(spec) match {
             case Some((unit, c)) =>
               // time-transform routing: the dir is the calendar unit —
@@ -1061,20 +1084,43 @@ object Snapshots {
               // functions evaluate (null instants route to their own
               // "null" dir, the transform's null key)
               df.withColumn(ClusterDirCol,
-                  coalesce(timeTransformCol(unit, col(c)).cast("string"), lit("null")))
-                .repartition(col(ClusterDirCol))
+                coalesce(timeTransformCol(unit, col(c)).cast("string"), lit("null")))
             case None =>
               df.withColumn(ClusterDirCol, md5(to_json(struct(clusterCols(spec).map(col): _*))))
-                .repartition(clusterCols(spec).map(col): _*)
           }
         }
-        // sorted layout: sort each write task by (split dir, sort cols) —
-        // leading with the dir column means the plan's ordering already
-        // satisfies the dynamic-partition writer's required ordering, so
-        // it adds NO sort of its own (whose tie-breaking would not be
-        // stable and could scramble the secondary order within a dir)
-        if (sortWithin.isEmpty) routed
-        else routed.sortWithinPartitions((ClusterDirCol +: sortWithin).map(col): _*)
+        if (sortWithin.isEmpty)
+          // REBALANCE, not a strict repartition: a strict
+          // repartition(dir) funnels EVERY row of one cluster group
+          // through one task — a hot calendar day of a 100 TB/year feed
+          // becomes an unbounded single-task shuffle fetch plus a serial
+          // parquet encode. Under AQE the rebalance hash-partitions on
+          // the dir exactly like repartition would, then SPLITS any
+          // group whose shuffle bytes exceed
+          // spark.sql.adaptive.advisoryPartitionSizeInBytes into
+          // map-chunk slices (several write tasks, several files in the
+          // SAME `__cluster=` dir — multi-file groups are the layout's
+          // normal form, the read side fans them out under
+          // partiallyClusteredDistribution) and coalesces cold groups
+          // whole (a dir never splits across tasks below the advisory
+          // size, so small-scale publishes still land one file per
+          // group). Layout proofs are per FILE, so fan-out never weakens
+          // them: identity/time groups re-prove from each file's footer
+          // stats, bucket groups carry by the routing construction.
+          keyed.hint("rebalance", col(ClusterDirCol))
+        else
+          // sorted layout: one strict task per group, sorted by
+          // (split dir, sort cols) — leading with the dir column means
+          // the plan's ordering already satisfies the dynamic-partition
+          // writer's required ordering, so it adds NO sort of its own
+          // (whose tie-breaking would not be stable and could scramble
+          // the secondary order within a dir). The de-skew rebalance
+          // does NOT apply here: splitting a group at map-chunk
+          // boundaries would interleave its sort ranges across files,
+          // and the scan's inter-file order proof (disjoint footer
+          // envelopes) is exactly what sorted layouts sell.
+          keyed.repartition(col(ClusterDirCol))
+            .sortWithinPartitions((ClusterDirCol +: sortWithin).map(col): _*)
       case None => df
     }
     // INT64-micros timestamps, NOT Spark's legacy INT96 default: INT96

@@ -146,6 +146,86 @@ object Extras9 {
         .withColumn("one_exchange", lit(oneExchange))
         .withColumn("into_key_groups", lit(intoKeyGroups))
         .withColumn("month_bounded", lit(monthBounded))
+    },
+
+    // SKEWED-WRITE FAN-OUT under the oracle hash: the hot-day feed (the
+    // first calendar day replicated 60×, padded incompressible) publishes
+    // as `days(ts)` under a small AQE advisory partition size — the
+    // write path's REBALANCE routing splits the hot day across SEVERAL
+    // write tasks (`hot_fans_out`: >1 file in its `__cluster=` dir, the
+    // write-side mirror of q179's read fan-out) while staying map-chunk
+    // bounded (`fan_bounded`), and the layout proof SURVIVES the
+    // multi-file group: the scan still proves day-purity per file and
+    // reports key-grouped partitioning, so the days-transform join plans
+    // with zero exchanges (`exchange_free`) and a one-day read plans a
+    // strict file subset (`day_pruned`). Rows come FROM the fanned-out
+    // table; the oracle replays replication + join + aggregation
+    // relationally — a row misrouted across a day dir would flip the hash.
+    QueryDef.checked(
+      "q193_skewed_write_fanout",
+      """WITH f AS (
+        |  SELECT ts, event_id, value,
+        |    unnest(generate_series(1, CASE WHEN CAST(ts AS DATE) =
+        |      (SELECT min(CAST(ts AS DATE)) FROM events) THEN 60 ELSE 1 END)) AS r
+        |  FROM events),
+        |d AS (SELECT DISTINCT ts FROM events)
+        |SELECT CAST(f.ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(f.event_id * f.r) AS BIGINT) AS id_sig,
+        |  CAST(sum(CAST(round(f.value * 100) AS BIGINT) * f.r) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS hot_fans_out,
+        |  CAST(1 AS BOOLEAN) AS fan_bounded,
+        |  CAST(1 AS BOOLEAN) AS exchange_free,
+        |  CAST(1 AS BOOLEAN) AS day_pruned
+        |FROM f JOIN d ON f.ts = d.ts
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q193_skewed_write_fanout", "skew_wh", dir)
+      val s2 = s.newSession()
+      // small advisory so the skew split triggers at fixture scale; the
+      // production default (64 MB) is the real per-task write target
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      val ev = Tables.load(s2, dir, "events").select("ts", "event_id", "value")
+      val hot = ev.agg(min(to_date(col("ts")))).head().getDate(0)
+      val feed = ev
+        .withColumn("r", explode(expr(
+          s"sequence(1, CASE WHEN to_date(ts) = DATE '$hot' THEN 60 ELSE 1 END)")))
+        // 16 upstream tasks (the map-chunk unit AQE splits by — a real
+        // feed always has many), then an incompressible pad so shuffle
+        // bytes, which lz4-compress, actually exceed the advisory
+        .repartition(16)
+        .withColumn("pad", expr("concat_ws('', transform(sequence(1, 8), " +
+          "x -> md5(concat(cast(event_id as string), cast(r as string), " +
+          "cast(x as string)))))"))
+      Snapshots.publish(s2, s"$wh/feed", feed, clusterBy = Some("days(ts)"))
+      Snapshots.publish(s2, s"$wh/dim",
+        ev.select("ts").distinct(), clusterBy = Some("days(ts)"))
+      val hotDir = hot.toLocalDate.toEpochDay.toString
+      val byDir = Snapshots.files(s2, s"$wh/feed", 1)
+        .groupBy(fl => "__cluster=([^/]+)/".r.findFirstMatchIn(fl).map(_.group(1)).getOrElse(""))
+      val hotFansOut = byDir.getOrElse(hotDir, Nil).size > 1
+      val fanBounded = byDir.values.forall(_.size <= 16)
+      val oneDay = s2.read.format("graft-snapshot").option("root", s"$wh/feed").load()
+        .filter(to_date(col("ts")) === lit("2024-01-20").cast("date"))
+      val dayPruned = {
+        val planned = graft.PlanOps.plannedScanFiles(oneDay)
+        planned >= 1 && planned < Snapshots.files(s2, s"$wh/feed", 1).size
+      }
+      val s3 = s.newSession()
+      s3.conf.set("spark.sql.catalog.q193cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s3.conf.set("spark.sql.catalog.q193cat.warehouse", wh)
+      s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s3.table("q193cat.feed").drop("pad")
+        .join(s3.table("q193cat.dim").hint("merge"), "ts")
+      joined.count() // finalize the (possibly adaptive) plan
+      val exchangeFree = graft.PlanOps.shuffleCount(joined) == 0
+      joined.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id") * col("r")).cast("long").as("id_sig"),
+          sum(round(col("value") * 100).cast("long") * col("r")).cast("long").as("cents"))
+        .withColumn("hot_fans_out", lit(hotFansOut))
+        .withColumn("fan_bounded", lit(fanBounded))
+        .withColumn("exchange_free", lit(exchangeFree))
+        .withColumn("day_pruned", lit(dayPruned))
     }
   )
 }

@@ -567,6 +567,12 @@ object GraftBucketFunction
       override def isResultNullable: Boolean = false
       override def produceResult(input: InternalRow): Integer = {
         val n = input.getInt(0)
+        // the catalog exposes this to ANY SQL caller, so the publish
+        // path's range contract re-checks here: bucket(0, c) would
+        // otherwise throw a raw / by zero and a negative n would return
+        // nonsense bucket ids instead of a contract error
+        require(n >= 2 && n <= 65536,
+          s"bucket count $n out of range [2, 65536] (the bucketed-layout contract)")
         val h =
           if (input.isNullAt(1)) 42
           else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction

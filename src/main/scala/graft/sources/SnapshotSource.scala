@@ -1724,7 +1724,9 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
         val convs = kc.map(c =>
           CatalystTypeConverters.createToCatalystConverter(tableSchema(c).dataType))
         val keys = rows.iterator.map { r =>
-          kc.indices.map(i => if (r.isNullAt(i)) null else convs(i)(r.get(i))).toList: Seq[Any]
+          kc.indices.map(i => if (r.isNullAt(i)) null
+            else org.apache.spark.sql.graftbridge.DvFilteringReaderFactory
+              .normalizeZero(convs(i)(r.get(i)))).toList: Seq[Any]
         }.filter(!_.contains(null)).toSet
         (kc, ver, keys)
     }
@@ -1752,9 +1754,17 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
     // than stall planning — correctness never depends on it.
     val stats = Snapshots.statsOf(spark, root, v)
     val totalKeys = dvGroups.iterator.map(_._3.length.toLong).sum
-    def admitsEq(cs: SnapshotStats.ColStats, value: Any): Boolean =
-      try SnapshotStats.overlaps(cs, value, value)
-      catch { case scala.util.control.NonFatal(_) => true }
+    def admitsEq(cs: SnapshotStats.ColStats, value: Any): Boolean = value match {
+      // ±0.0: the probe treats the zeros equal (normalizeZero) but a
+      // footer envelope ordered by Double.compare separates them — a
+      // [-0.0, -0.0] file must NOT be judged clean of a 0.0 key, so
+      // zero keys conservatively admit every file
+      case d: java.lang.Double if d.doubleValue() == 0.0 => true
+      case f: java.lang.Float if f.floatValue() == 0.0f => true
+      case _ =>
+        try SnapshotStats.overlaps(cs, value, value)
+        catch { case scala.util.control.NonFatal(_) => true }
+    }
     def isClean(rel: String, seq: Int): Boolean = {
       val st = stats.getOrElse(rel, Map.empty)
       dvGroups.forall { case (kc, ver, rows) =>

@@ -53,6 +53,11 @@ object DocStreams {
     */
   def bandRootOf(seenRoot: String): String = seenRoot.stripSuffix("/") + "__bands"
 
+  /** Manifest header persisting [[incrementalNearDup]]'s bucket count with
+    * the state (on the seen root, the state set's commit marker).
+    */
+  private val ND_BUCKETS_HEADER = "#ndbuckets="
+
   /** Streaming incremental NEAR-dup dedup — the continuous-ingest form of
     * the MinHash pipeline: each micro-batch is compared against
     * everything already ingested (and itself) and every verified pair it
@@ -143,6 +148,26 @@ object DocStreams {
     val b = SessionBridge.rebind(b0, spark)
     val bandRoot = bandRootOf(seenRoot)
 
+    // bucket-count contract: state rows store bucket/id_bucket values
+    // computed with the count at WRITE time, so a later call with a
+    // different `buckets` would silently miss cross-batch band collisions
+    // (probe joins on l.bucket === r.bucket) and read the wrong seen file
+    // groups in verification. The first publish persists the count as a
+    // manifest header; every later call must match it — loudly, never a
+    // silent pair drop. A state set predating the header (legacy) adopts
+    // this call's count: its layout was necessarily written with ONE
+    // count, and the deployment that varies the knob mid-state is exactly
+    // what the header exists to catch from here on.
+    val bucketsHeader = s"$ND_BUCKETS_HEADER$buckets"
+    Snapshots.headerValue(spark, seenRoot, ND_BUCKETS_HEADER).foreach { stored =>
+      require(stored.toInt == buckets,
+        s"incrementalNearDup state at $seenRoot was built with buckets=$stored " +
+          s"but this call passed buckets=$buckets — the bucket count is fixed " +
+          "for a state set's lifetime (bucket values are baked into the stored " +
+          "rows); pass the original count, or wipe all three state roots to " +
+          "re-bucket")
+    }
+
     // seen publishes LAST: its committed id ≥ ours means every publish of
     // this batch landed — a crash-redelivered batch is a metadata-only no-op
     if (Snapshots.lastBatchId(spark, seenRoot).exists(_ >= batchId)) return
@@ -177,7 +202,8 @@ object DocStreams {
           "not — pairs/bands/seen (and the derived bandRootOf sibling) are one " +
           "atomic state set; wipe all three or none when resetting")
       try Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
-        clusterBy = clusterFor(seenRoot, "id_bucket"))
+        clusterBy = clusterFor(seenRoot, "id_bucket"),
+        extraHeader = Seq(bucketsHeader))
       finally prep.unpersist(false)
       return
     }
@@ -271,7 +297,8 @@ object DocStreams {
       Snapshots.publishStreamBatch(spark, bandRoot, freshBands, batchId,
         clusterBy = clusterFor(bandRoot, "bucket"))
       Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
-        clusterBy = clusterFor(seenRoot, "id_bucket"))
+        clusterBy = clusterFor(seenRoot, "id_bucket"),
+        extraHeader = Seq(bucketsHeader))
       // state maintenance rides the trigger: fold each table's per-batch
       // file fan-out back to target-sized files (one per bucket for the
       // clustered state). Runs AFTER the seen commit marker, so a crash

@@ -249,6 +249,21 @@ object DvFilteringReaderFactory {
     * first-seen sequence (those are version numbers ≥ 0).
     */
   val CleanTag: Int = Int.MinValue
+
+  /** Normalize -0.0 to 0.0 in a boxed key component: the probe compares
+    * with java equality (`Set.contains`), which DISTINGUISHES the two
+    * zeros, while SQL equality (Snapshots.read's anti-join) treats them
+    * equal — without this, a dv keyed 0.0 would leave -0.0 rows visible
+    * through the DSv2 scan but delete them through Snapshots.read, two
+    * answers for the same version. Applied to BOTH the key sets and the
+    * probed row values. (NaN needs no care: boxed NaN.equals(NaN) is
+    * true, matching Spark's SQL join semantics for NaN.)
+    */
+  def normalizeZero(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case other => other
+  }
 }
 
 /** Wraps a parquet reader factory with a MERGE-ON-READ delete-vector
@@ -319,7 +334,8 @@ class DvFilteringReaderFactory(cleanInner: PartitionReaderFactory,
             val k = new Array[Any](ords.length)
             while (i < ords.length && !anyNull) {
               if (row.isNullAt(ords(i))) anyNull = true
-              else k(i) = row.get(ords(i), augTypes(ords(i)))
+              else k(i) = DvFilteringReaderFactory.normalizeZero(
+                row.get(ords(i), augTypes(ords(i))))
               i += 1
             }
             !anyNull && keys.contains(k.toSeq)

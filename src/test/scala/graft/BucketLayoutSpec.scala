@@ -199,6 +199,24 @@ class BucketLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("the catalog's SQL bucket function validates its count: 0/negative refuse with the contract") {
+    val wh = freshWh("bktfn")
+    Snapshots.publish(spark, s"$wh/t", fact, clusterBy = Some("bucket(8,k)"))
+    withCatalog("bfn", wh) {
+      // user-callable surface: a raw / by zero (n=0) or silent nonsense
+      // ids (n<0) must instead be the publish path's range error
+      Seq(0, -3, 1).foreach { n =>
+        val e = intercept[Exception](
+          spark.sql(s"SELECT bfn.system.bucket($n, k) FROM bfn.t").collect())
+        assert(e.getMessage.contains("out of range [2, 65536]"),
+          s"bucket($n, k) must refuse with the contract: ${e.getMessage}")
+      }
+      val ok = spark.sql("SELECT DISTINCT bfn.system.bucket(8, k) AS b FROM bfn.t")
+        .collect().map(_.getInt(0))
+      assert(ok.forall(b => b >= 0 && b < 8))
+    }
+  }
+
   test("bucket-count rescale via CALL sys.cluster: n->m re-layout keeps SPJ") {
     val wh = freshWh("rescale")
     Snapshots.publish(spark, s"$wh/f", fact, clusterBy = Some("bucket(4,k)"))

@@ -109,6 +109,29 @@ class CloneSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dst, Some(2)).count() === orders.count())
   }
 
+  test("syncTo replicates metadata-only commits: schema widening with zero file copies") {
+    val src = s"$wh/src8"; val dst = s"$wh/dst8"
+    Snapshots.publish(spark, src, orders)
+    Snapshots.syncTo(spark, src, dst)
+    // a metadata-only source commit: same files, evolved schema — the
+    // no-op check must see THROUGH file-set equality (head-state
+    // replication is meta-exact, not file-exact)
+    val evolved = org.apache.spark.sql.types.StructType(
+      Snapshots.schemaOf(spark, src, 1).get.fields :+
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType))
+    Snapshots.evolveSchema(spark, src, evolved)
+    val (nf, nb) = Snapshots.syncTo(spark, src, dst)
+    assert((nf, nb) === ((0L, 0L)), "a schema-only commit must copy no files")
+    assert(Snapshots.versions(spark, dst) === Seq(1, 2),
+      "the replica must commit a metadata-only version")
+    assert(Snapshots.schemaOf(spark, dst, 2) === Snapshots.schemaOf(spark, src, 2))
+    assert(Snapshots.read(spark, dst).columns.contains("note"))
+    // and once meta-exact, the next sync is a true no-op
+    assert(Snapshots.syncTo(spark, src, dst) === ((0L, 0L)))
+    assert(Snapshots.versions(spark, dst) === Seq(1, 2))
+  }
+
   test("refusals: dv-carrying version, existing destination") {
     val src = s"$wh/src5"; val dst = s"$wh/dst5"
     Snapshots.publish(spark, src, orders.limit(50))

@@ -180,6 +180,17 @@ class MvSpec extends AnyFunSuite {
     assert(d.baseRoot === b && d.groupCols === Seq("g") && d.sumCols === Seq("v"))
   }
 
+  test("float/double sum columns refuse at create: incremental refresh would drift by ulps") {
+    import spark.implicits._
+    val b = s"$wh/b7f"
+    Snapshots.publish(spark, b,
+      Seq((1L, "a", 1.5), (2L, "a", 2.5)).toDF("k", "g", "x"))
+    val e = intercept[IllegalArgumentException](
+      Mv.create(spark, s"$wh/m7f", b, Seq("k"), Seq("g"), Seq("x")))
+    assert(e.getMessage.contains("exact types") && e.getMessage.contains("x"),
+      s"refusal must name the drifty column: ${e.getMessage}")
+  }
+
   test("base dropping a summed column refuses refresh with the contract") {
     val b = s"$wh/b8"; val m = s"$wh/m8"
     Snapshots.publish(spark, b, base(Seq((1L, "a", 1L))))

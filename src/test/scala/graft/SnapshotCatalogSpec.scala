@@ -323,10 +323,13 @@ class SnapshotCatalogSpec extends AnyFunSuite {
   }
 
   test("CALL create_mv / refresh_mv: a materialized view maintained from plain SQL") {
+    // cents, not the raw double: Mv.create refuses float/double sum
+    // columns (incremental refresh would drift by ulps per cycle)
     Snapshots.publish(spark, s"$warehouse/mvbase",
-      orders.select("o_orderkey", "o_orderpriority", "o_totalprice"))
+      orders.select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")))
     val v = spark.sql(
-      "CALL snapcat.sys.create_mv('agg1', 'mvbase', 'o_orderkey', 'o_orderpriority', 'o_totalprice', 8)")
+      "CALL snapcat.sys.create_mv('agg1', 'mvbase', 'o_orderkey', 'o_orderpriority', 'cents', 8)")
       .head.getInt(0)
     assert(v == 1)
     // the view IS a catalog table: SELECT works, groups match the base

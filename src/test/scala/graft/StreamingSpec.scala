@@ -635,4 +635,28 @@ class StreamingSpec extends AnyFunSuite {
       df(6L -> "alpha beta gamma delta zeta"), 4L)
     assert(pairSet.contains((3L, 6L)), s"post-compaction pairing must work: $pairSet")
   }
+
+  test("incremental near-dup bucket count is a state-set contract: mismatch refuses loudly") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-incdup-bkts").toString
+    val (seen, pairs) = (s"$base/seen", s"$base/pairs")
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    DocStreams.incrementalNearDup(seen, pairs, buckets = 8)(
+      df(1L -> "alpha beta gamma delta epsilon"), 0L)
+    // a different count would bake mismatched bucket values into the
+    // state and silently drop cross-batch collisions — must refuse
+    val e = intercept[IllegalArgumentException] {
+      DocStreams.incrementalNearDup(seen, pairs, buckets = 16)(
+        df(2L -> "alpha beta gamma delta zeta"), 1L)
+    }
+    assert(e.getMessage.contains("buckets=8") && e.getMessage.contains("buckets=16"),
+      s"refusal must name both counts: ${e.getMessage}")
+    // the matching count keeps working, across replays and new batches
+    DocStreams.incrementalNearDup(seen, pairs, buckets = 8)(
+      df(2L -> "alpha beta gamma delta epsilon"), 1L)
+    val got = graft.operators.Snapshots.read(spark, pairs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"post-contract batches must still pair: $got")
+  }
 }
