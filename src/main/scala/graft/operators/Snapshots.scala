@@ -494,6 +494,23 @@ object Snapshots {
       keySchema: Option[StructType] = None)
       : (Map[String, Int], Seq[(Seq[String], Int, Array[Row])]) = {
     val (firstSeen, dvs) = history(spark, root, version)
+    // the "broadcast-sized" contract ENFORCED, not assumed: a
+    // retraction-heavy table between compactions (the GDPR case) can
+    // accumulate millions of outstanding keys, and collecting them would
+    // stall or OOM the driver. Bound-check with a DISTRIBUTED count
+    // (upper bound: raw key-file rows, pre-distinct) BEFORE any collect;
+    // over the bound, refuse loudly with the two scale-safe outs.
+    if (dvs.nonEmpty) {
+      val bound = spark.conf.get("spark.graft.dv.maxProbeKeys", "2000000").toLong
+      val allPaths = dvs.map(d => s"$root/${d.file}")
+      val outstanding = spark.read.parquet(allPaths: _*).count()
+      require(outstanding <= bound,
+        s"v$version under $root carries ~$outstanding outstanding deleted-key " +
+          s"rows — beyond spark.graft.dv.maxProbeKeys=$bound, the in-reader " +
+          "probe would replicate a non-broadcast-sized key set; run " +
+          "materializeDeletes (targeted) or compact (full rewrite), read " +
+          "through Snapshots.read (distributed anti-join), or raise the bound")
+    }
     val groups = dvs.groupBy(d => (d.keyCols, d.version)).toSeq.map {
       case ((kc, ver), ds) =>
         val paths = ds.map(d => s"$root/${d.file}")
@@ -687,17 +704,21 @@ object Snapshots {
       require(cluster.isDefined,
         "sortBy needs clusterBy: file-internal order is only provable — and " +
           "only useful — within a key-clustered group")
-      require(bucketSpec(cluster.get).isEmpty,
-        "sortBy composes with identity clustering only: a hash bucket mixes " +
-          "many raw keys per group, so a per-group sort order makes no claim " +
-          "a window or join over the key could use")
       require(timeSpec(cluster.get).isEmpty,
-        "sortBy composes with identity clustering only: a time-transform " +
+        "sortBy composes with identity or bucket clustering: a time-transform " +
           "group spans many raw instants, so the scan's constant-key ordering " +
           "claim (the premise of sort-free planning) does not hold over it")
       val cols = clusterCols(spec)
       require(cols.nonEmpty, "sortBy needs at least one column")
-      val ccols = clusterCols(cluster.get)
+      // identity clustering: a sort column that IS a cluster column is
+      // constant per group — an ordering claim with no content. BUCKET
+      // clustering is the opposite: the raw key is NOT constant per
+      // bucket, and sorting ON it is exactly the Hive/Iceberg
+      // bucketed-sorted SMB shape (sort-free merge join at unbounded
+      // key cardinality) — so the disjointness rule applies only to
+      // identity specs
+      val ccols =
+        if (bucketSpec(cluster.get).isDefined) Nil else clusterCols(cluster.get)
       cols.map { c =>
         val matches = df.columns.filter(resolver(_, c))
         require(matches.nonEmpty, s"sortBy column '$c' is not in the frame")

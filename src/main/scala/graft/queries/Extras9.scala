@@ -226,6 +226,75 @@ object Extras9 {
         .withColumn("fan_bounded", lit(fanBounded))
         .withColumn("exchange_free", lit(exchangeFree))
         .withColumn("day_pruned", lit(dayPruned))
+    },
+
+    // SORTED-WITHIN-BUCKET under the oracle hash (the Hive/Iceberg
+    // bucketed-sorted SMB shape): orders and customer publish as
+    // `bucket(16, custkey)` tables SORTED by the raw key within each
+    // bucket — bounded file counts at ANY key cardinality (where q182's
+    // identity-sorted join needs one file set per value), with each
+    // bucket's files envelope-disjoint on the key, so the scan claims
+    // per-partition ordering and the 10k-key merge join plans with ZERO
+    // exchanges AND ZERO sorts. Both tables land in TWO key-range
+    // appends (`multi_file`: some bucket holds ≥2 files), proving the
+    // inter-file envelope proof — not single-file luck — carries the
+    // claim. Rows come FROM the sorted-bucket plan; the oracle replays
+    // the join relationally.
+    QueryDef.checked(
+      "q194_sorted_bucket_smb",
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(sum(o.o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS exchange_free,
+        |  CAST(1 AS BOOLEAN) AS sort_free,
+        |  CAST(1 AS BOOLEAN) AS bounded_files,
+        |  CAST(1 AS BOOLEAN) AS multi_file
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q194_sorted_bucket_smb", "smbkt_wh", dir)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val cut = cust.agg(max("c_custkey")).head().getLong(0) / 2
+      // two appends split on the SORT key: every bucket gets two files
+      // with disjoint key envelopes — the multi-file proof case
+      Snapshots.publish(s, s"$wh/fact", orders.filter(col("o_custkey") <= cut),
+        clusterBy = Some("bucket(16, o_custkey)"), sortBy = Some("o_custkey"))
+      Snapshots.publish(s, s"$wh/fact", orders.filter(col("o_custkey") > cut),
+        append = true, clusterBy = Some("bucket(16, o_custkey)"),
+        sortBy = Some("o_custkey"))
+      Snapshots.publish(s, s"$wh/dim", cust.filter(col("c_custkey") <= cut),
+        clusterBy = Some("bucket(16, c_custkey)"), sortBy = Some("c_custkey"))
+      Snapshots.publish(s, s"$wh/dim", cust.filter(col("c_custkey") > cut),
+        append = true, clusterBy = Some("bucket(16, c_custkey)"),
+        sortBy = Some("c_custkey"))
+      def headFiles(r: String) =
+        Snapshots.files(s, r, Snapshots.versions(s, r).last)
+      val boundedFiles =
+        headFiles(s"$wh/fact").size <= 32 && headFiles(s"$wh/dim").size <= 32
+      def buckets(fs: Seq[String]) = fs.groupBy(fl =>
+        "__cluster=([^/]+)/".r.findFirstMatchIn(fl).map(_.group(1)).getOrElse(""))
+      val multiFile = buckets(headFiles(s"$wh/fact")).values.exists(_.size >= 2)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.q194cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s2.conf.set("spark.sql.catalog.q194cat.warehouse", wh)
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s2.table("q194cat.fact")
+        .join(s2.table("q194cat.dim").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+      joined.count() // finalize the (possibly adaptive) plan
+      // evidence on the bare join: the mktsegment regroup above it owns
+      // one legitimate exchange+sort (it clusters on a different key)
+      val exchangeFree = graft.PlanOps.shuffleCount(joined) == 0
+      val sortFree = graft.PlanOps.sortCount(joined) == 0
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("exchange_free", lit(exchangeFree))
+        .withColumn("sort_free", lit(sortFree))
+        .withColumn("bounded_files", lit(boundedFiles))
+        .withColumn("multi_file", lit(multiFile))
     }
   )
 }

@@ -1380,17 +1380,44 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
               refuse("a planned file does not carry the bucketed publish's " +
                 "__cluster=<id> dir segment")
             else if (keyed.isEmpty) None
-            else Some((
-              Array[org.apache.spark.sql.connector.expressions.Expression](
-                Expressions.bucket(n, bcol)),
-              Nil,
-              keyed.flatMap(x => x).groupBy(_._1).toSeq
+            else {
+              val raw = keyed.flatMap(x => x).groupBy(_._1).toSeq
                 .map { case (id, fs) =>
                   (new GenericInternalRow(Array[Any](id)): InternalRow,
                     fs.map(_._2).sorted)
                 }
-                .sortBy(_._2.head),
-              false))
+                .sortBy(_._2.head)
+              // SORTED-WITHIN-BUCKET (the Hive/Iceberg bucketed-sorted
+              // SMB shape): unlike the identity case the bucket's raw
+              // key is NOT constant per group, so the ordering claim is
+              // the SORT columns alone — typically the raw key itself,
+              // giving a sort-free merge join at UNBOUNDED key
+              // cardinality where the identity layout would write one
+              // file set per value. Proof is the same per-group
+              // envelope argument; fan-out (partial clustering) splits
+              // groups across tasks and rightly wins over the claim.
+              val sortCols: Seq[String] =
+                (try Snapshots.sortOf(spark, root, v)
+                 catch { case scala.util.control.NonFatal(_) => None })
+                  .map(Snapshots.clusterCols).getOrElse(Nil)
+                  .filter(tableSchema.fieldNames.contains)
+              val fanOut = spark.conf.get(
+                "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+                "false").toBoolean
+              def plan(groups: Seq[(InternalRow, Seq[String])],
+                  provedSort: Seq[String]): Option[ClusterPlan] = Some((
+                Array[org.apache.spark.sql.connector.expressions.Expression](
+                  Expressions.bucket(n, bcol)),
+                provedSort, groups, provedSort.nonEmpty))
+              if (sortCols.isEmpty || fanOut) plan(raw, Nil)
+              else {
+                val stats = Snapshots.statsOf(spark, root, v)
+                val proved = raw.map { case (k, fls) =>
+                  envelopeOrdered(stats, sortCols, fls).map(k -> _) }
+                if (proved.exists(_.isEmpty)) plan(raw, Nil)
+                else plan(proved.flatten, sortCols)
+              }
+            }
           case None => Snapshots.timeSpec(spec) match {
             case Some((unit, tcol)) => timeGroups(spark, unit, tcol, v, kept, refuse)
             case None => identityGroups(spark, spec, v, kept, refuse)
@@ -1399,6 +1426,48 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
       }
     }
   }
+
+  /** The inter-file half of the sorted-layout proof, per key group: the
+    * `#sort=` header attests each file INTERNALLY ascending by the sort
+    * columns; this completes it ACROSS files — every file needs usable
+    * null-free stats on the LEADING sort column, and the envelopes,
+    * ordered by min, must be STRICTLY disjoint (prev.max < next.min
+    * proves the whole lexicographic tuple order across the
+    * concatenation). Some(files in envelope order) on proof; None (an
+    * overlapping append, a null, missing stats) degrades the ordering
+    * claim — never a wrong answer, just a reappearing sort. Shared by
+    * the identity and bucket grouping paths.
+    */
+  private def envelopeOrdered(
+      stats: Map[String, Map[String, graft.operators.SnapshotStats.ColStats]],
+      sortCols: Seq[String], fls: Seq[String]): Option[Seq[String]] =
+    sortCols.headOption.flatMap { s0 =>
+      if (fls.size <= 1) Some(fls)
+      else try {
+        val bs = fls.map(fl => stats.get(fl).flatMap(_.get(s0))
+          .filter(cs => cs.nulls == 0 && cs.tag != "allnull").map(fl -> _))
+        if (bs.exists(_.isEmpty)) None
+        else {
+          val flat = bs.flatten
+          val tag = flat.head._2.tag
+          if (flat.exists(_._2.tag != tag)) None
+          else {
+            val dec = flat.map { case (fl, cs) =>
+              (fl, SnapshotStats.decode(tag, cs.min),
+                SnapshotStats.decode(tag, cs.max))
+            }
+            val ordered = dec.sortWith((a, b) =>
+              SnapshotStats.decodedCompare(tag, a._2, b._2) < 0)
+            val disjoint = ordered.sliding(2).forall {
+              case scala.collection.Seq(a, b) =>
+                SnapshotStats.decodedCompare(tag, a._3, b._2) < 0
+              case _ => true
+            }
+            if (disjoint) Some(ordered.map(_._1)) else None
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Time-transform grouping: like [[identityGroups]] the proof is
     * footer stats, but single-valuedness holds for the TRANSFORM —
@@ -1513,33 +1582,7 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
                 .map(Snapshots.clusterCols).getOrElse(Nil)
                 .filter(c => tableSchema.fieldNames.contains(c) && !cols.contains(c))
             def envelopeOrder(fls: Seq[String]): Option[Seq[String]] =
-              sortCols.headOption.flatMap { s0 =>
-                if (fls.size <= 1) Some(fls)
-                else try {
-                  val bs = fls.map(fl => stats.get(fl).flatMap(_.get(s0))
-                    .filter(cs => cs.nulls == 0 && cs.tag != "allnull").map(fl -> _))
-                  if (bs.exists(_.isEmpty)) None
-                  else {
-                    val flat = bs.flatten
-                    val tag = flat.head._2.tag
-                    if (flat.exists(_._2.tag != tag)) None
-                    else {
-                      val dec = flat.map { case (fl, cs) =>
-                        (fl, SnapshotStats.decode(tag, cs.min),
-                          SnapshotStats.decode(tag, cs.max))
-                      }
-                      val ordered = dec.sortWith((a, b) =>
-                        SnapshotStats.decodedCompare(tag, a._2, b._2) < 0)
-                      val disjoint = ordered.sliding(2).forall {
-                        case scala.collection.Seq(a, b) =>
-                          SnapshotStats.decodedCompare(tag, a._3, b._2) < 0
-                        case _ => true
-                      }
-                      if (disjoint) Some(ordered.map(_._1)) else None
-                    }
-                  }
-                } catch { case scala.util.control.NonFatal(_) => None }
-              }
+              envelopeOrdered(stats, sortCols, fls)
             // Spark honors a reported ordering only when every key group
             // is a SINGLE scan partition (DataSourceV2ScanExecBase
             // .outputOrdering: a task CONCATENATES same-key partitions in
@@ -1914,7 +1957,7 @@ private[sources] class DvSnapshotBatch(spark: SparkSession,
         metaSchema),
       ParquetReadBridge.readerFactory(spark, tableSchema, augSchema, filters,
         metaSchema),
-      augTypes, outputOrdinals, keyFilters,
+      augTypes, outputOrdinals, spark.sparkContext.broadcast(keyFilters),
       allClean = tagged.forall(_._1 ==
         org.apache.spark.sql.graftbridge.DvFilteringReaderFactory.CleanTag))
   private[graft] def prunedFileCount: Int = prunedFiles

@@ -297,7 +297,12 @@ class DvFilteringReaderFactory(cleanInner: PartitionReaderFactory,
     dirtyInner: PartitionReaderFactory,
     augTypes: Array[org.apache.spark.sql.types.DataType],
     outputOrdinals: Array[Int],
-    keyFilters: Map[Int, Seq[(Array[Int], Set[Seq[Any]])]],
+    // a BROADCAST, not an embedded map: the factory serializes into
+    // every task, so embedded key sets would ship O(tasks × keys) over
+    // the wire — the broadcast ships once per executor (torrent), which
+    // is what "broadcast-sized by the dv contract" is supposed to mean
+    keyFiltersBc: org.apache.spark.broadcast.Broadcast[
+      Map[Int, Seq[(Array[Int], Set[Seq[Any]])]]],
     allClean: Boolean)
     extends PartitionReaderFactory {
   private def isClean(p: InputPartition): Boolean = p match {
@@ -316,7 +321,7 @@ class DvFilteringReaderFactory(cleanInner: PartitionReaderFactory,
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
     if (isClean(p)) return cleanInner.createReader(p)
     val preds = p match {
-      case t: TaggedFilePartition => keyFilters.getOrElse(t.tag, Nil)
+      case t: TaggedFilePartition => keyFiltersBc.value.getOrElse(t.tag, Nil)
       case _ => Nil
     }
     val innerR = dirtyInner.createReader(p)

@@ -238,6 +238,29 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(keys(readSource(root)) == keys(Snapshots.read(spark, root)))
   }
 
+  test("dv probe enforces the broadcast-sized contract: over-bound key sets refuse pre-collect") {
+    val root = freshRoot("dvbound")
+    val base = orders.limit(100).select("o_orderkey", "o_orderpriority")
+    Snapshots.publish(spark, root, base)
+    Snapshots.deleteByKey(spark, root,
+      base.select("o_orderkey").orderBy("o_orderkey").limit(10))
+    val k = "spark.graft.dv.maxProbeKeys"
+    spark.conf.set(k, "3")
+    try {
+      // the bound checks DISTRIBUTED (a count job), before any
+      // driver-side materialization of the key set
+      val e = intercept[Exception](readSource(root).count())
+      assert(e.getMessage.contains("maxProbeKeys") &&
+        e.getMessage.contains("materializeDeletes"),
+        s"over-bound dv read must refuse with the outs: ${e.getMessage}")
+      // Snapshots.read (the distributed anti-join) stays the scale-safe
+      // out at ANY key count — no bound applies there
+      assert(Snapshots.read(spark, root).count() === 90)
+    } finally spark.conf.unset(k)
+    // back under the (default) bound, the probe works unchanged
+    assert(readSource(root).count() === 90)
+  }
+
   test("dv merge-on-read: stats-clean files bypass the probe (vectorized fast path)") {
     // a dv's keys are clustered in a few files; every OTHER file's
     // footer-stats envelope proves it cannot contain a deleted key, so

@@ -292,4 +292,71 @@ class SortedLayoutSpec extends AnyFunSuite {
       s"stream-ingested sorted table must window sort-free ($sh/$so)")
     assert(q.count() == 4000)
   }
+
+  /** Sorted-WITHIN-BUCKET (the Hive/Iceberg bucketed-sorted SMB shape):
+    * sortBy composes with bucket clustering, the raw key is a legal —
+    * and the canonical — sort column, and the scan claims per-partition
+    * ordering by the sort columns alone (the bucket key is not
+    * constant), giving zero-exchange zero-sort merge joins at unbounded
+    * key cardinality. Degrades exactly like the identity form: an
+    * overlapping append brings the sort back (rows stay right), compact
+    * restores the claim.
+    */
+  test("sorted-within-bucket: SMB join zero-exchange zero-sort; overlap degrades; compact restores") {
+    val wh = freshRoot("bktsmb")
+    def pub(root: String, lo: Int, hi: Int, append: Boolean): Unit =
+      Snapshots.publish(spark, root, frame(lo, hi)
+          .withColumnRenamed("s", "key").withColumnRenamed("k", "g"),
+        append = append, clusterBy = Some("bucket(4, key)"), sortBy = Some("key"))
+    // two key-range appends: every bucket holds 2 envelope-disjoint files
+    pub(s"$wh/l", 1, 500, append = false); pub(s"$wh/l", 501, 1000, append = true)
+    pub(s"$wh/r", 1, 500, append = false); pub(s"$wh/r", 501, 1000, append = true)
+    assert(Snapshots.sortOf(spark, s"$wh/l", 2).contains("key"))
+    spark.conf.set("spark.sql.catalog.sbkt",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sbkt.warehouse", wh)
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.table("sbkt.l").select(col("key"), col("x").as("xl"))
+        .join(spark.table("sbkt.r").select(col("key"), col("x").as("xr"))
+          .hint("merge"), "key")
+      val (sh, so) = planCounts(j)
+      assert(sh == 0, s"sorted-bucket SMB join must be exchange-free, got $sh")
+      assert(so == 0, s"sorted-bucket SMB join must be sort-free, got $so")
+      assert(j.count() == 1000)
+      // an OVERLAPPING append (same key range again) keeps answers right
+      // but the inter-file envelope proof fails for every bucket: the
+      // claim degrades, the join re-sorts, nothing breaks
+      pub(s"$wh/l", 1, 500, append = true)
+      val j2 = spark.table("sbkt.l").select(col("key"), col("x").as("xl"))
+        .join(spark.table("sbkt.r").select(col("key"), col("x").as("xr"))
+          .hint("merge"), "key")
+      val (_, so2) = planCounts(j2)
+      assert(so2 > 0, "overlapping envelopes must degrade the ordering claim")
+      assert(j2.count() == 1500)
+      // compact folds each bucket back to one sorted file: claim restored
+      Snapshots.compact(spark, s"$wh/l")
+      val j3 = spark.table("sbkt.l").select(col("key"), col("x").as("xl"))
+        .join(spark.table("sbkt.r").select(col("key"), col("x").as("xr"))
+          .hint("merge"), "key")
+      val (sh3, so3) = planCounts(j3)
+      assert(sh3 == 0 && so3 == 0,
+        s"compact must restore sort-free SMB planning, got ($sh3, $so3)")
+      assert(j3.count() == 1500)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.sbkt")
+      spark.conf.unset("spark.sql.catalog.sbkt.warehouse")
+    }
+  }
+
+  test("sortBy composes with bucket but still refuses time transforms") {
+    val root = freshRoot("bktval")
+    val df = frame(1, 100)
+      .withColumn("ts", expr("timestamp_micros(cast(s * 1000000 as long))"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.publish(spark, root, df, clusterBy = Some("days(ts)"),
+        sortBy = Some("s"))
+    }
+    assert(e.getMessage.contains("time-transform"))
+    assert(Snapshots.versions(spark, root).isEmpty)
+  }
 }
