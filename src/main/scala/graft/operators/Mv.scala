@@ -52,6 +52,21 @@ object Mv {
   final case class Definition(baseRoot: String, baseKeyCols: Seq[String],
       groupCols: Seq[String], sumCols: Seq[String])
 
+  /** The stored definition of a JOIN MV ([[createJoin]]): two co-bucketed
+    * base tables, each with its own unique row key (CDF classification)
+    * and its side of the equi-join, plus the grouped/summed columns of
+    * the JOINED relation.
+    */
+  final case class JoinDefinition(leftRoot: String, leftKeyCols: Seq[String],
+      joinLeft: String, rightRoot: String, rightKeyCols: Seq[String],
+      joinRight: String, groupCols: Seq[String], sumCols: Seq[String])
+
+  /** One join-MV refresh's outcome: like [[Refresh]] but with a
+    * watermark PAIR (one per base).
+    */
+  final case class JoinRefresh(mode: String, fromLeft: Int, toLeft: Int,
+      fromRight: Int, toRight: Int, groupsTouched: Long, mvVersion: Option[Int])
+
   /** One refresh's outcome: `mode` ∈ noop | incremental | full,
     * the base-version watermark it moved from/to, the distinct groups
     * the change feed touched (0 for noop; the full MV group count for
@@ -71,34 +86,50 @@ object Mv {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def writeDef(spark: SparkSession, root: String, d: Definition): Unit = {
-    d.productIterator.foreach {
-      case s: String => require(!s.contains("\n"), "definition fields cannot hold newlines")
-      case cols: Seq[_] => cols.foreach(c => require(
-        !c.toString.exists(ch => ch == ',' || ch == '\n'),
-        s"column name '$c' cannot hold ',' or newline"))
-    }
+  private def checkDefField(v: Any): Unit = v match {
+    case s: String => require(!s.contains("\n"), "definition fields cannot hold newlines")
+    case cols: Seq[_] => cols.foreach(c => require(
+      !c.toString.exists(ch => ch == ',' || ch == '\n'),
+      s"column name '$c' cannot hold ',' or newline"))
+  }
+
+  private def writeDefLines(spark: SparkSession, root: String, lines: Seq[String]): Unit = {
     val f = fs(spark, root)
     val p = defPath(root)
     require(!f.exists(p), s"$root is already a materialized view (found ${p}); " +
       "drop the root to redefine")
-    val text = Seq(
-      s"base=${d.baseRoot}",
-      s"keys=${d.baseKeyCols.mkString(",")}",
-      s"groups=${d.groupCols.mkString(",")}",
-      s"sums=${d.sumCols.mkString(",")}").mkString("\n")
     // staged write + atomic rename: a crashed create leaves no def, so
     // the root never looks like a half-defined MV
     val tmp = new Path(root, s"_mv/.def.${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
-    try out.write(text.getBytes("UTF-8")) finally out.close()
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
     require(f.rename(tmp, p), s"could not commit MV definition at $p")
   }
 
-  /** The stored [[Definition]] of an MV root; fails loudly when the root
-    * was never [[create]]d as one.
-    */
-  def definition(spark: SparkSession, mvRoot: String): Definition = {
+  private def writeDef(spark: SparkSession, root: String, d: Definition): Unit = {
+    d.productIterator.foreach(checkDefField)
+    writeDefLines(spark, root, Seq(
+      s"base=${d.baseRoot}",
+      s"keys=${d.baseKeyCols.mkString(",")}",
+      s"groups=${d.groupCols.mkString(",")}",
+      s"sums=${d.sumCols.mkString(",")}"))
+  }
+
+  private def writeJoinDef(spark: SparkSession, root: String, d: JoinDefinition): Unit = {
+    d.productIterator.foreach(checkDefField)
+    writeDefLines(spark, root, Seq(
+      "kind=join",
+      s"lbase=${d.leftRoot}",
+      s"lkeys=${d.leftKeyCols.mkString(",")}",
+      s"ljoin=${d.joinLeft}",
+      s"rbase=${d.rightRoot}",
+      s"rkeys=${d.rightKeyCols.mkString(",")}",
+      s"rjoin=${d.joinRight}",
+      s"groups=${d.groupCols.mkString(",")}",
+      s"sums=${d.sumCols.mkString(",")}"))
+  }
+
+  private def defKv(spark: SparkSession, mvRoot: String): Map[String, String] = {
     val f = fs(spark, mvRoot)
     val p = defPath(mvRoot)
     require(f.exists(p), s"$mvRoot is not a materialized view (no ${p}) — Mv.create it")
@@ -108,14 +139,36 @@ object Mv {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
       buf.toString("UTF-8")
     } finally in.close()
-    val kv = text.linesIterator.map { l =>
+    text.linesIterator.map { l =>
       val i = l.indexOf('=')
       require(i > 0, s"malformed MV definition line: $l")
       l.take(i) -> l.drop(i + 1)
     }.toMap
-    def cols(k: String): Seq[String] =
-      kv(k).split(",", -1).toSeq.filter(_.nonEmpty)
-    Definition(kv("base"), cols("keys"), cols("groups"), cols("sums"))
+  }
+
+  private def defCols(kv: Map[String, String], k: String): Seq[String] =
+    kv(k).split(",", -1).toSeq.filter(_.nonEmpty)
+
+  /** The stored [[Definition]] of an MV root; fails loudly when the root
+    * was never [[create]]d as one (or is a join MV — see
+    * [[joinDefinition]]).
+    */
+  def definition(spark: SparkSession, mvRoot: String): Definition = {
+    val kv = defKv(spark, mvRoot)
+    require(!kv.get("kind").contains("join"),
+      s"$mvRoot is a JOIN materialized view — use Mv.joinDefinition / Mv.refreshJoin")
+    Definition(kv("base"), defCols(kv, "keys"), defCols(kv, "groups"),
+      defCols(kv, "sums"))
+  }
+
+  /** The stored [[JoinDefinition]] of a join-MV root. */
+  def joinDefinition(spark: SparkSession, mvRoot: String): JoinDefinition = {
+    val kv = defKv(spark, mvRoot)
+    require(kv.get("kind").contains("join"),
+      s"$mvRoot is a single-base materialized view — use Mv.definition / Mv.refresh")
+    JoinDefinition(kv("lbase"), defCols(kv, "lkeys"), kv("ljoin"),
+      kv("rbase"), defCols(kv, "rkeys"), kv("rjoin"),
+      defCols(kv, "groups"), defCols(kv, "sums"))
   }
 
   /** Create the MV: compute the grouped count/sum over the base's CURRENT
@@ -134,21 +187,7 @@ object Mv {
       sumCols.intersect(Seq(GkCol, TombCol)).isEmpty,
       s"'$GkCol'/'$TombCol' are reserved MV columns")
     val baseVs = Snapshots.versions(spark, baseRoot)
-    // EXACT sum types only: the incremental algebra retract/applies per
-    // refresh, and float/double sums would drift by ulps on every cycle —
-    // silently, cumulatively, away from what a recompute (or the declared
-    // full fallback) reports. The bucket layout excludes floats for the
-    // same reason (±0.0 key ambiguity); refusal over silent drift.
-    locally {
-      import org.apache.spark.sql.types.{DoubleType, FloatType}
-      val baseSchema = Snapshots.read(spark, baseRoot).schema
-      val drifty = sumCols.filter(c => baseSchema.fields.find(_.name == c)
-        .exists(f => f.dataType == FloatType || f.dataType == DoubleType))
-      require(drifty.isEmpty,
-        s"MV sum columns must be exact types (integral/decimal): ${drifty.mkString(", ")} " +
-          "are float/double, whose incremental refresh drifts by ulps per cycle — " +
-          "sum a scaled integral column (e.g. cents) instead")
-    }
+    requireExactSums(Snapshots.read(spark, baseRoot).schema, sumCols)
     require(baseVs.nonEmpty, s"base $baseRoot has no published snapshot versions")
     val w = baseVs.last
     // a crashed create (def committed, first publish never happened)
@@ -165,11 +204,38 @@ object Mv {
       .getOrElse(sys.error(s"fresh MV root $mvRoot already carries batch ids"))
   }
 
-  /** The MV's rows (group columns + `n_rows` + `sum_<c>`/`nn_<c>`), the
-    * internal merge digest dropped.
+  /** EXACT sum types only: the incremental algebra retract/applies per
+    * refresh, and float/double sums would drift by ulps on every cycle —
+    * silently, cumulatively, away from what a recompute (or the declared
+    * full fallback) reports. The bucket layout excludes floats for the
+    * same reason (±0.0 key ambiguity); refusal over silent drift.
     */
-  def read(spark: SparkSession, mvRoot: String): DataFrame =
-    Snapshots.read(spark, mvRoot).drop(GkCol)
+  private def requireExactSums(schema: org.apache.spark.sql.types.StructType,
+      sumCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val drifty = sumCols.filter(c => schema.fields.find(_.name == c)
+      .exists(f => f.dataType == FloatType || f.dataType == DoubleType))
+    require(drifty.isEmpty,
+      s"MV sum columns must be exact types (integral/decimal): ${drifty.mkString(", ")} " +
+        "are float/double, whose incremental refresh drifts by ulps per cycle — " +
+        "sum a scaled integral column (e.g. cents) instead")
+  }
+
+  /** The MV's rows (group columns + `n_rows` + `sum_<c>`/`nn_<c>`), the
+    * internal merge digest dropped. `deriveAvg = true` additionally
+    * derives `avg_<c> = sum_<c> / nn_<c>` (double, NULL on an all-NULL
+    * group) for every summed column — avg is DERIVED at read from the
+    * exactly-maintained count+sum, never stored, so it carries no
+    * refresh drift of its own.
+    */
+  def read(spark: SparkSession, mvRoot: String, deriveAvg: Boolean = false): DataFrame = {
+    val base = Snapshots.read(spark, mvRoot).drop(GkCol)
+    if (!deriveAvg) base
+    else defCols(defKv(spark, mvRoot), "sums").foldLeft(base)((df, c) =>
+      df.withColumn(s"avg_$c",
+        when(col(s"nn_$c") > 0,
+          col(s"sum_$c").cast("double") / col(s"nn_$c").cast("double"))))
+  }
 
   /** Bring the MV up to the base table's current version.
     *
@@ -234,22 +300,31 @@ object Mv {
       // the tombstone candidate set
       val touched = cdf.select(
         (gk(d.groupCols).as(GkCol) +: d.groupCols.map(col)): _*).distinct().persist()
-      try refreshIncremental(spark, mvRoot, d, cdf, touched, w, cur)
-      finally touched.unpersist()
+      try {
+        val (n, v) = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
+          cdf, touched, batchId = cur)
+        Refresh("incremental", w, cur, n, v)
+      } finally touched.unpersist()
     } finally cdf.unpersist()
   }
 
-  private def refreshIncremental(spark: SparkSession, mvRoot: String,
-      d: Definition, cdf: DataFrame, touched: DataFrame,
-      w: Int, cur: Int): Refresh = {
+  /** The shared incremental-apply core (single-base and join MVs): apply
+    * a signed row-level change feed of the VIEWED relation to the
+    * materialized count/sum at touched-bucket granularity, tombstone
+    * vanished groups, commit via mergeStreamBatch under `batchId`.
+    * Returns (groups touched, MV version published — None on a replay).
+    */
+  private def applyDelta(spark: SparkSession, mvRoot: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      cdf: DataFrame, touched: DataFrame, batchId: Long): (Long, Option[Int]) = {
     val nTouched = touched.count()
     if (nTouched == 0) {
       // pure rewrite (compaction) under the base: move the watermark
-      // with a no-op merge so the next refresh diffs from `cur`
+      // with a no-op merge so the next refresh diffs from the new head
       val v = Snapshots.mergeStreamBatch(spark, mvRoot,
         Snapshots.read(spark, mvRoot).limit(0).withColumn(TombCol, lit(false)),
-        batchId = cur, keyCols = Seq(GkCol), tombstoneCol = Some(TombCol))
-      return Refresh("incremental", w, cur, 0L, v)
+        batchId = batchId, keyCols = Seq(GkCol), tombstoneCol = Some(TombCol))
+      return (0L, v)
     }
     // current MV rows at TOUCHED-BUCKET granularity: only files in the
     // touched groups' hash buckets can hold their rows (the same
@@ -275,17 +350,17 @@ object Mv {
       Snapshots.schemaOf(spark, mvRoot, mvV), s"mv v$mvV touched buckets")
       .drop(GkCol)
     val applied = IncrementalView.applyCountSum(mvInBuckets, cdf,
-      d.groupCols, d.sumCols)
-      .withColumn(GkCol, gk(d.groupCols))
+      groupCols, sumCols)
+      .withColumn(GkCol, gk(groupCols))
     // groups the feed touched that no longer exist (count hit zero) —
     // EXCEPT, not an anti-join: both sides descend from the CDF, and a
     // set op carries no ambiguous column references
     val gone = touched.select(GkCol).except(applied.select(GkCol))
     val batch = applied.withColumn(TombCol, lit(false))
       .unionByName(gone.withColumn(TombCol, lit(true)), allowMissingColumns = true)
-    val v = Snapshots.mergeStreamBatch(spark, mvRoot, batch, batchId = cur,
+    val v = Snapshots.mergeStreamBatch(spark, mvRoot, batch, batchId = batchId,
       keyCols = Seq(GkCol), tombstoneCol = Some(TombCol))
-    Refresh("incremental", w, cur, nTouched, v)
+    (nTouched, v)
   }
 
   /** The MV's bucket count from its live cluster header (None when the
@@ -295,5 +370,197 @@ object Mv {
     val vs = Snapshots.versions(spark, mvRoot)
     vs.lastOption.flatMap(v => Snapshots.clusterOf(spark, mvRoot, v))
       .flatMap(Snapshots.bucketSpec(_).map(_._1))
+  }
+
+  // ── JOIN MVs (the q185 co-bucketed star as a maintained view) ────────
+
+  /** The watermark PAIR of a join MV packed into the one manifest batch
+    * id: (left version << 32) | right version. Monotone because both
+    * components only move forward, so mergeStreamBatch's replay skip
+    * keeps working unchanged.
+    */
+  private def encWm(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
+  private def decWm(w: Long): (Int, Int) = ((w >> 32).toInt, (w & 0xffffffffL).toInt)
+
+  /** A base's current rows PRUNED to the hash buckets the delta's join
+    * keys can collide with — the co-bucketed premise's payoff: the
+    * join-delta probe of a 100 TB base reads O(colliding buckets) files,
+    * never the table. `hitDirs` is bounded by the bucket count.
+    */
+  private def bucketProbe(spark: SparkSession, root: String, version: Int,
+      n: Int, deltaKeys: DataFrame): DataFrame = {
+    val hit = deltaKeys.na.drop()
+      .select(pmod(hash(deltaKeys.columns.map(col): _*), lit(n)).cast("string").as("__b"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val dirRe = "__cluster=([^/]+)/".r
+    val files = Snapshots.files(spark, root, version)
+      .filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1))))
+    Snapshots.readFiles(spark, root, files,
+      Snapshots.schemaOf(spark, root, version), s"$root v$version bucket probe")
+  }
+
+  /** A base's CDF between two versions reduced to SIGNED data rows:
+    * the base's own columns plus `signCol` ∈ {+1, −1} (insert /
+    * postimage add, delete / preimage retract), CDF metadata dropped so
+    * two deltas can join without ambiguous column references.
+    */
+  private def signedDelta(spark: SparkSession, root: String, from: Int, to: Int,
+      keyCols: Seq[String], signCol: String): DataFrame = {
+    val cdf = Snapshots.changes(spark, root, from, to, keyCols, preImages = true)
+    val sign = when(col("change").isin("insert", "update_postimage"), lit(1L))
+      .when(col("change").isin("delete", "update_preimage"), lit(-1L))
+    val dataCols = cdf.columns.filterNot(c =>
+      c == "change" || c.startsWith("_commit")).toSeq
+    cdf.withColumn(signCol, sign).where(col(signCol).isNotNull)
+      .select((dataCols :+ signCol).map(col): _*)
+  }
+
+  /** Create a JOIN MV: the grouped count/sum over `left ⋈ right ON
+    * joinLeft = joinRight`, stored like [[create]]'s view and refreshed
+    * incrementally from EITHER side's change feed ([[refreshJoin]]).
+    *
+    * Requires the q185 star shape: both bases bucket-clustered on their
+    * join key with the SAME bucket count — that co-location is what
+    * bounds the refresh's delta-join probes to colliding buckets (and
+    * what makes the underlying join exchange-free to begin with) — and
+    * disjoint column names across the two bases (the joined relation
+    * must be unambiguous; project/rename before publishing otherwise).
+    */
+  def createJoin(spark: SparkSession, mvRoot: String,
+      leftRoot: String, leftKeyCols: Seq[String], joinLeft: String,
+      rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
+      groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64): Int = {
+    require(groupCols.nonEmpty, "an MV needs group columns")
+    require(leftKeyCols.nonEmpty && rightKeyCols.nonEmpty,
+      "a join MV needs each base's unique row key (CDF classification)")
+    require(groupCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
+      sumCols.intersect(Seq(GkCol, TombCol)).isEmpty,
+      s"'$GkCol'/'$TombCol' are reserved MV columns")
+    val (lVs, rVs) = (Snapshots.versions(spark, leftRoot), Snapshots.versions(spark, rightRoot))
+    require(lVs.nonEmpty && rVs.nonEmpty, "both bases need published versions")
+    val (wL, wR) = (lVs.last, rVs.last)
+    val lSchema = Snapshots.read(spark, leftRoot).schema
+    val rSchema = Snapshots.read(spark, rightRoot).schema
+    val overlap = lSchema.fieldNames.toSet.intersect(rSchema.fieldNames.toSet)
+    require(overlap.isEmpty,
+      s"join MV bases share column name(s) ${overlap.mkString(", ")} — the joined " +
+        "relation must be unambiguous; rename before publishing")
+    requireExactSums(org.apache.spark.sql.types.StructType(
+      lSchema.fields ++ rSchema.fields), sumCols)
+    def bucketOf(root: String, v: Int, key: String): Int = {
+      val spec = Snapshots.clusterOf(spark, root, v).flatMap(Snapshots.bucketSpec)
+      require(spec.exists(_._2 == key),
+        s"createJoin needs $root bucket-clustered on its join key '$key' " +
+          s"(found ${spec.map(s => s"bucket(${s._1},${s._2})").getOrElse("no bucket layout")}) — " +
+          "the co-bucketed star shape is what bounds refresh probes to colliding buckets")
+      spec.get._1
+    }
+    val nL = bucketOf(leftRoot, wL, joinLeft)
+    val nR = bucketOf(rightRoot, wR, joinRight)
+    require(nL == nR, s"createJoin needs ONE bucket count on both bases, " +
+      s"got bucket($nL,$joinLeft) vs bucket($nR,$joinRight)")
+    if (fs(spark, mvRoot).exists(defPath(mvRoot)) &&
+        Snapshots.versions(spark, mvRoot).isEmpty)
+      fs(spark, mvRoot).delete(defPath(mvRoot), false)
+    writeJoinDef(spark, mvRoot, JoinDefinition(leftRoot, leftKeyCols, joinLeft,
+      rightRoot, rightKeyCols, joinRight, groupCols, sumCols))
+    val joined = Snapshots.read(spark, leftRoot, Some(wL))
+      .join(Snapshots.read(spark, rightRoot, Some(wR)),
+        col(joinLeft) === col(joinRight))
+    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols)
+      .withColumn(GkCol, gk(groupCols))
+    Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = encWm(wL, wR),
+      append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
+      .getOrElse(sys.error(s"fresh MV root $mvRoot already carries batch ids"))
+  }
+
+  /** Bring a join MV up to both bases' current versions. The view delta
+    * is the standard bilinear join-maintenance identity over SIGNED row
+    * multisets (insert +1, delete −1):
+    *
+    *   Δ(L ⋈ R) = ΔL ⋈ R_new  +  L_new ⋈ ΔR  −  ΔL ⋈ ΔR
+    *
+    * (the third term removes the pairs the first two both counted; signs
+    * multiply per joined pair). Every term is delta-sized on at least
+    * one side, and the full-side probes read only the buckets the
+    * delta's keys hash into — the co-bucketed premise — so an
+    * incremental refresh costs O(changes + colliding buckets), never
+    * O(bases). Watermark, exactly-once, tombstones and the
+    * touched-bucket apply are the single-base machinery unchanged
+    * ([[applyDelta]]); dvs or an expired watermark at either base fall
+    * back to a DECLARED full recompute.
+    */
+  def refreshJoin(spark: SparkSession, mvRoot: String): JoinRefresh = {
+    val d = joinDefinition(spark, mvRoot)
+    val (wL, wR) = decWm(Snapshots.lastBatchId(spark, mvRoot).getOrElse(
+      sys.error(s"$mvRoot carries no refresh watermark (batch id) — " +
+        "was it published outside Mv.createJoin?")))
+    val lVs = Snapshots.versions(spark, d.leftRoot)
+    val rVs = Snapshots.versions(spark, d.rightRoot)
+    require(lVs.nonEmpty && rVs.nonEmpty, "both bases need versions")
+    val (curL, curR) = (lVs.last, rVs.last)
+    if (curL <= wL && curR <= wR) return JoinRefresh("noop", wL, wL, wR, wR, 0L, None)
+    def dvFree(root: String, v: Int) = !Snapshots.hasDeleteVectors(spark, root, v)
+    val canDiff = lVs.contains(wL) && rVs.contains(wR) &&
+      dvFree(d.leftRoot, wL) && dvFree(d.leftRoot, curL) &&
+      dvFree(d.rightRoot, wR) && dvFree(d.rightRoot, curR)
+    val batchId = encWm(curL, curR)
+    if (!canDiff) {
+      val joined = Snapshots.read(spark, d.leftRoot, Some(curL))
+        .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
+          col(d.joinLeft) === col(d.joinRight))
+      val mv = IncrementalView.countSum(joined, d.groupCols, d.sumCols)
+        .withColumn(GkCol, gk(d.groupCols))
+      val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = batchId,
+        append = false,
+        clusterBy = mvBucketsOf(spark, mvRoot).map(n => s"bucket($n,$GkCol)"))
+      val groups = v.flatMap(ver =>
+        Snapshots.countRows(spark, mvRoot, Some(ver))).getOrElse(0L)
+      return JoinRefresh("full", wL, curL, wR, curR, groups, v)
+    }
+    val n = Snapshots.clusterOf(spark, d.leftRoot, curL)
+      .flatMap(Snapshots.bucketSpec).map(_._1).getOrElse(
+        sys.error(s"${d.leftRoot} lost its bucket layout — refreshJoin needs " +
+          "the co-bucketed star shape (re-cluster or recreate the MV)"))
+    val dl = if (curL > wL)
+      Some(signedDelta(spark, d.leftRoot, wL, curL, d.leftKeyCols, "__sl").persist())
+      else None
+    val dr = if (curR > wR)
+      Some(signedDelta(spark, d.rightRoot, wR, curR, d.rightKeyCols, "__sr").persist())
+      else None
+    try {
+      val terms = Seq.newBuilder[DataFrame]
+      dl.foreach { l =>
+        // ΔL ⋈ R_new, probe pruned to ΔL's buckets; sign = sl
+        val rNew = bucketProbe(spark, d.rightRoot, curR, n, l.select(d.joinLeft))
+        terms += l.join(rNew, col(d.joinLeft) === col(d.joinRight))
+          .withColumn("__sign", col("__sl"))
+      }
+      dr.foreach { r =>
+        // L_new ⋈ ΔR, probe pruned to ΔR's buckets; sign = sr
+        val lNew = bucketProbe(spark, d.leftRoot, curL, n, r.select(d.joinRight))
+        terms += lNew.join(r, col(d.joinLeft) === col(d.joinRight))
+          .withColumn("__sign", col("__sr"))
+      }
+      for (l <- dl; r <- dr)
+        // ΔL ⋈ ΔR, both delta-sized; sign = −(sl·sr)
+        terms += l.join(r, col(d.joinLeft) === col(d.joinRight))
+          .withColumn("__sign", -col("__sl") * col("__sr"))
+      val outCols = (d.groupCols ++ d.sumCols).distinct
+      val delta = terms.result().map(t => t.select(
+          (outCols.map(col) :+
+            when(col("__sign") === 1L, lit("insert")).otherwise(lit("delete"))
+              .as("change")): _*))
+        .reduce(_ unionByName _).persist()
+      try {
+        val touched = delta.select(
+          (gk(d.groupCols).as(GkCol) +: d.groupCols.map(col)): _*).distinct().persist()
+        try {
+          val (nT, v) = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
+            delta, touched, batchId)
+          JoinRefresh("incremental", wL, curL, wR, curR, nT, v)
+        } finally touched.unpersist()
+      } finally delta.unpersist()
+    } finally { dl.foreach(_.unpersist()); dr.foreach(_.unpersist()) }
   }
 }

@@ -295,6 +295,74 @@ object Extras9 {
         .withColumn("sort_free", lit(sortFree))
         .withColumn("bounded_files", lit(boundedFiles))
         .withColumn("multi_file", lit(multiFile))
+    },
+
+    // JOIN MV with incremental refresh under the oracle hash: the q185
+    // co-bucketed star (orders bucket(8, o_custkey) ⋈ customer
+    // bucket(8, c_custkey)) maintained as a materialized count/sum/avg
+    // per market segment. BOTH bases mutate (a fact CoW merge bumps +
+    // deletes rows; a dim merge moves customers to a new segment), then
+    // ONE Mv.refreshJoin applies the bilinear join-delta identity
+    // (ΔL⋈R' + L'⋈ΔR − ΔL⋈ΔR, signed rows) at touched-bucket
+    // granularity. The oracle replays the whole mutation history
+    // relationally — the hash certifies incremental-apply ≡ recompute,
+    // including the derived avg (sum/nn at read, never stored). Flags:
+    // the refresh really ran incrementally, BOTH watermarks advanced,
+    // and a replayed refresh is a no-op.
+    QueryDef.checked(
+      "q195_join_mv_refresh",
+      """WITH fact AS (
+        |  SELECT o_orderkey AS k, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 0 AND o_orderkey % 37 <> 0
+        |         THEN CAST(round(o_totalprice * 100) AS BIGINT) + 7
+        |         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+        |  FROM orders WHERE o_orderkey % 37 <> 0),
+        |dim AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 3 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT d.seg, count(*) AS n_rows,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(f.cents) AS BIGINT) AS nn_cents,
+        |  CAST(sum(f.cents) AS DOUBLE) / CAST(count(f.cents) AS DOUBLE) AS avg_cents,
+        |  CAST(1 AS BOOLEAN) AS incremental,
+        |  CAST(1 AS BOOLEAN) AS both_sides,
+        |  CAST(1 AS BOOLEAN) AS replay_noop
+        |FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q195_join_mv_refresh", "joinmv", dir)
+      val fact = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      Snapshots.publish(s, s"$root/fact", fact, clusterBy = Some("bucket(8, o_custkey)"))
+      Snapshots.publish(s, s"$root/dim", dim, clusterBy = Some("bucket(8, c_custkey)"))
+      Mv.createJoin(s, s"$root/mv",
+        s"$root/fact", Seq("k"), "o_custkey",
+        s"$root/dim", Seq("c_custkey"), "c_custkey",
+        groupCols = Seq("c_mktsegment"), sumCols = Seq("cents"), mvBuckets = 8)
+      // fact side: +7 cents on keys ≡0 (mod 10) that survive, delete ≡0 (mod 37)
+      Snapshots.mergeByKey(s, s"$root/fact",
+        fact.filter(col("k") % 10 === 0 && col("k") % 37 =!= 0)
+          .withColumn("cents", col("cents") + 7).withColumn("__del", lit(false))
+          .unionByName(fact.filter(col("k") % 37 === 0).withColumn("__del", lit(true))),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      // dim side: customers ≡3 (mod 10) move to a NEW segment
+      Snapshots.mergeByKey(s, s"$root/dim",
+        dim.filter(col("c_custkey") % 10 === 3)
+          .withColumn("c_mktsegment", lit("MOVED")).withColumn("__del", lit(false)),
+        keyCols = Seq("c_custkey"), tombstoneCol = Some("__del"))
+      val r = Mv.refreshJoin(s, s"$root/mv")
+      val incremental = r.mode == "incremental"
+      val bothSides = r.fromLeft < r.toLeft && r.fromRight < r.toRight
+      val replayNoop = Mv.refreshJoin(s, s"$root/mv").mode == "noop"
+      Mv.read(s, s"$root/mv", deriveAvg = true)
+        .select(col("c_mktsegment").as("seg"), col("n_rows"),
+          col("sum_cents"), col("nn_cents"), col("avg_cents"))
+        .withColumn("incremental", lit(incremental))
+        .withColumn("both_sides", lit(bothSides))
+        .withColumn("replay_noop", lit(replayNoop))
     }
   )
 }

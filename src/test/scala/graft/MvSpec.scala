@@ -201,4 +201,146 @@ class MvSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Mv.refresh(spark, m))
     assert(e.getMessage.contains("no longer carries"))
   }
+
+  // ── JOIN MVs ────────────────────────────────────────────────────────
+
+  /** fact (k PK, ck join key, cents) and dim (ck2 PK+join key, seg):
+    * the co-bucketed star, bucket(4, join key) on both sides.
+    */
+  private def publishStar(fact: String, dim: String,
+      facts: Seq[(Long, Long, Long)], dims: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    Snapshots.publish(spark, fact, facts.toDF("k", "ck", "cents"),
+      clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, dim, dims.toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+  }
+
+  private def joinRecompute(fact: String, dim: String): Set[(String, Long, Option[Long])] =
+    collectJoinMv(IncrementalView.countSum(
+      Snapshots.read(spark, fact).join(Snapshots.read(spark, dim),
+        col("ck") === col("ck2")),
+      Seq("seg"), Seq("cents")))
+
+  private def collectJoinMv(df: DataFrame): Set[(String, Long, Option[Long])] =
+    df.select("seg", "n_rows", "sum_cents").collect().map { r =>
+      (if (r.isNullAt(0)) "<null>" else r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }.toSet
+
+  test("join MV: incremental refresh equals the recompute when either or both sides change") {
+    val f = s"$wh/jf1"; val dm = s"$wh/jd1"; val m = s"$wh/jm1"
+    publishStar(f, dm,
+      Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 11L, 300L), (4L, 12L, 400L)),
+      Seq((10L, "a"), (11L, "b"), (12L, "c")))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg"), Seq("cents"), mvBuckets = 4)
+    assert(collectJoinMv(Mv.read(spark, m)) === joinRecompute(f, dm))
+
+    // LEFT-only change: update cents of k=1, delete k=4 (group c vanishes),
+    // insert k=5 into ck=11
+    import spark.implicits._
+    Snapshots.mergeByKey(spark, f,
+      Seq((1L, 10L, 150L, false), (4L, 0L, 0L, true), (5L, 11L, 500L, false))
+        .toDF("k", "ck", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    val r1 = Mv.refreshJoin(spark, m)
+    assert(r1.mode === "incremental", s"got $r1")
+    assert(collectJoinMv(Mv.read(spark, m)) === joinRecompute(f, dm))
+
+    // RIGHT-only change: customer 10 moves a -> b
+    Snapshots.mergeByKey(spark, dm,
+      Seq((10L, "b", false)).toDF("ck2", "seg", "__del"),
+      keyCols = Seq("ck2"), tombstoneCol = Some("__del"))
+    val r2 = Mv.refreshJoin(spark, m)
+    assert(r2.mode === "incremental")
+    assert(collectJoinMv(Mv.read(spark, m)) === joinRecompute(f, dm))
+
+    // BOTH sides change before one refresh: the bilinear identity's
+    // third term (ΔL ⋈ ΔR) is what keeps a simultaneously-touched pair
+    // counted exactly once
+    Snapshots.mergeByKey(spark, f,
+      Seq((2L, 10L, 250L, false), (6L, 13L, 600L, false))
+        .toDF("k", "ck", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    Snapshots.mergeByKey(spark, dm,
+      Seq((10L, "moved", false), (13L, "d", false)).toDF("ck2", "seg", "__del"),
+      keyCols = Seq("ck2"), tombstoneCol = Some("__del"))
+    val r3 = Mv.refreshJoin(spark, m)
+    assert(r3.mode === "incremental")
+    assert(r3.fromLeft < r3.toLeft && r3.fromRight < r3.toRight,
+      s"both watermarks must advance: $r3")
+    assert(collectJoinMv(Mv.read(spark, m)) === joinRecompute(f, dm))
+
+    // replay: both bases unchanged -> noop, nothing published
+    val before = Snapshots.versions(spark, m)
+    assert(Mv.refreshJoin(spark, m).mode === "noop")
+    assert(Snapshots.versions(spark, m) === before)
+  }
+
+  test("join MV refusals: co-bucket contract, ambiguous names, kind dispatch") {
+    val f = s"$wh/jf2"; val dm = s"$wh/jd2"
+    import spark.implicits._
+    // dim bucketed with a DIFFERENT count
+    Snapshots.publish(spark, f, Seq((1L, 10L, 100L)).toDF("k", "ck", "cents"),
+      clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, dm, Seq((10L, "a")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(8, ck2)"))
+    val e1 = intercept[IllegalArgumentException](
+      Mv.createJoin(spark, s"$wh/jm2", f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+        Seq("seg"), Seq("cents")))
+    assert(e1.getMessage.contains("ONE bucket count"), e1.getMessage)
+    // unbucketed base
+    val dm2 = s"$wh/jd2b"
+    Snapshots.publish(spark, dm2, Seq((10L, "a")).toDF("ck2", "seg"))
+    val e2 = intercept[IllegalArgumentException](
+      Mv.createJoin(spark, s"$wh/jm2b", f, Seq("k"), "ck", dm2, Seq("ck2"), "ck2",
+        Seq("seg"), Seq("cents")))
+    assert(e2.getMessage.contains("bucket-clustered"), e2.getMessage)
+    // overlapping column names
+    val dm3 = s"$wh/jd2c"
+    Snapshots.publish(spark, dm3, Seq((10L, "a")).toDF("ck", "seg"),
+      clusterBy = Some("bucket(4, ck)"))
+    val e3 = intercept[IllegalArgumentException](
+      Mv.createJoin(spark, s"$wh/jm2c", f, Seq("k"), "ck", dm3, Seq("ck"), "ck",
+        Seq("seg"), Seq("cents")))
+    assert(e3.getMessage.contains("unambiguous"), e3.getMessage)
+    // kind dispatch both ways
+    val dmOk = s"$wh/jd2d"
+    Snapshots.publish(spark, dmOk, Seq((10L, "a")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    val jm = s"$wh/jm2d"
+    Mv.createJoin(spark, jm, f, Seq("k"), "ck", dmOk, Seq("ck2"), "ck2",
+      Seq("seg"), Seq("cents"), mvBuckets = 4)
+    assert(intercept[IllegalArgumentException](Mv.refresh(spark, jm))
+      .getMessage.contains("refreshJoin"))
+    val sm = s"$wh/jm2e"
+    Snapshots.publish(spark, s"$wh/jb2e", Seq((1L, "g", 1L)).toDF("k", "g", "v"))
+    Mv.create(spark, sm, s"$wh/jb2e", Seq("k"), Seq("g"), Seq("v"))
+    assert(intercept[IllegalArgumentException](Mv.refreshJoin(spark, sm))
+      .getMessage.contains("refresh"))
+  }
+
+  test("derived avg at read: sum/nn, NULL on all-NULL groups, never stored") {
+    val b = s"$wh/avg1"; val m = s"$wh/avgm1"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", null.asInstanceOf[java.lang.Long]))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+    val got = Mv.read(spark, m, deriveAvg = true)
+      .select("g", "avg_v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === Map("a" -> Some(15.0), "b" -> None))
+    // derived, not stored: the plain read has no avg column
+    assert(!Mv.read(spark, m).columns.contains("avg_v"))
+    // and it tracks refreshes exactly (the stored sum/count are exact)
+    import spark.implicits._
+    Snapshots.mergeByKey(spark, b,
+      Seq((4L, "a", 60L, false)).toDF("k", "g", "v", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    Mv.refresh(spark, m)
+    val a2 = Mv.read(spark, m, deriveAvg = true)
+      .filter(col("g") === "a").select("avg_v").head.getDouble(0)
+    assert(a2 === 30.0)
+  }
 }
