@@ -1898,10 +1898,11 @@ object Snapshots {
     */
   def mergeStreamBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, keyCols: Seq[String],
-      tombstoneCol: Option[String] = None): Option[Int] =
+      tombstoneCol: Option[String] = None,
+      extraHeader: Seq[String] = Nil): Option[Int] =
     if (lastBatchId(spark, root).exists(_ >= batchId)) None
     else Some(mergeByKey(spark, root, batch, keyCols, tombstoneCol,
-      extraHeader = Seq(s"$BATCH_HEADER$batchId")))
+      extraHeader = s"$BATCH_HEADER$batchId" +: extraHeader))
 
   /** Row-level DELETE by predicate, copy-on-write: rows where `predicate`
     * is TRUE are removed (NULL keeps the row — SQL DELETE semantics);

@@ -256,6 +256,66 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("jac"))
     },
 
+    // KEYED-UPDATE streaming near-dup under the oracle hash: a second
+    // source version RE-DELIVERS half the corpus's ids with new texts
+    // (group moves), and DocStreams.upsertNearDup retracts each updated
+    // doc's superseded band rows and stale pairs while inserting the new
+    // ones — the accumulated pair state after the drain EQUALS the batch
+    // recompute over the FINAL texts. The corpus is constructed (one
+    // identical text per group, tokens carrying the group id), so the
+    // expected pair set is exactly the within-final-group pairs with
+    // jac = 1.0 — fully replayable relationally; a stale pair surviving
+    // (or a new pair missed) flips the hash.
+    QueryDef.checked("q196_stream_neardup_upsert",
+      """WITH ids AS (SELECT doc_id FROM documents
+        |             WHERE doc_id % 3 = 0 AND doc_id < 1200),
+        |fin AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 0 THEN doc_id % 20 + 100
+        |       ELSE doc_id % 20 END AS g
+        |  FROM ids)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(1.0 AS DOUBLE) AS jac
+        |FROM fin a JOIN fin b ON a.g = b.g AND a.doc_id < b.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.streaming.DocStreams
+      val fs = new org.apache.hadoop.fs.Path("/")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def root(n: String) = {
+        val r = graft.Scratch.dir("q196_stream_neardup_upsert", n, dir)
+        fs.delete(new org.apache.hadoop.fs.Path(r), true) // idempotent rerun
+        r
+      }
+      val (src, seenRoot, pairsRoot) =
+        (root("ups_src"), root("ups_seen"), root("ups_pairs"))
+      fs.delete(new org.apache.hadoop.fs.Path(
+        DocStreams.bandRootOf(seenRoot)), true)
+      val ids = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 1200)
+      // one identical 12-token text per group; tokens embed the group id
+      // so distinct groups share no shingles
+      val v1 = ids.withColumn("__g", col("doc_id") % 20)
+        .select(col("doc_id"), expr(
+          "concat_ws(' ', transform(sequence(1, 12), x -> concat('w', __g, 'x', x)))")
+          .as("text"))
+      val v2 = ids.filter(col("doc_id") % 6 === 0)
+        .withColumn("__g", col("doc_id") % 20 + 100)
+        .select(col("doc_id"), expr(
+          "concat_ws(' ', transform(sequence(1, 12), x -> concat('w', __g, 'x', x)))")
+          .as("text"))
+      graft.operators.Snapshots.publish(s, src, v1)
+      graft.operators.Snapshots.publish(s, src, v2, append = true)
+      val ck = graft.Scratch.ephemeralCheckpoint("q196_stream_neardup_upsert")
+      val q = s.readStream.format("graft-snapshot").option("root", src)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.foreachBatch(
+          DocStreams.upsertNearDup(seenRoot, pairsRoot, buckets = 8) _)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "AvailableNow drain timed out")
+      graft.operators.Snapshots.read(s, pairsRoot)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    },
+
     // SimHash near-dup (rows-only: xxhash64 has no DuckDB equivalent;
     // cross-checked against MinHash in DedupSpec instead). The expensive
     // half — the tokenize → 64-bit-sum fingerprint scan — reads the

@@ -73,7 +73,8 @@ object DocStreams {
     * still band-collides with the old row (the common update shape) are
     * REFUSED loudly by the probe's same-id check; a fully rewritten text
     * can evade it, so the id contract is the caller's. A keyed-update
-    * stream belongs on `Snapshots.mergeStreamBatch`, not here.
+    * stream belongs on [[upsertNearDup]], which retracts the superseded
+    * doc's band rows and stale pairs.
     *
     * State is three snapshot tables:
     *   - `seenRoot`: per-doc [[graft.operators.MinHashDedup.prepared]]
@@ -310,6 +311,218 @@ object DocStreams {
         Snapshots.compact(spark, pairsRoot)
       }
     } finally { cands.unpersist(false); prep.unpersist(false) }
+  }
+
+  /** KEYED-UPDATE streaming near-dup — [[incrementalNearDup]] for an
+    * UPDATE stream: a batch may re-deliver an already-seen doc id with
+    * new text, and the accumulated state then reflects the LATEST text
+    * per id — the superseded doc's band rows retract, its stale pairs
+    * retract, and after any drain the pair set EQUALS the batch
+    * recompute over the final texts (q196 pins that equality).
+    *
+    * The composition is [[graft.operators.Snapshots.mergeStreamBatch]]
+    * on all three state tables (the upsert form of the append-only
+    * publishes), with the retraction sets RECOMPUTED rather than looked
+    * up: an updated doc's stale pairs are exactly the pairs its STORED
+    * signature band-collides into under the pre-update state (the same
+    * deterministic probe+verify that created them), so retraction costs
+    * O(colliding buckets) — no scan of the pairs table, no per-pair
+    * index. Deltas:
+    *
+    *   - seen: upsert the batch's prepared rows by (id_bucket, doc_id) —
+    *     `id_bucket` depends only on the id, so updates never move
+    *     cluster groups and the CoW probe prunes by the bucket envelope;
+    *   - bands: tombstone the old rows whose (bucket, doc_id, band) key
+    *     vanished, upsert the new rows (a band whose hash — and thus
+    *     bucket — survived the edit is an in-place upsert);
+    *   - pairs: tombstone (stale ∖ new), upsert new — a pair that holds
+    *     under both texts is re-asserted, never dropped.
+    *
+    * Publish order pairs → bands → seen (seen is the commit marker),
+    * each exactly-once by batch id; every delta derives deterministically
+    * from the PRE-update state, so a crash between merges replays only
+    * the missing tail (a bands-hit replay skips straight to the seen
+    * catch-up — recomputing against post-merge band state would be
+    * wrong, exactly as in the append form). Within one batch doc ids
+    * must be unique (checked loudly before anything publishes).
+    */
+  def upsertNearDup(seenRoot: String, pairsRoot: String,
+      p: graft.operators.MinHashDedup.Params = graft.operators.MinHashDedup.Params(),
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 64, compactEvery: Int = 0)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.{MinHashDedup, Snapshots}
+    import org.apache.spark.sql.graftbridge.SessionBridge
+    val b0 = SessionBridge.rebatch(batch)
+    val spark = SessionBridge.cloneWithConf(b0.sparkSession,
+      Map("spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true"))
+    val b = SessionBridge.rebind(b0, spark)
+    val bandRoot = bandRootOf(seenRoot)
+    val bucketsHeader = s"$ND_BUCKETS_HEADER$buckets"
+    Snapshots.headerValue(spark, seenRoot, ND_BUCKETS_HEADER).foreach { stored =>
+      require(stored.toInt == buckets,
+        s"near-dup state at $seenRoot was built with buckets=$stored but this " +
+          s"call passed buckets=$buckets — the bucket count is fixed for a " +
+          "state set's lifetime; pass the original count or wipe all three roots")
+    }
+    if (Snapshots.lastBatchId(spark, seenRoot).exists(_ >= batchId)) return
+
+    val prep = MinHashDedup.prepared(b, idCol, textCol, p)
+      .withColumn("id_bucket",
+        pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int"))
+      .persist()
+    try {
+      // seen rows in the given id buckets — the bounded state lookup
+      def seenRows(needBuckets: Seq[Int]): DataFrame = {
+        val empty = prep.limit(0).drop("id_bucket")
+        Snapshots.versions(spark, seenRoot).lastOption match {
+          case None => empty
+          case Some(v) =>
+            val rel =
+              if (Snapshots.clusterOf(spark, seenRoot, v).contains("id_bucket"))
+                needBuckets.flatMap(bk =>
+                  Snapshots.filesBetween(spark, seenRoot, v, "id_bucket", bk, bk)).distinct
+              else Snapshots.files(spark, seenRoot, v)
+            if (rel.isEmpty) empty
+            else Snapshots.schemaOf(spark, seenRoot, v) match {
+              case Some(sch) => spark.read.schema(sch)
+                .parquet(rel.map(r => s"$seenRoot/$r"): _*).drop("id_bucket")
+              case None => Snapshots.read(spark, seenRoot, Some(v)).drop("id_bucket")
+            }
+        }
+      }
+      def withBucket(bands: DataFrame): DataFrame = bands.withColumn("bucket",
+        pmod(xxhash64(col("band"), col("bh")), lit(buckets.toLong)).cast("int"))
+      def verify(cands: DataFrame, lookup: DataFrame): DataFrame = cands
+        .join(lookup.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+        .join(lookup.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))).cast("double")).as("jac"))
+        .filter(col("jac") >= p.threshold)
+      def canon(raw: DataFrame): DataFrame = raw
+        .filter(col("da") =!= col("db"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"))
+        .distinct()
+
+      // ONE bounded aggregate: intra-batch dup ids (refuse BEFORE any
+      // publish — garbage pairs must never commit; checked on the RAW
+      // batch, since `prepared` aggregates per id and would absorb the
+      // duplicate) + the batch's id buckets (the update lookup's prune set)
+      val head = b.groupBy(col(idCol).as("doc_id")).count()
+        .agg(max(col("count") > 1), collect_set(
+          pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int")))
+        .collect().head
+      require(head.isNullAt(0) || !head.getBoolean(0),
+        s"batch $batchId delivers the same $idCol more than once — an update " +
+          "stream must carry one latest row per key per batch")
+      val batchBuckets = if (head.isNullAt(1)) Nil else head.getSeq[Int](1)
+
+      // bands committed but seen not: pairs committed too (publish
+      // order) — only the seen catch-up is owed, and the deltas must NOT
+      // recompute against the post-merge band state
+      if (Snapshots.lastBatchId(spark, bandRoot).exists(_ >= batchId)) {
+        require(Snapshots.lastBatchId(spark, pairsRoot).exists(_ >= batchId),
+          s"band state $bandRoot already holds batch $batchId but $pairsRoot " +
+            "does not — pairs/bands/seen are one atomic state set")
+        if (Snapshots.versions(spark, seenRoot).isEmpty)
+          Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
+            clusterBy = Some("id_bucket"), extraHeader = Seq(bucketsHeader))
+        else Snapshots.mergeStreamBatch(spark, seenRoot, prep, batchId,
+          keyCols = Seq("id_bucket", "doc_id"), extraHeader = Seq(bucketsHeader))
+        return
+      }
+      // legacy/derived band state backfill (same as the append form)
+      if (Snapshots.versions(spark, bandRoot).isEmpty &&
+          Snapshots.versions(spark, seenRoot).nonEmpty)
+        Snapshots.publish(spark, bandRoot,
+          withBucket(MinHashDedup.bandRows(Snapshots.read(spark, seenRoot), p)),
+          clusterBy = Some("bucket"))
+
+      // the re-delivered ids' PRE-update state rows (empty on a pure
+      // insert batch): everything the update owes derives from these
+      val oldPrep = seenRows(batchBuckets.sorted)
+        .join(prep.select("doc_id"), Seq("doc_id"), "left_semi").persist()
+      try {
+        val oldBands = withBucket(MinHashDedup.bandRows(oldPrep, p))
+        val newBands = withBucket(MinHashDedup.bandRows(prep, p))
+        val stateEmpty = Snapshots.versions(spark, bandRoot).isEmpty
+        val noCands = prep.select(col("doc_id").as("da"), col("doc_id").as("db")).limit(0)
+
+        // STALE pairs: the updated docs' stored signatures re-probe the
+        // pre-update state — the deterministic recompute of exactly the
+        // pairs previously recorded for them (old texts on BOTH ends)
+        val staleCands = canon(
+          if (stateEmpty) noCands else probeJoin(spark, bandRoot, oldBands)).persist()
+        // NEW pairs: new bands vs state (minus every updated doc's stale
+        // rows — an anti-join on the updated id set) plus the batch self-join
+        val updatedIds = oldPrep.select(col("doc_id").as("da"))
+        val crossNew =
+          if (stateEmpty) noCands
+          else probeJoin(spark, bandRoot, newBands)
+            .join(updatedIds, Seq("da"), "left_anti")
+        val selfNew = newBands.as("l").join(newBands.as("r"),
+            col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
+        val newCands = canon(crossNew.unionByName(selfNew)).persist()
+        try {
+          // verification lookups: stale = pre-update state everywhere;
+          // new = batch texts + non-updated partners' state rows
+          def needBuckets(cands: DataFrame): Seq[Int] = cands
+            .select(explode(array(
+              pmod(xxhash64(col("doc_a")), lit(buckets.toLong)).cast("int"),
+              pmod(xxhash64(col("doc_b")), lit(buckets.toLong)).cast("int"))))
+            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+          val stalePairs = verify(staleCands,
+            seenRows(needBuckets(staleCands))).persist()
+          val newPairs = verify(newCands,
+            prep.select(col("doc_id"), col("shset"))
+              .unionByName(seenRows(needBuckets(newCands))
+                .join(prep.select("doc_id"), Seq("doc_id"), "left_anti")
+                .select(col("doc_id"), col("shset")))).persist()
+          try {
+            // pairs delta: retract (stale ∖ new), upsert new
+            val goneKeys = stalePairs.select("doc_a", "doc_b")
+              .join(newPairs.select("doc_a", "doc_b"),
+                Seq("doc_a", "doc_b"), "left_anti")
+            val pairsDelta = newPairs.withColumn("__nd_del", lit(false))
+              .unionByName(goneKeys.withColumn("jac", lit(0.0))
+                .withColumn("__nd_del", lit(true)))
+            if (Snapshots.versions(spark, pairsRoot).isEmpty)
+              Snapshots.publishStreamBatch(spark, pairsRoot,
+                pairsDelta.filter(!col("__nd_del")).drop("__nd_del"), batchId)
+            else Snapshots.mergeStreamBatch(spark, pairsRoot, pairsDelta, batchId,
+              keyCols = Seq("doc_a", "doc_b"), tombstoneCol = Some("__nd_del"))
+            // bands delta: tombstone vanished (bucket, doc_id, band)
+            // keys, upsert the new rows (bucket ∈ key so the CoW probe
+            // prunes by the cluster envelope)
+            val bandGone = oldBands
+              .join(newBands, Seq("bucket", "doc_id", "band"), "left_anti")
+            val bandsDelta = newBands.withColumn("__nd_del", lit(false))
+              .unionByName(bandGone.withColumn("__nd_del", lit(true)))
+            if (Snapshots.versions(spark, bandRoot).isEmpty)
+              Snapshots.publishStreamBatch(spark, bandRoot, newBands, batchId,
+                clusterBy = Some("bucket"))
+            else Snapshots.mergeStreamBatch(spark, bandRoot, bandsDelta, batchId,
+              keyCols = Seq("bucket", "doc_id", "band"),
+              tombstoneCol = Some("__nd_del"))
+            // seen upsert LAST — the commit marker
+            if (Snapshots.versions(spark, seenRoot).isEmpty)
+              Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
+                clusterBy = Some("id_bucket"), extraHeader = Seq(bucketsHeader))
+            else Snapshots.mergeStreamBatch(spark, seenRoot, prep, batchId,
+              keyCols = Seq("id_bucket", "doc_id"), extraHeader = Seq(bucketsHeader))
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+              Snapshots.compact(spark, seenRoot)
+              Snapshots.compact(spark, bandRoot)
+              Snapshots.compact(spark, pairsRoot)
+            }
+          } finally { stalePairs.unpersist(false); newPairs.unpersist(false) }
+        } finally { staleCands.unpersist(false); newCands.unpersist(false) }
+      } finally oldPrep.unpersist(false)
+    } finally prep.unpersist(false)
   }
 
   /** The cross-state band probe: accumulated clustered band state ⋈ the

@@ -659,4 +659,59 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 2L)), s"post-contract batches must still pair: $got")
   }
+
+  test("upsertNearDup: updates retract stale pairs/bands and the state equals the final-text recompute") {
+    import spark.implicits._
+    import graft.operators.{MinHashDedup, Snapshots}
+    import graft.streaming.DocStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-upsdup").toString
+    val (seen, pairs) = (s"$base/seen", s"$base/pairs")
+    val bandRoot = DocStreams.bandRootOf(seen)
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "totally different content lives here now"
+    val tB2 = "totally different content lives here too"   // ~ tB
+    // batch 0: 1 ~ 2 (pair), 3 distinct
+    DocStreams.upsertNearDup(seen, pairs, buckets = 4)(
+      df(1L -> tA, 2L -> tA, 3L -> tB), 0L)
+    def pairSet = Snapshots.read(spark, pairs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == Set((1L, 2L)))
+    // batch 1: doc 2 UPDATES away from 1 and toward 3; doc 4 inserts ~ 1
+    DocStreams.upsertNearDup(seen, pairs, buckets = 4)(
+      df(2L -> tB2, 4L -> tA), 1L)
+    val expected = MinHashDedup.verifiedPairs(
+        df(1L -> tA, 2L -> tB2, 3L -> tB, 4L -> tA), "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.contains((2L, 3L)) && !expected.contains((1L, 2L)),
+      s"fixture must exercise retraction+new pairing: $expected")
+    assert(pairSet == expected, s"$pairSet vs $expected")
+    // seen holds ONE latest row per id; bands hold no stale rows
+    val seenRows = Snapshots.read(spark, seen)
+    assert(seenRows.count() == 4 &&
+      seenRows.select("doc_id").distinct().count() == 4)
+    val bandCount = Snapshots.read(spark, bandRoot).count()
+    val perDoc = MinHashDedup.bandRows(
+      MinHashDedup.prepared(df(1L -> tA), "doc_id", "text")).count()
+    assert(bandCount == 4 * perDoc,
+      s"stale band rows must retract: $bandCount vs ${4 * perDoc}")
+    // replay of the last batch publishes nothing anywhere
+    val before = (Snapshots.versions(spark, seen), Snapshots.versions(spark, pairs),
+      Snapshots.versions(spark, bandRoot))
+    DocStreams.upsertNearDup(seen, pairs, buckets = 4)(df(2L -> tB2, 4L -> tA), 1L)
+    assert((Snapshots.versions(spark, seen), Snapshots.versions(spark, pairs),
+      Snapshots.versions(spark, bandRoot)) == before)
+    // an update that KEEPS a pair re-asserts it (never drops it)
+    DocStreams.upsertNearDup(seen, pairs, buckets = 4)(
+      df(4L -> "alpha beta gamma delta epsilon eta"), 2L)
+    assert(pairSet.contains((1L, 4L)), s"surviving pair must persist: $pairSet")
+    // contract refusals: intra-batch dup id; mismatched bucket count
+    val eDup = intercept[IllegalArgumentException](
+      DocStreams.upsertNearDup(seen, pairs, buckets = 4)(
+        df(9L -> tA, 9L -> tB), 3L))
+    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
+    val eBkt = intercept[IllegalArgumentException](
+      DocStreams.upsertNearDup(seen, pairs, buckets = 8)(df(10L -> tA), 3L))
+    assert(eBkt.getMessage.contains("buckets=4"), eBkt.getMessage)
+  }
 }
