@@ -161,6 +161,13 @@ object Mv {
       defCols(kv, "sums"))
   }
 
+  /** Whether the MV root stores a join definition ([[createJoin]]) —
+    * the dispatch bit for generic callers (the SQL `refresh_mv`
+    * procedure serves both kinds through it).
+    */
+  def isJoin(spark: SparkSession, mvRoot: String): Boolean =
+    defKv(spark, mvRoot).get("kind").contains("join")
+
   /** The stored [[JoinDefinition]] of a join-MV root. */
   def joinDefinition(spark: SparkSession, mvRoot: String): JoinDefinition = {
     val kv = defKv(spark, mvRoot)
@@ -385,16 +392,26 @@ object Mv {
   /** A base's current rows PRUNED to the hash buckets the delta's join
     * keys can collide with — the co-bucketed premise's payoff: the
     * join-delta probe of a 100 TB base reads O(colliding buckets) files,
-    * never the table. `hitDirs` is bounded by the bucket count.
+    * never the table. The bucket count comes from the PROBED table's own
+    * live header (a one-sided rescale must never prune with the other
+    * side's count), and a table whose layout was dropped (a row-level
+    * CoW rewrite before the next compact) degrades to an UNpruned —
+    * still correct, still delta-joined — read rather than a refusal.
     */
   private def bucketProbe(spark: SparkSession, root: String, version: Int,
-      n: Int, deltaKeys: DataFrame): DataFrame = {
-    val hit = deltaKeys.na.drop()
-      .select(pmod(hash(deltaKeys.columns.map(col): _*), lit(n)).cast("string").as("__b"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val dirRe = "__cluster=([^/]+)/".r
-    val files = Snapshots.files(spark, root, version)
-      .filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1))))
+      joinKey: String, deltaKeys: DataFrame): DataFrame = {
+    val all = Snapshots.files(spark, root, version)
+    val files = Snapshots.clusterOf(spark, root, version)
+      .flatMap(Snapshots.bucketSpec) match {
+      case Some((n, c)) if c == joinKey =>
+        val hit = deltaKeys.na.drop()
+          .select(pmod(hash(deltaKeys.columns.map(col): _*), lit(n))
+            .cast("string").as("__b"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val dirRe = "__cluster=([^/]+)/".r
+        all.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1))))
+      case _ => all
+    }
     Snapshots.readFiles(spark, root, files,
       Snapshots.schemaOf(spark, root, version), s"$root v$version bucket probe")
   }
@@ -485,7 +502,11 @@ object Mv {
     * one side, and the full-side probes read only the buckets the
     * delta's keys hash into — the co-bucketed premise — so an
     * incremental refresh costs O(changes + colliding buckets), never
-    * O(bases). Watermark, exactly-once, tombstones and the
+    * O(bases). A base whose bucket header was dropped (a row-level CoW
+    * rewrite before the next compact) or rescaled stays INCREMENTAL
+    * with an unpruned probe of that side — correct, delta-joined,
+    * just unbounded on the probe until compact restores the layout.
+    * Watermark, exactly-once, tombstones and the
     * touched-bucket apply are the single-base machinery unchanged
     * ([[applyDelta]]); dvs or an expired watermark at either base fall
     * back to a DECLARED full recompute.
@@ -518,10 +539,6 @@ object Mv {
         Snapshots.countRows(spark, mvRoot, Some(ver))).getOrElse(0L)
       return JoinRefresh("full", wL, curL, wR, curR, groups, v)
     }
-    val n = Snapshots.clusterOf(spark, d.leftRoot, curL)
-      .flatMap(Snapshots.bucketSpec).map(_._1).getOrElse(
-        sys.error(s"${d.leftRoot} lost its bucket layout — refreshJoin needs " +
-          "the co-bucketed star shape (re-cluster or recreate the MV)"))
     val dl = if (curL > wL)
       Some(signedDelta(spark, d.leftRoot, wL, curL, d.leftKeyCols, "__sl").persist())
       else None
@@ -532,13 +549,15 @@ object Mv {
       val terms = Seq.newBuilder[DataFrame]
       dl.foreach { l =>
         // ΔL ⋈ R_new, probe pruned to ΔL's buckets; sign = sl
-        val rNew = bucketProbe(spark, d.rightRoot, curR, n, l.select(d.joinLeft))
+        val rNew = bucketProbe(spark, d.rightRoot, curR, d.joinRight,
+          l.select(d.joinLeft))
         terms += l.join(rNew, col(d.joinLeft) === col(d.joinRight))
           .withColumn("__sign", col("__sl"))
       }
       dr.foreach { r =>
         // L_new ⋈ ΔR, probe pruned to ΔR's buckets; sign = sr
-        val lNew = bucketProbe(spark, d.leftRoot, curL, n, r.select(d.joinRight))
+        val lNew = bucketProbe(spark, d.leftRoot, curL, d.joinLeft,
+          r.select(d.joinRight))
         terms += lNew.join(r, col(d.joinLeft) === col(d.joinRight))
           .withColumn("__sign", col("__sr"))
       }

@@ -333,7 +333,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   //   CALL <catalog>.sys.compact('events', 134217728)
   //   CALL <catalog>.sys.cluster('events', 'region')
   //   CALL <catalog>.sys.history('events')
-  //   CALL <catalog>.sys.create_mv('daily', 'events', 'id', 'day', 'amount', 64)
+  //   CALL <catalog>.sys.create_mv('daily', 'events', 'id', 'day', 'cents', 64)
   //   CALL <catalog>.sys.refresh_mv('daily')
   //
   // Every procedure resolves its `table` argument through the same
@@ -470,6 +470,29 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       Seq(Array(graft.operators.Mv.create(spark, viewRoot, tableRoot(str(in, 1)),
         cols(2), cols(3), cols(4), mvBuckets = in.getInt(5)): Any))
     },
+    // the grouped count/sum over TWO co-bucketed snapshot tables (the
+    // star shape), maintained from either side's change feed — see
+    // operators.Mv.createJoin for the contract (same bucket count on
+    // both join keys, disjoint column names)
+    proc("create_join_mv", Seq("view" -> StringType,
+      "left" -> StringType, "left_keys" -> StringType, "left_join" -> StringType,
+      "right" -> StringType, "right_keys" -> StringType, "right_join" -> StringType,
+      "group_columns" -> StringType, "sum_columns" -> StringType,
+      "buckets" -> IntegerType),
+      StructType(Seq(StructField("version", IntegerType, nullable = false)))) { in =>
+      def cols(i: Int): Seq[String] =
+        str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val viewRoot =
+        (warehouse +: validSegments(str(in, 0).split('.').toSeq, "procedure view"))
+          .mkString("/")
+      Seq(Array(graft.operators.Mv.createJoin(spark, viewRoot,
+        tableRoot(str(in, 1)), cols(2), str(in, 3),
+        tableRoot(str(in, 4)), cols(5), str(in, 6),
+        cols(7), cols(8), mvBuckets = in.getInt(9)): Any))
+    },
+    // serves BOTH MV kinds: a join MV reports its LEFT base's watermark
+    // pair in from/to_version (the right pair is on Mv.refreshJoin's
+    // JoinRefresh for API callers)
     proc("refresh_mv", Seq("view" -> StringType),
       StructType(Seq(
         StructField("mode", StringType, nullable = false),
@@ -477,11 +500,18 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         StructField("to_version", IntegerType, nullable = false),
         StructField("groups_touched", LongType, nullable = false),
         StructField("mv_version", IntegerType, nullable = true)))) { in =>
-      val r = graft.operators.Mv.refresh(spark, tableRoot(str(in, 0)))
+      val root = tableRoot(str(in, 0))
+      val (mode, from, to, groups, v) =
+        if (graft.operators.Mv.isJoin(spark, root)) {
+          val r = graft.operators.Mv.refreshJoin(spark, root)
+          (r.mode, r.fromLeft, r.toLeft, r.groupsTouched, r.mvVersion)
+        } else {
+          val r = graft.operators.Mv.refresh(spark, root)
+          (r.mode, r.fromVersion, r.toVersion, r.groupsTouched, r.mvVersion)
+        }
       Seq(Array[Any](
-        org.apache.spark.unsafe.types.UTF8String.fromString(r.mode),
-        r.fromVersion, r.toVersion, r.groupsTouched,
-        r.mvVersion.map(Int.box).orNull))
+        org.apache.spark.unsafe.types.UTF8String.fromString(mode),
+        from, to, groups, v.map(Int.box).orNull))
     },
     proc("history", Seq("table" -> StringType), historySchema) { in =>
       historyRows(tableRoot(str(in, 0)))

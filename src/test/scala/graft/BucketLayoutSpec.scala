@@ -74,9 +74,15 @@ class BucketLayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Snapshots.publish(spark, s"$wh/bad2", fact, clusterBy = Some("bucket(8, x)"))
     }
+    // sortBy now COMPOSES with bucket clustering (the bucketed-sorted
+    // SMB layout — SortedLayoutSpec owns the behavior pins); a bogus
+    // sort column still refuses
+    Snapshots.publish(spark, s"$wh/bad3", fact,
+      clusterBy = Some("bucket(8, k)"), sortBy = Some("s"))
+    assert(Snapshots.sortOf(spark, s"$wh/bad3", 1).contains("s"))
     intercept[IllegalArgumentException] {
-      Snapshots.publish(spark, s"$wh/bad3", fact,
-        clusterBy = Some("bucket(8, k)"), sortBy = Some("s"))
+      Snapshots.publish(spark, s"$wh/bad3b", fact,
+        clusterBy = Some("bucket(8, k)"), sortBy = Some("nope"))
     }
     // an append under a DIFFERENT bucket count cannot hold one layout
     intercept[IllegalArgumentException] {

@@ -356,6 +356,44 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .head.getString(0) === "noop")
   }
 
+  test("CALL create_join_mv / refresh_mv: a join MV maintained from plain SQL") {
+    Snapshots.publish(spark, s"$warehouse/jmvfact",
+      orders.select(col("o_orderkey").as("k"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      clusterBy = Some("bucket(8, o_custkey)"))
+    Snapshots.publish(spark, s"$warehouse/jmvdim",
+      Tables.load(spark, sf, "customer").select("c_custkey", "c_mktsegment"),
+      clusterBy = Some("bucket(8, c_custkey)"))
+    val v = spark.sql(
+      "CALL snapcat.sys.create_join_mv('segagg', 'jmvfact', 'k', 'o_custkey', " +
+        "'jmvdim', 'c_custkey', 'c_custkey', 'c_mktsegment', 'cents', 8)")
+      .head.getInt(0)
+    assert(v == 1)
+    val viaSql = spark.sql(
+      "SELECT c_mktsegment, n_rows FROM snapcat.segagg").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = spark.table("snapcat.jmvfact")
+      .join(spark.table("snapcat.jmvdim"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql === expected)
+    // mutate the FACT side through SQL, refresh through the SAME proc
+    // that serves single-base MVs (kind dispatch)
+    spark.sql("DELETE FROM snapcat.jmvfact WHERE k % 2 = 0")
+    val rep = spark.sql("CALL snapcat.sys.refresh_mv('segagg')").head
+    assert(rep.getString(0) === "incremental")
+    val after = spark.sql(
+      "SELECT c_mktsegment, n_rows FROM snapcat.segagg").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedAfter = spark.table("snapcat.jmvfact")
+      .join(spark.table("snapcat.jmvdim"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after === expectedAfter)
+    assert(spark.sql("CALL snapcat.sys.refresh_mv('segagg')")
+      .head.getString(0) === "noop")
+  }
+
   test("metadata tables: t.files / t.history / t.staged from plain SQL") {
     Snapshots.publish(spark, s"$warehouse/meta1",
       orders.repartition(3), clusterBy = Some("o_orderpriority"))
