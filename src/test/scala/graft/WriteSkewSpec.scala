@@ -180,6 +180,47 @@ class WriteSkewSpec extends AnyFunSuite {
     assert(Snapshots.sortOf(spark, s"$wh/t", 1).contains("id"))
   }
 
+  test("SQL UPDATE CoW rewrite inherits the fan-out: a hot key rewrites across tasks") {
+    // the row-level write path (SupportsRowLevelOperations) reads
+    // affected files WHOLE, so its split granularity is the stored
+    // layout's file count — the publish-side fan-out is what keeps a
+    // hot group's REWRITE parallel too. Publish under a small advisory
+    // (hot group lands as several files), UPDATE it, and the
+    // replacement generation must stay multi-file with the header
+    // carried by the per-file footer re-proof.
+    val wh = freshWh("dml")
+    val df = skewedDays(hot = 4000)
+      .withColumn("g", when(col("id") < 100000L, lit("hot")).otherwise(
+        concat(lit("c"), (col("id") % 4).cast("string"))))
+    spark.conf.set("spark.sql.catalog.wskew",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wskew.warehouse", wh)
+    try withAdvisory("65536") {
+      Snapshots.publish(spark, s"$wh/t", df, clusterBy = Some("g"))
+      // identity split dirs are md5 digests of the key tuple, not raw values
+      val hotDigest = spark.range(1)
+        .select(md5(to_json(struct(lit("hot").as("g"))))).head.getString(0)
+      val hotBefore = Snapshots.files(spark, s"$wh/t", 1)
+        .count(_.contains(s"__cluster=$hotDigest"))
+      assert(hotBefore > 1, s"publish fan-out is the premise, got $hotBefore")
+      spark.sql("UPDATE wskew.t SET id = id + 1 WHERE id >= 0")
+      val v = Snapshots.versions(spark, s"$wh/t").last
+      val after = Snapshots.files(spark, s"$wh/t", v)
+      // replacement files are flat (executor writes, no partitionBy) —
+      // 4 cold single-key files plus the hot key's slices
+      assert(after.size > 5,
+        s"hot key must rewrite across >1 task (got ${after.size} files total)")
+      assert(Snapshots.clusterOf(spark, s"$wh/t", v).contains("g"),
+        "the footer re-proof must carry the header over the fanned-out rewrite")
+      val got = spark.table("wskew.t")
+      assert(got.count() == 4080)
+      assert(got.filter(col("g") === "hot").count() == 4000)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.wskew")
+      spark.conf.unset("spark.sql.catalog.wskew.warehouse")
+    }
+  }
+
   test("default advisory (64 MB): small-scale publishes still land one file per group") {
     val wh = freshWh("default")
     Snapshots.publish(spark, s"$wh/t", skewedDays(hot = 400), clusterBy = Some("days(ts)"))
