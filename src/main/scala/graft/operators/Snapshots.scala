@@ -1543,10 +1543,102 @@ object Snapshots {
   def expire(spark: SparkSession, root: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val f = fs(spark, root)
-    val drop = versions(spark, root).dropRight(keepLast)
+    // TAGGED versions are retention-pinned: expire trims the rolling
+    // history but never a named pointer (the "dataset run X trained on"
+    // compliance pin) — untag is the explicit release
+    val pinned = tags(spark, root).map(_._2).toSet
+    val drop = versions(spark, root).dropRight(keepLast).filterNot(pinned)
     drop.foreach(v => f.delete(manifestPath(root, v), false))
     drop
   }
+
+  // ── named version TAGS ────────────────────────────────────────────────
+  //
+  // A tag is an immutable named pointer at one committed version, stored
+  // as `_tags/<name>` (one int, staged-write + atomic rename). Tags make
+  // a version ADDRESSABLE (`option("version", "name")`, SQL `VERSION AS
+  // OF 'name'`) and RETAINED ([[expire]] never drops a tagged version's
+  // manifest; [[vacuum]] then keeps its files referenced for free) — the
+  // reproducibility pin for "the exact table run X trained on". Tags
+  // never move (drop and re-create to re-point); names are plain path
+  // segments so no tag can escape the table root. Tags are ROOT-LOCAL:
+  // [[cloneTo]]/[[syncTo]] deliberately do not carry them (a clone has a
+  // fresh lifecycle; a replica's retention is the replica's policy).
+
+  private val TAGS_DIR = "_tags"
+
+  private def tagPath(root: String, name: String): Path = {
+    require(name.nonEmpty && !name.exists(c => c == '/' || c == '\\')
+        && name != "." && name != ".." && !name.startsWith("_")
+        && name.forall(c => c > ' '),
+      s"tag name '$name' must be a plain path segment (no separators, " +
+        "whitespace, leading underscore, or dot names)")
+    require(name.toIntOption.isEmpty,
+      s"tag name '$name' would shadow a literal version number")
+    new Path(root, s"$TAGS_DIR/$name")
+  }
+
+  /** Pin `version` (default: the head) under `name`. Refuses an existing
+    * name (tags are immutable pointers) and a version that is not
+    * committed. Returns the pinned version.
+    */
+  def tag(spark: SparkSession, root: String, name: String,
+      version: Option[Int] = None): Int = {
+    val f = fs(spark, root)
+    val p = tagPath(root, name)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v does not exist under $root")
+    require(!f.exists(p),
+      s"tag '$name' already exists under $root — tags are immutable " +
+        "pointers; untag first to re-point")
+    val tmp = new Path(root, s"$TAGS_DIR/.${name}.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, false)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    require(f.rename(tmp, p), s"could not commit tag at $p")
+    v
+  }
+
+  /** Drop the named tag, releasing its retention pin. Returns whether it
+    * existed. The version stays readable until the next [[expire]] drops
+    * its manifest.
+    */
+  def untag(spark: SparkSession, root: String, name: String): Boolean =
+    fs(spark, root).delete(tagPath(root, name), false)
+
+  /** All tags of a root as (name, version), name-sorted. Bounded driver
+    * metadata (one dir listing).
+    */
+  def tags(spark: SparkSession, root: String): Seq[(String, Int)] = {
+    val f = fs(spark, root)
+    val dir = new Path(root, TAGS_DIR)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        val text = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 256, false)
+          buf.toString("UTF-8").trim
+        } finally in.close()
+        text.toIntOption.map(st.getPath.getName -> _)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Resolve a version SPEC — an integer literal or a tag name — to a
+    * committed version number, loudly. The shared resolution behind
+    * `option("version", ...)` and SQL `VERSION AS OF`.
+    */
+  def resolveVersion(spark: SparkSession, root: String, spec: String): Int =
+    spec.trim.toIntOption.getOrElse {
+      tags(spark, root).collectFirst { case (n, v) if n == spec.trim => v }
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$spec' is neither a version number nor a tag of $root " +
+            s"(tags: ${tags(spark, root).map(_._1).mkString(", ")})"))
+    }
 
   /** Delete every file under `data/` referenced by NO live manifest —
     * crashed publishes and expired history — PROVIDED it is older than

@@ -363,6 +363,74 @@ object Extras9 {
         .withColumn("incremental", lit(incremental))
         .withColumn("both_sides", lit(bothSides))
         .withColumn("replay_noop", lit(replayNoop))
+    },
+
+    // NAMED VERSION TAGS under the oracle hash: v1 is tagged 'baseline'
+    // after two more versions land, expire(keepLast=1) then drops the
+    // UNtagged middle version but keeps the pin (`survives_expire` +
+    // `expired_refuses` — reading the dropped version errors), the tag
+    // resolves through both the DSv2 option and SQL `VERSION AS OF
+    // 'baseline'` (`sql_as_of`), and untag releases the pin so the next
+    // expire drops v1 (`untag_releases`). Rows come FROM the tag read —
+    // the oracle recomputes v1's slice relationally, so a tag resolving
+    // to the wrong version flips the hash.
+    QueryDef.checked(
+      "q197_version_tags",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sig,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(1 AS BOOLEAN) AS survives_expire,
+        |  CAST(1 AS BOOLEAN) AS expired_refuses,
+        |  CAST(1 AS BOOLEAN) AS sql_as_of,
+        |  CAST(1 AS BOOLEAN) AS untag_releases
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshRoot(s, "q197_version_tags", "tags_wh", dir)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      Snapshots.publish(s, s"$wh/t", orders.filter(col("o_orderkey") % 3 === 0))
+      Snapshots.publish(s, s"$wh/t", orders.filter(col("o_orderkey") % 3 === 1),
+        append = true)
+      Snapshots.publish(s, s"$wh/t", orders.filter(col("o_orderkey") % 3 === 2),
+        append = true)
+      Snapshots.tag(s, s"$wh/t", "baseline", Some(1))
+      val dropped = Snapshots.expire(s, s"$wh/t", keepLast = 1)
+      val survivesExpire = dropped == Seq(2) &&
+        Snapshots.versions(s, s"$wh/t") == Seq(1, 3)
+      val expiredRefuses = scala.util.Try(
+        Snapshots.read(s, s"$wh/t", Some(2)).count()).isFailure
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.q197cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s2.conf.set("spark.sql.catalog.q197cat.warehouse", wh)
+      val tagged = s2.read.format("graft-snapshot").option("root", s"$wh/t")
+        .option("version", "baseline").load()
+      val sqlAsOf = s2.sql("SELECT count(*) FROM q197cat.t VERSION AS OF 'baseline'")
+        .head.getLong(0) == tagged.count()
+      val out = tagged.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sig"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .collect() // materialize BEFORE untag releases the version
+      val untagReleases = Snapshots.untag(s, s"$wh/t", "baseline") && {
+        Snapshots.expire(s, s"$wh/t", keepLast = 1) == Seq(1) &&
+          Snapshots.versions(s, s"$wh/t") == Seq(3)
+      }
+      import s.implicits._
+      s.createDataFrame(java.util.Arrays.asList(out: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("o_orderpriority",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("key_sig",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cents",
+              org.apache.spark.sql.types.LongType))))
+        .withColumn("survives_expire", lit(survivesExpire))
+        .withColumn("expired_refuses", lit(expiredRefuses))
+        .withColumn("sql_as_of", lit(sqlAsOf))
+        .withColumn("untag_releases", lit(untagReleases))
     }
   )
 }

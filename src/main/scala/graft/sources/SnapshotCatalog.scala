@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Tab
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import org.apache.hadoop.fs.Path
@@ -189,12 +189,12 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       }
     }
 
-  /** `FOR VERSION AS OF v` */
+  /** `FOR VERSION AS OF v` — an integer literal or a TAG name
+    * ([[Snapshots.tag]]), both resolved through the shared resolver.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val v = scala.util.Try(version.toInt).getOrElse(
-      throw new IllegalArgumentException(
-        s"snapshot versions are integers, got '$version'"))
+    val v = Snapshots.resolveVersion(spark, rootOf(ident), version)
     require(Snapshots.versions(spark, rootOf(ident)).contains(v),
       s"version $v does not exist under ${rootOf(ident)}")
     load(ident, v)
@@ -333,6 +333,9 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   //   CALL <catalog>.sys.compact('events', 134217728)
   //   CALL <catalog>.sys.cluster('events', 'region')
   //   CALL <catalog>.sys.history('events')
+  //   CALL <catalog>.sys.tag('events', 'train-v1', 3)   -- version -1 = head
+  //   CALL <catalog>.sys.untag('events', 'train-v1')
+  //   CALL <catalog>.sys.tags('events')
   //   CALL <catalog>.sys.create_mv('daily', 'events', 'id', 'day', 'cents', 64)
   //   CALL <catalog>.sys.refresh_mv('daily')
   //
@@ -515,6 +518,26 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
     },
     proc("history", Seq("table" -> StringType), historySchema) { in =>
       historyRows(tableRoot(str(in, 0)))
+    },
+    // named version tags: immutable pointers that pin retention (expire
+    // keeps tagged manifests) and resolve through VERSION AS OF 'name'
+    proc("tag", Seq("table" -> StringType, "name" -> StringType,
+      "version" -> IntegerType),
+      StructType(Seq(StructField("version", IntegerType, nullable = false)))) { in =>
+      Seq(Array(graft.operators.Snapshots.tag(spark, tableRoot(str(in, 0)),
+        str(in, 1), Some(in.getInt(2)).filter(_ >= 0)): Any))
+    },
+    proc("untag", Seq("table" -> StringType, "name" -> StringType),
+      StructType(Seq(StructField("existed", BooleanType, nullable = false)))) { in =>
+      Seq(Array(graft.operators.Snapshots.untag(spark, tableRoot(str(in, 0)),
+        str(in, 1)): Any))
+    },
+    proc("tags", Seq("table" -> StringType),
+      StructType(Seq(StructField("name", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false)))) { in =>
+      graft.operators.Snapshots.tags(spark, tableRoot(str(in, 0))).map { case (n, v) =>
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(n), v)
+      }
     }
   ).map(p => p.name() -> p).toMap
 

@@ -127,7 +127,8 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister
     val root = rootOf(options)
     val vs = Snapshots.versions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
-    val v = Option(options.get("version")).map(_.toInt)
+    val v = Option(options.get("version"))
+      .map(Snapshots.resolveVersion(spark, root, _))
       .orElse(Option(options.get("timestampAsOf")).map(t =>
         Snapshots.versionAt(spark, root, SnapshotScan.parseAsOf(t))))
       .getOrElse(vs.last)
@@ -702,7 +703,8 @@ private[graft] class SnapshotScanBuilder(tableSchema: StructType,
     val root = options.get("root")
     val vs = Snapshots.versions(spark, root)
     if (vs.isEmpty) return None
-    val version = Option(options.get("version")).map(_.toInt)
+    val version = Option(options.get("version"))
+      .map(Snapshots.resolveVersion(spark, root, _))
       .orElse(Option(options.get("timestampAsOf")).map(t =>
         Snapshots.versionAt(spark, root, SnapshotScan.parseAsOf(t))))
 
@@ -1168,7 +1170,8 @@ private[graft] class SnapshotScan(tableSchema: StructType, required: StructType,
 
   override def filter(predicates: Array[Predicate]): Unit =
     runtimeFilters = predicates.flatMap(SnapshotScan.v2ToV1).toSeq
-  private val version = Option(options.get("version")).map(_.toInt)
+  private val version = Option(options.get("version"))
+    .map(Snapshots.resolveVersion(SparkSession.active, root, _))
   private val timestampAsOf = Option(options.get("timestampAsOf"))
 
   override def readSchema(): StructType = required
