@@ -398,7 +398,7 @@ object Mv {
     * CoW rewrite before the next compact) degrades to an UNpruned —
     * still correct, still delta-joined — read rather than a refusal.
     */
-  private def bucketProbe(spark: SparkSession, root: String, version: Int,
+  private[graft] def bucketProbe(spark: SparkSession, root: String, version: Int,
       joinKey: String, deltaKeys: DataFrame): DataFrame = {
     val all = Snapshots.files(spark, root, version)
     val files = Snapshots.clusterOf(spark, root, version)

@@ -321,6 +321,29 @@ class MvSpec extends AnyFunSuite {
       .getMessage.contains("refresh"))
   }
 
+  test("join-MV probe reads only colliding buckets: the O(changes + buckets) claim") {
+    import spark.implicits._
+    val b = s"$wh/probe1"
+    // 400 keys over 8 buckets, one row per key — the probe returns whole
+    // FILES, so its row count reveals exactly which bucket files it read
+    Snapshots.publish(spark, b,
+      (0L until 400L).map(k => (k, k * 10)).toDF("ck", "v"),
+      clusterBy = Some("bucket(8, ck)"))
+    val delta = Seq(7L).toDF("ck") // one key -> one bucket
+    val probed = Mv.bucketProbe(spark, b, 1, "ck", delta)
+    val hashes = (0L until 400L).toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(8)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = hashes.values.count(_ == hashes(7L))
+    assert(probed.count() === expected.toLong,
+      "probe must read exactly the colliding bucket's files")
+    assert(probed.count() < 400, "an unpruned probe would betray the claim")
+    // a table whose layout was dropped degrades to the unpruned read
+    val b2 = s"$wh/probe2"
+    Snapshots.publish(spark, b2, (0L until 50L).map(k => (k, k)).toDF("ck", "v"))
+    assert(Mv.bucketProbe(spark, b2, 1, "ck", delta).count() === 50)
+  }
+
   test("derived avg at read: sum/nn, NULL on all-NULL groups, never stored") {
     val b = s"$wh/avg1"; val m = s"$wh/avgm1"
     Snapshots.publish(spark, b, base(Seq(
