@@ -22,6 +22,11 @@ import org.apache.spark.sql.SparkSession
   *   - `SPARK_GRAFT_ONLY` must name real queries: unknown or empty names
   *     fail loudly (a typo would otherwise produce an empty artifact with
   *     rc 0), and any filtered artifact carries `"filtered":true`;
+  *   - the HEADLINE `value`/`total_cold` are per-query min-of-runs FOLDS
+  *     across this CODE STATE's stamped full runs (git HEAD + dirty-diff
+  *     digest stamped into every detail file; only byte-identical code
+  *     folds together, so a stale pre-change run can never mask a
+  *     regression), with this run's raw sums as `*_thisrun`;
   *   - stdout gets a COMPACT line (short query keys, 2-decimal seconds,
   *     slowest-first, hard 1700-byte budget with an explicit
   *     `queries_omitted` count) because the recording harness keeps only
@@ -177,12 +182,84 @@ object Bench {
     val total = ok.map(_._2.min).sum
     val totalCold = cold.collect { case (n, Right(t)) if !failedNames(n) => t }.sum
 
+    // CODE identity stamp: the min-of-runs fold must never reach across a
+    // code change — "same query set" is NOT "same code" (a commit can
+    // change engine internals without touching query names, and folding a
+    // pre-change run's faster minima would mask the regression). The id is
+    // the git HEAD sha, plus a digest of the working-tree diff when dirty,
+    // so only byte-identical code states fold together. "unknown" (no git)
+    // never folds with anything.
+    val codeId: String = try {
+      def run(cmd: String*): (Int, String) = {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        (p.waitFor(), out)
+      }
+      val (rc, head) = run("git", "rev-parse", "HEAD")
+      if (rc != 0 || !head.matches("[0-9a-f]{40}")) "unknown"
+      else {
+        val (rc2, st) = run("git", "status", "--porcelain")
+        if (rc2 != 0) "unknown"
+        else if (st.isEmpty) head
+        else {
+          val (_, diff) = run("git", "diff", "HEAD")
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest((st + "\n" + diff).getBytes("UTF-8"))
+          head + "+" + md.map("%02x".format(_)).mkString.take(12)
+        }
+      }
+    } catch { case _: Throwable => "unknown" }
+
+    // MIN-OF-RUNS round summary — the HEADLINE `value`: the box's weather
+    // band is bimodal (±12-15% across same-code runs, cpu quota
+    // fluctuating), so an artifact headlining whichever run happened LAST
+    // keeps re-litigating weather as regression. Fold per-query MIN (warm
+    // and cold separately) across this code state's stamped full runs,
+    // this run included. A prior file is eligible only when it covers the
+    // SAME sf, is unfiltered, carries EVERY current query, and was
+    // produced by the SAME code id — never across any code change, even
+    // one that left the query set intact.
+    val curWarm = ok.map { case (n, ts, _) => n -> ts.min }.toMap
+    val curCold = cold.collect { case (n, Right(t)) if !failedNames(n) => n -> t }.toMap
+    val (foldWarm, foldCold, minRunsFiles) = try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      var warm = curWarm
+      var coldM = curCold
+      var used = 0
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.matches("BENCH_DETAIL_\\d{8}-\\d{6}\\.json")) {
+          try {
+            val node = om.readTree(p.toFile)
+            val qnode = node.path("queries")
+            if (node.path("sf").asText() == sfDir &&
+                !node.path("filtered").asBoolean(true) &&
+                codeId != "unknown" &&
+                node.path("code").asText("") == codeId &&
+                curWarm.keysIterator.forall(qnode.has)) {
+              used += 1
+              warm = warm.map { case (n, v) => n -> math.min(v, qnode.get(n).asDouble) }
+              val cnode = node.path("queries_cold")
+              coldM = coldM.map { case (n, v) =>
+                val c = cnode.path(n)
+                n -> (if (c.isNumber) math.min(v, c.asDouble) else v)
+              }
+            }
+          } catch { case _: Throwable => () }
+        }
+      }
+      (warm.values.sum, coldM.values.sum, used)
+    } catch { case _: Throwable => (total, totalCold, 0) }
+
     // Full-fidelity artifact → sidecar file. The harness that records the
     // bench keeps only the LAST 2000 bytes of stdout: with 125+ queries the
     // one-line JSON is ~10 KB, so rounds 4 and 5 were recorded with
     // "parsed": null — the detailed numbers existed only in a truncated
     // tail. Detail goes to BENCH_DETAIL.json; stdout gets a compact line
-    // guaranteed to fit the tail window.
+    // guaranteed to fit the tail window. The detail's value/total_cold are
+    // THIS run's raw sums (the fold's inputs live here); the headline
+    // stdout line carries the fold.
     // environment stamp: comparisons across rounds are only meaningful
     // when the machine was similarly loaded — loadavg ~cpus means the
     // bench shared the box and its numbers carry that noise
@@ -190,7 +267,7 @@ object Bench {
       s""""load_end":$loadEnd,"jvm_procs":${Runtime.getRuntime.availableProcessors},""" +
       s""""cgroup_cpu_quota_start":"$quotaStart","cgroup_cpu_quota_end":"${cgroupQuota()}"}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","k":$k,""" +
-      s""""total_cold":$totalCold,"filtered":${only.nonEmpty},$env,""" +
+      s""""total_cold":$totalCold,"filtered":${only.nonEmpty},"code":"$codeId",$env,""" +
       s""""queries":$qs,"queries_runs":$runs,"queries_cold":$qsCold,""" +
       s""""failures":[${failures.mkString(",")}],"sf":"$sfDir"}"""
     // per-run STAMPED detail file (plus a latest-pointer copy at the
@@ -206,39 +283,6 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
 
-    // MIN-OF-RUNS round summary: the box's weather band is bimodal
-    // (±12-15% across same-code runs, cpu quota fluctuating), so a round
-    // artifact that records whichever run happened LAST keeps
-    // re-litigating weather as regression. Fold per-query MIN across this
-    // round's stamped full runs (this run's fresh file included). A file
-    // is eligible only when it covers the SAME sf, is unfiltered, and
-    // carries EVERY current query — each round adds queries, so prior
-    // rounds' files disqualify themselves and the fold never reaches
-    // across a code change that touched the query set.
-    val (valueMinRuns, minRunsFiles) = try {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val cur = ok.map { case (n, ts, _) => n -> ts.min }.toMap
-      var mins = cur
-      var used = 0
-      val it = java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.matches("BENCH_DETAIL_\\d{8}-\\d{6}\\.json")) {
-          try {
-            val node = om.readTree(p.toFile)
-            val qnode = node.path("queries")
-            if (node.path("sf").asText() == sfDir &&
-                !node.path("filtered").asBoolean(true) &&
-                cur.keysIterator.forall(qnode.has)) {
-              used += 1
-              mins = mins.map { case (n, v) => n -> math.min(v, qnode.get(n).asDouble) }
-            }
-          } catch { case _: Throwable => () }
-        }
-      }
-      (mins.values.sum, used)
-    } catch { case _: Throwable => (total, 0) }
-
     // Compact stdout line: qNNN keys (unique by construction — names are
     // qN_*), 2-decimal seconds, slowest-first, and a hard byte budget with
     // an explicit omitted-count so truncation is visible, never silent.
@@ -247,9 +291,13 @@ object Bench {
     val entriesCompact = ok.map { case (n, ts, _) => short(n) -> ts.min }
       .sortBy(-_._2).map { case (n, t) => s"\"$n\":${r2(t)}" }
     val budget = 1700 // tail window 2000 minus sbt's trailing lines
-    val head = s"""{"metric":"total","value":${r2(total)},"unit":"sec","k":$k,""" +
-      s""""total_cold":${r2(totalCold)},"filtered":${only.nonEmpty},""" +
-      s""""value_minruns":${r2(valueMinRuns)},"minruns_files":$minRunsFiles,""" +
+    // headline `value`/`total_cold` are the min-of-runs FOLDS (reproducible
+    // across same-code runs without a reader consulting the detail files);
+    // the single-run sums ride along as *_thisrun for weather visibility
+    val head = s"""{"metric":"total","value":${r2(foldWarm)},"unit":"sec","k":$k,""" +
+      s""""total_cold":${r2(foldCold)},"filtered":${only.nonEmpty},""" +
+      s""""value_thisrun":${r2(total)},"total_cold_thisrun":${r2(totalCold)},""" +
+      s""""minruns_files":$minRunsFiles,""" +
       s""""load":${r2(loadStart)},"cgroup_cpu_quota":"$quotaStart",""" +
       s""""detail":"$detailPath","failures":[${failures.mkString(",")}],""" +
       s""""sf":"$sfDir","queries":"""

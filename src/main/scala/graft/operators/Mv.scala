@@ -194,9 +194,14 @@ object Mv {
       sumCols.intersect(Seq(GkCol, TombCol)).isEmpty,
       s"'$GkCol'/'$TombCol' are reserved MV columns")
     val baseVs = Snapshots.versions(spark, baseRoot)
-    requireExactSums(Snapshots.read(spark, baseRoot).schema, sumCols)
     require(baseVs.nonEmpty, s"base $baseRoot has no published snapshot versions")
     val w = baseVs.last
+    // after the nonEmpty check, so an empty base reports the contract
+    // error above, not a reader failure from inside the type check;
+    // schemaOf is a manifest read (no scan), falling back to the reader
+    // only for pre-schema-recording manifests
+    requireExactSums(Snapshots.schemaOf(spark, baseRoot, w)
+      .getOrElse(Snapshots.read(spark, baseRoot, Some(w)).schema), sumCols)
     // a crashed create (def committed, first publish never happened)
     // leaves a def with zero versions — recoverable, not a conflict
     if (fs(spark, mvRoot).exists(defPath(mvRoot)) &&
@@ -456,8 +461,10 @@ object Mv {
     val (lVs, rVs) = (Snapshots.versions(spark, leftRoot), Snapshots.versions(spark, rightRoot))
     require(lVs.nonEmpty && rVs.nonEmpty, "both bases need published versions")
     val (wL, wR) = (lVs.last, rVs.last)
-    val lSchema = Snapshots.read(spark, leftRoot).schema
-    val rSchema = Snapshots.read(spark, rightRoot).schema
+    val lSchema = Snapshots.schemaOf(spark, leftRoot, wL)
+      .getOrElse(Snapshots.read(spark, leftRoot, Some(wL)).schema)
+    val rSchema = Snapshots.schemaOf(spark, rightRoot, wR)
+      .getOrElse(Snapshots.read(spark, rightRoot, Some(wR)).schema)
     val overlap = lSchema.fieldNames.toSet.intersect(rSchema.fieldNames.toSet)
     require(overlap.isEmpty,
       s"join MV bases share column name(s) ${overlap.mkString(", ")} — the joined " +

@@ -479,6 +479,29 @@ object Snapshots {
   def hasDeleteVectors(spark: SparkSession, root: String, version: Int): Boolean =
     dvLinesOf(spark, root, version).nonEmpty
 
+  /** Parquet footer record count of one file — metadata-only (no column
+    * bytes read), schema-free. The bound-check primitive for dv key
+    * files, whose groups can carry different key columns/types.
+    */
+  private def parquetRecordCount(spark: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try rdr.getRecordCount finally rdr.close()
+  }
+
+  /** Outstanding dv key-row totals per (root, version) — a committed
+    * version's dv set is immutable, so the sum never changes; bounded
+    * LRU so a long-lived session touching many roots stays O(1) memory.
+    */
+  private val dvOutstandingCache: java.util.Map[(String, Int), java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Int), java.lang.Long](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int), java.lang.Long]): Boolean =
+          size() > 256
+      })
+
   /** The merge-on-read READ plan of a dv-carrying version, for external
     * dv-aware readers (the DSv2 batch scan): per-file first-seen sequence
     * numbers, plus each outstanding dv group's key columns, committing
@@ -497,13 +520,18 @@ object Snapshots {
     // the "broadcast-sized" contract ENFORCED, not assumed: a
     // retraction-heavy table between compactions (the GDPR case) can
     // accumulate millions of outstanding keys, and collecting them would
-    // stall or OOM the driver. Bound-check with a DISTRIBUTED count
-    // (upper bound: raw key-file rows, pre-distinct) BEFORE any collect;
-    // over the bound, refuse loudly with the two scale-safe outs.
+    // stall or OOM the driver. The upper bound (raw key-file rows,
+    // pre-distinct) comes from parquet FOOTER record counts — per file,
+    // schema-free, so heterogeneous dv groups (different keyCols/types)
+    // never collide under one inferred schema and the check costs
+    // metadata reads, not a second pass over the key bytes the collect
+    // below already pays for. A version's dv set is immutable once
+    // committed, so the total caches per (root, version) — repeated scan
+    // plannings of the same dv-carrying version re-check for free.
     if (dvs.nonEmpty) {
       val bound = spark.conf.get("spark.graft.dv.maxProbeKeys", "2000000").toLong
-      val allPaths = dvs.map(d => s"$root/${d.file}")
-      val outstanding = spark.read.parquet(allPaths: _*).count()
+      val outstanding: Long = dvOutstandingCache.computeIfAbsent((root, version),
+        _ => Long.box(dvs.map(d => parquetRecordCount(spark, new Path(root, d.file))).sum))
       require(outstanding <= bound,
         s"v$version under $root carries ~$outstanding outstanding deleted-key " +
           s"rows — beyond spark.graft.dv.maxProbeKeys=$bound, the in-reader " +

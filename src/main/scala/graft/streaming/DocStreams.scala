@@ -58,6 +58,46 @@ object DocStreams {
     */
   private val ND_BUCKETS_HEADER = "#ndbuckets="
 
+  /** Enforce the bucket-count contract on a near-dup state set: a stored
+    * `#ndbuckets=` header must equal the passed count, loudly. A LEGACY
+    * state (pre-header) adopts this call's count only after PROVING the
+    * stored rows were bucketed with it — one aggregate over the seen
+    * table's (doc_id, id_bucket) pairs, paid once per state lifetime
+    * (the next publish persists the header as authoritative). Without
+    * the proof, a call passing a different count than the state was
+    * built with would silently drop cross-batch band collisions and then
+    * persist the WRONG count as the header.
+    */
+  private def requireBucketContract(spark: SparkSession, seenRoot: String,
+      buckets: Int): Unit = {
+    import graft.operators.Snapshots
+    Snapshots.headerValue(spark, seenRoot, ND_BUCKETS_HEADER) match {
+      case Some(stored) =>
+        require(stored.toInt == buckets,
+          s"near-dup state at $seenRoot was built with buckets=$stored but this " +
+            s"call passed buckets=$buckets — the bucket count is fixed for a " +
+            "state set's lifetime (bucket values are baked into the stored " +
+            "rows); pass the original count, or wipe all three state roots to " +
+            "re-bucket")
+      case None if Snapshots.versions(spark, seenRoot).nonEmpty =>
+        // legacy adoption: the stored id_bucket values must RECOMPUTE
+        // under this call's count — a one-doc state could pass by
+        // coincidence, but any real corpus pins the count exactly
+        val seen = Snapshots.read(spark, seenRoot)
+        if (seen.columns.contains("id_bucket")) {
+          val mismatched = seen.filter(col("id_bucket") =!=
+              pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int"))
+            .limit(1).count()
+          require(mismatched == 0,
+            s"legacy near-dup state at $seenRoot (no ${ND_BUCKETS_HEADER.init} " +
+              s"header) holds id_bucket values inconsistent with " +
+              s"buckets=$buckets — pass the count the state was built with, " +
+              "or wipe all three state roots to re-bucket")
+        }
+      case None => // fresh state: this call's count becomes the contract
+    }
+  }
+
   /** Streaming incremental NEAR-dup dedup — the continuous-ingest form of
     * the MinHash pipeline: each micro-batch is compared against
     * everything already ingested (and itself) and every verified pair it
@@ -160,14 +200,7 @@ object DocStreams {
     // count, and the deployment that varies the knob mid-state is exactly
     // what the header exists to catch from here on.
     val bucketsHeader = s"$ND_BUCKETS_HEADER$buckets"
-    Snapshots.headerValue(spark, seenRoot, ND_BUCKETS_HEADER).foreach { stored =>
-      require(stored.toInt == buckets,
-        s"incrementalNearDup state at $seenRoot was built with buckets=$stored " +
-          s"but this call passed buckets=$buckets — the bucket count is fixed " +
-          "for a state set's lifetime (bucket values are baked into the stored " +
-          "rows); pass the original count, or wipe all three state roots to " +
-          "re-bucket")
-    }
+    requireBucketContract(spark, seenRoot, buckets)
 
     // seen publishes LAST: its committed id ≥ ours means every publish of
     // this batch landed — a crash-redelivered batch is a metadata-only no-op
@@ -269,6 +302,15 @@ object DocStreams {
       val seenShs = Snapshots.versions(spark, seenRoot).lastOption match {
         case None => emptyShs
         case Some(v) =>
+          // the file-granular read below bypasses the dv-aware scan —
+          // sound only while the seen table carries no merge-on-read
+          // delete vectors (this module never writes them; an out-of-band
+          // MOR delete would silently resurrect superseded signatures
+          // into verification, so the invariant fails loudly instead)
+          require(!Snapshots.hasDeleteVectors(spark, seenRoot, v),
+            s"near-dup seen state $seenRoot v$v carries outstanding " +
+              "merge-on-read delete vectors — this state set is managed by " +
+              "DocStreams only; materializeDeletes or compact before resuming")
           val rel =
             if (Snapshots.clusterOf(spark, seenRoot, v).contains("id_bucket"))
               needBuckets.flatMap(bk =>
@@ -359,12 +401,7 @@ object DocStreams {
     val b = SessionBridge.rebind(b0, spark)
     val bandRoot = bandRootOf(seenRoot)
     val bucketsHeader = s"$ND_BUCKETS_HEADER$buckets"
-    Snapshots.headerValue(spark, seenRoot, ND_BUCKETS_HEADER).foreach { stored =>
-      require(stored.toInt == buckets,
-        s"near-dup state at $seenRoot was built with buckets=$stored but this " +
-          s"call passed buckets=$buckets — the bucket count is fixed for a " +
-          "state set's lifetime; pass the original count or wipe all three roots")
-    }
+    requireBucketContract(spark, seenRoot, buckets)
     if (Snapshots.lastBatchId(spark, seenRoot).exists(_ >= batchId)) return
 
     val prep = MinHashDedup.prepared(b, idCol, textCol, p)
@@ -378,6 +415,12 @@ object DocStreams {
         Snapshots.versions(spark, seenRoot).lastOption match {
           case None => empty
           case Some(v) =>
+            // raw file read below — sound only dv-free (see the append
+            // form's guard; same invariant, same loud failure)
+            require(!Snapshots.hasDeleteVectors(spark, seenRoot, v),
+              s"near-dup seen state $seenRoot v$v carries outstanding " +
+                "merge-on-read delete vectors — this state set is managed by " +
+                "DocStreams only; materializeDeletes or compact before resuming")
             val rel =
               if (Snapshots.clusterOf(spark, seenRoot, v).contains("id_bucket"))
                 needBuckets.flatMap(bk =>
