@@ -62,10 +62,20 @@ object Mv {
       joinRight: String, groupCols: Seq[String], sumCols: Seq[String])
 
   /** One join-MV refresh's outcome: like [[Refresh]] but with a
-    * watermark PAIR (one per base).
+    * watermark PAIR (one per base), plus the PROBE-PRUNING report:
+    * `probePrunedLeft`/`probePrunedRight` say whether every full-side
+    * probe of that base read only the delta's colliding buckets. `false`
+    * means this refresh paid an UNpruned O(that base) probe — correct,
+    * still delta-joined, but unbounded on that side because the base's
+    * bucket header was dropped (a row-level CoW rewrite) or rescaled
+    * away from the join key; restore the layout (`CALL sys.cluster` /
+    * a clustered publish) to re-bound future refreshes. `true` when no
+    * probe of that side ran at all (noop, full, or no opposing delta) —
+    * the flag reports degradation, not activity.
     */
   final case class JoinRefresh(mode: String, fromLeft: Int, toLeft: Int,
-      fromRight: Int, toRight: Int, groupsTouched: Long, mvVersion: Option[Int])
+      fromRight: Int, toRight: Int, groupsTouched: Long, mvVersion: Option[Int],
+      probePrunedLeft: Boolean = true, probePrunedRight: Boolean = true)
 
   /** One refresh's outcome: `mode` ∈ noop | incremental | full,
     * the base-version watermark it moved from/to, the distinct groups
@@ -400,13 +410,18 @@ object Mv {
     * never the table. The bucket count comes from the PROBED table's own
     * live header (a one-sided rescale must never prune with the other
     * side's count), and a table whose layout was dropped (a row-level
-    * CoW rewrite before the next compact) degrades to an UNpruned —
-    * still correct, still delta-joined — read rather than a refusal.
+    * CoW rewrite) degrades to an UNpruned — still correct, still
+    * delta-joined — read rather than a refusal. The second half of the
+    * return says which happened (`true` = bucket-pruned), so
+    * [[refreshJoin]] can SURFACE the degradation in its report instead
+    * of an operator discovering it from a mysteriously base-sized
+    * "incremental" refresh; a clustered re-publish (`CALL sys.cluster`)
+    * restores the layout and the prune with it.
     */
   private[graft] def bucketProbe(spark: SparkSession, root: String, version: Int,
-      joinKey: String, deltaKeys: DataFrame): DataFrame = {
+      joinKey: String, deltaKeys: DataFrame): (DataFrame, Boolean) = {
     val all = Snapshots.files(spark, root, version)
-    val files = Snapshots.clusterOf(spark, root, version)
+    val (files, pruned) = Snapshots.clusterOf(spark, root, version)
       .flatMap(Snapshots.bucketSpec) match {
       case Some((n, c)) if c == joinKey =>
         val hit = deltaKeys.na.drop()
@@ -414,11 +429,12 @@ object Mv {
             .cast("string").as("__b"))
           .distinct().collect().map(_.getString(0)).toSet
         val dirRe = "__cluster=([^/]+)/".r
-        all.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1))))
-      case _ => all
+        (all.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1)))), true)
+      case _ => (all, false)
     }
-    Snapshots.readFiles(spark, root, files,
-      Snapshots.schemaOf(spark, root, version), s"$root v$version bucket probe")
+    (Snapshots.readFiles(spark, root, files,
+      Snapshots.schemaOf(spark, root, version), s"$root v$version bucket probe"),
+      pruned)
   }
 
   /** A base's CDF between two versions reduced to SIGNED data rows:
@@ -510,9 +526,12 @@ object Mv {
     * delta's keys hash into — the co-bucketed premise — so an
     * incremental refresh costs O(changes + colliding buckets), never
     * O(bases). A base whose bucket header was dropped (a row-level CoW
-    * rewrite before the next compact) or rescaled stays INCREMENTAL
-    * with an unpruned probe of that side — correct, delta-joined,
-    * just unbounded on the probe until compact restores the layout.
+    * rewrite) or rescaled away from the join key stays INCREMENTAL with
+    * an unpruned probe of that side — correct, delta-joined, just
+    * unbounded on the probe — and the returned [[JoinRefresh]] SAYS so
+    * (`probePrunedLeft`/`probePrunedRight` = false for the degraded
+    * side), so an operator sees that the refresh cost O(base) and that
+    * a clustered re-publish (`CALL sys.cluster`) would re-bound it.
     * Watermark, exactly-once, tombstones and the
     * touched-bucket apply are the single-base machinery unchanged
     * ([[applyDelta]]); dvs or an expired watermark at either base fall
@@ -554,17 +573,23 @@ object Mv {
       else None
     try {
       val terms = Seq.newBuilder[DataFrame]
+      // degradation report: did every full-side probe of that base prune
+      // to colliding buckets? (stays true when no probe of the side ran)
+      var prunedL = true
+      var prunedR = true
       dl.foreach { l =>
         // ΔL ⋈ R_new, probe pruned to ΔL's buckets; sign = sl
-        val rNew = bucketProbe(spark, d.rightRoot, curR, d.joinRight,
+        val (rNew, pr) = bucketProbe(spark, d.rightRoot, curR, d.joinRight,
           l.select(d.joinLeft))
+        prunedR &&= pr
         terms += l.join(rNew, col(d.joinLeft) === col(d.joinRight))
           .withColumn("__sign", col("__sl"))
       }
       dr.foreach { r =>
         // L_new ⋈ ΔR, probe pruned to ΔR's buckets; sign = sr
-        val lNew = bucketProbe(spark, d.leftRoot, curL, d.joinLeft,
+        val (lNew, pl) = bucketProbe(spark, d.leftRoot, curL, d.joinLeft,
           r.select(d.joinRight))
+        prunedL &&= pl
         terms += lNew.join(r, col(d.joinLeft) === col(d.joinRight))
           .withColumn("__sign", col("__sr"))
       }
@@ -584,7 +609,8 @@ object Mv {
         try {
           val (nT, v) = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
             delta, touched, batchId)
-          JoinRefresh("incremental", wL, curL, wR, curR, nT, v)
+          JoinRefresh("incremental", wL, curL, wR, curR, nT, v,
+            probePrunedLeft = prunedL, probePrunedRight = prunedR)
         } finally touched.unpersist()
       } finally delta.unpersist()
     } finally { dl.foreach(_.unpersist()); dr.foreach(_.unpersist()) }

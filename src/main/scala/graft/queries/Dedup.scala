@@ -316,6 +316,83 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("jac"))
     },
 
+    // TAKEDOWN streaming near-dup under the oracle hash: an insert
+    // version ingests the corpus, a DELETE version (tombstone rows, the
+    // GDPR shape) takes ~1/7 of the ids down, and
+    // DocStreams.upsertNearDup's tombstone path retracts each removed
+    // doc's seen row, band rows, and every pair it anchored — the
+    // accumulated pair state after the drain EQUALS the batch recompute
+    // over the SURVIVING texts (the delete criterion cuts across the
+    // group structure, so groups shrink partially — retraction has to
+    // remove individual members' pairs, not whole cliques). The corpus
+    // is constructed like q196's (one identical text per group), so the
+    // oracle replays survivors relationally; a stale pair surviving the
+    // takedown (or a surviving pair lost) flips the hash. Evidence
+    // flags: the seen state holds exactly the surviving ids, and a
+    // re-delivered delete batch publishes nothing.
+    QueryDef.checked("q198_stream_neardup_delete",
+      """WITH ids AS (SELECT doc_id FROM documents
+        |             WHERE doc_id % 3 = 1 AND doc_id < 1200),
+        |surv AS (SELECT doc_id, doc_id % 20 AS g FROM ids
+        |         WHERE doc_id % 7 <> 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(1.0 AS DOUBLE) AS jac,
+        |  CAST(1 AS BOOLEAN) AS seen_retracted,
+        |  CAST(1 AS BOOLEAN) AS replay_noop
+        |FROM surv a JOIN surv b ON a.g = b.g AND a.doc_id < b.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.streaming.DocStreams
+      val fs = new org.apache.hadoop.fs.Path("/")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def root(n: String) = {
+        val r = graft.Scratch.dir("q198_stream_neardup_delete", n, dir)
+        fs.delete(new org.apache.hadoop.fs.Path(r), true) // idempotent rerun
+        r
+      }
+      val (src, seenRoot, pairsRoot) =
+        (root("del_src"), root("del_seen"), root("del_pairs"))
+      fs.delete(new org.apache.hadoop.fs.Path(
+        DocStreams.bandRootOf(seenRoot)), true)
+      val ids = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 3 === 1 && col("doc_id") < 1200)
+      val v1 = ids.withColumn("__g", col("doc_id") % 20)
+        .select(col("doc_id"), expr(
+          "concat_ws(' ', transform(sequence(1, 12), x -> concat('w', __g, 'x', x)))")
+          .as("text"))
+        .withColumn("__del", lit(false))
+      val v2 = ids.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(true).as("__del"))
+      graft.operators.Snapshots.publish(s, src, v1)
+      graft.operators.Snapshots.publish(s, src, v2, append = true)
+      val ck = graft.Scratch.ephemeralCheckpoint("q198_stream_neardup_delete")
+      val q = s.readStream.format("graft-snapshot").option("root", src)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.foreachBatch(
+          DocStreams.upsertNearDup(seenRoot, pairsRoot, buckets = 8,
+            tombstoneCol = Some("__del")) _)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "AvailableNow drain timed out")
+      // evidence: seen holds exactly the surviving ids (deleted docs'
+      // rows retracted, nothing else lost)
+      val surv = ids.filter(col("doc_id") % 7 =!= 3)
+      val seenIds = graft.operators.Snapshots.read(s, seenRoot).select("doc_id")
+      val seenRetracted = seenIds.except(surv).isEmpty && surv.except(seenIds).isEmpty
+      // evidence: a crash-redelivered delete batch publishes NOTHING
+      def vset = (graft.operators.Snapshots.versions(s, seenRoot),
+        graft.operators.Snapshots.versions(s, pairsRoot),
+        graft.operators.Snapshots.versions(s, DocStreams.bandRootOf(seenRoot)))
+      val before = vset
+      DocStreams.upsertNearDup(seenRoot, pairsRoot, buckets = 8,
+        tombstoneCol = Some("__del"))(v2, 1L)
+      val replayNoop = vset == before
+      graft.operators.Snapshots.read(s, pairsRoot)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .withColumn("seen_retracted", lit(seenRetracted))
+        .withColumn("replay_noop", lit(replayNoop))
+    },
+
     // SimHash near-dup (rows-only: xxhash64 has no DuckDB equivalent;
     // cross-checked against MinHash in DedupSpec instead). The expensive
     // half — the tokenize → 64-bit-sum fingerprint scan — reads the

@@ -362,23 +362,37 @@ object DocStreams {
     * retract, and after any drain the pair set EQUALS the batch
     * recompute over the final texts (q196 pins that equality).
     *
+    * With `tombstoneCol` set, a batch row whose tombstone is true is a
+    * DELETE (takedown) of that doc id — the GDPR verb every
+    * training-data pipeline eventually serves: the doc's seen row, band
+    * rows, and every pair it anchors all retract, and the accumulated
+    * state equals the batch recompute over the SURVIVING corpus (q198
+    * pins that equality). A delete row's text is ignored (may be null);
+    * deleting a never-seen id is a no-op. One batch may mix updates and
+    * deletes, but at most one row per id (the uniqueness check below) —
+    * an update and a delete of the same id in one trigger is ambiguous
+    * and refuses.
+    *
     * The composition is [[graft.operators.Snapshots.mergeStreamBatch]]
     * on all three state tables (the upsert form of the append-only
     * publishes), with the retraction sets RECOMPUTED rather than looked
-    * up: an updated doc's stale pairs are exactly the pairs its STORED
-    * signature band-collides into under the pre-update state (the same
-    * deterministic probe+verify that created them), so retraction costs
-    * O(colliding buckets) — no scan of the pairs table, no per-pair
-    * index. Deltas:
+    * up: a superseded (updated or deleted) doc's stale pairs are exactly
+    * the pairs its STORED signature band-collides into under the
+    * pre-update state (the same deterministic probe+verify that created
+    * them), so retraction costs O(colliding buckets) — no scan of the
+    * pairs table, no per-pair index. Deltas:
     *
-    *   - seen: upsert the batch's prepared rows by (id_bucket, doc_id) —
-    *     `id_bucket` depends only on the id, so updates never move
-    *     cluster groups and the CoW probe prunes by the bucket envelope;
+    *   - seen: upsert the batch's prepared rows by (id_bucket, doc_id),
+    *     tombstone deleted ids — `id_bucket` depends only on the id, so
+    *     updates never move cluster groups and the CoW probe prunes by
+    *     the bucket envelope;
     *   - bands: tombstone the old rows whose (bucket, doc_id, band) key
-    *     vanished, upsert the new rows (a band whose hash — and thus
-    *     bucket — survived the edit is an in-place upsert);
+    *     vanished (a deleted doc's vanish wholesale), upsert the new
+    *     rows (a band whose hash — and thus bucket — survived the edit
+    *     is an in-place upsert);
     *   - pairs: tombstone (stale ∖ new), upsert new — a pair that holds
-    *     under both texts is re-asserted, never dropped.
+    *     under both texts is re-asserted, never dropped; a deleted doc
+    *     re-asserts nothing, so everything it anchored retracts.
     *
     * Publish order pairs → bands → seen (seen is the commit marker),
     * each exactly-once by batch id; every delta derives deterministically
@@ -391,7 +405,8 @@ object DocStreams {
   def upsertNearDup(seenRoot: String, pairsRoot: String,
       p: graft.operators.MinHashDedup.Params = graft.operators.MinHashDedup.Params(),
       idCol: String = "doc_id", textCol: String = "text",
-      buckets: Int = 64, compactEvery: Int = 0)(
+      buckets: Int = 64, compactEvery: Int = 0,
+      tombstoneCol: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.{MinHashDedup, Snapshots}
     import org.apache.spark.sql.graftbridge.SessionBridge
@@ -404,7 +419,14 @@ object DocStreams {
     requireBucketContract(spark, seenRoot, buckets)
     if (Snapshots.lastBatchId(spark, seenRoot).exists(_ >= batchId)) return
 
-    val prep = MinHashDedup.prepared(b, idCol, textCol, p)
+    // split the batch: alive rows go through the prepared/upsert path,
+    // tombstoned ids are id-only deletes (text ignored, may be null)
+    val alive = tombstoneCol.fold(b)(tc =>
+      b.filter(!coalesce(col(tc), lit(false))).drop(tc))
+    val deadIds = tombstoneCol.fold(b.select(col(idCol).as("doc_id")).limit(0))(tc =>
+      b.filter(coalesce(col(tc), lit(false)))
+        .select(col(idCol).as("doc_id")).distinct())
+    val prep = MinHashDedup.prepared(alive, idCol, textCol, p)
       .withColumn("id_bucket",
         pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int"))
       .persist()
@@ -459,8 +481,35 @@ object DocStreams {
         .collect().head
       require(head.isNullAt(0) || !head.getBoolean(0),
         s"batch $batchId delivers the same $idCol more than once — an update " +
-          "stream must carry one latest row per key per batch")
+          "stream must carry one latest row per key per batch (an update and " +
+          "a delete of one id in one trigger is ambiguous)")
       val batchBuckets = if (head.isNullAt(1)) Nil else head.getSeq[Int](1)
+
+      // every id the batch supersedes — updates AND deletes — feeds the
+      // pre-state lookup; the seen-table delta (shared by the main path
+      // and the crash catch-up) upserts alive rows and tombstones
+      // deleted ids (key-only rows — the merge drops them, so the null
+      // payload never lands)
+      val batchIds = prep.select("doc_id").unionByName(deadIds)
+      def seenDelta: DataFrame = prep.withColumn("__nd_del", lit(false))
+        .unionByName(deadIds
+          .withColumn("id_bucket",
+            pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int"))
+          .withColumn("__nd_del", lit(true)),
+          allowMissingColumns = true)
+      def mergeSeen(): Unit =
+        if (Snapshots.versions(spark, seenRoot).isEmpty) {
+          // fresh state: nothing to delete — publish the alive rows (an
+          // empty publish still records the batch id for exactly-once)
+          Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
+            clusterBy = Some("id_bucket"), extraHeader = Seq(bucketsHeader))
+          ()
+        } else {
+          Snapshots.mergeStreamBatch(spark, seenRoot, seenDelta, batchId,
+            keyCols = Seq("id_bucket", "doc_id"), tombstoneCol = Some("__nd_del"),
+            extraHeader = Seq(bucketsHeader))
+          ()
+        }
 
       // bands committed but seen not: pairs committed too (publish
       // order) — only the seen catch-up is owed, and the deltas must NOT
@@ -469,11 +518,7 @@ object DocStreams {
         require(Snapshots.lastBatchId(spark, pairsRoot).exists(_ >= batchId),
           s"band state $bandRoot already holds batch $batchId but $pairsRoot " +
             "does not — pairs/bands/seen are one atomic state set")
-        if (Snapshots.versions(spark, seenRoot).isEmpty)
-          Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
-            clusterBy = Some("id_bucket"), extraHeader = Seq(bucketsHeader))
-        else Snapshots.mergeStreamBatch(spark, seenRoot, prep, batchId,
-          keyCols = Seq("id_bucket", "doc_id"), extraHeader = Seq(bucketsHeader))
+        mergeSeen()
         return
       }
       // legacy/derived band state backfill (same as the append form)
@@ -483,10 +528,12 @@ object DocStreams {
           withBucket(MinHashDedup.bandRows(Snapshots.read(spark, seenRoot), p)),
           clusterBy = Some("bucket"))
 
-      // the re-delivered ids' PRE-update state rows (empty on a pure
-      // insert batch): everything the update owes derives from these
+      // the superseded ids' PRE-update state rows (empty on a pure
+      // insert batch): everything the update/delete owes derives from
+      // these — a deleted doc's retraction set is recomputed from its
+      // stored signature exactly like an updated one's
       val oldPrep = seenRows(batchBuckets.sorted)
-        .join(prep.select("doc_id"), Seq("doc_id"), "left_semi").persist()
+        .join(batchIds, Seq("doc_id"), "left_semi").persist()
       try {
         val oldBands = withBucket(MinHashDedup.bandRows(oldPrep, p))
         val newBands = withBucket(MinHashDedup.bandRows(prep, p))
@@ -498,13 +545,15 @@ object DocStreams {
         // pairs previously recorded for them (old texts on BOTH ends)
         val staleCands = canon(
           if (stateEmpty) noCands else probeJoin(spark, bandRoot, oldBands)).persist()
-        // NEW pairs: new bands vs state (minus every updated doc's stale
-        // rows — an anti-join on the updated id set) plus the batch self-join
-        val updatedIds = oldPrep.select(col("doc_id").as("da"))
+        // NEW pairs: new bands vs state (minus every superseded doc's
+        // stale rows — an anti-join on the updated+deleted id set, so a
+        // fresh doc never pairs against an old text or a taken-down doc)
+        // plus the batch self-join
+        val supersededIds = oldPrep.select(col("doc_id").as("da"))
         val crossNew =
           if (stateEmpty) noCands
           else probeJoin(spark, bandRoot, newBands)
-            .join(updatedIds, Seq("da"), "left_anti")
+            .join(supersededIds, Seq("da"), "left_anti")
         val selfNew = newBands.as("l").join(newBands.as("r"),
             col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
               col("l.doc_id") < col("r.doc_id"))
@@ -551,12 +600,8 @@ object DocStreams {
             else Snapshots.mergeStreamBatch(spark, bandRoot, bandsDelta, batchId,
               keyCols = Seq("bucket", "doc_id", "band"),
               tombstoneCol = Some("__nd_del"))
-            // seen upsert LAST — the commit marker
-            if (Snapshots.versions(spark, seenRoot).isEmpty)
-              Snapshots.publishStreamBatch(spark, seenRoot, prep, batchId,
-                clusterBy = Some("id_bucket"), extraHeader = Seq(bucketsHeader))
-            else Snapshots.mergeStreamBatch(spark, seenRoot, prep, batchId,
-              keyCols = Seq("id_bucket", "doc_id"), extraHeader = Seq(bucketsHeader))
+            // seen upsert/tombstone LAST — the commit marker
+            mergeSeen()
             if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
               Snapshots.compact(spark, seenRoot)
               Snapshots.compact(spark, bandRoot)
@@ -567,6 +612,27 @@ object DocStreams {
       } finally oldPrep.unpersist(false)
     } finally prep.unpersist(false)
   }
+
+  /** TAKEDOWN stream — [[upsertNearDup]] specialized to an ID-ONLY
+    * delete feed (the GDPR/takedown shape: a compliance queue delivers
+    * doc ids to remove, no text). Every batch row names one doc id;
+    * the doc's seen row, band rows, and every pair it anchors retract,
+    * and the accumulated state equals the batch recompute over the
+    * surviving corpus. Shares upsertNearDup's exactly-once, publish
+    * order, and replay machinery verbatim — this wrapper only supplies
+    * the constant tombstone and a null text column so the feed needs
+    * neither.
+    */
+  def deleteNearDup(seenRoot: String, pairsRoot: String,
+      p: graft.operators.MinHashDedup.Params = graft.operators.MinHashDedup.Params(),
+      idCol: String = "doc_id", buckets: Int = 64, compactEvery: Int = 0)(
+      batch: DataFrame, batchId: Long): Unit =
+    upsertNearDup(seenRoot, pairsRoot, p, idCol, "__nd_text", buckets,
+      compactEvery, tombstoneCol = Some("__nd_tomb"))(
+      batch.select(col(idCol))
+        .withColumn("__nd_text", lit(null).cast("string"))
+        .withColumn("__nd_tomb", lit(true)),
+      batchId)
 
   /** The cross-state band probe: accumulated clustered band state ⋈ the
     * batch's band rows on (bucket, band, bh) — under

@@ -330,7 +330,8 @@ class MvSpec extends AnyFunSuite {
       (0L until 400L).map(k => (k, k * 10)).toDF("ck", "v"),
       clusterBy = Some("bucket(8, ck)"))
     val delta = Seq(7L).toDF("ck") // one key -> one bucket
-    val probed = Mv.bucketProbe(spark, b, 1, "ck", delta)
+    val (probed, pruned) = Mv.bucketProbe(spark, b, 1, "ck", delta)
+    assert(pruned, "a bucket-clustered base must report a pruned probe")
     val hashes = (0L until 400L).toDF("k")
       .select(col("k"), pmod(hash(col("k")), lit(8)).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -338,10 +339,56 @@ class MvSpec extends AnyFunSuite {
     assert(probed.count() === expected.toLong,
       "probe must read exactly the colliding bucket's files")
     assert(probed.count() < 400, "an unpruned probe would betray the claim")
-    // a table whose layout was dropped degrades to the unpruned read
+    // a table whose layout was dropped degrades to the unpruned read —
+    // and SAYS so in the pruned flag
     val b2 = s"$wh/probe2"
     Snapshots.publish(spark, b2, (0L until 50L).map(k => (k, k)).toDF("ck", "v"))
-    assert(Mv.bucketProbe(spark, b2, 1, "ck", delta).count() === 50)
+    val (p2, pruned2) = Mv.bucketProbe(spark, b2, 1, "ck", delta)
+    assert(p2.count() === 50)
+    assert(!pruned2, "an unpruned fallback probe must report itself")
+  }
+
+  test("join-MV refresh SURFACES probe degradation: flag flips on layout loss, resets after re-cluster") {
+    import spark.implicits._
+    val f = s"$wh/jf4"; val dm = s"$wh/jd4"; val m = s"$wh/jm4"
+    publishStar(f, dm,
+      Seq((1L, 10L, 100L), (2L, 11L, 200L), (3L, 12L, 300L)),
+      Seq((10L, "a"), (11L, "b"), (12L, "c")))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg"), Seq("cents"), mvBuckets = 4)
+    // intact layouts: a left-only change probes the RIGHT base pruned
+    Snapshots.mergeByKey(spark, f,
+      Seq((1L, 10L, 150L, false)).toDF("k", "ck", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    val r1 = Mv.refreshJoin(spark, m)
+    assert(r1.mode === "incremental" && r1.probePrunedLeft && r1.probePrunedRight,
+      s"intact layouts must report pruned probes: $r1")
+    // the RIGHT base loses its bucket header (the row-level CoW rewrite
+    // shape — commitRewrite drops what footer stats cannot re-prove; a
+    // plain unclustered re-publish stands in) while the LEFT mutates, so
+    // the next refresh's ΔL must probe the right base UNPRUNED — still
+    // incremental, still correct, and the report must say so
+    Snapshots.publish(spark, dm, Snapshots.read(spark, dm))
+    Snapshots.mergeByKey(spark, f,
+      Seq((2L, 11L, 250L, false)).toDF("k", "ck", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    val r2 = Mv.refreshJoin(spark, m)
+    assert(r2.mode === "incremental", s"got $r2")
+    assert(!r2.probePrunedRight, s"layout loss must surface in the report: $r2")
+    assert(r2.probePrunedLeft, s"the intact side stays pruned: $r2")
+    assert(collectJoinMv(Mv.read(spark, m)) === joinRecompute(f, dm),
+      "the degraded probe is still CORRECT")
+    // re-cluster (the CALL sys.cluster verb) restores the layout, and
+    // the next refresh's probe prunes again
+    Snapshots.publish(spark, dm, Snapshots.read(spark, dm),
+      clusterBy = Some("bucket(4, ck2)"))
+    Snapshots.mergeByKey(spark, f,
+      Seq((3L, 12L, 350L, false)).toDF("k", "ck", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    val r3 = Mv.refreshJoin(spark, m)
+    assert(r3.mode === "incremental" && r3.probePrunedLeft && r3.probePrunedRight,
+      s"re-clustering must restore the pruned probe: $r3")
+    assert(collectJoinMv(Mv.read(spark, m)) === joinRecompute(f, dm))
   }
 
   test("derived avg at read: sum/nn, NULL on all-NULL groups, never stored") {

@@ -714,4 +714,64 @@ class StreamingSpec extends AnyFunSuite {
       DocStreams.upsertNearDup(seen, pairs, buckets = 8)(df(10L -> tA), 3L))
     assert(eBkt.getMessage.contains("buckets=4"), eBkt.getMessage)
   }
+
+  test("deleteNearDup: takedowns retract seen/bands/pairs; state equals the surviving-corpus recompute") {
+    import spark.implicits._
+    import graft.operators.{MinHashDedup, Snapshots}
+    import graft.streaming.DocStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-deldup").toString
+    val (seen, pairs) = (s"$base/seen", s"$base/pairs")
+    val bandRoot = DocStreams.bandRootOf(seen)
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "totally different content lives here now"
+    // batch 0 (insert): 1 ~ 2 ~ 4 clique, 3 distinct
+    DocStreams.upsertNearDup(seen, pairs, buckets = 4)(
+      df(1L -> tA, 2L -> tA, 3L -> tB, 4L -> tA), 0L)
+    def pairSet = Snapshots.read(spark, pairs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // batch 1 (takedown): doc 2 removed; a never-seen id is a no-op
+    DocStreams.deleteNearDup(seen, pairs, buckets = 4)(
+      Seq(2L, 99L).toDF("doc_id"), 1L)
+    assert(pairSet == Set((1L, 4L)),
+      s"every pair anchored on the taken-down doc must retract: $pairSet")
+    val seenIds = Snapshots.read(spark, seen)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(seenIds == Set(1L, 3L, 4L), s"seen row must retract: $seenIds")
+    val perDoc = MinHashDedup.bandRows(
+      MinHashDedup.prepared(df(1L -> tA), "doc_id", "text")).count()
+    assert(Snapshots.read(spark, bandRoot).count() == 3 * perDoc,
+      "the taken-down doc's band rows must retract wholesale")
+    // accumulated pairs EQUAL the batch recompute over the SURVIVORS
+    val expected = MinHashDedup.verifiedPairs(
+        df(1L -> tA, 3L -> tB, 4L -> tA), "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == expected, s"$pairSet vs $expected")
+    // replay of the delete batch publishes nothing anywhere
+    val before = (Snapshots.versions(spark, seen), Snapshots.versions(spark, pairs),
+      Snapshots.versions(spark, bandRoot))
+    DocStreams.deleteNearDup(seen, pairs, buckets = 4)(
+      Seq(2L, 99L).toDF("doc_id"), 1L)
+    assert((Snapshots.versions(spark, seen), Snapshots.versions(spark, pairs),
+      Snapshots.versions(spark, bandRoot)) == before)
+    // a MIXED batch via tombstoneCol: doc 4 deletes, doc 5 inserts ~ 1,
+    // in ONE trigger — the fresh doc must not pair against the takedown
+    DocStreams.upsertNearDup(seen, pairs, buckets = 4,
+      tombstoneCol = Some("__del"))(
+      Seq((4L, null.asInstanceOf[String], true), (5L, tA, false))
+        .toDF("doc_id", "text", "__del"), 2L)
+    assert(pairSet == Set((1L, 5L)), s"mixed batch: $pairSet")
+    // an update and a delete of ONE id in one batch is ambiguous — refuse
+    val eDup = intercept[IllegalArgumentException](
+      DocStreams.upsertNearDup(seen, pairs, buckets = 4,
+        tombstoneCol = Some("__del"))(
+        Seq((5L, tA, false), (5L, null.asInstanceOf[String], true))
+          .toDF("doc_id", "text", "__del"), 3L))
+    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
+    // a deleted id can be RE-INSERTED later: the full keyed lifecycle
+    DocStreams.upsertNearDup(seen, pairs, buckets = 4)(df(2L -> tA), 3L)
+    assert(pairSet == Set((1L, 5L), (1L, 2L), (2L, 5L)),
+      s"re-inserted id must pair fresh: $pairSet")
+  }
 }
