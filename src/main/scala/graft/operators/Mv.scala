@@ -404,33 +404,49 @@ object Mv {
   private def encWm(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
   private def decWm(w: Long): (Int, Int) = ((w >> 32).toInt, (w & 0xffffffffL).toInt)
 
-  /** A base's current rows PRUNED to the hash buckets the delta's join
-    * keys can collide with — the co-bucketed premise's payoff: the
-    * join-delta probe of a 100 TB base reads O(colliding buckets) files,
-    * never the table. The bucket count comes from the PROBED table's own
-    * live header (a one-sided rescale must never prune with the other
-    * side's count), and a table whose layout was dropped (a row-level
-    * CoW rewrite) degrades to an UNpruned — still correct, still
-    * delta-joined — read rather than a refusal. The second half of the
-    * return says which happened (`true` = bucket-pruned), so
-    * [[refreshJoin]] can SURFACE the degradation in its report instead
-    * of an operator discovering it from a mysteriously base-sized
-    * "incremental" refresh; a clustered re-publish (`CALL sys.cluster`)
-    * restores the layout and the prune with it.
+  /** A base's current rows PRUNED to the cluster groups the delta's join
+    * keys can collide with — the co-clustered premise's payoff: the
+    * join-delta probe of a 100 TB base reads O(colliding groups) files,
+    * never the table. Two layouts prune: a HASH-BUCKET header on the
+    * join key (groups = the delta keys' buckets, count from the PROBED
+    * table's own live header — a one-sided rescale must never prune
+    * with the other side's count) and a TIME-TRANSFORM header on the
+    * join key (groups = the delta keys' calendar units: a `days(ts)`
+    * fact probes O(touched days) — equal instants imply equal days, the
+    * same coarsening that makes the q191 SPJ exchange-free). A table
+    * whose layout was dropped (a row-level CoW rewrite) degrades to an
+    * UNpruned — still correct, still delta-joined — read rather than a
+    * refusal. The second half of the return says which happened (`true`
+    * = group-pruned), so [[refreshJoin]] can SURFACE the degradation in
+    * its report instead of an operator discovering it from a
+    * mysteriously base-sized "incremental" refresh; a clustered
+    * re-publish (`CALL sys.cluster`) restores the layout and the prune
+    * with it.
     */
   private[graft] def bucketProbe(spark: SparkSession, root: String, version: Int,
       joinKey: String, deltaKeys: DataFrame): (DataFrame, Boolean) = {
     val all = Snapshots.files(spark, root, version)
-    val (files, pruned) = Snapshots.clusterOf(spark, root, version)
-      .flatMap(Snapshots.bucketSpec) match {
+    val spec = Snapshots.clusterOf(spark, root, version)
+    // the delta keys' routing values under the probed table's OWN header
+    // — the same expressions the write path routes `__cluster=` dirs by
+    val routing: Option[Column] = spec.flatMap(Snapshots.bucketSpec) match {
       case Some((n, c)) if c == joinKey =>
+        Some(pmod(hash(deltaKeys.columns.map(col): _*), lit(n)).cast("string"))
+      case _ => spec.flatMap(Snapshots.timeSpec) match {
+        case Some((unit, c)) if c == joinKey =>
+          Some(Snapshots.timeTransformCol(unit,
+            col(deltaKeys.columns.head)).cast("string"))
+        case _ => None
+      }
+    }
+    val (files, pruned) = routing match {
+      case Some(r) =>
         val hit = deltaKeys.na.drop()
-          .select(pmod(hash(deltaKeys.columns.map(col): _*), lit(n))
-            .cast("string").as("__b"))
+          .select(r.as("__b")).na.drop()
           .distinct().collect().map(_.getString(0)).toSet
         val dirRe = "__cluster=([^/]+)/".r
         (all.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1)))), true)
-      case _ => (all, false)
+      case None => (all, false)
     }
     (Snapshots.readFiles(spark, root, files,
       Snapshots.schemaOf(spark, root, version), s"$root v$version bucket probe"),
@@ -457,12 +473,15 @@ object Mv {
     * joinLeft = joinRight`, stored like [[create]]'s view and refreshed
     * incrementally from EITHER side's change feed ([[refreshJoin]]).
     *
-    * Requires the q185 star shape: both bases bucket-clustered on their
-    * join key with the SAME bucket count — that co-location is what
-    * bounds the refresh's delta-join probes to colliding buckets (and
-    * what makes the underlying join exchange-free to begin with) — and
-    * disjoint column names across the two bases (the joined relation
-    * must be unambiguous; project/rename before publishing otherwise).
+    * Requires a co-clustered star: both bases clustered on their join
+    * key, either hash buckets with the SAME count (the q185 shape) or a
+    * time transform with the SAME unit (the q191 `days(ts)` event-feed
+    * shape, joining on the time key) — that co-location is what bounds
+    * the refresh's delta-join probes to colliding buckets / calendar
+    * units (and what makes the underlying join exchange-free to begin
+    * with) — and disjoint column names across the two bases (the joined
+    * relation must be unambiguous; project/rename before publishing
+    * otherwise).
     */
   def createJoin(spark: SparkSession, mvRoot: String,
       leftRoot: String, leftKeyCols: Seq[String], joinLeft: String,
@@ -487,18 +506,27 @@ object Mv {
         "relation must be unambiguous; rename before publishing")
     requireExactSums(org.apache.spark.sql.types.StructType(
       lSchema.fields ++ rSchema.fields), sumCols)
-    def bucketOf(root: String, v: Int, key: String): Int = {
-      val spec = Snapshots.clusterOf(spark, root, v).flatMap(Snapshots.bucketSpec)
-      require(spec.exists(_._2 == key),
-        s"createJoin needs $root bucket-clustered on its join key '$key' " +
-          s"(found ${spec.map(s => s"bucket(${s._1},${s._2})").getOrElse("no bucket layout")}) — " +
-          "the co-bucketed star shape is what bounds refresh probes to colliding buckets")
-      spec.get._1
+    // the co-clustered star contract: BOTH bases clustered on their join
+    // key, either hash buckets (one shared count) or a time transform
+    // (one shared unit — the q191 `days(ts)` event-feed shape). That
+    // agreement is what bounds refresh probes to colliding groups and
+    // makes the underlying join exchange-free to begin with.
+    def layoutOf(root: String, v: Int, key: String): String = {
+      val spec = Snapshots.clusterOf(spark, root, v)
+      val b = spec.flatMap(Snapshots.bucketSpec).filter(_._2 == key)
+      val t = spec.flatMap(Snapshots.timeSpec).filter(_._2 == key)
+      require(b.isDefined || t.isDefined,
+        s"createJoin needs $root bucket- or time-transform-clustered on its " +
+          s"join key '$key' (found ${spec.getOrElse("no cluster layout")}) — " +
+          "the co-clustered star shape is what bounds refresh probes to " +
+          "colliding groups")
+      b.map(s => s"bucket(${s._1})").getOrElse(t.get._1)
     }
-    val nL = bucketOf(leftRoot, wL, joinLeft)
-    val nR = bucketOf(rightRoot, wR, joinRight)
-    require(nL == nR, s"createJoin needs ONE bucket count on both bases, " +
-      s"got bucket($nL,$joinLeft) vs bucket($nR,$joinRight)")
+    val layL = layoutOf(leftRoot, wL, joinLeft)
+    val layR = layoutOf(rightRoot, wR, joinRight)
+    require(layL == layR, s"createJoin needs ONE layout on both bases " +
+      s"(same bucket count or same time unit), got $layL($joinLeft) vs " +
+      s"$layR($joinRight)")
     if (fs(spark, mvRoot).exists(defPath(mvRoot)) &&
         Snapshots.versions(spark, mvRoot).isEmpty)
       fs(spark, mvRoot).delete(defPath(mvRoot), false)

@@ -60,4 +60,47 @@ object PageRank {
     Checkpoints.release(edges)
     ranks.select(col("id").as("doc_id"), col("rank"))
   }
+
+  /** [[run]] in EXACT fixed-point integer arithmetic — the
+    * oracle-checkable twin: ranks are BIGINT multiples of 1/`scale`,
+    * every step is integer sum + truncating division (damping 0.85 as
+    * the rational 17/20), so two engines replaying the same iterations
+    * agree BIT-EXACTLY — no summation-order ulps, no rounding-boundary
+    * flakiness — and a fixed-iteration external replay (chained SQL
+    * CTEs) can hash-match the ranks themselves. Truncation loses at
+    * most deg(b)/scale mass per node per round (~1e-9 relative at the
+    * default scale over 10 rounds — DedupSimilaritySpec pins agreement
+    * with the float form), always downward, deterministically.
+    *
+    * Same shape at scale as [[run]]: one equi-join + groupBy-sum per
+    * round over the checkpointed edge relation.
+    *
+    * @return (doc_id, rank_e12) with rank_e12 ≲ scale · rank
+    */
+  def runExact(pairs: DataFrame, iterations: Int = 10,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val edges = sym.join(deg, "a").localCheckpoint()
+    val n = deg.count()
+    // driver-side Long division == SQL integer division on positives
+    val teleport = (3L * scale / 20L) / n
+    var ranks = deg.select(col("a").as("id"), lit(scale / n).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val next = edges
+        .join(ranks, edges("a") === ranks("id"))
+        .groupBy(col("b")).agg(sum(expr("rank div deg")).as("m"))
+        .select(col("b").as("id"),
+          (lit(teleport) + expr("(17 * m) div 20")).as("rank"))
+        .localCheckpoint()
+      Checkpoints.release(ranks)
+      ranks = next
+    }
+    Checkpoints.release(edges)
+    ranks.select(col("id").as("doc_id"), col("rank").as("rank_e12"))
+  }
 }

@@ -111,6 +111,35 @@ object Dedup {
       |           JOIN sz sb ON sb.doc_id = doc_b
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""".stripMargin
 
+  /** The exact fixed-point pagerank oracle (q117): the pair graph's
+    * symmetrized edges, then `iters` CHAINED CTEs — one join+groupBy per
+    * round, no recursion (the iteration count is fixed, so recursive-CTE
+    * aggregation limits never apply). Integer-only arithmetic (`//` is
+    * DuckDB floor division ≡ truncation on positives ≡ Spark's `div`),
+    * mirror of [[graft.operators.PageRank.runExact]] step for step:
+    * r0 = S // n, r' = (3S//20)//n + (17·Σ(r//deg))//20.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val S = "1000000000000"
+    val tele = s"(3 * $S // 20) // (SELECT n FROM nn)"
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.b AS id,
+         |  $tele + (17 * sum(r.rank // e.deg)) // 20 AS rank
+         |  FROM e JOIN r${i - 1} r ON e.a = r.id GROUP BY e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairsCteSql,
+       |pairs AS (
+       |  ${pairsSelectSql("doc_a, doc_b")}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+       |e AS (SELECT edges.a, edges.b, deg.deg FROM edges JOIN deg USING (a)),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT a AS id, $S // (SELECT n FROM nn) AS rank FROM deg),
+       |$steps
+       |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_e12 FROM r$iters""".stripMargin
+  }
+
   private val reachCteSql =
     s"""pairs AS (
        |  WITH $pairsCteSql
@@ -626,15 +655,17 @@ object Dedup {
     // duplicate cluster is the HUB the others orbit — the
     // popularity-weighted counterpart to q95's quality argmax. Reads the
     // same materialized pair-graph artifact as q33/q51/q55; ten rounds of
-    // join+aggregate, rank mass conserved at Σ=1 (undirected ⇒ no
-    // dangling nodes). Rows-only: an iterative fixpoint needs
-    // aggregation inside a recursive CTE, which the oracle engine
-    // disallows; DedupSimilaritySpec replays the exact iteration
-    // driver-side and pins every rank to 1e-9.
-    QueryDef.rowsOnly("q117_dup_pagerank") { (s, dir) =>
-      graft.operators.PageRank.run(jaccardPairs(s, dir).select("doc_a", "doc_b"))
-        .select(col("doc_id"), round(col("rank"), 9).as("rank"))
-        .orderBy(col("doc_id"))
+    // join+aggregate. Runs the EXACT fixed-point form (BIGINT ranks,
+    // truncating division, damping as 17/20 — PageRank.runExact), so a
+    // fixed-iteration replay agrees bit-exactly and the oracle HASHES the
+    // ranks themselves: ten chained CTEs, one join+groupBy each, no
+    // recursion needed because the iteration count is fixed. No float
+    // leaves the engine (the q36/q173 decision-output discipline taken to
+    // its limit — the score IS an integer); DedupSimilaritySpec pins the
+    // fixed-point ranks against the float form at 1e-6.
+    QueryDef.checked("q117_dup_pagerank", pagerankSql(10)) { (s, dir) =>
+      graft.operators.PageRank.runExact(
+        jaccardPairs(s, dir).select("doc_a", "doc_b"))
     },
 
     // SOFT dedup (dedup-aware loss weighting): instead of dropping

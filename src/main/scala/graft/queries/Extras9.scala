@@ -365,6 +365,79 @@ object Extras9 {
         .withColumn("replay_noop", lit(replayNoop))
     },
 
+    // JOIN MV over a TIME-TRANSFORM co-clustered star under the oracle
+    // hash: the q191 event-feed shape (two `days(·)`-clustered bases
+    // joined on the time key) hosts a materialized count/sum per group.
+    // BOTH bases mutate (a fact CoW merge bumps + deletes rows; the dim
+    // moves every third calendar day's group label), then ONE
+    // Mv.refreshJoin applies the bilinear join-delta identity with
+    // probes pruned to COLLIDING CALENDAR UNITS — the days-transform
+    // twin of q195's bucket pruning (`probes_pruned` pins that both
+    // sides' probes actually pruned; MvSpec pins the O(touched days)
+    // file bound). The oracle replays the whole mutation history
+    // relationally — the hash certifies incremental-apply ≡ recompute.
+    QueryDef.checked(
+      "q199_time_join_mv",
+      """WITH fact AS (
+        |  SELECT event_id AS k, ts,
+        |    CASE WHEN event_id % 10 = 0 AND event_id % 37 <> 0
+        |         THEN CAST(round(value * 100) AS BIGINT) + 7
+        |         ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events WHERE event_id % 37 <> 0),
+        |dim AS (
+        |  SELECT ts AS rts,
+        |    CASE WHEN (CAST(ts AS DATE) - DATE '1970-01-01') % 3 = 0 THEN 'MOVED'
+        |         ELSE CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 5 AS VARCHAR)
+        |    END AS grp
+        |  FROM (SELECT DISTINCT ts FROM events))
+        |SELECT d.grp, count(*) AS n_rows,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(f.cents) AS BIGINT) AS nn_cents,
+        |  CAST(1 AS BOOLEAN) AS incremental,
+        |  CAST(1 AS BOOLEAN) AS both_sides,
+        |  CAST(1 AS BOOLEAN) AS probes_pruned,
+        |  CAST(1 AS BOOLEAN) AS replay_noop
+        |FROM fact f JOIN dim d ON f.ts = d.rts
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q199_time_join_mv", "timemv", dir)
+      def epochDay(c: org.apache.spark.sql.Column) =
+        datediff(c.cast("date"), lit("1970-01-01").cast("date"))
+      val ev = t(s, dir, "events")
+      val fact = ev.select(col("event_id").as("k"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val dim = ev.select(col("ts").as("rts")).distinct()
+        .withColumn("grp", (epochDay(col("rts")) % 5).cast("string"))
+      Snapshots.publish(s, s"$root/fact", fact, clusterBy = Some("days(ts)"))
+      Snapshots.publish(s, s"$root/dim", dim, clusterBy = Some("days(rts)"))
+      Mv.createJoin(s, s"$root/mv",
+        s"$root/fact", Seq("k"), "ts",
+        s"$root/dim", Seq("rts"), "rts",
+        groupCols = Seq("grp"), sumCols = Seq("cents"), mvBuckets = 8)
+      // fact side: +7 cents on keys ≡0 (mod 10) that survive, delete ≡0 (mod 37)
+      Snapshots.mergeByKey(s, s"$root/fact",
+        fact.filter(col("k") % 10 === 0 && col("k") % 37 =!= 0)
+          .withColumn("cents", col("cents") + 7).withColumn("__del", lit(false))
+          .unionByName(fact.filter(col("k") % 37 === 0).withColumn("__del", lit(true))),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      // dim side: every third calendar day's group moves to MOVED
+      Snapshots.mergeByKey(s, s"$root/dim",
+        dim.filter(epochDay(col("rts")) % 3 === 0)
+          .withColumn("grp", lit("MOVED")).withColumn("__del", lit(false)),
+        keyCols = Seq("rts"), tombstoneCol = Some("__del"))
+      val r = Mv.refreshJoin(s, s"$root/mv")
+      val incremental = r.mode == "incremental"
+      val bothSides = r.fromLeft < r.toLeft && r.fromRight < r.toRight
+      val probesPruned = r.probePrunedLeft && r.probePrunedRight
+      val replayNoop = Mv.refreshJoin(s, s"$root/mv").mode == "noop"
+      Mv.read(s, s"$root/mv")
+        .select(col("grp"), col("n_rows"), col("sum_cents"), col("nn_cents"))
+        .withColumn("incremental", lit(incremental))
+        .withColumn("both_sides", lit(bothSides))
+        .withColumn("probes_pruned", lit(probesPruned))
+        .withColumn("replay_noop", lit(replayNoop))
+    },
+
     // NAMED VERSION TAGS under the oracle hash: v1 is tagged 'baseline'
     // after two more versions land, expire(keepLast=1) then drops the
     // UNtagged middle version but keeps the pin (`survives_expire` +

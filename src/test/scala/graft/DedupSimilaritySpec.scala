@@ -696,6 +696,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     r.foreach { case (v, exp) =>
       assert(math.abs(got(v) - exp) < 1e-9, s"node $v: ${got(v)} vs replay $exp")
     }
+    // the EXACT fixed-point form (q117's oracle-hashable output) tracks
+    // the float form to truncation error (≤ iterations/scale relative ≈
+    // 1e-11 here) and never exceeds it (truncation only loses mass)
+    val exact = PageRank.runExact(edges, iterations = 10)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(exact.keySet === got.keySet)
+    exact.foreach { case (v, e12) =>
+      val asDouble = e12.toDouble / 1e12
+      assert(asDouble <= got(v) + 1e-12 && got(v) - asDouble < 1e-6,
+        s"node $v: fixed-point $asDouble vs float ${got(v)}")
+    }
   }
 
   test("pagerank/components: superseded per-round checkpoints are released") {

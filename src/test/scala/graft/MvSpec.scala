@@ -348,6 +348,78 @@ class MvSpec extends AnyFunSuite {
     assert(!pruned2, "an unpruned fallback probe must report itself")
   }
 
+  test("join-MV probe prunes time-transform layouts to colliding calendar units") {
+    import spark.implicits._
+    val b = s"$wh/tprobe1"
+    // 10 calendar days x 5 rows, days(ts)-clustered: one file set per day
+    val rows = (0 until 50).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i / 5 + 1}%02d 0${i % 5}:00:00"), i.toLong)
+    }
+    Snapshots.publish(spark, b, rows.toDF("ts", "v"), clusterBy = Some("days(ts)"))
+    // a delta touching TWO days probes exactly those days' rows
+    val delta = Seq(
+      java.sql.Timestamp.valueOf("2024-01-03 01:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-07 04:00:00")).toDF("ts")
+    val (probed, pruned) = Mv.bucketProbe(spark, b, 1, "ts", delta)
+    assert(pruned, "a days(ts) layout must report a pruned probe")
+    assert(probed.count() === 10L, "probe must read exactly the touched days' files")
+    val days = probed.select(to_date(col("ts"))).distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    assert(days === Set("2024-01-03", "2024-01-07"))
+  }
+
+  test("join MV over a days(ts) co-clustered star: incremental refresh equals the recompute") {
+    import spark.implicits._
+    val f = s"$wh/tf1"; val dm = s"$wh/td1"; val m = s"$wh/tm1"
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-02-$d%02d $h%02d:00:00")
+    // fact: (k PK, ts time key, cents); dim: (rts PK+time key, seg)
+    val facts = Seq((1L, ts(1, 1), 100L), (2L, ts(1, 2), 200L),
+      (3L, ts(2, 1), 300L), (4L, ts(3, 1), 400L))
+    val dims = Seq((ts(1, 1), "a"), (ts(1, 2), "a"), (ts(2, 1), "b"), (ts(3, 1), "c"))
+    Snapshots.publish(spark, f, facts.toDF("k", "ts", "cents"),
+      clusterBy = Some("days(ts)"))
+    Snapshots.publish(spark, dm, dims.toDF("rts", "seg"),
+      clusterBy = Some("days(rts)"))
+    Mv.createJoin(spark, m, f, Seq("k"), "ts", dm, Seq("rts"), "rts",
+      Seq("seg"), Seq("cents"), mvBuckets = 4)
+    def recompute = collectJoinMv(IncrementalView.countSum(
+      Snapshots.read(spark, f).join(Snapshots.read(spark, dm),
+        col("ts") === col("rts")), Seq("seg"), Seq("cents")))
+    assert(collectJoinMv(Mv.read(spark, m)) === recompute)
+    // both sides mutate: fact updates k=1, deletes k=4 (day 3 vanishes);
+    // dim moves day 2's segment
+    Snapshots.mergeByKey(spark, f,
+      Seq((1L, ts(1, 1), 150L, false), (4L, ts(3, 1), 0L, true))
+        .toDF("k", "ts", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    Snapshots.mergeByKey(spark, dm,
+      Seq((ts(2, 1), "moved", false)).toDF("rts", "seg", "__del"),
+      keyCols = Seq("rts"), tombstoneCol = Some("__del"))
+    val r = Mv.refreshJoin(spark, m)
+    assert(r.mode === "incremental", s"got $r")
+    assert(r.probePrunedLeft && r.probePrunedRight,
+      s"time-transform probes must report pruned: $r")
+    assert(collectJoinMv(Mv.read(spark, m)) === recompute)
+    // replay is a noop
+    assert(Mv.refreshJoin(spark, m).mode === "noop")
+    // layout contract: a bucket star cannot pair with a time star, and
+    // differing time units refuse
+    val dm2 = s"$wh/td2"
+    Snapshots.publish(spark, dm2, dims.toDF("rts", "seg"),
+      clusterBy = Some("bucket(4, rts)"))
+    val e1 = intercept[IllegalArgumentException](
+      Mv.createJoin(spark, s"$wh/tm2", f, Seq("k"), "ts", dm2, Seq("rts"), "rts",
+        Seq("seg"), Seq("cents")))
+    assert(e1.getMessage.contains("ONE layout"), e1.getMessage)
+    val dm3 = s"$wh/td3"
+    Snapshots.publish(spark, dm3, dims.toDF("rts", "seg"),
+      clusterBy = Some("months(rts)"))
+    val e2 = intercept[IllegalArgumentException](
+      Mv.createJoin(spark, s"$wh/tm3", f, Seq("k"), "ts", dm3, Seq("rts"), "rts",
+        Seq("seg"), Seq("cents")))
+    assert(e2.getMessage.contains("ONE layout"), e2.getMessage)
+  }
+
   test("join-MV refresh SURFACES probe degradation: flag flips on layout loss, resets after re-cluster") {
     import spark.implicits._
     val f = s"$wh/jf4"; val dm = s"$wh/jd4"; val m = s"$wh/jm4"
