@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * exact delta maintenance — retract preimages/deletes, apply
   * postimages/inserts — so the refresh costs O(changes): this is the
   * standard view-maintenance algebra (ΔV = γ(+ΔR) ⊖ γ(−ΔR)) on top of our
-  * CDF. min/max are deliberately NOT offered: they are not invertible
-  * under deletes (a retracted minimum forces a rescan), and a silent
-  * wrong answer is worse than an honest recompute.
+  * CDF. min/max are not invertible under deletes (a retracted minimum
+  * forces a rescan), so they maintain HYBRID: exact algebraic combine
+  * on insert-only groups, a DECLARED per-group recount under any
+  * retraction ([[applyCountSum]]'s `__mm_stale` flag names the groups
+  * owing one) — never a silent wrong answer.
   */
 object IncrementalView {
 
@@ -23,14 +25,19 @@ object IncrementalView {
     * of `sumCols`. The `nn_<c>` companion is what lets the incremental
     * apply distinguish "sums to 0" from "no non-null values" — SQL's
     * `sum` over an all-NULL group is NULL, and the maintained view must
-    * reproduce that bit-identically.
+    * reproduce that bit-identically. `minMaxCols` adds `min_<c>`/
+    * `max_<c>` — exact SELECTIONS (not accumulations), so float columns
+    * are fine here even though sums refuse them.
     */
-  def countSum(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+  def countSum(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "countSum needs group columns")
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
-          count(col(c)).as(s"nn_$c"))): _*)
+          count(col(c)).as(s"nn_$c"))) ++
+        minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
   }
 
   /** Apply a CDF (from [[Snapshots.changes]] with `preImages = true`) to a
@@ -38,9 +45,19 @@ object IncrementalView {
     * Inserts/postimages add, deletes/preimages retract; groups whose
     * count reaches zero disappear (exactly like the recomputed view).
     * Null-keyed groups are handled (the join is null-safe).
+    *
+    * With `minMaxCols`, min/max combine algebraically where that is
+    * EXACT — `least(stored, min(inserts))` holds as long as nothing
+    * retracted — and every group the feed retracts FROM is flagged in
+    * an extra `__mm_stale` boolean column with its min/max left at the
+    * (possibly stale) algebraic value: a retracted minimum is not
+    * invertible, so the CALLER must recount flagged groups from the
+    * viewed relation ([[graft.operators.Mv.refresh]] does) or refuse.
+    * The flag column only exists when `minMaxCols` is non-empty.
     */
   def applyCountSum(mv: DataFrame, cdf: DataFrame,
-      groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "applyCountSum needs group columns")
     val sign = when(col("change").isin("insert", "update_postimage"), lit(1L))
       .when(col("change").isin("delete", "update_preimage"), lit(-1L))
@@ -55,7 +72,12 @@ object IncrementalView {
           // sign-summed non-null count, so retracting the last non-null
           // value drives nn to 0 and the applied sum back to NULL
           sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L)))
-            .as(s"__dnn_$c"))): _*)
+            .as(s"__dnn_$c"))) ++
+        minMaxCols.flatMap(c => Seq(
+          min(when(col("__sign") === 1L, col(c))).as(s"__imin_$c"),
+          max(when(col("__sign") === 1L, col(c))).as(s"__imax_$c"))) ++
+        (if (minMaxCols.isEmpty) Nil
+         else Seq(max(col("__sign") === -1L).as("__ret"))): _*)
     // a feed without preimages cannot be applied soundly: an 'update' row
     // alone would double-count. Fail loudly instead of absorbing it.
     val hasPlainUpdate = cdf.where(col("change") === "update").limit(1).count() > 0
@@ -78,7 +100,16 @@ object IncrementalView {
                 coalesce(m(s"sum_$c"), lit(0L)) + coalesce(d(s"__ds_$c"), lit(0L)))
                 .as(s"sum_$c"),
               nn.as(s"nn_$c"))
-          }: _*)
+          } ++
+          minMaxCols.flatMap { c =>
+            // least/greatest SKIP nulls: an absent stored row (new
+            // group) or an insert-free delta side falls through to the
+            // other operand; all-null stays null
+            Seq(least(m(s"min_$c"), d(s"__imin_$c")).as(s"min_$c"),
+              greatest(m(s"max_$c"), d(s"__imax_$c")).as(s"max_$c"))
+          } ++
+          (if (minMaxCols.isEmpty) Nil
+           else Seq(coalesce(d("__ret"), lit(false)).as("__mm_stale"))): _*)
       .where(col("n_rows") > 0)
   }
 }

@@ -34,9 +34,12 @@ import org.apache.spark.sql.functions._
   * recompute and drift by ulps. Sum cents, not dollars (the repo-wide
   * oracle discipline).
   *
-  * min/max are deliberately not offered — see [[IncrementalView]]'s
-  * header (not invertible under deletes; an honest recompute beats a
-  * silent wrong answer).
+  * min/max maintain HYBRID ([[create]]'s `minMaxCols`): algebraic on
+  * insert-only groups, a declared per-retracted-group recount otherwise
+  * — they are not invertible under deletes, and an honest bounded
+  * recount beats both a silent wrong answer and a full refusal. Join
+  * MVs don't offer them (the recount would rebuild the joined
+  * relation; the single-base recount is one pruned base read).
   *
   * Single-writer per MV root (the snapshot layer's standing contract);
   * the base table may evolve freely between refreshes — the CDF aligns
@@ -46,11 +49,13 @@ object Mv {
 
   /** The stored view definition (`<mvRoot>/_mv/def`, written once at
     * [[create]], immutable): base table root, the base's unique row key
-    * (the CDF classification key), the group-by columns, and the summed
-    * columns.
+    * (the CDF classification key), the group-by columns, the summed
+    * columns, and the min/max columns (hybrid-maintained — see
+    * [[create]]).
     */
   final case class Definition(baseRoot: String, baseKeyCols: Seq[String],
-      groupCols: Seq[String], sumCols: Seq[String])
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil)
 
   /** The stored definition of a JOIN MV ([[createJoin]]): two co-bucketed
     * base tables, each with its own unique row key (CDF classification)
@@ -87,6 +92,7 @@ object Mv {
 
   private val GkCol = "__gk"
   private val TombCol = "__mv_del"
+  private val MmStaleCol = "__mm_stale"
 
   private def defPath(root: String) = new Path(root, "_mv/def")
 
@@ -122,7 +128,8 @@ object Mv {
       s"base=${d.baseRoot}",
       s"keys=${d.baseKeyCols.mkString(",")}",
       s"groups=${d.groupCols.mkString(",")}",
-      s"sums=${d.sumCols.mkString(",")}"))
+      s"sums=${d.sumCols.mkString(",")}",
+      s"minmax=${d.minMaxCols.mkString(",")}"))
   }
 
   private def writeJoinDef(spark: SparkSession, root: String, d: JoinDefinition): Unit = {
@@ -168,7 +175,9 @@ object Mv {
     require(!kv.get("kind").contains("join"),
       s"$mvRoot is a JOIN materialized view — use Mv.joinDefinition / Mv.refreshJoin")
     Definition(kv("base"), defCols(kv, "keys"), defCols(kv, "groups"),
-      defCols(kv, "sums"))
+      defCols(kv, "sums"),
+      // absent on pre-minmax definitions — they maintain none
+      kv.get("minmax").map(_.split(",", -1).toSeq.filter(_.nonEmpty)).getOrElse(Nil))
   }
 
   /** Whether the MV root stores a join definition ([[createJoin]]) —
@@ -192,17 +201,28 @@ object Mv {
     * version and publish it as a fresh snapshot table at `mvRoot`, with
     * that base version recorded as the batch id (the refresh watermark).
     * `mvBuckets` bucket-clusters the MV on the group digest so refresh
-    * merges probe only touched buckets. Returns the MV version (1).
+    * merges probe only touched buckets.
+    *
+    * `minMaxCols` adds maintained `min_<c>`/`max_<c>` columns, HYBRID:
+    * an insert-only refresh combines them algebraically (exact — a new
+    * value can only extend the envelope), and any refresh that RETRACTS
+    * from a group recounts that group's min/max from the current base,
+    * reading base rows of the retracted groups only (a retracted
+    * minimum is not invertible; the recount is declared in the plan,
+    * never silent). min/max are exact SELECTIONS, so float/double
+    * columns are fine here even though sums refuse them. Returns the MV
+    * version (1).
     */
   def create(spark: SparkSession, mvRoot: String, baseRoot: String,
       baseKeyCols: Seq[String], groupCols: Seq[String], sumCols: Seq[String],
-      mvBuckets: Int = 64): Int = {
+      mvBuckets: Int = 64, minMaxCols: Seq[String] = Nil): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
     require(baseKeyCols.nonEmpty, "an MV needs the base table's unique row key " +
       "(CDF classification; see Snapshots.changes)")
     require(groupCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
-      sumCols.intersect(Seq(GkCol, TombCol)).isEmpty,
-      s"'$GkCol'/'$TombCol' are reserved MV columns")
+      sumCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
+      minMaxCols.intersect(Seq(GkCol, TombCol, MmStaleCol)).isEmpty,
+      s"'$GkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val baseVs = Snapshots.versions(spark, baseRoot)
     require(baseVs.nonEmpty, s"base $baseRoot has no published snapshot versions")
     val w = baseVs.last
@@ -217,9 +237,10 @@ object Mv {
     if (fs(spark, mvRoot).exists(defPath(mvRoot)) &&
         Snapshots.versions(spark, mvRoot).isEmpty)
       fs(spark, mvRoot).delete(defPath(mvRoot), false)
-    writeDef(spark, mvRoot, Definition(baseRoot, baseKeyCols, groupCols, sumCols))
+    writeDef(spark, mvRoot,
+      Definition(baseRoot, baseKeyCols, groupCols, sumCols, minMaxCols))
     val mv0 = IncrementalView.countSum(
-      Snapshots.read(spark, baseRoot, Some(w)), groupCols, sumCols)
+      Snapshots.read(spark, baseRoot, Some(w)), groupCols, sumCols, minMaxCols)
       .withColumn(GkCol, gk(groupCols))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = w,
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
@@ -291,7 +312,8 @@ object Mv {
     // contract, not a raw unresolved-column error mid-plan
     Snapshots.schemaOf(spark, d.baseRoot, cur).foreach { sch =>
       val have = sch.fieldNames.toSet
-      val missing = (d.baseKeyCols ++ d.groupCols ++ d.sumCols).filterNot(have)
+      val missing = (d.baseKeyCols ++ d.groupCols ++ d.sumCols ++ d.minMaxCols)
+        .filterNot(have)
       require(missing.isEmpty,
         s"MV definition references column(s) ${missing.mkString(", ")} that " +
           s"base ${d.baseRoot} v$cur no longer carries — drop and redefine the MV")
@@ -303,7 +325,8 @@ object Mv {
       !Snapshots.hasDeleteVectors(spark, d.baseRoot, cur)
     if (!canDiff) {
       val mv = IncrementalView.countSum(
-        Snapshots.read(spark, d.baseRoot, Some(cur)), d.groupCols, d.sumCols)
+        Snapshots.read(spark, d.baseRoot, Some(cur)), d.groupCols, d.sumCols,
+        d.minMaxCols)
         .withColumn(GkCol, gk(d.groupCols))
       val buckets = mvBucketsOf(spark, mvRoot)
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = cur,
@@ -324,7 +347,8 @@ object Mv {
         (gk(d.groupCols).as(GkCol) +: d.groupCols.map(col)): _*).distinct().persist()
       try {
         val (n, v) = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
-          cdf, touched, batchId = cur)
+          cdf, touched, batchId = cur, minMaxCols = d.minMaxCols,
+          recountFrom = Some(() => Snapshots.read(spark, d.baseRoot, Some(cur))))
         Refresh("incremental", w, cur, n, v)
       } finally touched.unpersist()
     } finally cdf.unpersist()
@@ -334,11 +358,19 @@ object Mv {
     * a signed row-level change feed of the VIEWED relation to the
     * materialized count/sum at touched-bucket granularity, tombstone
     * vanished groups, commit via mergeStreamBatch under `batchId`.
+    * `minMaxCols` (single-base only) maintains min/max hybrid: the
+    * algebraic combine where the feed only inserted, a per-group
+    * recount from `recountFrom` (the viewed relation at the target
+    * version) for exactly the groups the feed retracted from — the
+    * recount scan is semi-join-pruned to those groups' rows, and the MV
+    * side still carries every untouched bucket's files by name.
     * Returns (groups touched, MV version published — None on a replay).
     */
   private def applyDelta(spark: SparkSession, mvRoot: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      cdf: DataFrame, touched: DataFrame, batchId: Long): (Long, Option[Int]) = {
+      cdf: DataFrame, touched: DataFrame, batchId: Long,
+      minMaxCols: Seq[String] = Nil,
+      recountFrom: Option[() => DataFrame] = None): (Long, Option[Int]) = {
     val nTouched = touched.count()
     if (nTouched == 0) {
       // pure rewrite (compaction) under the base: move the watermark
@@ -371,9 +403,38 @@ object Mv {
     val mvInBuckets = Snapshots.readFiles(spark, mvRoot, inBuckets,
       Snapshots.schemaOf(spark, mvRoot, mvV), s"mv v$mvV touched buckets")
       .drop(GkCol)
-    val applied = IncrementalView.applyCountSum(mvInBuckets, cdf,
-      groupCols, sumCols)
+    val counted = IncrementalView.applyCountSum(mvInBuckets, cdf,
+      groupCols, sumCols, minMaxCols)
       .withColumn(GkCol, gk(groupCols))
+    val applied = if (minMaxCols.isEmpty) counted else {
+      // min/max recount: the algebraic combine is stale for exactly the
+      // groups the feed RETRACTED from (__mm_stale). Recount those — and
+      // only those — from the current viewed relation: the base read is
+      // semi-join-pruned to the retracted groups' rows before the
+      // aggregate, so the recount costs O(retracted groups' rows), and
+      // an insert-only refresh never touches the base at all (empty
+      // retracted-key set). The recount relation carries NO cdf lineage
+      // (a fresh read), so joining it onto the applied frame is not an
+      // ambiguous self-join.
+      val retractedKeys = cdf
+        .filter(col("change").isin("delete", "update_preimage"))
+        .select(gk(groupCols).as(GkCol)).distinct()
+      val rAggs = minMaxCols.flatMap(c =>
+        Seq(min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c")))
+      val rec = recountFrom.getOrElse(sys.error(
+          "minMaxCols set but no recount relation supplied"))()
+        .withColumn(GkCol, gk(groupCols))
+        .join(retractedKeys, Seq(GkCol), "left_semi")
+        .groupBy(col(GkCol)).agg(rAggs.head, rAggs.tail: _*)
+      val keep = counted.columns.filterNot(c => c == MmStaleCol ||
+        minMaxCols.exists(mc => c == s"min_$mc" || c == s"max_$mc"))
+      counted.join(rec, Seq(GkCol), "left")
+        .select((keep.map(col) ++ minMaxCols.flatMap(c => Seq(
+          when(col(MmStaleCol), col(s"__rmin_$c")).otherwise(col(s"min_$c"))
+            .as(s"min_$c"),
+          when(col(MmStaleCol), col(s"__rmax_$c")).otherwise(col(s"max_$c"))
+            .as(s"max_$c")))): _*)
+    }
     // groups the feed touched that no longer exist (count hit zero) —
     // EXCEPT, not an anti-join: both sides descend from the CDF, and a
     // set op carries no ambiguous column references

@@ -897,7 +897,7 @@ object Snapshots {
     * Returns (files copied, bytes copied).
     */
   def cloneTo(spark: SparkSession, srcRoot: String, dstRoot: String,
-      version: Option[Int] = None): (Long, Long) = {
+      version: Option[Int] = None, copyTags: Boolean = false): (Long, Long) = {
     val vs = versions(spark, srcRoot)
     require(vs.nonEmpty, s"no snapshots published under $srcRoot")
     val v = version.getOrElse(vs.last)
@@ -916,8 +916,32 @@ object Snapshots {
       clusterOf(spark, srcRoot, v).map(c => s"$CLUSTER_HEADER$c").toSeq ++
         sortOf(spark, srcRoot, v).map(s => s"$SORT_HEADER$s").toSeq ++
         carried)
+    // opt-in compliance-pin replication: tags naming the CLONED version
+    // re-create on the clone pointing at its v1 (a clone exports one
+    // version; a tag on any other source version has no referent here)
+    if (copyTags) carryTags(spark, srcRoot, v, dstRoot, 1)
     (copied.filesCopied, copied.bytesCopied)
   }
+
+  /** Re-create every source tag naming `srcVersion` on `dstRoot` at
+    * `dstVersion` — the tag-carry step of [[cloneTo]]/[[syncTo]]'s
+    * opt-in. Idempotent across re-syncs (an existing same-name tag
+    * already at `dstVersion` is a no-op); a same-name tag pinning a
+    * DIFFERENT destination version refuses loudly (tags are immutable
+    * pointers — silently skipping a diverged pin would leave two roots
+    * disagreeing about what the name means).
+    */
+  private def carryTags(spark: SparkSession, srcRoot: String, srcVersion: Int,
+      dstRoot: String, dstVersion: Int): Unit =
+    tags(spark, srcRoot).filter(_._2 == srcVersion).foreach { case (n, _) =>
+      tags(spark, dstRoot).find(_._1 == n) match {
+        case Some((_, dv)) =>
+          require(dv == dstVersion,
+            s"tag '$n' already exists on $dstRoot at v$dv — cannot carry the " +
+              s"source pin to v$dstVersion; tags are immutable (untag first)")
+        case None => tag(spark, dstRoot, n, Some(dstVersion))
+      }
+    }
 
   /** Incremental REPLICATION: bring a replica root up to the source's
     * head (or a pinned version) by copying ONLY the files the replica's
@@ -939,9 +963,10 @@ object Snapshots {
     * [[cloneTo]].
     */
   def syncTo(spark: SparkSession, srcRoot: String, dstRoot: String,
-      version: Option[Int] = None): (Long, Long) = {
+      version: Option[Int] = None, syncTags: Boolean = false): (Long, Long) = {
     val dstVs = versions(spark, dstRoot)
-    if (dstVs.isEmpty) return cloneTo(spark, srcRoot, dstRoot, version)
+    if (dstVs.isEmpty) return cloneTo(spark, srcRoot, dstRoot, version,
+      copyTags = syncTags)
     val srcVs = versions(spark, srcRoot)
     require(srcVs.nonEmpty, s"no snapshots published under $srcRoot")
     val v = version.getOrElse(srcVs.last)
@@ -957,8 +982,12 @@ object Snapshots {
     if (want.toSet == files(spark, dstRoot, dstVs.last).toSet &&
         schemaOf(spark, srcRoot, v) == schemaOf(spark, dstRoot, dstVs.last) &&
         clusterOf(spark, srcRoot, v) == clusterOf(spark, dstRoot, dstVs.last) &&
-        sortOf(spark, srcRoot, v) == sortOf(spark, dstRoot, dstVs.last))
+        sortOf(spark, srcRoot, v) == sortOf(spark, dstRoot, dstVs.last)) {
+      // the replica head already HOLDS the synced state, so a pin named
+      // after the sync still carries (the re-sync-after-tag workflow)
+      if (syncTags) carryTags(spark, srcRoot, v, dstRoot, dstVs.last)
       return (0L, 0L) // already at this state: commit nothing
+    }
     val missing = want.filterNot(have)
     val copied =
       if (missing.isEmpty) FileMigrate.Result(0L, 0L)
@@ -978,6 +1007,9 @@ object Snapshots {
       clusterOf(spark, srcRoot, v).map(c => s"$CLUSTER_HEADER$c").toSeq ++
         sortOf(spark, srcRoot, v).map(s => s"$SORT_HEADER$s").toSeq ++
         dstSeq ++ carried)
+    // opt-in: tags naming the synced source version re-create on the
+    // replica version that now holds that state
+    if (syncTags) carryTags(spark, srcRoot, v, dstRoot, dstVs.last + 1)
     (copied.filesCopied, copied.bytesCopied)
   }
 
@@ -1589,9 +1621,12 @@ object Snapshots {
   // manifest; [[vacuum]] then keeps its files referenced for free) — the
   // reproducibility pin for "the exact table run X trained on". Tags
   // never move (drop and re-create to re-point); names are plain path
-  // segments so no tag can escape the table root. Tags are ROOT-LOCAL:
-  // [[cloneTo]]/[[syncTo]] deliberately do not carry them (a clone has a
-  // fresh lifecycle; a replica's retention is the replica's policy).
+  // segments so no tag can escape the table root. Tags are ROOT-LOCAL by
+  // default: [[cloneTo]]/[[syncTo]] do not carry them (a clone has a
+  // fresh lifecycle; a replica's retention is the replica's policy)
+  // unless the caller opts in (`copyTags`/`syncTags` — the "replicate
+  // the compliance pin" workflow), which carries exactly the tags naming
+  // the cloned/synced version, re-pointed at the destination's version.
 
   private val TAGS_DIR = "_tags"
 

@@ -438,6 +438,72 @@ object Extras9 {
         .withColumn("replay_noop", lit(replayNoop))
     },
 
+    // MV MIN/MAX under the oracle hash: a per-priority count/sum/min/max
+    // view maintained through a mixed mutation (updates + deletes hit
+    // the '1-URGENT'..'4-*' groups — retractions, so those groups'
+    // min/max RECOUNT from the base, semi-join-pruned to exactly their
+    // rows — while '5-LOW' receives only fresh inserts and combines
+    // ALGEBRAICALLY, never touching the base). The deletes remove rows
+    // that include group minima and the updates rewrite values upward,
+    // so a stale algebraic envelope would flip the hash; the oracle
+    // replays the whole mutation history relationally. Flags: refresh
+    // ran incrementally, replay is a noop.
+    QueryDef.checked(
+      "q200_mv_minmax",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS seg,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, seg,
+        |    CASE WHEN k % 10 = 0 AND seg <> '5-LOW' THEN cents + 7
+        |         ELSE cents END AS cents
+        |  FROM base WHERE NOT (k % 37 = 0 AND seg = '1-URGENT')
+        |  UNION ALL
+        |  SELECT k + 10000000, '5-LOW', cents + 13 FROM base WHERE k % 11 = 0)
+        |SELECT seg, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(cents) AS BIGINT) AS nn_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(1 AS BOOLEAN) AS incremental,
+        |  CAST(1 AS BOOLEAN) AS replay_noop
+        |FROM fin GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q200_mv_minmax", "mmv", dir)
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("seg"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Snapshots.publish(s, s"$root/base", base)
+      Mv.create(s, s"$root/mv", s"$root/base", Seq("k"), Seq("seg"),
+        sumCols = Seq("cents"), mvBuckets = 8, minMaxCols = Seq("cents"))
+      // one mixed merge: +7 cents on k≡0 (mod 10) survivors (update =
+      // retraction), delete urgent k≡0 (mod 37), and insert a fresh
+      // '5-LOW' row per k≡0 (mod 11) under a disjoint key range
+      val updates = base
+        .filter(col("k") % 10 === 0 && col("seg") =!= "5-LOW" &&
+          !(col("k") % 37 === 0 && col("seg") === "1-URGENT"))
+        .withColumn("cents", col("cents") + 7).withColumn("__del", lit(false))
+      val deletes = base
+        .filter(col("k") % 37 === 0 && col("seg") === "1-URGENT")
+        .withColumn("__del", lit(true))
+      val inserts = base.filter(col("k") % 11 === 0)
+        .select((col("k") + 10000000L).as("k"), lit("5-LOW").as("seg"),
+          (col("cents") + 13L).as("cents"))
+        .withColumn("__del", lit(false))
+      Snapshots.mergeByKey(s, s"$root/base",
+        updates.unionByName(deletes).unionByName(inserts),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      val r = Mv.refresh(s, s"$root/mv")
+      val incremental = r.mode == "incremental"
+      val replayNoop = Mv.refresh(s, s"$root/mv").mode == "noop"
+      Mv.read(s, s"$root/mv")
+        .select(col("seg"), col("n_rows"), col("sum_cents"), col("nn_cents"),
+          col("min_cents"), col("max_cents"))
+        .withColumn("incremental", lit(incremental))
+        .withColumn("replay_noop", lit(replayNoop))
+    },
+
     // NAMED VERSION TAGS under the oracle hash: v1 is tagged 'baseline'
     // after two more versions land, expire(keepLast=1) then drops the
     // UNtagged middle version but keeps the pin (`survives_expire` +

@@ -132,6 +132,50 @@ class CloneSpec extends AnyFunSuite {
     assert(Snapshots.versions(spark, dst) === Seq(1, 2))
   }
 
+  test("tag carry is opt-in: default root-local, copyTags/syncTags carry resolvable pins") {
+    val src = s"$wh/srcT"; val dst = s"$wh/dstT"
+    Snapshots.publish(spark, src, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.publish(spark, src, orders.filter(col("o_orderkey") % 2 === 1),
+      append = true)
+    Snapshots.tag(spark, src, "audited", Some(2))
+    Snapshots.tag(spark, src, "old-pin", Some(1)) // names a NON-cloned version
+    // DEFAULT: a clone carries no tags (root-local semantics preserved)
+    Snapshots.cloneTo(spark, src, dst)
+    assert(Snapshots.tags(spark, dst).isEmpty, "default clone must carry no tags")
+    // opt-in: tags naming the cloned version carry, re-pointed at v1 and
+    // RESOLVABLE; tags naming other versions do not (no referent)
+    val dst2 = s"$wh/dstT2"
+    Snapshots.cloneTo(spark, src, dst2, copyTags = true)
+    assert(Snapshots.tags(spark, dst2) === Seq("audited" -> 1))
+    assert(Snapshots.read(spark, dst2, Some(
+      Snapshots.resolveVersion(spark, dst2, "audited"))).count() ===
+      Snapshots.read(spark, src, Some(2)).count())
+    // syncTo: default carries nothing; opt-in carries the synced pin
+    val dst3 = s"$wh/dstT3"
+    Snapshots.syncTo(spark, src, dst3)
+    assert(Snapshots.tags(spark, dst3).isEmpty, "default sync must carry no tags")
+    Snapshots.publish(spark, src, orders.limit(10), append = true)
+    Snapshots.tag(spark, src, "release", Some(3))
+    Snapshots.syncTo(spark, src, dst3, syncTags = true)
+    assert(Snapshots.tags(spark, dst3) === Seq("release" -> 2),
+      s"the synced version's pin must carry: ${Snapshots.tags(spark, dst3)}")
+    // idempotent re-sync: the carried pin already at the right version is
+    // a no-op, even on the meta-exact no-change path
+    Snapshots.syncTo(spark, src, dst3, syncTags = true)
+    assert(Snapshots.tags(spark, dst3) === Seq("release" -> 2))
+    // a tag added at the source AFTER the state synced still carries on
+    // the next (no-change) sync — the re-sync-after-tag workflow
+    Snapshots.tag(spark, src, "late-pin", Some(3))
+    Snapshots.syncTo(spark, src, dst3, syncTags = true)
+    assert(Snapshots.tags(spark, dst3).toMap.get("late-pin") === Some(2))
+    // a diverged same-name pin refuses (never silently re-points)
+    Snapshots.untag(spark, src, "release")
+    Snapshots.tag(spark, src, "release", Some(1))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.syncTo(spark, src, dst3, syncTags = true, version = Some(1)))
+    assert(e.getMessage.contains("tags are immutable"), e.getMessage)
+  }
+
   test("refusals: dv-carrying version, existing destination") {
     val src = s"$wh/src5"; val dst = s"$wh/dst5"
     Snapshots.publish(spark, src, orders.limit(50))

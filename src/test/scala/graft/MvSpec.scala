@@ -463,6 +463,64 @@ class MvSpec extends AnyFunSuite {
     assert(collectJoinMv(Mv.read(spark, m)) === joinRecompute(f, dm))
   }
 
+  test("MV min/max: algebraic on insert-only groups, recount under retraction, equality throughout") {
+    import spark.implicits._
+    val b = s"$wh/mm1"; val m = s"$wh/mmv1"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "b", 5L), (4L, "b", 50L),
+      (5L, "c", null.asInstanceOf[java.lang.Long]))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      minMaxCols = Seq("v"))
+    def mm: Map[String, (Option[Long], Option[Long])] =
+      Mv.read(spark, m).select("g", "min_v", "max_v").collect().map { r =>
+        r.getString(0) -> (
+          (if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      }.toMap
+    assert(mm === Map("a" -> (Some(10L), Some(30L)), "b" -> (Some(5L), Some(50L)),
+      "c" -> (None, None)))
+    // INSERT-only refresh: min/max extend algebraically (incl. a new
+    // group and an envelope-extending value)
+    Snapshots.mergeByKey(spark, b, Seq((6L, "a", 7L, false), (7L, "d", 99L, false))
+      .toDF("k", "g", "v", "__del"), keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    assert(Mv.refresh(spark, m).mode === "incremental")
+    assert(mm === Map("a" -> (Some(7L), Some(30L)), "b" -> (Some(5L), Some(50L)),
+      "c" -> (None, None), "d" -> (Some(99L), Some(99L))))
+    // RETRACTIONS: delete b's min (min must RISE — not invertible
+    // algebraically), update a's max downward, delete d entirely
+    Snapshots.mergeByKey(spark, b, Seq(
+        (3L, "b", 0L, true),          // b loses its min 5 -> min rises to 50
+        (2L, "a", 8L, false),         // a's max 30 rewrites to 8 -> max drops to 10
+        (7L, "d", 0L, true))          // group d vanishes
+      .toDF("k", "g", "v", "__del"), keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    assert(Mv.refresh(spark, m).mode === "incremental")
+    assert(mm === Map("a" -> (Some(7L), Some(10L)), "b" -> (Some(50L), Some(50L)),
+      "c" -> (None, None)))
+    // equality against the from-scratch recompute, all columns
+    val recomputed = IncrementalView.countSum(Snapshots.read(spark, b),
+      Seq("g"), Seq("v"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    val got = Mv.read(spark, m).select("g", "n_rows", "sum_v", "min_v", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(got === recomputed)
+    // a retraction of a NON-extremal value still recounts to the right
+    // answer (recount is per-group, not per-value)
+    Snapshots.mergeByKey(spark, b, Seq((6L, "a", 0L, true))
+      .toDF("k", "g", "v", "__del"), keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    Mv.refresh(spark, m)
+    assert(mm("a") === (Some(8L), Some(10L)))
+    // reserved-name refusal covers the stale flag
+    val e = intercept[IllegalArgumentException](Mv.create(spark, s"$wh/mmv2", b,
+      Seq("k"), Seq("g"), Seq("v"), minMaxCols = Seq("__mm_stale")))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("derived avg at read: sum/nn, NULL on all-NULL groups, never stored") {
     val b = s"$wh/avg1"; val m = s"$wh/avgm1"
     Snapshots.publish(spark, b, base(Seq(
