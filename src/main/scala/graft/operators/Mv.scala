@@ -34,12 +34,13 @@ import org.apache.spark.sql.functions._
   * recompute and drift by ulps. Sum cents, not dollars (the repo-wide
   * oracle discipline).
   *
-  * min/max maintain HYBRID ([[create]]'s `minMaxCols`): algebraic on
-  * insert-only groups, a declared per-retracted-group recount otherwise
-  * — they are not invertible under deletes, and an honest bounded
-  * recount beats both a silent wrong answer and a full refusal. Join
-  * MVs don't offer them (the recount would rebuild the joined
-  * relation; the single-base recount is one pruned base read).
+  * min/max maintain HYBRID (`minMaxCols` on [[create]] and
+  * [[createJoin]]): algebraic on insert-only groups, a declared
+  * per-retracted-group recount otherwise — they are not invertible
+  * under deletes, and an honest bounded recount beats both a silent
+  * wrong answer and a full refusal. The single-base recount is one
+  * semi-pruned base read; the join form pays one co-located join pass
+  * under retraction (the prune sits above the join).
   *
   * Single-writer per MV root (the snapshot layer's standing contract);
   * the base table may evolve freely between refreshes — the CDF aligns
@@ -57,14 +58,15 @@ object Mv {
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil)
 
-  /** The stored definition of a JOIN MV ([[createJoin]]): two co-bucketed
+  /** The stored definition of a JOIN MV ([[createJoin]]): two co-clustered
     * base tables, each with its own unique row key (CDF classification)
-    * and its side of the equi-join, plus the grouped/summed columns of
-    * the JOINED relation.
+    * and its side of the equi-join, plus the grouped/summed/min-max
+    * columns of the JOINED relation.
     */
   final case class JoinDefinition(leftRoot: String, leftKeyCols: Seq[String],
       joinLeft: String, rightRoot: String, rightKeyCols: Seq[String],
-      joinRight: String, groupCols: Seq[String], sumCols: Seq[String])
+      joinRight: String, groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil)
 
   /** One join-MV refresh's outcome: like [[Refresh]] but with a
     * watermark PAIR (one per base), plus the PROBE-PRUNING report:
@@ -143,7 +145,8 @@ object Mv {
       s"rkeys=${d.rightKeyCols.mkString(",")}",
       s"rjoin=${d.joinRight}",
       s"groups=${d.groupCols.mkString(",")}",
-      s"sums=${d.sumCols.mkString(",")}"))
+      s"sums=${d.sumCols.mkString(",")}",
+      s"minmax=${d.minMaxCols.mkString(",")}"))
   }
 
   private def defKv(spark: SparkSession, mvRoot: String): Map[String, String] = {
@@ -194,7 +197,9 @@ object Mv {
       s"$mvRoot is a single-base materialized view — use Mv.definition / Mv.refresh")
     JoinDefinition(kv("lbase"), defCols(kv, "lkeys"), kv("ljoin"),
       kv("rbase"), defCols(kv, "rkeys"), kv("rjoin"),
-      defCols(kv, "groups"), defCols(kv, "sums"))
+      defCols(kv, "groups"), defCols(kv, "sums"),
+      // absent on pre-minmax definitions — they maintain none
+      kv.get("minmax").map(_.split(",", -1).toSeq.filter(_.nonEmpty)).getOrElse(Nil))
   }
 
   /** Create the MV: compute the grouped count/sum over the base's CURRENT
@@ -533,6 +538,10 @@ object Mv {
   /** Create a JOIN MV: the grouped count/sum over `left ⋈ right ON
     * joinLeft = joinRight`, stored like [[create]]'s view and refreshed
     * incrementally from EITHER side's change feed ([[refreshJoin]]).
+    * `minMaxCols` maintains `min_<c>`/`max_<c>` hybrid exactly like
+    * [[create]]'s — algebraic on insert-only groups; under retraction
+    * the per-group recount rebuilds from the CURRENT joined relation
+    * (one co-located join pass, aggregate bounded to retracted groups).
     *
     * Requires a co-clustered star: both bases clustered on their join
     * key, either hash buckets with the SAME count (the q185 shape) or a
@@ -547,13 +556,15 @@ object Mv {
   def createJoin(spark: SparkSession, mvRoot: String,
       leftRoot: String, leftKeyCols: Seq[String], joinLeft: String,
       rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
-      groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64): Int = {
+      groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64,
+      minMaxCols: Seq[String] = Nil): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
     require(leftKeyCols.nonEmpty && rightKeyCols.nonEmpty,
       "a join MV needs each base's unique row key (CDF classification)")
     require(groupCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
-      sumCols.intersect(Seq(GkCol, TombCol)).isEmpty,
-      s"'$GkCol'/'$TombCol' are reserved MV columns")
+      sumCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
+      minMaxCols.intersect(Seq(GkCol, TombCol, MmStaleCol)).isEmpty,
+      s"'$GkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val (lVs, rVs) = (Snapshots.versions(spark, leftRoot), Snapshots.versions(spark, rightRoot))
     require(lVs.nonEmpty && rVs.nonEmpty, "both bases need published versions")
     val (wL, wR) = (lVs.last, rVs.last)
@@ -592,11 +603,11 @@ object Mv {
         Snapshots.versions(spark, mvRoot).isEmpty)
       fs(spark, mvRoot).delete(defPath(mvRoot), false)
     writeJoinDef(spark, mvRoot, JoinDefinition(leftRoot, leftKeyCols, joinLeft,
-      rightRoot, rightKeyCols, joinRight, groupCols, sumCols))
+      rightRoot, rightKeyCols, joinRight, groupCols, sumCols, minMaxCols))
     val joined = Snapshots.read(spark, leftRoot, Some(wL))
       .join(Snapshots.read(spark, rightRoot, Some(wR)),
         col(joinLeft) === col(joinRight))
-    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols)
+    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols, minMaxCols)
       .withColumn(GkCol, gk(groupCols))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = encWm(wL, wR),
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
@@ -645,7 +656,8 @@ object Mv {
       val joined = Snapshots.read(spark, d.leftRoot, Some(curL))
         .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
           col(d.joinLeft) === col(d.joinRight))
-      val mv = IncrementalView.countSum(joined, d.groupCols, d.sumCols)
+      val mv = IncrementalView.countSum(joined, d.groupCols, d.sumCols,
+        d.minMaxCols)
         .withColumn(GkCol, gk(d.groupCols))
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = batchId,
         append = false,
@@ -696,8 +708,18 @@ object Mv {
         val touched = delta.select(
           (gk(d.groupCols).as(GkCol) +: d.groupCols.map(col)): _*).distinct().persist()
         try {
+          // min/max recount relation: the CURRENT joined view — the join
+          // is exchange-free on a co-clustered star and the recount
+          // aggregates only the retracted groups' rows (applyDelta's
+          // semi-prune), but unlike the single-base form the prune sits
+          // ABOVE the join, so a retraction refresh pays one co-located
+          // join pass; insert-only refreshes skip it entirely
+          val recount = () => Snapshots.read(spark, d.leftRoot, Some(curL))
+            .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
+              col(d.joinLeft) === col(d.joinRight))
           val (nT, v) = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
-            delta, touched, batchId)
+            delta, touched, batchId, minMaxCols = d.minMaxCols,
+            recountFrom = Some(recount))
           JoinRefresh("incremental", wL, curL, wR, curR, nT, v,
             probePrunedLeft = prunedL, probePrunedRight = prunedR)
         } finally touched.unpersist()

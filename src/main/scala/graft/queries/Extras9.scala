@@ -504,6 +504,69 @@ object Extras9 {
         .withColumn("replay_noop", lit(replayNoop))
     },
 
+    // JOIN-MV MIN/MAX under the oracle hash: the q195 co-bucketed star
+    // maintained with min/max over the fact measure, through the same
+    // both-bases mutation (fact +7/delete; dim segment moves). The dim
+    // moves RETRACT rows from the old segments and INSERT them into a
+    // brand-new 'MOVED' group, so one refresh exercises both the
+    // per-retracted-group recount (old segments — the recount relation
+    // is the CURRENT co-located join) and the algebraic insert-only
+    // combine (MOVED). A stale envelope anywhere flips the hash.
+    QueryDef.checked(
+      "q201_join_mv_minmax",
+      """WITH fact AS (
+        |  SELECT o_orderkey AS k, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 0 AND o_orderkey % 37 <> 0
+        |         THEN CAST(round(o_totalprice * 100) AS BIGINT) + 7
+        |         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+        |  FROM orders WHERE o_orderkey % 37 <> 0),
+        |dim AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 3 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT d.seg, count(*) AS n_rows,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(f.cents) AS BIGINT) AS min_cents,
+        |  CAST(max(f.cents) AS BIGINT) AS max_cents,
+        |  CAST(1 AS BOOLEAN) AS incremental,
+        |  CAST(1 AS BOOLEAN) AS both_sides,
+        |  CAST(1 AS BOOLEAN) AS replay_noop
+        |FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q201_join_mv_minmax", "joinmm", dir)
+      val fact = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      Snapshots.publish(s, s"$root/fact", fact, clusterBy = Some("bucket(8, o_custkey)"))
+      Snapshots.publish(s, s"$root/dim", dim, clusterBy = Some("bucket(8, c_custkey)"))
+      Mv.createJoin(s, s"$root/mv",
+        s"$root/fact", Seq("k"), "o_custkey",
+        s"$root/dim", Seq("c_custkey"), "c_custkey",
+        groupCols = Seq("c_mktsegment"), sumCols = Seq("cents"),
+        mvBuckets = 8, minMaxCols = Seq("cents"))
+      Snapshots.mergeByKey(s, s"$root/fact",
+        fact.filter(col("k") % 10 === 0 && col("k") % 37 =!= 0)
+          .withColumn("cents", col("cents") + 7).withColumn("__del", lit(false))
+          .unionByName(fact.filter(col("k") % 37 === 0).withColumn("__del", lit(true))),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      Snapshots.mergeByKey(s, s"$root/dim",
+        dim.filter(col("c_custkey") % 10 === 3)
+          .withColumn("c_mktsegment", lit("MOVED")).withColumn("__del", lit(false)),
+        keyCols = Seq("c_custkey"), tombstoneCol = Some("__del"))
+      val r = Mv.refreshJoin(s, s"$root/mv")
+      val incremental = r.mode == "incremental"
+      val bothSides = r.fromLeft < r.toLeft && r.fromRight < r.toRight
+      val replayNoop = Mv.refreshJoin(s, s"$root/mv").mode == "noop"
+      Mv.read(s, s"$root/mv")
+        .select(col("c_mktsegment").as("seg"), col("n_rows"),
+          col("sum_cents"), col("min_cents"), col("max_cents"))
+        .withColumn("incremental", lit(incremental))
+        .withColumn("both_sides", lit(bothSides))
+        .withColumn("replay_noop", lit(replayNoop))
+    },
+
     // NAMED VERSION TAGS under the oracle hash: v1 is tagged 'baseline'
     // after two more versions land, expire(keepLast=1) then drops the
     // UNtagged middle version but keeps the pin (`survives_expire` +

@@ -289,14 +289,15 @@ class MvSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](
       Mv.createJoin(spark, s"$wh/jm2", f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
         Seq("seg"), Seq("cents")))
-    assert(e1.getMessage.contains("ONE bucket count"), e1.getMessage)
+    assert(e1.getMessage.contains("ONE layout"), e1.getMessage)
     // unbucketed base
     val dm2 = s"$wh/jd2b"
     Snapshots.publish(spark, dm2, Seq((10L, "a")).toDF("ck2", "seg"))
     val e2 = intercept[IllegalArgumentException](
       Mv.createJoin(spark, s"$wh/jm2b", f, Seq("k"), "ck", dm2, Seq("ck2"), "ck2",
         Seq("seg"), Seq("cents")))
-    assert(e2.getMessage.contains("bucket-clustered"), e2.getMessage)
+    assert(e2.getMessage.contains("bucket- or time-transform-clustered"),
+      e2.getMessage)
     // overlapping column names
     val dm3 = s"$wh/jd2c"
     Snapshots.publish(spark, dm3, Seq((10L, "a")).toDF("ck", "seg"),
@@ -519,6 +520,44 @@ class MvSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Mv.create(spark, s"$wh/mmv2", b,
       Seq("k"), Seq("g"), Seq("v"), minMaxCols = Seq("__mm_stale")))
     assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
+  test("join-MV min/max: recount under retraction equals the joined recompute") {
+    import spark.implicits._
+    val f = s"$wh/jmm1"; val dm = s"$wh/jmmd1"; val m = s"$wh/jmmv1"
+    publishStar(f, dm,
+      Seq((1L, 10L, 100L), (2L, 10L, 300L), (3L, 11L, 50L), (4L, 11L, 500L)),
+      Seq((10L, "a"), (11L, "b")))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg"), Seq("cents"), mvBuckets = 4, minMaxCols = Seq("cents"))
+    def mm: Map[String, (Long, Long)] = Mv.read(spark, m)
+      .select("seg", "min_cents", "max_cents").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mm === Map("a" -> ((100L, 300L)), "b" -> ((50L, 500L))))
+    // delete a's max and b's min in one merge; insert into a NEW group
+    // via a dim move — the recount must consult the JOINED relation
+    Snapshots.mergeByKey(spark, f,
+      Seq((2L, 10L, 0L, true), (3L, 11L, 0L, true), (5L, 12L, 42L, false))
+        .toDF("k", "ck", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    Snapshots.mergeByKey(spark, dm,
+      Seq((12L, "c", false)).toDF("ck2", "seg", "__del"),
+      keyCols = Seq("ck2"), tombstoneCol = Some("__del"))
+    val r = Mv.refreshJoin(spark, m)
+    assert(r.mode === "incremental", s"got $r")
+    assert(mm === Map("a" -> ((100L, 100L)), "b" -> ((500L, 500L)),
+      "c" -> ((42L, 42L))),
+      "deleted extrema must recount; the fresh group combines algebraically")
+    // full equality against the joined recompute
+    val rec = IncrementalView.countSum(
+      Snapshots.read(spark, f).join(Snapshots.read(spark, dm),
+        col("ck") === col("ck2")), Seq("seg"), Seq("cents"), Seq("cents"))
+      .select("seg", "n_rows", "sum_cents", "min_cents", "max_cents")
+      .collect().map(_.toSeq).toSet
+    val got = Mv.read(spark, m)
+      .select("seg", "n_rows", "sum_cents", "min_cents", "max_cents")
+      .collect().map(_.toSeq).toSet
+    assert(got === rec)
   }
 
   test("derived avg at read: sum/nn, NULL on all-NULL groups, never stored") {
