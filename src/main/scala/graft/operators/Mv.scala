@@ -414,31 +414,35 @@ object Mv {
     val applied = if (minMaxCols.isEmpty) counted else {
       // min/max recount: the algebraic combine is stale for exactly the
       // groups the feed RETRACTED from (__mm_stale). Recount those — and
-      // only those — from the current viewed relation: the base read is
+      // only those — from the current viewed relation: the read is
       // semi-join-pruned to the retracted groups' rows before the
-      // aggregate, so the recount costs O(retracted groups' rows), and
-      // an insert-only refresh never touches the base at all (empty
-      // retracted-key set). The recount relation carries NO cdf lineage
-      // (a fresh read), so joining it onto the applied frame is not an
-      // ambiguous self-join.
+      // aggregate, so the recount costs O(retracted groups' rows). An
+      // insert-only refresh skips the recount subtree STRUCTURALLY (one
+      // delta-sized emptiness probe decides — never touching the viewed
+      // relation, not even to plan a scan of it). The recount relation
+      // carries NO cdf lineage (a fresh read), so joining it onto the
+      // applied frame is not an ambiguous self-join.
       val retractedKeys = cdf
         .filter(col("change").isin("delete", "update_preimage"))
         .select(gk(groupCols).as(GkCol)).distinct()
-      val rAggs = minMaxCols.flatMap(c =>
-        Seq(min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c")))
-      val rec = recountFrom.getOrElse(sys.error(
-          "minMaxCols set but no recount relation supplied"))()
-        .withColumn(GkCol, gk(groupCols))
-        .join(retractedKeys, Seq(GkCol), "left_semi")
-        .groupBy(col(GkCol)).agg(rAggs.head, rAggs.tail: _*)
-      val keep = counted.columns.filterNot(c => c == MmStaleCol ||
-        minMaxCols.exists(mc => c == s"min_$mc" || c == s"max_$mc"))
-      counted.join(rec, Seq(GkCol), "left")
-        .select((keep.map(col) ++ minMaxCols.flatMap(c => Seq(
-          when(col(MmStaleCol), col(s"__rmin_$c")).otherwise(col(s"min_$c"))
-            .as(s"min_$c"),
-          when(col(MmStaleCol), col(s"__rmax_$c")).otherwise(col(s"max_$c"))
-            .as(s"max_$c")))): _*)
+      if (retractedKeys.isEmpty) counted.drop(MmStaleCol)
+      else {
+        val rAggs = minMaxCols.flatMap(c =>
+          Seq(min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c")))
+        val rec = recountFrom.getOrElse(sys.error(
+            "minMaxCols set but no recount relation supplied"))()
+          .withColumn(GkCol, gk(groupCols))
+          .join(retractedKeys, Seq(GkCol), "left_semi")
+          .groupBy(col(GkCol)).agg(rAggs.head, rAggs.tail: _*)
+        val keep = counted.columns.filterNot(c => c == MmStaleCol ||
+          minMaxCols.exists(mc => c == s"min_$mc" || c == s"max_$mc"))
+        counted.join(rec, Seq(GkCol), "left")
+          .select((keep.map(col) ++ minMaxCols.flatMap(c => Seq(
+            when(col(MmStaleCol), col(s"__rmin_$c")).otherwise(col(s"min_$c"))
+              .as(s"min_$c"),
+            when(col(MmStaleCol), col(s"__rmax_$c")).otherwise(col(s"max_$c"))
+              .as(s"max_$c")))): _*)
+      }
     }
     // groups the feed touched that no longer exist (count hit zero) —
     // EXCEPT, not an anti-join: both sides descend from the CDF, and a
@@ -713,7 +717,8 @@ object Mv {
           // aggregates only the retracted groups' rows (applyDelta's
           // semi-prune), but unlike the single-base form the prune sits
           // ABOVE the join, so a retraction refresh pays one co-located
-          // join pass; insert-only refreshes skip it entirely
+          // join pass; insert-only refreshes skip the subtree
+          // structurally (applyDelta's emptiness probe)
           val recount = () => Snapshots.read(spark, d.leftRoot, Some(curL))
             .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
               col(d.joinLeft) === col(d.joinRight))

@@ -522,6 +522,38 @@ class MvSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
 
+  test("insert-only min/max refresh elides the recount: zero pre-existing base-file reopens") {
+    import spark.implicits._
+    import graft.sources.CountingFileSystem
+    spark.sparkContext.hadoopConfiguration.set("fs.graftcount.impl",
+      classOf[CountingFileSystem].getName)
+    val b = s"graftcount://$wh/cntb1"; val m = s"$wh/cntv1"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 10L), (2L, "b", 20L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      minMaxCols = Seq("v"))
+    val v1Files = Snapshots.files(spark, b, 1)
+    // INSERT-only change, then refresh under the counting FS: the CDF
+    // reads only the APPENDED file, and the recount subtree is elided
+    // structurally — no v1 data file may reopen
+    Snapshots.publish(spark, b, base(Seq((3L, "a", 5L))), append = true)
+    CountingFileSystem.reset()
+    assert(Mv.refresh(spark, m).mode === "incremental")
+    val reopened = v1Files.filter(f => CountingFileSystem.count("open", f) > 0)
+    assert(reopened.isEmpty,
+      s"insert-only refresh reopened pre-existing base files: $reopened")
+    // the algebraic combine still extended the envelope
+    val aMin = Mv.read(spark, m).filter(col("g") === "a")
+      .select("min_v").head.getLong(0)
+    assert(aMin === 5L)
+    // a RETRACTION pays the declared recount — and gets it right
+    Snapshots.mergeByKey(spark, b,
+      Seq((3L, "a", 0L, true)).toDF("k", "g", "v", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    assert(Mv.refresh(spark, m).mode === "incremental")
+    assert(Mv.read(spark, m).filter(col("g") === "a")
+      .select("min_v").head.getLong(0) === 10L)
+  }
+
   test("join-MV min/max: recount under retraction equals the joined recompute") {
     import spark.implicits._
     val f = s"$wh/jmm1"; val dm = s"$wh/jmmd1"; val m = s"$wh/jmmv1"

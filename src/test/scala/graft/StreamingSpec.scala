@@ -774,4 +774,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairSet == Set((1L, 5L), (1L, 2L), (2L, 5L)),
       s"re-inserted id must pair fresh: $pairSet")
   }
+
+  test("deleteNearDup interop: a takedown retracts from an APPEND-built (incrementalNearDup) state") {
+    import spark.implicits._
+    import graft.operators.{MinHashDedup, Snapshots}
+    import graft.streaming.DocStreams
+    // the three state roots have one shape regardless of which verb built
+    // them — a corpus ingested append-only (q176) must accept a takedown
+    // without a rebuild (the r12 gap: "a takedown forces a full rebuild")
+    val base = java.nio.file.Files.createTempDirectory("graft-interop").toString
+    val (seen, pairs) = (s"$base/seen", s"$base/pairs")
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val tA = "alpha beta gamma delta epsilon zeta"
+    DocStreams.incrementalNearDup(seen, pairs, buckets = 4)(
+      df(1L -> tA, 2L -> tA), 0L)
+    DocStreams.incrementalNearDup(seen, pairs, buckets = 4)(df(4L -> tA), 1L)
+    def pairSet = Snapshots.read(spark, pairs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    DocStreams.deleteNearDup(seen, pairs, buckets = 4)(Seq(2L).toDF("doc_id"), 2L)
+    val expected = MinHashDedup.verifiedPairs(df(1L -> tA, 4L -> tA),
+        "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == expected, s"$pairSet vs $expected")
+    // and the append verb keeps working on the post-takedown state
+    DocStreams.incrementalNearDup(seen, pairs, buckets = 4)(df(6L -> tA), 3L)
+    assert(pairSet == Set((1L, 4L), (1L, 6L), (4L, 6L)))
+  }
 }
