@@ -35,12 +35,16 @@ import org.apache.spark.sql.functions._
   * oracle discipline).
   *
   * min/max maintain HYBRID (`minMaxCols` on [[create]] and
-  * [[createJoin]]): algebraic on insert-only groups, a declared
+  * [[createJoin]]): algebraic on insert-only feeds, a declared
   * per-retracted-group recount otherwise — they are not invertible
   * under deletes, and an honest bounded recount beats both a silent
-  * wrong answer and a full refusal. The single-base recount is one
-  * semi-pruned base read; the join form pays one co-located join pass
-  * under retraction (the prune sits above the join).
+  * wrong answer and a full refusal. The recount FILE-prunes: the
+  * single-base read probes only the retracted groups' cluster dirs
+  * when the base is clustered on a group column ([[groupProbe]]); the
+  * join form restricts the group-carrying side first, then
+  * bucket/time-probes the other side with the survivors' join keys.
+  * Every refresh reports what it paid (`recountGroups`,
+  * `recountPruned`).
   *
   * Single-writer per MV root (the snapshot layer's standing contract);
   * the base table may evolve freely between refreshes — the CDF aligns
@@ -79,18 +83,32 @@ object Mv {
     * a clustered publish) to re-bound future refreshes. `true` when no
     * probe of that side ran at all (noop, full, or no opposing delta) —
     * the flag reports degradation, not activity.
+    * `recountGroups`/`recountPruned` are the min/max recount report,
+    * exactly [[Refresh]]'s.
     */
   final case class JoinRefresh(mode: String, fromLeft: Int, toLeft: Int,
       fromRight: Int, toRight: Int, groupsTouched: Long, mvVersion: Option[Int],
-      probePrunedLeft: Boolean = true, probePrunedRight: Boolean = true)
+      probePrunedLeft: Boolean = true, probePrunedRight: Boolean = true,
+      recountGroups: Long = 0L, recountPruned: Boolean = true)
 
   /** One refresh's outcome: `mode` ∈ noop | incremental | full,
     * the base-version watermark it moved from/to, the distinct groups
     * the change feed touched (0 for noop; the full MV group count for
     * full), and the MV version published (None for noop).
+    *
+    * `recountGroups`/`recountPruned` report the min/max RECOUNT — the
+    * probe-degradation sibling of [[JoinRefresh]]'s `probePruned*`:
+    * `recountGroups` is the distinct groups whose min/max paid a
+    * per-group recount this refresh (0 = pure algebraic, including
+    * every refresh whose feed retracted nothing), and `recountPruned`
+    * says the recount's base read was FILE-pruned to those groups'
+    * cluster dirs. `false` means the recount row-pruned over an
+    * UNpruned O(base) scan — correct, declared, and fixable by
+    * clustering the base on a group column (`CALL sys.cluster`).
     */
   final case class Refresh(mode: String, fromVersion: Int, toVersion: Int,
-      groupsTouched: Long, mvVersion: Option[Int])
+      groupsTouched: Long, mvVersion: Option[Int],
+      recountGroups: Long = 0L, recountPruned: Boolean = true)
 
   private val GkCol = "__gk"
   private val TombCol = "__mv_del"
@@ -175,8 +193,9 @@ object Mv {
     */
   def definition(spark: SparkSession, mvRoot: String): Definition = {
     val kv = defKv(spark, mvRoot)
-    require(!kv.get("kind").contains("join"),
-      s"$mvRoot is a JOIN materialized view — use Mv.joinDefinition / Mv.refreshJoin")
+    require(!kv.contains("kind"),
+      s"$mvRoot is a ${kv.getOrElse("kind", "")} materialized view — use " +
+        "Mv.refreshJoin (join) / Mv.refreshJoin3 (join3), not Mv.refresh")
     Definition(kv("base"), defCols(kv, "keys"), defCols(kv, "groups"),
       defCols(kv, "sums"),
       // absent on pre-minmax definitions — they maintain none
@@ -194,7 +213,8 @@ object Mv {
   def joinDefinition(spark: SparkSession, mvRoot: String): JoinDefinition = {
     val kv = defKv(spark, mvRoot)
     require(kv.get("kind").contains("join"),
-      s"$mvRoot is a single-base materialized view — use Mv.definition / Mv.refresh")
+      s"$mvRoot is a ${kv.getOrElse("kind", "single-base")} materialized view " +
+        "— use Mv.refresh (single-base) / Mv.refreshJoin3 (join3), not refreshJoin")
     JoinDefinition(kv("lbase"), defCols(kv, "lkeys"), kv("ljoin"),
       kv("rbase"), defCols(kv, "rkeys"), kv("rjoin"),
       defCols(kv, "groups"), defCols(kv, "sums"),
@@ -211,12 +231,14 @@ object Mv {
     * `minMaxCols` adds maintained `min_<c>`/`max_<c>` columns, HYBRID:
     * an insert-only refresh combines them algebraically (exact — a new
     * value can only extend the envelope), and any refresh that RETRACTS
-    * from a group recounts that group's min/max from the current base,
-    * reading base rows of the retracted groups only (a retracted
-    * minimum is not invertible; the recount is declared in the plan,
-    * never silent). min/max are exact SELECTIONS, so float/double
-    * columns are fine here even though sums refuse them. Returns the MV
-    * version (1).
+    * from a group recounts that group's min/max from the current base —
+    * FILE-pruned to the retracted groups' cluster dirs when the base is
+    * clustered on a group column ([[groupProbe]]), row-pruned within
+    * them, and reported either way (`Refresh.recountGroups` /
+    * `recountPruned`; a retracted minimum is not invertible — the
+    * recount is declared, never silent). min/max are exact SELECTIONS,
+    * so float/double columns are fine here even though sums refuse
+    * them. Returns the MV version (1).
     */
   def create(spark: SparkSession, mvRoot: String, baseRoot: String,
       baseKeyCols: Seq[String], groupCols: Seq[String], sumCols: Seq[String],
@@ -235,8 +257,11 @@ object Mv {
     // error above, not a reader failure from inside the type check;
     // schemaOf is a manifest read (no scan), falling back to the reader
     // only for pre-schema-recording manifests
-    requireExactSums(Snapshots.schemaOf(spark, baseRoot, w)
-      .getOrElse(Snapshots.read(spark, baseRoot, Some(w)).schema), sumCols)
+    val baseSchema = Snapshots.schemaOf(spark, baseRoot, w)
+      .getOrElse(Snapshots.read(spark, baseRoot, Some(w)).schema)
+    requireDefCols(baseSchema, baseKeyCols, groupCols, sumCols, minMaxCols,
+      s"base $baseRoot")
+    requireExactSums(baseSchema, sumCols)
     // a crashed create (def committed, first publish never happened)
     // leaves a def with zero versions — recoverable, not a conflict
     if (fs(spark, mvRoot).exists(defPath(mvRoot)) &&
@@ -250,6 +275,22 @@ object Mv {
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = w,
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
       .getOrElse(sys.error(s"fresh MV root $mvRoot already carries batch ids"))
+  }
+
+  /** Every column the definition references must EXIST in the base
+    * schema at create time — a typo'd group/key/min-max column must
+    * report the contract here, not surface as a raw unresolved-column
+    * analysis error from the first aggregate or refresh.
+    */
+  private def requireDefCols(schema: org.apache.spark.sql.types.StructType,
+      baseKeyCols: Seq[String], groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String], what: String): Unit = {
+    val have = schema.fieldNames.toSet
+    val missing = (baseKeyCols ++ groupCols ++ sumCols ++ minMaxCols)
+      .distinct.filterNot(have)
+    require(missing.isEmpty,
+      s"MV definition references column(s) ${missing.mkString(", ")} that " +
+        s"$what does not carry (has: ${schema.fieldNames.mkString(", ")})")
   }
 
   /** EXACT sum types only: the incremental algebra retract/applies per
@@ -351,31 +392,71 @@ object Mv {
       val touched = cdf.select(
         (gk(d.groupCols).as(GkCol) +: d.groupCols.map(col)): _*).distinct().persist()
       try {
-        val (n, v) = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
+        // min/max recount relation, built ON DEMAND from the distinct
+        // retracted group tuples: file-pruned to those groups' cluster
+        // dirs when the base is clustered on (a subset of) the group
+        // columns — the same header-routing machinery as [[bucketProbe]]
+        // — then row-pruned null-safe within the probed files. The probe
+        // is a fresh read (no cdf lineage), so the semi-join against the
+        // delta-descended group set is unambiguous.
+        val recountOf: DataFrame => (DataFrame, Boolean) = { retracted =>
+          val (probed, pruned) =
+            groupProbe(spark, d.baseRoot, cur, d.groupCols, retracted)
+          (semiOnGroups(probed, retracted, d.groupCols), pruned)
+        }
+        val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
           cdf, touched, batchId = cur, minMaxCols = d.minMaxCols,
-          recountFrom = Some(() => Snapshots.read(spark, d.baseRoot, Some(cur))))
-        Refresh("incremental", w, cur, n, v)
+          recountFrom = Some(recountOf))
+        Refresh("incremental", w, cur, a.groups, a.mvVersion,
+          a.recountGroups, a.recountPruned)
       } finally touched.unpersist()
     } finally cdf.unpersist()
   }
+
+  /** `rel` restricted to exactly the group tuples in `keys` — null-safe
+    * on the raw group columns (a NULL group retracts like any other).
+    * Aliased so a fresh-read left side joins a delta-descended key set
+    * without ambiguous references.
+    */
+  private def semiOnGroups(rel: DataFrame, keys: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val l = rel.alias("__rp")
+    val r = keys.alias("__rk")
+    l.join(r, groupCols.map(c => col(s"__rp.$c") <=> col(s"__rk.$c"))
+      .reduce(_ && _), "left_semi")
+  }
+
+  /** One [[applyDelta]] outcome: groups the feed touched, the MV version
+    * published (None on a replay), and the min/max recount report
+    * (groups recounted; whether the recount read file-pruned).
+    */
+  private final case class Applied(groups: Long, mvVersion: Option[Int],
+      recountGroups: Long = 0L, recountPruned: Boolean = true)
 
   /** The shared incremental-apply core (single-base and join MVs): apply
     * a signed row-level change feed of the VIEWED relation to the
     * materialized count/sum at touched-bucket granularity, tombstone
     * vanished groups, commit via mergeStreamBatch under `batchId`.
-    * `minMaxCols` (single-base only) maintains min/max hybrid: the
-    * algebraic combine where the feed only inserted, a per-group
-    * recount from `recountFrom` (the viewed relation at the target
-    * version) for exactly the groups the feed retracted from — the
-    * recount scan is semi-join-pruned to those groups' rows, and the MV
-    * side still carries every untouched bucket's files by name.
-    * Returns (groups touched, MV version published — None on a replay).
+    * `minMaxCols` maintains min/max hybrid: the algebraic combine where
+    * the feed only inserted, a per-group recount otherwise —
+    * `recountFrom` maps the DISTINCT RETRACTED GROUP TUPLES (raw group
+    * columns) to (the viewed relation's rows restricted to at least
+    * those groups, whether that read was file-pruned); extra groups in
+    * the relation are ignored by the stale-only overlay, so a probe
+    * that returns whole colliding cluster dirs stays sound. The MV side
+    * still carries every untouched bucket's files by name.
+    * `netInsertOnly = true` asserts the feed's retraction rows are
+    * synthetic duplicates of values the same feed inserts (the join
+    * form's bilinear correction term on raw-insert-only bases), so the
+    * algebraic combine is exact and the recount subtree is elided even
+    * though negative-signed rows exist.
     */
   private def applyDelta(spark: SparkSession, mvRoot: String,
       groupCols: Seq[String], sumCols: Seq[String],
       cdf: DataFrame, touched: DataFrame, batchId: Long,
       minMaxCols: Seq[String] = Nil,
-      recountFrom: Option[() => DataFrame] = None): (Long, Option[Int]) = {
+      recountFrom: Option[DataFrame => (DataFrame, Boolean)] = None,
+      netInsertOnly: Boolean = false): Applied = {
     val nTouched = touched.count()
     if (nTouched == 0) {
       // pure rewrite (compaction) under the base: move the watermark
@@ -383,7 +464,7 @@ object Mv {
       val v = Snapshots.mergeStreamBatch(spark, mvRoot,
         Snapshots.read(spark, mvRoot).limit(0).withColumn(TombCol, lit(false)),
         batchId = batchId, keyCols = Seq(GkCol), tombstoneCol = Some(TombCol))
-      return (0L, v)
+      return Applied(0L, v)
     }
     // current MV rows at TOUCHED-BUCKET granularity: only files in the
     // touched groups' hash buckets can hold their rows (the same
@@ -411,39 +492,46 @@ object Mv {
     val counted = IncrementalView.applyCountSum(mvInBuckets, cdf,
       groupCols, sumCols, minMaxCols)
       .withColumn(GkCol, gk(groupCols))
-    val applied = if (minMaxCols.isEmpty) counted else {
-      // min/max recount: the algebraic combine is stale for exactly the
-      // groups the feed RETRACTED from (__mm_stale). Recount those — and
-      // only those — from the current viewed relation: the read is
-      // semi-join-pruned to the retracted groups' rows before the
-      // aggregate, so the recount costs O(retracted groups' rows). An
-      // insert-only refresh skips the recount subtree STRUCTURALLY (one
-      // delta-sized emptiness probe decides — never touching the viewed
-      // relation, not even to plan a scan of it). The recount relation
-      // carries NO cdf lineage (a fresh read), so joining it onto the
-      // applied frame is not an ambiguous self-join.
-      val retractedKeys = cdf
-        .filter(col("change").isin("delete", "update_preimage"))
-        .select(gk(groupCols).as(GkCol)).distinct()
-      if (retractedKeys.isEmpty) counted.drop(MmStaleCol)
+    val (applied, recGroups, recPruned) =
+      if (minMaxCols.isEmpty) (counted, 0L, true)
       else {
-        val rAggs = minMaxCols.flatMap(c =>
-          Seq(min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c")))
-        val rec = recountFrom.getOrElse(sys.error(
-            "minMaxCols set but no recount relation supplied"))()
-          .withColumn(GkCol, gk(groupCols))
-          .join(retractedKeys, Seq(GkCol), "left_semi")
-          .groupBy(col(GkCol)).agg(rAggs.head, rAggs.tail: _*)
-        val keep = counted.columns.filterNot(c => c == MmStaleCol ||
-          minMaxCols.exists(mc => c == s"min_$mc" || c == s"max_$mc"))
-        counted.join(rec, Seq(GkCol), "left")
-          .select((keep.map(col) ++ minMaxCols.flatMap(c => Seq(
-            when(col(MmStaleCol), col(s"__rmin_$c")).otherwise(col(s"min_$c"))
-              .as(s"min_$c"),
-            when(col(MmStaleCol), col(s"__rmax_$c")).otherwise(col(s"max_$c"))
-              .as(s"max_$c")))): _*)
+        // min/max recount: the algebraic combine is stale for exactly the
+        // groups the feed RETRACTED from (__mm_stale). Recount those — and
+        // only those — from the current viewed relation: `recountFrom`
+        // file-prunes the read to the retracted groups' cluster dirs
+        // where the base layout allows and row-prunes within them, so
+        // the recount costs O(retracted groups' rows) — and the report
+        // SAYS which bound held (recountGroups / recountPruned). A
+        // refresh whose raw feed only inserted skips the recount subtree
+        // STRUCTURALLY (one delta-sized emptiness probe — or the
+        // caller's netInsertOnly assertion — decides, never touching the
+        // viewed relation, not even to plan a scan of it). The recount
+        // relation's scan carries NO cdf lineage (a fresh read), so
+        // joining it onto the applied frame is not an ambiguous
+        // self-join.
+        val retracted = cdf
+          .filter(col("change").isin("delete", "update_preimage"))
+          .select(groupCols.map(col): _*).distinct()
+        if (netInsertOnly || retracted.isEmpty) (counted.drop(MmStaleCol), 0L, true)
+        else {
+          val nRec = retracted.count()
+          val (recRel, pruned) = recountFrom.getOrElse(sys.error(
+            "minMaxCols set but no recount relation supplied"))(retracted)
+          val rAggs = minMaxCols.flatMap(c =>
+            Seq(min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c")))
+          val rec = recRel
+            .withColumn(GkCol, gk(groupCols))
+            .groupBy(col(GkCol)).agg(rAggs.head, rAggs.tail: _*)
+          val keep = counted.columns.filterNot(c => c == MmStaleCol ||
+            minMaxCols.exists(mc => c == s"min_$mc" || c == s"max_$mc"))
+          (counted.join(rec, Seq(GkCol), "left")
+            .select((keep.map(col) ++ minMaxCols.flatMap(c => Seq(
+              when(col(MmStaleCol), col(s"__rmin_$c")).otherwise(col(s"min_$c"))
+                .as(s"min_$c"),
+              when(col(MmStaleCol), col(s"__rmax_$c")).otherwise(col(s"max_$c"))
+                .as(s"max_$c")))): _*), nRec, pruned)
+        }
       }
-    }
     // groups the feed touched that no longer exist (count hit zero) —
     // EXCEPT, not an anti-join: both sides descend from the CDF, and a
     // set op carries no ambiguous column references
@@ -452,7 +540,54 @@ object Mv {
       .unionByName(gone.withColumn(TombCol, lit(true)), allowMissingColumns = true)
     val v = Snapshots.mergeStreamBatch(spark, mvRoot, batch, batchId = batchId,
       keyCols = Seq(GkCol), tombstoneCol = Some(TombCol))
-    (nTouched, v)
+    Applied(nTouched, v, recGroups, recPruned)
+  }
+
+  /** A base's current rows FILE-pruned to the cluster dirs that can hold
+    * the given GROUP tuples — [[bucketProbe]]'s sibling for the min/max
+    * recount: when the base's cluster header routes by (a subset of) the
+    * group columns — hash bucket, time transform, or identity split dirs
+    * — the retracted groups' routing values (bounded by the delta's
+    * distinct groups, and by the bucket count / calendar units) name the
+    * only `__cluster=` dirs their rows can live in, computed with the
+    * SAME expressions the write path routes by. A base clustered on
+    * something else (or not at all) degrades to the unpruned read — the
+    * second half of the return says which happened, surfaced as
+    * [[Refresh]].recountPruned.
+    */
+  private[graft] def groupProbe(spark: SparkSession, root: String, version: Int,
+      groupCols: Seq[String], groups: DataFrame): (DataFrame, Boolean) = {
+    val all = Snapshots.files(spark, root, version)
+    val spec = Snapshots.clusterOf(spark, root, version)
+    val routing: Option[Column] = spec.flatMap { sp =>
+      Snapshots.bucketSpec(sp) match {
+        case Some((n, c)) if groupCols.contains(c) =>
+          Some(pmod(hash(col(c)), lit(n)).cast("string"))
+        case Some(_) => None
+        case None => Snapshots.timeSpec(sp) match {
+          case Some((unit, c)) if groupCols.contains(c) =>
+            Some(coalesce(Snapshots.timeTransformCol(unit, col(c))
+              .cast("string"), lit("null")))
+          case Some(_) => None
+          case None =>
+            val cc = Snapshots.clusterCols(sp)
+            if (cc.nonEmpty && cc.forall(groupCols.contains))
+              Some(md5(to_json(struct(cc.map(col): _*))))
+            else None
+        }
+      }
+    }
+    val (files, pruned) = routing match {
+      case Some(r) =>
+        val hit = groups.select(r.as("__b")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val dirRe = "__cluster=([^/]+)/".r
+        (all.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1)))), true)
+      case None => (all, false)
+    }
+    (Snapshots.readFiles(spark, root, files,
+      Snapshots.schemaOf(spark, root, version), s"$root v$version group probe"),
+      pruned)
   }
 
   /** The MV's bucket count from its live cluster header (None when the
@@ -506,7 +641,16 @@ object Mv {
         case Some((unit, c)) if c == joinKey =>
           Some(Snapshots.timeTransformCol(unit,
             col(deltaKeys.columns.head)).cast("string"))
-        case _ => None
+        // IDENTITY split dirs on the join key (a low-cardinality dim):
+        // the dir is md5 of the key's one-field JSON — the field must be
+        // NAMED as the probed table's column, which the write path's
+        // struct(col) carries, so alias the delta key to it
+        case _ => spec.map(Snapshots.clusterCols) match {
+          case Some(Seq(c)) if c == joinKey =>
+            Some(md5(to_json(struct(
+              col(deltaKeys.columns.head).as(c)))))
+          case _ => None
+        }
       }
     }
     val (files, pruned) = routing match {
@@ -543,9 +687,13 @@ object Mv {
     * joinLeft = joinRight`, stored like [[create]]'s view and refreshed
     * incrementally from EITHER side's change feed ([[refreshJoin]]).
     * `minMaxCols` maintains `min_<c>`/`max_<c>` hybrid exactly like
-    * [[create]]'s — algebraic on insert-only groups; under retraction
-    * the per-group recount rebuilds from the CURRENT joined relation
-    * (one co-located join pass, aggregate bounded to retracted groups).
+    * [[create]]'s — algebraic when neither RAW base feed retracted
+    * (the bilinear correction's synthetic deletes don't force a
+    * recount); under genuine retraction the per-group recount restricts
+    * the group-carrying side to the retracted groups and bucket/time-
+    * probes the other side with the survivors' join keys — O(that dim +
+    * colliding groups' files), reported via `recountGroups` /
+    * `recountPruned`.
     *
     * Requires a co-clustered star: both bases clustered on their join
     * key, either hash buckets with the SAME count (the q185 shape) or a
@@ -580,8 +728,11 @@ object Mv {
     require(overlap.isEmpty,
       s"join MV bases share column name(s) ${overlap.mkString(", ")} — the joined " +
         "relation must be unambiguous; rename before publishing")
-    requireExactSums(org.apache.spark.sql.types.StructType(
-      lSchema.fields ++ rSchema.fields), sumCols)
+    val joinedSchema = org.apache.spark.sql.types.StructType(
+      lSchema.fields ++ rSchema.fields)
+    requireDefCols(joinedSchema, leftKeyCols ++ rightKeyCols, groupCols,
+      sumCols, minMaxCols, s"the joined relation of $leftRoot ⋈ $rightRoot")
+    requireExactSums(joinedSchema, sumCols)
     // the co-clustered star contract: BOTH bases clustered on their join
     // key, either hash buckets (one shared count) or a time transform
     // (one shared unit — the q191 `days(ts)` event-feed shape). That
@@ -712,21 +863,53 @@ object Mv {
         val touched = delta.select(
           (gk(d.groupCols).as(GkCol) +: d.groupCols.map(col)): _*).distinct().persist()
         try {
-          // min/max recount relation: the CURRENT joined view — the join
-          // is exchange-free on a co-clustered star and the recount
-          // aggregates only the retracted groups' rows (applyDelta's
-          // semi-prune), but unlike the single-base form the prune sits
-          // ABOVE the join, so a retraction refresh pays one co-located
-          // join pass; insert-only refreshes skip the subtree
-          // structurally (applyDelta's emptiness probe)
-          val recount = () => Snapshots.read(spark, d.leftRoot, Some(curL))
-            .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
-              col(d.joinLeft) === col(d.joinRight))
-          val (nT, v) = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
+          // the bilinear correction term emits sign=−1 rows even for
+          // insert×insert collisions, but those retraction rows are
+          // exact duplicates of pairs the first two terms insert (with
+          // insert-only deltas, ΔL⋈ΔR ⊆ ΔL⋈R_new) — so when NEITHER
+          // raw base feed retracted, the algebraic min/max combine is
+          // exact and the recount elides despite the synthetic deletes.
+          // Two delta-sized emptiness probes decide, never the bases.
+          val netInsertOnly = d.minMaxCols.nonEmpty &&
+            dl.forall(_.filter(col("__sl") === -1L).isEmpty) &&
+            dr.forall(_.filter(col("__sr") === -1L).isEmpty)
+          // min/max recount relation under genuine retraction: restrict
+          // the GROUP-CARRYING side to the retracted group tuples first
+          // (one read of that side — the dimension, in a star), then
+          // bucket/time-probe the OTHER side with the survivors' join
+          // keys, so the big side's read stays O(colliding groups)
+          // files. Group columns spanning both sides fall back to the
+          // full co-located join, row-pruned above it — declared via
+          // recountPruned = false.
+          val recountOf: DataFrame => (DataFrame, Boolean) = { retracted =>
+            def fieldsOf(root: String, v: Int) =
+              Snapshots.schemaOf(spark, root, v)
+                .getOrElse(Snapshots.read(spark, root, Some(v)).schema)
+                .fieldNames.toSet
+            val onLeft = d.groupCols.forall(fieldsOf(d.leftRoot, curL))
+            lazy val onRight = d.groupCols.forall(fieldsOf(d.rightRoot, curR))
+            if (onLeft || onRight) {
+              val (gRoot, gCur, gJoin, oRoot, oCur, oJoin) =
+                if (onLeft) (d.leftRoot, curL, d.joinLeft, d.rightRoot, curR, d.joinRight)
+                else (d.rightRoot, curR, d.joinRight, d.leftRoot, curL, d.joinLeft)
+              val gPruned = semiOnGroups(
+                Snapshots.read(spark, gRoot, Some(gCur)), retracted, d.groupCols)
+              val (oProbe, pruned) = bucketProbe(spark, oRoot, oCur, oJoin,
+                gPruned.select(gJoin))
+              (gPruned.join(oProbe, col(d.joinLeft) === col(d.joinRight)), pruned)
+            } else {
+              (semiOnGroups(Snapshots.read(spark, d.leftRoot, Some(curL))
+                .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
+                  col(d.joinLeft) === col(d.joinRight)),
+                retracted, d.groupCols), false)
+            }
+          }
+          val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
             delta, touched, batchId, minMaxCols = d.minMaxCols,
-            recountFrom = Some(recount))
-          JoinRefresh("incremental", wL, curL, wR, curR, nT, v,
-            probePrunedLeft = prunedL, probePrunedRight = prunedR)
+            recountFrom = Some(recountOf), netInsertOnly = netInsertOnly)
+          JoinRefresh("incremental", wL, curL, wR, curR, a.groups, a.mvVersion,
+            probePrunedLeft = prunedL, probePrunedRight = prunedR,
+            recountGroups = a.recountGroups, recountPruned = a.recountPruned)
         } finally touched.unpersist()
       } finally delta.unpersist()
     } finally { dl.foreach(_.unpersist()); dr.foreach(_.unpersist()) }

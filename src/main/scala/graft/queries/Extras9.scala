@@ -439,15 +439,20 @@ object Extras9 {
     },
 
     // MV MIN/MAX under the oracle hash: a per-priority count/sum/min/max
-    // view maintained through a mixed mutation (updates + deletes hit
-    // the '1-URGENT'..'4-*' groups — retractions, so those groups'
-    // min/max RECOUNT from the base, semi-join-pruned to exactly their
-    // rows — while '5-LOW' receives only fresh inserts and combines
-    // ALGEBRAICALLY, never touching the base). The deletes remove rows
-    // that include group minima and the updates rewrite values upward,
-    // so a stale algebraic envelope would flip the hash; the oracle
-    // replays the whole mutation history relationally. Flags: refresh
-    // ran incrementally, replay is a noop.
+    // view over a SEG-CLUSTERED base maintained through a mixed mutation
+    // (updates + deletes hit the '1-URGENT'..'4-*' groups — retractions,
+    // so those groups' min/max RECOUNT from the base, FILE-pruned to
+    // exactly their `__cluster=` dirs and row-pruned within them — while
+    // '5-LOW' receives only fresh inserts and combines ALGEBRAICALLY,
+    // never touching the base). The deletes remove rows that include
+    // group minima and the updates rewrite values upward, so a stale
+    // algebraic envelope would flip the hash; the oracle replays the
+    // whole mutation history relationally. The insert key offset derives
+    // from max(o_orderkey) on BOTH sides, so the "fresh inserts" stay
+    // genuinely disjoint from live keys at any scale factor. Flags:
+    // refresh ran incrementally, the retracted groups paid a FILE-PRUNED
+    // recount (the report's recountGroups/recountPruned), replay is a
+    // noop.
     QueryDef.checked(
       "q200_mv_minmax",
       """WITH base AS (
@@ -460,13 +465,16 @@ object Extras9 {
         |         ELSE cents END AS cents
         |  FROM base WHERE NOT (k % 37 = 0 AND seg = '1-URGENT')
         |  UNION ALL
-        |  SELECT k + 10000000, '5-LOW', cents + 13 FROM base WHERE k % 11 = 0)
+        |  SELECT k + 10 * (SELECT max(o_orderkey) FROM orders), '5-LOW',
+        |    cents + 13 FROM base WHERE k % 11 = 0)
         |SELECT seg, count(*) AS n_rows,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(count(cents) AS BIGINT) AS nn_cents,
         |  CAST(min(cents) AS BIGINT) AS min_cents,
         |  CAST(max(cents) AS BIGINT) AS max_cents,
         |  CAST(1 AS BOOLEAN) AS incremental,
+        |  CAST(1 AS BOOLEAN) AS recounted,
+        |  CAST(1 AS BOOLEAN) AS recount_pruned,
         |  CAST(1 AS BOOLEAN) AS replay_noop
         |FROM fin GROUP BY 1""".stripMargin) { (s, dir) =>
       import graft.operators.Mv
@@ -474,12 +482,15 @@ object Extras9 {
       val base = t(s, dir, "orders").select(
         col("o_orderkey").as("k"), col("o_orderpriority").as("seg"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      Snapshots.publish(s, s"$root/base", base)
+      Snapshots.publish(s, s"$root/base", base, clusterBy = Some("seg"))
       Mv.create(s, s"$root/mv", s"$root/base", Seq("k"), Seq("seg"),
         sumCols = Seq("cents"), mvBuckets = 8, minMaxCols = Seq("cents"))
       // one mixed merge: +7 cents on k≡0 (mod 10) survivors (update =
       // retraction), delete urgent k≡0 (mod 37), and insert a fresh
-      // '5-LOW' row per k≡0 (mod 11) under a disjoint key range
+      // '5-LOW' row per k≡0 (mod 11) under a key range derived from the
+      // live maximum — disjoint at any SF (a fixed offset would collide
+      // with real orderkeys at SF ≥ 2 and silently upsert instead)
+      val maxK = base.agg(max("k")).head.getLong(0)
       val updates = base
         .filter(col("k") % 10 === 0 && col("seg") =!= "5-LOW" &&
           !(col("k") % 37 === 0 && col("seg") === "1-URGENT"))
@@ -488,7 +499,7 @@ object Extras9 {
         .filter(col("k") % 37 === 0 && col("seg") === "1-URGENT")
         .withColumn("__del", lit(true))
       val inserts = base.filter(col("k") % 11 === 0)
-        .select((col("k") + 10000000L).as("k"), lit("5-LOW").as("seg"),
+        .select((col("k") + lit(10L * maxK)).as("k"), lit("5-LOW").as("seg"),
           (col("cents") + 13L).as("cents"))
         .withColumn("__del", lit(false))
       Snapshots.mergeByKey(s, s"$root/base",
@@ -496,11 +507,15 @@ object Extras9 {
         keyCols = Seq("k"), tombstoneCol = Some("__del"))
       val r = Mv.refresh(s, s"$root/mv")
       val incremental = r.mode == "incremental"
+      val recounted = r.recountGroups > 0
+      val recountPruned = r.recountPruned
       val replayNoop = Mv.refresh(s, s"$root/mv").mode == "noop"
       Mv.read(s, s"$root/mv")
         .select(col("seg"), col("n_rows"), col("sum_cents"), col("nn_cents"),
           col("min_cents"), col("max_cents"))
         .withColumn("incremental", lit(incremental))
+        .withColumn("recounted", lit(recounted))
+        .withColumn("recount_pruned", lit(recountPruned))
         .withColumn("replay_noop", lit(replayNoop))
     },
 
@@ -509,9 +524,11 @@ object Extras9 {
     // both-bases mutation (fact +7/delete; dim segment moves). The dim
     // moves RETRACT rows from the old segments and INSERT them into a
     // brand-new 'MOVED' group, so one refresh exercises both the
-    // per-retracted-group recount (old segments — the recount relation
-    // is the CURRENT co-located join) and the algebraic insert-only
-    // combine (MOVED). A stale envelope anywhere flips the hash.
+    // per-retracted-group recount (old segments — the DIM restricts to
+    // the retracted groups first, then the FACT probes only the
+    // survivors' colliding buckets; `recounted`/`recount_pruned` pin
+    // that the bounded path ran) and the algebraic insert-only combine
+    // (MOVED). A stale envelope anywhere flips the hash.
     QueryDef.checked(
       "q201_join_mv_minmax",
       """WITH fact AS (
@@ -530,6 +547,8 @@ object Extras9 {
         |  CAST(max(f.cents) AS BIGINT) AS max_cents,
         |  CAST(1 AS BOOLEAN) AS incremental,
         |  CAST(1 AS BOOLEAN) AS both_sides,
+        |  CAST(1 AS BOOLEAN) AS recounted,
+        |  CAST(1 AS BOOLEAN) AS recount_pruned,
         |  CAST(1 AS BOOLEAN) AS replay_noop
         |FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
         |GROUP BY 1""".stripMargin) { (s, dir) =>
@@ -558,12 +577,16 @@ object Extras9 {
       val r = Mv.refreshJoin(s, s"$root/mv")
       val incremental = r.mode == "incremental"
       val bothSides = r.fromLeft < r.toLeft && r.fromRight < r.toRight
+      val recounted = r.recountGroups > 0
+      val recountPruned = r.recountPruned
       val replayNoop = Mv.refreshJoin(s, s"$root/mv").mode == "noop"
       Mv.read(s, s"$root/mv")
         .select(col("c_mktsegment").as("seg"), col("n_rows"),
           col("sum_cents"), col("min_cents"), col("max_cents"))
         .withColumn("incremental", lit(incremental))
         .withColumn("both_sides", lit(bothSides))
+        .withColumn("recounted", lit(recounted))
+        .withColumn("recount_pruned", lit(recountPruned))
         .withColumn("replay_noop", lit(replayNoop))
     },
 

@@ -537,7 +537,10 @@ class MvSpec extends AnyFunSuite {
     // structurally — no v1 data file may reopen
     Snapshots.publish(spark, b, base(Seq((3L, "a", 5L))), append = true)
     CountingFileSystem.reset()
-    assert(Mv.refresh(spark, m).mode === "incremental")
+    val rIns = Mv.refresh(spark, m)
+    assert(rIns.mode === "incremental")
+    assert(rIns.recountGroups === 0L && rIns.recountPruned,
+      s"insert-only refresh must report a zero recount: $rIns")
     val reopened = v1Files.filter(f => CountingFileSystem.count("open", f) > 0)
     assert(reopened.isEmpty,
       s"insert-only refresh reopened pre-existing base files: $reopened")
@@ -545,13 +548,156 @@ class MvSpec extends AnyFunSuite {
     val aMin = Mv.read(spark, m).filter(col("g") === "a")
       .select("min_v").head.getLong(0)
     assert(aMin === 5L)
-    // a RETRACTION pays the declared recount — and gets it right
+    // a RETRACTION pays the declared recount — and says so in the report
     Snapshots.mergeByKey(spark, b,
       Seq((3L, "a", 0L, true)).toDF("k", "g", "v", "__del"),
       keyCols = Seq("k"), tombstoneCol = Some("__del"))
-    assert(Mv.refresh(spark, m).mode === "incremental")
+    val rDel = Mv.refresh(spark, m)
+    assert(rDel.mode === "incremental")
+    assert(rDel.recountGroups === 1L, s"one group retracted: $rDel")
+    assert(!rDel.recountPruned,
+      s"an unclustered base cannot file-prune the recount — report it: $rDel")
     assert(Mv.read(spark, m).filter(col("g") === "a")
       .select("min_v").head.getLong(0) === 10L)
+  }
+
+  test("min/max recount FILE-prunes to the retracted groups' cluster dirs") {
+    import spark.implicits._
+    import graft.sources.CountingFileSystem
+    spark.sparkContext.hadoopConfiguration.set("fs.graftcount.impl",
+      classOf[CountingFileSystem].getName)
+    val b = s"graftcount://$wh/cntb2"; val m = s"$wh/cntv2"
+    // 8 identity-clustered groups, 3 rows each — one `__cluster=` dir per
+    // group value (the q200 shape: bounded groups, group-clustered base)
+    Snapshots.publish(spark, b, base(
+      (0L until 24L).map(i => (i, s"g${i % 8}", java.lang.Long.valueOf(i + 1)))),
+      clusterBy = Some("g"))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      minMaxCols = Seq("v"))
+    val v1Files = Snapshots.files(spark, b, 1)
+    // delete g1's minimum (k=1, v=2): a retraction touching ONE group
+    Snapshots.mergeByKey(spark, b,
+      Seq((1L, "g1", 0L, true)).toDF("k", "g", "v", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    CountingFileSystem.reset()
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "incremental")
+    assert(r.recountGroups === 1L && r.recountPruned,
+      s"a group-clustered base must file-prune the recount and say so: $r")
+    // every pre-existing base file the refresh opened (CDF over the
+    // rewritten dir + the recount probe) must live in g1's cluster dir —
+    // the other 7 groups' files never open, not even to plan a scan
+    val g1Dir = spark.range(1)
+      .select(md5(to_json(struct(lit("g1").as("g"))))).head.getString(0)
+    val reopened = v1Files.filter(f => CountingFileSystem.count("open", f) > 0)
+    assert(reopened.nonEmpty, "the retracted group's own files must open")
+    assert(reopened.forall(_.contains(s"__cluster=$g1Dir/")),
+      s"recount opened files outside the retracted group's dir: " +
+        reopened.filterNot(_.contains(s"__cluster=$g1Dir/")).mkString(", "))
+    // and the recount got the risen minimum right
+    assert(Mv.read(spark, m).filter(col("g") === "g1")
+      .select("min_v").head.getLong(0) === 10L)
+    assert(collectMv(Mv.read(spark, m)) === recompute(b))
+  }
+
+  test("join-MV min/max recount: group side restricted first, fact probed to colliding buckets") {
+    import spark.implicits._
+    import graft.sources.CountingFileSystem
+    spark.sparkContext.hadoopConfiguration.set("fs.graftcount.impl",
+      classOf[CountingFileSystem].getName)
+    val f = s"graftcount://$wh/cntjf1"; val dm = s"$wh/cntjd1"; val m = s"$wh/cntjm1"
+    // 8 custkeys over 4 buckets; segments: a = {10, 20}, rest one key each
+    val facts = (0 until 8).map(i => (i.toLong, (i + 1) * 10L, (i + 1) * 100L))
+    val dims = Seq((10L, "a"), (20L, "a"), (30L, "b"), (40L, "c"),
+      (50L, "d"), (60L, "e"), (70L, "f"), (80L, "g"))
+    Snapshots.publish(spark, f, facts.toDF("k", "ck", "cents"),
+      clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, dm, dims.toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg"), Seq("cents"), mvBuckets = 4, minMaxCols = Seq("cents"))
+    val v1Fact = Snapshots.files(spark, f, 1)
+    // DIM-only retraction: customer 10 moves a -> b, so group 'a' retracts
+    // and the recount's fact probe may touch only the buckets of the
+    // delta key (10) and of 'a''s surviving member (20)
+    Snapshots.mergeByKey(spark, dm,
+      Seq((10L, "b", false)).toDF("ck2", "seg", "__del"),
+      keyCols = Seq("ck2"), tombstoneCol = Some("__del"))
+    CountingFileSystem.reset()
+    val r = Mv.refreshJoin(spark, m)
+    assert(r.mode === "incremental", s"got $r")
+    assert(r.recountGroups === 1L && r.recountPruned,
+      s"the dim-side retraction must recount one group through pruned probes: $r")
+    val bucketOfKey = (0 until 8).map { i =>
+      val k = (i + 1) * 10L
+      k -> spark.range(1).select(pmod(hash(lit(k)), lit(4)).cast("string"))
+        .head.getString(0)
+    }.toMap
+    val allowed = Set(bucketOfKey(10L), bucketOfKey(20L))
+    def bucketOf(fl: String): Option[String] =
+      "__cluster=([^/]+)/".r.findFirstMatchIn(fl).map(_.group(1))
+    val opened = v1Fact.filter(fl => CountingFileSystem.count("open", fl) > 0)
+    assert(opened.nonEmpty, "the colliding buckets' fact files must open")
+    assert(opened.forall(fl => bucketOf(fl).forall(allowed)),
+      s"fact probe opened buckets outside the colliding set: " +
+        opened.filterNot(fl => bucketOf(fl).forall(allowed)).mkString(", "))
+    assert(v1Fact.exists(fl => CountingFileSystem.count("open", fl) == 0),
+      "an unpruned fact read would betray the bound")
+    assert(collectJoinMv(Mv.read(spark, m)) === joinRecompute(f, dm))
+  }
+
+  test("join-MV min/max: colliding insert-only deltas elide the recount (net-additive feed)") {
+    import spark.implicits._
+    val f = s"$wh/niof"; val dm = s"$wh/niod"; val m = s"$wh/niom"
+    publishStar(f, dm,
+      Seq((1L, 10L, 100L), (2L, 11L, 300L)), Seq((10L, "a"), (11L, "b")))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg"), Seq("cents"), mvBuckets = 4, minMaxCols = Seq("cents"))
+    // BOTH sides insert, and the inserts COLLIDE (new fact key 12 ⋈ new
+    // dim 12): the bilinear correction term ΔL⋈ΔR emits sign=−1 rows,
+    // but neither RAW feed retracted — the recount must still elide
+    Snapshots.publish(spark, f, Seq((3L, 12L, 50L), (4L, 10L, 900L))
+      .toDF("k", "ck", "cents"), append = true,
+      clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, dm, Seq((12L, "c")).toDF("ck2", "seg"),
+      append = true, clusterBy = Some("bucket(4, ck2)"))
+    val r = Mv.refreshJoin(spark, m)
+    assert(r.mode === "incremental", s"got $r")
+    assert(r.recountGroups === 0L && r.recountPruned,
+      s"insert-only raw feeds must elide the recount despite the " +
+        s"correction term's synthetic deletes: $r")
+    // and the algebraic combine over the net-additive feed is exact
+    val mm = Mv.read(spark, m).select("seg", "min_cents", "max_cents")
+      .collect().map(rr => rr.getString(0) -> ((rr.getLong(1), rr.getLong(2)))).toMap
+    assert(mm === Map("a" -> ((100L, 900L)), "b" -> ((300L, 300L)),
+      "c" -> ((50L, 50L))))
+    assert(collectJoinMv(Mv.read(spark, m)) === joinRecompute(f, dm))
+  }
+
+  test("create validates every referenced column against the base schema") {
+    val b = s"$wh/vcol1"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 1L))))
+    def failing(key: Seq[String] = Seq("k"), grp: Seq[String] = Seq("g"),
+        sum: Seq[String] = Seq("v"), mm: Seq[String] = Nil): String =
+      intercept[IllegalArgumentException](Mv.create(spark, s"$wh/vcolm1", b,
+        key, grp, sum, minMaxCols = mm)).getMessage
+    assert(failing(grp = Seq("nope")).contains("nope"))
+    assert(failing(key = Seq("oops")).contains("does not carry"))
+    assert(failing(sum = Seq("missing")).contains("missing"))
+    assert(failing(mm = Seq("ghost")).contains("ghost"))
+    // join form: same contract over the joined relation
+    import spark.implicits._
+    val dm = s"$wh/vcold1"
+    Snapshots.publish(spark, s"$wh/vcolf1",
+      Seq((1L, 10L, 5L)).toDF("k", "ck", "cents"),
+      clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, dm, Seq((10L, "a")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    val ej = intercept[IllegalArgumentException](
+      Mv.createJoin(spark, s"$wh/vcoljm1", s"$wh/vcolf1", Seq("k"), "ck",
+        dm, Seq("ck2"), "ck2", Seq("segg"), Seq("cents")))
+    assert(ej.getMessage.contains("segg") &&
+      ej.getMessage.contains("does not carry"), ej.getMessage)
   }
 
   test("join-MV min/max: recount under retraction equals the joined recompute") {
