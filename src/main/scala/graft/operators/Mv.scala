@@ -769,6 +769,299 @@ object Mv {
       .getOrElse(sys.error(s"fresh MV root $mvRoot already carries batch ids"))
   }
 
+  // ── TRILINEAR JOIN MVs (3-table star: dim ⋈ fact ⋈ dim) ─────────────
+
+  /** The stored definition of a TRILINEAR join MV ([[createJoin3]]): a
+    * chain `left ⋈ mid ⋈ right` — mid is the fact carrying BOTH join
+    * keys (`joinMidLeft` = its FK to the left dim, `joinMidRight` = its
+    * FK to the right dim) — each base with its own unique row key (CDF
+    * classification), plus the grouped/summed columns of the joined
+    * relation.
+    */
+  final case class Join3Definition(
+      leftRoot: String, leftKeyCols: Seq[String], joinLeft: String,
+      midRoot: String, midKeyCols: Seq[String],
+      joinMidLeft: String, joinMidRight: String,
+      rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
+      groupCols: Seq[String], sumCols: Seq[String])
+
+  /** One trilinear refresh's outcome: the watermark TRIPLE, plus the
+    * per-base probe report ([[JoinRefresh]]'s discipline): `false` on a
+    * side means some full-side probe of that base read unpruned this
+    * refresh. `probePrunedMid` deserves a caveat: the fact clusters on
+    * ONE of its two join keys, so a right-dim delta's fact probe is
+    * structurally unpruned (a table cannot co-cluster on two keys) —
+    * the flag reports it honestly rather than hiding an O(fact) read.
+    */
+  final case class Join3Refresh(mode: String,
+      fromLeft: Int, toLeft: Int, fromMid: Int, toMid: Int,
+      fromRight: Int, toRight: Int,
+      groupsTouched: Long, mvVersion: Option[Int],
+      probePrunedLeft: Boolean = true, probePrunedMid: Boolean = true,
+      probePrunedRight: Boolean = true)
+
+  /** The watermark TRIPLE packed into the one manifest batch id: 21 bits
+    * per component (versions < 2 097 152 — far past any real manifest
+    * log, enforced at pack time). Lexicographically monotone because
+    * every component only moves forward, so mergeStreamBatch's replay
+    * skip keeps working unchanged.
+    */
+  private def encWm3(l: Int, m: Int, r: Int): Long = {
+    Seq(l, m, r).foreach(v => require(v >= 0 && v < (1 << 21),
+      s"trilinear MV watermark component $v out of the 21-bit pack range"))
+    (l.toLong << 42) | (m.toLong << 21) | r.toLong
+  }
+  private def decWm3(w: Long): (Int, Int, Int) =
+    (((w >> 42) & 0x1fffffL).toInt, ((w >> 21) & 0x1fffffL).toInt,
+      (w & 0x1fffffL).toInt)
+
+  private def writeJoin3Def(spark: SparkSession, root: String,
+      d: Join3Definition): Unit = {
+    d.productIterator.foreach(checkDefField)
+    writeDefLines(spark, root, Seq(
+      "kind=join3",
+      s"lbase=${d.leftRoot}", s"lkeys=${d.leftKeyCols.mkString(",")}",
+      s"ljoin=${d.joinLeft}",
+      s"mbase=${d.midRoot}", s"mkeys=${d.midKeyCols.mkString(",")}",
+      s"mjoinl=${d.joinMidLeft}", s"mjoinr=${d.joinMidRight}",
+      s"rbase=${d.rightRoot}", s"rkeys=${d.rightKeyCols.mkString(",")}",
+      s"rjoin=${d.joinRight}",
+      s"groups=${d.groupCols.mkString(",")}",
+      s"sums=${d.sumCols.mkString(",")}"))
+  }
+
+  /** The stored [[Join3Definition]] of a trilinear-MV root. */
+  def join3Definition(spark: SparkSession, mvRoot: String): Join3Definition = {
+    val kv = defKv(spark, mvRoot)
+    require(kv.get("kind").contains("join3"),
+      s"$mvRoot is a ${kv.getOrElse("kind", "single-base")} materialized view " +
+        "— use Mv.refresh (single-base) / Mv.refreshJoin (join), not refreshJoin3")
+    Join3Definition(kv("lbase"), defCols(kv, "lkeys"), kv("ljoin"),
+      kv("mbase"), defCols(kv, "mkeys"), kv("mjoinl"), kv("mjoinr"),
+      kv("rbase"), defCols(kv, "rkeys"), kv("rjoin"),
+      defCols(kv, "groups"), defCols(kv, "sums"))
+  }
+
+  /** The MV root's kind — `single` | `join` | `join3` — the dispatch
+    * value for generic callers (the SQL `refresh_mv` procedure).
+    */
+  def kindOf(spark: SparkSession, mvRoot: String): String =
+    defKv(spark, mvRoot).getOrElse("kind", "single")
+
+  /** Create a TRILINEAR join MV: the grouped count/sum over
+    * `left ⋈ mid ON joinLeft = joinMidLeft ⋈ right ON joinMidRight =
+    * joinRight` (the fact-with-two-dims star), refreshed incrementally
+    * from ANY side's change feed ([[refreshJoin3]]). Requires every base
+    * clustered on its probed join key — left on `joinLeft`, mid (the
+    * fact) on `joinMidLeft`, right on `joinRight`; hash buckets, a time
+    * transform, or identity split dirs all prune — and disjoint column
+    * names across the three bases. The fact cannot also cluster on
+    * `joinMidRight`, so a right-dim delta's fact probe runs unpruned
+    * (reported, never silent — see [[Join3Refresh]].probePrunedMid);
+    * keep the volatile dims on the clustered side of the chain.
+    */
+  def createJoin3(spark: SparkSession, mvRoot: String,
+      leftRoot: String, leftKeyCols: Seq[String], joinLeft: String,
+      midRoot: String, midKeyCols: Seq[String],
+      joinMidLeft: String, joinMidRight: String,
+      rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
+      groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64): Int = {
+    require(groupCols.nonEmpty, "an MV needs group columns")
+    require(leftKeyCols.nonEmpty && midKeyCols.nonEmpty && rightKeyCols.nonEmpty,
+      "a trilinear MV needs each base's unique row key (CDF classification)")
+    require(groupCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
+      sumCols.intersect(Seq(GkCol, TombCol)).isEmpty,
+      s"'$GkCol'/'$TombCol' are reserved MV columns")
+    val roots = Seq(leftRoot, midRoot, rightRoot)
+    val vs = roots.map(r => Snapshots.versions(spark, r))
+    require(vs.forall(_.nonEmpty), "all three bases need published versions")
+    val (wL, wM, wR) = (vs(0).last, vs(1).last, vs(2).last)
+    val schemas = roots.zip(Seq(wL, wM, wR)).map { case (r, v) =>
+      Snapshots.schemaOf(spark, r, v)
+        .getOrElse(Snapshots.read(spark, r, Some(v)).schema)
+    }
+    val dup = schemas.flatMap(_.fieldNames).groupBy(identity)
+      .collect { case (n, occ) if occ.size > 1 => n }
+    require(dup.isEmpty,
+      s"trilinear MV bases share column name(s) ${dup.mkString(", ")} — the " +
+        "joined relation must be unambiguous; rename before publishing")
+    val joinedSchema = org.apache.spark.sql.types.StructType(
+      schemas.flatMap(_.fields).toArray)
+    requireDefCols(joinedSchema, leftKeyCols ++ midKeyCols ++ rightKeyCols,
+      groupCols, sumCols, Nil,
+      s"the joined relation of $leftRoot ⋈ $midRoot ⋈ $rightRoot")
+    requireExactSums(joinedSchema, sumCols)
+    // the probe contract: each base clustered on the key its full-side
+    // probes route by — that layout, the probed table's OWN header, is
+    // what bounds a refresh's reads to colliding groups
+    def requireClusteredOn(root: String, v: Int, key: String): Unit = {
+      val spec = Snapshots.clusterOf(spark, root, v)
+      val ok = spec.exists(sp =>
+        Snapshots.bucketSpec(sp).exists(_._2 == key) ||
+          Snapshots.timeSpec(sp).exists(_._2 == key) ||
+          Snapshots.clusterCols(sp) == Seq(key))
+      require(ok, s"createJoin3 needs $root clustered on its join key '$key' " +
+        s"(found ${spec.getOrElse("no cluster layout")}) — bucket, time " +
+        "transform, or identity split dirs all bound the refresh probes")
+    }
+    requireClusteredOn(leftRoot, wL, joinLeft)
+    requireClusteredOn(midRoot, wM, joinMidLeft)
+    requireClusteredOn(rightRoot, wR, joinRight)
+    if (fs(spark, mvRoot).exists(defPath(mvRoot)) &&
+        Snapshots.versions(spark, mvRoot).isEmpty)
+      fs(spark, mvRoot).delete(defPath(mvRoot), false)
+    writeJoin3Def(spark, mvRoot, Join3Definition(leftRoot, leftKeyCols, joinLeft,
+      midRoot, midKeyCols, joinMidLeft, joinMidRight,
+      rightRoot, rightKeyCols, joinRight, groupCols, sumCols))
+    val joined = Snapshots.read(spark, leftRoot, Some(wL))
+      .join(Snapshots.read(spark, midRoot, Some(wM)),
+        col(joinLeft) === col(joinMidLeft))
+      .join(Snapshots.read(spark, rightRoot, Some(wR)),
+        col(joinMidRight) === col(joinRight))
+    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols)
+      .withColumn(GkCol, gk(groupCols))
+    Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = encWm3(wL, wM, wR),
+      append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
+      .getOrElse(sys.error(s"fresh MV root $mvRoot already carries batch ids"))
+  }
+
+  /** Bring a trilinear join MV up to all three bases' current versions.
+    * The view delta is the TRILINEAR expansion of the bilinear identity
+    * over signed row multisets (primes = the NEW versions):
+    *
+    *   Δ(L⋈M⋈R) = ΔL⋈M'⋈R' + L'⋈ΔM⋈R' + L'⋈M'⋈ΔR
+    *            − ΔL⋈ΔM⋈R' − ΔL⋈M'⋈ΔR − L'⋈ΔM⋈ΔR
+    *            + ΔL⋈ΔM⋈ΔR
+    *
+    * (inclusion–exclusion: pairs counted by two single-delta terms are
+    * removed once, the triple-delta pairs removed thrice come back
+    * once; each joined row's sign is ±(product of its deltas' signs),
+    * negated on the two-delta terms). Every term is delta-sized on at
+    * least one side, and every full-side probe routes through the
+    * probed table's own cluster header ([[bucketProbe]]) — the one
+    * structurally unpruned probe is the fact under a right-dim delta
+    * (see [[createJoin3]]); the report says which probes pruned.
+    * Watermark, exactly-once, tombstones and the touched-bucket apply
+    * are [[applyDelta]] unchanged; dvs or an expired watermark at any
+    * base fall back to a DECLARED full recompute.
+    */
+  def refreshJoin3(spark: SparkSession, mvRoot: String): Join3Refresh = {
+    val d = join3Definition(spark, mvRoot)
+    val (wL, wM, wR) = decWm3(Snapshots.lastBatchId(spark, mvRoot).getOrElse(
+      sys.error(s"$mvRoot carries no refresh watermark (batch id) — " +
+        "was it published outside Mv.createJoin3?")))
+    val lVs = Snapshots.versions(spark, d.leftRoot)
+    val mVs = Snapshots.versions(spark, d.midRoot)
+    val rVs = Snapshots.versions(spark, d.rightRoot)
+    require(lVs.nonEmpty && mVs.nonEmpty && rVs.nonEmpty, "all bases need versions")
+    val (curL, curM, curR) = (lVs.last, mVs.last, rVs.last)
+    if (curL <= wL && curM <= wM && curR <= wR)
+      return Join3Refresh("noop", wL, wL, wM, wM, wR, wR, 0L, None)
+    def dvFree(root: String, v: Int) = !Snapshots.hasDeleteVectors(spark, root, v)
+    val canDiff = lVs.contains(wL) && mVs.contains(wM) && rVs.contains(wR) &&
+      Seq((d.leftRoot, wL), (d.leftRoot, curL), (d.midRoot, wM),
+        (d.midRoot, curM), (d.rightRoot, wR), (d.rightRoot, curR))
+        .forall { case (r, v) => dvFree(r, v) }
+    val batchId = encWm3(curL, curM, curR)
+    def joinedNow = Snapshots.read(spark, d.leftRoot, Some(curL))
+      .join(Snapshots.read(spark, d.midRoot, Some(curM)),
+        col(d.joinLeft) === col(d.joinMidLeft))
+      .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
+        col(d.joinMidRight) === col(d.joinRight))
+    if (!canDiff) {
+      val mv = IncrementalView.countSum(joinedNow, d.groupCols, d.sumCols)
+        .withColumn(GkCol, gk(d.groupCols))
+      val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = batchId,
+        append = false,
+        clusterBy = mvBucketsOf(spark, mvRoot).map(n => s"bucket($n,$GkCol)"))
+      val groups = v.flatMap(ver =>
+        Snapshots.countRows(spark, mvRoot, Some(ver))).getOrElse(0L)
+      return Join3Refresh("full", wL, curL, wM, curM, wR, curR, groups, v)
+    }
+    val dl = if (curL > wL)
+      Some(signedDelta(spark, d.leftRoot, wL, curL, d.leftKeyCols, "__sl").persist())
+      else None
+    val dm = if (curM > wM)
+      Some(signedDelta(spark, d.midRoot, wM, curM, d.midKeyCols, "__sm").persist())
+      else None
+    val dr = if (curR > wR)
+      Some(signedDelta(spark, d.rightRoot, wR, curR, d.rightKeyCols, "__sr").persist())
+      else None
+    try {
+      var prunedL = true; var prunedM = true; var prunedR = true
+      def probeL(keys: DataFrame): DataFrame = {
+        val (df, p) = bucketProbe(spark, d.leftRoot, curL, d.joinLeft, keys)
+        prunedL &&= p; df
+      }
+      def probeM(byKey: String, keys: DataFrame): DataFrame = {
+        val (df, p) = bucketProbe(spark, d.midRoot, curM, byKey, keys)
+        prunedM &&= p; df
+      }
+      def probeR(keys: DataFrame): DataFrame = {
+        val (df, p) = bucketProbe(spark, d.rightRoot, curR, d.joinRight, keys)
+        prunedR &&= p; df
+      }
+      val condLM = col(d.joinLeft) === col(d.joinMidLeft)
+      val condMR = col(d.joinMidRight) === col(d.joinRight)
+      val terms = Seq.newBuilder[DataFrame]
+      dl.foreach { l =>
+        // ΔL ⋈ M' ⋈ R': fact probed by ΔL's keys, then the delta-sized
+        // pair probes the right dim by its surviving FK values
+        val m = probeM(d.joinMidLeft, l.select(d.joinLeft))
+        val lm = l.join(m, condLM)
+        terms += lm.join(probeR(lm.select(d.joinMidRight)), condMR)
+          .withColumn("__sign", col("__sl"))
+      }
+      dm.foreach { m =>
+        // L' ⋈ ΔM ⋈ R': both dims probed by the fact delta's FK values
+        terms += probeL(m.select(d.joinMidLeft)).join(m, condLM)
+          .join(probeR(m.select(d.joinMidRight)), condMR)
+          .withColumn("__sign", col("__sm"))
+      }
+      dr.foreach { r =>
+        // L' ⋈ M' ⋈ ΔR: the structurally unpruned fact probe (the fact
+        // clusters on its LEFT key) — reported via probePrunedMid
+        val m = probeM(d.joinMidRight, r.select(d.joinRight))
+        val mr = m.join(r, condMR)
+        terms += probeL(mr.select(d.joinMidLeft)).join(mr, condLM)
+          .withColumn("__sign", col("__sr"))
+      }
+      for (l <- dl; m <- dm) {
+        val lm = l.join(m, condLM)
+        terms += lm.join(probeR(lm.select(d.joinMidRight)), condMR)
+          .withColumn("__sign", -(col("__sl") * col("__sm")))
+      }
+      for (l <- dl; r <- dr) {
+        val m = probeM(d.joinMidLeft, l.select(d.joinLeft))
+        terms += l.join(m, condLM).join(r, condMR)
+          .withColumn("__sign", -(col("__sl") * col("__sr")))
+      }
+      for (m <- dm; r <- dr)
+        terms += probeL(m.select(d.joinMidLeft))
+          .join(m.join(r, condMR), condLM)
+          .withColumn("__sign", -(col("__sm") * col("__sr")))
+      for (l <- dl; m <- dm; r <- dr)
+        terms += l.join(m, condLM).join(r, condMR)
+          .withColumn("__sign", col("__sl") * col("__sm") * col("__sr"))
+      val outCols = (d.groupCols ++ d.sumCols).distinct
+      val delta = terms.result().map(t => t.select(
+          (outCols.map(col) :+
+            when(col("__sign") === 1L, lit("insert")).otherwise(lit("delete"))
+              .as("change")): _*))
+        .reduce(_ unionByName _).persist()
+      try {
+        val touched = delta.select(
+          (gk(d.groupCols).as(GkCol) +: d.groupCols.map(col)): _*).distinct().persist()
+        try {
+          val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
+            delta, touched, batchId)
+          Join3Refresh("incremental", wL, curL, wM, curM, wR, curR,
+            a.groups, a.mvVersion, prunedL, prunedM, prunedR)
+        } finally touched.unpersist()
+      } finally delta.unpersist()
+    } finally { Seq(dl, dm, dr).foreach(_.foreach(_.unpersist())) }
+  }
+
   /** Bring a join MV up to both bases' current versions. The view delta
     * is the standard bilinear join-maintenance identity over SIGNED row
     * multisets (insert +1, delete −1):

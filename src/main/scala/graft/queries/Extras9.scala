@@ -590,6 +590,94 @@ object Extras9 {
         .withColumn("replay_noop", lit(replayNoop))
     },
 
+    // TRILINEAR JOIN MV under the oracle hash: the 3-table reporting star
+    // (customer dim ⋈ orders fact ⋈ priority dim) maintained as a
+    // materialized count/sum per (segment, priority label). ALL THREE
+    // bases mutate (fact +7/delete; customers move segments; one priority
+    // relabels), then ONE Mv.refreshJoin3 applies the inclusion-exclusion
+    // expansion of the join-delta identity (7 terms, each delta-sized on
+    // at least one side) with full-side probes routed through each base's
+    // OWN cluster header — bucket dirs for customer/orders, identity
+    // split dirs for the priority dim. The fact probe under the priority
+    // delta is structurally unpruned (a table clusters on one key) and
+    // the report says so — `dims_pruned` pins the two dim probes that CAN
+    // prune did. The oracle replays the whole mutation history
+    // relationally; the hash certifies incremental-apply ≡ recompute.
+    QueryDef.checked(
+      "q202_trilinear_mv",
+      """WITH fact AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderpriority AS prio,
+        |    CASE WHEN o_orderkey % 10 = 0 AND o_orderkey % 37 <> 0
+        |         THEN CAST(round(o_totalprice * 100) AS BIGINT) + 7
+        |         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+        |  FROM orders WHERE o_orderkey % 37 <> 0),
+        |d1 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 3 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        |  FROM customer),
+        |d2 AS (
+        |  SELECT prio0 AS pr,
+        |    CASE WHEN prio0 = '3-MEDIUM' THEN 'MED*' ELSE 'P_' || prio0 END AS plabel
+        |  FROM (SELECT DISTINCT o_orderpriority AS prio0 FROM orders))
+        |SELECT d1.seg, d2.plabel, count(*) AS n_rows,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(f.cents) AS BIGINT) AS nn_cents,
+        |  CAST(1 AS BOOLEAN) AS incremental,
+        |  CAST(1 AS BOOLEAN) AS all_sides,
+        |  CAST(1 AS BOOLEAN) AS dims_pruned,
+        |  CAST(1 AS BOOLEAN) AS replay_noop
+        |FROM fact f JOIN d1 ON f.o_custkey = d1.c_custkey
+        |  JOIN d2 ON f.prio = d2.pr
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q202_trilinear_mv", "tri", dir)
+      val fact = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val d1 = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment").as("seg"))
+      val d2 = fact.select(col("prio").as("pr")).distinct()
+        .withColumn("plabel", concat(lit("P_"), col("pr")))
+      Snapshots.publish(s, s"$root/d1", d1, clusterBy = Some("bucket(8, c_custkey)"))
+      Snapshots.publish(s, s"$root/fact", fact, clusterBy = Some("bucket(8, o_custkey)"))
+      Snapshots.publish(s, s"$root/d2", d2, clusterBy = Some("pr"))
+      Mv.createJoin3(s, s"$root/mv",
+        s"$root/d1", Seq("c_custkey"), "c_custkey",
+        s"$root/fact", Seq("k"), "o_custkey", "prio",
+        s"$root/d2", Seq("pr"), "pr",
+        groupCols = Seq("seg", "plabel"), sumCols = Seq("cents"), mvBuckets = 8)
+      // fact: +7 cents on keys ≡0 (mod 10) that survive, delete ≡0 (mod 37)
+      Snapshots.mergeByKey(s, s"$root/fact",
+        fact.filter(col("k") % 10 === 0 && col("k") % 37 =!= 0)
+          .withColumn("cents", col("cents") + 7).withColumn("__del", lit(false))
+          .unionByName(fact.filter(col("k") % 37 === 0).withColumn("__del", lit(true))),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      // left dim: customers ≡3 (mod 10) move to a NEW segment
+      Snapshots.mergeByKey(s, s"$root/d1",
+        d1.filter(col("c_custkey") % 10 === 3)
+          .withColumn("seg", lit("MOVED")).withColumn("__del", lit(false)),
+        keyCols = Seq("c_custkey"), tombstoneCol = Some("__del"))
+      // right dim: one priority relabels
+      Snapshots.mergeByKey(s, s"$root/d2",
+        d2.filter(col("pr") === "3-MEDIUM")
+          .withColumn("plabel", lit("MED*")).withColumn("__del", lit(false)),
+        keyCols = Seq("pr"), tombstoneCol = Some("__del"))
+      val r = Mv.refreshJoin3(s, s"$root/mv")
+      val incremental = r.mode == "incremental"
+      val allSides = r.fromLeft < r.toLeft && r.fromMid < r.toMid &&
+        r.fromRight < r.toRight
+      val dimsPruned = r.probePrunedLeft && r.probePrunedRight
+      val replayNoop = Mv.refreshJoin3(s, s"$root/mv").mode == "noop"
+      Mv.read(s, s"$root/mv")
+        .select(col("seg"), col("plabel"), col("n_rows"),
+          col("sum_cents"), col("nn_cents"))
+        .withColumn("incremental", lit(incremental))
+        .withColumn("all_sides", lit(allSides))
+        .withColumn("dims_pruned", lit(dimsPruned))
+        .withColumn("replay_noop", lit(replayNoop))
+    },
+
     // NAMED VERSION TAGS under the oracle hash: v1 is tagged 'baseline'
     // after two more versions land, expire(keepLast=1) then drops the
     // UNtagged middle version but keeps the pin (`survives_expire` +

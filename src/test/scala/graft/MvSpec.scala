@@ -738,6 +738,184 @@ class MvSpec extends AnyFunSuite {
     assert(got === rec)
   }
 
+  // ── TRILINEAR JOIN MVs (dim ⋈ fact ⋈ dim) ──────────────────────────
+
+  /** left dim (ck2 PK, seg) ⋈ fact (k PK, ck, prio, cents) ⋈ right dim
+    * (pr PK, plabel): bucket(4) on the left pair's keys, identity split
+    * dirs on the low-cardinality right key.
+    */
+  private def publishStar3(ldim: String, fact: String, rdim: String,
+      dims: Seq[(Long, String)], facts: Seq[(Long, Long, Long, Long)],
+      prios: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    Snapshots.publish(spark, ldim, dims.toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Snapshots.publish(spark, fact, facts.toDF("k", "ck", "prio", "cents"),
+      clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, rdim, prios.toDF("pr", "plabel"),
+      clusterBy = Some("pr"))
+  }
+
+  private def create3(m: String, ldim: String, fact: String, rdim: String): Unit =
+    Mv.createJoin3(spark, m, ldim, Seq("ck2"), "ck2",
+      fact, Seq("k"), "ck", "prio", rdim, Seq("pr"), "pr",
+      Seq("seg", "plabel"), Seq("cents"), mvBuckets = 4)
+
+  private def recompute3(ldim: String, fact: String, rdim: String): Set[Seq[Any]] =
+    IncrementalView.countSum(
+      Snapshots.read(spark, ldim)
+        .join(Snapshots.read(spark, fact), col("ck2") === col("ck"))
+        .join(Snapshots.read(spark, rdim), col("prio") === col("pr")),
+      Seq("seg", "plabel"), Seq("cents"))
+      .select("seg", "plabel", "n_rows", "sum_cents", "nn_cents")
+      .collect().map(_.toSeq).toSet
+
+  private def collect3(m: String): Set[Seq[Any]] =
+    Mv.read(spark, m).select("seg", "plabel", "n_rows", "sum_cents", "nn_cents")
+      .collect().map(_.toSeq).toSet
+
+  test("trilinear join MV: incremental refresh equals the recompute from any side's change") {
+    import spark.implicits._
+    val l = s"$wh/t3l1"; val f = s"$wh/t3f1"; val r = s"$wh/t3r1"; val m = s"$wh/t3m1"
+    publishStar3(l, f, r,
+      Seq((10L, "a"), (11L, "b"), (12L, "c")),
+      Seq((1L, 10L, 1L, 100L), (2L, 10L, 2L, 200L),
+        (3L, 11L, 1L, 300L), (4L, 12L, 2L, 400L)),
+      Seq((1L, "P1"), (2L, "P2")))
+    create3(m, l, f, r)
+    assert(collect3(m) === recompute3(l, f, r))
+
+    // FACT-only change: update, delete (group (c,P2) vanishes), insert
+    Snapshots.mergeByKey(spark, f,
+      Seq((1L, 10L, 1L, 150L, false), (4L, 12L, 2L, 0L, true),
+        (5L, 11L, 2L, 500L, false)).toDF("k", "ck", "prio", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    val r1 = Mv.refreshJoin3(spark, m)
+    assert(r1.mode === "incremental", s"got $r1")
+    assert(r1.probePrunedLeft && r1.probePrunedMid && r1.probePrunedRight,
+      s"a fact-only delta probes both dims pruned: $r1")
+    assert(collect3(m) === recompute3(l, f, r))
+
+    // LEFT-dim-only change: customer 10 moves a -> moved
+    Snapshots.mergeByKey(spark, l,
+      Seq((10L, "moved", false)).toDF("ck2", "seg", "__del"),
+      keyCols = Seq("ck2"), tombstoneCol = Some("__del"))
+    val r2 = Mv.refreshJoin3(spark, m)
+    assert(r2.mode === "incremental")
+    assert(collect3(m) === recompute3(l, f, r))
+
+    // RIGHT-dim-only change: P2 relabels — the fact probe on the right
+    // key is structurally unpruned (the fact clusters on ck) and the
+    // report must SAY so; the other probes stay pruned
+    Snapshots.mergeByKey(spark, r,
+      Seq((2L, "P2X", false)).toDF("pr", "plabel", "__del"),
+      keyCols = Seq("pr"), tombstoneCol = Some("__del"))
+    val r3 = Mv.refreshJoin3(spark, m)
+    assert(r3.mode === "incremental")
+    assert(!r3.probePrunedMid,
+      s"the right-dim delta's fact probe cannot prune — report it: $r3")
+    assert(r3.probePrunedLeft && r3.probePrunedRight, s"got $r3")
+    assert(collect3(m) === recompute3(l, f, r))
+
+    // ALL THREE sides change before one refresh: the inclusion-exclusion
+    // terms keep simultaneously-touched triples counted exactly once
+    Snapshots.mergeByKey(spark, f,
+      Seq((2L, 10L, 2L, 250L, false), (6L, 13L, 3L, 600L, false))
+        .toDF("k", "ck", "prio", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    Snapshots.mergeByKey(spark, l,
+      Seq((10L, "back", false), (13L, "d", false)).toDF("ck2", "seg", "__del"),
+      keyCols = Seq("ck2"), tombstoneCol = Some("__del"))
+    Snapshots.mergeByKey(spark, r,
+      Seq((3L, "P3", false)).toDF("pr", "plabel", "__del"),
+      keyCols = Seq("pr"), tombstoneCol = Some("__del"))
+    val r4 = Mv.refreshJoin3(spark, m)
+    assert(r4.mode === "incremental")
+    assert(r4.fromLeft < r4.toLeft && r4.fromMid < r4.toMid &&
+      r4.fromRight < r4.toRight, s"all three watermarks must advance: $r4")
+    assert(collect3(m) === recompute3(l, f, r))
+
+    // replay: nothing moved -> noop, nothing published
+    val before = Snapshots.versions(spark, m)
+    assert(Mv.refreshJoin3(spark, m).mode === "noop")
+    assert(Snapshots.versions(spark, m) === before)
+  }
+
+  test("trilinear probes read only colliding groups: fact bounded under a dim delta") {
+    import spark.implicits._
+    import graft.sources.CountingFileSystem
+    spark.sparkContext.hadoopConfiguration.set("fs.graftcount.impl",
+      classOf[CountingFileSystem].getName)
+    val l = s"$wh/t3l2"; val f = s"graftcount://$wh/t3f2"
+    val r = s"$wh/t3r2"; val m = s"$wh/t3m2"
+    // 8 custkeys over 4 buckets so the touched bucket is a strict subset
+    publishStar3(l, f, r,
+      (0 until 8).map(i => ((i + 1) * 10L, s"s$i")),
+      (0 until 8).map(i => (i.toLong, (i + 1) * 10L, (i % 2 + 1).toLong,
+        (i + 1) * 100L)),
+      Seq((1L, "P1"), (2L, "P2")))
+    create3(m, l, f, r)
+    val v1Fact = Snapshots.files(spark, f, 1)
+    // LEFT-dim-only change: only ck2=10 moves — the ΔL term's fact probe
+    // may open only bucket(hash(10))'s files
+    Snapshots.mergeByKey(spark, l,
+      Seq((10L, "sX", false)).toDF("ck2", "seg", "__del"),
+      keyCols = Seq("ck2"), tombstoneCol = Some("__del"))
+    CountingFileSystem.reset()
+    val r1 = Mv.refreshJoin3(spark, m)
+    assert(r1.mode === "incremental" && r1.probePrunedLeft &&
+      r1.probePrunedMid && r1.probePrunedRight, s"got $r1")
+    val allowed = spark.range(1)
+      .select(pmod(hash(lit(10L)), lit(4)).cast("string")).head.getString(0)
+    def bucketOf(fl: String): Option[String] =
+      "__cluster=([^/]+)/".r.findFirstMatchIn(fl).map(_.group(1))
+    val opened = v1Fact.filter(fl => CountingFileSystem.count("open", fl) > 0)
+    assert(opened.nonEmpty, "the colliding bucket's fact files must open")
+    assert(opened.forall(fl => bucketOf(fl).forall(_ == allowed)),
+      s"fact probe opened buckets outside the delta key's: " +
+        opened.filterNot(fl => bucketOf(fl).forall(_ == allowed)).mkString(", "))
+    assert(v1Fact.exists(fl => CountingFileSystem.count("open", fl) == 0),
+      "an unpruned fact read would betray the bound")
+    assert(collect3(m) === recompute3(l, f, r))
+  }
+
+  test("trilinear refusals: cluster contract, ambiguous names, kind dispatch") {
+    import spark.implicits._
+    val l = s"$wh/t3l3"; val f = s"$wh/t3f3"; val r = s"$wh/t3r3"
+    publishStar3(l, f, r, Seq((10L, "a")), Seq((1L, 10L, 1L, 100L)),
+      Seq((1L, "P1")))
+    // an UNclustered right dim refuses with the probe contract
+    val rBad = s"$wh/t3r3b"
+    Snapshots.publish(spark, rBad, Seq((1L, "P1")).toDF("pr", "plabel"))
+    val e1 = intercept[IllegalArgumentException](
+      Mv.createJoin3(spark, s"$wh/t3m3a", l, Seq("ck2"), "ck2",
+        f, Seq("k"), "ck", "prio", rBad, Seq("pr"), "pr",
+        Seq("seg", "plabel"), Seq("cents")))
+    assert(e1.getMessage.contains("clustered on its join key"), e1.getMessage)
+    // overlapping column names across the three bases refuse
+    val rDup = s"$wh/t3r3c"
+    Snapshots.publish(spark, rDup, Seq((1L, "x")).toDF("pr", "seg"),
+      clusterBy = Some("pr"))
+    val e2 = intercept[IllegalArgumentException](
+      Mv.createJoin3(spark, s"$wh/t3m3b", l, Seq("ck2"), "ck2",
+        f, Seq("k"), "ck", "prio", rDup, Seq("pr"), "pr",
+        Seq("seg"), Seq("cents")))
+    assert(e2.getMessage.contains("unambiguous"), e2.getMessage)
+    // kind dispatch: every refresh verb refuses the other kinds' roots
+    val m3 = s"$wh/t3m3"
+    create3(m3, l, f, r)
+    assert(intercept[IllegalArgumentException](Mv.refresh(spark, m3))
+      .getMessage.contains("refreshJoin3"))
+    assert(intercept[IllegalArgumentException](Mv.refreshJoin(spark, m3))
+      .getMessage.contains("refreshJoin3"))
+    val sb = s"$wh/t3sb"; val sm = s"$wh/t3sm"
+    Snapshots.publish(spark, sb, Seq((1L, "g", 1L)).toDF("k", "g", "v"))
+    Mv.create(spark, sm, sb, Seq("k"), Seq("g"), Seq("v"))
+    assert(intercept[IllegalArgumentException](Mv.refreshJoin3(spark, sm))
+      .getMessage.contains("refreshJoin3"))
+    assert(Mv.kindOf(spark, m3) === "join3" && Mv.kindOf(spark, sm) === "single")
+  }
+
   test("derived avg at read: sum/nn, NULL on all-NULL groups, never stored") {
     val b = s"$wh/avg1"; val m = s"$wh/avgm1"
     Snapshots.publish(spark, b, base(Seq(
