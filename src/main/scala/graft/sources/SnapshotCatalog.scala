@@ -337,7 +337,10 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   //   CALL <catalog>.sys.untag('events', 'train-v1')
   //   CALL <catalog>.sys.tags('events')
   //   CALL <catalog>.sys.create_mv('daily', 'events', 'id', 'day', 'cents', 64)
+  //   CALL <catalog>.sys.create_mv('daily', ..., min_max_columns => 'cents')
   //   CALL <catalog>.sys.refresh_mv('daily')
+  //   CALL <catalog>.sys.create_join3_mv('star', 'dim1', ..., 'fact', ..., 'dim2', ...)
+  //   CALL <catalog>.sys.rebucket_neardup('nd.seen', 'nd.pairs', 128)
   //
   // Every procedure resolves its `table` argument through the same
   // warehouse mapping as table reads (namespaces as dots), mutates via
@@ -373,7 +376,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   }
 
   private def proc(procName: String, params: Seq[(String, DataType)],
-      out: StructType)(body: InternalRow => Seq[Array[Any]]): UnboundProcedure =
+      out: StructType, defaults: Map[String, String] = Map.empty)(
+      body: InternalRow => Seq[Array[Any]]): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = s"graft snapshot maintenance: $procName"
@@ -381,7 +385,11 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         override def name(): String = procName
         override def description(): String = s"graft snapshot maintenance: $procName"
         override def parameters(): Array[ProcedureParameter] =
-          params.map { case (n, dt) => ProcedureParameter.in(n, dt).build() }.toArray
+          params.map { case (n, dt) =>
+            val b = ProcedureParameter.in(n, dt)
+            defaults.get(n).foreach(b.defaultValue)
+            b.build()
+          }.toArray
         override def isDeterministic: Boolean = false // they mutate the table
         override def call(input: InternalRow): java.util.Iterator[Scan] =
           resultScan(out, body(input), procName)
@@ -463,22 +471,51 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
     // history all work on it directly.
     proc("create_mv", Seq("view" -> StringType, "base" -> StringType,
       "key_columns" -> StringType, "group_columns" -> StringType,
-      "sum_columns" -> StringType, "buckets" -> IntegerType),
-      StructType(Seq(StructField("version", IntegerType, nullable = false)))) { in =>
+      "sum_columns" -> StringType, "buckets" -> IntegerType,
+      "min_max_columns" -> StringType),
+      StructType(Seq(StructField("version", IntegerType, nullable = false))),
+      defaults = Map("min_max_columns" -> "''")) { in =>
       def cols(i: Int): Seq[String] =
         str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val viewRoot = // the view does not exist yet: segment rules only
         (warehouse +: validSegments(str(in, 0).split('.').toSeq, "procedure view"))
           .mkString("/")
       Seq(Array(graft.operators.Mv.create(spark, viewRoot, tableRoot(str(in, 1)),
-        cols(2), cols(3), cols(4), mvBuckets = in.getInt(5)): Any))
+        cols(2), cols(3), cols(4), mvBuckets = in.getInt(5),
+        minMaxCols = cols(6)): Any))
     },
-    // the grouped count/sum over TWO co-bucketed snapshot tables (the
-    // star shape), maintained from either side's change feed — see
-    // operators.Mv.createJoin for the contract (same bucket count on
-    // both join keys, disjoint column names)
+    // the grouped count/sum over TWO co-clustered snapshot tables (the
+    // star shape — hash buckets with one shared count, or a time
+    // transform with one shared unit: the days(ts) event star works from
+    // SQL exactly like the bucket star), maintained from either side's
+    // change feed — see operators.Mv.createJoin for the contract
+    // (co-clustered join keys, disjoint column names). min_max_columns
+    // ('' = none) adds hybrid-maintained min/max like create_mv's.
     proc("create_join_mv", Seq("view" -> StringType,
       "left" -> StringType, "left_keys" -> StringType, "left_join" -> StringType,
+      "right" -> StringType, "right_keys" -> StringType, "right_join" -> StringType,
+      "group_columns" -> StringType, "sum_columns" -> StringType,
+      "buckets" -> IntegerType, "min_max_columns" -> StringType),
+      StructType(Seq(StructField("version", IntegerType, nullable = false))),
+      defaults = Map("min_max_columns" -> "''")) { in =>
+      def cols(i: Int): Seq[String] =
+        str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val viewRoot =
+        (warehouse +: validSegments(str(in, 0).split('.').toSeq, "procedure view"))
+          .mkString("/")
+      Seq(Array(graft.operators.Mv.createJoin(spark, viewRoot,
+        tableRoot(str(in, 1)), cols(2), str(in, 3),
+        tableRoot(str(in, 4)), cols(5), str(in, 6),
+        cols(7), cols(8), mvBuckets = in.getInt(9),
+        minMaxCols = cols(10)): Any))
+    },
+    // the TRILINEAR star (left dim - fact - right dim) from plain SQL —
+    // see operators.Mv.createJoin3 for the contract (each base clustered
+    // on its probed join key; the fact carries both FKs)
+    proc("create_join3_mv", Seq("view" -> StringType,
+      "left" -> StringType, "left_keys" -> StringType, "left_join" -> StringType,
+      "mid" -> StringType, "mid_keys" -> StringType,
+      "mid_join_left" -> StringType, "mid_join_right" -> StringType,
       "right" -> StringType, "right_keys" -> StringType, "right_join" -> StringType,
       "group_columns" -> StringType, "sum_columns" -> StringType,
       "buckets" -> IntegerType),
@@ -488,33 +525,55 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       val viewRoot =
         (warehouse +: validSegments(str(in, 0).split('.').toSeq, "procedure view"))
           .mkString("/")
-      Seq(Array(graft.operators.Mv.createJoin(spark, viewRoot,
+      Seq(Array(graft.operators.Mv.createJoin3(spark, viewRoot,
         tableRoot(str(in, 1)), cols(2), str(in, 3),
-        tableRoot(str(in, 4)), cols(5), str(in, 6),
-        cols(7), cols(8), mvBuckets = in.getInt(9)): Any))
+        tableRoot(str(in, 4)), cols(5), str(in, 6), str(in, 7),
+        tableRoot(str(in, 8)), cols(9), str(in, 10),
+        cols(11), cols(12), mvBuckets = in.getInt(13)): Any))
     },
-    // serves BOTH MV kinds: a join MV reports its LEFT base's watermark
-    // pair in from/to_version (the right pair is on Mv.refreshJoin's
-    // JoinRefresh for API callers)
+    // serves ALL THREE MV kinds (kind dispatch): a join/trilinear MV
+    // reports its LEFT base's watermark pair in from/to_version (the
+    // full tuple is on the API reports). recount_groups/recount_pruned
+    // are the min/max recount report (0/true when no recount ran).
     proc("refresh_mv", Seq("view" -> StringType),
       StructType(Seq(
         StructField("mode", StringType, nullable = false),
         StructField("from_version", IntegerType, nullable = false),
         StructField("to_version", IntegerType, nullable = false),
         StructField("groups_touched", LongType, nullable = false),
-        StructField("mv_version", IntegerType, nullable = true)))) { in =>
+        StructField("mv_version", IntegerType, nullable = true),
+        StructField("recount_groups", LongType, nullable = false),
+        StructField("recount_pruned", BooleanType, nullable = false)))) { in =>
       val root = tableRoot(str(in, 0))
-      val (mode, from, to, groups, v) =
-        if (graft.operators.Mv.isJoin(spark, root)) {
-          val r = graft.operators.Mv.refreshJoin(spark, root)
-          (r.mode, r.fromLeft, r.toLeft, r.groupsTouched, r.mvVersion)
-        } else {
-          val r = graft.operators.Mv.refresh(spark, root)
-          (r.mode, r.fromVersion, r.toVersion, r.groupsTouched, r.mvVersion)
+      val (mode, from, to, groups, v, recG, recP) =
+        graft.operators.Mv.kindOf(spark, root) match {
+          case "join" =>
+            val r = graft.operators.Mv.refreshJoin(spark, root)
+            (r.mode, r.fromLeft, r.toLeft, r.groupsTouched, r.mvVersion,
+              r.recountGroups, r.recountPruned)
+          case "join3" =>
+            val r = graft.operators.Mv.refreshJoin3(spark, root)
+            (r.mode, r.fromLeft, r.toLeft, r.groupsTouched, r.mvVersion, 0L, true)
+          case _ =>
+            val r = graft.operators.Mv.refresh(spark, root)
+            (r.mode, r.fromVersion, r.toVersion, r.groupsTouched, r.mvVersion,
+              r.recountGroups, r.recountPruned)
         }
       Seq(Array[Any](
         org.apache.spark.unsafe.types.UTF8String.fromString(mode),
-        from, to, groups, v.map(Int.box).orNull))
+        from, to, groups, v.map(Int.box).orNull, recG, recP))
+    },
+    // near-dup state migration: rewrite the seen/band state tables with
+    // every bucket value recomputed under the new count (see
+    // streaming.DocStreams.rebucket — pairs are untouched, exactly-once
+    // replay protection survives, crash-safe by order + idempotence)
+    proc("rebucket_neardup", Seq("seen" -> StringType, "pairs" -> StringType,
+      "buckets" -> IntegerType),
+      StructType(Seq(StructField("seen_version", IntegerType, nullable = false)))) { in =>
+      val seenRoot = tableRoot(str(in, 0))
+      val pairsRoot = tableRoot(str(in, 1))
+      graft.streaming.DocStreams.rebucket(spark, seenRoot, pairsRoot, in.getInt(2))
+      Seq(Array(graft.operators.Snapshots.versions(spark, seenRoot).last: Any))
     },
     proc("history", Seq("table" -> StringType), historySchema) { in =>
       historyRows(tableRoot(str(in, 0)))

@@ -71,14 +71,27 @@ object DocStreams {
   private def requireBucketContract(spark: SparkSession, seenRoot: String,
       buckets: Int): Unit = {
     import graft.operators.Snapshots
-    Snapshots.headerValue(spark, seenRoot, ND_BUCKETS_HEADER) match {
+    // a half-done REBUCKET (bands rewritten, seen marker not yet) leaves
+    // the band root's count stamp ahead of the seen contract — every
+    // ingest call refuses until the migration re-runs to completion
+    // (rebucket is idempotent: buckets recompute from raw values)
+    val seenStamp = Snapshots.headerValue(spark, seenRoot, ND_BUCKETS_HEADER)
+    Snapshots.headerValue(spark, bandRootOf(seenRoot), ND_BUCKETS_HEADER)
+      .filterNot(seenStamp.contains).foreach { bs =>
+        throw new IllegalArgumentException(
+          s"near-dup state at $seenRoot is HALF-REBUCKETED: the band state is " +
+            s"stamped buckets=$bs but the seen contract says " +
+            s"${seenStamp.getOrElse("<none>")} — re-run DocStreams.rebucket" +
+            s"(..., $bs) (or CALL sys.rebucket_neardup) to finish the migration")
+      }
+    seenStamp match {
       case Some(stored) =>
         require(stored.toInt == buckets,
           s"near-dup state at $seenRoot was built with buckets=$stored but this " +
-            s"call passed buckets=$buckets — the bucket count is fixed for a " +
-            "state set's lifetime (bucket values are baked into the stored " +
-            "rows); pass the original count, or wipe all three state roots to " +
-            "re-bucket")
+            s"call passed buckets=$buckets — the bucket count is fixed until " +
+            "migrated (bucket values are baked into the stored rows); pass the " +
+            "original count, or migrate with DocStreams.rebucket / " +
+            "CALL sys.rebucket_neardup")
       case None if Snapshots.versions(spark, seenRoot).nonEmpty =>
         // legacy adoption: the stored id_bucket values must RECOMPUTE
         // under this call's count — a one-doc state could pass by
@@ -92,10 +105,70 @@ object DocStreams {
             s"legacy near-dup state at $seenRoot (no ${ND_BUCKETS_HEADER.init} " +
               s"header) holds id_bucket values inconsistent with " +
               s"buckets=$buckets — pass the count the state was built with, " +
-              "or wipe all three state roots to re-bucket")
+              "or migrate with DocStreams.rebucket / CALL sys.rebucket_neardup")
         }
       case None => // fresh state: this call's count becomes the contract
     }
+  }
+
+  /** MIGRATE a near-dup state set to a new bucket count IN PLACE — the
+    * alternative to wiping and re-ingesting the corpus when the count
+    * chosen at day one no longer fits (too few buckets → coarse file
+    * pruning; too many → dir explosion). Rewrites the two
+    * bucket-carrying tables through the publish path with every
+    * bucket value RECOMPUTED from raw values (`id_bucket` from the doc
+    * id, band `bucket` from (band, bh)) and the new count stamped as
+    * the `#ndbuckets=` header: one layout-preserving rewrite version
+    * per root, no batch header, so the exactly-once replay contract is
+    * untouched ([[graft.operators.Snapshots.lastBatchId]] skips
+    * headerless versions). The pairs table stores nothing
+    * bucket-derived and is untouched. Cost: one clustered rewrite of
+    * seen + bands — O(state), the honest price of a re-layout, paid
+    * once instead of re-tokenizing the corpus.
+    *
+    * Crash-safe by ORDER + IDEMPOTENCE: bands rewrite first (stamping
+    * the band root), seen last (its header is the authoritative
+    * contract — the migration's commit marker). A crash in between
+    * leaves the two stamps disagreeing, which every ingest call refuses
+    * loudly ([[requireBucketContract]]) until this method re-runs —
+    * and re-running is always safe because bucket values derive from
+    * raw columns, never from the previous layout. Refuses a MID-BATCH
+    * state (pairs/bands holding a batch id the seen marker lacks):
+    * replay the in-flight trigger first, then migrate.
+    */
+  def rebucket(spark: SparkSession, seenRoot: String, pairsRoot: String,
+      newBuckets: Int): Unit = {
+    import graft.operators.Snapshots
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    val bandRoot = bandRootOf(seenRoot)
+    require(Snapshots.versions(spark, seenRoot).nonEmpty,
+      s"no near-dup state at $seenRoot — nothing to rebucket (a fresh state " +
+        "simply adopts whatever count its first batch passes)")
+    val seenId = Snapshots.lastBatchId(spark, seenRoot)
+    val bandId = Snapshots.lastBatchId(spark, bandRoot)
+    val pairId = Snapshots.lastBatchId(spark, pairsRoot)
+    require(bandId.forall(bi => seenId.exists(_ >= bi)) &&
+      pairId.forall(pi => seenId.exists(_ >= pi)),
+      s"near-dup state at $seenRoot is MID-BATCH (pairs/bands hold a batch id " +
+        "the seen commit marker lacks) — replay the in-flight trigger to " +
+        "completion, then rebucket")
+    val stamp = s"$ND_BUCKETS_HEADER$newBuckets"
+    val seenStamp = Snapshots.headerValue(spark, seenRoot, ND_BUCKETS_HEADER)
+    val bandStamp = Snapshots.headerValue(spark, bandRoot, ND_BUCKETS_HEADER)
+    if (seenStamp.contains(newBuckets.toString) &&
+        bandStamp.forall(_ == newBuckets.toString)) return // already there
+    if (Snapshots.versions(spark, bandRoot).nonEmpty) {
+      val bands = Snapshots.read(spark, bandRoot).drop("bucket")
+        .withColumn("bucket",
+          pmod(xxhash64(col("band"), col("bh")), lit(newBuckets.toLong)).cast("int"))
+      Snapshots.publish(spark, bandRoot, bands, clusterBy = Some("bucket"),
+        extraHeader = Seq(stamp))
+    }
+    val seen = Snapshots.read(spark, seenRoot).drop("id_bucket")
+      .withColumn("id_bucket",
+        pmod(xxhash64(col("doc_id")), lit(newBuckets.toLong)).cast("int"))
+    Snapshots.publish(spark, seenRoot, seen, clusterBy = Some("id_bucket"),
+      extraHeader = Seq(stamp))
   }
 
   /** Streaming incremental NEAR-dup dedup — the continuous-ingest form of

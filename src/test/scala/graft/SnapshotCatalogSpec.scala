@@ -394,6 +394,124 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .head.getString(0) === "noop")
   }
 
+  test("CALL create_mv with min_max_columns: hybrid min/max maintained from plain SQL") {
+    Snapshots.publish(spark, s"$warehouse/mmbase",
+      orders.select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      clusterBy = Some("o_orderpriority"))
+    val v = spark.sql(
+      "CALL snapcat.sys.create_mv('mmagg', 'mmbase', 'o_orderkey', " +
+        "'o_orderpriority', 'cents', 8, min_max_columns => 'cents')")
+      .head.getInt(0)
+    assert(v == 1)
+    def expected = spark.table("snapcat.mmbase").groupBy("o_orderpriority")
+      .agg(min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def got = spark.sql(
+      "SELECT o_orderpriority, min_cents, max_cents FROM snapcat.mmagg")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // a RETRACTION through SQL: the refresh recounts (and the report
+    // rides the CALL result — groups recounted, file-pruned on the
+    // group-clustered base)
+    spark.sql("DELETE FROM snapcat.mmbase WHERE o_orderkey % 3 = 0")
+    val rep = spark.sql("CALL snapcat.sys.refresh_mv('mmagg')").head
+    assert(rep.getString(0) === "incremental")
+    assert(rep.getLong(5) > 0L, s"recount_groups must surface: $rep")
+    assert(rep.getBoolean(6), s"recount_pruned must surface: $rep")
+    assert(got === expected)
+  }
+
+  test("CALL create_join_mv over a days(ts) time-star from plain SQL") {
+    val ev = Tables.load(spark, sf, "events")
+    Snapshots.publish(spark, s"$warehouse/tsfact",
+      ev.select(col("event_id").as("k"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents")),
+      clusterBy = Some("days(ts)"))
+    Snapshots.publish(spark, s"$warehouse/tsdim",
+      ev.select(col("ts").as("rts")).distinct()
+        .withColumn("grp", (dayofmonth(col("rts")) % 3).cast("string")),
+      clusterBy = Some("days(rts)"))
+    val v = spark.sql(
+      "CALL snapcat.sys.create_join_mv('tsagg', 'tsfact', 'k', 'ts', " +
+        "'tsdim', 'rts', 'rts', 'grp', 'cents', 8, " +
+        "min_max_columns => 'cents')").head.getInt(0)
+    assert(v == 1)
+    def expected = spark.table("snapcat.tsfact")
+      .join(spark.table("snapcat.tsdim"), col("ts") === col("rts"))
+      .groupBy("grp").agg(count(lit(1)).as("n"), min("cents"), max("cents"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def got = spark.sql(
+      "SELECT grp, n_rows, min_cents, max_cents FROM snapcat.tsagg")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // mutate the fact through SQL, refresh through the same procedure
+    spark.sql("DELETE FROM snapcat.tsfact WHERE k % 2 = 0")
+    val rep = spark.sql("CALL snapcat.sys.refresh_mv('tsagg')").head
+    assert(rep.getString(0) === "incremental")
+    assert(got === expected)
+  }
+
+  test("CALL create_join3_mv / refresh_mv: the trilinear star from plain SQL") {
+    Snapshots.publish(spark, s"$warehouse/t3fact",
+      orders.select(col("o_orderkey").as("k"), col("o_custkey"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      clusterBy = Some("bucket(8, o_custkey)"))
+    Snapshots.publish(spark, s"$warehouse/t3dim1",
+      Tables.load(spark, sf, "customer").select(
+        col("c_custkey"), col("c_mktsegment").as("seg")),
+      clusterBy = Some("bucket(8, c_custkey)"))
+    Snapshots.publish(spark, s"$warehouse/t3dim2",
+      orders.select(col("o_orderpriority").as("pr")).distinct()
+        .withColumn("plabel", concat(lit("P_"), col("pr"))),
+      clusterBy = Some("pr"))
+    val v = spark.sql(
+      "CALL snapcat.sys.create_join3_mv('t3agg', 't3dim1', 'c_custkey', " +
+        "'c_custkey', 't3fact', 'k', 'o_custkey', 'prio', " +
+        "'t3dim2', 'pr', 'pr', 'seg,plabel', 'cents', 8)").head.getInt(0)
+    assert(v == 1)
+    def expected = spark.table("snapcat.t3dim1")
+      .join(spark.table("snapcat.t3fact"), col("c_custkey") === col("o_custkey"))
+      .join(spark.table("snapcat.t3dim2"), col("prio") === col("pr"))
+      .groupBy("seg", "plabel").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def got = spark.sql("SELECT seg, plabel, n_rows FROM snapcat.t3agg")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // mutate fact AND a dim through SQL, one refresh through the SAME proc
+    spark.sql("DELETE FROM snapcat.t3fact WHERE k % 2 = 0")
+    spark.sql("UPDATE snapcat.t3dim2 SET plabel = 'MED*' WHERE pr = '3-MEDIUM'")
+    val rep = spark.sql("CALL snapcat.sys.refresh_mv('t3agg')").head
+    assert(rep.getString(0) === "incremental")
+    assert(got === expected)
+    assert(spark.sql("CALL snapcat.sys.refresh_mv('t3agg')")
+      .head.getString(0) === "noop")
+  }
+
+  test("CALL rebucket_neardup migrates the state set from plain SQL") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val (seen, pairs) = (s"$warehouse/ndseen", s"$warehouse/ndpairs")
+    val tA = "alpha beta gamma delta epsilon zeta"
+    DocStreams.upsertNearDup(seen, pairs, buckets = 4)(
+      Seq((1L, tA), (2L, tA)).toDF("doc_id", "text"), 0L)
+    val v = spark.sql(
+      "CALL snapcat.sys.rebucket_neardup('ndseen', 'ndpairs', 16)")
+      .head.getInt(0)
+    assert(v > 1, "rebucket must publish a rewrite version")
+    // old count refuses, new count pairs against the migrated state
+    val e = intercept[IllegalArgumentException](
+      DocStreams.upsertNearDup(seen, pairs, buckets = 4)(
+        Seq((3L, tA)).toDF("doc_id", "text"), 1L))
+    assert(e.getMessage.contains("buckets=16"), e.getMessage)
+    DocStreams.upsertNearDup(seen, pairs, buckets = 16)(
+      Seq((3L, tA)).toDF("doc_id", "text"), 1L)
+    val got = Snapshots.read(spark, pairs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("metadata tables: t.files / t.history / t.staged from plain SQL") {
     Snapshots.publish(spark, s"$warehouse/meta1",
       orders.repartition(3), clusterBy = Some("o_orderpriority"))

@@ -801,4 +801,80 @@ class StreamingSpec extends AnyFunSuite {
     DocStreams.incrementalNearDup(seen, pairs, buckets = 4)(df(6L -> tA), 3L)
     assert(pairSet == Set((1L, 4L), (1L, 6L), (4L, 6L)))
   }
+
+  test("rebucket migrates a near-dup state set in place: new count works, pairs survive, old count refuses") {
+    import spark.implicits._
+    import graft.operators.{MinHashDedup, Snapshots}
+    import graft.streaming.DocStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-rebkt").toString
+    val (seen, pairs) = (s"$base/seen", s"$base/pairs")
+    val bandRoot = DocStreams.bandRootOf(seen)
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "totally different content lives here now"
+    DocStreams.upsertNearDup(seen, pairs, buckets = 4)(
+      df(1L -> tA, 2L -> tA, 3L -> tB), 0L)
+    def pairSet = Snapshots.read(spark, pairs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairSet
+    assert(before == Set((1L, 2L)))
+
+    DocStreams.rebucket(spark, seen, pairs, 16)
+    // accumulated pairs untouched (nothing in a pair row is bucket-derived)
+    assert(pairSet == before)
+    // the stored layout really rebucketed: every id_bucket/bucket value
+    // recomputes under 16, and both tables re-clustered on it
+    val badSeen = Snapshots.read(spark, seen).filter(col("id_bucket") =!=
+      pmod(xxhash64(col("doc_id")), lit(16L)).cast("int")).count()
+    val badBand = Snapshots.read(spark, bandRoot).filter(col("bucket") =!=
+      pmod(xxhash64(col("band"), col("bh")), lit(16L)).cast("int")).count()
+    assert(badSeen == 0 && badBand == 0, "bucket values must recompute under 16")
+    assert(Snapshots.clusterOf(spark, seen,
+      Snapshots.versions(spark, seen).last).contains("id_bucket"))
+    // a second rebucket to the same count is a no-op (no new versions)
+    val vs = (Snapshots.versions(spark, seen), Snapshots.versions(spark, bandRoot))
+    DocStreams.rebucket(spark, seen, pairs, 16)
+    assert((Snapshots.versions(spark, seen),
+      Snapshots.versions(spark, bandRoot)) == vs)
+
+    // OLD-count calls refuse with the header message
+    val eOld = intercept[IllegalArgumentException](
+      DocStreams.upsertNearDup(seen, pairs, buckets = 4)(df(4L -> tA), 1L))
+    assert(eOld.getMessage.contains("buckets=16") &&
+      eOld.getMessage.contains("buckets=4"), eOld.getMessage)
+
+    // NEW-count upserts and deletes work against the migrated state:
+    // doc 4 inserts ~ 1 (cross-batch pair against PRE-migration state),
+    // then doc 2's takedown retracts its pairs
+    DocStreams.upsertNearDup(seen, pairs, buckets = 16)(df(4L -> tA), 1L)
+    assert(pairSet == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"post-migration pairing must see pre-migration state: $pairSet")
+    DocStreams.deleteNearDup(seen, pairs, buckets = 16)(Seq(2L).toDF("doc_id"), 2L)
+    val expected = MinHashDedup.verifiedPairs(
+        df(1L -> tA, 3L -> tB, 4L -> tA), "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == expected, s"$pairSet vs $expected")
+
+    // a HALF-DONE migration (bands stamped ahead of the seen contract —
+    // the crash-between-rewrites state) refuses every ingest verb until
+    // rebucket re-runs; re-running completes it (idempotent: buckets
+    // recompute from raw values)
+    Snapshots.publish(spark, bandRoot,
+      Snapshots.read(spark, bandRoot).drop("bucket").withColumn("bucket",
+        pmod(xxhash64(col("band"), col("bh")), lit(32L)).cast("int")),
+      clusterBy = Some("bucket"), extraHeader = Seq("#ndbuckets=32"))
+    val eHalf = intercept[IllegalArgumentException](
+      DocStreams.upsertNearDup(seen, pairs, buckets = 16)(df(5L -> tB), 3L))
+    assert(eHalf.getMessage.contains("HALF-REBUCKETED"), eHalf.getMessage)
+    DocStreams.rebucket(spark, seen, pairs, 32)
+    DocStreams.upsertNearDup(seen, pairs, buckets = 32)(df(5L -> tB), 3L)
+    assert(pairSet == expected + ((3L, 5L)),
+      s"post-recovery ingest must pair against migrated state: $pairSet")
+    // a mid-batch state (pairs ahead of the seen marker) refuses to migrate
+    Snapshots.publishStreamBatch(spark, pairs,
+      Snapshots.read(spark, pairs).limit(0), batchId = 9L)
+    val eMid = intercept[IllegalArgumentException](
+      DocStreams.rebucket(spark, seen, pairs, 64))
+    assert(eMid.getMessage.contains("MID-BATCH"), eMid.getMessage)
+  }
 }
