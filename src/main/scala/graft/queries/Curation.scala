@@ -270,12 +270,52 @@ object Curation {
           col("min_key").as("min_id"), col("max_key").as("max_id"))
     },
 
-    // BPE tokenizer training: the merge table learned from the corpus'
-    // word histogram (distributed scan + TopK; the bounded merge loop is
-    // driver compute, the IVF-centroid pattern). Iterative greedy argmax
-    // has no SQL mirror — the merge semantics are pinned by CurationSpec's
-    // hand-computed Sennrich-style fixture instead.
-    QueryDef.rowsOnly("q89_bpe_merges") { (s, dir) =>
+    // BPE tokenizer training under the oracle hash: the merge table
+    // learned from the corpus' word histogram (distributed scan + TopK;
+    // the bounded merge loop is driver compute, the IVF-centroid
+    // pattern). The 40 greedy merge DECISIONS — rank, pair, integer
+    // co-occurrence count — replay in DuckDB as 40 chained CTE
+    // iterations (the q117 fixed-iteration discipline): each word's
+    // segmentation rides as a chr(31)-framed symbol string ("·a··b··c·",
+    // every symbol wrapped in its own separators — the corpus is
+    // whitespace-split so symbols never contain the frame), pair counts
+    // come from splitting on the double frame, the argmax tie-breaks
+    // (count DESC, pair ASC — binary collation, both engines), and ONE
+    // merge applies as a non-overlapping left-to-right string replace of
+    // "·l··r·" with "·lr·" — exactly the Scala fold's greedy
+    // non-overlap semantics. Integer counts and ASCII tokens only, so
+    // the hash pins every decision bit-exactly.
+    QueryDef.checked(
+      "q89_bpe_merges", {
+        val S = "chr(31)"
+        val iters = (1 to 40).map { i =>
+          s"""p$i AS MATERIALIZED (SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+             |  FROM (SELECT l, cnt, unnest(generate_series(1, len(l) - 1)) AS i
+             |        FROM (SELECT string_split(trim(rep, $S), $S || $S) AS l, cnt
+             |              FROM w$i)
+             |        WHERE len(l) >= 2)
+             |  GROUP BY 1, 2),
+             |m$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+             |w${i + 1} AS MATERIALIZED (SELECT replace(rep,
+             |    (SELECT $S || a || $S || $S || b || $S FROM m$i),
+             |    (SELECT $S || a || b || $S FROM m$i)) AS rep, cnt FROM w$i)"""
+            .stripMargin
+        }.mkString(",\n")
+        val unions = (1 to 40).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS rank, a AS "left", b AS "right",
+             |  a || b AS merged, c AS "count" FROM m$i""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH h AS (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '${DuckSql.ws}+')) AS word
+           |        FROM documents)
+           |  WHERE length(word) > 0
+           |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20000),
+           |w1 AS MATERIALIZED (SELECT $S || array_to_string(regexp_split_to_array(word, ''),
+           |    $S || $S) || $S AS rep, cnt FROM h),
+           |$iters
+           |$unions""".stripMargin
+      }) { (s, dir) =>
       graft.operators.Bpe.trainDf(s, t(s, dir, "documents"),
         numMerges = 40, maxWords = 20000)
     },
