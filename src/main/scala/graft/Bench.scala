@@ -186,23 +186,28 @@ object Bench {
     // code change — "same query set" is NOT "same code" (a commit can
     // change engine internals without touching query names, and folding a
     // pre-change run's faster minima would mask the regression). The id is
-    // the git HEAD sha, plus a digest of the working-tree diff when dirty,
-    // so only byte-identical code states fold together. "unknown" (no git)
-    // never folds with anything.
+    // the git HEAD sha, plus a digest of the working-tree diff when dirty
+    // — over CODE PATHS ONLY (src/, build.sbt, project/, scripts/): the
+    // driver's own artifact files (LEAKCHECK/CORRECTNESS/BENCH_*) are
+    // routinely dirty at stamp time and digesting them blocked r13's own
+    // fold (same code, different artifact dirt → different ids, zero
+    // files folded). Only byte-identical CODE states fold together;
+    // "unknown" (no git) never folds with anything.
     val codeId: String = try {
       def run(cmd: String*): (Int, String) = {
         val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
         (p.waitFor(), out)
       }
+      val codePaths = Seq("src", "build.sbt", "project", "scripts")
       val (rc, head) = run("git", "rev-parse", "HEAD")
       if (rc != 0 || !head.matches("[0-9a-f]{40}")) "unknown"
       else {
-        val (rc2, st) = run("git", "status", "--porcelain")
+        val (rc2, st) = run(Seq("git", "status", "--porcelain", "--") ++ codePaths: _*)
         if (rc2 != 0) "unknown"
         else if (st.isEmpty) head
         else {
-          val (_, diff) = run("git", "diff", "HEAD")
+          val (_, diff) = run(Seq("git", "diff", "HEAD", "--") ++ codePaths: _*)
           val md = java.security.MessageDigest.getInstance("MD5")
             .digest((st + "\n" + diff).getBytes("UTF-8"))
           head + "+" + md.map("%02x".format(_)).mkString.take(12)
@@ -293,11 +298,15 @@ object Bench {
     val budget = 1700 // tail window 2000 minus sbt's trailing lines
     // headline `value`/`total_cold` are the min-of-runs FOLDS (reproducible
     // across same-code runs without a reader consulting the detail files);
-    // the single-run sums ride along as *_thisrun for weather visibility
-    val head = s"""{"metric":"total","value":${r2(foldWarm)},"unit":"sec","k":$k,""" +
+    // the single-run sums ride along as *_thisrun for weather visibility.
+    // The metric NAME says so — "total_minruns", not "total" — because
+    // pre-r13 artifacts' `value` was a single-run sum and a cross-round
+    // reader must see the semantic break, not silently compare the two;
+    // the code id rides along so any quoted fold names what it folds over.
+    val head = s"""{"metric":"total_minruns","value":${r2(foldWarm)},"unit":"sec","k":$k,""" +
       s""""total_cold":${r2(foldCold)},"filtered":${only.nonEmpty},""" +
       s""""value_thisrun":${r2(total)},"total_cold_thisrun":${r2(totalCold)},""" +
-      s""""minruns_files":$minRunsFiles,""" +
+      s""""minruns_files":$minRunsFiles,"code":"$codeId",""" +
       s""""load":${r2(loadStart)},"cgroup_cpu_quota":"$quotaStart",""" +
       s""""detail":"$detailPath","failures":[${failures.mkString(",")}],""" +
       s""""sf":"$sfDir","queries":"""

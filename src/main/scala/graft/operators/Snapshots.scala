@@ -490,15 +490,21 @@ object Snapshots {
     try rdr.getRecordCount finally rdr.close()
   }
 
-  /** Outstanding dv key-row totals per (root, version) — a committed
-    * version's dv set is immutable, so the sum never changes; bounded
-    * LRU so a long-lived session touching many roots stays O(1) memory.
+  /** Outstanding dv key-row totals per (root, version, dv-set identity) —
+    * a committed version's dv set is immutable, so the sum never changes
+    * FOR THAT SET; but roots are routinely deleted and re-created at the
+    * same path (test fixtures, idempotent-rerun wipes), and a re-created
+    * table reaching the same version number must never reuse the old
+    * count, so the key carries a digest of the dv file list (each entry
+    * names an immutable `data/<uuid>/…` key file — a different set can
+    * never collide). Bounded LRU so a long-lived session touching many
+    * roots stays O(1) memory.
     */
-  private val dvOutstandingCache: java.util.Map[(String, Int), java.lang.Long] =
+  private val dvOutstandingCache: java.util.Map[(String, Int, String), java.lang.Long] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Int), java.lang.Long](64, 0.75f, true) {
+      new java.util.LinkedHashMap[(String, Int, String), java.lang.Long](64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Int), java.lang.Long]): Boolean =
+            e: java.util.Map.Entry[(String, Int, String), java.lang.Long]): Boolean =
           size() > 256
       })
 
@@ -530,7 +536,13 @@ object Snapshots {
     // plannings of the same dv-carrying version re-check for free.
     if (dvs.nonEmpty) {
       val bound = spark.conf.get("spark.graft.dv.maxProbeKeys", "2000000").toLong
-      val outstanding: Long = dvOutstandingCache.computeIfAbsent((root, version),
+      val dvSetId = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(dvs.map(d => s"${d.file}@${d.version}").sorted.mkString("\n")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val outstanding: Long = dvOutstandingCache.computeIfAbsent(
+        (root, version, dvSetId),
         _ => Long.box(dvs.map(d => parquetRecordCount(spark, new Path(root, d.file))).sum))
       require(outstanding <= bound,
         s"v$version under $root carries ~$outstanding outstanding deleted-key " +
