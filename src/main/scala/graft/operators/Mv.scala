@@ -660,7 +660,24 @@ object Mv {
           .distinct().collect().map(_.getString(0)).toSet
         val dirRe = "__cluster=([^/]+)/".r
         (all.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1)))), true)
-      case None => (all, false)
+      case None =>
+        // header routing unavailable — the layout was lost, or the probed
+        // key is not this table's cluster key (the trilinear fact under a
+        // right-dim delta). Fall back to ADVISORY footer-stats pruning by
+        // the delta keys' min/max envelope: filesWhere passes files
+        // without usable stats, so a genuine match can never drop. Still
+        // REPORTED unpruned — the envelope is no structural bound (a wide
+        // delta or an uncorrelated layout keeps everything) — but a
+        // narrow delta over a range-correlated layout reads only the
+        // overlapping files instead of the table.
+        val b = deltaKeys.na.drop()
+          .agg(min(col(deltaKeys.columns.head)), max(col(deltaKeys.columns.head)))
+          .collect().head
+        val fl =
+          if (b.isNullAt(0) || b.isNullAt(1)) all
+          else Snapshots.filesWhere(spark, root, version,
+            Map(joinKey -> ((b.get(0), b.get(1)))))
+        (fl, false)
     }
     (Snapshots.readFiles(spark, root, files,
       Snapshots.schemaOf(spark, root, version), s"$root v$version bucket probe"),

@@ -340,13 +340,24 @@ class MvSpec extends AnyFunSuite {
     assert(probed.count() === expected.toLong,
       "probe must read exactly the colliding bucket's files")
     assert(probed.count() < 400, "an unpruned probe would betray the claim")
-    // a table whose layout was dropped degrades to the unpruned read —
-    // and SAYS so in the pruned flag
+    // a table whose layout was dropped degrades to the FALLBACK read —
+    // reported unpruned (no structural bound), but still stats-bounded:
+    // every row matching the delta key survives, and with a
+    // range-correlated layout (disjoint per-file ck envelopes) the
+    // advisory footer-stats prune reads a strict file subset
     val b2 = s"$wh/probe2"
-    Snapshots.publish(spark, b2, (0L until 50L).map(k => (k, k)).toDF("ck", "v"))
+    Snapshots.publish(spark, b2, (0L until 50L).map(k => (k, k)).toDF("ck", "v")
+      .repartitionByRange(5, col("ck")).sortWithinPartitions("ck"))
     val (p2, pruned2) = Mv.bucketProbe(spark, b2, 1, "ck", delta)
-    assert(p2.count() === 50)
-    assert(!pruned2, "an unpruned fallback probe must report itself")
+    assert(!pruned2, "a fallback probe must report itself unpruned")
+    assert(p2.filter(col("ck") === 7L).count() === 1,
+      "the advisory prune must never drop a matching row")
+    assert(p2.count() < 50,
+      "a narrow delta over disjoint file envelopes must read a file subset")
+    // NULL-only delta keys keep the conservative full read
+    val (p3, _) = Mv.bucketProbe(spark, b2, 1, "ck",
+      Seq[Option[Long]](None).toDF("ck"))
+    assert(p3.count() === 50)
   }
 
   test("join-MV probe prunes time-transform layouts to colliding calendar units") {
