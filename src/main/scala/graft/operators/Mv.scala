@@ -583,7 +583,28 @@ object Mv {
           .collect().map(_.getString(0)).toSet
         val dirRe = "__cluster=([^/]+)/".r
         (all.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1)))), true)
-      case None => (all, false)
+      case None =>
+        // no group-column routing — ADVISORY footer-stats fallback (the
+        // bucketProbe discipline): bound every group column by the
+        // retracted tuples' min/max envelope; filesWhere passes files
+        // without usable stats, so a genuine match never drops. ONLY
+        // when no retracted tuple carries a NULL group value — footer
+        // stats describe non-null values, so a file holding a retracted
+        // NULL group's rows could otherwise prune away. Reported
+        // unpruned either way (the envelope is no structural bound).
+        val aggs = count(lit(1)).as("__n") +: groupCols.flatMap(c => Seq(
+          count(col(c)).as(s"__nn_$c"),
+          min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+        val row = groups.agg(aggs.head, aggs.tail: _*).collect().head
+        val n = row.getLong(0)
+        val noNulls = groupCols.indices.forall(i => row.getLong(1 + 3 * i) == n)
+        val ranges = groupCols.zipWithIndex.flatMap { case (c, i) =>
+          val (lo, hi) = (row.get(2 + 3 * i), row.get(3 + 3 * i))
+          if (lo == null || hi == null) None else Some(c -> ((lo, hi)))
+        }.toMap
+        if (n > 0 && noNulls && ranges.nonEmpty)
+          (Snapshots.filesWhere(spark, root, version, ranges), false)
+        else (all, false)
     }
     (Snapshots.readFiles(spark, root, files,
       Snapshots.schemaOf(spark, root, version), s"$root v$version group probe"),

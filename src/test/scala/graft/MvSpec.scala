@@ -572,6 +572,28 @@ class MvSpec extends AnyFunSuite {
       .select("min_v").head.getLong(0) === 10L)
   }
 
+  test("min/max recount survives a NULL-group retraction (stats fallback stays conservative)") {
+    import spark.implicits._
+    val b = s"$wh/mmnull"; val m = s"$wh/mmnullv"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, null, 10L), (2L, null, 30L), (3L, "x", 7L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      minMaxCols = Seq("v"))
+    // delete the NULL group's minimum: footer stats describe non-null
+    // values only, so the advisory envelope prune must step aside and
+    // the recount must still see the surviving NULL-group row
+    Snapshots.mergeByKey(spark, b,
+      Seq((1L, null.asInstanceOf[String], 0L, true)).toDF("k", "g", "v", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "incremental" && r.recountGroups === 1L && !r.recountPruned,
+      s"got $r")
+    val nullMin = Mv.read(spark, m).filter(col("g").isNull)
+      .select("min_v").head.getLong(0)
+    assert(nullMin === 30L, "the NULL group's minimum must recount correctly")
+    assert(collectMv(Mv.read(spark, m)) === recompute(b))
+  }
+
   test("min/max recount FILE-prunes to the retracted groups' cluster dirs") {
     import spark.implicits._
     import graft.sources.CountingFileSystem
