@@ -821,7 +821,8 @@ object Mv {
       midRoot: String, midKeyCols: Seq[String],
       joinMidLeft: String, joinMidRight: String,
       rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
-      groupCols: Seq[String], sumCols: Seq[String])
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil)
 
   /** One trilinear refresh's outcome: the watermark TRIPLE, plus the
     * per-base probe report ([[JoinRefresh]]'s discipline): `false` on a
@@ -836,7 +837,8 @@ object Mv {
       fromRight: Int, toRight: Int,
       groupsTouched: Long, mvVersion: Option[Int],
       probePrunedLeft: Boolean = true, probePrunedMid: Boolean = true,
-      probePrunedRight: Boolean = true)
+      probePrunedRight: Boolean = true,
+      recountGroups: Long = 0L, recountPruned: Boolean = true)
 
   /** The watermark TRIPLE packed into the one manifest batch id: 21 bits
     * per component (versions < 2 097 152 — far past any real manifest
@@ -865,7 +867,8 @@ object Mv {
       s"rbase=${d.rightRoot}", s"rkeys=${d.rightKeyCols.mkString(",")}",
       s"rjoin=${d.joinRight}",
       s"groups=${d.groupCols.mkString(",")}",
-      s"sums=${d.sumCols.mkString(",")}"))
+      s"sums=${d.sumCols.mkString(",")}",
+      s"minmax=${d.minMaxCols.mkString(",")}"))
   }
 
   /** The stored [[Join3Definition]] of a trilinear-MV root. */
@@ -877,7 +880,8 @@ object Mv {
     Join3Definition(kv("lbase"), defCols(kv, "lkeys"), kv("ljoin"),
       kv("mbase"), defCols(kv, "mkeys"), kv("mjoinl"), kv("mjoinr"),
       kv("rbase"), defCols(kv, "rkeys"), kv("rjoin"),
-      defCols(kv, "groups"), defCols(kv, "sums"))
+      defCols(kv, "groups"), defCols(kv, "sums"),
+      kv.get("minmax").map(_.split(",", -1).toSeq.filter(_.nonEmpty)).getOrElse(Nil))
   }
 
   /** The MV root's kind — `single` | `join` | `join3` — the dispatch
@@ -897,19 +901,28 @@ object Mv {
     * `joinMidRight`, so a right-dim delta's fact probe runs unpruned
     * (reported, never silent — see [[Join3Refresh]].probePrunedMid);
     * keep the volatile dims on the clustered side of the chain.
+    * `minMaxCols` maintains `min_<c>`/`max_<c>` hybrid exactly like
+    * [[createJoin]]'s — algebraic when no RAW feed retracted (the
+    * inclusion–exclusion correction terms' synthetic deletes are
+    * duplicate rows); under genuine retraction the per-group recount
+    * restricts the group-carrying base first and chains the probes
+    * outward through each table's own header, reported via
+    * `recountGroups`/`recountPruned`.
     */
   def createJoin3(spark: SparkSession, mvRoot: String,
       leftRoot: String, leftKeyCols: Seq[String], joinLeft: String,
       midRoot: String, midKeyCols: Seq[String],
       joinMidLeft: String, joinMidRight: String,
       rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
-      groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64): Int = {
+      groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64,
+      minMaxCols: Seq[String] = Nil): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
     require(leftKeyCols.nonEmpty && midKeyCols.nonEmpty && rightKeyCols.nonEmpty,
       "a trilinear MV needs each base's unique row key (CDF classification)")
     require(groupCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
-      sumCols.intersect(Seq(GkCol, TombCol)).isEmpty,
-      s"'$GkCol'/'$TombCol' are reserved MV columns")
+      sumCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
+      minMaxCols.intersect(Seq(GkCol, TombCol, MmStaleCol)).isEmpty,
+      s"'$GkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val roots = Seq(leftRoot, midRoot, rightRoot)
     val vs = roots.map(r => Snapshots.versions(spark, r))
     require(vs.forall(_.nonEmpty), "all three bases need published versions")
@@ -926,7 +939,7 @@ object Mv {
     val joinedSchema = org.apache.spark.sql.types.StructType(
       schemas.flatMap(_.fields).toArray)
     requireDefCols(joinedSchema, leftKeyCols ++ midKeyCols ++ rightKeyCols,
-      groupCols, sumCols, Nil,
+      groupCols, sumCols, minMaxCols,
       s"the joined relation of $leftRoot ⋈ $midRoot ⋈ $rightRoot")
     requireExactSums(joinedSchema, sumCols)
     // the probe contract: each base clustered on the key its full-side
@@ -950,13 +963,13 @@ object Mv {
       fs(spark, mvRoot).delete(defPath(mvRoot), false)
     writeJoin3Def(spark, mvRoot, Join3Definition(leftRoot, leftKeyCols, joinLeft,
       midRoot, midKeyCols, joinMidLeft, joinMidRight,
-      rightRoot, rightKeyCols, joinRight, groupCols, sumCols))
+      rightRoot, rightKeyCols, joinRight, groupCols, sumCols, minMaxCols))
     val joined = Snapshots.read(spark, leftRoot, Some(wL))
       .join(Snapshots.read(spark, midRoot, Some(wM)),
         col(joinLeft) === col(joinMidLeft))
       .join(Snapshots.read(spark, rightRoot, Some(wR)),
         col(joinMidRight) === col(joinRight))
-    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols)
+    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols, minMaxCols)
       .withColumn(GkCol, gk(groupCols))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = encWm3(wL, wM, wR),
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
@@ -1007,7 +1020,8 @@ object Mv {
       .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
         col(d.joinMidRight) === col(d.joinRight))
     if (!canDiff) {
-      val mv = IncrementalView.countSum(joinedNow, d.groupCols, d.sumCols)
+      val mv = IncrementalView.countSum(joinedNow, d.groupCols, d.sumCols,
+        d.minMaxCols)
         .withColumn(GkCol, gk(d.groupCols))
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = batchId,
         append = false,
@@ -1081,7 +1095,7 @@ object Mv {
       for (l <- dl; m <- dm; r <- dr)
         terms += l.join(m, condLM).join(r, condMR)
           .withColumn("__sign", col("__sl") * col("__sm") * col("__sr"))
-      val outCols = (d.groupCols ++ d.sumCols).distinct
+      val outCols = (d.groupCols ++ d.sumCols ++ d.minMaxCols).distinct
       val delta = terms.result().map(t => t.select(
           (outCols.map(col) :+
             when(col("__sign") === 1L, lit("insert")).otherwise(lit("delete"))
@@ -1091,10 +1105,64 @@ object Mv {
         val touched = delta.select(
           (gk(d.groupCols).as(GkCol) +: d.groupCols.map(col)): _*).distinct().persist()
         try {
+          // min/max: the inclusion-exclusion terms' synthetic deletes are
+          // duplicate rows when all three RAW feeds only inserted (every
+          // negative term's rows are a subset of a positive term's, since
+          // ΔX ⊆ X'), so the algebraic combine stays exact and the
+          // recount elides — the bilinear argument, one relation deeper
+          val netInsertOnly = d.minMaxCols.nonEmpty &&
+            dl.forall(_.filter(col("__sl") === -1L).isEmpty) &&
+            dm.forall(_.filter(col("__sm") === -1L).isEmpty) &&
+            dr.forall(_.filter(col("__sr") === -1L).isEmpty)
+          // recount under genuine retraction: restrict the GROUP-CARRYING
+          // base to the retracted tuples first, then chain the probes
+          // outward through each table's own header — O(group side +
+          // colliding groups' files); groups spanning bases fall back to
+          // the full 3-way join, row-pruned above it (recountPruned false)
+          val recountOf: DataFrame => (DataFrame, Boolean) = { retracted =>
+            def fieldsOf(root: String, v: Int) =
+              Snapshots.schemaOf(spark, root, v)
+                .getOrElse(Snapshots.read(spark, root, Some(v)).schema)
+                .fieldNames.toSet
+            val onLeft = d.groupCols.forall(fieldsOf(d.leftRoot, curL))
+            lazy val onMid = d.groupCols.forall(fieldsOf(d.midRoot, curM))
+            lazy val onRight = d.groupCols.forall(fieldsOf(d.rightRoot, curR))
+            if (onLeft) {
+              val gp = semiOnGroups(Snapshots.read(spark, d.leftRoot, Some(curL)),
+                retracted, d.groupCols)
+              val (m, p1) = bucketProbe(spark, d.midRoot, curM, d.joinMidLeft,
+                gp.select(d.joinLeft))
+              val gm = gp.join(m, condLM)
+              val (r, p2) = bucketProbe(spark, d.rightRoot, curR, d.joinRight,
+                gm.select(d.joinMidRight))
+              (gm.join(r, condMR), p1 && p2)
+            } else if (onMid) {
+              val gp = semiOnGroups(Snapshots.read(spark, d.midRoot, Some(curM)),
+                retracted, d.groupCols)
+              val (l, p1) = bucketProbe(spark, d.leftRoot, curL, d.joinLeft,
+                gp.select(d.joinMidLeft))
+              val (r, p2) = bucketProbe(spark, d.rightRoot, curR, d.joinRight,
+                gp.select(d.joinMidRight))
+              (l.join(gp, condLM).join(r, condMR), p1 && p2)
+            } else if (onRight) {
+              val gp = semiOnGroups(Snapshots.read(spark, d.rightRoot, Some(curR)),
+                retracted, d.groupCols)
+              val (m, p1) = bucketProbe(spark, d.midRoot, curM, d.joinMidRight,
+                gp.select(d.joinRight))
+              val gm = m.join(gp, condMR)
+              val (l, p2) = bucketProbe(spark, d.leftRoot, curL, d.joinLeft,
+                gm.select(d.joinMidLeft))
+              (l.join(gm, condLM), p1 && p2)
+            } else {
+              (semiOnGroups(joinedNow, retracted, d.groupCols), false)
+            }
+          }
           val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
-            delta, touched, batchId)
+            delta, touched, batchId, minMaxCols = d.minMaxCols,
+            recountFrom = Some(recountOf), netInsertOnly = netInsertOnly)
           Join3Refresh("incremental", wL, curL, wM, curM, wR, curR,
-            a.groups, a.mvVersion, prunedL, prunedM, prunedR)
+            a.groups, a.mvVersion, prunedL, prunedM, prunedR,
+            recountGroups = a.recountGroups, recountPruned = a.recountPruned)
         } finally touched.unpersist()
       } finally delta.unpersist()
     } finally { Seq(dl, dm, dr).foreach(_.foreach(_.unpersist())) }

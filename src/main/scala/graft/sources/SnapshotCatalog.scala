@@ -518,8 +518,9 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       "mid_join_left" -> StringType, "mid_join_right" -> StringType,
       "right" -> StringType, "right_keys" -> StringType, "right_join" -> StringType,
       "group_columns" -> StringType, "sum_columns" -> StringType,
-      "buckets" -> IntegerType),
-      StructType(Seq(StructField("version", IntegerType, nullable = false)))) { in =>
+      "buckets" -> IntegerType, "min_max_columns" -> StringType),
+      StructType(Seq(StructField("version", IntegerType, nullable = false))),
+      defaults = Map("min_max_columns" -> "''")) { in =>
       def cols(i: Int): Seq[String] =
         str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val viewRoot =
@@ -529,7 +530,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         tableRoot(str(in, 1)), cols(2), str(in, 3),
         tableRoot(str(in, 4)), cols(5), str(in, 6), str(in, 7),
         tableRoot(str(in, 8)), cols(9), str(in, 10),
-        cols(11), cols(12), mvBuckets = in.getInt(13)): Any))
+        cols(11), cols(12), mvBuckets = in.getInt(13),
+        minMaxCols = cols(14)): Any))
     },
     // serves ALL THREE MV kinds (kind dispatch): a join/trilinear MV
     // reports its LEFT base's watermark pair in from/to_version (the
@@ -553,7 +555,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
               r.recountGroups, r.recountPruned)
           case "join3" =>
             val r = graft.operators.Mv.refreshJoin3(spark, root)
-            (r.mode, r.fromLeft, r.toLeft, r.groupsTouched, r.mvVersion, 0L, true)
+            (r.mode, r.fromLeft, r.toLeft, r.groupsTouched, r.mvVersion,
+              r.recountGroups, r.recountPruned)
           case _ =>
             val r = graft.operators.Mv.refresh(spark, root)
             (r.mode, r.fromVersion, r.toVersion, r.groupsTouched, r.mvVersion,

@@ -912,6 +912,60 @@ class MvSpec extends AnyFunSuite {
     assert(collect3(m) === recompute3(l, f, r))
   }
 
+  test("trilinear min/max: recount under retraction equals the 3-way recompute, insert-only elides") {
+    import spark.implicits._
+    val l = s"$wh/t3ml"; val f = s"$wh/t3mf"; val r = s"$wh/t3mr"; val m = s"$wh/t3mm"
+    publishStar3(l, f, r,
+      Seq((10L, "a"), (11L, "b")),
+      Seq((1L, 10L, 1L, 100L), (2L, 10L, 1L, 300L),
+        (3L, 11L, 2L, 50L), (4L, 11L, 2L, 500L)),
+      Seq((1L, "P1"), (2L, "P2")))
+    Mv.createJoin3(spark, m, l, Seq("ck2"), "ck2",
+      f, Seq("k"), "ck", "prio", r, Seq("pr"), "pr",
+      Seq("seg"), Seq("cents"), mvBuckets = 4, minMaxCols = Seq("cents"))
+    def mm: Map[String, (Long, Long)] = Mv.read(spark, m)
+      .select("seg", "min_cents", "max_cents").collect()
+      .map(rr => rr.getString(0) -> ((rr.getLong(1), rr.getLong(2)))).toMap
+    assert(mm === Map("a" -> ((100L, 300L)), "b" -> ((50L, 500L))))
+    // INSERT-only on two sides with colliding deltas: a new fact row
+    // joins a new dim row — correction terms emit synthetic deletes,
+    // yet no raw feed retracted, so the recount must elide
+    Snapshots.publish(spark, f, Seq((5L, 12L, 1L, 900L)).toDF("k", "ck", "prio", "cents"),
+      append = true, clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, l, Seq((12L, "a")).toDF("ck2", "seg"),
+      append = true, clusterBy = Some("bucket(4, ck2)"))
+    val r1 = Mv.refreshJoin3(spark, m)
+    assert(r1.mode === "incremental" && r1.recountGroups === 0L && r1.recountPruned,
+      s"insert-only raw feeds must elide the recount: $r1")
+    assert(mm === Map("a" -> ((100L, 900L)), "b" -> ((50L, 500L))))
+    // RETRACTIONS: delete a's max (fact) and move dim 11 to a new
+    // segment (left-dim retraction) — groups live on the LEFT dim, so
+    // the recount restricts the dim first and chains pruned probes
+    Snapshots.mergeByKey(spark, f,
+      Seq((5L, 12L, 1L, 0L, true)).toDF("k", "ck", "prio", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    Snapshots.mergeByKey(spark, l,
+      Seq((11L, "moved", false)).toDF("ck2", "seg", "__del"),
+      keyCols = Seq("ck2"), tombstoneCol = Some("__del"))
+    val r2 = Mv.refreshJoin3(spark, m)
+    assert(r2.mode === "incremental", s"got $r2")
+    assert(r2.recountGroups > 0L && r2.recountPruned,
+      s"a genuine retraction recounts through pruned probes: $r2")
+    assert(mm === Map("a" -> ((100L, 300L)), "moved" -> ((50L, 500L))))
+    // full equality against the 3-way recompute, min/max included
+    val rec = IncrementalView.countSum(
+      Snapshots.read(spark, l)
+        .join(Snapshots.read(spark, f), col("ck2") === col("ck"))
+        .join(Snapshots.read(spark, r), col("prio") === col("pr")),
+      Seq("seg"), Seq("cents"), Seq("cents"))
+      .select("seg", "n_rows", "sum_cents", "min_cents", "max_cents")
+      .collect().map(_.toSeq).toSet
+    val got = Mv.read(spark, m)
+      .select("seg", "n_rows", "sum_cents", "min_cents", "max_cents")
+      .collect().map(_.toSeq).toSet
+    assert(got === rec)
+  }
+
   test("trilinear refusals: cluster contract, ambiguous names, kind dispatch") {
     import spark.implicits._
     val l = s"$wh/t3l3"; val f = s"$wh/t3f3"; val r = s"$wh/t3r3"
