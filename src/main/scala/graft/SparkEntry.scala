@@ -28,6 +28,7 @@ object SparkEntry {
       q.Extras7.entries ++
       q.Extras8.entries ++
       q.Extras9.entries ++
+      q.Extras10.entries ++
       q.Curation.entries
 
   {

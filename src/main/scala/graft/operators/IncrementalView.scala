@@ -27,17 +27,22 @@ object IncrementalView {
     * `sum` over an all-NULL group is NULL, and the maintained view must
     * reproduce that bit-identically. `minMaxCols` adds `min_<c>`/
     * `max_<c>` — exact SELECTIONS (not accumulations), so float columns
-    * are fine here even though sums refuse them.
+    * are fine here even though sums refuse them. `distinctCols` adds
+    * `nd_<c>` = COUNT(DISTINCT c) per group (NULLs ignored, like SQL's)
+    * — the stored half of the two-level maintenance [[graft.operators.Mv]]
+    * runs through its per-value companion tables; this aggregate itself
+    * is only the initial/full compute.
     */
   def countSum(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil): DataFrame = {
+      minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "countSum needs group columns")
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
           count(col(c)).as(s"nn_$c"))) ++
         minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-          max(col(c)).as(s"max_$c"))): _*)
+          max(col(c)).as(s"max_$c"))) ++
+        distinctCols.map(c => countDistinct(col(c)).as(s"nd_$c")): _*)
   }
 
   /** Apply a CDF (from [[Snapshots.changes]] with `preImages = true`) to a
@@ -57,7 +62,7 @@ object IncrementalView {
     */
   def applyCountSum(mv: DataFrame, cdf: DataFrame,
       groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil): DataFrame = {
+      minMaxCols: Seq[String] = Nil, carryCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "applyCountSum needs group columns")
     val sign = when(col("change").isin("insert", "update_postimage"), lit(1L))
       .when(col("change").isin("delete", "update_preimage"), lit(-1L))
@@ -109,7 +114,12 @@ object IncrementalView {
               greatest(m(s"max_$c"), d(s"__imax_$c")).as(s"max_$c"))
           } ++
           (if (minMaxCols.isEmpty) Nil
-           else Seq(coalesce(d("__ret"), lit(false)).as("__mm_stale"))): _*)
+           else Seq(coalesce(d("__ret"), lit(false)).as("__mm_stale"))) ++
+          // columns the algebra does not maintain, carried verbatim from
+          // the stored MV side (NULL for groups the delta created) — the
+          // caller overlays their fresh values (Mv's distinct-count
+          // companions do), this join just keeps them in the frame
+          carryCols.map(c => m(c).as(c)): _*)
       .where(col("n_rows") > 0)
   }
 }

@@ -46,6 +46,26 @@ import org.apache.spark.sql.functions._
   * Every refresh reports what it paid (`recountGroups`,
   * `recountPruned`).
   *
+  * COUNT(DISTINCT) maintains EXACTLY and ALWAYS incrementally
+  * (`distinctCols` on every create): each column gets a companion
+  * snapshot table under `<mvRoot>/_dv/<col>` holding, per (group tuple,
+  * value), how many viewed rows carry that value — the classic
+  * two-level view maintenance. The feed's per-value signed delta
+  * updates the companion exactly in BOTH directions (a value whose
+  * count reaches zero tombstones; one that appears inserts), and the
+  * group's `nd_<c>` is simply its surviving companion rows — no
+  * recount tier, unlike min/max, because the companion IS the
+  * invertibility the plain aggregate lacks. Refresh cost stays
+  * O(changes + touched groups' companion buckets); the companion's
+  * storage is O(distinct (group, value) pairs), distributed, and never
+  * read whole.
+  *
+  * An optional row FILTER (`where`, a SQL boolean over the viewed
+  * relation) makes the view γ(σ(rel)): σ commutes with the signed
+  * algebra row-wise — an update whose preimage matched and postimage
+  * does not nets to a view delete — so maintenance just filters the
+  * change feed (and each join delta term) before applying it.
+  *
   * Single-writer per MV root (the snapshot layer's standing contract);
   * the base table may evolve freely between refreshes — the CDF aligns
   * removed-file rows up to the newer schema.
@@ -55,12 +75,16 @@ object Mv {
   /** The stored view definition (`<mvRoot>/_mv/def`, written once at
     * [[create]], immutable): base table root, the base's unique row key
     * (the CDF classification key), the group-by columns, the summed
-    * columns, and the min/max columns (hybrid-maintained — see
-    * [[create]]).
+    * columns, the min/max columns (hybrid-maintained — see [[create]]),
+    * the distinct-count columns (companion-maintained, always
+    * incremental — see [[create]]), and the optional row filter (a SQL
+    * boolean expression over the base's columns; the view aggregates
+    * σ(base), maintained by filtering the change feed row-wise).
     */
   final case class Definition(baseRoot: String, baseKeyCols: Seq[String],
       groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil)
+      minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
+      filterSql: Option[String] = None)
 
   /** The stored definition of a JOIN MV ([[createJoin]]): two co-clustered
     * base tables, each with its own unique row key (CDF classification)
@@ -70,7 +94,8 @@ object Mv {
   final case class JoinDefinition(leftRoot: String, leftKeyCols: Seq[String],
       joinLeft: String, rightRoot: String, rightKeyCols: Seq[String],
       joinRight: String, groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil)
+      minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
+      filterSql: Option[String] = None)
 
   /** One join-MV refresh's outcome: like [[Refresh]] but with a
     * watermark PAIR (one per base), plus the PROBE-PRUNING report:
@@ -111,6 +136,7 @@ object Mv {
       recountGroups: Long = 0L, recountPruned: Boolean = true)
 
   private val GkCol = "__gk"
+  private val VkCol = "__vk"
   private val TombCol = "__mv_del"
   private val MmStaleCol = "__mm_stale"
 
@@ -119,11 +145,26 @@ object Mv {
   private def gk(groupCols: Seq[String]): Column =
     md5(to_json(struct(groupCols.map(col): _*)))
 
+  /** The (group tuple, value) digest — the distinct-count companion's
+    * merge key, null-safe and composite-safe exactly like [[gk]].
+    */
+  private def vk(groupCols: Seq[String], valueCol: String): Column =
+    md5(to_json(struct((groupCols :+ valueCol).map(col): _*)))
+
+  /** Where a distinct-count companion table lives: a snapshot table of
+    * its own NESTED under the MV root (`_dv/<col>`), so dropping the MV
+    * root drops its companions with it. The MV root's own maintenance
+    * never touches it — expire/vacuum operate on `data/`, `_snapshots/`
+    * and `_cdf/` only.
+    */
+  private def dvRoot(mvRoot: String, c: String): String = s"$mvRoot/_dv/$c"
+
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def checkDefField(v: Any): Unit = v match {
     case s: String => require(!s.contains("\n"), "definition fields cannot hold newlines")
+    case o: Option[_] => o.foreach(checkDefField)
     case cols: Seq[_] => cols.foreach(c => require(
       !c.toString.exists(ch => ch == ',' || ch == '\n'),
       s"column name '$c' cannot hold ',' or newline"))
@@ -149,7 +190,9 @@ object Mv {
       s"keys=${d.baseKeyCols.mkString(",")}",
       s"groups=${d.groupCols.mkString(",")}",
       s"sums=${d.sumCols.mkString(",")}",
-      s"minmax=${d.minMaxCols.mkString(",")}"))
+      s"minmax=${d.minMaxCols.mkString(",")}",
+      s"nd=${d.distinctCols.mkString(",")}") ++
+      d.filterSql.map(w => s"where=$w"))
   }
 
   private def writeJoinDef(spark: SparkSession, root: String, d: JoinDefinition): Unit = {
@@ -164,7 +207,9 @@ object Mv {
       s"rjoin=${d.joinRight}",
       s"groups=${d.groupCols.mkString(",")}",
       s"sums=${d.sumCols.mkString(",")}",
-      s"minmax=${d.minMaxCols.mkString(",")}"))
+      s"minmax=${d.minMaxCols.mkString(",")}",
+      s"nd=${d.distinctCols.mkString(",")}") ++
+      d.filterSql.map(w => s"where=$w"))
   }
 
   private def defKv(spark: SparkSession, mvRoot: String): Map[String, String] = {
@@ -187,6 +232,13 @@ object Mv {
   private def defCols(kv: Map[String, String], k: String): Seq[String] =
     kv(k).split(",", -1).toSeq.filter(_.nonEmpty)
 
+  // absent on pre-feature definitions — they maintain none / filter nothing
+  private def defColsOpt(kv: Map[String, String], k: String): Seq[String] =
+    kv.get(k).map(_.split(",", -1).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  private def defWhere(kv: Map[String, String]): Option[String] =
+    kv.get("where").filter(_.nonEmpty)
+
   /** The stored [[Definition]] of an MV root; fails loudly when the root
     * was never [[create]]d as one (or is a join MV — see
     * [[joinDefinition]]).
@@ -197,9 +249,8 @@ object Mv {
       s"$mvRoot is a ${kv.getOrElse("kind", "")} materialized view — use " +
         "Mv.refreshJoin (join) / Mv.refreshJoin3 (join3), not Mv.refresh")
     Definition(kv("base"), defCols(kv, "keys"), defCols(kv, "groups"),
-      defCols(kv, "sums"),
-      // absent on pre-minmax definitions — they maintain none
-      kv.get("minmax").map(_.split(",", -1).toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+      defCols(kv, "sums"), defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"),
+      defWhere(kv))
   }
 
   /** Whether the MV root stores a join definition ([[createJoin]]) —
@@ -218,8 +269,7 @@ object Mv {
     JoinDefinition(kv("lbase"), defCols(kv, "lkeys"), kv("ljoin"),
       kv("rbase"), defCols(kv, "rkeys"), kv("rjoin"),
       defCols(kv, "groups"), defCols(kv, "sums"),
-      // absent on pre-minmax definitions — they maintain none
-      kv.get("minmax").map(_.split(",", -1).toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+      defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"), defWhere(kv))
   }
 
   /** Create the MV: compute the grouped count/sum over the base's CURRENT
@@ -238,18 +288,27 @@ object Mv {
     * `recountPruned`; a retracted minimum is not invertible — the
     * recount is declared, never silent). min/max are exact SELECTIONS,
     * so float/double columns are fine here even though sums refuse
-    * them. Returns the MV version (1).
+    * them.
+    *
+    * `distinctCols` adds maintained `nd_<c>` = COUNT(DISTINCT c)
+    * columns, ALWAYS incremental via per-column companion tables (see
+    * the object doc); `where` restricts the view to σ(base) — both
+    * validated here (existence, exact types, resolvable predicate), so
+    * a typo reports the contract at create, not mid-refresh. Returns
+    * the MV version (1).
     */
   def create(spark: SparkSession, mvRoot: String, baseRoot: String,
       baseKeyCols: Seq[String], groupCols: Seq[String], sumCols: Seq[String],
-      mvBuckets: Int = 64, minMaxCols: Seq[String] = Nil): Int = {
+      mvBuckets: Int = 64, minMaxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil, where: Option[String] = None): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
     require(baseKeyCols.nonEmpty, "an MV needs the base table's unique row key " +
       "(CDF classification; see Snapshots.changes)")
-    require(groupCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
-      sumCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
-      minMaxCols.intersect(Seq(GkCol, TombCol, MmStaleCol)).isEmpty,
-      s"'$GkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
+    require(groupCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
+      sumCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
+      minMaxCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
+      distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
+      s"'$GkCol'/'$VkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val baseVs = Snapshots.versions(spark, baseRoot)
     require(baseVs.nonEmpty, s"base $baseRoot has no published snapshot versions")
     val w = baseVs.last
@@ -260,17 +319,27 @@ object Mv {
     val baseSchema = Snapshots.schemaOf(spark, baseRoot, w)
       .getOrElse(Snapshots.read(spark, baseRoot, Some(w)).schema)
     requireDefCols(baseSchema, baseKeyCols, groupCols, sumCols, minMaxCols,
-      s"base $baseRoot")
+      s"base $baseRoot", distinctCols)
     requireExactSums(baseSchema, sumCols)
-    // a crashed create (def committed, first publish never happened)
-    // leaves a def with zero versions — recoverable, not a conflict
+    requireDistinctCols(baseSchema, groupCols, distinctCols)
+    requireFilter(Snapshots.read(spark, baseRoot, Some(w)), where)
+    // a crashed create (def committed, first top publish never happened)
+    // leaves a def with zero versions — recoverable, not a conflict; a
+    // half-built companion set goes with it (companions publish before
+    // the top, so "no top versions" proves the create never finished)
     if (fs(spark, mvRoot).exists(defPath(mvRoot)) &&
-        Snapshots.versions(spark, mvRoot).isEmpty)
+        Snapshots.versions(spark, mvRoot).isEmpty) {
       fs(spark, mvRoot).delete(defPath(mvRoot), false)
-    writeDef(spark, mvRoot,
-      Definition(baseRoot, baseKeyCols, groupCols, sumCols, minMaxCols))
-    val mv0 = IncrementalView.countSum(
-      Snapshots.read(spark, baseRoot, Some(w)), groupCols, sumCols, minMaxCols)
+      fs(spark, mvRoot).delete(new Path(mvRoot, "_dv"), true)
+    }
+    writeDef(spark, mvRoot, Definition(baseRoot, baseKeyCols, groupCols,
+      sumCols, minMaxCols, distinctCols, where))
+    val rel = filtered(Snapshots.read(spark, baseRoot, Some(w)), where)
+    distinctCols.foreach(c =>
+      publishCompanion(spark, mvRoot, c, groupCols, rel, batchId = w,
+        buckets = mvBuckets))
+    val mv0 = IncrementalView.countSum(rel, groupCols, sumCols, minMaxCols,
+      distinctCols)
       .withColumn(GkCol, gk(groupCols))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = w,
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
@@ -284,9 +353,10 @@ object Mv {
     */
   private def requireDefCols(schema: org.apache.spark.sql.types.StructType,
       baseKeyCols: Seq[String], groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String], what: String): Unit = {
+      minMaxCols: Seq[String], what: String,
+      distinctCols: Seq[String] = Nil): Unit = {
     val have = schema.fieldNames.toSet
-    val missing = (baseKeyCols ++ groupCols ++ sumCols ++ minMaxCols)
+    val missing = (baseKeyCols ++ groupCols ++ sumCols ++ minMaxCols ++ distinctCols)
       .distinct.filterNot(have)
     require(missing.isEmpty,
       s"MV definition references column(s) ${missing.mkString(", ")} that " +
@@ -308,6 +378,172 @@ object Mv {
       s"MV sum columns must be exact types (integral/decimal): ${drifty.mkString(", ")} " +
         "are float/double, whose incremental refresh drifts by ulps per cycle — " +
         "sum a scaled integral column (e.g. cents) instead")
+  }
+
+  /** Distinct-count contract, checked at create: each column must be
+    * disjoint from the group columns (COUNT(DISTINCT g) grouped by g is
+    * 1 by construction — a definition bug, not a view), an exact type
+    * (float/double value EQUALITY is engine-ambiguous: ±0.0 and NaN
+    * normalize differently across engines, so a float distinct count is
+    * not oracle-stable), and a path-safe name (each column names its
+    * companion table's directory under `_dv/`).
+    */
+  private def requireDistinctCols(schema: org.apache.spark.sql.types.StructType,
+      groupCols: Seq[String], distinctCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    require(distinctCols.distinct.size == distinctCols.size,
+      s"duplicate distinct-count column in ${distinctCols.mkString(", ")}")
+    val grouped = distinctCols.filter(groupCols.contains)
+    require(grouped.isEmpty,
+      s"distinct-count column(s) ${grouped.mkString(", ")} are group columns — " +
+        "COUNT(DISTINCT) of a group key is 1 on every row of the view")
+    val floaty = distinctCols.filter(c => schema.fields.find(_.name == c)
+      .exists(f => f.dataType == FloatType || f.dataType == DoubleType))
+    require(floaty.isEmpty,
+      s"distinct-count columns must be exact types: ${floaty.mkString(", ")} " +
+        "are float/double, whose value equality (±0.0, NaN) is engine-ambiguous — " +
+        "count a scaled integral or string form instead")
+    val unsafe = distinctCols.filterNot(_.matches("[A-Za-z0-9_]+"))
+    require(unsafe.isEmpty,
+      s"distinct-count column name(s) ${unsafe.mkString(", ")} must match " +
+        "[A-Za-z0-9_]+ — each names its companion table's directory")
+  }
+
+  /** A row filter's SQL must parse and resolve against the viewed
+    * relation AT CREATE — a typo'd predicate must report the contract
+    * here, not surface as an analysis error from the first refresh.
+    */
+  private def requireFilter(rel: DataFrame, where: Option[String]): Unit =
+    where.foreach { w =>
+      require(!w.contains("\n"), "MV filter cannot hold newlines")
+      try rel.where(expr(w)).schema
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"MV filter '$w' does not resolve against the viewed relation: ${e.getMessage}")
+      }
+    }
+
+  private def filtered(rel: DataFrame, where: Option[String]): DataFrame =
+    where.map(w => rel.where(expr(w))).getOrElse(rel)
+
+  /** Build and publish ONE distinct-count companion from the viewed
+    * relation (create and the declared full fallback both land here):
+    * one row per (group tuple, non-null value) with its row count,
+    * merge-keyed by the (group,value) digest and bucket-clustered on
+    * the GROUP digest — so a refresh's companion read AND its merge
+    * probe both stay at touched-group-bucket granularity (mergeByKey's
+    * bucket prune fires because the cluster column is a merge key).
+    */
+  private def publishCompanion(spark: SparkSession, mvRoot: String, c: String,
+      groupCols: Seq[String], rel: DataFrame, batchId: Long, buckets: Int): Unit = {
+    val comp = rel.where(col(c).isNotNull)
+      .groupBy(gk(groupCols).as(GkCol), vk(groupCols, c).as(VkCol))
+      .agg(count(lit(1)).as("vcount"))
+    Snapshots.publishStreamBatch(spark, dvRoot(mvRoot, c), comp,
+      batchId = batchId, append = false,
+      clusterBy = Some(s"bucket($buckets,$GkCol)"))
+    ()
+  }
+
+  /** Maintain ONE distinct-count companion from a refresh's change feed
+    * and return the fresh per-group `nd` for EVERY touched group (one
+    * row each, explicit zeros included — the caller's overlay coalesces
+    * onto the stored value for untouched groups). This is the classic
+    * two-level view maintenance that makes COUNT(DISTINCT) exactly and
+    * ALWAYS incremental — no recount under retraction, unlike min/max:
+    * the companion stores, per (group, value), how many viewed rows
+    * carry that value, so the per-value delta (a signed sum over the
+    * feed) updates it exactly in both directions, and the group's
+    * distinct count is simply its surviving companion rows.
+    *
+    * Cost: O(feed) to delta + O(touched groups' companion buckets) to
+    * read and merge — the same granularity as the MV apply itself.
+    *
+    * Crash-replay: the companion commits BEFORE the top MV. A refresh
+    * replayed after a crash between the two commits finds the companion
+    * already AT the target batch id — it recomputes the per-group
+    * counts from the companion's current (already-applied) state and
+    * merges nothing twice; the deterministic CDF guarantees the same
+    * touched-group set on replay.
+    */
+  private def maintainDistinct(spark: SparkSession, mvRoot: String, c: String,
+      groupCols: Seq[String], cdf: DataFrame, touched: DataFrame,
+      batchId: Long): DataFrame = {
+    val compRoot = dvRoot(mvRoot, c)
+    val compVs = Snapshots.versions(spark, compRoot)
+    require(compVs.nonEmpty,
+      s"$mvRoot maintains count(distinct $c) but its companion at $compRoot " +
+        "has no versions — a crashed create; drop the MV root and recreate")
+    val compV = compVs.last
+    val compLast = Snapshots.lastBatchId(spark, compRoot).getOrElse(sys.error(
+      s"companion $compRoot carries no batch id — was it written outside Mv?"))
+    require(compLast <= batchId,
+      s"companion $compRoot is AHEAD of the refresh target ($compLast > $batchId) " +
+        "— single-writer contract broken")
+    val replay = compLast == batchId
+    // the companion files that can hold a touched group's values: its own
+    // bucket header names them (the same routing as the MV's apply read)
+    val compFiles = Snapshots.files(spark, compRoot, compV)
+    val inBuckets = Snapshots.clusterOf(spark, compRoot, compV)
+      .flatMap(Snapshots.bucketSpec) match {
+      case Some((n, k)) if k == GkCol =>
+        val hit = touched
+          .select(pmod(hash(col(GkCol)), lit(n)).cast("string").as("__b"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val dirRe = "__cluster=([^/]+)/".r
+        compFiles.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1))))
+      case _ => compFiles
+    }
+    val oldTouched = Snapshots.readFiles(spark, compRoot, inBuckets,
+      Snapshots.schemaOf(spark, compRoot, compV), s"dv($c) v$compV touched buckets")
+      .join(touched.select(GkCol), Seq(GkCol), "left_semi")
+    // every touched group gets a row — a group whose last value vanished
+    // reports nd = 0, which the overlay must SEE (a missing row would
+    // fall back to the stale stored count)
+    def ndOf(state: DataFrame): DataFrame =
+      touched.select(col(GkCol))
+        .join(state.where(col("vcount") > 0).groupBy(col(GkCol))
+          .agg(count(lit(1)).as("__nd")), Seq(GkCol), "left")
+        .select(col(GkCol), coalesce(col("__nd"), lit(0L)).as(s"__nd_$c"))
+    if (replay) ndOf(oldTouched)
+    else {
+      val sign = when(col("change").isin("insert", "update_postimage"), lit(1L))
+        .when(col("change").isin("delete", "update_preimage"), lit(-1L))
+      val dvd = cdf.withColumn("__sign", sign)
+        .where(col("__sign").isNotNull && col(c).isNotNull)
+        .groupBy(gk(groupCols).as(GkCol), vk(groupCols, c).as(VkCol))
+        .agg(sum(col("__sign")).as("__dn"))
+        .where(col("__dn") =!= 0L)
+      val o = oldTouched.alias("__do")
+      val dd = dvd.alias("__dd")
+      val stateNew = o.join(dd, col(s"__do.$VkCol") === col(s"__dd.$VkCol"),
+          "full_outer")
+        .select(
+          coalesce(col(s"__do.$GkCol"), col(s"__dd.$GkCol")).as(GkCol),
+          coalesce(col(s"__do.$VkCol"), col(s"__dd.$VkCol")).as(VkCol),
+          (coalesce(col("__do.vcount"), lit(0L)) +
+            coalesce(col("__dd.__dn"), lit(0L))).as("vcount"),
+          col("__dd.__dn").isNotNull.as("__chg"))
+        .persist()
+      try {
+        // a sound feed can never retract a value below zero — going
+        // negative means the companion state diverged from the base
+        // (external writes); refuse over a silently wrong count
+        require(stateNew.where(col("vcount") < 0).limit(1).collect().isEmpty,
+          s"count(distinct $c) companion at $compRoot would go NEGATIVE for a " +
+            "(group,value) pair — the feed retracts values it never counted " +
+            "(state diverged; drop and recreate the MV)")
+        Snapshots.mergeStreamBatch(spark, compRoot,
+          stateNew.where(col("__chg"))
+            .select(col(GkCol), col(VkCol), col("vcount"),
+              (col("vcount") === 0L).as(TombCol)),
+          batchId = batchId, keyCols = Seq(GkCol, VkCol),
+          tombstoneCol = Some(TombCol))
+        val nd = ndOf(stateNew).persist()
+        nd.count() // materialize before the source state unpersists
+        nd
+      } finally stateNew.unpersist()
+    }
   }
 
   /** The MV's rows (group columns + `n_rows` + `sum_<c>`/`nn_<c>`), the
@@ -358,8 +594,8 @@ object Mv {
     // contract, not a raw unresolved-column error mid-plan
     Snapshots.schemaOf(spark, d.baseRoot, cur).foreach { sch =>
       val have = sch.fieldNames.toSet
-      val missing = (d.baseKeyCols ++ d.groupCols ++ d.sumCols ++ d.minMaxCols)
-        .filterNot(have)
+      val missing = (d.baseKeyCols ++ d.groupCols ++ d.sumCols ++ d.minMaxCols ++
+        d.distinctCols).filterNot(have)
       require(missing.isEmpty,
         s"MV definition references column(s) ${missing.mkString(", ")} that " +
           s"base ${d.baseRoot} v$cur no longer carries — drop and redefine the MV")
@@ -370,11 +606,17 @@ object Mv {
       !Snapshots.hasDeleteVectors(spark, d.baseRoot, w) &&
       !Snapshots.hasDeleteVectors(spark, d.baseRoot, cur)
     if (!canDiff) {
-      val mv = IncrementalView.countSum(
-        Snapshots.read(spark, d.baseRoot, Some(cur)), d.groupCols, d.sumCols,
-        d.minMaxCols)
-        .withColumn(GkCol, gk(d.groupCols))
+      val rel = filtered(Snapshots.read(spark, d.baseRoot, Some(cur)), d.filterSql)
       val buckets = mvBucketsOf(spark, mvRoot)
+      // companions rebuild first (same order as the incremental path):
+      // a crash before the top publish replays into batch-id skips
+      d.distinctCols.foreach(c =>
+        publishCompanion(spark, mvRoot, c, d.groupCols, rel, batchId = cur,
+          buckets = mvBucketsOf(spark, dvRoot(mvRoot, c)).orElse(buckets)
+            .getOrElse(64)))
+      val mv = IncrementalView.countSum(rel, d.groupCols, d.sumCols,
+        d.minMaxCols, d.distinctCols)
+        .withColumn(GkCol, gk(d.groupCols))
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = cur,
         append = false, clusterBy = buckets.map(n => s"bucket($n,$GkCol)"))
       // group count from the published manifest's `#rows=` lines — the
@@ -384,8 +626,11 @@ object Mv {
       return Refresh("full", w, cur, groups, v)
     }
 
-    val cdf = Snapshots.changes(spark, d.baseRoot, w, cur, d.baseKeyCols,
-      preImages = true).persist()
+    // the filter commutes with the signed algebra row-wise: an update
+    // whose preimage matched and postimage does not NETS to a delete of
+    // the view row (and vice versa), exactly σ(base)'s own change feed
+    val cdf = filtered(Snapshots.changes(spark, d.baseRoot, w, cur,
+      d.baseKeyCols, preImages = true), d.filterSql).persist()
     try {
       // every group the feed touches, once — both the apply target and
       // the tombstone candidate set
@@ -402,11 +647,12 @@ object Mv {
         val recountOf: DataFrame => (DataFrame, Boolean) = { retracted =>
           val (probed, pruned) =
             groupProbe(spark, d.baseRoot, cur, d.groupCols, retracted)
-          (semiOnGroups(probed, retracted, d.groupCols), pruned)
+          (semiOnGroups(filtered(probed, d.filterSql), retracted, d.groupCols),
+            pruned)
         }
         val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
           cdf, touched, batchId = cur, minMaxCols = d.minMaxCols,
-          recountFrom = Some(recountOf))
+          recountFrom = Some(recountOf), distinctCols = d.distinctCols)
         Refresh("incremental", w, cur, a.groups, a.mvVersion,
           a.recountGroups, a.recountPruned)
       } finally touched.unpersist()
@@ -456,7 +702,8 @@ object Mv {
       cdf: DataFrame, touched: DataFrame, batchId: Long,
       minMaxCols: Seq[String] = Nil,
       recountFrom: Option[DataFrame => (DataFrame, Boolean)] = None,
-      netInsertOnly: Boolean = false): Applied = {
+      netInsertOnly: Boolean = false,
+      distinctCols: Seq[String] = Nil): Applied = {
     val nTouched = touched.count()
     if (nTouched == 0) {
       // pure rewrite (compaction) under the base: move the watermark
@@ -490,7 +737,11 @@ object Mv {
       Snapshots.schemaOf(spark, mvRoot, mvV), s"mv v$mvV touched buckets")
       .drop(GkCol)
     val counted = IncrementalView.applyCountSum(mvInBuckets, cdf,
-      groupCols, sumCols, minMaxCols)
+      groupCols, sumCols, minMaxCols,
+      // stored distinct counts ride through the algebra untouched (NULL
+      // for brand-new groups); the companion overlay below replaces them
+      // for every touched group
+      carryCols = distinctCols.map(c => s"nd_$c"))
       .withColumn(GkCol, gk(groupCols))
     val (applied, recGroups, recPruned) =
       if (minMaxCols.isEmpty) (counted, 0L, true)
@@ -532,14 +783,29 @@ object Mv {
                 .as(s"max_$c")))): _*), nRec, pruned)
         }
       }
+    // distinct counts: each companion applies its (group,value) delta
+    // exactly (both directions — no recount tier here) and hands back
+    // the fresh nd for every touched group; the overlay coalesces onto
+    // the carried stored value for the untouched groups re-upserted from
+    // the same buckets. Companions commit BEFORE the top merge — the
+    // crash-replay contract lives in [[maintainDistinct]].
+    val ndFrames: Seq[(String, DataFrame)] =
+      distinctCols.map(c => c ->
+        maintainDistinct(spark, mvRoot, c, groupCols, cdf, touched, batchId))
+    val withNd = ndFrames.foldLeft(applied) { case (df, (c, nd)) =>
+      df.join(nd, Seq(GkCol), "left")
+        .withColumn(s"nd_$c", coalesce(col(s"__nd_$c"), col(s"nd_$c"), lit(0L)))
+        .drop(s"__nd_$c")
+    }
     // groups the feed touched that no longer exist (count hit zero) —
     // EXCEPT, not an anti-join: both sides descend from the CDF, and a
     // set op carries no ambiguous column references
     val gone = touched.select(GkCol).except(applied.select(GkCol))
-    val batch = applied.withColumn(TombCol, lit(false))
+    val batch = withNd.withColumn(TombCol, lit(false))
       .unionByName(gone.withColumn(TombCol, lit(true)), allowMissingColumns = true)
     val v = Snapshots.mergeStreamBatch(spark, mvRoot, batch, batchId = batchId,
       keyCols = Seq(GkCol), tombstoneCol = Some(TombCol))
+    ndFrames.foreach(_._2.unpersist())
     Applied(nTouched, v, recGroups, recPruned)
   }
 
@@ -610,6 +876,35 @@ object Mv {
       Snapshots.schemaOf(spark, root, version), s"$root v$version group probe"),
       pruned)
   }
+
+  /** The distinct-count companion roots of an MV (empty when the
+    * definition maintains none) — the definition is the source of
+    * truth, read once, any MV kind.
+    */
+  private def companionRoots(spark: SparkSession, mvRoot: String): Seq[String] =
+    defColsOpt(defKv(spark, mvRoot), "nd").map(dvRoot(mvRoot, _))
+
+  /** Retention for the WHOLE view: expire old versions of the top MV
+    * AND every distinct-count companion to the same depth. A refresh
+    * commits one version per table per cycle, so an hourly-refreshed
+    * view grows manifests at O(tables × hours) — this is the one verb a
+    * scheduler needs. Returns the dropped version numbers (top first,
+    * then companions in definition order).
+    */
+  def expire(spark: SparkSession, mvRoot: String, keepLast: Int): Seq[Int] =
+    (mvRoot +: companionRoots(spark, mvRoot))
+      .flatMap(r => Snapshots.expire(spark, r, keepLast))
+
+  /** Reclamation for the WHOLE view: vacuum the top MV and every
+    * distinct-count companion (a companion nests under the MV root, but
+    * the top's own vacuum never descends into `_dv/` — each snapshot
+    * table sweeps only its own data/manifest/cdf dirs). Returns files
+    * deleted.
+    */
+  def vacuum(spark: SparkSession, mvRoot: String,
+      graceMs: Long = Snapshots.DefaultGraceMs): Long =
+    (mvRoot +: companionRoots(spark, mvRoot))
+      .map(r => Snapshots.vacuum(spark, r, graceMs)).sum
 
   /** The MV's bucket count from its live cluster header (None when the
     * layout was dropped — a full refresh then re-clusters with nothing).
@@ -742,19 +1037,26 @@ object Mv {
     * with) — and disjoint column names across the two bases (the joined
     * relation must be unambiguous; project/rename before publishing
     * otherwise).
+    *
+    * `distinctCols` / `where` work exactly like [[create]]'s, over the
+    * JOINED relation: the companions consume the signed view delta the
+    * bilinear expansion already computes, and the filter applies to
+    * each delta term's joined rows before projection.
     */
   def createJoin(spark: SparkSession, mvRoot: String,
       leftRoot: String, leftKeyCols: Seq[String], joinLeft: String,
       rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
       groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64,
-      minMaxCols: Seq[String] = Nil): Int = {
+      minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
+      where: Option[String] = None): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
     require(leftKeyCols.nonEmpty && rightKeyCols.nonEmpty,
       "a join MV needs each base's unique row key (CDF classification)")
-    require(groupCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
-      sumCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
-      minMaxCols.intersect(Seq(GkCol, TombCol, MmStaleCol)).isEmpty,
-      s"'$GkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
+    require(groupCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
+      sumCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
+      minMaxCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
+      distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
+      s"'$GkCol'/'$VkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val (lVs, rVs) = (Snapshots.versions(spark, leftRoot), Snapshots.versions(spark, rightRoot))
     require(lVs.nonEmpty && rVs.nonEmpty, "both bases need published versions")
     val (wL, wR) = (lVs.last, rVs.last)
@@ -769,8 +1071,10 @@ object Mv {
     val joinedSchema = org.apache.spark.sql.types.StructType(
       lSchema.fields ++ rSchema.fields)
     requireDefCols(joinedSchema, leftKeyCols ++ rightKeyCols, groupCols,
-      sumCols, minMaxCols, s"the joined relation of $leftRoot ⋈ $rightRoot")
+      sumCols, minMaxCols, s"the joined relation of $leftRoot ⋈ $rightRoot",
+      distinctCols)
     requireExactSums(joinedSchema, sumCols)
+    requireDistinctCols(joinedSchema, groupCols, distinctCols)
     // the co-clustered star contract: BOTH bases clustered on their join
     // key, either hash buckets (one shared count) or a time transform
     // (one shared unit — the q191 `days(ts)` event-feed shape). That
@@ -792,15 +1096,24 @@ object Mv {
     require(layL == layR, s"createJoin needs ONE layout on both bases " +
       s"(same bucket count or same time unit), got $layL($joinLeft) vs " +
       s"$layR($joinRight)")
-    if (fs(spark, mvRoot).exists(defPath(mvRoot)) &&
-        Snapshots.versions(spark, mvRoot).isEmpty)
-      fs(spark, mvRoot).delete(defPath(mvRoot), false)
-    writeJoinDef(spark, mvRoot, JoinDefinition(leftRoot, leftKeyCols, joinLeft,
-      rightRoot, rightKeyCols, joinRight, groupCols, sumCols, minMaxCols))
-    val joined = Snapshots.read(spark, leftRoot, Some(wL))
+    val joined0 = Snapshots.read(spark, leftRoot, Some(wL))
       .join(Snapshots.read(spark, rightRoot, Some(wR)),
         col(joinLeft) === col(joinRight))
-    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols, minMaxCols)
+    requireFilter(joined0, where)
+    if (fs(spark, mvRoot).exists(defPath(mvRoot)) &&
+        Snapshots.versions(spark, mvRoot).isEmpty) {
+      fs(spark, mvRoot).delete(defPath(mvRoot), false)
+      fs(spark, mvRoot).delete(new Path(mvRoot, "_dv"), true)
+    }
+    writeJoinDef(spark, mvRoot, JoinDefinition(leftRoot, leftKeyCols, joinLeft,
+      rightRoot, rightKeyCols, joinRight, groupCols, sumCols, minMaxCols,
+      distinctCols, where))
+    val joined = filtered(joined0, where)
+    distinctCols.foreach(c =>
+      publishCompanion(spark, mvRoot, c, groupCols, joined,
+        batchId = encWm(wL, wR), buckets = mvBuckets))
+    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols, minMaxCols,
+      distinctCols)
       .withColumn(GkCol, gk(groupCols))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = encWm(wL, wR),
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
@@ -822,7 +1135,8 @@ object Mv {
       joinMidLeft: String, joinMidRight: String,
       rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil)
+      minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
+      filterSql: Option[String] = None)
 
   /** One trilinear refresh's outcome: the watermark TRIPLE, plus the
     * per-base probe report ([[JoinRefresh]]'s discipline): `false` on a
@@ -868,7 +1182,9 @@ object Mv {
       s"rjoin=${d.joinRight}",
       s"groups=${d.groupCols.mkString(",")}",
       s"sums=${d.sumCols.mkString(",")}",
-      s"minmax=${d.minMaxCols.mkString(",")}"))
+      s"minmax=${d.minMaxCols.mkString(",")}",
+      s"nd=${d.distinctCols.mkString(",")}") ++
+      d.filterSql.map(w => s"where=$w"))
   }
 
   /** The stored [[Join3Definition]] of a trilinear-MV root. */
@@ -881,7 +1197,7 @@ object Mv {
       kv("mbase"), defCols(kv, "mkeys"), kv("mjoinl"), kv("mjoinr"),
       kv("rbase"), defCols(kv, "rkeys"), kv("rjoin"),
       defCols(kv, "groups"), defCols(kv, "sums"),
-      kv.get("minmax").map(_.split(",", -1).toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+      defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"), defWhere(kv))
   }
 
   /** The MV root's kind — `single` | `join` | `join3` — the dispatch
@@ -915,14 +1231,16 @@ object Mv {
       joinMidLeft: String, joinMidRight: String,
       rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
       groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64,
-      minMaxCols: Seq[String] = Nil): Int = {
+      minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
+      where: Option[String] = None): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
     require(leftKeyCols.nonEmpty && midKeyCols.nonEmpty && rightKeyCols.nonEmpty,
       "a trilinear MV needs each base's unique row key (CDF classification)")
-    require(groupCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
-      sumCols.intersect(Seq(GkCol, TombCol)).isEmpty &&
-      minMaxCols.intersect(Seq(GkCol, TombCol, MmStaleCol)).isEmpty,
-      s"'$GkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
+    require(groupCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
+      sumCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
+      minMaxCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
+      distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
+      s"'$GkCol'/'$VkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val roots = Seq(leftRoot, midRoot, rightRoot)
     val vs = roots.map(r => Snapshots.versions(spark, r))
     require(vs.forall(_.nonEmpty), "all three bases need published versions")
@@ -940,8 +1258,9 @@ object Mv {
       schemas.flatMap(_.fields).toArray)
     requireDefCols(joinedSchema, leftKeyCols ++ midKeyCols ++ rightKeyCols,
       groupCols, sumCols, minMaxCols,
-      s"the joined relation of $leftRoot ⋈ $midRoot ⋈ $rightRoot")
+      s"the joined relation of $leftRoot ⋈ $midRoot ⋈ $rightRoot", distinctCols)
     requireExactSums(joinedSchema, sumCols)
+    requireDistinctCols(joinedSchema, groupCols, distinctCols)
     // the probe contract: each base clustered on the key its full-side
     // probes route by — that layout, the probed table's OWN header, is
     // what bounds a refresh's reads to colliding groups
@@ -958,18 +1277,27 @@ object Mv {
     requireClusteredOn(leftRoot, wL, joinLeft)
     requireClusteredOn(midRoot, wM, joinMidLeft)
     requireClusteredOn(rightRoot, wR, joinRight)
-    if (fs(spark, mvRoot).exists(defPath(mvRoot)) &&
-        Snapshots.versions(spark, mvRoot).isEmpty)
-      fs(spark, mvRoot).delete(defPath(mvRoot), false)
-    writeJoin3Def(spark, mvRoot, Join3Definition(leftRoot, leftKeyCols, joinLeft,
-      midRoot, midKeyCols, joinMidLeft, joinMidRight,
-      rightRoot, rightKeyCols, joinRight, groupCols, sumCols, minMaxCols))
-    val joined = Snapshots.read(spark, leftRoot, Some(wL))
+    val joined0 = Snapshots.read(spark, leftRoot, Some(wL))
       .join(Snapshots.read(spark, midRoot, Some(wM)),
         col(joinLeft) === col(joinMidLeft))
       .join(Snapshots.read(spark, rightRoot, Some(wR)),
         col(joinMidRight) === col(joinRight))
-    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols, minMaxCols)
+    requireFilter(joined0, where)
+    if (fs(spark, mvRoot).exists(defPath(mvRoot)) &&
+        Snapshots.versions(spark, mvRoot).isEmpty) {
+      fs(spark, mvRoot).delete(defPath(mvRoot), false)
+      fs(spark, mvRoot).delete(new Path(mvRoot, "_dv"), true)
+    }
+    writeJoin3Def(spark, mvRoot, Join3Definition(leftRoot, leftKeyCols, joinLeft,
+      midRoot, midKeyCols, joinMidLeft, joinMidRight,
+      rightRoot, rightKeyCols, joinRight, groupCols, sumCols, minMaxCols,
+      distinctCols, where))
+    val joined = filtered(joined0, where)
+    distinctCols.foreach(c =>
+      publishCompanion(spark, mvRoot, c, groupCols, joined,
+        batchId = encWm3(wL, wM, wR), buckets = mvBuckets))
+    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols, minMaxCols,
+      distinctCols)
       .withColumn(GkCol, gk(groupCols))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = encWm3(wL, wM, wR),
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
@@ -1014,18 +1342,24 @@ object Mv {
         (d.midRoot, curM), (d.rightRoot, wR), (d.rightRoot, curR))
         .forall { case (r, v) => dvFree(r, v) }
     val batchId = encWm3(curL, curM, curR)
-    def joinedNow = Snapshots.read(spark, d.leftRoot, Some(curL))
+    def joinedNow = filtered(Snapshots.read(spark, d.leftRoot, Some(curL))
       .join(Snapshots.read(spark, d.midRoot, Some(curM)),
         col(d.joinLeft) === col(d.joinMidLeft))
       .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
-        col(d.joinMidRight) === col(d.joinRight))
+        col(d.joinMidRight) === col(d.joinRight)), d.filterSql)
     if (!canDiff) {
+      val buckets = mvBucketsOf(spark, mvRoot)
+      d.distinctCols.foreach(c =>
+        publishCompanion(spark, mvRoot, c, d.groupCols, joinedNow,
+          batchId = batchId,
+          buckets = mvBucketsOf(spark, dvRoot(mvRoot, c)).orElse(buckets)
+            .getOrElse(64)))
       val mv = IncrementalView.countSum(joinedNow, d.groupCols, d.sumCols,
-        d.minMaxCols)
+        d.minMaxCols, d.distinctCols)
         .withColumn(GkCol, gk(d.groupCols))
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = batchId,
         append = false,
-        clusterBy = mvBucketsOf(spark, mvRoot).map(n => s"bucket($n,$GkCol)"))
+        clusterBy = buckets.map(n => s"bucket($n,$GkCol)"))
       val groups = v.flatMap(ver =>
         Snapshots.countRows(spark, mvRoot, Some(ver))).getOrElse(0L)
       return Join3Refresh("full", wL, curL, wM, curM, wR, curR, groups, v)
@@ -1095,8 +1429,11 @@ object Mv {
       for (l <- dl; m <- dm; r <- dr)
         terms += l.join(m, condLM).join(r, condMR)
           .withColumn("__sign", col("__sl") * col("__sm") * col("__sr"))
-      val outCols = (d.groupCols ++ d.sumCols ++ d.minMaxCols).distinct
-      val delta = terms.result().map(t => t.select(
+      val outCols = (d.groupCols ++ d.sumCols ++ d.minMaxCols ++
+        d.distinctCols).distinct
+      // filter each term's JOINED rows before the projection (σ commutes
+      // with the signed expansion row-wise)
+      val delta = terms.result().map(t => filtered(t, d.filterSql).select(
           (outCols.map(col) :+
             when(col("__sign") === 1L, lit("insert")).otherwise(lit("delete"))
               .as("change")): _*))
@@ -1135,7 +1472,7 @@ object Mv {
               val gm = gp.join(m, condLM)
               val (r, p2) = bucketProbe(spark, d.rightRoot, curR, d.joinRight,
                 gm.select(d.joinMidRight))
-              (gm.join(r, condMR), p1 && p2)
+              (filtered(gm.join(r, condMR), d.filterSql), p1 && p2)
             } else if (onMid) {
               val gp = semiOnGroups(Snapshots.read(spark, d.midRoot, Some(curM)),
                 retracted, d.groupCols)
@@ -1143,7 +1480,8 @@ object Mv {
                 gp.select(d.joinMidLeft))
               val (r, p2) = bucketProbe(spark, d.rightRoot, curR, d.joinRight,
                 gp.select(d.joinMidRight))
-              (l.join(gp, condLM).join(r, condMR), p1 && p2)
+              (filtered(l.join(gp, condLM).join(r, condMR), d.filterSql),
+                p1 && p2)
             } else if (onRight) {
               val gp = semiOnGroups(Snapshots.read(spark, d.rightRoot, Some(curR)),
                 retracted, d.groupCols)
@@ -1152,14 +1490,15 @@ object Mv {
               val gm = m.join(gp, condMR)
               val (l, p2) = bucketProbe(spark, d.leftRoot, curL, d.joinLeft,
                 gm.select(d.joinMidLeft))
-              (l.join(gm, condLM), p1 && p2)
+              (filtered(l.join(gm, condLM), d.filterSql), p1 && p2)
             } else {
               (semiOnGroups(joinedNow, retracted, d.groupCols), false)
             }
           }
           val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
             delta, touched, batchId, minMaxCols = d.minMaxCols,
-            recountFrom = Some(recountOf), netInsertOnly = netInsertOnly)
+            recountFrom = Some(recountOf), netInsertOnly = netInsertOnly,
+            distinctCols = d.distinctCols)
           Join3Refresh("incremental", wL, curL, wM, curM, wR, curR,
             a.groups, a.mvVersion, prunedL, prunedM, prunedR,
             recountGroups = a.recountGroups, recountPruned = a.recountPruned)
@@ -1207,15 +1546,21 @@ object Mv {
       dvFree(d.rightRoot, wR) && dvFree(d.rightRoot, curR)
     val batchId = encWm(curL, curR)
     if (!canDiff) {
-      val joined = Snapshots.read(spark, d.leftRoot, Some(curL))
+      val joined = filtered(Snapshots.read(spark, d.leftRoot, Some(curL))
         .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
-          col(d.joinLeft) === col(d.joinRight))
+          col(d.joinLeft) === col(d.joinRight)), d.filterSql)
+      val buckets = mvBucketsOf(spark, mvRoot)
+      d.distinctCols.foreach(c =>
+        publishCompanion(spark, mvRoot, c, d.groupCols, joined,
+          batchId = batchId,
+          buckets = mvBucketsOf(spark, dvRoot(mvRoot, c)).orElse(buckets)
+            .getOrElse(64)))
       val mv = IncrementalView.countSum(joined, d.groupCols, d.sumCols,
-        d.minMaxCols)
+        d.minMaxCols, d.distinctCols)
         .withColumn(GkCol, gk(d.groupCols))
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = batchId,
         append = false,
-        clusterBy = mvBucketsOf(spark, mvRoot).map(n => s"bucket($n,$GkCol)"))
+        clusterBy = buckets.map(n => s"bucket($n,$GkCol)"))
       val groups = v.flatMap(ver =>
         Snapshots.countRows(spark, mvRoot, Some(ver))).getOrElse(0L)
       return JoinRefresh("full", wL, curL, wR, curR, groups, v)
@@ -1252,8 +1597,12 @@ object Mv {
         // ΔL ⋈ ΔR, both delta-sized; sign = −(sl·sr)
         terms += l.join(r, col(d.joinLeft) === col(d.joinRight))
           .withColumn("__sign", -col("__sl") * col("__sr"))
-      val outCols = (d.groupCols ++ d.sumCols).distinct
-      val delta = terms.result().map(t => t.select(
+      val outCols = (d.groupCols ++ d.sumCols ++ d.minMaxCols ++
+        d.distinctCols).distinct
+      // the filter applies to each term's JOINED rows before the
+      // projection (σ commutes with the signed expansion row-wise, and
+      // the predicate may reference columns the view does not carry)
+      val delta = terms.result().map(t => filtered(t, d.filterSql).select(
           (outCols.map(col) :+
             when(col("__sign") === 1L, lit("insert")).otherwise(lit("delete"))
               .as("change")): _*))
@@ -1295,17 +1644,19 @@ object Mv {
                 Snapshots.read(spark, gRoot, Some(gCur)), retracted, d.groupCols)
               val (oProbe, pruned) = bucketProbe(spark, oRoot, oCur, oJoin,
                 gPruned.select(gJoin))
-              (gPruned.join(oProbe, col(d.joinLeft) === col(d.joinRight)), pruned)
+              (filtered(gPruned.join(oProbe,
+                col(d.joinLeft) === col(d.joinRight)), d.filterSql), pruned)
             } else {
-              (semiOnGroups(Snapshots.read(spark, d.leftRoot, Some(curL))
+              (semiOnGroups(filtered(Snapshots.read(spark, d.leftRoot, Some(curL))
                 .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
-                  col(d.joinLeft) === col(d.joinRight)),
+                  col(d.joinLeft) === col(d.joinRight)), d.filterSql),
                 retracted, d.groupCols), false)
             }
           }
           val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
             delta, touched, batchId, minMaxCols = d.minMaxCols,
-            recountFrom = Some(recountOf), netInsertOnly = netInsertOnly)
+            recountFrom = Some(recountOf), netInsertOnly = netInsertOnly,
+            distinctCols = d.distinctCols)
           JoinRefresh("incremental", wL, curL, wR, curR, a.groups, a.mvVersion,
             probePrunedLeft = prunedL, probePrunedRight = prunedR,
             recountGroups = a.recountGroups, recountPruned = a.recountPruned)

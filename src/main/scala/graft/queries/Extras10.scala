@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14 continuation: the MV tier's COUNT(DISTINCT) companions and
+  * filtered (σ-pushed) views under the full relational-replay oracle.
+  *
+  * The scale claim these queries evidence: COUNT(DISTINCT) on a
+  * maintained view is ALWAYS incremental — the per-column companion
+  * table (one row per (group, value) with its live row count, its own
+  * bucket-clustered snapshot table under the MV root) absorbs inserts
+  * AND retractions exactly, so a refresh stays O(changes + touched
+  * groups' companion buckets) where min/max must fall back to a
+  * declared recount. Filtered views maintain σ(base) by filtering the
+  * change feed row-wise (σ commutes with the signed algebra), so a
+  * boundary-crossing UPDATE nets to a view insert/delete without any
+  * special casing.
+  */
+object Extras10 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  private def freshRoot(s: SparkSession, owner: String, name: String, dir: String): String = {
+    val root = graft.Scratch.dir(owner, name, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun
+    root
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // MV COUNT(DISTINCT) under the oracle hash: a per-priority view over
+    // orders maintains nd_val = COUNT(DISTINCT floor(k/10)) through one
+    // mixed mutation — group moves (k≡0 mod 13 relabels to '5-LOW':
+    // whole values change groups), in-place updates (k≡0 mod 10: cents
+    // move, the value does not — a companion no-op transition), deletes
+    // (k≡0 mod 37: ~1/10 of (group,value) pairs are singletons, so real
+    // values VANISH and nd must drop), and fresh inserts under new
+    // values. The refresh applies the per-value signed delta to the
+    // companion table and rereads nothing but touched-group buckets —
+    // no recount tier exists for distinct counts, and a stale nd flips
+    // the oracle hash. Flags: the refresh ran incrementally and a
+    // replayed refresh is a noop.
+    QueryDef.checked(
+      "q203_mv_distinct",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS seg,
+        |         CAST(floor(o_orderkey / 10) AS BIGINT) AS val,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k,
+        |    CASE WHEN k % 13 = 0 THEN '5-LOW' ELSE seg END AS seg,
+        |    val,
+        |    CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM base WHERE k % 37 <> 0
+        |  UNION ALL
+        |  SELECT k + 10 * (SELECT max(o_orderkey) FROM orders), '3-MEDIUM',
+        |    val + 1000000, cents + 13 FROM base WHERE k % 11 = 0)
+        |SELECT seg, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(cents) AS BIGINT) AS nn_cents,
+        |  CAST(count(DISTINCT val) AS BIGINT) AS nd_val,
+        |  CAST(1 AS BOOLEAN) AS incremental,
+        |  CAST(1 AS BOOLEAN) AS replay_noop
+        |FROM fin GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q203_mv_distinct", "ndmv", dir)
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("seg"),
+        floor(col("o_orderkey") / 10).cast("long").as("val"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Snapshots.publish(s, s"$root/base", base)
+      Mv.create(s, s"$root/mv", s"$root/base", Seq("k"), Seq("seg"),
+        sumCols = Seq("cents"), mvBuckets = 8, distinctCols = Seq("val"))
+      val maxK = base.agg(max("k")).head.getLong(0)
+      // one mixed merge: group moves + in-place updates (not deleted),
+      // singleton-killing deletes, fresh inserts under disjoint keys and
+      // brand-new values (offset derived from max(k) — SF-stable)
+      val updates = base
+        .filter((col("k") % 13 === 0 || col("k") % 10 === 0) && col("k") % 37 =!= 0)
+        .withColumn("seg", when(col("k") % 13 === 0, lit("5-LOW")).otherwise(col("seg")))
+        .withColumn("cents", when(col("k") % 10 === 0, col("cents") + 7).otherwise(col("cents")))
+        .withColumn("__del", lit(false))
+      val deletes = base.filter(col("k") % 37 === 0).withColumn("__del", lit(true))
+      val inserts = base.filter(col("k") % 11 === 0)
+        .select((col("k") + lit(10L) * lit(maxK)).as("k"), lit("3-MEDIUM").as("seg"),
+          (col("val") + 1000000L).as("val"), (col("cents") + 13L).as("cents"))
+        .withColumn("__del", lit(false))
+      Snapshots.mergeByKey(s, s"$root/base",
+        updates.unionByName(deletes).unionByName(inserts),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      val r = Mv.refresh(s, s"$root/mv")
+      val incremental = r.mode == "incremental"
+      val replayNoop = Mv.refresh(s, s"$root/mv").mode == "noop"
+      Mv.read(s, s"$root/mv")
+        .select(col("seg"), col("n_rows"), col("sum_cents"), col("nn_cents"),
+          col("nd_val"))
+        .withColumn("incremental", lit(incremental))
+        .withColumn("replay_noop", lit(replayNoop))
+    },
+
+    // FILTERED MV under the oracle hash: the view aggregates
+    // σ(cents >= 15000000)(orders) per priority with maintained min/max,
+    // and the mutation drives rows ACROSS the predicate boundary in both
+    // directions — k≡0 (mod 7) jumps +2e7 cents (below-bar rows become
+    // view INSERTS, in-bar rows are retract+insert updates), k≡0 (mod 5)
+    // collapses to cents % 15000000 (always below the bar: in-bar rows
+    // become view DELETES), k≡0 (mod 37) deletes outright. Retractions
+    // of in-filter minima force the min/max recount, which must run over
+    // the FILTERED relation (an unfiltered recount would resurrect
+    // out-of-bar extremes) and FILE-prunes to the retracted groups'
+    // `__cluster=` dirs on the seg-clustered base. Flags: incremental,
+    // the recount ran and pruned, replay noop.
+    QueryDef.checked(
+      "q204_mv_filtered",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS seg,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, seg,
+        |    CASE WHEN k % 7 = 0 THEN cents + 20000000
+        |         WHEN k % 5 = 0 THEN cents % 15000000
+        |         ELSE cents END AS cents
+        |  FROM base WHERE k % 37 <> 0)
+        |SELECT seg, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(cents) AS BIGINT) AS nn_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(1 AS BOOLEAN) AS incremental,
+        |  CAST(1 AS BOOLEAN) AS recounted,
+        |  CAST(1 AS BOOLEAN) AS recount_pruned,
+        |  CAST(1 AS BOOLEAN) AS replay_noop
+        |FROM fin WHERE cents >= 15000000 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q204_mv_filtered", "fmv", dir)
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("seg"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Snapshots.publish(s, s"$root/base", base, clusterBy = Some("seg"))
+      Mv.create(s, s"$root/mv", s"$root/base", Seq("k"), Seq("seg"),
+        sumCols = Seq("cents"), mvBuckets = 8, minMaxCols = Seq("cents"),
+        where = Some("cents >= 15000000"))
+      val updates = base
+        .filter((col("k") % 7 === 0 || col("k") % 5 === 0) && col("k") % 37 =!= 0)
+        .withColumn("cents",
+          when(col("k") % 7 === 0, col("cents") + 20000000L)
+            .otherwise(col("cents") % 15000000L))
+        .withColumn("__del", lit(false))
+      val deletes = base.filter(col("k") % 37 === 0).withColumn("__del", lit(true))
+      Snapshots.mergeByKey(s, s"$root/base", updates.unionByName(deletes),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      val r = Mv.refresh(s, s"$root/mv")
+      val incremental = r.mode == "incremental"
+      val recounted = r.recountGroups > 0
+      val recountPruned = r.recountPruned
+      val replayNoop = Mv.refresh(s, s"$root/mv").mode == "noop"
+      Mv.read(s, s"$root/mv")
+        .select(col("seg"), col("n_rows"), col("sum_cents"), col("nn_cents"),
+          col("min_cents"), col("max_cents"))
+        .withColumn("incremental", lit(incremental))
+        .withColumn("recounted", lit(recounted))
+        .withColumn("recount_pruned", lit(recountPruned))
+        .withColumn("replay_noop", lit(replayNoop))
+    },
+
+    // JOIN-MV COUNT(DISTINCT) under the oracle hash: the co-bucketed
+    // orders⋈customer star maintains nd_val = COUNT(DISTINCT floor(k/10))
+    // per market segment through BOTH sides' change feeds — fact updates
+    // (cents move, values do not), fact deletes (singleton values vanish
+    // from their segment), and a dim relabel (c_custkey≡0 mod 11 moves
+    // to segment 'MOVED': those customers' values change groups
+    // WHOLESALE through the bilinear delta). The companion consumes the
+    // same signed view delta the count/sum algebra applies, so one
+    // refresh settles both sides; probes stay bucket-pruned (the
+    // co-clustered star). Flags: incremental, both probes pruned,
+    // replay noop.
+    QueryDef.checked(
+      "q205_mv_join_distinct",
+      """WITH fact AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ck,
+        |         CAST(floor(o_orderkey / 10) AS BIGINT) AS val,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ffin AS (
+        |  SELECT k, ck, val,
+        |    CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM fact WHERE k % 37 <> 0),
+        |dfin AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT seg, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(cents) AS BIGINT) AS nn_cents,
+        |  CAST(count(DISTINCT val) AS BIGINT) AS nd_val,
+        |  CAST(1 AS BOOLEAN) AS incremental,
+        |  CAST(1 AS BOOLEAN) AS probes_pruned,
+        |  CAST(1 AS BOOLEAN) AS replay_noop
+        |FROM ffin JOIN dfin ON ffin.ck = dfin.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q205_mv_join_distinct", "ndjmv", dir)
+      val fact = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        floor(col("o_orderkey") / 10).cast("long").as("val"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment").as("seg"))
+      Snapshots.publish(s, s"$root/fact", fact, clusterBy = Some("bucket(8, ck)"))
+      Snapshots.publish(s, s"$root/dim", dim, clusterBy = Some("bucket(8, c_custkey)"))
+      Mv.createJoin(s, s"$root/mv", s"$root/fact", Seq("k"), "ck",
+        s"$root/dim", Seq("c_custkey"), "c_custkey",
+        Seq("seg"), Seq("cents"), mvBuckets = 8, distinctCols = Seq("val"))
+      val fUpdates = fact
+        .filter(col("k") % 10 === 0 && col("k") % 37 =!= 0)
+        .withColumn("cents", col("cents") + 7L).withColumn("__del", lit(false))
+      val fDeletes = fact.filter(col("k") % 37 === 0).withColumn("__del", lit(true))
+      Snapshots.mergeByKey(s, s"$root/fact", fUpdates.unionByName(fDeletes),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      Snapshots.mergeByKey(s, s"$root/dim",
+        dim.filter(col("c_custkey") % 11 === 0)
+          .withColumn("seg", lit("MOVED")).withColumn("__del", lit(false)),
+        keyCols = Seq("c_custkey"), tombstoneCol = Some("__del"))
+      val r = Mv.refreshJoin(s, s"$root/mv")
+      val incremental = r.mode == "incremental"
+      val probesPruned = r.probePrunedLeft && r.probePrunedRight
+      val replayNoop = Mv.refreshJoin(s, s"$root/mv").mode == "noop"
+      Mv.read(s, s"$root/mv")
+        .select(col("seg"), col("n_rows"), col("sum_cents"), col("nn_cents"),
+          col("nd_val"))
+        .withColumn("incremental", lit(incremental))
+        .withColumn("probes_pruned", lit(probesPruned))
+        .withColumn("replay_noop", lit(replayNoop))
+    })
+}

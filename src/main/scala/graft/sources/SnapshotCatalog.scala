@@ -338,6 +338,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   //   CALL <catalog>.sys.tags('events')
   //   CALL <catalog>.sys.create_mv('daily', 'events', 'id', 'day', 'cents', 64)
   //   CALL <catalog>.sys.create_mv('daily', ..., min_max_columns => 'cents')
+  //   CALL <catalog>.sys.create_mv('daily', ..., distinct_columns => 'user_id',
+  //                                where_clause => 'cents >= 100')
   //   CALL <catalog>.sys.refresh_mv('daily')
   //   CALL <catalog>.sys.create_join3_mv('star', 'dim1', ..., 'fact', ..., 'dim2', ...)
   //   CALL <catalog>.sys.rebucket_neardup('nd.seen', 'nd.pairs', 128)
@@ -468,13 +470,18 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
     // (see operators.Mv — O(changes + touched buckets), declared full
     // fallback) and returns the report row as evidence. The created
     // view IS a snapshot table under this catalog: SELECT / AS OF /
-    // history all work on it directly.
+    // history all work on it directly. min_max_columns adds hybrid
+    // min/max, distinct_columns adds ALWAYS-incremental COUNT(DISTINCT)
+    // via per-column companion tables, where_clause ('' = none) filters
+    // the viewed relation — all maintained through the same refresh.
     proc("create_mv", Seq("view" -> StringType, "base" -> StringType,
       "key_columns" -> StringType, "group_columns" -> StringType,
       "sum_columns" -> StringType, "buckets" -> IntegerType,
-      "min_max_columns" -> StringType),
+      "min_max_columns" -> StringType, "distinct_columns" -> StringType,
+      "where_clause" -> StringType),
       StructType(Seq(StructField("version", IntegerType, nullable = false))),
-      defaults = Map("min_max_columns" -> "''")) { in =>
+      defaults = Map("min_max_columns" -> "''", "distinct_columns" -> "''",
+        "where_clause" -> "''")) { in =>
       def cols(i: Int): Seq[String] =
         str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val viewRoot = // the view does not exist yet: segment rules only
@@ -482,7 +489,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
           .mkString("/")
       Seq(Array(graft.operators.Mv.create(spark, viewRoot, tableRoot(str(in, 1)),
         cols(2), cols(3), cols(4), mvBuckets = in.getInt(5),
-        minMaxCols = cols(6)): Any))
+        minMaxCols = cols(6), distinctCols = cols(7),
+        where = Some(str(in, 8).trim).filter(_.nonEmpty)): Any))
     },
     // the grouped count/sum over TWO co-clustered snapshot tables (the
     // star shape — hash buckets with one shared count, or a time
@@ -495,9 +503,11 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       "left" -> StringType, "left_keys" -> StringType, "left_join" -> StringType,
       "right" -> StringType, "right_keys" -> StringType, "right_join" -> StringType,
       "group_columns" -> StringType, "sum_columns" -> StringType,
-      "buckets" -> IntegerType, "min_max_columns" -> StringType),
+      "buckets" -> IntegerType, "min_max_columns" -> StringType,
+      "distinct_columns" -> StringType, "where_clause" -> StringType),
       StructType(Seq(StructField("version", IntegerType, nullable = false))),
-      defaults = Map("min_max_columns" -> "''")) { in =>
+      defaults = Map("min_max_columns" -> "''", "distinct_columns" -> "''",
+        "where_clause" -> "''")) { in =>
       def cols(i: Int): Seq[String] =
         str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val viewRoot =
@@ -507,7 +517,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         tableRoot(str(in, 1)), cols(2), str(in, 3),
         tableRoot(str(in, 4)), cols(5), str(in, 6),
         cols(7), cols(8), mvBuckets = in.getInt(9),
-        minMaxCols = cols(10)): Any))
+        minMaxCols = cols(10), distinctCols = cols(11),
+        where = Some(str(in, 12).trim).filter(_.nonEmpty)): Any))
     },
     // the TRILINEAR star (left dim - fact - right dim) from plain SQL —
     // see operators.Mv.createJoin3 for the contract (each base clustered
@@ -518,9 +529,11 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       "mid_join_left" -> StringType, "mid_join_right" -> StringType,
       "right" -> StringType, "right_keys" -> StringType, "right_join" -> StringType,
       "group_columns" -> StringType, "sum_columns" -> StringType,
-      "buckets" -> IntegerType, "min_max_columns" -> StringType),
+      "buckets" -> IntegerType, "min_max_columns" -> StringType,
+      "distinct_columns" -> StringType, "where_clause" -> StringType),
       StructType(Seq(StructField("version", IntegerType, nullable = false))),
-      defaults = Map("min_max_columns" -> "''")) { in =>
+      defaults = Map("min_max_columns" -> "''", "distinct_columns" -> "''",
+        "where_clause" -> "''")) { in =>
       def cols(i: Int): Seq[String] =
         str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val viewRoot =
@@ -531,7 +544,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         tableRoot(str(in, 4)), cols(5), str(in, 6), str(in, 7),
         tableRoot(str(in, 8)), cols(9), str(in, 10),
         cols(11), cols(12), mvBuckets = in.getInt(13),
-        minMaxCols = cols(14)): Any))
+        minMaxCols = cols(14), distinctCols = cols(15),
+        where = Some(str(in, 16).trim).filter(_.nonEmpty)): Any))
     },
     // serves ALL THREE MV kinds (kind dispatch): a join/trilinear MV
     // reports its LEFT base's watermark pair in from/to_version (the

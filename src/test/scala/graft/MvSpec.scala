@@ -1025,4 +1025,318 @@ class MvSpec extends AnyFunSuite {
       .filter(col("g") === "a").select("avg_v").head.getDouble(0)
     assert(a2 === 30.0)
   }
+
+  // ── COUNT(DISTINCT) companions and filtered views ────────────────────
+
+  private def collectNd(m: String): Set[Seq[Any]] =
+    Mv.read(spark, m).select("g", "n_rows", "sum_v", "nn_v", "nd_v")
+      .collect().map(_.toSeq).toSet
+
+  private def recomputeNd(root: String, where: Option[String] = None): Set[Seq[Any]] = {
+    val rel = where.foldLeft(Snapshots.read(spark, root))((df, w) => df.where(expr(w)))
+    IncrementalView.countSum(rel, Seq("g"), Seq("v"), Nil, Seq("v"))
+      .select("g", "n_rows", "sum_v", "nn_v", "nd_v")
+      .collect().map(_.toSeq).toSet
+  }
+
+  private def recomputeWhere(root: String, w: String): Set[(String, Long, Option[Long])] =
+    collectMv(IncrementalView.countSum(
+      Snapshots.read(spark, root).where(expr(w)), Seq("g"), Seq("v")))
+
+  private def ndOfGroup(m: String, g: String): Long =
+    Mv.read(spark, m).filter(col("g") === g).select("nd_v").head.getLong(0)
+
+  test("count(distinct) maintains incrementally: inserts, updates, deletes, NULLs, vanished values and groups") {
+    import spark.implicits._
+    val b = s"$wh/ndb1"; val m = s"$wh/ndm1"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 10L),
+      (4L, "b", 5L), (5L, "b", null.asInstanceOf[java.lang.Long]))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 8,
+      distinctCols = Seq("v"))
+    assert(collectNd(m) === recomputeNd(b))
+    assert(ndOfGroup(m, "a") === 2L) // {10, 20}; the duplicate 10 counts once
+    // one merge: k=2 deleted (20 vanishes from a), k=3 deleted (a still
+    // holds 10 via k=1 — nd must NOT drop for it), k=4 updated 5→7,
+    // k=5 updated NULL→3 (b gains a countable value), k=6 inserts a
+    // duplicate 7 into b, k=7 opens group c
+    Snapshots.mergeByKey(spark, b, base(Seq(
+      (4L, "b", 7L), (5L, "b", 3L), (6L, "b", 7L), (7L, "c", 9L)))
+      .withColumn("__del", lit(false))
+      .unionByName(base(Seq((2L, "a", 0L), (3L, "a", 0L)))
+        .withColumn("__del", lit(true))),
+      Seq("k"), tombstoneCol = Some("__del"))
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "incremental")
+    assert(collectNd(m) === recomputeNd(b))
+    assert(ndOfGroup(m, "a") === 1L && ndOfGroup(m, "b") === 2L)
+    // group c vanishes entirely; b loses ONE of its two 7s (nd holds)
+    Snapshots.mergeByKey(spark, b, base(Seq((7L, "c", 0L), (6L, "b", 0L)))
+      .withColumn("__del", lit(true)), Seq("k"), tombstoneCol = Some("__del"))
+    Mv.refresh(spark, m)
+    assert(collectNd(m) === recomputeNd(b))
+    assert(Mv.read(spark, m).filter(col("g") === "c").isEmpty)
+    assert(ndOfGroup(m, "b") === 2L)
+    assert(Mv.refresh(spark, m).mode === "noop")
+  }
+
+  test("count(distinct) refresh reads only the touched groups' companion buckets") {
+    import spark.implicits._
+    import graft.sources.CountingFileSystem
+    spark.sparkContext.hadoopConfiguration.set("fs.graftcount.impl",
+      classOf[CountingFileSystem].getName)
+    val b = s"$wh/ndb2"; val m = s"graftcount://$wh/ndm2"
+    Snapshots.publish(spark, b, base(
+      (0 until 64).map(i => (i.toLong, s"g${i % 16}", java.lang.Long.valueOf(i % 7)))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 16,
+      distinctCols = Seq("v"))
+    val compRoot = s"$m/_dv/v"
+    val comp1Files = Snapshots.files(spark, compRoot, 1)
+    val g5b = spark.range(1).select(
+      pmod(hash(md5(to_json(struct(lit("g5").as("g"))))), lit(16)).cast("string"))
+      .head.getString(0)
+    def bucketOf(f: String): Option[String] =
+      "__cluster=([^/]+)/".r.findFirstMatchIn(f).map(_.group(1))
+    assert(comp1Files.exists(f => bucketOf(f).exists(_ != g5b)),
+      "fixture must populate companion buckets beyond g5's")
+    // touch ONLY group g5 (a brand-new value inserts into it)
+    Snapshots.mergeByKey(spark, b,
+      Seq((1000L, "g5", 99L, false)).toDF("k", "g", "v", "__del"),
+      Seq("k"), tombstoneCol = Some("__del"))
+    CountingFileSystem.reset()
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "incremental")
+    val readOutside = comp1Files.filter(f => bucketOf(f).exists(_ != g5b))
+      .filter(f => CountingFileSystem.count("open", f) > 0)
+    assert(readOutside.isEmpty,
+      s"companion refresh read outside the touched bucket: $readOutside")
+    assert(collectNd(m) === recomputeNd(b))
+  }
+
+  test("a crash between the companion and top commits replays soundly") {
+    import spark.implicits._
+    val b = s"$wh/ndb3"; val m = s"$wh/ndm3"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      distinctCols = Seq("v"))
+    // one update and one duplicate insert — a companion that re-applied
+    // this delta would inflate b's 5-count and resurrect a's dead 20
+    Snapshots.mergeByKey(spark, b, base(Seq((2L, "a", 30L), (4L, "b", 5L)))
+      .withColumn("__del", lit(false)), Seq("k"), tombstoneCol = Some("__del"))
+    assert(Mv.refresh(spark, m).mode === "incremental")
+    val mvV = Snapshots.versions(spark, m).last
+    // simulate the crash window: the companion committed, the top merge
+    // did not — rewind ONLY the top MV by dropping its newest manifest
+    val f = new org.apache.hadoop.fs.Path(m).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(f.delete(new org.apache.hadoop.fs.Path(s"$m/_snapshots/v$mvV"), false))
+    assert(Snapshots.lastBatchId(spark, s"$m/_dv/v").get >
+      Snapshots.lastBatchId(spark, m).get, "fixture must be IN the crash window")
+    val r2 = Mv.refresh(spark, m)
+    assert(r2.mode === "incremental")
+    assert(collectNd(m) === recomputeNd(b))
+    // the companion did not double-apply: its stored counts equal the
+    // recomputed per-(group,value) row counts exactly
+    val expected = Snapshots.read(spark, b).where(col("v").isNotNull)
+      .groupBy(md5(to_json(struct(col("g"), col("v")))).as("vk"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    val got = Snapshots.read(spark, s"$m/_dv/v")
+      .select("__vk", "vcount").collect()
+      .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("filtered MV maintains σ(base) across boundary-crossing updates") {
+    import spark.implicits._
+    val b = s"$wh/fb1"; val m = s"$wh/fm1"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L), (2L, "a", 3L), (3L, "b", 50L), (4L, "b", 2L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      where = Some("v >= 10"))
+    assert(collectMv(Mv.read(spark, m)) === recomputeWhere(b, "v >= 10"))
+    // k=2 crosses INTO the filter (3→12: a view insert), k=3 crosses
+    // OUT (50→5: a view delete — group b vanishes, k=4 never qualified),
+    // k=1 stays in but changes, k=5 inserts below the bar (invisible)
+    Snapshots.mergeByKey(spark, b, base(Seq(
+      (2L, "a", 12L), (3L, "b", 5L), (1L, "a", 11L), (5L, "c", 4L)))
+      .withColumn("__del", lit(false)), Seq("k"), tombstoneCol = Some("__del"))
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "incremental")
+    assert(collectMv(Mv.read(spark, m)) === recomputeWhere(b, "v >= 10"))
+    assert(Mv.read(spark, m).filter(col("g") === "b").isEmpty)
+    assert(Mv.read(spark, m).filter(col("g") === "c").isEmpty)
+    // an unresolvable predicate refuses at create, with the contract
+    val e = intercept[IllegalArgumentException](Mv.create(spark, s"$wh/fm1x", b,
+      Seq("k"), Seq("g"), Seq("v"), where = Some("no_such_col > 1")))
+    assert(e.getMessage.contains("does not resolve"), e.getMessage)
+  }
+
+  test("filter, min/max and count(distinct) compose on one view") {
+    import spark.implicits._
+    val b = s"$wh/fxb1"; val m = s"$wh/fxm1"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L), (2L, "a", 90L), (3L, "a", 40L), (4L, "b", 70L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      minMaxCols = Seq("v"), distinctCols = Seq("v"), where = Some("v < 80"))
+    def mmOf(g: String): (Long, Long) = {
+      val row = Mv.read(spark, m).filter(col("g") === g)
+        .select("min_v", "max_v").head
+      (row.getLong(0), row.getLong(1))
+    }
+    assert(mmOf("a") === ((10L, 40L))) // the 90 sits outside the filter
+    // retract the VIEW maximum: the recount must run over the filtered
+    // relation — forgetting the filter would resurrect the 90
+    Snapshots.mergeByKey(spark, b,
+      Seq((3L, "a", 40L, true)).toDF("k", "g", "v", "__del"),
+      Seq("k"), tombstoneCol = Some("__del"))
+    val r = Mv.refresh(spark, m)
+    assert(r.recountGroups === 1L)
+    assert(mmOf("a") === ((10L, 10L)))
+    assert(ndOfGroup(m, "a") === 1L)
+    assert(collectNd(m) === recomputeNd(b, Some("v < 80")))
+  }
+
+  test("join MV: count(distinct) and filter maintain over the star from either side") {
+    import spark.implicits._
+    val f = s"$wh/ndjf"; val dm = s"$wh/ndjd"; val m = s"$wh/ndjm"
+    publishStar(f, dm,
+      Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 100L),
+        (4L, 11L, 300L), (5L, 12L, 50L)),
+      Seq((10L, "a"), (11L, "a"), (12L, "b")))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg"), Seq("cents"), mvBuckets = 4,
+      distinctCols = Seq("cents"), where = Some("cents >= 100"))
+    def recomputeJ: Set[Seq[Any]] = IncrementalView.countSum(
+      Snapshots.read(spark, f).join(Snapshots.read(spark, dm),
+        col("ck") === col("ck2")).where(expr("cents >= 100")),
+      Seq("seg"), Seq("cents"), Nil, Seq("cents"))
+      .select("seg", "n_rows", "sum_cents", "nd_cents")
+      .collect().map(_.toSeq).toSet
+    def gotJ: Set[Seq[Any]] = Mv.read(spark, m)
+      .select("seg", "n_rows", "sum_cents", "nd_cents")
+      .collect().map(_.toSeq).toSet
+    assert(gotJ === recomputeJ)
+    // fact side: k=2 → 100 (a's 200 vanishes; 100 now duplicated), k=5
+    // → 150 (crosses INTO the filter — b appears); dim side: ck2=11
+    // relabels a→b (300 moves between groups)
+    Snapshots.mergeByKey(spark, f,
+      Seq((2L, 10L, 100L, false), (5L, 12L, 150L, false))
+        .toDF("k", "ck", "cents", "__del"), Seq("k"),
+      tombstoneCol = Some("__del"))
+    Snapshots.mergeByKey(spark, dm,
+      Seq((11L, "b", false)).toDF("ck2", "seg", "__del"),
+      Seq("ck2"), tombstoneCol = Some("__del"))
+    val r = Mv.refreshJoin(spark, m)
+    assert(r.mode === "incremental")
+    assert(gotJ === recomputeJ)
+    assert(Mv.refreshJoin(spark, m).mode === "noop")
+  }
+
+  test("trilinear join MV maintains count(distinct) through the fact's change feed") {
+    import spark.implicits._
+    val l = s"$wh/nd3l"; val f = s"$wh/nd3f"; val r3 = s"$wh/nd3r"; val m = s"$wh/nd3m"
+    publishStar3(l, f, r3,
+      Seq((10L, "a"), (11L, "b")),
+      Seq((1L, 10L, 1L, 100L), (2L, 10L, 1L, 200L), (3L, 11L, 2L, 100L)),
+      Seq((1L, "hi"), (2L, "lo")))
+    Mv.createJoin3(spark, m, l, Seq("ck2"), "ck2",
+      f, Seq("k"), "ck", "prio", r3, Seq("pr"), "pr",
+      Seq("seg", "plabel"), Seq("cents"), mvBuckets = 4,
+      distinctCols = Seq("cents"))
+    def recomputeT: Set[Seq[Any]] = IncrementalView.countSum(
+      Snapshots.read(spark, l)
+        .join(Snapshots.read(spark, f), col("ck2") === col("ck"))
+        .join(Snapshots.read(spark, r3), col("prio") === col("pr")),
+      Seq("seg", "plabel"), Seq("cents"), Nil, Seq("cents"))
+      .select("seg", "plabel", "n_rows", "nd_cents")
+      .collect().map(_.toSeq).toSet
+    def gotT: Set[Seq[Any]] = Mv.read(spark, m)
+      .select("seg", "plabel", "n_rows", "nd_cents")
+      .collect().map(_.toSeq).toSet
+    assert(gotT === recomputeT)
+    // fact: k=2's cents collapse onto k=1's value (nd for (a,hi) drops
+    // to 1), and k=3 deletes (the (b,lo) group vanishes)
+    Snapshots.mergeByKey(spark, f,
+      Seq((2L, 10L, 1L, 100L, false), (3L, 11L, 2L, 100L, true))
+        .toDF("k", "ck", "prio", "cents", "__del"),
+      Seq("k"), tombstoneCol = Some("__del"))
+    val r = Mv.refreshJoin3(spark, m)
+    assert(r.mode === "incremental")
+    assert(gotT === recomputeT)
+  }
+
+  test("distinct-count contract refusals: group column, float, unsafe name, missing") {
+    import spark.implicits._
+    val b = s"$wh/ndref"
+    Snapshots.publish(spark, b, Seq((1L, "a", 1.5, 2L)).toDF("k", "g", "f", "v")
+      .withColumn("a-b", lit(1L)))
+    def msg(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(msg(Mv.create(spark, s"$wh/ndrefm1", b, Seq("k"), Seq("g"), Nil,
+      distinctCols = Seq("g"))).contains("group columns"))
+    assert(msg(Mv.create(spark, s"$wh/ndrefm2", b, Seq("k"), Seq("g"), Nil,
+      distinctCols = Seq("f"))).contains("float/double"))
+    assert(msg(Mv.create(spark, s"$wh/ndrefm3", b, Seq("k"), Seq("g"), Nil,
+      distinctCols = Seq("a-b"))).contains("companion"))
+    assert(msg(Mv.create(spark, s"$wh/ndrefm4", b, Seq("k"), Seq("g"), Nil,
+      distinctCols = Seq("nope"))).contains("does not carry"))
+  }
+
+  test("Mv.expire / Mv.vacuum maintain the top MV and its companions together") {
+    import spark.implicits._
+    val b = s"$wh/ndlcb"; val m = s"$wh/ndlcm"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 10L), (2L, "b", 20L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      distinctCols = Seq("v"))
+    // three refresh cycles: one version lands on the top AND on the
+    // companion per cycle — the manifest growth the retention verb bounds
+    (1 to 3).foreach { i =>
+      Snapshots.mergeByKey(spark, b,
+        Seq((10L + i, "a", 30L + i, false)).toDF("k", "g", "v", "__del"),
+        Seq("k"), tombstoneCol = Some("__del"))
+      Mv.refresh(spark, m)
+    }
+    val comp = s"$m/_dv/v"
+    assert(Snapshots.versions(spark, m).size === 4)
+    assert(Snapshots.versions(spark, comp).size === 4)
+    val dropped = Mv.expire(spark, m, keepLast = 1)
+    assert(dropped.size === 6)
+    assert(Snapshots.versions(spark, m).size === 1)
+    assert(Snapshots.versions(spark, comp).size === 1)
+    Mv.vacuum(spark, m, graceMs = 0L)
+    // the view still reads and still refreshes incrementally after the
+    // sweep (live files were referenced, never orphans)
+    Snapshots.mergeByKey(spark, b,
+      Seq((99L, "b", 20L, false)).toDF("k", "g", "v", "__del"),
+      Seq("k"), tombstoneCol = Some("__del"))
+    assert(Mv.refresh(spark, m).mode === "incremental")
+    assert(collectNd(m) === recomputeNd(b))
+  }
+
+  test("expired watermark full fallback rebuilds the distinct companions") {
+    import spark.implicits._
+    val b = s"$wh/ndfull"; val m = s"$wh/ndfullm"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 10L), (2L, "a", 20L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      distinctCols = Seq("v"))
+    Snapshots.publish(spark, b, base(Seq((3L, "b", 5L))), append = true)
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "b", 7L))),
+      append = false)
+    Snapshots.expire(spark, b, keepLast = 1) // the watermark version is gone
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "full")
+    assert(collectNd(m) === recomputeNd(b))
+    // the NEXT incremental cycle works off the rebuilt companions,
+    // including a retraction (7 collapses onto 5 — nd drops to 1)
+    Snapshots.mergeByKey(spark, b,
+      Seq((4L, "b", 5L, false)).toDF("k", "g", "v", "__del"),
+      Seq("k"), tombstoneCol = Some("__del"))
+    val r2 = Mv.refresh(spark, m)
+    assert(r2.mode === "incremental")
+    assert(collectNd(m) === recomputeNd(b))
+    assert(ndOfGroup(m, "b") === 1L)
+  }
 }

@@ -422,6 +422,34 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("CALL create_mv with distinct_columns and where_clause from plain SQL") {
+    Snapshots.publish(spark, s"$warehouse/ndbase",
+      orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")))
+    val v = spark.sql(
+      "CALL snapcat.sys.create_mv('ndagg', 'ndbase', 'o_orderkey', " +
+        "'o_orderpriority', 'cents', 8, distinct_columns => 'o_custkey', " +
+        "where_clause => 'cents >= 10000')")
+      .head.getInt(0)
+    assert(v == 1)
+    def expected = spark.table("snapcat.ndbase").where("cents >= 10000")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def got = spark.sql(
+      "SELECT o_orderpriority, n_rows, nd_o_custkey FROM snapcat.ndagg")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // retractions through SQL: whole clerks vanish from some groups, so
+    // the companion-maintained nd must DROP (no recount tier involved)
+    spark.sql("DELETE FROM snapcat.ndbase WHERE o_orderkey % 2 = 0")
+    assert(spark.sql("CALL snapcat.sys.refresh_mv('ndagg')")
+      .head.getString(0) === "incremental")
+    assert(got === expected)
+    assert(spark.sql("CALL snapcat.sys.refresh_mv('ndagg')")
+      .head.getString(0) === "noop")
+  }
+
   test("CALL create_join_mv over a days(ts) time-star from plain SQL") {
     val ev = Tables.load(spark, sf, "events")
     Snapshots.publish(spark, s"$warehouse/tsfact",
