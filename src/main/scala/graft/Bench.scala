@@ -41,6 +41,7 @@ object Bench {
     val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt
     val spark = SparkEnv.configure(SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions) // MV routing + SQL functions
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

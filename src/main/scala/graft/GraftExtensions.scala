@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session extension registering the engine's native functions for the SQL
-  * surface (`spark.sql("... vector_dot(a, b) ...")`).
+  * surface (`spark.sql("... vector_dot(a, b) ...")`) and the
+  * transparent-MV-routing optimizer rule ([[graft.sources.MvRoute]] —
+  * inert until [[graft.operators.Mv.register]] names a view).
   *
   * Install via config on any deployment (no code changes):
   *   spark.sql.extensions=graft.GraftExtensions
@@ -16,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vectorDot)
     e.injectFunction(GraftExtensions.pqAdc)
+    e.injectOptimizerRule(graft.sources.MvRoute.apply)
   }
 }
 

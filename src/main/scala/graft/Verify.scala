@@ -17,6 +17,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkEnv.configure(SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions) // MV routing + SQL functions
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

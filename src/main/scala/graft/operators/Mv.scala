@@ -877,6 +877,54 @@ object Mv {
       pruned)
   }
 
+  /** Session conf key holding the comma-separated MV roots registered
+    * for transparent aggregate routing — see [[register]].
+    */
+  val RoutesKey = "spark.graft.mv.routes"
+
+  /** Register an MV for TRANSPARENT AGGREGATE ROUTING
+    * ([[graft.sources.MvRoute]], injected by `GraftExtensions`): a
+    * grouped aggregate over the BASE table whose shape the view covers
+    * (grouping = the view's group columns; aggregates drawn from
+    * count(*) / sum / count / avg over `sumCols`, min/max over
+    * `minMaxCols`, count(DISTINCT) over `distinctCols`) rewrites to a
+    * scan of this view; grouping by a SUBSET of the group columns
+    * (including none — the global aggregate) rewrites to a compensating
+    * re-aggregation OVER the view (|groups| rows, not |base|); a
+    * filtered view answers when the query's predicate semantically
+    * matches its `where`. Routing happens ONLY while the view is FRESH
+    * (its watermark equals the base's head version); a stale or
+    * unmatched query keeps its original plan, so routing is never a
+    * correctness trade. Session-scoped (a conf entry, not persisted);
+    * single-base views only.
+    */
+  def register(spark: SparkSession, mvRoot: String): Unit =
+    spark.conf.set(RoutesKey, (routes(spark) :+ mvRoot).distinct.mkString(","))
+
+  /** Remove an MV from the routing registry ([[register]]). */
+  def unregister(spark: SparkSession, mvRoot: String): Unit =
+    spark.conf.set(RoutesKey, routes(spark).filterNot(_ == mvRoot).mkString(","))
+
+  private[graft] def routes(spark: SparkSession): Seq[String] =
+    spark.conf.get(RoutesKey, "").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The routable definition of an MV root: its single-base
+    * [[Definition]] (filtered views route when the query's predicate
+    * semantically matches — [[graft.sources.MvRoute]]), or None when
+    * the root is not (or no longer) a routable view — join kinds
+    * (their freshness is a version TUPLE) and plain missing/foreign
+    * roots decline instead of failing, so a stale registry entry can
+    * never break a query.
+    */
+  private[graft] def routeDefinition(spark: SparkSession, mvRoot: String): Option[Definition] =
+    try {
+      val kv = defKv(spark, mvRoot)
+      if (kv.contains("kind")) None
+      else Some(Definition(kv("base"), defCols(kv, "keys"), defCols(kv, "groups"),
+        defCols(kv, "sums"), defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"),
+        defWhere(kv)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The distinct-count companion roots of an MV (empty when the
     * definition maintains none) — the definition is the source of
     * truth, read once, any MV kind.

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.Snapshots
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-14 continuation: the MV tier's COUNT(DISTINCT) companions and
@@ -238,5 +238,190 @@ object Extras10 {
         .withColumn("incremental", lit(incremental))
         .withColumn("probes_pruned", lit(probesPruned))
         .withColumn("replay_noop", lit(replayNoop))
+    },
+
+    // TRANSPARENT MV ROUTING under the oracle hash: the same grouped
+    // aggregate runs twice over the BASE's DSv2 scan — once with the
+    // registered view FRESH (the optimizer rewrites the plan to read
+    // the view: 'routed' pins `graft-snapshot(<mv>)` in the optimized
+    // plan and the base scan GONE), once after a second mutation with
+    // NO refresh ('bypassed' pins the view absent from the plan — a
+    // stale view must never answer). BOTH states' values ride the
+    // output rows under the oracle, so a routed-but-wrong or
+    // staleness-leaked answer flips the hash, not just a flag. The
+    // fresh aggregate exercises every routable shape at once: count(*),
+    // sum, count(col), min/max, and count(DISTINCT) → the companion-
+    // maintained nd column.
+    QueryDef.checked(
+      "q206_mv_routing",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS seg,
+        |         CAST(floor(o_orderkey / 10) AS BIGINT) AS val,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |s1 AS (
+        |  SELECT k, seg, val,
+        |    CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM base WHERE k % 37 <> 0),
+        |s2 AS (
+        |  SELECT k, seg, val,
+        |    CASE WHEN k % 3 = 0 THEN cents + 11 ELSE cents END AS cents
+        |  FROM s1 WHERE k % 5 <> 1)
+        |SELECT state, seg, n_rows, sum_cents, nn_cents, min_cents,
+        |  max_cents, nd_val,
+        |  CAST(1 AS BOOLEAN) AS routed, CAST(1 AS BOOLEAN) AS bypassed
+        |FROM (
+        |  SELECT 'fresh' AS state, seg, count(*) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(count(cents) AS BIGINT) AS nn_cents,
+        |    CAST(min(cents) AS BIGINT) AS min_cents,
+        |    CAST(max(cents) AS BIGINT) AS max_cents,
+        |    CAST(count(DISTINCT val) AS BIGINT) AS nd_val
+        |  FROM s1 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'stale' AS state, seg, count(*),
+        |    CAST(sum(cents) AS BIGINT), CAST(count(cents) AS BIGINT),
+        |    CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT),
+        |    CAST(count(DISTINCT val) AS BIGINT)
+        |  FROM s2 GROUP BY 1, 2)""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q206_mv_routing", "route", dir)
+      val baseRoot = s"$root/base"; val mvRoot = s"$root/mv"
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("seg"),
+        floor(col("o_orderkey") / 10).cast("long").as("val"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Snapshots.publish(s, baseRoot, base)
+      Mv.create(s, mvRoot, baseRoot, Seq("k"), Seq("seg"),
+        sumCols = Seq("cents"), mvBuckets = 8, minMaxCols = Seq("cents"),
+        distinctCols = Seq("val"))
+      def mutate(updPred: Column, updCents: Column, delPred: Column): Unit = {
+        val upd = base.filter(updPred && !delPred)
+          .withColumn("cents", updCents).withColumn("__del", lit(false))
+        val del = base.filter(delPred).withColumn("__del", lit(true))
+        Snapshots.mergeByKey(s, baseRoot, upd.unionByName(del),
+          keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      }
+      // the merge deltas compose against the LIVE table, so the second
+      // mutation's update reads post-first-state cents — rebuild each
+      // from the live read to keep the SQL mirror exact
+      def live = s.read.format("graft-snapshot").option("root", baseRoot).load()
+      def agg(src: org.apache.spark.sql.DataFrame) = src.groupBy("seg").agg(
+        count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+        count(col("cents")).as("nn_cents"), min("cents").as("min_cents"),
+        max("cents").as("max_cents"), countDistinct(col("val")).as("nd_val"))
+      mutate(col("k") % 10 === 0, col("cents") + 7L, col("k") % 37 === 0)
+      Mv.refresh(s, mvRoot)
+      Mv.register(s, mvRoot)
+      try {
+        val fresh = agg(live)
+        val freshPlan = fresh.queryExecution.optimizedPlan.toString
+        val routed = freshPlan.contains(s"graft-snapshot($mvRoot)") &&
+          !freshPlan.contains(s"graft-snapshot($baseRoot)")
+        val freshRows = fresh.withColumn("state", lit("fresh")).persist()
+        freshRows.count() // pin the routed answer before the base mutates
+        // second mutation, NO refresh: the view is stale and must bypass
+        val liveNow = live.persist()
+        val upd2 = liveNow.filter(col("k") % 3 === 0 && col("k") % 5 =!= 1)
+          .withColumn("cents", col("cents") + 11L).withColumn("__del", lit(false))
+        val del2 = liveNow.filter(col("k") % 5 === 1).withColumn("__del", lit(true))
+        Snapshots.mergeByKey(s, baseRoot, upd2.unionByName(del2),
+          keyCols = Seq("k"), tombstoneCol = Some("__del"))
+        liveNow.unpersist()
+        val stale = agg(live)
+        val bypassed = !stale.queryExecution.optimizedPlan.toString
+          .contains(s"graft-snapshot($mvRoot)")
+        freshRows.unionByName(stale.withColumn("state", lit("stale")))
+          .withColumn("routed", lit(routed))
+          .withColumn("bypassed", lit(bypassed))
+          .select(col("state"), col("seg"), col("n_rows"), col("sum_cents"),
+            col("nn_cents"), col("min_cents"), col("max_cents"), col("nd_val"),
+            col("routed"), col("bypassed"))
+      } finally Mv.unregister(s, mvRoot)
+    },
+
+    // ROLLUP + FILTERED-VIEW ROUTING under the oracle hash: the view
+    // aggregates σ(cents >= 15000000)(orders) by (seg, m5) — a FINER
+    // grouping than either query — and both a by-seg aggregate and the
+    // GLOBAL aggregate over the filtered base scan rewrite to a
+    // compensating re-aggregation OVER the view (count→sum(n_rows),
+    // sum→sum(sum), min/max→min/max, avg→Σsum/Σnn — |groups| view rows
+    // read, never the base), because the query predicate SEMANTICALLY
+    // matches the view's where (parse → analyze → fold → semanticEquals;
+    // textual equality is not required). Both states' values ride the
+    // oracle; 'routed_rollup'/'routed_global' pin the view in (and the
+    // base out of) each optimized plan.
+    QueryDef.checked(
+      "q207_mv_rollup_routing",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS seg,
+        |         CAST(o_orderkey % 5 AS BIGINT) AS m5,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |s1 AS (
+        |  SELECT k, seg, m5,
+        |    CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM base WHERE k % 37 <> 0),
+        |f AS (SELECT * FROM s1 WHERE cents >= 15000000)
+        |SELECT 'by_seg' AS state, seg, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(cents) AS BIGINT) AS nn_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents,
+        |  CAST(1 AS BOOLEAN) AS routed_rollup,
+        |  CAST(1 AS BOOLEAN) AS routed_global
+        |FROM f GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'global', '_all', count(*),
+        |  CAST(sum(cents) AS BIGINT), CAST(count(cents) AS BIGINT),
+        |  CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT),
+        |  CAST(sum(cents) AS DOUBLE) / count(cents),
+        |  CAST(1 AS BOOLEAN), CAST(1 AS BOOLEAN)
+        |FROM f""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q207_mv_rollup_routing", "rollup", dir)
+      val baseRoot = s"$root/base"; val mvRoot = s"$root/mv"
+      val pred = "cents >= 15000000"
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("seg"),
+        (col("o_orderkey") % 5).cast("long").as("m5"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Snapshots.publish(s, baseRoot, base)
+      Mv.create(s, mvRoot, baseRoot, Seq("k"), Seq("seg", "m5"),
+        sumCols = Seq("cents"), mvBuckets = 8, minMaxCols = Seq("cents"),
+        where = Some(pred))
+      val upd = base.filter(col("k") % 10 === 0 && col("k") % 37 =!= 0)
+        .withColumn("cents", col("cents") + 7L).withColumn("__del", lit(false))
+      val del = base.filter(col("k") % 37 === 0).withColumn("__del", lit(true))
+      Snapshots.mergeByKey(s, baseRoot, upd.unionByName(del),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      Mv.refresh(s, mvRoot)
+      Mv.register(s, mvRoot)
+      try {
+        def live = s.read.format("graft-snapshot").option("root", baseRoot).load()
+        val bySeg = live.where(pred).groupBy("seg").agg(
+          count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+          count(col("cents")).as("nn_cents"), min("cents").as("min_cents"),
+          max("cents").as("max_cents"), avg(col("cents")).as("avg_cents"))
+        val global = live.where(pred).agg(
+          count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+          count(col("cents")).as("nn_cents"), min("cents").as("min_cents"),
+          max("cents").as("max_cents"), avg(col("cents")).as("avg_cents"))
+        def routedPlan(df: org.apache.spark.sql.DataFrame): Boolean = {
+          val p = df.queryExecution.optimizedPlan.toString
+          p.contains(s"graft-snapshot($mvRoot)") &&
+            !p.contains(s"graft-snapshot($baseRoot)")
+        }
+        val (rr, rg) = (routedPlan(bySeg), routedPlan(global))
+        bySeg.withColumn("state", lit("by_seg"))
+          .unionByName(global.withColumn("seg", lit("_all"))
+            .withColumn("state", lit("global")))
+          .withColumn("routed_rollup", lit(rr))
+          .withColumn("routed_global", lit(rg))
+          .select(col("state"), col("seg"), col("n_rows"), col("sum_cents"),
+            col("nn_cents"), col("min_cents"), col("max_cents"),
+            col("avg_cents"), col("routed_rollup"), col("routed_global"))
+      } finally Mv.unregister(s, mvRoot)
     })
 }

@@ -1,0 +1,251 @@
+package graft.sources
+
+import graft.operators.{Mv, Snapshots}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.optimizer.ConstantFolding
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** TRANSPARENT MATERIALIZED-VIEW ROUTING — the classic aggregate-rewrite
+  * optimization as a Catalyst rule (injected by `GraftExtensions` into
+  * the operator-optimization batch): a grouped aggregate over a
+  * graft-snapshot BASE table whose shape a registered MV covers
+  * ([[Mv.register]]) rewrites to read the VIEW instead — a 100 TB
+  * scan-and-shuffle becomes a read of the pre-aggregated table.
+  *
+  * Two rewrite shapes:
+  *   - EXACT grouping (query groups == view groups): a Project over the
+  *     view's scan — no aggregation at all;
+  *   - ROLLUP grouping (query groups ⊂ view groups, including the
+  *     global aggregate): a compensating re-aggregation over the view —
+  *     count(*)→sum(n_rows), sum(c)→sum(sum_c), count(c)→sum(nn_c),
+  *     avg(c)→sum(sum_c)/sum(nn_c), min/max(c)→min(min_c)/max(max_c).
+  *     The view has one row per group, so the re-aggregation reads
+  *     |groups| rows, not |base|. count(DISTINCT) does NOT roll up
+  *     (distinct values are not summable across groups) — it routes
+  *     only at exact grouping, where `nd_<c>` is stored.
+  *
+  * FILTERED views route when the query's pushed-down predicate is
+  * SEMANTICALLY equal to the view's `where`: the stored SQL is parsed,
+  * analyzed against the scan's own attributes (type coercion and
+  * constant folding applied — the optimizer has already folded the
+  * query's side), and compared via `semanticEquals`. An unfiltered
+  * view never answers a filtered scan and vice versa.
+  *
+  * Correctness gates (each one declines the rewrite, never errors):
+  * freshness (view watermark == base head, checked at plan time — the
+  * single-writer premise every snapshot read already rests on); the
+  * scan must be the current version (no time travel / change feed,
+  * reader options AND catalog-bound pins); grouping must be plain
+  * duplicate-free attributes; every aggregate must map type-exactly
+  * (aggregate FILTER clauses, distinct flags on anything but
+  * maintained distinct columns, decimal avg/rollup-sum widenings all
+  * decline). Output attribute ids are preserved (parents rebind
+  * nothing) and non-nullability re-asserted where the original
+  * aggregate guaranteed it. Registration is session-scoped and
+  * advisory: an unregistered, stale, or mismatched query keeps its
+  * original plan.
+  */
+case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val routes = Mv.routes(spark)
+    if (routes.isEmpty) plan
+    else plan.transformDown {
+      case agg: Aggregate => rewrite(agg, routes).getOrElse(agg)
+    }
+  }
+
+  /** The aggregate's child unwrapped to its DSv2 relation plus at most
+    * one pushed-down predicate — through the attribute-only Projects
+    * column pruning inserts, nothing else.
+    */
+  private def unwrap(p: LogicalPlan)
+      : Option[(DataSourceV2Relation, Option[Expression])] = p match {
+    case r: DataSourceV2Relation => Some((r, None))
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(child)
+    case Filter(cond, child) => unwrap(child) match {
+      case Some((r, None)) => Some((r, Some(cond)))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private val travelKeys = Seq("version", "timestampAsOf", "readChangeFeed")
+
+  private def isCurrentHead(opts: CaseInsensitiveStringMap,
+      bound: Map[String, String]): Boolean =
+    travelKeys.forall(k => !opts.containsKey(k) && !bound.contains(k))
+
+  private def norm(root: String): String = root.stripSuffix("/")
+
+  /** The view's stored `where` parsed, analyzed against the SCAN's own
+    * attributes (name-resolved, type-coerced, constant-folded — the
+    * query's side arrives already folded), ready for semanticEquals.
+    */
+  private def resolvedFilter(w: String,
+      rel: DataSourceV2Relation): Option[Expression] =
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(w)
+      val hasUnknown = parsed.collectFirst {
+        case u: UnresolvedAttribute
+            if u.nameParts.size != 1 ||
+              !rel.output.exists(_.name == u.nameParts.head) => u
+      }.isDefined
+      if (hasUnknown) None
+      else {
+        val analyzed = spark.sessionState.analyzer.execute(
+          Filter(parsed, LocalRelation(rel.output)))
+        ConstantFolding(analyzed) match {
+          case Filter(cond, _) if cond.resolved => Some(cond)
+          case _ => None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def rewrite(agg: Aggregate, routes: Seq[String]): Option[LogicalPlan] = {
+    val (rel, queryPred) = unwrap(agg.child).getOrElse(return None)
+    val (root, bound) = rel.table match {
+      case t: SnapshotTable => t.routeIdentity
+      case _ => return None
+    }
+    if (!isCurrentHead(rel.options, bound)) return None
+    // grouping must be plain, duplicate-free attributes (possibly none —
+    // the global-aggregate rollup)
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    if (groupAttrs.map(_.name).distinct.size != groupAttrs.size) return None
+    val groupNames = groupAttrs.map(_.name).toSet
+    // first registered FRESH view over this base whose shape covers the
+    // query (registration order is the tie-break — bounded list)
+    routes.iterator.flatMap { mvRoot =>
+      Mv.routeDefinition(spark, mvRoot)
+        .filter(d => norm(d.baseRoot) == norm(root))
+        .filter(d => groupNames.subsetOf(d.groupCols.toSet))
+        .filter { d =>
+          (d.filterSql, queryPred) match {
+            case (None, None) => true
+            case (Some(w), Some(cond)) =>
+              resolvedFilter(w, rel).exists(_.semanticEquals(cond))
+            case _ => false
+          }
+        }
+        .filter { d =>
+          val baseVs = Snapshots.versions(spark, d.baseRoot)
+          baseVs.nonEmpty &&
+            Snapshots.lastBatchId(spark, mvRoot).contains(baseVs.last.toLong)
+        }
+        .flatMap(d => build(agg, mvRoot, d,
+          exact = groupNames == d.groupCols.toSet))
+    }.nextOption()
+  }
+
+  /** Map every output of the Aggregate onto the view's columns; None on
+    * the first aggregate the view does not maintain (type-exact).
+    */
+  private def build(agg: Aggregate, mvRoot: String, d: Mv.Definition,
+      exact: Boolean): Option[LogicalPlan] = {
+    val vs = Snapshots.versions(spark, mvRoot)
+    val schema = Snapshots.schemaOf(spark, mvRoot, vs.last).getOrElse(return None)
+    val mvTable = new SnapshotTable(schema, mvRoot, Map.empty)
+    val mvRel = DataSourceV2Relation.create(mvTable, None, None,
+      new CaseInsensitiveStringMap(java.util.Map.of("root", mvRoot)))
+    val out: Map[String, AttributeReference] =
+      mvRel.output.map(a => a.name -> a).toMap
+
+    def typed(name: String, dt: DataType): Option[Expression] =
+      out.get(name).filter(_.dataType == dt)
+
+    // re-aggregation helpers for the rollup shape — sums of longs stay
+    // longs (type-exact); anything whose re-aggregate would WIDEN
+    // (decimal sums) declines via the typed() check on the result
+    def sumOf(name: String, dt: DataType): Option[Expression] =
+      out.get(name).map(a => Sum(a).toAggregateExpression())
+        .filter(_.dataType == dt)
+    def sumCount(name: String): Option[Expression] =
+      // a COUNT over an empty (or groupless-empty) base is 0, but a SUM
+      // over zero view rows is NULL — pin the count semantics back
+      sumOf(name, LongType).map(e => Coalesce(Seq(e, Literal(0L))))
+
+    def map(ne: NamedExpression): Option[Expression] = ne match {
+      case a: AttributeReference if d.groupCols.contains(a.name) =>
+        typed(a.name, a.dataType)
+      case Alias(a: AttributeReference, _) if d.groupCols.contains(a.name) =>
+        typed(a.name, a.dataType)
+      case Alias(AggregateExpression(fn, _, isDistinct, None, _), _) =>
+        fn match {
+          case Count(Seq(l: Literal)) if !isDistinct && l.value != null =>
+            if (exact) typed("n_rows", ne.dataType)
+            else sumCount("n_rows")
+          case Count(Seq(a: AttributeReference))
+              if isDistinct && d.distinctCols.contains(a.name) =>
+            // distinct values are not summable across groups — stored
+            // nd answers exact grouping only
+            if (exact) typed(s"nd_${a.name}", ne.dataType) else None
+          case Count(Seq(a: AttributeReference))
+              if !isDistinct && d.sumCols.contains(a.name) =>
+            if (exact) typed(s"nn_${a.name}", ne.dataType)
+            else sumCount(s"nn_${a.name}")
+          case Sum(a: AttributeReference, _)
+              if !isDistinct && d.sumCols.contains(a.name) =>
+            if (exact) typed(s"sum_${a.name}", ne.dataType)
+            else sumOf(s"sum_${a.name}", ne.dataType)
+          case Min(a: AttributeReference) if d.minMaxCols.contains(a.name) =>
+            if (exact) typed(s"min_${a.name}", ne.dataType)
+            else out.get(s"min_${a.name}")
+              .map(x => Min(x).toAggregateExpression())
+              .filter(_.dataType == ne.dataType)
+          case Max(a: AttributeReference) if d.minMaxCols.contains(a.name) =>
+            if (exact) typed(s"max_${a.name}", ne.dataType)
+            else out.get(s"max_${a.name}")
+              .map(x => Max(x).toAggregateExpression())
+              .filter(_.dataType == ne.dataType)
+          case Average(a: AttributeReference, _)
+              if !isDistinct && d.sumCols.contains(a.name) &&
+                ne.dataType == DoubleType =>
+            // sum/nn in double — NULL-exact: an all-NULL group stores a
+            // NULL sum (nn = 0 never divides a non-null numerator)
+            val s: Option[Expression] =
+              if (exact) out.get(s"sum_${a.name}")
+              else out.get(s"sum_${a.name}").map(x => Sum(x).toAggregateExpression())
+            val nn: Option[Expression] =
+              if (exact) out.get(s"nn_${a.name}")
+              else out.get(s"nn_${a.name}").map(x => Sum(x).toAggregateExpression())
+            for { sv <- s; nv <- nn }
+              yield new Divide(Cast(sv, DoubleType), Cast(nv, DoubleType))
+          case _ => None
+        }
+      case _ => None
+    }
+
+    val mapped = agg.aggregateExpressions.map(ne => map(ne) match {
+      case Some(e) => (ne, e)
+      case None => return None
+    })
+    val projList = mapped.map { case (ne, e) =>
+      // parquet reads counts back nullable; the original aggregate
+      // guaranteed non-null — re-assert, so parent plans keep the
+      // nullability they were resolved under
+      val adjusted =
+        if (!ne.toAttribute.nullable && e.nullable) KnownNotNull(e) else e
+      Alias(adjusted, ne.name)(exprId = ne.exprId)
+    }
+    if (exact) Some(Project(projList, mvRel))
+    else {
+      val grouping = agg.groupingExpressions.map {
+        case a: AttributeReference => out(a.name)
+      }
+      Some(Aggregate(grouping, projList, mvRel))
+    }
+  }
+}

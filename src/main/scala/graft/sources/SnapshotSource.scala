@@ -262,6 +262,12 @@ private[sources] class SnapshotTable(tableSchema: StructType, root: String,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-snapshot($root)"
 
+  /** (root, catalog-bound options) for the MV routing rule
+    * ([[MvRoute]]) — routing must see the table's identity AND any
+    * bound time-travel pin (a version-pinned table never routes).
+    */
+  private[graft] def routeIdentity: (String, Map[String, String]) = (root, bound)
+
   /** `SELECT _file, _version FROM t` — per-row data-file path and the
     * scan's resolved manifest version, served as per-file constant
     * columns (same-named DATA columns shadow them). `_file` is also the

@@ -1,0 +1,205 @@
+package graft
+
+import graft.operators.{Mv, Snapshots}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins transparent MV routing ([[graft.sources.MvRoute]]): a matching
+  * grouped aggregate over the BASE scan rewrites to the registered
+  * view's scan WHEN FRESH, with identical results (values, NULL
+  * semantics, types); staleness, shape mismatches, time travel, and
+  * unregistered views all keep the original plan — routing is never a
+  * correctness trade.
+  */
+class MvRouteSpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  private lazy val wh: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-mvroute")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** (k PK, g group, v nullable measure, c distinct-counted). */
+  private def base(rows: Seq[(Long, String, java.lang.Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "g", "v", "c")
+  }
+
+  private def dsv2(root: String): DataFrame =
+    spark.read.format("graft-snapshot").option("root", root).load()
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("a fresh registered view answers the matching aggregate with identical results") {
+    val b = s"$wh/rb1"; val m = s"$wh/rm1"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L, 5L), (2L, "a", null.asInstanceOf[java.lang.Long], 7L),
+      (3L, "b", 30L, 5L), (4L, null, 40L, 5L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      minMaxCols = Seq("v"), distinctCols = Seq("c"))
+    def q = dsv2(b).groupBy("g").agg(
+      count(lit(1)).as("n"), sum("v").as("s"), count(col("v")).as("nnv"),
+      avg(col("v")).as("av"), min("v").as("mn"), max("v").as("mx"),
+      countDistinct(col("c")).as("ndc"))
+    val unrouted = rows(q)
+    assert(!planOf(q).contains(s"graft-snapshot($m)"),
+      "must not route before registration")
+    Mv.register(spark, m)
+    try {
+      assert(planOf(q).contains(s"graft-snapshot($m)"),
+        s"fresh registered view must answer the aggregate:\n${planOf(q)}")
+      assert(!planOf(q).contains(s"graft-snapshot($b)"),
+        "the routed plan must not scan the base")
+      assert(rows(q) === unrouted)
+      // SQL path routes identically (the temp view expands to the scan)
+      dsv2(b).createOrReplaceTempView("route_t")
+      val viaSql = spark.sql(
+        "SELECT g, count(*) AS n, sum(v) AS s FROM route_t GROUP BY g")
+      assert(planOf(viaSql).contains(s"graft-snapshot($m)"), planOf(viaSql))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("a stale view bypasses; refresh re-enables the route") {
+    import spark.implicits._
+    val b = s"$wh/rb2"; val m = s"$wh/rm2"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 10L, 1L), (2L, "b", 20L, 2L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+    Mv.register(spark, m)
+    try {
+      def q = dsv2(b).groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(q).contains(s"graft-snapshot($m)"))
+      // mutate the base WITHOUT refreshing: the view is stale — the
+      // query must keep its original plan and report the NEW truth
+      Snapshots.mergeByKey(spark, b,
+        Seq((1L, "a", 99L, 1L)).toDF("k", "g", "v", "c")
+          .withColumn("__del", lit(false)),
+        Seq("k"), tombstoneCol = Some("__del"))
+      assert(!planOf(q).contains(s"graft-snapshot($m)"),
+        "a stale view must never answer")
+      assert(rows(q).contains(Seq("a", 99L)))
+      Mv.refresh(spark, m)
+      assert(planOf(q).contains(s"graft-snapshot($m)"),
+        "refresh must re-enable the route")
+      assert(rows(q).contains(Seq("a", 99L)))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("shape mismatches and time travel bypass the route") {
+    val b = s"$wh/rb3"; val m = s"$wh/rm3"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 10L, 1L), (2L, "b", 20L, 2L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+    Mv.register(spark, m)
+    try {
+      val mv = s"graft-snapshot($m)"
+      // grouping mismatch (extra column)
+      assert(!planOf(dsv2(b).groupBy("g", "k").agg(sum("v"))).contains(mv))
+      // grouping by an expression
+      assert(!planOf(dsv2(b).groupBy(upper(col("g"))).agg(sum("v"))).contains(mv))
+      // unmaintained aggregate (c is not a sum column)
+      assert(!planOf(dsv2(b).groupBy("g").agg(sum("c"))).contains(mv))
+      // unmaintained min/max and distinct
+      assert(!planOf(dsv2(b).groupBy("g").agg(min("v"))).contains(mv))
+      assert(!planOf(dsv2(b).groupBy("g").agg(countDistinct(col("c")))).contains(mv))
+      // a filter above the scan (predicate matching is out of scope)
+      assert(!planOf(dsv2(b).where(col("v") > 0).groupBy("g").agg(sum("v")))
+        .contains(mv))
+      // time travel pins a version — never route
+      assert(!planOf(spark.read.format("graft-snapshot").option("root", b)
+        .option("version", "1").load().groupBy("g").agg(sum("v"))).contains(mv))
+      // the maintained shape itself still routes (the controls above are
+      // mismatch-driven, not registry-driven)
+      assert(planOf(dsv2(b).groupBy("g").agg(sum("v"), count(lit(1)))).contains(mv))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("rollup routing: a coarser grouping re-aggregates the view, not the base") {
+    import spark.implicits._
+    val b = s"$wh/rb5"; val m = s"$wh/rm5"
+    // two group columns (g, h) on the view; queries by g alone and the
+    // GLOBAL aggregate both roll up from |groups| view rows
+    Snapshots.publish(spark, b,
+      Seq[(Long, String, String, java.lang.Long, Long)](
+        (1L, "a", "x", 10L, 1L), (2L, "a", "y", 20L, 2L),
+        (3L, "b", "x", 30L, 3L), (4L, "a", "y", 40L, 1L),
+        (5L, "b", "y", null, 2L))
+        .toDF("k", "g", "h", "v", "c"))
+    Mv.create(spark, m, b, Seq("k"), Seq("g", "h"), Seq("v"), mvBuckets = 4,
+      minMaxCols = Seq("v"), distinctCols = Seq("c"))
+    val mv = s"graft-snapshot($m)"
+    def byG = dsv2(b).groupBy("g").agg(
+      count(lit(1)).as("n"), sum("v").as("s"), count(col("v")).as("nnv"),
+      avg(col("v")).as("av"), min("v").as("mn"), max("v").as("mx"))
+    def global = dsv2(b).agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val (wantG, wantAll) = (rows(byG), rows(global))
+    Mv.register(spark, m)
+    try {
+      assert(planOf(byG).contains(mv), planOf(byG))
+      assert(!planOf(byG).contains(s"graft-snapshot($b)"))
+      assert(rows(byG) === wantG)
+      assert(planOf(global).contains(mv), planOf(global))
+      assert(rows(global) === wantAll)
+      // count(DISTINCT) does not roll up — subset grouping bypasses
+      assert(!planOf(dsv2(b).groupBy("g").agg(countDistinct(col("c"))))
+        .contains(mv))
+      // ...but answers at exact grouping
+      assert(planOf(dsv2(b).groupBy("g", "h").agg(countDistinct(col("c"))))
+        .contains(mv))
+      // a non-group column in the rollup grouping bypasses
+      assert(!planOf(dsv2(b).groupBy("c").agg(sum("v"))).contains(mv))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("filtered-view routing: a semantically equal predicate answers, others bypass") {
+    import spark.implicits._
+    val b = s"$wh/rb6"; val m = s"$wh/rm6"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L, 1L), (2L, "a", 200L, 2L), (3L, "b", 300L, 3L),
+      (4L, "b", 5L, 4L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      where = Some("v >= 100"))
+    val mv = s"graft-snapshot($m)"
+    def q(pred: String) = dsv2(b).where(pred).groupBy("g").agg(sum("v").as("s"))
+    val want = rows(q("v >= 100"))
+    Mv.register(spark, m)
+    try {
+      assert(planOf(q("v >= 100")).contains(mv), planOf(q("v >= 100")))
+      assert(rows(q("v >= 100")) === want)
+      // the same predicate written differently still matches semantically
+      assert(planOf(q("100 <= v")).contains(mv), planOf(q("100 <= v")))
+      assert(rows(q("100 <= v")) === want)
+      // a different predicate bypasses; so does the unfiltered scan
+      assert(!planOf(q("v >= 101")).contains(mv))
+      assert(!planOf(dsv2(b).groupBy("g").agg(sum("v"))).contains(mv))
+      // rollup composes with the filter match (global over the view)
+      val g = dsv2(b).where("v >= 100").agg(sum("v").as("s"))
+      assert(planOf(g).contains(mv), planOf(g))
+      assert(rows(g) === Set(Seq(500L)))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("routed NULL semantics are exact: all-NULL sums, NULL groups, derived avg") {
+    val b = s"$wh/rb4"; val m = s"$wh/rm4"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", null.asInstanceOf[java.lang.Long], 1L),
+      (2L, "a", null.asInstanceOf[java.lang.Long], 2L),
+      (3L, null, 30L, 3L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+    def q = dsv2(b).groupBy("g").agg(
+      count(lit(1)).as("n"), sum("v").as("s"), avg(col("v")).as("av"))
+    val unrouted = rows(q)
+    Mv.register(spark, m)
+    try {
+      assert(planOf(q).contains(s"graft-snapshot($m)"))
+      assert(rows(q) === unrouted)
+      // group "a" sums NULL over two rows; its avg is NULL, not NaN
+      assert(rows(q).contains(Seq("a", 2L, null, null)))
+    } finally Mv.unregister(spark, m)
+  }
+}
