@@ -925,6 +925,28 @@ object Mv {
         defWhere(kv)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The routable JOIN definition of an MV root — None for non-join
+    * kinds or unreadable roots (decline, never fail: registry entries
+    * may outlive their views).
+    */
+  private[graft] def joinRouteDefinition(spark: SparkSession,
+      mvRoot: String): Option[JoinDefinition] =
+    try {
+      if (!defKv(spark, mvRoot).get("kind").contains("join")) None
+      else Some(joinDefinition(spark, mvRoot))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Whether a join MV is FRESH for routing: its watermark PAIR equals
+    * both bases' head versions.
+    */
+  private[graft] def joinRouteFresh(spark: SparkSession, mvRoot: String,
+      d: JoinDefinition): Boolean = {
+    val lVs = Snapshots.versions(spark, d.leftRoot)
+    val rVs = Snapshots.versions(spark, d.rightRoot)
+    lVs.nonEmpty && rVs.nonEmpty &&
+      Snapshots.lastBatchId(spark, mvRoot).contains(encWm(lVs.last, rVs.last))
+  }
+
   /** The distinct-count companion roots of an MV (empty when the
     * definition maintains none) — the definition is the source of
     * truth, read once, any MV kind.

@@ -423,5 +423,89 @@ object Extras10 {
             col("nn_cents"), col("min_cents"), col("max_cents"),
             col("avg_cents"), col("routed_rollup"), col("routed_global"))
       } finally Mv.unregister(s, mvRoot)
+    },
+
+    // JOIN-MV ROUTING under the oracle hash: the star-schema dashboard
+    // query — an aggregate over fact ⋈ dim — rewrites to the join MV
+    // while the view's watermark PAIR equals both heads ('fresh' state,
+    // 'routed' pins the view in and BOTH base scans out of the plan),
+    // and bypasses with the new truth after the dim relabels with no
+    // refresh ('stale' state, 'bypassed' pins the view absent). Both
+    // states' values — count, sum, and the derived double avg — ride
+    // the oracle, so a stale answer or a mis-derived avg flips values,
+    // not just flags.
+    QueryDef.checked(
+      "q208_mv_join_routing",
+      """WITH fact AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ck,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f1 AS (
+        |  SELECT k, ck,
+        |    CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM fact WHERE k % 37 <> 0),
+        |dim0 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer),
+        |dim1 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE seg END AS seg
+        |  FROM dim0)
+        |SELECT 'fresh' AS state, seg, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents,
+        |  CAST(1 AS BOOLEAN) AS routed, CAST(1 AS BOOLEAN) AS bypassed
+        |FROM f1 JOIN dim0 ON ck = c_custkey GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'stale', seg, count(*), CAST(sum(cents) AS BIGINT),
+        |  CAST(sum(cents) AS DOUBLE) / count(cents),
+        |  CAST(1 AS BOOLEAN), CAST(1 AS BOOLEAN)
+        |FROM f1 JOIN dim1 ON ck = c_custkey GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q208_mv_join_routing", "jroute", dir)
+      val factRoot = s"$root/fact"; val dimRoot = s"$root/dim"
+      val mvRoot = s"$root/mv"
+      val fact = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment").as("seg"))
+      Snapshots.publish(s, factRoot, fact, clusterBy = Some("bucket(8, ck)"))
+      Snapshots.publish(s, dimRoot, dim, clusterBy = Some("bucket(8, c_custkey)"))
+      Mv.createJoin(s, mvRoot, factRoot, Seq("k"), "ck",
+        dimRoot, Seq("c_custkey"), "c_custkey",
+        Seq("seg"), Seq("cents"), mvBuckets = 8)
+      val upd = fact.filter(col("k") % 10 === 0 && col("k") % 37 =!= 0)
+        .withColumn("cents", col("cents") + 7L).withColumn("__del", lit(false))
+      val del = fact.filter(col("k") % 37 === 0).withColumn("__del", lit(true))
+      Snapshots.mergeByKey(s, factRoot, upd.unionByName(del),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      Mv.refreshJoin(s, mvRoot)
+      Mv.register(s, mvRoot)
+      try {
+        def star = s.read.format("graft-snapshot").option("root", factRoot).load()
+          .join(s.read.format("graft-snapshot").option("root", dimRoot).load(),
+            col("ck") === col("c_custkey"))
+        def agg(src: org.apache.spark.sql.DataFrame) = src.groupBy("seg").agg(
+          count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+          avg(col("cents")).as("avg_cents"))
+        val fresh = agg(star)
+        val freshPlan = fresh.queryExecution.optimizedPlan.toString
+        val routed = freshPlan.contains(s"graft-snapshot($mvRoot)") &&
+          !freshPlan.contains(s"graft-snapshot($factRoot)") &&
+          !freshPlan.contains(s"graft-snapshot($dimRoot)")
+        val freshRows = fresh.withColumn("state", lit("fresh")).persist()
+        freshRows.count() // pin the routed answer before the dim mutates
+        Snapshots.mergeByKey(s, dimRoot,
+          dim.filter(col("c_custkey") % 11 === 0)
+            .withColumn("seg", lit("MOVED")).withColumn("__del", lit(false)),
+          keyCols = Seq("c_custkey"), tombstoneCol = Some("__del"))
+        val stale = agg(star)
+        val bypassed = !stale.queryExecution.optimizedPlan.toString
+          .contains(s"graft-snapshot($mvRoot)")
+        freshRows.unionByName(stale.withColumn("state", lit("stale")))
+          .withColumn("routed", lit(routed))
+          .withColumn("bypassed", lit(bypassed))
+          .select(col("state"), col("seg"), col("n_rows"), col("sum_cents"),
+            col("avg_cents"), col("routed"), col("bypassed"))
+      } finally Mv.unregister(s, mvRoot)
     })
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.optimizer.ConstantFolding
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
@@ -16,9 +17,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** TRANSPARENT MATERIALIZED-VIEW ROUTING — the classic aggregate-rewrite
   * optimization as a Catalyst rule (injected by `GraftExtensions` into
   * the operator-optimization batch): a grouped aggregate over a
-  * graft-snapshot BASE table whose shape a registered MV covers
-  * ([[Mv.register]]) rewrites to read the VIEW instead — a 100 TB
-  * scan-and-shuffle becomes a read of the pre-aggregated table.
+  * graft-snapshot BASE scan — or over the INNER equi-join of two base
+  * scans a join MV maintains — whose shape a registered view covers
+  * ([[Mv.register]]) rewrites to read the VIEW instead: a 100 TB
+  * scan-(join-)and-shuffle becomes a read of the pre-aggregated table.
   *
   * Two rewrite shapes:
   *   - EXACT grouping (query groups == view groups): a Project over the
@@ -32,40 +34,46 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     (distinct values are not summable across groups) — it routes
   *     only at exact grouping, where `nd_<c>` is stored.
   *
-  * FILTERED views route when the query's pushed-down predicate is
-  * SEMANTICALLY equal to the view's `where`: the stored SQL is parsed,
-  * analyzed against the scan's own attributes (type coercion and
-  * constant folding applied — the optimizer has already folded the
-  * query's side), and compared via `semanticEquals`. An unfiltered
-  * view never answers a filtered scan and vice versa.
+  * FILTERED views route when the query's predicate is SEMANTICALLY
+  * equal to the view's `where`: the stored SQL is parsed, analyzed
+  * against the scan's own attributes (type coercion and constant
+  * folding applied — the optimizer has already folded the query's
+  * side), and compared conjunct-by-conjunct via `semanticEquals`. For
+  * joins the optimizer has already pushed single-sided conjuncts below
+  * the join, so the match recombines child and above-join predicates
+  * (and ignores IsNotNull on the join keys — implied by the inner
+  * equi-join on both the query and the view side).
   *
   * Correctness gates (each one declines the rewrite, never errors):
-  * freshness (view watermark == base head, checked at plan time — the
-  * single-writer premise every snapshot read already rests on); the
-  * scan must be the current version (no time travel / change feed,
-  * reader options AND catalog-bound pins); grouping must be plain
-  * duplicate-free attributes; every aggregate must map type-exactly
-  * (aggregate FILTER clauses, distinct flags on anything but
-  * maintained distinct columns, decimal avg/rollup-sum widenings all
-  * decline). Output attribute ids are preserved (parents rebind
-  * nothing) and non-nullability re-asserted where the original
-  * aggregate guaranteed it. Registration is session-scoped and
-  * advisory: an unregistered, stale, or mismatched query keeps its
-  * original plan.
+  * freshness (view watermark == base head — the watermark PAIR == both
+  * heads for a join view — checked at plan time, the single-writer
+  * premise every snapshot read already rests on); the scan must be the
+  * current version (no time travel / change feed, reader options AND
+  * catalog-bound pins); grouping must be plain duplicate-free
+  * attributes; every aggregate must map type-exactly (aggregate FILTER
+  * clauses, distinct flags on anything but maintained distinct
+  * columns, decimal avg/rollup-sum widenings all decline). Output
+  * attribute ids are preserved (parents rebind nothing) and
+  * non-nullability re-asserted where the original aggregate guaranteed
+  * it. Registration is session-scoped and advisory: an unregistered,
+  * stale, or mismatched query keeps its original plan.
   */
-case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan] {
+case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val routes = Mv.routes(spark)
     if (routes.isEmpty) plan
     else plan.transformDown {
-      case agg: Aggregate => rewrite(agg, routes).getOrElse(agg)
+      case agg: Aggregate =>
+        singleRewrite(agg, routes).orElse(joinRewrite(agg, routes))
+          .getOrElse(agg)
     }
   }
 
-  /** The aggregate's child unwrapped to its DSv2 relation plus at most
-    * one pushed-down predicate — through the attribute-only Projects
-    * column pruning inserts, nothing else.
+  /** The plan unwrapped to its DSv2 relation plus at most one pushed
+    * predicate — through the attribute-only Projects column pruning
+    * inserts, nothing else.
     */
   private def unwrap(p: LogicalPlan)
       : Option[(DataSourceV2Relation, Option[Expression])] = p match {
@@ -81,29 +89,50 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val travelKeys = Seq("version", "timestampAsOf", "readChangeFeed")
 
-  private def isCurrentHead(opts: CaseInsensitiveStringMap,
-      bound: Map[String, String]): Boolean =
-    travelKeys.forall(k => !opts.containsKey(k) && !bound.contains(k))
+  /** The scan's root, provided it is a current-head graft-snapshot read
+    * (no time travel / change feed — reader options and catalog-bound
+    * pins both checked).
+    */
+  private def currentRoot(rel: DataSourceV2Relation): Option[String] =
+    rel.table match {
+      case t: SnapshotTable =>
+        val (root, bound) = t.routeIdentity
+        if (travelKeys.forall(k =>
+            !rel.options.containsKey(k) && !bound.contains(k))) Some(root)
+        else None
+      case _ => None
+    }
 
   private def norm(root: String): String = root.stripSuffix("/")
 
-  /** The view's stored `where` parsed, analyzed against the SCAN's own
+  /** Grouping as plain, duplicate-free attribute names (None otherwise;
+    * empty = the global aggregate).
+    */
+  private def groupingNames(agg: Aggregate): Option[Seq[String]] = {
+    val names = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (names.distinct.size == names.size) Some(names) else None
+  }
+
+  /** The view's stored `where` parsed, analyzed against the scan's own
     * attributes (name-resolved, type-coerced, constant-folded — the
     * query's side arrives already folded), ready for semanticEquals.
     */
   private def resolvedFilter(w: String,
-      rel: DataSourceV2Relation): Option[Expression] =
+      output: Seq[Attribute]): Option[Expression] =
     try {
       val parsed = spark.sessionState.sqlParser.parseExpression(w)
       val hasUnknown = parsed.collectFirst {
         case u: UnresolvedAttribute
             if u.nameParts.size != 1 ||
-              !rel.output.exists(_.name == u.nameParts.head) => u
+              !output.exists(_.name == u.nameParts.head) => u
       }.isDefined
       if (hasUnknown) None
       else {
         val analyzed = spark.sessionState.analyzer.execute(
-          Filter(parsed, LocalRelation(rel.output)))
+          Filter(parsed, LocalRelation(output)))
         ConstantFolding(analyzed) match {
           case Filter(cond, _) if cond.resolved => Some(cond)
           case _ => None
@@ -111,51 +140,108 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def rewrite(agg: Aggregate, routes: Seq[String]): Option[LogicalPlan] = {
+  /** Conjunct-set semantic equality between the view's stored filter
+    * and the query's (possibly recombined) predicate — both sides split
+    * to conjuncts so push-down reshuffling and And order don't matter.
+    */
+  private def filterMatches(where: Option[String], output: Seq[Attribute],
+      queryConjuncts: Seq[Expression]): Boolean = (where, queryConjuncts) match {
+    case (None, Nil) => true
+    case (Some(w), qc) if qc.nonEmpty =>
+      resolvedFilter(w, output).exists { cond =>
+        val wc = splitConjunctivePredicates(cond)
+        wc.size == qc.size &&
+          wc.forall(c => qc.exists(_.semanticEquals(c))) &&
+          qc.forall(c => wc.exists(_.semanticEquals(c)))
+      }
+    case _ => false
+  }
+
+  // ── single-base views ────────────────────────────────────────────────
+
+  private def singleRewrite(agg: Aggregate,
+      routes: Seq[String]): Option[LogicalPlan] = {
     val (rel, queryPred) = unwrap(agg.child).getOrElse(return None)
-    val (root, bound) = rel.table match {
-      case t: SnapshotTable => t.routeIdentity
-      case _ => return None
-    }
-    if (!isCurrentHead(rel.options, bound)) return None
-    // grouping must be plain, duplicate-free attributes (possibly none —
-    // the global-aggregate rollup)
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference => a
-      case _ => return None
-    }
-    if (groupAttrs.map(_.name).distinct.size != groupAttrs.size) return None
-    val groupNames = groupAttrs.map(_.name).toSet
-    // first registered FRESH view over this base whose shape covers the
-    // query (registration order is the tie-break — bounded list)
+    val root = currentRoot(rel).getOrElse(return None)
+    val groupNames = groupingNames(agg).getOrElse(return None).toSet
+    val qConjuncts = queryPred.toSeq.flatMap(splitConjunctivePredicates)
     routes.iterator.flatMap { mvRoot =>
       Mv.routeDefinition(spark, mvRoot)
         .filter(d => norm(d.baseRoot) == norm(root))
         .filter(d => groupNames.subsetOf(d.groupCols.toSet))
-        .filter { d =>
-          (d.filterSql, queryPred) match {
-            case (None, None) => true
-            case (Some(w), Some(cond)) =>
-              resolvedFilter(w, rel).exists(_.semanticEquals(cond))
-            case _ => false
-          }
-        }
+        .filter(d => filterMatches(d.filterSql, rel.output, qConjuncts))
         .filter { d =>
           val baseVs = Snapshots.versions(spark, d.baseRoot)
           baseVs.nonEmpty &&
             Snapshots.lastBatchId(spark, mvRoot).contains(baseVs.last.toLong)
         }
-        .flatMap(d => build(agg, mvRoot, d,
-          exact = groupNames == d.groupCols.toSet))
+        .flatMap(d => build(agg, mvRoot, d.groupCols, d.sumCols,
+          d.minMaxCols, d.distinctCols, exact = groupNames == d.groupCols.toSet))
     }.nextOption()
   }
+
+  // ── join views (the star-schema dashboard query) ─────────────────────
+
+  private def joinRewrite(agg: Aggregate,
+      routes: Seq[String]): Option[LogicalPlan] = {
+    // Aggregate → [Project] → [Filter] → Join (the optimizer has pushed
+    // single-sided conjuncts below the join already; both-side residue
+    // stays above it)
+    val (above, join) = agg.child match {
+      case j: Join => (None, j)
+      case Filter(c, j: Join) => (Some(c), j)
+      case Project(pl, j: Join)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => (None, j)
+      case Project(pl, Filter(c, j: Join))
+          if pl.forall(_.isInstanceOf[AttributeReference]) => (Some(c), j)
+      case _ => return None
+    }
+    val (lp, rp, cond) = join match {
+      case Join(l, r, Inner, Some(c), _) => (l, r, c)
+      case _ => return None
+    }
+    val keyNames: Set[String] = cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        Set(a.name, b.name)
+      case _ => return None
+    }
+    val (lRel, lPred) = unwrap(lp).getOrElse(return None)
+    val (rRel, rPred) = unwrap(rp).getOrElse(return None)
+    val lRoot = currentRoot(lRel).getOrElse(return None)
+    val rRoot = currentRoot(rRel).getOrElse(return None)
+    val groupNames = groupingNames(agg).getOrElse(return None).toSet
+    val output = lRel.output ++ rRel.output
+    // recombine what pushdown scattered; IsNotNull on the join keys is
+    // implied by the inner equi-join on both sides of the comparison
+    val qConjuncts = (lPred.toSeq ++ rPred.toSeq ++ above.toSeq)
+      .flatMap(splitConjunctivePredicates)
+      .filterNot {
+        case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+        case _ => false
+      }
+    routes.iterator.flatMap { mvRoot =>
+      Mv.joinRouteDefinition(spark, mvRoot)
+        .filter(d => Set(norm(d.leftRoot), norm(d.rightRoot)) ==
+          Set(norm(lRoot), norm(rRoot)))
+        .filter(d => Set(d.joinLeft, d.joinRight) == keyNames)
+        .filter(d => groupNames.subsetOf(d.groupCols.toSet))
+        .filter(d => filterMatches(d.filterSql, output, qConjuncts))
+        .filter(d => Mv.joinRouteFresh(spark, mvRoot, d))
+        .flatMap(d => build(agg, mvRoot, d.groupCols, d.sumCols,
+          d.minMaxCols, d.distinctCols, exact = groupNames == d.groupCols.toSet))
+    }.nextOption()
+  }
+
+  // ── the shared rewrite constructor ────────────────────────────────────
 
   /** Map every output of the Aggregate onto the view's columns; None on
     * the first aggregate the view does not maintain (type-exact).
     */
-  private def build(agg: Aggregate, mvRoot: String, d: Mv.Definition,
+  private def build(agg: Aggregate, mvRoot: String, groupCols: Seq[String],
+      sumCols: Seq[String], minMaxCols: Seq[String], distinctCols: Seq[String],
       exact: Boolean): Option[LogicalPlan] = {
     val vs = Snapshots.versions(spark, mvRoot)
+    if (vs.isEmpty) return None
     val schema = Snapshots.schemaOf(spark, mvRoot, vs.last).getOrElse(return None)
     val mvTable = new SnapshotTable(schema, mvRoot, Map.empty)
     val mvRel = DataSourceV2Relation.create(mvTable, None, None,
@@ -168,7 +254,7 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // re-aggregation helpers for the rollup shape — sums of longs stay
     // longs (type-exact); anything whose re-aggregate would WIDEN
-    // (decimal sums) declines via the typed() check on the result
+    // (decimal sums) declines via the result-type check
     def sumOf(name: String, dt: DataType): Option[Expression] =
       out.get(name).map(a => Sum(a).toAggregateExpression())
         .filter(_.dataType == dt)
@@ -178,9 +264,9 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan] {
       sumOf(name, LongType).map(e => Coalesce(Seq(e, Literal(0L))))
 
     def map(ne: NamedExpression): Option[Expression] = ne match {
-      case a: AttributeReference if d.groupCols.contains(a.name) =>
+      case a: AttributeReference if groupCols.contains(a.name) =>
         typed(a.name, a.dataType)
-      case Alias(a: AttributeReference, _) if d.groupCols.contains(a.name) =>
+      case Alias(a: AttributeReference, _) if groupCols.contains(a.name) =>
         typed(a.name, a.dataType)
       case Alias(AggregateExpression(fn, _, isDistinct, None, _), _) =>
         fn match {
@@ -188,30 +274,30 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan] {
             if (exact) typed("n_rows", ne.dataType)
             else sumCount("n_rows")
           case Count(Seq(a: AttributeReference))
-              if isDistinct && d.distinctCols.contains(a.name) =>
+              if isDistinct && distinctCols.contains(a.name) =>
             // distinct values are not summable across groups — stored
             // nd answers exact grouping only
             if (exact) typed(s"nd_${a.name}", ne.dataType) else None
           case Count(Seq(a: AttributeReference))
-              if !isDistinct && d.sumCols.contains(a.name) =>
+              if !isDistinct && sumCols.contains(a.name) =>
             if (exact) typed(s"nn_${a.name}", ne.dataType)
             else sumCount(s"nn_${a.name}")
           case Sum(a: AttributeReference, _)
-              if !isDistinct && d.sumCols.contains(a.name) =>
+              if !isDistinct && sumCols.contains(a.name) =>
             if (exact) typed(s"sum_${a.name}", ne.dataType)
             else sumOf(s"sum_${a.name}", ne.dataType)
-          case Min(a: AttributeReference) if d.minMaxCols.contains(a.name) =>
+          case Min(a: AttributeReference) if minMaxCols.contains(a.name) =>
             if (exact) typed(s"min_${a.name}", ne.dataType)
             else out.get(s"min_${a.name}")
               .map(x => Min(x).toAggregateExpression())
               .filter(_.dataType == ne.dataType)
-          case Max(a: AttributeReference) if d.minMaxCols.contains(a.name) =>
+          case Max(a: AttributeReference) if minMaxCols.contains(a.name) =>
             if (exact) typed(s"max_${a.name}", ne.dataType)
             else out.get(s"max_${a.name}")
               .map(x => Max(x).toAggregateExpression())
               .filter(_.dataType == ne.dataType)
           case Average(a: AttributeReference, _)
-              if !isDistinct && d.sumCols.contains(a.name) &&
+              if !isDistinct && sumCols.contains(a.name) &&
                 ne.dataType == DoubleType =>
             // sum/nn in double — NULL-exact: an all-NULL group stores a
             // NULL sum (nn = 0 never divides a non-null numerator)

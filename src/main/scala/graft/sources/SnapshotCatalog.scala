@@ -547,6 +547,36 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         minMaxCols = cols(14), distinctCols = cols(15),
         where = Some(str(in, 16).trim).filter(_.nonEmpty)): Any))
     },
+    // whole-view retention: expire/vacuum the MV AND its distinct-count
+    // companions together — a refresh writes one version per table per
+    // cycle, so this is the verb a scheduler runs (plain expire/vacuum
+    // on the view root would leave the companions growing unbounded)
+    proc("expire_mv", Seq("view" -> StringType, "keep_last" -> IntegerType),
+      StructType(Seq(StructField("dropped_version", IntegerType, nullable = false)))) { in =>
+      graft.operators.Mv.expire(spark, tableRoot(str(in, 0)), in.getInt(1))
+        .map(v => Array(v: Any))
+    },
+    proc("vacuum_mv", Seq("view" -> StringType, "grace_ms" -> LongType),
+      StructType(Seq(StructField("deleted_files", LongType, nullable = false)))) { in =>
+      Seq(Array(graft.operators.Mv.vacuum(spark, tableRoot(str(in, 0)),
+        in.getLong(1)): Any))
+    },
+    // transparent-routing registry (session-scoped — see operators.Mv
+    // .register / sources.MvRoute): matching aggregates over the base
+    // table(s) rewrite to read the view while it is FRESH; returns the
+    // registry after the change as evidence
+    proc("register_route", Seq("view" -> StringType),
+      StructType(Seq(StructField("routes", StringType, nullable = false)))) { in =>
+      graft.operators.Mv.register(spark, tableRoot(str(in, 0)))
+      Seq(Array(org.apache.spark.unsafe.types.UTF8String.fromString(
+        spark.conf.get(graft.operators.Mv.RoutesKey, "")): Any))
+    },
+    proc("unregister_route", Seq("view" -> StringType),
+      StructType(Seq(StructField("routes", StringType, nullable = false)))) { in =>
+      graft.operators.Mv.unregister(spark, tableRoot(str(in, 0)))
+      Seq(Array(org.apache.spark.unsafe.types.UTF8String.fromString(
+        spark.conf.get(graft.operators.Mv.RoutesKey, "")): Any))
+    },
     // serves ALL THREE MV kinds (kind dispatch): a join/trilinear MV
     // reports its LEFT base's watermark pair in from/to_version (the
     // full tuple is on the API reports). recount_groups/recount_pruned

@@ -184,6 +184,79 @@ class MvRouteSpec extends AnyFunSuite {
     } finally Mv.unregister(spark, m)
   }
 
+  test("join-MV routing: the star aggregate reads the view; a stale pair bypasses") {
+    import spark.implicits._
+    val f = s"$wh/rjf"; val dm = s"$wh/rjd"; val m = s"$wh/rjm"
+    Snapshots.publish(spark, f,
+      Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 11L, 300L))
+        .toDF("k", "ck", "cents"), clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, dm, Seq((10L, "a"), (11L, "b")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg"), Seq("cents"), mvBuckets = 4)
+    val mv = s"graft-snapshot($m)"
+    def q = dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val want = rows(q)
+    Mv.register(spark, m)
+    try {
+      assert(planOf(q).contains(mv), planOf(q))
+      assert(!planOf(q).contains(s"graft-snapshot($f)"),
+        "the routed plan must not scan the fact")
+      assert(rows(q) === want)
+      // the GLOBAL rollup over the join routes too
+      def g = dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+        .agg(sum("cents").as("s"))
+      assert(planOf(g).contains(mv), planOf(g))
+      assert(rows(g) === Set(Seq(600L)))
+      // swapped sides still match (roots and keys compare as sets)
+      def qs = dsv2(dm).join(dsv2(f), col("ck2") === col("ck"))
+        .groupBy("seg").agg(sum("cents").as("s"))
+      assert(planOf(qs).contains(mv), planOf(qs))
+      // one side mutates: the watermark PAIR is stale → bypass with the
+      // new truth; refreshJoin re-enables
+      Snapshots.mergeByKey(spark, dm,
+        Seq((11L, "c", false)).toDF("ck2", "seg", "__del"),
+        Seq("ck2"), tombstoneCol = Some("__del"))
+      assert(!planOf(q).contains(mv), "a stale pair must never answer")
+      assert(rows(q).contains(Seq("c", 1L, 300L)))
+      Mv.refreshJoin(spark, m)
+      assert(planOf(q).contains(mv))
+      assert(rows(q).contains(Seq("c", 1L, 300L)))
+      // a different join key bypasses
+      def bad = dsv2(f).join(dsv2(dm), col("k") === col("ck2"))
+        .groupBy("seg").agg(sum("cents").as("s"))
+      assert(!planOf(bad).contains(mv))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("filtered join-MV routing: a pushed single-sided conjunct recombines and matches") {
+    import spark.implicits._
+    val f = s"$wh/rjf2"; val dm = s"$wh/rjd2"; val m = s"$wh/rjm2"
+    Snapshots.publish(spark, f,
+      Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 11L, 300L))
+        .toDF("k", "ck", "cents"), clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, dm, Seq((10L, "a"), (11L, "b")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg"), Seq("cents"), mvBuckets = 4, where = Some("cents >= 150"))
+    val mv = s"graft-snapshot($m)"
+    def q(pred: String) = dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+      .where(pred).groupBy("seg").agg(sum("cents").as("s"))
+    val want = rows(q("cents >= 150"))
+    Mv.register(spark, m)
+    try {
+      // the optimizer pushes the fact-only predicate BELOW the join —
+      // the matcher recombines it and the view answers
+      assert(planOf(q("cents >= 150")).contains(mv), planOf(q("cents >= 150")))
+      assert(rows(q("cents >= 150")) === want)
+      // a different predicate, and the unfiltered join, both bypass
+      assert(!planOf(q("cents >= 151")).contains(mv))
+      assert(!planOf(dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+        .groupBy("seg").agg(sum("cents").as("s"))).contains(mv))
+    } finally Mv.unregister(spark, m)
+  }
+
   test("routed NULL semantics are exact: all-NULL sums, NULL groups, derived avg") {
     val b = s"$wh/rb4"; val m = s"$wh/rm4"
     Snapshots.publish(spark, b, base(Seq(

@@ -450,6 +450,42 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .head.getString(0) === "noop")
   }
 
+  test("CALL register_route routes a SQL aggregate to the fresh view; retention procs sweep companions") {
+    Snapshots.publish(spark, s"$warehouse/rtbase",
+      orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")))
+    spark.sql(
+      "CALL snapcat.sys.create_mv('rtagg', 'rtbase', 'o_orderkey', " +
+        "'o_orderpriority', 'cents', 8, distinct_columns => 'o_custkey')")
+    val routes = spark.sql("CALL snapcat.sys.register_route('rtagg')")
+      .head.getString(0)
+    assert(routes.contains("rtagg"), routes)
+    try {
+      val q = spark.sql("SELECT o_orderpriority, count(*) AS n, " +
+        "sum(cents) AS s, count(DISTINCT o_custkey) AS nd " +
+        "FROM snapcat.rtbase GROUP BY o_orderpriority")
+      assert(q.queryExecution.optimizedPlan.toString.contains("rtagg"),
+        q.queryExecution.optimizedPlan.toString)
+      val expected = spark.table("snapcat.rtbase").groupBy("o_orderpriority")
+        .agg(count(lit(1)), sum("cents"), countDistinct(col("o_custkey")))
+        .collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet === expected)
+      // retention: refresh cycles grow the view AND companion; the
+      // whole-view verbs retire both
+      spark.sql("DELETE FROM snapcat.rtbase WHERE o_orderkey % 2 = 0")
+      spark.sql("CALL snapcat.sys.refresh_mv('rtagg')")
+      val dropped = spark.sql("CALL snapcat.sys.expire_mv('rtagg', 1)").count()
+      assert(dropped === 2L) // one old version each: view + companion
+      assert(spark.sql("CALL snapcat.sys.vacuum_mv('rtagg', 0)").head.getLong(0) >= 0L)
+      // the view still reads and the registry clears on unregister
+      assert(spark.sql("SELECT count(*) FROM snapcat.rtagg").head.getLong(0) > 0L)
+    } finally {
+      val after = spark.sql("CALL snapcat.sys.unregister_route('rtagg')")
+        .head.getString(0)
+      assert(!after.contains("rtagg"), after)
+    }
+  }
+
   test("CALL create_join_mv over a days(ts) time-star from plain SQL") {
     val ev = Tables.load(spark, sf, "events")
     Snapshots.publish(spark, s"$warehouse/tsfact",
