@@ -212,21 +212,36 @@ object Mv {
       d.filterSql.map(w => s"where=$w"))
   }
 
+  /** Parsed definitions cached by (path, length, mtime) — a definition
+    * is written once and immutable, but roots can be dropped and
+    * recreated, so the on-disk stamp keys the entry (the manifest
+    * cache's discipline). Matters because the ROUTING rule consults
+    * definitions at PLAN time, per candidate aggregate — without the
+    * cache every optimizer pass would re-read the def file.
+    */
+  private val defCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Map[String, String]]()
+
   private def defKv(spark: SparkSession, mvRoot: String): Map[String, String] = {
     val f = fs(spark, mvRoot)
     val p = defPath(mvRoot)
-    require(f.exists(p), s"$mvRoot is not a materialized view (no ${p}) — Mv.create it")
-    val in = f.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-      buf.toString("UTF-8")
-    } finally in.close()
-    text.linesIterator.map { l =>
-      val i = l.indexOf('=')
-      require(i > 0, s"malformed MV definition line: $l")
-      l.take(i) -> l.drop(i + 1)
-    }.toMap
+    val st = try f.getFileStatus(p) catch {
+      case _: java.io.FileNotFoundException => throw new IllegalArgumentException(
+        s"requirement failed: $mvRoot is not a materialized view (no ${p}) — Mv.create it")
+    }
+    defCache.computeIfAbsent((p.toString, st.getLen, st.getModificationTime), _ => {
+      val in = f.open(p)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      text.linesIterator.map { l =>
+        val i = l.indexOf('=')
+        require(i > 0, s"malformed MV definition line: $l")
+        l.take(i) -> l.drop(i + 1)
+      }.toMap
+    })
   }
 
   private def defCols(kv: Map[String, String], k: String): Seq[String] =
