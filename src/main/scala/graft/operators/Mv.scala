@@ -962,6 +962,29 @@ object Mv {
       Snapshots.lastBatchId(spark, mvRoot).contains(encWm(lVs.last, rVs.last))
   }
 
+  /** The routable TRILINEAR definition of an MV root — None for other
+    * kinds or unreadable roots (decline, never fail).
+    */
+  private[graft] def join3RouteDefinition(spark: SparkSession,
+      mvRoot: String): Option[Join3Definition] =
+    try {
+      if (!defKv(spark, mvRoot).get("kind").contains("join3")) None
+      else Some(join3Definition(spark, mvRoot))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Whether a trilinear MV is FRESH for routing: its watermark TRIPLE
+    * equals all three bases' head versions.
+    */
+  private[graft] def join3RouteFresh(spark: SparkSession, mvRoot: String,
+      d: Join3Definition): Boolean = {
+    val lVs = Snapshots.versions(spark, d.leftRoot)
+    val mVs = Snapshots.versions(spark, d.midRoot)
+    val rVs = Snapshots.versions(spark, d.rightRoot)
+    lVs.nonEmpty && mVs.nonEmpty && rVs.nonEmpty &&
+      Snapshots.lastBatchId(spark, mvRoot)
+        .contains(encWm3(lVs.last, mVs.last, rVs.last))
+  }
+
   /** The distinct-count companion roots of an MV (empty when the
     * definition maintains none) — the definition is the source of
     * truth, read once, any MV kind.

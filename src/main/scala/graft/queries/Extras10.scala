@@ -318,8 +318,12 @@ object Extras10 {
         val freshPlan = fresh.queryExecution.optimizedPlan.toString
         val routed = freshPlan.contains(s"graft-snapshot($mvRoot)") &&
           !freshPlan.contains(s"graft-snapshot($baseRoot)")
-        val freshRows = fresh.withColumn("state", lit("fresh")).persist()
-        freshRows.count() // pin the routed answer before the base mutates
+        // pin the routed answer BEFORE the base mutates — as a published
+        // snapshot (deterministic; a Spark cache pin is best-effort and a
+        // cache miss would silently re-read the mutated base)
+        Snapshots.publish(s, s"$root/pin",
+          fresh.withColumn("state", lit("fresh")))
+        val freshRows = Snapshots.read(s, s"$root/pin")
         // second mutation, NO refresh: the view is stale and must bypass
         val liveNow = live.persist()
         val upd2 = liveNow.filter(col("k") % 3 === 0 && col("k") % 5 =!= 1)
@@ -492,8 +496,11 @@ object Extras10 {
         val routed = freshPlan.contains(s"graft-snapshot($mvRoot)") &&
           !freshPlan.contains(s"graft-snapshot($factRoot)") &&
           !freshPlan.contains(s"graft-snapshot($dimRoot)")
-        val freshRows = fresh.withColumn("state", lit("fresh")).persist()
-        freshRows.count() // pin the routed answer before the dim mutates
+        // pin the routed answer BEFORE the dim mutates (published
+        // snapshot — deterministic, unlike a best-effort cache pin)
+        Snapshots.publish(s, s"$root/pin",
+          fresh.withColumn("state", lit("fresh")))
+        val freshRows = Snapshots.read(s, s"$root/pin")
         Snapshots.mergeByKey(s, dimRoot,
           dim.filter(col("c_custkey") % 11 === 0)
             .withColumn("seg", lit("MOVED")).withColumn("__del", lit(false)),
@@ -506,6 +513,114 @@ object Extras10 {
           .withColumn("bypassed", lit(bypassed))
           .select(col("state"), col("seg"), col("n_rows"), col("sum_cents"),
             col("avg_cents"), col("routed"), col("bypassed"))
+      } finally Mv.unregister(s, mvRoot)
+    },
+
+    // TRILINEAR ROUTING under the oracle hash: the dim-fact-dim star —
+    // customer ⋈ orders ⋈ nation (the fact's nation FK derives as
+    // k % 25, covering every nationkey) — answers from the trilinear MV
+    // in three shapes: 'fresh' = the exact (seg, n_name) grouping as a
+    // plain Project of the view; 'rollup' = the by-nation grouping as a
+    // re-aggregation over |groups| view rows; 'stale' = after the
+    // customer dim relabels with NO refresh, the watermark TRIPLE is
+    // stale and the query keeps its original 3-way join plan with the
+    // new truth. All three states' values ride one oracle; the flags
+    // pin the view in (and all three base scans out of) the routed
+    // plans.
+    QueryDef.checked(
+      "q209_mv_join3_routing",
+      """WITH mid0 AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ck,
+        |         CAST(o_orderkey % 25 AS BIGINT) AS nk,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |m1 AS (
+        |  SELECT k, ck, nk,
+        |    CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM mid0 WHERE k % 37 <> 0),
+        |l0 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer),
+        |l1 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE seg END AS seg
+        |  FROM l0),
+        |r0 AS (SELECT n_nationkey, n_name FROM nation),
+        |j0 AS (SELECT seg, n_name, cents FROM l0
+        |       JOIN m1 ON c_custkey = ck JOIN r0 ON nk = n_nationkey),
+        |j1 AS (SELECT seg, n_name, cents FROM l1
+        |       JOIN m1 ON c_custkey = ck JOIN r0 ON nk = n_nationkey)
+        |SELECT state, seg, n_name, n_rows, sum_cents,
+        |  CAST(1 AS BOOLEAN) AS routed, CAST(1 AS BOOLEAN) AS routed_rollup,
+        |  CAST(1 AS BOOLEAN) AS bypassed
+        |FROM (
+        |  SELECT 'fresh' AS state, seg, n_name, count(*) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM j0 GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT 'rollup', '_all', n_name, count(*), CAST(sum(cents) AS BIGINT)
+        |  FROM j0 GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT 'stale', seg, n_name, count(*), CAST(sum(cents) AS BIGINT)
+        |  FROM j1 GROUP BY 1, 2, 3)""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q209_mv_join3_routing", "j3route", dir)
+      val (lRoot, mRoot, rRoot, mvRoot) =
+        (s"$root/ldim", s"$root/fact", s"$root/rdim", s"$root/mv")
+      val ldim = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment").as("seg"))
+      val fact = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        (col("o_orderkey") % 25).cast("long").as("nk"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val rdim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      Snapshots.publish(s, lRoot, ldim, clusterBy = Some("bucket(8, c_custkey)"))
+      Snapshots.publish(s, mRoot, fact, clusterBy = Some("bucket(8, ck)"))
+      Snapshots.publish(s, rRoot, rdim, clusterBy = Some("n_nationkey"))
+      Mv.createJoin3(s, mvRoot, lRoot, Seq("c_custkey"), "c_custkey",
+        mRoot, Seq("k"), "ck", "nk", rRoot, Seq("n_nationkey"), "n_nationkey",
+        Seq("seg", "n_name"), Seq("cents"), mvBuckets = 8)
+      val upd = fact.filter(col("k") % 10 === 0 && col("k") % 37 =!= 0)
+        .withColumn("cents", col("cents") + 7L).withColumn("__del", lit(false))
+      val del = fact.filter(col("k") % 37 === 0).withColumn("__del", lit(true))
+      Snapshots.mergeByKey(s, mRoot, upd.unionByName(del),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      Mv.refreshJoin3(s, mvRoot)
+      Mv.register(s, mvRoot)
+      try {
+        def rd(r: String) = s.read.format("graft-snapshot").option("root", r).load()
+        def star = rd(lRoot).join(rd(mRoot), col("c_custkey") === col("ck"))
+          .join(rd(rRoot), col("nk") === col("n_nationkey"))
+        def planRouted(df: org.apache.spark.sql.DataFrame): Boolean = {
+          val p = df.queryExecution.optimizedPlan.toString
+          p.contains(s"graft-snapshot($mvRoot)") &&
+            Seq(lRoot, mRoot, rRoot).forall(b => !p.contains(s"graft-snapshot($b)"))
+        }
+        val fresh = star.groupBy("seg", "n_name").agg(
+          count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        val rollup = star.groupBy("n_name").agg(
+          count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        val (routed, routedRollup) = (planRouted(fresh), planRouted(rollup))
+        // pin the routed answers BEFORE the dim mutates (published
+        // snapshot — deterministic, unlike a best-effort cache pin)
+        Snapshots.publish(s, s"$root/pin",
+          fresh.withColumn("state", lit("fresh"))
+            .unionByName(rollup.withColumn("seg", lit("_all"))
+              .withColumn("state", lit("rollup"))))
+        val pinned = Snapshots.read(s, s"$root/pin")
+        Snapshots.mergeByKey(s, lRoot,
+          ldim.filter(col("c_custkey") % 11 === 0)
+            .withColumn("seg", lit("MOVED")).withColumn("__del", lit(false)),
+          keyCols = Seq("c_custkey"), tombstoneCol = Some("__del"))
+        val stale = star.groupBy("seg", "n_name").agg(
+          count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        val bypassed = !stale.queryExecution.optimizedPlan.toString
+          .contains(s"graft-snapshot($mvRoot)")
+        pinned.unionByName(stale.withColumn("state", lit("stale")))
+          .withColumn("routed", lit(routed))
+          .withColumn("routed_rollup", lit(routedRollup))
+          .withColumn("bypassed", lit(bypassed))
+          .select(col("state"), col("seg"), col("n_name"), col("n_rows"),
+            col("sum_cents"), col("routed"), col("routed_rollup"),
+            col("bypassed"))
       } finally Mv.unregister(s, mvRoot)
     })
 }

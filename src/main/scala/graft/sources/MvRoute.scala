@@ -18,9 +18,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * optimization as a Catalyst rule (injected by `GraftExtensions` into
   * the operator-optimization batch): a grouped aggregate over a
   * graft-snapshot BASE scan — or over the INNER equi-join of two base
-  * scans a join MV maintains — whose shape a registered view covers
-  * ([[Mv.register]]) rewrites to read the VIEW instead: a 100 TB
-  * scan-(join-)and-shuffle becomes a read of the pre-aggregated table.
+  * scans a join MV maintains, or the two-level equi-join tree of three
+  * a trilinear MV maintains (any association/side order: roots and key
+  * pairs compare as sets, which is sound because inner joins commute) —
+  * whose shape a registered view covers ([[Mv.register]]) rewrites to
+  * read the VIEW instead: a 100 TB scan-(join-)and-shuffle becomes a
+  * read of the pre-aggregated table.
   *
   * Two rewrite shapes:
   *   - EXACT grouping (query groups == view groups): a Project over the
@@ -67,6 +70,7 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     else plan.transformDown {
       case agg: Aggregate =>
         singleRewrite(agg, routes).orElse(joinRewrite(agg, routes))
+          .orElse(join3Rewrite(agg, routes))
           .getOrElse(agg)
     }
   }
@@ -114,6 +118,42 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => return None
     }
     if (names.distinct.size == names.size) Some(names) else None
+  }
+
+  /** The two attribute names of an equi-join condition — accepting the
+    * implicit COERCION cast the analyzer inserts on mixed-width keys
+    * (e.g. `bigint_fk = cast(int_pk as bigint)`), but ONLY when the
+    * condition is exactly what the analyzer derives for a plain
+    * `a = b` over these attributes: the view's own join got the same
+    * coercion, so those are equivalent — while an EXPLICIT, different
+    * cast (say a truncating downcast) fails the semantic comparison
+    * and declines.
+    */
+  private def keyPairOf(cond: Expression,
+      output: Seq[Attribute]): Option[Set[String]] = {
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case Cast(a: AttributeReference, _, _, _) => Some(a.name)
+      case _ => None
+    }
+    cond match {
+      case EqualTo(l: AttributeReference, r: AttributeReference) =>
+        Some(Set(l.name, r.name))
+      case EqualTo(l, r) =>
+        for {
+          a <- nameOf(l); b <- nameOf(r)
+          expected <- try {
+            spark.sessionState.analyzer.execute(Filter(
+              EqualTo(UnresolvedAttribute(Seq(a)), UnresolvedAttribute(Seq(b))),
+              LocalRelation(output))) match {
+              case Filter(c, _) if c.resolved => Some(c)
+              case _ => None
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+          if expected.semanticEquals(cond)
+        } yield Set(a, b)
+      case _ => None
+    }
   }
 
   /** The view's stored `where` parsed, analyzed against the scan's own
@@ -200,17 +240,13 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       case Join(l, r, Inner, Some(c), _) => (l, r, c)
       case _ => return None
     }
-    val keyNames: Set[String] = cond match {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        Set(a.name, b.name)
-      case _ => return None
-    }
     val (lRel, lPred) = unwrap(lp).getOrElse(return None)
     val (rRel, rPred) = unwrap(rp).getOrElse(return None)
     val lRoot = currentRoot(lRel).getOrElse(return None)
     val rRoot = currentRoot(rRel).getOrElse(return None)
     val groupNames = groupingNames(agg).getOrElse(return None).toSet
     val output = lRel.output ++ rRel.output
+    val keyNames = keyPairOf(cond, output).getOrElse(return None)
     // recombine what pushdown scattered; IsNotNull on the join keys is
     // implied by the inner equi-join on both sides of the comparison
     val qConjuncts = (lPred.toSeq ++ rPred.toSeq ++ above.toSeq)
@@ -227,6 +263,71 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
         .filter(d => groupNames.subsetOf(d.groupCols.toSet))
         .filter(d => filterMatches(d.filterSql, output, qConjuncts))
         .filter(d => Mv.joinRouteFresh(spark, mvRoot, d))
+        .flatMap(d => build(agg, mvRoot, d.groupCols, d.sumCols,
+          d.minMaxCols, d.distinctCols, exact = groupNames == d.groupCols.toSet))
+    }.nextOption()
+  }
+
+  // ── trilinear views (dim ⋈ fact ⋈ dim) ───────────────────────────────
+
+  private def join3Rewrite(agg: Aggregate,
+      routes: Seq[String]): Option[LogicalPlan] = {
+    val (above, topJoin) = agg.child match {
+      case j: Join => (None, j)
+      case Filter(c, j: Join) => (Some(c), j)
+      case Project(pl, j: Join)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => (None, j)
+      case Project(pl, Filter(c, j: Join))
+          if pl.forall(_.isInstanceOf[AttributeReference]) => (Some(c), j)
+      case _ => return None
+    }
+    val (topL, topR, cTop) = topJoin match {
+      case Join(l, r, Inner, Some(c), _) => (l, r, c)
+      case _ => return None
+    }
+    // one side of the top join is itself the inner INNER equi-join (a
+    // Filter/Project may wrap it); inner joins associate and commute, so
+    // name-set matching below covers every tree the optimizer settles on
+    def innerJoin(p: LogicalPlan, wraps: Seq[Expression])
+        : Option[(LogicalPlan, LogicalPlan, Expression, Seq[Expression])] =
+      p match {
+        case Join(l, r, Inner, Some(c), _) => Some((l, r, c, wraps))
+        case Filter(f, ch) => innerJoin(ch, wraps :+ f)
+        case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          innerJoin(ch, wraps)
+        case _ => None
+      }
+    val (scans3, cInner, innerWraps) = innerJoin(topL, Nil) match {
+      case Some((a, b, c, w)) => (Seq(a, b, topR), c, w)
+      case None => innerJoin(topR, Nil) match {
+        case Some((a, b, c, w)) => (Seq(topL, a, b), c, w)
+        case None => return None
+      }
+    }
+    val unwrapped = scans3.map(s => unwrap(s).getOrElse(return None))
+    val roots = unwrapped.map { case (r, _) =>
+      currentRoot(r).getOrElse(return None) }
+    val groupNames = groupingNames(agg).getOrElse(return None).toSet
+    val output = unwrapped.flatMap(_._1.output)
+    val pTop = keyPairOf(cTop, output).getOrElse(return None)
+    val pInner = keyPairOf(cInner, output).getOrElse(return None)
+    val keyNames = pTop ++ pInner
+    val qConjuncts =
+      (unwrapped.flatMap(_._2) ++ innerWraps ++ above.toSeq)
+        .flatMap(splitConjunctivePredicates)
+        .filterNot {
+          case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+          case _ => false
+        }
+    routes.iterator.flatMap { mvRoot =>
+      Mv.join3RouteDefinition(spark, mvRoot)
+        .filter(d => Set(norm(d.leftRoot), norm(d.midRoot), norm(d.rightRoot)) ==
+          roots.map(norm).toSet)
+        .filter(d => Set(Set(d.joinLeft, d.joinMidLeft),
+          Set(d.joinMidRight, d.joinRight)) == Set(pTop, pInner))
+        .filter(d => groupNames.subsetOf(d.groupCols.toSet))
+        .filter(d => filterMatches(d.filterSql, output, qConjuncts))
+        .filter(d => Mv.join3RouteFresh(spark, mvRoot, d))
         .flatMap(d => build(agg, mvRoot, d.groupCols, d.sumCols,
           d.minMaxCols, d.distinctCols, exact = groupNames == d.groupCols.toSet))
     }.nextOption()

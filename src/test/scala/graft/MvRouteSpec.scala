@@ -257,6 +257,52 @@ class MvRouteSpec extends AnyFunSuite {
     } finally Mv.unregister(spark, m)
   }
 
+  test("trilinear routing: the dim-fact-dim star routes fresh, any tree shape; stale triple bypasses") {
+    import spark.implicits._
+    val l = s"$wh/r3l"; val f = s"$wh/r3f"; val r3 = s"$wh/r3r"; val m = s"$wh/r3m"
+    Snapshots.publish(spark, l, Seq((10L, "a"), (11L, "b")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Snapshots.publish(spark, f,
+      Seq((1L, 10L, 1L, 100L), (2L, 10L, 2L, 200L), (3L, 11L, 1L, 300L))
+        .toDF("k", "ck", "prio", "cents"), clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, r3, Seq((1L, "hi"), (2L, "lo")).toDF("pr", "plabel"),
+      clusterBy = Some("pr"))
+    Mv.createJoin3(spark, m, l, Seq("ck2"), "ck2",
+      f, Seq("k"), "ck", "prio", r3, Seq("pr"), "pr",
+      Seq("seg", "plabel"), Seq("cents"), mvBuckets = 4)
+    val mv = s"graft-snapshot($m)"
+    def q = dsv2(l).join(dsv2(f), col("ck2") === col("ck"))
+      .join(dsv2(r3), col("prio") === col("pr"))
+      .groupBy("seg", "plabel").agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val want = rows(q)
+    Mv.register(spark, m)
+    try {
+      assert(planOf(q).contains(mv), planOf(q))
+      assert(!planOf(q).contains(s"graft-snapshot($f)"))
+      assert(rows(q) === want)
+      // a DIFFERENT association/side order still matches (sets compare)
+      def q2 = dsv2(r3).join(dsv2(f).join(dsv2(l), col("ck") === col("ck2")),
+        col("pr") === col("prio"))
+        .groupBy("seg", "plabel").agg(sum("cents").as("s"))
+      assert(planOf(q2).contains(mv), planOf(q2))
+      // rollup to one dim routes as a re-aggregation
+      def qr = dsv2(l).join(dsv2(f), col("ck2") === col("ck"))
+        .join(dsv2(r3), col("prio") === col("pr"))
+        .groupBy("seg").agg(sum("cents").as("s"))
+      assert(planOf(qr).contains(mv), planOf(qr))
+      assert(rows(qr) === Set(Seq("a", 300L), Seq("b", 300L)))
+      // any base mutating makes the TRIPLE stale → bypass; refresh re-routes
+      Snapshots.mergeByKey(spark, r3,
+        Seq((2L, "mid", false)).toDF("pr", "plabel", "__del"),
+        Seq("pr"), tombstoneCol = Some("__del"))
+      assert(!planOf(q).contains(mv), "a stale triple must never answer")
+      assert(rows(q).contains(Seq("a", "mid", 1L, 200L)))
+      Mv.refreshJoin3(spark, m)
+      assert(planOf(q).contains(mv))
+      assert(rows(q).contains(Seq("a", "mid", 1L, 200L)))
+    } finally Mv.unregister(spark, m)
+  }
+
   test("routed NULL semantics are exact: all-NULL sums, NULL groups, derived avg") {
     val b = s"$wh/rb4"; val m = s"$wh/rm4"
     Snapshots.publish(spark, b, base(Seq(
