@@ -303,6 +303,40 @@ class MvRouteSpec extends AnyFunSuite {
     } finally Mv.unregister(spark, m)
   }
 
+  test("filtered trilinear routing: the predicate recombines across both join levels") {
+    import spark.implicits._
+    val l = s"$wh/r3fl"; val f = s"$wh/r3ff"; val r3 = s"$wh/r3fr"; val m = s"$wh/r3fm"
+    Snapshots.publish(spark, l, Seq((10L, "a"), (11L, "b")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Snapshots.publish(spark, f,
+      Seq((1L, 10L, 1L, 100L), (2L, 10L, 2L, 200L), (3L, 11L, 1L, 300L))
+        .toDF("k", "ck", "prio", "cents"), clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, r3, Seq((1L, "hi"), (2L, "lo")).toDF("pr", "plabel"),
+      clusterBy = Some("pr"))
+    Mv.createJoin3(spark, m, l, Seq("ck2"), "ck2",
+      f, Seq("k"), "ck", "prio", r3, Seq("pr"), "pr",
+      Seq("seg", "plabel"), Seq("cents"), mvBuckets = 4,
+      where = Some("cents >= 150"))
+    val mv = s"graft-snapshot($m)"
+    def q(pred: String) = dsv2(l).join(dsv2(f), col("ck2") === col("ck"))
+      .join(dsv2(r3), col("prio") === col("pr"))
+      .where(pred).groupBy("seg", "plabel").agg(sum("cents").as("s"))
+    val want = rows(q("cents >= 150"))
+    Mv.register(spark, m)
+    try {
+      // the fact-only conjunct is pushed two levels down — the matcher
+      // recombines it and the filtered view answers
+      assert(planOf(q("cents >= 150")).contains(mv), planOf(q("cents >= 150")))
+      assert(rows(q("cents >= 150")) === want)
+      assert(want === Set(Seq("a", "lo", 200L), Seq("b", "hi", 300L)))
+      // a different predicate, and the unfiltered star, both bypass
+      assert(!planOf(q("cents >= 151")).contains(mv))
+      assert(!planOf(dsv2(l).join(dsv2(f), col("ck2") === col("ck"))
+        .join(dsv2(r3), col("prio") === col("pr"))
+        .groupBy("seg", "plabel").agg(sum("cents").as("s"))).contains(mv))
+    } finally Mv.unregister(spark, m)
+  }
+
   test("routed NULL semantics are exact: all-NULL sums, NULL groups, derived avg") {
     val b = s"$wh/rb4"; val m = s"$wh/rm4"
     Snapshots.publish(spark, b, base(Seq(
