@@ -186,32 +186,35 @@ object Bench {
     // CODE identity stamp: the min-of-runs fold must never reach across a
     // code change — "same query set" is NOT "same code" (a commit can
     // change engine internals without touching query names, and folding a
-    // pre-change run's faster minima would mask the regression). The id is
-    // the git HEAD sha, plus a digest of the working-tree diff when dirty
-    // — over CODE PATHS ONLY (src/, build.sbt, project/, scripts/): the
-    // driver's own artifact files (LEAKCHECK/CORRECTNESS/BENCH_*) are
-    // routinely dirty at stamp time and digesting them blocked r13's own
-    // fold (same code, different artifact dirt → different ids, zero
-    // files folded). Only byte-identical CODE states fold together;
-    // "unknown" (no git) never folds with anything.
+    // pre-change run's faster minima would mask the regression). The id
+    // digests the TREE OBJECTS of the bench-relevant paths — src/main,
+    // build.sbt, project/ — NOT the commit sha: test-only and doc-only
+    // commits leave those trees byte-identical, so a round-close commit
+    // that touched a spec or STATUS.md still folds with the last run at
+    // the same engine code (the r14 headline lost its fold exactly this
+    // way: the digest spanned src/test). A dirty working tree appends a
+    // digest of the same paths' diff. Only byte-identical CODE states
+    // fold together; "unknown" (no git) never folds with anything.
     val codeId: String = try {
       def run(cmd: String*): (Int, String) = {
         val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
         (p.waitFor(), out)
       }
-      val codePaths = Seq("src", "build.sbt", "project", "scripts")
-      val (rc, head) = run("git", "rev-parse", "HEAD")
-      if (rc != 0 || !head.matches("[0-9a-f]{40}")) "unknown"
+      val codePaths = Seq("src/main", "build.sbt", "project")
+      val treeIds = codePaths.map(p => run("git", "rev-parse", s"HEAD:$p"))
+      if (treeIds.exists { case (rc, out) => rc != 0 || !out.matches("[0-9a-f]{40}") })
+        "unknown"
       else {
+        val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val treeId = "t" + md5(treeIds.map(_._2).mkString("\n")).take(16)
         val (rc2, st) = run(Seq("git", "status", "--porcelain", "--") ++ codePaths: _*)
         if (rc2 != 0) "unknown"
-        else if (st.isEmpty) head
+        else if (st.isEmpty) treeId
         else {
           val (_, diff) = run(Seq("git", "diff", "HEAD", "--") ++ codePaths: _*)
-          val md = java.security.MessageDigest.getInstance("MD5")
-            .digest((st + "\n" + diff).getBytes("UTF-8"))
-          head + "+" + md.map("%02x".format(_)).mkString.take(12)
+          treeId + "+" + md5(st + "\n" + diff).take(12)
         }
       }
     } catch { case _: Throwable => "unknown" }

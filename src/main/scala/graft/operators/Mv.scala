@@ -479,11 +479,19 @@ object Mv {
     * already AT the target batch id — it recomputes the per-group
     * counts from the companion's current (already-applied) state and
     * merges nothing twice; the deterministic CDF guarantees the same
-    * touched-group set on replay.
+    * touched-group set on replay. If the BASE ADVANCED past the crash
+    * window before the re-run (companion at some mid batch id strictly
+    * between the top's watermark and the new target), the incoming feed
+    * overlaps what the companion already absorbed — applying it would
+    * double-count the overlap — so the companion REBUILDS from the
+    * current viewed relation (`rebuildRel`) instead: a declared
+    * O(viewed relation) recovery on a crash-shaped path, never a
+    * silently inflated count.
     */
   private def maintainDistinct(spark: SparkSession, mvRoot: String, c: String,
       groupCols: Seq[String], cdf: DataFrame, touched: DataFrame,
-      batchId: Long): DataFrame = {
+      batchId: Long, topWatermark: Long,
+      rebuildRel: () => DataFrame): DataFrame = {
     val compRoot = dvRoot(mvRoot, c)
     val compVs = Snapshots.versions(spark, compRoot)
     require(compVs.nonEmpty,
@@ -496,6 +504,27 @@ object Mv {
       s"companion $compRoot is AHEAD of the refresh target ($compLast > $batchId) " +
         "— single-writer contract broken")
     val replay = compLast == batchId
+    if (!replay && compLast != topWatermark) {
+      // the crash window PLUS a base advance: the companion sits at a mid
+      // batch id (it absorbed topWatermark..compLast; the top merge never
+      // landed), while this feed spans topWatermark..batchId — the
+      // overlap would double-apply. Rebuild from the viewed relation.
+      val rel = rebuildRel()
+      val comp = rel.where(col(c).isNotNull)
+        .groupBy(gk(groupCols).as(GkCol), vk(groupCols, c).as(VkCol))
+        .agg(count(lit(1)).as("vcount"))
+      val buckets = mvBucketsOf(spark, compRoot)
+        .orElse(mvBucketsOf(spark, mvRoot)).getOrElse(64)
+      Snapshots.publishStreamBatch(spark, compRoot, comp, batchId = batchId,
+        append = false, clusterBy = Some(s"bucket($buckets,$GkCol)"))
+      val nd = touched.select(col(GkCol))
+        .join(comp.where(col("vcount") > 0).groupBy(col(GkCol))
+          .agg(count(lit(1)).as("__nd")), Seq(GkCol), "left")
+        .select(col(GkCol), coalesce(col("__nd"), lit(0L)).as(s"__nd_$c"))
+        .persist()
+      nd.count()
+      return nd
+    }
     // the companion files that can hold a touched group's values: its own
     // bucket header names them (the same routing as the MV's apply read)
     val compFiles = Snapshots.files(spark, compRoot, compV)
@@ -667,7 +696,10 @@ object Mv {
         }
         val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
           cdf, touched, batchId = cur, minMaxCols = d.minMaxCols,
-          recountFrom = Some(recountOf), distinctCols = d.distinctCols)
+          recountFrom = Some(recountOf), distinctCols = d.distinctCols,
+          topWatermark = w.toLong,
+          rebuildRel = Some(() =>
+            filtered(Snapshots.read(spark, d.baseRoot, Some(cur)), d.filterSql)))
         Refresh("incremental", w, cur, a.groups, a.mvVersion,
           a.recountGroups, a.recountPruned)
       } finally touched.unpersist()
@@ -718,7 +750,9 @@ object Mv {
       minMaxCols: Seq[String] = Nil,
       recountFrom: Option[DataFrame => (DataFrame, Boolean)] = None,
       netInsertOnly: Boolean = false,
-      distinctCols: Seq[String] = Nil): Applied = {
+      distinctCols: Seq[String] = Nil,
+      topWatermark: Long = -1L,
+      rebuildRel: Option[() => DataFrame] = None): Applied = {
     val nTouched = touched.count()
     if (nTouched == 0) {
       // pure rewrite (compaction) under the base: move the watermark
@@ -806,7 +840,9 @@ object Mv {
     // crash-replay contract lives in [[maintainDistinct]].
     val ndFrames: Seq[(String, DataFrame)] =
       distinctCols.map(c => c ->
-        maintainDistinct(spark, mvRoot, c, groupCols, cdf, touched, batchId))
+        maintainDistinct(spark, mvRoot, c, groupCols, cdf, touched, batchId,
+          topWatermark, rebuildRel.getOrElse(sys.error(
+            "distinctCols set but no rebuild relation supplied"))))
     val withNd = ndFrames.foldLeft(applied) { case (df, (c, nd)) =>
       df.join(nd, Seq(GkCol), "left")
         .withColumn(s"nd_$c", coalesce(col(s"__nd_$c"), col(s"nd_$c"), lit(0L)))
@@ -913,8 +949,15 @@ object Mv {
     * correctness trade. Session-scoped (a conf entry, not persisted);
     * single-base views only.
     */
-  def register(spark: SparkSession, mvRoot: String): Unit =
+  def register(spark: SparkSession, mvRoot: String): Unit = {
+    // the registry is a comma-joined conf value: a root carrying a comma
+    // (legal in paths) would shred into garbage entries that can never be
+    // unregistered — refuse at the door (checkDefField's discipline)
+    require(!mvRoot.contains(',') && !mvRoot.contains('\n'),
+      s"MV root '$mvRoot' cannot hold ',' or newline — the routing " +
+        "registry is a comma-joined session conf value")
     spark.conf.set(RoutesKey, (routes(spark) :+ mvRoot).distinct.mkString(","))
+  }
 
   /** Remove an MV from the routing registry ([[register]]). */
   def unregister(spark: SparkSession, mvRoot: String): Unit =
@@ -956,10 +999,10 @@ object Mv {
     */
   private[graft] def joinRouteFresh(spark: SparkSession, mvRoot: String,
       d: JoinDefinition): Boolean = {
-    val lVs = Snapshots.versions(spark, d.leftRoot)
-    val rVs = Snapshots.versions(spark, d.rightRoot)
+    val lVs = Snapshots.versionsCached(spark, d.leftRoot)
+    val rVs = Snapshots.versionsCached(spark, d.rightRoot)
     lVs.nonEmpty && rVs.nonEmpty &&
-      Snapshots.lastBatchId(spark, mvRoot).contains(encWm(lVs.last, rVs.last))
+      Snapshots.lastBatchIdCached(spark, mvRoot).contains(encWm(lVs.last, rVs.last))
   }
 
   /** The routable TRILINEAR definition of an MV root — None for other
@@ -977,11 +1020,11 @@ object Mv {
     */
   private[graft] def join3RouteFresh(spark: SparkSession, mvRoot: String,
       d: Join3Definition): Boolean = {
-    val lVs = Snapshots.versions(spark, d.leftRoot)
-    val mVs = Snapshots.versions(spark, d.midRoot)
-    val rVs = Snapshots.versions(spark, d.rightRoot)
+    val lVs = Snapshots.versionsCached(spark, d.leftRoot)
+    val mVs = Snapshots.versionsCached(spark, d.midRoot)
+    val rVs = Snapshots.versionsCached(spark, d.rightRoot)
     lVs.nonEmpty && mVs.nonEmpty && rVs.nonEmpty &&
-      Snapshots.lastBatchId(spark, mvRoot)
+      Snapshots.lastBatchIdCached(spark, mvRoot)
         .contains(encWm3(lVs.last, mVs.last, rVs.last))
   }
 
@@ -1054,6 +1097,24 @@ object Mv {
     */
   private[graft] def bucketProbe(spark: SparkSession, root: String, version: Int,
       joinKey: String, deltaKeys: DataFrame): (DataFrame, Boolean) = {
+    val (files, pruned) = probeFiles(spark, root, version, joinKey, deltaKeys)
+    (Snapshots.readFiles(spark, root, files,
+      Snapshots.schemaOf(spark, root, version), s"$root v$version bucket probe"),
+      pruned)
+  }
+
+  /** Probe-key cap for the per-file bloom tier: past this many distinct
+    * delta keys the driver-side value list (and the per-file hash loop)
+    * stops being metadata-cheap, and a delta that wide keeps most files
+    * anyway — fall through to the stats envelope.
+    */
+  private val BloomProbeMaxKeys = 4096
+
+  /** The file subset a [[bucketProbe]] plans over, exposed for the spec's
+    * file-bound pins.
+    */
+  private[graft] def probeFiles(spark: SparkSession, root: String, version: Int,
+      joinKey: String, deltaKeys: DataFrame): (Seq[String], Boolean) = {
     val all = Snapshots.files(spark, root, version)
     val spec = Snapshots.clusterOf(spark, root, version)
     // the delta keys' routing values under the probed table's OWN header
@@ -1077,7 +1138,7 @@ object Mv {
         }
       }
     }
-    val (files, pruned) = routing match {
+    routing match {
       case Some(r) =>
         val hit = deltaKeys.na.drop()
           .select(r.as("__b")).na.drop()
@@ -1087,25 +1148,39 @@ object Mv {
       case None =>
         // header routing unavailable — the layout was lost, or the probed
         // key is not this table's cluster key (the trilinear fact under a
-        // right-dim delta). Fall back to ADVISORY footer-stats pruning by
-        // the delta keys' min/max envelope: filesWhere passes files
-        // without usable stats, so a genuine match can never drop. Still
-        // REPORTED unpruned — the envelope is no structural bound (a wide
-        // delta or an uncorrelated layout keeps everything) — but a
-        // narrow delta over a range-correlated layout reads only the
-        // overlapping files instead of the table.
+        // right-dim delta). Two fallback tiers:
+        //   1. ADVISORY footer-stats pruning by the delta keys' min/max
+        //      envelope (manifest-resident, free): filesWhere passes
+        //      files without usable stats, so a genuine match can never
+        //      drop — but a wide delta or an uncorrelated layout keeps
+        //      everything.
+        //   2. STRUCTURAL per-file parquet-bloom probe of the survivors
+        //      on the join key (the SnapshotBloom machinery the DSv2
+        //      point lookup uses): when the base was published with
+        //      `bloomOn` the non-cluster FK, every kept file
+        //      bloom-matched a delta key — a real per-file bound, so the
+        //      probe REPORTS pruned. Gated on one footer sniff (no
+        //      blooms → no sweep scheduled) and a delta-key cap (a
+        //      wide delta keeps most files anyway); a partial-bloom
+        //      version still drops what it can but reports unpruned.
         val b = deltaKeys.na.drop()
           .agg(min(col(deltaKeys.columns.head)), max(col(deltaKeys.columns.head)))
           .collect().head
-        val fl =
+        val statFiles =
           if (b.isNullAt(0) || b.isNullAt(1)) all
           else Snapshots.filesWhere(spark, root, version,
             Map(joinKey -> ((b.get(0), b.get(1)))))
-        (fl, false)
+        if (b.isNullAt(0) || statFiles.isEmpty ||
+            !SnapshotBloom.hasBloom(spark, root, statFiles.head, joinKey))
+          (statFiles, false)
+        else {
+          val keyRows = deltaKeys.na.drop().distinct()
+            .limit(BloomProbeMaxKeys + 1).collect()
+          if (keyRows.length > BloomProbeMaxKeys) (statFiles, false)
+          else SnapshotBloom.filesMightContainReport(spark, root, statFiles,
+            joinKey, keyRows.map(_.get(0)).toSeq)
+        }
     }
-    (Snapshots.readFiles(spark, root, files,
-      Snapshots.schemaOf(spark, root, version), s"$root v$version bucket probe"),
-      pruned)
   }
 
   /** A base's CDF between two versions reduced to SIGNED data rows:
@@ -1250,9 +1325,12 @@ object Mv {
     * per-base probe report ([[JoinRefresh]]'s discipline): `false` on a
     * side means some full-side probe of that base read unpruned this
     * refresh. `probePrunedMid` deserves a caveat: the fact clusters on
-    * ONE of its two join keys, so a right-dim delta's fact probe is
-    * structurally unpruned (a table cannot co-cluster on two keys) —
-    * the flag reports it honestly rather than hiding an O(fact) read.
+    * ONE of its two join keys, so a right-dim delta's fact probe has no
+    * cluster-header bound (a table cannot co-cluster on two keys) — but
+    * a fact PUBLISHED WITH PER-FILE BLOOMS on its right FK (`bloomOn`)
+    * gets the structural bloom tier ([[probeFiles]]): every kept file
+    * bloom-matched a delta key, and the flag reports pruned. Without
+    * blooms the flag reports the O(fact) read honestly.
     */
   final case class Join3Refresh(mode: String,
       fromLeft: Int, toLeft: Int, fromMid: Int, toMid: Int,
@@ -1322,9 +1400,13 @@ object Mv {
     * fact) on `joinMidLeft`, right on `joinRight`; hash buckets, a time
     * transform, or identity split dirs all prune — and disjoint column
     * names across the three bases. The fact cannot also cluster on
-    * `joinMidRight`, so a right-dim delta's fact probe runs unpruned
-    * (reported, never silent — see [[Join3Refresh]].probePrunedMid);
-    * keep the volatile dims on the clustered side of the chain.
+    * `joinMidRight`, so a right-dim delta's fact probe has no header
+    * bound — publish the fact with `bloomOn = Seq(joinMidRight)` to
+    * give it the structural per-file bloom tier instead (probed files =
+    * bloom-colliding files; [[Join3Refresh]].probePrunedMid then
+    * reports pruned); without blooms the probe runs unpruned (reported,
+    * never silent), so keep the volatile dims on the clustered side of
+    * the chain.
     * `minMaxCols` maintains `min_<c>`/`max_<c>` hybrid exactly like
     * [[createJoin]]'s — algebraic when no RAW feed retracted (the
     * inclusion–exclusion correction terms' synthetic deletes are
@@ -1606,7 +1688,9 @@ object Mv {
           val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
             delta, touched, batchId, minMaxCols = d.minMaxCols,
             recountFrom = Some(recountOf), netInsertOnly = netInsertOnly,
-            distinctCols = d.distinctCols)
+            distinctCols = d.distinctCols,
+            topWatermark = encWm3(wL, wM, wR),
+            rebuildRel = Some(() => joinedNow))
           Join3Refresh("incremental", wL, curL, wM, curM, wR, curR,
             a.groups, a.mvVersion, prunedL, prunedM, prunedR,
             recountGroups = a.recountGroups, recountPruned = a.recountPruned)
@@ -1764,7 +1848,12 @@ object Mv {
           val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
             delta, touched, batchId, minMaxCols = d.minMaxCols,
             recountFrom = Some(recountOf), netInsertOnly = netInsertOnly,
-            distinctCols = d.distinctCols)
+            distinctCols = d.distinctCols,
+            topWatermark = encWm(wL, wR),
+            rebuildRel = Some(() =>
+              filtered(Snapshots.read(spark, d.leftRoot, Some(curL))
+                .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
+                  col(d.joinLeft) === col(d.joinRight)), d.filterSql)))
           JoinRefresh("incremental", wL, curL, wR, curR, a.groups, a.mvVersion,
             probePrunedLeft = prunedL, probePrunedRight = prunedR,
             recountGroups = a.recountGroups, recountPruned = a.recountPruned)

@@ -98,6 +98,63 @@ object Snapshots {
       .sorted
   }
 
+  /** [[versions]] stamp-cached by the `_snapshots` dir's mtime: ONE
+    * getFileStatus replaces the directory listing. This is the
+    * PLAN-TIME hot path's variant — MV routing consults version heads
+    * per registered route per Aggregate per optimizer pass, and on
+    * cloud storage each listing is an RPC the compile pays repeatedly
+    * for the same answer. Discipline mirrors the manifest cache: a dir
+    * modified within the last [[ManifestCacheRecentMs]] serves a FRESH
+    * listing and is never cached (a manifest commit bumps the dir's
+    * mtime — local FS and HDFS both update it on entry create/delete —
+    * so a just-published root cannot serve its pre-publish listing,
+    * and the coarse-mtime delete-recreate collision is excluded the
+    * same way). Steady state (nothing published for the window) is one
+    * stat per lookup. Execution-time reads keep the uncached
+    * [[versions]] — this variant is for freshness PROBES whose answer
+    * is advisory by design (plan-time routing already carries the
+    * optimize-to-execute window).
+    */
+  private val versionsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[Int])]()
+
+  private[graft] def versionsCached(spark: SparkSession, root: String): Seq[Int] = {
+    val dir = new Path(s"$root/$SNAP_DIR")
+    val f = fs(spark, root)
+    val st = try Some(f.getFileStatus(dir)) catch {
+      case _: java.io.FileNotFoundException => None
+    }
+    st match {
+      case None => versionsCache.remove(dir.toString); Seq.empty
+      case Some(s) =>
+        val key = dir.toString
+        val cached = versionsCache.get(key)
+        if (cached != null && cached._1 == s.getModificationTime) cached._2
+        else {
+          val vs = f.listStatus(dir).toSeq
+            .map(_.getPath.getName)
+            .filter(_.matches("v\\d+"))
+            .map(_.drop(1).toInt)
+            .sorted
+          val recent = s.getModificationTime >
+            System.currentTimeMillis() - ManifestCacheRecentMs
+          if (!recent) versionsCache.put(key, (s.getModificationTime, vs))
+          else versionsCache.remove(key)
+          vs
+        }
+    }
+  }
+
+  /** [[lastBatchId]] over the stamp-cached listing — with the manifest
+    * cache underneath, a steady-state freshness probe costs two stats
+    * (dir + newest manifest) and zero reads.
+    */
+  private[graft] def lastBatchIdCached(spark: SparkSession, root: String): Option[Long] =
+    versionsCached(spark, root).reverseIterator
+      .flatMap(v => manifestLines(spark, root, v)
+        .find(_.startsWith(BATCH_HEADER)).map(_.drop(BATCH_HEADER.length).toLong))
+      .nextOption()
+
   /** One cached manifest: its lines plus lazily-parsed derived views, so
     * repeated planning steps (file list, stats pruning, row/byte counts)
     * neither re-read NOR re-parse. Immutable once built — the cache key

@@ -874,6 +874,51 @@ class MvSpec extends AnyFunSuite {
     assert(Snapshots.versions(spark, m) === before)
   }
 
+  test("a bloomOn fact bounds the right-dim fact probe STRUCTURALLY") {
+    import spark.implicits._
+    val l = s"$wh/t3lb"; val f = s"$wh/t3fb"; val r = s"$wh/t3rb"; val m = s"$wh/t3mb"
+    Snapshots.publish(spark, l, Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    // fact: IDENTITY split dirs on ck (one file set per value — no hash
+    // collisions muddying the pin) + per-file BLOOMS on the right FK.
+    // prio RANGES overlap across files ([1,5] twice) so the stats
+    // envelope alone cannot prune — only bloom MEMBERSHIP can.
+    Snapshots.publish(spark, f, Seq(
+      (1L, 10L, 1L, 100L), (2L, 10L, 5L, 200L), (3L, 11L, 3L, 300L),
+      (4L, 12L, 1L, 400L), (5L, 12L, 5L, 500L)).toDF("k", "ck", "prio", "cents"),
+      clusterBy = Some("ck"), bloomOn = Seq("prio"))
+    Snapshots.publish(spark, r,
+      Seq((1L, "P1"), (3L, "P3"), (5L, "P5")).toDF("pr", "plabel"),
+      clusterBy = Some("pr"))
+    Mv.createJoin3(spark, m, l, Seq("ck2"), "ck2",
+      f, Seq("k"), "ck", "prio", r, Seq("pr"), "pr",
+      Seq("seg", "plabel"), Seq("cents"), mvBuckets = 4)
+    // file-bound pin, direct on the probe's file selection: probing
+    // prio=3 keeps ONLY the file whose bloom might hold 3 — and because
+    // every fact file carries a prio filter, the bound is STRUCTURAL
+    val fv = Snapshots.versions(spark, f).last
+    val all = Snapshots.files(spark, f, fv)
+    val (kept, pruned) = Mv.probeFiles(spark, f, fv, "prio", Seq(3L).toDF("prio"))
+    assert(pruned, "every fact file has a prio bloom — the bound must report structural")
+    val holding = all.filter(fl =>
+      spark.read.parquet(s"$f/$fl").filter(col("prio") === 3L).limit(1).count() > 0)
+    assert(holding.toSet.subsetOf(kept.toSet), "bloom pruning must be lossless")
+    assert(kept.size < all.size,
+      s"range-overlapping files without prio=3 must drop by bloom: kept $kept of $all")
+    // e2e: a right-dim relabel — previously THE structurally unpruned
+    // path — now refreshes with the mid probe REPORTED PRUNED, and the
+    // view still equals the recompute
+    Snapshots.mergeByKey(spark, r,
+      Seq((3L, "P3X", false)).toDF("pr", "plabel", "__del"),
+      keyCols = Seq("pr"), tombstoneCol = Some("__del"))
+    val rr = Mv.refreshJoin3(spark, m)
+    assert(rr.mode === "incremental")
+    assert(rr.probePrunedMid,
+      s"the bloomed fact probe under a right-dim delta must report pruned: $rr")
+    assert(rr.probePrunedLeft && rr.probePrunedRight, s"got $rr")
+    assert(collect3(m) === recompute3(l, f, r))
+  }
+
   test("trilinear probes read only colliding groups: fact bounded under a dim delta") {
     import spark.implicits._
     import graft.sources.CountingFileSystem
@@ -1138,6 +1183,47 @@ class MvSpec extends AnyFunSuite {
     assert(collectNd(m) === recomputeNd(b))
     // the companion did not double-apply: its stored counts equal the
     // recomputed per-(group,value) row counts exactly
+    val expected = Snapshots.read(spark, b).where(col("v").isNotNull)
+      .groupBy(md5(to_json(struct(col("g"), col("v")))).as("vk"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    val got = Snapshots.read(spark, s"$m/_dv/v")
+      .select("__vk", "vcount").collect()
+      .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("a crash window followed by a BASE ADVANCE rebuilds the companion, never double-applies") {
+    import spark.implicits._
+    val b = s"$wh/ndb4"; val m = s"$wh/ndm4"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      distinctCols = Seq("v"))
+    // first mutation + refresh, then rewind ONLY the top MV's newest
+    // manifest: the companion sits at the MID batch id (the crash window)
+    Snapshots.mergeByKey(spark, b, base(Seq((2L, "a", 30L), (4L, "b", 5L)))
+      .withColumn("__del", lit(false)), Seq("k"), tombstoneCol = Some("__del"))
+    assert(Mv.refresh(spark, m).mode === "incremental")
+    val mvV = Snapshots.versions(spark, m).last
+    val f = new org.apache.hadoop.fs.Path(m).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(f.delete(new org.apache.hadoop.fs.Path(s"$m/_snapshots/v$mvV"), false))
+    // the base ADVANCES before the re-run: v's 30 dies (a would over-count
+    // it if the w..mid window re-applied), b's duplicate 5 count would
+    // inflate — and a brand-new value lands
+    Snapshots.mergeByKey(spark, b, base(Seq((2L, "a", 40L), (5L, "c", 9L)))
+      .withColumn("__del", lit(false)), Seq("k"), tombstoneCol = Some("__del"))
+    assert(Snapshots.lastBatchId(spark, s"$m/_dv/v").get >
+      Snapshots.lastBatchId(spark, m).get, "fixture must be IN the crash window")
+    assert(Snapshots.lastBatchId(spark, s"$m/_dv/v").get <
+      Snapshots.versions(spark, b).last.toLong,
+      "fixture must have the base AHEAD of the companion")
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "incremental")
+    assert(collectNd(m) === recomputeNd(b))
+    // the companion did not double-apply the overlapped window: stored
+    // counts equal the recomputed per-(group,value) row counts exactly
     val expected = Snapshots.read(spark, b).where(col("v").isNotNull)
       .groupBy(md5(to_json(struct(col("g"), col("v")))).as("vk"))
       .agg(count(lit(1)).as("n"))
