@@ -29,6 +29,7 @@ object SparkEntry {
       q.Extras8.entries ++
       q.Extras9.entries ++
       q.Extras10.entries ++
+      q.Extras11.entries ++
       q.Curation.entries
 
   {

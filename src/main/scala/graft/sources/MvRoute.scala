@@ -37,15 +37,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     (distinct values are not summable across groups) — it routes
   *     only at exact grouping, where `nd_<c>` is stored.
   *
-  * FILTERED views route when the query's predicate is SEMANTICALLY
-  * equal to the view's `where`: the stored SQL is parsed, analyzed
-  * against the scan's own attributes (type coercion and constant
-  * folding applied — the optimizer has already folded the query's
-  * side), and compared conjunct-by-conjunct via `semanticEquals`. For
-  * joins the optimizer has already pushed single-sided conjuncts below
-  * the join, so the match recombines child and above-join predicates
-  * (and ignores IsNotNull on the join keys — implied by the inner
-  * equi-join on both the query and the view side).
+  * FILTERED views route by PREDICATE IMPLICATION via conjunct
+  * subsetting: the stored `where` is parsed, analyzed against the
+  * scan's own attributes (type coercion and constant folding applied —
+  * the optimizer has already folded the query's side), and every view
+  * conjunct must match a query conjunct via `semanticEquals`; the
+  * RESIDUAL query conjuncts re-apply as a Filter over the view,
+  * provided each references only view-carried (group) columns — the
+  * dashboard drill-down (`query = view's bar AND seg = 'X'`) routes as
+  * Filter(seg='X') over the view; a query WEAKER than the view's bar,
+  * or a residual on a column the view does not store, declines. The
+  * same rule lets a predicate-only query route over an UNFILTERED
+  * view. Inference-injected IsNotNull conjuncts (a null-intolerant
+  * sibling implies them) are dropped on both sides first, so the match
+  * does not depend on which optimizer batch fires the rule. For joins
+  * the optimizer has already pushed single-sided conjuncts below the
+  * join, so the match recombines child and above-join predicates (and
+  * ignores IsNotNull on the join keys — implied by the inner equi-join
+  * on both the query and the view side).
   *
   * Correctness gates (each one declines the rewrite, never errors):
   * freshness (view watermark == base head — the watermark PAIR == both
@@ -180,21 +189,73 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Conjunct-set semantic equality between the view's stored filter
-    * and the query's (possibly recombined) predicate — both sides split
-    * to conjuncts so push-down reshuffling and And order don't matter.
+  /** `e` is the attribute `a` itself or an implicit cast of it — the
+    * only shapes under which the predicate forms below are guaranteed
+    * null-intolerant in `a` (an `a` nested under a null-tolerant
+    * wrapper like coalesce never matches, keeping the check
+    * conservative).
     */
-  private def filterMatches(where: Option[String], output: Seq[Attribute],
-      queryConjuncts: Seq[Expression]): Boolean = (where, queryConjuncts) match {
-    case (None, Nil) => true
-    case (Some(w), qc) if qc.nonEmpty =>
-      resolvedFilter(w, output).exists { cond =>
-        val wc = splitConjunctivePredicates(cond)
-        wc.size == qc.size &&
-          wc.forall(c => qc.exists(_.semanticEquals(c))) &&
-          qc.forall(c => wc.exists(_.semanticEquals(c)))
-      }
+  private def directRef(e: Expression, a: AttributeReference): Boolean = e match {
+    case ar: AttributeReference => ar.semanticEquals(a)
+    case Cast(ch, _, _, _) => directRef(ch, a)
     case _ => false
+  }
+
+  /** Whether conjunct `c` by itself filters NULLs of `a` (so an
+    * `IsNotNull(a)` sibling is redundant): a binary comparison or IN
+    * with `a` as a DIRECT operand evaluates to null — filtered — when
+    * `a` is null. This mirrors what the optimizer's own
+    * InferFiltersFromConstraints derives, which is exactly the
+    * machinery that ADDS such IsNotNull conjuncts after filter
+    * pushdown.
+    */
+  private def impliesNotNull(c: Expression, a: AttributeReference): Boolean =
+    c match {
+      case b: BinaryComparison => directRef(b.left, a) || directRef(b.right, a)
+      case In(v, _) => directRef(v, a)
+      case InSet(v, _) => directRef(v, a)
+      case _ => false
+    }
+
+  /** Drop `IsNotNull(a)` conjuncts a null-intolerant sibling on the same
+    * attribute already implies — the optimizer's constraint inference
+    * injects them on nullable filter columns, and without this the
+    * match would depend on WHICH optimizer batch the rule fires in.
+    */
+  private def dropImpliedNotNull(conjuncts: Seq[Expression]): Seq[Expression] =
+    conjuncts.filterNot {
+      case IsNotNull(a: AttributeReference) =>
+        conjuncts.exists(c => !c.isInstanceOf[IsNotNull] && impliesNotNull(c, a))
+      case _ => false
+    }
+
+  /** Match the view's stored filter against the query's (recombined)
+    * predicate by IMPLICATION-VIA-CONJUNCT-SUBSETTING: every view
+    * conjunct must appear semantically among the query's, and the
+    * RESIDUAL — the query conjuncts the view's bar does not carry — is
+    * returned for the caller to re-apply as a Filter OVER the view.
+    * That residual re-application is sound exactly when each residual
+    * conjunct references only columns the view STORES VERBATIM (its
+    * group columns — the caller checks membership): group columns are
+    * constant within a group, so σ(residual) commutes with the view's
+    * γ. None = decline: the query's predicate is WEAKER than the
+    * view's bar (a view conjunct went unmatched — the view has already
+    * dropped rows the query wants) or the stored filter fails to
+    * resolve. `Some(Nil)` = the exact match. Both sides drop
+    * inference-injected IsNotNull conjuncts first.
+    */
+  private def filterResidual(where: Option[String], output: Seq[Attribute],
+      queryConjuncts: Seq[Expression]): Option[Seq[Expression]] = {
+    val qc = dropImpliedNotNull(queryConjuncts)
+    where match {
+      case None => Some(qc)
+      case Some(w) =>
+        resolvedFilter(w, output).flatMap { cond =>
+          val wc = dropImpliedNotNull(splitConjunctivePredicates(cond))
+          if (!wc.forall(c => qc.exists(_.semanticEquals(c)))) None
+          else Some(qc.filterNot(c => wc.exists(_.semanticEquals(c))))
+        }
+    }
   }
 
   // ── single-base views ────────────────────────────────────────────────
@@ -209,14 +270,19 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       Mv.routeDefinition(spark, mvRoot)
         .filter(d => norm(d.baseRoot) == norm(root))
         .filter(d => groupNames.subsetOf(d.groupCols.toSet))
-        .filter(d => filterMatches(d.filterSql, rel.output, qConjuncts))
-        .filter { d =>
-          val baseVs = Snapshots.versions(spark, d.baseRoot)
+        .flatMap(d => filterResidual(d.filterSql, rel.output, qConjuncts)
+          // a residual conjunct may only reference view-carried (group)
+          // columns — anything else the view cannot re-filter
+          .filter(_.forall(_.references.forall(r => d.groupCols.contains(r.name))))
+          .map(res => (d, res)))
+        .filter { case (d, _) =>
+          val baseVs = Snapshots.versionsCached(spark, d.baseRoot)
           baseVs.nonEmpty &&
-            Snapshots.lastBatchId(spark, mvRoot).contains(baseVs.last.toLong)
+            Snapshots.lastBatchIdCached(spark, mvRoot).contains(baseVs.last.toLong)
         }
-        .flatMap(d => build(agg, mvRoot, d.groupCols, d.sumCols,
-          d.minMaxCols, d.distinctCols, exact = groupNames == d.groupCols.toSet))
+        .flatMap { case (d, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
+          d.minMaxCols, d.distinctCols, res,
+          exact = groupNames == d.groupCols.toSet) }
     }.nextOption()
   }
 
@@ -261,10 +327,13 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
           Set(norm(lRoot), norm(rRoot)))
         .filter(d => Set(d.joinLeft, d.joinRight) == keyNames)
         .filter(d => groupNames.subsetOf(d.groupCols.toSet))
-        .filter(d => filterMatches(d.filterSql, output, qConjuncts))
-        .filter(d => Mv.joinRouteFresh(spark, mvRoot, d))
-        .flatMap(d => build(agg, mvRoot, d.groupCols, d.sumCols,
-          d.minMaxCols, d.distinctCols, exact = groupNames == d.groupCols.toSet))
+        .flatMap(d => filterResidual(d.filterSql, output, qConjuncts)
+          .filter(_.forall(_.references.forall(r => d.groupCols.contains(r.name))))
+          .map(res => (d, res)))
+        .filter { case (d, _) => Mv.joinRouteFresh(spark, mvRoot, d) }
+        .flatMap { case (d, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
+          d.minMaxCols, d.distinctCols, res,
+          exact = groupNames == d.groupCols.toSet) }
     }.nextOption()
   }
 
@@ -326,10 +395,13 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
         .filter(d => Set(Set(d.joinLeft, d.joinMidLeft),
           Set(d.joinMidRight, d.joinRight)) == Set(pTop, pInner))
         .filter(d => groupNames.subsetOf(d.groupCols.toSet))
-        .filter(d => filterMatches(d.filterSql, output, qConjuncts))
-        .filter(d => Mv.join3RouteFresh(spark, mvRoot, d))
-        .flatMap(d => build(agg, mvRoot, d.groupCols, d.sumCols,
-          d.minMaxCols, d.distinctCols, exact = groupNames == d.groupCols.toSet))
+        .flatMap(d => filterResidual(d.filterSql, output, qConjuncts)
+          .filter(_.forall(_.references.forall(r => d.groupCols.contains(r.name))))
+          .map(res => (d, res)))
+        .filter { case (d, _) => Mv.join3RouteFresh(spark, mvRoot, d) }
+        .flatMap { case (d, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
+          d.minMaxCols, d.distinctCols, res,
+          exact = groupNames == d.groupCols.toSet) }
     }.nextOption()
   }
 
@@ -337,11 +409,16 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
 
   /** Map every output of the Aggregate onto the view's columns; None on
     * the first aggregate the view does not maintain (type-exact).
+    * `residual` — query conjuncts beyond the view's own bar, already
+    * proven to reference only group columns — re-applies as a Filter
+    * UNDER the rewrite (over the view's scan): group columns are stored
+    * verbatim and constant within a group, so σ(residual) ∘ view ≡
+    * γ ∘ σ(residual ∧ where) ∘ base, the dashboard drill-down shape.
     */
   private def build(agg: Aggregate, mvRoot: String, groupCols: Seq[String],
       sumCols: Seq[String], minMaxCols: Seq[String], distinctCols: Seq[String],
-      exact: Boolean): Option[LogicalPlan] = {
-    val vs = Snapshots.versions(spark, mvRoot)
+      residual: Seq[Expression], exact: Boolean): Option[LogicalPlan] = {
+    val vs = Snapshots.versionsCached(spark, mvRoot)
     if (vs.isEmpty) return None
     val schema = Snapshots.schemaOf(spark, mvRoot, vs.last).getOrElse(return None)
     val mvTable = new SnapshotTable(schema, mvRoot, Map.empty)
@@ -349,6 +426,18 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       new CaseInsensitiveStringMap(java.util.Map.of("root", mvRoot)))
     val out: Map[String, AttributeReference] =
       mvRel.output.map(a => a.name -> a).toMap
+
+    // the residual's attributes re-bind to the VIEW's own (same name,
+    // same stored type — group columns travel verbatim); a type drift
+    // (schema evolution between create and now) declines
+    if (!residual.forall(_.references.forall(r =>
+        out.get(r.name).exists(_.dataType == r.dataType)))) return None
+    val residualBound = residual.map(_.transform {
+      case a: AttributeReference => out(a.name)
+    })
+    val source: LogicalPlan =
+      if (residualBound.isEmpty) mvRel
+      else Filter(residualBound.reduce(And), mvRel)
 
     def typed(name: String, dt: DataType): Option[Expression] =
       out.get(name).filter(_.dataType == dt)
@@ -427,12 +516,12 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
         if (!ne.toAttribute.nullable && e.nullable) KnownNotNull(e) else e
       Alias(adjusted, ne.name)(exprId = ne.exprId)
     }
-    if (exact) Some(Project(projList, mvRel))
+    if (exact) Some(Project(projList, source))
     else {
       val grouping = agg.groupingExpressions.map {
         case a: AttributeReference => out(a.name)
       }
-      Some(Aggregate(grouping, projList, mvRel))
+      Some(Aggregate(grouping, projList, source))
     }
   }
 }

@@ -107,7 +107,8 @@ class MvRouteSpec extends AnyFunSuite {
       // unmaintained min/max and distinct
       assert(!planOf(dsv2(b).groupBy("g").agg(min("v"))).contains(mv))
       assert(!planOf(dsv2(b).groupBy("g").agg(countDistinct(col("c")))).contains(mv))
-      // a filter above the scan (predicate matching is out of scope)
+      // a filter on a non-view-carried column (v is a SUM column — the
+      // view stores sum_v, not v, so the residual cannot re-apply)
       assert(!planOf(dsv2(b).where(col("v") > 0).groupBy("g").agg(sum("v")))
         .contains(mv))
       // time travel pins a version — never route
@@ -181,6 +182,70 @@ class MvRouteSpec extends AnyFunSuite {
       val g = dsv2(b).where("v >= 100").agg(sum("v").as("s"))
       assert(planOf(g).contains(mv), planOf(g))
       assert(rows(g) === Set(Seq(500L)))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("implication routing: a residual on a group column filters OVER the view") {
+    import spark.implicits._
+    val b = s"$wh/rb7"; val m = s"$wh/rm7"
+    Snapshots.publish(spark, b,
+      Seq[(Long, String, String, java.lang.Long)](
+        (1L, "a", "x", 10L), (2L, "a", "y", 200L), (3L, "b", "x", 300L),
+        (4L, "b", "y", 5L), (5L, "a", "x", 400L))
+        .toDF("k", "g", "h", "v"))
+    Mv.create(spark, m, b, Seq("k"), Seq("g", "h"), Seq("v"), mvBuckets = 4,
+      where = Some("v >= 100"))
+    val mv = s"graft-snapshot($m)"
+    Mv.register(spark, m)
+    try {
+      // the drill-down: query = the view's bar AND a group-column
+      // conjunct → Filter(g='a') over the view, values exact
+      def drill = dsv2(b).where("v >= 100 AND g = 'a'")
+        .groupBy("g", "h").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      assert(planOf(drill).contains(mv), planOf(drill))
+      assert(!planOf(drill).contains(s"graft-snapshot($b)"))
+      assert(rows(drill) === Set(Seq("a", "y", 200L, 1L), Seq("a", "x", 400L, 1L)))
+      // residual composes with ROLLUP: filter by h (a view group column
+      // NOT in the query's grouping), group by g — |groups| view rows
+      def roll = dsv2(b).where("v >= 100 AND h = 'x'")
+        .groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(roll).contains(mv), planOf(roll))
+      assert(rows(roll) === Set(Seq("a", 400L), Seq("b", 300L)))
+      // the query WEAKER than the view's bar must still bypass (the
+      // view already dropped rows the query wants)
+      def weak = dsv2(b).where("g = 'a'").groupBy("g", "h").agg(sum("v").as("s"))
+      assert(!planOf(weak).contains(mv), planOf(weak))
+      assert(rows(weak).contains(Seq("a", "x", 410L)))
+      // a residual on a NON-view column bypasses (k is neither grouped
+      // nor stored)
+      assert(!planOf(dsv2(b).where("v >= 100 AND k > 1")
+        .groupBy("g", "h").agg(sum("v").as("s"))).contains(mv))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("implication routing over an UNFILTERED view: group-column predicates route") {
+    val b = s"$wh/rb8"; val m = s"$wh/rm8"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L, 1L), (2L, "a", 20L, 2L), (3L, "b", 30L, 3L),
+      (4L, null, 40L, 4L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+    val mv = s"graft-snapshot($m)"
+    Mv.register(spark, m)
+    try {
+      // an unfiltered view answers a group-column-filtered query with a
+      // residual Filter — including the inference-injected IsNotNull(g)
+      // the optimizer adds below the aggregate
+      def q = dsv2(b).where("g = 'a'").groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(q).contains(mv), planOf(q))
+      assert(!planOf(q).contains(s"graft-snapshot($b)"))
+      assert(rows(q) === Set(Seq("a", 30L)))
+      // IN-list predicates route too (null-intolerant residual)
+      def qin = dsv2(b).where("g IN ('a','b')").groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(qin).contains(mv), planOf(qin))
+      assert(rows(qin) === Set(Seq("a", 30L), Seq("b", 30L)))
+      // a measure-column predicate still bypasses
+      assert(!planOf(dsv2(b).where("v > 15").groupBy("g").agg(sum("v").as("s")))
+        .contains(mv))
     } finally Mv.unregister(spark, m)
   }
 
@@ -335,6 +400,58 @@ class MvRouteSpec extends AnyFunSuite {
         .join(dsv2(r3), col("prio") === col("pr"))
         .groupBy("seg", "plabel").agg(sum("cents").as("s"))).contains(mv))
     } finally Mv.unregister(spark, m)
+  }
+
+  test("plan-time freshness is stamp-cached: routing lists NO mv-root dirs in steady state") {
+    import spark.implicits._
+    import graft.sources.CountingFileSystem
+    spark.sparkContext.hadoopConfiguration.set("fs.graftcount.impl",
+      classOf[CountingFileSystem].getName)
+    val b = s"graftcount://$wh/svb"; val m = s"graftcount://$wh/svm"
+    val b2 = s"graftcount://$wh/svb2"; val m2 = s"graftcount://$wh/svm2"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 10L, 1L), (2L, "b", 20L, 2L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+    // a SECOND registered route over a foreign base: its freshness probe
+    // must not re-list either root on every compile
+    Snapshots.publish(spark, b2, base(Seq((3L, "c", 30L, 3L))))
+    Mv.create(spark, m2, b2, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+    Mv.register(spark, m)
+    Mv.register(spark, m2)
+    try {
+      val f = new org.apache.hadoop.fs.Path(b).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def q = dsv2(b).groupBy("g").agg(sum("v").as("s"))
+      def planOfQ = planOf(q)
+      assert(planOfQ.contains(s"graft-snapshot($m)"), planOfQ)
+      // age the _snapshots dirs past the cache's recent window (the
+      // anti-collision guard serves young dirs fresh-read), then warm
+      Seq(b, m, b2, m2).foreach(r => f.setTimes(
+        new org.apache.hadoop.fs.Path(s"$r/_snapshots"),
+        System.currentTimeMillis() - 60000, -1))
+      assert(planOfQ.contains(s"graft-snapshot($m)"))
+      CountingFileSystem.reset()
+      // steady-state compile: freshness answers from the dir-stamp cache
+      // (one getFileStatus per root). The FOREIGN route's probes — the
+      // per-registered-route cost the cache exists to bound — must list
+      // NOTHING; the matching route's view and the query's base still
+      // list through their scans' own planning, which is per-TABLE (the
+      // plan reads them), not per-route.
+      assert(planOfQ.contains(s"graft-snapshot($m)"),
+        "cached freshness must still route")
+      Seq(m2, b2).foreach { r =>
+        val dir = r.stripPrefix("graftcount://")
+        assert(CountingFileSystem.count("list", s"$dir/_snapshots") === 0,
+          s"steady-state planning must not re-list the foreign route $r")
+      }
+      // a publish BUMPS the dir stamp: the cache sees the new head and
+      // freshness correctly BYPASSES the now-stale view
+      Snapshots.mergeByKey(spark, b,
+        Seq((1L, "a", 99L, 1L)).toDF("k", "g", "v", "c")
+          .withColumn("__del", lit(false)),
+        Seq("k"), tombstoneCol = Some("__del"))
+      assert(!planOfQ.contains(s"graft-snapshot($m)"),
+        "a stale view must never answer from a cached listing")
+    } finally { Mv.unregister(spark, m); Mv.unregister(spark, m2) }
   }
 
   test("routed NULL semantics are exact: all-NULL sums, NULL groups, derived avg") {
