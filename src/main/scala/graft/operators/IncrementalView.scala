@@ -33,8 +33,15 @@ object IncrementalView {
     * runs through its per-value companion tables; this aggregate itself
     * is only the initial/full compute.
     */
+  /** The DataSketches HLL log-config-K every maintained sketch uses —
+    * one shared constant, because [[org.apache.spark.sql.functions.hll_union]]
+    * refuses to merge sketches of different precision.
+    */
+  val HllLgK = 12
+
   def countSum(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil): DataFrame = {
+      minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
+      approxCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "countSum needs group columns")
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
@@ -42,7 +49,8 @@ object IncrementalView {
           count(col(c)).as(s"nn_$c"))) ++
         minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))) ++
-        distinctCols.map(c => countDistinct(col(c)).as(s"nd_$c")): _*)
+        distinctCols.map(c => countDistinct(col(c)).as(s"nd_$c")) ++
+        approxCols.map(c => hll_sketch_agg(col(c), HllLgK).as(s"hll_$c")): _*)
   }
 
   /** Apply a CDF (from [[Snapshots.changes]] with `preImages = true`) to a
@@ -58,12 +66,20 @@ object IncrementalView {
     * (possibly stale) algebraic value: a retracted minimum is not
     * invertible, so the CALLER must recount flagged groups from the
     * viewed relation ([[graft.operators.Mv.refresh]] does) or refuse.
-    * The flag column only exists when `minMaxCols` is non-empty.
+    * `approxCols` (the `hll_<c>` DataSketches companions) share exactly
+    * that discipline — a register only grows, so inserts UNION exactly
+    * and any retraction rides the same flag. The flag column only
+    * exists when `minMaxCols ++ approxCols` is non-empty.
     */
   def applyCountSum(mv: DataFrame, cdf: DataFrame,
       groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil, carryCols: Seq[String] = Nil): DataFrame = {
+      minMaxCols: Seq[String] = Nil, carryCols: Seq[String] = Nil,
+      approxCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "applyCountSum needs group columns")
+    // approx sketches share min/max's hybrid discipline: an HLL register
+    // only grows (insert = union, exact), so any retraction from a group
+    // flags it stale for the caller's recount — same __mm_stale channel
+    val hybridCols = minMaxCols ++ approxCols
     val sign = when(col("change").isin("insert", "update_postimage"), lit(1L))
       .when(col("change").isin("delete", "update_preimage"), lit(-1L))
     val delta = cdf
@@ -81,7 +97,10 @@ object IncrementalView {
         minMaxCols.flatMap(c => Seq(
           min(when(col("__sign") === 1L, col(c))).as(s"__imin_$c"),
           max(when(col("__sign") === 1L, col(c))).as(s"__imax_$c"))) ++
-        (if (minMaxCols.isEmpty) Nil
+        approxCols.map(c =>
+          hll_sketch_agg(when(col("__sign") === 1L, col(c)), HllLgK)
+            .as(s"__ihll_$c")) ++
+        (if (hybridCols.isEmpty) Nil
          else Seq(max(col("__sign") === -1L).as("__ret"))): _*)
     // a feed without preimages cannot be applied soundly: an 'update' row
     // alone would double-count. Fail loudly instead of absorbing it.
@@ -113,7 +132,15 @@ object IncrementalView {
             Seq(least(m(s"min_$c"), d(s"__imin_$c")).as(s"min_$c"),
               greatest(m(s"max_$c"), d(s"__imax_$c")).as(s"max_$c"))
           } ++
-          (if (minMaxCols.isEmpty) Nil
+          approxCols.map { c =>
+            // registers only grow: stored ∪ insert-sketch is EXACT for
+            // an insert-only group; either side absent falls through
+            when(m(s"hll_$c").isNull, d(s"__ihll_$c"))
+              .when(d(s"__ihll_$c").isNull, m(s"hll_$c"))
+              .otherwise(hll_union(m(s"hll_$c"), d(s"__ihll_$c")))
+              .as(s"hll_$c")
+          } ++
+          (if (hybridCols.isEmpty) Nil
            else Seq(coalesce(d("__ret"), lit(false)).as("__mm_stale"))) ++
           // columns the algebra does not maintain, carried verbatim from
           // the stored MV side (NULL for groups the delta created) — the

@@ -84,7 +84,7 @@ object Mv {
   final case class Definition(baseRoot: String, baseKeyCols: Seq[String],
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
-      filterSql: Option[String] = None)
+      approxCols: Seq[String] = Nil, filterSql: Option[String] = None)
 
   /** The stored definition of a JOIN MV ([[createJoin]]): two co-clustered
     * base tables, each with its own unique row key (CDF classification)
@@ -140,6 +140,44 @@ object Mv {
   private val TombCol = "__mv_del"
   private val MmStaleCol = "__mm_stale"
 
+  /** A group column SPEC is either a plain base column name or a
+    * time-transform — `days(ts)` / `hours(ts)` / `months(ts)` /
+    * `years(ts)`, [[Snapshots.timeSpec]]'s own grammar — and a
+    * transform group stores its derived calendar unit under
+    * `<unit>_<col>` (`days_ts`). The unit is FUNCTIONALLY DETERMINED by
+    * the row, so maintenance stays delta-sized (a changed row's unit
+    * travels with it through the CDF), and a base CLUSTERED on the same
+    * transform file-prunes recounts by the very dirs the write path
+    * routed ([[groupProbe]]). Single-base views only — join MVs group
+    * by stored columns (pre-materialize the unit if a star needs it).
+    */
+  private[graft] def groupStored(spec: String): String =
+    Snapshots.timeSpec(spec).map { case (u, c) => s"${u}_$c" }.getOrElse(spec)
+
+  /** The base column a group spec reads (itself when plain). */
+  private def groupSource(spec: String): String =
+    Snapshots.timeSpec(spec).map(_._2).getOrElse(spec)
+
+  /** The viewed relation extended with each transform group's derived
+    * unit column — the ONE place the derivation lives; everything
+    * downstream (digest, algebra, companions, recounts) sees plain
+    * stored columns.
+    */
+  private def withGroupCols(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    groupCols.foldLeft(df)((d, g) => Snapshots.timeSpec(g) match {
+      case Some((u, c)) =>
+        d.withColumn(groupStored(g), Snapshots.timeTransformCol(u, col(c)))
+      case None => d
+    })
+
+  /** The time-group Column a query must group by for TRANSPARENT ROUTING
+    * to a `days(ts)`-grouped view ([[graft.sources.MvRoute]] matches
+    * this exact form semantically): the same epoch-unit expression the
+    * engine's cluster layouts and MV maintenance compute.
+    */
+  def timeGroup(unit: String, column: String): Column =
+    Snapshots.timeTransformCol(unit, col(column))
+
   private def defPath(root: String) = new Path(root, "_mv/def")
 
   private def gk(groupCols: Seq[String]): Column =
@@ -191,7 +229,8 @@ object Mv {
       s"groups=${d.groupCols.mkString(",")}",
       s"sums=${d.sumCols.mkString(",")}",
       s"minmax=${d.minMaxCols.mkString(",")}",
-      s"nd=${d.distinctCols.mkString(",")}") ++
+      s"nd=${d.distinctCols.mkString(",")}",
+      s"approxnd=${d.approxCols.mkString(",")}") ++
       d.filterSql.map(w => s"where=$w"))
   }
 
@@ -265,7 +304,7 @@ object Mv {
         "Mv.refreshJoin (join) / Mv.refreshJoin3 (join3), not Mv.refresh")
     Definition(kv("base"), defCols(kv, "keys"), defCols(kv, "groups"),
       defCols(kv, "sums"), defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"),
-      defWhere(kv))
+      defColsOpt(kv, "approxnd"), defWhere(kv))
   }
 
   /** Whether the MV root stores a join definition ([[createJoin]]) —
@@ -315,14 +354,16 @@ object Mv {
   def create(spark: SparkSession, mvRoot: String, baseRoot: String,
       baseKeyCols: Seq[String], groupCols: Seq[String], sumCols: Seq[String],
       mvBuckets: Int = 64, minMaxCols: Seq[String] = Nil,
-      distinctCols: Seq[String] = Nil, where: Option[String] = None): Int = {
+      distinctCols: Seq[String] = Nil, where: Option[String] = None,
+      approxDistinctCols: Seq[String] = Nil): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
     require(baseKeyCols.nonEmpty, "an MV needs the base table's unique row key " +
       "(CDF classification; see Snapshots.changes)")
     require(groupCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
       sumCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
       minMaxCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
-      distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
+      distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
+      approxDistinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
       s"'$GkCol'/'$VkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val baseVs = Snapshots.versions(spark, baseRoot)
     require(baseVs.nonEmpty, s"base $baseRoot has no published snapshot versions")
@@ -333,10 +374,13 @@ object Mv {
     // only for pre-schema-recording manifests
     val baseSchema = Snapshots.schemaOf(spark, baseRoot, w)
       .getOrElse(Snapshots.read(spark, baseRoot, Some(w)).schema)
-    requireDefCols(baseSchema, baseKeyCols, groupCols, sumCols, minMaxCols,
-      s"base $baseRoot", distinctCols)
+    val plainGroups = groupCols.filter(g => Snapshots.timeSpec(g).isEmpty)
+    requireDefCols(baseSchema, baseKeyCols, plainGroups, sumCols, minMaxCols,
+      s"base $baseRoot", distinctCols ++ approxDistinctCols)
+    requireTransformGroups(baseSchema, groupCols, s"base $baseRoot")
     requireExactSums(baseSchema, sumCols)
-    requireDistinctCols(baseSchema, groupCols, distinctCols)
+    requireDistinctCols(baseSchema, plainGroups, distinctCols)
+    requireApproxCols(baseSchema, plainGroups, approxDistinctCols)
     requireFilter(Snapshots.read(spark, baseRoot, Some(w)), where)
     // a crashed create (def committed, first top publish never happened)
     // leaves a def with zero versions — recoverable, not a conflict; a
@@ -348,14 +392,16 @@ object Mv {
       fs(spark, mvRoot).delete(new Path(mvRoot, "_dv"), true)
     }
     writeDef(spark, mvRoot, Definition(baseRoot, baseKeyCols, groupCols,
-      sumCols, minMaxCols, distinctCols, where))
-    val rel = filtered(Snapshots.read(spark, baseRoot, Some(w)), where)
+      sumCols, minMaxCols, distinctCols, approxDistinctCols, where))
+    val storedGroups = groupCols.map(groupStored)
+    val rel = withGroupCols(
+      filtered(Snapshots.read(spark, baseRoot, Some(w)), where), groupCols)
     distinctCols.foreach(c =>
-      publishCompanion(spark, mvRoot, c, groupCols, rel, batchId = w,
+      publishCompanion(spark, mvRoot, c, storedGroups, rel, batchId = w,
         buckets = mvBuckets))
-    val mv0 = IncrementalView.countSum(rel, groupCols, sumCols, minMaxCols,
-      distinctCols)
-      .withColumn(GkCol, gk(groupCols))
+    val mv0 = IncrementalView.countSum(rel, storedGroups, sumCols, minMaxCols,
+      distinctCols, approxDistinctCols)
+      .withColumn(GkCol, gk(storedGroups))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = w,
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
       .getOrElse(sys.error(s"fresh MV root $mvRoot already carries batch ids"))
@@ -376,6 +422,26 @@ object Mv {
     require(missing.isEmpty,
       s"MV definition references column(s) ${missing.mkString(", ")} that " +
         s"$what does not carry (has: ${schema.fieldNames.mkString(", ")})")
+  }
+
+  /** Time-transform group contract, checked at create: the source column
+    * must exist and be a date/timestamp (the transform is a calendar
+    * coarsening, not an arbitrary expression), and the derived storage
+    * name must not shadow a base column.
+    */
+  private def requireTransformGroups(schema: org.apache.spark.sql.types.StructType,
+      groupCols: Seq[String], what: String): Unit = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    groupCols.foreach(g => Snapshots.timeSpec(g).foreach { case (_, c) =>
+      val f = schema.fields.find(_.name == c)
+      require(f.isDefined,
+        s"MV group '$g' references column $c that $what does not carry")
+      require(Seq(DateType, TimestampType, TimestampNTZType).contains(f.get.dataType),
+        s"MV group '$g' needs a date/timestamp column; $c is ${f.get.dataType.sql}")
+      require(!schema.fieldNames.contains(groupStored(g)),
+        s"MV group '$g' would store as '${groupStored(g)}', which $what " +
+          "already carries — rename the base column")
+    })
   }
 
   /** EXACT sum types only: the incremental algebra retract/applies per
@@ -422,6 +488,30 @@ object Mv {
     require(unsafe.isEmpty,
       s"distinct-count column name(s) ${unsafe.mkString(", ")} must match " +
         "[A-Za-z0-9_]+ — each names its companion table's directory")
+  }
+
+  /** Approximate-distinct contract, checked at create: each column must
+    * be disjoint from the group columns (same argument as exact nd) and
+    * inside the DataSketches HLL input domain (int/bigint/string/
+    * binary — the hash the sketch updates from is defined on exactly
+    * these).
+    */
+  private def requireApproxCols(schema: org.apache.spark.sql.types.StructType,
+      groupCols: Seq[String], approxCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+    require(approxCols.distinct.size == approxCols.size,
+      s"duplicate approx-distinct column in ${approxCols.mkString(", ")}")
+    val grouped = approxCols.filter(groupCols.contains)
+    require(grouped.isEmpty,
+      s"approx-distinct column(s) ${grouped.mkString(", ")} are group columns — " +
+        "APPROX_COUNT_DISTINCT of a group key is 1 on every row of the view")
+    val ok: Set[org.apache.spark.sql.types.DataType] =
+      Set(IntegerType, LongType, StringType, BinaryType)
+    val bad = approxCols.filter(c => schema.fields.find(_.name == c)
+      .exists(f => !ok.contains(f.dataType)))
+    require(bad.isEmpty,
+      s"approx-distinct columns must be int/bigint/string/binary " +
+        s"(the DataSketches HLL input domain): ${bad.mkString(", ")}")
   }
 
   /** A row filter's SQL must parse and resolve against the viewed
@@ -638,29 +728,32 @@ object Mv {
     // contract, not a raw unresolved-column error mid-plan
     Snapshots.schemaOf(spark, d.baseRoot, cur).foreach { sch =>
       val have = sch.fieldNames.toSet
-      val missing = (d.baseKeyCols ++ d.groupCols ++ d.sumCols ++ d.minMaxCols ++
-        d.distinctCols).filterNot(have)
+      val missing = (d.baseKeyCols ++ d.groupCols.map(groupSource) ++ d.sumCols ++
+        d.minMaxCols ++ d.distinctCols ++ d.approxCols).filterNot(have)
       require(missing.isEmpty,
         s"MV definition references column(s) ${missing.mkString(", ")} that " +
           s"base ${d.baseRoot} v$cur no longer carries — drop and redefine the MV")
     }
     if (cur <= w) return Refresh("noop", w, w, 0L, None)
 
+    val storedGroups = d.groupCols.map(groupStored)
     val canDiff = baseVs.contains(w) &&
       !Snapshots.hasDeleteVectors(spark, d.baseRoot, w) &&
       !Snapshots.hasDeleteVectors(spark, d.baseRoot, cur)
     if (!canDiff) {
-      val rel = filtered(Snapshots.read(spark, d.baseRoot, Some(cur)), d.filterSql)
+      val rel = withGroupCols(
+        filtered(Snapshots.read(spark, d.baseRoot, Some(cur)), d.filterSql),
+        d.groupCols)
       val buckets = mvBucketsOf(spark, mvRoot)
       // companions rebuild first (same order as the incremental path):
       // a crash before the top publish replays into batch-id skips
       d.distinctCols.foreach(c =>
-        publishCompanion(spark, mvRoot, c, d.groupCols, rel, batchId = cur,
+        publishCompanion(spark, mvRoot, c, storedGroups, rel, batchId = cur,
           buckets = mvBucketsOf(spark, dvRoot(mvRoot, c)).orElse(buckets)
             .getOrElse(64)))
-      val mv = IncrementalView.countSum(rel, d.groupCols, d.sumCols,
-        d.minMaxCols, d.distinctCols)
-        .withColumn(GkCol, gk(d.groupCols))
+      val mv = IncrementalView.countSum(rel, storedGroups, d.sumCols,
+        d.minMaxCols, d.distinctCols, d.approxCols)
+        .withColumn(GkCol, gk(storedGroups))
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = cur,
         append = false, clusterBy = buckets.map(n => s"bucket($n,$GkCol)"))
       // group count from the published manifest's `#rows=` lines — the
@@ -672,14 +765,16 @@ object Mv {
 
     // the filter commutes with the signed algebra row-wise: an update
     // whose preimage matched and postimage does not NETS to a delete of
-    // the view row (and vice versa), exactly σ(base)'s own change feed
-    val cdf = filtered(Snapshots.changes(spark, d.baseRoot, w, cur,
-      d.baseKeyCols, preImages = true), d.filterSql).persist()
+    // the view row (and vice versa), exactly σ(base)'s own change feed;
+    // transform groups derive their unit per CDF row (the unit is a
+    // function of the row, so it classifies with it)
+    val cdf = withGroupCols(filtered(Snapshots.changes(spark, d.baseRoot, w, cur,
+      d.baseKeyCols, preImages = true), d.filterSql), d.groupCols).persist()
     try {
       // every group the feed touches, once — both the apply target and
       // the tombstone candidate set
       val touched = cdf.select(
-        (gk(d.groupCols).as(GkCol) +: d.groupCols.map(col)): _*).distinct().persist()
+        (gk(storedGroups).as(GkCol) +: storedGroups.map(col)): _*).distinct().persist()
       try {
         // min/max recount relation, built ON DEMAND from the distinct
         // retracted group tuples: file-pruned to those groups' cluster
@@ -691,15 +786,18 @@ object Mv {
         val recountOf: DataFrame => (DataFrame, Boolean) = { retracted =>
           val (probed, pruned) =
             groupProbe(spark, d.baseRoot, cur, d.groupCols, retracted)
-          (semiOnGroups(filtered(probed, d.filterSql), retracted, d.groupCols),
-            pruned)
+          (semiOnGroups(
+            withGroupCols(filtered(probed, d.filterSql), d.groupCols),
+            retracted, storedGroups), pruned)
         }
-        val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
+        val a = applyDelta(spark, mvRoot, storedGroups, d.sumCols,
           cdf, touched, batchId = cur, minMaxCols = d.minMaxCols,
           recountFrom = Some(recountOf), distinctCols = d.distinctCols,
+          approxCols = d.approxCols,
           topWatermark = w.toLong,
-          rebuildRel = Some(() =>
-            filtered(Snapshots.read(spark, d.baseRoot, Some(cur)), d.filterSql)))
+          rebuildRel = Some(() => withGroupCols(
+            filtered(Snapshots.read(spark, d.baseRoot, Some(cur)), d.filterSql),
+            d.groupCols)))
         Refresh("incremental", w, cur, a.groups, a.mvVersion,
           a.recountGroups, a.recountPruned)
       } finally touched.unpersist()
@@ -751,6 +849,7 @@ object Mv {
       recountFrom: Option[DataFrame => (DataFrame, Boolean)] = None,
       netInsertOnly: Boolean = false,
       distinctCols: Seq[String] = Nil,
+      approxCols: Seq[String] = Nil,
       topWatermark: Long = -1L,
       rebuildRel: Option[() => DataFrame] = None): Applied = {
     val nTouched = touched.count()
@@ -790,10 +889,11 @@ object Mv {
       // stored distinct counts ride through the algebra untouched (NULL
       // for brand-new groups); the companion overlay below replaces them
       // for every touched group
-      carryCols = distinctCols.map(c => s"nd_$c"))
+      carryCols = distinctCols.map(c => s"nd_$c"),
+      approxCols = approxCols)
       .withColumn(GkCol, gk(groupCols))
     val (applied, recGroups, recPruned) =
-      if (minMaxCols.isEmpty) (counted, 0L, true)
+      if (minMaxCols.isEmpty && approxCols.isEmpty) (counted, 0L, true)
       else {
         // min/max recount: the algebraic combine is stale for exactly the
         // groups the feed RETRACTED from (__mm_stale). Recount those — and
@@ -818,18 +918,23 @@ object Mv {
           val (recRel, pruned) = recountFrom.getOrElse(sys.error(
             "minMaxCols set but no recount relation supplied"))(retracted)
           val rAggs = minMaxCols.flatMap(c =>
-            Seq(min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c")))
+            Seq(min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c"))) ++
+            approxCols.map(c =>
+              hll_sketch_agg(col(c), IncrementalView.HllLgK).as(s"__rhll_$c"))
           val rec = recRel
             .withColumn(GkCol, gk(groupCols))
             .groupBy(col(GkCol)).agg(rAggs.head, rAggs.tail: _*)
           val keep = counted.columns.filterNot(c => c == MmStaleCol ||
-            minMaxCols.exists(mc => c == s"min_$mc" || c == s"max_$mc"))
+            minMaxCols.exists(mc => c == s"min_$mc" || c == s"max_$mc") ||
+            approxCols.exists(ac => c == s"hll_$ac"))
           (counted.join(rec, Seq(GkCol), "left")
             .select((keep.map(col) ++ minMaxCols.flatMap(c => Seq(
               when(col(MmStaleCol), col(s"__rmin_$c")).otherwise(col(s"min_$c"))
                 .as(s"min_$c"),
               when(col(MmStaleCol), col(s"__rmax_$c")).otherwise(col(s"max_$c"))
-                .as(s"max_$c")))): _*), nRec, pruned)
+                .as(s"max_$c"))) ++ approxCols.map(c =>
+              when(col(MmStaleCol), col(s"__rhll_$c")).otherwise(col(s"hll_$c"))
+                .as(s"hll_$c"))): _*), nRec, pruned)
         }
       }
     // distinct counts: each companion applies its (group,value) delta
@@ -876,19 +981,28 @@ object Mv {
       groupCols: Seq[String], groups: DataFrame): (DataFrame, Boolean) = {
     val all = Snapshots.files(spark, root, version)
     val spec = Snapshots.clusterOf(spark, root, version)
+    // `groups` carries STORED columns: plain group columns by name, a
+    // transform group as its derived `<unit>_<col>` value
+    val plain = groupCols.filter(g => Snapshots.timeSpec(g).isEmpty)
     val routing: Option[Column] = spec.flatMap { sp =>
       Snapshots.bucketSpec(sp) match {
-        case Some((n, c)) if groupCols.contains(c) =>
+        case Some((n, c)) if plain.contains(c) =>
           Some(pmod(hash(col(c)), lit(n)).cast("string"))
         case Some(_) => None
         case None => Snapshots.timeSpec(sp) match {
-          case Some((unit, c)) if groupCols.contains(c) =>
+          case Some((unit, c)) if plain.contains(c) =>
             Some(coalesce(Snapshots.timeTransformCol(unit, col(c))
               .cast("string"), lit("null")))
+          case Some((unit, c))
+              if groupCols.exists(g => Snapshots.timeSpec(g).contains((unit, c))) =>
+            // the MV groups by the SAME transform the base clusters on:
+            // the retracted tuples' stored unit value IS the dir value
+            // the write path routed by
+            Some(coalesce(col(s"${unit}_$c").cast("string"), lit("null")))
           case Some(_) => None
           case None =>
             val cc = Snapshots.clusterCols(sp)
-            if (cc.nonEmpty && cc.forall(groupCols.contains))
+            if (cc.nonEmpty && cc.forall(plain.contains))
               Some(md5(to_json(struct(cc.map(col): _*))))
             else None
         }
@@ -900,28 +1014,30 @@ object Mv {
           .collect().map(_.getString(0)).toSet
         val dirRe = "__cluster=([^/]+)/".r
         (all.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1)))), true)
-      case None =>
+      case None if plain.nonEmpty =>
         // no group-column routing — ADVISORY footer-stats fallback (the
-        // bucketProbe discipline): bound every group column by the
-        // retracted tuples' min/max envelope; filesWhere passes files
+        // bucketProbe discipline): bound every PLAIN group column by the
+        // retracted tuples' min/max envelope (derived transform units
+        // have no footer stats of their own); filesWhere passes files
         // without usable stats, so a genuine match never drops. ONLY
         // when no retracted tuple carries a NULL group value — footer
         // stats describe non-null values, so a file holding a retracted
         // NULL group's rows could otherwise prune away. Reported
         // unpruned either way (the envelope is no structural bound).
-        val aggs = count(lit(1)).as("__n") +: groupCols.flatMap(c => Seq(
+        val aggs = count(lit(1)).as("__n") +: plain.flatMap(c => Seq(
           count(col(c)).as(s"__nn_$c"),
           min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
         val row = groups.agg(aggs.head, aggs.tail: _*).collect().head
         val n = row.getLong(0)
-        val noNulls = groupCols.indices.forall(i => row.getLong(1 + 3 * i) == n)
-        val ranges = groupCols.zipWithIndex.flatMap { case (c, i) =>
+        val noNulls = plain.indices.forall(i => row.getLong(1 + 3 * i) == n)
+        val ranges = plain.zipWithIndex.flatMap { case (c, i) =>
           val (lo, hi) = (row.get(2 + 3 * i), row.get(3 + 3 * i))
           if (lo == null || hi == null) None else Some(c -> ((lo, hi)))
         }.toMap
         if (n > 0 && noNulls && ranges.nonEmpty)
           (Snapshots.filesWhere(spark, root, version, ranges), false)
         else (all, false)
+      case None => (all, false)
     }
     (Snapshots.readFiles(spark, root, files,
       Snapshots.schemaOf(spark, root, version), s"$root v$version group probe"),
@@ -949,6 +1065,14 @@ object Mv {
     * correctness trade. Session-scoped (a conf entry, not persisted);
     * single-base views only.
     */
+  /** register/unregister are READ-MODIFY-WRITES of one shared conf
+    * value; concurrent queries in one session (Verify's pool, notebook
+    * cells) each registering their own view would otherwise lose each
+    * other's entries — a lost registration silently un-routes a live
+    * query mid-flight.
+    */
+  private val routesLock = new Object
+
   def register(spark: SparkSession, mvRoot: String): Unit = {
     // the registry is a comma-joined conf value: a root carrying a comma
     // (legal in paths) would shred into garbage entries that can never be
@@ -956,12 +1080,16 @@ object Mv {
     require(!mvRoot.contains(',') && !mvRoot.contains('\n'),
       s"MV root '$mvRoot' cannot hold ',' or newline — the routing " +
         "registry is a comma-joined session conf value")
-    spark.conf.set(RoutesKey, (routes(spark) :+ mvRoot).distinct.mkString(","))
+    routesLock.synchronized {
+      spark.conf.set(RoutesKey, (routes(spark) :+ mvRoot).distinct.mkString(","))
+    }
   }
 
   /** Remove an MV from the routing registry ([[register]]). */
   def unregister(spark: SparkSession, mvRoot: String): Unit =
-    spark.conf.set(RoutesKey, routes(spark).filterNot(_ == mvRoot).mkString(","))
+    routesLock.synchronized {
+      spark.conf.set(RoutesKey, routes(spark).filterNot(_ == mvRoot).mkString(","))
+    }
 
   private[graft] def routes(spark: SparkSession): Seq[String] =
     spark.conf.get(RoutesKey, "").split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -980,7 +1108,7 @@ object Mv {
       if (kv.contains("kind")) None
       else Some(Definition(kv("base"), defCols(kv, "keys"), defCols(kv, "groups"),
         defCols(kv, "sums"), defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"),
-        defWhere(kv)))
+        defColsOpt(kv, "approxnd"), defWhere(kv)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The routable JOIN definition of an MV root — None for non-join
@@ -1233,6 +1361,9 @@ object Mv {
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
       where: Option[String] = None): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
+    groupCols.foreach(g => require(Snapshots.timeSpec(g).isEmpty,
+      s"time-transform group columns ('$g') are a single-base MV surface — " +
+        "join MVs group by stored columns; pre-materialize the unit on the base"))
     require(leftKeyCols.nonEmpty && rightKeyCols.nonEmpty,
       "a join MV needs each base's unique row key (CDF classification)")
     require(groupCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
@@ -1424,6 +1555,9 @@ object Mv {
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
       where: Option[String] = None): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
+    groupCols.foreach(g => require(Snapshots.timeSpec(g).isEmpty,
+      s"time-transform group columns ('$g') are a single-base MV surface — " +
+        "join MVs group by stored columns; pre-materialize the unit on the base"))
     require(leftKeyCols.nonEmpty && midKeyCols.nonEmpty && rightKeyCols.nonEmpty,
       "a trilinear MV needs each base's unique row key (CDF classification)")
     require(groupCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.optimizer.ConstantFolding
+import org.apache.spark.sql.catalyst.optimizer.{ConstantFolding, SimplifyCasts}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -127,6 +127,97 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => return None
     }
     if (names.distinct.size == names.size) Some(names) else None
+  }
+
+  /** [[unwrap]] extended with an ALIAS MAP: the optimizer's
+    * PullOutGroupingExpressions rewrites expression groupings into a
+    * child Project's `_groupingexpression` aliases before any
+    * operator-optimization rule fires, so a `days(ts)`-grouped query
+    * reaches this rule as Aggregate(groupattr, Project(alias(
+    * datediff(...)), scan)). The map resolves such attributes back to
+    * their defining expressions (composed through nested Projects);
+    * the returned predicate is alias-substituted the same way. Single-
+    * base path only — the join matchers keep the attribute-only
+    * [[unwrap]].
+    */
+  private def unwrapG(p: LogicalPlan): Option[(DataSourceV2Relation,
+      Option[Expression], Map[ExprId, Expression])] = p match {
+    case r: DataSourceV2Relation => Some((r, None, Map.empty))
+    case Project(pl, child)
+        if pl.forall(e => e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+      unwrapG(child).map { case (r, pred, amap) =>
+        val added = pl.collect { case al: Alias =>
+          al.exprId -> al.child.transformUp {
+            case a: AttributeReference if amap.contains(a.exprId) => amap(a.exprId)
+          }
+        }
+        (r, pred, amap ++ added)
+      }
+    case Filter(cond, child) => unwrapG(child) match {
+      case Some((r, None, amap)) =>
+        Some((r, Some(cond.transformUp {
+          case a: AttributeReference if amap.contains(a.exprId) => amap(a.exprId)
+        }), amap))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The view's STORED group column a query-side grouping expression
+    * answers to: a plain attribute (not an alias of something else)
+    * matches a plain group column by name; an aliased or inline
+    * expression matches a `days(ts)`-style transform group when it
+    * semantically equals the engine's own transform form
+    * ([[Mv.timeGroup]] / the cluster layouts' epoch units). None =
+    * the expression is not this view's grouping.
+    */
+  private def storedGroupOf(e: Expression, amap: Map[ExprId, Expression],
+      output: Seq[Attribute], specs: Seq[String]): Option[String] = e match {
+    case a: AttributeReference if !amap.contains(a.exprId) =>
+      Some(a.name).filter(specs.contains)
+    case a: AttributeReference => transformGroupOf(amap(a.exprId), output, specs)
+    case other => transformGroupOf(other, output, specs)
+  }
+
+  private def transformGroupOf(e: Expression, output: Seq[Attribute],
+      specs: Seq[String]): Option[String] =
+    specs.iterator.flatMap { s =>
+      Snapshots.timeSpec(s) match {
+        case Some((u, c)) if expectedTransform(u, c, output).exists(_.semanticEquals(e)) =>
+          Some(Mv.groupStored(s))
+        case _ => None
+      }
+    }.nextOption()
+
+  /** The analyzer-resolved, constant-folded form of the engine's time
+    * transform over the scan's own attribute — the comparison target a
+    * query's (already-folded) grouping expression must semantically
+    * equal. Mirrors [[Snapshots.timeTransformCol]] exactly, with the
+    * epoch as a typed date literal so no runtime-replaceable wrapper
+    * survives to the comparison.
+    */
+  private def expectedTransform(unit: String, c: String,
+      output: Seq[Attribute]): Option[Expression] = {
+    if (!output.exists(_.name == c)) return None
+    val sql = unit match {
+      case "years" => s"year(`$c`) - 1970"
+      case "months" => s"(year(`$c`) - 1970) * 12 + month(`$c`) - 1"
+      case "days" => s"datediff(cast(`$c` as date), date'1970-01-01')"
+      case "hours" => s"datediff(cast(`$c` as date), date'1970-01-01') * 24 + hour(`$c`)"
+      case _ => return None
+    }
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val analyzed = spark.sessionState.analyzer.execute(
+        Project(Seq(Alias(parsed, "__tg")()), LocalRelation(output)))
+      // the query's side arrives optimizer-simplified: fold constants AND
+      // drop redundant casts (days over a DATE column loses its
+      // cast-to-date there, and must here too)
+      ConstantFolding(SimplifyCasts(analyzed)) match {
+        case Project(Seq(Alias(e, _)), _) if e.resolved => Some(e)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** The two attribute names of an equi-join condition — accepting the
@@ -262,27 +353,37 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
 
   private def singleRewrite(agg: Aggregate,
       routes: Seq[String]): Option[LogicalPlan] = {
-    val (rel, queryPred) = unwrap(agg.child).getOrElse(return None)
+    val (rel, queryPred, amap) = unwrapG(agg.child).getOrElse(return None)
     val root = currentRoot(rel).getOrElse(return None)
-    val groupNames = groupingNames(agg).getOrElse(return None).toSet
     val qConjuncts = queryPred.toSeq.flatMap(splitConjunctivePredicates)
     routes.iterator.flatMap { mvRoot =>
       Mv.routeDefinition(spark, mvRoot)
         .filter(d => norm(d.baseRoot) == norm(root))
-        .filter(d => groupNames.subsetOf(d.groupCols.toSet))
-        .flatMap(d => filterResidual(d.filterSql, rel.output, qConjuncts)
-          // a residual conjunct may only reference view-carried (group)
-          // columns — anything else the view cannot re-filter
+        .flatMap { d =>
+          // every grouping expression must answer to a stored group
+          // column — plain by name, transform by semantic equality
+          val ns = agg.groupingExpressions
+            .map(ge => storedGroupOf(ge, amap, rel.output, d.groupCols))
+          if (ns.exists(_.isEmpty)) None
+          else {
+            val names = ns.flatten
+            if (names.distinct.size == names.size) Some((d, names)) else None
+          }
+        }
+        .flatMap { case (d, names) => filterResidual(d.filterSql, rel.output, qConjuncts)
+          // a residual conjunct may only reference view-carried (plain
+          // group) columns — anything else the view cannot re-filter
           .filter(_.forall(_.references.forall(r => d.groupCols.contains(r.name))))
-          .map(res => (d, res)))
-        .filter { case (d, _) =>
+          .map(res => (d, names, res)) }
+        .filter { case (d, _, _) =>
           val baseVs = Snapshots.versionsCached(spark, d.baseRoot)
           baseVs.nonEmpty &&
             Snapshots.lastBatchIdCached(spark, mvRoot).contains(baseVs.last.toLong)
         }
-        .flatMap { case (d, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
-          d.minMaxCols, d.distinctCols, res,
-          exact = groupNames == d.groupCols.toSet) }
+        .flatMap { case (d, names, res) => build(agg, mvRoot, d.groupCols,
+          d.sumCols, d.minMaxCols, d.distinctCols, d.approxCols, res, amap,
+          rel.output,
+          exact = names.toSet == d.groupCols.map(Mv.groupStored).toSet) }
     }.nextOption()
   }
 
@@ -332,7 +433,7 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
           .map(res => (d, res)))
         .filter { case (d, _) => Mv.joinRouteFresh(spark, mvRoot, d) }
         .flatMap { case (d, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
-          d.minMaxCols, d.distinctCols, res,
+          d.minMaxCols, d.distinctCols, Nil, res, Map.empty, output,
           exact = groupNames == d.groupCols.toSet) }
     }.nextOption()
   }
@@ -400,7 +501,7 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
           .map(res => (d, res)))
         .filter { case (d, _) => Mv.join3RouteFresh(spark, mvRoot, d) }
         .flatMap { case (d, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
-          d.minMaxCols, d.distinctCols, res,
+          d.minMaxCols, d.distinctCols, Nil, res, Map.empty, output,
           exact = groupNames == d.groupCols.toSet) }
     }.nextOption()
   }
@@ -417,7 +518,9 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def build(agg: Aggregate, mvRoot: String, groupCols: Seq[String],
       sumCols: Seq[String], minMaxCols: Seq[String], distinctCols: Seq[String],
-      residual: Seq[Expression], exact: Boolean): Option[LogicalPlan] = {
+      approxCols: Seq[String], residual: Seq[Expression],
+      amap: Map[ExprId, Expression], baseOutput: Seq[Attribute],
+      exact: Boolean): Option[LogicalPlan] = {
     val vs = Snapshots.versionsCached(spark, mvRoot)
     if (vs.isEmpty) return None
     val schema = Snapshots.schemaOf(spark, mvRoot, vs.last).getOrElse(return None)
@@ -453,41 +556,44 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       // over zero view rows is NULL — pin the count semantics back
       sumOf(name, LongType).map(e => Coalesce(Seq(e, Literal(0L))))
 
+    // an attribute feeding an aggregate must be the SCAN's own column —
+    // an alias-bound attr (some pulled-out expression) sharing a
+    // maintained column's NAME must never map to it
+    def plain(a: AttributeReference): Boolean = !amap.contains(a.exprId)
+
     def map(ne: NamedExpression): Option[Expression] = ne match {
-      case a: AttributeReference if groupCols.contains(a.name) =>
-        typed(a.name, a.dataType)
-      case Alias(a: AttributeReference, _) if groupCols.contains(a.name) =>
-        typed(a.name, a.dataType)
       case Alias(AggregateExpression(fn, _, isDistinct, None, _), _) =>
         fn match {
           case Count(Seq(l: Literal)) if !isDistinct && l.value != null =>
             if (exact) typed("n_rows", ne.dataType)
             else sumCount("n_rows")
           case Count(Seq(a: AttributeReference))
-              if isDistinct && distinctCols.contains(a.name) =>
+              if isDistinct && plain(a) && distinctCols.contains(a.name) =>
             // distinct values are not summable across groups — stored
             // nd answers exact grouping only
             if (exact) typed(s"nd_${a.name}", ne.dataType) else None
           case Count(Seq(a: AttributeReference))
-              if !isDistinct && sumCols.contains(a.name) =>
+              if !isDistinct && plain(a) && sumCols.contains(a.name) =>
             if (exact) typed(s"nn_${a.name}", ne.dataType)
             else sumCount(s"nn_${a.name}")
           case Sum(a: AttributeReference, _)
-              if !isDistinct && sumCols.contains(a.name) =>
+              if !isDistinct && plain(a) && sumCols.contains(a.name) =>
             if (exact) typed(s"sum_${a.name}", ne.dataType)
             else sumOf(s"sum_${a.name}", ne.dataType)
-          case Min(a: AttributeReference) if minMaxCols.contains(a.name) =>
+          case Min(a: AttributeReference)
+              if plain(a) && minMaxCols.contains(a.name) =>
             if (exact) typed(s"min_${a.name}", ne.dataType)
             else out.get(s"min_${a.name}")
               .map(x => Min(x).toAggregateExpression())
               .filter(_.dataType == ne.dataType)
-          case Max(a: AttributeReference) if minMaxCols.contains(a.name) =>
+          case Max(a: AttributeReference)
+              if plain(a) && minMaxCols.contains(a.name) =>
             if (exact) typed(s"max_${a.name}", ne.dataType)
             else out.get(s"max_${a.name}")
               .map(x => Max(x).toAggregateExpression())
               .filter(_.dataType == ne.dataType)
           case Average(a: AttributeReference, _)
-              if !isDistinct && sumCols.contains(a.name) &&
+              if !isDistinct && plain(a) && sumCols.contains(a.name) &&
                 ne.dataType == DoubleType =>
             // sum/nn in double — NULL-exact: an all-NULL group stores a
             // NULL sum (nn = 0 never divides a non-null numerator)
@@ -499,8 +605,37 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
               else out.get(s"nn_${a.name}").map(x => Sum(x).toAggregateExpression())
             for { sv <- s; nv <- nn }
               yield new Divide(Cast(sv, DoubleType), Cast(nv, DoubleType))
+          case hll: HyperLogLogPlusPlus => hll.child match {
+            // an opt-in APPROXIMATE rewrite: the view maintains a
+            // DataSketches HLL per group, the query asked for HLL++ —
+            // both estimate the same quantity inside their published
+            // error bounds (that is what approx_count_distinct MEANS),
+            // and unlike exact nd the sketches UNION, so even rollup
+            // groupings route. Default-rsd calls only; an explicit
+            // precision request keeps its own estimator.
+            case a: AttributeReference
+                if !isDistinct && plain(a) && approxCols.contains(a.name) &&
+                  hll.relativeSD == 0.05 && ne.dataType == LongType =>
+              val h = out.get(s"hll_${a.name}")
+                .filter(_.dataType == org.apache.spark.sql.types.BinaryType)
+              // approx over nothing is 0, never NULL (an empty-base
+              // rollup unions zero sketches) — pin the count semantics
+              if (exact) h.map(x =>
+                Coalesce(Seq(HllSketchEstimate(x), Literal(0L))))
+              else h.map(x => Coalesce(Seq(HllSketchEstimate(
+                new HllUnionAgg(x, false).toAggregateExpression()), Literal(0L))))
+            case _ => None
+          }
           case _ => None
         }
+      // group outputs — a plain attr, a pulled-out transform attr, or an
+      // aliased form of either; the view stores them verbatim
+      case a: AttributeReference =>
+        storedGroupOf(a, amap, baseOutput, groupCols)
+          .flatMap(s => typed(s, a.dataType))
+      case Alias(e, _) =>
+        storedGroupOf(e, amap, baseOutput, groupCols)
+          .flatMap(s => typed(s, ne.dataType))
       case _ => None
     }
 
@@ -518,9 +653,9 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     }
     if (exact) Some(Project(projList, source))
     else {
-      val grouping = agg.groupingExpressions.map {
-        case a: AttributeReference => out(a.name)
-      }
+      val grouping = agg.groupingExpressions.map(ge =>
+        storedGroupOf(ge, amap, baseOutput, groupCols)
+          .flatMap(out.get).getOrElse(return None))
       Some(Aggregate(grouping, projList, source))
     }
   }

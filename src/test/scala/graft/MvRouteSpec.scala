@@ -402,6 +402,92 @@ class MvRouteSpec extends AnyFunSuite {
     } finally Mv.unregister(spark, m)
   }
 
+  test("approx_count_distinct routes to the HLL companion — rollup included; exact nd never does") {
+    import spark.implicits._
+    val b = s"$wh/rax1"; val m = s"$wh/rax2"
+    Snapshots.publish(spark, b,
+      Seq[(Long, String, String, Long)](
+        (1L, "a", "x", 10L), (2L, "a", "x", 20L), (3L, "a", "y", 20L),
+        (4L, "b", "x", 30L), (5L, "b", "y", 30L))
+        .toDF("k", "g", "h", "v"))
+    Mv.create(spark, m, b, Seq("k"), Seq("g", "h"), Nil, mvBuckets = 4,
+      approxDistinctCols = Seq("v"))
+    val mv = s"graft-snapshot($m)"
+    Mv.register(spark, m)
+    try {
+      // exact grouping: the stored sketch estimates directly
+      def qx = dsv2(b).groupBy("g", "h")
+        .agg(approx_count_distinct("v").as("nd"))
+      assert(planOf(qx).contains(mv), planOf(qx))
+      // tiny cardinalities sit in the sketch's exact (coupon) regime,
+      // so the routed values equal the unrouted HLL++ ones outright
+      assert(rows(qx) === Set(Seq("a", "x", 2L), Seq("a", "y", 1L),
+        Seq("b", "x", 1L), Seq("b", "y", 1L)))
+      // ROLLUP grouping: sketches UNION across rolled-away groups —
+      // exactly what exact nd structurally cannot do
+      def qr = dsv2(b).groupBy("g").agg(approx_count_distinct("v").as("nd"))
+      assert(planOf(qr).contains(mv), planOf(qr))
+      assert(rows(qr) === Set(Seq("a", 2L), Seq("b", 1L)))
+      // count(DISTINCT) must never map to the sketch — no nd is
+      // maintained here, so both groupings bypass
+      assert(!planOf(dsv2(b).groupBy("g", "h").agg(countDistinct(col("v"))))
+        .contains(mv))
+      assert(!planOf(dsv2(b).groupBy("g").agg(countDistinct(col("v"))))
+        .contains(mv))
+      // an explicit non-default precision keeps its own estimator
+      assert(!planOf(dsv2(b).groupBy("g")
+        .agg(approx_count_distinct(col("v"), 0.01))).contains(mv))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("time-unit grouping routes: a days(ts) view answers the engine-form daily rollup") {
+    import spark.implicits._
+    val b = s"$wh/rtg1"; val m = s"$wh/rtg2"
+    Snapshots.publish(spark, b,
+      Seq((1L, "2024-03-01 01:00:00", "a", 10L), (2L, "2024-03-01 05:00:00", "b", 20L),
+        (3L, "2024-03-02 03:00:00", "a", 30L), (4L, "2024-03-03 09:00:00", "a", 40L))
+        .toDF("k", "ts", "g", "v").withColumn("ts", to_timestamp(col("ts"))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g", "days(ts)"), Seq("v"), mvBuckets = 4)
+    val mv = s"graft-snapshot($m)"
+    Mv.register(spark, m)
+    try {
+      // exact grouping: (g, the engine's own days transform) — the
+      // optimizer pulls the expression into a _groupingexpression
+      // Project; the matcher resolves it back and the view answers
+      def q = dsv2(b).groupBy(col("g"), Mv.timeGroup("days", "ts").as("d"))
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      val want = rows(q)
+      assert(planOf(q).contains(mv), planOf(q))
+      assert(!planOf(q).contains(s"graft-snapshot($b)"))
+      assert(rows(q) === want)
+      assert(want.contains(Seq("a", 19783, 1L, 10L))) // 2024-03-01 = epoch day 19783
+      // rollup to the DAY alone — a transform group in the grouping,
+      // the other rolled away
+      def byDay = dsv2(b).groupBy(Mv.timeGroup("days", "ts").as("d"))
+        .agg(sum("v").as("s"))
+      assert(planOf(byDay).contains(mv), planOf(byDay))
+      assert(rows(byDay) === Set(Seq(19783, 30L), Seq(19784, 30L), Seq(19785, 40L)))
+      // rollup to the plain column alone routes too
+      assert(planOf(dsv2(b).groupBy("g").agg(sum("v").as("s"))).contains(mv))
+      // a DIFFERENT day form (date_trunc) is not the engine transform —
+      // it must bypass, not mis-route
+      assert(!planOf(dsv2(b).groupBy(date_trunc("day", col("ts")))
+        .agg(sum("v").as("s"))).contains(mv))
+      // grouping by the RAW timestamp bypasses (finer than the view)
+      assert(!planOf(dsv2(b).groupBy("ts").agg(sum("v").as("s"))).contains(mv))
+      // staleness still bypasses
+      Snapshots.mergeByKey(spark, b,
+        Seq((1L, "2024-03-01 01:00:00", "a", 99L)).toDF("k", "ts", "g", "v")
+          .withColumn("ts", to_timestamp(col("ts")))
+          .withColumn("__del", lit(false)),
+        Seq("k"), tombstoneCol = Some("__del"))
+      assert(!planOf(q).contains(mv))
+      Mv.refresh(spark, m)
+      assert(planOf(q).contains(mv))
+      assert(rows(q).contains(Seq("a", 19783, 1L, 99L)))
+    } finally Mv.unregister(spark, m)
+  }
+
   test("plan-time freshness is stamp-cached: routing lists NO mv-root dirs in steady state") {
     import spark.implicits._
     import graft.sources.CountingFileSystem

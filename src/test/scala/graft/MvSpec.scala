@@ -771,6 +771,101 @@ class MvSpec extends AnyFunSuite {
     assert(got === rec)
   }
 
+  test("approx-distinct sketches: exact union on inserts, recount on retraction, bounded at scale") {
+    import spark.implicits._
+    val b = s"$wh/axb1"; val m = s"$wh/axm1"
+    Snapshots.publish(spark, b, base(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Nil, mvBuckets = 4,
+      approxDistinctCols = Seq("v"))
+    def est: Map[String, Long] = Mv.read(spark, m)
+      .select(col("g"), hll_sketch_estimate(col("hll_v")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // DataSketches HLL is exact at tiny cardinalities (coupon mode)
+    assert(est === Map("a" -> 2L, "b" -> 1L))
+    // INSERT-only refresh: registers only grow, the union is exact and
+    // the recount tier must elide; a duplicate value adds nothing
+    Snapshots.publish(spark, b, base(Seq((4L, "a", 30L), (5L, "b", 5L))), append = true)
+    val r1 = Mv.refresh(spark, m)
+    assert(r1.mode === "incremental" && r1.recountGroups === 0L, s"got $r1")
+    assert(est === Map("a" -> 3L, "b" -> 1L))
+    // RETRACTION: a union can never forget — the recount tier rebuilds
+    // the retracted group's sketch from the surviving rows
+    Snapshots.mergeByKey(spark, b, base(Seq((4L, "a", 30L)))
+      .withColumn("__del", lit(true)), Seq("k"), tombstoneCol = Some("__del"))
+    val r2 = Mv.refresh(spark, m)
+    assert(r2.mode === "incremental" && r2.recountGroups > 0L, s"got $r2")
+    assert(est === Map("a" -> 2L, "b" -> 1L))
+    // error bound at scale: 60k distinct values, one-shot build vs the
+    // half-publish + append-refresh UNION path — both estimates inside
+    // the lgK=12 band (~1.6% rse; 5% is >3σ)
+    def ids(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), lit("g").as("g"), col("id").as("v"))
+    val b2 = s"$wh/axb2"; val m2 = s"$wh/axm2"
+    Snapshots.publish(spark, b2, ids(0, 60000))
+    Mv.create(spark, m2, b2, Seq("k"), Seq("g"), Nil, approxDistinctCols = Seq("v"))
+    val e1 = Mv.read(spark, m2).select(hll_sketch_estimate(col("hll_v"))).head.getLong(0)
+    assert(math.abs(e1 - 60000.0) / 60000.0 < 0.05, s"one-shot estimate $e1 off >5%")
+    val b3 = s"$wh/axb3"; val m3 = s"$wh/axm3"
+    Snapshots.publish(spark, b3, ids(0, 30000))
+    Mv.create(spark, m3, b3, Seq("k"), Seq("g"), Nil, approxDistinctCols = Seq("v"))
+    Snapshots.publish(spark, b3, ids(30000, 60000), append = true)
+    assert(Mv.refresh(spark, m3).mode === "incremental")
+    val e2 = Mv.read(spark, m3).select(hll_sketch_estimate(col("hll_v"))).head.getLong(0)
+    assert(math.abs(e2 - 60000.0) / 60000.0 < 0.05, s"union-path estimate $e2 off >5%")
+    // contract refusals: a float column and a group column both refuse
+    assert(intercept[IllegalArgumentException](Mv.create(spark, s"$wh/axmx", b,
+      Seq("k"), Seq("g"), Nil, approxDistinctCols = Seq("g")))
+      .getMessage.contains("group columns"))
+  }
+
+  test("time-unit MV grouping: days(ts) maintains delta-sized, recounts prune by calendar dirs") {
+    import spark.implicits._
+    val b = s"$wh/tgb1"; val m = s"$wh/tgm1"
+    // events across 3 days, base CLUSTERED on the same days(ts) the view
+    // groups by — the recount's file bound comes from that agreement
+    def df(rows: Seq[(Long, String, java.lang.Long)]) =
+      rows.toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    Snapshots.publish(spark, b, df(Seq(
+      (1L, "2024-03-01 01:00:00", 10L), (2L, "2024-03-01 05:00:00", 20L),
+      (3L, "2024-03-02 03:00:00", 30L), (4L, "2024-03-02 09:00:00", 40L),
+      (5L, "2024-03-03 02:00:00", 50L))), clusterBy = Some("days(ts)"))
+    Mv.create(spark, m, b, Seq("k"), Seq("days(ts)"), Seq("v"), mvBuckets = 4,
+      minMaxCols = Seq("v"))
+    def recompute: Set[Seq[Any]] = Snapshots.read(spark, b)
+      .groupBy(Mv.timeGroup("days", "ts").as("days_ts"))
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"),
+        count(col("v")).as("nn_v"), min("v").as("min_v"), max("v").as("max_v"))
+      .collect().map(_.toSeq).toSet
+    def got: Set[Seq[Any]] = Mv.read(spark, m)
+      .select("days_ts", "n_rows", "sum_v", "nn_v", "min_v", "max_v")
+      .collect().map(_.toSeq).toSet
+    assert(got === recompute)
+    assert(Mv.read(spark, m).schema("days_ts").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // one mixed merge: k=3 MOVES days (2024-03-02 → 03-04: its unit
+    // travels through the CDF as a group move), k=1 deletes (day 1's
+    // MIN retracts → the recount tier), k=6 inserts into a fresh day
+    Snapshots.mergeByKey(spark, b,
+      df(Seq((3L, "2024-03-04 03:00:00", 30L),
+        (6L, "2024-03-05 01:00:00", 60L))).withColumn("__del", lit(false))
+        .unionByName(df(Seq((1L, "2024-03-01 01:00:00", 10L)))
+          .withColumn("__del", lit(true))),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    val r = Mv.refresh(spark, m)
+    assert(r.mode === "incremental", s"got $r")
+    assert(r.recountGroups > 0L,
+      s"day 1 lost its minimum — the recount tier must run: $r")
+    assert(r.recountPruned,
+      s"the days(ts)-clustered base must FILE-prune the recount by the " +
+        s"retracted days' own dirs: $r")
+    assert(got === recompute)
+    // a typo'd transform column and a non-time column both refuse at create
+    assert(intercept[IllegalArgumentException](Mv.create(spark, s"$wh/tgm1x", b,
+      Seq("k"), Seq("days(nope)"), Seq("v"))).getMessage.contains("does not carry"))
+    assert(intercept[IllegalArgumentException](Mv.create(spark, s"$wh/tgm1y", b,
+      Seq("k"), Seq("days(v)"), Seq("v"))).getMessage.contains("date/timestamp"))
+  }
+
   // ── TRILINEAR JOIN MVs (dim ⋈ fact ⋈ dim) ──────────────────────────
 
   /** left dim (ck2 PK, seg) ⋈ fact (k PK, ck, prio, cents) ⋈ right dim
