@@ -478,19 +478,22 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       "key_columns" -> StringType, "group_columns" -> StringType,
       "sum_columns" -> StringType, "buckets" -> IntegerType,
       "min_max_columns" -> StringType, "distinct_columns" -> StringType,
-      "where_clause" -> StringType),
+      "where_clause" -> StringType, "approx_distinct_columns" -> StringType),
       StructType(Seq(StructField("version", IntegerType, nullable = false))),
       defaults = Map("min_max_columns" -> "''", "distinct_columns" -> "''",
-        "where_clause" -> "''")) { in =>
+        "where_clause" -> "''", "approx_distinct_columns" -> "''")) { in =>
       def cols(i: Int): Seq[String] =
         str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val viewRoot = // the view does not exist yet: segment rules only
         (warehouse +: validSegments(str(in, 0).split('.').toSeq, "procedure view"))
           .mkString("/")
+      // group_columns accepts the time-transform specs too — 'days(ts)'
+      // creates the epoch-day-grouped view exactly like the Scala API
       Seq(Array(graft.operators.Mv.create(spark, viewRoot, tableRoot(str(in, 1)),
         cols(2), cols(3), cols(4), mvBuckets = in.getInt(5),
         minMaxCols = cols(6), distinctCols = cols(7),
-        where = Some(str(in, 8).trim).filter(_.nonEmpty)): Any))
+        where = Some(str(in, 8).trim).filter(_.nonEmpty),
+        approxDistinctCols = cols(9)): Any))
     },
     // the grouped count/sum over TWO co-clustered snapshot tables (the
     // star shape — hash buckets with one shared count, or a time

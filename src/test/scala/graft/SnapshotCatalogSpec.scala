@@ -450,6 +450,35 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .head.getString(0) === "noop")
   }
 
+  test("CALL create_mv with a days() group and approx_distinct_columns from plain SQL") {
+    Snapshots.publish(spark, s"$warehouse/tgbase",
+      orders.select(col("o_orderkey"), col("o_orderdate"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")))
+    val v = spark.sql(
+      "CALL snapcat.sys.create_mv('tgagg', 'tgbase', 'o_orderkey', " +
+        "'days(o_orderdate)', 'cents', 8, " +
+        "approx_distinct_columns => 'o_custkey')")
+      .head.getInt(0)
+    assert(v === 1)
+    def expected = spark.table("snapcat.tgbase")
+      .groupBy(graft.operators.Mv.timeGroup("days", "o_orderdate").as("d"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("nd"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // per-day customer cardinalities sit in the sketch's exact regime,
+    // so the estimate must EQUAL the true distinct count here
+    def got = spark.sql(
+      "SELECT days_o_orderdate, n_rows, " +
+        "hll_sketch_estimate(hll_o_custkey) AS nd FROM snapcat.tgagg")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // retraction through SQL: deleted orders thin the days; the sketch
+    // recount tier rebuilds the touched days' sketches
+    spark.sql("DELETE FROM snapcat.tgbase WHERE o_orderkey % 2 = 0")
+    assert(spark.sql("CALL snapcat.sys.refresh_mv('tgagg')")
+      .head.getString(0) === "incremental")
+    assert(got === expected)
+  }
+
   test("CALL register_route routes a SQL aggregate to the fresh view; retention procs sweep companions") {
     Snapshots.publish(spark, s"$warehouse/rtbase",
       orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"),
