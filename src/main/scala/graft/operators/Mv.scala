@@ -95,7 +95,7 @@ object Mv {
       joinLeft: String, rightRoot: String, rightKeyCols: Seq[String],
       joinRight: String, groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
-      filterSql: Option[String] = None)
+      approxCols: Seq[String] = Nil, filterSql: Option[String] = None)
 
   /** One join-MV refresh's outcome: like [[Refresh]] but with a
     * watermark PAIR (one per base), plus the PROBE-PRUNING report:
@@ -247,7 +247,8 @@ object Mv {
       s"groups=${d.groupCols.mkString(",")}",
       s"sums=${d.sumCols.mkString(",")}",
       s"minmax=${d.minMaxCols.mkString(",")}",
-      s"nd=${d.distinctCols.mkString(",")}") ++
+      s"nd=${d.distinctCols.mkString(",")}",
+      s"approxnd=${d.approxCols.mkString(",")}") ++
       d.filterSql.map(w => s"where=$w"))
   }
 
@@ -323,7 +324,8 @@ object Mv {
     JoinDefinition(kv("lbase"), defCols(kv, "lkeys"), kv("ljoin"),
       kv("rbase"), defCols(kv, "rkeys"), kv("rjoin"),
       defCols(kv, "groups"), defCols(kv, "sums"),
-      defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"), defWhere(kv))
+      defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"),
+      defColsOpt(kv, "approxnd"), defWhere(kv))
   }
 
   /** Create the MV: compute the grouped count/sum over the base's CURRENT
@@ -1359,7 +1361,8 @@ object Mv {
       rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
       groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64,
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
-      where: Option[String] = None): Int = {
+      where: Option[String] = None,
+      approxDistinctCols: Seq[String] = Nil): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
     groupCols.foreach(g => require(Snapshots.timeSpec(g).isEmpty,
       s"time-transform group columns ('$g') are a single-base MV surface — " +
@@ -1369,7 +1372,8 @@ object Mv {
     require(groupCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
       sumCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
       minMaxCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
-      distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
+      distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
+      approxDistinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
       s"'$GkCol'/'$VkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val (lVs, rVs) = (Snapshots.versions(spark, leftRoot), Snapshots.versions(spark, rightRoot))
     require(lVs.nonEmpty && rVs.nonEmpty, "both bases need published versions")
@@ -1386,9 +1390,10 @@ object Mv {
       lSchema.fields ++ rSchema.fields)
     requireDefCols(joinedSchema, leftKeyCols ++ rightKeyCols, groupCols,
       sumCols, minMaxCols, s"the joined relation of $leftRoot ⋈ $rightRoot",
-      distinctCols)
+      distinctCols ++ approxDistinctCols)
     requireExactSums(joinedSchema, sumCols)
     requireDistinctCols(joinedSchema, groupCols, distinctCols)
+    requireApproxCols(joinedSchema, groupCols, approxDistinctCols)
     // the co-clustered star contract: BOTH bases clustered on their join
     // key, either hash buckets (one shared count) or a time transform
     // (one shared unit — the q191 `days(ts)` event-feed shape). That
@@ -1421,13 +1426,13 @@ object Mv {
     }
     writeJoinDef(spark, mvRoot, JoinDefinition(leftRoot, leftKeyCols, joinLeft,
       rightRoot, rightKeyCols, joinRight, groupCols, sumCols, minMaxCols,
-      distinctCols, where))
+      distinctCols, approxDistinctCols, where))
     val joined = filtered(joined0, where)
     distinctCols.foreach(c =>
       publishCompanion(spark, mvRoot, c, groupCols, joined,
         batchId = encWm(wL, wR), buckets = mvBuckets))
     val mv0 = IncrementalView.countSum(joined, groupCols, sumCols, minMaxCols,
-      distinctCols)
+      distinctCols, approxDistinctCols)
       .withColumn(GkCol, gk(groupCols))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = encWm(wL, wR),
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
@@ -1450,7 +1455,7 @@ object Mv {
       rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
-      filterSql: Option[String] = None)
+      approxCols: Seq[String] = Nil, filterSql: Option[String] = None)
 
   /** One trilinear refresh's outcome: the watermark TRIPLE, plus the
     * per-base probe report ([[JoinRefresh]]'s discipline): `false` on a
@@ -1500,7 +1505,8 @@ object Mv {
       s"groups=${d.groupCols.mkString(",")}",
       s"sums=${d.sumCols.mkString(",")}",
       s"minmax=${d.minMaxCols.mkString(",")}",
-      s"nd=${d.distinctCols.mkString(",")}") ++
+      s"nd=${d.distinctCols.mkString(",")}",
+      s"approxnd=${d.approxCols.mkString(",")}") ++
       d.filterSql.map(w => s"where=$w"))
   }
 
@@ -1514,7 +1520,8 @@ object Mv {
       kv("mbase"), defCols(kv, "mkeys"), kv("mjoinl"), kv("mjoinr"),
       kv("rbase"), defCols(kv, "rkeys"), kv("rjoin"),
       defCols(kv, "groups"), defCols(kv, "sums"),
-      defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"), defWhere(kv))
+      defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"),
+      defColsOpt(kv, "approxnd"), defWhere(kv))
   }
 
   /** The MV root's kind — `single` | `join` | `join3` — the dispatch
@@ -1553,7 +1560,8 @@ object Mv {
       rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
       groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64,
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
-      where: Option[String] = None): Int = {
+      where: Option[String] = None,
+      approxDistinctCols: Seq[String] = Nil): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
     groupCols.foreach(g => require(Snapshots.timeSpec(g).isEmpty,
       s"time-transform group columns ('$g') are a single-base MV surface — " +
@@ -1563,7 +1571,8 @@ object Mv {
     require(groupCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
       sumCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
       minMaxCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
-      distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
+      distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
+      approxDistinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
       s"'$GkCol'/'$VkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val roots = Seq(leftRoot, midRoot, rightRoot)
     val vs = roots.map(r => Snapshots.versions(spark, r))
@@ -1582,9 +1591,11 @@ object Mv {
       schemas.flatMap(_.fields).toArray)
     requireDefCols(joinedSchema, leftKeyCols ++ midKeyCols ++ rightKeyCols,
       groupCols, sumCols, minMaxCols,
-      s"the joined relation of $leftRoot ⋈ $midRoot ⋈ $rightRoot", distinctCols)
+      s"the joined relation of $leftRoot ⋈ $midRoot ⋈ $rightRoot",
+      distinctCols ++ approxDistinctCols)
     requireExactSums(joinedSchema, sumCols)
     requireDistinctCols(joinedSchema, groupCols, distinctCols)
+    requireApproxCols(joinedSchema, groupCols, approxDistinctCols)
     // the probe contract: each base clustered on the key its full-side
     // probes route by — that layout, the probed table's OWN header, is
     // what bounds a refresh's reads to colliding groups
@@ -1615,13 +1626,13 @@ object Mv {
     writeJoin3Def(spark, mvRoot, Join3Definition(leftRoot, leftKeyCols, joinLeft,
       midRoot, midKeyCols, joinMidLeft, joinMidRight,
       rightRoot, rightKeyCols, joinRight, groupCols, sumCols, minMaxCols,
-      distinctCols, where))
+      distinctCols, approxDistinctCols, where))
     val joined = filtered(joined0, where)
     distinctCols.foreach(c =>
       publishCompanion(spark, mvRoot, c, groupCols, joined,
         batchId = encWm3(wL, wM, wR), buckets = mvBuckets))
     val mv0 = IncrementalView.countSum(joined, groupCols, sumCols, minMaxCols,
-      distinctCols)
+      distinctCols, approxDistinctCols)
       .withColumn(GkCol, gk(groupCols))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = encWm3(wL, wM, wR),
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
@@ -1679,7 +1690,7 @@ object Mv {
           buckets = mvBucketsOf(spark, dvRoot(mvRoot, c)).orElse(buckets)
             .getOrElse(64)))
       val mv = IncrementalView.countSum(joinedNow, d.groupCols, d.sumCols,
-        d.minMaxCols, d.distinctCols)
+        d.minMaxCols, d.distinctCols, d.approxCols)
         .withColumn(GkCol, gk(d.groupCols))
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = batchId,
         append = false,
@@ -1754,7 +1765,7 @@ object Mv {
         terms += l.join(m, condLM).join(r, condMR)
           .withColumn("__sign", col("__sl") * col("__sm") * col("__sr"))
       val outCols = (d.groupCols ++ d.sumCols ++ d.minMaxCols ++
-        d.distinctCols).distinct
+        d.distinctCols ++ d.approxCols).distinct
       // filter each term's JOINED rows before the projection (σ commutes
       // with the signed expansion row-wise)
       val delta = terms.result().map(t => filtered(t, d.filterSql).select(
@@ -1771,7 +1782,7 @@ object Mv {
           // negative term's rows are a subset of a positive term's, since
           // ΔX ⊆ X'), so the algebraic combine stays exact and the
           // recount elides — the bilinear argument, one relation deeper
-          val netInsertOnly = d.minMaxCols.nonEmpty &&
+          val netInsertOnly = (d.minMaxCols ++ d.approxCols).nonEmpty &&
             dl.forall(_.filter(col("__sl") === -1L).isEmpty) &&
             dm.forall(_.filter(col("__sm") === -1L).isEmpty) &&
             dr.forall(_.filter(col("__sr") === -1L).isEmpty)
@@ -1822,7 +1833,7 @@ object Mv {
           val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
             delta, touched, batchId, minMaxCols = d.minMaxCols,
             recountFrom = Some(recountOf), netInsertOnly = netInsertOnly,
-            distinctCols = d.distinctCols,
+            distinctCols = d.distinctCols, approxCols = d.approxCols,
             topWatermark = encWm3(wL, wM, wR),
             rebuildRel = Some(() => joinedNow))
           Join3Refresh("incremental", wL, curL, wM, curM, wR, curR,
@@ -1882,7 +1893,7 @@ object Mv {
           buckets = mvBucketsOf(spark, dvRoot(mvRoot, c)).orElse(buckets)
             .getOrElse(64)))
       val mv = IncrementalView.countSum(joined, d.groupCols, d.sumCols,
-        d.minMaxCols, d.distinctCols)
+        d.minMaxCols, d.distinctCols, d.approxCols)
         .withColumn(GkCol, gk(d.groupCols))
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = batchId,
         append = false,
@@ -1924,7 +1935,7 @@ object Mv {
         terms += l.join(r, col(d.joinLeft) === col(d.joinRight))
           .withColumn("__sign", -col("__sl") * col("__sr"))
       val outCols = (d.groupCols ++ d.sumCols ++ d.minMaxCols ++
-        d.distinctCols).distinct
+        d.distinctCols ++ d.approxCols).distinct
       // the filter applies to each term's JOINED rows before the
       // projection (σ commutes with the signed expansion row-wise, and
       // the predicate may reference columns the view does not carry)
@@ -1944,7 +1955,7 @@ object Mv {
           // raw base feed retracted, the algebraic min/max combine is
           // exact and the recount elides despite the synthetic deletes.
           // Two delta-sized emptiness probes decide, never the bases.
-          val netInsertOnly = d.minMaxCols.nonEmpty &&
+          val netInsertOnly = (d.minMaxCols ++ d.approxCols).nonEmpty &&
             dl.forall(_.filter(col("__sl") === -1L).isEmpty) &&
             dr.forall(_.filter(col("__sr") === -1L).isEmpty)
           // min/max recount relation under genuine retraction: restrict
@@ -1982,7 +1993,7 @@ object Mv {
           val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
             delta, touched, batchId, minMaxCols = d.minMaxCols,
             recountFrom = Some(recountOf), netInsertOnly = netInsertOnly,
-            distinctCols = d.distinctCols,
+            distinctCols = d.distinctCols, approxCols = d.approxCols,
             topWatermark = encWm(wL, wR),
             rebuildRel = Some(() =>
               filtered(Snapshots.read(spark, d.leftRoot, Some(curL))

@@ -433,7 +433,7 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
           .map(res => (d, res)))
         .filter { case (d, _) => Mv.joinRouteFresh(spark, mvRoot, d) }
         .flatMap { case (d, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
-          d.minMaxCols, d.distinctCols, Nil, res, Map.empty, output,
+          d.minMaxCols, d.distinctCols, d.approxCols, res, Map.empty, output,
           exact = groupNames == d.groupCols.toSet) }
     }.nextOption()
   }
@@ -501,7 +501,7 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
           .map(res => (d, res)))
         .filter { case (d, _) => Mv.join3RouteFresh(spark, mvRoot, d) }
         .flatMap { case (d, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
-          d.minMaxCols, d.distinctCols, Nil, res, Map.empty, output,
+          d.minMaxCols, d.distinctCols, d.approxCols, res, Map.empty, output,
           exact = groupNames == d.groupCols.toSet) }
     }.nextOption()
   }

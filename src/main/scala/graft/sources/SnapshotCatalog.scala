@@ -507,10 +507,11 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       "right" -> StringType, "right_keys" -> StringType, "right_join" -> StringType,
       "group_columns" -> StringType, "sum_columns" -> StringType,
       "buckets" -> IntegerType, "min_max_columns" -> StringType,
-      "distinct_columns" -> StringType, "where_clause" -> StringType),
+      "distinct_columns" -> StringType, "where_clause" -> StringType,
+      "approx_distinct_columns" -> StringType),
       StructType(Seq(StructField("version", IntegerType, nullable = false))),
       defaults = Map("min_max_columns" -> "''", "distinct_columns" -> "''",
-        "where_clause" -> "''")) { in =>
+        "where_clause" -> "''", "approx_distinct_columns" -> "''")) { in =>
       def cols(i: Int): Seq[String] =
         str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val viewRoot =
@@ -521,7 +522,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         tableRoot(str(in, 4)), cols(5), str(in, 6),
         cols(7), cols(8), mvBuckets = in.getInt(9),
         minMaxCols = cols(10), distinctCols = cols(11),
-        where = Some(str(in, 12).trim).filter(_.nonEmpty)): Any))
+        where = Some(str(in, 12).trim).filter(_.nonEmpty),
+        approxDistinctCols = cols(13)): Any))
     },
     // the TRILINEAR star (left dim - fact - right dim) from plain SQL —
     // see operators.Mv.createJoin3 for the contract (each base clustered
@@ -533,10 +535,11 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       "right" -> StringType, "right_keys" -> StringType, "right_join" -> StringType,
       "group_columns" -> StringType, "sum_columns" -> StringType,
       "buckets" -> IntegerType, "min_max_columns" -> StringType,
-      "distinct_columns" -> StringType, "where_clause" -> StringType),
+      "distinct_columns" -> StringType, "where_clause" -> StringType,
+      "approx_distinct_columns" -> StringType),
       StructType(Seq(StructField("version", IntegerType, nullable = false))),
       defaults = Map("min_max_columns" -> "''", "distinct_columns" -> "''",
-        "where_clause" -> "''")) { in =>
+        "where_clause" -> "''", "approx_distinct_columns" -> "''")) { in =>
       def cols(i: Int): Seq[String] =
         str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val viewRoot =
@@ -548,7 +551,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         tableRoot(str(in, 8)), cols(9), str(in, 10),
         cols(11), cols(12), mvBuckets = in.getInt(13),
         minMaxCols = cols(14), distinctCols = cols(15),
-        where = Some(str(in, 16).trim).filter(_.nonEmpty)): Any))
+        where = Some(str(in, 16).trim).filter(_.nonEmpty),
+        approxDistinctCols = cols(17)): Any))
     },
     // whole-view retention: expire/vacuum the MV AND its distinct-count
     // companions together — a refresh writes one version per table per

@@ -818,6 +818,44 @@ class MvSpec extends AnyFunSuite {
       .getMessage.contains("group columns"))
   }
 
+  test("join-MV approx-distinct: dim relabel moves values wholesale, sketches rebuild; rollup routes") {
+    import spark.implicits._
+    val f = s"$wh/axjf"; val dm = s"$wh/axjd"; val m = s"$wh/axjm"
+    Snapshots.publish(spark, f,
+      Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 11L, 200L), (4L, 11L, 300L))
+        .toDF("k", "ck", "v"), clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, dm,
+      Seq((10L, "a", "x"), (11L, "a", "y")).toDF("ck2", "seg", "sub"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg", "sub"), Nil, mvBuckets = 4, approxDistinctCols = Seq("v"))
+    def est: Map[(String, String), Long] = Mv.read(spark, m)
+      .select(col("seg"), col("sub"), hll_sketch_estimate(col("hll_v")).as("e"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est === Map(("a", "x") -> 2L, ("a", "y") -> 2L))
+    // the dim relabel RETRACTS (a,y) and inserts (b,y): values move
+    // wholesale through the bilinear delta; both touched groups' sketches
+    // settle exactly (tiny regime)
+    Snapshots.mergeByKey(spark, dm,
+      Seq((11L, "b", "y", false)).toDF("ck2", "seg", "sub", "__del"),
+      Seq("ck2"), tombstoneCol = Some("__del"))
+    val r = Mv.refreshJoin(spark, m)
+    assert(r.mode === "incremental", s"got $r")
+    assert(est === Map(("a", "x") -> 2L, ("b", "y") -> 2L))
+    // the ROLLUP approx query over the star routes to a sketch union —
+    // note 200 appears under both segs, so the union must dedup to 3
+    Mv.register(spark, m)
+    try {
+      def q = spark.read.format("graft-snapshot").option("root", f).load()
+        .join(spark.read.format("graft-snapshot").option("root", dm).load(),
+          col("ck") === col("ck2"))
+        .agg(approx_count_distinct(col("v")).as("nd"))
+      assert(q.queryExecution.optimizedPlan.toString.contains(s"graft-snapshot($m)"),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.head.getLong(0) === 3L)
+    } finally Mv.unregister(spark, m)
+  }
+
   test("time-unit MV grouping: days(ts) maintains delta-sized, recounts prune by calendar dirs") {
     import spark.implicits._
     val b = s"$wh/tgb1"; val m = s"$wh/tgm1"
