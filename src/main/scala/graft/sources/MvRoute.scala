@@ -280,31 +280,31 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** `e` is the attribute `a` itself or an implicit cast of it — the
-    * only shapes under which the predicate forms below are guaranteed
-    * null-intolerant in `a` (an `a` nested under a null-tolerant
-    * wrapper like coalesce never matches, keeping the check
-    * conservative).
+  /** `e` references `a` through NULL-INTOLERANT nodes only — then `e`
+    * is null whenever `a` is (an `a` nested under a null-tolerant
+    * wrapper like coalesce never qualifies, keeping the check
+    * conservative). This is the derivation the optimizer's own
+    * constraint inference uses to ADD IsNotNull conjuncts, applied in
+    * reverse; it covers both plain columns and transform expressions
+    * (`datediff(cast(ts as date), ...) >= N` implies ts IS NOT NULL).
     */
-  private def directRef(e: Expression, a: AttributeReference): Boolean = e match {
-    case ar: AttributeReference => ar.semanticEquals(a)
-    case Cast(ch, _, _, _) => directRef(ch, a)
-    case _ => false
-  }
+  private def nullIntolerantRef(e: Expression, a: AttributeReference): Boolean =
+    e match {
+      case ar: AttributeReference => ar.semanticEquals(a)
+      case _ => e.nullIntolerant && e.children.exists(nullIntolerantRef(_, a))
+    }
 
   /** Whether conjunct `c` by itself filters NULLs of `a` (so an
     * `IsNotNull(a)` sibling is redundant): a binary comparison or IN
-    * with `a` as a DIRECT operand evaluates to null — filtered — when
-    * `a` is null. This mirrors what the optimizer's own
-    * InferFiltersFromConstraints derives, which is exactly the
-    * machinery that ADDS such IsNotNull conjuncts after filter
-    * pushdown.
+    * whose operand is null-intolerant in `a` evaluates to null —
+    * filtered — when `a` is null.
     */
   private def impliesNotNull(c: Expression, a: AttributeReference): Boolean =
     c match {
-      case b: BinaryComparison => directRef(b.left, a) || directRef(b.right, a)
-      case In(v, _) => directRef(v, a)
-      case InSet(v, _) => directRef(v, a)
+      case b: BinaryComparison =>
+        nullIntolerantRef(b.left, a) || nullIntolerantRef(b.right, a)
+      case In(v, _) => nullIntolerantRef(v, a)
+      case InSet(v, _) => nullIntolerantRef(v, a)
       case _ => false
     }
 
@@ -371,9 +371,14 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
           }
         }
         .flatMap { case (d, names) => filterResidual(d.filterSql, rel.output, qConjuncts)
-          // a residual conjunct may only reference view-carried (plain
-          // group) columns — anything else the view cannot re-filter
-          .filter(_.forall(_.references.forall(r => d.groupCols.contains(r.name))))
+          // a residual conjunct may only reference view-carried columns:
+          // plain group columns, or a transform group's SOURCE column
+          // (admitted here cheaply; build substitutes the transform
+          // subexpression with the stored unit and declines anything
+          // left over — e.g. a predicate on the raw time value)
+          .filter(_.forall(_.references.forall(r =>
+            d.groupCols.contains(r.name) ||
+              d.groupCols.exists(g => Snapshots.timeSpec(g).exists(_._2 == r.name)))))
           .map(res => (d, names, res)) }
         .filter { case (d, _, _) =>
           val baseVs = Snapshots.versionsCached(spark, d.baseRoot)
@@ -530,13 +535,27 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     val out: Map[String, AttributeReference] =
       mvRel.output.map(a => a.name -> a).toMap
 
-    // the residual's attributes re-bind to the VIEW's own (same name,
-    // same stored type — group columns travel verbatim); a type drift
-    // (schema evolution between create and now) declines
-    if (!residual.forall(_.references.forall(r =>
-        out.get(r.name).exists(_.dataType == r.dataType)))) return None
-    val residualBound = residual.map(_.transform {
-      case a: AttributeReference => out(a.name)
+    // the residual re-binds to the VIEW's own columns: a subexpression
+    // matching a TRANSFORM group (the engine's days/hours/... form over
+    // the source column) substitutes to the stored unit attribute — the
+    // unit IS the group key, so filtering view rows by it is exact (the
+    // time-windowed daily dashboard: `days(ts) >= N AND seg='X'`) —
+    // and every remaining base attribute must be a plain group column
+    // (stored verbatim, same name, same type); anything else declines,
+    // including predicates on the RAW time column (ts is not constant
+    // within a day group, only its unit is)
+    val residualMapped = residual.map(_.transformDown {
+      case e if transformGroupOf(e, baseOutput, groupCols).isDefined =>
+        val s = transformGroupOf(e, baseOutput, groupCols).get
+        out.get(s).filter(_.dataType == e.dataType).getOrElse(return None)
+    })
+    val viewAttrIds = out.values.map(_.exprId).toSet
+    if (!residualMapped.forall(_.references.forall(r =>
+        viewAttrIds.contains(r.exprId) ||
+          (groupCols.contains(r.name) &&
+            out.get(r.name).exists(_.dataType == r.dataType))))) return None
+    val residualBound = residualMapped.map(_.transform {
+      case a: AttributeReference if !viewAttrIds.contains(a.exprId) => out(a.name)
     })
     val source: LogicalPlan =
       if (residualBound.isEmpty) mvRel

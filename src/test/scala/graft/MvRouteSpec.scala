@@ -469,6 +469,19 @@ class MvRouteSpec extends AnyFunSuite {
       assert(rows(byDay) === Set(Seq(19783, 30L), Seq(19784, 30L), Seq(19785, 40L)))
       // rollup to the plain column alone routes too
       assert(planOf(dsv2(b).groupBy("g").agg(sum("v").as("s"))).contains(mv))
+      // residual over the UNIT: the time-windowed daily drill-down
+      // routes as Filter(days_ts >= N) over the view — the transform
+      // subexpression substitutes to the stored unit column
+      def drill = dsv2(b).where(Mv.timeGroup("days", "ts") >= lit(19784))
+        .groupBy(col("g"), Mv.timeGroup("days", "ts").as("d"))
+        .agg(sum("v").as("s"))
+      assert(planOf(drill).contains(mv), planOf(drill))
+      assert(!planOf(drill).contains(s"graft-snapshot($b)"))
+      assert(rows(drill) === Set(Seq("a", 19784, 30L), Seq("a", 19785, 40L)))
+      // a predicate on the RAW time column must bypass — ts is not
+      // constant within a day group, only its unit is
+      assert(!planOf(dsv2(b).where(col("ts") >= lit("2024-03-02 00:00:00"))
+        .groupBy(Mv.timeGroup("days", "ts")).agg(sum("v").as("s"))).contains(mv))
       // a DIFFERENT day form (date_trunc) is not the engine transform —
       // it must bypass, not mis-route
       assert(!planOf(dsv2(b).groupBy(date_trunc("day", col("ts")))
