@@ -35,7 +35,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     The view has one row per group, so the re-aggregation reads
   *     |groups| rows, not |base|. count(DISTINCT) does NOT roll up
   *     (distinct values are not summable across groups) — it routes
-  *     only at exact grouping, where `nd_<c>` is stored.
+  *     only at exact grouping, where `nd_<c>` is stored; default-rsd
+  *     approx_count_distinct over a maintained `approxDistinctCols`
+  *     column maps to the stored DataSketches sketch at BOTH shapes
+  *     (sketches union, so even rollups route — estimate for estimate,
+  *     both inside their published error).
+  *
+  * TIME-UNIT groupings route too: a view grouped by a `days(ts)`-style
+  * transform spec answers a query grouping by the engine's own
+  * transform form ([[Mv.timeGroup]]) — the optimizer has pulled the
+  * expression into a `_groupingexpression` Project alias by the time
+  * this rule fires, so the matcher resolves attributes through an
+  * alias map and compares semantically against the analyzer-resolved,
+  * cast-simplified expected expression; `date_trunc` or any other
+  * spelling of "the day" is NOT the engine transform and bypasses.
   *
   * FILTERED views route by PREDICATE IMPLICATION via conjunct
   * subsetting: the stored `where` is parsed, analyzed against the
@@ -43,10 +56,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the optimizer has already folded the query's side), and every view
   * conjunct must match a query conjunct via `semanticEquals`; the
   * RESIDUAL query conjuncts re-apply as a Filter over the view,
-  * provided each references only view-carried (group) columns — the
-  * dashboard drill-down (`query = view's bar AND seg = 'X'`) routes as
-  * Filter(seg='X') over the view; a query WEAKER than the view's bar,
-  * or a residual on a column the view does not store, declines. The
+  * provided each references only view-carried columns — plain group
+  * columns, or a transform group's unit expression (substituted to the
+  * stored unit attribute: the time-windowed daily drill-down
+  * `days(ts) >= N AND seg = 'X'` routes as a Filter over the view) —
+  * the dashboard drill-down (`query = view's bar AND seg = 'X'`)
+  * routes as Filter(seg='X') over the view; a query WEAKER than the
+  * view's bar, a residual on a column the view does not store, or a
+  * predicate on the RAW time column (not constant within its unit
+  * group) declines. The
   * same rule lets a predicate-only query route over an UNFILTERED
   * view. Inference-injected IsNotNull conjuncts (a null-intolerant
   * sibling implies them) are dropped on both sides first, so the match
@@ -61,8 +79,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * heads for a join view — checked at plan time, the single-writer
   * premise every snapshot read already rests on); the scan must be the
   * current version (no time travel / change feed, reader options AND
-  * catalog-bound pins); grouping must be plain duplicate-free
-  * attributes; every aggregate must map type-exactly (aggregate FILTER
+  * catalog-bound pins); grouping must be duplicate-free and answer to
+  * stored group columns (plain attributes by name, transform groups by
+  * semantic equality); every aggregate must map type-exactly (aggregate FILTER
   * clauses, distinct flags on anything but maintained distinct
   * columns, decimal avg/rollup-sum widenings all decline). Output
   * attribute ids are preserved (parents rebind nothing) and
