@@ -319,6 +319,18 @@ class MvRouteSpec extends AnyFunSuite {
       assert(!planOf(q("cents >= 151")).contains(mv))
       assert(!planOf(dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
         .groupBy("seg").agg(sum("cents").as("s"))).contains(mv))
+      // the JOIN drill-down: the view's bar AND a group-column residual
+      // routes as Filter(seg='b') over the join view
+      def qd = dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+        .where("cents >= 150 AND seg = 'b'")
+        .groupBy("seg").agg(sum("cents").as("s"))
+      assert(planOf(qd).contains(mv), planOf(qd))
+      assert(!planOf(qd).contains(s"graft-snapshot($f)"))
+      assert(rows(qd) === Set(Seq("b", 300L)))
+      // a drill-down on a FACT (non-group) column still bypasses
+      assert(!planOf(dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+        .where("cents >= 150 AND k > 1")
+        .groupBy("seg").agg(sum("cents").as("s"))).contains(mv))
     } finally Mv.unregister(spark, m)
   }
 
