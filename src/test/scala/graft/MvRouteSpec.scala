@@ -565,6 +565,33 @@ class MvRouteSpec extends AnyFunSuite {
     } finally { Mv.unregister(spark, m); Mv.unregister(spark, m2) }
   }
 
+  test("routing over an EMPTY base: the global rollup pins count=0 and estimate=0, never NULL") {
+    import spark.implicits._
+    val b = s"$wh/reb1"; val m = s"$wh/rem1"
+    Snapshots.publish(spark, b,
+      Seq.empty[(Long, String, java.lang.Long, Long)].toDF("k", "g", "v", "c"))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4,
+      approxDistinctCols = Seq("c"))
+    val mv = s"graft-snapshot($m)"
+    Mv.register(spark, m)
+    try {
+      // the global aggregate re-aggregates ZERO view rows: count must be
+      // 0 (Coalesce-pinned — a bare SUM over nothing is NULL), the sum
+      // NULL, and the sketch estimate 0 (same pin) — exactly what the
+      // unrouted aggregate over the empty base reports
+      def g = dsv2(b).agg(count(lit(1)).as("n"), sum("v").as("s"),
+        approx_count_distinct(col("c")).as("nd"))
+      assert(planOf(g).contains(mv), planOf(g))
+      assert(rows(g) === Set(Seq(0L, null, 0L)))
+      // the exact-grouping rewrite is a PROJECT over the view — no
+      // aggregation at all survives in the optimized plan
+      def e = dsv2(b).groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(e).contains(mv), planOf(e))
+      assert(!planOf(e).contains("Aggregate"), planOf(e))
+      assert(rows(e) === Set.empty)
+    } finally Mv.unregister(spark, m)
+  }
+
   test("routed NULL semantics are exact: all-NULL sums, NULL groups, derived avg") {
     val b = s"$wh/rb4"; val m = s"$wh/rm4"
     Snapshots.publish(spark, b, base(Seq(
