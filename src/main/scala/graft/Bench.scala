@@ -201,6 +201,10 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
         (p.waitFor(), out)
       }
+      // scripts/ is deliberately OUTSIDE the identity: everything there
+      // is post-processing of bench artifacts (selfcheck, doc-count
+      // regeneration, detail formatting) that runs after the JVM exits —
+      // nothing on the timed path reads it
       val codePaths = Seq("src/main", "build.sbt", "project")
       val treeIds = codePaths.map(p => run("git", "rev-parse", s"HEAD:$p"))
       if (treeIds.exists { case (rc, out) => rc != 0 || !out.matches("[0-9a-f]{40}") })
@@ -209,12 +213,21 @@ object Bench {
         val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
           .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val treeId = "t" + md5(treeIds.map(_._2).mkString("\n")).take(16)
-        val (rc2, st) = run(Seq("git", "status", "--porcelain", "--") ++ codePaths: _*)
+        val (rc2, st) = run(Seq("git", "status", "--porcelain", "-uall", "--") ++ codePaths: _*)
         if (rc2 != 0) "unknown"
         else if (st.isEmpty) treeId
         else {
           val (_, diff) = run(Seq("git", "diff", "HEAD", "--") ++ codePaths: _*)
-          treeId + "+" + md5(st + "\n" + diff).take(12)
+          // `git diff HEAD` omits UNTRACKED content — two different
+          // uncommitted bodies of the same new file would otherwise fold
+          // together on pathname alone. Hash each untracked file's bytes
+          // into the dirty digest (-uall above lists files, not dirs).
+          val untracked = st.linesIterator.filter(_.startsWith("??"))
+            .map(_.drop(3).trim).toSeq.sorted.map { p =>
+              val (rcH, h) = run("git", "hash-object", "--", p)
+              s"$p:${if (rcH == 0) h else "unhashable"}"
+            }.mkString("\n")
+          treeId + "+" + md5(st + "\n" + diff + "\n" + untracked).take(12)
         }
       }
     } catch { case _: Throwable => "unknown" }
@@ -230,7 +243,7 @@ object Bench {
     // one that left the query set intact.
     val curWarm = ok.map { case (n, ts, _) => n -> ts.min }.toMap
     val curCold = cold.collect { case (n, Right(t)) if !failedNames(n) => n -> t }.toMap
-    val (foldWarm, foldCold, minRunsFiles) = try {
+    val (foldWarmMap, foldColdMap, minRunsFiles) = try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       var warm = curWarm
       var coldM = curCold
@@ -258,8 +271,10 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }
-      (warm.values.sum, coldM.values.sum, used)
-    } catch { case _: Throwable => (total, totalCold, 0) }
+      (warm, coldM, used)
+    } catch { case _: Throwable => (curWarm, curCold, 0) }
+    val foldWarm = foldWarmMap.values.sum
+    val foldCold = foldColdMap.values.sum
 
     // Full-fidelity artifact → sidecar file. The harness that records the
     // bench keeps only the LAST 2000 bytes of stdout: with 125+ queries the
@@ -275,9 +290,14 @@ object Bench {
     val env = s""""env":{"cpus":"$cpus","load_start":$loadStart,""" +
       s""""load_end":$loadEnd,"jvm_procs":${Runtime.getRuntime.availableProcessors},""" +
       s""""cgroup_cpu_quota_start":"$quotaStart","cgroup_cpu_quota_end":"${cgroupQuota()}"}"""
+    // queries = THIS run's minima (a fold input); queries_fold = the
+    // min-of-runs fold beside it, labeled — a reader diffing artifacts
+    // per-query must see fold against fold, not whichever run was noisiest
+    val qsFold = foldWarmMap.toSeq.sortBy(_._1)
+      .map { case (n, t) => s"\"$n\":$t" }.mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","k":$k,""" +
       s""""total_cold":$totalCold,"filtered":${only.nonEmpty},"code":"$codeId",$env,""" +
-      s""""queries":$qs,"queries_runs":$runs,"queries_cold":$qsCold,""" +
+      s""""queries":$qs,"queries_fold":$qsFold,"queries_runs":$runs,"queries_cold":$qsCold,""" +
       s""""failures":[${failures.mkString(",")}],"sf":"$sfDir"}"""
     // per-run STAMPED detail file (plus a latest-pointer copy at the
     // legacy name): round 10's verification bench clobbered the driver's
@@ -297,7 +317,10 @@ object Bench {
     // an explicit omitted-count so truncation is visible, never silent.
     def short(n: String): String = "^q\\d+".r.findFirstIn(n).getOrElse(n)
     def r2(t: Double): String = f"$t%.2f"
-    val entriesCompact = ok.map { case (n, ts, _) => short(n) -> ts.min }
+    // the stdout per-query map carries the FOLD (same semantics as the
+    // headline `value`), so per-query artifact diffs compare fold to
+    // fold; this-run values live in the detail file's `queries`
+    val entriesCompact = foldWarmMap.toSeq.map { case (n, t) => short(n) -> t }
       .sortBy(-_._2).map { case (n, t) => s"\"$n\":${r2(t)}" }
     val budget = 1700 // tail window 2000 minus sbt's trailing lines
     // headline `value`/`total_cold` are the min-of-runs FOLDS (reproducible

@@ -30,6 +30,7 @@ object SparkEntry {
       q.Extras9.entries ++
       q.Extras10.entries ++
       q.Extras11.entries ++
+      q.Extras12.entries ++
       q.Curation.entries
 
   {

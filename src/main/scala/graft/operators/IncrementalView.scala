@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType}
 
 /** Incremental maintenance of grouped count/sum materialized views from a
   * row-level change feed ([[Snapshots.changes]] with `preImages = true`).
@@ -39,9 +40,32 @@ object IncrementalView {
     */
   val HllLgK = 12
 
+  /** The KLL sketch-build aggregate for a quantile column, dispatched by
+    * the column's own numeric type (the DataSketches KLL family is
+    * per-type; the matching get-quantile returns that type, so routing
+    * stays type-exact). Default k (200, ~1.65% rank error) everywhere —
+    * one shared config, merges never mix parameters.
+    */
+  private[graft] def kllAgg(dt: DataType, c: Column): Column = dt match {
+    case DoubleType => kll_sketch_agg_double(c)
+    case FloatType => kll_sketch_agg_float(c)
+    case LongType => kll_sketch_agg_bigint(c)
+    case other => throw new IllegalArgumentException(
+      s"approx-quantile columns must be double/float/bigint, got ${other.sql}")
+  }
+
+  /** The matching scalar two-sketch merge (insert-only combine). */
+  private[graft] def kllMerge(dt: DataType, a: Column, b: Column): Column = dt match {
+    case DoubleType => kll_sketch_merge_double(a, b)
+    case FloatType => kll_sketch_merge_float(a, b)
+    case LongType => kll_sketch_merge_bigint(a, b)
+    case other => throw new IllegalArgumentException(
+      s"approx-quantile columns must be double/float/bigint, got ${other.sql}")
+  }
+
   def countSum(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
-      approxCols: Seq[String] = Nil): DataFrame = {
+      approxCols: Seq[String] = Nil, quantileCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "countSum needs group columns")
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
@@ -50,7 +74,9 @@ object IncrementalView {
         minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))) ++
         distinctCols.map(c => countDistinct(col(c)).as(s"nd_$c")) ++
-        approxCols.map(c => hll_sketch_agg(col(c), HllLgK).as(s"hll_$c")): _*)
+        approxCols.map(c => hll_sketch_agg(col(c), HllLgK).as(s"hll_$c")) ++
+        quantileCols.map(c =>
+          kllAgg(df.schema(c).dataType, col(c)).as(s"kll_$c")): _*)
   }
 
   /** Apply a CDF (from [[Snapshots.changes]] with `preImages = true`) to a
@@ -68,18 +94,23 @@ object IncrementalView {
     * viewed relation ([[graft.operators.Mv.refresh]] does) or refuse.
     * `approxCols` (the `hll_<c>` DataSketches companions) share exactly
     * that discipline — a register only grows, so inserts UNION exactly
-    * and any retraction rides the same flag. The flag column only
-    * exists when `minMaxCols ++ approxCols` is non-empty.
+    * and any retraction rides the same flag — and so do `quantileCols`
+    * (the `kll_<c>` KLL sketches: a stream sketch only absorbs, so
+    * inserts MERGE exactly and retraction flags the group). The flag
+    * column only exists when `minMaxCols ++ approxCols ++ quantileCols`
+    * is non-empty.
     */
   def applyCountSum(mv: DataFrame, cdf: DataFrame,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, carryCols: Seq[String] = Nil,
-      approxCols: Seq[String] = Nil): DataFrame = {
+      approxCols: Seq[String] = Nil, quantileCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "applyCountSum needs group columns")
     // approx sketches share min/max's hybrid discipline: an HLL register
     // only grows (insert = union, exact), so any retraction from a group
     // flags it stale for the caller's recount — same __mm_stale channel
-    val hybridCols = minMaxCols ++ approxCols
+    val hybridCols = minMaxCols ++ approxCols ++ quantileCols
+    val kllTypes: Map[String, DataType] =
+      quantileCols.map(c => c -> cdf.schema(c).dataType).toMap
     val sign = when(col("change").isin("insert", "update_postimage"), lit(1L))
       .when(col("change").isin("delete", "update_preimage"), lit(-1L))
     val delta = cdf
@@ -100,6 +131,9 @@ object IncrementalView {
         approxCols.map(c =>
           hll_sketch_agg(when(col("__sign") === 1L, col(c)), HllLgK)
             .as(s"__ihll_$c")) ++
+        quantileCols.map(c =>
+          kllAgg(kllTypes(c), when(col("__sign") === 1L, col(c)))
+            .as(s"__ikll_$c")) ++
         (if (hybridCols.isEmpty) Nil
          else Seq(max(col("__sign") === -1L).as("__ret"))): _*)
     // a feed without preimages cannot be applied soundly: an 'update' row
@@ -139,6 +173,14 @@ object IncrementalView {
               .when(d(s"__ihll_$c").isNull, m(s"hll_$c"))
               .otherwise(hll_union(m(s"hll_$c"), d(s"__ihll_$c")))
               .as(s"hll_$c")
+          } ++
+          quantileCols.map { c =>
+            // stream sketches only absorb: stored ⊎ insert-sketch is the
+            // sketch of the unioned stream for an insert-only group
+            when(m(s"kll_$c").isNull, d(s"__ikll_$c"))
+              .when(d(s"__ikll_$c").isNull, m(s"kll_$c"))
+              .otherwise(kllMerge(kllTypes(c), m(s"kll_$c"), d(s"__ikll_$c")))
+              .as(s"kll_$c")
           } ++
           (if (hybridCols.isEmpty) Nil
            else Seq(coalesce(d("__ret"), lit(false)).as("__mm_stale"))) ++

@@ -84,7 +84,8 @@ object Mv {
   final case class Definition(baseRoot: String, baseKeyCols: Seq[String],
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
-      approxCols: Seq[String] = Nil, filterSql: Option[String] = None)
+      approxCols: Seq[String] = Nil, quantileCols: Seq[String] = Nil,
+      filterSql: Option[String] = None)
 
   /** The stored definition of a JOIN MV ([[createJoin]]): two co-clustered
     * base tables, each with its own unique row key (CDF classification)
@@ -95,7 +96,8 @@ object Mv {
       joinLeft: String, rightRoot: String, rightKeyCols: Seq[String],
       joinRight: String, groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
-      approxCols: Seq[String] = Nil, filterSql: Option[String] = None)
+      approxCols: Seq[String] = Nil, quantileCols: Seq[String] = Nil,
+      filterSql: Option[String] = None)
 
   /** One join-MV refresh's outcome: like [[Refresh]] but with a
     * watermark PAIR (one per base), plus the PROBE-PRUNING report:
@@ -137,6 +139,7 @@ object Mv {
 
   private val GkCol = "__gk"
   private val VkCol = "__vk"
+  private val VdCol = "__vd"
   private val TombCol = "__mv_del"
   private val MmStaleCol = "__mm_stale"
 
@@ -148,8 +151,12 @@ object Mv {
     * the row, so maintenance stays delta-sized (a changed row's unit
     * travels with it through the CDF), and a base CLUSTERED on the same
     * transform file-prunes recounts by the very dirs the write path
-    * routed ([[groupProbe]]). Single-base views only — join MVs group
-    * by stored columns (pre-materialize the unit if a star needs it).
+    * routed ([[groupProbe]]). Works on every MV kind: join and
+    * trilinear deltas derive the unit per joined delta row (it is a
+    * function of the row), so the bilinear/trilinear algebra is
+    * untouched — the canonical star daily dashboard (`GROUP BY
+    * days(o_orderdate), n_name`) maintains and routes like any other
+    * grouping.
     */
   private[graft] def groupStored(spec: String): String =
     Snapshots.timeSpec(spec).map { case (u, c) => s"${u}_$c" }.getOrElse(spec)
@@ -189,13 +196,24 @@ object Mv {
   private def vk(groupCols: Seq[String], valueCol: String): Column =
     md5(to_json(struct((groupCols :+ valueCol).map(col): _*)))
 
+  /** The VALUE-ALONE digest (`__vd`), stored beside [[vk]] on every
+    * companion row: [[vk]] identifies a value only WITHIN its group, so
+    * rolling distinct counts up across groups needs this — routing's
+    * exact-rollup rewrite is `count(DISTINCT __vd)` over the matched
+    * groups' companion rows ([[graft.sources.MvRoute]]). Same digest
+    * discipline as [[gk]]/[[vk]]; companion values are non-null by
+    * construction.
+    */
+  private def vd(valueCol: String): Column =
+    md5(to_json(struct(col(valueCol).as("v"))))
+
   /** Where a distinct-count companion table lives: a snapshot table of
     * its own NESTED under the MV root (`_dv/<col>`), so dropping the MV
     * root drops its companions with it. The MV root's own maintenance
     * never touches it — expire/vacuum operate on `data/`, `_snapshots/`
     * and `_cdf/` only.
     */
-  private def dvRoot(mvRoot: String, c: String): String = s"$mvRoot/_dv/$c"
+  private[graft] def dvRoot(mvRoot: String, c: String): String = s"$mvRoot/_dv/$c"
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -230,7 +248,8 @@ object Mv {
       s"sums=${d.sumCols.mkString(",")}",
       s"minmax=${d.minMaxCols.mkString(",")}",
       s"nd=${d.distinctCols.mkString(",")}",
-      s"approxnd=${d.approxCols.mkString(",")}") ++
+      s"approxnd=${d.approxCols.mkString(",")}",
+      s"approxq=${d.quantileCols.mkString(",")}") ++
       d.filterSql.map(w => s"where=$w"))
   }
 
@@ -248,7 +267,8 @@ object Mv {
       s"sums=${d.sumCols.mkString(",")}",
       s"minmax=${d.minMaxCols.mkString(",")}",
       s"nd=${d.distinctCols.mkString(",")}",
-      s"approxnd=${d.approxCols.mkString(",")}") ++
+      s"approxnd=${d.approxCols.mkString(",")}",
+      s"approxq=${d.quantileCols.mkString(",")}") ++
       d.filterSql.map(w => s"where=$w"))
   }
 
@@ -305,7 +325,7 @@ object Mv {
         "Mv.refreshJoin (join) / Mv.refreshJoin3 (join3), not Mv.refresh")
     Definition(kv("base"), defCols(kv, "keys"), defCols(kv, "groups"),
       defCols(kv, "sums"), defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"),
-      defColsOpt(kv, "approxnd"), defWhere(kv))
+      defColsOpt(kv, "approxnd"), defColsOpt(kv, "approxq"), defWhere(kv))
   }
 
   /** Whether the MV root stores a join definition ([[createJoin]]) —
@@ -325,7 +345,7 @@ object Mv {
       kv("rbase"), defCols(kv, "rkeys"), kv("rjoin"),
       defCols(kv, "groups"), defCols(kv, "sums"),
       defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"),
-      defColsOpt(kv, "approxnd"), defWhere(kv))
+      defColsOpt(kv, "approxnd"), defColsOpt(kv, "approxq"), defWhere(kv))
   }
 
   /** Create the MV: compute the grouped count/sum over the base's CURRENT
@@ -348,16 +368,21 @@ object Mv {
     *
     * `distinctCols` adds maintained `nd_<c>` = COUNT(DISTINCT c)
     * columns, ALWAYS incremental via per-column companion tables (see
-    * the object doc); `where` restricts the view to σ(base) — both
-    * validated here (existence, exact types, resolvable predicate), so
-    * a typo reports the contract at create, not mid-refresh. Returns
-    * the MV version (1).
+    * the object doc); `approxDistinctCols` adds a per-group DataSketches
+    * HLL sketch (`hll_<c>`, min/max's hybrid discipline — exact union on
+    * inserts, recount under retraction); `approxQuantileCols` adds a
+    * per-group KLL sketch (`kll_<c>`, same hybrid discipline; per-type —
+    * double/float/bigint — so routed quantiles stay type-exact);
+    * `where` restricts the view to σ(base) — all validated here
+    * (existence, exact types, resolvable predicate), so a typo reports
+    * the contract at create, not mid-refresh. Returns the MV version (1).
     */
   def create(spark: SparkSession, mvRoot: String, baseRoot: String,
       baseKeyCols: Seq[String], groupCols: Seq[String], sumCols: Seq[String],
       mvBuckets: Int = 64, minMaxCols: Seq[String] = Nil,
       distinctCols: Seq[String] = Nil, where: Option[String] = None,
-      approxDistinctCols: Seq[String] = Nil): Int = {
+      approxDistinctCols: Seq[String] = Nil,
+      approxQuantileCols: Seq[String] = Nil): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
     require(baseKeyCols.nonEmpty, "an MV needs the base table's unique row key " +
       "(CDF classification; see Snapshots.changes)")
@@ -365,7 +390,8 @@ object Mv {
       sumCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
       minMaxCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
       distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
-      approxDistinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
+      approxDistinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
+      approxQuantileCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
       s"'$GkCol'/'$VkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val baseVs = Snapshots.versions(spark, baseRoot)
     require(baseVs.nonEmpty, s"base $baseRoot has no published snapshot versions")
@@ -383,6 +409,7 @@ object Mv {
     requireExactSums(baseSchema, sumCols)
     requireDistinctCols(baseSchema, plainGroups, distinctCols)
     requireApproxCols(baseSchema, plainGroups, approxDistinctCols)
+    requireQuantileCols(baseSchema, plainGroups, approxQuantileCols)
     requireFilter(Snapshots.read(spark, baseRoot, Some(w)), where)
     // a crashed create (def committed, first top publish never happened)
     // leaves a def with zero versions — recoverable, not a conflict; a
@@ -394,7 +421,8 @@ object Mv {
       fs(spark, mvRoot).delete(new Path(mvRoot, "_dv"), true)
     }
     writeDef(spark, mvRoot, Definition(baseRoot, baseKeyCols, groupCols,
-      sumCols, minMaxCols, distinctCols, approxDistinctCols, where))
+      sumCols, minMaxCols, distinctCols, approxDistinctCols,
+      approxQuantileCols, where))
     val storedGroups = groupCols.map(groupStored)
     val rel = withGroupCols(
       filtered(Snapshots.read(spark, baseRoot, Some(w)), where), groupCols)
@@ -402,7 +430,7 @@ object Mv {
       publishCompanion(spark, mvRoot, c, storedGroups, rel, batchId = w,
         buckets = mvBuckets))
     val mv0 = IncrementalView.countSum(rel, storedGroups, sumCols, minMaxCols,
-      distinctCols, approxDistinctCols)
+      distinctCols, approxDistinctCols, approxQuantileCols)
       .withColumn(GkCol, gk(storedGroups))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = w,
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
@@ -516,6 +544,30 @@ object Mv {
         s"(the DataSketches HLL input domain): ${bad.mkString(", ")}")
   }
 
+  /** Approx-quantile contract, checked at create: each column must be
+    * disjoint from the group columns (a quantile of a group key is that
+    * key on every row) and a numeric type the DataSketches KLL family
+    * covers (double/float/bigint — the sketch and its get-quantile are
+    * per-type, which is also what keeps routing type-exact).
+    */
+  private def requireQuantileCols(schema: org.apache.spark.sql.types.StructType,
+      groupCols: Seq[String], quantileCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
+    require(quantileCols.distinct.size == quantileCols.size,
+      s"duplicate approx-quantile column in ${quantileCols.mkString(", ")}")
+    val grouped = quantileCols.filter(groupCols.contains)
+    require(grouped.isEmpty,
+      s"approx-quantile column(s) ${grouped.mkString(", ")} are group columns — " +
+        "every row of the view carries the key itself")
+    val ok: Set[org.apache.spark.sql.types.DataType] =
+      Set(DoubleType, FloatType, LongType)
+    val bad = quantileCols.filter(c => schema.fields.find(_.name == c)
+      .exists(f => !ok.contains(f.dataType)))
+    require(bad.isEmpty,
+      s"approx-quantile columns must be double/float/bigint " +
+        s"(the DataSketches KLL input domain): ${bad.mkString(", ")}")
+  }
+
   /** A row filter's SQL must parse and resolve against the viewed
     * relation AT CREATE — a typo'd predicate must report the contract
     * here, not surface as an analysis error from the first refresh.
@@ -543,8 +595,12 @@ object Mv {
     */
   private def publishCompanion(spark: SparkSession, mvRoot: String, c: String,
       groupCols: Seq[String], rel: DataFrame, batchId: Long, buckets: Int): Unit = {
+    // __vd rides in the grouping (functionally determined by __vk — the
+    // value digest of the pair's value), stored so routing can dedup
+    // values ACROSS groups for the exact-rollup rewrite
     val comp = rel.where(col(c).isNotNull)
-      .groupBy(gk(groupCols).as(GkCol), vk(groupCols, c).as(VkCol))
+      .groupBy(gk(groupCols).as(GkCol), vk(groupCols, c).as(VkCol),
+        vd(c).as(VdCol))
       .agg(count(lit(1)).as("vcount"))
     Snapshots.publishStreamBatch(spark, dvRoot(mvRoot, c), comp,
       batchId = batchId, append = false,
@@ -603,7 +659,8 @@ object Mv {
       // overlap would double-apply. Rebuild from the viewed relation.
       val rel = rebuildRel()
       val comp = rel.where(col(c).isNotNull)
-        .groupBy(gk(groupCols).as(GkCol), vk(groupCols, c).as(VkCol))
+        .groupBy(gk(groupCols).as(GkCol), vk(groupCols, c).as(VkCol),
+          vd(c).as(VdCol))
         .agg(count(lit(1)).as("vcount"))
       val buckets = mvBucketsOf(spark, compRoot)
         .orElse(mvBucketsOf(spark, mvRoot)).getOrElse(64)
@@ -643,23 +700,33 @@ object Mv {
         .select(col(GkCol), coalesce(col("__nd"), lit(0L)).as(s"__nd_$c"))
     if (replay) ndOf(oldTouched)
     else {
+      // a companion created before the __vd column keeps its legacy
+      // shape (no cross-group value digest): maintenance stays exact,
+      // only the exact-rollup ROUTING rewrite declines on it
+      val hasVd = oldTouched.columns.contains(VdCol)
       val sign = when(col("change").isin("insert", "update_postimage"), lit(1L))
         .when(col("change").isin("delete", "update_preimage"), lit(-1L))
+      val dvdKeys = Seq(gk(groupCols).as(GkCol), vk(groupCols, c).as(VkCol)) ++
+        (if (hasVd) Seq(vd(c).as(VdCol)) else Nil)
       val dvd = cdf.withColumn("__sign", sign)
         .where(col("__sign").isNotNull && col(c).isNotNull)
-        .groupBy(gk(groupCols).as(GkCol), vk(groupCols, c).as(VkCol))
+        .groupBy(dvdKeys: _*)
         .agg(sum(col("__sign")).as("__dn"))
         .where(col("__dn") =!= 0L)
       val o = oldTouched.alias("__do")
       val dd = dvd.alias("__dd")
-      val stateNew = o.join(dd, col(s"__do.$VkCol") === col(s"__dd.$VkCol"),
-          "full_outer")
-        .select(
-          coalesce(col(s"__do.$GkCol"), col(s"__dd.$GkCol")).as(GkCol),
-          coalesce(col(s"__do.$VkCol"), col(s"__dd.$VkCol")).as(VkCol),
+      val mergedCols = Seq(
+        coalesce(col(s"__do.$GkCol"), col(s"__dd.$GkCol")).as(GkCol),
+        coalesce(col(s"__do.$VkCol"), col(s"__dd.$VkCol")).as(VkCol)) ++
+        (if (hasVd) Seq(
+          coalesce(col(s"__do.$VdCol"), col(s"__dd.$VdCol")).as(VdCol)) else Nil) ++
+        Seq(
           (coalesce(col("__do.vcount"), lit(0L)) +
             coalesce(col("__dd.__dn"), lit(0L))).as("vcount"),
           col("__dd.__dn").isNotNull.as("__chg"))
+      val stateNew = o.join(dd, col(s"__do.$VkCol") === col(s"__dd.$VkCol"),
+          "full_outer")
+        .select(mergedCols: _*)
         .persist()
       try {
         // a sound feed can never retract a value below zero — going
@@ -669,10 +736,11 @@ object Mv {
           s"count(distinct $c) companion at $compRoot would go NEGATIVE for a " +
             "(group,value) pair — the feed retracts values it never counted " +
             "(state diverged; drop and recreate the MV)")
+        val writeCols = Seq(col(GkCol), col(VkCol)) ++
+          (if (hasVd) Seq(col(VdCol)) else Nil) ++
+          Seq(col("vcount"), (col("vcount") === 0L).as(TombCol))
         Snapshots.mergeStreamBatch(spark, compRoot,
-          stateNew.where(col("__chg"))
-            .select(col(GkCol), col(VkCol), col("vcount"),
-              (col("vcount") === 0L).as(TombCol)),
+          stateNew.where(col("__chg")).select(writeCols: _*),
           batchId = batchId, keyCols = Seq(GkCol, VkCol),
           tombstoneCol = Some(TombCol))
         val nd = ndOf(stateNew).persist()
@@ -731,7 +799,8 @@ object Mv {
     Snapshots.schemaOf(spark, d.baseRoot, cur).foreach { sch =>
       val have = sch.fieldNames.toSet
       val missing = (d.baseKeyCols ++ d.groupCols.map(groupSource) ++ d.sumCols ++
-        d.minMaxCols ++ d.distinctCols ++ d.approxCols).filterNot(have)
+        d.minMaxCols ++ d.distinctCols ++ d.approxCols ++ d.quantileCols)
+        .filterNot(have)
       require(missing.isEmpty,
         s"MV definition references column(s) ${missing.mkString(", ")} that " +
           s"base ${d.baseRoot} v$cur no longer carries — drop and redefine the MV")
@@ -754,7 +823,7 @@ object Mv {
           buckets = mvBucketsOf(spark, dvRoot(mvRoot, c)).orElse(buckets)
             .getOrElse(64)))
       val mv = IncrementalView.countSum(rel, storedGroups, d.sumCols,
-        d.minMaxCols, d.distinctCols, d.approxCols)
+        d.minMaxCols, d.distinctCols, d.approxCols, d.quantileCols)
         .withColumn(GkCol, gk(storedGroups))
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = cur,
         append = false, clusterBy = buckets.map(n => s"bucket($n,$GkCol)"))
@@ -795,7 +864,7 @@ object Mv {
         val a = applyDelta(spark, mvRoot, storedGroups, d.sumCols,
           cdf, touched, batchId = cur, minMaxCols = d.minMaxCols,
           recountFrom = Some(recountOf), distinctCols = d.distinctCols,
-          approxCols = d.approxCols,
+          approxCols = d.approxCols, quantileCols = d.quantileCols,
           topWatermark = w.toLong,
           rebuildRel = Some(() => withGroupCols(
             filtered(Snapshots.read(spark, d.baseRoot, Some(cur)), d.filterSql),
@@ -852,6 +921,7 @@ object Mv {
       netInsertOnly: Boolean = false,
       distinctCols: Seq[String] = Nil,
       approxCols: Seq[String] = Nil,
+      quantileCols: Seq[String] = Nil,
       topWatermark: Long = -1L,
       rebuildRel: Option[() => DataFrame] = None): Applied = {
     val nTouched = touched.count()
@@ -892,10 +962,11 @@ object Mv {
       // for brand-new groups); the companion overlay below replaces them
       // for every touched group
       carryCols = distinctCols.map(c => s"nd_$c"),
-      approxCols = approxCols)
+      approxCols = approxCols, quantileCols = quantileCols)
       .withColumn(GkCol, gk(groupCols))
     val (applied, recGroups, recPruned) =
-      if (minMaxCols.isEmpty && approxCols.isEmpty) (counted, 0L, true)
+      if (minMaxCols.isEmpty && approxCols.isEmpty && quantileCols.isEmpty)
+        (counted, 0L, true)
       else {
         // min/max recount: the algebraic combine is stale for exactly the
         // groups the feed RETRACTED from (__mm_stale). Recount those — and
@@ -922,13 +993,16 @@ object Mv {
           val rAggs = minMaxCols.flatMap(c =>
             Seq(min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c"))) ++
             approxCols.map(c =>
-              hll_sketch_agg(col(c), IncrementalView.HllLgK).as(s"__rhll_$c"))
+              hll_sketch_agg(col(c), IncrementalView.HllLgK).as(s"__rhll_$c")) ++
+            quantileCols.map(c => IncrementalView.kllAgg(
+              recRel.schema(c).dataType, col(c)).as(s"__rkll_$c"))
           val rec = recRel
             .withColumn(GkCol, gk(groupCols))
             .groupBy(col(GkCol)).agg(rAggs.head, rAggs.tail: _*)
           val keep = counted.columns.filterNot(c => c == MmStaleCol ||
             minMaxCols.exists(mc => c == s"min_$mc" || c == s"max_$mc") ||
-            approxCols.exists(ac => c == s"hll_$ac"))
+            approxCols.exists(ac => c == s"hll_$ac") ||
+            quantileCols.exists(qc => c == s"kll_$qc"))
           (counted.join(rec, Seq(GkCol), "left")
             .select((keep.map(col) ++ minMaxCols.flatMap(c => Seq(
               when(col(MmStaleCol), col(s"__rmin_$c")).otherwise(col(s"min_$c"))
@@ -936,7 +1010,9 @@ object Mv {
               when(col(MmStaleCol), col(s"__rmax_$c")).otherwise(col(s"max_$c"))
                 .as(s"max_$c"))) ++ approxCols.map(c =>
               when(col(MmStaleCol), col(s"__rhll_$c")).otherwise(col(s"hll_$c"))
-                .as(s"hll_$c"))): _*), nRec, pruned)
+                .as(s"hll_$c")) ++ quantileCols.map(c =>
+              when(col(MmStaleCol), col(s"__rkll_$c")).otherwise(col(s"kll_$c"))
+                .as(s"kll_$c"))): _*), nRec, pruned)
         }
       }
     // distinct counts: each companion applies its (group,value) delta
@@ -1110,7 +1186,7 @@ object Mv {
       if (kv.contains("kind")) None
       else Some(Definition(kv("base"), defCols(kv, "keys"), defCols(kv, "groups"),
         defCols(kv, "sums"), defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"),
-        defColsOpt(kv, "approxnd"), defWhere(kv)))
+        defColsOpt(kv, "approxnd"), defColsOpt(kv, "approxq"), defWhere(kv)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The routable JOIN definition of an MV root — None for non-join
@@ -1362,18 +1438,17 @@ object Mv {
       groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64,
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
       where: Option[String] = None,
-      approxDistinctCols: Seq[String] = Nil): Int = {
+      approxDistinctCols: Seq[String] = Nil,
+      approxQuantileCols: Seq[String] = Nil): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
-    groupCols.foreach(g => require(Snapshots.timeSpec(g).isEmpty,
-      s"time-transform group columns ('$g') are a single-base MV surface — " +
-        "join MVs group by stored columns; pre-materialize the unit on the base"))
     require(leftKeyCols.nonEmpty && rightKeyCols.nonEmpty,
       "a join MV needs each base's unique row key (CDF classification)")
     require(groupCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
       sumCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
       minMaxCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
       distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
-      approxDistinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
+      approxDistinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
+      approxQuantileCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
       s"'$GkCol'/'$VkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val (lVs, rVs) = (Snapshots.versions(spark, leftRoot), Snapshots.versions(spark, rightRoot))
     require(lVs.nonEmpty && rVs.nonEmpty, "both bases need published versions")
@@ -1388,12 +1463,16 @@ object Mv {
         "relation must be unambiguous; rename before publishing")
     val joinedSchema = org.apache.spark.sql.types.StructType(
       lSchema.fields ++ rSchema.fields)
-    requireDefCols(joinedSchema, leftKeyCols ++ rightKeyCols, groupCols,
+    val plainGroups = groupCols.filter(g => Snapshots.timeSpec(g).isEmpty)
+    requireDefCols(joinedSchema, leftKeyCols ++ rightKeyCols, plainGroups,
       sumCols, minMaxCols, s"the joined relation of $leftRoot ⋈ $rightRoot",
       distinctCols ++ approxDistinctCols)
+    requireTransformGroups(joinedSchema, groupCols,
+      s"the joined relation of $leftRoot ⋈ $rightRoot")
     requireExactSums(joinedSchema, sumCols)
-    requireDistinctCols(joinedSchema, groupCols, distinctCols)
-    requireApproxCols(joinedSchema, groupCols, approxDistinctCols)
+    requireDistinctCols(joinedSchema, plainGroups, distinctCols)
+    requireApproxCols(joinedSchema, plainGroups, approxDistinctCols)
+    requireQuantileCols(joinedSchema, plainGroups, approxQuantileCols)
     // the co-clustered star contract: BOTH bases clustered on their join
     // key, either hash buckets (one shared count) or a time transform
     // (one shared unit — the q191 `days(ts)` event-feed shape). That
@@ -1426,14 +1505,15 @@ object Mv {
     }
     writeJoinDef(spark, mvRoot, JoinDefinition(leftRoot, leftKeyCols, joinLeft,
       rightRoot, rightKeyCols, joinRight, groupCols, sumCols, minMaxCols,
-      distinctCols, approxDistinctCols, where))
-    val joined = filtered(joined0, where)
+      distinctCols, approxDistinctCols, approxQuantileCols, where))
+    val storedGroups = groupCols.map(groupStored)
+    val joined = withGroupCols(filtered(joined0, where), groupCols)
     distinctCols.foreach(c =>
-      publishCompanion(spark, mvRoot, c, groupCols, joined,
+      publishCompanion(spark, mvRoot, c, storedGroups, joined,
         batchId = encWm(wL, wR), buckets = mvBuckets))
-    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols, minMaxCols,
-      distinctCols, approxDistinctCols)
-      .withColumn(GkCol, gk(groupCols))
+    val mv0 = IncrementalView.countSum(joined, storedGroups, sumCols, minMaxCols,
+      distinctCols, approxDistinctCols, approxQuantileCols)
+      .withColumn(GkCol, gk(storedGroups))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = encWm(wL, wR),
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
       .getOrElse(sys.error(s"fresh MV root $mvRoot already carries batch ids"))
@@ -1455,7 +1535,8 @@ object Mv {
       rightRoot: String, rightKeyCols: Seq[String], joinRight: String,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
-      approxCols: Seq[String] = Nil, filterSql: Option[String] = None)
+      approxCols: Seq[String] = Nil, quantileCols: Seq[String] = Nil,
+      filterSql: Option[String] = None)
 
   /** One trilinear refresh's outcome: the watermark TRIPLE, plus the
     * per-base probe report ([[JoinRefresh]]'s discipline): `false` on a
@@ -1506,7 +1587,8 @@ object Mv {
       s"sums=${d.sumCols.mkString(",")}",
       s"minmax=${d.minMaxCols.mkString(",")}",
       s"nd=${d.distinctCols.mkString(",")}",
-      s"approxnd=${d.approxCols.mkString(",")}") ++
+      s"approxnd=${d.approxCols.mkString(",")}",
+      s"approxq=${d.quantileCols.mkString(",")}") ++
       d.filterSql.map(w => s"where=$w"))
   }
 
@@ -1521,7 +1603,7 @@ object Mv {
       kv("rbase"), defCols(kv, "rkeys"), kv("rjoin"),
       defCols(kv, "groups"), defCols(kv, "sums"),
       defColsOpt(kv, "minmax"), defColsOpt(kv, "nd"),
-      defColsOpt(kv, "approxnd"), defWhere(kv))
+      defColsOpt(kv, "approxnd"), defColsOpt(kv, "approxq"), defWhere(kv))
   }
 
   /** The MV root's kind — `single` | `join` | `join3` — the dispatch
@@ -1561,18 +1643,17 @@ object Mv {
       groupCols: Seq[String], sumCols: Seq[String], mvBuckets: Int = 64,
       minMaxCols: Seq[String] = Nil, distinctCols: Seq[String] = Nil,
       where: Option[String] = None,
-      approxDistinctCols: Seq[String] = Nil): Int = {
+      approxDistinctCols: Seq[String] = Nil,
+      approxQuantileCols: Seq[String] = Nil): Int = {
     require(groupCols.nonEmpty, "an MV needs group columns")
-    groupCols.foreach(g => require(Snapshots.timeSpec(g).isEmpty,
-      s"time-transform group columns ('$g') are a single-base MV surface — " +
-        "join MVs group by stored columns; pre-materialize the unit on the base"))
     require(leftKeyCols.nonEmpty && midKeyCols.nonEmpty && rightKeyCols.nonEmpty,
       "a trilinear MV needs each base's unique row key (CDF classification)")
     require(groupCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
       sumCols.intersect(Seq(GkCol, VkCol, TombCol)).isEmpty &&
       minMaxCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
       distinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
-      approxDistinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
+      approxDistinctCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty &&
+      approxQuantileCols.intersect(Seq(GkCol, VkCol, TombCol, MmStaleCol)).isEmpty,
       s"'$GkCol'/'$VkCol'/'$TombCol'/'$MmStaleCol' are reserved MV columns")
     val roots = Seq(leftRoot, midRoot, rightRoot)
     val vs = roots.map(r => Snapshots.versions(spark, r))
@@ -1589,13 +1670,17 @@ object Mv {
         "joined relation must be unambiguous; rename before publishing")
     val joinedSchema = org.apache.spark.sql.types.StructType(
       schemas.flatMap(_.fields).toArray)
+    val plainGroups = groupCols.filter(g => Snapshots.timeSpec(g).isEmpty)
     requireDefCols(joinedSchema, leftKeyCols ++ midKeyCols ++ rightKeyCols,
-      groupCols, sumCols, minMaxCols,
+      plainGroups, sumCols, minMaxCols,
       s"the joined relation of $leftRoot ⋈ $midRoot ⋈ $rightRoot",
       distinctCols ++ approxDistinctCols)
+    requireTransformGroups(joinedSchema, groupCols,
+      s"the joined relation of $leftRoot ⋈ $midRoot ⋈ $rightRoot")
     requireExactSums(joinedSchema, sumCols)
-    requireDistinctCols(joinedSchema, groupCols, distinctCols)
-    requireApproxCols(joinedSchema, groupCols, approxDistinctCols)
+    requireDistinctCols(joinedSchema, plainGroups, distinctCols)
+    requireApproxCols(joinedSchema, plainGroups, approxDistinctCols)
+    requireQuantileCols(joinedSchema, plainGroups, approxQuantileCols)
     // the probe contract: each base clustered on the key its full-side
     // probes route by — that layout, the probed table's OWN header, is
     // what bounds a refresh's reads to colliding groups
@@ -1626,14 +1711,15 @@ object Mv {
     writeJoin3Def(spark, mvRoot, Join3Definition(leftRoot, leftKeyCols, joinLeft,
       midRoot, midKeyCols, joinMidLeft, joinMidRight,
       rightRoot, rightKeyCols, joinRight, groupCols, sumCols, minMaxCols,
-      distinctCols, approxDistinctCols, where))
-    val joined = filtered(joined0, where)
+      distinctCols, approxDistinctCols, approxQuantileCols, where))
+    val storedGroups = groupCols.map(groupStored)
+    val joined = withGroupCols(filtered(joined0, where), groupCols)
     distinctCols.foreach(c =>
-      publishCompanion(spark, mvRoot, c, groupCols, joined,
+      publishCompanion(spark, mvRoot, c, storedGroups, joined,
         batchId = encWm3(wL, wM, wR), buckets = mvBuckets))
-    val mv0 = IncrementalView.countSum(joined, groupCols, sumCols, minMaxCols,
-      distinctCols, approxDistinctCols)
-      .withColumn(GkCol, gk(groupCols))
+    val mv0 = IncrementalView.countSum(joined, storedGroups, sumCols, minMaxCols,
+      distinctCols, approxDistinctCols, approxQuantileCols)
+      .withColumn(GkCol, gk(storedGroups))
     Snapshots.publishStreamBatch(spark, mvRoot, mv0, batchId = encWm3(wL, wM, wR),
       append = false, clusterBy = Some(s"bucket($mvBuckets,$GkCol)"))
       .getOrElse(sys.error(s"fresh MV root $mvRoot already carries batch ids"))
@@ -1677,21 +1763,23 @@ object Mv {
         (d.midRoot, curM), (d.rightRoot, wR), (d.rightRoot, curR))
         .forall { case (r, v) => dvFree(r, v) }
     val batchId = encWm3(curL, curM, curR)
-    def joinedNow = filtered(Snapshots.read(spark, d.leftRoot, Some(curL))
-      .join(Snapshots.read(spark, d.midRoot, Some(curM)),
-        col(d.joinLeft) === col(d.joinMidLeft))
-      .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
-        col(d.joinMidRight) === col(d.joinRight)), d.filterSql)
+    val storedGroups = d.groupCols.map(groupStored)
+    def joinedNow = withGroupCols(
+      filtered(Snapshots.read(spark, d.leftRoot, Some(curL))
+        .join(Snapshots.read(spark, d.midRoot, Some(curM)),
+          col(d.joinLeft) === col(d.joinMidLeft))
+        .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
+          col(d.joinMidRight) === col(d.joinRight)), d.filterSql), d.groupCols)
     if (!canDiff) {
       val buckets = mvBucketsOf(spark, mvRoot)
       d.distinctCols.foreach(c =>
-        publishCompanion(spark, mvRoot, c, d.groupCols, joinedNow,
+        publishCompanion(spark, mvRoot, c, storedGroups, joinedNow,
           batchId = batchId,
           buckets = mvBucketsOf(spark, dvRoot(mvRoot, c)).orElse(buckets)
             .getOrElse(64)))
-      val mv = IncrementalView.countSum(joinedNow, d.groupCols, d.sumCols,
-        d.minMaxCols, d.distinctCols, d.approxCols)
-        .withColumn(GkCol, gk(d.groupCols))
+      val mv = IncrementalView.countSum(joinedNow, storedGroups, d.sumCols,
+        d.minMaxCols, d.distinctCols, d.approxCols, d.quantileCols)
+        .withColumn(GkCol, gk(storedGroups))
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = batchId,
         append = false,
         clusterBy = buckets.map(n => s"bucket($n,$GkCol)"))
@@ -1764,25 +1852,28 @@ object Mv {
       for (l <- dl; m <- dm; r <- dr)
         terms += l.join(m, condLM).join(r, condMR)
           .withColumn("__sign", col("__sl") * col("__sm") * col("__sr"))
-      val outCols = (d.groupCols ++ d.sumCols ++ d.minMaxCols ++
-        d.distinctCols ++ d.approxCols).distinct
+      val outCols = (storedGroups ++ d.sumCols ++ d.minMaxCols ++
+        d.distinctCols ++ d.approxCols ++ d.quantileCols).distinct
       // filter each term's JOINED rows before the projection (σ commutes
-      // with the signed expansion row-wise)
-      val delta = terms.result().map(t => filtered(t, d.filterSql).select(
+      // with the signed expansion row-wise); a transform group's unit
+      // derives per joined delta row (a function of the row)
+      val delta = terms.result().map(t =>
+          withGroupCols(filtered(t, d.filterSql), d.groupCols).select(
           (outCols.map(col) :+
             when(col("__sign") === 1L, lit("insert")).otherwise(lit("delete"))
               .as("change")): _*))
         .reduce(_ unionByName _).persist()
       try {
         val touched = delta.select(
-          (gk(d.groupCols).as(GkCol) +: d.groupCols.map(col)): _*).distinct().persist()
+          (gk(storedGroups).as(GkCol) +: storedGroups.map(col)): _*).distinct().persist()
         try {
           // min/max: the inclusion-exclusion terms' synthetic deletes are
           // duplicate rows when all three RAW feeds only inserted (every
           // negative term's rows are a subset of a positive term's, since
           // ΔX ⊆ X'), so the algebraic combine stays exact and the
           // recount elides — the bilinear argument, one relation deeper
-          val netInsertOnly = (d.minMaxCols ++ d.approxCols).nonEmpty &&
+          val netInsertOnly =
+            (d.minMaxCols ++ d.approxCols ++ d.quantileCols).nonEmpty &&
             dl.forall(_.filter(col("__sl") === -1L).isEmpty) &&
             dm.forall(_.filter(col("__sm") === -1L).isEmpty) &&
             dr.forall(_.filter(col("__sr") === -1L).isEmpty)
@@ -1796,12 +1887,17 @@ object Mv {
               Snapshots.schemaOf(spark, root, v)
                 .getOrElse(Snapshots.read(spark, root, Some(v)).schema)
                 .fieldNames.toSet
-            val onLeft = d.groupCols.forall(fieldsOf(d.leftRoot, curL))
-            lazy val onMid = d.groupCols.forall(fieldsOf(d.midRoot, curM))
-            lazy val onRight = d.groupCols.forall(fieldsOf(d.rightRoot, curR))
+            // group SOURCES (a transform group reads its time column):
+            // the carrying side derives the stored unit itself
+            val srcCols = d.groupCols.map(groupSource)
+            val onLeft = srcCols.forall(fieldsOf(d.leftRoot, curL))
+            lazy val onMid = srcCols.forall(fieldsOf(d.midRoot, curM))
+            lazy val onRight = srcCols.forall(fieldsOf(d.rightRoot, curR))
+            def gSide(root: String, v: Int) = semiOnGroups(
+              withGroupCols(Snapshots.read(spark, root, Some(v)), d.groupCols),
+              retracted, storedGroups)
             if (onLeft) {
-              val gp = semiOnGroups(Snapshots.read(spark, d.leftRoot, Some(curL)),
-                retracted, d.groupCols)
+              val gp = gSide(d.leftRoot, curL)
               val (m, p1) = bucketProbe(spark, d.midRoot, curM, d.joinMidLeft,
                 gp.select(d.joinLeft))
               val gm = gp.join(m, condLM)
@@ -1809,8 +1905,7 @@ object Mv {
                 gm.select(d.joinMidRight))
               (filtered(gm.join(r, condMR), d.filterSql), p1 && p2)
             } else if (onMid) {
-              val gp = semiOnGroups(Snapshots.read(spark, d.midRoot, Some(curM)),
-                retracted, d.groupCols)
+              val gp = gSide(d.midRoot, curM)
               val (l, p1) = bucketProbe(spark, d.leftRoot, curL, d.joinLeft,
                 gp.select(d.joinMidLeft))
               val (r, p2) = bucketProbe(spark, d.rightRoot, curR, d.joinRight,
@@ -1818,8 +1913,7 @@ object Mv {
               (filtered(l.join(gp, condLM).join(r, condMR), d.filterSql),
                 p1 && p2)
             } else if (onRight) {
-              val gp = semiOnGroups(Snapshots.read(spark, d.rightRoot, Some(curR)),
-                retracted, d.groupCols)
+              val gp = gSide(d.rightRoot, curR)
               val (m, p1) = bucketProbe(spark, d.midRoot, curM, d.joinMidRight,
                 gp.select(d.joinRight))
               val gm = m.join(gp, condMR)
@@ -1827,13 +1921,14 @@ object Mv {
                 gm.select(d.joinMidLeft))
               (filtered(l.join(gm, condLM), d.filterSql), p1 && p2)
             } else {
-              (semiOnGroups(joinedNow, retracted, d.groupCols), false)
+              (semiOnGroups(joinedNow, retracted, storedGroups), false)
             }
           }
-          val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
+          val a = applyDelta(spark, mvRoot, storedGroups, d.sumCols,
             delta, touched, batchId, minMaxCols = d.minMaxCols,
             recountFrom = Some(recountOf), netInsertOnly = netInsertOnly,
             distinctCols = d.distinctCols, approxCols = d.approxCols,
+            quantileCols = d.quantileCols,
             topWatermark = encWm3(wL, wM, wR),
             rebuildRel = Some(() => joinedNow))
           Join3Refresh("incremental", wL, curL, wM, curM, wR, curR,
@@ -1882,19 +1977,22 @@ object Mv {
       dvFree(d.leftRoot, wL) && dvFree(d.leftRoot, curL) &&
       dvFree(d.rightRoot, wR) && dvFree(d.rightRoot, curR)
     val batchId = encWm(curL, curR)
-    if (!canDiff) {
-      val joined = filtered(Snapshots.read(spark, d.leftRoot, Some(curL))
+    val storedGroups = d.groupCols.map(groupStored)
+    def joinedNow = withGroupCols(
+      filtered(Snapshots.read(spark, d.leftRoot, Some(curL))
         .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
-          col(d.joinLeft) === col(d.joinRight)), d.filterSql)
+          col(d.joinLeft) === col(d.joinRight)), d.filterSql), d.groupCols)
+    if (!canDiff) {
+      val joined = joinedNow
       val buckets = mvBucketsOf(spark, mvRoot)
       d.distinctCols.foreach(c =>
-        publishCompanion(spark, mvRoot, c, d.groupCols, joined,
+        publishCompanion(spark, mvRoot, c, storedGroups, joined,
           batchId = batchId,
           buckets = mvBucketsOf(spark, dvRoot(mvRoot, c)).orElse(buckets)
             .getOrElse(64)))
-      val mv = IncrementalView.countSum(joined, d.groupCols, d.sumCols,
-        d.minMaxCols, d.distinctCols, d.approxCols)
-        .withColumn(GkCol, gk(d.groupCols))
+      val mv = IncrementalView.countSum(joined, storedGroups, d.sumCols,
+        d.minMaxCols, d.distinctCols, d.approxCols, d.quantileCols)
+        .withColumn(GkCol, gk(storedGroups))
       val v = Snapshots.publishStreamBatch(spark, mvRoot, mv, batchId = batchId,
         append = false,
         clusterBy = buckets.map(n => s"bucket($n,$GkCol)"))
@@ -1934,19 +2032,22 @@ object Mv {
         // ΔL ⋈ ΔR, both delta-sized; sign = −(sl·sr)
         terms += l.join(r, col(d.joinLeft) === col(d.joinRight))
           .withColumn("__sign", -col("__sl") * col("__sr"))
-      val outCols = (d.groupCols ++ d.sumCols ++ d.minMaxCols ++
-        d.distinctCols ++ d.approxCols).distinct
+      val outCols = (storedGroups ++ d.sumCols ++ d.minMaxCols ++
+        d.distinctCols ++ d.approxCols ++ d.quantileCols).distinct
       // the filter applies to each term's JOINED rows before the
       // projection (σ commutes with the signed expansion row-wise, and
-      // the predicate may reference columns the view does not carry)
-      val delta = terms.result().map(t => filtered(t, d.filterSql).select(
+      // the predicate may reference columns the view does not carry);
+      // a transform group's unit derives per joined delta row — it is a
+      // function of the row, so the delta algebra never sees raw time
+      val delta = terms.result().map(t =>
+          withGroupCols(filtered(t, d.filterSql), d.groupCols).select(
           (outCols.map(col) :+
             when(col("__sign") === 1L, lit("insert")).otherwise(lit("delete"))
               .as("change")): _*))
         .reduce(_ unionByName _).persist()
       try {
         val touched = delta.select(
-          (gk(d.groupCols).as(GkCol) +: d.groupCols.map(col)): _*).distinct().persist()
+          (gk(storedGroups).as(GkCol) +: storedGroups.map(col)): _*).distinct().persist()
         try {
           // the bilinear correction term emits sign=−1 rows even for
           // insert×insert collisions, but those retraction rows are
@@ -1955,7 +2056,8 @@ object Mv {
           // raw base feed retracted, the algebraic min/max combine is
           // exact and the recount elides despite the synthetic deletes.
           // Two delta-sized emptiness probes decide, never the bases.
-          val netInsertOnly = (d.minMaxCols ++ d.approxCols).nonEmpty &&
+          val netInsertOnly =
+            (d.minMaxCols ++ d.approxCols ++ d.quantileCols).nonEmpty &&
             dl.forall(_.filter(col("__sl") === -1L).isEmpty) &&
             dr.forall(_.filter(col("__sr") === -1L).isEmpty)
           // min/max recount relation under genuine retraction: restrict
@@ -1971,34 +2073,33 @@ object Mv {
               Snapshots.schemaOf(spark, root, v)
                 .getOrElse(Snapshots.read(spark, root, Some(v)).schema)
                 .fieldNames.toSet
-            val onLeft = d.groupCols.forall(fieldsOf(d.leftRoot, curL))
-            lazy val onRight = d.groupCols.forall(fieldsOf(d.rightRoot, curR))
+            // group SOURCES (a transform group reads its time column):
+            // the carrying side derives the stored unit itself
+            val srcCols = d.groupCols.map(groupSource)
+            val onLeft = srcCols.forall(fieldsOf(d.leftRoot, curL))
+            lazy val onRight = srcCols.forall(fieldsOf(d.rightRoot, curR))
             if (onLeft || onRight) {
               val (gRoot, gCur, gJoin, oRoot, oCur, oJoin) =
                 if (onLeft) (d.leftRoot, curL, d.joinLeft, d.rightRoot, curR, d.joinRight)
                 else (d.rightRoot, curR, d.joinRight, d.leftRoot, curL, d.joinLeft)
               val gPruned = semiOnGroups(
-                Snapshots.read(spark, gRoot, Some(gCur)), retracted, d.groupCols)
+                withGroupCols(Snapshots.read(spark, gRoot, Some(gCur)), d.groupCols),
+                retracted, storedGroups)
               val (oProbe, pruned) = bucketProbe(spark, oRoot, oCur, oJoin,
                 gPruned.select(gJoin))
               (filtered(gPruned.join(oProbe,
                 col(d.joinLeft) === col(d.joinRight)), d.filterSql), pruned)
             } else {
-              (semiOnGroups(filtered(Snapshots.read(spark, d.leftRoot, Some(curL))
-                .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
-                  col(d.joinLeft) === col(d.joinRight)), d.filterSql),
-                retracted, d.groupCols), false)
+              (semiOnGroups(joinedNow, retracted, storedGroups), false)
             }
           }
-          val a = applyDelta(spark, mvRoot, d.groupCols, d.sumCols,
+          val a = applyDelta(spark, mvRoot, storedGroups, d.sumCols,
             delta, touched, batchId, minMaxCols = d.minMaxCols,
             recountFrom = Some(recountOf), netInsertOnly = netInsertOnly,
             distinctCols = d.distinctCols, approxCols = d.approxCols,
+            quantileCols = d.quantileCols,
             topWatermark = encWm(wL, wR),
-            rebuildRel = Some(() =>
-              filtered(Snapshots.read(spark, d.leftRoot, Some(curL))
-                .join(Snapshots.read(spark, d.rightRoot, Some(curR)),
-                  col(d.joinLeft) === col(d.joinRight)), d.filterSql)))
+            rebuildRel = Some(() => joinedNow))
           JoinRefresh("incremental", wL, curL, wR, curR, a.groups, a.mvVersion,
             probePrunedLeft = prunedL, probePrunedRight = prunedR,
             recountGroups = a.recountGroups, recountPruned = a.recountPruned)

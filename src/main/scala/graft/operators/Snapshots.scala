@@ -114,9 +114,25 @@ object Snapshots {
     * [[versions]] — this variant is for freshness PROBES whose answer
     * is advisory by design (plan-time routing already carries the
     * optimize-to-execute window).
+    *
+    * Two hardenings against stores whose DIRECTORY mtimes lie:
+    *   - a dir reporting mtime <= 0 (object stores' synthetic "fake
+    *     directory" entries commonly do) NEVER caches — every lookup
+    *     lists fresh, so a constant stamp can never serve a stale head;
+    *   - the manifest COMMIT path itself drops this cache's entry for
+    *     the root it just advanced ([[invalidateVersionsCache]]), so
+    *     within one driver the mtime stamp is only a CROSS-PROCESS
+    *     fallback, not the freshness mechanism.
     */
   private val versionsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[Int])]()
+
+  /** Publish-side invalidation: every manifest create/delete calls this
+    * with its root, so the same driver's next freshness probe re-lists
+    * regardless of whether the store's dir mtime moved.
+    */
+  private def invalidateVersionsCache(root: String): Unit =
+    versionsCache.remove(new Path(s"$root/$SNAP_DIR").toString)
 
   private[graft] def versionsCached(spark: SparkSession, root: String): Seq[Int] = {
     val dir = new Path(s"$root/$SNAP_DIR")
@@ -129,7 +145,8 @@ object Snapshots {
       case Some(s) =>
         val key = dir.toString
         val cached = versionsCache.get(key)
-        if (cached != null && cached._1 == s.getModificationTime) cached._2
+        if (cached != null && s.getModificationTime > 0 &&
+            cached._1 == s.getModificationTime) cached._2
         else {
           val vs = f.listStatus(dir).toSeq
             .map(_.getPath.getName)
@@ -138,7 +155,10 @@ object Snapshots {
             .sorted
           val recent = s.getModificationTime >
             System.currentTimeMillis() - ManifestCacheRecentMs
-          if (!recent) versionsCache.put(key, (s.getModificationTime, vs))
+          // mtime <= 0 = the store doesn't maintain dir stamps — never
+          // cache on it (a constant stamp would be served forever)
+          if (!recent && s.getModificationTime > 0)
+            versionsCache.put(key, (s.getModificationTime, vs))
           else versionsCache.remove(key)
           vs
         }
@@ -1127,6 +1147,7 @@ object Snapshots {
       throw new java.io.IOException(
         s"promote of staged '$token' failed: rename to $dest " +
           "(concurrent publisher? snapshots are single-writer per table)")
+    invalidateVersionsCache(root)
     base + 1
   }
 
@@ -1453,6 +1474,7 @@ object Snapshots {
       throw new java.io.IOException(
         s"commit of snapshot v$v failed: rename $tmp -> $dest " +
           "(concurrent publisher? snapshots are single-writer per table)")
+    invalidateVersionsCache(root)
     v
   }
 
@@ -1678,6 +1700,7 @@ object Snapshots {
     val pinned = tags(spark, root).map(_._2).toSet
     val drop = versions(spark, root).dropRight(keepLast).filterNot(pinned)
     drop.foreach(v => f.delete(manifestPath(root, v), false))
+    if (drop.nonEmpty) invalidateVersionsCache(root)
     drop
   }
 

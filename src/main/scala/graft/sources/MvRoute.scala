@@ -7,11 +7,11 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.optimizer.{ConstantFolding, SimplifyCasts}
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LocalRelation, LogicalPlan, OneRowRelation, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** TRANSPARENT MATERIALIZED-VIEW ROUTING — the classic aggregate-rewrite
@@ -33,13 +33,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     count(*)→sum(n_rows), sum(c)→sum(sum_c), count(c)→sum(nn_c),
   *     avg(c)→sum(sum_c)/sum(nn_c), min/max(c)→min(min_c)/max(max_c).
   *     The view has one row per group, so the re-aggregation reads
-  *     |groups| rows, not |base|. count(DISTINCT) does NOT roll up
-  *     (distinct values are not summable across groups) — it routes
-  *     only at exact grouping, where `nd_<c>` is stored; default-rsd
+  *     |groups| rows, not |base|. count(DISTINCT) is not summable
+  *     across groups, so at exact grouping it reads the stored
+  *     `nd_<c>`, and at ROLLUP grouping it reads the COMPANION table
+  *     (`_dv/<c>` — one row per (group, value) with a value digest
+  *     `__vd`): `count(DISTINCT __vd)` over the view ⋈ companion on
+  *     the group digest, re-grouped by the query's coarser grouping —
+  *     O(companion rows), never the base. A view without that
+  *     companion (or a pre-`__vd` companion) declines; default-rsd
   *     approx_count_distinct over a maintained `approxDistinctCols`
   *     column maps to the stored DataSketches sketch at BOTH shapes
   *     (sketches union, so even rollups route — estimate for estimate,
-  *     both inside their published error).
+  *     both inside their published error). The approximate mapping is
+  *     an ESTIMATOR SWAP (HLL++ answered by a DataSketches sketch —
+  *     same quantity, different registers), so unlike every exact
+  *     rewrite the routed VALUE differs from the unrouted one within
+  *     the published error; `spark.graft.mv.routeApprox=false` pins
+  *     plan-invariant results by disabling just that mapping.
   *
   * TIME-UNIT groupings route too: a view grouped by a `days(ts)`-style
   * transform spec answers a query grouping by the engine's own
@@ -54,7 +64,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * subsetting: the stored `where` is parsed, analyzed against the
   * scan's own attributes (type coercion and constant folding applied —
   * the optimizer has already folded the query's side), and every view
-  * conjunct must match a query conjunct via `semanticEquals`; the
+  * conjunct must match a query conjunct via `semanticEquals` — or, for
+  * a literal-bound inequality, be RANGE-IMPLIED by a query conjunct on
+  * the same expression whose bound is at least as tight (`day >= 150`
+  * answers a view barred at `day >= 100`: the implying conjunct then
+  * rides as residual, the time-windowed drill-down without a general
+  * prover); the
   * RESIDUAL query conjuncts re-apply as a Filter over the view,
   * provided each references only view-carried columns — plain group
   * columns, or a transform group's unit expression (substituted to the
@@ -136,17 +151,6 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     }
 
   private def norm(root: String): String = root.stripSuffix("/")
-
-  /** Grouping as plain, duplicate-free attribute names (None otherwise;
-    * empty = the global aggregate).
-    */
-  private def groupingNames(agg: Aggregate): Option[Seq[String]] = {
-    val names = agg.groupingExpressions.map {
-      case a: AttributeReference => a.name
-      case _ => return None
-    }
-    if (names.distinct.size == names.size) Some(names) else None
-  }
 
   /** [[unwrap]] extended with an ALIAS MAP: the optimizer's
     * PullOutGroupingExpressions rewrites expression groupings into a
@@ -339,33 +343,82 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => false
     }
 
+  /** A comparison conjunct normalized to (expression, literal bound,
+    * is-lower-bound, strict) — literal on either side, the four
+    * inequality shapes. None for anything else.
+    */
+  private def bound(e: Expression): Option[(Expression, Literal, Boolean, Boolean)] =
+    e match {
+      case GreaterThanOrEqual(x, l: Literal) => Some((x, l, true, false))
+      case GreaterThan(x, l: Literal) => Some((x, l, true, true))
+      case LessThanOrEqual(x, l: Literal) => Some((x, l, false, false))
+      case LessThan(x, l: Literal) => Some((x, l, false, true))
+      case GreaterThanOrEqual(l: Literal, x) => Some((x, l, false, false))
+      case GreaterThan(l: Literal, x) => Some((x, l, false, true))
+      case LessThanOrEqual(l: Literal, x) => Some((x, l, true, false))
+      case LessThan(l: Literal, x) => Some((x, l, true, true))
+      case _ => None
+    }
+
+  /** Whether query conjunct `qc` RANGE-IMPLIES view conjunct `vc`: both
+    * are literal-bound inequalities on the SAME expression and the same
+    * side (both lower or both upper bounds), and the query's bound is
+    * at least as tight — `x >= 150` implies `x >= 100`, `x > 100`
+    * implies `x >= 100`, but `x >= 100` does NOT imply `x > 100` (the
+    * boundary row). Literals only (evaluated through the comparison's
+    * own ordering); anything unorderable or mixed-type declines. NULL
+    * semantics agree for free: both conjuncts filter NULLs of the
+    * shared expression.
+    */
+  private def rangeImplies(qc: Expression, vc: Expression): Boolean =
+    (bound(vc), bound(qc)) match {
+      case (Some((vx, vl, vLower, vStrict)), Some((qx, ql, qLower, qStrict)))
+          if vLower == qLower && vl.dataType == ql.dataType &&
+            vx.semanticEquals(qx) =>
+        try {
+          def isTrue(c: Expression): Boolean = c.eval(null) == true
+          val tighter = if (vLower) GreaterThan(ql, vl) else LessThan(ql, vl)
+          isTrue(tighter) || (isTrue(EqualTo(ql, vl)) && (qStrict || !vStrict))
+        } catch { case scala.util.control.NonFatal(_) => false }
+      case _ => false
+    }
+
   /** Match the view's stored filter against the query's (recombined)
     * predicate by IMPLICATION-VIA-CONJUNCT-SUBSETTING: every view
-    * conjunct must appear semantically among the query's, and the
-    * RESIDUAL — the query conjuncts the view's bar does not carry — is
-    * returned for the caller to re-apply as a Filter OVER the view.
-    * That residual re-application is sound exactly when each residual
-    * conjunct references only columns the view STORES VERBATIM (its
-    * group columns — the caller checks membership): group columns are
-    * constant within a group, so σ(residual) commutes with the view's
-    * γ. None = decline: the query's predicate is WEAKER than the
-    * view's bar (a view conjunct went unmatched — the view has already
-    * dropped rows the query wants) or the stored filter fails to
-    * resolve. `Some(Nil)` = the exact match. Both sides drop
-    * inference-injected IsNotNull conjuncts first.
+    * conjunct must appear semantically among the query's — or be
+    * [[rangeImplies range-implied]] by one — and the RESIDUAL (the
+    * query conjuncts the view's bar does not carry verbatim, including
+    * any range-implying tighter bound) is returned for the caller to
+    * re-apply as a Filter OVER the view. That residual re-application
+    * is sound exactly when each residual conjunct references only
+    * columns the view STORES VERBATIM (its group columns — the caller
+    * checks membership): group columns are constant within a group, so
+    * σ(residual) commutes with the view's γ. Every residual conjunct
+    * must additionally be DETERMINISTIC — a non-deterministic predicate
+    * (rand() < p) evaluates once per base ROW in the original plan but
+    * would evaluate once per view GROUP after the rewrite, the same
+    * discipline Catalyst uses to refuse moving such filters across
+    * aggregates. None = decline: the query's predicate is WEAKER than
+    * the view's bar (a view conjunct went unmatched — the view has
+    * already dropped rows the query wants), a residual conjunct is
+    * non-deterministic, or the stored filter fails to resolve.
+    * `Some(Nil)` = the exact match. Both sides drop inference-injected
+    * IsNotNull conjuncts first.
     */
   private def filterResidual(where: Option[String], output: Seq[Attribute],
       queryConjuncts: Seq[Expression]): Option[Seq[Expression]] = {
     val qc = dropImpliedNotNull(queryConjuncts)
-    where match {
+    val res = where match {
       case None => Some(qc)
       case Some(w) =>
         resolvedFilter(w, output).flatMap { cond =>
           val wc = dropImpliedNotNull(splitConjunctivePredicates(cond))
-          if (!wc.forall(c => qc.exists(_.semanticEquals(c)))) None
+          if (!wc.forall(c =>
+              qc.exists(q => q.semanticEquals(c) || rangeImplies(q, c)))) None
           else Some(qc.filterNot(c => wc.exists(_.semanticEquals(c))))
         }
     }
+    res.filter(_.forall(_.deterministic))
   }
 
   // ── single-base views ────────────────────────────────────────────────
@@ -378,26 +431,9 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     routes.iterator.flatMap { mvRoot =>
       Mv.routeDefinition(spark, mvRoot)
         .filter(d => norm(d.baseRoot) == norm(root))
-        .flatMap { d =>
-          // every grouping expression must answer to a stored group
-          // column — plain by name, transform by semantic equality
-          val ns = agg.groupingExpressions
-            .map(ge => storedGroupOf(ge, amap, rel.output, d.groupCols))
-          if (ns.exists(_.isEmpty)) None
-          else {
-            val names = ns.flatten
-            if (names.distinct.size == names.size) Some((d, names)) else None
-          }
-        }
+        .flatMap(d => groupedAs(agg, amap, rel.output, d.groupCols).map(n => (d, n)))
         .flatMap { case (d, names) => filterResidual(d.filterSql, rel.output, qConjuncts)
-          // a residual conjunct may only reference view-carried columns:
-          // plain group columns, or a transform group's SOURCE column
-          // (admitted here cheaply; build substitutes the transform
-          // subexpression with the stored unit and declines anything
-          // left over — e.g. a predicate on the raw time value)
-          .filter(_.forall(_.references.forall(r =>
-            d.groupCols.contains(r.name) ||
-              d.groupCols.exists(g => Snapshots.timeSpec(g).exists(_._2 == r.name)))))
+          .filter(residualAdmissible(_, d.groupCols))
           .map(res => (d, names, res)) }
         .filter { case (d, _, _) =>
           val baseVs = Snapshots.versionsCached(spark, d.baseRoot)
@@ -405,28 +441,73 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
             Snapshots.lastBatchIdCached(spark, mvRoot).contains(baseVs.last.toLong)
         }
         .flatMap { case (d, names, res) => build(agg, mvRoot, d.groupCols,
-          d.sumCols, d.minMaxCols, d.distinctCols, d.approxCols, res, amap,
-          rel.output,
+          d.sumCols, d.minMaxCols, d.distinctCols, d.approxCols,
+          d.quantileCols, res, amap, rel.output,
           exact = names.toSet == d.groupCols.map(Mv.groupStored).toSet) }
     }.nextOption()
   }
 
   // ── join views (the star-schema dashboard query) ─────────────────────
 
+  /** Peel the Projects and Filters between the Aggregate and its Join —
+    * the alias-aware sibling of [[unwrapG]]: the optimizer's
+    * PullOutGroupingExpressions puts a `_groupingexpression` alias
+    * Project directly under a `days(ts)`-grouped Aggregate ABOVE the
+    * join, and both-side filter residue sits there too. Returns the
+    * Join, the alias map (composed through nested Projects), and the
+    * peeled filter conditions alias-substituted down to join-output
+    * attributes.
+    */
+  private def peelJoin(p: LogicalPlan)
+      : Option[(Join, Map[ExprId, Expression], Seq[Expression])] = p match {
+    case j: Join => Some((j, Map.empty, Nil))
+    case Project(pl, child)
+        if pl.forall(e => e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+      peelJoin(child).map { case (j, amap, conds) =>
+        val added = pl.collect { case al: Alias =>
+          al.exprId -> al.child.transformUp {
+            case a: AttributeReference if amap.contains(a.exprId) => amap(a.exprId)
+          }
+        }
+        (j, amap ++ added, conds)
+      }
+    case Filter(c, child) =>
+      peelJoin(child).map { case (j, amap, conds) =>
+        (j, amap, conds :+ c.transformUp {
+          case a: AttributeReference if amap.contains(a.exprId) => amap(a.exprId)
+        })
+      }
+    case _ => None
+  }
+
+  /** Every grouping expression resolved to its stored view group column
+    * (plain by name, transform by semantic equality), duplicate-free;
+    * None = some expression is not this view's grouping.
+    */
+  private def groupedAs(agg: Aggregate, amap: Map[ExprId, Expression],
+      output: Seq[Attribute], specs: Seq[String]): Option[Seq[String]] = {
+    val ns = agg.groupingExpressions.map(ge => storedGroupOf(ge, amap, output, specs))
+    if (ns.exists(_.isEmpty)) None
+    else Some(ns.flatten).filter(n => n.distinct.size == n.size)
+  }
+
+  /** Residual admission: each conjunct may reference only view-carried
+    * columns — plain group columns, or a transform group's SOURCE
+    * column (admitted cheaply here; [[build]] substitutes the transform
+    * subexpression with the stored unit and declines anything left
+    * over, e.g. a predicate on the raw time value).
+    */
+  private def residualAdmissible(res: Seq[Expression], groupCols: Seq[String]): Boolean =
+    res.forall(_.references.forall(r =>
+      groupCols.contains(r.name) ||
+        groupCols.exists(g => Snapshots.timeSpec(g).exists(_._2 == r.name))))
+
   private def joinRewrite(agg: Aggregate,
       routes: Seq[String]): Option[LogicalPlan] = {
-    // Aggregate → [Project] → [Filter] → Join (the optimizer has pushed
+    // Aggregate → [Project/Filter]* → Join (the optimizer has pushed
     // single-sided conjuncts below the join already; both-side residue
-    // stays above it)
-    val (above, join) = agg.child match {
-      case j: Join => (None, j)
-      case Filter(c, j: Join) => (Some(c), j)
-      case Project(pl, j: Join)
-          if pl.forall(_.isInstanceOf[AttributeReference]) => (None, j)
-      case Project(pl, Filter(c, j: Join))
-          if pl.forall(_.isInstanceOf[AttributeReference]) => (Some(c), j)
-      case _ => return None
-    }
+    // and pulled-out grouping aliases stay above it)
+    val (join, amap, above) = peelJoin(agg.child).getOrElse(return None)
     val (lp, rp, cond) = join match {
       case Join(l, r, Inner, Some(c), _) => (l, r, c)
       case _ => return None
@@ -435,12 +516,11 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     val (rRel, rPred) = unwrap(rp).getOrElse(return None)
     val lRoot = currentRoot(lRel).getOrElse(return None)
     val rRoot = currentRoot(rRel).getOrElse(return None)
-    val groupNames = groupingNames(agg).getOrElse(return None).toSet
     val output = lRel.output ++ rRel.output
     val keyNames = keyPairOf(cond, output).getOrElse(return None)
     // recombine what pushdown scattered; IsNotNull on the join keys is
     // implied by the inner equi-join on both sides of the comparison
-    val qConjuncts = (lPred.toSeq ++ rPred.toSeq ++ above.toSeq)
+    val qConjuncts = (lPred.toSeq ++ rPred.toSeq ++ above)
       .flatMap(splitConjunctivePredicates)
       .filterNot {
         case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
@@ -451,14 +531,15 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
         .filter(d => Set(norm(d.leftRoot), norm(d.rightRoot)) ==
           Set(norm(lRoot), norm(rRoot)))
         .filter(d => Set(d.joinLeft, d.joinRight) == keyNames)
-        .filter(d => groupNames.subsetOf(d.groupCols.toSet))
-        .flatMap(d => filterResidual(d.filterSql, output, qConjuncts)
-          .filter(_.forall(_.references.forall(r => d.groupCols.contains(r.name))))
-          .map(res => (d, res)))
-        .filter { case (d, _) => Mv.joinRouteFresh(spark, mvRoot, d) }
-        .flatMap { case (d, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
-          d.minMaxCols, d.distinctCols, d.approxCols, res, Map.empty, output,
-          exact = groupNames == d.groupCols.toSet) }
+        .flatMap(d => groupedAs(agg, amap, output, d.groupCols).map(n => (d, n)))
+        .flatMap { case (d, names) => filterResidual(d.filterSql, output, qConjuncts)
+          .filter(residualAdmissible(_, d.groupCols))
+          .map(res => (d, names, res)) }
+        .filter { case (d, _, _) => Mv.joinRouteFresh(spark, mvRoot, d) }
+        .flatMap { case (d, names, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
+          d.minMaxCols, d.distinctCols, d.approxCols, d.quantileCols,
+          res, amap, output,
+          exact = names.toSet == d.groupCols.map(Mv.groupStored).toSet) }
     }.nextOption()
   }
 
@@ -466,15 +547,7 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
 
   private def join3Rewrite(agg: Aggregate,
       routes: Seq[String]): Option[LogicalPlan] = {
-    val (above, topJoin) = agg.child match {
-      case j: Join => (None, j)
-      case Filter(c, j: Join) => (Some(c), j)
-      case Project(pl, j: Join)
-          if pl.forall(_.isInstanceOf[AttributeReference]) => (None, j)
-      case Project(pl, Filter(c, j: Join))
-          if pl.forall(_.isInstanceOf[AttributeReference]) => (Some(c), j)
-      case _ => return None
-    }
+    val (topJoin, amap, above) = peelJoin(agg.child).getOrElse(return None)
     val (topL, topR, cTop) = topJoin match {
       case Join(l, r, Inner, Some(c), _) => (l, r, c)
       case _ => return None
@@ -501,13 +574,12 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     val unwrapped = scans3.map(s => unwrap(s).getOrElse(return None))
     val roots = unwrapped.map { case (r, _) =>
       currentRoot(r).getOrElse(return None) }
-    val groupNames = groupingNames(agg).getOrElse(return None).toSet
     val output = unwrapped.flatMap(_._1.output)
     val pTop = keyPairOf(cTop, output).getOrElse(return None)
     val pInner = keyPairOf(cInner, output).getOrElse(return None)
     val keyNames = pTop ++ pInner
     val qConjuncts =
-      (unwrapped.flatMap(_._2) ++ innerWraps ++ above.toSeq)
+      (unwrapped.flatMap(_._2) ++ innerWraps ++ above)
         .flatMap(splitConjunctivePredicates)
         .filterNot {
           case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
@@ -519,14 +591,15 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
           roots.map(norm).toSet)
         .filter(d => Set(Set(d.joinLeft, d.joinMidLeft),
           Set(d.joinMidRight, d.joinRight)) == Set(pTop, pInner))
-        .filter(d => groupNames.subsetOf(d.groupCols.toSet))
-        .flatMap(d => filterResidual(d.filterSql, output, qConjuncts)
-          .filter(_.forall(_.references.forall(r => d.groupCols.contains(r.name))))
-          .map(res => (d, res)))
-        .filter { case (d, _) => Mv.join3RouteFresh(spark, mvRoot, d) }
-        .flatMap { case (d, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
-          d.minMaxCols, d.distinctCols, d.approxCols, res, Map.empty, output,
-          exact = groupNames == d.groupCols.toSet) }
+        .flatMap(d => groupedAs(agg, amap, output, d.groupCols).map(n => (d, n)))
+        .flatMap { case (d, names) => filterResidual(d.filterSql, output, qConjuncts)
+          .filter(residualAdmissible(_, d.groupCols))
+          .map(res => (d, names, res)) }
+        .filter { case (d, _, _) => Mv.join3RouteFresh(spark, mvRoot, d) }
+        .flatMap { case (d, names, res) => build(agg, mvRoot, d.groupCols, d.sumCols,
+          d.minMaxCols, d.distinctCols, d.approxCols, d.quantileCols,
+          res, amap, output,
+          exact = names.toSet == d.groupCols.map(Mv.groupStored).toSet) }
     }.nextOption()
   }
 
@@ -542,43 +615,54 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def build(agg: Aggregate, mvRoot: String, groupCols: Seq[String],
       sumCols: Seq[String], minMaxCols: Seq[String], distinctCols: Seq[String],
-      approxCols: Seq[String], residual: Seq[Expression],
+      approxCols: Seq[String], quantileCols: Seq[String],
+      residual: Seq[Expression],
       amap: Map[ExprId, Expression], baseOutput: Seq[Attribute],
       exact: Boolean): Option[LogicalPlan] = {
     val vs = Snapshots.versionsCached(spark, mvRoot)
     if (vs.isEmpty) return None
     val schema = Snapshots.schemaOf(spark, mvRoot, vs.last).getOrElse(return None)
-    val mvTable = new SnapshotTable(schema, mvRoot, Map.empty)
-    val mvRel = DataSourceV2Relation.create(mvTable, None, None,
-      new CaseInsensitiveStringMap(java.util.Map.of("root", mvRoot)))
-    val out: Map[String, AttributeReference] =
-      mvRel.output.map(a => a.name -> a).toMap
 
-    // the residual re-binds to the VIEW's own columns: a subexpression
-    // matching a TRANSFORM group (the engine's days/hours/... form over
-    // the source column) substitutes to the stored unit attribute — the
-    // unit IS the group key, so filtering view rows by it is exact (the
-    // time-windowed daily dashboard: `days(ts) >= N AND seg='X'`) —
-    // and every remaining base attribute must be a plain group column
-    // (stored verbatim, same name, same type); anything else declines,
-    // including predicates on the RAW time column (ts is not constant
-    // within a day group, only its unit is)
-    val residualMapped = residual.map(_.transformDown {
-      case e if transformGroupOf(e, baseOutput, groupCols).isDefined =>
-        val s = transformGroupOf(e, baseOutput, groupCols).get
-        out.get(s).filter(_.dataType == e.dataType).getOrElse(return None)
-    })
-    val viewAttrIds = out.values.map(_.exprId).toSet
-    if (!residualMapped.forall(_.references.forall(r =>
-        viewAttrIds.contains(r.exprId) ||
-          (groupCols.contains(r.name) &&
-            out.get(r.name).exists(_.dataType == r.dataType))))) return None
-    val residualBound = residualMapped.map(_.transform {
-      case a: AttributeReference if !viewAttrIds.contains(a.exprId) => out(a.name)
-    })
-    val source: LogicalPlan =
-      if (residualBound.isEmpty) mvRel
-      else Filter(residualBound.reduce(And), mvRel)
+    /** A FRESH scan instance of the view with the residual re-bound to
+      * ITS columns and applied as a Filter (fresh attribute ids per
+      * call, so a companion-side second instance never collides with
+      * the primary). The residual re-binds to the VIEW's own columns: a
+      * subexpression matching a TRANSFORM group (the engine's
+      * days/hours/... form over the source column) substitutes to the
+      * stored unit attribute — the unit IS the group key, so filtering
+      * view rows by it is exact (the time-windowed daily dashboard:
+      * `days(ts) >= N AND seg='X'`) — and every remaining base
+      * attribute must be a plain group column (stored verbatim, same
+      * name, same type); anything else declines, including predicates
+      * on the RAW time column (ts is not constant within a day group,
+      * only its unit is).
+      */
+    def viewSource(): Option[(LogicalPlan, Map[String, AttributeReference])] = {
+      val mvTable = new SnapshotTable(schema, mvRoot, Map.empty)
+      val mvRel = DataSourceV2Relation.create(mvTable, None, None,
+        new CaseInsensitiveStringMap(java.util.Map.of("root", mvRoot)))
+      val out: Map[String, AttributeReference] =
+        mvRel.output.map(a => a.name -> a).toMap
+      val viewAttrIds = out.values.map(_.exprId).toSet
+      val residualMapped = residual.map(_.transformDown {
+        case e if transformGroupOf(e, baseOutput, groupCols).isDefined =>
+          val s = transformGroupOf(e, baseOutput, groupCols).get
+          out.get(s).filter(_.dataType == e.dataType).getOrElse(return None)
+      })
+      if (!residualMapped.forall(_.references.forall(r =>
+          viewAttrIds.contains(r.exprId) ||
+            (groupCols.contains(r.name) &&
+              out.get(r.name).exists(_.dataType == r.dataType))))) return None
+      val residualBound = residualMapped.map(_.transform {
+        case a: AttributeReference if !viewAttrIds.contains(a.exprId) => out(a.name)
+      })
+      val src: LogicalPlan =
+        if (residualBound.isEmpty) mvRel
+        else Filter(residualBound.reduce(And), mvRel)
+      Some((src, out))
+    }
+
+    val (source, out) = viewSource().getOrElse(return None)
 
     def typed(name: String, dt: DataType): Option[Expression] =
       out.get(name).filter(_.dataType == dt)
@@ -650,10 +734,15 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
             // error bounds (that is what approx_count_distinct MEANS),
             // and unlike exact nd the sketches UNION, so even rollup
             // groupings route. Default-rsd calls only; an explicit
-            // precision request keeps its own estimator.
+            // precision request keeps its own estimator. Because this
+            // is an ESTIMATOR SWAP (the one rewrite whose VALUE is
+            // registration-dependent, not merely its plan), it is
+            // conf-gated: `spark.graft.mv.routeApprox=false` pins
+            // plan-invariant results, every exact rewrite unaffected.
             case a: AttributeReference
                 if !isDistinct && plain(a) && approxCols.contains(a.name) &&
-                  hll.relativeSD == 0.05 && ne.dataType == LongType =>
+                  hll.relativeSD == 0.05 && ne.dataType == LongType &&
+                  spark.conf.get("spark.graft.mv.routeApprox", "true").toBoolean =>
               val h = out.get(s"hll_${a.name}")
                 .filter(_.dataType == org.apache.spark.sql.types.BinaryType)
               // approx over nothing is 0, never NULL (an empty-base
@@ -662,6 +751,55 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
                 Coalesce(Seq(HllSketchEstimate(x), Literal(0L))))
               else h.map(x => Coalesce(Seq(HllSketchEstimate(
                 new HllUnionAgg(x, false).toAggregateExpression()), Literal(0L))))
+            case _ => None
+          }
+          case ap: ApproximatePercentile => ap.child match {
+            // the KLL sibling of the HLL arm — the same estimator-swap
+            // contract (t-digest-style default-accuracy approx_percentile
+            // answered by the view's KLL sketch: rank error for rank
+            // error, both published), the same conf gate. Scalar literal
+            // percentage + default accuracy only; the get-quantile and
+            // the sketch are per-type, so the mapping is type-exact by
+            // construction. Rollups route through a sketch MERGE.
+            case a: AttributeReference
+                if !isDistinct && plain(a) && quantileCols.contains(a.name) &&
+                  spark.conf.get("spark.graft.mv.routeApprox", "true").toBoolean =>
+              val defaultAcc = ap.accuracyExpression match {
+                case Literal(v, _) =>
+                  v == ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY ||
+                    v == ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY.toLong
+                case _ => false
+              }
+              val pct = ap.percentageExpression match {
+                case l @ Literal(_, DoubleType) => Some(l)
+                case _ => None
+              }
+              if (!defaultAcc) None
+              else for {
+                pLit <- pct
+                sk <- out.get(s"kll_${a.name}")
+                  .filter(_.dataType == org.apache.spark.sql.types.BinaryType)
+                merged <- a.dataType match {
+                  case DoubleType => Some(
+                    if (exact) sk: Expression
+                    else KllMergeAggDouble(sk).toAggregateExpression())
+                  case org.apache.spark.sql.types.FloatType => Some(
+                    if (exact) sk: Expression
+                    else KllMergeAggFloat(sk).toAggregateExpression())
+                  case LongType => Some(
+                    if (exact) sk: Expression
+                    else KllMergeAggBigint(sk).toAggregateExpression())
+                  case _ => None
+                }
+                q <- (a.dataType match {
+                  case DoubleType => Some(KllSketchGetQuantileDouble(merged, pLit))
+                  case org.apache.spark.sql.types.FloatType =>
+                    Some(KllSketchGetQuantileFloat(merged, pLit))
+                  case LongType => Some(KllSketchGetQuantileBigint(merged, pLit))
+                  case _ => None
+                }): Option[Expression]
+                typeExact <- Some(q).filter(_.dataType == ne.dataType)
+              } yield typeExact
             case _ => None
           }
           case _ => None
@@ -677,24 +815,122 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => None
     }
 
-    val mapped = agg.aggregateExpressions.map(ne => map(ne) match {
-      case Some(e) => (ne, e)
-      case None => return None
-    })
-    val projList = mapped.map { case (ne, e) =>
-      // parquet reads counts back nullable; the original aggregate
-      // guaranteed non-null — re-assert, so parent plans keep the
-      // nullability they were resolved under
-      val adjusted =
-        if (!ne.toAttribute.nullable && e.nullable) KnownNotNull(e) else e
-      Alias(adjusted, ne.name)(exprId = ne.exprId)
-    }
-    if (exact) Some(Project(projList, source))
-    else {
+    // parquet reads counts back nullable; the original aggregate
+    // guaranteed non-null — re-assert, so parent plans keep the
+    // nullability they were resolved under
+    def adjust(ne: NamedExpression, e: Expression): Expression =
+      if (!ne.toAttribute.nullable && e.nullable) KnownNotNull(e) else e
+
+    // ROLLUP count(DISTINCT c): not answerable from the view's own rows
+    // (distinct values are not summable across groups), but the `_dv/<c>`
+    // COMPANION stores one row per (group, value) with a VALUE digest —
+    // handled below by joining the companion, never by [[map]]
+    val companionOf: Map[ExprId, String] =
+      if (exact) Map.empty
+      else agg.aggregateExpressions.collect {
+        case ne @ Alias(AggregateExpression(
+            Count(Seq(a: AttributeReference)), _, true, None, _), _)
+            if plain(a) && distinctCols.contains(a.name) =>
+          ne.exprId -> a.name
+      }.toMap
+
+    val mapped: Seq[(NamedExpression, Option[Expression])] =
+      agg.aggregateExpressions.map { ne =>
+        if (companionOf.contains(ne.exprId)) (ne, None)
+        else map(ne) match {
+          case Some(e) => (ne, Some(e))
+          case None => return None
+        }
+      }
+
+    if (companionOf.isEmpty) {
+      val projList = mapped.map { case (ne, e) =>
+        Alias(adjust(ne, e.get), ne.name)(exprId = ne.exprId) }
+      if (exact) Some(Project(projList, source))
+      else {
+        val grouping = agg.groupingExpressions.map(ge =>
+          storedGroupOf(ge, amap, baseOutput, groupCols)
+            .flatMap(out.get).getOrElse(return None))
+        Some(Aggregate(grouping, projList, source))
+      }
+    } else {
+      // EXACT ROLLUP count(DISTINCT) via the companion: per query group,
+      // the distinct values are `count(DISTINCT __vd)` over the
+      // companion rows of the groups the rollup covers — view ⋈
+      // companion on the group digest carries the group COLUMNS to the
+      // companion's rows, the re-grouped distinct count reads
+      // O(companion rows), never the base. Assembled as
+      //   Project(original outputs,
+      //     LeftOuter(core re-aggregation over the view,
+      //               one distinct-count aggregate per companion))
+      // — LeftOuter + Coalesce(0) because a group whose values are all
+      // NULL has view rows but no companion rows (its distinct count is
+      // 0, exactly count(DISTINCT)'s NULL semantics). Gates: each
+      // companion must exist, be AT the view's own watermark (they
+      // commit in lockstep; a crash window shows as a mismatch), and
+      // carry the `__vd` value digest (pre-`__vd` companions decline —
+      // their (group,value) digest cannot dedup values ACROSS groups).
+      val needed = companionOf.values.toSeq.distinct
+      val mvBatch = Snapshots.lastBatchIdCached(spark, mvRoot)
+      if (mvBatch.isEmpty) return None
       val grouping = agg.groupingExpressions.map(ge =>
         storedGroupOf(ge, amap, baseOutput, groupCols)
           .flatMap(out.get).getOrElse(return None))
-      Some(Aggregate(grouping, projList, source))
+      val coreAliases: Map[ExprId, Alias] = mapped.collect {
+        case (ne, Some(e)) => ne.exprId -> Alias(adjust(ne, e), ne.name)(exprId = ne.exprId)
+      }.toMap
+      // the core side: every non-distinct output plus the grouping
+      // attributes the companion joins key on; a bare GLOBAL
+      // count(DISTINCT) needs neither — one anchor row (the global
+      // aggregate's always-one-row contract) carries the join
+      var plan: LogicalPlan =
+        if (coreAliases.isEmpty && grouping.isEmpty) OneRowRelation()
+        else Aggregate(grouping, coreAliases.values.toSeq ++ grouping, source)
+      val ndAttrOf: Map[String, Attribute] = needed.map { c =>
+        val compRoot = Mv.dvRoot(mvRoot, c)
+        val cvs = Snapshots.versionsCached(spark, compRoot)
+        if (cvs.isEmpty) return None
+        if (Snapshots.lastBatchIdCached(spark, compRoot) != mvBatch) return None
+        val cSchema = Snapshots.schemaOf(spark, compRoot, cvs.last)
+          .getOrElse(return None)
+        val (src2, out2) = viewSource().getOrElse(return None)
+        val grouping2 = agg.groupingExpressions.map(ge =>
+          storedGroupOf(ge, amap, baseOutput, groupCols)
+            .flatMap(out2.get).getOrElse(return None))
+        val dvTable = new SnapshotTable(cSchema, compRoot, Map.empty)
+        val dvRel = DataSourceV2Relation.create(dvTable, None, None,
+          new CaseInsensitiveStringMap(java.util.Map.of("root", compRoot)))
+        val dvOut = dvRel.output.map(a => a.name -> a).toMap
+        def typedDv(n: String, dt: DataType): Option[AttributeReference] =
+          dvOut.get(n).filter(_.dataType == dt)
+        val gk2 = out2.get("__gk").filter(_.dataType == StringType)
+          .getOrElse(return None)
+        val dgk = typedDv("__gk", StringType).getOrElse(return None)
+        val dvd = typedDv("__vd", StringType).getOrElse(return None)
+        val dvc = typedDv("vcount", LongType).getOrElse(return None)
+        val joined = Join(src2,
+          Filter(GreaterThan(dvc, Literal(0L)), dvRel),
+          Inner, Some(EqualTo(gk2, dgk)), JoinHint.NONE)
+        val ndAlias = Alias(
+          Count(Seq(dvd)).toAggregateExpression(isDistinct = true), s"__ndq_$c")()
+        val dc = Aggregate(grouping2, grouping2 :+ ndAlias, joined)
+        val cond =
+          if (grouping.isEmpty) None
+          else Some(grouping.zip(grouping2)
+            .map { case (a, b) => EqualNullSafe(a, b): Expression }.reduce(And))
+        plan = Join(plan, dc, LeftOuter, cond, JoinHint.NONE)
+        c -> ndAlias.toAttribute
+      }.toMap
+      val finalList: Seq[NamedExpression] = mapped.map { case (ne, _) =>
+        companionOf.get(ne.exprId) match {
+          case Some(c) =>
+            val e = Coalesce(Seq(ndAttrOf(c), Literal(0L)))
+            if (ne.dataType != e.dataType) return None
+            Alias(adjust(ne, e), ne.name)(exprId = ne.exprId)
+          case None => coreAliases(ne.exprId).toAttribute
+        }
+      }
+      Some(Project(finalList, plan))
     }
   }
 }

@@ -478,10 +478,12 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       "key_columns" -> StringType, "group_columns" -> StringType,
       "sum_columns" -> StringType, "buckets" -> IntegerType,
       "min_max_columns" -> StringType, "distinct_columns" -> StringType,
-      "where_clause" -> StringType, "approx_distinct_columns" -> StringType),
+      "where_clause" -> StringType, "approx_distinct_columns" -> StringType,
+      "approx_quantile_columns" -> StringType),
       StructType(Seq(StructField("version", IntegerType, nullable = false))),
       defaults = Map("min_max_columns" -> "''", "distinct_columns" -> "''",
-        "where_clause" -> "''", "approx_distinct_columns" -> "''")) { in =>
+        "where_clause" -> "''", "approx_distinct_columns" -> "''",
+        "approx_quantile_columns" -> "''")) { in =>
       def cols(i: Int): Seq[String] =
         str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val viewRoot = // the view does not exist yet: segment rules only
@@ -493,7 +495,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         cols(2), cols(3), cols(4), mvBuckets = in.getInt(5),
         minMaxCols = cols(6), distinctCols = cols(7),
         where = Some(str(in, 8).trim).filter(_.nonEmpty),
-        approxDistinctCols = cols(9)): Any))
+        approxDistinctCols = cols(9), approxQuantileCols = cols(10)): Any))
     },
     // the grouped count/sum over TWO co-clustered snapshot tables (the
     // star shape — hash buckets with one shared count, or a time
@@ -508,10 +510,12 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       "group_columns" -> StringType, "sum_columns" -> StringType,
       "buckets" -> IntegerType, "min_max_columns" -> StringType,
       "distinct_columns" -> StringType, "where_clause" -> StringType,
-      "approx_distinct_columns" -> StringType),
+      "approx_distinct_columns" -> StringType,
+      "approx_quantile_columns" -> StringType),
       StructType(Seq(StructField("version", IntegerType, nullable = false))),
       defaults = Map("min_max_columns" -> "''", "distinct_columns" -> "''",
-        "where_clause" -> "''", "approx_distinct_columns" -> "''")) { in =>
+        "where_clause" -> "''", "approx_distinct_columns" -> "''",
+        "approx_quantile_columns" -> "''")) { in =>
       def cols(i: Int): Seq[String] =
         str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val viewRoot =
@@ -523,7 +527,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         cols(7), cols(8), mvBuckets = in.getInt(9),
         minMaxCols = cols(10), distinctCols = cols(11),
         where = Some(str(in, 12).trim).filter(_.nonEmpty),
-        approxDistinctCols = cols(13)): Any))
+        approxDistinctCols = cols(13), approxQuantileCols = cols(14)): Any))
     },
     // the TRILINEAR star (left dim - fact - right dim) from plain SQL —
     // see operators.Mv.createJoin3 for the contract (each base clustered
@@ -536,10 +540,12 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       "group_columns" -> StringType, "sum_columns" -> StringType,
       "buckets" -> IntegerType, "min_max_columns" -> StringType,
       "distinct_columns" -> StringType, "where_clause" -> StringType,
-      "approx_distinct_columns" -> StringType),
+      "approx_distinct_columns" -> StringType,
+      "approx_quantile_columns" -> StringType),
       StructType(Seq(StructField("version", IntegerType, nullable = false))),
       defaults = Map("min_max_columns" -> "''", "distinct_columns" -> "''",
-        "where_clause" -> "''", "approx_distinct_columns" -> "''")) { in =>
+        "where_clause" -> "''", "approx_distinct_columns" -> "''",
+        "approx_quantile_columns" -> "''")) { in =>
       def cols(i: Int): Seq[String] =
         str(in, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val viewRoot =
@@ -552,7 +558,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
         cols(11), cols(12), mvBuckets = in.getInt(13),
         minMaxCols = cols(14), distinctCols = cols(15),
         where = Some(str(in, 16).trim).filter(_.nonEmpty),
-        approxDistinctCols = cols(17)): Any))
+        approxDistinctCols = cols(17), approxQuantileCols = cols(18)): Any))
     },
     // whole-view retention: expire/vacuum the MV AND its distinct-count
     // companions together — a refresh writes one version per table per

@@ -146,15 +146,261 @@ class MvRouteSpec extends AnyFunSuite {
       assert(rows(byG) === wantG)
       assert(planOf(global).contains(mv), planOf(global))
       assert(rows(global) === wantAll)
-      // count(DISTINCT) does not roll up — subset grouping bypasses
-      assert(!planOf(dsv2(b).groupBy("g").agg(countDistinct(col("c"))))
-        .contains(mv))
-      // ...but answers at exact grouping
-      assert(planOf(dsv2(b).groupBy("g", "h").agg(countDistinct(col("c"))))
-        .contains(mv))
+      // count(DISTINCT) at SUBSET grouping is not summable from the
+      // view's rows — it routes via the COMPANION instead:
+      // count(DISTINCT __vd) over view ⋈ _dv/c, never the base
+      def ndRoll = dsv2(b).groupBy("g").agg(countDistinct(col("c")).as("nd"),
+        count(lit(1)).as("n"), sum("v").as("s"))
+      assert(planOf(ndRoll).contains(mv), planOf(ndRoll))
+      assert(planOf(ndRoll).contains(s"graft-snapshot($m/_dv/c)"), planOf(ndRoll))
+      assert(!planOf(ndRoll).contains(s"graft-snapshot($b)"), planOf(ndRoll))
+      assert(rows(ndRoll) === Set(Seq("a", 2L, 3L, 70L), Seq("b", 2L, 2L, 30L)))
+      // the GLOBAL distinct rollup routes the same way
+      def ndAll = dsv2(b).agg(countDistinct(col("c")).as("nd"))
+      assert(planOf(ndAll).contains(s"graft-snapshot($m/_dv/c)"), planOf(ndAll))
+      assert(!planOf(ndAll).contains(s"graft-snapshot($b)"))
+      assert(rows(ndAll) === Set(Seq(3L)))
+      // ...and exact grouping keeps reading the stored nd column — no
+      // companion scan in the plan
+      def ndExact = dsv2(b).groupBy("g", "h").agg(countDistinct(col("c")).as("nd"))
+      assert(planOf(ndExact).contains(mv), planOf(ndExact))
+      assert(!planOf(ndExact).contains("_dv/"), planOf(ndExact))
       // a non-group column in the rollup grouping bypasses
       assert(!planOf(dsv2(b).groupBy("c").agg(sum("v"))).contains(mv))
     } finally Mv.unregister(spark, m)
+  }
+
+  test("rollup count(DISTINCT) without a companion bypasses; all-NULL groups report 0") {
+    import spark.implicits._
+    val b = s"$wh/rnd1"; val m = s"$wh/rnd2"
+    // v is summed but NOT distinct-maintained — no companion exists, so
+    // the rollup distinct must keep its original plan
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L, 1L), (2L, "a", 20L, 2L), (3L, "b", 30L, 3L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+    Mv.register(spark, m)
+    try {
+      assert(!planOf(dsv2(b).agg(countDistinct(col("v")))).contains(
+        s"graft-snapshot($m)"))
+    } finally Mv.unregister(spark, m)
+    // an all-NULL-valued group has view rows but NO companion rows: the
+    // LeftOuter + Coalesce must report 0, exactly count(DISTINCT)'s
+    // NULL semantics — and a group with values reports beside it
+    val b2 = s"$wh/rnd3"; val m2 = s"$wh/rnd4"
+    Snapshots.publish(spark, b2,
+      Seq[(Long, String, String, java.lang.Long)](
+        (1L, "a", "x", null), (2L, "a", "y", null), (3L, "b", "x", 7L))
+        .toDF("k", "g", "h", "c"))
+    Mv.create(spark, m2, b2, Seq("k"), Seq("g", "h"), Nil, mvBuckets = 4,
+      distinctCols = Seq("c"))
+    Mv.register(spark, m2)
+    try {
+      def q = dsv2(b2).groupBy("g").agg(countDistinct(col("c")).as("nd"))
+      assert(planOf(q).contains(s"graft-snapshot($m2/_dv/c)"), planOf(q))
+      assert(rows(q) === Set(Seq("a", 0L), Seq("b", 1L)))
+    } finally Mv.unregister(spark, m2)
+  }
+
+  test("rollup count(DISTINCT) via the companion dedups values ACROSS groups") {
+    import spark.implicits._
+    val b = s"$wh/rnd5"; val m = s"$wh/rnd6"
+    // the same value appears under BOTH h-groups of g='a': a per-group
+    // digest (the companion's merge key) would count it twice — only
+    // the value digest dedups it to 1
+    Snapshots.publish(spark, b,
+      Seq[(Long, String, String, Long)](
+        (1L, "a", "x", 42L), (2L, "a", "y", 42L), (3L, "a", "y", 43L),
+        (4L, "b", "x", 42L))
+        .toDF("k", "g", "h", "c"))
+    Mv.create(spark, m, b, Seq("k"), Seq("g", "h"), Nil, mvBuckets = 4,
+      distinctCols = Seq("c"))
+    Mv.register(spark, m)
+    try {
+      def q = dsv2(b).groupBy("g").agg(countDistinct(col("c")).as("nd"))
+      assert(planOf(q).contains(s"graft-snapshot($m/_dv/c)"), planOf(q))
+      assert(rows(q) === Set(Seq("a", 2L), Seq("b", 1L)))
+      // ...and stays exact through a refresh that retracts a value
+      Snapshots.mergeByKey(spark, b,
+        Seq((2L, "a", "y", 42L, true), (5L, "b", "y", 44L, false))
+          .toDF("k", "g", "h", "c", "__del"),
+        Seq("k"), tombstoneCol = Some("__del"))
+      Mv.refresh(spark, m)
+      assert(planOf(q).contains(s"graft-snapshot($m/_dv/c)"), planOf(q))
+      assert(rows(q) === Set(Seq("a", 2L), Seq("b", 2L)))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("a non-deterministic residual conjunct declines the route") {
+    val b = s"$wh/rdet1"; val m = s"$wh/rdet2"
+    Snapshots.publish(spark, b, base(Seq(
+      (1L, "a", 10L, 1L), (2L, "b", 20L, 2L))))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+    Mv.register(spark, m)
+    try {
+      // rand() references no columns, so the reference check alone is
+      // vacuously satisfied — but the predicate evaluates once per base
+      // ROW unrouted and once per view GROUP routed; it must bypass.
+      // (0.5, not a tautological bound — the optimizer knows rand's
+      // range and folds `rand < 2` away entirely)
+      def q = dsv2(b).where(rand(7) < 0.5).groupBy("g").agg(sum("v").as("s"))
+      assert(!planOf(q).contains(s"graft-snapshot($m)"), planOf(q))
+      // the deterministic control still routes
+      assert(planOf(dsv2(b).where("g = 'a'").groupBy("g").agg(sum("v").as("s")))
+        .contains(s"graft-snapshot($m)"))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("range implication: a tighter literal bound routes with the bound as residual") {
+    import spark.implicits._
+    val b = s"$wh/rri1"; val m = s"$wh/rri2"; val m2 = s"$wh/rri3"
+    Snapshots.publish(spark, b,
+      Seq[(Long, Long, String, Long)](
+        (1L, 50L, "a", 10L), (2L, 100L, "a", 20L), (3L, 150L, "a", 30L),
+        (4L, 200L, "b", 40L))
+        .toDF("k", "d", "g", "v"))
+    Mv.create(spark, m, b, Seq("k"), Seq("d", "g"), Seq("v"), mvBuckets = 4,
+      where = Some("d >= 100"))
+    val mv = s"graft-snapshot($m)"
+    Mv.register(spark, m)
+    try {
+      // query bound tighter than the view's bar on the same group
+      // column: `d >= 150` implies `d >= 100`, rides as residual
+      def tight = dsv2(b).where("d >= 150").groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(tight).contains(mv), planOf(tight))
+      assert(!planOf(tight).contains(s"graft-snapshot($b)"))
+      assert(rows(tight) === Set(Seq("a", 30L), Seq("b", 40L)))
+      // a STRICT tighter bound implies the non-strict bar too
+      def strict = dsv2(b).where("d > 100").groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(strict).contains(mv), planOf(strict))
+      assert(rows(strict) === Set(Seq("a", 30L), Seq("b", 40L)))
+      // ...and composes with a group-column drill-down conjunct
+      def drill = dsv2(b).where("d >= 150 AND g = 'a'")
+        .groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(drill).contains(mv), planOf(drill))
+      assert(rows(drill) === Set(Seq("a", 30L)))
+      // a LOOSER bound wants rows the view dropped — bypass
+      def loose = dsv2(b).where("d >= 50").groupBy("g").agg(sum("v").as("s"))
+      assert(!planOf(loose).contains(mv), planOf(loose))
+      assert(rows(loose) === Set(Seq("a", 60L), Seq("b", 40L)))
+      // a bound on a DIFFERENT column never implies
+      assert(!planOf(dsv2(b).where("v >= 100").groupBy("g").agg(sum("v")))
+        .contains(mv))
+      // a non-literal bound never implies
+      assert(!planOf(dsv2(b).where(col("d") >= col("k") + 100)
+        .groupBy("g").agg(sum("v"))).contains(mv))
+    } finally Mv.unregister(spark, m)
+    // the UPPER-bound shapes: view barred at `d <= 150`
+    Mv.create(spark, m2, b, Seq("k"), Seq("d", "g"), Seq("v"), mvBuckets = 4,
+      where = Some("d <= 150"))
+    Mv.register(spark, m2)
+    try {
+      def lt = dsv2(b).where("d < 120").groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(lt).contains(s"graft-snapshot($m2)"), planOf(lt))
+      assert(rows(lt) === Set(Seq("a", 30L)))
+      // `d <= 150` does NOT imply a view barred `d < 150` — but here the
+      // view's bar is non-strict, so the equal bound matches verbatim
+      // and the LOOSER `d <= 200` still bypasses
+      assert(!planOf(dsv2(b).where("d <= 200").groupBy("g").agg(sum("v")))
+        .contains(s"graft-snapshot($m2)"))
+    } finally Mv.unregister(spark, m2)
+  }
+
+  test("join-MV time-unit grouping: the star daily rollup routes to a days(ts) view") {
+    import spark.implicits._
+    val f = s"$wh/rjt_f"; val dm = s"$wh/rjt_d"; val m = s"$wh/rjt_m"
+    Snapshots.publish(spark, f,
+      Seq((1L, 10L, "2024-03-01 01:00:00", 100L), (2L, 10L, "2024-03-02 05:00:00", 200L),
+        (3L, 11L, "2024-03-01 09:00:00", 300L))
+        .toDF("k", "ck", "ts", "cents").withColumn("ts", to_timestamp(col("ts"))),
+      clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, dm, Seq((10L, "a"), (11L, "b")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg", "days(ts)"), Seq("cents"), mvBuckets = 4)
+    val mv = s"graft-snapshot($m)"
+    Mv.register(spark, m)
+    try {
+      // exact grouping: (seg, the engine's days transform over the
+      // FACT's time column) — the pulled-out grouping Project sits
+      // above the join; the matcher resolves through it
+      def q = dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+        .groupBy(col("seg"), Mv.timeGroup("days", "ts").as("d"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      assert(planOf(q).contains(mv), planOf(q))
+      assert(!planOf(q).contains(s"graft-snapshot($f)"), planOf(q))
+      assert(rows(q) === Set(Seq("a", 19783, 1L, 100L), Seq("a", 19784, 1L, 200L),
+        Seq("b", 19783, 1L, 300L)))
+      // rollup to the day alone, and to the dim column alone
+      def byDay = dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+        .groupBy(Mv.timeGroup("days", "ts").as("d")).agg(sum("cents").as("s"))
+      assert(planOf(byDay).contains(mv), planOf(byDay))
+      assert(rows(byDay) === Set(Seq(19783, 400L), Seq(19784, 200L)))
+      assert(planOf(dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+        .groupBy("seg").agg(sum("cents").as("s"))).contains(mv))
+      // the time-windowed drill-down: a residual over the UNIT routes
+      def drill = dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+        .where(Mv.timeGroup("days", "ts") >= lit(19784))
+        .groupBy(col("seg"), Mv.timeGroup("days", "ts").as("d"))
+        .agg(sum("cents").as("s"))
+      assert(planOf(drill).contains(mv), planOf(drill))
+      assert(rows(drill) === Set(Seq("a", 19784, 200L)))
+      // a RAW time predicate bypasses (ts is not constant within a day)
+      assert(!planOf(dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+        .where(col("ts") >= lit("2024-03-02 00:00:00"))
+        .groupBy(Mv.timeGroup("days", "ts")).agg(sum("cents").as("s")))
+        .contains(mv))
+      // maintenance from the FACT feed moves a row ACROSS days; the
+      // stale pair bypasses, the refreshed view routes the new truth
+      Snapshots.mergeByKey(spark, f,
+        Seq((2L, 10L, "2024-03-03 02:00:00", 250L)).toDF("k", "ck", "ts", "cents")
+          .withColumn("ts", to_timestamp(col("ts")))
+          .withColumn("__del", lit(false)),
+        Seq("k"), tombstoneCol = Some("__del"))
+      assert(!planOf(q).contains(mv), "a stale pair must never answer")
+      Mv.refreshJoin(spark, m)
+      assert(planOf(q).contains(mv), planOf(q))
+      assert(rows(q) === Set(Seq("a", 19783, 1L, 100L), Seq("a", 19785, 1L, 250L),
+        Seq("b", 19783, 1L, 300L)))
+      // ...and from the DIM feed (a relabel moves whole groups)
+      Snapshots.mergeByKey(spark, dm,
+        Seq((11L, "c", false)).toDF("ck2", "seg", "__del"),
+        Seq("ck2"), tombstoneCol = Some("__del"))
+      Mv.refreshJoin(spark, m)
+      assert(rows(q).contains(Seq("c", 19783, 1L, 300L)))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("frozen directory mtimes: publish still flips plan-time freshness") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set("fs.graftfroz.impl",
+      classOf[graft.sources.FrozenMtimeFileSystem].getName)
+    def flipTest(tag: String, frozenAt: Long): Unit = {
+      graft.sources.FrozenMtimeFileSystem.mtime = frozenAt
+      val b = s"graftfroz://$wh/fz_b_$tag"; val m = s"graftfroz://$wh/fz_m_$tag"
+      Snapshots.publish(spark, b, base(Seq((1L, "a", 10L, 1L), (2L, "b", 20L, 2L))))
+      Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+      Mv.register(spark, m)
+      try {
+        def q = dsv2(b).groupBy("g").agg(sum("v").as("s"))
+        // plan twice so any cacheable stamp IS cached before the publish
+        assert(planOf(q).contains(s"graft-snapshot($m)"))
+        assert(planOf(q).contains(s"graft-snapshot($m)"))
+        Snapshots.mergeByKey(spark, b,
+          Seq((1L, "a", 99L, 1L)).toDF("k", "g", "v", "c")
+            .withColumn("__del", lit(false)),
+          Seq("k"), tombstoneCol = Some("__del"))
+        // the dir stamp did NOT move — a stamp-keyed cache would serve
+        // the pre-publish listing and keep routing to the stale view
+        assert(!planOf(q).contains(s"graft-snapshot($m)"),
+          s"[$tag] a publish under constant dir mtimes must still flip freshness")
+        assert(rows(q).contains(Seq("a", 99L)))
+      } finally Mv.unregister(spark, m)
+    }
+    // mtime 0: the "store keeps no dir stamps" shape — never cached
+    flipTest("zero", 0L)
+    // a constant NONZERO old stamp: cacheable, so only the publish-side
+    // invalidation can flip same-driver freshness
+    flipTest("const", 1000000L)
   }
 
   test("filtered-view routing: a semantically equal predicate answers, others bypass") {
@@ -449,6 +695,54 @@ class MvRouteSpec extends AnyFunSuite {
       // an explicit non-default precision keeps its own estimator
       assert(!planOf(dsv2(b).groupBy("g")
         .agg(approx_count_distinct(col("v"), 0.01))).contains(mv))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("approx_percentile routes to the KLL sketch; the conf gate pins plan-invariance") {
+    import spark.implicits._
+    val b = s"$wh/rkq1"; val m = s"$wh/rkq2"
+    Snapshots.publish(spark, b,
+      Seq[(Long, String, String, Long)](
+        (1L, "a", "x", 10L), (2L, "a", "x", 20L), (3L, "a", "y", 30L),
+        (4L, "b", "x", 40L), (5L, "b", "y", 50L), (6L, "b", "y", 60L))
+        .toDF("k", "g", "h", "v"))
+    Mv.create(spark, m, b, Seq("k"), Seq("g", "h"), Nil, mvBuckets = 4,
+      approxDistinctCols = Seq("v"), approxQuantileCols = Seq("v"))
+    val mv = s"graft-snapshot($m)"
+    Mv.register(spark, m)
+    try {
+      // exact grouping: the stored sketch answers directly — and at
+      // these sizes BOTH estimators sit in their exact regime, so the
+      // routed values equal the unrouted ones outright
+      def qx = dsv2(b).groupBy("g", "h")
+        .agg(expr("approx_percentile(v, 0.5D)").as("p50"))
+      assert(planOf(qx).contains(mv), planOf(qx))
+      assert(rows(qx) === Set(Seq("a", "x", 10L), Seq("a", "y", 30L),
+        Seq("b", "x", 40L), Seq("b", "y", 50L)))
+      // rollup: sketches MERGE across rolled-away groups
+      def qr = dsv2(b).groupBy("g")
+        .agg(expr("approx_percentile(v, 0.5D)").as("p50"))
+      assert(planOf(qr).contains(mv), planOf(qr))
+      assert(rows(qr) === Set(Seq("a", 20L), Seq("b", 50L)))
+      // an explicit non-default accuracy keeps its own estimator; so
+      // does the EXACT percentile and the array-percentage form
+      assert(!planOf(dsv2(b).groupBy("g")
+        .agg(expr("approx_percentile(v, 0.5D, 500)"))).contains(mv))
+      assert(!planOf(dsv2(b).groupBy("g")
+        .agg(expr("percentile(v, 0.5D)"))).contains(mv))
+      assert(!planOf(dsv2(b).groupBy("g")
+        .agg(expr("approx_percentile(v, array(0.5D, 0.9D))"))).contains(mv))
+      // the conf gate turns OFF both estimator-swap arms (quantile AND
+      // approx-distinct) without touching exact rewrites
+      spark.conf.set("spark.graft.mv.routeApprox", "false")
+      try {
+        assert(!planOf(qr).contains(mv), planOf(qr))
+        assert(!planOf(dsv2(b).groupBy("g")
+          .agg(approx_count_distinct("v").as("nd"))).contains(mv))
+        assert(planOf(dsv2(b).groupBy("g", "h").agg(count(lit(1)).as("n")))
+          .contains(mv), "exact rewrites must survive the gate")
+      } finally spark.conf.set("spark.graft.mv.routeApprox", "true")
+      assert(planOf(qr).contains(mv))
     } finally Mv.unregister(spark, m)
   }
 

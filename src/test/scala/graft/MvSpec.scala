@@ -432,6 +432,92 @@ class MvSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("ONE layout"), e2.getMessage)
   }
 
+  test("join MV with a days(ts) GROUP spec maintains from either side; trilinear lifts too") {
+    import spark.implicits._
+    val f = s"$wh/jtg_f"; val dm = s"$wh/jtg_d"; val m = s"$wh/jtg_m"
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00")
+    // the star daily dashboard: bucket-co-clustered on the JOIN key, the
+    // view grouped by (dim column, days over the FACT's time column)
+    Snapshots.publish(spark, f,
+      Seq((1L, 10L, ts(1, 1), 100L), (2L, 10L, ts(2, 5), 200L),
+        (3L, 11L, ts(1, 9), 300L), (4L, 11L, ts(3, 2), 400L))
+        .toDF("k", "ck", "ts", "cents"),
+      clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, dm, Seq((10L, "a"), (11L, "b")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg", "days(ts)"), Seq("cents"), mvBuckets = 4,
+      minMaxCols = Seq("cents"))
+    def recompute: Set[Seq[Any]] = Snapshots.read(spark, f)
+      .join(Snapshots.read(spark, dm), col("ck") === col("ck2"))
+      .groupBy(col("seg"), Mv.timeGroup("days", "ts").as("days_ts"))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+        count(col("cents")).as("nn_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .collect().map(_.toSeq).toSet
+    def got: Set[Seq[Any]] = Mv.read(spark, m)
+      .select("seg", "days_ts", "n_rows", "sum_cents", "nn_cents",
+        "min_cents", "max_cents")
+      .collect().map(_.toSeq).toSet
+    assert(got === recompute)
+    // FACT feed: k=2 MOVES across days (the unit travels through the CDF
+    // as a group move), k=1 deletes (its day's min retracts → the
+    // recount tier), k=5 inserts a fresh (seg, day)
+    Snapshots.mergeByKey(spark, f,
+      Seq((2L, 10L, ts(4, 1), 250L, false), (5L, 11L, ts(4, 2), 500L, false),
+        (1L, 10L, ts(1, 1), 100L, true)).toDF("k", "ck", "ts", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    val r1 = Mv.refreshJoin(spark, m)
+    assert(r1.mode === "incremental", s"got $r1")
+    assert(r1.recountGroups > 0L, s"a deleted minimum must recount: $r1")
+    assert(got === recompute)
+    // DIM feed: a relabel moves every (seg, day) group of ck=11 wholesale
+    Snapshots.mergeByKey(spark, dm,
+      Seq((11L, "c", false)).toDF("ck2", "seg", "__del"),
+      keyCols = Seq("ck2"), tombstoneCol = Some("__del"))
+    val r2 = Mv.refreshJoin(spark, m)
+    assert(r2.mode === "incremental", s"got $r2")
+    assert(got === recompute)
+    assert(Mv.refreshJoin(spark, m).mode === "noop")
+    // contract: a non-time transform column refuses at create
+    val e1 = intercept[IllegalArgumentException](
+      Mv.createJoin(spark, s"$wh/jtg_x", f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+        Seq("days(cents)"), Seq("cents")))
+    assert(e1.getMessage.contains("date/timestamp"), e1.getMessage)
+    // TRILINEAR: the same spec lifts — days(ts) on the fact of a
+    // dim ⋈ fact ⋈ dim star maintains through the fact's feed
+    val l3 = s"$wh/jtg3_l"; val f3 = s"$wh/jtg3_f"
+    val r3 = s"$wh/jtg3_r"; val m3 = s"$wh/jtg3_m"
+    Snapshots.publish(spark, l3, Seq((10L, "a"), (11L, "b")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Snapshots.publish(spark, f3,
+      Seq((1L, 10L, 1L, ts(1, 1), 100L), (2L, 10L, 2L, ts(2, 1), 200L),
+        (3L, 11L, 1L, ts(2, 3), 300L))
+        .toDF("k", "ck", "prio", "ts", "cents"),
+      clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, r3, Seq((1L, "hi"), (2L, "lo")).toDF("pr", "plabel"),
+      clusterBy = Some("pr"))
+    Mv.createJoin3(spark, m3, l3, Seq("ck2"), "ck2", f3, Seq("k"), "ck", "prio",
+      r3, Seq("pr"), "pr", Seq("seg", "plabel", "days(ts)"), Seq("cents"),
+      mvBuckets = 4)
+    def rec3: Set[Seq[Any]] = Snapshots.read(spark, l3)
+      .join(Snapshots.read(spark, f3), col("ck2") === col("ck"))
+      .join(Snapshots.read(spark, r3), col("prio") === col("pr"))
+      .groupBy(col("seg"), col("plabel"), Mv.timeGroup("days", "ts").as("days_ts"))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .collect().map(_.toSeq).toSet
+    def got3: Set[Seq[Any]] = Mv.read(spark, m3)
+      .select("seg", "plabel", "days_ts", "n_rows", "sum_cents")
+      .collect().map(_.toSeq).toSet
+    assert(got3 === rec3)
+    Snapshots.mergeByKey(spark, f3,
+      Seq((2L, 10L, 2L, ts(5, 1), 250L, false))
+        .toDF("k", "ck", "prio", "ts", "cents", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    assert(Mv.refreshJoin3(spark, m3).mode === "incremental")
+    assert(got3 === rec3)
+  }
+
   test("join-MV refresh SURFACES probe degradation: flag flips on layout loss, resets after re-cluster") {
     import spark.implicits._
     val f = s"$wh/jf4"; val dm = s"$wh/jd4"; val m = s"$wh/jm4"
@@ -815,6 +901,49 @@ class MvSpec extends AnyFunSuite {
     // contract refusals: a float column and a group column both refuse
     assert(intercept[IllegalArgumentException](Mv.create(spark, s"$wh/axmx", b,
       Seq("k"), Seq("g"), Nil, approxDistinctCols = Seq("g")))
+      .getMessage.contains("group columns"))
+  }
+
+  test("approx-quantile sketches: exact merge on inserts, recount on retraction, typed contract") {
+    import spark.implicits._
+    val b = s"$wh/kqb1"; val m = s"$wh/kqm1"
+    Snapshots.publish(spark, b,
+      Seq[(Long, String, Long)]((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+        (4L, "b", 40L), (5L, "b", 50L)).toDF("k", "g", "v"))
+    Mv.create(spark, m, b, Seq("k"), Seq("g"), Nil, mvBuckets = 4,
+      approxQuantileCols = Seq("v"))
+    // below the sketch's k (200) nothing compacts: the sketch holds the
+    // EXACT value set, so its median is the exact order statistic — the
+    // equality pin that proves the maintenance algebra, not the bound
+    def p50: Map[String, Long] = Mv.read(spark, m)
+      .select(col("g"), kll_sketch_get_quantile_bigint(col("kll_v"), lit(0.5)).as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p50 === Map("a" -> 20L, "b" -> 40L))
+    // insert-only feed: stored ⊎ delta sketch == the sketch of the union
+    Snapshots.mergeByKey(spark, b,
+      Seq((6L, "a", 5L, false), (7L, "b", 60L, false)).toDF("k", "g", "v", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    val r1 = Mv.refresh(spark, m)
+    assert(r1.mode === "incremental" && r1.recountGroups === 0L, s"got $r1")
+    assert(p50 === Map("a" -> 10L, "b" -> 50L))
+    // retraction: the sketch cannot forget — the group recounts (the
+    // min/max __mm_stale channel), untouched groups keep their sketch
+    Snapshots.mergeByKey(spark, b,
+      Seq((3L, "a", 30L, true)).toDF("k", "g", "v", "__del"),
+      keyCols = Seq("k"), tombstoneCol = Some("__del"))
+    val r2 = Mv.refresh(spark, m)
+    assert(r2.mode === "incremental" && r2.recountGroups === 1L, s"got $r2")
+    assert(p50 === Map("a" -> 10L, "b" -> 50L))
+    assert(Mv.read(spark, m).select("g", "n_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 3L, "b" -> 3L))
+    // contract: a string column refuses at create; so does a group column
+    val b2 = s"$wh/kqb2"
+    Snapshots.publish(spark, b2, Seq((1L, "a", "s")).toDF("k", "g", "s"))
+    assert(intercept[IllegalArgumentException](Mv.create(spark, s"$wh/kqm2", b2,
+      Seq("k"), Seq("g"), Nil, approxQuantileCols = Seq("s")))
+      .getMessage.contains("double/float/bigint"))
+    assert(intercept[IllegalArgumentException](Mv.create(spark, s"$wh/kqm3", b2,
+      Seq("k"), Seq("g"), Nil, approxQuantileCols = Seq("g")))
       .getMessage.contains("group columns"))
   }
 
