@@ -418,7 +418,12 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
           else Some(qc.filterNot(c => wc.exists(_.semanticEquals(c))))
         }
     }
-    res.filter(_.forall(_.deterministic))
+    // subquery-bearing conjuncts also decline: predicate subqueries are
+    // still unrewritten in this optimizer batch, and re-binding the
+    // OUTER side of a correlated one would leave the subplan's
+    // OuterReferences pointing at the replaced scan
+    res.filter(_.forall(c =>
+      c.deterministic && !c.exists(_.isInstanceOf[PlanExpression[_]])))
   }
 
   // ── single-base views ────────────────────────────────────────────────

@@ -247,6 +247,17 @@ class MvRouteSpec extends AnyFunSuite {
       // the deterministic control still routes
       assert(planOf(dsv2(b).where("g = 'a'").groupBy("g").agg(sum("v").as("s")))
         .contains(s"graft-snapshot($m)"))
+      // a subquery-bearing predicate declines too: predicate subqueries
+      // are unrewritten in this optimizer batch, and a correlated one
+      // cannot re-bind its OuterReferences to the view — conservative
+      // bypass for the whole class
+      import spark.implicits._
+      dsv2(b).createOrReplaceTempView("rdet_t")
+      Seq((1L, "a")).toDF("kk", "gg").createOrReplaceTempView("rdet_u")
+      val qs = spark.sql(
+        "SELECT g, sum(v) AS s FROM rdet_t WHERE g IN (SELECT gg FROM rdet_u) GROUP BY g")
+      assert(!planOf(qs).contains(s"graft-snapshot($m)"), planOf(qs))
+      assert(rows(qs) === Set(Seq("a", 10L)))
     } finally Mv.unregister(spark, m)
   }
 
