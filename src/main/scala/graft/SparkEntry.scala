@@ -31,6 +31,7 @@ object SparkEntry {
       q.Extras10.entries ++
       q.Extras11.entries ++
       q.Extras12.entries ++
+      q.Extras13.entries ++
       q.Curation.entries
 
   {

@@ -115,17 +115,22 @@ object Snapshots {
     * is advisory by design (plan-time routing already carries the
     * optimize-to-execute window).
     *
-    * Two hardenings against stores whose DIRECTORY mtimes lie:
-    *   - a dir reporting mtime <= 0 (object stores' synthetic "fake
-    *     directory" entries commonly do) NEVER caches — every lookup
-    *     lists fresh, so a constant stamp can never serve a stale head;
+    * Three hardenings against stores whose DIRECTORY mtimes lie:
+    *   - the stamp keys on the commit-bumped `_snapshots/_epoch` object
+    *     when present ([[bumpEpoch]] — length strictly grows per bump),
+    *     removing the dir-mtime assumption entirely for any table
+    *     committed by an epoch-writing engine;
+    *   - absent an epoch, a dir reporting mtime <= 0 (object stores'
+    *     synthetic "fake directory" entries commonly do) NEVER caches —
+    *     every lookup lists fresh, so a constant stamp can never serve
+    *     a stale head;
     *   - the manifest COMMIT path itself drops this cache's entry for
     *     the root it just advanced ([[invalidateVersionsCache]]), so
-    *     within one driver the mtime stamp is only a CROSS-PROCESS
-    *     fallback, not the freshness mechanism.
+    *     within one driver the stamp is only a CROSS-PROCESS fallback,
+    *     not the freshness mechanism.
     */
   private val versionsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[Int])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Int])]()
 
   /** Publish-side invalidation: every manifest create/delete calls this
     * with its root, so the same driver's next freshness probe re-lists
@@ -134,33 +139,107 @@ object Snapshots {
   private def invalidateVersionsCache(root: String): Unit =
     versionsCache.remove(new Path(s"$root/$SNAP_DIR").toString)
 
+  /** Test hook: the raw plan-time versions cache, so a spec can
+    * simulate a SECOND driver (one that cached a pre-publish stamp and
+    * was not reached by the in-process invalidation) by re-inserting a
+    * captured entry. Never touch outside tests.
+    */
+  private[graft] def versionsCacheForTest
+      : java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Int])] =
+    versionsCache
+
+  private val EpochFile = "_epoch"
+
+  /** Cross-process freshness EPOCH: `_snapshots/_epoch` is rewritten
+    * AFTER every manifest create/promote/expire with a payload whose
+    * LENGTH strictly grows per bump, so [[versionsCached]] keys its
+    * stamp on this file's (length, mtime) stat instead of the directory
+    * mtime — a store with synthetic (zero OR constant-nonzero)
+    * directory mtimes stops being a staleness channel for a second
+    * driver, because the length moves even where the store's stamps do
+    * not. Written tmp + delete + rename, best-effort: a store refusing
+    * the write (or a probe landing in the sub-millisecond rename gap)
+    * falls back to the dir-mtime discipline below, which the in-process
+    * invalidation already backstops for the committing driver. Bumped
+    * AFTER the manifest lands, so a probe can never cache the OLD
+    * listing under the NEW stamp; the crash window between the two
+    * leaves a foreign driver's cached stamp valid until the next
+    * successful commit — acceptable for a PLAN-TIME advisory probe
+    * (execution-time reads use the uncached [[versions]]).
+    */
+  private def bumpEpoch(f: FileSystem, root: String): Unit = try {
+    val p = new Path(s"$root/$SNAP_DIR/$EpochFile")
+    val n = try {
+      val in = f.open(p)
+      try new java.io.BufferedReader(new java.io.InputStreamReader(
+        in, StandardCharsets.UTF_8)).readLine().trim
+        .split("\\s+").head.toLong + 1
+      finally in.close()
+    } catch { case _: Exception => 1L }
+    // strictly length-growing (bounded: the pad tops out at 64 KiB and
+    // the counter keeps growing in the digits, still changing length
+    // every ~10x — by then mtime granularity long since disambiguates)
+    val body = s"$n ${java.util.UUID.randomUUID()}"
+      .padTo(64 + math.min(n, 65536L).toInt, '.')
+    val tmp = new Path(s"$root/$SNAP_DIR/.$EpochFile$TMP_SUFFIX")
+    val o = f.create(tmp, true)
+    try o.write(body.getBytes(StandardCharsets.UTF_8)) finally o.close()
+    f.delete(p, false)
+    f.rename(tmp, p)
+  } catch { case scala.util.control.NonFatal(_) => () }
+
   private[graft] def versionsCached(spark: SparkSession, root: String): Seq[Int] = {
     val dir = new Path(s"$root/$SNAP_DIR")
     val f = fs(spark, root)
-    val st = try Some(f.getFileStatus(dir)) catch {
-      case _: java.io.FileNotFoundException => None
-    }
-    st match {
-      case None => versionsCache.remove(dir.toString); Seq.empty
-      case Some(s) =>
-        val key = dir.toString
+    val key = dir.toString
+    def list(): Seq[Int] = f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt)
+      .sorted
+    // EPOCH stamp preferred: one stat of the commit-bumped epoch object
+    // (whose length strictly grows per bump) replaces the dir stat — no
+    // store mtime assumption at all, and steady state stays ONE stat
+    val epochStamp: Option[String] =
+      try {
+        val es = f.getFileStatus(new Path(dir, EpochFile))
+        Some(s"e:${es.getLen}:${es.getModificationTime}")
+      } catch { case _: java.io.IOException => None }
+    epochStamp match {
+      case Some(stamp) =>
         val cached = versionsCache.get(key)
-        if (cached != null && s.getModificationTime > 0 &&
-            cached._1 == s.getModificationTime) cached._2
+        if (cached != null && cached._1 == stamp) cached._2
         else {
-          val vs = f.listStatus(dir).toSeq
-            .map(_.getPath.getName)
-            .filter(_.matches("v\\d+"))
-            .map(_.drop(1).toInt)
-            .sorted
-          val recent = s.getModificationTime >
-            System.currentTimeMillis() - ManifestCacheRecentMs
-          // mtime <= 0 = the store doesn't maintain dir stamps — never
-          // cache on it (a constant stamp would be served forever)
-          if (!recent && s.getModificationTime > 0)
-            versionsCache.put(key, (s.getModificationTime, vs))
-          else versionsCache.remove(key)
+          val vs = try list() catch {
+            case _: java.io.FileNotFoundException =>
+              versionsCache.remove(key); return Seq.empty
+          }
+          versionsCache.put(key, (stamp, vs))
           vs
+        }
+      case None =>
+        val st = try Some(f.getFileStatus(dir)) catch {
+          case _: java.io.FileNotFoundException => None
+        }
+        st match {
+          case None => versionsCache.remove(key); Seq.empty
+          case Some(s) =>
+            val dirStamp = s"d:${s.getModificationTime}"
+            val cached = versionsCache.get(key)
+            if (cached != null && s.getModificationTime > 0 &&
+                cached._1 == dirStamp) cached._2
+            else {
+              val vs = list()
+              val recent = s.getModificationTime >
+                System.currentTimeMillis() - ManifestCacheRecentMs
+              // mtime <= 0 = the store doesn't maintain dir stamps —
+              // never cache on it (a constant stamp would be served
+              // forever)
+              if (!recent && s.getModificationTime > 0)
+                versionsCache.put(key, (dirStamp, vs))
+              else versionsCache.remove(key)
+              vs
+            }
         }
     }
   }
@@ -1147,6 +1226,7 @@ object Snapshots {
       throw new java.io.IOException(
         s"promote of staged '$token' failed: rename to $dest " +
           "(concurrent publisher? snapshots are single-writer per table)")
+    bumpEpoch(f, root)
     invalidateVersionsCache(root)
     base + 1
   }
@@ -1474,6 +1554,8 @@ object Snapshots {
       throw new java.io.IOException(
         s"commit of snapshot v$v failed: rename $tmp -> $dest " +
           "(concurrent publisher? snapshots are single-writer per table)")
+    // a STAGED manifest is not a version — the epoch moves on promote
+    if (target.isEmpty) bumpEpoch(f, root)
     invalidateVersionsCache(root)
     v
   }
@@ -1700,7 +1782,7 @@ object Snapshots {
     val pinned = tags(spark, root).map(_._2).toSet
     val drop = versions(spark, root).dropRight(keepLast).filterNot(pinned)
     drop.foreach(v => f.delete(manifestPath(root, v), false))
-    if (drop.nonEmpty) invalidateVersionsCache(root)
+    if (drop.nonEmpty) { bumpEpoch(f, root); invalidateVersionsCache(root) }
     drop
   }
 

@@ -353,7 +353,9 @@ object Extras12 {
         |  FROM base WHERE k % 37 <> 0)
         |SELECT seg, p50, sum_cents,
         |  CAST(1 AS BOOLEAN) AS routed_roll, CAST(1 AS BOOLEAN) AS routed_exactg,
-        |  CAST(1 AS BOOLEAN) AS bypassed_exact, CAST(1 AS BOOLEAN) AS est_ok
+        |  CAST(1 AS BOOLEAN) AS routed_arr,
+        |  CAST(1 AS BOOLEAN) AS bypassed_exact, CAST(1 AS BOOLEAN) AS est_ok,
+        |  CAST(1 AS BOOLEAN) AS arr_ok
         |FROM (
         |  SELECT seg, quantile_cont(cents, 0.5) AS p50,
         |    CAST(sum(cents) AS BIGINT) AS sum_cents
@@ -385,6 +387,11 @@ object Extras12 {
           sum("cents").as("sum_cents"))
         val estExactG = live.groupBy("seg", "m5").agg(
           expr("approx_percentile(cents, 0.5D)").as("p50_est"))
+        // the latency-dashboard ARRAY call: one sketch read answers all
+        // three percentiles (routed through the same merge at rollup
+        // grouping)
+        val estArr = live.groupBy("seg").agg(
+          expr("approx_percentile(cents, array(0.25D, 0.5D, 0.9D))").as("parr"))
         val exact = live.groupBy("seg").agg(
           expr("percentile(cents, 0.5D)").as("p50"),
           sum("cents").as("sum_cents"))
@@ -393,13 +400,14 @@ object Extras12 {
         def routed(df: DataFrame): Boolean =
           planOf(df).contains(s"graft-snapshot($mvRoot)") &&
             !planOf(df).contains(s"graft-snapshot($baseRoot)")
-        val (rr, rx) = (routed(estRoll), routed(estExactG))
+        val (rr, rx, ra) = (routed(estRoll), routed(estExactG), routed(estArr))
         val bx = !planOf(exact).contains(s"graft-snapshot($mvRoot)")
         // pin the ROUTED estimates while the registration is live — the
         // estimator swap is value-visible, and the returned frame
         // materializes after unregister (the q212 discipline)
         Snapshots.publish(s, s"$root/pin", estRoll)
         Snapshots.publish(s, s"$root/pinx", estExactG)
+        Snapshots.publish(s, s"$root/pina", estArr)
         // in-row estimate check: the pinned KLL median must sit inside
         // the exact p40–p60 band at BOTH groupings (collapsed to one
         // driver-side boolean for the exact-grouping side)
@@ -412,6 +420,15 @@ object Extras12 {
         val okX = Snapshots.read(s, s"$root/pinx").join(bandX, Seq("seg", "m5"))
           .agg(min(col("p50_est") >= col("p40") && col("p50_est") <= col("p60")))
           .collect().head.getBoolean(0)
+        // the array call's middle element rides the same p40–p60 band,
+        // and the three elements must be monotone (one sketch, three
+        // ranks — an element-order mixup would invert them)
+        val okA = Snapshots.read(s, s"$root/pina").join(bandRoll, Seq("seg"))
+          .agg(min(element_at(col("parr"), 2) >= col("p40") &&
+            element_at(col("parr"), 2) <= col("p60") &&
+            element_at(col("parr"), 1) <= element_at(col("parr"), 2) &&
+            element_at(col("parr"), 2) <= element_at(col("parr"), 3)))
+          .collect().head.getBoolean(0)
         Snapshots.read(s, s"$root/pin").join(exact.select(col("seg"),
             col("p50")), Seq("seg"))
           .join(bandRoll, Seq("seg"))
@@ -419,10 +436,12 @@ object Extras12 {
             col("p50_est") >= col("p40") && col("p50_est") <= col("p60") && lit(okX))
           .withColumn("routed_roll", lit(rr))
           .withColumn("routed_exactg", lit(rx))
+          .withColumn("routed_arr", lit(ra))
           .withColumn("bypassed_exact", lit(bx))
+          .withColumn("arr_ok", lit(okA))
           .select(col("seg"), col("p50"), col("sum_cents"),
-            col("routed_roll"), col("routed_exactg"), col("bypassed_exact"),
-            col("est_ok"))
+            col("routed_roll"), col("routed_exactg"), col("routed_arr"),
+            col("bypassed_exact"), col("est_ok"), col("arr_ok"))
       } finally Mv.unregister(s, mvRoot)
     })
 }

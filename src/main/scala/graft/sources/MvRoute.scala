@@ -8,10 +8,10 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.optimizer.{ConstantFolding, SimplifyCasts}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LocalRelation, LogicalPlan, OneRowRelation, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LocalRelation, LogicalPlan, OneRowRelation, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** TRANSPARENT MATERIALIZED-VIEW ROUTING — the classic aggregate-rewrite
@@ -51,6 +51,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     the published error; `spark.graft.mv.routeApprox=false` pins
   *     plan-invariant results by disabling just that mapping.
   *
+  * GROUPING-SETS plans (`ROLLUP` / `CUBE` / `GROUPING SETS`) route as a
+  * third shape: the analyzer's Aggregate-over-Expand lowering keeps its
+  * grouping-id and NULL-marker semantics verbatim while the view's rows
+  * replicate under the Expand instead of the base's, every aggregate
+  * compensated with the rollup map ([[expandRewrite]]).
+  *
   * TIME-UNIT groupings route too: a view grouped by a `days(ts)`-style
   * transform spec answers a query grouping by the engine's own
   * transform form ([[Mv.timeGroup]]) — the optimizer has pulled the
@@ -66,10 +72,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the optimizer has already folded the query's side), and every view
   * conjunct must match a query conjunct via `semanticEquals` — or, for
   * a literal-bound inequality, be RANGE-IMPLIED by a query conjunct on
-  * the same expression whose bound is at least as tight (`day >= 150`
-  * answers a view barred at `day >= 100`: the implying conjunct then
-  * rides as residual, the time-windowed drill-down without a general
-  * prover); the
+  * the same expression: an inequality whose bound is at least as tight
+  * (`day >= 150` answers a view barred at `day >= 100`), an EQUALITY
+  * whose point satisfies the bar (`day = 150` — the point-day
+  * drill-down), or an IN-list every element of which does; the
+  * implying conjunct then rides as residual, the time-windowed
+  * drill-down without a general prover; the
   * RESIDUAL query conjuncts re-apply as a Filter over the view,
   * provided each references only view-carried columns — plain group
   * columns, or a transform group's unit expression (substituted to the
@@ -114,6 +122,7 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       case agg: Aggregate =>
         singleRewrite(agg, routes).orElse(joinRewrite(agg, routes))
           .orElse(join3Rewrite(agg, routes))
+          .orElse(expandRewrite(agg, routes))
           .getOrElse(agg)
     }
   }
@@ -360,26 +369,67 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => None
     }
 
-  /** Whether query conjunct `qc` RANGE-IMPLIES view conjunct `vc`: both
-    * are literal-bound inequalities on the SAME expression and the same
-    * side (both lower or both upper bounds), and the query's bound is
-    * at least as tight — `x >= 150` implies `x >= 100`, `x > 100`
-    * implies `x >= 100`, but `x >= 100` does NOT imply `x > 100` (the
-    * boundary row). Literals only (evaluated through the comparison's
-    * own ordering); anything unorderable or mixed-type declines. NULL
-    * semantics agree for free: both conjuncts filter NULLs of the
-    * shared expression.
+  /** Literal `c` satisfies the view's bar `(vl, lower, strict)`: the
+    * one-point membership test equality and IN implication reduce to,
+    * evaluated through the comparison's own ordering (same type only).
+    */
+  private def satisfiesBound(c: Literal, vl: Literal, lower: Boolean,
+      strict: Boolean): Boolean =
+    try {
+      def isTrue(e: Expression): Boolean = e.eval(null) == true
+      val past = if (lower) GreaterThan(c, vl) else LessThan(c, vl)
+      isTrue(past) || (!strict && isTrue(EqualTo(c, vl)))
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Whether query conjunct `qc` RANGE-IMPLIES view conjunct `vc` — `vc`
+    * must be a literal-bound inequality, and `qc` one of three shapes on
+    * the SAME expression:
+    *   - an inequality on the same side (both lower or both upper
+    *     bounds) whose bound is at least as tight — `x >= 150` implies
+    *     `x >= 100`, `x > 100` implies `x >= 100`, but `x >= 100` does
+    *     NOT imply `x > 100` (the boundary row);
+    *   - an EQUALITY whose literal satisfies the bar — the point-day
+    *     drill-down `days(ts) = N` over a view barred at
+    *     `days(ts) >= K` routes iff `N >= K` (strictness honored:
+    *     `x = K` does not imply `x > K`);
+    *   - an IN-list (`In` over literals, or its optimizer-converted
+    *     `InSet`) EVERY element of which satisfies the bar — one
+    *     boundary-crossing element declines (a NULL element also
+    *     declines, conservatively: it admits no rows, so accepting
+    *     would be sound, but the simple rule is uniform).
+    * Literals only (evaluated through the comparison's own ordering);
+    * anything unorderable or mixed-type declines. NULL semantics agree
+    * for free: all three query shapes filter NULLs of the shared
+    * expression, exactly as the view's bar does.
     */
   private def rangeImplies(qc: Expression, vc: Expression): Boolean =
-    (bound(vc), bound(qc)) match {
-      case (Some((vx, vl, vLower, vStrict)), Some((qx, ql, qLower, qStrict)))
-          if vLower == qLower && vl.dataType == ql.dataType &&
-            vx.semanticEquals(qx) =>
-        try {
-          def isTrue(c: Expression): Boolean = c.eval(null) == true
-          val tighter = if (vLower) GreaterThan(ql, vl) else LessThan(ql, vl)
-          isTrue(tighter) || (isTrue(EqualTo(ql, vl)) && (qStrict || !vStrict))
-        } catch { case scala.util.control.NonFatal(_) => false }
+    bound(vc) match {
+      case Some((vx, vl, vLower, vStrict)) =>
+        val byRange = bound(qc) match {
+          case Some((qx, ql, qLower, qStrict))
+              if vLower == qLower && vl.dataType == ql.dataType &&
+                vx.semanticEquals(qx) =>
+            try {
+              def isTrue(c: Expression): Boolean = c.eval(null) == true
+              val tighter = if (vLower) GreaterThan(ql, vl) else LessThan(ql, vl)
+              isTrue(tighter) || (isTrue(EqualTo(ql, vl)) && (qStrict || !vStrict))
+            } catch { case scala.util.control.NonFatal(_) => false }
+          case _ => false
+        }
+        def sat(l: Literal): Boolean =
+          l.value != null && l.dataType == vl.dataType &&
+            satisfiesBound(l, vl, vLower, vStrict)
+        byRange || (qc match {
+          case EqualTo(x, l: Literal) if x.semanticEquals(vx) => sat(l)
+          case EqualTo(l: Literal, x) if x.semanticEquals(vx) => sat(l)
+          case In(x, elems) if x.semanticEquals(vx) && elems.nonEmpty &&
+              elems.forall(_.isInstanceOf[Literal]) =>
+            elems.forall(e => sat(e.asInstanceOf[Literal]))
+          case InSet(x, hset) if x.semanticEquals(vx) && hset.nonEmpty =>
+            try hset.forall(v => v != null && sat(Literal(v, x.dataType)))
+            catch { case scala.util.control.NonFatal(_) => false }
+          case _ => false
+        })
       case _ => false
     }
 
@@ -608,7 +658,395 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     }.nextOption()
   }
 
+  // ── grouping-sets plans (ROLLUP / CUBE / GROUPING SETS) ──────────────
+
+  /** Route `GROUP BY ROLLUP / CUBE / GROUPING SETS` plans over a
+    * single-base view. The analyzer lowers them to Aggregate-over-
+    * [[Expand]] — Expand replicates every input row once per grouping
+    * set, nulling the rolled-away group slots and stamping a
+    * grouping-id literal — and without this case the single most common
+    * BI dashboard over a registered view (`ROLLUP(seg, days(ts))`)
+    * silently pays the base scan while each individual grouping would
+    * route. The rewrite keeps the Aggregate-over-Expand SHAPE — the
+    * grouping-id slot, the NULL markers, and every `grouping()` /
+    * `grouping_id()` projection are copied verbatim (they only read
+    * slots this rewrite preserves under their original attribute ids) —
+    * and swaps what flows underneath: the VIEW's rows replicate instead
+    * of the base's, each grouping slot substitutes the stored group
+    * column, and each aggregate re-aggregates its stored column with
+    * the proven ROLLUP compensation map (count→sum(n_rows),
+    * count(c)→sum(nn_c), sum→sum(sum_c), min/max→min/max of stored,
+    * avg→sum/sum, approx-distinct→HLL union, approx-percentile→KLL
+    * merge, both conf-gated) — sound because EVERY grouping set is a
+    * subset of the view's grouping, so within each set the
+    * re-aggregation over view rows is exactly the plain rollup rewrite.
+    * |view rows| × |sets| replaces |base rows| × |sets|: the 100 TB
+    * rollup dashboard reads the view a handful of times, one Expand
+    * over a |groups|-row scan. `count(DISTINCT)` declines (the
+    * companion join per grouping set is a different plan shape), and
+    * any unroutable grouping set, slot, or aggregate declines the WHOLE
+    * rewrite — never a half-routed Expand. Freshness, travel-pin,
+    * filter-implication and residual gates are the single-base
+    * rewrite's own.
+    */
+  private def expandRewrite(agg: Aggregate,
+      routes: Seq[String]): Option[LogicalPlan] = {
+    def peel(p: LogicalPlan): Option[Expand] = p match {
+      case e: Expand => Some(e)
+      case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        peel(ch)
+      case _ => None
+    }
+    val expand = peel(agg.child).getOrElse(return None)
+    if (expand.projections.isEmpty) return None
+    val (rel, queryPred, amap) = unwrapG(expand.child).getOrElse(return None)
+    val root = currentRoot(rel).getOrElse(return None)
+    val qConjuncts = queryPred.toSeq.flatMap(splitConjunctivePredicates)
+    val out = expand.output
+    if (expand.projections.exists(_.length != out.length)) return None
+    // the Aggregate's grouping must be exactly Expand-output attributes
+    // (the analyzer's construction: groupingAttrs :+ gid)
+    val groupingIds: Set[ExprId] = agg.groupingExpressions.map {
+      case a: Attribute => a.exprId
+      case _ => return None
+    }.toSet
+    if (!groupingIds.subsetOf(out.map(_.exprId).toSet)) return None
+    val aggRefs = AttributeSet(agg.aggregateExpressions.flatMap(_.references))
+
+    // classify each Expand-output slot by USE; view-independent part
+    sealed trait Slot
+    // all-literal across projections (the grouping-id, and any constant
+    // grouping) — copied verbatim under the original attribute
+    case class LitSlot(o: Attribute, lits: Seq[Literal]) extends Slot
+    // a grouping slot: one expression (resolved through the alias map to
+    // scan attributes) in the sets that keep it, NULL markers elsewhere
+    case class GroupSlot(o: Attribute, resolved: Expression,
+        nulls: Seq[Boolean]) extends Slot
+    // a pass-through base column feeding aggregates
+    case class ValueSlot(o: Attribute, baseCol: String) extends Slot
+
+    val slots: Seq[Slot] = out.zipWithIndex.flatMap { case (o, i) =>
+      val exprs = expand.projections.map(_(i))
+      val used = groupingIds.contains(o.exprId) || aggRefs.contains(o)
+      if (!used) None // pruned from the rewrite
+      else if (exprs.forall(_.isInstanceOf[Literal]))
+        Some(LitSlot(o, exprs.map(_.asInstanceOf[Literal])))
+      else if (groupingIds.contains(o.exprId)) {
+        val nonNull = exprs.filter {
+          case Literal(null, _) => false
+          case _ => true
+        }
+        if (nonNull.isEmpty || exprs.exists {
+            case l: Literal if l.value != null => true
+            case _ => false
+          }) return None
+        if (!nonNull.forall(_.semanticEquals(nonNull.head))) return None
+        val resolved = nonNull.head.transformUp {
+          case a: AttributeReference if amap.contains(a.exprId) => amap(a.exprId)
+        }
+        Some(GroupSlot(o, resolved, exprs.map {
+          case Literal(null, _) => true
+          case _ => false
+        }))
+      } else {
+        // a value slot: the same scan attribute in EVERY projection
+        if (!exprs.forall(_.semanticEquals(exprs.head))) return None
+        val resolved = exprs.head.transformUp {
+          case a: AttributeReference if amap.contains(a.exprId) => amap(a.exprId)
+        }
+        resolved match {
+          case a: AttributeReference => Some(ValueSlot(o, a.name))
+          case _ => return None
+        }
+      }
+    }
+
+    // the per-view constructor, nested so the Slot ADT stays local
+    def buildExpand(mvRoot: String, d: Mv.Definition,
+        residual: Seq[Expression],
+        baseOutput: Seq[Attribute]): Option[LogicalPlan] = {
+      val vs = Snapshots.versionsCached(spark, mvRoot)
+      if (vs.isEmpty) return None
+      val schema = Snapshots.schemaOf(spark, mvRoot, vs.last).getOrElse(return None)
+      val (source, vout) =
+        freshViewSource(schema, mvRoot, d.groupCols, residual, baseOutput)
+          .getOrElse(return None)
+
+      // group slots answer to stored view group columns, type-exactly
+      val slotViewAttr: Map[ExprId, AttributeReference] = slots.collect {
+        case GroupSlot(o, resolved, _) =>
+          val stored = storedGroupOf(resolved, Map.empty, baseOutput,
+            d.groupCols).getOrElse(return None)
+          val va = vout.get(stored).filter(_.dataType == o.dataType)
+            .getOrElse(return None)
+          o.exprId -> va
+      }.toMap
+      val valueColOf: Map[ExprId, String] = slots.collect {
+        case ValueSlot(o, c) => o.exprId -> c
+      }.toMap
+      val keptSlotIds: Set[ExprId] = slots.collect {
+        case LitSlot(o, _) => o.exprId
+        case GroupSlot(o, _, _) => o.exprId
+      }.toSet
+
+      val gate = spark.conf.get("spark.graft.mv.routeApprox", "true").toBoolean
+      def sumOf(name: String, dt: DataType): Option[Expression] =
+        vout.get(name).map(a => Sum(a).toAggregateExpression())
+          .filter(_.dataType == dt)
+      def sumCount(name: String): Option[Expression] =
+        sumOf(name, LongType).map(e => Coalesce(Seq(e, Literal(0L))))
+      def valueCol(e: Expression): Option[String] = e match {
+        case a: AttributeReference => valueColOf.get(a.exprId)
+        case _ => None
+      }
+      // the ROLLUP compensation map over the view's stored columns —
+      // [[build]]'s non-exact arms, keyed by the value SLOT the
+      // aggregate reads instead of the scan attribute
+      def comp(ne: NamedExpression): Option[Expression] = ne match {
+        case Alias(AggregateExpression(fn, _, isDistinct, None, _), _) =>
+          fn match {
+            case Count(Seq(l: Literal)) if !isDistinct && l.value != null =>
+              sumCount("n_rows")
+            case Count(Seq(e)) if !isDistinct =>
+              valueCol(e).filter(d.sumCols.contains)
+                .flatMap(x => sumCount(s"nn_$x"))
+            case Sum(e, _) if !isDistinct =>
+              valueCol(e).filter(d.sumCols.contains)
+                .flatMap(x => sumOf(s"sum_$x", ne.dataType))
+            case Min(e) =>
+              valueCol(e).filter(d.minMaxCols.contains)
+                .flatMap(x => vout.get(s"min_$x"))
+                .map(x => Min(x).toAggregateExpression())
+                .filter(_.dataType == ne.dataType)
+            case Max(e) =>
+              valueCol(e).filter(d.minMaxCols.contains)
+                .flatMap(x => vout.get(s"max_$x"))
+                .map(x => Max(x).toAggregateExpression())
+                .filter(_.dataType == ne.dataType)
+            case Average(e, _) if !isDistinct && ne.dataType == DoubleType =>
+              valueCol(e).filter(d.sumCols.contains).flatMap { x =>
+                for {
+                  sv <- vout.get(s"sum_$x")
+                  nv <- vout.get(s"nn_$x")
+                } yield new Divide(
+                  Cast(Sum(sv).toAggregateExpression(), DoubleType),
+                  Cast(Sum(nv).toAggregateExpression(), DoubleType))
+              }
+            case hll: HyperLogLogPlusPlus
+                if !hll.child.isInstanceOf[Literal] && hll.relativeSD == 0.05 &&
+                  ne.dataType == LongType && gate =>
+              valueCol(hll.child).filter(d.approxCols.contains)
+                .flatMap(x => hllRouted(exact = false, vout.get(s"hll_$x")))
+            case ap: ApproximatePercentile if gate =>
+              valueCol(ap.child).filter(d.quantileCols.contains)
+                .flatMap(x => kllRouted(ap, exact = false,
+                  vout.get(s"kll_$x"), ap.child.dataType, ne.dataType))
+            case _ => None
+          }
+        case _ => None
+      }
+      def adjust(ne: NamedExpression, e: Expression): Expression =
+        if (!ne.toAttribute.nullable && e.nullable) KnownNotNull(e) else e
+
+      val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        ne =>
+          // aggregate-free projections over preserved slots (grouping
+          // columns, gid, grouping()/grouping_id() forms) pass through;
+          // anything CARRYING an aggregate must compensate — count(1)
+          // has no references at all, and uncompensated it would count
+          // view rows
+          if (!ne.exists(_.isInstanceOf[AggregateExpression]) &&
+              ne.references.forall(r => keptSlotIds.contains(r.exprId))) ne
+          else comp(ne) match {
+            case Some(e) => Alias(adjust(ne, e), ne.name)(exprId = ne.exprId)
+            case None => return None
+          }
+      }
+      // view value columns the compensated aggregates read — these pass
+      // through the new Expand under the view scan's own attribute ids
+      // (the analyzer's pass-through discipline)
+      val voutIds: Map[ExprId, AttributeReference] =
+        vout.values.map(a => a.exprId -> a).toMap
+      val passThrough: Seq[AttributeReference] =
+        newAggExprs.flatMap(_.references).map(_.exprId).distinct
+          .flatMap(voutIds.get)
+      val newOutput: Seq[Attribute] = passThrough ++ slots.collect {
+        case LitSlot(o, _) => o
+        case GroupSlot(o, _, _) => o
+      }
+      val newProjections: Seq[Seq[Expression]] =
+        expand.projections.indices.map { pi =>
+          (passThrough: Seq[Expression]) ++ slots.collect {
+            case LitSlot(_, lits) => lits(pi): Expression
+            case GroupSlot(o, _, nulls) =>
+              if (nulls(pi)) Literal(null, o.dataType)
+              else slotViewAttr(o.exprId): Expression
+          }
+        }
+      Some(Aggregate(agg.groupingExpressions, newAggExprs,
+        Expand(newProjections, newOutput, source)))
+    }
+
+    routes.iterator.flatMap { mvRoot =>
+      Mv.routeDefinition(spark, mvRoot)
+        .filter(d => norm(d.baseRoot) == norm(root))
+        .flatMap { d => filterResidual(d.filterSql, rel.output, qConjuncts)
+          .filter(residualAdmissible(_, d.groupCols))
+          .map(res => (d, res)) }
+        .filter { case (d, _) =>
+          val baseVs = Snapshots.versionsCached(spark, d.baseRoot)
+          baseVs.nonEmpty &&
+            Snapshots.lastBatchIdCached(spark, mvRoot).contains(baseVs.last.toLong)
+        }
+        .flatMap { case (d, res) => buildExpand(mvRoot, d, res, rel.output) }
+    }.nextOption()
+  }
+
   // ── the shared rewrite constructor ────────────────────────────────────
+
+  /** A FRESH scan instance of the view with `residual` re-bound to ITS
+    * columns and applied as a Filter (fresh attribute ids per call, so
+    * a companion-side second instance never collides with the primary).
+    * The residual re-binds to the VIEW's own columns: a subexpression
+    * matching a TRANSFORM group (the engine's days/hours/... form over
+    * the source column) substitutes to the stored unit attribute — the
+    * unit IS the group key, so filtering view rows by it is exact (the
+    * time-windowed daily dashboard: `days(ts) >= N AND seg='X'`) — and
+    * every remaining base attribute must be a plain group column
+    * (stored verbatim, same name, same type); anything else declines,
+    * including predicates on the RAW time column (ts is not constant
+    * within a day group, only its unit is).
+    */
+  private def freshViewSource(schema: org.apache.spark.sql.types.StructType,
+      mvRoot: String, groupCols: Seq[String], residual: Seq[Expression],
+      baseOutput: Seq[Attribute])
+      : Option[(LogicalPlan, Map[String, AttributeReference])] = {
+    val mvTable = new SnapshotTable(schema, mvRoot, Map.empty)
+    val mvRel = DataSourceV2Relation.create(mvTable, None, None,
+      new CaseInsensitiveStringMap(java.util.Map.of("root", mvRoot)))
+    val out: Map[String, AttributeReference] =
+      mvRel.output.map(a => a.name -> a).toMap
+    val viewAttrIds = out.values.map(_.exprId).toSet
+    val residualMapped = residual.map(_.transformDown {
+      case e if transformGroupOf(e, baseOutput, groupCols).isDefined =>
+        val s = transformGroupOf(e, baseOutput, groupCols).get
+        out.get(s).filter(_.dataType == e.dataType).getOrElse(return None)
+    })
+    if (!residualMapped.forall(_.references.forall(r =>
+        viewAttrIds.contains(r.exprId) ||
+          (groupCols.contains(r.name) &&
+            out.get(r.name).exists(_.dataType == r.dataType))))) return None
+    val residualBound = residualMapped.map(_.transform {
+      case a: AttributeReference if !viewAttrIds.contains(a.exprId) => out(a.name)
+    })
+    val src: LogicalPlan =
+      if (residualBound.isEmpty) mvRel
+      else Filter(residualBound.reduce(And), mvRel)
+    Some((src, out))
+  }
+
+  /** The HLL estimator-swap body, shared by the plain-aggregate and
+    * grouping-sets rewrites: the stored DataSketches sketch answers a
+    * default-rsd approx_count_distinct — directly at exact grouping,
+    * through a sketch UNION for any coarser re-aggregation — pinned to
+    * 0 (never NULL) over zero rows, count semantics. Callers gate on
+    * maintained-column membership, default rsd, and the
+    * `spark.graft.mv.routeApprox` conf.
+    */
+  private def hllRouted(exact: Boolean,
+      skAttr: Option[AttributeReference]): Option[Expression] = {
+    val h = skAttr.filter(_.dataType == org.apache.spark.sql.types.BinaryType)
+    if (exact) h.map(x => Coalesce(Seq(HllSketchEstimate(x), Literal(0L))))
+    else h.map(x => Coalesce(Seq(HllSketchEstimate(
+      new HllUnionAgg(x, false).toAggregateExpression()), Literal(0L))))
+  }
+
+  /** The KLL estimator-swap body, shared the same way: literal
+    * percentages only — a scalar double, or an ARRAY of doubles (the
+    * latency-dashboard `array(0.5, 0.95, 0.99)` call: the sketch
+    * answers every percentile at once, one get-quantile per element) —
+    * at default accuracy; the get-quantile and the sketch are per-type,
+    * so the mapping is type-exact by construction. Non-exact groupings
+    * route through a sketch MERGE. The whole read is guarded on the
+    * sketch's POINT COUNT: a group (or rollup bucket) whose column is
+    * entirely NULL stores an EMPTY sketch — non-null bytes get-quantile
+    * would throw on — while the unrouted approx_percentile returns
+    * NULL, so the guard pins NULL-for-empty, the same discipline as the
+    * HLL arm's Coalesce(…, 0). Callers gate on maintained-column
+    * membership and the conf.
+    */
+  private def kllRouted(ap: ApproximatePercentile, exact: Boolean,
+      skAttr: Option[AttributeReference], childType: DataType,
+      neType: DataType): Option[Expression] = {
+    val defaultAcc = ap.accuracyExpression match {
+      case Literal(v, _) =>
+        v == ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY ||
+          v == ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY.toLong
+      case _ => false
+    }
+    // (percent literals, was-an-array) — the optimizer usually folds
+    // `array(0.5D, 0.9D)` to one array Literal before this rule fires,
+    // but an unfolded CreateArray of literals is the same request
+    val pcts: Option[(Seq[Literal], Boolean)] =
+      ap.percentageExpression match {
+        case l @ Literal(_, DoubleType) => Some((Seq(l), false))
+        case CreateArray(es, _) if es.nonEmpty && es.forall {
+            case Literal(v, DoubleType) => v != null
+            case _ => false } =>
+          Some((es.map(_.asInstanceOf[Literal]), true))
+        case Literal(ad: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(DoubleType, _)) if ad.numElements() > 0 &&
+              (0 until ad.numElements()).forall(!ad.isNullAt(_)) =>
+          Some(((0 until ad.numElements())
+            .map(i => Literal(ad.getDouble(i), DoubleType)), true))
+        case _ => None
+      }
+    if (!defaultAcc) None
+    else for {
+      (ps, isArray) <- pcts
+      sk <- skAttr.filter(_.dataType == org.apache.spark.sql.types.BinaryType)
+      merged <- childType match {
+        case DoubleType => Some(
+          if (exact) sk: Expression
+          else KllMergeAggDouble(sk).toAggregateExpression())
+        case org.apache.spark.sql.types.FloatType => Some(
+          if (exact) sk: Expression
+          else KllMergeAggFloat(sk).toAggregateExpression())
+        case LongType => Some(
+          if (exact) sk: Expression
+          else KllMergeAggBigint(sk).toAggregateExpression())
+        case _ => None
+      }
+      // the same `merged` instance rides the guard AND every
+      // get-quantile: physical aggregation dedups semantically equal
+      // aggregate expressions, so a rollup merge still runs once
+      qOf <- (childType match {
+        case DoubleType => Some((p: Literal) =>
+          KllSketchGetQuantileDouble(merged, p): Expression)
+        case org.apache.spark.sql.types.FloatType => Some((p: Literal) =>
+          KllSketchGetQuantileFloat(merged, p): Expression)
+        case LongType => Some((p: Literal) =>
+          KllSketchGetQuantileBigint(merged, p): Expression)
+        case _ => None
+      }): Option[Literal => Expression]
+      nonEmpty <- (childType match {
+        case DoubleType => Some(KllSketchGetNDouble(merged))
+        case org.apache.spark.sql.types.FloatType =>
+          Some(KllSketchGetNFloat(merged))
+        case LongType => Some(KllSketchGetNBigint(merged))
+        case _ => None
+      }): Option[Expression]
+      body = if (isArray)
+        // the guard already proves every element non-null — KnownNotNull
+        // keeps containsNull type-exact with the original
+        // ApproximatePercentile's array type
+        CreateArray(ps.map(p => KnownNotNull(qOf(p))))
+      else qOf(ps.head)
+      guarded = If(GreaterThan(nonEmpty, Literal(0L)), body,
+        Literal(null, neType))
+      typeExact <- Some(guarded: Expression).filter(_.dataType == neType)
+    } yield typeExact
+  }
 
   /** Map every output of the Aggregate onto the view's columns; None on
     * the first aggregate the view does not maintain (type-exact).
@@ -628,44 +1066,8 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     if (vs.isEmpty) return None
     val schema = Snapshots.schemaOf(spark, mvRoot, vs.last).getOrElse(return None)
 
-    /** A FRESH scan instance of the view with the residual re-bound to
-      * ITS columns and applied as a Filter (fresh attribute ids per
-      * call, so a companion-side second instance never collides with
-      * the primary). The residual re-binds to the VIEW's own columns: a
-      * subexpression matching a TRANSFORM group (the engine's
-      * days/hours/... form over the source column) substitutes to the
-      * stored unit attribute — the unit IS the group key, so filtering
-      * view rows by it is exact (the time-windowed daily dashboard:
-      * `days(ts) >= N AND seg='X'`) — and every remaining base
-      * attribute must be a plain group column (stored verbatim, same
-      * name, same type); anything else declines, including predicates
-      * on the RAW time column (ts is not constant within a day group,
-      * only its unit is).
-      */
-    def viewSource(): Option[(LogicalPlan, Map[String, AttributeReference])] = {
-      val mvTable = new SnapshotTable(schema, mvRoot, Map.empty)
-      val mvRel = DataSourceV2Relation.create(mvTable, None, None,
-        new CaseInsensitiveStringMap(java.util.Map.of("root", mvRoot)))
-      val out: Map[String, AttributeReference] =
-        mvRel.output.map(a => a.name -> a).toMap
-      val viewAttrIds = out.values.map(_.exprId).toSet
-      val residualMapped = residual.map(_.transformDown {
-        case e if transformGroupOf(e, baseOutput, groupCols).isDefined =>
-          val s = transformGroupOf(e, baseOutput, groupCols).get
-          out.get(s).filter(_.dataType == e.dataType).getOrElse(return None)
-      })
-      if (!residualMapped.forall(_.references.forall(r =>
-          viewAttrIds.contains(r.exprId) ||
-            (groupCols.contains(r.name) &&
-              out.get(r.name).exists(_.dataType == r.dataType))))) return None
-      val residualBound = residualMapped.map(_.transform {
-        case a: AttributeReference if !viewAttrIds.contains(a.exprId) => out(a.name)
-      })
-      val src: LogicalPlan =
-        if (residualBound.isEmpty) mvRel
-        else Filter(residualBound.reduce(And), mvRel)
-      Some((src, out))
-    }
+    def viewSource(): Option[(LogicalPlan, Map[String, AttributeReference])] =
+      freshViewSource(schema, mvRoot, groupCols, residual, baseOutput)
 
     val (source, out) = viewSource().getOrElse(return None)
 
@@ -748,63 +1150,31 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
                 if !isDistinct && plain(a) && approxCols.contains(a.name) &&
                   hll.relativeSD == 0.05 && ne.dataType == LongType &&
                   spark.conf.get("spark.graft.mv.routeApprox", "true").toBoolean =>
-              val h = out.get(s"hll_${a.name}")
-                .filter(_.dataType == org.apache.spark.sql.types.BinaryType)
-              // approx over nothing is 0, never NULL (an empty-base
-              // rollup unions zero sketches) — pin the count semantics
-              if (exact) h.map(x =>
-                Coalesce(Seq(HllSketchEstimate(x), Literal(0L))))
-              else h.map(x => Coalesce(Seq(HllSketchEstimate(
-                new HllUnionAgg(x, false).toAggregateExpression()), Literal(0L))))
+              hllRouted(exact, out.get(s"hll_${a.name}"))
             case _ => None
           }
           case ap: ApproximatePercentile => ap.child match {
             // the KLL sibling of the HLL arm — the same estimator-swap
             // contract (t-digest-style default-accuracy approx_percentile
             // answered by the view's KLL sketch: rank error for rank
-            // error, both published), the same conf gate. Scalar literal
-            // percentage + default accuracy only; the get-quantile and
+            // error, both published), the same conf gate. Literal
+            // percentages only — a scalar double, or an ARRAY of doubles
+            // (the latency-dashboard `array(0.5, 0.95, 0.99)` call: the
+            // sketch answers every percentile at once, one get-quantile
+            // per element) — at default accuracy; the get-quantile and
             // the sketch are per-type, so the mapping is type-exact by
-            // construction. Rollups route through a sketch MERGE.
+            // construction. Rollups route through a sketch MERGE. The
+            // whole read is guarded on the sketch's POINT COUNT: a group
+            // (or rollup bucket) whose column is entirely NULL stores an
+            // EMPTY sketch — non-null bytes get-quantile would throw
+            // on — while the unrouted approx_percentile returns NULL, so
+            // the guard pins NULL-for-empty, the same discipline as the
+            // HLL arm's Coalesce(…, 0).
             case a: AttributeReference
                 if !isDistinct && plain(a) && quantileCols.contains(a.name) &&
                   spark.conf.get("spark.graft.mv.routeApprox", "true").toBoolean =>
-              val defaultAcc = ap.accuracyExpression match {
-                case Literal(v, _) =>
-                  v == ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY ||
-                    v == ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY.toLong
-                case _ => false
-              }
-              val pct = ap.percentageExpression match {
-                case l @ Literal(_, DoubleType) => Some(l)
-                case _ => None
-              }
-              if (!defaultAcc) None
-              else for {
-                pLit <- pct
-                sk <- out.get(s"kll_${a.name}")
-                  .filter(_.dataType == org.apache.spark.sql.types.BinaryType)
-                merged <- a.dataType match {
-                  case DoubleType => Some(
-                    if (exact) sk: Expression
-                    else KllMergeAggDouble(sk).toAggregateExpression())
-                  case org.apache.spark.sql.types.FloatType => Some(
-                    if (exact) sk: Expression
-                    else KllMergeAggFloat(sk).toAggregateExpression())
-                  case LongType => Some(
-                    if (exact) sk: Expression
-                    else KllMergeAggBigint(sk).toAggregateExpression())
-                  case _ => None
-                }
-                q <- (a.dataType match {
-                  case DoubleType => Some(KllSketchGetQuantileDouble(merged, pLit))
-                  case org.apache.spark.sql.types.FloatType =>
-                    Some(KllSketchGetQuantileFloat(merged, pLit))
-                  case LongType => Some(KllSketchGetQuantileBigint(merged, pLit))
-                  case _ => None
-                }): Option[Expression]
-                typeExact <- Some(q).filter(_.dataType == ne.dataType)
-              } yield typeExact
+              kllRouted(ap, exact, out.get(s"kll_${a.name}"), a.dataType,
+                ne.dataType)
             case _ => None
           }
           case _ => None

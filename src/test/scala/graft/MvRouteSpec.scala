@@ -230,6 +230,66 @@ class MvRouteSpec extends AnyFunSuite {
     } finally Mv.unregister(spark, m)
   }
 
+  test("grouping-sets routing: ROLLUP/CUBE re-aggregate the view under the Expand, gid semantics intact") {
+    import spark.implicits._
+    val b = s"$wh/gs1"; val m = s"$wh/gs2"
+    // a REAL NULL group value (g = null on k=5) forces the rewrite to
+    // keep the NULL-marker-vs-data-NULL distinction: only the grouping
+    // id separates the rolled-up row from the null-group row
+    val df = Seq[(java.lang.Long, String, java.lang.Long, java.lang.Long)](
+      (1L, "a", 10L, 1L), (2L, "a", 20L, 1L), (3L, "a", null, 2L),
+      (4L, "b", 40L, 2L), (5L, null, 50L, 1L))
+      .toDF("k", "g", "v", "c")
+    Snapshots.publish(spark, b, df)
+    Mv.create(spark, m, b, Seq("k"), Seq("g", "c"), Seq("v"), mvBuckets = 4,
+      minMaxCols = Seq("v"), approxDistinctCols = Seq("v"))
+    val mv = s"graft-snapshot($m)"
+    Mv.register(spark, m)
+    try {
+      def roll = dsv2(b).rollup("g", "c").agg(count(lit(1)).as("n"),
+        sum("v").as("s"), avg("v").as("a"), min("v").as("mn"),
+        max("v").as("mx"), grouping_id().as("gid"))
+      assert(planOf(roll).contains(mv), planOf(roll))
+      assert(!planOf(roll).contains(s"graft-snapshot($b)"))
+      // value-identical to the same rollup over the raw frame — every
+      // compensation arm (count/sum/avg/min/max) plus the gid column
+      assert(rows(roll) === rows(df.rollup("g", "c").agg(
+        count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("a"),
+        min("v").as("mn"), max("v").as("mx"), grouping_id().as("gid"))))
+      // CUBE and grouping() projections route the same way (grouping()
+      // only reads the gid slot the rewrite preserves)
+      def cub = dsv2(b).cube("g", "c").agg(count(lit(1)).as("n"),
+        grouping(col("g")).as("gg"))
+      assert(planOf(cub).contains(mv), planOf(cub))
+      assert(rows(cub) === rows(df.cube("g", "c").agg(count(lit(1)).as("n"),
+        grouping(col("g")).as("gg"))))
+      // the approx-distinct sketch UNIONS per grouping set (conf-gated
+      // estimator swap, exact at this size)
+      def apx = dsv2(b).rollup("g").agg(approx_count_distinct("v").as("nd"))
+      assert(planOf(apx).contains(mv), planOf(apx))
+      assert(rows(apx) ===
+        rows(df.rollup("g").agg(approx_count_distinct("v").as("nd"))))
+      // a predicate routes with the rollup when the residual admits
+      def filt = dsv2(b).where("g = 'a'").rollup("g", "c").agg(sum("v").as("s"))
+      assert(planOf(filt).contains(mv), planOf(filt))
+      assert(rows(filt) ===
+        rows(df.where("g = 'a'").rollup("g", "c").agg(sum("v").as("s"))))
+      // a non-view grouping column declines the WHOLE rewrite — never a
+      // half-routed Expand
+      assert(!planOf(dsv2(b).rollup("g", "k").agg(count(lit(1)))).contains(mv))
+      // count(DISTINCT) under grouping sets declines (the companion
+      // join per set is a different plan shape)
+      assert(!planOf(dsv2(b).rollup("g").agg(countDistinct(col("v"))))
+        .contains(mv))
+      // staleness bypasses the grouping-sets shape like every other
+      Snapshots.mergeByKey(spark, b,
+        Seq((1L, "a", 99L, 1L)).toDF("k", "g", "v", "c")
+          .withColumn("__del", lit(false)),
+        Seq("k"), tombstoneCol = Some("__del"))
+      assert(!planOf(roll).contains(mv), planOf(roll))
+    } finally Mv.unregister(spark, m)
+  }
+
   test("a non-deterministic residual conjunct declines the route") {
     val b = s"$wh/rdet1"; val m = s"$wh/rdet2"
     Snapshots.publish(spark, b, base(Seq(
@@ -299,6 +359,33 @@ class MvRouteSpec extends AnyFunSuite {
       // a non-literal bound never implies
       assert(!planOf(dsv2(b).where(col("d") >= col("k") + 100)
         .groupBy("g").agg(sum("v"))).contains(mv))
+      // EQUALITY implication: the point-day drill-down `d = 150`
+      // satisfies the bar and routes with the point as residual
+      def pt = dsv2(b).where("d = 150").groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(pt).contains(mv), planOf(pt))
+      assert(rows(pt) === Set(Seq("a", 30L)))
+      // the boundary point satisfies a NON-STRICT bar
+      def ptb = dsv2(b).where("d = 100").groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(ptb).contains(mv), planOf(ptb))
+      assert(rows(ptb) === Set(Seq("a", 20L)))
+      // a below-bar point declines
+      assert(!planOf(dsv2(b).where("d = 50").groupBy("g").agg(sum("v")))
+        .contains(mv))
+      // IN-list: every element at-or-above the bar routes...
+      def inl = dsv2(b).where("d IN (150, 200)").groupBy("g")
+        .agg(sum("v").as("s"))
+      assert(planOf(inl).contains(mv), planOf(inl))
+      assert(rows(inl) === Set(Seq("a", 30L), Seq("b", 40L)))
+      // ...one below-bar element declines the whole list
+      assert(!planOf(dsv2(b).where("d IN (50, 150)").groupBy("g")
+        .agg(sum("v"))).contains(mv))
+      // a list long enough for the optimizer's InSet conversion still
+      // implies element-wise
+      def ins = dsv2(b).where(
+        "d IN (110,115,120,125,130,135,140,145,150,155,160)")
+        .groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(ins).contains(mv), planOf(ins))
+      assert(rows(ins) === Set(Seq("a", 30L)))
     } finally Mv.unregister(spark, m)
     // the UPPER-bound shapes: view barred at `d <= 150`
     Mv.create(spark, m2, b, Seq("k"), Seq("d", "g"), Seq("v"), mvBuckets = 4,
@@ -314,6 +401,18 @@ class MvRouteSpec extends AnyFunSuite {
       assert(!planOf(dsv2(b).where("d <= 200").groupBy("g").agg(sum("v")))
         .contains(s"graft-snapshot($m2)"))
     } finally Mv.unregister(spark, m2)
+    // a STRICT bar: the boundary point does NOT satisfy `d > 100`
+    val m3 = s"$wh/rri4"
+    Mv.create(spark, m3, b, Seq("k"), Seq("d", "g"), Seq("v"), mvBuckets = 4,
+      where = Some("d > 100"))
+    Mv.register(spark, m3)
+    try {
+      assert(!planOf(dsv2(b).where("d = 100").groupBy("g").agg(sum("v")))
+        .contains(s"graft-snapshot($m3)"))
+      def pt3 = dsv2(b).where("d = 150").groupBy("g").agg(sum("v").as("s"))
+      assert(planOf(pt3).contains(s"graft-snapshot($m3)"), planOf(pt3))
+      assert(rows(pt3) === Set(Seq("a", 30L)))
+    } finally Mv.unregister(spark, m3)
   }
 
   test("join-MV time-unit grouping: the star daily rollup routes to a days(ts) view") {
@@ -412,6 +511,34 @@ class MvRouteSpec extends AnyFunSuite {
     // a constant NONZERO old stamp: cacheable, so only the publish-side
     // invalidation can flip same-driver freshness
     flipTest("const", 1000000L)
+    // SECOND-DRIVER staleness under the harshest store: dirs frozen AND
+    // the `_epoch` object's mtime frozen — only the epoch's
+    // length-growth channel can flip a foreign driver's stamp. Driver B
+    // (which cached pre-publish and never saw the in-process
+    // invalidation) is simulated by re-inserting the captured cache
+    // entries after the publish.
+    graft.sources.FrozenMtimeFileSystem.mtime = 1000000L
+    graft.sources.FrozenMtimeFileSystem.freezeEpochFile = true
+    try {
+      val b = s"graftfroz://$wh/fz_b_2d"; val m = s"graftfroz://$wh/fz_m_2d"
+      Snapshots.publish(spark, b, base(Seq((1L, "a", 10L, 1L), (2L, "b", 20L, 2L))))
+      Mv.create(spark, m, b, Seq("k"), Seq("g"), Seq("v"), mvBuckets = 4)
+      Mv.register(spark, m)
+      try {
+        def q = dsv2(b).groupBy("g").agg(sum("v").as("s"))
+        assert(planOf(q).contains(s"graft-snapshot($m)"))
+        val prePublish = new java.util.HashMap(Snapshots.versionsCacheForTest)
+        Snapshots.mergeByKey(spark, b,
+          Seq((1L, "a", 99L, 1L)).toDF("k", "g", "v", "c")
+            .withColumn("__del", lit(false)),
+          Seq("k"), tombstoneCol = Some("__del"))
+        Snapshots.versionsCacheForTest.clear()
+        Snapshots.versionsCacheForTest.putAll(prePublish)
+        assert(!planOf(q).contains(s"graft-snapshot($m)"),
+          "a second driver's cached stamp must flip on the epoch's length growth")
+        assert(rows(q).contains(Seq("a", 99L)))
+      } finally Mv.unregister(spark, m)
+    } finally graft.sources.FrozenMtimeFileSystem.freezeEpochFile = false
   }
 
   test("filtered-view routing: a semantically equal predicate answers, others bypass") {
@@ -735,14 +862,21 @@ class MvRouteSpec extends AnyFunSuite {
         .agg(expr("approx_percentile(v, 0.5D)").as("p50"))
       assert(planOf(qr).contains(mv), planOf(qr))
       assert(rows(qr) === Set(Seq("a", 20L), Seq("b", 50L)))
-      // an explicit non-default accuracy keeps its own estimator; so
-      // does the EXACT percentile and the array-percentage form
+      // the ARRAY-percentage form routes too — one sketch, one
+      // get-quantile per element, type-exact array out (exact regime at
+      // this size, so the values pin outright)
+      def qa = dsv2(b).groupBy("g")
+        .agg(expr("approx_percentile(v, array(0.5D, 0.9D))").as("ps"))
+      assert(planOf(qa).contains(mv), planOf(qa))
+      assert(rows(qa) === Set(Seq("a", Seq(20L, 30L)), Seq("b", Seq(50L, 60L))))
+      // an explicit non-default accuracy keeps its own estimator —
+      // scalar or array — and so does the EXACT percentile
       assert(!planOf(dsv2(b).groupBy("g")
         .agg(expr("approx_percentile(v, 0.5D, 500)"))).contains(mv))
       assert(!planOf(dsv2(b).groupBy("g")
-        .agg(expr("percentile(v, 0.5D)"))).contains(mv))
+        .agg(expr("approx_percentile(v, array(0.5D, 0.9D), 500)"))).contains(mv))
       assert(!planOf(dsv2(b).groupBy("g")
-        .agg(expr("approx_percentile(v, array(0.5D, 0.9D))"))).contains(mv))
+        .agg(expr("percentile(v, 0.5D)"))).contains(mv))
       // the conf gate turns OFF both estimator-swap arms (quantile AND
       // approx-distinct) without touching exact rewrites
       spark.conf.set("spark.graft.mv.routeApprox", "false")
@@ -754,6 +888,40 @@ class MvRouteSpec extends AnyFunSuite {
           .contains(mv), "exact rewrites must survive the gate")
       } finally spark.conf.set("spark.graft.mv.routeApprox", "true")
       assert(planOf(qr).contains(mv))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("routed approx_percentile over an all-NULL group returns NULL, never throws") {
+    import spark.implicits._
+    val b = s"$wh/kn1"; val m = s"$wh/kn2"
+    // group b's quantile column is entirely NULL: the view stores
+    // non-null EMPTY sketch bytes for it, and an unguarded get-quantile
+    // would THROW where the unrouted approx_percentile returns NULL
+    Snapshots.publish(spark, b,
+      Seq[(Long, String, java.lang.Long, Long)](
+        (1L, "a", 10L, 1L), (2L, "a", 20L, 1L), (3L, "b", null, 2L),
+        (4L, "b", null, 2L))
+        .toDF("k", "g", "v", "c"))
+    Mv.create(spark, m, b, Seq("k"), Seq("g", "c"), Nil, mvBuckets = 4,
+      approxQuantileCols = Seq("v"))
+    val mv = s"graft-snapshot($m)"
+    Mv.register(spark, m)
+    try {
+      // exact grouping reads the stored (empty) sketch directly
+      def qx = dsv2(b).groupBy("g", "c")
+        .agg(expr("approx_percentile(v, 0.5D)").as("p"))
+      assert(planOf(qx).contains(mv), planOf(qx))
+      assert(rows(qx) === Set(Seq("a", 1L, 10L), Seq("b", 2L, null)))
+      // the rollup MERGE of b's empty sketches is still empty
+      def qr = dsv2(b).groupBy("g")
+        .agg(expr("approx_percentile(v, 0.5D)").as("p"))
+      assert(planOf(qr).contains(mv), planOf(qr))
+      assert(rows(qr) === Set(Seq("a", 10L), Seq("b", null)))
+      // the array form rides the same guard: NULL array, not a throw
+      def qa = dsv2(b).groupBy("g")
+        .agg(expr("approx_percentile(v, array(0.25D, 0.75D))").as("ps"))
+      assert(planOf(qa).contains(mv), planOf(qa))
+      assert(rows(qa) === Set(Seq("a", Seq(10L, 20L)), Seq("b", null)))
     } finally Mv.unregister(spark, m)
   }
 
