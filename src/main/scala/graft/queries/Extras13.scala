@@ -240,5 +240,109 @@ object Extras13 {
           .select(col("state"), col("seg"), col("n_rows"), col("sum_cents"),
             col("routed_pt"), col("routed_inl"), col("bypassed_cross"))
       } finally Mv.unregister(s, mvRoot)
+    },
+
+    // STAR ROLLUP ROUTING under the oracle hash: the BI dashboard over a
+    // star schema — `GROUP BY ROLLUP(seg, days(odate))` with grouping_id
+    // over fact ⋈ dim — answered by a join view grouped on both: the
+    // Aggregate-over-Expand rewrite matches the join under the Expand
+    // (the same shape extraction as plain star routing), the view's
+    // |seg × day| rows replicate per grouping set, and a 100 TB
+    // fact-dim shuffle-join-rollup becomes a handful of view reads.
+    // Maintained through a fact mutation (cross-day moves, updates,
+    // deletes) and a dim relabel; fresh values pinned before a third
+    // unrefreshed mutation whose rollup must BYPASS with the new truth.
+    QueryDef.checked(
+      "q219_mv_star_rollup_routing",
+      """WITH f0 AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ck, o_orderdate AS odate,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f1 AS (
+        |  SELECT k, ck,
+        |    CASE WHEN k % 11 = 0 THEN odate + INTERVAL 40 DAY ELSE odate END AS odate,
+        |    CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM f0 WHERE k % 37 <> 0),
+        |d1 AS (
+        |  SELECT c_custkey AS ck2,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'RESEG' ELSE c_mktsegment END AS seg
+        |  FROM customer),
+        |j1 AS (SELECT seg, CAST(date_diff('day', DATE '1970-01-01', odate) AS INTEGER) AS d,
+        |       cents FROM f1 JOIN d1 ON ck = ck2),
+        |f2 AS (SELECT * FROM f1 WHERE k % 5 <> 1),
+        |j2 AS (SELECT seg, CAST(date_diff('day', DATE '1970-01-01', odate) AS INTEGER) AS d,
+        |       cents FROM f2 JOIN d1 ON ck = ck2),
+        |r1 AS (
+        |  SELECT seg, d, CAST(GROUPING(seg, d) AS BIGINT) AS gid,
+        |         count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM j1 GROUP BY ROLLUP(seg, d)),
+        |r2 AS (
+        |  SELECT seg, d, CAST(GROUPING(seg, d) AS BIGINT) AS gid,
+        |         count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM j2 GROUP BY ROLLUP(seg, d))
+        |SELECT state, seg, d, gid, n_rows, sum_cents,
+        |  CAST(1 AS BOOLEAN) AS routed_rollup, CAST(1 AS BOOLEAN) AS bypassed_stale
+        |FROM (
+        |  SELECT 'fresh' AS state, * FROM r1
+        |  UNION ALL
+        |  SELECT 'stale', * FROM r2)""".stripMargin) { (s, dir) =>
+      import graft.operators.Mv
+      val root = freshRoot(s, "q219_mv_star_rollup_routing", "srroute", dir)
+      val factRoot = s"$root/fact"; val dimRoot = s"$root/dim"; val mvRoot = s"$root/mv"
+      val fact = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        col("o_orderdate").as("odate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = t(s, dir, "customer").select(
+        col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+      Snapshots.publish(s, factRoot, fact, clusterBy = Some("bucket(8, ck)"))
+      Snapshots.publish(s, dimRoot, dim, clusterBy = Some("bucket(8, ck2)"))
+      Mv.createJoin(s, mvRoot, factRoot, Seq("k"), "ck", dimRoot, Seq("ck2"), "ck2",
+        Seq("seg", "days(odate)"), Seq("cents"), mvBuckets = 8)
+      val upd = fact
+        .filter((col("k") % 11 === 0 || col("k") % 10 === 0) && col("k") % 37 =!= 0)
+        .withColumn("odate",
+          when(col("k") % 11 === 0, date_add(col("odate"), 40)).otherwise(col("odate")))
+        .withColumn("cents",
+          when(col("k") % 10 === 0, col("cents") + 7L).otherwise(col("cents")))
+        .withColumn("__del", lit(false))
+      val del = fact.filter(col("k") % 37 === 0).withColumn("__del", lit(true))
+      Snapshots.mergeByKey(s, factRoot, upd.unionByName(del),
+        keyCols = Seq("k"), tombstoneCol = Some("__del"))
+      Mv.refreshJoin(s, mvRoot)
+      Snapshots.mergeByKey(s, dimRoot,
+        dim.filter(col("ck2") % 7 === 0).withColumn("seg", lit("RESEG"))
+          .withColumn("__del", lit(false)),
+        keyCols = Seq("ck2"), tombstoneCol = Some("__del"))
+      Mv.refreshJoin(s, mvRoot)
+      Mv.register(s, mvRoot)
+      try {
+        def liveF = s.read.format("graft-snapshot").option("root", factRoot).load()
+        def liveD = s.read.format("graft-snapshot").option("root", dimRoot).load()
+        def rollQ = liveF.join(liveD, col("ck") === col("ck2"))
+          .rollup(col("seg"), Mv.timeGroup("days", "odate").as("d"))
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+            sum("cents").as("sum_cents"))
+        val fresh = rollQ
+        def planOf(df: DataFrame): String =
+          df.queryExecution.optimizedPlan.toString
+        val rr = planOf(fresh).contains(s"graft-snapshot($mvRoot)") &&
+          !planOf(fresh).contains(s"graft-snapshot($factRoot)")
+        Snapshots.publish(s, s"$root/pin", fresh.withColumn("state", lit("fresh")))
+        val pinned = Snapshots.read(s, s"$root/pin")
+        val liveNow = liveF.persist()
+        Snapshots.mergeByKey(s, factRoot,
+          liveNow.filter(col("k") % 5 === 1).withColumn("__del", lit(true)),
+          keyCols = Seq("k"), tombstoneCol = Some("__del"))
+        liveNow.unpersist()
+        val stale = rollQ
+        val bs = !planOf(stale).contains(s"graft-snapshot($mvRoot)")
+        pinned.unionByName(stale.withColumn("state", lit("stale")))
+          .withColumn("routed_rollup", lit(rr))
+          .withColumn("bypassed_stale", lit(bs))
+          .select(col("state"), col("seg"), col("d"), col("gid"),
+            col("n_rows"), col("sum_cents"), col("routed_rollup"),
+            col("bypassed_stale"))
+      } finally Mv.unregister(s, mvRoot)
     })
 }

@@ -557,12 +557,18 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       groupCols.contains(r.name) ||
         groupCols.exists(g => Snapshots.timeSpec(g).exists(_._2 == r.name))))
 
-  private def joinRewrite(agg: Aggregate,
-      routes: Seq[String]): Option[LogicalPlan] = {
-    // Aggregate → [Project/Filter]* → Join (the optimizer has pushed
-    // single-sided conjuncts below the join already; both-side residue
-    // and pulled-out grouping aliases stay above it)
-    val (join, amap, above) = peelJoin(agg.child).getOrElse(return None)
+  /** The join-scan shape shared by the plain-aggregate and grouping-sets
+    * matchers: [Project/Filter]* over the Inner equi-join of two
+    * current-head scans → (combined output, alias map, recombined
+    * conjuncts, both roots, key-name pair). The optimizer has pushed
+    * single-sided conjuncts below the join already; both-side residue
+    * and pulled-out grouping aliases stay above it — recombined here,
+    * with IsNotNull on the join keys dropped (implied by the inner
+    * equi-join on both sides of the comparison).
+    */
+  private def joinScans(p: LogicalPlan): Option[(Seq[Attribute],
+      Map[ExprId, Expression], Seq[Expression], String, String, Set[String])] = {
+    val (join, amap, above) = peelJoin(p).getOrElse(return None)
     val (lp, rp, cond) = join match {
       case Join(l, r, Inner, Some(c), _) => (l, r, c)
       case _ => return None
@@ -573,14 +579,19 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     val rRoot = currentRoot(rRel).getOrElse(return None)
     val output = lRel.output ++ rRel.output
     val keyNames = keyPairOf(cond, output).getOrElse(return None)
-    // recombine what pushdown scattered; IsNotNull on the join keys is
-    // implied by the inner equi-join on both sides of the comparison
     val qConjuncts = (lPred.toSeq ++ rPred.toSeq ++ above)
       .flatMap(splitConjunctivePredicates)
       .filterNot {
         case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
         case _ => false
       }
+    Some((output, amap, qConjuncts, lRoot, rRoot, keyNames))
+  }
+
+  private def joinRewrite(agg: Aggregate,
+      routes: Seq[String]): Option[LogicalPlan] = {
+    val (output, amap, qConjuncts, lRoot, rRoot, keyNames) =
+      joinScans(agg.child).getOrElse(return None)
     routes.iterator.flatMap { mvRoot =>
       Mv.joinRouteDefinition(spark, mvRoot)
         .filter(d => Set(norm(d.leftRoot), norm(d.rightRoot)) ==
@@ -600,9 +611,15 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
 
   // ── trilinear views (dim ⋈ fact ⋈ dim) ───────────────────────────────
 
-  private def join3Rewrite(agg: Aggregate,
-      routes: Seq[String]): Option[LogicalPlan] = {
-    val (topJoin, amap, above) = peelJoin(agg.child).getOrElse(return None)
+  /** The trilinear sibling of [[joinScans]]: the two-level inner
+    * equi-join tree of three current-head scans → (combined output,
+    * alias map, recombined conjuncts, the three roots, the two
+    * key-name pairs).
+    */
+  private def join3Scans(p: LogicalPlan): Option[(Seq[Attribute],
+      Map[ExprId, Expression], Seq[Expression], Seq[String],
+      Set[String], Set[String])] = {
+    val (topJoin, amap, above) = peelJoin(p).getOrElse(return None)
     val (topL, topR, cTop) = topJoin match {
       case Join(l, r, Inner, Some(c), _) => (l, r, c)
       case _ => return None
@@ -640,6 +657,13 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
           case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
           case _ => false
         }
+    Some((output, amap, qConjuncts, roots, pTop, pInner))
+  }
+
+  private def join3Rewrite(agg: Aggregate,
+      routes: Seq[String]): Option[LogicalPlan] = {
+    val (output, amap, qConjuncts, roots, pTop, pInner) =
+      join3Scans(agg.child).getOrElse(return None)
     routes.iterator.flatMap { mvRoot =>
       Mv.join3RouteDefinition(spark, mvRoot)
         .filter(d => Set(norm(d.leftRoot), norm(d.midRoot), norm(d.rightRoot)) ==
@@ -660,8 +684,19 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
 
   // ── grouping-sets plans (ROLLUP / CUBE / GROUPING SETS) ──────────────
 
-  /** Route `GROUP BY ROLLUP / CUBE / GROUPING SETS` plans over a
-    * single-base view. The analyzer lowers them to Aggregate-over-
+  /** The aggregate-column surface every view kind shares — the
+    * grouping-sets matcher is definition-kind-agnostic past the scan
+    * match, so candidates of all three kinds reduce to this.
+    */
+  private case class ViewCols(groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String], distinctCols: Seq[String],
+      approxCols: Seq[String], quantileCols: Seq[String],
+      filterSql: Option[String])
+
+  /** Route `GROUP BY ROLLUP / CUBE / GROUPING SETS` plans over any view
+    * kind — single-base, 2-table star, or trilinear star (the scan
+    * match under the Expand reuses the plain matchers' own shape
+    * extraction). The analyzer lowers them to Aggregate-over-
     * [[Expand]] — Expand replicates every input row once per grouping
     * set, nulling the rolled-away group slots and stamping a
     * grouping-id literal — and without this case the single most common
@@ -699,9 +734,61 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     }
     val expand = peel(agg.child).getOrElse(return None)
     if (expand.projections.isEmpty) return None
-    val (rel, queryPred, amap) = unwrapG(expand.child).getOrElse(return None)
-    val root = currentRoot(rel).getOrElse(return None)
-    val qConjuncts = queryPred.toSeq.flatMap(splitConjunctivePredicates)
+    // under the Expand sits any of the three scan shapes the plain
+    // matchers route — a single base, a 2-table star, or a trilinear
+    // star; each yields the combined scan output, the alias map, the
+    // recombined query conjuncts, and a candidate iterator of
+    // (view root, its aggregate columns, its freshness probe)
+    val matched: Option[(Seq[Attribute], Map[ExprId, Expression],
+        Seq[Expression], Iterator[(String, ViewCols, () => Boolean)])] =
+      unwrapG(expand.child) match {
+        case Some((rel, queryPred, amap)) =>
+          currentRoot(rel).map { root =>
+            val qc = queryPred.toSeq.flatMap(splitConjunctivePredicates)
+            val it = routes.iterator.flatMap { mvRoot =>
+              Mv.routeDefinition(spark, mvRoot)
+                .filter(d => norm(d.baseRoot) == norm(root))
+                .map(d => (mvRoot, ViewCols(d.groupCols, d.sumCols,
+                  d.minMaxCols, d.distinctCols, d.approxCols,
+                  d.quantileCols, d.filterSql), () => {
+                    val baseVs = Snapshots.versionsCached(spark, d.baseRoot)
+                    baseVs.nonEmpty && Snapshots.lastBatchIdCached(spark, mvRoot)
+                      .contains(baseVs.last.toLong)
+                  }))
+            }
+            (rel.output, amap, qc, it)
+          }
+        case None => joinScans(expand.child) match {
+          case Some((output, amap, qc, lRoot, rRoot, keyNames)) =>
+            val it = routes.iterator.flatMap { mvRoot =>
+              Mv.joinRouteDefinition(spark, mvRoot)
+                .filter(d => Set(norm(d.leftRoot), norm(d.rightRoot)) ==
+                  Set(norm(lRoot), norm(rRoot)))
+                .filter(d => Set(d.joinLeft, d.joinRight) == keyNames)
+                .map(d => (mvRoot, ViewCols(d.groupCols, d.sumCols,
+                  d.minMaxCols, d.distinctCols, d.approxCols,
+                  d.quantileCols, d.filterSql),
+                  () => Mv.joinRouteFresh(spark, mvRoot, d)))
+            }
+            Some((output, amap, qc, it))
+          case None => join3Scans(expand.child).map {
+            case (output, amap, qc, roots, pTop, pInner) =>
+              val it = routes.iterator.flatMap { mvRoot =>
+                Mv.join3RouteDefinition(spark, mvRoot)
+                  .filter(d => Set(norm(d.leftRoot), norm(d.midRoot),
+                    norm(d.rightRoot)) == roots.map(norm).toSet)
+                  .filter(d => Set(Set(d.joinLeft, d.joinMidLeft),
+                    Set(d.joinMidRight, d.joinRight)) == Set(pTop, pInner))
+                  .map(d => (mvRoot, ViewCols(d.groupCols, d.sumCols,
+                    d.minMaxCols, d.distinctCols, d.approxCols,
+                    d.quantileCols, d.filterSql),
+                    () => Mv.join3RouteFresh(spark, mvRoot, d)))
+              }
+              (output, amap, qc, it)
+          }
+        }
+      }
+    val (baseOut, amap, qConjuncts, candidates) = matched.getOrElse(return None)
     val out = expand.output
     if (expand.projections.exists(_.length != out.length)) return None
     // the Aggregate's grouping must be exactly Expand-output attributes
@@ -762,7 +849,7 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     }
 
     // the per-view constructor, nested so the Slot ADT stays local
-    def buildExpand(mvRoot: String, d: Mv.Definition,
+    def buildExpand(mvRoot: String, d: ViewCols,
         residual: Seq[Expression],
         baseOutput: Seq[Attribute]): Option[LogicalPlan] = {
       val vs = Snapshots.versionsCached(spark, mvRoot)
@@ -887,18 +974,11 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
         Expand(newProjections, newOutput, source)))
     }
 
-    routes.iterator.flatMap { mvRoot =>
-      Mv.routeDefinition(spark, mvRoot)
-        .filter(d => norm(d.baseRoot) == norm(root))
-        .flatMap { d => filterResidual(d.filterSql, rel.output, qConjuncts)
-          .filter(residualAdmissible(_, d.groupCols))
-          .map(res => (d, res)) }
-        .filter { case (d, _) =>
-          val baseVs = Snapshots.versionsCached(spark, d.baseRoot)
-          baseVs.nonEmpty &&
-            Snapshots.lastBatchIdCached(spark, mvRoot).contains(baseVs.last.toLong)
-        }
-        .flatMap { case (d, res) => buildExpand(mvRoot, d, res, rel.output) }
+    candidates.flatMap { case (mvRoot, vc, fresh) =>
+      filterResidual(vc.filterSql, baseOut, qConjuncts)
+        .filter(residualAdmissible(_, vc.groupCols))
+        .filter(_ => fresh())
+        .flatMap(res => buildExpand(mvRoot, vc, res, baseOut))
     }.nextOption()
   }
 

@@ -290,6 +290,63 @@ class MvRouteSpec extends AnyFunSuite {
     } finally Mv.unregister(spark, m)
   }
 
+  test("grouping-sets routing over STAR views: the join and trilinear rollup dashboards route") {
+    import spark.implicits._
+    // 2-table star — the canonical ROLLUP(seg, m) dashboard over
+    // fact ⋈ dim answered by a join view grouped on both
+    val f = s"$wh/gsjf"; val dm = s"$wh/gsjd"; val m = s"$wh/gsjm"
+    Snapshots.publish(spark, f,
+      Seq((1L, 10L, 1L, 100L), (2L, 10L, 2L, 200L), (3L, 11L, 1L, 300L))
+        .toDF("k", "ck", "m", "cents"), clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, dm, Seq((10L, "a"), (11L, "b")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Mv.createJoin(spark, m, f, Seq("k"), "ck", dm, Seq("ck2"), "ck2",
+      Seq("seg", "m"), Seq("cents"), mvBuckets = 4)
+    val mv = s"graft-snapshot($m)"
+    def joined = dsv2(f).join(dsv2(dm), col("ck") === col("ck2"))
+    def roll = joined.rollup(col("seg"), col("m")).agg(count(lit(1)).as("n"),
+      sum("cents").as("s"), grouping_id().as("gid"))
+    val want = rows(roll)
+    Mv.register(spark, m)
+    try {
+      assert(planOf(roll).contains(mv), planOf(roll))
+      assert(!planOf(roll).contains(s"graft-snapshot($f)"),
+        "the routed rollup must not scan the fact")
+      assert(rows(roll) === want)
+      // a stale pair bypasses the grouping-sets shape too
+      Snapshots.mergeByKey(spark, dm,
+        Seq((11L, "c", false)).toDF("ck2", "seg", "__del"),
+        Seq("ck2"), tombstoneCol = Some("__del"))
+      assert(!planOf(roll).contains(mv), planOf(roll))
+      Mv.refreshJoin(spark, m)
+      assert(planOf(roll).contains(mv))
+    } finally Mv.unregister(spark, m)
+    // trilinear star — CUBE over dim ⋈ fact ⋈ dim
+    val l3 = s"$wh/gs3l"; val f3 = s"$wh/gs3f"; val r3 = s"$wh/gs3r"
+    val m3 = s"$wh/gs3m"
+    Snapshots.publish(spark, l3, Seq((10L, "a"), (11L, "b")).toDF("ck2", "seg"),
+      clusterBy = Some("bucket(4, ck2)"))
+    Snapshots.publish(spark, f3,
+      Seq((1L, 10L, 1L, 100L), (2L, 10L, 2L, 200L), (3L, 11L, 1L, 300L))
+        .toDF("k", "ck", "prio", "cents"), clusterBy = Some("bucket(4, ck)"))
+    Snapshots.publish(spark, r3, Seq((1L, "hi"), (2L, "lo")).toDF("pr", "plabel"),
+      clusterBy = Some("pr"))
+    Mv.createJoin3(spark, m3, l3, Seq("ck2"), "ck2",
+      f3, Seq("k"), "ck", "prio", r3, Seq("pr"), "pr",
+      Seq("seg", "plabel"), Seq("cents"), mvBuckets = 4)
+    def cub = dsv2(l3).join(dsv2(f3), col("ck2") === col("ck"))
+      .join(dsv2(r3), col("prio") === col("pr"))
+      .cube(col("seg"), col("plabel"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val want3 = rows(cub)
+    Mv.register(spark, m3)
+    try {
+      assert(planOf(cub).contains(s"graft-snapshot($m3)"), planOf(cub))
+      assert(!planOf(cub).contains(s"graft-snapshot($f3)"))
+      assert(rows(cub) === want3)
+    } finally Mv.unregister(spark, m3)
+  }
+
   test("a non-deterministic residual conjunct declines the route") {
     val b = s"$wh/rdet1"; val m = s"$wh/rdet2"
     Snapshots.publish(spark, b, base(Seq(
