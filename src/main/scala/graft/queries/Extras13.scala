@@ -51,13 +51,14 @@ object Extras13 {
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderpriority AS seg, o_orderdate AS odate,
         |         CAST(o_orderkey % 3 AS BIGINT) AS m3,
+        |         CAST(floor(o_orderkey / 3) AS BIGINT) AS val,
         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),
         |s1 AS (
         |  SELECT k,
         |    CASE WHEN k % 13 = 0 THEN '5-LOW' ELSE seg END AS seg,
         |    CASE WHEN k % 11 = 0 THEN odate + INTERVAL 40 DAY ELSE odate END AS odate,
-        |    m3,
+        |    m3, val,
         |    CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
         |  FROM base WHERE k % 37 <> 0),
         |s2 AS (SELECT * FROM s1 WHERE k % 5 <> 1),
@@ -65,17 +66,19 @@ object Extras13 {
         |  SELECT seg, CAST(date_diff('day', DATE '1970-01-01', odate) AS INTEGER) AS d,
         |         CAST(GROUPING(seg,
         |           CAST(date_diff('day', DATE '1970-01-01', odate) AS INTEGER)) AS BIGINT) AS gid,
-        |         count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |         count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |         CAST(count(DISTINCT val) AS BIGINT) AS nd_val
         |  FROM s1
         |  GROUP BY ROLLUP(seg, CAST(date_diff('day', DATE '1970-01-01', odate) AS INTEGER))),
         |r2 AS (
         |  SELECT seg, CAST(date_diff('day', DATE '1970-01-01', odate) AS INTEGER) AS d,
         |         CAST(GROUPING(seg,
         |           CAST(date_diff('day', DATE '1970-01-01', odate) AS INTEGER)) AS BIGINT) AS gid,
-        |         count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |         count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |         CAST(count(DISTINCT val) AS BIGINT) AS nd_val
         |  FROM s2
         |  GROUP BY ROLLUP(seg, CAST(date_diff('day', DATE '1970-01-01', odate) AS INTEGER)))
-        |SELECT state, seg, d, gid, n_rows, sum_cents,
+        |SELECT state, seg, d, gid, n_rows, sum_cents, nd_val,
         |  CAST(1 AS BOOLEAN) AS routed_rollup, CAST(1 AS BOOLEAN) AS bypassed_mixed,
         |  CAST(1 AS BOOLEAN) AS bypassed_stale
         |FROM (
@@ -89,10 +92,11 @@ object Extras13 {
         col("o_orderkey").as("k"), col("o_orderpriority").as("seg"),
         col("o_orderdate").as("odate"),
         (col("o_orderkey") % 3).cast("long").as("m3"),
+        floor(col("o_orderkey") / 3).cast("long").as("val"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       Snapshots.publish(s, baseRoot, base)
       Mv.create(s, mvRoot, baseRoot, Seq("k"), Seq("seg", "days(odate)"),
-        sumCols = Seq("cents"), mvBuckets = 8)
+        sumCols = Seq("cents"), mvBuckets = 8, distinctCols = Seq("val"))
       // CoW mutation: relabels, cross-day moves, in-place updates, deletes
       val upd = base
         .filter((col("k") % 13 === 0 || col("k") % 11 === 0 || col("k") % 10 === 0) &&
@@ -113,7 +117,8 @@ object Extras13 {
         def rollQ(src: DataFrame) = src
           .rollup(col("seg"), Mv.timeGroup("days", "odate").as("d"))
           .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
-            sum("cents").as("sum_cents"))
+            sum("cents").as("sum_cents"),
+            countDistinct(col("val")).as("nd_val"))
         val fresh = rollQ(live)
         // an extra NON-VIEW grouping column makes one set unroutable —
         // the whole Expand must keep the base plan (never half-routed)
@@ -123,6 +128,7 @@ object Extras13 {
           df.queryExecution.optimizedPlan.toString
         def routed(df: DataFrame): Boolean =
           planOf(df).contains(s"graft-snapshot($mvRoot)") &&
+            planOf(df).contains(s"graft-snapshot($mvRoot/_dv/val)") &&
             !planOf(df).contains(s"graft-snapshot($baseRoot)")
         val rr = routed(fresh)
         val bm = !planOf(mixed).contains(s"graft-snapshot($mvRoot)")
@@ -140,8 +146,9 @@ object Extras13 {
           .withColumn("bypassed_mixed", lit(bm))
           .withColumn("bypassed_stale", lit(bs))
           .select(col("state"), col("seg"), col("d"), col("gid"),
-            col("n_rows"), col("sum_cents"), col("routed_rollup"),
-            col("bypassed_mixed"), col("bypassed_stale"))
+            col("n_rows"), col("sum_cents"), col("nd_val"),
+            col("routed_rollup"), col("bypassed_mixed"),
+            col("bypassed_stale"))
       } finally Mv.unregister(s, mvRoot)
     },
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.optimizer.{ConstantFolding, SimplifyCasts}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LocalRelation, LogicalPlan, OneRowRelation, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LocalRelation, LogicalPlan, OneRowRelation, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
@@ -717,12 +717,13 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
     * re-aggregation over view rows is exactly the plain rollup rewrite.
     * |view rows| × |sets| replaces |base rows| × |sets|: the 100 TB
     * rollup dashboard reads the view a handful of times, one Expand
-    * over a |groups|-row scan. `count(DISTINCT)` declines (the
-    * companion join per grouping set is a different plan shape), and
-    * any unroutable grouping set, slot, or aggregate declines the WHOLE
-    * rewrite — never a half-routed Expand. Freshness, travel-pin,
-    * filter-implication and residual gates are the single-base
-    * rewrite's own.
+    * over a |groups|-row scan. `count(DISTINCT c)` over a maintained
+    * distinct column takes the UNION shape instead (one [[build]] per
+    * grouping set — see `unionOfSets` inside); a distinct over anything
+    * else, and any unroutable grouping set, slot, or aggregate,
+    * declines the WHOLE rewrite — never a half-routed Expand.
+    * Freshness, travel-pin, filter-implication and residual gates are
+    * the per-kind rewrites' own.
     */
   private def expandRewrite(agg: Aggregate,
       routes: Seq[String]): Option[LogicalPlan] = {
@@ -860,12 +861,15 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
           .getOrElse(return None)
 
       // group slots answer to stored view group columns, type-exactly
-      val slotViewAttr: Map[ExprId, AttributeReference] = slots.collect {
+      val slotStored: Map[ExprId, String] = slots.collect {
         case GroupSlot(o, resolved, _) =>
-          val stored = storedGroupOf(resolved, Map.empty, baseOutput,
+          o.exprId -> storedGroupOf(resolved, Map.empty, baseOutput,
             d.groupCols).getOrElse(return None)
-          val va = vout.get(stored).filter(_.dataType == o.dataType)
-            .getOrElse(return None)
+      }.toMap
+      val slotViewAttr: Map[ExprId, AttributeReference] = slots.collect {
+        case GroupSlot(o, _, _) =>
+          val va = vout.get(slotStored(o.exprId))
+            .filter(_.dataType == o.dataType).getOrElse(return None)
           o.exprId -> va
       }.toMap
       val valueColOf: Map[ExprId, String] = slots.collect {
@@ -934,6 +938,91 @@ case class MvRoute(spark: SparkSession) extends Rule[LogicalPlan]
       }
       def adjust(ne: NamedExpression, e: Expression): Expression =
         if (!ne.toAttribute.nullable && e.nullable) KnownNotNull(e) else e
+
+      /** The grouping-sets shape CARRYING `count(DISTINCT c)` over a
+        * maintained distinct column: distinct values are not summable
+        * across groups, and the companion join is a per-GROUPING
+        * re-aggregation — so instead of replicating view rows under one
+        * Expand, each grouping set becomes its own SYNTHETIC plain
+        * aggregate answered by [[build]] (which brings the whole
+        * per-shape machinery: stored nd at the set that matches the
+        * view's grouping exactly, the `_dv` companion join at coarser
+        * sets, every non-distinct compensation arm, all of build's own
+        * gates), and the sets stitch back through a UNION with each
+        * set's NULL markers and grouping-id literals projected in
+        * place. |sets| view reads + companion joins — the daily/segment
+        * unique-users ROLLUP dashboard — instead of the base scan. Any
+        * set build declines fails the WHOLE rewrite.
+        */
+      def unionOfSets(): Option[LogicalPlan] = {
+        val viewStored = d.groupCols.map(Mv.groupStored).toSet
+        val litAt: Map[ExprId, Seq[Literal]] = slots.collect {
+          case LitSlot(o, lits) => o.exprId -> lits
+        }.toMap
+        val children: Seq[LogicalPlan] =
+          expand.projections.indices.map { pi =>
+            val kept: Seq[GroupSlot] = slots.collect {
+              case gs: GroupSlot if !gs.nulls(pi) => gs
+            }
+            val keptIds = kept.map(_.o.exprId).toSet
+            val groupAlias: Map[ExprId, Alias] = kept.map(gs =>
+              gs.o.exprId -> Alias(gs.resolved, gs.o.name)()).toMap
+            // fresh result ids per set: the same AggregateExpression
+            // must not share its resultId across Union children
+            val aggFresh: Map[ExprId, Alias] =
+              agg.aggregateExpressions.collect {
+                case ne @ Alias(ae: AggregateExpression, _) =>
+                  ne.exprId -> Alias(
+                    ae.copy(resultId = NamedExpression.newExprId), ne.name)()
+              }.toMap
+            val synth = Aggregate(kept.map(_.resolved),
+              kept.map(gs => groupAlias(gs.o.exprId)) ++
+                agg.aggregateExpressions.collect {
+                  case ne @ Alias(_: AggregateExpression, _) =>
+                    aggFresh(ne.exprId)
+                },
+              LocalRelation(baseOutput))
+            val exactI =
+              kept.map(gs => slotStored(gs.o.exprId)).toSet == viewStored
+            val built = build(synth, mvRoot, d.groupCols, d.sumCols,
+              d.minMaxCols, d.distinctCols, d.approxCols, d.quantileCols,
+              residual, Map.empty, baseOutput, exact = exactI)
+              .getOrElse(return None)
+            def substitute(e: Expression): Expression = e.transformUp {
+              case at: AttributeReference if keptIds.contains(at.exprId) =>
+                groupAlias(at.exprId).toAttribute
+              case at: AttributeReference if slotStored.contains(at.exprId) =>
+                Literal(null, at.dataType) // this set's NULL marker
+              case at: AttributeReference if litAt.contains(at.exprId) =>
+                litAt(at.exprId)(pi) // the grouping-id literal
+            }
+            val outer: Seq[NamedExpression] = agg.aggregateExpressions.map {
+              case ne @ Alias(_: AggregateExpression, _) =>
+                Alias(aggFresh(ne.exprId).toAttribute, ne.name)()
+              case ne if !ne.exists(_.isInstanceOf[AggregateExpression]) &&
+                  ne.references.forall(r => keptSlotIds.contains(r.exprId)) =>
+                ne match {
+                  case Alias(child, name) => Alias(substitute(child), name)()
+                  case a: Attribute => Alias(substitute(a), a.name)()
+                  case _ => return None
+                }
+              case _ => return None
+            }
+            Project(outer, built)
+          }
+        val unioned: LogicalPlan =
+          if (children.size == 1) children.head else Union(children)
+        Some(Project(agg.aggregateExpressions.zip(unioned.output).map {
+          case (ne, at) => Alias(adjust(ne, at), ne.name)(exprId = ne.exprId)
+        }, unioned))
+      }
+
+      val hasCompanionDistinct = agg.aggregateExpressions.exists {
+        case Alias(AggregateExpression(Count(Seq(e)), _, true, None, _), _) =>
+          valueCol(e).exists(d.distinctCols.contains)
+        case _ => false
+      }
+      if (hasCompanionDistinct) return unionOfSets()
 
       val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
         ne =>

@@ -277,16 +277,79 @@ class MvRouteSpec extends AnyFunSuite {
       // a non-view grouping column declines the WHOLE rewrite — never a
       // half-routed Expand
       assert(!planOf(dsv2(b).rollup("g", "k").agg(count(lit(1)))).contains(mv))
-      // count(DISTINCT) under grouping sets declines (the companion
-      // join per set is a different plan shape)
+      // count(DISTINCT) under grouping sets declines on THIS view — it
+      // maintains no distinct companion for v (the companion-backed
+      // route is pinned in its own test below)
       assert(!planOf(dsv2(b).rollup("g").agg(countDistinct(col("v"))))
         .contains(mv))
+      // SQL GROUPING SETS — including a DUPLICATE set, whose
+      // disambiguation column is one more all-literal slot the rewrite
+      // copies verbatim — lowers to the same Expand and routes
+      dsv2(b).createOrReplaceTempView("gs_t")
+      def gsq = spark.sql(
+        "SELECT g, count(1) AS n, sum(v) AS s FROM gs_t " +
+          "GROUP BY GROUPING SETS ((g), (g), ())")
+      assert(planOf(gsq).contains(mv), planOf(gsq))
+      assert(rows(gsq) === {
+        df.createOrReplaceTempView("gs_raw")
+        rows(spark.sql("SELECT g, count(1) AS n, sum(v) AS s FROM gs_raw " +
+          "GROUP BY GROUPING SETS ((g), (g), ())"))
+      })
       // staleness bypasses the grouping-sets shape like every other
       Snapshots.mergeByKey(spark, b,
         Seq((1L, "a", 99L, 1L)).toDF("k", "g", "v", "c")
           .withColumn("__del", lit(false)),
         Seq("k"), tombstoneCol = Some("__del"))
       assert(!planOf(roll).contains(mv), planOf(roll))
+    } finally Mv.unregister(spark, m)
+  }
+
+  test("grouping-sets count(DISTINCT) routes through per-set companion rewrites") {
+    import spark.implicits._
+    val b = s"$wh/gd1"; val m = s"$wh/gd2"
+    // duplicate v within a group, the same v across groups (the
+    // cross-group dedup), an all-NULL-v group (distinct 0), a real NULL
+    // group value — every distinct edge in one frame
+    val df = Seq[(java.lang.Long, String, java.lang.Long, java.lang.Long)](
+      (1L, "a", 10L, 1L), (2L, "a", 10L, 1L), (3L, "a", null, 2L),
+      (4L, "b", 10L, 2L), (5L, "b", 20L, 2L), (6L, null, 30L, 1L),
+      (7L, "c", null, 1L), (8L, "c", null, 1L))
+      .toDF("k", "g", "v", "c")
+    Snapshots.publish(spark, b, df)
+    Mv.create(spark, m, b, Seq("k"), Seq("g", "c"), Seq("v"), mvBuckets = 4,
+      distinctCols = Seq("v"))
+    val mv = s"graft-snapshot($m)"
+    Mv.register(spark, m)
+    try {
+      // ROLLUP with count(DISTINCT) beside plain aggregates: each
+      // grouping set becomes its own build() — stored nd at the exact
+      // set, the _dv companion join at coarser ones — stitched by Union
+      def roll = dsv2(b).rollup("g", "c").agg(
+        countDistinct(col("v")).as("nd"), count(lit(1)).as("n"),
+        sum("v").as("s"), grouping_id().as("gid"))
+      assert(planOf(roll).contains(mv), planOf(roll))
+      assert(planOf(roll).contains(s"graft-snapshot($m/_dv/v)"), planOf(roll))
+      assert(!planOf(roll).contains(s"graft-snapshot($b)"))
+      assert(rows(roll) === rows(df.rollup("g", "c").agg(
+        countDistinct(col("v")).as("nd"), count(lit(1)).as("n"),
+        sum("v").as("s"), grouping_id().as("gid"))))
+      // CUBE too
+      def cub = dsv2(b).cube("g", "c").agg(countDistinct(col("v")).as("nd"))
+      assert(planOf(cub).contains(mv), planOf(cub))
+      assert(rows(cub) ===
+        rows(df.cube("g", "c").agg(countDistinct(col("v")).as("nd"))))
+      // staleness bypasses the union shape like every other
+      Snapshots.mergeByKey(spark, b,
+        Seq((1L, "a", 99L, 1L)).toDF("k", "g", "v", "c")
+          .withColumn("__del", lit(false)),
+        Seq("k"), tombstoneCol = Some("__del"))
+      assert(!planOf(roll).contains(mv), planOf(roll))
+      assert(rows(roll) === rows(df.filter(col("k") =!= 1L)
+        .union(Seq((1L, "a", java.lang.Long.valueOf(99L), 1L))
+          .toDF("k", "g", "v", "c"))
+        .rollup("g", "c").agg(
+          countDistinct(col("v")).as("nd"), count(lit(1)).as("n"),
+          sum("v").as("s"), grouping_id().as("gid"))))
     } finally Mv.unregister(spark, m)
   }
 
