@@ -333,11 +333,20 @@ class MvRouteSpec extends AnyFunSuite {
       assert(rows(roll) === rows(df.rollup("g", "c").agg(
         countDistinct(col("v")).as("nd"), count(lit(1)).as("n"),
         sum("v").as("s"), grouping_id().as("gid"))))
-      // CUBE too
-      def cub = dsv2(b).cube("g", "c").agg(countDistinct(col("v")).as("nd"))
+      // CUBE too, with a grouping() projection riding the per-set
+      // literal substitution
+      def cub = dsv2(b).cube("g", "c").agg(countDistinct(col("v")).as("nd"),
+        grouping(col("g")).as("gg"))
       assert(planOf(cub).contains(mv), planOf(cub))
-      assert(rows(cub) ===
-        rows(df.cube("g", "c").agg(countDistinct(col("v")).as("nd"))))
+      assert(rows(cub) === rows(df.cube("g", "c").agg(
+        countDistinct(col("v")).as("nd"), grouping(col("g")).as("gg"))))
+      // a group-column drill-down composes with the union shape (the
+      // residual re-applies inside every per-set build)
+      def fr = dsv2(b).where("c = 1").rollup("g")
+        .agg(countDistinct(col("v")).as("nd"))
+      assert(planOf(fr).contains(mv), planOf(fr))
+      assert(rows(fr) === rows(df.where("c = 1").rollup("g")
+        .agg(countDistinct(col("v")).as("nd"))))
       // staleness bypasses the union shape like every other
       Snapshots.mergeByKey(spark, b,
         Seq((1L, "a", 99L, 1L)).toDF("k", "g", "v", "c")
