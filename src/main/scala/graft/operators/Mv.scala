@@ -985,9 +985,11 @@ object Mv {
         val retracted = cdf
           .filter(col("change").isin("delete", "update_preimage"))
           .select(groupCols.map(col): _*).distinct()
-        if (netInsertOnly || retracted.isEmpty) (counted.drop(MmStaleCol), 0L, true)
+        // one action decides both the structural skip and the group count
+        // (isEmpty + count was two passes over the same cdf-derived frame)
+        val nRec = if (netInsertOnly) 0L else retracted.count()
+        if (nRec == 0L) (counted.drop(MmStaleCol), 0L, true)
         else {
-          val nRec = retracted.count()
           val (recRel, pruned) = recountFrom.getOrElse(sys.error(
             "minMaxCols set but no recount relation supplied"))(retracted)
           val rAggs = minMaxCols.flatMap(c =>

@@ -2099,12 +2099,6 @@ object Snapshots {
       tombstoneCol: Option[String] = None,
       extraHeader: Seq[String] = Nil): Int = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
-    val dupKey = delta.groupBy(keyCols.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dupKey.isEmpty,
-      s"delta carries multiple rows for key (${keyCols.mkString(",")}) = " +
-        s"(${dupKey.headOption.fold("")(r => keyCols.indices.map(i => String.valueOf(r.get(i))).mkString(","))}) — " +
-        "MERGE source keys must be unique (dedupe or pre-resolve the delta)")
     val vs = versions(spark, root)
     require(vs.nonEmpty,
       s"no snapshots published under $root — publish the initial version, then merge")
@@ -2113,36 +2107,77 @@ object Snapshots {
     val f = fs(spark, root)
     val rel = files(spark, root, v)
     val schema = schemaOf(spark, root, v)
+    // ONE materialization of the delta: the dup-key gate, the empty
+    // check, the key envelope, the bucket prune set, the touched-file
+    // probe, the anti-join and the rewrite union all read it. Without a
+    // persist each of those actions re-runs the delta's full lineage —
+    // an MV refresh's delta is a multi-join over change feeds, so the
+    // recomputations dwarfed the merge's own write. MEMORY_AND_DISK
+    // keeps a huge delta safe (spills, never OOMs); a caller-persisted
+    // delta is left alone (persist would throw on a level change, and
+    // unpersisting it would clobber the caller's cache).
+    val ownPersist = delta.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val deltaP = if (ownPersist)
+      delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else delta
+    try {
+    // ONE PASS over the delta for every driver-side scalar the merge
+    // needs — previously four separate actions (dup-key check, isEmpty,
+    // key envelope, bucket set), each its own job:
+    //   - `__groups` = distinct key count (0 ⇒ the no-op merge);
+    //   - `__maxn` = max per-key multiplicity (>1 ⇒ the dup-key refusal);
+    //   - min/max per key column = the stats-prune envelope (min/max
+    //     ignore NULLs; NULL keys never equi-match anyway);
+    //   - `__buckets` = the delta's distinct bucket dirs when the base is
+    //     hash-bucket-clustered on a merge key (bounded by the bucket
+    //     count, so collect_set stays driver-safe).
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val bucketLayout: Option[(Int, String)] =
+      clusterOf(spark, root, v).flatMap(bucketSpec).flatMap { case (n, c) =>
+        keyCols.find(k => resolver(k, c)).map(k => (n, k))
+      }
+    val keyAgg = deltaP.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val aggExprs: Seq[Column] =
+      Seq(count(lit(1)).as("__groups"), max(col("__n")).as("__maxn")) ++
+        keyCols.flatMap(k =>
+          Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k"))) ++
+        bucketLayout.map { case (n, k) =>
+          collect_set(pmod(hash(col(k)), lit(n)).cast("string")).as("__buckets")
+        }
+    val head = keyAgg.agg(aggExprs.head, aggExprs.tail: _*).collect().head
     // an empty delta is a no-op merge: publish the same file list rather
     // than writing a (possibly zero-file) data dir nobody references
-    if (delta.isEmpty)
+    if (head.getAs[Long]("__groups") == 0L)
       return commit(f, root, v + 1, rel, schema,
         clusterHeaderOf(spark, root, v) ++ sortHeaderOf(spark, root, v) ++
           extraHeader ++ statsLinesOf(spark, root, v))
-    val upserts = tombstoneCol.fold(delta)(tc =>
-      delta.filter(!coalesce(col(tc), lit(false))).drop(tc))
+    if (head.getAs[Long]("__maxn") > 1L) {
+      // error path only: re-derive one offending key for the message
+      val dupKey = keyAgg.filter(col("__n") > 1).limit(1).collect()
+      require(dupKey.isEmpty,
+        s"delta carries multiple rows for key (${keyCols.mkString(",")}) = " +
+          s"(${dupKey.headOption.fold("")(r => keyCols.indices.map(i => String.valueOf(r.get(i))).mkString(","))}) — " +
+          "MERGE source keys must be unique (dedupe or pre-resolve the delta)")
+    }
+    val upserts = tombstoneCol.fold(deltaP)(tc =>
+      deltaP.filter(!coalesce(col(tc), lit(false))).drop(tc))
 
     // which files hold a delta key? bounded output: one row per touched
     // file (the same driver granularity as Upsert's touched-partition set)
-    val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
+    val deltaKeys = keyAgg.drop("__n")
     // stats-prune the probe FIRST: a file whose footer min/max on every
     // key column misses the delta's key envelope cannot hold a delta key,
-    // so the row-level semi-join probe never scans it. One extra pass
-    // over the (already materialized) delta keys buys a probe that costs
-    // O(key-overlapping files) instead of a full base scan — on a 100 TB
+    // so the row-level semi-join probe never scans it — on a 100 TB
     // key-clustered table a narrow MERGE probes only its band, the same
     // shape deleteWhere/updateWhere get via pruneRanges. The envelope is
-    // a superset of the key set (min/max ignore NULLs; NULL keys never
-    // equi-match anyway), and filesWhere passes files without usable
-    // stats, so pruning is advisory and never drops a genuine match.
-    val keyBounds: Map[String, (Any, Any)] = {
-      val aggs = keyCols.flatMap(k => Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
-      val row = deltaKeys.agg(aggs.head, aggs.tail: _*).collect().head
-      keyCols.zipWithIndex.flatMap { case (k, i) =>
-        val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
+    // a superset of the key set, and filesWhere passes files without
+    // usable stats, so pruning is advisory and never drops a genuine match.
+    val keyBounds: Map[String, (Any, Any)] =
+      keyCols.flatMap { k =>
+        val (lo, hi) = (head.getAs[Any](s"__lo_$k"), head.getAs[Any](s"__hi_$k"))
         if (lo == null || hi == null) None else Some(k -> (lo, hi))
       }.toMap
-    }
     val statsPruned =
       if (keyBounds.isEmpty) rel else filesWhere(spark, root, v, keyBounds)
     // bucket-layout prune: when the base is hash-bucket-clustered on a
@@ -2158,14 +2193,9 @@ object Snapshots {
     // decimal-string dir) is the same contract the DSv2 scan's V2 bucket
     // function already row-pins. NULL keys hash to a real bucket on both
     // sides; files outside any cluster dir stay candidates (conservative).
-    val candidates = clusterOf(spark, root, v).flatMap(bucketSpec) match {
-      case Some((n, c)) if keyCols.exists(k =>
-          org.apache.spark.sql.internal.SQLConf.get.resolver(k, c)) =>
-        val key = keyCols.find(k =>
-          org.apache.spark.sql.internal.SQLConf.get.resolver(k, c)).get
-        val hit = deltaKeys
-          .select(pmod(hash(col(key)), lit(n)).cast("string").as("__b"))
-          .distinct().collect().map(_.getString(0)).toSet
+    val candidates = bucketLayout match {
+      case Some(_) =>
+        val hit = head.getAs[Seq[String]]("__buckets").toSet
         val dirRe = (java.util.regex.Pattern.quote(ClusterDirCol) + "=([^/]+)/").r
         statsPruned.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1))))
       case _ => statsPruned
@@ -2212,6 +2242,7 @@ object Snapshots {
       cluster.map(c => s"$CLUSTER_HEADER$c").toSeq ++
         sort.map(s => s"$SORT_HEADER$s").toSeq ++ extraHeader ++
         keptStats ++ SnapshotStats.collect(spark, root, newFiles))
+    } finally if (ownPersist) deltaP.unpersist(blocking = false)
   }
 
   /** EXACTLY-ONCE streaming UPSERT: merge one micro-batch of keyed

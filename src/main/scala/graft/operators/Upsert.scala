@@ -87,6 +87,33 @@ object Upsert {
         "in-place partition swap would corrupt time travel; use " +
         "Snapshots.mergeByKey, which publishes the merge as a new version")
 
+    // ONE materialization of the delta: the dup-key gate, the touched-
+    // partition collect, the moved-key verification, the anti-join and
+    // the rewrite union all read it — without a persist each action
+    // re-runs the delta's full lineage (same discipline as
+    // [[Snapshots.mergeByKey]]). MEMORY_AND_DISK spills instead of
+    // OOMing; a caller-persisted delta is left alone.
+    val ownPersist = delta.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val deltaP = if (ownPersist)
+      delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else delta
+    try {
+    mergeByKeyImpl(spark, destPath, deltaP, keyCols, partNames, tombstoneCol,
+      verifyKeyLocality, onLocality, fs)
+    } finally if (ownPersist) deltaP.unpersist(blocking = false)
+  }
+
+  private def mergeByKeyImpl(
+      spark: SparkSession,
+      destPath: String,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      partNames: Seq[String],
+      tombstoneCol: Option[String],
+      verifyKeyLocality: Boolean,
+      onLocality: LocalityReport => Unit,
+      fs: org.apache.hadoop.fs.FileSystem): Stats = {
     // MERGE precondition: at most one delta row per key. An update row and
     // a tombstone row for the same key would otherwise resolve silently to
     // "update wins" (survivors drop the key; unionByName keeps every
