@@ -924,7 +924,20 @@ object Mv {
       quantileCols: Seq[String] = Nil,
       topWatermark: Long = -1L,
       rebuildRel: Option[() => DataFrame] = None): Applied = {
-    val nTouched = touched.count()
+    // ONE action over the (persisted) touched set serves both the group
+    // count and — when the MV is bucket-clustered on __gk — the distinct
+    // bucket-dir set the apply read prunes to (collect_set is bounded by
+    // the bucket count, so it stays driver-safe): previously two jobs.
+    val mvV = Snapshots.versions(spark, mvRoot).last
+    val mvBucketSpec = Snapshots.clusterOf(spark, mvRoot, mvV)
+      .flatMap(Snapshots.bucketSpec).filter(_._2 == GkCol)
+    val touchedAggs = count(lit(1)).as("__nt") +:
+      mvBucketSpec.toSeq.map { case (n, _) =>
+        collect_set(pmod(hash(col(GkCol)), lit(n)).cast("string")).as("__bk")
+      }
+    val touchedHead = touched.agg(touchedAggs.head, touchedAggs.tail: _*)
+      .collect().head
+    val nTouched = touchedHead.getAs[Long]("__nt")
     if (nTouched == 0) {
       // pure rewrite (compaction) under the base: move the watermark
       // with a no-op merge so the next refresh diffs from the new head
@@ -941,14 +954,10 @@ object Mv {
     // attributes inside the apply join's left branch (an ambiguous
     // self-join); a bucketful's unchanged groups simply re-upsert their
     // identical rows into the files the merge rewrites anyway
-    val mvV = Snapshots.versions(spark, mvRoot).last
     val mvFiles = Snapshots.files(spark, mvRoot, mvV)
-    val inBuckets = Snapshots.clusterOf(spark, mvRoot, mvV)
-      .flatMap(Snapshots.bucketSpec) match {
-      case Some((n, c)) if c == GkCol =>
-        val hit = touched
-          .select(pmod(hash(col(GkCol)), lit(n)).cast("string").as("__b"))
-          .distinct().collect().map(_.getString(0)).toSet
+    val inBuckets = mvBucketSpec match {
+      case Some(_) =>
+        val hit = touchedHead.getAs[Seq[String]]("__bk").toSet
         val dirRe = "__cluster=([^/]+)/".r
         mvFiles.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1))))
       case _ => mvFiles
