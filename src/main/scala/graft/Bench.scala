@@ -330,11 +330,19 @@ object Bench {
     // pre-r13 artifacts' `value` was a single-run sum and a cross-round
     // reader must see the semantic break, not silently compare the two;
     // the code id rides along so any quoted fold names what it folds over.
+    // jvm_procs/master stamp what the JVM ACTUALLY got vs what the env
+    // asked for: the sandbox's visible cpu quota fluctuates, so a low-core
+    // comparison run can only be interpreted against the real processor
+    // count — a ≈1 scaling ratio with equal jvm_procs on both runs is
+    // cgroup weather, not a serial plan (additions-only to the line; the
+    // SPARK_GRAFT_CPUS/SF_DIR contract and line shape are untouched)
     val head = s"""{"metric":"total_minruns","value":${r2(foldWarm)},"unit":"sec","k":$k,""" +
       s""""total_cold":${r2(foldCold)},"filtered":${only.nonEmpty},""" +
       s""""value_thisrun":${r2(total)},"total_cold_thisrun":${r2(totalCold)},""" +
       s""""minruns_files":$minRunsFiles,"code":"$codeId",""" +
       s""""load":${r2(loadStart)},"cgroup_cpu_quota":"$quotaStart",""" +
+      s""""jvm_procs":${Runtime.getRuntime.availableProcessors},""" +
+      s""""master":"local[$cpus]",""" +
       s""""detail":"$detailPath","failures":[${failures.mkString(",")}],""" +
       s""""sf":"$sfDir","queries":"""
     val fixedOverhead = head.length + 60 // closing brace + omitted marker slack

@@ -103,7 +103,8 @@ object IncrementalView {
   def applyCountSum(mv: DataFrame, cdf: DataFrame,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, carryCols: Seq[String] = Nil,
-      approxCols: Seq[String] = Nil, quantileCols: Seq[String] = Nil): DataFrame = {
+      approxCols: Seq[String] = Nil, quantileCols: Seq[String] = Nil,
+      trustPreimages: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "applyCountSum needs group columns")
     // approx sketches share min/max's hybrid discipline: an HLL register
     // only grows (insert = union, exact), so any retraction from a group
@@ -138,7 +139,12 @@ object IncrementalView {
          else Seq(max(col("__sign") === -1L).as("__ret"))): _*)
     // a feed without preimages cannot be applied soundly: an 'update' row
     // alone would double-count. Fail loudly instead of absorbing it.
-    val hasPlainUpdate = cdf.where(col("change") === "update").limit(1).count() > 0
+    // `trustPreimages` skips the probe job for a caller whose cdf comes
+    // STRAIGHT from Snapshots.changes(preImages = true), which emits only
+    // update_preimage/update_postimage by construction — the check would
+    // cost one full pass over the feed per refresh to re-prove it.
+    val hasPlainUpdate = !trustPreimages &&
+      cdf.where(col("change") === "update").limit(1).count() > 0
     require(!hasPlainUpdate,
       "applyCountSum needs a preimage CDF (Snapshots.changes(..., preImages = true)); " +
         "got 'update' rows without their retractions")

@@ -639,7 +639,8 @@ object Mv {
   private def maintainDistinct(spark: SparkSession, mvRoot: String, c: String,
       groupCols: Seq[String], cdf: DataFrame, touched: DataFrame,
       batchId: Long, topWatermark: Long,
-      rebuildRel: () => DataFrame): DataFrame = {
+      rebuildRel: () => DataFrame,
+      touchedBuckets: Option[(Int, Set[String])] = None): DataFrame = {
     val compRoot = dvRoot(mvRoot, c)
     val compVs = Snapshots.versions(spark, compRoot)
     require(compVs.nonEmpty,
@@ -675,21 +676,33 @@ object Mv {
       return nd
     }
     // the companion files that can hold a touched group's values: its own
-    // bucket header names them (the same routing as the MV's apply read)
+    // bucket header names them (the same routing as the MV's apply read).
+    // The caller's already-collected MV bucket set is reused when the
+    // counts agree (they are created equal) — no extra collect job.
     val compFiles = Snapshots.files(spark, compRoot, compV)
     val inBuckets = Snapshots.clusterOf(spark, compRoot, compV)
       .flatMap(Snapshots.bucketSpec) match {
       case Some((n, k)) if k == GkCol =>
-        val hit = touched
-          .select(pmod(hash(col(GkCol)), lit(n)).cast("string").as("__b"))
-          .distinct().collect().map(_.getString(0)).toSet
+        val hit = touchedBuckets match {
+          case Some((mn, set)) if mn == n => set
+          case _ => touched
+            .select(pmod(hash(col(GkCol)), lit(n)).cast("string").as("__b"))
+            .distinct().collect().map(_.getString(0)).toSet
+        }
         val dirRe = "__cluster=([^/]+)/".r
         compFiles.filter(f => dirRe.findFirstMatchIn(f).forall(m => hit(m.group(1))))
       case _ => compFiles
     }
+    // whole-BUCKET granularity, like the MV apply read itself: no
+    // row-level semi-join down to the touched groups. A colliding
+    // bucket's untouched (group, value) rows ride through the state
+    // combine unchanged and re-upsert their identical rows — which makes
+    // the merge delta COVERING (every key in any candidate file has a
+    // delta row), so the CoW merge skips its probe and survivor scans.
+    // Net: the candidate files are read ONCE (here) instead of three
+    // times (state read + probe + anti-join).
     val oldTouched = Snapshots.readFiles(spark, compRoot, inBuckets,
       Snapshots.schemaOf(spark, compRoot, compV), s"dv($c) v$compV touched buckets")
-      .join(touched.select(GkCol), Seq(GkCol), "left_semi")
     // every touched group gets a row — a group whose last value vanished
     // reports nd = 0, which the overlay must SEE (a missing row would
     // fall back to the stale stored count)
@@ -739,10 +752,15 @@ object Mv {
         val writeCols = Seq(col(GkCol), col(VkCol)) ++
           (if (hasVd) Seq(col(VdCol)) else Nil) ++
           Seq(col("vcount"), (col("vcount") === 0L).as(TombCol))
+        // ALL of stateNew merges, not just the changed rows: unchanged
+        // pairs re-upsert identically (they live in files the bucket
+        // merge rewrites anyway), and in exchange the delta COVERS every
+        // key in the candidate files, so the merge skips its probe and
+        // survivor scans (coveringDelta)
         Snapshots.mergeStreamBatch(spark, compRoot,
-          stateNew.where(col("__chg")).select(writeCols: _*),
+          stateNew.select(writeCols: _*),
           batchId = batchId, keyCols = Seq(GkCol, VkCol),
-          tombstoneCol = Some(TombCol))
+          tombstoneCol = Some(TombCol), coveringDelta = true)
         val nd = ndOf(stateNew).persist()
         nd.count() // materialize before the source state unpersists
         nd
@@ -971,7 +989,10 @@ object Mv {
       // for brand-new groups); the companion overlay below replaces them
       // for every touched group
       carryCols = distinctCols.map(c => s"nd_$c"),
-      approxCols = approxCols, quantileCols = quantileCols)
+      approxCols = approxCols, quantileCols = quantileCols,
+      // cdf comes straight from Snapshots.changes(preImages = true) (or
+      // the join form's signed algebra over it): never a plain 'update'
+      trustPreimages = true)
       .withColumn(GkCol, gk(groupCols))
     val (applied, recGroups, recPruned) =
       if (minMaxCols.isEmpty && approxCols.isEmpty && quantileCols.isEmpty)
@@ -1032,11 +1053,18 @@ object Mv {
     // the carried stored value for the untouched groups re-upserted from
     // the same buckets. Companions commit BEFORE the top merge — the
     // crash-replay contract lives in [[maintainDistinct]].
+    // the MV's already-collected touched-bucket set is reusable by any
+    // companion bucketed at the SAME count (they are created that way) —
+    // saves each companion its own collect over the touched set
+    val touchedBuckets: Option[(Int, Set[String])] = mvBucketSpec.map {
+      case (n, _) => (n, touchedHead.getAs[Seq[String]]("__bk").toSet)
+    }
     val ndFrames: Seq[(String, DataFrame)] =
       distinctCols.map(c => c ->
         maintainDistinct(spark, mvRoot, c, groupCols, cdf, touched, batchId,
           topWatermark, rebuildRel.getOrElse(sys.error(
-            "distinctCols set but no rebuild relation supplied"))))
+            "distinctCols set but no rebuild relation supplied")),
+          touchedBuckets))
     val withNd = ndFrames.foldLeft(applied) { case (df, (c, nd)) =>
       df.join(nd, Seq(GkCol), "left")
         .withColumn(s"nd_$c", coalesce(col(s"__nd_$c"), col(s"nd_$c"), lit(0L)))
@@ -1048,8 +1076,14 @@ object Mv {
     val gone = touched.select(GkCol).except(applied.select(GkCol))
     val batch = withNd.withColumn(TombCol, lit(false))
       .unionByName(gone.withColumn(TombCol, lit(true)), allowMissingColumns = true)
+    // the batch COVERS the merge's candidate files: `counted` descends
+    // from a whole-bucket read of the MV at its current version (every
+    // unchanged group in a touched bucket re-upserts its identical row),
+    // and a group that dropped out of `applied` (count hit zero) is in
+    // `gone` — so every key in any touched-bucket file has a delta row,
+    // and the merge can skip its probe and survivor scans outright
     val v = Snapshots.mergeStreamBatch(spark, mvRoot, batch, batchId = batchId,
-      keyCols = Seq(GkCol), tombstoneCol = Some(TombCol))
+      keyCols = Seq(GkCol), tombstoneCol = Some(TombCol), coveringDelta = true)
     ndFrames.foreach(_._2.unpersist())
     Applied(nTouched, v, recGroups, recPruned)
   }

@@ -1302,10 +1302,32 @@ object Snapshots {
     * relative dir and its file list. An empty frame may produce zero
     * part files — legal, because the manifest's schema header lets
     * [[read]] reconstruct an empty frame without any file to sample.
+    *
+    * `preRouted` (clustered, UNSORTED layouts only) appends rows the
+    * caller attests are ALREADY physically grouped by this layout's
+    * routing — a CoW merge's survivors, read back from the base's own
+    * cluster dirs — WITHOUT the routing exchange: they keep their scan
+    * partitioning and stream straight into the directory-split write.
+    * The per-file single-value proof is untouched because it is the
+    * WRITER's construction, not the exchange's: the dynamic-partition
+    * write splits every task's rows by the recomputed dir value (the
+    * same deterministic expressions route both sides), so each emitted
+    * file still holds exactly one dir's rows — multi-file groups are the
+    * layout's normal form. Only `df` pays the rebalance; on a merge that
+    * is the delta-sized side, so survivor bytes cross the cluster's
+    * network zero times instead of once (the dominant cost of the CoW
+    * rewrite at 100 TB). Sorted layouts refuse: their strict
+    * one-task-per-group repartition is what keeps the secondary order
+    * stable, and a union has no ordering to preserve it.
     */
   private def writeData(f: FileSystem, root: String, df: DataFrame,
       bloomOn: Seq[String] = Nil, clusterBy: Option[String] = None,
-      sortWithin: Seq[String] = Nil): (String, Seq[String]) = {
+      sortWithin: Seq[String] = Nil,
+      preRouted: Option[DataFrame] = None): (String, Seq[String]) = {
+    require(preRouted.isEmpty || (clusterBy.isDefined && sortWithin.isEmpty),
+      "preRouted rows need a clustered, unsorted layout — the exchange-free " +
+        "path has no meaning unclustered and would scramble a sorted layout's " +
+        "secondary order")
     val dataDir = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
     // clustered layout: one shuffle on the key (tuple) routes every value
     // to one task, and the directory-split write (partitionBy on a hex
@@ -1318,14 +1340,14 @@ object Snapshots {
     val toWrite = clusterBy match {
       case Some(spec) =>
         import org.apache.spark.sql.functions.{coalesce, col, hash, lit, md5, pmod, struct, to_json}
-        val keyed = bucketSpec(spec) match {
+        def keyedOf(d: DataFrame): DataFrame = bucketSpec(spec) match {
           case Some((n, c)) =>
             // hash-bucket routing: the dir IS the bucket id, computed with
             // Spark's own hash (Murmur3 seed 42) — the same function the
             // catalog's `bucket` V2 function evaluates, so the scan's
             // reported bucket transform and these files agree by
             // construction, at any cardinality of the raw key
-            df.withColumn(ClusterDirCol, pmod(hash(col(c)), lit(n)).cast("string"))
+            d.withColumn(ClusterDirCol, pmod(hash(col(c)), lit(n)).cast("string"))
           case None => timeSpec(spec) match {
             case Some((unit, c)) =>
               // time-transform routing: the dir is the calendar unit —
@@ -1334,11 +1356,19 @@ object Snapshots {
               // stats on the scan side and the catalog's V2 time
               // functions evaluate (null instants route to their own
               // "null" dir, the transform's null key)
-              df.withColumn(ClusterDirCol,
+              d.withColumn(ClusterDirCol,
                 coalesce(timeTransformCol(unit, col(c)).cast("string"), lit("null")))
             case None =>
-              df.withColumn(ClusterDirCol, md5(to_json(struct(clusterCols(spec).map(col): _*))))
+              d.withColumn(ClusterDirCol, md5(to_json(struct(clusterCols(spec).map(col): _*))))
           }
+        }
+        val keyed = keyedOf(df)
+        def withPreRouted(routed: DataFrame): DataFrame = preRouted match {
+          // pre-routed rows LEAD the union (the merge's survivors-first
+          // column order), the exchanged side coerces onto them exactly
+          // as the caller's own unionByName would
+          case Some(p) => keyedOf(p).unionByName(routed, allowMissingColumns = true)
+          case None => routed
         }
         if (sortWithin.isEmpty)
           // REBALANCE, not a strict repartition: a strict
@@ -1358,7 +1388,7 @@ object Snapshots {
           // group). Layout proofs are per FILE, so fan-out never weakens
           // them: identity/time groups re-prove from each file's footer
           // stats, bucket groups carry by the routing construction.
-          keyed.hint("rebalance", col(ClusterDirCol))
+          withPreRouted(keyed.hint("rebalance", col(ClusterDirCol)))
         else
           // sorted layout: one strict task per group, sorted by
           // (split dir, sort cols) — leading with the dir column means
@@ -2090,6 +2120,21 @@ object Snapshots {
     * Contracts: delta keys unique (enforced), key columns non-null, and
     * single-writer per table (the snapshot layer's standing contract).
     * Returns the new version number.
+    *
+    * `coveringDelta = true` is the caller's attestation that the delta
+    * carries a row (upsert or tombstone) for EVERY key present in any
+    * candidate file — the MV-refresh shape, where the delta was DERIVED
+    * from a whole-bucket read of this very table at its current version,
+    * so each touched bucket's unchanged keys re-upsert their identical
+    * rows. Under the attestation the row-level touched-file probe and
+    * the survivor anti-join are tautologies (every candidate file holds
+    * a delta key; no candidate row's key is absent from the delta), so
+    * both scans are SKIPPED: touched = the stats/bucket-pruned candidate
+    * set, survivors = ∅, and the rewrite is one routed write of the
+    * delta's upserts. That removes two full reads of the touched files
+    * per merge — at 100 TB, two scans of every touched bucket per
+    * refresh. A FALSE attestation loses rows (an uncovered key's old row
+    * is dropped with its file) — internal callers only.
     */
   def mergeByKey(
       spark: SparkSession,
@@ -2097,7 +2142,8 @@ object Snapshots {
       delta: DataFrame,
       keyCols: Seq[String],
       tombstoneCol: Option[String] = None,
-      extraHeader: Seq[String] = Nil): Int = {
+      extraHeader: Seq[String] = Nil,
+      coveringDelta: Boolean = false): Int = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
     val vs = versions(spark, root)
     require(vs.nonEmpty,
@@ -2202,6 +2248,9 @@ object Snapshots {
     }
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
+      // covering delta: every candidate file holds a delta key by the
+      // caller's attestation — the probe scan would only re-prove it
+      else if (coveringDelta) candidates.toSet
       // no forced broadcast: a small delta broadcasts via AQE; a huge one
       // is allowed its shuffle (the touched-file set stays file-bounded)
       else readFiles(spark, root, candidates, schema, s"v$v candidates")
@@ -2215,7 +2264,9 @@ object Snapshots {
       s"could not relativize a scanned file path under $root/data — layout violation")
 
     val survivors =
-      if (touched.isEmpty) upserts.limit(0)
+      // covering delta: no candidate row's key is absent from the delta,
+      // so the anti-join is empty by the attestation — skip its scan
+      if (touched.isEmpty || coveringDelta) upserts.limit(0)
       else readFiles(spark, root, touched.toSeq.sorted, schema, s"v$v touched")
         .join(deltaKeys, keyCols, "left_anti")
     val merged = survivors.unionByName(upserts, allowMissingColumns = true)
@@ -2232,8 +2283,37 @@ object Snapshots {
     val sort = sortOf(spark, root, v)
       .filter(clusterApplies(_, merged.columns.toSeq))
       .filter(_ => cluster.isDefined)
-    val (_, newFiles) = writeData(f, root, merged, clusterBy = cluster,
-      sortWithin = sort.map(clusterCols).getOrElse(Nil))
+    // survivors were read back from the base's OWN cluster dirs, so on an
+    // unsorted clustered base they are already routed: stream them through
+    // writeData's exchange-free side and pay the rebalance only on the
+    // delta-sized upserts — the survivor bytes (the bulk of a CoW rewrite)
+    // never cross an exchange. Requires BOTH sides to carry the routing
+    // columns themselves at the SAME type: a side that would take them
+    // null-filled or type-coerced from the union must route through the
+    // exchanged path AS that union (hash(int) ≠ hash(long) for the same
+    // value, so per-side routing under unequal types would place upserts
+    // in dirs the table schema's probe never looks in).
+    val resolverW = org.apache.spark.sql.internal.SQLConf.get.resolver
+    def routingType(d: DataFrame, c: String) =
+      d.schema.fields.find(fd => resolverW(fd.name, c)).map(_.dataType)
+    val streamSurvivors = cluster.isDefined && sort.isEmpty &&
+      cluster.forall(s => clusterApplies(s, survivors.columns.toSeq) &&
+        clusterApplies(s, upserts.columns.toSeq) &&
+        clusterKeyCols(s).forall { c =>
+          val (ts, tu) = (routingType(survivors, c), routingType(upserts, c))
+          ts.isDefined && ts == tu
+        })
+    val (_, newFiles) =
+      if (coveringDelta)
+        // survivors are empty by the attestation: one routed write of the
+        // upserts, nothing to stream through
+        writeData(f, root, upserts, clusterBy = cluster,
+          sortWithin = sort.map(clusterCols).getOrElse(Nil))
+      else if (streamSurvivors)
+        writeData(f, root, upserts, clusterBy = cluster,
+          preRouted = Some(survivors))
+      else writeData(f, root, merged, clusterBy = cluster,
+        sortWithin = sort.map(clusterCols).getOrElse(Nil))
     val mergedSchema = schema.map(unionMerge(_, upserts.schema)).getOrElse(
       StructType(merged.schema.fields))
     // untouched files keep their stats lines; rewritten files get fresh ones
@@ -2259,10 +2339,12 @@ object Snapshots {
   def mergeStreamBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, keyCols: Seq[String],
       tombstoneCol: Option[String] = None,
-      extraHeader: Seq[String] = Nil): Option[Int] =
+      extraHeader: Seq[String] = Nil,
+      coveringDelta: Boolean = false): Option[Int] =
     if (lastBatchId(spark, root).exists(_ >= batchId)) None
     else Some(mergeByKey(spark, root, batch, keyCols, tombstoneCol,
-      extraHeader = s"$BATCH_HEADER$batchId" +: extraHeader))
+      extraHeader = s"$BATCH_HEADER$batchId" +: extraHeader,
+      coveringDelta = coveringDelta))
 
   /** Row-level DELETE by predicate, copy-on-write: rows where `predicate`
     * is TRUE are removed (NULL keeps the row — SQL DELETE semantics);

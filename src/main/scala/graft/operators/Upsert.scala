@@ -133,8 +133,10 @@ object Upsert {
     // bootstrap: merging into a not-yet-existing table is a plain load
     if (!fs.exists(new Path(destPath))) {
       val obs = new org.apache.spark.sql.Observation()
+      // rebalance, not strict repartition — same de-skew reasoning as the
+      // staged write below
       upserts.observe(obs, count(lit(1)).as("rows"))
-        .repartition(partNames.map(col): _*)
+        .hint("rebalance", partNames.map(col): _*)
         .write.partitionBy(partNames: _*).mode("overwrite").parquet(destPath)
       return Stats(0L, 0L, obs.get("rows").asInstanceOf[Long])
     }
@@ -161,8 +163,15 @@ object Upsert {
     val tmp = destPath + ".graft-upsert-tmp"
     fs.delete(new Path(tmp), true)
     val obs = new org.apache.spark.sql.Observation()
+    // REBALANCE, not a strict repartition(partCols): the strict form
+    // funnels every row of one partition value through ONE task — a hot
+    // partition of a 100 TB table becomes an unbounded single-task fetch
+    // plus a serial encode. Under AQE the rebalance hash-partitions on
+    // the same columns, then splits oversized groups at map-chunk
+    // boundaries (several files in one partition dir — a normal
+    // partitioned-parquet shape) and coalesces cold ones whole.
     merged.observe(obs, count(lit(1)).as("rows"))
-      .repartition(partNames.map(col): _*)
+      .hint("rebalance", partNames.map(col): _*)
       .write.partitionBy(partNames: _*).mode("overwrite").parquet(tmp)
     val rows = obs.get("rows").asInstanceOf[Long]
 
