@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -634,17 +634,27 @@ object DocStreams {
         val newCands = canon(crossNew.unionByName(selfNew)).persist()
         try {
           // verification lookups: stale = pre-update state everywhere;
-          // new = batch texts + non-updated partners' state rows
-          def needBuckets(cands: DataFrame): Seq[Int] = cands
-            .select(explode(array(
-              pmod(xxhash64(col("doc_a")), lit(buckets.toLong)).cast("int"),
-              pmod(xxhash64(col("doc_b")), lit(buckets.toLong)).cast("int"))))
-            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+          // new = batch texts + non-updated partners' state rows.
+          // ONE bounded aggregate serves BOTH candidate sets' bucket
+          // needs (each collect_set ≤ `buckets` values): per-trigger
+          // driver job count is itself a scale factor, so the two
+          // per-set collects fuse into a single job over the two
+          // already-persisted frames.
+          def bucketsOf(cands: DataFrame): Column = explode(array(
+            pmod(xxhash64(col("doc_a")), lit(buckets.toLong)).cast("int"),
+            pmod(xxhash64(col("doc_b")), lit(buckets.toLong)).cast("int")))
+          val needRow = staleCands.select(lit(true).as("__stale"), bucketsOf(staleCands).as("__b"))
+            .unionByName(newCands.select(lit(false).as("__stale"), bucketsOf(newCands).as("__b")))
+            .agg(collect_set(when(col("__stale"), col("__b"))).as("__sb"),
+              collect_set(when(!col("__stale"), col("__b"))).as("__nb"))
+            .collect().head
+          val staleBuckets = needRow.getSeq[Int](0).sorted
+          val newBuckets = needRow.getSeq[Int](1).sorted
           val stalePairs = verify(staleCands,
-            seenRows(needBuckets(staleCands))).persist()
+            seenRows(staleBuckets)).persist()
           val newPairs = verify(newCands,
             prep.select(col("doc_id"), col("shset"))
-              .unionByName(seenRows(needBuckets(newCands))
+              .unionByName(seenRows(newBuckets)
                 .join(prep.select("doc_id"), Seq("doc_id"), "left_anti")
                 .select(col("doc_id"), col("shset")))).persist()
           try {
