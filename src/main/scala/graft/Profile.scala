@@ -78,15 +78,54 @@ object Profile {
     // same warm-up as Bench
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // driver-side stack sampler: every ~100ms, find the thread actually
+    // driving the query (deepest graft.* frame outside this sampler) and
+    // count its innermost graft frame + the JVM frame just below it —
+    // attributes the DRIVER GAP (wall minus job time) that the job
+    // listener cannot see (planning, commits, footer reads, FS renames)
+    val sampleOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val sampler = new Thread(() => {
+      while (true) {
+        try {
+          if (sampleOn.get()) {
+            val all = Thread.getAllStackTraces
+            samples.merge("(ticks)", 1, (a, b) => a + b)
+            all.forEach { (t, st) =>
+              if (t.getName != "graft-profile-sampler") {
+                // getClassName, not toString: JDK 9+ prefixes toString
+                // with the classloader name ("app//graft. ..."), which
+                // defeats a startsWith("graft.") match
+                val gi = st.indexWhere(e => e.getClassName.startsWith("graft.") &&
+                  !e.getClassName.startsWith("graft.Profile"))
+                if (gi >= 0) {
+                  def nm(e: StackTraceElement) = s"${e.getClassName}.${e.getMethodName}"
+                  val below = if (gi > 0) " <- " + nm(st(gi - 1)) else ""
+                  samples.merge(nm(st(gi)) + below, 1, (a, b) => a + b)
+                }
+              }
+            }
+          }
+          Thread.sleep(100)
+        } catch { case e: Throwable =>
+          samples.merge(s"(sampler error: ${e.getClass.getSimpleName})", 1, (a, b) => a + b)
+        }
+      }
+    }, "graft-profile-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
+
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { rep =>
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         jobs.synchronized(jobs.clear())
+        samples.clear(); sampleOn.set(true)
         val t0 = System.nanoTime()
         materialize(fn(spark, sfDir))
         val wall = (System.nanoTime() - t0) / 1e9
+        sampleOn.set(false)
         // drain listener queue before reading (private API — sleep instead)
         Thread.sleep(300)
         val snap = jobs.synchronized(jobs.toVector).sortBy(_.start)
@@ -101,6 +140,12 @@ object Profile {
         }.toSeq.sortBy(-_._3)
         byDesc.take(40).foreach { case (d, n, t, tk) =>
           println(f"  $t%8.2f s  x$n%-4d tasks=$tk%-6d ${d.take(100)}")
+        }
+        // driver stack attribution (100ms samples, deepest graft frame)
+        println("  -- driver stack samples (~0.1s each) --")
+        import scala.jdk.CollectionConverters._
+        samples.asScala.toSeq.sortBy(-_._2).take(20).foreach { case (k, n) =>
+          println(f"  ${n * 0.1}%6.1f s  $k")
         }
         // timeline with gaps > 200ms
         println("  -- gaps > 0.2s between jobs --")

@@ -96,13 +96,32 @@ object SnapshotStats {
   /** Collect stats lines for `relFiles` under `root`. Footer reads only;
     * distributed when the file count justifies a job, driver-side for the
     * handful-of-files case (a job would cost more than the reads).
+    * The driver-side branch fans the opens out over a bounded thread
+    * pool: footer reads are independent metadata IO (open + footer
+    * parse, on object stores a round-trip each), and reading them
+    * one-after-another put the whole latency chain in the commit path's
+    * driver gap — profiles attributed ~1.6 s per streaming query to this
+    * serial loop alone.
     */
   def collect(spark: SparkSession, root: String, relFiles: Seq[String]): Seq[String] = {
     if (relFiles.isEmpty) return Nil
     val hconf = spark.sparkContext.hadoopConfiguration
     val qualified = new Path(root).getFileSystem(hconf).makeQualified(new Path(root)).toString
     if (relFiles.size <= 16) {
-      relFiles.flatMap(rel => footerStats(qualified, rel, hconf)).sorted
+      if (relFiles.size == 1) footerStats(qualified, relFiles.head, hconf).sorted
+      else {
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, relFiles.size))
+        try {
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          Await.result(
+            Future.traverse(relFiles)(rel =>
+              Future(footerStats(qualified, rel, hconf))),
+            Duration.Inf).flatten.sorted
+        } finally pool.shutdown()
+      }
     } else {
       val conf = new SerializableConfiguration(hconf)
       val slices = math.min(64, math.max(1, relFiles.size / 16))
